@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * The reference (Dalas5/hudi-and-delta-showcase) configures its sessions via
+  * format-extension jars (`scala-cdc-hudi.ipynb` cell 0, `Delta-test-nb.ipynb`
+  * cell 1); graft is a plain library on stock Spark 4.1.2, so the only session
+  * requirements are UTC time, AQE on, and a local-mode-sane shuffle
+  * partition count.
+  */
+object GraftSession {
+
+  /** Apply graft's recommended settings on an existing builder. */
+  def tune(b: SparkSession.Builder, cpus: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cpus.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    // events.parquet carries timestamp[ns]; stock Spark 4 reads nanos only
+    // through this switch (as LongType nanos) — graft normalizes on read.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(appName: String = "graft", cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Settings graft needs that may not be set on a caller-provided session
+    * (e.g. the driver's Verify/Bench session). Safe to call repeatedly. */
+  def ensure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

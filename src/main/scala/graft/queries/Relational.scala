@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator coverage (SURVEY.md §2.2–§2.6) expressed over the
+  * driver corpus, each with a DuckDB oracle. Every query ends in a total
+  * deterministic ORDER BY mirrored in the oracle so row order and hashes
+  * line up engine-to-engine.
+  */
+object Relational {
+  import Tables._
+
+  /** name -> (spark query, duckdb oracle sql). */
+  val defs: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // A1/A2: hash aggregate — TPC-H Q1 shape (pricing summary).
+    "q01_pricing_summary" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sumMoney(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount")))).cast("double").as("sum_disc_price"),
+            avgMoney(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // P5/P2: filter + narrow projection, predicate pushdown — TPC-H Q6 shape.
+    "q02_filter_revenue" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+            col("l_shipdate") < lit("1998-01-01").cast("date") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(
+            sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).cast("double").as("revenue"),
+            count(lit(1)).as("n_rows")),
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // J + A: fact-fact equi-join then aggregate.
+    "q03_join_agg" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount")))).cast("double").as("revenue"))
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Broadcast dimension chain: customer ⋈ nation ⋈ region.
+    "q04_dim_join" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_customers"), avgMoney(col("c_acctbal")).as("avg_acctbal"))
+          .orderBy("r_name"),
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // A4 as a query: latest event per user via window row_number (dedup-to-latest).
+    "q05_latest_per_user" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "event_type", "ts_us")
+          .orderBy("user_id")
+      },
+      """SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS ts_us
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // J1 verbatim shape: groupwise-max self-join (README.md:1217-1221 pattern).
+    "q06_groupwise_max" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+        val mx = ev.groupBy(col("user_id").as("m_user_id")).agg(max(col("ts_us")).as("max_ts"))
+        ev.join(mx, col("user_id") === col("m_user_id") && col("ts_us") === col("max_ts"))
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT e.user_id AS user_id, epoch_ns(e.ts)//1000 AS ts_us, e.event_id AS event_id, e.value AS value
+        |FROM events e INNER JOIN
+        |  (SELECT user_id, MAX(ts) AS max_ts FROM events GROUP BY user_id) cm
+        |  ON e.user_id = cm.user_id AND e.ts = cm.max_ts
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Anti join: customers without orders.
+    "q07_anti_join" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey"),
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Semi join: customers having a high-value order.
+    "q08_semi_join" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders").filter(col("o_totalprice") > 300000.0),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey"),
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Set ops: INTERSECT / EXCEPT, tagged and unioned.
+    "q09_set_ops" -> ((
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val fin = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+        val big = o.filter(col("o_totalprice") > 250000.0).select("o_custkey").distinct()
+        fin.intersect(big).withColumn("tag", lit("both"))
+          .unionByName(fin.except(big).withColumn("tag", lit("only_f")))
+          .orderBy("tag", "o_custkey")
+      },
+      """WITH fin AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 250000.0)
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM fin INTERSECT SELECT * FROM big)
+        |UNION ALL
+        |SELECT o_custkey, 'only_f' AS tag FROM (SELECT * FROM fin EXCEPT SELECT * FROM big)
+        |ORDER BY tag, o_custkey""".stripMargin)),
+
+    // Sort + limit with total tiebreak (top-N).
+    "q10_topn" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .limit(25),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin)),
+
+    // ROLLUP multi-level aggregate (SQL entry point, S4-style).
+    "q11_rollup" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "supplier").createOrReplaceTempView("g_supplier")
+        t(s, d, "nation").createOrReplaceTempView("g_nation")
+        t(s, d, "region").createOrReplaceTempView("g_region")
+        s.sql(
+          """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+            |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+            |FROM g_supplier JOIN g_nation ON s_nationkey = n_nationkey
+            |  JOIN g_region ON n_regionkey = r_regionkey
+            |GROUP BY ROLLUP (r_name, n_name)
+            |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+      },
+      """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
+    // Scalar functions: string + date kitchen-sink over part/orders.
+    "q12_scalar_funcs" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_type"), 1, 5).as("type5"),
+            regexp_replace(col("p_brand"), "[0-9]", "#").as("brand_masked"),
+            (col("p_retailprice") * 2).cast("double").as("dbl_price"))
+          .filter(col("p_size") >= 25)
+          .orderBy("p_partkey"),
+      """SELECT p_partkey, UPPER(p_name) AS uname, LENGTH(p_name) AS name_len,
+        |  SUBSTRING(p_type, 1, 5) AS type5,
+        |  REGEXP_REPLACE(p_brand, '[0-9]', '#', 'g') AS brand_masked,
+        |  p_retailprice * 2 AS dbl_price
+        |FROM part WHERE p_size >= 25 ORDER BY p_partkey""".stripMargin)),
+
+    // CASE WHEN bucketing + date parts.
+    "q13_case_date" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .select(
+            year(col("o_orderdate")).as("yr"),
+            when(col("o_totalprice") < 100000.0, "small")
+              .when(col("o_totalprice") < 250000.0, "medium")
+              .otherwise("large").as("band"))
+          .groupBy("yr", "band").agg(count(lit(1)).as("n"))
+          .orderBy("yr", "band"),
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+        |  CASE WHEN o_totalprice < 100000.0 THEN 'small'
+        |       WHEN o_totalprice < 250000.0 THEN 'medium' ELSE 'large' END AS band,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, band""".stripMargin)),
+
+    // Distinct aggregates.
+    "q14_distinct_agg" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Correlated-scalar-subquery shape: parts priced above their brand average.
+    "q15_above_brand_avg" -> ((
+      (s: SparkSession, d: String) => {
+        val p = t(s, d, "part")
+        val avgB = p.groupBy(col("p_brand").as("b_brand"))
+          .agg(avgMoney(col("p_retailprice")).as("brand_avg"))
+        p.join(broadcast(avgB), col("p_brand") === col("b_brand"))
+          .filter(col("p_retailprice") > col("brand_avg"))
+          .select("p_partkey", "p_brand", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p JOIN (
+        |  SELECT p_brand AS b_brand,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(p_retailprice) AS brand_avg
+        |  FROM part GROUP BY p_brand) b ON p.p_brand = b.b_brand
+        |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin)),
+
+    // Window aggregates beyond row_number: rank + running sum per user.
+    "q16_window_running" -> ((
+      (s: SparkSession, d: String) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+        events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("user_id"), col("event_id"),
+            rank().over(Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)).as("value_rank"),
+            sum(dec2(col("value"))).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("running_value"))
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id,
+        |  RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS value_rank,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin))
+  )
+}
