@@ -11,11 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registries: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
-    Seq(graft.queries.Relational.defs)
+    Seq(graft.queries.Relational.defs, graft.queries.LakeQueries.defs)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's CDC showcase end-to-end (backfill → CoW
+    * create → CDC upsert → golden 5-row state). */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.defs("q01_pricing_summary")._1(spark, "/root/testdata/sf0.001")
+    graft.queries.LakeQueries.defs("q27_cdc_golden")._1(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

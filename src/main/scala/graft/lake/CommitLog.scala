@@ -1,0 +1,149 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One data file registered by a commit. Paths are relative to the table's
+  * `data/` dir (`_v=<version>/[<part>=<val>/]part-*.parquet`).
+  *
+  * Stats (`rows`, `minKey`, `maxKey`, `partitionValue`) feed engine-side file
+  * pruning before a scan is even planned — the analog of the min/max file
+  * stats Hudi/Delta keep in their logs (`/root/reference/README.md:1235-1236`).
+  * Key stats are stored as strings plus a numeric flag so pruning compares in
+  * key space, not lexicographically.
+  */
+case class FileAction(
+    path: String,
+    log: Boolean,
+    rows: Long,
+    minKey: String,
+    maxKey: String,
+    numericKey: Boolean,
+    partitionValue: Option[String])
+
+/** A committed version of the table: files added/removed plus metadata.
+  * `commitTime` uses Hudi's timeline shape `yyyyMMddHHmmssSSS`
+  * (`/root/reference/README.md:352`). */
+case class Commit(
+    version: Long,
+    commitTime: String,
+    operation: String,
+    schemaJson: String,
+    spec: TableSpec,
+    add: Seq[FileAction],
+    remove: Seq[String])
+
+/** JSON commit log under `<table>/_graft_log/`, the engine's analog of
+  * Delta's `_delta_log` (`/root/reference/README.md:1232-1237`) and Hudi's
+  * `.hoodie` timeline. Driver-side only; single-writer (documented
+  * SURVEY.md §7.4). Uses Jackson from Spark's classpath — no extra deps.
+  */
+object CommitLog {
+  private val mapper = new ObjectMapper()
+
+  def logDir(tablePath: String) = new Path(tablePath, "_graft_log")
+
+  private def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
+
+  private def fileFor(tablePath: String, version: Long): Path =
+    new Path(logDir(tablePath), f"$version%020d.json")
+
+  def listVersions(tablePath: String, conf: Configuration): Seq[Long] = {
+    val dir = logDir(tablePath)
+    val f = fs(dir, conf)
+    if (!f.exists(dir)) Seq.empty
+    else
+      f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong)
+        .sorted
+  }
+
+  def latestVersion(tablePath: String, conf: Configuration): Option[Long] =
+    listVersions(tablePath, conf).lastOption
+
+  def write(tablePath: String, c: Commit, conf: Configuration): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("version", c.version)
+    root.put("commitTime", c.commitTime)
+    root.put("operation", c.operation)
+    root.put("schema", c.schemaJson)
+    val spec = root.putObject("spec")
+    spec.put("key", c.spec.key)
+    spec.put("precombine", c.spec.precombine)
+    c.spec.partition.foreach(spec.put("partition", _))
+    spec.put("mor", c.spec.mor)
+    val adds = root.putArray("add")
+    c.add.foreach { a =>
+      val n = adds.addObject()
+      n.put("path", a.path); n.put("log", a.log); n.put("rows", a.rows)
+      n.put("minKey", a.minKey); n.put("maxKey", a.maxKey)
+      n.put("numericKey", a.numericKey)
+      a.partitionValue.foreach(n.put("partitionValue", _))
+    }
+    val rm = root.putArray("remove")
+    c.remove.foreach(rm.add)
+
+    val target = fileFor(tablePath, c.version)
+    val f = fs(target, conf)
+    f.mkdirs(logDir(tablePath))
+    // write-then-rename so a reader never sees a torn commit file
+    val tmp = new Path(logDir(tablePath), s".${c.version}.json.tmp")
+    val out = f.create(tmp, true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    out.close()
+    if (f.exists(target)) throw new IllegalStateException(
+      s"commit ${c.version} already exists at $tablePath (concurrent writer?)")
+    if (!f.rename(tmp, target)) throw new IllegalStateException(s"commit rename failed: $target")
+  }
+
+  def read(tablePath: String, version: Long, conf: Configuration): Commit = {
+    val p = fileFor(tablePath, version)
+    val in = fs(p, conf).open(p)
+    val root = try mapper.readTree(in) finally in.close()
+    parse(root)
+  }
+
+  private def parse(root: JsonNode): Commit = {
+    def optText(n: JsonNode, field: String): Option[String] =
+      if (n.hasNonNull(field)) Some(n.get(field).asText) else None
+    val specN = root.get("spec")
+    val spec = TableSpec(
+      key = specN.get("key").asText,
+      precombine = specN.get("precombine").asText,
+      partition = optText(specN, "partition"),
+      mor = specN.get("mor").asBoolean)
+    val adds = ArrayBuffer.empty[FileAction]
+    root.get("add").asInstanceOf[ArrayNode].forEach { n =>
+      adds += FileAction(
+        n.get("path").asText, n.get("log").asBoolean, n.get("rows").asLong,
+        n.get("minKey").asText, n.get("maxKey").asText,
+        n.get("numericKey").asBoolean, optText(n, "partitionValue"))
+    }
+    val removes = ArrayBuffer.empty[String]
+    root.get("remove").asInstanceOf[ArrayNode].forEach(n => removes += n.asText)
+    Commit(
+      version = root.get("version").asLong,
+      commitTime = root.get("commitTime").asText,
+      operation = root.get("operation").asText,
+      schemaJson = root.get("schema").asText,
+      spec = spec,
+      add = adds.toSeq,
+      remove = removes.toSeq)
+  }
+
+  /** Replay commits 0..version: the live file set (adds minus later removes). */
+  def snapshotFiles(commits: Seq[Commit]): Seq[FileAction] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileAction]
+    commits.sortBy(_.version).foreach { c =>
+      c.add.foreach(a => live(a.path) = a)
+      c.remove.foreach(live.remove)
+    }
+    live.values.toSeq
+  }
+}

@@ -1,0 +1,417 @@
+package graft.lake
+
+import java.net.URLDecoder
+import java.time.format.DateTimeFormatter
+import java.time.{ZoneOffset, ZonedDateTime}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A graft lake table: Parquet data files + a JSON commit log, providing the
+  * reference's Hudi/Delta capabilities (SURVEY.md §2.1, §2.8) on stock Spark:
+  *
+  *   - keyed upsert with precombine latest-wins (Hudi CoW,
+  *     `/root/reference/README.md:448-461`) — copy-on-write file rewrite
+  *   - merge-on-read: updates land in log files; `readOptimized` (`_ro`)
+  *     serves base files only, `realtime` (`_rt`) merges on read
+  *     (`/root/reference/README.md:605-607,918-920`)
+  *   - DELETE events are tombstones, never applied
+  *     (`/root/reference/README.md:529,1148`) unless `applyDeletes`
+  *   - versioned commits, time travel, compaction, vacuum
+  *     (`/root/reference/README.md:1230-1240`)
+  *   - Hudi-shaped meta columns `_commit_time/_commit_seqno/_record_key/
+  *     _partition_path/_file_name` (`/root/reference/README.md:299-303`)
+  *
+  * Scale posture: all data movement is DataFrame ops (Catalyst-planned,
+  * shuffle-aware); driver code touches only file *metadata*. Upserts prune
+  * candidate files by partition value and key min/max from the log before any
+  * scan, then narrow to files actually containing incoming keys via a
+  * semi-join — only those are rewritten.
+  */
+class LakeTable private (val spark: SparkSession, val path: String) {
+  import LakeTable._
+
+  private def conf: Configuration = spark.sessionState.newHadoopConf()
+  private val dataDir = new Path(path, "data").toString
+
+  // ---- log access ------------------------------------------------------
+
+  def commits: Seq[Commit] =
+    CommitLog.listVersions(path, conf).map(CommitLog.read(path, _, conf))
+
+  def latestVersion: Long = CommitLog.latestVersion(path, conf).getOrElse(-1L)
+
+  def spec: TableSpec = commits.last.spec
+
+  /** Declared data schema (without meta columns). */
+  def schema: StructType =
+    DataType.fromJson(commits.last.schemaJson).asInstanceOf[StructType]
+
+  private def liveFiles(asOf: Option[Long]): Seq[FileAction] = {
+    val cs = commits
+    val upTo = asOf.getOrElse(Long.MaxValue)
+    CommitLog.snapshotFiles(cs.filter(_.version <= upTo))
+  }
+
+  // ---- reads -----------------------------------------------------------
+
+  /** Snapshot read: CoW latest state; for MoR this is the `_rt` view
+    * (matches `spark.read.format("hudi")` snapshot semantics, S2). */
+  def read(asOf: Option[Long] = None): DataFrame =
+    if (spec.mor) realtime(asOf) else ordered(readFiles(liveFiles(asOf)))
+
+  /** MoR `_ro`: base files only — stale until compaction (S9/J3). */
+  def readOptimized(asOf: Option[Long] = None): DataFrame =
+    ordered(readFiles(liveFiles(asOf).filterNot(_.log)))
+
+  /** MoR `_rt`: base ∪ logs with latest-wins merge at read (J3). */
+  def realtime(asOf: Option[Long] = None): DataFrame = {
+    val all = readFiles(liveFiles(asOf), keepWriteId = true)
+    ordered(dedupLatest(all, spec.key, spec.precombine, col(WRITE_ID)).drop(WRITE_ID))
+  }
+
+  private def ordered(df: DataFrame): DataFrame = {
+    val cols = META_COLS.map(col) ++ schema.fieldNames.map(col)
+    df.select(cols: _*)
+  }
+
+  /** Read a set of live files as one pruned, partition-aware scan. */
+  private def readFiles(actions: Seq[FileAction], keepWriteId: Boolean = false): DataFrame = {
+    val dataSchema = schema
+    if (actions.isEmpty) {
+      val full = StructType(META_SCHEMA.fields ++ dataSchema.fields ++
+        (if (keepWriteId) Seq(StructField(WRITE_ID, LongType)) else Nil))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
+    }
+    val paths = actions.map(a => s"$dataDir/${a.path}")
+    var df = spark.read.option("basePath", dataDir).parquet(paths: _*)
+      .withColumn("_file_name", element_at(split(input_file_name(), "/"), -1))
+    // partition column comes back from dir names with an inferred type —
+    // cast to the declared type; same for the write-id partition dir
+    spec.partition.foreach { p =>
+      df = df.withColumn(p, col(p).cast(dataSchema(p).dataType))
+    }
+    if (!keepWriteId) df = df.drop(WRITE_ID)
+    else df = df.withColumn(WRITE_ID, col(WRITE_ID).cast(LongType))
+    df
+  }
+
+  // ---- writes ----------------------------------------------------------
+
+  /** Full load (S6/S8/S10): precombine-dedup, stamp meta, replace content. */
+  def overwrite(df: DataFrame): LakeTable =
+    writeCommit("overwrite", removeAll = true) { (version, commitTime) =>
+      val batch = stampMeta(dedupBatch(conform(df)), commitTime)
+      Seq(writeFiles(batch, version * WRITE_SLOTS, log = false))
+    }
+
+  /** Keyed upsert (S7/S9/J2). CoW: rewrite only files holding incoming keys.
+    * MoR: new keys → base files, existing keys → log files (which is why a
+    * brand-new key surfaces in `_ro` immediately — README.md:993-1012). */
+  def upsert(df: DataFrame): LakeTable = {
+    val incoming0 = dedupBatch(conform(df))
+    if (spec.mor) upsertMor(incoming0) else upsertCow(incoming0)
+  }
+
+  private def upsertCow(incoming: DataFrame): LakeTable = {
+    val live = liveFiles(None)
+    val candidates = pruneCandidates(live, incoming)
+    writeCommit("upsert") { (version, commitTime) =>
+      val inStamped = stampMeta(incoming, commitTime).withColumn(RANK, lit(Long.MaxValue))
+      val (touchedPaths, merged) =
+        if (candidates.isEmpty) (Seq.empty[String], inStamped)
+        else {
+          val cand = readFiles(candidates, keepWriteId = true)
+            .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
+          val touched = cand
+            .join(incoming.select(spec.key).distinct(), Seq(spec.key), "left_semi")
+            .select("_rel_file").distinct().collect().map(_.getString(0)).toSeq
+          if (touched.isEmpty) (touched, inStamped)
+          else {
+            val affected = cand
+              .filter(col("_rel_file").isin(touched: _*))
+              .withColumn(RANK, col(WRITE_ID))
+              .drop(WRITE_ID, "_rel_file", "_file_name")
+            (touched, affected.unionByName(inStamped))
+          }
+        }
+      val winner = dedupLatest(merged, spec.key, spec.precombine, col(RANK)).drop(RANK)
+      Seq(writeFiles(winner, version * WRITE_SLOTS, log = false)
+        .copy(remove = touchedPaths))
+    }
+  }
+
+  private def upsertMor(incoming: DataFrame): LakeTable = {
+    val live = liveFiles(None)
+    writeCommit("upsert") { (version, commitTime) =>
+      val stamped = stampMeta(incoming, commitTime)
+      if (live.isEmpty) Seq(writeFiles(stamped, version * WRITE_SLOTS, log = false))
+      else {
+        // key-membership split: a column-pruned scan of live files' key column
+        val existingKeys = readFiles(live).select(spec.key).distinct()
+        val newRows = stamped.join(existingKeys, Seq(spec.key), "left_anti")
+        val updates = stamped.join(existingKeys, Seq(spec.key), "left_semi")
+        Seq(
+          writeFiles(newRows, version * WRITE_SLOTS, log = false),
+          writeFiles(updates, version * WRITE_SLOTS + 1, log = true)
+        ).filter(_.add.nonEmpty)
+      }
+    }
+  }
+
+  /** MERGE with delete application (Delta `WHEN MATCHED AND ... DELETE`
+    * extension; the reference never applies deletes — opt-in only). */
+  def merge(source: DataFrame, applyDeletes: Boolean = false,
+      deleteCond: Column = col("source_metadata.is_deleted")): LakeTable = {
+    upsert(source)
+    if (applyDeletes) delete(deleteCond) else this
+  }
+
+  /** Rewrite files dropping rows matching `cond` (row-level delete). */
+  def delete(cond: Column): LakeTable = {
+    val live = liveFiles(None)
+    writeCommit("delete") { (version, _) =>
+      val all = readFiles(live, keepWriteId = true)
+        .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
+      val touched = all.filter(cond).select("_rel_file").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touched.isEmpty) Seq.empty
+      else {
+        val kept = all.filter(col("_rel_file").isin(touched: _*)).filter(!cond)
+          .drop(WRITE_ID, "_rel_file", "_file_name")
+        Seq(writeFiles(kept, version * WRITE_SLOTS, log = false).copy(remove = touched))
+      }
+    }
+  }
+
+  /** Fold MoR logs (or fragmented CoW files) into fresh base files (M2).
+    * Afterwards `_ro ≡ _rt`. Preserves per-row meta columns. */
+  def compact(): LakeTable = {
+    val live = liveFiles(None)
+    writeCommit("compact") { (version, _) =>
+      val rt = dedupLatest(readFiles(live, keepWriteId = true), spec.key,
+        spec.precombine, col(WRITE_ID)).drop(WRITE_ID, "_file_name")
+      Seq(writeFiles(rt, version * WRITE_SLOTS, log = false)
+        .copy(remove = live.map(_.path)))
+    }
+  }
+
+  /** Physically delete files not live in the `retainVersions` most recent
+    * versions (M1). Time travel before the horizon stops working — same
+    * trade as Delta VACUUM (`/root/reference/README.md:1240`). */
+  def vacuum(retainVersions: Int = 1): LakeTable = {
+    val latest = latestVersion
+    val horizon = math.max(0L, latest - (retainVersions - 1))
+    val keep: Set[String] =
+      (horizon to latest).flatMap(v => liveFiles(Some(v)).map(_.path)).toSet
+    val fs = new Path(dataDir).getFileSystem(conf)
+    val root = new Path(dataDir)
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toString.split("/data/", 2).last
+        if (f.getPath.getName.endsWith(".parquet") && !keep.contains(rel))
+          fs.delete(f.getPath, false)
+      }
+    }
+    this
+  }
+
+  /** Hive-sync analog (S12/S13): register snapshot views in the session
+    * catalog — `<name>` for CoW, `<name>_ro`/`<name>_rt` for MoR. */
+  def registerViews(name: String): LakeTable = {
+    if (spec.mor) {
+      readOptimized().createOrReplaceTempView(name + "_ro")
+      realtime().createOrReplaceTempView(name + "_rt")
+    } else read().createOrReplaceTempView(name)
+    this
+  }
+
+  // ---- internals -------------------------------------------------------
+
+  /** Reorder/validate an incoming batch against the declared schema. */
+  private def conform(df: DataFrame): DataFrame = {
+    if (latestVersion < 0) return df
+    val declared = schema
+    val have = df.columns.toSet
+    val missing = declared.fieldNames.filterNot(have)
+    require(missing.isEmpty, s"incoming batch missing columns: ${missing.mkString(",")}")
+    df.select(declared.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** A4 precombine dedup inside one batch: greatest precombine wins; ties
+    * broken by a deterministic row hash so re-runs are stable. */
+  private def dedupBatch(df: DataFrame): DataFrame =
+    dedupLatest(df, spec.key, spec.precombine,
+      xxhash64(df.columns.map(col): _*))
+
+  private def stampMeta(df: DataFrame, commitTime: String): DataFrame = {
+    val partPath = spec.partition.map(p => col(p).cast(StringType)).getOrElse(lit(""))
+    df.withColumn("_commit_time", lit(commitTime))
+      .withColumn("_commit_seqno",
+        concat_ws("_", lit(commitTime), spark_partition_id().cast(StringType),
+          monotonically_increasing_id().cast(StringType)))
+      .withColumn("_record_key", col(spec.key).cast(StringType))
+      .withColumn("_partition_path", partPath)
+  }
+
+  /** Stats-based candidate pruning before the touched-file semi-join:
+    * partition-value equality and key-range overlap, compared in key space
+    * and only for exactly-formattable types (numeric/string) — skipping a
+    * prune is always safe, applying a wrong one never is. */
+  private def pruneCandidates(live: Seq[FileAction], incoming: DataFrame): Seq[FileAction] = {
+    if (live.isEmpty) return live
+    val keyType = schema(spec.key).dataType
+    val exact = Set[DataType](ByteType, ShortType, IntegerType, LongType, StringType)
+
+    var cands = live
+    // partition pruning
+    spec.partition.foreach { p =>
+      if (exact.contains(schema(p).dataType)) {
+        val inParts = incoming.select(col(p).cast(StringType)).distinct()
+          .collect().map(_.getString(0)).toSet
+        cands = cands.filter(a => a.partitionValue.forall(inParts.contains))
+      }
+    }
+    // key-range pruning
+    if (exact.contains(keyType)) {
+      val r = incoming.agg(
+        min(col(spec.key).cast(StringType)), max(col(spec.key).cast(StringType)),
+        min(col(spec.key).cast("double")), max(col(spec.key).cast("double"))).collect()(0)
+      if (!r.isNullAt(0)) {
+        val numeric = keyType != StringType
+        cands = cands.filter { a =>
+          if (numeric && a.numericKey)
+            a.minKey.toDouble <= r.getDouble(3) && a.maxKey.toDouble >= r.getDouble(2)
+          else a.minKey <= r.getString(1) && a.maxKey >= r.getString(0)
+        }
+      } else cands = Seq.empty // empty incoming batch touches nothing
+    }
+    cands
+  }
+
+  /** Run a commit: `body(version, commitTime)` returns per-write FileActions
+    * bundles (add+remove); data files land before the commit JSON does. */
+  private def writeCommit(operation: String, removeAll: Boolean = false)(
+      body: (Long, String) => Seq[WriteResult]): LakeTable = {
+    val version = latestVersion + 1
+    val commitTime = LakeTable.commitTimeNow()
+    val prevLive = if (removeAll && version > 0) liveFiles(None).map(_.path) else Seq.empty
+    val results = body(version, commitTime)
+    val schemaJson =
+      if (version == 0) throw new IllegalStateException("use LakeTable.create")
+      else commits.last.schemaJson
+    CommitLog.write(path, Commit(version, commitTime, operation, schemaJson, spec,
+      results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct), conf)
+    this
+  }
+
+  /** Write a batch under `data/_v=<writeId>/`, partitioned per spec, and
+    * collect per-file stats for the log via a key-column-only scan. */
+  private def writeFiles(batch: DataFrame, writeId: Long, log: Boolean): WriteResult = {
+    if (batch.isEmpty) return WriteResult(Seq.empty, Seq.empty)
+    val target = s"$dataDir/${WRITE_ID}=$writeId"
+    val shuffled = spec.partition match {
+      case Some(p) => batch.repartition(col(p))
+      case None => batch
+    }
+    val writer = shuffled.write.mode("errorifexists")
+    spec.partition match {
+      case Some(p) => writer.partitionBy(p).parquet(target)
+      case None => writer.parquet(target)
+    }
+    val keyType = schema(spec.key).dataType
+    val numericKey = keyType match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val stats = spark.read.option("basePath", dataDir).parquet(target)
+      .select(col(spec.key).cast(StringType).as("k"),
+        substring_index(input_file_name(), "/data/", -1).as("f"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("rows"),
+        min(when(lit(numericKey), lpad(col("k"), 24, "0")).otherwise(col("k"))).as("mn"),
+        max(when(lit(numericKey), lpad(col("k"), 24, "0")).otherwise(col("k"))).as("mx"))
+      .collect()
+    val adds = stats.map { r =>
+      val rel = r.getString(0)
+      val partVal = spec.partition.flatMap { p =>
+        rel.split("/").find(_.startsWith(p + "="))
+          .map(s => URLDecoder.decode(s.substring(p.length + 1), "UTF-8"))
+      }
+      FileAction(rel, log, r.getLong(1),
+        stripPad(r.getString(2), numericKey), stripPad(r.getString(3), numericKey),
+        numericKey, partVal)
+    }
+    WriteResult(adds.toSeq, Seq.empty)
+  }
+
+  private def stripPad(s: String, numeric: Boolean): String =
+    if (numeric) { val t = s.dropWhile(_ == '0'); if (t.isEmpty) "0" else t } else s
+}
+
+object LakeTable {
+  private[lake] val WRITE_ID = "_v"
+  private[lake] val RANK = "_graft_rank"
+  /** write-ids per commit: slot 0 = base files, slot 1 = log files. */
+  private[lake] val WRITE_SLOTS = 10L
+
+  val META_COLS: Seq[String] =
+    Seq("_commit_time", "_commit_seqno", "_record_key", "_partition_path", "_file_name")
+  private val META_SCHEMA = StructType(META_COLS.map(StructField(_, StringType)))
+
+  private[lake] case class WriteResult(add: Seq[FileAction], remove: Seq[String])
+
+  private val TIME_FMT = DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+  private val lastTime = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Hudi-shaped commit id, strictly monotonic even within one millisecond. */
+  private[lake] def commitTimeNow(): String = {
+    val now = System.currentTimeMillis()
+    val t = lastTime.updateAndGet(prev => math.max(prev + 1, now))
+    ZonedDateTime.ofInstant(java.time.Instant.ofEpochMilli(t), ZoneOffset.UTC).format(TIME_FMT)
+  }
+
+  /** Latest-wins per key: greatest (precombine, tiebreak) survives (A4/J3). */
+  def dedupLatest(df: DataFrame, key: String, precombine: String, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(precombine).desc, tiebreak.desc)
+    df.withColumn(RANK + "_rn", row_number().over(w))
+      .filter(col(RANK + "_rn") === 1)
+      .drop(RANK + "_rn")
+  }
+
+  /** Create a new table at `path` with `df` as version 0. */
+  def create(spark: SparkSession, path: String, spec: TableSpec, df: DataFrame): LakeTable = {
+    val conf = spark.sessionState.newHadoopConf()
+    require(CommitLog.latestVersion(path, conf).isEmpty, s"table exists at $path")
+    spec.partition.foreach(p => require(df.columns.contains(p), s"missing partition col $p"))
+    require(df.columns.contains(spec.key) && df.columns.contains(spec.precombine),
+      s"key/precombine not in schema")
+    val t = new LakeTable(spark, path)
+    // bootstrap commit 0 by hand (writeCommit requires an existing schema)
+    val version = 0L
+    val commitTime = commitTimeNow()
+    val dataSchema = df.schema
+    val boot = Commit(version, commitTime, "create", dataSchema.json, spec, Seq.empty, Seq.empty)
+    CommitLog.write(path, boot, conf)
+    val batch = t.stampMeta(t.dedupBatch(df), commitTime)
+    val res = t.writeFiles(batch, version * WRITE_SLOTS, log = false)
+    // amend: rewrite commit 0 with the files (single-writer, pre-publish)
+    val fs = CommitLog.logDir(path).getFileSystem(conf)
+    fs.delete(new Path(CommitLog.logDir(path), f"$version%020d.json"), false)
+    CommitLog.write(path, boot.copy(add = res.add), conf)
+    t
+  }
+
+  /** Open an existing table. */
+  def load(spark: SparkSession, path: String): LakeTable = {
+    require(CommitLog.latestVersion(path, spark.sessionState.newHadoopConf()).isDefined,
+      s"no graft table at $path")
+    new LakeTable(spark, path)
+  }
+}

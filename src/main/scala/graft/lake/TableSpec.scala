@@ -1,0 +1,22 @@
+package graft.lake
+
+/** Declarative table metadata for a graft lake table.
+  *
+  * Mirrors the option surface of the reference's Hudi writes
+  * (`/root/reference/README.md:276-290`: RECORDKEY_FIELD=pk_id,
+  * PRECOMBINE_FIELD=updated_at, PARTITIONPATH_FIELD=created_at,
+  * STORAGE_TYPE COPY_ON_WRITE|MERGE_ON_READ) without the format jars.
+  *
+  * @param key        record key column — upserts are keyed on it
+  * @param precombine ordering column: within a batch and between batches the
+  *                   row with the greatest value wins; incoming wins ties
+  *                   (Hudi DefaultHoodieRecordPayload `>=` semantics)
+  * @param partition  optional hive-style partition column
+  * @param mor        merge-on-read: updates land in log files; `_ro` serves
+  *                   base files only, `_rt` merges on the fly
+  */
+case class TableSpec(
+    key: String,
+    precombine: String,
+    partition: Option[String] = None,
+    mor: Boolean = false)

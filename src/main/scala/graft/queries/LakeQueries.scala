@@ -1,0 +1,182 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Envelope, Normalize}
+import graft.lake.{LakeTable, TableSpec}
+
+/** Lakehouse operator coverage (SURVEY.md §2.1/§2.8) driven through
+  * LakeTable and verified against DuckDB by re-expressing the table's final
+  * state as pure SQL over the same inputs. Each query materializes its table
+  * under a fresh temp dir, so runs are deterministic and rerunnable.
+  */
+object LakeQueries {
+  import Tables._
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_lake_q", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  /** orders-derived CDC source: bump every 7th order (newer precombine),
+    * add brand-new keys for every 13th. */
+  private def ordersSource(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+      .withColumn("o_orderstatus", lit("U"))
+    val inserts = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    updates.unionByName(inserts)
+  }
+
+  private val ordersSourceSql =
+    """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+      |       o_orderdate + INTERVAL 1 DAY AS o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin
+
+  /** Final-state projection used by the orders scenarios (epoch seconds for
+    * hash-stable timestamp compare). */
+  private def proj(df: DataFrame): DataFrame = df
+    .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), unix_timestamp(col("o_orderdate")).as("od_epoch"))
+    .orderBy("o_orderkey")
+
+  private val mergedSql =
+    s"""WITH src AS ($ordersSourceSql)
+       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch FROM src
+       |UNION ALL
+       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(epoch(o_orderdate) AS BIGINT)
+       |FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+       |ORDER BY o_orderkey""".stripMargin
+
+  private def ordersSpec = TableSpec("o_orderkey", "o_orderdate")
+
+  val defs: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // S6/S7/J2: CoW create + upsert; final state == SQL merge of src over base.
+    "q20_lake_cow_upsert" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"cow_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        tbl.upsert(ordersSource(s, d))
+        proj(tbl.read())
+      },
+      mergedSql)),
+
+    // S9/J3: MoR `_rt` merges log files on the fly — same merged state.
+    "q21_lake_mor_rt" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"mor_rt_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec.copy(mor = true), t(s, d, "orders"))
+        tbl.upsert(ordersSource(s, d))
+        proj(tbl.realtime())
+      },
+      mergedSql)),
+
+    // S9: MoR `_ro` stays stale for updates but new keys reach base files.
+    "q22_lake_mor_ro" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"mor_ro_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec.copy(mor = true), t(s, d, "orders"))
+        tbl.upsert(ordersSource(s, d))
+        proj(tbl.readOptimized())
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, CAST(epoch(o_orderdate) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // M2: compaction folds logs into base — `_ro` now equals the merged state.
+    "q23_lake_compact" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"compact_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec.copy(mor = true), t(s, d, "orders"))
+        tbl.upsert(ordersSource(s, d)).compact()
+        proj(tbl.readOptimized())
+      },
+      mergedSql)),
+
+    // M3: time travel — version 0 is the pre-upsert snapshot.
+    "q24_lake_timetravel" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"tt_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        tbl.upsert(ordersSource(s, d))
+        proj(tbl.read(Some(0)))
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Row-level delete (applyDeletes extension): drop all 'U' rows post-merge.
+    "q25_lake_delete" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"del_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        tbl.upsert(ordersSource(s, d)).delete(col("o_orderstatus") === "U")
+        proj(tbl.read())
+      },
+      s"""WITH src AS ($ordersSourceSql),
+         |merged AS (
+         |  SELECT * FROM src
+         |  UNION ALL
+         |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+         |FROM merged WHERE o_orderstatus <> 'U' ORDER BY o_orderkey""".stripMargin)),
+
+    // Precombine competition on real duplicates: events keyed by user_id,
+    // precombine ts_us; create from 1st half, upsert 2nd → global latest.
+    "q26_lake_upsert_latest" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"latest_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val ev = events(s, d).select("event_id", "user_id", "event_type", "value", "ts_us")
+        val n = ev.agg(max("event_id")).head().getLong(0) / 2
+        val tbl = LakeTable.create(s, path, TableSpec("user_id", "ts_us"),
+          ev.filter(col("event_id") <= n))
+        tbl.upsert(ev.filter(col("event_id") > n))
+        tbl.read().select("user_id", "event_id", "event_type", "ts_us").orderBy("user_id")
+      },
+      """SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS ts_us
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Keystone: the reference's full CDC scenario; oracle is the golden
+    // 5-row state embedded in the README (README.md:469-573).
+    "q27_cdc_golden" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir("cdc_golden")
+        graft.core.GraftSession.ensure(s)
+        val tbl = LakeTable.create(s, path,
+          TableSpec("pk_id", "updated_at", Some("created_at")),
+          Normalize.ingest(Envelope.backfill(s)))
+        tbl.upsert(Normalize.ingest(Envelope.cdc(s)))
+        tbl.read()
+          .select(col("pk_id"), col("name"), col("value"),
+            col("source_metadata.change_type").as("change_type"),
+            col("source_metadata.is_deleted").as("is_deleted"),
+            col("updated_at"), col("created_at"))
+          .orderBy("pk_id")
+      },
+      """SELECT * FROM (VALUES
+        |  (1, 'apple',    10,  'INSERT',        false, 1673496078, 1673496078),
+        |  (2, 'samsung',  201, 'UPDATE-INSERT', false, 1673496646, 1673496078),
+        |  (3, 'dell',     30,  'DELETE',        true,  1673496078, 1673496078),
+        |  (4, 'motorola', 40,  'INSERT',        false, 1673496080, 1673496080),
+        |  (5, 'htc',      50,  'INSERT',        false, 1673496638, 1673496638)
+        |) AS t(pk_id, name, value, change_type, is_deleted, updated_at, created_at)
+        |ORDER BY pk_id""".stripMargin))
+  )
+}

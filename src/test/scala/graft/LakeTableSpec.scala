@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{Envelope, Normalize}
+import graft.lake.{LakeTable, TableSpec}
+
+/** Keystone golden test (SURVEY.md §5.2(1), FIXTURES.md §5): replays the
+  * showcase end-to-end and asserts the reference's embedded goldens.
+  */
+class LakeTableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  def tmp(): String = Files.createTempDirectory("graft_lake").toString
+
+  def ingest(df: DataFrame): DataFrame = Normalize.ingest(df)
+
+  def state(df: DataFrame): Set[(Int, String, Int, String, Boolean)] =
+    df.select("pk_id", "name", "value", "source_metadata.change_type", "source_metadata.is_deleted")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3), r.getBoolean(4)))
+      .toSet
+
+  val goldenFinal = Set(
+    (1, "apple", 10, "INSERT", false),
+    (2, "samsung", 201, "UPDATE-INSERT", false),
+    (3, "dell", 30, "DELETE", true), // tombstone retained, README.md:529
+    (4, "motorola", 40, "INSERT", false),
+    (5, "htc", 50, "INSERT", false))
+
+  val goldenInitial = Set(
+    (1, "apple", 10, "INSERT", false), (2, "samsung", 20, "INSERT", false),
+    (3, "dell", 30, "INSERT", false), (4, "motorola", 40, "INSERT", false))
+
+  def cowSpec = TableSpec("pk_id", "updated_at", Some("created_at"))
+  def morSpec = cowSpec.copy(mor = true)
+
+  test("CoW: full load then upsert reaches the golden 5-row state") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
+    assert(state(t.read()) == goldenInitial)
+    t.upsert(ingest(Envelope.cdc(spark)))
+    assert(state(t.read()) == goldenFinal)
+    // §4.3(5): untouched rows keep their commit time, updated rows get a new one
+    val times = t.read().select("pk_id", "_commit_time").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(times(1) == times(4) && times(2) != times(1), "apple/motorola original, samsung new")
+    assert(times(5) == times(2), "htc inserted by the upsert commit")
+  }
+
+  test("CoW upsert is idempotent") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
+    val cdc = ingest(Envelope.cdc(spark))
+    t.upsert(cdc).upsert(cdc)
+    assert(state(t.read()) == goldenFinal)
+  }
+
+  test("older precombine does not overwrite newer state") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
+    t.upsert(ingest(Envelope.cdc(spark)))
+    t.upsert(ingest(Envelope.backfill(spark))) // replay old full dump
+    // samsung keeps 201 (strictly newer precombine); dell's tombstone flips
+    // back because its replayed row TIES on precombine and incoming wins
+    // ties — Hudi DefaultHoodieRecordPayload `>=` semantics
+    val expected = goldenFinal - ((3, "dell", 30, "DELETE", true)) +
+      ((3, "dell", 30, "INSERT", false))
+    assert(state(t.read()) == expected, "stale replay must not regress newer rows")
+  }
+
+  test("MoR: _ro stale (except new keys), _rt fresh; compact converges them") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, morSpec, ingest(Envelope.backfill(spark)))
+    assert(state(t.readOptimized()) == state(t.realtime()), "README.md:707: identical after full load")
+    t.upsert(ingest(Envelope.cdc(spark)))
+    // _ro: stale samsung=20, dell=30 — but new key htc already visible (base file)
+    assert(state(t.readOptimized()) == goldenInitial + ((5, "htc", 50, "INSERT", false)),
+      "README.md:929-1034")
+    assert(state(t.realtime()) == goldenFinal, "README.md:1044-1150")
+    t.compact()
+    assert(state(t.readOptimized()) == goldenFinal)
+    assert(state(t.realtime()) == goldenFinal)
+  }
+
+  test("time travel: version 0 shows the pre-upsert state") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
+    t.upsert(ingest(Envelope.cdc(spark)))
+    assert(state(t.read(Some(0))) == goldenInitial)
+    assert(state(t.read(Some(1))) == goldenFinal)
+  }
+
+  test("vacuum removes dead files but keeps the live snapshot readable") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
+    t.upsert(ingest(Envelope.cdc(spark)))
+    val before = countParquet(path)
+    t.vacuum(retainVersions = 1)
+    assert(countParquet(path) < before, "rewritten files physically deleted")
+    assert(state(t.read()) == goldenFinal)
+  }
+
+  test("merge with applyDeletes drops tombstoned rows (opt-in extension)") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
+    t.merge(ingest(Envelope.cdc(spark)), applyDeletes = true)
+    assert(state(t.read()) == goldenFinal.filterNot(_._1 == 3))
+  }
+
+  test("registerViews exposes SQL access (S4/S12)") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, morSpec, ingest(Envelope.backfill(spark)))
+    t.upsert(ingest(Envelope.cdc(spark))).registerViews("hudi_mor")
+    val rt = spark.sql("SELECT pk_id, name, value FROM hudi_mor_rt").count()
+    val ro = spark.sql("SELECT pk_id, name, value FROM hudi_mor_ro").count()
+    assert(rt == 5 && ro == 5)
+    assert(spark.sql("SELECT value FROM hudi_mor_ro WHERE pk_id=2").head().getInt(0) == 20)
+    assert(spark.sql("SELECT value FROM hudi_mor_rt WHERE pk_id=2").head().getInt(0) == 201)
+  }
+
+  test("meta columns have Hudi shapes (M4)") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
+    val r = t.read().select("_commit_time", "_commit_seqno", "_record_key", "_partition_path", "_file_name").head()
+    assert(r.getString(0).matches("\\d{17}"))
+    assert(r.getString(1).startsWith(r.getString(0) + "_"))
+    assert(Set("1", "2", "3", "4").contains(r.getString(2)))
+    assert(r.getString(3).nonEmpty)
+    assert(r.getString(4).endsWith(".parquet"))
+  }
+
+  test("batch-internal precombine dedup keeps only the latest row per key (A4)") {
+    val path = tmp()
+    val both = ingest(Envelope.backfill(spark)).unionByName(ingest(Envelope.cdc(spark)))
+    val t = LakeTable.create(spark, path, cowSpec, both)
+    assert(state(t.read()) == goldenFinal, "one batch holding old+new rows applies latest only")
+  }
+
+  private def countParquet(path: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+  }
+}
