@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registries: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
-    Seq(graft.queries.Relational.defs, graft.queries.LakeQueries.defs)
+    Seq(graft.queries.Relational.defs, graft.queries.LakeQueries.defs,
+      graft.queries.ExtQueries.defs)
 
   /** Flagship: the reference's CDC showcase end-to-end (backfill → CoW
     * create → CDC upsert → golden 5-row state). */

@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large text corpora — the operations a 100 TB
+  * training-data pipeline runs before anything else. Scale shape for every
+  * variant: map-side signature computation (codegen'd expressions), one
+  * shuffle on the signature/bucket key, pair refinement joined only within
+  * buckets — never an all-pairs cross join.
+  */
+object Dedup {
+
+  // ---- exact ----------------------------------------------------------
+
+  /** Exact dedup: keep the smallest id per normalized-content fingerprint.
+    * One hash-shuffle; survivors keep their full row. */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("_fp").orderBy(col(idCol).asc)
+    df.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
+
+  /** Count of copies per distinct content (diagnostics / weighting). */
+  def copyCounts(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  // ---- shingles -------------------------------------------------------
+
+  /** Distinct word k-shingles per document. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val idxs = sequence(lit(1), greatest(size(toks) - (k - 1), lit(1)))
+    array_distinct(transform(idxs, i => concat_ws(" ",
+      (0 until k).map(off => element_at(toks, i + off)): _*)))
+  }
+
+  // ---- n-gram Jaccard -------------------------------------------------
+
+  /** Near-dup pairs by exact n-gram Jaccard ≥ threshold, via an inverted
+    * index on shingles (explode → join on shingle → per-pair overlap
+    * count), so cost is Σ posting-list² not N². Returns (id_a, id_b,
+    * jaccard) with id_a < id_b. */
+  def ngramJaccardPairs(df: DataFrame, threshold: Double, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  /** MinHash signature over a (precomputed) shingle-array column: per seed,
+    * the minimum xxhash64 over the doc's shingles — all inside one
+    * codegen'd expression tree (no UDF, no shuffle). */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** LSH banding: split the signature into `bands` bands and hash each —
+    * docs sharing any band-hash become candidates. One shuffle on
+    * (band_idx, band_hash). */
+  def minhashCandidates(df: DataFrame, numHashes: Int, bands: Int, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sig.select(col("id"), explode(
+      array((0 until bands).map(b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup detection: LSH candidates refined with the
+    * exact Jaccard over shingle sets. */
+  def minhashPairs(df: DataFrame, threshold: Double, numHashes: Int = 64,
+      bands: Int = 16, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cand = minhashCandidates(df, numHashes, bands, k, textCol, idCol)
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash: weighted-majority per bit position over token hashes,
+    * computed with nested higher-order functions (fold over tokens of a
+    * ±1 bit-vector sum, then pack the sign bits). Bit positions are a
+    * literal mask array because `shiftleft` only takes a static count. */
+  def simhash(text: Column): Column = {
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    val hashes = transform(TextAnalysis.tokens(text), tkn => xxhash64(tkn))
+    val zeros = array_repeat(lit(0), 64)
+    val counts = aggregate(hashes, zeros, (acc, h) =>
+      zip_with(acc, masks, (c, m) => c + when(h.bitwiseAND(m) =!= 0L, 1).otherwise(-1)))
+    aggregate(zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
+    * (any pair within Hamming distance 3 must agree on ≥1 chunk), refined
+    * by exact Hamming distance. */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"), explode(
+      array((0 until 4).map(c => struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ch"))): _*)).as("cc"))
+      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.ch"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---- embedding near-dup --------------------------------------------
+
+  /** Embedding-cosine near-dup pairs via hyperplane LSH bucketing + exact
+    * refine (see Similarity for the ANN search variant). */
+  def embeddingPairs(df: DataFrame, threshold: Double, numPlanes: Int = 12,
+      seed: Long = 42L, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorOps._
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = randomPlanes(numPlanes, dim, seed)
+    val sigs = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), planes))
+      .withColumn("nsq", normSq(col("v")))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        cosinePre(dot(col("a.v"), col("b.v")), col("a.nsq"), col("b.nsq")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Brute force is the exactness baseline: broadcast the (small) query set
+  * against the corpus — one pass, no corpus shuffle, O(Q·N) dot products in
+  * codegen. The scale path is hyperplane LSH with multi-probe: bucket the
+  * corpus once (reusable across queries), join queries to their bucket and
+  * its Hamming-1 neighbors, refine exactly.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. Deterministic
+    * tiebreak on neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", normSq(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", normSq(col("qv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** Multi-table LSH ANN: `numTables` independent hyperplane signatures;
+    * a query probes, per table, its own bucket plus every Hamming-1 bucket,
+    * then exact-refines candidates and takes top-k. More tables → higher
+    * recall at the cost of `numTables`× the bucketed index size — the
+    * standard memory/recall trade; on random (near-orthogonal) data recall
+    * needs several tables, on clustered real embeddings fewer. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, numTables: Int = 12, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val tables = (0 until numTables).map(t => randomPlanes(numPlanes, dim, seed + t))
+
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", normSq(col("cv")))
+    // corpus indexed once per table: (table, bucket) exploded
+    val c = c0.withColumn("tb", explode(array(tables.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("t"), hyperplaneSignature(col("cv"), p).as("bucket"))
+      }: _*)))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("tb.t"), col("tb.bucket"))
+
+    val q0 = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", normSq(col("qv")))
+    // per table: own bucket + Hamming-1 probes
+    val q = q0.withColumn("tb", explode(array((for {
+        (p, t) <- tables.zipWithIndex
+        probe <- 0 to numPlanes
+      } yield {
+        val sig = hyperplaneSignature(col("qv"), p)
+        val b = if (probe == 0) sig else sig.bitwiseXOR(lit(1L << (probe - 1)))
+        struct(lit(t).as("t"), b.as("bucket"))
+      }): _*)))
+      .select(col("query_id"), col("qv"), col("qn"), col("tb.t"), col("tb.bucket"))
+
+    val scored = c.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first("qv").as("qv"), first("qn").as("qn"),
+        first("cv").as("cv"), first("cn").as("cn"))
+      .withColumn("score", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+}

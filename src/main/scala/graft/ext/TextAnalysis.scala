@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis for training-data pipelines: token counting, quality
+  * scoring, language ID, document fingerprinting. All pure builtin-function
+  * columns (whole-stage-codegen'd; no UDFs) so they scan at parquet speed
+  * and scale linearly with executors — no shuffle anywhere in this module.
+  */
+object TextAnalysis {
+
+  /** Whitespace normalization used before hashing/fingerprinting. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** MD5 content fingerprint over normalized text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Rolling document fingerprint over word tokens: a sequential
+    * hash-chaining fold `h = xxhash64(h, token)` — order-sensitive unlike a
+    * bag-of-words hash (and overflow-free under ANSI mode, where `h*31+x`
+    * would error). */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, tkn) => xxhash64(acc, tkn))
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary count: word chunks plus standalone
+    * punctuation, the usual pre-tokenizer regex shape. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  def stopwordCount(text: Column): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), tkn => array_contains(sw, tkn)))
+  }
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]-]", ""))
+
+  /** Deterministic quality score in [0,1]: length saturation × stopword
+    * presence × punctuation sanity. Heuristic, but reproducible to the bit
+    * (pure double arithmetic, no reductions). */
+  def qualityScore(text: Column): Column = {
+    val nTok = wsTokenCount(text).cast("double")
+    val lenScore = least(lit(1.0d), nTok / lit(50.0d))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0d))
+    val stopScore = least(lit(1.0d), stopRatio * lit(5.0d))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0d))
+    lenScore * (lit(0.5d) + lit(0.5d) * stopScore) * (lit(1.0d) - least(lit(1.0d), punctRatio * lit(2.0d)))
+  }
+
+  /** n-gram-profile language ID: score text against per-language marker
+    * sets (function words + characteristic digraphs), pick the argmax with
+    * a fixed tiebreak order. Heuristic (SURVEY.md §7.1 ext). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "como"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      lang -> size(filter(tokens(lower(text)), tkn => array_contains(m, tkn)))
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with deterministic tiebreak: alphabetical language order wins
+    val best = scores.reduceLeft[(String, Column)] { case ((l1, s1), (l2, s2)) =>
+      (l1, when(s2 > s1, s2).otherwise(s1))
+    }
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best._2 && best._2 > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** All stats in one pass over a corpus. */
+  def stats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("ws_tokens", wsTokenCount(c))
+      .withColumn("bpe_tokens", bpeTokenCount(c))
+      .withColumn("n_stopwords", stopwordCount(c))
+      .withColumn("n_punct", punctCount(c))
+      .withColumn("quality", qualityScore(c))
+      .withColumn("fingerprint", fingerprint(c))
+      .withColumn("lang_guess", langId(c))
+  }
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.lake.{LakeTable, TableSpec}
+
+/** Training-data-pipeline extension coverage: text analysis, dedup (exact /
+  * MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine), similarity
+  * search, multimodal plumbing, streaming ingest. Oracle SQL provided
+  * wherever DuckDB can express the computation exactly; algorithmic ops
+  * (minhash/simhash/LSH) are rows-only here and verified by planted-
+  * duplicate recall in ScalaTest.
+  *
+  * Pairwise dedup queries run on a fixed 2000-doc subset: the synthetic
+  * corpus vocabulary is tiny, so shingle posting lists grow quadratically
+  * with corpus size — bounding the subset keeps the inverted-index join
+  * cost constant across scale factors while still exercising the full
+  * pipeline shape.
+  */
+object ExtQueries {
+  import Tables._
+
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(" graftdup"))))
+  }
+
+  private val plantedDocsSql =
+    """SELECT doc_id, text FROM documents WHERE doc_id < 2000
+      |UNION ALL
+      |SELECT doc_id + 100000, text || ' graftdup' FROM documents
+      |WHERE doc_id < 2000 AND doc_id % 10 = 0""".stripMargin
+
+  val defs: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // Text stats: token counting, stopwords, punct, quality, fingerprint.
+    "q30_text_stats" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.stats(t(s, d, "documents"))
+          .select("doc_id", "ws_tokens", "bpe_tokens", "n_stopwords", "n_punct",
+            "quality", "fingerprint")
+          .orderBy("doc_id"),
+      raw"""SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be'], t))) AS n_stopwords,
+        |  length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]-]', '', 'g')) AS n_punct,
+        |  least(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 50.0)
+        |    * (0.5 + 0.5 * least(1.0, (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be'], t))
+        |      ) / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)) * 5.0))
+        |    * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]-]', '', 'g')))
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 2.0)) AS quality,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact dedup over a corpus with planted exact copies.
+    "q31_dedup_exact" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 100000L))
+        Dedup.copyCounts(planted).orderBy("fingerprint")
+      },
+      raw"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+        |FROM corpus GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    "q32_ngram_jaccard" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.ngramJaccardPairs(plantedDocs(s, d), threshold = 0.6, k = 4)
+          .orderBy("id_a", "id_b"),
+      raw"""WITH corpus AS ($plantedDocsSql),
+        |docs AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-3, 1)),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus)),
+        |inv AS (SELECT id, len(sh) AS n, UNNEST(sh) AS s FROM docs),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, CAST(common AS DOUBLE)/(na+nb-common) AS jaccard
+        |FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // MinHash+LSH near-dup pairs (banded signatures, exact-Jaccard refine).
+    // Rows-only for the driver; planted-recall asserted in ExtSpec.
+    "q33_minhash_pairs" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.minhashPairs(plantedDocs(s, d), threshold = 0.6, numHashes = 64,
+          bands = 16, k = 4).orderBy("id_a", "id_b"),
+      "")),
+
+    // SimHash near-dup pairs (Hamming ≤ 3 via 16-bit chunk candidates).
+    "q34_simhash_pairs" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.simhashPairs(plantedDocs(s, d), maxHamming = 3)
+          .orderBy("id_a", "id_b"),
+      "")),
+
+    // Embedding-cosine near-dup pairs on planted scaled duplicates
+    // (scaling preserves direction → cosine ≈ 1 > 0.99 threshold).
+    "q35_embedding_dups" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings").filter(col("vec_id") < 2000)
+        val planted = emb.unionByName(
+          emb.filter(col("vec_id") % 40 === 0)
+            .withColumn("vec_id", col("vec_id") + 100000L)
+            .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f))))
+        Dedup.embeddingPairs(planted, threshold = 0.99)
+          .select("id_a", "id_b").orderBy("id_a", "id_b")
+      },
+      "")),
+
+    // Brute-force exact cosine top-k (ANN correctness baseline).
+    "q36_cosine_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS nsq FROM v),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    (SELECT SUM(t.x*t.y) FROM (SELECT UNNEST(q.e) AS x, UNNEST(c.e) AS y) t)
+        |      / (sqrt(q.nsq) * sqrt(c.nsq)) AS score
+        |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM p)
+        |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin)),
+
+    // LSH-bucketed ANN (multi-probe) — the 100 TB path; recall vs brute
+    // force asserted in ExtSpec.
+    "q37_lsh_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      "")),
+
+    // Language ID + rolling fingerprint (heuristics; deterministic).
+    "q38_lang_fingerprint" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"),
+            TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+          .orderBy("doc_id"),
+      "")),
+
+    // Multimodal: binary payload stats via pure builtins (oracled).
+    "q40_multimodal_stats" -> ((
+      (s: SparkSession, d: String) =>
+        Multimodal.payloadStats(Multimodal.mediaFromDocuments(t(s, d, "documents")))
+          .orderBy("media_id"),
+      """SELECT doc_id AS media_id, 'fake/rgb8' AS format,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  hex(encode(substring(text, 1, 8))) AS head_hex,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Multimodal: batched per-partition decode-stub features (mapPartitions
+    // — the mapInPandas-shaped path; stub is deterministic, rows-only).
+    "q41_multimodal_decode" -> ((
+      (s: SparkSession, d: String) =>
+        Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(t(s, d, "documents")), parallelism = 8)
+          .withColumn("frame0", element_at(col("frames"), 1))
+          .drop("frames")
+          .orderBy("media_id"),
+      "")),
+
+    // Structured Streaming ingest → LakeTable upsert → latest state per key.
+    "q42_stream_upsert" -> ((
+      (s: SparkSession, d: String) => {
+        graft.core.GraftSession.ensure(s)
+        val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_q")
+        val inDir = base.resolve("in"); val tblDir = base.resolve("tbl"); val ckDir = base.resolve("ck")
+        Seq(base, inDir).foreach { p => if (!Files.exists(p)) Files.createDirectories(p) }
+        Seq(tblDir, ckDir).foreach { p =>
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => Files.delete(f))
+        }
+        Files.copy(Paths.get(d, "events.parquet"), inDir.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val ev = events(s, d).select("event_id", "user_id", "event_type", "value", "ts_us")
+        // bootstrap the table with an empty slice, then stream everything in
+        val tbl = LakeTable.create(s, tblDir.toString, TableSpec("user_id", "ts_us"),
+          ev.filter(lit(false)))
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        graft.streaming.CdcStream.ingest(s, tbl, inDir.toString, schema, ckDir.toString,
+          transform = b => b.withColumn("ts_us", expr("ts div 1000"))
+            .select("event_id", "user_id", "event_type", "value", "ts_us"))
+        tbl.read().select("user_id", "event_id", "event_type", "ts_us").orderBy("user_id")
+      },
+      """SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS ts_us
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.LakeTable
+
+/** Structured Streaming ingestion into a LakeTable — the idiomatic upgrade
+  * of the reference's file-at-a-time CDC pickup (SURVEY.md §2.9: Datastream
+  * drops files continuously, `/root/reference/README.md:164,189`; the
+  * showcase processes them batch-by-hand). Each micro-batch flows through
+  * the same precombine-dedup + keyed-upsert path as batch ingest, so
+  * streaming and batch converge to identical table states.
+  */
+object CdcStream {
+
+  /** Stream all files under `dir` (schema-pinned parquet) into `table` via
+    * foreachBatch upserts. `availableNow` drains existing files and stops —
+    * the batch-test-friendly trigger; pass `continuous=true` for a
+    * long-running micro-batch stream. */
+  def ingest(spark: SparkSession, table: LakeTable, dir: String, schema: StructType,
+      checkpoint: String, continuous: Boolean = false,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (continuous) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = transform(batch)
+        if (!b.isEmpty) table.upsert(b)
+        ()
+      }
+      .start()
+    if (!continuous) q.awaitTermination()
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Verification for the non-SQL-expressible extension ops: planted-duplicate
+  * recall for MinHash/SimHash/embedding dedup, LSH-vs-brute-force recall for
+  * ANN, language-ID sanity, decode-stub determinism.
+  */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
+  def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** Planted near-dups: +100000 ids with one appended token. */
+  def planted: DataFrame = docs.unionByName(
+    docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graftdup"))))
+
+  def plantedIds: Set[(Long, Long)] =
+    docs.filter(col("doc_id") % 10 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val found = Dedup.minhashPairs(planted, threshold = 0.6, numHashes = 64, bands = 16, k = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = plantedIds -- found
+    assert(missed.isEmpty, s"minhash missed planted pairs: $missed")
+  }
+
+  test("minhash pairs are a subset of exact n-gram Jaccard pairs (no false positives)") {
+    val mh = Dedup.minhashPairs(planted, 0.6, 64, 16, k = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(planted, 0.6, k = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact), s"minhash produced non-exact pairs: ${mh -- exact}")
+  }
+
+  test("simhash finds planted near-duplicates (appended token ⇒ tiny bit flip)") {
+    val found = Dedup.simhashPairs(planted, maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (plantedIds & found).size.toDouble / plantedIds.size
+    assert(recall >= 0.9, s"simhash recall $recall below 0.9")
+  }
+
+  test("simhash is deterministic and order-sensitive") {
+    val h1 = spark.range(1).select(Dedup.simhash(lit("alpha beta gamma"))).head().getLong(0)
+    val h2 = spark.range(1).select(Dedup.simhash(lit("alpha beta gamma"))).head().getLong(0)
+    val h3 = spark.range(1).select(Dedup.simhash(lit("gamma beta alpha"))).head().getLong(0)
+    assert(h1 == h2)
+    // simhash is bag-of-words by construction: permutation keeps the hash
+    assert(h1 == h3, "simhash over unweighted tokens is order-insensitive")
+    val h4 = spark.range(1).select(TextAnalysis.rollingHash(lit("gamma beta alpha"))).head().getLong(0)
+    val h5 = spark.range(1).select(TextAnalysis.rollingHash(lit("alpha beta gamma"))).head().getLong(0)
+    assert(h4 != h5, "rolling hash IS order-sensitive")
+  }
+
+  test("embedding LSH dedup finds all planted scaled duplicates") {
+    val plantedEmb = emb.unionByName(
+      emb.filter(col("vec_id") % 40 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f))))
+    val expected = emb.filter(col("vec_id") % 40 === 0).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    val found = Dedup.embeddingPairs(plantedEmb, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(found),
+      s"embedding dedup missed scaled duplicates: ${expected -- found}")
+  }
+
+  test("LSH top-k recall vs brute force >= 0.7 with multi-probe") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.7, s"LSH recall $recall below 0.7")
+  }
+
+  test("language ID picks the language whose markers dominate") {
+    val samples = Seq(
+      ("the cat and the dog of the house is in that garden", "en"),
+      ("el perro de la casa que los gatos una vez por la noche como siempre", "es"),
+      ("der hund und die katze das ist nicht ein problem mit auf", "de"),
+      ("le chien dans la maison est une chose pour les gens que nous aimons", "fr"))
+    import spark.implicits._
+    val got = samples.toDF("text", "expected")
+      .withColumn("got", TextAnalysis.langId(col("text")))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    got.foreach { case (exp, act) => assert(exp == act, s"expected $exp got $act") }
+  }
+
+  test("decode stub plumbing: deterministic features, batch shape preserved") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val f1 = Multimodal.extractFeatures(media, parallelism = 4).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media, parallelism = 2).orderBy("media_id").collect()
+    assert(f1.sameElements(f2), "features must not depend on partitioning")
+    assert(f1.length == docs.count())
+    val r = f1.head
+    assert(r.getAs[scala.collection.Seq[Long]]("frames").length == 4)
+    assert(r.getAs[Int]("width") * r.getAs[Int]("height") <= r.getAs[Long]("n_bytes"))
+  }
+
+  test("exact dedup keeps lowest id and drops all planted exact copies") {
+    val exactPlanted = docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 100000L))
+    val kept = Dedup.exact(exactPlanted)
+    assert(kept.count() == docs.count())
+    assert(kept.filter(col("doc_id") >= 100000L).count() == 0)
+  }
+}
