@@ -65,12 +65,29 @@ object Dedup {
   // ---- MinHash + LSH --------------------------------------------------
 
   /** MinHash signature over a (precomputed) shingle-array column: per seed,
-    * the minimum xxhash64 over the doc's shingles — all inside one
-    * codegen'd expression tree (no UDF, no shuffle). */
+    * the minimum xxhash64 over the doc's shingles. NOTE: higher-order
+    * functions evaluate interpreted (outside whole-stage codegen) — fine
+    * for per-pair refinement, but signature *computation* over a corpus
+    * should use [[minhashSignatures]] (explode + codegen'd hash + partial
+    * agg) instead. */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
     }: _*)
+
+  /** Corpus-scale MinHash signatures: explode shingles to rows, compute the
+    * seeded hashes as plain codegen'd columns, aggregate per-doc minimums
+    * map-side. One narrow shuffle of (id, 64 longs). */
+  def minhashSignatures(df: DataFrame, numHashes: Int, k: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(lit(seed), col("s"))).as(s"h$seed"))
+    exploded.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands and hash each —
     * docs sharing any band-hash become candidates. One shuffle on
@@ -79,9 +96,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val sig = minhashSignatures(df, numHashes, k, textCol, idCol)
     val banded = sig.select(col("id"), explode(
       array((0 until bands).map(b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)).as("bb"))

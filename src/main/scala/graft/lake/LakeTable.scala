@@ -377,12 +377,17 @@ object LakeTable {
     ZonedDateTime.ofInstant(java.time.Instant.ofEpochMilli(t), ZoneOffset.UTC).format(TIME_FMT)
   }
 
-  /** Latest-wins per key: greatest (precombine, tiebreak) survives (A4/J3). */
+  /** Latest-wins per key: greatest (precombine, tiebreak) survives (A4/J3).
+    * Implemented as `max_by` over a (precombine, tiebreak) ordering struct:
+    * a hash aggregate with map-side partial aggregation — one shuffle of
+    * one row per key, no per-key sort (a row_number window would
+    * shuffle+sort every row; at 100 TB that difference is the job). */
   def dedupLatest(df: DataFrame, key: String, precombine: String, tiebreak: Column): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(precombine).desc, tiebreak.desc)
-    df.withColumn(RANK + "_rn", row_number().over(w))
-      .filter(col(RANK + "_rn") === 1)
-      .drop(RANK + "_rn")
+    val cols = df.columns
+    df.groupBy(col(key))
+      .agg(max_by(struct(cols.map(col).toSeq: _*),
+        struct(col(precombine), tiebreak)).as(RANK + "_row"))
+      .select(col(RANK + "_row.*"))
   }
 
   /** Create a new table at `path` with `df` as version 0. */
