@@ -12,7 +12,7 @@ object SparkEntry {
 
   private def registries: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
     Seq(graft.queries.Relational.defs, graft.queries.LakeQueries.defs,
-      graft.queries.ExtQueries.defs)
+      graft.queries.ExtQueries.defs, graft.queries.CdcQueries.defs)
 
   /** Flagship: the reference's CDC showcase end-to-end (backfill → CoW
     * create → CDC upsert → golden 5-row state). */

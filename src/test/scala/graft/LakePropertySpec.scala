@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, TableSpec}
+
+case class Rec(k: Int, pc: Long, payload: String)
+
+/** Property-style invariants (SURVEY.md §5.2(3)) over randomized batches:
+  * upsert idempotence, batch-split equivalence, compact preserving `_rt`,
+  * version monotonicity. Seeded scala.util.Random keeps runs reproducible;
+  * precombine values are globally unique per key+row so batch splits cannot
+  * hit incoming-wins-tie ambiguity.
+  */
+class LakePropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def genBatch(rnd: scala.util.Random, n: Int, keySpace: Int, pcBase: Long): Seq[Rec] =
+    (0 until n).map { i =>
+      Rec(rnd.nextInt(keySpace), pcBase + rnd.nextInt(1000000), s"v${rnd.nextInt(1000)}")
+    }
+
+  def df(rows: Seq[Rec]): DataFrame = rows.toDF()
+
+  def tmp(): String = Files.createTempDirectory("graft_prop").toString
+
+  def state(t: LakeTable): Set[(Int, Long, String)] =
+    t.read().select("k", "pc", "payload").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+
+  def specCow = TableSpec("k", "pc")
+
+  test("upsert is idempotent (upsert(b); upsert(b) ≡ upsert(b))") {
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(100 + trial)
+      val base = genBatch(rnd, 50, 20, 0)
+      val b = genBatch(rnd, 30, 20, 2000000)
+      val t1 = LakeTable.create(spark, tmp(), specCow, df(base)); t1.upsert(df(b))
+      val t2 = LakeTable.create(spark, tmp(), specCow, df(base)); t2.upsert(df(b)); t2.upsert(df(b))
+      assert(state(t1) == state(t2), s"trial $trial")
+    }
+  }
+
+  test("upsert(b1 ++ b2) ≡ upsert(b1); upsert(b2) when precombine is totally ordered") {
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(200 + trial)
+      val base = genBatch(rnd, 50, 15, 0)
+      // strictly distinct precombines across b1/b2 → no cross-batch ties
+      val all = genBatch(rnd, 40, 15, 3000000).zipWithIndex
+        .map { case (r, i) => r.copy(pc = 3000000L + i * 2) }
+      val (b1, b2) = all.splitAt(20)
+      val t1 = LakeTable.create(spark, tmp(), specCow, df(base)); t1.upsert(df(all.map(identity)))
+      val t2 = LakeTable.create(spark, tmp(), specCow, df(base)); t2.upsert(df(b1)); t2.upsert(df(b2))
+      assert(state(t1) == state(t2), s"trial $trial")
+    }
+  }
+
+  test("MoR: compact() preserves realtime contents and converges _ro") {
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(300 + trial)
+      val t = LakeTable.create(spark, tmp(), specCow.copy(mor = true),
+        df(genBatch(rnd, 50, 20, 0)))
+      t.upsert(df(genBatch(rnd, 30, 25, 1000000)))
+      t.upsert(df(genBatch(rnd, 30, 30, 2000000)))
+      val before = state(t)
+      t.compact()
+      assert(state(t) == before, s"trial $trial: compact changed realtime contents")
+      val ro = t.readOptimized().select("k", "pc", "payload").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+      assert(ro == before, s"trial $trial: _ro ≠ _rt after compact")
+    }
+  }
+
+  test("versions increase by one per commit and time travel sees every state") {
+    val rnd = new scala.util.Random(42)
+    val t = LakeTable.create(spark, tmp(), specCow, df(genBatch(rnd, 20, 10, 0)))
+    assert(t.latestVersion == 0)
+    val s0 = state(t)
+    t.upsert(df(genBatch(rnd, 10, 12, 1000000)))
+    assert(t.latestVersion == 1)
+    val s1 = state(t)
+    t.upsert(df(genBatch(rnd, 10, 14, 2000000)))
+    assert(t.latestVersion == 2)
+    assert(t.read(Some(0)).count() == s0.size)
+    assert(t.read(Some(1)).count() == s1.size)
+    val tt0 = t.read(Some(0)).select("k", "pc", "payload").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(tt0 == s0)
+  }
+
+  test("MoR upserts never touch existing base files (no removes until compact)") {
+    val rnd = new scala.util.Random(7)
+    val t = LakeTable.create(spark, tmp(), specCow.copy(mor = true),
+      df(genBatch(rnd, 40, 20, 0)))
+    t.upsert(df(genBatch(rnd, 20, 22, 1000000)))
+    t.upsert(df(genBatch(rnd, 20, 24, 2000000)))
+    val removes = t.commits.filter(_.operation == "upsert").flatMap(_.remove)
+    assert(removes.isEmpty, "MoR upsert must be append-only")
+    val hasLogs = t.commits.flatMap(_.add).exists(_.log)
+    assert(hasLogs, "updates should have produced log files")
+  }
+}
