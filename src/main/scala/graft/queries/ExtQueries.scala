@@ -209,6 +209,41 @@ object ExtQueries {
       },
       """SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS ts_us
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Structured Streaming event-time windowed aggregation with watermark
+    // (§2.9): tumbling 5-minute windows per event_type, drained with
+    // AvailableNow into a memory sink in complete mode (deterministic
+    // regardless of micro-batch boundaries).
+    "q43_stream_window" -> ((
+      (s: SparkSession, d: String) => {
+        graft.core.GraftSession.ensure(s)
+        val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_w")
+        val inDir = base.resolve("in")
+        if (!Files.exists(inDir)) Files.createDirectories(inDir)
+        Files.copy(Paths.get(d, "events.parquet"), inDir.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val agg = s.readStream.schema(schema).parquet(inDir.toString)
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts_t", "10 minutes")
+          .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(Tables.dec2(col("value"))).cast("double").as("sum_value"))
+        val name = "graft_win_sink"
+        val q = agg.writeStream.outputMode("complete").format("memory")
+          .queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(unix_timestamp(col("window.start")).as("win_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("win_start", "event_type")
+      },
+      """SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
   )
 }

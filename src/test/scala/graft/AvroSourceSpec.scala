@@ -1,0 +1,100 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord, GenericRecordBuilder}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.AvroSource
+
+/** S1 coverage: round-trip a Datastream-shaped envelope through a real Avro
+  * file (written with the bundled avro-1.12.1) and read it back with
+  * graft's reader — schema inference, nested records, arrays, unions,
+  * timestamp-micros.
+  */
+class AvroSourceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tsMicros: Schema =
+    LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+
+  private def envelopeSchema: Schema = {
+    val sortKey = SchemaBuilder.record("sort_key").fields()
+      .name("member0").`type`().stringType().noDefault()
+      .name("member1").`type`().longType().noDefault()
+      .endRecord()
+    val meta = SchemaBuilder.record("source_metadata").fields()
+      .name("change_type").`type`().stringType().noDefault()
+      .name("is_deleted").`type`().booleanType().noDefault()
+      .endRecord()
+    val payload = SchemaBuilder.record("payload").fields()
+      .name("pk_id").`type`().intType().noDefault()
+      .name("name").`type`().unionOf().nullType().and().stringType().endUnion().nullDefault()
+      .name("value").`type`().intType().noDefault()
+      .name("updated_at").`type`(tsMicros).noDefault()
+      .endRecord()
+    SchemaBuilder.record("envelope").fields()
+      .name("uuid").`type`().stringType().noDefault()
+      .name("read_timestamp").`type`(tsMicros).noDefault()
+      .name("sort_keys").`type`().array().items(sortKey).noDefault()
+      .name("source_metadata").`type`(meta).noDefault()
+      .name("payload").`type`(payload).noDefault()
+      .endRecord()
+  }
+
+  private def writeFixture(dir: File): Unit = {
+    val schema = envelopeSchema
+    val payloadS = schema.getField("payload").schema()
+    val metaS = schema.getField("source_metadata").schema()
+    val sortS = schema.getField("sort_keys").schema().getElementType
+    val rows = Seq(
+      (1, "apple", 10, 1673496078000000L, "INSERT", false),
+      (2, "samsung", 20, 1673496078000000L, "INSERT", false),
+      (3, null, 30, 1673496078000000L, "DELETE", true))
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(dir, "batch-000.avro"))
+    rows.foreach { case (pk, name, value, us, ct, del) =>
+      val payload = new GenericRecordBuilder(payloadS)
+        .set("pk_id", pk).set("name", name).set("value", value).set("updated_at", us).build()
+      val meta = new GenericRecordBuilder(metaS)
+        .set("change_type", ct).set("is_deleted", del).build()
+      val sk = new GenericData.Array[GenericRecord](1, schema.getField("sort_keys").schema())
+      sk.add(new GenericRecordBuilder(sortS).set("member0", "mysql-bin.000001").set("member1", 42L).build())
+      w.append(new GenericRecordBuilder(schema)
+        .set("uuid", s"uuid-$pk").set("read_timestamp", 1673496285000000L)
+        .set("sort_keys", sk).set("source_metadata", meta).set("payload", payload)
+        .build())
+    }
+    w.close()
+  }
+
+  test("reads Datastream-shaped Avro with inferred schema") {
+    val dir = Files.createTempDirectory("graft_avro").toFile
+    writeFixture(dir)
+    val df = AvroSource.read(spark, dir.getAbsolutePath + "/*.avro")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("uuid", "read_timestamp", "sort_keys", "source_metadata", "payload"))
+    val rows = df.selectExpr("payload.pk_id", "payload.name", "payload.value",
+        "unix_timestamp(payload.updated_at)", "source_metadata.change_type",
+        "source_metadata.is_deleted", "sort_keys[0].member1",
+        "unix_timestamp(read_timestamp)")
+      .orderBy("pk_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).toSeq == Seq(1, "apple", 10, 1673496078L, "INSERT", false, 42L, 1673496285L))
+    assert(rows(2).toSeq == Seq(3, null, 30, 1673496078L, "DELETE", true, 42L, 1673496285L))
+  }
+
+  test("flatten + epochize work on Avro-read envelopes (EP1 on real Avro)") {
+    val dir = Files.createTempDirectory("graft_avro2").toFile
+    writeFixture(dir)
+    val df = AvroSource.read(spark, dir.getAbsolutePath + "/*.avro")
+    val flat = df.select(org.apache.spark.sql.functions.col("payload.*"),
+      org.apache.spark.sql.functions.col("*"))
+    assert(flat.columns.take(4).toSeq == Seq("pk_id", "name", "value", "updated_at"))
+    assert(flat.count() == 3)
+  }
+}
