@@ -14,8 +14,14 @@ object VectorOps {
     * float accumulation drifts and is not oracle-reproducible). */
   def toDoubleVec(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Sequential-fold dot product. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product — the native codegen'd expression (see
+    * [[DotProduct]]); same index-order fold as the builtin HOF version
+    * ([[dotHof]]), so results are bit-identical. */
+  def dot(a: Column, b: Column): Column = DotProduct.dotProduct(a, b)
+
+  /** Builtin-only formulation (interpreted; kept as the semantic spec and
+    * for cross-checking the native expression). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def normSq(a: Column): Column = dot(a, a)
