@@ -59,7 +59,7 @@ object CommitLog {
     else
       f.listStatus(dir).toSeq
         .map(_.getPath.getName)
-        .filter(_.endsWith(".json"))
+        .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
         .map(_.stripSuffix(".json").toLong)
         .sorted
   }
@@ -146,4 +146,84 @@ object CommitLog {
     }
     live.values.toSeq
   }
+
+  // ---- checkpoints -----------------------------------------------------
+  // Every CHECKPOINT_INTERVAL commits a consolidated live-file list lands
+  // next to the log (the Delta `checkpoint` pattern): snapshot resolution
+  // reads one checkpoint + the commit tail instead of every commit since
+  // version 0 — O(1) driver metadata work regardless of table age.
+
+  val CHECKPOINT_INTERVAL = 10
+
+  private def checkpointFile(tablePath: String, version: Long): Path =
+    new Path(logDir(tablePath), f"$version%020d.checkpoint.json")
+
+  def listCheckpoints(tablePath: String, conf: Configuration): Seq[Long] = {
+    val dir = logDir(tablePath)
+    val f = fs(dir, conf)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong).sorted
+  }
+
+  def writeCheckpoint(tablePath: String, version: Long, files: Seq[FileAction],
+      conf: Configuration): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("version", version)
+    val arr = root.putArray("files")
+    files.foreach { a =>
+      val n = arr.addObject()
+      n.put("path", a.path); n.put("log", a.log); n.put("rows", a.rows)
+      n.put("minKey", a.minKey); n.put("maxKey", a.maxKey)
+      n.put("numericKey", a.numericKey)
+      a.partitionValue.foreach(n.put("partitionValue", _))
+    }
+    val target = checkpointFile(tablePath, version)
+    val f = fs(target, conf)
+    val tmp = new Path(logDir(tablePath), s".$version.checkpoint.tmp")
+    val out = f.create(tmp, true)
+    out.write(mapper.writeValueAsBytes(root))
+    out.close()
+    f.delete(target, false)
+    f.rename(tmp, target)
+  }
+
+  def readCheckpoint(tablePath: String, version: Long, conf: Configuration): Seq[FileAction] = {
+    val p = checkpointFile(tablePath, version)
+    val in = fs(p, conf).open(p)
+    val root = try mapper.readTree(in) finally in.close()
+    val files = ArrayBuffer.empty[FileAction]
+    root.get("files").asInstanceOf[ArrayNode].forEach { n =>
+      files += FileAction(
+        n.get("path").asText, n.get("log").asBoolean, n.get("rows").asLong,
+        n.get("minKey").asText, n.get("maxKey").asText, n.get("numericKey").asBoolean,
+        if (n.hasNonNull("partitionValue")) Some(n.get("partitionValue").asText) else None)
+    }
+    files.toSeq
+  }
+
+  /** Live files at `asOf` (or latest): latest checkpoint ≤ asOf + commit
+    * tail replay. */
+  def liveFiles(tablePath: String, asOf: Option[Long], conf: Configuration): Seq[FileAction] = {
+    val versions = listVersions(tablePath, conf)
+    if (versions.isEmpty) return Seq.empty
+    val target = asOf.map(v => math.min(v, versions.last)).getOrElse(versions.last)
+    val cp = listCheckpoints(tablePath, conf).filter(_ <= target).lastOption
+    val base = cp.map(readCheckpoint(tablePath, _, conf)).getOrElse(Seq.empty)
+    val tail = versions.filter(v => v > cp.getOrElse(-1L) && v <= target)
+      .map(read(tablePath, _, conf))
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileAction]
+    base.foreach(a => live(a.path) = a)
+    tail.foreach { c =>
+      c.add.foreach(a => live(a.path) = a)
+      c.remove.foreach(live.remove)
+    }
+    live.values.toSeq
+  }
+
+  /** Write a checkpoint when the version hits the interval. */
+  def maybeCheckpoint(tablePath: String, version: Long, conf: Configuration): Unit =
+    if (version > 0 && version % CHECKPOINT_INTERVAL == 0)
+      writeCheckpoint(tablePath, version, liveFiles(tablePath, Some(version), conf), conf)
 }

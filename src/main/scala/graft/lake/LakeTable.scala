@@ -45,17 +45,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   def latestVersion: Long = CommitLog.latestVersion(path, conf).getOrElse(-1L)
 
-  def spec: TableSpec = commits.last.spec
+  private def latestCommit: Commit = CommitLog.read(path, latestVersion, conf)
+
+  def spec: TableSpec = latestCommit.spec
 
   /** Declared data schema (without meta columns). */
   def schema: StructType =
-    DataType.fromJson(commits.last.schemaJson).asInstanceOf[StructType]
+    DataType.fromJson(latestCommit.schemaJson).asInstanceOf[StructType]
 
-  private def liveFiles(asOf: Option[Long]): Seq[FileAction] = {
-    val cs = commits
-    val upTo = asOf.getOrElse(Long.MaxValue)
-    CommitLog.snapshotFiles(cs.filter(_.version <= upTo))
-  }
+  /** Checkpoint-aware: latest checkpoint + commit tail, not a full replay. */
+  private def liveFiles(asOf: Option[Long]): Seq[FileAction] =
+    CommitLog.liveFiles(path, asOf, conf)
 
   // ---- reads -----------------------------------------------------------
 
@@ -111,10 +111,19 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   /** Keyed upsert (S7/S9/J2). CoW: rewrite only files holding incoming keys.
     * MoR: new keys → base files, existing keys → log files (which is why a
-    * brand-new key surfaces in `_ro` immediately — README.md:993-1012). */
+    * brand-new key surfaces in `_ro` immediately — README.md:993-1012).
+    * The deduped batch is persisted for the commit's duration: it feeds the
+    * prune aggregate, the touched-file semi-join, and the rewrite union —
+    * without caching, the dedup shuffle would run once per consumer. */
   def upsert(df: DataFrame): LakeTable = {
     val incoming0 = dedupBatch(conform(df))
-    if (spec.mor) upsertMor(incoming0) else upsertCow(incoming0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (spec.mor) upsertMor(incoming0) else upsertCow(incoming0)
+    } finally {
+      incoming0.unpersist(blocking = false)
+      ()
+    }
   }
 
   private def upsertCow(incoming: DataFrame): LakeTable = {
@@ -305,16 +314,19 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val results = body(version, commitTime)
     val schemaJson =
       if (version == 0) throw new IllegalStateException("use LakeTable.create")
-      else commits.last.schemaJson
+      else latestCommit.schemaJson
     CommitLog.write(path, Commit(version, commitTime, operation, schemaJson, spec,
       results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct), conf)
+    CommitLog.maybeCheckpoint(path, version, conf)
     this
   }
 
   /** Write a batch under `data/_v=<writeId>/`, partitioned per spec, and
-    * collect per-file stats for the log via a key-column-only scan. */
+    * collect per-file stats for the log via a key-column-only scan.
+    * Writes unconditionally — a pre-write `isEmpty` would execute the whole
+    * upstream pipeline (dedup shuffle included) a second time; an empty
+    * batch just yields zero stat rows and no adds. */
   private def writeFiles(batch: DataFrame, writeId: Long, log: Boolean): WriteResult = {
-    if (batch.isEmpty) return WriteResult(Seq.empty, Seq.empty)
     val target = s"$dataDir/${WRITE_ID}=$writeId"
     val shuffled = spec.partition match {
       case Some(p) => batch.repartition(col(p))
@@ -330,6 +342,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       case _: NumericType => true
       case _ => false
     }
+    val fs = new Path(target).getFileSystem(conf)
+    val wrote = {
+      val it = fs.listFiles(new Path(target), true)
+      var any = false
+      while (!any && it.hasNext) any = it.next().getPath.getName.endsWith(".parquet")
+      any
+    }
+    if (!wrote) return WriteResult(Seq.empty, Seq.empty)
     val stats = spark.read.option("basePath", dataDir).parquet(target)
       .select(col(spec.key).cast(StringType).as("k"),
         substring_index(input_file_name(), "/data/", -1).as("f"))

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Skew
+import graft.lake.{CommitLog, LakeTable, TableSpec}
+
+/** Scale-machinery tests: commit-log checkpointing and salted joins. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("checkpoint written every 10 commits; snapshots and time travel stay correct") {
+    val path = Files.createTempDirectory("graft_ckpt").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "pc", "payload"))
+    (1 to 12).foreach { i =>
+      t.upsert(Seq((1, i + 1L, s"v$i"), (100 + i, 1L, s"new$i")).toDF("k", "pc", "payload"))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    assert(CommitLog.listCheckpoints(path, conf) == Seq(10L),
+      "one checkpoint at version 10")
+    // latest state resolves through checkpoint + tail
+    val latest = t.read().select("k", "payload").collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(latest(1) == "v12" && latest.size == 14)
+    // time travel before the checkpoint replays the prefix
+    assert(t.read(Some(3)).count() == 5)
+    // checkpointed live set == full replay live set
+    val viaCp = CommitLog.liveFiles(path, None, conf).map(_.path).toSet
+    val full = CommitLog.snapshotFiles(t.commits).map(_.path).toSet
+    assert(viaCp == full)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val probe = (1 to 20000).map(i => (if (i % 10 == 0) 1 else i % 500, s"p$i")).toDF("k", "pv")
+    val build = (1 to 500).map(i => (i, s"b$i")).toDF("k", "bv")
+    val plain = probe.join(build, Seq("k")).select("k", "pv", "bv").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(probe, build, "k", salt = 8).select("k", "pv", "bv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(salted == plain)
+    val hist = Skew.keyHistogram(probe, "k", 1).collect().head
+    assert(hist.getInt(0) == 1, "hot key detected")
+  }
+}
