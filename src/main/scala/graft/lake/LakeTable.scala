@@ -295,8 +295,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       if (!r.isNullAt(0)) {
         val numeric = keyType != StringType
         cands = cands.filter { a =>
-          if (numeric && a.numericKey)
-            a.minKey.toDouble <= r.getDouble(3) && a.maxKey.toDouble >= r.getDouble(2)
+          // sentinel/unparseable stats → keep the file (never prune wrongly)
+          if (a.minKey.isEmpty || a.maxKey == "￿") true
+          else if (numeric && a.numericKey)
+            try a.minKey.toDouble <= r.getDouble(3) && a.maxKey.toDouble >= r.getDouble(2)
+            catch { case _: NumberFormatException => true }
           else a.minKey <= r.getString(1) && a.maxKey >= r.getString(0)
         }
       } else cands = Seq.empty // empty incoming batch touches nothing
@@ -343,36 +346,29 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       case _ => false
     }
     val fs = new Path(target).getFileSystem(conf)
-    val wrote = {
+    val files = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
       val it = fs.listFiles(new Path(target), true)
-      var any = false
-      while (!any && it.hasNext) any = it.next().getPath.getName.endsWith(".parquet")
-      any
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+      }
+      out.toSeq
     }
-    if (!wrote) return WriteResult(Seq.empty, Seq.empty)
-    val stats = spark.read.option("basePath", dataDir).parquet(target)
-      .select(col(spec.key).cast(StringType).as("k"),
-        substring_index(input_file_name(), "/data/", -1).as("f"))
-      .groupBy("f")
-      .agg(count(lit(1)).as("rows"),
-        min(when(lit(numericKey), lpad(col("k"), 24, "0")).otherwise(col("k"))).as("mn"),
-        max(when(lit(numericKey), lpad(col("k"), 24, "0")).otherwise(col("k"))).as("mx"))
-      .collect()
-    val adds = stats.map { r =>
-      val rel = r.getString(0)
+    if (files.isEmpty) return WriteResult(Seq.empty, Seq.empty)
+    // per-file stats from parquet FOOTERS — driver-side metadata reads, no
+    // executor job, instead of re-scanning everything just written
+    val adds = files.map { f =>
+      val rel = f.toString.split("/data/", 2).last
       val partVal = spec.partition.flatMap { p =>
         rel.split("/").find(_.startsWith(p + "="))
           .map(s => URLDecoder.decode(s.substring(p.length + 1), "UTF-8"))
       }
-      FileAction(rel, log, r.getLong(1),
-        stripPad(r.getString(2), numericKey), stripPad(r.getString(3), numericKey),
-        numericKey, partVal)
+      val (rows, mn, mx) = FooterStats.keyStats(f, conf, spec.key)
+      FileAction(rel, log, rows, mn, mx, numericKey, partVal)
     }
-    WriteResult(adds.toSeq, Seq.empty)
+    WriteResult(adds, Seq.empty)
   }
-
-  private def stripPad(s: String, numeric: Boolean): String =
-    if (numeric) { val t = s.dropWhile(_ == '0'); if (t.isEmpty) "0" else t } else s
 }
 
 object LakeTable {
