@@ -31,12 +31,20 @@ object Dedup {
 
   // ---- shingles -------------------------------------------------------
 
-  /** Distinct word k-shingles per document. */
-  def shingles(text: Column, k: Int = 3): Column = {
+  /** Distinct word k-shingles per document (native expression — see
+    * [[graft.functions.WordShingles]]). */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.WordShingles.shingles(text, k)
+
+  /** Builtin-only formulation, kept as the semantic spec of [[shingles]]
+    * (interpreted; cross-checked in ExtSpec). `try_element_at`: past-end
+    * probes must yield null for concat_ws to skip (plain element_at throws
+    * under ANSI mode on shorter-than-k docs). */
+  def shinglesHof(text: Column, k: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
     val idxs = sequence(lit(1), greatest(size(toks) - (k - 1), lit(1)))
     array_distinct(transform(idxs, i => concat_ws(" ",
-      (0 until k).map(off => element_at(toks, i + off)): _*)))
+      (0 until k).map(off => try_element_at(toks, i + off)): _*)))
   }
 
   // ---- n-gram Jaccard -------------------------------------------------
@@ -114,7 +122,10 @@ object Dedup {
       bands: Int = 16, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val cand = minhashCandidates(df, numHashes, bands, k, textCol, idCol)
+    // shingle arrays feed both sides of the refine join — cache them rather
+    // than re-running the (interpreted) shingle construction per side
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -147,6 +158,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("id"), col("sig"), explode(
       array((0 until 4).map(c => struct(lit(c).as("chunk"),
         shiftrightunsigned(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ch"))): _*)).as("cc"))

@@ -108,6 +108,22 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Int]("width") * r.getAs[Int]("height") <= r.getAs[Long]("n_bytes"))
   }
 
+  test("native shingles match the builtin HOF formulation exactly") {
+    import org.apache.spark.sql.functions.{col => c}
+    Seq(1, 3, 4).foreach { k =>
+      val cmp = docs.select(
+        Dedup.shingles(c("text"), k).as("native"),
+        Dedup.shinglesHof(c("text"), k).as("hof"))
+      assert(cmp.filter(c("native") =!= c("hof")).count() == 0, s"k=$k")
+    }
+    // shorter-than-k docs clip to one shingle of all tokens, both paths
+    import spark.implicits._
+    val short = Seq("a b").toDF("text")
+      .select(Dedup.shingles(c("text"), 4).as("n"), Dedup.shinglesHof(c("text"), 4).as("h"))
+      .head()
+    assert(short.getSeq[String](0) == Seq("a b") && short.getSeq[String](1) == Seq("a b"))
+  }
+
   test("exact dedup keeps lowest id and drops all planted exact copies") {
     val exactPlanted = docs.unionByName(
       docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 100000L))

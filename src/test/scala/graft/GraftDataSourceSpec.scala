@@ -61,6 +61,20 @@ class GraftDataSourceSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT pk_id, name FROM graft_ddl_test WHERE value > 15 ORDER BY pk_id")
     assert(rows.collect().map(_.getInt(0)).toSeq == Seq(2, 3, 4))
     assert(spark.sql("SHOW TABLES").collect().map(_.getString(1)).contains("graft_ddl_test")) // D1
+    val ddl = spark.sql("SHOW CREATE TABLE graft_ddl_test").head().getString(0) // D2
+    assert(ddl.contains("USING graft") && ddl.toLowerCase.contains("location"))
     spark.sql("DROP TABLE graft_ddl_test")
+  }
+
+  test("unix_timestamp ignores its format for TimestampType inputs (F1 quirk)") {
+    // README.md:270-273 uses format MM-dd-yyyy on TimestampType columns —
+    // Spark converts directly, which is why the odd pattern still works.
+    import spark.implicits._
+    val df = Seq("2023-01-12 04:01:18").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    val (withFmt, noFmt) = (
+      df.select(unix_timestamp(col("ts"), "MM-dd-yyyy HH:mm:ss")).head().getLong(0),
+      df.select(unix_timestamp(col("ts"))).head().getLong(0))
+    assert(withFmt == 1673496078L && withFmt == noFmt)
   }
 }
