@@ -160,14 +160,24 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val stamped = stampMeta(incoming, commitTime)
       if (live.isEmpty) Seq(writeFiles(stamped, version * WRITE_SLOTS, log = false))
       else {
-        // key-membership split: a column-pruned scan of live files' key column
-        val existingKeys = readFiles(live).select(spec.key).distinct()
-        val newRows = stamped.join(existingKeys, Seq(spec.key), "left_anti")
-        val updates = stamped.join(existingKeys, Seq(spec.key), "left_semi")
-        Seq(
-          writeFiles(newRows, version * WRITE_SLOTS, log = false),
-          writeFiles(updates, version * WRITE_SLOTS + 1, log = true)
-        ).filter(_.add.nonEmpty)
+        // key-membership split in ONE pass: left-join a membership flag over
+        // a column-pruned scan of live keys, cache the tagged batch, filter
+        // twice (anti+semi joins would scan the live key column twice)
+        val existingKeys = readFiles(live).select(col(spec.key)).distinct()
+          .withColumn("_graft_exists", lit(true))
+        val tagged = stamped.join(existingKeys, Seq(spec.key), "left")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val newRows = tagged.filter(col("_graft_exists").isNull).drop("_graft_exists")
+          val updates = tagged.filter(col("_graft_exists") === true).drop("_graft_exists")
+          Seq(
+            writeFiles(newRows, version * WRITE_SLOTS, log = false),
+            writeFiles(updates, version * WRITE_SLOTS + 1, log = true)
+          ).filter(_.add.nonEmpty)
+        } finally {
+          tagged.unpersist(blocking = false)
+          ()
+        }
       }
     }
   }
@@ -406,8 +416,17 @@ object LakeTable {
       .select(col(RANK + "_row.*"))
   }
 
-  /** Create a new table at `path` with `df` as version 0. */
-  def create(spark: SparkSession, path: String, spec: TableSpec, df: DataFrame): LakeTable = {
+  /** Create a new table at `path` with `df` as version 0.
+    *
+    * @param bulkInsert skip the precombine dedup, matching Hudi's INSERT /
+    *   BULK_INSERT operations (`hoodie.combine.before.insert=false` is the
+    *   Hudi default for inserts — `/root/reference/README.md:276-290` runs
+    *   INSERT for the full load). Input rows pass through verbatim; with
+    *   duplicate keys the snapshot shows duplicates until an upsert or
+    *   compaction collapses them, exactly like Hudi. Default keeps the
+    *   dedup (unique-key base invariant). */
+  def create(spark: SparkSession, path: String, spec: TableSpec, df: DataFrame,
+      bulkInsert: Boolean = false): LakeTable = {
     val conf = spark.sessionState.newHadoopConf()
     require(CommitLog.latestVersion(path, conf).isEmpty, s"table exists at $path")
     spec.partition.foreach(p => require(df.columns.contains(p), s"missing partition col $p"))
@@ -420,7 +439,7 @@ object LakeTable {
     val dataSchema = df.schema
     val boot = Commit(version, commitTime, "create", dataSchema.json, spec, Seq.empty, Seq.empty)
     CommitLog.write(path, boot, conf)
-    val batch = t.stampMeta(t.dedupBatch(df), commitTime)
+    val batch = t.stampMeta(if (bulkInsert) df else t.dedupBatch(df), commitTime)
     val res = t.writeFiles(batch, version * WRITE_SLOTS, log = false)
     // amend: rewrite commit 0 with the files (single-writer, pre-publish)
     val fs = CommitLog.logDir(path).getFileSystem(conf)

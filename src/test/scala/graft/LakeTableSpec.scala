@@ -132,6 +132,24 @@ class LakeTableSpec extends AnyFunSuite {
     assert(r.getString(4).endsWith(".parquet"))
   }
 
+  test("bulkInsert passes duplicate keys through; the next upsert collapses them") {
+    import spark.implicits._
+    val path = tmp()
+    val dup = Seq((1, 10L, "a"), (1, 20L, "b"), (2, 5L, "c")).toDF("k", "pc", "v")
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"), dup, bulkInsert = true)
+    assert(t.read().count() == 3, "Hudi INSERT semantics: no combine-before-insert")
+    t.upsert(Seq((2, 6L, "c2")).toDF("k", "pc", "v"))
+    val afterUpsert = t.read().select("k", "pc", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    // upsert rewrites only touched files — untouched duplicate keys persist
+    // (Hudi-identical); compaction collapses them latest-wins
+    assert(afterUpsert.contains((2, 6L, "c2")) && afterUpsert.size >= 3)
+    t.compact()
+    val afterCompact = t.read().select("k", "pc", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(afterCompact == Set((1, 20L, "b"), (2, 6L, "c2")))
+  }
+
   test("batch-internal precombine dedup keeps only the latest row per key (A4)") {
     val path = tmp()
     val both = ingest(Envelope.backfill(spark)).unionByName(ingest(Envelope.cdc(spark)))
