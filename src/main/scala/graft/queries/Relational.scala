@@ -271,6 +271,55 @@ object Relational {
         |  RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS value_rank,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id, event_id""".stripMargin))
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Left outer join with COALESCE over the null side.
+    "q44_outer_join" -> ((
+      (s: SparkSession, d: String) => {
+        val counts = t(s, d, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"), sumMoney(col("o_totalprice")).as("spend"))
+        t(s, d, "customer")
+          .join(counts, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("cnt"), lit(0L)).as("n_orders"),
+            coalesce(col("spend"), lit(0.0d)).as("total_spend"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey,
+        |  COALESCE(cnt, 0) AS n_orders, COALESCE(spend, 0.0) AS total_spend
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // lag/lead: inter-event gap per user (sessionization building block).
+    "q45_lag_lead" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id,
+        |  epoch_ns(ts)//1000 - LAG(epoch_ns(ts)//1000, 1) OVER w AS gap_us,
+        |  LEAD(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // date_trunc monthly rollup of order volume.
+    "q46_monthly" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
+          .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("volume"))
+          .orderBy("month_epoch"),
+      """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM orders GROUP BY 1 ORDER BY month_epoch""".stripMargin))
   )
 }
