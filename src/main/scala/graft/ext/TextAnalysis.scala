@@ -38,7 +38,12 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "this", "for", "on", "with", "as", "at", "by", "be")
 
-  def stopwordCount(text: Column): Column = {
+  def stopwordCount(text: Column): Column =
+    graft.functions.TokenSetCount.tokenSetCount(text, stopwords)
+
+  /** Builtin-only spec of [[stopwordCount]] (interpreted lambda per token;
+    * cross-checked in ExtSpec). */
+  def stopwordCountHof(text: Column): Column = {
     val sw = array(stopwords.map(lit): _*)
     size(filter(tokens(text), tkn => array_contains(sw, tkn)))
   }
@@ -69,8 +74,7 @@ object TextAnalysis {
 
   def langScores(text: Column): Seq[(String, Column)] =
     langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      val m = array(markers.map(lit): _*)
-      lang -> size(filter(tokens(lower(text)), tkn => array_contains(m, tkn)))
+      lang -> graft.functions.TokenSetCount.tokenSetCount(text, markers, lowercase = true)
     }
 
   def langId(text: Column): Column = {

@@ -231,6 +231,7 @@ object ExtQueries {
           .agg(count(lit(1)).as("n"),
             sum(Tables.dec2(col("value"))).cast("double").as("sum_value"))
         val name = "graft_win_sink"
+        s.catalog.dropTempView(name) // rerun-safe within one session
         val q = agg.writeStream.outputMode("complete").format("memory")
           .queryName(name)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -124,6 +124,14 @@ class ExtSpec extends AnyFunSuite {
     assert(short.getSeq[String](0) == Seq("a b") && short.getSeq[String](1) == Seq("a b"))
   }
 
+  test("native stopword count matches the builtin HOF formulation") {
+    import org.apache.spark.sql.functions.{col => c}
+    val cmp = docs.select(
+      TextAnalysis.stopwordCount(c("text")).as("native"),
+      TextAnalysis.stopwordCountHof(c("text")).as("hof"))
+    assert(cmp.filter(c("native") =!= c("hof")).count() == 0)
+  }
+
   test("exact dedup keeps lowest id and drops all planted exact copies") {
     val exactPlanted = docs.unionByName(
       docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 100000L))

@@ -35,6 +35,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaCp == full)
   }
 
+  test("concurrent-writer guard: duplicate commit version is rejected") {
+    val path = Files.createTempDirectory("graft_cc").toString
+    LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a")).toDF("k", "pc", "payload"))
+    val conf = spark.sessionState.newHadoopConf()
+    val c0 = CommitLog.read(path, 0L, conf)
+    val e = intercept[IllegalStateException] {
+      CommitLog.write(path, c0, conf) // same version again
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("salted join equals plain join on skewed data") {
     val probe = (1 to 20000).map(i => (if (i % 10 == 0) 1 else i % 500, s"p$i")).toDF("k", "pv")
     val build = (1 to 500).map(i => (i, s"b$i")).toDF("k", "bv")
