@@ -76,10 +76,12 @@ object Bench {
     // protocol: warm JVM)
     li.limit(10000).write.mode("overwrite").format("noop").save()
 
-    // B1: full-load ingest — CoW create from lineitem.
+    // B1: full-load ingest — CoW create from lineitem. bulkInsert matches
+    // the reference's full load, which runs the Hudi INSERT operation
+    // (no combine-before-insert) — README.md:276-290.
     val cowPath = freshDir("b1_cow")
     results("b1_full_load") = time {
-      LakeTable.create(spark, cowPath, liSpec, li)
+      LakeTable.create(spark, cowPath, liSpec, li, bulkInsert = true)
     }
     val cow = LakeTable.load(spark, cowPath)
 
