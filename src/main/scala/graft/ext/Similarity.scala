@@ -32,6 +32,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** IVF (inverted-file) ANN: the corpus is coarse-quantized onto
+    * `numLists` centroid lists (centroids drawn deterministically from the
+    * corpus itself); a query exact-scores only the `nProbe` lists nearest
+    * its own vector. The one-time assignment pass is the index build —
+    * at scale it's written once and reused across query batches; recall
+    * rises with nProbe (nProbe = numLists degenerates to brute force). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", normSq(col("cv")))
+    // deterministic centroid sample: top-numLists by seeded hash
+    val centroids = c0.select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
+      .orderBy(xxhash64(col("cid"), lit(seed)).asc, col("cid").asc)
+      .limit(numLists)
+    def nearestLists(df: DataFrame, vec: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("c_sim", dot(col(vec), col("centroid")) /
+          (sqrt(normSq(col(vec))) * sqrt(normSq(col("centroid")))))
+      scored.withColumn("c_rank", row_number().over(
+          Window.partitionBy(df.columns.head).orderBy(col("c_sim").desc, col("cid").asc)))
+        .filter(col("c_rank") <= n)
+        .drop("centroid", "c_sim", "c_rank")
+    }
+    val assigned = nearestLists(c0, "cv", 1) // each corpus vector → 1 list
+    val probes = nearestLists(
+      queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+        .withColumn("qn", normSq(col("qv"))), "qv", nProbe)
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** Multi-table LSH ANN: `numTables` independent hyperplane signatures;
     * a query probes, per table, its own bucket plus every Hamming-1 bucket,
     * then exact-refines candidates and takes top-k. More tables → higher

@@ -152,6 +152,17 @@ object ExtQueries {
       },
       "")),
 
+    // IVF ANN (coarse-quantized lists, nProbe probing) — the other 100 TB
+    // similarity path besides LSH; recall asserted in ExtSpec.
+    "q39_ivf_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          numLists = 16, nProbe = 6)
+          .orderBy("query_id", "rank")
+      },
+      "")),
+
     // Language ID + rolling fingerprint (heuristics; deterministic).
     "q38_lang_fingerprint" -> ((
       (s: SparkSession, d: String) =>

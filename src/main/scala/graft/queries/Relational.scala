@@ -310,6 +310,81 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |ORDER BY user_id, event_id""".stripMargin)),
 
+    // Sessionization (islands): new session when the gap to the previous
+    // event exceeds 30 minutes; one row per session with bounds and counts.
+    "q47_sessionize" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+        events(s, d)
+          .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("gap").isNull || col("gap") > 30L * 60 * 1000000, 1).otherwise(0))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(min(col("ts_us")).as("sess_start"), max(col("ts_us")).as("sess_end"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "sess_id")
+      },
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
+        |    epoch_ns(ts)//1000 - LAG(epoch_ns(ts)//1000, 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 30*60*1000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g)
+        |SELECT user_id, sess_id, MIN(ts_us) AS sess_start, MAX(ts_us) AS sess_end,
+        |  COUNT(*) AS n_events
+        |FROM m GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin)),
+
+    // 6-way star join (TPC-H Q5 shape): revenue by nation for one region.
+    "q48_star_join" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name").isin("ASIA", "EUROPE"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name"),
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // CUBE over two dimensions.
+    "q49_cube" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "orders").createOrReplaceTempView("g_orders")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+            |FROM g_orders
+            |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // date_trunc monthly rollup of order volume.
     "q46_monthly" -> ((
       (s: SparkSession, d: String) =>

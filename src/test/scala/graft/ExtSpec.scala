@@ -84,6 +84,20 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"LSH recall $recall below 0.7")
   }
 
+  test("IVF top-k recall vs brute force >= 0.5 at nProbe=6/16") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, numLists = 16, nProbe = 6)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall below 0.5")
+    // full probing degenerates to brute force exactly
+    val full = Similarity.ivfTopK(emb, queries, 5, numLists = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf, "nProbe = numLists must equal brute force")
+  }
+
   test("language ID picks the language whose markers dominate") {
     val samples = Seq(
       ("the cat and the dog of the house is in that garden", "en"),
