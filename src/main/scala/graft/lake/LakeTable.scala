@@ -53,6 +53,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def schema: StructType =
     DataType.fromJson(latestCommit.schemaJson).asInstanceOf[StructType]
 
+  /** Schema as of a version — time travel reads use the schema that was
+    * declared THEN (like Delta), so pre-evolution snapshots keep their
+    * original shape. */
+  def schemaAt(asOf: Option[Long]): StructType = asOf match {
+    case None => schema
+    case Some(v) =>
+      val target = math.min(v, latestVersion)
+      DataType.fromJson(CommitLog.read(path, target, conf).schemaJson).asInstanceOf[StructType]
+  }
+
   /** Checkpoint-aware: latest checkpoint + commit tail, not a full replay. */
   private def liveFiles(asOf: Option[Long]): Seq[FileAction] =
     CommitLog.liveFiles(path, asOf, conf)
@@ -62,52 +72,60 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   /** Snapshot read: CoW latest state; for MoR this is the `_rt` view
     * (matches `spark.read.format("hudi")` snapshot semantics, S2). */
   def read(asOf: Option[Long] = None): DataFrame =
-    if (spec.mor) realtime(asOf) else ordered(readFiles(liveFiles(asOf)))
+    if (spec.mor) realtime(asOf)
+    else ordered(readFiles(liveFiles(asOf), asOf = asOf), asOf)
 
   /** MoR `_ro`: base files only — stale until compaction (S9/J3). */
   def readOptimized(asOf: Option[Long] = None): DataFrame =
-    ordered(readFiles(liveFiles(asOf).filterNot(_.log)))
+    ordered(readFiles(liveFiles(asOf).filterNot(_.log), asOf = asOf), asOf)
 
   /** MoR `_rt`: base ∪ logs with latest-wins merge at read (J3). */
   def realtime(asOf: Option[Long] = None): DataFrame = {
-    val all = readFiles(liveFiles(asOf), keepWriteId = true)
-    ordered(dedupLatest(all, spec.key, spec.precombine, col(WRITE_ID)).drop(WRITE_ID))
+    val all = readFiles(liveFiles(asOf), keepWriteId = true, asOf = asOf)
+    ordered(dedupLatest(all, spec.key, spec.precombine, col(WRITE_ID)).drop(WRITE_ID), asOf)
   }
 
-  private def ordered(df: DataFrame): DataFrame = {
-    val cols = META_COLS.map(col) ++ schema.fieldNames.map(col)
+  private def ordered(df: DataFrame, asOf: Option[Long] = None): DataFrame = {
+    val cols = META_COLS.map(col) ++ schemaAt(asOf).fieldNames.map(col)
     df.select(cols: _*)
   }
 
-  /** Read a set of live files as one pruned, partition-aware scan. */
-  private def readFiles(actions: Seq[FileAction], keepWriteId: Boolean = false): DataFrame = {
-    val dataSchema = schema
+  /** Read a set of live files as one pruned, partition-aware scan. The
+    * data schema is passed EXPLICITLY (no footer inference): files written
+    * before an additive schema evolution simply surface nulls for the new
+    * columns, and read planning skips footer merging entirely. */
+  private def readFiles(actions: Seq[FileAction], keepWriteId: Boolean = false,
+      asOf: Option[Long] = None): DataFrame = {
+    val dataSchema = schemaAt(asOf)
     if (actions.isEmpty) {
       val full = StructType(META_SCHEMA.fields ++ dataSchema.fields ++
         (if (keepWriteId) Seq(StructField(WRITE_ID, LongType)) else Nil))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
     }
     val paths = actions.map(a => s"$dataDir/${a.path}")
-    var df = spark.read.option("basePath", dataDir).parquet(paths: _*)
+    // full read schema: meta cols + data cols; partition col (if any) and
+    // the write-id dir col are matched by name against the dir structure
+    val readSchema = StructType(
+      META_SCHEMA.fields.filterNot(_.name == "_file_name") ++
+        dataSchema.fields ++ Seq(StructField(WRITE_ID, LongType)))
+    var df = spark.read.option("basePath", dataDir).schema(readSchema).parquet(paths: _*)
       .withColumn("_file_name", element_at(split(input_file_name(), "/"), -1))
-    // partition column comes back from dir names with an inferred type —
-    // cast to the declared type; same for the write-id partition dir
-    spec.partition.foreach { p =>
-      df = df.withColumn(p, col(p).cast(dataSchema(p).dataType))
-    }
     if (!keepWriteId) df = df.drop(WRITE_ID)
-    else df = df.withColumn(WRITE_ID, col(WRITE_ID).cast(LongType))
     df
   }
 
   // ---- writes ----------------------------------------------------------
 
-  /** Full load (S6/S8/S10): precombine-dedup, stamp meta, replace content. */
-  def overwrite(df: DataFrame): LakeTable =
-    writeCommit("overwrite", removeAll = true) { (version, commitTime) =>
-      val batch = stampMeta(dedupBatch(conform(df)), commitTime)
+  /** Full load (S6/S8/S10): precombine-dedup, stamp meta, replace content.
+    * `mergeSchema` allows additive evolution (new columns widen the table;
+    * Delta's mergeSchema analog). */
+  def overwrite(df: DataFrame, mergeSchema: Boolean = false): LakeTable = {
+    val (conformed, evolved) = conform(df, mergeSchema)
+    writeCommit("overwrite", removeAll = true, newSchema = evolved) { (version, commitTime) =>
+      val batch = stampMeta(dedupBatch(conformed), commitTime)
       Seq(writeFiles(batch, version * WRITE_SLOTS, log = false))
     }
+  }
 
   /** Keyed upsert (S7/S9/J2). CoW: rewrite only files holding incoming keys.
     * MoR: new keys → base files, existing keys → log files (which is why a
@@ -115,21 +133,22 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * The deduped batch is persisted for the commit's duration: it feeds the
     * prune aggregate, the touched-file semi-join, and the rewrite union —
     * without caching, the dedup shuffle would run once per consumer. */
-  def upsert(df: DataFrame): LakeTable = {
-    val incoming0 = dedupBatch(conform(df))
+  def upsert(df: DataFrame, mergeSchema: Boolean = false): LakeTable = {
+    val (conformed, evolved) = conform(df, mergeSchema)
+    val incoming0 = dedupBatch(conformed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (spec.mor) upsertMor(incoming0) else upsertCow(incoming0)
+      if (spec.mor) upsertMor(incoming0, evolved) else upsertCow(incoming0, evolved)
     } finally {
       incoming0.unpersist(blocking = false)
       ()
     }
   }
 
-  private def upsertCow(incoming: DataFrame): LakeTable = {
+  private def upsertCow(incoming: DataFrame, evolved: Option[StructType] = None): LakeTable = {
     val live = liveFiles(None)
     val candidates = pruneCandidates(live, incoming)
-    writeCommit("upsert") { (version, commitTime) =>
+    writeCommit("upsert", newSchema = evolved) { (version, commitTime) =>
       val inStamped = stampMeta(incoming, commitTime).withColumn(RANK, lit(Long.MaxValue))
       val (touchedPaths, merged) =
         if (candidates.isEmpty) (Seq.empty[String], inStamped)
@@ -145,7 +164,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
               .filter(col("_rel_file").isin(touched: _*))
               .withColumn(RANK, col(WRITE_ID))
               .drop(WRITE_ID, "_rel_file", "_file_name")
-            (touched, affected.unionByName(inStamped))
+            // allowMissingColumns: under additive schema evolution the
+            // rewritten old rows take nulls for the new columns
+            (touched, affected.unionByName(inStamped, allowMissingColumns = true))
           }
         }
       val winner = dedupLatest(merged, spec.key, spec.precombine, col(RANK)).drop(RANK)
@@ -154,9 +175,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
-  private def upsertMor(incoming: DataFrame): LakeTable = {
+  private def upsertMor(incoming: DataFrame, evolved: Option[StructType] = None): LakeTable = {
     val live = liveFiles(None)
-    writeCommit("upsert") { (version, commitTime) =>
+    writeCommit("upsert", newSchema = evolved) { (version, commitTime) =>
       val stamped = stampMeta(incoming, commitTime)
       if (live.isEmpty) Seq(writeFiles(stamped, version * WRITE_SLOTS, log = false))
       else {
@@ -253,14 +274,29 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   // ---- internals -------------------------------------------------------
 
-  /** Reorder/validate an incoming batch against the declared schema. */
-  private def conform(df: DataFrame): DataFrame = {
-    if (latestVersion < 0) return df
+  /** Reorder/validate an incoming batch against the declared schema.
+    * Extra columns: rejected unless `mergeSchema`, in which case they are
+    * appended to the declared schema (additive evolution only — drops and
+    * type changes are not supported). Returns the conformed batch and the
+    * widened schema when evolution happened. */
+  private def conform(df: DataFrame, mergeSchema: Boolean = false): (DataFrame, Option[StructType]) = {
+    if (latestVersion < 0) return (df, None)
     val declared = schema
     val have = df.columns.toSet
     val missing = declared.fieldNames.filterNot(have)
     require(missing.isEmpty, s"incoming batch missing columns: ${missing.mkString(",")}")
-    df.select(declared.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val extras = df.schema.fields.filterNot(f => declared.fieldNames.contains(f.name))
+    if (extras.isEmpty)
+      (df.select(declared.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*), None)
+    else if (!mergeSchema)
+      throw new IllegalArgumentException(
+        s"incoming batch has columns not in the table schema: " +
+          s"${extras.map(_.name).mkString(",")}; pass mergeSchema=true to evolve additively")
+    else {
+      val widened = StructType(declared.fields ++ extras)
+      (df.select(widened.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*),
+        Some(widened))
+    }
   }
 
   /** A4 precombine dedup inside one batch: greatest precombine wins; ties
@@ -319,7 +355,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   /** Run a commit: `body(version, commitTime)` returns per-write FileActions
     * bundles (add+remove); data files land before the commit JSON does. */
-  private def writeCommit(operation: String, removeAll: Boolean = false)(
+  private def writeCommit(operation: String, removeAll: Boolean = false,
+      newSchema: Option[StructType] = None)(
       body: (Long, String) => Seq[WriteResult]): LakeTable = {
     val version = latestVersion + 1
     val commitTime = LakeTable.commitTimeNow()
@@ -327,7 +364,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val results = body(version, commitTime)
     val schemaJson =
       if (version == 0) throw new IllegalStateException("use LakeTable.create")
-      else latestCommit.schemaJson
+      else newSchema.map(_.json).getOrElse(latestCommit.schemaJson)
     CommitLog.write(path, Commit(version, commitTime, operation, schemaJson, spec,
       results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct), conf)
     CommitLog.maybeCheckpoint(path, version, conf)
