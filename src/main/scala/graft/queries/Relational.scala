@@ -385,6 +385,35 @@ object Relational {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // Exact percentiles (linear interpolation — same arithmetic both engines).
+    "q50_percentile" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            percentile(col("o_totalprice"), lit(0.5)).as("median"),
+            percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+            percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+          .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS median,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Ordered string aggregation (deterministic listagg).
+    "q51_string_agg" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .filter(col("o_orderkey") < 100)
+          .groupBy("o_orderstatus")
+          .agg(array_join(array_sort(collect_list(col("o_orderkey"))), ",").as("keys"))
+          .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys
+        |FROM orders WHERE o_orderkey < 100
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // date_trunc monthly rollup of order volume.
     "q46_monthly" -> ((
       (s: SparkSession, d: String) =>

@@ -2,8 +2,10 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.lake.{CommitLog, LakeTable, TableSpec}
@@ -29,9 +31,30 @@ import graft.lake.{CommitLog, LakeTable, TableSpec}
   * `graft.lake.LakeTable`.
   */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** Streaming sink: each micro-batch flows through the keyed upsert —
+    * `df.writeStream.format("graft").option("key", …).option("precombine",
+    * …).option("path", p).start()`. Batch and streaming ingestion land in
+    * the same table states (SURVEY.md §2.9). */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft sink needs a path"))
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // a streaming DataFrame can't feed a batch write directly — re-plan
+        // the micro-batch rows as a non-streaming frame (standard V1 sink
+        // pattern)
+        val spark = ctx.sparkSession
+        val batch = org.apache.spark.sql.GraftExpressionBridge
+          .internalCreateDataFrame(spark, data.queryExecution.toRdd, data.schema)
+        GraftDataSource.writeBatch(spark, path, parameters, batch, SaveMode.Append)
+      }
+    }
+  }
 
   override def createRelation(ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
@@ -43,7 +66,14 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("format(\"graft\") needs a path"))
-    val spark = ctx.sparkSession
+    GraftDataSource.writeBatch(ctx.sparkSession, path, parameters, data, mode)
+    GraftRelation(ctx, path, parameters)
+  }
+}
+
+object GraftDataSource {
+  private[sources] def writeBatch(spark: SparkSession, path: String,
+      parameters: Map[String, String], data: DataFrame, mode: SaveMode): Unit = {
     val exists = CommitLog.latestVersion(path,
       spark.sessionState.newHadoopConf()).isDefined
 
@@ -72,7 +102,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.Ignore =>
         if (!exists) LakeTable.create(spark, path, spec, data)
     }
-    GraftRelation(ctx, path, parameters)
+    ()
   }
 }
 

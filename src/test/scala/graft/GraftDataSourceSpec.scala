@@ -66,6 +66,30 @@ class GraftDataSourceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_ddl_test")
   }
 
+  test("writeStream.format(\"graft\") sinks micro-batches through the upsert path") {
+    val inDir = Files.createTempDirectory("graft_sink_in")
+    val path = tmp()
+    val ck = Files.createTempDirectory("graft_sink_ck").toString
+    import spark.implicits._
+    Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "pc", "v")
+      .write.parquet(inDir.resolve("f0.parquet").toString)
+    Seq((2, 2L, "b2"), (3, 1L, "c")).toDF("k", "pc", "v")
+      .write.parquet(inDir.resolve("f1.parquet").toString)
+    val schema = spark.read.parquet(inDir.toString + "/*").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString + "/*")
+      .writeStream.format("graft")
+      .option("key", "k").option("precombine", "pc")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(path)
+    q.awaitTermination()
+    val rows = spark.read.format("graft").load(path)
+      .select("k", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((1, "a"), (2, "b2"), (3, "c")))
+  }
+
   test("unix_timestamp ignores its format for TimestampType inputs (F1 quirk)") {
     // README.md:270-273 uses format MM-dd-yyyy on TimestampType columns —
     // Spark converts directly, which is why the odd pattern still works.
