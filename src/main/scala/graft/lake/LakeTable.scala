@@ -229,15 +229,52 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Fold MoR logs (or fragmented CoW files) into fresh base files (M2).
-    * Afterwards `_ro ≡ _rt`. Preserves per-row meta columns. */
-  def compact(): LakeTable = {
+    * Afterwards `_ro ≡ _rt`. Preserves per-row meta columns.
+    *
+    * @param clusterByKey range-partition + sort the rewrite by record key
+    *   (Hudi clustering / Delta OPTIMIZE ZORDER analog for the 1-D case):
+    *   files get tight, near-disjoint key ranges, so the commit-log min/max
+    *   stats prune far more files on later upserts and point lookups. */
+  def compact(clusterByKey: Boolean = false, targetFiles: Int = 0): LakeTable = {
     val live = liveFiles(None)
     writeCommit("compact") { (version, _) =>
       val rt = dedupLatest(readFiles(live, keepWriteId = true), spec.key,
         spec.precombine, col(WRITE_ID)).drop(WRITE_ID, "_file_name")
-      Seq(writeFiles(rt, version * WRITE_SLOTS, log = false)
+      val clustered =
+        if (clusterByKey && targetFiles > 0)
+          rt.repartitionByRange(targetFiles, col(spec.key)).sortWithinPartitions(col(spec.key))
+        else if (clusterByKey)
+          rt.repartitionByRange(col(spec.key)).sortWithinPartitions(col(spec.key))
+        else rt
+      Seq(writeFiles(clustered, version * WRITE_SLOTS, log = false)
         .copy(remove = live.map(_.path)))
     }
+  }
+
+  /** Hudi-style incremental query: the rows written by commits in
+    * `(sinceVersion, asOf]` — new inserts and the post-image of updates —
+    * latest-wins deduped. The pull reads only the files those commits
+    * added (no full-table scan), which is the whole point of incremental
+    * consumption at scale. */
+  def incremental(sinceVersion: Long, asOf: Option[Long] = None): DataFrame = {
+    val upTo = asOf.getOrElse(latestVersion)
+    val added = commits
+      .filter(c => c.version > sinceVersion && c.version <= upTo)
+      .flatMap(_.add)
+    // a file added then removed by a later included commit has been
+    // rewritten — its surviving rows live in the newer file
+    val live = liveFiles(Some(upTo)).map(_.path).toSet
+    val files = added.filter(a => live.contains(a.path))
+    val df = readFiles(files, keepWriteId = true, asOf = Some(upTo))
+    val deduped = dedupLatest(df, spec.key, spec.precombine, col(WRITE_ID)).drop(WRITE_ID)
+    // rewritten files carry old rows too — keep only rows stamped by the
+    // included commits
+    val sinceTime = commits.find(_.version == sinceVersion).map(_.commitTime)
+    val recent = sinceTime match {
+      case Some(ct) => deduped.filter(col("_commit_time") > ct)
+      case None => deduped
+    }
+    ordered(recent, Some(upTo))
   }
 
   /** Physically delete files not live in the `retainVersions` most recent

@@ -47,6 +47,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("incremental query returns exactly the rows committed after a version") {
+    val path = Files.createTempDirectory("graft_inc").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a"), (2, 1L, "b"), (3, 1L, "c")).toDF("k", "pc", "payload"))
+    t.upsert(Seq((2, 2L, "b2"), (4, 1L, "d")).toDF("k", "pc", "payload")) // v1
+    t.upsert(Seq((5, 1L, "e"), (1, 3L, "a3")).toDF("k", "pc", "payload")) // v2
+    def inc(since: Long, asOf: Option[Long] = None): Set[(Int, String)] =
+      t.incremental(since, asOf).select("k", "payload").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(inc(0) == Set((2, "b2"), (4, "d"), (5, "e"), (1, "a3")), "all changes since create")
+    assert(inc(1) == Set((5, "e"), (1, "a3")), "only v2's changes")
+    assert(inc(0, Some(1)) == Set((2, "b2"), (4, "d")), "bounded incremental window")
+    assert(inc(2).isEmpty, "nothing after the latest version")
+  }
+
+  test("clustered compaction yields near-disjoint per-file key ranges") {
+    val path = Files.createTempDirectory("graft_cluster").toString
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 20000).map(i => (rnd.nextInt(1000000), i.toLong, s"v$i"))
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"), rows.toDF("k", "pc", "payload"))
+    t.compact(clusterByKey = true, targetFiles = 6)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = CommitLog.liveFiles(path, None, conf)
+      .map(a => (a.minKey.toDouble, a.maxKey.toDouble)).sortBy(_._1)
+    assert(files.size > 1, "expect multiple files to check ranges")
+    files.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping ranges: $files")
+      case _ =>
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     val probe = (1 to 20000).map(i => (if (i % 10 == 0) 1 else i % 500, s"p$i")).toDF("k", "pv")
     val build = (1 to 500).map(i => (i, s"b$i")).toDF("k", "bv")
