@@ -153,6 +153,19 @@ object LakeQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Hudi-style incremental pull: only the rows committed by the upsert.
+    "q28_lake_incremental" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"inc_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        tbl.upsert(ordersSource(s, d))
+        proj(tbl.incremental(sinceVersion = 0))
+      },
+      s"""WITH src AS ($ordersSourceSql)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+         |FROM src ORDER BY o_orderkey""".stripMargin)),
+
     // Keystone: the reference's full CDC scenario; oracle is the golden
     // 5-row state embedded in the README (README.md:469-573).
     "q27_cdc_golden" -> ((

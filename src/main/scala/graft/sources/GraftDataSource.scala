@@ -117,10 +117,14 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
   private def snapshot(): DataFrame = {
     val t = LakeTable.load(spark, path)
     val asOf = parameters.get("versionAsOf").map(_.toLong)
-    parameters.getOrElse("view", "snapshot").toLowerCase match {
-      case "ro" => t.readOptimized(asOf)
-      case "rt" => t.realtime(asOf)
-      case _ => t.read(asOf)
+    parameters.get("incremental.since") match {
+      case Some(v) => t.incremental(v.toLong, asOf) // Hudi incremental query
+      case None =>
+        parameters.getOrElse("view", "snapshot").toLowerCase match {
+          case "ro" => t.readOptimized(asOf)
+          case "rt" => t.realtime(asOf)
+          case _ => t.read(asOf)
+        }
     }
   }
 

@@ -78,6 +78,19 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned upsert rewrites only the touched partition's files") {
+    val path = Files.createTempDirectory("graft_prune").toString
+    val base = (1 to 3000).map(i => (i, 1L, i % 3, s"v$i")).toDF("k", "pc", "part", "payload")
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc", partition = Some("part")), base)
+    // update keys that all live in partition 0
+    t.upsert(Seq((3, 2L, 0, "x"), (6, 2L, 0, "y")).toDF("k", "pc", "part", "payload"))
+    val up = t.commits.find(_.operation == "upsert").get
+    assert(up.remove.nonEmpty)
+    assert(up.remove.forall(_.contains("part=0")),
+      s"only partition 0 files may be rewritten, got ${up.remove}")
+    assert(t.read().count() == 3000)
+  }
+
   test("salted join equals plain join on skewed data") {
     val probe = (1 to 20000).map(i => (if (i % 10 == 0) 1 else i % 500, s"p$i")).toDF("k", "pv")
     val build = (1 to 500).map(i => (i, s"b$i")).toDF("k", "bv")
