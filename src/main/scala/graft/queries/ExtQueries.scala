@@ -222,6 +222,60 @@ object ExtQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Corpus word frequencies (explode + count — the vocabulary pass).
+    "q52_word_freq" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word").asc)
+          .limit(50),
+      raw"""SELECT word, COUNT(*) AS n
+        |FROM (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin)),
+
+    // Document frequency per term (the TF-IDF denominator): distinct
+    // per-doc terms, then per-term doc counts and total occurrences.
+    "q53_doc_freq" -> ((
+      (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+        toks.groupBy("word")
+          .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("occurrences"))
+          .orderBy("word")
+      },
+      raw"""SELECT word, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS occurrences
+        |FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin)),
+
+    // Funnel: users whose first signup is later followed by a purchase,
+    // with the conversion delay (sequence detection over event time).
+    "q54_funnel" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_ts"))
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("p_ts"))
+        signup.join(purchase, Seq("user_id"))
+          .filter(col("p_ts") > col("signup_ts"))
+          .groupBy("user_id", "signup_ts")
+          .agg(min(col("p_ts")).as("first_purchase_ts"), count(lit(1)).as("n_purchases"))
+          .withColumn("delay_us", col("first_purchase_ts") - col("signup_ts"))
+          .orderBy("user_id")
+      },
+      """WITH s AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)//1000) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id AS user_id, signup_ts,
+        |  MIN(p_ts) AS first_purchase_ts, COUNT(*) AS n_purchases,
+        |  MIN(p_ts) - signup_ts AS delay_us
+        |FROM s JOIN p ON s.user_id = p.user_id AND p_ts > signup_ts
+        |GROUP BY s.user_id, signup_ts ORDER BY user_id""".stripMargin)),
+
     // Structured Streaming event-time windowed aggregation with watermark
     // (§2.9): tumbling 5-minute windows per event_type, drained with
     // AvailableNow into a memory sink in complete mode (deterministic

@@ -38,4 +38,15 @@ class RelationalSpec extends AnyFunSuite {
   test("oracleSql only references registered query names") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("query registries have disjoint names (no silent override on merge)") {
+    val all = Seq(
+      graft.queries.Relational.defs.keys.toSeq,
+      graft.queries.LakeQueries.defs.keys.toSeq,
+      graft.queries.ExtQueries.defs.keys.toSeq,
+      graft.queries.CdcQueries.defs.keys.toSeq).flatten
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
+    assert(SparkEntry.queries.size == all.size)
+  }
 }
