@@ -251,6 +251,30 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Delta-style OPTIMIZE (`/root/reference/README.md:1240`: "concatenate
+    * small files"): rewrite only base files smaller than `smallFileBytes`
+    * into consolidated files, leaving right-sized files untouched (compact
+    * rewrites everything). MoR log files are left to `compact`. */
+  def optimize(smallFileBytes: Long = 64L * 1024 * 1024): LakeTable = {
+    val all = liveFiles(None)
+    // MoR with outstanding logs: rewriting base files would give them a
+    // newer write-id than the logs and flip precombine-TIE resolution at
+    // read (log must beat base for equal precombine) — compact instead,
+    // which folds the logs and reaches the same small-file goal.
+    if (spec.mor && all.exists(_.log)) return compact()
+    val fs = new Path(dataDir).getFileSystem(conf)
+    val small = all.filterNot(_.log).filter { a =>
+      fs.getFileStatus(new Path(s"$dataDir/${a.path}")).getLen < smallFileBytes
+    }
+    if (small.size < 2) return this // nothing to concatenate
+    writeCommit("optimize") { (version, _) =>
+      val rows = readFiles(small).drop("_file_name")
+        .coalesce(math.max(1, small.size / 8))
+      Seq(writeFiles(rows, version * WRITE_SLOTS, log = false)
+        .copy(remove = small.map(_.path)))
+    }
+  }
+
   /** Hudi-style incremental query: the rows written by commits in
     * `(sinceVersion, asOf]` — new inserts and the post-image of updates —
     * latest-wins deduped. The pull reads only the files those commits

@@ -91,6 +91,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(t.read().count() == 3000)
   }
 
+  test("optimize concatenates small files without changing contents") {
+    val path = Files.createTempDirectory("graft_opt").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      (1 to 100).map(i => (i, 1L, s"v$i")).toDF("k", "pc", "payload"))
+    // several small commits → many tiny files
+    (1 to 5).foreach { c =>
+      t.upsert(Seq((1000 + c, 1L, s"n$c")).toDF("k", "pc", "payload"))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val before = CommitLog.liveFiles(path, None, conf).size
+    val content = t.read().select("k", "payload").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    t.optimize(smallFileBytes = 10L * 1024 * 1024)
+    val after = CommitLog.liveFiles(path, None, conf).size
+    assert(after < before, s"expected fewer files, got $before -> $after")
+    val content2 = t.read().select("k", "payload").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(content2 == content)
+  }
+
   test("salted join equals plain join on skewed data") {
     val probe = (1 to 20000).map(i => (if (i % 10 == 0) 1 else i % 500, s"p$i")).toDF("k", "pv")
     val build = (1 to 500).map(i => (i, s"b$i")).toDF("k", "bv")
