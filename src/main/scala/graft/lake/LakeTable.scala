@@ -475,7 +475,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val (rows, mn, mx) = FooterStats.keyStats(f, conf, spec.key)
       FileAction(rel, log, rows, mn, mx, numericKey, partVal)
     }
-    WriteResult(adds, Seq.empty)
+    // a fully-empty batch still emits one 0-row part file — don't log it
+    WriteResult(adds.filter(_.rows > 0), Seq.empty)
   }
 }
 
