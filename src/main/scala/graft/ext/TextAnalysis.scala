@@ -88,6 +88,16 @@ object TextAnalysis {
     }
   }
 
+  /** PII-style redaction pass: emails, long digit runs (phone/account
+    * numbers), and IPv4s replaced with typed placeholders — the masking
+    * step a training-data pipeline runs before tokenization. Pure
+    * regexp_replace chain (codegen'd, no shuffle). */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email, "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\d{7,}", "<NUM>")
+  }
+
   /** All stats in one pass over a corpus. */
   def stats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -222,6 +222,57 @@ object ExtQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Custom stateful streaming (flatMapGroupsWithState): first-seen dedup
+    // per (user, event_type); one input file → one micro-batch → output is
+    // the global (ts, id)-minimum per key, which SQL can express exactly.
+    "q58_stream_stateful" -> ((
+      (s: SparkSession, d: String) => {
+        graft.core.GraftSession.ensure(s)
+        val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stateful")
+        val inDir = base.resolve("in")
+        if (!Files.exists(inDir)) Files.createDirectories(inDir)
+        Files.copy(Paths.get(d, "events.parquet"), inDir.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        import s.implicits._
+        val stream = s.readStream.schema(schema).parquet(inDir.toString)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .select("user_id", "event_type", "event_id", "ts_us")
+          .as[graft.streaming.StatefulOps.Keyed]
+        val out = graft.streaming.StatefulOps.firstSeen(stream)
+        val name = "graft_stateful_sink"
+        s.catalog.dropTempView(name)
+        val q = out.writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).select("user_id", "event_type", "event_id", "ts_us")
+          .orderBy("user_id", "event_type")
+      },
+      """SELECT user_id, event_type, event_id, epoch_ns(ts)//1000 AS ts_us
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts ASC, event_id ASC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // PII redaction pass over a corpus with planted emails/numbers/IPs.
+    "q57_redact" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact bob@example.com at 12345678901 or 10.0.0.1")))
+            .otherwise(col("text")))
+          .select(col("doc_id"), TextAnalysis.redact(col("text")).as("clean"))
+          .filter(col("clean").contains("<EMAIL>") || col("clean").contains("<NUM>") ||
+            col("clean").contains("<IP>"))
+          .orderBy("doc_id"),
+      raw"""SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact bob@example.com at 12345678901 or 10.0.0.1' ELSE text END,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{7,}', '<NUM>', 'g') AS clean
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin)),
+
     // Corpus word frequencies (explode + count — the vocabulary pass).
     "q52_word_freq" -> ((
       (s: SparkSession, d: String) =>

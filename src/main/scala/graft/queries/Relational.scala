@@ -414,6 +414,48 @@ object Relational {
         |FROM orders WHERE o_orderkey < 100
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Correlated aggregate (TPC-H Q17 shape): lineitems below 20% of their
+    // part's average quantity.
+    "q55_below_part_avg" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+          .agg((sum(col("l_quantity")).cast("double") / count(col("l_quantity"))).as("avg_qty"))
+        li.join(avgQ, col("l_partkey") === col("a_partkey"))
+          .filter(col("l_quantity") < col("avg_qty") * 0.2)
+          .agg(sumMoney(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n"))
+      },
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n
+        |FROM lineitem l JOIN (
+        |  SELECT l_partkey AS a_partkey,
+        |    CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.a_partkey
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin)),
+
+    // SQL entry point (S4): the Q1 shape verbatim through spark.sql over a
+    // registered view — parser/analyzer path, same oracle as q01.
+    "q56_sql_entry" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  SUM(l_quantity) AS sum_qty,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            |  COUNT(*) AS count_order
+            |FROM g_lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // date_trunc monthly rollup of order volume.
     "q46_monthly" -> ((
       (s: SparkSession, d: String) =>
