@@ -183,8 +183,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       else {
         // key-membership split in ONE pass: left-join a membership flag over
         // a column-pruned scan of live keys, cache the tagged batch, filter
-        // twice (anti+semi joins would scan the live key column twice)
-        val existingKeys = readFiles(live).select(col(spec.key)).distinct()
+        // twice (anti+semi joins would scan the live key column twice).
+        // The scan covers only stats-candidate files: a key outside every
+        // file's [min,max] range cannot be existing.
+        val existingKeys = readFiles(pruneCandidates(live, incoming))
+          .select(col(spec.key)).distinct()
           .withColumn("_graft_exists", lit(true))
         val tagged = stamped.join(existingKeys, Seq(spec.key), "left")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -222,6 +222,20 @@ object ExtQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Semi-structured props parsing: JSON field extraction + aggregation
+    // (get_json_object vs DuckDB json_extract_string).
+    "q59_json_props" -> ((
+      (s: SparkSession, d: String) =>
+        events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Custom stateful streaming (flatMapGroupsWithState): first-seen dedup
     // per (user, event_type); one input file → one micro-batch → output is
     // the global (ts, id)-minimum per key, which SQL can express exactly.
