@@ -34,6 +34,18 @@ class DotProductSpec extends AnyFunSuite {
     assert(short == 11.0)
   }
 
+  test("custom expressions callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  word_shingles('a b c d', 2) AS sh,
+        |  token_set_count('the cat and the dog', array('the', 'and')) AS n""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(r.getInt(2) == 3)
+  }
+
   test("codegen path actually engages (no fallback exception, plan executes)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(VectorOps.toDoubleVec(col("embedding")).as("v"))
