@@ -79,10 +79,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def readOptimized(asOf: Option[Long] = None): DataFrame =
     ordered(readFiles(liveFiles(asOf).filterNot(_.log), asOf = asOf), asOf)
 
-  /** MoR `_rt`: base ∪ logs with latest-wins merge at read (J3). */
+  /** MoR `_rt`: base ∪ logs with latest-wins merge at read (J3).
+    *
+    * Only keys that appear in log files are contested — base rows without a
+    * log entry pass through UNSHUFFLED (anti-join against the small log-key
+    * set, which Spark broadcasts), and the dedup shuffle carries just the
+    * contested rows. Read cost scales with log size, not table size: at
+    * 100 TB that is the difference between a merge and a full re-shuffle. */
   def realtime(asOf: Option[Long] = None): DataFrame = {
-    val all = readFiles(liveFiles(asOf), keepWriteId = true, asOf = asOf)
-    ordered(dedupLatest(all, spec.key, spec.precombine, col(WRITE_ID)).drop(WRITE_ID), asOf)
+    val live = liveFiles(asOf)
+    val (logActions, baseActions) = live.partition(_.log)
+    if (logActions.isEmpty)
+      return ordered(readFiles(baseActions, asOf = asOf), asOf)
+    val base = readFiles(baseActions, keepWriteId = true, asOf = asOf)
+    val logs = readFiles(logActions, keepWriteId = true, asOf = asOf)
+    val logKeys = logs.select(col(spec.key)).distinct()
+    val passThrough = base.join(logKeys, Seq(spec.key), "left_anti")
+    val contested = base.join(logKeys, Seq(spec.key), "left_semi").unionByName(logs)
+    val merged = dedupLatest(contested, spec.key, spec.precombine, col(WRITE_ID))
+      .unionByName(passThrough)
+      .drop(WRITE_ID)
+    ordered(merged, asOf)
   }
 
   private def ordered(df: DataFrame, asOf: Option[Long] = None): DataFrame = {
