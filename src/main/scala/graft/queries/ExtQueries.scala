@@ -222,6 +222,41 @@ object ExtQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Sketch aggregation: HLL++ approximate distinct users per event type
+    // (approximate by nature → rows-only; accuracy bound pinned in ExtSpec).
+    "q60_approx_distinct" -> ((
+      (s: SparkSession, d: String) =>
+        events(s, d)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      "")),
+
+    // Interval/range join: purchases within 30 minutes after a signup by
+    // the same user (time-windowed self-join, J-extension beyond equi).
+    "q61_range_join" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+        val signup = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"), col("ts_us").as("s_ts"))
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+        signup.join(purchase, Seq("user_id"))
+          .filter(col("p_ts") > col("s_ts") &&
+            col("p_ts") <= col("s_ts") + 30L * 60 * 1000000)
+          .select("user_id", "signup_id", "purchase_id", "p_ts")
+          .orderBy("user_id", "signup_id", "purchase_id")
+      },
+      """SELECT s.user_id AS user_id, s.event_id AS signup_id,
+        |  p.event_id AS purchase_id, epoch_ns(p.ts)//1000 AS p_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        |  AND epoch_ns(p.ts)//1000 > epoch_ns(s.ts)//1000
+        |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
+        |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
+
     // Semi-structured props parsing: JSON field extraction + aggregation
     // (get_json_object vs DuckDB json_extract_string).
     "q59_json_props" -> ((

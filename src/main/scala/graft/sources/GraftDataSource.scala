@@ -89,12 +89,13 @@ object GraftDataSource {
         opt("type", "hoodie.datasource.write.storage.type", "hoodie.datasource.write.table.type")
           .exists(_.equalsIgnoreCase("MERGE_ON_READ")))
 
+    val mergeSchema = opt("mergeSchema").exists(_.toBoolean) // Delta option name
     mode match {
       case SaveMode.Overwrite =>
-        if (exists) LakeTable.load(spark, path).overwrite(data)
+        if (exists) LakeTable.load(spark, path).overwrite(data, mergeSchema)
         else LakeTable.create(spark, path, spec, data)
       case SaveMode.Append =>
-        if (exists) LakeTable.load(spark, path).upsert(data) // Hudi upsert shape
+        if (exists) LakeTable.load(spark, path).upsert(data, mergeSchema) // Hudi upsert shape
         else LakeTable.create(spark, path, spec, data)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(s"graft table exists at $path")

@@ -98,6 +98,26 @@ class ExtSpec extends AnyFunSuite {
     assert(full == bf, "nProbe = numLists must equal brute force")
   }
 
+  test("approx_count_distinct lands within its error bound of exact") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val exact = ev.select("user_id").distinct().count().toDouble
+    val approx = ev.agg(org.apache.spark.sql.functions
+      .approx_count_distinct(col("user_id"), 0.02)).head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.1, s"approx=$approx exact=$exact")
+  }
+
+  test("format graft write accepts Delta's mergeSchema option") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ms").toString
+    Seq((1, 1L, "a")).toDF("k", "pc", "v").write.format("graft")
+      .option("key", "k").option("precombine", "pc").mode("overwrite").save(path)
+    Seq((2, 1L, "b", 5.0)).toDF("k", "pc", "v", "score").write.format("graft")
+      .option("mergeSchema", "true").mode("append").save(path)
+    val df = spark.read.format("graft").load(path)
+    assert(df.columns.contains("score"))
+    assert(df.count() == 2)
+  }
+
   test("language ID picks the language whose markers dominate") {
     val samples = Seq(
       ("the cat and the dog of the house is in that garden", "en"),
