@@ -167,7 +167,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val candidates = pruneCandidates(live, incoming)
     writeCommit("upsert", newSchema = evolved) { (version, commitTime) =>
       val inStamped = stampMeta(incoming, commitTime).withColumn(RANK, lit(Long.MaxValue))
-      val (touchedPaths, merged) =
+      // second element: the incoming batch when nothing is touched, else
+      // the full row set of the files being rewritten
+      val (touchedPaths, rewriteSet) =
         if (candidates.isEmpty) (Seq.empty[String], inStamped)
         else {
           val cand = readFiles(candidates, keepWriteId = true)
@@ -181,13 +183,25 @@ class LakeTable private (val spark: SparkSession, val path: String) {
               .filter(col("_rel_file").isin(touched: _*))
               .withColumn(RANK, col(WRITE_ID))
               .drop(WRITE_ID, "_rel_file", "_file_name")
-            // allowMissingColumns: under additive schema evolution the
-            // rewritten old rows take nulls for the new columns
-            (touched, affected.unionByName(inStamped, allowMissingColumns = true))
+            (touched, affected)
           }
         }
-      val winner = dedupLatest(merged, spec.key, spec.precombine, col(RANK)).drop(RANK)
-      Seq(writeFiles(winner, version * WRITE_SLOTS, log = false)
+      val winner =
+        if (touchedPaths.isEmpty) rewriteSet // == inStamped: all inserts, pre-deduped
+        else {
+          // contested split: rows rewritten only because they share a FILE
+          // with a touched key pass through without entering the dedup
+          // shuffle; only rows whose KEY is in the batch contest with it.
+          // allowMissingColumns: under additive schema evolution the old
+          // rows take nulls for the new columns.
+          val inKeys = incoming.select(col(spec.key)).distinct()
+          val passThrough = rewriteSet.join(inKeys, Seq(spec.key), "left_anti")
+          val contested = rewriteSet.join(inKeys, Seq(spec.key), "left_semi")
+            .unionByName(inStamped, allowMissingColumns = true)
+          dedupLatest(contested, spec.key, spec.precombine, col(RANK))
+            .unionByName(passThrough, allowMissingColumns = true)
+        }
+      Seq(writeFiles(winner.drop(RANK), version * WRITE_SLOTS, log = false)
         .copy(remove = touchedPaths))
     }
   }
