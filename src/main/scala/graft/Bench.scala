@@ -113,6 +113,18 @@ object Bench {
     // B6: compaction (MoR logs folded into base).
     results("b6_compact") = time { mor.compact() }
 
+    // B7: range-localized upsert on a key-clustered table — the common
+    // production shape (recent keys churn). Stats pruning should confine
+    // the rewrite to the files covering the touched key range.
+    val clusteredPath = freshDir("b7_clustered")
+    LakeTable.create(spark, clusteredPath, liSpec, li, bulkInsert = true)
+    val clustered = LakeTable.load(spark, clusteredPath)
+    clustered.compact(clusterByKey = true, targetFiles = 32)
+    val localized = li.filter(col("lkey") < 30000)
+      .withColumn("l_extendedprice", col("l_extendedprice") + 1.0)
+      .withColumn("l_shipdate", col("l_shipdate") + expr("INTERVAL 1 DAY"))
+    results("b7_pruned_upsert") = time { clustered.upsert(localized) }
+
     // E1: MinHash-LSH dedup on the bounded documents subset.
     results("e1_minhash_dedup") = median {
       val docs = tbl("documents").filter(col("doc_id") < 2000)
