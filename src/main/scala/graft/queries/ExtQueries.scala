@@ -180,14 +180,32 @@ object ExtQueries {
       },
       "")),
 
-    // Language ID + rolling fingerprint (heuristics; deterministic).
-    "q38_lang_fingerprint" -> ((
+    // Language ID: marker-count argmax with fixed tiebreak order (de > en >
+    // es > fr, 'und' when no markers hit) — fully SQL-expressible. The
+    // rolling-hash fingerprint is xxhash64-chained (not DuckDB-expressible;
+    // its determinism/order-sensitivity is pinned in ExtSpec instead).
+    "q38_lang_id" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
-          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"),
-            TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
           .orderBy("doc_id"),
-      "")),
+      raw"""WITH s AS (SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf'], t))) AS de,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> list_contains(['the','and','of','to','is','in','that','it','with'], t))) AS en,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> list_contains(['el','la','de','que','los','las','una','por','como'], t))) AS es,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> list_contains(['le','la','les','des','est','une','dans','pour','que'], t))) AS fr
+        |  FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |  WHEN de = greatest(de, en, es, fr) THEN 'de'
+        |  WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |  WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |  ELSE 'fr' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin)),
 
     // Multimodal: binary payload stats via pure builtins (oracled).
     "q40_multimodal_stats" -> ((
