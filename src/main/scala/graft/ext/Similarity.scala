@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,23 +43,45 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", normSq(col("cv")))
-    // deterministic centroid sample: top-numLists by seeded hash
-    val centroids = c0.select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
+    // deterministic centroid sample: top-numLists by seeded hash. The
+    // centroid set is tiny and driver-materialized, so list assignment is a
+    // pure codegen'd expression chain over literal centroid arrays — zero
+    // shuffle, embarrassingly parallel, which is what an index build over
+    // 100 TB needs (the previous formulation ran a row_number window over
+    // corpus × centroids: a full corpus shuffle+sort just to pick an argmax).
+    val centRows: Array[(Any, Seq[Double])] = c0
+      .select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
       .orderBy(xxhash64(col("cid"), lit(seed)).asc, col("cid").asc)
       .limit(numLists)
-    def nearestLists(df: DataFrame, vec: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("c_sim", dot(col(vec), col("centroid")) /
-          (sqrt(normSq(col(vec))) * sqrt(normSq(col("centroid")))))
-      scored.withColumn("c_rank", row_number().over(
-          Window.partitionBy(df.columns.head).orderBy(col("c_sim").desc, col("cid").asc)))
-        .filter(col("c_rank") <= n)
-        .drop("centroid", "c_sim", "c_rank")
+      .collect().map(r => (r.get(0), r.getSeq[Double](1)))
+    if (centRows.isEmpty)
+      return queries.select(col(idCol).as("query_id"))
+        .withColumn("neighbor_id", col("query_id"))
+        .withColumn("rank", lit(1)).withColumn("score", lit(0.0d)).limit(0)
+
+    /** Array of the n nearest (neg_sim, cid) structs; ascending sort on the
+      * negated cosine = sim desc with cid-asc tiebreak, matching the window
+      * ordering it replaces (same IEEE op sequence: driver-side norm fold ≡
+      * the sequential normSq fold). */
+    def nearestLists(vec: Column, rowNormSq: Column, n: Int): Column = {
+      val rowNorm = sqrt(rowNormSq)
+      val entries = centRows.map { case (cid, v) =>
+        var acc = 0.0d
+        v.foreach(x => acc += x * x)
+        val cLit = array(v.map(lit).toSeq: _*)
+        struct((-(dot(vec, cLit) / (rowNorm * lit(math.sqrt(acc))))).as("neg_sim"),
+          lit(cid).as("cid"))
+      }
+      slice(sort_array(array(entries.toSeq: _*)), 1, n)
     }
-    val assigned = nearestLists(c0, "cv", 1) // each corpus vector → 1 list
-    val probes = nearestLists(
-      queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
-        .withColumn("qn", normSq(col("qv"))), "qv", nProbe)
+    val assigned = c0.withColumn("cid",
+      nearestLists(col("cv"), col("cn"), 1).getItem(0).getField("cid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", normSq(col("qv")))
+      .withColumn("_probe", explode(nearestLists(col("qv"), col("qn"), nProbe)))
+      .withColumn("cid", col("_probe").getField("cid"))
+      .drop("_probe")
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))

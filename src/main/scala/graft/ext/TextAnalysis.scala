@@ -98,8 +98,26 @@ object TextAnalysis {
     regexp_replace(ip, "\\d{7,}", "<NUM>")
   }
 
-  /** All stats in one pass over a corpus. */
+  /** All stats in ONE pass over a corpus: a single codegen'd
+    * [[graft.functions.TextStats]] expression tokenizes each document once
+    * and emits every stat as a struct, then a second projection unpacks the
+    * fields. Catalyst keeps the two projections separate (the struct is
+    * non-cheap and referenced 7×, so CollapseProject won't duplicate it),
+    * and whole-stage codegen's subexpression elimination guards the rest —
+    * ~7 redundant per-row tokenizations gone vs the column-per-stat spec. */
   def stats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = graft.functions.TextStats.textStats(col(textCol))
+    val fields = Seq("ws_tokens", "bpe_tokens", "n_stopwords", "n_punct",
+      "quality", "fingerprint", "lang_guess")
+    df.withColumn("_tstats", st)
+      .select(col("*") +: fields.map(f => col("_tstats").getField(f).as(f)): _*)
+      .drop("_tstats")
+  }
+
+  /** Column-per-stat spec of [[stats]] (each stat re-derives its own
+    * tokenization; cross-checked against the native single-pass expression
+    * in TextStatsSpec). */
+  def statsSpec(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
     df.withColumn("ws_tokens", wsTokenCount(c))
       .withColumn("bpe_tokens", bpeTokenCount(c))

@@ -178,10 +178,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             .select("_rel_file").distinct().collect().map(_.getString(0)).toSeq
           if (touched.isEmpty) (touched, inStamped)
           else {
-            val affected = cand
-              .filter(col("_rel_file").isin(touched: _*))
+            // re-scan ONLY the touched files (the detection scan above is
+            // column-pruned to the key): scan cost ∝ touched data and the
+            // plan stays O(1) — a literal `isin(touched)` filter would grow
+            // an N-ary expression with the touched-file count
+            val touchedSet = touched.toSet
+            val affected = readFiles(candidates.filter(a => touchedSet.contains(a.path)),
+                keepWriteId = true)
               .withColumn(RANK, col(WRITE_ID))
-              .drop(WRITE_ID, "_rel_file", "_file_name")
+              .drop(WRITE_ID, "_file_name")
             (touched, affected)
           }
         }
@@ -244,18 +249,26 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     if (applyDeletes) delete(deleteCond) else this
   }
 
-  /** Rewrite files dropping rows matching `cond` (row-level delete). */
+  /** Rewrite files dropping rows matching `cond` (row-level delete). Only
+    * rows where `cond` is definitively TRUE are dropped — a NULL-evaluating
+    * condition (e.g. a null flag after additive schema evolution) keeps the
+    * row, matching Delta DELETE semantics. */
   def delete(cond: Column): LakeTable = {
     val live = liveFiles(None)
     writeCommit("delete") { (version, _) =>
-      val all = readFiles(live, keepWriteId = true)
+      // detection pass: column-pruned to cond's columns + the file name
+      val touched = readFiles(live)
         .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
-      val touched = all.filter(cond).select("_rel_file").distinct()
+        .filter(cond).select("_rel_file").distinct()
         .collect().map(_.getString(0)).toSeq
       if (touched.isEmpty) Seq.empty
       else {
-        val kept = all.filter(col("_rel_file").isin(touched: _*)).filter(!cond)
-          .drop(WRITE_ID, "_rel_file", "_file_name")
+        // rewrite pass: re-scan only the touched files (no literal isin —
+        // the plan stays O(1) in the touched-file count)
+        val touchedSet = touched.toSet
+        val kept = readFiles(live.filter(a => touchedSet.contains(a.path)))
+          .filter(!coalesce(cond, lit(false)))
+          .drop("_file_name")
         Seq(writeFiles(kept, version * WRITE_SLOTS, log = false).copy(remove = touched))
       }
     }
@@ -271,8 +284,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def compact(clusterByKey: Boolean = false, targetFiles: Int = 0): LakeTable = {
     val live = liveFiles(None)
     writeCommit("compact") { (version, _) =>
-      val rt = dedupLatest(readFiles(live, keepWriteId = true), spec.key,
-        spec.precombine, col(WRITE_ID)).drop(WRITE_ID, "_file_name")
+      // Contested-key split (same shape as realtime()): only keys present in
+      // a log file — or duplicated across base rows (bulk-insert legacy) —
+      // need the dedup shuffle; every other base row passes through
+      // untouched. Contested-key detection is a key-column-only aggregate
+      // (column-pruned scan, map-side partial agg), so compaction cost
+      // scales with the log/dup volume, not the table size — at 100 TB the
+      // difference between folding a day's updates and re-shuffling the
+      // whole table.
+      val (logActions, baseActions) = live.partition(_.log)
+      val base = readFiles(baseActions, keepWriteId = true)
+      val logs = readFiles(logActions, keepWriteId = true)
+      val logKeys = logs.select(col(spec.key)).distinct()
+      val dupBaseKeys = base.groupBy(col(spec.key)).count()
+        .filter(col("count") > 1).select(col(spec.key))
+      val contestedKeys = logKeys.union(dupBaseKeys).distinct()
+      val passThrough = base.join(contestedKeys, Seq(spec.key), "left_anti")
+      val contested = base.unionByName(logs)
+        .join(contestedKeys, Seq(spec.key), "left_semi")
+      val rt = dedupLatest(contested, spec.key, spec.precombine, col(WRITE_ID))
+        .unionByName(passThrough)
+        .drop(WRITE_ID, "_file_name")
       val clustered =
         if (clusterByKey && targetFiles > 0)
           rt.repartitionByRange(targetFiles, col(spec.key)).sortWithinPartitions(col(spec.key))

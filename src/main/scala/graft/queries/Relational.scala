@@ -332,9 +332,9 @@ object Relational {
         |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
         |  FROM events),
         |m AS (
-        |  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 30*60*1000000 THEN 1 ELSE 0 END)
+        |  SELECT *, CAST(SUM(CASE WHEN gap IS NULL OR gap > 30*60*1000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM g)
         |SELECT user_id, sess_id, MIN(ts_us) AS sess_start, MAX(ts_us) AS sess_end,
         |  COUNT(*) AS n_events
