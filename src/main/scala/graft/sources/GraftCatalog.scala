@@ -1,0 +1,328 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.{CommitLog, LakeTable, TableSpec}
+
+/** DSv2 `TableCatalog` for graft tables (SURVEY.md §7.4): register with
+  *
+  * {{{
+  * spark.conf: spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *             spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * CREATE TABLE graft.db.t (pk_id BIGINT, updated_at BIGINT, v STRING)
+  *   USING graft OPTIONS (key 'pk_id', precombine 'updated_at')
+  * CREATE TABLE graft.db.ext USING graft LOCATION '/existing/table'
+  * SELECT * FROM graft.db.t VERSION AS OF 2
+  * SHOW CREATE TABLE graft.db.t; SHOW TABLES IN graft.db
+  * }}}
+  *
+  * — the catalog surface the reference drives through Spark SQL on
+  * Hudi/Delta (`/root/reference/README.md:297-343,1176-1188`). Managed
+  * tables live under `<warehouse>/<ns…>/<name>`; `LOCATION` tables are
+  * external pointers (a one-line marker file records the location, the data
+  * stays put; DROP removes only the pointer). Reads and writes delegate to
+  * [[graft.lake.LakeTable]] through the DSv2 V1 fallback shims
+  * ([[V1Scan]]/[[V1Write]], the same bridge Delta uses), so catalog queries
+  * get the identical pruned/stats-driven scans and contested-key upserts as
+  * the programmatic API — nothing is duplicated for the catalog path.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      new Path(spark.sessionState.conf.warehousePath, "graft_catalog").toString)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): Path =
+    new Path((warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/"))
+
+  private def externalMarker(ident: Identifier): Path =
+    new Path(tableDir(ident), "_graft_external")
+
+  /** The LakeTable path for an identifier: the table dir itself (managed)
+    * or the location recorded in the external marker. */
+  private def resolvePath(ident: Identifier): Option[String] = {
+    val dir = tableDir(ident)
+    val fs = dir.getFileSystem(hconf)
+    if (fs.exists(externalMarker(ident))) {
+      val in = fs.open(externalMarker(ident))
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    } else if (CommitLog.latestVersion(dir.toString, hconf).isDefined) Some(dir.toString)
+    else None
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = nsDir.getFileSystem(hconf)
+    if (!fs.exists(nsDir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsDir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => resolvePath(Identifier.of(namespace, n)).isDefined)
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = resolvePath(ident).isDefined
+
+  override def loadTable(ident: Identifier): Table =
+    resolvePath(ident) match {
+      case Some(p) => GraftCatalogTable(ident, p, asOf = None)
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  /** `VERSION AS OF <v>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    resolvePath(ident) match {
+      case Some(p) => GraftCatalogTable(ident, p, asOf = Some(version.toLong))
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    def opt(k: String): Option[String] =
+      props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
+    val location = props.get(TableCatalog.PROP_LOCATION)
+    val fs = tableDir(ident).getFileSystem(hconf)
+
+    location match {
+      case Some(loc) if CommitLog.latestVersion(loc, hconf).isDefined =>
+        // external pointer to an existing graft table — schema comes from
+        // its commit log, the DDL schema (if any) is ignored like Delta does
+        val out = fs.create(externalMarker(ident), false)
+        try out.write(loc.getBytes("UTF-8")) finally out.close()
+        GraftCatalogTable(ident, loc, asOf = None)
+      case other =>
+        val key = opt("key").getOrElse(throw new IllegalArgumentException(
+          s"CREATE TABLE $ident USING graft needs OPTIONS (key '…', precombine '…')"))
+        val precombine = opt("precombine").getOrElse(throw new IllegalArgumentException(
+          s"CREATE TABLE $ident USING graft needs OPTIONS (key '…', precombine '…')"))
+        val partCol = partitions.toSeq match {
+          case Seq() => opt("partition")
+          case Seq(t) if t.name == "identity" => Some(t.references.head.fieldNames.head)
+          case other2 => throw new UnsupportedOperationException(
+            s"graft supports a single identity PARTITIONED BY column, got ${other2.mkString(",")}")
+        }
+        val spec = TableSpec(key, precombine, partition = partCol,
+          mor = opt("mor").exists(_.toBoolean) ||
+            opt("type").exists(_.equalsIgnoreCase("MERGE_ON_READ")))
+        val path = other.getOrElse(tableDir(ident).toString)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        LakeTable.create(spark, path, spec, empty)
+        if (other.isDefined) {
+          val out = fs.create(externalMarker(ident), false)
+          try out.write(other.get.getBytes("UTF-8")) finally out.close()
+        }
+        GraftCatalogTable(ident, path, asOf = None)
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft catalog tables is not supported; evolve schemas " +
+        "via upsert(mergeSchema = true)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    val fs = dir.getFileSystem(hconf)
+    if (resolvePath(ident).isEmpty) false
+    else fs.delete(dir, true) // external: removes only the pointer dir
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (resolvePath(oldIdent).isEmpty) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val fs = tableDir(oldIdent).getFileSystem(hconf)
+    fs.mkdirs(tableDir(newIdent).getParent)
+    if (!fs.rename(tableDir(oldIdent), tableDir(newIdent)))
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    dir.getFileSystem(hconf).exists(dir)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    dir.getFileSystem(hconf).mkdirs(dir)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(hconf)
+    if (!fs.exists(dir)) false
+    else if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    else fs.delete(dir, true)
+  }
+}
+
+/** A graft table surfaced through the DSv2 catalog. Schema = Hudi-shaped
+  * meta columns + the declared data schema from the commit log (time-travel
+  * loads report the schema as of that version). */
+case class GraftCatalogTable(ident: Identifier, path: String, asOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  @transient private lazy val lake: LakeTable = LakeTable.load(spark, path)
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType =
+    StructType(LakeTable.META_COLS.map(StructField(_, StringType)) ++
+      lake.schemaAt(asOf).fields)
+
+  override def partitioning(): Array[Transform] =
+    lake.spec.partition.map(p => Expressions.identity(p)).toArray
+
+  override def properties(): util.Map[String, String] = {
+    val spec = lake.spec
+    (Map(
+      TableCatalog.PROP_PROVIDER -> "graft",
+      TableCatalog.PROP_LOCATION -> path,
+      "key" -> spec.key,
+      "precombine" -> spec.precombine,
+      "type" -> (if (spec.mor) "merge_on_read" else "copy_on_write")) ++
+      spec.partition.map("partition" -> _)).asJava
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, asOf, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path)
+}
+
+/** Column pruning + best-effort filter pushdown into the LakeTable scan via
+  * the V1 fallback (Spark re-applies every filter on top, so partial
+  * conversion is safe — same contract as [[GraftRelation]]). */
+class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all residual: Spark re-evaluates everything above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] =
+    filters.filter(f => GraftRelation.toColumnStatic(f).isDefined)
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = required
+        override def buildScan(): RDD[Row] = {
+          var df = LakeTable.load(ctx.sparkSession, path).read(asOf)
+          filters.flatMap(GraftRelation.toColumnStatic).foreach(c => df = df.filter(c))
+          df.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+        }
+      }.asInstanceOf[T]
+  }
+}
+
+/** INSERT INTO → keyed upsert; INSERT OVERWRITE / TRUNCATE → full load —
+  * the same LakeTable writes the V1 `format("graft")` path runs. */
+class GraftWriteBuilder(path: String)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = filters match {
+    case Array(AlwaysTrue()) | Array() => truncate()
+    case other => throw new UnsupportedOperationException(
+      s"graft supports only full INSERT OVERWRITE, got ${other.mkString(",")}")
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        val table = LakeTable.load(data.sparkSession, path)
+        val declared = table.schema
+        val metaSet = LakeTable.META_COLS.toSet
+        // ACCEPT_ANY_SCHEMA: align the incoming frame ourselves — by name
+        // when the names match the data schema (meta columns dropped if
+        // present), by position otherwise (e.g. INSERT … VALUES)
+        val noMeta = data.drop(LakeTable.META_COLS.filter(data.columns.contains): _*)
+        val aligned =
+          if (declared.fieldNames.toSet == noMeta.columns.toSet)
+            noMeta.select(declared.fieldNames.map(col).toIndexedSeq: _*)
+          else if (noMeta.columns.length == declared.length)
+            noMeta.toDF(declared.fieldNames.toIndexedSeq: _*)
+          else throw new IllegalArgumentException(
+            s"cannot align INSERT columns ${noMeta.columns.mkString(",")} " +
+              s"to table schema ${declared.fieldNames.mkString(",")}")
+        if (overwriteAll || overwrite) { table.overwrite(aligned); () }
+        else { table.upsert(aligned); () }
+      }
+    }
+  }
+}

@@ -130,15 +130,29 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
   }
 
   override def sqlContext: SQLContext = ctx
-  override def schema: StructType = snapshot().schema
+
+  /** Derived from the commit log's declared schema + meta columns — NOT by
+    * planning a snapshot DataFrame (a MoR snapshot plan builds the whole
+    * realtime merge just to report field names). */
+  override def schema: StructType = {
+    val t = LakeTable.load(spark, path)
+    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    StructType(LakeTable.META_COLS.map(org.apache.spark.sql.types.StructField(_,
+      org.apache.spark.sql.types.StringType)) ++ t.schemaAt(asOf).fields)
+  }
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     var df = snapshot()
-    filters.flatMap(toColumn).foreach(c => df = df.filter(c))
+    filters.flatMap(GraftRelation.toColumnStatic).foreach(c => df = df.filter(c))
     df.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
   }
+}
 
-  private def toColumn(f: Filter): Option[Column] = f match {
+object GraftRelation {
+  /** Best-effort V1 Filter → Column translation (partial conversion is safe:
+    * Spark re-applies every filter above the scan). Shared with the DSv2
+    * catalog's scan builder. */
+  def toColumnStatic(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === v)
     case GreaterThan(a, v) => Some(col(a) > v)
     case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
@@ -148,9 +162,9 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
     case IsNull(a) => Some(col(a).isNull)
     case IsNotNull(a) => Some(col(a).isNotNull)
     case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
-    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
+    case And(l, r) => for { lc <- toColumnStatic(l); rc <- toColumnStatic(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumnStatic(l); rc <- toColumnStatic(r) } yield lc || rc
+    case Not(c) => toColumnStatic(c).map(!_)
     case _ => None
   }
 }

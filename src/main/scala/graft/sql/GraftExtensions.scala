@@ -95,6 +95,11 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
     case UnresolvedCatalogRelation(tbl, _, _) if tbl.provider.exists(_.equalsIgnoreCase("graft")) =>
       tbl.storage.locationUri.map(u => new Path(u).toString)
     case LogicalRelation(rel: GraftRelation, _, _, _, _) => Some(rel.path)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t2: graft.sources.GraftCatalogTable => Some(t2.path)
+        case _ => None
+      }
     case _ => None
   }
 }

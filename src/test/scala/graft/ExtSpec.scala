@@ -98,6 +98,16 @@ class ExtSpec extends AnyFunSuite {
     assert(full == bf, "nProbe = numLists must equal brute force")
   }
 
+  test("IVF list assignment plans shuffle-free (only the final top-k windows)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val plan = Similarity.ivfTopK(emb, queries, 5, numLists = 16, nProbe = 6)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit nodes are the top-k rank pushdown of that same
+    // window — count only Window execs
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected exactly the final top-k Window, got $windows")
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val exact = ev.select("user_id").distinct().count().toDouble

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{Envelope, Normalize}
+import graft.lake.{LakeTable, TableSpec}
+
+/** DSv2 TableCatalog path (SURVEY §7.4): CREATE/SHOW/SELECT/INSERT/MERGE/
+  * DROP against `graft.<ns>.<table>` identifiers resolve through
+  * [[graft.sources.GraftCatalog]] — the reference's Spark-SQL DDL surface.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  lazy val warehouse: String = Files.createTempDirectory("graft_wh").toString
+
+  lazy val spark: SparkSession = {
+    SparkTestSession.spark // ensure context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = graft.core.GraftSession.tune(
+      SparkSession.builder().master("local[4]").appName("graft-catalog-test"), 4)
+      .withExtensions(new graft.sql.GraftExtensions)
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT round-trips through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.users (uid BIGINT, updated_at BIGINT, name STRING)
+                 USING graft OPTIONS (key 'uid', precombine 'updated_at')""")
+    spark.sql("INSERT INTO graft.db.users VALUES (1L, 10L, 'ada'), (2L, 10L, 'bob')")
+    spark.sql("INSERT INTO graft.db.users VALUES (1L, 20L, 'ada2'), (3L, 10L, 'eve')")
+    val rows = spark.sql("SELECT uid, name FROM graft.db.users ORDER BY uid")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "ada2"), (2L, "bob"), (3L, "eve")),
+      "second INSERT upserts by key with precombine latest-wins")
+    // meta columns are part of the catalog table schema
+    val meta = spark.sql("SELECT _record_key FROM graft.db.users WHERE uid = 3").head()
+    assert(meta.getString(0) == "3")
+  }
+
+  test("SHOW TABLES and SHOW CREATE TABLE render the catalog table") {
+    val tables = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet
+    assert(tables.contains("users"))
+    val ddl = spark.sql("SHOW CREATE TABLE graft.db.users").head().getString(0)
+    assert(ddl.contains("graft.db.users") && ddl.contains("'key' = 'uid'"),
+      s"unexpected DDL: $ddl")
+  }
+
+  test("filter + projection SELECT prunes through the catalog scan") {
+    val one = spark.sql("SELECT name FROM graft.db.users WHERE uid = 2").collect()
+    assert(one.map(_.getString(0)).toSeq == Seq("bob"))
+  }
+
+  test("VERSION AS OF time travel through the catalog") {
+    val v = spark.sql("SELECT uid FROM graft.db.users VERSION AS OF 1").count()
+    assert(v == 2, "version 1 = first INSERT only")
+  }
+
+  test("INSERT OVERWRITE replaces the table contents") {
+    spark.sql("""CREATE TABLE graft.db.ow (k BIGINT, pc BIGINT, v STRING)
+                 USING graft OPTIONS (key 'k', precombine 'pc')""")
+    spark.sql("INSERT INTO graft.db.ow VALUES (1L, 1L, 'a'), (2L, 1L, 'b')")
+    spark.sql("INSERT OVERWRITE graft.db.ow VALUES (9L, 1L, 'z')")
+    val rows = spark.sql("SELECT k, v FROM graft.db.ow").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((9L, "z")))
+  }
+
+  test("external LOCATION table reads an existing graft table; DROP keeps data") {
+    val path = Files.createTempDirectory("graft_ext").toString
+    import spark.implicits._
+    LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "x"), (2, 1L, "y")).toDF("k", "pc", "v"))
+    spark.sql(s"CREATE TABLE graft.db.ext USING graft LOCATION '$path'")
+    assert(spark.sql("SELECT k FROM graft.db.ext").count() == 2)
+    spark.sql("DROP TABLE graft.db.ext")
+    assert(LakeTable.load(spark, path).read().count() == 2, "external data survives DROP")
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).contains("ext"))
+  }
+
+  test("MERGE INTO a catalog-identified table reaches the golden CDC state") {
+    val path = Files.createTempDirectory("graft_cat_merge").toString
+    Normalize.flatten(Envelope.backfill(spark)).write.format("graft")
+      .option("key", "pk_id").option("precombine", "updated_at")
+      .mode("overwrite").save(path)
+    spark.sql(s"CREATE TABLE graft.db.merge_t USING graft LOCATION '$path'")
+    Normalize.flatten(Envelope.cdc(spark)).createOrReplaceTempView("cat_cdc")
+    spark.sql("""MERGE INTO graft.db.merge_t target USING (SELECT * FROM cat_cdc) source
+                 ON source.pk_id == target.pk_id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val state = spark.sql("SELECT pk_id, name FROM graft.db.merge_t ORDER BY pk_id")
+      .collect().map(r => (r.get(0).toString, r.getString(1))).toSeq
+    val golden = LakeTable.load(spark, path).read()
+      .select("pk_id", "name").orderBy("pk_id")
+      .collect().map(r => (r.get(0).toString, r.getString(1))).toSeq
+    assert(state == golden && state.nonEmpty)
+  }
+
+  test("managed DROP TABLE removes the table; recreate works") {
+    spark.sql("""CREATE TABLE graft.db.tmp (k BIGINT, pc BIGINT) USING graft
+                 OPTIONS (key 'k', precombine 'pc')""")
+    spark.sql("INSERT INTO graft.db.tmp VALUES (1L, 1L)")
+    spark.sql("DROP TABLE graft.db.tmp")
+    assert(!spark.catalog.tableExists("graft.db.tmp"))
+    spark.sql("""CREATE TABLE graft.db.tmp (k BIGINT, pc BIGINT) USING graft
+                 OPTIONS (key 'k', precombine 'pc')""")
+    assert(spark.sql("SELECT * FROM graft.db.tmp").count() == 0)
+  }
+}

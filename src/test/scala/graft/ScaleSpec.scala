@@ -111,6 +111,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(content2 == content)
   }
 
+  test("upsert touching hundreds of files rewrites them correctly (join-based selection)") {
+    val path = Files.createTempDirectory("graft_many").toString
+    val base = (1 to 30000).map(i => (i, 1L, s"v$i")).toDF("k", "pc", "payload")
+      .repartition(250)
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"), base, bulkInsert = true)
+    val conf = spark.sessionState.newHadoopConf()
+    assert(CommitLog.liveFiles(path, None, conf).size >= 200, "setup: want many base files")
+    // one key per ~50 — hash-scattered across most of the 250 files
+    t.upsert((1 to 30000 by 50).map(i => (i, 2L, s"u$i")).toDF("k", "pc", "payload"))
+    val up = t.commits.find(_.operation == "upsert").get
+    assert(up.remove.size >= 150, s"expected hundreds of touched files, got ${up.remove.size}")
+    val state = t.read().select("k", "pc", "payload").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(state.size == 30000)
+    (1 to 30000).foreach { i =>
+      val expected = if (i % 50 == 1) (i, 2L, s"u$i") else (i, 1L, s"v$i")
+      if (i % 5000 == 1 || i % 50 == 1) assert(state.contains(expected), s"row $i wrong")
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     val probe = (1 to 20000).map(i => (if (i % 10 == 0) 1 else i % 500, s"p$i")).toDF("k", "pv")
     val build = (1 to 500).map(i => (i, s"b$i")).toDF("k", "bv")
