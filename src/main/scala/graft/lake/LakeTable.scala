@@ -274,6 +274,37 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Row-level delete by KEY SET (the `WHEN MATCHED … THEN DELETE` MERGE
+    * path): stats-prune candidate files against the key range, narrow to
+    * files actually holding a doomed key via a semi-join, rewrite only
+    * those with an anti-join — no driver-side key list, no literal `isin`,
+    * so the plan is O(1) in both key count and file count. */
+  def deleteKeys(keys: DataFrame): LakeTable = {
+    val live = liveFiles(None)
+    val k = keys.select(col(spec.key)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeCommit("delete") { (version, _) =>
+        val candidates = pruneCandidates(live, k)
+        val touched = readFiles(candidates)
+          .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
+          .join(k, Seq(spec.key), "left_semi")
+          .select("_rel_file").distinct().collect().map(_.getString(0)).toSeq
+        if (touched.isEmpty) Seq.empty
+        else {
+          val touchedSet = touched.toSet
+          val kept = readFiles(candidates.filter(a => touchedSet.contains(a.path)))
+            .join(k, Seq(spec.key), "left_anti")
+            .drop("_file_name")
+          Seq(writeFiles(kept, version * WRITE_SLOTS, log = false).copy(remove = touched))
+        }
+      }
+    } finally {
+      k.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** Fold MoR logs (or fragmented CoW files) into fresh base files (M2).
     * Afterwards `_ro ≡ _rt`. Preserves per-row meta columns.
     *
@@ -367,11 +398,25 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Physically delete files not live in the `retainVersions` most recent
-    * versions (M1). Time travel before the horizon stops working — same
-    * trade as Delta VACUUM (`/root/reference/README.md:1240`). */
-  def vacuum(retainVersions: Int = 1): LakeTable = {
+    * versions (M1) — or, when `retainHours` is set, not live in any version
+    * committed within that many hours of the latest commit (Delta's
+    * `RETAIN n HOURS` knob, the retention operators actually set). Time
+    * travel before the horizon stops working — same trade as Delta VACUUM
+    * (`/root/reference/README.md:1240`). */
+  def vacuum(retainVersions: Int = 1, retainHours: Option[Double] = None): LakeTable = {
     val latest = latestVersion
-    val horizon = math.max(0L, latest - (retainVersions - 1))
+    val horizon = retainHours match {
+      case Some(h) =>
+        // commit times are fixed-width UTC "yyyyMMddHHmmssSSS": lexicographic
+        // order == chronological, so the cutoff is a string compare
+        val cs = commits
+        val latestTime = java.time.LocalDateTime.parse(
+          cs.map(_.commitTime).max, LakeTable.TIME_FMT)
+        val cutoff = latestTime.minusNanos((h * 3600e9).toLong).format(LakeTable.TIME_FMT)
+        cs.filter(_.commitTime >= cutoff).map(_.version)
+          .minOption.map(v => math.min(v, latest)).getOrElse(latest)
+      case None => math.max(0L, latest - (retainVersions - 1))
+    }
     val keep: Set[String] =
       (horizon to latest).flatMap(v => liveFiles(Some(v)).map(_.path)).toSet
     val fs = new Path(dataDir).getFileSystem(conf)
@@ -451,9 +496,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val exact = Set[DataType](ByteType, ShortType, IntegerType, LongType, StringType)
 
     var cands = live
-    // partition pruning
+    // partition pruning (skipped when the incoming frame is key-only,
+    // e.g. a deleteKeys key set)
     spec.partition.foreach { p =>
-      if (exact.contains(schema(p).dataType)) {
+      if (incoming.columns.contains(p) && exact.contains(schema(p).dataType)) {
         val inParts = incoming.select(col(p).cast(StringType)).distinct()
           .collect().map(_.getString(0)).toSet
         cands = cands.filter(a => a.partitionValue.forall(inParts.contains))

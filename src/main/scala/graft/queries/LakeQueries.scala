@@ -137,6 +137,56 @@ object LakeQueries {
          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
          |FROM merged WHERE o_orderstatus <> 'U' ORDER BY o_orderkey""".stripMargin)),
 
+    // Generalized MERGE (S11 ext): WHEN MATCHED AND is_deleted THEN DELETE /
+    // WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED AND NOT is_deleted
+    // THEN INSERT * — first-match-wins clauses through GraftMerge (the same
+    // engine the SQL MERGE INTO extension runs).
+    "q29_merge_delete" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"mergedel_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        val o = t(s, d, "orders")
+        val updates = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("is_deleted", lit(false))
+        val dels = o.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("is_deleted", lit(true))
+        val inserts = o.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("is_deleted", lit(false))
+        val src = updates.unionByName(dels).unionByName(inserts)
+        val tgt = tbl.read()
+        graft.sql.GraftMerge.execute(tbl, src, tgt,
+          src("o_orderkey") === tgt("o_orderkey"),
+          matched = Seq(
+            graft.sql.GraftMerge.Delete(Some(src("is_deleted"))),
+            graft.sql.GraftMerge.UpdateAll(None)),
+          notMatched = Seq(graft.sql.GraftMerge.InsertAll(Some(!src("is_deleted")))))
+        proj(LakeTable.load(s, path).read())
+      },
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 1.0 AS o_totalprice,
+        |         o_orderdate + INTERVAL 1 DAY AS o_orderdate
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |         'N' AS o_orderstatus, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) FROM ins
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Precombine competition on real duplicates: events keyed by user_id,
     // precombine ts_us; create from 1st half, upsert 2nd → global latest.
     "q26_lake_upsert_latest" -> ((

@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.catalog.UnresolvedCatalogRelation
@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.{col, lit, when}
 
 import graft.lake.LakeTable
 import graft.sources.GraftRelation
@@ -17,22 +18,25 @@ import graft.sources.GraftRelation
 /** SQL `MERGE INTO` for graft tables (SURVEY.md §7.4 stretch, S11/EP2):
   * a SparkSessionExtensions resolution rule rewrites `MergeIntoTable`
   * targeting a graft table into a runnable command backed by
-  * `LakeTable.upsert` — the same statement shape the reference runs on
-  * Delta (`/root/reference/README.md:1213-1224`):
+  * `LakeTable.upsert`/`deleteKeys` — the statement shape the reference runs
+  * on Delta (`/root/reference/README.md:1213-1224`) plus the clauses a
+  * Delta user reaches for next:
   *
   * {{{
-  * spark.sql("""MERGE INTO delta_table target USING (…) source
-  *              ON source.pk_id == target.pk_id
-  *              WHEN MATCHED THEN UPDATE SET *
-  *              WHEN NOT MATCHED THEN INSERT *""")
+  * MERGE INTO t target USING (…) source ON source.pk_id == target.pk_id
+  * WHEN MATCHED AND source.is_deleted THEN DELETE
+  * WHEN MATCHED THEN UPDATE SET name = source.name       -- column-level
+  * WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED AND source.value > 0 THEN INSERT *
   * }}}
   *
+  * Clauses apply first-match-wins per row (standard MERGE semantics). The
+  * merge condition must include `source.<key> = target.<key>` on the
+  * table's record key — graft MERGE is keyed, which is what makes the
+  * write a stats-pruned touched-file upsert instead of a full rewrite.
   * Enable with
   * `.config("spark.sql.extensions", "graft.sql.GraftExtensions")` or
-  * `.withExtensions(new GraftExtensions)`. Supported shape: equality merge
-  * condition on the table's record key, `UPDATE SET *` / `INSERT *`
-  * actions (exactly the reference's usage — precombine semantics decide
-  * matched-row survival, so UPDATE and INSERT both route through upsert).
+  * `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -46,6 +50,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
+/** A matched/not-matched clause, first-match-wins in declaration order. */
+private[sql] sealed trait GraftMergeAction extends Serializable {
+  def condition: Option[Expression]
+}
+private[sql] case class GraftUpdateStar(condition: Option[Expression]) extends GraftMergeAction
+private[sql] case class GraftUpdateSet(condition: Option[Expression],
+    assignments: Seq[(String, Expression)]) extends GraftMergeAction
+private[sql] case class GraftDelete(condition: Option[Expression]) extends GraftMergeAction
+private[sql] case class GraftInsertStar(condition: Option[Expression]) extends GraftMergeAction
+
 object ResolveGraftMerge extends Rule[LogicalPlan] {
   // Fire as soon as the TARGET is recognizable as graft — before the main
   // batch's star expansion runs (it would try to assign the target's meta
@@ -54,34 +68,57 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m: MergeIntoTable if graftPath(m.targetTable).isDefined =>
       val path = graftPath(m.targetTable).get
-      val matchedOk = m.matchedActions match {
-        case Seq(UpdateStarAction(None)) => true
-        case _ => false
-      }
-      val notMatchedOk = m.notMatchedActions match {
-        case Seq(InsertStarAction(None)) => true
-        case _ => false
-      }
-      if (!matchedOk || !notMatchedOk || m.notMatchedBySourceActions.nonEmpty)
+      if (m.notMatchedBySourceActions.nonEmpty)
         throw new UnsupportedOperationException(
-          "graft MERGE supports exactly: WHEN MATCHED THEN UPDATE SET * " +
-            "WHEN NOT MATCHED THEN INSERT * (the reference's shape)")
-      GraftMergeCommand(path, m.sourceTable, keyName(m.mergeCondition))
+          "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
+      val matched = m.matchedActions.map {
+        case UpdateStarAction(cond) => GraftUpdateStar(cond)
+        case UpdateAction(cond, assigns, _) =>
+          GraftUpdateSet(cond, assigns.map(a => (assignName(a.key), a.value)))
+        case DeleteAction(cond) => GraftDelete(cond)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN MATCHED action for graft MERGE: $other")
+      }
+      val notMatched = m.notMatchedActions.map {
+        case InsertStarAction(cond) => GraftInsertStar(cond)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED action for graft MERGE: $other " +
+            "(use INSERT *)")
+      }
+      (matched, notMatched) match {
+        // the reference's exact shape keeps its join-free fast path: the
+        // upsert alone IS the merge
+        case (Seq(GraftUpdateStar(None)), Seq(GraftInsertStar(None))) =>
+          GraftMergeCommand(path, m.sourceTable, keyName(m.mergeCondition))
+        case _ =>
+          GraftGeneralMergeCommand(path, keyName(m.mergeCondition),
+            GraftMergeSpecHolder(m.targetTable, m.sourceTable, m.mergeCondition,
+              matched, notMatched))
+      }
   }
 
-  /** The merge condition must be a single equality; both sides must name
-    * the same column (the record key is validated at run time). */
-  private def keyName(cond: Expression): String = cond match {
-    case EqualTo(l, r) =>
-      val ln = attrName(l)
-      val rn = attrName(r)
-      if (ln.isEmpty || ln != rn)
-        throw new UnsupportedOperationException(
-          s"graft MERGE needs ON source.<key> = target.<key>, got $cond")
-      ln.get
-    case other =>
-      throw new UnsupportedOperationException(
-        s"graft MERGE needs a single equality merge condition, got $other")
+  private def assignName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case a: Attribute => a.name
+    case other => throw new UnsupportedOperationException(
+      s"graft MERGE UPDATE SET needs plain column names on the left, got $other")
+  }
+
+  /** The merge condition must contain `source.<key> = target.<key>` as a
+    * top-level conjunct; both sides must name the same column (validated
+    * against the record key at run time). Returns that column name. */
+  private def keyName(cond: Expression): String = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys = conjuncts(cond).collect {
+      case EqualTo(l, r) if attrName(l).nonEmpty && attrName(l) == attrName(r) =>
+        attrName(l).get
+    }
+    keys.headOption.getOrElse(throw new UnsupportedOperationException(
+      s"graft MERGE needs ON source.<key> = target.<key> (optionally AND …), got $cond"))
   }
 
   private def attrName(e: Expression): Option[String] = e match {
@@ -104,8 +141,9 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
   }
 }
 
-/** Eagerly-executed MERGE: materializes the (already analyzed) source plan
-  * and runs the keyed upsert. */
+/** Eagerly-executed MERGE fast path (`UPDATE SET * / INSERT *`, no
+  * conditions): materializes the (already analyzed) source plan and runs
+  * the keyed upsert. */
 case class GraftMergeCommand(path: String, source: LogicalPlan, key: String)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -116,5 +154,128 @@ case class GraftMergeCommand(path: String, source: LogicalPlan, key: String)
       s"MERGE condition column '$key' is not the table key '${table.spec.key}'")
     table.upsert(GraftExpressionBridge.ofRows(spark, source))
     Seq.empty
+  }
+}
+
+/** Opaque holder for the captured (intentionally still-unresolved) merge
+  * plans and clause expressions: TreeNode reflection doesn't traverse a
+  * custom case class, so analysis of the command node doesn't reject the
+  * unresolved source/target references — they resolve at run time against
+  * the re-planned join, exactly like [[GraftMergeCommand]]'s source plan. */
+case class GraftMergeSpecHolder(target: LogicalPlan, source: LogicalPlan,
+    mergeCond: Expression, matched: Seq[GraftMergeAction],
+    notMatched: Seq[GraftMergeAction])
+
+/** Generalized MERGE: left-join source onto the target on the merge
+  * condition (both sides keep the statement's aliases, so clause
+  * expressions resolve as written), compute each row's first-match-wins
+  * disposition and post-image with when() chains, then apply the result as
+  * one keyed upsert plus (if any DELETE clause fired) one keyed delete —
+  * both stats-pruned touched-file rewrites, never a full-table rewrite.
+  * Multiple source rows hitting one key resolve by precombine latest-wins
+  * (Hudi semantics) rather than Delta's multiple-match error. */
+case class GraftGeneralMergeCommand(path: String, key: String,
+    spec: GraftMergeSpecHolder) extends LeafRunnableCommand {
+  import spec.{matched, mergeCond, notMatched, source, target}
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  private def c(e: Expression): Column = GraftExpressionBridge.column(e)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(spark, path)
+    require(table.spec.key.equalsIgnoreCase(key),
+      s"MERGE condition column '$key' is not the table key '${table.spec.key}'")
+    val srcDf = GraftExpressionBridge.ofRows(spark, source)
+    // target side re-planned through its own (aliased) relation so clause
+    // expressions resolve exactly as the user wrote them; meta columns are
+    // part of the relation and stay referencable in clause conditions
+    val tgtDf = GraftExpressionBridge.ofRows(spark, target)
+    def act(a: GraftMergeAction): GraftMerge.Action = a match {
+      case GraftUpdateStar(cond) => GraftMerge.UpdateAll(cond.map(c))
+      case GraftUpdateSet(cond, assigns) =>
+        GraftMerge.UpdateSet(cond.map(c), assigns.map { case (n, e) => (n, c(e)) })
+      case GraftDelete(cond) => GraftMerge.Delete(cond.map(c))
+      case GraftInsertStar(cond) => GraftMerge.InsertAll(cond.map(c))
+    }
+    GraftMerge.execute(table, srcDf, tgtDf, c(mergeCond),
+      matched.map(act), notMatched.map(act))
+    Seq.empty
+  }
+}
+
+/** The generalized MERGE engine, shared by the SQL command and the
+  * programmatic API ([[GraftMerge.execute]]): left-join source onto target
+  * on the merge condition, compute each row's first-match-wins disposition
+  * and post-image with when() chains, then apply the result as one keyed
+  * upsert plus (if any DELETE clause exists) one keyed delete — both
+  * stats-pruned touched-file rewrites, never a full-table rewrite.
+  * Multiple source rows hitting one key resolve by precombine latest-wins
+  * (Hudi semantics) rather than Delta's multiple-match error. */
+object GraftMerge {
+  sealed trait Action { def cond: Option[Column] }
+  case class UpdateAll(cond: Option[Column]) extends Action
+  case class UpdateSet(cond: Option[Column], assigns: Seq[(String, Column)]) extends Action
+  case class Delete(cond: Option[Column]) extends Action
+  case class InsertAll(cond: Option[Column]) extends Action
+
+  /** Programmatic entry: `matched`/`notMatched` clause conditions reference
+    * `srcDf`/`tgtDf` columns (e.g. `srcDf("is_deleted")`). */
+  def execute(table: LakeTable, srcDf: DataFrame, tgtDf0: DataFrame,
+      joinCond: Column, matched: Seq[Action], notMatched: Seq[Action]): Unit = {
+    matched.collect { case UpdateSet(_, assigns) => assigns }.flatten.foreach {
+      case (n, _) => require(!n.equalsIgnoreCase(table.spec.key),
+        s"graft MERGE cannot UPDATE SET the record key '$n'")
+    }
+    val dataCols = table.schema.fieldNames.toSeq
+    val tgtDf = tgtDf0.withColumn("_graft_matched", lit(true))
+    val joined = srcDf.join(tgtDf, joinCond, "left")
+    val isMatched = tgtDf("_graft_matched").isNotNull
+
+    def actionCond(a: Action): Column = a.cond.getOrElse(lit(true))
+
+    // row disposition: first clause whose condition holds, in order
+    val matchedDisp = matched.foldRight(lit("keep")) { (a, acc) =>
+      val tag = a match {
+        case _: Delete => "delete"
+        case _ => "update"
+      }
+      when(actionCond(a), lit(tag)).otherwise(acc)
+    }
+    val notMatchedDisp = notMatched.foldRight(lit("skip")) { (a, acc) =>
+      when(actionCond(a), lit("insert")).otherwise(acc)
+    }
+    val disp = when(isMatched, matchedDisp).otherwise(notMatchedDisp)
+
+    // post-image per data column, aligned with the disposition chain
+    def matchedValue(colName: String): Column =
+      matched.foldRight(tgtDf(colName)) { (a, acc) =>
+        val v = a match {
+          case UpdateAll(_) => srcDf(colName)
+          case UpdateSet(_, assigns) =>
+            assigns.find(_._1.equalsIgnoreCase(colName)).map(_._2)
+              .getOrElse(tgtDf(colName))
+          case _ => tgtDf(colName) // delete: row is filtered by disposition
+        }
+        when(actionCond(a), v).otherwise(acc)
+      }
+    val out = joined.select(
+      (disp.as("_graft_disp") +:
+        dataCols.map(n => when(isMatched, matchedValue(n)).otherwise(srcDf(n)).as(n))): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upserts = out.filter(col("_graft_disp").isin("update", "insert"))
+        .drop("_graft_disp")
+      table.upsert(upserts)
+      if (matched.exists(_.isInstanceOf[Delete])) {
+        val doomed = out.filter(col("_graft_disp") === "delete")
+          .select(col(table.spec.key))
+        table.deleteKeys(doomed)
+        ()
+      }
+    } finally {
+      out.unpersist(blocking = false)
+      ()
+    }
   }
 }

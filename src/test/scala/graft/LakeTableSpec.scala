@@ -103,6 +103,21 @@ class LakeTableSpec extends AnyFunSuite {
     assert(state(t.read()) == goldenFinal)
   }
 
+  test("time-based vacuum keeps versions inside the retention window") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
+    t.upsert(ingest(Envelope.cdc(spark)))
+    val before = countParquet(path)
+    // everything is younger than 1000h: nothing deleted, time travel intact
+    t.vacuum(retainHours = Some(1000.0))
+    assert(countParquet(path) == before)
+    assert(state(t.read(Some(0))) == goldenInitial)
+    // 0h window: only the latest version survives
+    t.vacuum(retainHours = Some(0.0))
+    assert(countParquet(path) < before)
+    assert(state(t.read()) == goldenFinal)
+  }
+
   test("merge with applyDeletes drops tombstoned rows (opt-in extension)") {
     val path = tmp()
     val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))

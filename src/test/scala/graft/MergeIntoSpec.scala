@@ -59,21 +59,79 @@ class MergeIntoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE delta_table")
   }
 
-  test("unsupported MERGE shapes fail loudly, not silently") {
-    val path = Files.createTempDirectory("graft_merge_bad").toString
-    Normalize.flatten(Envelope.backfill(spark)).write.format("graft")
+  /** Register a 3-row table and a 3-row source view for the generalized
+    * clause tests; returns the table name. */
+  def mergeFixture(tag: String): String = {
+    import spark.implicits._
+    val path = Files.createTempDirectory(s"graft_gm_$tag").toString
+    Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+      .toDF("pk_id", "updated_at", "name").write.format("graft")
       .option("key", "pk_id").option("precombine", "updated_at")
       .mode("overwrite").save(path)
-    spark.sql("DROP TABLE IF EXISTS merge_bad")
-    spark.sql(s"CREATE TABLE merge_bad USING graft LOCATION '$path'")
-    Normalize.flatten(Envelope.cdc(spark)).createOrReplaceTempView("temp2")
+    spark.sql(s"DROP TABLE IF EXISTS gm_$tag")
+    spark.sql(s"CREATE TABLE gm_$tag USING graft LOCATION '$path'")
+    Seq((2L, 2L, "b2", true), (3L, 2L, "c2", false), (4L, 2L, "d", false))
+      .toDF("pk_id", "updated_at", "name", "del").createOrReplaceTempView(s"src_$tag")
+    s"gm_$tag"
+  }
+
+  def state(table: String): Seq[(Long, Long, String)] =
+    spark.sql(s"SELECT pk_id, updated_at, name FROM $table ORDER BY pk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+
+  test("WHEN MATCHED AND cond THEN DELETE composes with UPDATE/INSERT, first-match-wins") {
+    val t = mergeFixture("del")
+    spark.sql(
+      s"""MERGE INTO $t target USING src_del source
+         |ON source.pk_id == target.pk_id
+         |WHEN MATCHED AND source.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(state(t) == Seq((1L, 1L, "a"), (3L, 2L, "c2"), (4L, 2L, "d")),
+      "k1 untouched, k2 deleted, k3 updated, k4 inserted")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("column-level UPDATE SET assigns only the named column") {
+    val t = mergeFixture("set")
+    spark.sql(
+      s"""MERGE INTO $t target USING src_set source
+         |ON source.pk_id == target.pk_id
+         |WHEN MATCHED THEN UPDATE SET name = concat(target.name, '+', source.name)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(state(t) == Seq((1L, 1L, "a"), (2L, 1L, "b+b2"), (3L, 1L, "c+c2"), (4L, 2L, "d")),
+      "matched rows keep their precombine, only name is assigned")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("conditional INSERT filters unmatched source rows") {
+    val t = mergeFixture("ins")
+    spark.sql(
+      s"""MERGE INTO $t target USING src_ins source
+         |ON source.pk_id == target.pk_id
+         |WHEN NOT MATCHED AND source.pk_id < 4 THEN INSERT *""".stripMargin)
+    assert(state(t) == Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")),
+      "the only unmatched source row (k4) fails the insert condition; matched rows untouched")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("unsupported MERGE shapes fail loudly, not silently") {
+    val t = mergeFixture("bad")
     val e = intercept[Exception] {
       spark.sql(
-        """MERGE INTO merge_bad target USING temp2 source
-          |ON source.pk_id == target.pk_id
-          |WHEN MATCHED THEN DELETE""".stripMargin)
+        s"""MERGE INTO $t target USING src_bad source
+           |ON source.pk_id == target.pk_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
-    assert(e.getMessage.contains("graft MERGE supports exactly"))
-    spark.sql("DROP TABLE merge_bad")
+    assert(e.getMessage.contains("WHEN NOT MATCHED BY SOURCE"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $t target USING src_bad source
+           |ON source.updated_at > target.updated_at
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("source.<key> = target.<key>"))
+    spark.sql(s"DROP TABLE $t")
   }
 }
