@@ -70,6 +70,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- duplicate clustering -------------------------------------------
+
+  /** Connected components over a near-dup pair graph: every id that appears
+    * in a pair is labeled with the MINIMUM id reachable through pairs — the
+    * "one canonical doc per duplicate cluster" step that turns pairwise
+    * similarity output into a keep/drop decision. Iterative min-label
+    * propagation: each round joins current labels across edges and keeps
+    * the per-node minimum (hash joins + partial-agg min, no windows), and
+    * stops when a round changes nothing. Duplicate clusters are shallow
+    * (LSH emits near-cliques), so rounds ≈ cluster diameter, not corpus
+    * size; every round is one narrow (id, label) shuffle. */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val half = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = half.union(half.select(col("dst"), col("src")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"), col("src").as("label")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        // min label among self and all neighbors
+        val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), col("label"))
+        val next = labels.union(viaEdges)
+          .groupBy("id").agg(min(col("label")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .filter(col("label") < col("old")).limit(1).count()
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("id"), col("label").as("cluster_id"))
+    } finally {
+      edges.unpersist(blocking = false)
+      ()
+    }
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   /** MinHash signature over a (precomputed) shingle-array column: per seed,

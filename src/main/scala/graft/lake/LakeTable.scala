@@ -433,6 +433,20 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     this
   }
 
+  /** Additive schema evolution WITHOUT data (the `ALTER TABLE ADD COLUMNS`
+    * path): a schema-only commit widens the declared schema; existing files
+    * simply surface nulls for the new columns at read (readFiles plans with
+    * the declared schema, no footer merging). */
+  def addColumns(fields: Seq[StructField]): LakeTable = {
+    val declared = schema
+    val dup = fields.map(_.name).filter(n => declared.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
+    writeCommit("evolve",
+      newSchema = Some(StructType(declared.fields ++ fields.map(_.copy(nullable = true))))) {
+      (_, _) => Seq.empty
+    }
+  }
+
   /** Hive-sync analog (S12/S13): register snapshot views in the session
     * catalog — `<name>` for CoW, `<name>_ro`/`<name>_rt` for MoR. */
   def registerViews(name: String): LakeTable = {

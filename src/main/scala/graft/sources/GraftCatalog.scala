@@ -142,10 +142,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft catalog tables is not supported; evolve schemas " +
-        "via upsert(mergeSchema = true)")
+  /** `ALTER TABLE … ADD COLUMNS` → an additive schema-evolution commit
+    * (same mechanism as `upsert(mergeSchema = true)`); other changes are
+    * rejected — graft evolution is additive-only. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = resolvePath(ident).getOrElse(throw new NoSuchTableException(ident))
+    val added = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft supports only ALTER TABLE ADD COLUMNS (additive evolution), got $other")
+    }
+    LakeTable.load(spark, path).addColumns(added)
+    GraftCatalogTable(ident, path, asOf = None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

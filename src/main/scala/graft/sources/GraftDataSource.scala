@@ -31,9 +31,26 @@ import graft.lake.{CommitLog, LakeTable, TableSpec}
   * `graft.lake.LakeTable`.
   */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** Streaming source: `spark.readStream.format("graft").load(path)` tails
+    * the table's commit log — see [[GraftStreamSource]]. */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft stream source needs a path"))
+    (shortName(), schema.getOrElse(GraftStreamSource.schemaFor(ctx, path)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft stream source needs a path"))
+    new GraftStreamSource(ctx, path, parameters)
+  }
 
   /** Streaming sink: each micro-batch flows through the keyed upsert —
     * `df.writeStream.format("graft").option("key", …).option("precombine",

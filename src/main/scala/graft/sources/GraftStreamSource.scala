@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.lake.LakeTable
+
+/** Streaming READ of a graft table — the Delta streaming-source / Hudi
+  * streaming-read capability:
+  *
+  * {{{
+  * spark.readStream.format("graft").load(path)        // full history tail
+  * spark.readStream.format("graft")
+  *   .option("startingVersion", "3").load(path)       // CDC tail from v3
+  * }}}
+  *
+  * Offsets are commit VERSIONS: each micro-batch is
+  * `LakeTable.incremental(start, end]` — the new inserts and post-images of
+  * updates those commits wrote, latest-wins deduped, reading ONLY the files
+  * those commits added (never a full-table scan after the first batch).
+  * That is the property that makes a lake table a usable stream at 100 TB:
+  * batch cost scales with commit churn, not table size. Exactly-once comes
+  * from Structured Streaming's offset log replaying the same (start, end]
+  * version window on recovery; version windows are deterministic.
+  *
+  * `startingVersion` (default -1 = include everything from version 0, like
+  * Delta's full-snapshot-then-tail default; `latest` = only commits after
+  * stream start) bounds the first batch.
+  */
+class GraftStreamSource(ctx: SQLContext, path: String,
+    parameters: Map[String, String]) extends Source {
+
+  private def table: LakeTable = LakeTable.load(ctx.sparkSession, path)
+
+  private val startingVersion: Long =
+    parameters.get("startingVersion").map {
+      case v if v.equalsIgnoreCase("latest") => table.latestVersion
+      case v => v.toLong
+    }.getOrElse(-1L)
+
+  override val schema: StructType = GraftStreamSource.schemaFor(ctx, path)
+
+  override def getOffset: Option[Offset] = {
+    val v = table.latestVersion
+    if (v < 0 || v <= startingVersion) None else Some(LongOffset(v))
+  }
+
+  /** Rows committed in version window `(start, end]`. */
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val s = start.map(_.json.toLong).getOrElse(startingVersion)
+    val e = end.json.toLong
+    val df = table.incremental(s, Some(e))
+    // V1 Source contract: the returned frame must be a streaming plan
+    org.apache.spark.sql.GraftExpressionBridge.internalCreateStreamingDataFrame(
+      ctx.sparkSession, df.queryExecution.toRdd, df.schema)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object GraftStreamSource {
+  def schemaFor(ctx: SQLContext, path: String): StructType = {
+    val t = LakeTable.load(ctx.sparkSession, path)
+    StructType(LakeTable.META_COLS.map(StructField(_, StringType)) ++ t.schema.fields)
+  }
+}

@@ -98,6 +98,17 @@ class ExtSpec extends AnyFunSuite {
     assert(full == bf, "nProbe = numLists must equal brute force")
   }
 
+  test("connected components label chains and cliques with the min reachable id") {
+    import spark.implicits._
+    // a 4-chain (multi-hop propagation), an isolated edge, and a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("id_a", "id_b")
+    val got = graft.ext.Dedup.components(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("IVF list assignment plans shuffle-free (only the final top-k windows)") {
     val queries = emb.filter(col("vec_id") < 20)
     val plan = Similarity.ivfTopK(emb, queries, 5, numLists = 16, nProbe = 6)

@@ -104,6 +104,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(state == golden && state.nonEmpty)
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves the schema additively") {
+    spark.sql("""CREATE TABLE graft.db.evo (k BIGINT, pc BIGINT, v STRING)
+                 USING graft OPTIONS (key 'k', precombine 'pc')""")
+    spark.sql("INSERT INTO graft.db.evo VALUES (1L, 1L, 'a')")
+    spark.sql("ALTER TABLE graft.db.evo ADD COLUMNS (tag STRING)")
+    val pre = spark.sql("SELECT tag FROM graft.db.evo WHERE k = 1").head()
+    assert(pre.isNullAt(0), "pre-evolution rows surface null for the new column")
+    spark.sql("INSERT INTO graft.db.evo VALUES (2L, 1L, 'b', 'new')")
+    val rows = spark.sql("SELECT k, v, tag FROM graft.db.evo ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some("new"))))
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.evo DROP COLUMN v")
+    }
+    assert(e.getMessage.contains("additive"))
+  }
+
   test("managed DROP TABLE removes the table; recreate works") {
     spark.sql("""CREATE TABLE graft.db.tmp (k BIGINT, pc BIGINT) USING graft
                  OPTIONS (key 'k', precombine 'pc')""")

@@ -13,6 +13,60 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("graft streaming source tails commits incrementally (readStream)") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "pc", "v"))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[(Int, String)]]
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += df.select("k", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.toSeq) == Seq(Set((1, "a"), (2, "b"))),
+        "first batch = full snapshot (startingVersion default)")
+      t.upsert(Seq((2, 2L, "b2"), (3, 1L, "c")).toDF("k", "pc", "v"))
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.last) == Set((2, "b2"), (3, "c")),
+        "second batch = only the upsert's post-images (incremental, no re-scan)")
+      t.upsert(Seq((4, 1L, "d")).toDF("k", "pc", "v"))
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.last) == Set((4, "d")))
+      assert(batches.synchronized(batches.size) == 3, "one batch per commit window")
+    } finally q.stop()
+  }
+
+  test("graft streaming source honors startingVersion=latest") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_lv").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a")).toDF("k", "pc", "v"))
+    t.upsert(Seq((2, 1L, "b")).toDF("k", "pc", "v"))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    val q = spark.readStream.format("graft").option("startingVersion", "latest").load(path)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.select("k").collect().map(_.getInt(0)).toSet }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.toSeq).flatten.isEmpty,
+        "history before stream start is skipped")
+      t.upsert(Seq((3, 1L, "c")).toDF("k", "pc", "v"))
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.flatten.toSet) == Set(3))
+    } finally q.stop()
+  }
+
   test("islands sessionization equals native session_window") {
     val islands = SparkEntry.queries("q47_sessionize")(spark, sf)
       .select("user_id", "n_events").collect()
