@@ -17,7 +17,13 @@ import graft.functions.VectorOps._
 object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector. Deterministic
-    * tiebreak on neighbor id. */
+    * tiebreak on neighbor id.
+    *
+    * Scale note: the final per-query top-k is NOT a full-shuffle sort —
+    * Spark's rank-limit pushdown inserts a partial `WindowGroupLimit`
+    * before the exchange, so every map partition forwards at most k rows
+    * per query and the per-query reducer sees ≤ k × partitions rows, not
+    * the corpus (asserted in ExtSpec). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))

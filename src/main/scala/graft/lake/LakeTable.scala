@@ -433,6 +433,33 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     this
   }
 
+  /** Delta `DESCRIBE HISTORY` analog: one row per commit, newest first. */
+  def history: DataFrame = {
+    import spark.implicits._
+    commits.sortBy(-_.version).map { c =>
+      (c.version, c.commitTime, c.operation,
+        c.add.size.toLong, c.remove.size.toLong, c.add.map(_.rows).sum)
+    }.toDF("version", "commit_time", "operation",
+      "n_added_files", "n_removed_files", "n_added_rows")
+  }
+
+  /** Delta `RESTORE TABLE … TO VERSION AS OF v` analog: a new commit whose
+    * live set (and schema) is exactly version `v`'s — no data is copied,
+    * the old files are re-referenced (they must not have been vacuumed).
+    * History is preserved: the restore is itself a commit, and time travel
+    * to the versions in between still works. */
+  def restore(v: Long): LakeTable = {
+    require(v >= 0 && v <= latestVersion, s"no version $v to restore")
+    val target = liveFiles(Some(v))
+    val targetPaths = target.map(_.path).toSet
+    val current = liveFiles(None).map(_.path).toSet
+    writeCommit("restore", newSchema = Some(schemaAt(Some(v)))) { (_, _) =>
+      Seq(WriteResult(
+        add = target.filterNot(a => current.contains(a.path)),
+        remove = (current -- targetPaths).toSeq))
+    }
+  }
+
   /** Additive schema evolution WITHOUT data (the `ALTER TABLE ADD COLUMNS`
     * path): a schema-only commit widens the declared schema; existing files
     * simply surface nulls for the new columns at read (readFiles plans with

@@ -109,6 +109,13 @@ class ExtSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("brute-force top-k gets a partial WindowGroupLimit before the shuffle") {
+    val plan = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Partial") && plan.contains("WindowGroupLimit"),
+      "map-side top-k pushdown must bound what reaches the per-query reducer")
+  }
+
   test("IVF list assignment plans shuffle-free (only the final top-k windows)") {
     val queries = emb.filter(col("vec_id") < 20)
     val plan = Similarity.ivfTopK(emb, queries, 5, numLists = 16, nProbe = 6)

@@ -103,6 +103,22 @@ class LakeTableSpec extends AnyFunSuite {
     assert(state(t.read()) == goldenFinal)
   }
 
+  test("restore re-references an old version's files; history records every commit") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
+    t.upsert(ingest(Envelope.cdc(spark)))
+    assert(state(t.read()) == goldenFinal)
+    t.restore(0)
+    assert(state(t.read()) == goldenInitial, "latest snapshot is version 0's state")
+    assert(state(t.read(Some(1))) == goldenFinal, "in-between versions stay travelable")
+    val ops = t.history.select("version", "operation").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ops == Seq((2L, "restore"), (1L, "upsert"), (0L, "create")))
+    // restore is a real state: upserting on top works
+    t.upsert(ingest(Envelope.cdc(spark)))
+    assert(state(t.read()) == goldenFinal)
+  }
+
   test("time-based vacuum keeps versions inside the retention window") {
     val path = tmp()
     val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
