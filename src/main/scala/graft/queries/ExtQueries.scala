@@ -96,6 +96,18 @@ object ExtQueries {
         |FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Deterministic key-stable train/val/test split (md5 hex-prefix
+    // buckets, engine-portable — oracled row-by-row against DuckDB's md5).
+    "q63_split" -> ((
+      (s: SparkSession, d: String) =>
+        graft.ext.Sampling.deterministicSplit(t(s, d, "documents"))
+          .select("doc_id", "split").orderBy("doc_id"),
+      """SELECT doc_id, CASE
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN 'c' AND 'd' THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Duplicate clustering: connected components over the exact Jaccard
     // pair graph — each doc labeled with its cluster's minimum id (the
     // keep/drop decision). Oracled via DuckDB's recursive CTE (min

@@ -109,6 +109,18 @@ class ExtSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("deterministic split is key-stable, exhaustive, and roughly proportional") {
+    import graft.ext.Sampling
+    val a = Sampling.deterministicSplit(docs).select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = Sampling.deterministicSplit(docs.repartition(7)).select("doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a == b, "assignment must not depend on partitioning")
+    assert(a.values.toSet == Set("train", "val", "test"), "every row lands in a split")
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.65 && frac < 0.85, s"train fraction $frac far from 12/16")
+  }
+
   test("brute-force top-k gets a partial WindowGroupLimit before the shuffle") {
     val plan = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 5)
       .queryExecution.executedPlan.toString
