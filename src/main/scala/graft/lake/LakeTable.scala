@@ -312,36 +312,85 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     *   (Hudi clustering / Delta OPTIMIZE ZORDER analog for the 1-D case):
     *   files get tight, near-disjoint key ranges, so the commit-log min/max
     *   stats prune far more files on later upserts and point lookups. */
+  /** Contested-key merged rewrite set (same shape as realtime()): only keys
+    * present in a log file — or duplicated across base rows (bulk-insert
+    * legacy) — need the dedup shuffle; every other base row passes through
+    * untouched. Contested-key detection is a key-column-only aggregate
+    * (column-pruned scan, map-side partial agg), so rewrite cost scales
+    * with the log/dup volume, not the table size — at 100 TB the
+    * difference between folding a day's updates and re-shuffling the
+    * whole table. */
+  private def mergedRewrite(live: Seq[FileAction]): DataFrame = {
+    val (logActions, baseActions) = live.partition(_.log)
+    val base = readFiles(baseActions, keepWriteId = true)
+    val logs = readFiles(logActions, keepWriteId = true)
+    val logKeys = logs.select(col(spec.key)).distinct()
+    val dupBaseKeys = base.groupBy(col(spec.key)).count()
+      .filter(col("count") > 1).select(col(spec.key))
+    val contestedKeys = logKeys.union(dupBaseKeys).distinct()
+    val passThrough = base.join(contestedKeys, Seq(spec.key), "left_anti")
+    val contested = base.unionByName(logs)
+      .join(contestedKeys, Seq(spec.key), "left_semi")
+    dedupLatest(contested, spec.key, spec.precombine, col(WRITE_ID))
+      .unionByName(passThrough)
+      .drop(WRITE_ID, "_file_name")
+  }
+
   def compact(clusterByKey: Boolean = false, targetFiles: Int = 0): LakeTable = {
     val live = liveFiles(None)
     writeCommit("compact") { (version, _) =>
-      // Contested-key split (same shape as realtime()): only keys present in
-      // a log file — or duplicated across base rows (bulk-insert legacy) —
-      // need the dedup shuffle; every other base row passes through
-      // untouched. Contested-key detection is a key-column-only aggregate
-      // (column-pruned scan, map-side partial agg), so compaction cost
-      // scales with the log/dup volume, not the table size — at 100 TB the
-      // difference between folding a day's updates and re-shuffling the
-      // whole table.
-      val (logActions, baseActions) = live.partition(_.log)
-      val base = readFiles(baseActions, keepWriteId = true)
-      val logs = readFiles(logActions, keepWriteId = true)
-      val logKeys = logs.select(col(spec.key)).distinct()
-      val dupBaseKeys = base.groupBy(col(spec.key)).count()
-        .filter(col("count") > 1).select(col(spec.key))
-      val contestedKeys = logKeys.union(dupBaseKeys).distinct()
-      val passThrough = base.join(contestedKeys, Seq(spec.key), "left_anti")
-      val contested = base.unionByName(logs)
-        .join(contestedKeys, Seq(spec.key), "left_semi")
-      val rt = dedupLatest(contested, spec.key, spec.precombine, col(WRITE_ID))
-        .unionByName(passThrough)
-        .drop(WRITE_ID, "_file_name")
+      val rt = mergedRewrite(live)
       val clustered =
         if (clusterByKey && targetFiles > 0)
           rt.repartitionByRange(targetFiles, col(spec.key)).sortWithinPartitions(col(spec.key))
         else if (clusterByKey)
           rt.repartitionByRange(col(spec.key)).sortWithinPartitions(col(spec.key))
         else rt
+      Seq(writeFiles(clustered, version * WRITE_SLOTS, log = false)
+        .copy(remove = live.map(_.path)))
+    }
+  }
+
+  /** Multi-dimensional clustering rewrite — Delta `OPTIMIZE ZORDER BY`
+    * analog for 2-3 numeric columns: each dimension is bucketed into
+    * `2^bitsPerDim` uniform buckets (bounds from one column-pruned min/max
+    * job), bucket bits are interleaved into a Z-value (pure codegen'd
+    * shift/mask expressions), and the table is range-partitioned + sorted
+    * by it. Files then cover small HYPER-RECTANGLES of the dimension
+    * space, so parquet row-group stats prune scans filtered on ANY of the
+    * clustered columns — the property a 100 TB table needs when queries
+    * filter on more than the record key. */
+  def zorder(cols: Seq[String], targetFiles: Int = 0, bitsPerDim: Int = 8): LakeTable = {
+    require(cols.size >= 2 && cols.size <= 3, "zorder needs 2-3 columns (1-D: compact(clusterByKey))")
+    cols.foreach(c => require(schema.fieldNames.contains(c), s"no column $c"))
+    val live = liveFiles(None)
+    writeCommit("zorder") { (version, _) =>
+      val rt = mergedRewrite(live)
+      val aggExprs = cols.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val bounds = rt.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+      val n = 1 << bitsPerDim
+      val buckets = cols.zipWithIndex.map { case (c, i) =>
+        if (bounds.isNullAt(2 * i) || bounds.getDouble(2 * i) == bounds.getDouble(2 * i + 1))
+          lit(0L)
+        else coalesce(
+          least(width_bucket(col(c).cast("double"),
+            lit(bounds.getDouble(2 * i)), lit(bounds.getDouble(2 * i + 1)), lit(n)),
+            lit(n.toLong)) - 1L,
+          lit(0L))
+      }
+      val z = (0 until bitsPerDim).flatMap { b =>
+        buckets.zipWithIndex.map { case (bucket, d) =>
+          shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * cols.size + d)
+        }
+      }.reduce(_ + _)
+      val zc = "_graft_z"
+      val tagged = rt.withColumn(zc, z)
+      val clustered =
+        (if (targetFiles > 0) tagged.repartitionByRange(targetFiles, col(zc))
+         else tagged.repartitionByRange(col(zc)))
+          .sortWithinPartitions(col(zc))
+          .drop(zc)
       Seq(writeFiles(clustered, version * WRITE_SLOTS, log = false)
         .copy(remove = live.map(_.path)))
     }

@@ -111,6 +111,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(content2 == content)
   }
 
+  test("zorder clustering tightens per-file ranges on BOTH dimensions") {
+    val path = Files.createTempDirectory("graft_zorder").toString
+    val rnd = new scala.util.Random(7)
+    // two independent uniform dimensions — 1-D clustering can never
+    // localize both; z-order localizes each to ~sqrt(files) divisions
+    val rows = (1 to 40000).map(i =>
+      (i, 1L, rnd.nextInt(1000000), rnd.nextInt(1000000)))
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      rows.toDF("k", "pc", "a", "b"), bulkInsert = true)
+    val content = t.read().select("k", "a").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    t.zorder(Seq("a", "b"), targetFiles = 16)
+    assert(t.read().select("k", "a").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      == content, "zorder must not change contents")
+
+    val conf = spark.sessionState.newHadoopConf()
+    val dataDir = new org.apache.hadoop.fs.Path(path, "data").toString
+    val files = CommitLog.liveFiles(path, None, conf)
+    assert(files.size > 4, s"want several files, got ${files.size}")
+    def avgWidth(c: String): Double = {
+      val widths = files.map { f =>
+        val (_, mn, mx) = graft.lake.FooterStats.keyStats(
+          new org.apache.hadoop.fs.Path(s"$dataDir/${f.path}"), conf, c)
+        (mx.toDouble - mn.toDouble) / 1000000.0
+      }
+      widths.sum / widths.size
+    }
+    val (wa, wb) = (avgWidth("a"), avgWidth("b"))
+    assert(wa < 0.5 && wb < 0.5,
+      s"z-order should localize both dims (~0.25 ideal at 16 files), got a=$wa b=$wb")
+  }
+
   test("upsert touching hundreds of files rewrites them correctly (join-based selection)") {
     val path = Files.createTempDirectory("graft_many").toString
     val base = (1 to 30000).map(i => (i, 1L, s"v$i")).toDF("k", "pc", "payload")
