@@ -446,6 +446,30 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     ordered(recent, Some(upTo))
   }
 
+  /** Delta change-data-feed-style read: every change in `(since, asOf]`
+    * tagged with `_change_type` ∈ insert / update_postimage / delete.
+    * Post-images come from [[incremental]] (reads only the window's added
+    * files); insert-vs-update discrimination and delete detection each
+    * cost one KEY-COLUMN-ONLY snapshot scan (column-pruned parquet reads —
+    * bounded, but not free; a write-side change log would amortize this,
+    * at the price of putting work on every commit's hot path). Delete rows
+    * carry the key and null data columns, like Delta's CDF delete rows. */
+  def changes(since: Long, asOf: Option[Long] = None): DataFrame = {
+    val upTo = asOf.getOrElse(latestVersion)
+    val post = incremental(since, Some(upTo))
+    val preKeys = readFiles(liveFiles(Some(since)), asOf = Some(since))
+      .select(col(spec.key)).distinct()
+    val tagged = post.join(preKeys.withColumn("_pre", lit(true)), Seq(spec.key), "left")
+      .withColumn("_change_type",
+        when(col("_pre").isNotNull, "update_postimage").otherwise("insert"))
+      .drop("_pre")
+    val nowKeys = readFiles(liveFiles(Some(upTo)), asOf = Some(upTo))
+      .select(col(spec.key)).distinct()
+    val deleted = preKeys.join(nowKeys, Seq(spec.key), "left_anti")
+      .withColumn("_change_type", lit("delete"))
+    tagged.unionByName(deleted, allowMissingColumns = true)
+  }
+
   /** Physically delete files not live in the `retainVersions` most recent
     * versions (M1) — or, when `retainHours` is set, not live in any version
     * committed within that many hours of the latest commit (Delta's

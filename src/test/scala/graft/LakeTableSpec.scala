@@ -103,6 +103,30 @@ class LakeTableSpec extends AnyFunSuite {
     assert(state(t.read()) == goldenFinal)
   }
 
+  test("changes() tags inserts, update post-images, and deletes over a version window") {
+    import spark.implicits._
+    val path = tmp()
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a"), (2, 1L, "b"), (3, 1L, "c")).toDF("k", "pc", "v"))
+    t.upsert(Seq((2, 2L, "b2"), (4, 1L, "d")).toDF("k", "pc", "v")) // v1
+    t.delete(org.apache.spark.sql.functions.col("k") === 1)         // v2
+    val got = t.changes(0).select("k", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(got == Set(
+      (2, Some("b2"), "update_postimage"),
+      (4, Some("d"), "insert"),
+      (1, None, "delete")), s"got $got")
+    // windowed: only v2's change
+    val w = t.changes(1).select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(w == Set((1, "delete")))
+    // deleted-then-reinserted key surfaces as its post-image, not a delete
+    t.upsert(Seq((1, 3L, "a3")).toDF("k", "pc", "v"))
+    val re = t.changes(2).select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(re == Set((1, "insert")))
+  }
+
   test("restore re-references an old version's files; history records every commit") {
     val path = tmp()
     val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
