@@ -225,7 +225,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * meta columns + the declared data schema from the commit log (time-travel
   * loads report the schema as of that version). */
 case class GraftCatalogTable(ident: Identifier, path: String, asOf: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
   @transient private lazy val lake: LakeTable = LakeTable.load(spark, path)
@@ -254,6 +254,20 @@ case class GraftCatalogTable(ident: Identifier, path: String, asOf: Option[Long]
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.ACCEPT_ANY_SCHEMA)
+
+  /** SQL `DELETE FROM graft.db.t WHERE …` → the stats-pruned touched-file
+    * rewrite. Only filters we can translate are accepted (canDeleteWhere),
+    * so unsupported conditions fail at analysis, never silently delete. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftRelation.toColumnStatic(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond = filters.flatMap(GraftRelation.toColumnStatic)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    lake.delete(cond)
+    ()
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, asOf, schema())

@@ -121,6 +121,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("additive"))
   }
 
+  test("DELETE FROM removes matching rows through the catalog") {
+    spark.sql("""CREATE TABLE graft.db.del (k BIGINT, pc BIGINT, v STRING)
+                 USING graft OPTIONS (key 'k', precombine 'pc')""")
+    spark.sql("INSERT INTO graft.db.del VALUES (1L,1L,'a'), (2L,1L,'b'), (3L,1L,'c')")
+    spark.sql("DELETE FROM graft.db.del WHERE k = 2 OR v = 'c'")
+    val left = spark.sql("SELECT k FROM graft.db.del").collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L))
+  }
+
+  test("CREATE TABLE AS SELECT materializes through the catalog") {
+    spark.sql("""CREATE TABLE graft.db.ctas USING graft
+                 OPTIONS (key 'k', precombine 'pc')
+                 AS SELECT CAST(id AS BIGINT) AS k, 1L AS pc,
+                           concat('v', id) AS v FROM range(5)""")
+    val rows = spark.sql("SELECT k, v FROM graft.db.ctas ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == (0 until 5).map(i => (i.toLong, s"v$i")))
+  }
+
   test("managed DROP TABLE removes the table; recreate works") {
     spark.sql("""CREATE TABLE graft.db.tmp (k BIGINT, pc BIGINT) USING graft
                  OPTIONS (key 'k', precombine 'pc')""")
