@@ -254,6 +254,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * condition (e.g. a null flag after additive schema evolution) keeps the
     * row, matching Delta DELETE semantics. */
   def delete(cond: Column): LakeTable = {
+    // MoR with outstanding logs: a touched LOG file's surviving rows would
+    // be rewritten as BASE rows next to the old base rows for the same
+    // keys (duplicates), and untouched logs would lose precombine-tie
+    // priority to the rewrite's newer write-id. Folding the logs first
+    // (same guard optimize() uses) makes the rewrite well-defined.
+    if (spec.mor && liveFiles(None).exists(_.log)) compact()
     val live = liveFiles(None)
     writeCommit("delete") { (version, _) =>
       // detection pass: column-pruned to cond's columns + the file name
@@ -280,6 +286,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * those with an anti-join — no driver-side key list, no literal `isin`,
     * so the plan is O(1) in both key count and file count. */
   def deleteKeys(keys: DataFrame): LakeTable = {
+    if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
     val live = liveFiles(None)
     val k = keys.select(col(spec.key)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -96,6 +96,67 @@ object ExtQueries {
         |FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Avro batch scan (S1): nation written to Avro (driver-side, tiny dim
+    // table), read back through graft's bundled-avro reader, oracled
+    // against the parquet original — proves schema mapping + decode.
+    "q64_avro_roundtrip" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.avro.{Schema => ASchema}
+        import org.apache.avro.file.DataFileWriter
+        import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+        val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_avro_q",
+          s"nation_${d.replaceAll("[^a-z0-9.]", "_")}")
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+        Files.createDirectories(dir)
+        val schema = new ASchema.Parser().parse(
+          """{"type":"record","name":"nation","fields":[
+            |{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"string"},
+            |{"name":"n_regionkey","type":"int"}]}""".stripMargin)
+        val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, dir.resolve("nation.avro").toFile)
+        t(s, d, "nation").orderBy("n_nationkey").collect().foreach { r =>
+          val rec = new GenericData.Record(schema)
+          rec.put("n_nationkey", r.getInt(0)); rec.put("n_name", r.getString(1))
+          rec.put("n_regionkey", r.getInt(2))
+          w.append(rec)
+        }
+        w.close()
+        graft.sources.AvroSource.read(s, dir.toString + "/*.avro")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // DSv2 catalog end-to-end (S13/D1-D7): CTAS + INSERT upsert + SELECT
+    // through `graft.sources.GraftCatalog` identifiers, oracled in SQL.
+    "q65_catalog_sql" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = math.abs(d.hashCode).toString
+        val wh = Paths.get(System.getProperty("java.io.tmpdir"), "graft_cat_q", tag)
+        if (Files.exists(wh))
+          Files.walk(wh).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+        Files.createDirectories(wh)
+        val cat = s"graft_q$tag" // catalog instances cache their options
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+        t(s, d, "region").createOrReplaceTempView("q65_region")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q65")
+        s.sql(s"""CREATE TABLE $cat.q65.r USING graft
+                  OPTIONS (key 'r_regionkey', precombine 'r_regionkey')
+                  AS SELECT * FROM q65_region""")
+        s.sql(s"""INSERT INTO $cat.q65.r
+                  SELECT r_regionkey + 100 AS r_regionkey, r_name
+                  FROM q65_region""")
+        s.sql(s"SELECT r_regionkey, r_name FROM $cat.q65.r ORDER BY r_regionkey")
+      },
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT r_regionkey + 100, r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin)),
+
     // Deterministic key-stable train/val/test split (md5 hex-prefix
     // buckets, engine-portable — oracled row-by-row against DuckDB's md5).
     "q63_split" -> ((

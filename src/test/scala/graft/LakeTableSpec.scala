@@ -103,6 +103,20 @@ class LakeTableSpec extends AnyFunSuite {
     assert(state(t.read()) == goldenFinal)
   }
 
+  test("delete on MoR with outstanding logs folds them first — no duplicate keys") {
+    import spark.implicits._
+    val path = tmp()
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc", mor = true),
+      Seq((1, 1L, "a"), (2, 1L, "b"), (3, 1L, "c")).toDF("k", "pc", "v"))
+    t.upsert(Seq((1, 2L, "a2"), (2, 2L, "b2")).toDF("k", "pc", "v")) // → log files
+    t.delete(org.apache.spark.sql.functions.col("k") === 3)
+    val rows = t.read().select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.length == rows.map(_._1).distinct.length, s"duplicate keys: ${rows.toSeq}")
+    assert(rows.toSet == Set((1, "a2"), (2, "b2")),
+      "log post-images survive the delete, k=3 gone")
+  }
+
   test("changes() tags inserts, update post-images, and deletes over a version window") {
     import spark.implicits._
     val path = tmp()
