@@ -259,9 +259,14 @@ object GraftMerge {
         }
         when(actionCond(a), v).otherwise(acc)
       }
+    // with no INSERT clause the source may lack table columns — the
+    // unmatched branch is never kept (disposition "skip"), so don't
+    // reference source columns it doesn't have
+    val unmatchedValue: String => Column =
+      if (notMatched.isEmpty) n => tgtDf(n) else n => srcDf(n)
     val out = joined.select(
       (disp.as("_graft_disp") +:
-        dataCols.map(n => when(isMatched, matchedValue(n)).otherwise(srcDf(n)).as(n))): _*)
+        dataCols.map(n => when(isMatched, matchedValue(n)).otherwise(unmatchedValue(n)).as(n))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val upserts = out.filter(col("_graft_disp").isin("update", "insert"))

@@ -45,6 +45,35 @@ class LakePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("general merge (unconditional UPDATE */INSERT *) ≡ plain upsert on random batches") {
+    import graft.sql.GraftMerge
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(400 + trial)
+      val base = genBatch(rnd, 50, 20, 0)
+      val b = genBatch(rnd, 30, 30, 2000000) // hits existing + new keys
+      val t1 = LakeTable.create(spark, tmp(), specCow, df(base)); t1.upsert(df(b))
+      val t2 = LakeTable.create(spark, tmp(), specCow, df(base))
+      val src = df(b)
+      val tgt = t2.read()
+      GraftMerge.execute(t2, src, tgt, src("k") === tgt("k"),
+        matched = Seq(GraftMerge.UpdateAll(None)),
+        notMatched = Seq(GraftMerge.InsertAll(None)))
+      assert(state(t1) == state(t2), s"trial $trial")
+    }
+  }
+
+  test("update-only merge with a partial-column source leaves unmatched rows alone") {
+    import graft.sql.GraftMerge
+    val t = LakeTable.create(spark, tmp(), specCow,
+      df(Seq(Rec(1, 1L, "a"), Rec(2, 1L, "b"))))
+    val src = Seq((1, "A")).toDF("k", "newp") // no pc/payload columns
+    val tgt = t.read()
+    GraftMerge.execute(t, src, tgt, src("k") === tgt("k"),
+      matched = Seq(GraftMerge.UpdateSet(None, Seq("payload" -> src("newp")))),
+      notMatched = Seq.empty)
+    assert(state(t) == Set((1, 1L, "A"), (2, 1L, "b")))
+  }
+
   test("upsert(b1 ++ b2) ≡ upsert(b1); upsert(b2) when precombine is totally ordered") {
     (1 to 3).foreach { trial =>
       val rnd = new scala.util.Random(200 + trial)
