@@ -280,6 +280,41 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Row-level UPDATE (Delta `UPDATE t SET … WHERE …`): rewrite only the
+    * files holding rows where `cond` is definitively true, applying
+    * `assigns` to those rows and passing every other row of the touched
+    * files through unchanged. Same stats/detection shape as [[delete]]:
+    * detection is column-pruned, the rewrite re-scans only touched files,
+    * and rows with a NULL-evaluating condition are left untouched. */
+  def update(cond: Column, assigns: Map[String, Column]): LakeTable = {
+    val declared = schema
+    assigns.keys.foreach { n =>
+      require(declared.fieldNames.exists(_.equalsIgnoreCase(n)), s"no column $n")
+      require(!n.equalsIgnoreCase(spec.key), s"cannot UPDATE the record key '$n'")
+    }
+    if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
+    val live = liveFiles(None)
+    writeCommit("update") { (version, _) =>
+      val touched = readFiles(live)
+        .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
+        .filter(cond).select("_rel_file").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touched.isEmpty) Seq.empty
+      else {
+        val touchedSet = touched.toSet
+        val hit = coalesce(cond, lit(false))
+        val base = readFiles(live.filter(a => touchedSet.contains(a.path)))
+        val rewritten = assigns.foldLeft(base) { case (df, (n, v)) =>
+          val target = declared.fieldNames.find(_.equalsIgnoreCase(n)).get
+          df.withColumn(target,
+            when(hit, v.cast(declared(target).dataType)).otherwise(col(target)))
+        }.drop("_file_name")
+        Seq(writeFiles(rewritten, version * WRITE_SLOTS, log = false)
+          .copy(remove = touched))
+      }
+    }
+  }
+
   /** Row-level delete by KEY SET (the `WHEN MATCHED … THEN DELETE` MERGE
     * path): stats-prune candidate files against the key range, narrow to
     * files actually holding a doomed key via a semi-join, rewrite only

@@ -187,6 +187,23 @@ object LakeQueries {
         |       CAST(epoch(o_orderdate) AS BIGINT) FROM ins
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Row-level UPDATE (Delta UPDATE ... SET ... WHERE): touched-file
+    // rewrite applying assignments only to definitively-matching rows.
+    "q66_row_update" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"update_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        tbl.update(col("o_orderkey") % 9 === 0, Map(
+          "o_orderstatus" -> lit("X"),
+          "o_totalprice" -> (col("o_totalprice") * 2.0)))
+        proj(tbl.read())
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 9 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Precombine competition on real duplicates: events keyed by user_id,
     // precombine ts_us; create from 1st half, upsert 2nd → global latest.
     "q26_lake_upsert_latest" -> ((

@@ -95,6 +95,18 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
             GraftMergeSpecHolder(m.targetTable, m.sourceTable, m.mergeCondition,
               matched, notMatched))
       }
+
+    // Delta-style row-level SQL DML on graft targets (the V2 catalog path
+    // has SupportsDelete; this rule also serves V1 `USING graft` tables).
+    // Clause expressions use plain column names (the table's own schema).
+    case u: UpdateTable if graftPath(u.table).isDefined =>
+      GraftUpdateCommand(graftPath(u.table).get,
+        GraftDmlHolder(u.condition,
+          u.assignments.map(a => (assignName(a.key), a.value))))
+
+    case dl: DeleteFromTable if graftPath(dl.table).isDefined =>
+      GraftDeleteCommand(graftPath(dl.table).get,
+        GraftDmlHolder(Some(dl.condition), Seq.empty))
   }
 
   private def assignName(e: Expression): String = e match {
@@ -138,6 +150,34 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
         case _ => None
       }
     case _ => None
+  }
+}
+
+/** Opaque holder for UPDATE/DELETE clause expressions (see
+  * [[GraftMergeSpecHolder]] for why they must hide from TreeNode). */
+case class GraftDmlHolder(cond: Option[Expression],
+    assigns: Seq[(String, Expression)])
+
+/** `UPDATE t SET … WHERE …` → touched-file rewrite via LakeTable.update. */
+case class GraftUpdateCommand(path: String, holder: GraftDmlHolder)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(spark, path)
+    val cond = holder.cond.map(GraftExpressionBridge.column).getOrElse(lit(true))
+    table.update(cond, holder.assigns.map {
+      case (n, e) => n -> GraftExpressionBridge.column(e)
+    }.toMap)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE …` → touched-file rewrite via LakeTable.delete. */
+case class GraftDeleteCommand(path: String, holder: GraftDmlHolder)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(spark, path)
+    table.delete(holder.cond.map(GraftExpressionBridge.column).getOrElse(lit(true)))
+    Seq.empty
   }
 }
 

@@ -115,6 +115,19 @@ class MergeIntoSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("SQL UPDATE and DELETE FROM run against a V1 graft table") {
+    val t = mergeFixture("dml")
+    spark.sql(s"UPDATE $t SET name = concat(name, '!') WHERE pk_id = 2")
+    assert(state(t) == Seq((1L, 1L, "a"), (2L, 1L, "b!"), (3L, 1L, "c")))
+    spark.sql(s"DELETE FROM $t WHERE name = 'c'")
+    assert(state(t) == Seq((1L, 1L, "a"), (2L, 1L, "b!")))
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $t SET pk_id = 9 WHERE name = 'a'")
+    }
+    assert(e.getMessage.contains("record key"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("unsupported MERGE shapes fail loudly, not silently") {
     val t = mergeFixture("bad")
     val e = intercept[Exception] {
