@@ -95,9 +95,20 @@ object Dedup {
         // min label among self and all neighbors
         val viaEdges = edges.join(labels, edges("dst") === labels("id"))
           .select(edges("src").as("id"), col("label"))
-        val next = labels.union(viaEdges)
+        val hopped = labels.union(viaEdges)
           .groupBy("id").agg(min(col("label")).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // pointer jump (label ← label's label): halves chain distance each
+        // round, so convergence is O(log diameter) — a simple hop-only
+        // propagation moves one step per round and long chains would hit
+        // maxIters
+        val l2 = hopped.select(col("id").as("j_id"), col("label").as("j_label"))
+        // localCheckpoint truncates lineage — the hop + self-join doubles
+        // the logical plan every round, and without truncation planning
+        // cost (not data) becomes the bottleneck after ~10 rounds
+        val next = hopped.join(l2, hopped("label") === l2("j_id"), "left")
+          .select(hopped("id"),
+            least(hopped("label"), coalesce(col("j_label"), hopped("label"))).as("label"))
+          .localCheckpoint(true)
         val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
           .filter(col("label") < col("old")).limit(1).count()
         labels.unpersist(blocking = false)
@@ -105,6 +116,8 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
+      require(converged,
+        s"components did not converge in $maxIters rounds — raise maxIters")
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally {
       edges.unpersist(blocking = false)

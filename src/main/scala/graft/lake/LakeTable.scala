@@ -294,7 +294,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
     if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
     val live = liveFiles(None)
-    writeCommit("update") { (version, _) =>
+    writeCommit("update") { (version, commitTime) =>
       val touched = readFiles(live)
         .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
         .filter(cond).select("_rel_file").distinct()
@@ -304,12 +304,26 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val touchedSet = touched.toSet
         val hit = coalesce(cond, lit(false))
         val base = readFiles(live.filter(a => touchedSet.contains(a.path)))
-        val rewritten = assigns.foldLeft(base) { case (df, (n, v)) =>
-          val target = declared.fieldNames.find(_.equalsIgnoreCase(n)).get
-          df.withColumn(target,
-            when(hit, v.cast(declared(target).dataType)).otherwise(col(target)))
-        }.drop("_file_name")
-        Seq(writeFiles(rewritten, version * WRITE_SLOTS, log = false)
+        // ONE projection against the PRE-update row: the condition and
+        // every assignment RHS see original values (standard UPDATE
+        // semantics — `SET a = b, b = a` swaps; sequential withColumn
+        // would let later assignments observe earlier ones). Updated rows
+        // are restamped so incremental/changes/streaming consumers see
+        // this commit's post-images.
+        val outCols = base.columns.filterNot(_ == "_file_name").map { c =>
+          assigns.find(_._1.equalsIgnoreCase(c)) match {
+            case Some((_, v)) =>
+              when(hit, v.cast(declared(c).dataType)).otherwise(col(c)).as(c)
+            case None if c == "_commit_time" =>
+              when(hit, lit(commitTime)).otherwise(col(c)).as(c)
+            case None if c == "_commit_seqno" =>
+              when(hit, concat_ws("_", lit(commitTime),
+                spark_partition_id().cast(StringType),
+                monotonically_increasing_id().cast(StringType))).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }
+        Seq(writeFiles(base.select(outCols.toSeq: _*), version * WRITE_SLOTS, log = false)
           .copy(remove = touched))
       }
     }
@@ -415,11 +429,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val buckets = cols.zipWithIndex.map { case (c, i) =>
         if (bounds.isNullAt(2 * i) || bounds.getDouble(2 * i) == bounds.getDouble(2 * i + 1))
           lit(0L)
-        else coalesce(
-          least(width_bucket(col(c).cast("double"),
-            lit(bounds.getDouble(2 * i)), lit(bounds.getDouble(2 * i + 1)), lit(n)),
-            lit(n.toLong)) - 1L,
-          lit(0L))
+        else
+          // explicit null branch: least() SKIPS nulls, so a bare
+          // least(width_bucket(null,…), n) would land nulls in the TOP
+          // bucket instead of the bottom one
+          when(col(c).isNull, lit(0L)).otherwise(
+            least(width_bucket(col(c).cast("double"),
+              lit(bounds.getDouble(2 * i)), lit(bounds.getDouble(2 * i + 1)), lit(n)),
+              lit(n.toLong)) - 1L)
       }
       val z = (0 until bitsPerDim).flatMap { b =>
         buckets.zipWithIndex.map { case (bucket, d) =>

@@ -53,6 +53,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
       new Path(spark.sessionState.conf.warehousePath, "graft_catalog").toString)
+    // the advertised default namespace must exist from the start — `USE
+    // graft; SHOW TABLES` is the first thing every catalog user runs
+    val dflt = new Path((warehouse +: defaultNamespace().toSeq).mkString("/"))
+    dflt.getFileSystem(hconf).mkdirs(dflt)
+    ()
   }
 
   override def name(): String = catalogName

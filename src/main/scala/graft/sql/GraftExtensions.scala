@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit, when, xxhash64}
 
 import graft.lake.LakeTable
 import graft.sources.GraftRelation
@@ -96,17 +96,35 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
               matched, notMatched))
       }
 
-    // Delta-style row-level SQL DML on graft targets (the V2 catalog path
-    // has SupportsDelete; this rule also serves V1 `USING graft` tables).
-    // Clause expressions use plain column names (the table's own schema).
+    // Delta-style row-level SQL DML on graft targets. Conditions may
+    // arrive with attributes already resolved against the statement's
+    // relation — strip them back to names (the command re-resolves against
+    // its own table scan, whose attribute ids differ).
     case u: UpdateTable if graftPath(u.table).isDefined =>
       GraftUpdateCommand(graftPath(u.table).get,
-        GraftDmlHolder(u.condition,
-          u.assignments.map(a => (assignName(a.key), a.value))))
+        GraftDmlHolder(u.condition.map(unresolve),
+          u.assignments.map(a => (assignName(a.key), unresolve(a.value)))))
 
-    case dl: DeleteFromTable if graftPath(dl.table).isDefined =>
-      GraftDeleteCommand(graftPath(dl.table).get,
-        GraftDmlHolder(Some(dl.condition), Seq.empty))
+    // DELETE: V2 catalog tables already route through SupportsDelete
+    // (with canDeleteWhere analysis-time rejection) — intercept only the
+    // V1 `USING graft` relations Spark can't handle natively.
+    case dl: DeleteFromTable if graftV1Path(dl.table).isDefined =>
+      GraftDeleteCommand(graftV1Path(dl.table).get,
+        GraftDmlHolder(Some(unresolve(dl.condition)), Seq.empty))
+  }
+
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: Attribute => UnresolvedAttribute(a.name)
+  }
+
+  /** Like [[graftPath]] but only for V1 relations (session-catalog
+    * `USING graft` tables). */
+  private def graftV1Path(t: LogicalPlan): Option[String] = t match {
+    case SubqueryAlias(_, child) => graftV1Path(child)
+    case UnresolvedCatalogRelation(tbl, _, _) if tbl.provider.exists(_.equalsIgnoreCase("graft")) =>
+      tbl.storage.locationUri.map(u => new Path(u).toString)
+    case LogicalRelation(rel: GraftRelation, _, _, _, _) => Some(rel.path)
+    case _ => None
   }
 
   private def assignName(e: Expression): String = e match {
@@ -117,9 +135,10 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
   }
 
   /** The merge condition must contain `source.<key> = target.<key>` as a
-    * top-level conjunct; both sides must name the same column (validated
-    * against the record key at run time). Returns that column name. */
-  private def keyName(cond: Expression): String = {
+    * top-level conjunct; both sides must name the same column. Returns ALL
+    * candidate column names — which one is the record key is only known at
+    * run time, so the command accepts any match. */
+  private def keyName(cond: Expression): Seq[String] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
         conjuncts(l) ++ conjuncts(r)
@@ -129,8 +148,9 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
       case EqualTo(l, r) if attrName(l).nonEmpty && attrName(l) == attrName(r) =>
         attrName(l).get
     }
-    keys.headOption.getOrElse(throw new UnsupportedOperationException(
-      s"graft MERGE needs ON source.<key> = target.<key> (optionally AND …), got $cond"))
+    if (keys.isEmpty) throw new UnsupportedOperationException(
+      s"graft MERGE needs ON source.<key> = target.<key> (optionally AND …), got $cond")
+    keys
   }
 
   private def attrName(e: Expression): Option[String] = e match {
@@ -184,14 +204,14 @@ case class GraftDeleteCommand(path: String, holder: GraftDmlHolder)
 /** Eagerly-executed MERGE fast path (`UPDATE SET * / INSERT *`, no
   * conditions): materializes the (already analyzed) source plan and runs
   * the keyed upsert. */
-case class GraftMergeCommand(path: String, source: LogicalPlan, key: String)
+case class GraftMergeCommand(path: String, source: LogicalPlan, keys: Seq[String])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val table = LakeTable.load(spark, path)
-    require(table.spec.key.equalsIgnoreCase(key),
-      s"MERGE condition column '$key' is not the table key '${table.spec.key}'")
+    require(keys.exists(_.equalsIgnoreCase(table.spec.key)),
+      s"MERGE condition columns ${keys.mkString(",")} do not include the table key '${table.spec.key}'")
     table.upsert(GraftExpressionBridge.ofRows(spark, source))
     Seq.empty
   }
@@ -214,7 +234,7 @@ case class GraftMergeSpecHolder(target: LogicalPlan, source: LogicalPlan,
   * both stats-pruned touched-file rewrites, never a full-table rewrite.
   * Multiple source rows hitting one key resolve by precombine latest-wins
   * (Hudi semantics) rather than Delta's multiple-match error. */
-case class GraftGeneralMergeCommand(path: String, key: String,
+case class GraftGeneralMergeCommand(path: String, keys: Seq[String],
     spec: GraftMergeSpecHolder) extends LeafRunnableCommand {
   import spec.{matched, mergeCond, notMatched, source, target}
 
@@ -224,8 +244,8 @@ case class GraftGeneralMergeCommand(path: String, key: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val table = LakeTable.load(spark, path)
-    require(table.spec.key.equalsIgnoreCase(key),
-      s"MERGE condition column '$key' is not the table key '${table.spec.key}'")
+    require(keys.exists(_.equalsIgnoreCase(table.spec.key)),
+      s"MERGE condition columns ${keys.mkString(",")} do not include the table key '${table.spec.key}'")
     val srcDf = GraftExpressionBridge.ofRows(spark, source)
     // target side re-planned through its own (aliased) relation so clause
     // expressions resolve exactly as the user wrote them; meta columns are
@@ -304,13 +324,24 @@ object GraftMerge {
     // reference source columns it doesn't have
     val unmatchedValue: String => Column =
       if (notMatched.isEmpty) n => tgtDf(n) else n => srcDf(n)
-    val out = joined.select(
-      (disp.as("_graft_disp") +:
+    // the SOURCE row's precombine decides which of several same-key source
+    // rows acts (latest-wins) — the post-image's precombine can be the
+    // target's (column-level UPDATE SET) and must not enter this contest
+    val srcPc: Column =
+      if (srcDf.columns.contains(table.spec.precombine)) srcDf(table.spec.precombine)
+      else tgtDf(table.spec.precombine)
+    val out0 = joined.select(
+      (disp.as("_graft_disp") +: srcPc.as("_graft_spc") +:
         dataCols.map(n => when(isMatched, matchedValue(n)).otherwise(unmatchedValue(n)).as(n))): _*)
+    // per-key resolution BEFORE applying anything: with multiple source
+    // rows per key, the greatest source precombine's clause wins — a stale
+    // DELETE row must not override a newer UPDATE (and vice versa)
+    val out = LakeTable.dedupLatest(out0, table.spec.key, "_graft_spc",
+      xxhash64(out0.columns.map(col).toSeq: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val upserts = out.filter(col("_graft_disp").isin("update", "insert"))
-        .drop("_graft_disp")
+        .drop("_graft_disp", "_graft_spc")
       table.upsert(upserts)
       if (matched.exists(_.isInstanceOf[Delete])) {
         val doomed = out.filter(col("_graft_disp") === "delete")

@@ -109,6 +109,15 @@ class ExtSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components converge on a long chain (pointer jumping)") {
+    import spark.implicits._
+    // diameter 60 ≫ the round cap — hop-only propagation would fail here
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.ext.Dedup.components(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 60 && got.values.forall(_ == 1L))
+  }
+
   test("deterministic split is key-stable, exhaustive, and roughly proportional") {
     import graft.ext.Sampling
     val a = Sampling.deterministicSplit(docs).select("doc_id", "split").collect()

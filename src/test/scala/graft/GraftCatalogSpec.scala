@@ -45,6 +45,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(meta.getString(0) == "3")
   }
 
+  test("USE graft; SHOW TABLES works before any namespace is created") {
+    spark.sql("USE graft")
+    try {
+      assert(spark.sql("SHOW TABLES").collect().isEmpty,
+        "default namespace lists empty, not NoSuchNamespace")
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("SHOW TABLES and SHOW CREATE TABLE render the catalog table") {
     val tables = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet
     assert(tables.contains("users"))

@@ -117,6 +117,35 @@ class LakeTableSpec extends AnyFunSuite {
       "log post-images survive the delete, k=3 gone")
   }
 
+  test("update() evaluates condition and assignments against pre-update values") {
+    import spark.implicits._
+    val path = tmp()
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a", "b"), (2, 1L, "x", "y")).toDF("k", "pc", "c1", "c2"))
+    // swap c1/c2 where c1='a' — sequential assignment would set both to 'b'
+    t.update(org.apache.spark.sql.functions.col("c1") === "a",
+      Map("c1" -> org.apache.spark.sql.functions.col("c2"),
+        "c2" -> org.apache.spark.sql.functions.col("c1")))
+    val rows = t.read().select("k", "c1", "c2").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1, "b", "a"), (2, "x", "y")))
+  }
+
+  test("update() restamps commit time so incremental and changes() see post-images") {
+    import spark.implicits._
+    val path = tmp()
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "pc", "v"))
+    t.update(org.apache.spark.sql.functions.col("k") === 2,
+      Map("v" -> org.apache.spark.sql.functions.lit("b2")))
+    val inc = t.incremental(0).select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(inc == Set((2, "b2")), s"incremental must carry the UPDATE post-image, got $inc")
+    val ch = t.changes(0).select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(ch == Set((2, "update_postimage")))
+  }
+
   test("changes() tags inserts, update post-images, and deletes over a version window") {
     import spark.implicits._
     val path = tmp()

@@ -115,6 +115,38 @@ class MergeIntoSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("latest source row per key decides the action (stale DELETE loses to newer UPDATE)") {
+    import spark.implicits._
+    val t = mergeFixture("multi")
+    // key 2: newer update (pc=9) vs stale delete (pc=5); key 3: newer delete
+    Seq((2L, 9L, "b9", false), (2L, 5L, "junk", true),
+        (3L, 9L, "junk", true), (3L, 5L, "c5", false))
+      .toDF("pk_id", "updated_at", "name", "del").createOrReplaceTempView("src_multi2")
+    spark.sql(
+      s"""MERGE INTO $t target USING src_multi2 source
+         |ON source.pk_id == target.pk_id
+         |WHEN MATCHED AND source.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(state(t) == Seq((1L, 1L, "a"), (2L, 9L, "b9")),
+      "k2 updated by its newest row, k3 deleted by its newest row")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("key equality may appear after other conjuncts in the merge condition") {
+    import spark.implicits._
+    val t = mergeFixture("conj")
+    Seq((2L, 2L, "b"), (9L, 2L, "z"))
+      .toDF("pk_id", "updated_at", "name").createOrReplaceTempView("src_conj2")
+    spark.sql(
+      s"""MERGE INTO $t target USING src_conj2 source
+         |ON source.name = target.name AND source.pk_id = target.pk_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // pk 2 matches on (name, pk); pk 9 is new — key conjunct found second
+    assert(state(t) == Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 1L, "c"), (9L, 2L, "z")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("SQL UPDATE and DELETE FROM run against a V1 graft table") {
     val t = mergeFixture("dml")
     spark.sql(s"UPDATE $t SET name = concat(name, '!') WHERE pk_id = 2")
