@@ -135,9 +135,10 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
   private def snapshot(): DataFrame = {
     val t = LakeTable.load(spark, path)
     val asOf = parameters.get("versionAsOf").map(_.toLong)
-    parameters.get("incremental.since") match {
-      case Some(v) => t.incremental(v.toLong, asOf) // Hudi incremental query
-      case None =>
+    (parameters.get("incremental.since"), parameters.get("changes.since")) match {
+      case (Some(v), _) => t.incremental(v.toLong, asOf) // Hudi incremental query
+      case (_, Some(v)) => t.changes(v.toLong, asOf) // Delta CDF-style read
+      case _ =>
         parameters.getOrElse("view", "snapshot").toLowerCase match {
           case "ro" => t.readOptimized(asOf)
           case "rt" => t.realtime(asOf)
@@ -154,8 +155,12 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
   override def schema: StructType = {
     val t = LakeTable.load(spark, path)
     val asOf = parameters.get("versionAsOf").map(_.toLong)
-    StructType(LakeTable.META_COLS.map(org.apache.spark.sql.types.StructField(_,
+    val base = StructType(LakeTable.META_COLS.map(org.apache.spark.sql.types.StructField(_,
       org.apache.spark.sql.types.StringType)) ++ t.schemaAt(asOf).fields)
+    if (parameters.contains("changes.since"))
+      StructType(base.fields :+ org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType))
+    else base
   }
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {

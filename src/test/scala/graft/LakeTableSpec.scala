@@ -170,6 +170,18 @@ class LakeTableSpec extends AnyFunSuite {
     assert(re == Set((1, "insert")))
   }
 
+  test("reader option changes.since surfaces the change feed with _change_type") {
+    import spark.implicits._
+    val path = tmp()
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a")).toDF("k", "pc", "v"))
+    t.upsert(Seq((1, 2L, "a2"), (2, 1L, "b")).toDF("k", "pc", "v"))
+    val got = spark.read.format("graft").option("changes.since", "0").load(path)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "update_postimage"), (2, "insert")))
+  }
+
   test("restore re-references an old version's files; history records every commit") {
     val path = tmp()
     val t = LakeTable.create(spark, path, cowSpec, ingest(Envelope.backfill(spark)))
