@@ -102,11 +102,39 @@ object CommitLog {
     if (!f.rename(tmp, target)) throw new IllegalStateException(s"commit rename failed: $target")
   }
 
+  // commit files are immutable once renamed into place, so reads are safe
+  // to memoize — spec/schema accessors hit the latest commit many times per
+  // operation, and on object stores every uncached read is a network call.
+  // (create() deletes and rewrites commit 0 pre-publish — it invalidates.)
+  private val readCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Commit](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Commit]): Boolean =
+        size() > 256
+    })
+
+  private[lake] def invalidate(tablePath: String, version: Long): Unit = {
+    readCache.remove(s"$tablePath#$version")
+    ()
+  }
+
+  /** Drop every cached commit for a table — a new table created at a
+    * previously-used path (DROP + CREATE) must not see the old log. */
+  private[lake] def invalidateTable(tablePath: String): Unit =
+    readCache.synchronized {
+      val it = readCache.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(tablePath + "#")) it.remove()
+    }
+
   def read(tablePath: String, version: Long, conf: Configuration): Commit = {
+    val key = s"$tablePath#$version"
+    val cached = readCache.get(key)
+    if (cached != null) return cached
     val p = fileFor(tablePath, version)
     val in = fs(p, conf).open(p)
     val root = try mapper.readTree(in) finally in.close()
-    parse(root)
+    val c = parse(root)
+    readCache.put(key, c)
+    c
   }
 
   private def parse(root: JsonNode): Commit = {

@@ -28,19 +28,25 @@ object FooterStats {
       val rows = blocks.map(_.getRowCount).sum
       var mn: Option[Any] = None
       var mx: Option[Any] = None
+      // if ANY row group lacks usable stats (e.g. truncated long-binary
+      // min/max), the recorded range would understate the file and pruning
+      // could wrongly drop it — fall back to the whole-range sentinel
+      var partial = false
       blocks.foreach { b =>
         b.getColumns.asScala
-          .find(_.getPath.toDotString.equalsIgnoreCase(key))
-          .foreach { c =>
+          .find(_.getPath.toDotString.equalsIgnoreCase(key)) match {
+          case Some(c) =>
             val st = c.getStatistics
             if (st != null && st.hasNonNullValue) {
               val (lo, hi) = (st.genericGetMin, st.genericGetMax)
               if (mn.isEmpty || cmp(lo, mn.get) < 0) mn = Some(lo)
               if (mx.isEmpty || cmp(hi, mx.get) > 0) mx = Some(hi)
-            }
-          }
+            } else if (b.getRowCount > 0) partial = true
+          case None => if (b.getRowCount > 0) partial = true
+        }
       }
-      (rows, mn.map(render).getOrElse(""), mx.map(render).getOrElse("￿"))
+      if (partial) (rows, "", "￿")
+      else (rows, mn.map(render).getOrElse(""), mx.map(render).getOrElse("￿"))
     } finally reader.close()
   }
 

@@ -58,13 +58,33 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def schemaAt(asOf: Option[Long]): StructType = asOf match {
     case None => schema
     case Some(v) =>
-      val target = math.min(v, latestVersion)
+      val target = math.max(0L, math.min(v, latestVersion)) // v<0 = "before v0": v0's schema
       DataType.fromJson(CommitLog.read(path, target, conf).schemaJson).asInstanceOf[StructType]
   }
 
   /** Checkpoint-aware: latest checkpoint + commit tail, not a full replay. */
   private def liveFiles(asOf: Option[Long]): Seq[FileAction] =
     CommitLog.liveFiles(path, asOf, conf)
+
+  /** Record identity: (key, partition) when partitioned — Hudi's
+    * non-global-index semantics, where the same key in two partitions is
+    * two records. Used consistently by batch dedup, upsert contested
+    * splits, realtime merge, and compaction, so a partition-value change
+    * behaves identically on every path (new record; the old row stays). */
+  private def idCols: Seq[String] = spec.key +: spec.partition.toSeq
+
+  /** Identity JOINS need a null-safe partition id: SQL `=` never matches a
+    * NULL partition value, so a using-column join on the raw partition
+    * column would treat every null-partition row as brand-new. Both sides
+    * get a sentinel-coalesced copy, join on it, drop it after. (groupBy —
+    * dedupLatest — is already null-safe and keeps using the raw columns.) */
+  private val PID = "_graft_pid"
+  private def withJoinIds(df: DataFrame): DataFrame = spec.partition match {
+    case Some(p) => df.withColumn(PID,
+      coalesce(col(p).cast(StringType), lit("__HIVE_DEFAULT_PARTITION__")))
+    case None => df
+  }
+  private def joinIdCols: Seq[String] = spec.key +: spec.partition.map(_ => PID).toSeq
 
   // ---- reads -----------------------------------------------------------
 
@@ -90,14 +110,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val (logActions, baseActions) = live.partition(_.log)
     if (logActions.isEmpty)
       return ordered(readFiles(baseActions, asOf = asOf), asOf)
-    val base = readFiles(baseActions, keepWriteId = true, asOf = asOf)
-    val logs = readFiles(logActions, keepWriteId = true, asOf = asOf)
-    val logKeys = logs.select(col(spec.key)).distinct()
-    val passThrough = base.join(logKeys, Seq(spec.key), "left_anti")
-    val contested = base.join(logKeys, Seq(spec.key), "left_semi").unionByName(logs)
-    val merged = dedupLatest(contested, spec.key, spec.precombine, col(WRITE_ID))
+    val base = withJoinIds(readFiles(baseActions, keepWriteId = true, asOf = asOf))
+    val logs = withJoinIds(readFiles(logActions, keepWriteId = true, asOf = asOf))
+    val logKeys = logs.select(joinIdCols.map(col): _*).distinct()
+    val passThrough = base.join(logKeys, joinIdCols, "left_anti")
+    val contested = base.join(logKeys, joinIdCols, "left_semi").unionByName(logs)
+    val merged = dedupLatest(contested, idCols, spec.precombine, col(WRITE_ID))
       .unionByName(passThrough)
-      .drop(WRITE_ID)
+      .drop(WRITE_ID, PID)
     ordered(merged, asOf)
   }
 
@@ -171,10 +191,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val (touchedPaths, rewriteSet) =
         if (candidates.isEmpty) (Seq.empty[String], inStamped)
         else {
-          val cand = readFiles(candidates, keepWriteId = true)
-            .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
+          val cand = withJoinIds(readFiles(candidates, keepWriteId = true)
+            .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1)))
           val touched = cand
-            .join(incoming.select(spec.key).distinct(), Seq(spec.key), "left_semi")
+            .join(withJoinIds(incoming).select(joinIdCols.map(col): _*).distinct(),
+              joinIdCols, "left_semi")
             .select("_rel_file").distinct().collect().map(_.getString(0)).toSeq
           if (touched.isEmpty) (touched, inStamped)
           else {
@@ -198,12 +219,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           // shuffle; only rows whose KEY is in the batch contest with it.
           // allowMissingColumns: under additive schema evolution the old
           // rows take nulls for the new columns.
-          val inKeys = incoming.select(col(spec.key)).distinct()
-          val passThrough = rewriteSet.join(inKeys, Seq(spec.key), "left_anti")
-          val contested = rewriteSet.join(inKeys, Seq(spec.key), "left_semi")
-            .unionByName(inStamped, allowMissingColumns = true)
-          dedupLatest(contested, spec.key, spec.precombine, col(RANK))
+          val inKeys = withJoinIds(incoming).select(joinIdCols.map(col): _*).distinct()
+          val rewriteIds = withJoinIds(rewriteSet)
+          val passThrough = rewriteIds.join(inKeys, joinIdCols, "left_anti")
+          val contested = rewriteIds.join(inKeys, joinIdCols, "left_semi")
+            .unionByName(withJoinIds(inStamped), allowMissingColumns = true)
+          dedupLatest(contested, idCols, spec.precombine, col(RANK))
             .unionByName(passThrough, allowMissingColumns = true)
+            .drop(PID)
         }
       Seq(writeFiles(winner.drop(RANK), version * WRITE_SLOTS, log = false)
         .copy(remove = touchedPaths))
@@ -221,14 +244,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         // twice (anti+semi joins would scan the live key column twice).
         // The scan covers only stats-candidate files: a key outside every
         // file's [min,max] range cannot be existing.
-        val existingKeys = readFiles(pruneCandidates(live, incoming))
-          .select(col(spec.key)).distinct()
+        val existingKeys = withJoinIds(readFiles(pruneCandidates(live, incoming)))
+          .select(joinIdCols.map(col): _*).distinct()
           .withColumn("_graft_exists", lit(true))
-        val tagged = stamped.join(existingKeys, Seq(spec.key), "left")
+        val tagged = withJoinIds(stamped).join(existingKeys, joinIdCols, "left")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val newRows = tagged.filter(col("_graft_exists").isNull).drop("_graft_exists")
-          val updates = tagged.filter(col("_graft_exists") === true).drop("_graft_exists")
+          val newRows = tagged.filter(col("_graft_exists").isNull)
+            .drop("_graft_exists", PID)
+          val updates = tagged.filter(col("_graft_exists") === true)
+            .drop("_graft_exists", PID)
           Seq(
             writeFiles(newRows, version * WRITE_SLOTS, log = false),
             writeFiles(updates, version * WRITE_SLOTS + 1, log = true)
@@ -291,6 +316,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     assigns.keys.foreach { n =>
       require(declared.fieldNames.exists(_.equalsIgnoreCase(n)), s"no column $n")
       require(!n.equalsIgnoreCase(spec.key), s"cannot UPDATE the record key '$n'")
+      // a partition change is a record move under (key, partition) identity
+      // — and would leave _partition_path stale; route it through
+      // delete + insert instead
+      require(!spec.partition.exists(_.equalsIgnoreCase(n)),
+        s"cannot UPDATE the partition column '$n'")
     }
     if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
     val live = liveFiles(None)
@@ -378,18 +408,18 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * whole table. */
   private def mergedRewrite(live: Seq[FileAction]): DataFrame = {
     val (logActions, baseActions) = live.partition(_.log)
-    val base = readFiles(baseActions, keepWriteId = true)
-    val logs = readFiles(logActions, keepWriteId = true)
-    val logKeys = logs.select(col(spec.key)).distinct()
-    val dupBaseKeys = base.groupBy(col(spec.key)).count()
-      .filter(col("count") > 1).select(col(spec.key))
+    val base = withJoinIds(readFiles(baseActions, keepWriteId = true))
+    val logs = withJoinIds(readFiles(logActions, keepWriteId = true))
+    val logKeys = logs.select(joinIdCols.map(col): _*).distinct()
+    val dupBaseKeys = base.groupBy(joinIdCols.map(col): _*).count()
+      .filter(col("count") > 1).select(joinIdCols.map(col): _*)
     val contestedKeys = logKeys.union(dupBaseKeys).distinct()
-    val passThrough = base.join(contestedKeys, Seq(spec.key), "left_anti")
+    val passThrough = base.join(contestedKeys, joinIdCols, "left_anti")
     val contested = base.unionByName(logs)
-      .join(contestedKeys, Seq(spec.key), "left_semi")
-    dedupLatest(contested, spec.key, spec.precombine, col(WRITE_ID))
+      .join(contestedKeys, joinIdCols, "left_semi")
+    dedupLatest(contested, idCols, spec.precombine, col(WRITE_ID))
       .unionByName(passThrough)
-      .drop(WRITE_ID, "_file_name")
+      .drop(WRITE_ID, "_file_name", PID)
   }
 
   def compact(clusterByKey: Boolean = false, targetFiles: Int = 0): LakeTable = {
@@ -494,7 +524,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val live = liveFiles(Some(upTo)).map(_.path).toSet
     val files = added.filter(a => live.contains(a.path))
     val df = readFiles(files, keepWriteId = true, asOf = Some(upTo))
-    val deduped = dedupLatest(df, spec.key, spec.precombine, col(WRITE_ID)).drop(WRITE_ID)
+    val deduped = dedupLatest(df, idCols, spec.precombine, col(WRITE_ID)).drop(WRITE_ID)
     // rewritten files carry old rows too — keep only rows stamped by the
     // included commits
     val sinceTime = commits.find(_.version == sinceVersion).map(_.commitTime)
@@ -557,7 +587,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val f = it.next()
-        val rel = f.getPath.toString.split("/data/", 2).last
+        // LAST occurrence, matching substring_index(input_file_name(),
+        // "/data/", -1) in detection — a table path containing "/data/"
+        // must not shift the relative path
+        val rel = f.getPath.toString.split("/data/").last
         if (f.getPath.getName.endsWith(".parquet") && !keep.contains(rel))
           fs.delete(f.getPath, false)
       }
@@ -579,7 +612,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * live set (and schema) is exactly version `v`'s — no data is copied,
     * the old files are re-referenced (they must not have been vacuumed).
     * History is preserved: the restore is itself a commit, and time travel
-    * to the versions in between still works. */
+    * to the versions in between still works.
+    *
+    * Limitation: because restore re-references rows with their ORIGINAL
+    * commit times, `incremental`/`changes`/streaming consumers do NOT see
+    * the restore as row changes (its rows predate the window) — after a
+    * restore, downstream consumers should re-sync from a snapshot, as with
+    * Delta's RESTORE + CDF. */
   def restore(v: Long): LakeTable = {
     require(v >= 0 && v <= latestVersion, s"no version $v to restore")
     val target = liveFiles(Some(v))
@@ -644,9 +683,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   /** A4 precombine dedup inside one batch: greatest precombine wins; ties
-    * broken by a deterministic row hash so re-runs are stable. */
+    * broken by a deterministic row hash so re-runs are stable. NULL record
+    * keys fail loudly (Hudi errors too) — the group-by would otherwise
+    * silently collapse all null-key rows into one. */
   private def dedupBatch(df: DataFrame): DataFrame =
-    dedupLatest(df, spec.key, spec.precombine,
+    dedupLatest(
+      df.filter(assert_true(col(spec.key).isNotNull,
+        lit(s"null record key '${spec.key}' in incoming batch")).isNull),
+      idCols, spec.precombine,
       xxhash64(df.columns.map(col): _*))
 
   private def stampMeta(df: DataFrame, commitTime: String): DataFrame = {
@@ -674,7 +718,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     spec.partition.foreach { p =>
       if (incoming.columns.contains(p) && exact.contains(schema(p).dataType)) {
         val inParts = incoming.select(col(p).cast(StringType)).distinct()
-          .collect().map(_.getString(0)).toSet
+          .collect().map(r => Option(r.getString(0))
+            .getOrElse("__HIVE_DEFAULT_PARTITION__")).toSet
         cands = cands.filter(a => a.partitionValue.forall(inParts.contains))
       }
     }
@@ -723,6 +768,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * batch just yields zero stat rows and no adds. */
   private def writeFiles(batch: DataFrame, writeId: Long, log: Boolean): WriteResult = {
     val target = s"$dataDir/${WRITE_ID}=$writeId"
+    // a previous attempt at this version that died before its commit JSON
+    // landed leaves an orphan dir; the retry recomputes the same version,
+    // so clear it (single-writer — a live concurrent writer would anyway
+    // be rejected by CommitLog.write's version guard)
+    val tfs = new Path(target).getFileSystem(conf)
+    if (tfs.exists(new Path(target))) tfs.delete(new Path(target), true)
     val shuffled = spec.partition match {
       case Some(p) => batch.repartition(col(p))
       case None => batch
@@ -751,7 +802,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // per-file stats from parquet FOOTERS — driver-side metadata reads, no
     // executor job, instead of re-scanning everything just written
     val adds = files.map { f =>
-      val rel = f.toString.split("/data/", 2).last
+      // LAST occurrence — see vacuum(); keeps rel paths consistent with
+      // the executor-side substring_index detection
+      val rel = f.toString.split("/data/").last
       val partVal = spec.partition.flatMap { p =>
         rel.split("/").find(_.startsWith(p + "="))
           .map(s => URLDecoder.decode(s.substring(p.length + 1), "UTF-8"))
@@ -791,9 +844,13 @@ object LakeTable {
     * a hash aggregate with map-side partial aggregation — one shuffle of
     * one row per key, no per-key sort (a row_number window would
     * shuffle+sort every row; at 100 TB that difference is the job). */
-  def dedupLatest(df: DataFrame, key: String, precombine: String, tiebreak: Column): DataFrame = {
+  def dedupLatest(df: DataFrame, key: String, precombine: String, tiebreak: Column): DataFrame =
+    dedupLatest(df, Seq(key), precombine, tiebreak)
+
+  def dedupLatest(df: DataFrame, keys: Seq[String], precombine: String,
+      tiebreak: Column): DataFrame = {
     val cols = df.columns
-    df.groupBy(col(key))
+    df.groupBy(keys.map(col): _*)
       .agg(max_by(struct(cols.map(col).toSeq: _*),
         struct(col(precombine), tiebreak)).as(RANK + "_row"))
       .select(col(RANK + "_row.*"))
@@ -812,6 +869,7 @@ object LakeTable {
       bulkInsert: Boolean = false): LakeTable = {
     val conf = spark.sessionState.newHadoopConf()
     require(CommitLog.latestVersion(path, conf).isEmpty, s"table exists at $path")
+    CommitLog.invalidateTable(path) // a dropped table may have lived here
     spec.partition.foreach(p => require(df.columns.contains(p), s"missing partition col $p"))
     require(df.columns.contains(spec.key) && df.columns.contains(spec.precombine),
       s"key/precombine not in schema")
@@ -827,6 +885,7 @@ object LakeTable {
     // amend: rewrite commit 0 with the files (single-writer, pre-publish)
     val fs = CommitLog.logDir(path).getFileSystem(conf)
     fs.delete(new Path(CommitLog.logDir(path), f"$version%020d.json"), false)
+    CommitLog.invalidate(path, version) // the one place a commit file is replaced
     CommitLog.write(path, boot.copy(add = res.add), conf)
     t
   }
