@@ -193,30 +193,42 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash: weighted-majority per bit position over token hashes,
-    * computed with nested higher-order functions (fold over tokens of a
-    * ±1 bit-vector sum, then pack the sign bits). Bit positions are a
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed as an integer. Slower than xxhash64 (the default) but exactly
+    * reproducible in any engine with md5 — used by the oracled q34 so the
+    * DuckDB oracle can recompute the same signatures. */
+  def portableTokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** SimHash (default 64-bit): weighted-majority per bit position over token
+    * hashes, computed with nested higher-order functions (fold over tokens
+    * of a ±1 bit-vector sum, then pack the sign bits). Bit positions are a
     * literal mask array because `shiftleft` only takes a static count. */
-  def simhash(text: Column): Column = {
-    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
-    val hashes = transform(TextAnalysis.tokens(text), tkn => xxhash64(tkn))
-    val zeros = array_repeat(lit(0), 64)
+  def simhash(text: Column, bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): Column = {
+    val masks = array((0 until bits).map(i => lit(1L << i)): _*)
+    val hashes = transform(TextAnalysis.tokens(text), tkn => tokenHash(tkn))
+    val zeros = array_repeat(lit(0), bits)
     val counts = aggregate(hashes, zeros, (acc, h) =>
       zip_with(acc, masks, (c, m) => c + when(h.bitwiseAND(m) =!= 0L, 1).otherwise(-1)))
     aggregate(zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(0L)),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
-    * (any pair within Hamming distance 3 must agree on ≥1 chunk), refined
-    * by exact Hamming distance. */
+  /** SimHash near-dup pairs: candidates share one of four bits/4-wide
+    * chunks (any pair within Hamming distance 3 must agree on ≥1 chunk),
+    * refined by exact Hamming distance. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      textCol: String = "text", idCol: String = "doc_id", bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(bits % 4 == 0, "bits must split into 4 chunks")
+    val cw = bits / 4 // chunk width
+    val sigs = df.select(col(idCol).as("id"),
+        simhash(col(textCol), bits, tokenHash).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("id"), col("sig"), explode(
       array((0 until 4).map(c => struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ch"))): _*)).as("cc"))
+        shiftrightunsigned(col("sig"), c * cw).bitwiseAND((1L << cw) - 1).as("ch"))): _*)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.ch"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&

@@ -36,23 +36,27 @@ object Multimodal {
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("n_bytes", LongType),
-    StructField("content_hash", LongType),
+    StructField("content_md5", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("frames", ArrayType(LongType, containsNull = false))))
+    StructField("frames", ArrayType(StringType, containsNull = false))))
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
 
   /** STUB — a real pipeline decodes the payload with an image/audio codec
     * here. Deterministic fake: dimensions derived from payload length, a
-    * "frame sample" of 4 per-chunk hashes. The *shape* (bytes in → typed
+    * "frame sample" of 4 per-chunk md5 digests (md5 so any engine can
+    * recompute them — the q41 oracle does). The *shape* (bytes in → typed
     * features out, pure function, batch-friendly) is the real contract. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Array[Long]) = {
+  def decodeStub(payload: Array[Byte]): (Int, Int, Array[String]) = {
     val n = payload.length
     val width = math.max(1, math.sqrt(n.toDouble).toInt)
     val height = math.max(1, n / math.max(1, width))
     val chunk = math.max(1, n / 4)
     val frames = (0 until 4).map { i =>
-      payload.slice(i * chunk, math.min(n, (i + 1) * chunk))
-        .foldLeft(1125899906842597L)((h, b) => 31L * h + b)
+      md5Hex(payload.slice(i * chunk, math.min(n, (i + 1) * chunk)))
     }.toArray
     (width, height, frames)
   }
@@ -68,9 +72,8 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val hash = payload.foldLeft(-7046029254386353131L)((h, b) => 31L * h + b)
         val (w, h, frames) = decodeStub(payload)
-        Row(id, payload.length.toLong, hash, w, h, frames.toSeq)
+        Row(id, payload.length.toLong, md5Hex(payload), w, h, frames.toSeq)
       }
     }(enc)
   }

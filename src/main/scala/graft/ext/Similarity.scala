@@ -49,15 +49,17 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", normSq(col("cv")))
-    // deterministic centroid sample: top-numLists by seeded hash. The
-    // centroid set is tiny and driver-materialized, so list assignment is a
-    // pure codegen'd expression chain over literal centroid arrays — zero
-    // shuffle, embarrassingly parallel, which is what an index build over
-    // 100 TB needs (the previous formulation ran a row_number window over
-    // corpus × centroids: a full corpus shuffle+sort just to pick an argmax).
+    // deterministic centroid sample: top-numLists by seeded hash (md5 of
+    // "id:seed" — engine-portable, so the DuckDB oracle can reproduce the
+    // selection). The centroid set is tiny and driver-materialized, so list
+    // assignment is a pure codegen'd expression chain over literal centroid
+    // arrays — zero shuffle, embarrassingly parallel, which is what an index
+    // build over 100 TB needs (the previous formulation ran a row_number
+    // window over corpus × centroids: a full corpus shuffle+sort just to
+    // pick an argmax).
     val centRows: Array[(Any, Seq[Double])] = c0
       .select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
-      .orderBy(xxhash64(col("cid"), lit(seed)).asc, col("cid").asc)
+      .orderBy(md5(concat(col("cid").cast("string"), lit(":" + seed))).asc, col("cid").asc)
       .limit(numLists)
       .collect().map(r => (r.get(0), r.getSeq[Double](1)))
     if (centRows.isEmpty)

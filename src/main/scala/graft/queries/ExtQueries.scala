@@ -38,6 +38,41 @@ object ExtQueries {
       |SELECT doc_id + 100000, text || ' graftdup' FROM documents
       |WHERE doc_id < 2000 AND doc_id % 10 = 0""".stripMargin
 
+  /** q37 oracle: the LSH hyperplanes are a deterministic function of
+    * (numPlanes=8, dim=64, seed=42+t) — the exact same literals Spark bakes
+    * into its codegen'd signature expressions, interpolated here as DOUBLE[]
+    * rows so DuckDB recomputes identical bucket signatures (Double.toString
+    * is shortest-round-trip; DuckDB's parse is correctly rounded, so the
+    * doubles survive the text round-trip bit-for-bit, like q36's). */
+  private def lshOracleSql: String = {
+    import graft.functions.VectorOps.randomPlanes
+    val planeRows = for {
+      t <- 0 until 12
+      (p, i) <- randomPlanes(numPlanes = 8, dim = 64, seed = 42L + t).zipWithIndex
+    } yield s"($t, $i, [${p.map(d => java.lang.Double.toString(d)).mkString(",")}]::DOUBLE[])"
+    raw"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS nsq FROM v),
+      |planes(t, p, pv) AS (VALUES ${planeRows.mkString(",\n")}),
+      |sig AS (SELECT n.vec_id, p.t,
+      |    CAST(SUM(CASE WHEN (SELECT SUM(z.x*z.y) FROM (SELECT UNNEST(n.e) AS x, UNNEST(p.pv) AS y) z) >= 0
+      |             THEN (1::BIGINT << p.p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+      |  FROM n CROSS JOIN planes p GROUP BY n.vec_id, p.t),
+      |q AS (SELECT vec_id AS query_id, t, xor(bucket, f.flip) AS bucket
+      |  FROM sig CROSS JOIN (SELECT UNNEST([0,1,2,4,8,16,32,64,128]) AS flip) f
+      |  WHERE vec_id < 10),
+      |cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      |  FROM sig c JOIN q ON c.t = q.t AND c.bucket = q.bucket
+      |  WHERE c.vec_id <> q.query_id),
+      |scored AS (SELECT cand.query_id, cand.neighbor_id,
+      |    (SELECT SUM(z.x*z.y) FROM (SELECT UNNEST(qq.e) AS x, UNNEST(cc.e) AS y) z)
+      |      / (sqrt(qq.nsq) * sqrt(cc.nsq)) AS score
+      |  FROM cand JOIN n qq ON qq.vec_id = cand.query_id
+      |  JOIN n cc ON cc.vec_id = cand.neighbor_id),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+  }
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
     // Text stats: token counting, stopwords, punct, quality, fingerprint.
@@ -217,12 +252,32 @@ object ExtQueries {
         |FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin)),
 
-    // SimHash near-dup pairs (Hamming ≤ 3 via 16-bit chunk candidates).
+    // SimHash near-dup pairs (Hamming ≤ 3 via 15-bit chunk candidates).
+    // Fully oracled: the 60-bit engine-portable token hash (first 15 hex
+    // chars of md5) lets DuckDB recompute signatures bit-for-bit; candidate
+    // chunking and the Hamming refine are plain integer arithmetic.
     "q34_simhash_pairs" -> ((
       (s: SparkSession, d: String) =>
-        Dedup.simhashPairs(plantedDocs(s, d), maxHamming = 3)
+        Dedup.simhashPairs(plantedDocs(s, d), maxHamming = 3, bits = 60,
+          tokenHash = Dedup.portableTokenHash)
           .orderBy("id_a", "id_b"),
-      "")),
+      raw"""WITH corpus AS ($plantedDocsSql),
+        |tok AS (SELECT doc_id AS id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tkn
+        |  FROM corpus),
+        |tb AS (SELECT id, b.bit,
+        |    CASE WHEN (((strpos('0123456789abcdef', substr(md5(tkn), 15 - (b.bit // 4), 1)) - 1)
+        |               >> (b.bit % 4)) & 1) = 1 THEN 1 ELSE -1 END AS contrib
+        |  FROM tok CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS bit) b),
+        |cnt AS (SELECT id, bit, SUM(contrib) AS s FROM tb GROUP BY id, bit),
+        |sig AS (SELECT id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END) AS BIGINT) AS sig
+        |  FROM cnt GROUP BY id),
+        |ch AS (SELECT id, sig, c.chunk, (sig >> (c.chunk * 15)) & 32767 AS chv
+        |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS chunk) c),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.chv = b.chv AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     // Embedding-cosine near-dup pairs on planted scaled duplicates
     // (scaling preserves direction → cosine ≈ 1 > 0.99 threshold).
@@ -260,17 +315,20 @@ object ExtQueries {
         |ORDER BY query_id, rk""".stripMargin)),
 
     // LSH-bucketed ANN (multi-probe) — the 100 TB path; recall vs brute
-    // force asserted in ExtSpec.
+    // force asserted in ExtSpec. Fully oracled (see lshOracleSql).
     "q37_lsh_topk" -> ((
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
           .orderBy("query_id", "rank")
       },
-      "")),
+      lshOracleSql)),
 
     // IVF ANN (coarse-quantized lists, nProbe probing) — the other 100 TB
-    // similarity path besides LSH; recall asserted in ExtSpec.
+    // similarity path besides LSH; recall asserted in ExtSpec. Fully
+    // oracled: centroid selection is md5-ordered (engine-portable), list
+    // assignment / probing / refine are plain argmax + top-k over the same
+    // IEEE op sequence as the q36 brute-force oracle.
     "q39_ivf_topk" -> ((
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
@@ -278,7 +336,27 @@ object ExtQueries {
           numLists = 16, nProbe = 6)
           .orderBy("query_id", "rank")
       },
-      "")),
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS nsq FROM v),
+        |cent AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM n
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') ASC, vec_id ASC LIMIT 16),
+        |sim AS (SELECT n.vec_id, n.e, n.nsq, cent.cid, cent.cn,
+        |    (SELECT SUM(t.x*t.y) FROM (SELECT UNNEST(n.e) AS x, UNNEST(cent.ce) AS y) t)
+        |      / (sqrt(n.nsq) * sqrt(cent.cn)) AS csim
+        |  FROM n CROSS JOIN cent),
+        |assign AS (SELECT vec_id AS neighbor_id, e AS cv, nsq AS cvn, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM sim) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, e AS qv, nsq AS qn, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM sim WHERE vec_id < 10) WHERE rn <= 6),
+        |scored AS (SELECT p.query_id, a.neighbor_id,
+        |    (SELECT SUM(t.x*t.y) FROM (SELECT UNNEST(p.qv) AS x, UNNEST(a.cv) AS y) t)
+        |      / (sqrt(p.qn) * sqrt(a.cvn)) AS score
+        |  FROM probes p JOIN assign a ON p.cid = a.cid AND a.neighbor_id <> p.query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin)),
 
     // Language ID: marker-count argmax with fixed tiebreak order (de > en >
     // es > fr, 'und' when no markers hit) — fully SQL-expressible. The
@@ -319,7 +397,9 @@ object ExtQueries {
         |FROM documents ORDER BY media_id""".stripMargin)),
 
     // Multimodal: batched per-partition decode-stub features (mapPartitions
-    // — the mapInPandas-shaped path; stub is deterministic, rows-only).
+    // — the mapInPandas-shaped path). The stub's fake features are md5-based
+    // (the corpus is ASCII, so char offsets ≡ byte offsets), which makes the
+    // whole decode output DuckDB-expressible — fully oracled.
     "q41_multimodal_decode" -> ((
       (s: SparkSession, d: String) =>
         Multimodal.extractFeatures(
@@ -327,7 +407,14 @@ object ExtQueries {
           .withColumn("frame0", element_at(col("frames"), 1))
           .drop("frames")
           .orderBy("media_id"),
-      "")),
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    octet_length(encode(text)) AS n,
+        |    greatest(1, CAST(floor(sqrt(octet_length(encode(text)))) AS INT)) AS width
+        |  FROM documents)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_bytes, md5(text) AS content_md5,
+        |  width, greatest(1, CAST(n // width AS INT)) AS height,
+        |  md5(substr(text, 1, greatest(1, n // 4))) AS frame0
+        |FROM m ORDER BY media_id""".stripMargin)),
 
     // Structured Streaming ingest → LakeTable upsert → latest state per key.
     "q42_stream_upsert" -> ((
@@ -391,6 +478,31 @@ object ExtQueries {
         |  AND epoch_ns(p.ts)//1000 > epoch_ns(s.ts)//1000
         |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
+
+    // As-of (temporal) join: every purchase matched to the user's most
+    // recent click at-or-before the purchase time. Right side pre-aggregated
+    // to unique (user, ts) so the match is deterministic; oracled against
+    // DuckDB's native ASOF JOIN. The operator is the union-tag + running
+    // last() window shape — one key shuffle, no range-join explosion.
+    "q67_asof_join" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
+        val click = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts_us").agg(max(col("event_id")).as("click_id"))
+        graft.ext.AsOfJoin.asof(purchase, click, "user_id", "ts_us", "ts_us")
+          .select(col("user_id"), col("purchase_id"), col("ts_us").as("p_ts"),
+            col("matched.click_id").as("click_id"), col("matched.ts_us").as("c_ts"))
+          .orderBy("user_id", "purchase_id")
+      },
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts)//1000 AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts)//1000 AS c_ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id AS user_id, purchase_id, p_ts, click_id, c_ts
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+        |ORDER BY user_id, purchase_id""".stripMargin)),
 
     // Semi-structured props parsing: JSON field extraction + aggregation
     // (get_json_object vs DuckDB json_extract_string).

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.AsOfJoin
+
+/** As-of join semantics: backward match at-or-before, per-key isolation,
+  * no-match drop, tolerance bound, and the brute-force equivalence that
+  * pins the window formulation against a naive range-join + argmax.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def l = Seq(
+    ("a", 10L, "p1"), ("a", 20L, "p2"), ("a", 5L, "p0"),
+    ("b", 50L, "p3"), ("c", 7L, "p4")
+  ).toDF("k", "t", "pid")
+
+  private def r = Seq(
+    ("a", 10L, "q10"), ("a", 15L, "q15"), ("a", 2L, "q2"),
+    ("b", 60L, "q60")
+  ).toDF("k", "t", "qid")
+
+  test("backward as-of: latest right row at-or-before each left time") {
+    val out = AsOfJoin.asof(l, r, "k", "t", "t")
+      .select($"pid", $"matched.qid".as("qid"), $"matched.t".as("rt"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    // p1@10 matches q10@10 (ties include right row AT the left timestamp);
+    // p2@20 → q15; p0@5 → q2; p3@50 has no prior b row; c has no right rows.
+    assert(out == Set(("p1", "q10", 10L), ("p2", "q15", 15L), ("p0", "q2", 2L)))
+  }
+
+  test("tolerance bounds the look-back window") {
+    val out = AsOfJoin.asof(l, r, "k", "t", "t", tolerance = Some(3L))
+      .select($"pid", $"matched.qid".as("qid"))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    // p2@20 → q15 is 5 ticks back > 3 ⇒ dropped; p0@5 → q2 is exactly 3 ⇒ kept
+    assert(out == Set(("p1", "q10"), ("p0", "q2")))
+  }
+
+  test("as-of ≡ range-join + per-left-row argmax (brute force) on events") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("user_id", "event_id", "event_type", "ts div 1000 as ts_us")
+    import org.apache.spark.sql.functions._
+    val purchase = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us")
+    val click = ev.filter($"event_type" === "click")
+      .groupBy("user_id", "ts_us").agg(max($"event_id").as("click_id"))
+    val fast = AsOfJoin.asof(purchase, click, "user_id", "ts_us", "ts_us")
+      .select($"purchase_id", $"matched.click_id".as("click_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = purchase.join(click.withColumnRenamed("ts_us", "c_ts"), Seq("user_id"))
+      .filter($"c_ts" <= $"ts_us")
+      .groupBy("purchase_id")
+      .agg(max(struct($"c_ts", $"click_id")).getField("click_id").as("click_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(fast == brute, "window as-of diverges from brute-force range join")
+  }
+}

@@ -187,7 +187,7 @@ class ExtSpec extends AnyFunSuite {
     assert(f1.sameElements(f2), "features must not depend on partitioning")
     assert(f1.length == docs.count())
     val r = f1.head
-    assert(r.getAs[scala.collection.Seq[Long]]("frames").length == 4)
+    assert(r.getAs[scala.collection.Seq[String]]("frames").length == 4)
     assert(r.getAs[Int]("width") * r.getAs[Int]("height") <= r.getAs[Long]("n_bytes"))
   }
 
