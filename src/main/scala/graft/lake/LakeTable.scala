@@ -538,21 +538,51 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   /** Delta change-data-feed-style read: every change in `(since, asOf]`
     * tagged with `_change_type` ∈ insert / update_postimage / delete.
     * Post-images come from [[incremental]] (reads only the window's added
-    * files); insert-vs-update discrimination and delete detection each
-    * cost one KEY-COLUMN-ONLY snapshot scan (column-pruned parquet reads —
-    * bounded, but not free; a write-side change log would amortize this,
-    * at the price of putting work on every commit's hot path). Delete rows
-    * carry the key and null data columns, like Delta's CDF delete rows. */
+    * files). Insert-vs-update discrimination and delete detection also read
+    * ONLY window-touched files — no snapshot-wide key scan — because
+    * changing a key always leaves a trace in the window's own file actions:
+    *
+    *   - CoW update / delete / overwrite rewrites the key's containing
+    *     file, so a pre-existing changed key appears in a REMOVED file
+    *     that was live at `since`;
+    *   - MoR update appends the key to an ADDED log file (and MoR routes
+    *     only already-existing keys to logs — a key both log-written and
+    *     freshly base-inserted inside the window is the insert-then-update
+    *     case, excluded by its `_commit_time` stamp);
+    *   - a pre-existing changed key still alive at `asOf` must live in a
+    *     file some window commit added (rewrite chains stay in-window),
+    *     so "absent from the window's added live files" ⇒ deleted.
+    *
+    * Cost therefore scales with window churn, not table size — the property
+    * that matters when tailing a 100 TB table. Delete rows carry the key
+    * and null data columns, like Delta's CDF delete rows. */
   def changes(since: Long, asOf: Option[Long] = None): DataFrame = {
     val upTo = asOf.getOrElse(latestVersion)
     val post = incremental(since, Some(upTo))
-    val preKeys = readFiles(liveFiles(Some(since)), asOf = Some(since))
-      .select(col(spec.key)).distinct()
+    val window = commits.filter(c => c.version > since && c.version <= upTo)
+    val sinceTime = commits.find(_.version == since).map(_.commitTime)
+    val removedPaths = window.flatMap(_.remove).toSet
+    val rewrittenKeys = readFiles(
+        liveFiles(Some(since)).filter(a => removedPaths.contains(a.path)),
+        asOf = Some(since))
+      .select(col(spec.key))
+    val logKeys = {
+      val logAdded = window.flatMap(_.add).filter(_.log)
+      val fresh = readFiles(window.flatMap(_.add).filterNot(_.log), asOf = Some(upTo))
+        .filter(sinceTime.map(ct => col("_commit_time") > ct).getOrElse(lit(true)))
+        .select(col(spec.key))
+      readFiles(logAdded, asOf = Some(upTo)).select(col(spec.key))
+        .join(fresh, Seq(spec.key), "left_anti")
+    }
+    val preKeys = rewrittenKeys.unionByName(logKeys).distinct()
     val tagged = post.join(preKeys.withColumn("_pre", lit(true)), Seq(spec.key), "left")
       .withColumn("_change_type",
         when(col("_pre").isNotNull, "update_postimage").otherwise("insert"))
       .drop("_pre")
-    val nowKeys = readFiles(liveFiles(Some(upTo)), asOf = Some(upTo))
+    val liveNow = liveFiles(Some(upTo)).map(_.path).toSet
+    val nowKeys = readFiles(
+        window.flatMap(_.add).filter(a => liveNow.contains(a.path)),
+        asOf = Some(upTo))
       .select(col(spec.key)).distinct()
     val deleted = preKeys.join(nowKeys, Seq(spec.key), "left_anti")
       .withColumn("_change_type", lit("delete"))

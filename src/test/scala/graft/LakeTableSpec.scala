@@ -170,6 +170,25 @@ class LakeTableSpec extends AnyFunSuite {
     assert(re == Set((1, "insert")))
   }
 
+  test("changes() on MoR: log-updates tag update, in-window insert-then-update tags insert") {
+    import spark.implicits._
+    val path = tmp()
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc", mor = true),
+      Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "pc", "v"))
+    // v1: k=1 updated (log write, base untouched) + k=5 inserted (base)
+    t.upsert(Seq((1, 2L, "a2"), (5, 1L, "e")).toDF("k", "pc", "v"))
+    // v2: k=5 updated again — insert-then-update inside the window
+    t.upsert(Seq((5, 2L, "e2")).toDF("k", "pc", "v"))
+    val got = t.changes(0).select("k", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1, "a2", "update_postimage"), (5, "e2", "insert")), s"got $got")
+    // v3: MoR delete (folds logs, rewrites base)
+    t.delete(org.apache.spark.sql.functions.col("k") === 1)
+    val w = t.changes(2).select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(w == Set((1, "delete")), s"got $w")
+  }
+
   test("reader option changes.since surfaces the change feed with _change_type") {
     import spark.implicits._
     val path = tmp()
