@@ -187,6 +187,39 @@ object LakeQueries {
         |       CAST(epoch(o_orderdate) AS BIGINT) FROM ins
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Sync-to-source MERGE: WHEN NOT MATCHED BY SOURCE (Delta's clause)
+    // archives target rows the source no longer carries — conditional
+    // DELETE plus a catch-all target-side UPDATE, alongside the normal
+    // matched/unmatched clauses.
+    "q68_merge_sync" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"mergesync_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        val src = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+          .withColumn("o_orderstatus", lit("U"))
+        val tgt = tbl.read()
+        graft.sql.GraftMerge.execute(tbl, src, tgt,
+          src("o_orderkey") === tgt("o_orderkey"),
+          matched = Seq(graft.sql.GraftMerge.UpdateAll(None)),
+          notMatched = Seq(graft.sql.GraftMerge.InsertAll(None)),
+          notMatchedBySource = Seq(
+            graft.sql.GraftMerge.Delete(Some(tgt("o_orderkey") % 5 === 0)),
+            graft.sql.GraftMerge.UpdateSet(None,
+              Seq("o_orderstatus" -> lit("X")))))
+        proj(LakeTable.load(s, path).read())
+      },
+      """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |       o_totalprice + 1.0 AS o_totalprice,
+        |       CAST(epoch(o_orderdate + INTERVAL 1 DAY) AS BIGINT) AS od_epoch
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'X', o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Row-level UPDATE (Delta UPDATE ... SET ... WHERE): touched-file
     // rewrite applying assignments only to definitively-matching rows.
     "q66_row_update" -> ((

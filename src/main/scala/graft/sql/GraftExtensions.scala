@@ -68,9 +68,14 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m: MergeIntoTable if graftPath(m.targetTable).isDefined =>
       val path = graftPath(m.targetTable).get
-      if (m.notMatchedBySourceActions.nonEmpty)
-        throw new UnsupportedOperationException(
-          "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
+      val bySource = m.notMatchedBySourceActions.map {
+        case UpdateAction(cond, assigns, false) =>
+          GraftUpdateSet(cond, assigns.map(a => (assignName(a.key), a.value)))
+        case DeleteAction(cond) => GraftDelete(cond)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED BY SOURCE action for graft MERGE: $other " +
+            "(UPDATE SET <col> = <expr> and DELETE only — there is no source row)")
+      }
       val matched = m.matchedActions.map {
         case UpdateStarAction(cond) => GraftUpdateStar(cond)
         case UpdateAction(cond, assigns, _) =>
@@ -85,15 +90,15 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
           s"unsupported WHEN NOT MATCHED action for graft MERGE: $other " +
             "(use INSERT *)")
       }
-      (matched, notMatched) match {
+      (matched, notMatched, bySource) match {
         // the reference's exact shape keeps its join-free fast path: the
         // upsert alone IS the merge
-        case (Seq(GraftUpdateStar(None)), Seq(GraftInsertStar(None))) =>
+        case (Seq(GraftUpdateStar(None)), Seq(GraftInsertStar(None)), Seq()) =>
           GraftMergeCommand(path, m.sourceTable, keyName(m.mergeCondition))
         case _ =>
           GraftGeneralMergeCommand(path, keyName(m.mergeCondition),
             GraftMergeSpecHolder(m.targetTable, m.sourceTable, m.mergeCondition,
-              matched, notMatched))
+              matched, notMatched, bySource))
       }
 
     // Delta-style row-level SQL DML on graft targets. Conditions may
@@ -224,7 +229,8 @@ case class GraftMergeCommand(path: String, source: LogicalPlan, keys: Seq[String
   * the re-planned join, exactly like [[GraftMergeCommand]]'s source plan. */
 case class GraftMergeSpecHolder(target: LogicalPlan, source: LogicalPlan,
     mergeCond: Expression, matched: Seq[GraftMergeAction],
-    notMatched: Seq[GraftMergeAction])
+    notMatched: Seq[GraftMergeAction],
+    bySource: Seq[GraftMergeAction] = Seq.empty)
 
 /** Generalized MERGE: left-join source onto the target on the merge
   * condition (both sides keep the statement's aliases, so clause
@@ -236,7 +242,7 @@ case class GraftMergeSpecHolder(target: LogicalPlan, source: LogicalPlan,
   * (Hudi semantics) rather than Delta's multiple-match error. */
 case class GraftGeneralMergeCommand(path: String, keys: Seq[String],
     spec: GraftMergeSpecHolder) extends LeafRunnableCommand {
-  import spec.{matched, mergeCond, notMatched, source, target}
+  import spec.{bySource, matched, mergeCond, notMatched, source, target}
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -259,7 +265,7 @@ case class GraftGeneralMergeCommand(path: String, keys: Seq[String],
       case GraftInsertStar(cond) => GraftMerge.InsertAll(cond.map(c))
     }
     GraftMerge.execute(table, srcDf, tgtDf, c(mergeCond),
-      matched.map(act), notMatched.map(act))
+      matched.map(act), notMatched.map(act), bySource.map(act))
     Seq.empty
   }
 }
@@ -280,12 +286,28 @@ object GraftMerge {
   case class InsertAll(cond: Option[Column]) extends Action
 
   /** Programmatic entry: `matched`/`notMatched` clause conditions reference
-    * `srcDf`/`tgtDf` columns (e.g. `srcDf("is_deleted")`). */
+    * `srcDf`/`tgtDf` columns (e.g. `srcDf("is_deleted")`).
+    *
+    * `notMatchedBySource` (Delta's WHEN NOT MATCHED BY SOURCE) acts on
+    * TARGET rows no source row matches — conditions/assignments may only
+    * reference target columns. Scale note: unlike the other clauses (pruned
+    * to source-touched files), by-source clauses must consider the whole
+    * target; an unconditioned one scans the full table — same caveat Delta
+    * documents, so condition it (e.g. on a partition range) at scale. */
   def execute(table: LakeTable, srcDf: DataFrame, tgtDf0: DataFrame,
-      joinCond: Column, matched: Seq[Action], notMatched: Seq[Action]): Unit = {
-    matched.collect { case UpdateSet(_, assigns) => assigns }.flatten.foreach {
-      case (n, _) => require(!n.equalsIgnoreCase(table.spec.key),
-        s"graft MERGE cannot UPDATE SET the record key '$n'")
+      joinCond: Column, matched: Seq[Action], notMatched: Seq[Action],
+      notMatchedBySource: Seq[Action] = Seq.empty): Unit = {
+    (matched ++ notMatchedBySource).collect { case UpdateSet(_, assigns) => assigns }
+      .flatten.foreach {
+        case (n, _) => require(!n.equalsIgnoreCase(table.spec.key),
+          s"graft MERGE cannot UPDATE SET the record key '$n'")
+      }
+    notMatchedBySource.foreach {
+      case _: InsertAll => throw new UnsupportedOperationException(
+        "WHEN NOT MATCHED BY SOURCE cannot INSERT (there is no source row)")
+      case _: UpdateAll => throw new UnsupportedOperationException(
+        "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * (there is no source row)")
+      case _ => ()
     }
     val dataCols = table.schema.fieldNames.toSeq
     val tgtDf = tgtDf0.withColumn("_graft_matched", lit(true))
@@ -352,6 +374,42 @@ object GraftMerge {
     } finally {
       out.unpersist(blocking = false)
       ()
+    }
+
+    if (notMatchedBySource.nonEmpty) {
+      // target rows no source row matches: anti-join on the merge condition
+      // (hash anti join on the key conjunct), then the same first-match-wins
+      // disposition/post-image chains, target-side columns only
+      val untouched = tgtDf0.join(srcDf, joinCond, "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bsDisp = notMatchedBySource.foldRight(lit("keep")) { (a, acc) =>
+          val tag = a match { case _: Delete => "delete"; case _ => "update" }
+          when(actionCond(a), lit(tag)).otherwise(acc)
+        }
+        def bsValue(colName: String): Column =
+          notMatchedBySource.foldRight(untouched(colName)) { (a, acc) =>
+            val v = a match {
+              case UpdateSet(_, assigns) =>
+                assigns.find(_._1.equalsIgnoreCase(colName)).map(_._2)
+                  .getOrElse(untouched(colName))
+              case _ => untouched(colName)
+            }
+            when(actionCond(a), v).otherwise(acc)
+          }
+        val staged = untouched.select(
+          bsDisp.as("_graft_disp") +: dataCols.map(n => bsValue(n).as(n)): _*)
+        val ups = staged.filter(col("_graft_disp") === "update").drop("_graft_disp")
+        if (notMatchedBySource.exists(!_.isInstanceOf[Delete])) table.upsert(ups)
+        if (notMatchedBySource.exists(_.isInstanceOf[Delete])) {
+          table.deleteKeys(
+            staged.filter(col("_graft_disp") === "delete").select(col(table.spec.key)))
+          ()
+        }
+      } finally {
+        untouched.unpersist(blocking = false)
+        ()
+      }
     }
   }
 }

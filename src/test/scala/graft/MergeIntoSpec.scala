@@ -147,6 +147,28 @@ class MergeIntoSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("WHEN NOT MATCHED BY SOURCE acts on target rows the source misses") {
+    val t = mergeFixture("bysrc")
+    // source covers pk 2,3,4 — pk 1 is not matched by source
+    spark.sql(
+      s"""MERGE INTO $t target USING src_bysrc source
+         |ON source.pk_id == target.pk_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND target.name = 'zzz' THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = concat(target.name, '!')""".stripMargin)
+    assert(state(t) == Seq((1L, 1L, "a!"), (2L, 2L, "b2"), (3L, 2L, "c2"), (4L, 2L, "d")),
+      "k1 (unmatched by source, not 'zzz') gets the UPDATE; the rest merge normally")
+    spark.sql(
+      s"""MERGE INTO $t target USING src_bysrc source
+         |ON source.pk_id == target.pk_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(state(t) == Seq((2L, 2L, "b2"), (3L, 2L, "c2"), (4L, 2L, "d")),
+      "sync-to-source: the target-only row is deleted")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("SQL UPDATE and DELETE FROM run against a V1 graft table") {
     val t = mergeFixture("dml")
     spark.sql(s"UPDATE $t SET name = concat(name, '!') WHERE pk_id = 2")
@@ -167,9 +189,9 @@ class MergeIntoSpec extends AnyFunSuite {
         s"""MERGE INTO $t target USING src_bad source
            |ON source.pk_id == target.pk_id
            |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+           |WHEN NOT MATCHED THEN INSERT (pk_id) VALUES (source.pk_id)""".stripMargin)
     }
-    assert(e.getMessage.contains("WHEN NOT MATCHED BY SOURCE"))
+    assert(e.getMessage.contains("INSERT *"))
     val e2 = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO $t target USING src_bad source
