@@ -113,6 +113,10 @@ object Bench {
     // B6: compaction (MoR logs folded into base).
     results("b6_compact") = time { mor.compact() }
 
+    // B8: change-data-feed read of the B2 churn window — cost must track
+    // the churn (window-touched files), not the table size.
+    results("b8_changes") = median { cow.changes(0) }
+
     // B7: range-localized upsert on a key-clustered table — the common
     // production shape (recent keys churn). Stats pruning should confine
     // the rewrite to the files covering the touched key range.
@@ -139,6 +143,16 @@ object Bench {
 
     // E3: full text-stats pass over documents.
     results("e3_text_stats") = median(TextAnalysis.stats(tbl("documents")))
+
+    // E4: as-of join, purchases to latest prior click per user.
+    results("e4_asof_join") = median {
+      val ev = events
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
+      val click = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_us").agg(max(col("event_id")).as("click_id"))
+      graft.ext.AsOfJoin.asof(purchase, click, "user_id", "ts_us", "ts_us")
+    }
 
     // R1: TPC-H Q1 shape from the relational set.
     results("r1_pricing_summary") = median(

@@ -41,6 +41,7 @@ import graft.sources.GraftRelation
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => ResolveGraftMerge)
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     graft.functions.GraftFunctions.functions.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

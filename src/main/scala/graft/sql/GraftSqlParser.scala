@@ -1,0 +1,130 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+import graft.lake.LakeTable
+
+/** Maintenance SQL for graft tables — the Delta statements operators run
+  * (`/root/reference/README.md:1240` shows the workflow these serve):
+  *
+  * {{{
+  * OPTIMIZE tbl                       -- small-file concatenation (+ MoR log fold)
+  * OPTIMIZE tbl ZORDER BY (a, b)      -- multi-dimensional clustering
+  * VACUUM tbl                         -- default 168h retention, like Delta
+  * VACUUM tbl RETAIN 24 HOURS
+  * DESCRIBE HISTORY tbl
+  * }}}
+  *
+  * The target is a session-catalog table name or a quoted path
+  * (`'/path/to/table'` or Delta-style ``graft.`/path/to/table` ``).
+  * Injected ahead of Spark's parser; everything else delegates. (Like
+  * Delta, `DESCRIBE HISTORY x` shadows `DESCRIBE` of a table literally
+  * named `history`.)
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OPTIMIZE_RE(target, zcols) =>
+      GraftOptimizeCommand(target.trim,
+        Option(zcols).map(_.split(",").map(stripIdent).toSeq).getOrElse(Seq.empty))
+    case VACUUM_RE(target, hours) =>
+      GraftVacuumCommand(target.trim,
+        Option(hours).map(_.toDouble).getOrElse(DEFAULT_RETAIN_HOURS))
+    case HISTORY_RE(target) => GraftDescribeHistoryCommand(target.trim)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  /** Delta's default VACUUM retention. */
+  val DEFAULT_RETAIN_HOURS: Double = 168.0
+
+  private val TGT = """((?:'[^']+')|(?:graft\.`[^`]+`)|(?:[\w.]+))"""
+  private[sql] val OPTIMIZE_RE =
+    (s"""(?is)\\s*OPTIMIZE\\s+$TGT\\s*(?:ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""").r
+  private[sql] val VACUUM_RE =
+    (s"""(?is)\\s*VACUUM\\s+$TGT\\s*(?:RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?)?\\s*;?\\s*""").r
+  private[sql] val HISTORY_RE =
+    (s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$TGT\\s*;?\\s*""").r
+
+  private def stripIdent(s: String): String =
+    s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Resolve the statement target to a table path: quoted path, Delta-style
+    * ``graft.`path` ``, or a session-catalog `USING graft` table. */
+  def resolveTable(spark: SparkSession, target: String): LakeTable = {
+    val path =
+      if (target.startsWith("'")) target.stripPrefix("'").stripSuffix("'")
+      else if (target.toLowerCase.startsWith("graft.`"))
+        target.substring("graft.`".length).stripSuffix("`")
+      else {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(target)
+        val meta = spark.sessionState.catalog.getTableMetadata(ident)
+        require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+          s"$target is not a graft table (provider=${meta.provider.getOrElse("?")})")
+        new Path(meta.location).toString
+      }
+    LakeTable.load(spark, new Path(path).toString)
+  }
+}
+
+case class GraftOptimizeCommand(target: String, zorderCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, target)
+    if (zorderCols.nonEmpty) t.zorder(zorderCols)
+    else {
+      if (t.spec.mor) t.compact() // fold outstanding logs first
+      t.optimize()
+    }
+    Seq.empty
+  }
+}
+
+case class GraftVacuumCommand(target: String, retainHours: Double)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolveTable(spark, target)
+      .vacuum(retainHours = Some(retainHours))
+    Seq.empty
+  }
+}
+
+case class GraftDescribeHistoryCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("commit_time", StringType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("n_added_files", LongType)(),
+    AttributeReference("n_removed_files", LongType)(),
+    AttributeReference("n_added_rows", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.resolveTable(spark, target).history.collect().toSeq
+}

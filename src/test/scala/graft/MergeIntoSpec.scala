@@ -182,6 +182,34 @@ class MergeIntoSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("maintenance SQL: OPTIMIZE, OPTIMIZE ZORDER BY, VACUUM, DESCRIBE HISTORY") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_maint_sql").toString
+    (1L to 200L).map(i => (i, 1L, i % 7, i % 5, s"v$i")).toDF("pk_id", "updated_at", "a", "b", "name")
+      .repartition(8)
+      .write.format("graft").option("key", "pk_id").option("precombine", "updated_at")
+      .mode("overwrite").save(path)
+    spark.sql(s"DROP TABLE IF EXISTS maint_t")
+    spark.sql(s"CREATE TABLE maint_t USING graft LOCATION '$path'")
+
+    spark.sql("OPTIMIZE maint_t") // small-file concatenation
+    val afterOpt = graft.lake.LakeTable.load(spark, path)
+    assert(afterOpt.read().count() == 200)
+
+    spark.sql("OPTIMIZE maint_t ZORDER BY (a, b)")
+    assert(graft.lake.LakeTable.load(spark, path).read().count() == 200)
+
+    val hist = spark.sql(s"DESCRIBE HISTORY '$path'")
+    val ops = hist.select("operation").collect().map(_.getString(0)).toSeq
+    assert(hist.columns.contains("version") && ops.contains("zorder"),
+      s"history must list the zorder commit, got $ops")
+
+    spark.sql("VACUUM maint_t RETAIN 0 HOURS") // drop pre-optimize files
+    val t = graft.lake.LakeTable.load(spark, path)
+    assert(t.read().count() == 200, "vacuum must keep the live version readable")
+    spark.sql("DROP TABLE maint_t")
+  }
+
   test("unsupported MERGE shapes fail loudly, not silently") {
     val t = mergeFixture("bad")
     val e = intercept[Exception] {
