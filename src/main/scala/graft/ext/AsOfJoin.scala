@@ -28,11 +28,21 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       tolerance: Option[Long] = None): DataFrame = {
+    val reserved = Set("_k", "_t", "_side", "_r", "_l", "matched")
+    (left.columns ++ right.columns).filter(c => reserved.contains(c.toLowerCase))
+      .foreach(c => throw new IllegalArgumentException(
+        s"asof: column name '$c' collides with the join's internals — rename it first"))
     val leftCols = left.columns.toSeq
     val rightPayload = struct(right.columns.map(c => col(c).as(c)).toSeq: _*)
-    val r = right.select(col(key).as("_k"), col(rightTime).cast("long").as("_t"),
-      lit(0).as("_side"), rightPayload.as("_r"))
-    val l = left.withColumn("_l", struct(leftCols.map(c => col(c)): _*))
+    // SQL join semantics: a NULL key or NULL time never matches — drop such
+    // rows up front (a NULL right time would otherwise sort "before
+    // everything" and propagate to every left row; the join is inner, so
+    // unmatched-by-construction left rows are dropped either way)
+    val r = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(col(key).as("_k"), col(rightTime).cast("long").as("_t"),
+        lit(0).as("_side"), rightPayload.as("_r"))
+    val l = left.filter(col(key).isNotNull && col(leftTime).isNotNull)
+      .withColumn("_l", struct(leftCols.map(c => col(c)): _*))
       .select(col(key).as("_k"), col(leftTime).cast("long").as("_t"),
         lit(1).as("_side"), lit(null).cast(r.schema("_r").dataType).as("_r"), col("_l"))
     // right rows sort before left rows at equal time (_side 0 < 1) ⇒ a right

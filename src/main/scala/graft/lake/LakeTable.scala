@@ -516,7 +516,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * consumption at scale. */
   def incremental(sinceVersion: Long, asOf: Option[Long] = None): DataFrame = {
     val upTo = asOf.getOrElse(latestVersion)
-    val added = commits
+    val cs = commits // one log read for the window files + sinceTime
+    val added = cs
       .filter(c => c.version > sinceVersion && c.version <= upTo)
       .flatMap(_.add)
     // a file added then removed by a later included commit has been
@@ -527,7 +528,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val deduped = dedupLatest(df, idCols, spec.precombine, col(WRITE_ID)).drop(WRITE_ID)
     // rewritten files carry old rows too — keep only rows stamped by the
     // included commits
-    val sinceTime = commits.find(_.version == sinceVersion).map(_.commitTime)
+    val sinceTime = cs.find(_.version == sinceVersion).map(_.commitTime)
     val recent = sinceTime match {
       case Some(ct) => deduped.filter(col("_commit_time") > ct)
       case None => deduped
@@ -559,32 +560,38 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def changes(since: Long, asOf: Option[Long] = None): DataFrame = {
     val upTo = asOf.getOrElse(latestVersion)
     val post = incremental(since, Some(upTo))
-    val window = commits.filter(c => c.version > since && c.version <= upTo)
-    val sinceTime = commits.find(_.version == since).map(_.commitTime)
+    val cs = commits // one log read for window + sinceTime
+    val window = cs.filter(c => c.version > since && c.version <= upTo)
+    val sinceTime = cs.find(_.version == since).map(_.commitTime)
+    // record identity is (key, partition), same as every write path — a
+    // null-safe PID join id plus the raw columns (delete rows carry both)
+    def ids(df: DataFrame): DataFrame =
+      withJoinIds(df).select((idCols ++ spec.partition.map(_ => PID)).map(col): _*)
     val removedPaths = window.flatMap(_.remove).toSet
-    val rewrittenKeys = readFiles(
-        liveFiles(Some(since)).filter(a => removedPaths.contains(a.path)),
-        asOf = Some(since))
-      .select(col(spec.key))
+    val rewrittenKeys = ids(readFiles(
+      liveFiles(Some(since)).filter(a => removedPaths.contains(a.path)),
+      asOf = Some(since)))
     val logKeys = {
       val logAdded = window.flatMap(_.add).filter(_.log)
       val fresh = readFiles(window.flatMap(_.add).filterNot(_.log), asOf = Some(upTo))
         .filter(sinceTime.map(ct => col("_commit_time") > ct).getOrElse(lit(true)))
-        .select(col(spec.key))
-      readFiles(logAdded, asOf = Some(upTo)).select(col(spec.key))
-        .join(fresh, Seq(spec.key), "left_anti")
+      ids(readFiles(logAdded, asOf = Some(upTo)))
+        .join(ids(fresh).select(joinIdCols.map(col): _*), joinIdCols, "left_anti")
     }
-    val preKeys = rewrittenKeys.unionByName(logKeys).distinct()
-    val tagged = post.join(preKeys.withColumn("_pre", lit(true)), Seq(spec.key), "left")
+    val preIds = rewrittenKeys.unionByName(logKeys).distinct()
+    val tagged = withJoinIds(post)
+      .join(preIds.select(joinIdCols.map(col): _*).distinct()
+        .withColumn("_pre", lit(true)), joinIdCols, "left")
       .withColumn("_change_type",
         when(col("_pre").isNotNull, "update_postimage").otherwise("insert"))
-      .drop("_pre")
+      .drop("_pre", PID)
     val liveNow = liveFiles(Some(upTo)).map(_.path).toSet
-    val nowKeys = readFiles(
+    val nowIds = ids(readFiles(
         window.flatMap(_.add).filter(a => liveNow.contains(a.path)),
-        asOf = Some(upTo))
-      .select(col(spec.key)).distinct()
-    val deleted = preKeys.join(nowKeys, Seq(spec.key), "left_anti")
+        asOf = Some(upTo)))
+      .select(joinIdCols.map(col): _*).distinct()
+    val deleted = preIds.join(nowIds, joinIdCols, "left_anti")
+      .select(idCols.map(col): _*).distinct()
       .withColumn("_change_type", lit("delete"))
     tagged.unionByName(deleted, allowMissingColumns = true)
   }

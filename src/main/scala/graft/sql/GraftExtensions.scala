@@ -359,56 +359,61 @@ object GraftMerge {
     // per-key resolution BEFORE applying anything: with multiple source
     // rows per key, the greatest source precombine's clause wins — a stale
     // DELETE row must not override a newer UPDATE (and vice versa)
-    val out = LakeTable.dedupLatest(out0, table.spec.key, "_graft_spc",
-      xxhash64(out0.columns.map(col).toSeq: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val upserts = out.filter(col("_graft_disp").isin("update", "insert"))
-        .drop("_graft_disp", "_graft_spc")
-      table.upsert(upserts)
-      if (matched.exists(_.isInstanceOf[Delete])) {
-        val doomed = out.filter(col("_graft_disp") === "delete")
-          .select(col(table.spec.key))
-        table.deleteKeys(doomed)
-        ()
+    // Stage the by-source pass BEFORE the main pass commits anything: via
+    // SQL the target is a lazy relation that lists live files at execution
+    // time, so without eager pinning the anti-join would see the
+    // POST-merge state — a row a MATCHED clause just updated out of the ON
+    // condition would surface again and be hit by a second clause. The
+    // eager localCheckpoint materializes the statement snapshot now.
+    val bySourceStaged: Option[DataFrame] = if (notMatchedBySource.isEmpty) None else {
+      val untouched = tgtDf0.join(srcDf, joinCond, "left_anti")
+      val bsDisp = notMatchedBySource.foldRight(lit("keep")) { (a, acc) =>
+        val tag = a match { case _: Delete => "delete"; case _ => "update" }
+        when(actionCond(a), lit(tag)).otherwise(acc)
       }
-    } finally {
-      out.unpersist(blocking = false)
-      ()
+      def bsValue(colName: String): Column =
+        notMatchedBySource.foldRight(untouched(colName)) { (a, acc) =>
+          val v = a match {
+            case UpdateSet(_, assigns) =>
+              assigns.find(_._1.equalsIgnoreCase(colName)).map(_._2)
+                .getOrElse(untouched(colName))
+            case _ => untouched(colName)
+          }
+          when(actionCond(a), v).otherwise(acc)
+        }
+      Some(untouched.select(
+          bsDisp.as("_graft_disp") +: dataCols.map(n => bsValue(n).as(n)): _*)
+        .filter(col("_graft_disp") =!= "keep")
+        .localCheckpoint(true))
     }
 
-    if (notMatchedBySource.nonEmpty) {
-      // target rows no source row matches: anti-join on the merge condition
-      // (hash anti join on the key conjunct), then the same first-match-wins
-      // disposition/post-image chains, target-side columns only
-      val untouched = tgtDf0.join(srcDf, joinCond, "left_anti")
+    // a by-source-only statement must not run (or commit) an empty main pass
+    if (matched.nonEmpty || notMatched.nonEmpty) {
+      val out = LakeTable.dedupLatest(out0, table.spec.key, "_graft_spc",
+        xxhash64(out0.columns.map(col).toSeq: _*))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val bsDisp = notMatchedBySource.foldRight(lit("keep")) { (a, acc) =>
-          val tag = a match { case _: Delete => "delete"; case _ => "update" }
-          when(actionCond(a), lit(tag)).otherwise(acc)
-        }
-        def bsValue(colName: String): Column =
-          notMatchedBySource.foldRight(untouched(colName)) { (a, acc) =>
-            val v = a match {
-              case UpdateSet(_, assigns) =>
-                assigns.find(_._1.equalsIgnoreCase(colName)).map(_._2)
-                  .getOrElse(untouched(colName))
-              case _ => untouched(colName)
-            }
-            when(actionCond(a), v).otherwise(acc)
-          }
-        val staged = untouched.select(
-          bsDisp.as("_graft_disp") +: dataCols.map(n => bsValue(n).as(n)): _*)
-        val ups = staged.filter(col("_graft_disp") === "update").drop("_graft_disp")
-        if (notMatchedBySource.exists(!_.isInstanceOf[Delete])) table.upsert(ups)
-        if (notMatchedBySource.exists(_.isInstanceOf[Delete])) {
-          table.deleteKeys(
-            staged.filter(col("_graft_disp") === "delete").select(col(table.spec.key)))
+        val upserts = out.filter(col("_graft_disp").isin("update", "insert"))
+          .drop("_graft_disp", "_graft_spc")
+        table.upsert(upserts)
+        if (matched.exists(_.isInstanceOf[Delete])) {
+          val doomed = out.filter(col("_graft_disp") === "delete")
+            .select(col(table.spec.key))
+          table.deleteKeys(doomed)
           ()
         }
       } finally {
-        untouched.unpersist(blocking = false)
+        out.unpersist(blocking = false)
+        ()
+      }
+    }
+
+    bySourceStaged.foreach { staged =>
+      val ups = staged.filter(col("_graft_disp") === "update").drop("_graft_disp")
+      if (notMatchedBySource.exists(!_.isInstanceOf[Delete])) table.upsert(ups)
+      if (notMatchedBySource.exists(_.isInstanceOf[Delete])) {
+        table.deleteKeys(
+          staged.filter(col("_graft_disp") === "delete").select(col(table.spec.key)))
         ()
       }
     }

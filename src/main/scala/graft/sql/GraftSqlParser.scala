@@ -97,11 +97,8 @@ case class GraftOptimizeCommand(target: String, zorderCols: Seq[String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolveTable(spark, target)
-    if (zorderCols.nonEmpty) t.zorder(zorderCols)
-    else {
-      if (t.spec.mor) t.compact() // fold outstanding logs first
-      t.optimize()
-    }
+    // optimize() itself folds a MoR table's outstanding logs via compact()
+    if (zorderCols.nonEmpty) t.zorder(zorderCols) else t.optimize()
     Seq.empty
   }
 }

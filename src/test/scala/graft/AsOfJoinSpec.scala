@@ -40,6 +40,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Set(("p1", "q10"), ("p0", "q2")))
   }
 
+  test("NULL right time/key never matches (SQL join semantics, no phantom matches)") {
+    val rWithNulls = Seq(
+      ("a", Option.empty[Long], "qnull"), ("a", Some(15L), "q15"),
+      (null.asInstanceOf[String], Some(1L), "qnullkey")
+    ).toDF("k", "t", "qid")
+    val out = AsOfJoin.asof(l, rWithNulls, "k", "t", "t")
+      .select($"pid", $"matched.qid".as("qid"))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    // p0@5 has no prior non-null right row ⇒ dropped, NOT matched to the
+    // null-time row; p1@10 and p2@20 match q15 is only ≤ for p2
+    assert(out == Set(("p2", "q15")), s"got $out")
+  }
+
+  test("reserved column names are rejected up front") {
+    val bad = l.withColumnRenamed("pid", "matched")
+    intercept[IllegalArgumentException] { AsOfJoin.asof(bad, r, "k", "t", "t") }
+  }
+
   test("as-of ≡ range-join + per-left-row argmax (brute force) on events") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .selectExpr("user_id", "event_id", "event_type", "ts div 1000 as ts_us")

@@ -170,6 +170,20 @@ class LakeTableSpec extends AnyFunSuite {
     assert(re == Set((1, "insert")))
   }
 
+  test("changes() honors (key, partition) record identity on partitioned tables") {
+    import spark.implicits._
+    val path = tmp()
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc", Some("p")),
+      Seq((1, 1L, "a", "A"), (2, 1L, "b", "A")).toDF("k", "pc", "v", "p"))
+    // one commit rewrites partition A's file (k=2 update) AND inserts the
+    // NEW record (k=1, partition B) — same key, different partition. With
+    // key-only identity the B record would be mistagged update_postimage.
+    t.upsert(Seq((2, 2L, "b2", "A"), (1, 1L, "x", "B")).toDF("k", "pc", "v", "p"))
+    val got = t.changes(0).select("k", "p", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2, "A", "update_postimage"), (1, "B", "insert")), s"got $got")
+  }
+
   test("changes() on MoR: log-updates tag update, in-window insert-then-update tags insert") {
     import spark.implicits._
     val path = tmp()

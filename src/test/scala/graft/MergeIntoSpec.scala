@@ -182,6 +182,51 @@ class MergeIntoSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("NOT MATCHED BY SOURCE evaluates against the statement snapshot, not post-merge state") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_bysrc_snap").toString
+    Seq((1L, 1L, "active"), (2L, 1L, "active"))
+      .toDF("pk_id", "updated_at", "status").write.format("graft")
+      .option("key", "pk_id").option("precombine", "updated_at")
+      .mode("overwrite").save(path)
+    spark.sql("DROP TABLE IF EXISTS snap_t")
+    spark.sql(s"CREATE TABLE snap_t USING graft LOCATION '$path'")
+    Seq((1L, 2L)).toDF("pk_id", "updated_at").createOrReplaceTempView("snap_src")
+    // the MATCHED clause updates pk 1 out of the ON condition; the by-source
+    // pass must still see the pre-merge row as matched (pinned snapshot) —
+    // otherwise pk 1 is updated AND deleted by one statement
+    spark.sql(
+      """MERGE INTO snap_t target USING snap_src source
+        |ON source.pk_id == target.pk_id AND target.status = 'active'
+        |WHEN MATCHED THEN UPDATE SET status = 'retired'
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT pk_id, status FROM snap_t ORDER BY pk_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "retired")), s"pk1 retired, pk2 (unmatched-by-source) deleted; got $got")
+    spark.sql("DROP TABLE snap_t")
+  }
+
+  test("by-source-only MERGE commits no empty main-pass version") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_bysrc_only").toString
+    Seq((1L, 1L, "a"), (2L, 1L, "b"))
+      .toDF("pk_id", "updated_at", "name").write.format("graft")
+      .option("key", "pk_id").option("precombine", "updated_at")
+      .mode("overwrite").save(path)
+    spark.sql("DROP TABLE IF EXISTS bonly_t")
+    spark.sql(s"CREATE TABLE bonly_t USING graft LOCATION '$path'")
+    Seq(Tuple1(1L)).toDF("pk_id").createOrReplaceTempView("bonly_src")
+    val before = graft.lake.LakeTable.load(spark, path).history.count()
+    spark.sql(
+      """MERGE INTO bonly_t target USING bonly_src source
+        |ON source.pk_id == target.pk_id
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val t = graft.lake.LakeTable.load(spark, path)
+    assert(t.history.count() == before + 1, "exactly one commit (the delete), no empty upsert")
+    assert(t.read().select("pk_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    spark.sql("DROP TABLE bonly_t")
+  }
+
   test("maintenance SQL: OPTIMIZE, OPTIMIZE ZORDER BY, VACUUM, DESCRIBE HISTORY") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_maint_sql").toString
