@@ -444,6 +444,51 @@ object ExtQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Stream-stream inner join (§2.9): signups joined to purchases within
+    // 30 minutes, both sides watermarked with an event-time range
+    // constraint (the state-cleanup contract). Drained with AvailableNow →
+    // the appended output is exactly the batch range join (q61's oracle).
+    "q71_stream_join" -> ((
+      (s: SparkSession, d: String) => {
+        graft.core.GraftSession.ensure(s)
+        val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_j")
+        val inDir = base.resolve("in")
+        if (!Files.exists(inDir)) Files.createDirectories(inDir)
+        Files.copy(Paths.get(d, "events.parquet"), inDir.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val ev = s.readStream.schema(schema).parquet(inDir.toString)
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        val signup = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"), col("ts_t").as("s_ts"))
+          .withWatermark("s_ts", "1 hour")
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts_t").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = signup.join(purchase,
+          col("user_id") === col("p_user") && col("p_ts") > col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
+        val name = "graft_sj_sink"
+        s.catalog.dropTempView(name)
+        val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("user_id"), col("signup_id"), col("purchase_id"),
+            unix_micros(col("p_ts")).as("p_ts"))
+          .orderBy("user_id", "signup_id", "purchase_id")
+      },
+      """SELECT s.user_id AS user_id, s.event_id AS signup_id,
+        |  p.event_id AS purchase_id, epoch_ns(p.ts)//1000 AS p_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        |  AND epoch_ns(p.ts)//1000 > epoch_ns(s.ts)//1000
+        |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
+        |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
+
     // Sketch aggregation: HLL++ approximate distinct users per event type
     // (approximate by nature → rows-only; accuracy bound pinned in ExtSpec).
     "q60_approx_distinct" -> ((
@@ -478,6 +523,61 @@ object ExtQueries {
         |  AND epoch_ns(p.ts)//1000 > epoch_ns(s.ts)//1000
         |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
+
+    // Pivot: per-user event-type counts as columns (explicit value list —
+    // the scale-safe form; an unlisted pivot needs a distinct-scan first).
+    "q69_pivot" -> ((
+      (s: SparkSession, d: String) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        events(s, d).groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+          .select(col("user_id") +:
+            types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+          .orderBy("user_id")
+      },
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // TF-IDF: top-3 scoring terms per document (composes the q52/q53
+    // vocabulary passes into the classic relevance score; natural log,
+    // same IEEE op order in both engines).
+    "q70_tfidf" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val toks = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+        tf.join(dfreq, "term")
+          .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          // rank on the full double; EMIT decimal(18,9) — Java Math.log and
+          // libm ln differ in the last ulp, which the type-sensitive hash
+          // would see (ordering is robust: near-ties of tf·ln(N/df) across
+          // distinct small-integer (tf, df) pairs don't occur)
+          .withColumn("score", col("score").cast("decimal(18,9)"))
+          .select("doc_id", "term", "tf", "score", "rk")
+          .orderBy("doc_id", "rk")
+      },
+      raw"""WITH toks AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk FROM s)
+        |SELECT doc_id, term, tf, CAST(score AS DECIMAL(18,9)) AS score, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin)),
 
     // As-of (temporal) join: every purchase matched to the user's most
     // recent click at-or-before the purchase time. Right side pre-aggregated

@@ -58,6 +58,15 @@ class AsOfJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { AsOfJoin.asof(bad, r, "k", "t", "t") }
   }
 
+  test("asof plans exactly one shuffle (the key window), no join exchange") {
+    val plan = AsOfJoin.asof(l, r, "k", "t", "t")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"union-tag as-of must cost one key shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop"),
+      "as-of must not plan as a join")
+  }
+
   test("as-of ≡ range-join + per-left-row argmax (brute force) on events") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .selectExpr("user_id", "event_id", "event_type", "ts div 1000 as ts_us")
