@@ -78,6 +78,7 @@ object CommitLog {
     spec.put("precombine", c.spec.precombine)
     c.spec.partition.foreach(spec.put("partition", _))
     spec.put("mor", c.spec.mor)
+    if (c.spec.bloomBitsPerKey > 0) spec.put("bloomBitsPerKey", c.spec.bloomBitsPerKey)
     val adds = root.putArray("add")
     c.add.foreach { a =>
       val n = adds.addObject()
@@ -145,7 +146,9 @@ object CommitLog {
       key = specN.get("key").asText,
       precombine = specN.get("precombine").asText,
       partition = optText(specN, "partition"),
-      mor = specN.get("mor").asBoolean)
+      mor = specN.get("mor").asBoolean,
+      bloomBitsPerKey =
+        if (specN.hasNonNull("bloomBitsPerKey")) specN.get("bloomBitsPerKey").asInt else 0)
     val adds = ArrayBuffer.empty[FileAction]
     root.get("add").asInstanceOf[ArrayNode].forEach { n =>
       adds += FileAction(

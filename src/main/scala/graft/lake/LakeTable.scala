@@ -630,6 +630,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val rel = f.getPath.toString.split("/data/").last
         if (f.getPath.getName.endsWith(".parquet") && !keep.contains(rel))
           fs.delete(f.getPath, false)
+        // bloom sidecar of a vacuumed data file goes with it
+        else if (rel.startsWith(".blooms/") &&
+            !keep.contains(rel.stripPrefix(".blooms/").stripSuffix(".bf")))
+          fs.delete(f.getPath, false)
       }
     }
     this
@@ -777,8 +781,42 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         }
       } else cands = Seq.empty // empty incoming batch touches nothing
     }
+    // bloom pruning — the stage that still prunes when key RANGES overlap
+    // (random churn): probe each surviving candidate's sidecar bloom with
+    // the incoming key set. Bounded: keys are broadcast only below a size
+    // cap (beyond it the churn is so wide the detection scan reads most
+    // files anyway); a missing sidecar keeps its file (never prune wrongly).
+    if (spec.bloomBitsPerKey > 0 && cands.nonEmpty) {
+      val keys = incoming.select(col(spec.key).cast(StringType).as("k"))
+        .filter(col("k").isNotNull).distinct()
+        .limit(LakeTable.MAX_BLOOM_PROBE_KEYS + 1)
+        .collect().map(_.getString(0))
+      if (keys.length <= LakeTable.MAX_BLOOM_PROBE_KEYS) {
+        val bKeys = spark.sparkContext.broadcast(keys)
+        val dd = dataDir
+        val hit = spark.sparkContext
+          .parallelize(cands.map(_.path), math.max(1, math.min(cands.size, 64)))
+          .mapPartitions { it =>
+            val fs = new Path(dd).getFileSystem(new org.apache.hadoop.conf.Configuration())
+            it.filter { rel =>
+              val bf = new Path(s"$dd/.blooms/$rel.bf")
+              if (!fs.exists(bf)) true
+              else {
+                val bloom = KeyBloom.read(fs, bf)
+                bKeys.value.exists(bloom.mightContain)
+              }
+            }
+          }.collect().toSet
+        cands = cands.filter(a => hit.contains(a.path))
+      }
+    }
+    lastPrunedCandidates = cands.size
     cands
   }
+
+  /** Candidate-file count after the latest pruneCandidates pass — test
+    * observability for the stats/bloom pruning stages. */
+  private[graft] var lastPrunedCandidates: Int = -1
 
   /** Run a commit: `body(version, commitTime)` returns per-write FileActions
     * bundles (add+remove); data files land before the commit JSON does. */
@@ -850,7 +888,38 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       FileAction(rel, log, rows, mn, mx, numericKey, partVal)
     }
     // a fully-empty batch still emits one 0-row part file — don't log it
-    WriteResult(adds.filter(_.rows > 0), Seq.empty)
+    val kept = adds.filter(_.rows > 0)
+    if (spec.bloomBitsPerKey > 0 && kept.nonEmpty) writeBlooms(target, kept)
+    WriteResult(kept, Seq.empty)
+  }
+
+  /** Build one key-bloom sidecar per just-written file (Hudi bloom-index
+    * analog, see [[KeyBloom]]): one executor job re-reads only the new
+    * files' key column (hot in cache), partial blooms are OR-merged per
+    * file, sidecars land under `data/.blooms/<rel>.bf`. */
+  private def writeBlooms(target: String, adds: Seq[FileAction]): Unit = {
+    val bpk = spec.bloomBitsPerKey
+    val rowsByRel = adds.map(a => (a.path, a.rows)).toMap
+    val keyName = spec.key
+    val partials = spark.read.parquet(target)
+      .select(input_file_name().as("_f"), col(keyName).cast(StringType).as("_k"))
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[String, KeyBloom]
+        it.foreach { r =>
+          val rel = r.getString(0).split("/data/").last
+          rowsByRel.get(rel).foreach { rows =>
+            val b = acc.getOrElseUpdate(rel, KeyBloom.empty(rows, bpk))
+            if (!r.isNullAt(1)) b.add(r.getString(1))
+          }
+        }
+        acc.iterator
+      }
+      .reduceByKey(_ or _)
+      .collect()
+    val fs = new Path(dataDir).getFileSystem(conf)
+    partials.foreach { case (rel, bloom) =>
+      KeyBloom.write(fs, new Path(s"$dataDir/.blooms/$rel.bf"), bloom)
+    }
   }
 }
 
@@ -859,6 +928,10 @@ object LakeTable {
   private[lake] val RANK = "_graft_rank"
   /** write-ids per commit: slot 0 = base files, slot 1 = log files. */
   private[lake] val WRITE_SLOTS = 10L
+  /** Above this many distinct incoming keys, skip bloom probing — churn
+    * that wide touches most files regardless, and the probe broadcast
+    * would not stay cheap. */
+  private[lake] val MAX_BLOOM_PROBE_KEYS = 200000
 
   val META_COLS: Seq[String] =
     Seq("_commit_time", "_commit_seqno", "_record_key", "_partition_path", "_file_name")

@@ -14,9 +14,16 @@ package graft.lake
   * @param partition  optional hive-style partition column
   * @param mor        merge-on-read: updates land in log files; `_ro` serves
   *                   base files only, `_rt` merges on the fly
+  * @param bloomBitsPerKey per-file key bloom sidecars at this many bits per
+  *                   key (0 = off). Hudi bloom-index analog: prunes upsert/
+  *                   delete candidate files when key RANGES overlap (random
+  *                   churn), where min/max stats prune nothing. 10 ⇒ ~1%
+  *                   false positives; a false positive only costs reading
+  *                   one extra candidate file.
   */
 case class TableSpec(
     key: String,
     precombine: String,
     partition: Option[String] = None,
-    mor: Boolean = false)
+    mor: Boolean = false,
+    bloomBitsPerKey: Int = 0)

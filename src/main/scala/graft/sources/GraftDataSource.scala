@@ -104,7 +104,10 @@ object GraftDataSource {
       partition = opt("partition", "hoodie.datasource.write.partitionpath.field"),
       mor = opt("mor").exists(_.toBoolean) ||
         opt("type", "hoodie.datasource.write.storage.type", "hoodie.datasource.write.table.type")
-          .exists(_.equalsIgnoreCase("MERGE_ON_READ")))
+          .exists(_.equalsIgnoreCase("MERGE_ON_READ")),
+      bloomBitsPerKey = opt("bloomBitsPerKey").map(_.toInt).getOrElse(
+        // Hudi option-surface alias: BLOOM index type at its default sizing
+        if (opt("hoodie.index.type").exists(_.equalsIgnoreCase("BLOOM"))) 10 else 0))
 
     val mergeSchema = opt("mergeSchema").exists(_.toBoolean) // Delta option name
     mode match {

@@ -162,6 +162,37 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom index prunes candidate files when key ranges fully overlap") {
+    // round-robin layout: every file's [min,max] key range spans the whole
+    // table, so range stats keep ALL files as upsert candidates — exactly
+    // the random-churn shape where only blooms can prune
+    def interleaved = (0 until 8000).map(i => (i.toLong, 1L, s"v$i"))
+      .toDF("k", "pc", "payload").repartition(8)
+    val sparse = Seq((17L, 2L, "u17"), (4242L, 2L, "u4242"), (7999L, 2L, "u7999"))
+      .toDF("k", "pc", "payload")
+
+    val ctrlPath = Files.createTempDirectory("graft_nobloom").toString
+    val ctrl = LakeTable.create(spark, ctrlPath, TableSpec("k", "pc"), interleaved,
+      bulkInsert = true)
+    ctrl.upsert(sparse)
+    assert(ctrl.lastPrunedCandidates == 8,
+      s"control: range stats alone must keep all 8 files, got ${ctrl.lastPrunedCandidates}")
+
+    val path = Files.createTempDirectory("graft_bloom").toString
+    val t = LakeTable.create(spark, path,
+      TableSpec("k", "pc", bloomBitsPerKey = 10), interleaved, bulkInsert = true)
+    t.upsert(sparse)
+    assert(t.lastPrunedCandidates <= 4,
+      s"blooms must cut the 8 overlapping candidates to ~3, got ${t.lastPrunedCandidates}")
+    val got = t.read().filter(col("pc") === 2L).select("k", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((17L, "u17"), (4242L, "u4242"), (7999L, "u7999")))
+    assert(t.read().count() == 8000, "upsert correctness unchanged by bloom pruning")
+    // vacuum (which also drops dead sidecars) leaves the table readable
+    t.vacuum(retainVersions = 1)
+    assert(t.read().count() == 8000)
+  }
+
   test("salted join equals plain join on skewed data") {
     val probe = (1 to 20000).map(i => (if (i % 10 == 0) 1 else i % 500, s"p$i")).toDF("k", "pv")
     val build = (1 to 500).map(i => (i, s"b$i")).toDF("k", "bv")
