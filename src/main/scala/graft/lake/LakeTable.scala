@@ -44,6 +44,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   def latestVersion: Long = CommitLog.latestVersion(path, conf).getOrElse(-1L)
 
+  /** (live file count, live row count) from commit-log metadata — no scan.
+    * Rows are the per-file totals; for MoR the log rows count too (they
+    * are post-images, so this over-counts contested keys — same caveat as
+    * Hudi's timeline row stats). */
+  def liveFileStats: (Long, Long) = {
+    val live = liveFiles(None)
+    (live.size.toLong, live.map(_.rows).sum)
+  }
+
   private def latestCommit: Commit = CommitLog.read(path, latestVersion, conf)
 
   def spec: TableSpec = latestCommit.spec

@@ -134,7 +134,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
         val spec = TableSpec(key, precombine, partition = partCol,
           mor = opt("mor").exists(_.toBoolean) ||
-            opt("type").exists(_.equalsIgnoreCase("MERGE_ON_READ")))
+            opt("type").exists(_.equalsIgnoreCase("MERGE_ON_READ")),
+          bloomBitsPerKey = opt("bloomBitsPerKey").map(_.toInt).getOrElse(0))
         val path = other.getOrElse(tableDir(ident).toString)
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

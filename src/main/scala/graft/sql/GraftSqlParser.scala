@@ -39,6 +39,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftVacuumCommand(target.trim,
         Option(hours).map(_.toDouble).getOrElse(DEFAULT_RETAIN_HOURS))
     case HISTORY_RE(target) => GraftDescribeHistoryCommand(target.trim)
+    case DETAIL_RE(target) => GraftDescribeDetailCommand(target.trim)
+    case RESTORE_RE(target, v) => GraftRestoreCommand(target.trim, v.toLong)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -71,6 +73,10 @@ object GraftSqlParser {
     (s"""(?is)\\s*VACUUM\\s+$TGT\\s*(?:RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?)?\\s*;?\\s*""").r
   private[sql] val HISTORY_RE =
     (s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$TGT\\s*;?\\s*""").r
+  private[sql] val DETAIL_RE =
+    (s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$TGT\\s*;?\\s*""").r
+  private[sql] val RESTORE_RE =
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$TGT\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""").r
 
   private def stripIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -109,6 +115,37 @@ case class GraftVacuumCommand(target: String, retainHours: Double)
     GraftSqlParser.resolveTable(spark, target)
       .vacuum(retainHours = Some(retainHours))
     Seq.empty
+  }
+}
+
+case class GraftRestoreCommand(target: String, version: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolveTable(spark, target).restore(version)
+    Seq.empty
+  }
+}
+
+/** Delta `DESCRIBE DETAIL` analog: one row of table-level metadata. */
+case class GraftDescribeDetailCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("table_type", StringType)(),
+    AttributeReference("key", StringType)(),
+    AttributeReference("precombine", StringType)(),
+    AttributeReference("partition_column", StringType)(),
+    AttributeReference("num_files", LongType)(),
+    AttributeReference("num_rows", LongType)(),
+    AttributeReference("latest_version", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, target)
+    val live = t.liveFileStats
+    Seq(Row("graft", t.path, if (t.spec.mor) "merge-on-read" else "copy-on-write",
+      t.spec.key, t.spec.precombine, t.spec.partition.orNull,
+      live._1, live._2, t.latestVersion))
   }
 }
 

@@ -252,6 +252,18 @@ class MergeIntoSpec extends AnyFunSuite {
     spark.sql("VACUUM maint_t RETAIN 0 HOURS") // drop pre-optimize files
     val t = graft.lake.LakeTable.load(spark, path)
     assert(t.read().count() == 200, "vacuum must keep the live version readable")
+
+    val detail = spark.sql("DESCRIBE DETAIL maint_t").collect().head
+    assert(detail.getAs[String]("format") == "graft" &&
+      detail.getAs[String]("key") == "pk_id" &&
+      detail.getAs[Long]("num_rows") == 200)
+
+    val vNow = t.latestVersion
+    spark.sql(s"UPDATE maint_t SET name = 'gone' WHERE pk_id <= 100")
+    spark.sql(s"RESTORE TABLE maint_t TO VERSION AS OF $vNow")
+    val names = graft.lake.LakeTable.load(spark, path).read()
+      .where("pk_id <= 100 AND name = 'gone'").count()
+    assert(names == 0, "RESTORE must bring back the pre-update rows")
     spark.sql("DROP TABLE maint_t")
   }
 
