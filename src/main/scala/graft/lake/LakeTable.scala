@@ -802,17 +802,25 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         .collect().map(_.getString(0))
       if (keys.length <= LakeTable.MAX_BLOOM_PROBE_KEYS) {
         val bKeys = spark.sparkContext.broadcast(keys)
+        // Configuration is not serializable — ship its entries and rebuild
+        // in-task (executors need the session's fs credentials/impls)
+        val confEntries = {
+          val it = conf.iterator(); val buf = Seq.newBuilder[(String, String)]
+          while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+          buf.result()
+        }
+        val bConf = spark.sparkContext.broadcast(confEntries)
         val dd = dataDir
         val hit = spark.sparkContext
           .parallelize(cands.map(_.path), math.max(1, math.min(cands.size, 64)))
           .mapPartitions { it =>
-            val fs = new Path(dd).getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val c = new org.apache.hadoop.conf.Configuration(false)
+            bConf.value.foreach { case (k, v) => c.set(k, v) }
+            val fs = new Path(dd).getFileSystem(c)
             it.filter { rel =>
-              val bf = new Path(s"$dd/.blooms/$rel.bf")
-              if (!fs.exists(bf)) true
-              else {
-                val bloom = KeyBloom.read(fs, bf)
-                bKeys.value.exists(bloom.mightContain)
+              KeyBloom.readOpt(fs, new Path(s"$dd/.blooms/$rel.bf")) match {
+                case Some(bloom) => bKeys.value.exists(bloom.mightContainString)
+                case None => true // absent/torn sidecar: fail open, keep the file
               }
             }
           }.collect().toSet
@@ -913,17 +921,18 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val partials = spark.read.parquet(target)
       .select(input_file_name().as("_f"), col(keyName).cast(StringType).as("_k"))
       .rdd.mapPartitions { it =>
-        val acc = scala.collection.mutable.HashMap.empty[String, KeyBloom]
+        val acc = scala.collection.mutable.HashMap
+          .empty[String, org.apache.spark.util.sketch.BloomFilter]
         it.foreach { r =>
           val rel = r.getString(0).split("/data/").last
           rowsByRel.get(rel).foreach { rows =>
-            val b = acc.getOrElseUpdate(rel, KeyBloom.empty(rows, bpk))
-            if (!r.isNullAt(1)) b.add(r.getString(1))
+            val b = acc.getOrElseUpdate(rel, KeyBloom.create(rows, bpk))
+            if (!r.isNullAt(1)) b.putString(r.getString(1))
           }
         }
         acc.iterator
       }
-      .reduceByKey(_ or _)
+      .reduceByKey((a, b) => { a.mergeInPlace(b); a })
       .collect()
     val fs = new Path(dataDir).getFileSystem(conf)
     partials.foreach { case (rel, bloom) =>

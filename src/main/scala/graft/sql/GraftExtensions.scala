@@ -41,7 +41,7 @@ import graft.sources.GraftRelation
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => ResolveGraftMerge)
-    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     graft.functions.GraftFunctions.functions.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -387,33 +387,37 @@ object GraftMerge {
         .localCheckpoint(true))
     }
 
-    // a by-source-only statement must not run (or commit) an empty main pass
-    if (matched.nonEmpty || notMatched.nonEmpty) {
-      val out = LakeTable.dedupLatest(out0, table.spec.key, "_graft_spc",
-        xxhash64(out0.columns.map(col).toSeq: _*))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val upserts = out.filter(col("_graft_disp").isin("update", "insert"))
-          .drop("_graft_disp", "_graft_spc")
-        table.upsert(upserts)
-        if (matched.exists(_.isInstanceOf[Delete])) {
-          val doomed = out.filter(col("_graft_disp") === "delete")
-            .select(col(table.spec.key))
-          table.deleteKeys(doomed)
-          ()
-        }
-      } finally {
-        out.unpersist(blocking = false)
-        ()
-      }
-    }
+    // a by-source-only statement must not run (or commit) an empty main pass.
+    // The main pass is ALSO eagerly pinned: persist alone can recompute a
+    // lost partition from the lazy SQL target relation AFTER the upsert
+    // commit, flipping dispositions between the upsert and the deleteKeys.
+    val mainStaged: Option[DataFrame] =
+      if (matched.isEmpty && notMatched.isEmpty) None
+      else Some(LakeTable.dedupLatest(out0, table.spec.key, "_graft_spc",
+        xxhash64(out0.columns.map(col).toSeq: _*)).localCheckpoint(true))
 
+    // Apply by-source FIRST: its rows are target rows no source row
+    // matched, and with extra ON conjuncts the main pass may INSERT the
+    // same key — per-row clause semantics (Delta's) delete only the old
+    // row, so on a keyed table the delete must land before the insert.
     bySourceStaged.foreach { staged =>
       val ups = staged.filter(col("_graft_disp") === "update").drop("_graft_disp")
       if (notMatchedBySource.exists(!_.isInstanceOf[Delete])) table.upsert(ups)
       if (notMatchedBySource.exists(_.isInstanceOf[Delete])) {
         table.deleteKeys(
           staged.filter(col("_graft_disp") === "delete").select(col(table.spec.key)))
+        ()
+      }
+    }
+
+    mainStaged.foreach { out =>
+      val upserts = out.filter(col("_graft_disp").isin("update", "insert"))
+        .drop("_graft_disp", "_graft_spc")
+      table.upsert(upserts)
+      if (matched.exists(_.isInstanceOf[Delete])) {
+        val doomed = out.filter(col("_graft_disp") === "delete")
+          .select(col(table.spec.key))
+        table.deleteKeys(doomed)
         ()
       }
     }

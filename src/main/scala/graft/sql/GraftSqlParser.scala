@@ -28,19 +28,39 @@ import graft.lake.LakeTable
   * Delta, `DESCRIBE HISTORY x` shadows `DESCRIBE` of a table literally
   * named `history`.)
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
   import GraftSqlParser._
 
+  /** Intercept only when the target is plausibly a graft table: quoted
+    * paths and ``graft.`path` `` always are; a catalog identifier is
+    * checked against its provider, so `DESCRIBE DETAIL some_delta_table`
+    * (another extension's statement) falls through to the delegate chain.
+    * Unresolvable identifiers stay ours — the command reports the clear
+    * "not a graft table / no such table" error instead of a parse error. */
+  private def graftTarget(target: String): Boolean = {
+    val t = target.trim
+    if (t.startsWith("'") || t.toLowerCase.startsWith("graft.`")) true
+    else scala.util.Try {
+      val ident = delegate.parseTableIdentifier(t)
+      session.sessionState.catalog.getTableMetadata(ident)
+        .provider.forall(_.equalsIgnoreCase("graft"))
+    }.getOrElse(true)
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OPTIMIZE_RE(target, zcols) =>
+    case OPTIMIZE_RE(target, zcols) if graftTarget(target) =>
       GraftOptimizeCommand(target.trim,
         Option(zcols).map(_.split(",").map(stripIdent).toSeq).getOrElse(Seq.empty))
-    case VACUUM_RE(target, hours) =>
+    case VACUUM_RE(target, hours) if graftTarget(target) =>
       GraftVacuumCommand(target.trim,
         Option(hours).map(_.toDouble).getOrElse(DEFAULT_RETAIN_HOURS))
-    case HISTORY_RE(target) => GraftDescribeHistoryCommand(target.trim)
-    case DETAIL_RE(target) => GraftDescribeDetailCommand(target.trim)
-    case RESTORE_RE(target, v) => GraftRestoreCommand(target.trim, v.toLong)
+    case HISTORY_RE(target) if graftTarget(target) =>
+      GraftDescribeHistoryCommand(target.trim)
+    case DETAIL_RE(target) if graftTarget(target) =>
+      GraftDescribeDetailCommand(target.trim)
+    case RESTORE_RE(target, v) if graftTarget(target) =>
+      GraftRestoreCommand(target.trim, v.toLong)
     case _ => delegate.parsePlan(sqlText)
   }
 

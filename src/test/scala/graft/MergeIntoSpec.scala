@@ -206,6 +206,31 @@ class MergeIntoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE snap_t")
   }
 
+  test("by-source DELETE must not swallow a same-key INSERT from an extra ON conjunct") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_bysrc_ins").toString
+    Seq((5L, 1L, "inactive"), (6L, 1L, "active"))
+      .toDF("pk_id", "updated_at", "status").write.format("graft")
+      .option("key", "pk_id").option("precombine", "updated_at")
+      .mode("overwrite").save(path)
+    spark.sql("DROP TABLE IF EXISTS insdel_t")
+    spark.sql(s"CREATE TABLE insdel_t USING graft LOCATION '$path'")
+    Seq((5L, 2L, "fresh"), (6L, 2L, "active"))
+      .toDF("pk_id", "updated_at", "status").createOrReplaceTempView("insdel_src")
+    // pk 5 fails the ON conjunct (old row inactive) → source row INSERTs and
+    // the old target row is by-source-deleted; the fresh insert must survive
+    spark.sql(
+      """MERGE INTO insdel_t target USING insdel_src source
+        |ON source.pk_id == target.pk_id AND target.status = 'active'
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT pk_id, updated_at, status FROM insdel_t ORDER BY pk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((5L, 2L, "fresh"), (6L, 2L, "active")), s"got $got")
+    spark.sql("DROP TABLE insdel_t")
+  }
+
   test("by-source-only MERGE commits no empty main-pass version") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_bysrc_only").toString
