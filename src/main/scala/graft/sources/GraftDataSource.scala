@@ -41,7 +41,9 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft stream source needs a path"))
-    (shortName(), schema.getOrElse(GraftStreamSource.schemaFor(ctx, path)))
+    val cdf = parameters.get("changes").exists(_.toBoolean) ||
+      parameters.get("readChangeFeed").exists(_.toBoolean)
+    (shortName(), schema.getOrElse(GraftStreamSource.schemaFor(ctx, path, cdf)))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,

@@ -28,11 +28,20 @@ import graft.lake.LakeTable
   * `startingVersion` (default -1 = include everything from version 0, like
   * Delta's full-snapshot-then-tail default; `latest` = only commits after
   * stream start) bounds the first batch.
+  *
+  * `changes=true` (alias `readChangeFeed`, Delta's streaming CDF): each
+  * batch is `LakeTable.changes(start, end]` instead — rows carry
+  * `_change_type` ∈ insert / update_postimage / delete, delete rows with
+  * the key (and partition) and null data columns. Same churn-bounded cost.
   */
 class GraftStreamSource(ctx: SQLContext, path: String,
     parameters: Map[String, String]) extends Source {
 
   private def table: LakeTable = LakeTable.load(ctx.sparkSession, path)
+
+  private val changeFeed: Boolean =
+    parameters.get("changes").exists(_.toBoolean) ||
+      parameters.get("readChangeFeed").exists(_.toBoolean)
 
   private val startingVersion: Long =
     parameters.get("startingVersion").map {
@@ -40,7 +49,7 @@ class GraftStreamSource(ctx: SQLContext, path: String,
       case v => v.toLong
     }.getOrElse(-1L)
 
-  override val schema: StructType = GraftStreamSource.schemaFor(ctx, path)
+  override val schema: StructType = GraftStreamSource.schemaFor(ctx, path, changeFeed)
 
   override def getOffset: Option[Offset] = {
     val v = table.latestVersion
@@ -51,7 +60,10 @@ class GraftStreamSource(ctx: SQLContext, path: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val s = start.map(_.json.toLong).getOrElse(startingVersion)
     val e = end.json.toLong
-    val df = table.incremental(s, Some(e))
+    val raw = if (changeFeed) table.changes(s, Some(e)) else table.incremental(s, Some(e))
+    // pin declared column order (changes() appends _change_type; delete
+    // rows carry nulls for the data columns)
+    val df = raw.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     // V1 Source contract: the returned frame must be a streaming plan
     org.apache.spark.sql.GraftExpressionBridge.internalCreateStreamingDataFrame(
       ctx.sparkSession, df.queryExecution.toRdd, df.schema)
@@ -61,8 +73,9 @@ class GraftStreamSource(ctx: SQLContext, path: String,
 }
 
 object GraftStreamSource {
-  def schemaFor(ctx: SQLContext, path: String): StructType = {
+  def schemaFor(ctx: SQLContext, path: String, changeFeed: Boolean = false): StructType = {
     val t = LakeTable.load(ctx.sparkSession, path)
-    StructType(LakeTable.META_COLS.map(StructField(_, StringType)) ++ t.schema.fields)
+    val base = StructType(LakeTable.META_COLS.map(StructField(_, StringType)) ++ t.schema.fields)
+    if (changeFeed) StructType(base.fields :+ StructField("_change_type", StringType)) else base
   }
 }

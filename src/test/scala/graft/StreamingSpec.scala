@@ -43,6 +43,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming change feed (changes=true) tags insert/update/delete per batch") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_cdf").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "pc", "v"))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[(Int, String)]]
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "latest").option("changes", "true").load(path)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += df.select("k", "_change_type").collect()
+            .map(r => (r.getInt(0), r.getString(1))).toSet
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      t.upsert(Seq((2, 2L, "b2"), (3, 1L, "c")).toDF("k", "pc", "v"))
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.last) ==
+        Set((2, "update_postimage"), (3, "insert")), s"got ${batches.last}")
+      t.delete(col("k") === 1)
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.last) == Set((1, "delete")), s"got ${batches.last}")
+    } finally q.stop()
+  }
+
   test("graft streaming source honors startingVersion=latest") {
     import spark.implicits._
     import graft.lake.{LakeTable, TableSpec}
