@@ -102,7 +102,10 @@ object TextStats {
       else if (c >= 'A' && c <= 'Z') hasUpper = true
       i += 1
     }
-    if (!ascii) s.toLowerCase
+    // Locale.ROOT: Spark's lower() is locale-independent; the JVM default
+    // locale would diverge (e.g. Turkish 'I' → 'ı') and break the
+    // documented bit-for-bit equivalence with the builtin columns.
+    if (!ascii) s.toLowerCase(java.util.Locale.ROOT)
     else if (!hasUpper) s
     else {
       val a = s.toCharArray

@@ -46,5 +46,5 @@ object KeyBloom {
         val in = fs.open(path)
         try Some(BloomFilter.readFrom(in)) finally in.close()
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -376,20 +376,30 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def deleteKeys(keys: DataFrame): LakeTable = {
     if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
     val live = liveFiles(None)
-    val k = keys.select(col(spec.key)).distinct()
+    // Record identity is (key, partition) when the table is partitioned AND
+    // the caller supplies the partition column — then only the matched
+    // partition's row dies. A bare key set keeps the historical global
+    // semantics (the key is deleted in every partition). Keeping the raw
+    // partition column in `k` also lets pruneCandidates partition-prune.
+    val byPartition = spec.partition.exists(keys.columns.contains)
+    val idC: Seq[String] = if (byPartition) idCols else Seq(spec.key)
+    val jc: Seq[String] = if (byPartition) joinIdCols else Seq(spec.key)
+    def ids(df: DataFrame): DataFrame = if (byPartition) withJoinIds(df) else df
+    val k = ids(keys.select(idC.map(col): _*)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       writeCommit("delete") { (version, _) =>
         val candidates = pruneCandidates(live, k)
-        val touched = readFiles(candidates)
-          .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
-          .join(k, Seq(spec.key), "left_semi")
+        val touched = ids(readFiles(candidates)
+          .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1)))
+          .join(k, jc, "left_semi")
           .select("_rel_file").distinct().collect().map(_.getString(0)).toSeq
         if (touched.isEmpty) Seq.empty
         else {
           val touchedSet = touched.toSet
-          val kept = readFiles(candidates.filter(a => touchedSet.contains(a.path)))
-            .join(k, Seq(spec.key), "left_anti")
+          val kept = ids(readFiles(candidates.filter(a => touchedSet.contains(a.path))))
+            .join(k, jc, "left_anti")
+            .drop(PID)
             .drop("_file_name")
           Seq(writeFiles(kept, version * WRITE_SLOTS, log = false).copy(remove = touched))
         }

@@ -559,12 +559,12 @@ object ExtQueries {
           .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
-          // rank on the full double; EMIT decimal(18,9) — Java Math.log and
-          // libm ln differ in the last ulp, which the type-sensitive hash
-          // would see (ordering is robust: near-ties of tf·ln(N/df) across
-          // distinct small-integer (tf, df) pairs don't occur)
-          .withColumn("score", col("score").cast("decimal(18,9)"))
-          .select("doc_id", "term", "tf", "score", "rk")
+          // rank on the full double but DON'T hash it — Java Math.log and
+          // libm ln differ in the last ulp, and decimal quantization can't
+          // absorb a diff that lands on a rounding boundary (seen at sf0.1).
+          // Ordering is robust (near-ties of tf·ln(N/df) across distinct
+          // small-integer (tf, df) pairs don't occur); emit (tf, df, rk).
+          .select("doc_id", "term", "tf", "df", "rk")
           .orderBy("doc_id", "rk")
       },
       raw"""WITH toks AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -572,11 +572,11 @@ object ExtQueries {
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
         |n AS (SELECT COUNT(*) AS n FROM documents),
-        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
         |    tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
         |  FROM tf JOIN df USING (term) CROSS JOIN n),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk FROM s)
-        |SELECT doc_id, term, tf, CAST(score AS DECIMAL(18,9)) AS score, rk FROM r WHERE rk <= 3
+        |SELECT doc_id, term, tf, df, rk FROM r WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin)),
 
     // As-of (temporal) join: every purchase matched to the user's most

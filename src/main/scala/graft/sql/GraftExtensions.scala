@@ -391,9 +391,13 @@ object GraftMerge {
     // The main pass is ALSO eagerly pinned: persist alone can recompute a
     // lost partition from the lazy SQL target relation AFTER the upsert
     // commit, flipping dispositions between the upsert and the deleteKeys.
+    // Record identity is (key, partition) on a partitioned table — the same
+    // key in two partitions is two records (Hudi non-global-index
+    // semantics), so per-key resolution and deletes must not collapse them.
+    val idCols: Seq[String] = table.spec.key +: table.spec.partition.toSeq
     val mainStaged: Option[DataFrame] =
       if (matched.isEmpty && notMatched.isEmpty) None
-      else Some(LakeTable.dedupLatest(out0, table.spec.key, "_graft_spc",
+      else Some(LakeTable.dedupLatest(out0, idCols, "_graft_spc",
         xxhash64(out0.columns.map(col).toSeq: _*)).localCheckpoint(true))
 
     // Apply by-source FIRST: its rows are target rows no source row
@@ -404,8 +408,8 @@ object GraftMerge {
       val ups = staged.filter(col("_graft_disp") === "update").drop("_graft_disp")
       if (notMatchedBySource.exists(!_.isInstanceOf[Delete])) table.upsert(ups)
       if (notMatchedBySource.exists(_.isInstanceOf[Delete])) {
-        table.deleteKeys(
-          staged.filter(col("_graft_disp") === "delete").select(col(table.spec.key)))
+        table.deleteKeys(staged.filter(col("_graft_disp") === "delete")
+          .select(idCols.map(col): _*))
         ()
       }
     }
@@ -416,7 +420,7 @@ object GraftMerge {
       table.upsert(upserts)
       if (matched.exists(_.isInstanceOf[Delete])) {
         val doomed = out.filter(col("_graft_disp") === "delete")
-          .select(col(table.spec.key))
+          .select(idCols.map(col): _*)
         table.deleteKeys(doomed)
         ()
       }

@@ -32,35 +32,52 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   import GraftSqlParser._
 
-  /** Intercept only when the target is plausibly a graft table: quoted
-    * paths and ``graft.`path` `` always are; a catalog identifier is
-    * checked against its provider, so `DESCRIBE DETAIL some_delta_table`
-    * (another extension's statement) falls through to the delegate chain.
-    * Unresolvable identifiers stay ours — the command reports the clear
-    * "not a graft table / no such table" error instead of a parse error. */
-  private def graftTarget(target: String): Boolean = {
+  /** Whether the target is a graft table: quoted paths and ``graft.`path` ``
+    * always are (`Some(true)`); a catalog identifier is checked against its
+    * declared provider, so `DESCRIBE DETAIL some_delta_table` or `OPTIMIZE
+    * hive_tbl` (provider absent) falls through to the delegate chain
+    * instead of being intercepted with a graft error. `None` = the
+    * identifier doesn't resolve at parse time. */
+  private def graftTarget(target: String): Option[Boolean] = {
     val t = target.trim
-    if (t.startsWith("'") || t.toLowerCase.startsWith("graft.`")) true
+    if (t.startsWith("'") || t.toLowerCase.startsWith("graft.`")) Some(true)
     else scala.util.Try {
       val ident = delegate.parseTableIdentifier(t)
       session.sessionState.catalog.getTableMetadata(ident)
-        .provider.forall(_.equalsIgnoreCase("graft"))
-    }.getOrElse(true)
+        .provider.exists(_.equalsIgnoreCase("graft"))
+    }.toOption
   }
 
+  /** Claim the statement when the target is graft's; delegate when it is
+    * provably another provider's; when unresolvable, let the delegate try
+    * first (another extension may claim it) and fall back to the graft
+    * command, whose execution reports the clear "no such table" error
+    * rather than a bare parse error. */
+  private def claimOr(sqlText: String, target: String)(cmd: => LogicalPlan): LogicalPlan =
+    graftTarget(target) match {
+      case Some(true)  => cmd
+      case Some(false) => delegate.parsePlan(sqlText)
+      case None        => scala.util.Try(delegate.parsePlan(sqlText)).getOrElse(cmd)
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OPTIMIZE_RE(target, zcols) if graftTarget(target) =>
+    case OPTIMIZE_RE(target, zcols) => claimOr(sqlText, target) {
       GraftOptimizeCommand(target.trim,
         Option(zcols).map(_.split(",").map(stripIdent).toSeq).getOrElse(Seq.empty))
-    case VACUUM_RE(target, hours) if graftTarget(target) =>
+    }
+    case VACUUM_RE(target, hours) => claimOr(sqlText, target) {
       GraftVacuumCommand(target.trim,
         Option(hours).map(_.toDouble).getOrElse(DEFAULT_RETAIN_HOURS))
-    case HISTORY_RE(target) if graftTarget(target) =>
+    }
+    case HISTORY_RE(target) => claimOr(sqlText, target) {
       GraftDescribeHistoryCommand(target.trim)
-    case DETAIL_RE(target) if graftTarget(target) =>
+    }
+    case DETAIL_RE(target) => claimOr(sqlText, target) {
       GraftDescribeDetailCommand(target.trim)
-    case RESTORE_RE(target, v) if graftTarget(target) =>
+    }
+    case RESTORE_RE(target, v) => claimOr(sqlText, target) {
       GraftRestoreCommand(target.trim, v.toLong)
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 

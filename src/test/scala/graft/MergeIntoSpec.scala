@@ -292,6 +292,48 @@ class MergeIntoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE maint_t")
   }
 
+  test("partitioned table: MERGE record identity is (key, partition)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_gm_part").toString
+    // same key (1) in two partitions — two distinct records
+    Seq((1L, 1L, "us", "a"), (1L, 1L, "eu", "b"), (2L, 1L, "us", "c"))
+      .toDF("pk_id", "updated_at", "region", "name").write.format("graft")
+      .option("key", "pk_id").option("precombine", "updated_at")
+      .option("partition", "region")
+      .mode("overwrite").save(path)
+    spark.sql("DROP TABLE IF EXISTS gm_part")
+    spark.sql(s"CREATE TABLE gm_part USING graft LOCATION '$path'")
+    Seq((1L, 2L, "us", "a2", true), (2L, 2L, "us", "c2", false))
+      .toDF("pk_id", "updated_at", "region", "name", "del")
+      .createOrReplaceTempView("src_part")
+    spark.sql(
+      """MERGE INTO gm_part target USING src_part source
+        |ON source.pk_id == target.pk_id AND source.region == target.region
+        |WHEN MATCHED AND source.del THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val got = spark.sql(
+      "SELECT pk_id, region, name FROM gm_part ORDER BY pk_id, region")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, "eu", "b"), (2L, "us", "c2")),
+      "(1,us) deleted and (1,eu) survives — a key-only delete would kill both")
+
+    // by-source DELETE must also respect partition identity: source covers
+    // only the us partition rows, so the eu record is "not matched by
+    // source" and dies; its same-key us sibling must not.
+    spark.sql(
+      """MERGE INTO gm_part target USING src_part source
+        |ON source.pk_id == target.pk_id AND source.region == target.region
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got2 = spark.sql(
+      "SELECT pk_id, region, name FROM gm_part ORDER BY pk_id, region")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got2 == Seq((1L, "us", "a2"), (2L, "us", "c2")),
+      "(1,eu) unmatched-by-source dies; same-key (1,us) re-upserted survives")
+    spark.sql("DROP TABLE gm_part")
+  }
+
   test("unsupported MERGE shapes fail loudly, not silently") {
     val t = mergeFixture("bad")
     val e = intercept[Exception] {
