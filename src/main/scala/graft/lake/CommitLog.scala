@@ -27,7 +27,13 @@ case class FileAction(
 
 /** A committed version of the table: files added/removed plus metadata.
   * `commitTime` uses Hudi's timeline shape `yyyyMMddHHmmssSSS`
-  * (`/root/reference/README.md:352`). */
+  * (`/root/reference/README.md:352`).
+  *
+  * `txn` is the table's cumulative idempotent-transaction watermark map
+  * (Delta's `txnAppId`/`txnVersion` analog): for each application id, the
+  * highest transaction version already applied. Carried denormalized on
+  * every commit so the latest commit alone answers "was this batch already
+  * written?" — the exactly-once guard for streaming `foreachBatch` replays. */
 case class Commit(
     version: Long,
     commitTime: String,
@@ -35,12 +41,22 @@ case class Commit(
     schemaJson: String,
     spec: TableSpec,
     add: Seq[FileAction],
-    remove: Seq[String])
+    remove: Seq[String],
+    txn: Map[String, Long] = Map.empty)
+
+/** Another writer claimed this commit version first. Callers rebase: re-read
+  * the snapshot, recompute, retry at the next version ([[graft.lake.LakeTable]]
+  * does this automatically, bounded, for every table mutation). */
+class CommitConflictException(val tablePath: String, val version: Long)
+  extends RuntimeException(
+    s"commit $version at $tablePath was claimed by a concurrent writer")
 
 /** JSON commit log under `<table>/_graft_log/`, the engine's analog of
   * Delta's `_delta_log` (`/root/reference/README.md:1232-1237`) and Hudi's
-  * `.hoodie` timeline. Driver-side only; single-writer (documented
-  * SURVEY.md §7.4). Uses Jackson from Spark's classpath — no extra deps.
+  * `.hoodie` timeline. Driver-side metadata only. Multi-writer safe via
+  * optimistic concurrency: version files are claimed atomically (see
+  * [[CommitLog.publish]]) and a losing writer rebases — the Delta commit
+  * protocol. Uses Jackson from Spark's classpath — no extra deps.
   */
 object CommitLog {
   private val mapper = new ObjectMapper()
@@ -89,18 +105,48 @@ object CommitLog {
     }
     val rm = root.putArray("remove")
     c.remove.foreach(rm.add)
+    if (c.txn.nonEmpty) {
+      val tx = root.putObject("txn")
+      c.txn.foreach { case (app, v) => tx.put(app, v) }
+    }
 
     val target = fileFor(tablePath, c.version)
     val f = fs(target, conf)
     f.mkdirs(logDir(tablePath))
     // write-then-rename so a reader never sees a torn commit file
-    val tmp = new Path(logDir(tablePath), s".${c.version}.json.tmp")
+    val tmp = new Path(logDir(tablePath), s".${c.version}-${java.util.UUID.randomUUID()}.json.tmp")
     val out = f.create(tmp, true)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     out.close()
-    if (f.exists(target)) throw new IllegalStateException(
-      s"commit ${c.version} already exists at $tablePath (concurrent writer?)")
-    if (!f.rename(tmp, target)) throw new IllegalStateException(s"commit rename failed: $target")
+    publish(f, tmp, target, tablePath, c.version)
+  }
+
+  /** Publish the staged commit file: the commit is live the instant the
+    * final name appears, and exactly ONE writer may claim a version — the
+    * loser gets [[CommitConflictException]] and rebases. On local paths the
+    * claim is a POSIX hard link (`link(2)` fails `EEXIST` atomically — the
+    * local analog of HDFS's atomic no-overwrite rename; a bare local
+    * `rename` would silently overwrite the winner). Elsewhere it is
+    * exists+rename: atomic on HDFS, while object stores need an external
+    * commit coordinator — the same caveat Delta documents for S3. */
+  private def publish(f: FileSystem, tmp: Path, target: Path,
+      tablePath: String, version: Long): Unit = {
+    def conflict(): Nothing = {
+      f.delete(tmp, false)
+      throw new CommitConflictException(tablePath, version)
+    }
+    val scheme = Option(f.makeQualified(target).toUri.getScheme)
+    if (scheme.forall(_ == "file")) {
+      val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+      val dst = java.nio.file.Paths.get(f.makeQualified(target).toUri.getPath)
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: java.nio.file.FileAlreadyExistsException => conflict() }
+      f.delete(tmp, false)
+      ()
+    } else {
+      if (f.exists(target)) conflict()
+      if (!f.rename(tmp, target)) conflict()
+    }
   }
 
   // commit files are immutable once renamed into place, so reads are safe
@@ -158,6 +204,11 @@ object CommitLog {
     }
     val removes = ArrayBuffer.empty[String]
     root.get("remove").asInstanceOf[ArrayNode].forEach(n => removes += n.asText)
+    val txn = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    if (root.hasNonNull("txn")) {
+      val it = root.get("txn").asInstanceOf[ObjectNode].fields()
+      while (it.hasNext) { val e = it.next(); txn(e.getKey) = e.getValue.asLong }
+    }
     Commit(
       version = root.get("version").asLong,
       commitTime = root.get("commitTime").asText,
@@ -165,7 +216,8 @@ object CommitLog {
       schemaJson = root.get("schema").asText,
       spec = spec,
       add = adds.toSeq,
-      remove = removes.toSeq)
+      remove = removes.toSeq,
+      txn = txn.toMap)
   }
 
   /** Replay commits 0..version: the live file set (adds minus later removes). */

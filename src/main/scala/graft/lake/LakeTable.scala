@@ -164,12 +164,74 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   /** Full load (S6/S8/S10): precombine-dedup, stamp meta, replace content.
     * `mergeSchema` allows additive evolution (new columns widen the table;
     * Delta's mergeSchema analog). */
-  def overwrite(df: DataFrame, mergeSchema: Boolean = false): LakeTable = {
+  def overwrite(df: DataFrame, mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): LakeTable = retrying {
     val (conformed, evolved) = conform(df, mergeSchema)
-    writeCommit("overwrite", removeAll = true, newSchema = evolved) { (version, commitTime) =>
+    writeCommit("overwrite", removeAll = true, newSchema = evolved, txn = txn) { (writeId, commitTime) =>
       val batch = stampMeta(dedupBatch(conformed), commitTime)
-      Seq(writeFiles(batch, version * WRITE_SLOTS, log = false))
+      Seq(writeFiles(batch, writeId, log = false))
     }
+  }
+
+  /** Delta `replaceWhere`: atomically replace exactly the rows matching
+    * `cond` with `df` — ONE commit rewrites the touched files' non-matching
+    * rows and adds the new data, so readers never see a half-swapped state.
+    * Every incoming row must satisfy `cond` (Delta's constraint): the op is
+    * a range/partition swap, not a disguised upsert. Detection is
+    * column-pruned to `cond`'s columns; only touched files are rewritten. */
+  def overwriteWhere(df: DataFrame, cond: Column,
+      txn: Option[(String, Long)] = None): LakeTable = retrying {
+    if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
+    val (conformed, _) = conform(df, mergeSchema = false)
+    require(conformed.filter(!coalesce(cond, lit(false))).isEmpty,
+      "replaceWhere: every incoming row must match the predicate")
+    val live = liveFiles(None)
+    writeCommit("overwriteWhere", txn = txn) { (writeId, commitTime) =>
+      val touched = readFiles(live)
+        .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
+        .filter(cond).select("_rel_file").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val batch = stampMeta(dedupBatch(conformed), commitTime)
+      val kept = if (touched.isEmpty) Seq.empty else {
+        val touchedSet = touched.toSet
+        // surviving rows of touched files (cond NULL = survives, like DELETE)
+        val rows = readFiles(live.filter(a => touchedSet.contains(a.path)))
+          .filter(!coalesce(cond, lit(false)))
+          .drop("_file_name")
+        Seq(writeFiles(rows, writeId + 1, log = false))
+      }
+      Seq(writeFiles(batch, writeId, log = false).copy(remove = touched)) ++ kept
+    }
+  }
+
+  /** Dynamic partition overwrite (Spark `partitionOverwriteMode=dynamic`):
+    * replace exactly the partitions present in `df`, leave the rest alone.
+    * File selection is pure commit-log METADATA (per-file partitionValue) —
+    * no detection scan, so the swap costs one write of the incoming data
+    * regardless of table size: the partition-load pattern at 100 TB. */
+  def overwritePartitions(df: DataFrame,
+      txn: Option[(String, Long)] = None): LakeTable = retrying {
+    val p = spec.partition.getOrElse(throw new IllegalArgumentException(
+      "dynamic partition overwrite needs a partitioned table"))
+    val (conformed, _) = conform(df, mergeSchema = false)
+    val parts = conformed.select(col(p).cast(StringType)).distinct()
+      .collect().map(r => Option(r.getString(0))
+        .getOrElse("__HIVE_DEFAULT_PARTITION__")).toSet
+    val live = liveFiles(None)
+    writeCommit("overwritePartitions", txn = txn) { (writeId, commitTime) =>
+      // MoR log files carry partitionValue too — a replaced partition's
+      // outstanding logs go with it
+      val touched = live.filter(_.partitionValue.exists(parts.contains)).map(_.path)
+      val batch = stampMeta(dedupBatch(conformed), commitTime)
+      Seq(writeFiles(batch, writeId, log = false).copy(remove = touched))
+    }
+  }
+
+  /** Live partition values from commit-log metadata — `SHOW PARTITIONS`
+    * without touching a single data file. */
+  def partitionValues: Seq[String] = {
+    require(spec.partition.isDefined, s"table at $path is not partitioned")
+    liveFiles(None).flatMap(_.partitionValue).distinct.sorted
   }
 
   /** Keyed upsert (S7/S9/J2). CoW: rewrite only files holding incoming keys.
@@ -178,22 +240,25 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * The deduped batch is persisted for the commit's duration: it feeds the
     * prune aggregate, the touched-file semi-join, and the rewrite union —
     * without caching, the dedup shuffle would run once per consumer. */
-  def upsert(df: DataFrame, mergeSchema: Boolean = false): LakeTable = {
+  def upsert(df: DataFrame, mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): LakeTable = retrying {
     val (conformed, evolved) = conform(df, mergeSchema)
     val incoming0 = dedupBatch(conformed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (spec.mor) upsertMor(incoming0, evolved) else upsertCow(incoming0, evolved)
+      if (spec.mor) upsertMor(incoming0, evolved, txn)
+      else upsertCow(incoming0, evolved, txn)
     } finally {
       incoming0.unpersist(blocking = false)
       ()
     }
   }
 
-  private def upsertCow(incoming: DataFrame, evolved: Option[StructType] = None): LakeTable = {
+  private def upsertCow(incoming: DataFrame, evolved: Option[StructType] = None,
+      txn: Option[(String, Long)] = None): LakeTable = {
     val live = liveFiles(None)
     val candidates = pruneCandidates(live, incoming)
-    writeCommit("upsert", newSchema = evolved) { (version, commitTime) =>
+    writeCommit("upsert", newSchema = evolved, txn = txn) { (writeId, commitTime) =>
       val inStamped = stampMeta(incoming, commitTime).withColumn(RANK, lit(Long.MaxValue))
       // second element: the incoming batch when nothing is touched, else
       // the full row set of the files being rewritten
@@ -237,16 +302,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             .unionByName(passThrough, allowMissingColumns = true)
             .drop(PID)
         }
-      Seq(writeFiles(winner.drop(RANK), version * WRITE_SLOTS, log = false)
+      Seq(writeFiles(winner.drop(RANK), writeId, log = false)
         .copy(remove = touchedPaths))
     }
   }
 
-  private def upsertMor(incoming: DataFrame, evolved: Option[StructType] = None): LakeTable = {
+  private def upsertMor(incoming: DataFrame, evolved: Option[StructType] = None,
+      txn: Option[(String, Long)] = None): LakeTable = {
     val live = liveFiles(None)
-    writeCommit("upsert", newSchema = evolved) { (version, commitTime) =>
+    writeCommit("upsert", newSchema = evolved, txn = txn) { (writeId, commitTime) =>
       val stamped = stampMeta(incoming, commitTime)
-      if (live.isEmpty) Seq(writeFiles(stamped, version * WRITE_SLOTS, log = false))
+      if (live.isEmpty) Seq(writeFiles(stamped, writeId, log = false))
       else {
         // key-membership split in ONE pass: left-join a membership flag over
         // a column-pruned scan of live keys, cache the tagged batch, filter
@@ -264,8 +330,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           val updates = tagged.filter(col("_graft_exists") === true)
             .drop("_graft_exists", PID)
           Seq(
-            writeFiles(newRows, version * WRITE_SLOTS, log = false),
-            writeFiles(updates, version * WRITE_SLOTS + 1, log = true)
+            writeFiles(newRows, writeId, log = false),
+            writeFiles(updates, writeId + 1, log = true)
           ).filter(_.add.nonEmpty)
         } finally {
           tagged.unpersist(blocking = false)
@@ -287,7 +353,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * rows where `cond` is definitively TRUE are dropped — a NULL-evaluating
     * condition (e.g. a null flag after additive schema evolution) keeps the
     * row, matching Delta DELETE semantics. */
-  def delete(cond: Column): LakeTable = {
+  def delete(cond: Column): LakeTable = retrying {
     // MoR with outstanding logs: a touched LOG file's surviving rows would
     // be rewritten as BASE rows next to the old base rows for the same
     // keys (duplicates), and untouched logs would lose precombine-tie
@@ -295,7 +361,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // (same guard optimize() uses) makes the rewrite well-defined.
     if (spec.mor && liveFiles(None).exists(_.log)) compact()
     val live = liveFiles(None)
-    writeCommit("delete") { (version, _) =>
+    writeCommit("delete") { (writeId, _) =>
       // detection pass: column-pruned to cond's columns + the file name
       val touched = readFiles(live)
         .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
@@ -309,7 +375,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val kept = readFiles(live.filter(a => touchedSet.contains(a.path)))
           .filter(!coalesce(cond, lit(false)))
           .drop("_file_name")
-        Seq(writeFiles(kept, version * WRITE_SLOTS, log = false).copy(remove = touched))
+        Seq(writeFiles(kept, writeId, log = false).copy(remove = touched))
       }
     }
   }
@@ -320,7 +386,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * files through unchanged. Same stats/detection shape as [[delete]]:
     * detection is column-pruned, the rewrite re-scans only touched files,
     * and rows with a NULL-evaluating condition are left untouched. */
-  def update(cond: Column, assigns: Map[String, Column]): LakeTable = {
+  def update(cond: Column, assigns: Map[String, Column]): LakeTable = retrying {
     val declared = schema
     assigns.keys.foreach { n =>
       require(declared.fieldNames.exists(_.equalsIgnoreCase(n)), s"no column $n")
@@ -333,7 +399,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
     if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
     val live = liveFiles(None)
-    writeCommit("update") { (version, commitTime) =>
+    writeCommit("update") { (writeId, commitTime) =>
       val touched = readFiles(live)
         .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
         .filter(cond).select("_rel_file").distinct()
@@ -362,7 +428,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             case None => col(c)
           }
         }
-        Seq(writeFiles(base.select(outCols.toSeq: _*), version * WRITE_SLOTS, log = false)
+        Seq(writeFiles(base.select(outCols.toSeq: _*), writeId, log = false)
           .copy(remove = touched))
       }
     }
@@ -373,7 +439,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * files actually holding a doomed key via a semi-join, rewrite only
     * those with an anti-join — no driver-side key list, no literal `isin`,
     * so the plan is O(1) in both key count and file count. */
-  def deleteKeys(keys: DataFrame): LakeTable = {
+  def deleteKeys(keys: DataFrame): LakeTable = retrying {
     if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
     val live = liveFiles(None)
     // Record identity is (key, partition) when the table is partitioned AND
@@ -388,7 +454,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val k = ids(keys.select(idC.map(col): _*)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      writeCommit("delete") { (version, _) =>
+      writeCommit("delete") { (writeId, _) =>
         val candidates = pruneCandidates(live, k)
         val touched = ids(readFiles(candidates)
           .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1)))
@@ -401,7 +467,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             .join(k, jc, "left_anti")
             .drop(PID)
             .drop("_file_name")
-          Seq(writeFiles(kept, version * WRITE_SLOTS, log = false).copy(remove = touched))
+          Seq(writeFiles(kept, writeId, log = false).copy(remove = touched))
         }
       }
     } finally {
@@ -441,9 +507,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .drop(WRITE_ID, "_file_name", PID)
   }
 
-  def compact(clusterByKey: Boolean = false, targetFiles: Int = 0): LakeTable = {
+  def compact(clusterByKey: Boolean = false, targetFiles: Int = 0): LakeTable = retrying {
     val live = liveFiles(None)
-    writeCommit("compact") { (version, _) =>
+    writeCommit("compact") { (writeId, _) =>
       val rt = mergedRewrite(live)
       val clustered =
         if (clusterByKey && targetFiles > 0)
@@ -451,7 +517,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         else if (clusterByKey)
           rt.repartitionByRange(col(spec.key)).sortWithinPartitions(col(spec.key))
         else rt
-      Seq(writeFiles(clustered, version * WRITE_SLOTS, log = false)
+      Seq(writeFiles(clustered, writeId, log = false)
         .copy(remove = live.map(_.path)))
     }
   }
@@ -465,11 +531,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * space, so parquet row-group stats prune scans filtered on ANY of the
     * clustered columns — the property a 100 TB table needs when queries
     * filter on more than the record key. */
-  def zorder(cols: Seq[String], targetFiles: Int = 0, bitsPerDim: Int = 8): LakeTable = {
+  def zorder(cols: Seq[String], targetFiles: Int = 0, bitsPerDim: Int = 8): LakeTable = retrying {
     require(cols.size >= 2 && cols.size <= 3, "zorder needs 2-3 columns (1-D: compact(clusterByKey))")
     cols.foreach(c => require(schema.fieldNames.contains(c), s"no column $c"))
     val live = liveFiles(None)
-    writeCommit("zorder") { (version, _) =>
+    writeCommit("zorder") { (writeId, _) =>
       val rt = mergedRewrite(live)
       val aggExprs = cols.flatMap(c =>
         Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
@@ -499,7 +565,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
          else tagged.repartitionByRange(col(zc)))
           .sortWithinPartitions(col(zc))
           .drop(zc)
-      Seq(writeFiles(clustered, version * WRITE_SLOTS, log = false)
+      Seq(writeFiles(clustered, writeId, log = false)
         .copy(remove = live.map(_.path)))
     }
   }
@@ -508,7 +574,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * small files"): rewrite only base files smaller than `smallFileBytes`
     * into consolidated files, leaving right-sized files untouched (compact
     * rewrites everything). MoR log files are left to `compact`. */
-  def optimize(smallFileBytes: Long = 64L * 1024 * 1024): LakeTable = {
+  def optimize(smallFileBytes: Long = 64L * 1024 * 1024): LakeTable = retrying {
     val all = liveFiles(None)
     // MoR with outstanding logs: rewriting base files would give them a
     // newer write-id than the logs and flip precombine-TIE resolution at
@@ -520,10 +586,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       fs.getFileStatus(new Path(s"$dataDir/${a.path}")).getLen < smallFileBytes
     }
     if (small.size < 2) return this // nothing to concatenate
-    writeCommit("optimize") { (version, _) =>
+    writeCommit("optimize") { (writeId, _) =>
       val rows = readFiles(small).drop("_file_name")
         .coalesce(math.max(1, small.size / 8))
-      Seq(writeFiles(rows, version * WRITE_SLOTS, log = false)
+      Seq(writeFiles(rows, writeId, log = false)
         .copy(remove = small.map(_.path)))
     }
   }
@@ -679,7 +745,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * the restore as row changes (its rows predate the window) — after a
     * restore, downstream consumers should re-sync from a snapshot, as with
     * Delta's RESTORE + CDF. */
-  def restore(v: Long): LakeTable = {
+  def restore(v: Long): LakeTable = retrying {
     require(v >= 0 && v <= latestVersion, s"no version $v to restore")
     val target = liveFiles(Some(v))
     val targetPaths = target.map(_.path).toSet
@@ -695,7 +761,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * path): a schema-only commit widens the declared schema; existing files
     * simply surface nulls for the new columns at read (readFiles plans with
     * the declared schema, no footer merging). */
-  def addColumns(fields: Seq[StructField]): LakeTable = {
+  def addColumns(fields: Seq[StructField]): LakeTable = retrying {
     val declared = schema
     val dup = fields.map(_.name).filter(n => declared.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
@@ -847,20 +913,97 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   /** Run a commit: `body(version, commitTime)` returns per-write FileActions
     * bundles (add+remove); data files land before the commit JSON does. */
+  /** One optimistic-concurrency ATTEMPT: snapshot the version, run `body`
+    * (which writes data files under this attempt's unique write-id), then
+    * claim the version file atomically. A concurrent writer claiming it
+    * first surfaces as [[CommitConflictException]] — this attempt's data
+    * files are dropped and the exception propagates to [[retrying]], which
+    * reruns the whole operation against the fresh snapshot (full
+    * serializability: the rerun re-reads everything, so the outcome equals
+    * the ops running serially in commit order).
+    *
+    * `body` receives the attempt's base WRITE-ID (not the version): ids
+    * are `version * WRITE_SLOTS + 2*nonce` (+1 for log files), so ids stay
+    * monotone in version (the dedup tiebreak) while concurrent attempts at
+    * the SAME version write disjoint `_v=` directories instead of clobbering
+    * each other's in-flight files.
+    *
+    * `txn` is the idempotent-transaction guard (Delta txnAppId/txnVersion):
+    * when the table has already recorded `appId` at a version >= the given
+    * one, the write is a no-op — checked INSIDE the attempt, so a replayed
+    * batch racing its duplicate is also suppressed on rebase. */
   private def writeCommit(operation: String, removeAll: Boolean = false,
-      newSchema: Option[StructType] = None)(
+      newSchema: Option[StructType] = None, txn: Option[(String, Long)] = None)(
       body: (Long, String) => Seq[WriteResult]): LakeTable = {
     val version = latestVersion + 1
+    if (version == 0) throw new IllegalStateException("use LakeTable.create")
+    txn.foreach { case (app, v) =>
+      if (latestCommit.txn.get(app).exists(_ >= v)) return this
+    }
     val commitTime = LakeTable.commitTimeNow()
-    val prevLive = if (removeAll && version > 0) liveFiles(None).map(_.path) else Seq.empty
-    val results = body(version, commitTime)
-    val schemaJson =
-      if (version == 0) throw new IllegalStateException("use LakeTable.create")
-      else newSchema.map(_.json).getOrElse(latestCommit.schemaJson)
-    CommitLog.write(path, Commit(version, commitTime, operation, schemaJson, spec,
-      results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct), conf)
+    val writeId = freshWriteId(version)
+    val prevLive = if (removeAll) liveFiles(None).map(_.path) else Seq.empty
+    val results = body(writeId, commitTime)
+    val schemaJson = newSchema.map(_.json).getOrElse(latestCommit.schemaJson)
+    val txnMap = latestCommit.txn ++ txn.toMap
+    try {
+      CommitLog.write(path, Commit(version, commitTime, operation, schemaJson, spec,
+        results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct,
+        txnMap), conf)
+    } catch {
+      case c: CommitConflictException =>
+        // lost the race: this attempt's files were never referenced by any
+        // commit — drop them (best-effort; vacuum sweeps survivors)
+        val fsys = new Path(dataDir).getFileSystem(conf)
+        results.flatMap(_.add).map(_.path.split("/").head).distinct.foreach { d =>
+          scala.util.Try(fsys.delete(new Path(s"$dataDir/$d"), true))
+        }
+        throw c
+    }
     CommitLog.maybeCheckpoint(path, version, conf)
     this
+  }
+
+  /** Allocate this attempt's unique base write-id for `version` (even
+    * nonce; `+1` is reserved for the commit's log files). Probes the data
+    * dir so two attempts — concurrent writers, or a crashed earlier attempt
+    * — never share a `_v=` directory. */
+  private def freshWriteId(version: Long): Long = {
+    val fsys = new Path(dataDir).getFileSystem(conf)
+    var tries = 0
+    while (tries < 32) {
+      val nonce = scala.util.Random.between(0L, WRITE_SLOTS / 2 - 1)
+      val id = version * WRITE_SLOTS + nonce * 2
+      if (!fsys.exists(new Path(s"$dataDir/${WRITE_ID}=$id")) &&
+          !fsys.exists(new Path(s"$dataDir/${WRITE_ID}=${id + 1}"))) return id
+      tries += 1
+    }
+    throw new IllegalStateException(s"could not allocate a write id for version $version")
+  }
+
+  /** Highest idempotent-transaction version recorded for `appId`
+    * (Delta `txnAppId`/`txnVersion` analog) — None when never written. */
+  def txnVersion(appId: String): Option[Long] = latestCommit.txn.get(appId)
+
+  /** Rerun `f` on commit conflict: each rerun re-reads the table snapshot,
+    * so N racing writers serialize as N successive versions. Bounded —
+    * sustained contention past the cap surfaces as
+    * ConcurrentModificationException with the last conflict as cause. */
+  private def retrying[T](f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case c: CommitConflictException =>
+          attempt += 1
+          if (attempt >= LakeTable.MAX_COMMIT_RETRIES)
+            throw new java.util.ConcurrentModificationException(
+              s"gave up after $attempt conflicting commit attempts at $path: ${c.getMessage}")
+          // jittered backoff so N racers don't re-collide in lockstep
+          Thread.sleep(scala.util.Random.between(5L, 50L * attempt))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Write a batch under `data/_v=<writeId>/`, partitioned per spec, and
@@ -870,12 +1013,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * batch just yields zero stat rows and no adds. */
   private def writeFiles(batch: DataFrame, writeId: Long, log: Boolean): WriteResult = {
     val target = s"$dataDir/${WRITE_ID}=$writeId"
-    // a previous attempt at this version that died before its commit JSON
-    // landed leaves an orphan dir; the retry recomputes the same version,
-    // so clear it (single-writer — a live concurrent writer would anyway
-    // be rejected by CommitLog.write's version guard)
-    val tfs = new Path(target).getFileSystem(conf)
-    if (tfs.exists(new Path(target))) tfs.delete(new Path(target), true)
+    // the attempt's write-id dir is freshly allocated (freshWriteId probes
+    // existence), so nothing to clear; an attempt that dies before its
+    // commit JSON lands leaves an orphan dir that vacuum() sweeps
     val shuffled = spec.partition match {
       case Some(p) => batch.repartition(col(p))
       case None => batch
@@ -954,8 +1094,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 object LakeTable {
   private[lake] val WRITE_ID = "_v"
   private[lake] val RANK = "_graft_rank"
-  /** write-ids per commit: slot 0 = base files, slot 1 = log files. */
-  private[lake] val WRITE_SLOTS = 10L
+  /** Write-id slots per commit version: an attempt's base files take
+    * `version*WRITE_SLOTS + 2*nonce`, its log files `+1`. The wide slot
+    * space lets concurrent attempts at the same version (optimistic
+    * writers) draw disjoint `_v=` directories; ids stay monotone in
+    * version, which the precombine-tie dedup relies on. */
+  private[lake] val WRITE_SLOTS = 1L << 20
+  /** Op-level rebase attempts before surfacing ConcurrentModificationException. */
+  private[lake] val MAX_COMMIT_RETRIES = 10
   /** Above this many distinct incoming keys, skip bloom probing — churn
     * that wide touches most files regardless, and the probe broadcast
     * would not stay cheap. */
@@ -1019,7 +1165,7 @@ object LakeTable {
     val boot = Commit(version, commitTime, "create", dataSchema.json, spec, Seq.empty, Seq.empty)
     CommitLog.write(path, boot, conf)
     val batch = t.stampMeta(if (bulkInsert) df else t.dedupBatch(df), commitTime)
-    val res = t.writeFiles(batch, version * WRITE_SLOTS, log = false)
+    val res = t.writeFiles(batch, t.freshWriteId(version), log = false)
     // amend: rewrite commit 0 with the files (single-writer, pre-publish)
     val fs = CommitLog.logDir(path).getFileSystem(conf)
     fs.delete(new Path(CommitLog.logDir(path), f"$version%020d.json"), false)

@@ -290,6 +290,53 @@ object LakeQueries {
         |  (4, 'motorola', 40,  'INSERT',        false, 1673496080, 1673496080),
         |  (5, 'htc',      50,  'INSERT',        false, 1673496638, 1673496638)
         |) AS t(pk_id, name, value, change_type, is_deleted, updated_at, created_at)
-        |ORDER BY pk_id""".stripMargin))
+        |ORDER BY pk_id""".stripMargin)),
+
+    // Dynamic partition overwrite: replace exactly the partitions present
+    // in the incoming frame (here 1-URGENT, thinned to every 3rd key with
+    // doubled price); every other partition untouched. File selection is
+    // commit-log metadata only — the partition-load pattern at scale.
+    "q72_partition_overwrite" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"dpo_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val spec = TableSpec("o_orderkey", "o_orderdate", partition = Some("o_orderpriority"))
+        val tbl = LakeTable.create(s, path, spec, t(s, d, "orders"))
+        val repl = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        tbl.overwritePartitions(repl)
+        tbl.read()
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_orderpriority <> '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, o_totalprice * 2.0 FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Delta replaceWhere: atomically swap the rows matching a row-level
+    // predicate (not a partition boundary) for the incoming frame — rows
+    // matching the predicate but absent from the frame are gone.
+    "q73_replace_where" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"rw_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        val repl = t(s, d, "orders")
+          .filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 10 =!= 0)
+          .withColumn("o_orderstatus", lit("R"))
+          .withColumn("o_totalprice", col("o_totalprice") / 2.0)
+        tbl.overwriteWhere(repl, col("o_orderkey") % 5 === 0)
+        proj(tbl.read())
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'R', o_totalprice / 2.0,
+        |       CAST(epoch(o_orderdate) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -62,6 +62,14 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft sink needs a path"))
+    // exactly-once across restarts: each micro-batch commits with an
+    // idempotent-transaction stamp (appId = explicit txnAppId option, else
+    // the checkpoint location — stable across restarts; version = batchId),
+    // so a replayed batch after a crash-before-checkpoint is a no-op
+    // (Delta sink semantics)
+    val txnApp = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(s"graft-stream:$path")
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // a streaming DataFrame can't feed a batch write directly — re-plan
@@ -70,7 +78,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         val spark = ctx.sparkSession
         val batch = org.apache.spark.sql.GraftExpressionBridge
           .internalCreateDataFrame(spark, data.queryExecution.toRdd, data.schema)
-        GraftDataSource.writeBatch(spark, path, parameters, batch, SaveMode.Append)
+        GraftDataSource.writeBatch(spark, path, parameters, batch, SaveMode.Append,
+          txn = Some(txnApp -> batchId))
       }
     }
   }
@@ -92,12 +101,21 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
 
 object GraftDataSource {
   private[sources] def writeBatch(spark: SparkSession, path: String,
-      parameters: Map[String, String], data: DataFrame, mode: SaveMode): Unit = {
+      parameters: Map[String, String], data: DataFrame, mode: SaveMode,
+      txn: Option[(String, Long)] = None): Unit = {
     val exists = CommitLog.latestVersion(path,
       spark.sessionState.newHadoopConf()).isDefined
 
     def opt(keys: String*): Option[String] =
       keys.flatMap(k => parameters.get(k)).headOption
+
+    // idempotent writes (Delta txnAppId/txnVersion): explicit options win
+    // over a sink-provided stamp
+    val txnOpt: Option[(String, Long)] =
+      (opt("txnAppId"), opt("txnVersion")) match {
+        case (Some(a), Some(v)) => Some(a -> v.toLong)
+        case _ => txn
+      }
     def spec = TableSpec(
       key = opt("key", "hoodie.datasource.write.recordkey.field")
         .getOrElse(throw new IllegalArgumentException("option 'key' required for a new table")),
@@ -112,12 +130,23 @@ object GraftDataSource {
         if (opt("hoodie.index.type").exists(_.equalsIgnoreCase("BLOOM"))) 10 else 0))
 
     val mergeSchema = opt("mergeSchema").exists(_.toBoolean) // Delta option name
+    // Delta replaceWhere / Spark dynamic partition overwrite: scoped
+    // atomic replacement instead of a full-table overwrite
+    val replaceWhere = opt("replaceWhere")
+    val dynamicPartitions =
+      opt("partitionOverwriteMode", "spark.sql.sources.partitionOverwriteMode")
+        .exists(_.equalsIgnoreCase("dynamic"))
     mode match {
+      case SaveMode.Overwrite if exists && replaceWhere.isDefined =>
+        LakeTable.load(spark, path)
+          .overwriteWhere(data, org.apache.spark.sql.functions.expr(replaceWhere.get), txnOpt)
+      case SaveMode.Overwrite if exists && dynamicPartitions =>
+        LakeTable.load(spark, path).overwritePartitions(data, txnOpt)
       case SaveMode.Overwrite =>
-        if (exists) LakeTable.load(spark, path).overwrite(data, mergeSchema)
+        if (exists) LakeTable.load(spark, path).overwrite(data, mergeSchema, txnOpt)
         else LakeTable.create(spark, path, spec, data)
       case SaveMode.Append =>
-        if (exists) LakeTable.load(spark, path).upsert(data, mergeSchema) // Hudi upsert shape
+        if (exists) LakeTable.load(spark, path).upsert(data, mergeSchema, txnOpt) // Hudi upsert shape
         else LakeTable.create(spark, path, spec, data)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(s"graft table exists at $path")

@@ -78,6 +78,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case RESTORE_RE(target, v) => claimOr(sqlText, target) {
       GraftRestoreCommand(target.trim, v.toLong)
     }
+    case SHOW_PARTS_RE(target) => claimOr(sqlText, target) {
+      GraftShowPartitionsCommand(target.trim)
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -114,6 +117,8 @@ object GraftSqlParser {
     (s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$TGT\\s*;?\\s*""").r
   private[sql] val RESTORE_RE =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$TGT\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""").r
+  private[sql] val SHOW_PARTS_RE =
+    (s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$TGT\\s*;?\\s*""").r
 
   private def stripIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -183,6 +188,22 @@ case class GraftDescribeDetailCommand(target: String)
     Seq(Row("graft", t.path, if (t.spec.mor) "merge-on-read" else "copy-on-write",
       t.spec.key, t.spec.precombine, t.spec.partition.orNull,
       live._1, live._2, t.latestVersion))
+  }
+}
+
+/** `SHOW PARTITIONS` answered from commit-log metadata (per-file
+  * partitionValue stats) — no data file is opened. Output rows use Spark's
+  * `col=value` partition-spec shape. */
+case class GraftShowPartitionsCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, target)
+    val p = t.spec.partition.getOrElse(
+      throw new UnsupportedOperationException(s"$target is not partitioned"))
+    t.partitionValues.map(v => Row(s"$p=$v"))
   }
 }
 

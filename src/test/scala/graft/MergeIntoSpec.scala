@@ -292,6 +292,20 @@ class MergeIntoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE maint_t")
   }
 
+  test("SHOW PARTITIONS answers from the commit log") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_showparts").toString
+    Seq((1L, 1L, "us", "a"), (2L, 1L, "eu", "b"))
+      .toDF("pk_id", "updated_at", "region", "name")
+      .write.format("graft").option("key", "pk_id").option("precombine", "updated_at")
+      .option("partition", "region").mode("overwrite").save(path)
+    val got = spark.sql(s"SHOW PARTITIONS '$path'").collect().map(_.getString(0)).toSet
+    assert(got == Set("region=us", "region=eu"))
+    // non-graft targets keep Spark's own SHOW PARTITIONS path
+    val e = intercept[Exception] { spark.sql("SHOW PARTITIONS no_such_graft_tbl") }
+    assert(!e.isInstanceOf[scala.MatchError])
+  }
+
   test("partitioned table: MERGE record identity is (key, partition)") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_gm_part").toString

@@ -41,10 +41,10 @@ class ScaleSpec extends AnyFunSuite {
       Seq((1, 1L, "a")).toDF("k", "pc", "payload"))
     val conf = spark.sessionState.newHadoopConf()
     val c0 = CommitLog.read(path, 0L, conf)
-    val e = intercept[IllegalStateException] {
+    val e = intercept[graft.lake.CommitConflictException] {
       CommitLog.write(path, c0, conf) // same version again
     }
-    assert(e.getMessage.contains("already exists"))
+    assert(e.version == 0L)
   }
 
   test("incremental query returns exactly the rows committed after a version") {
