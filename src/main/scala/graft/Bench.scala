@@ -141,6 +141,14 @@ object Bench {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }
 
+    // E5: int8-quantized top-k — same shape as E2 with packed-byte integer
+    // scoring; at equal wall-clock the quantized path is processing 8×
+    // less vector data (the number to compare against e2).
+    results("e5_quantized_ann") = median {
+      val emb = tbl("embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }
+
     // E3: full text-stats pass over documents.
     results("e3_text_stats") = median(TextAnalysis.stats(tbl("documents")))
 

@@ -38,6 +38,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Scalar-quantized (int8) top-k: the memory-bandwidth scale path.
+    *
+    * One metadata-light corpus pass finds the global max |x|; every vector
+    * then quantizes to signed bytes with the shared scale `127/maxAbs` and
+    * packs into a `binary` column — 4× smaller than float32, 8× than
+    * float64, which at 100 TB is the difference between an index that fits
+    * in cluster memory and one that doesn't. Scoring is an integer
+    * multiply-add over packed bytes (native codegen'd [[graft.functions.DotInt8]],
+    * no FP in the hot loop); the emitted score is the quantized cosine
+    * `dotInt / sqrt(qn·cn)` — integer-exact inputs, correctly-rounded
+    * sqrt/divide, so results are bit-reproducible across engines.
+    * Recall vs the float brute force is asserted in ExtSpec. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val maxAbs = corpus
+      .select(max(expr(
+        s"aggregate(transform($vecCol, x -> abs(cast(x as double))), 0D, (a, x) -> greatest(a, x))")))
+      .head().getDouble(0)
+    val scale = 127.0 / maxAbs
+    def quantize(c: Column): Column =
+      graft.functions.Int8Ops.pack(
+        transform(toDoubleVec(c), x => round(x * lit(scale)).cast("int")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cb"))
+      .withColumn("cn", graft.functions.Int8Ops.dotInt8(col("cb"), col("cb")))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qb"))
+      .withColumn("qn", graft.functions.Int8Ops.dotInt8(col("qb"), col("qb")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        graft.functions.Int8Ops.dotInt8(col("qb"), col("cb")).cast("double") /
+          sqrt((col("qn") * col("cn")).cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** IVF (inverted-file) ANN: the corpus is coarse-quantized onto
     * `numLists` centroid lists (centroids drawn deterministically from the
     * corpus itself); a query exact-scores only the `nProbe` lists nearest

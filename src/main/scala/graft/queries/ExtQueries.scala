@@ -314,6 +314,32 @@ object ExtQueries {
         |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin)),
 
+    // int8 scalar-quantized ANN — the memory-bandwidth scale path (4×/8×
+    // smaller vectors, integer dot hot loop). Fully oracled bit-exact: the
+    // shared scale, away-from-zero round, integer dots, and the final
+    // correctly-rounded sqrt/divide replay identically in DuckDB.
+    "q74_quantized_ann" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT 127.0 / MAX(list_max(list_transform(e, x -> abs(x)))) AS s FROM v),
+        |qz AS (SELECT vec_id,
+        |    list_transform(e, x -> CAST(round(x * m.s) AS INTEGER)) AS qv
+        |  FROM v CROSS JOIN m),
+        |n AS (SELECT vec_id, qv,
+        |    CAST((SELECT SUM(t.x * t.x) FROM (SELECT UNNEST(qv) AS x) t) AS BIGINT) AS nsq
+        |  FROM qz),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST((SELECT SUM(t.x * t.y) FROM (SELECT UNNEST(q.qv) AS x, UNNEST(c.qv) AS y) t) AS DOUBLE)
+        |      / sqrt(CAST(q.nsq * c.nsq AS DOUBLE)) AS score
+        |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM p)
+        |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin)),
+
     // LSH-bucketed ANN (multi-probe) — the 100 TB path; recall vs brute
     // force asserted in ExtSpec. Fully oracled (see lshOracleSql).
     "q37_lsh_topk" -> ((

@@ -84,6 +84,27 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"LSH recall $recall below 0.7")
   }
 
+  test("int8-quantized top-k recall vs float brute force >= 0.9") {
+    import org.apache.spark.sql.functions.expr
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qz = Similarity.quantizedTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & qz).size.toDouble / bf.size
+    assert(recall >= 0.9, s"int8 recall $recall below 0.9 — quantization too lossy")
+    // native pack/dot ≡ the declarative integer formulation, bit for bit
+    val probe = emb.limit(50)
+      .withColumn("qv", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10.0) as int))"))
+      .withColumn("native", graft.functions.Int8Ops.dotInt8(
+        graft.functions.Int8Ops.pack(col("qv")), graft.functions.Int8Ops.pack(col("qv"))))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(qv, qv, (a, b) -> cast(a as bigint) * b), 0L, (s, x) -> s + x)"))
+    assert(probe.filter(col("native") =!= col("hof")).isEmpty,
+      "DotInt8/PackInt8 must equal the HOF integer dot exactly")
+  }
+
   test("IVF top-k recall vs brute force >= 0.5 at nProbe=6/16") {
     val queries = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)
