@@ -23,7 +23,18 @@ case class FileAction(
     minKey: String,
     maxKey: String,
     numericKey: Boolean,
-    partitionValue: Option[String])
+    partitionValue: Option[String],
+    /** Absolute directory the file lives under when it is NOT this table's
+      * own `data/` dir: a shallow clone references the source table's data
+      * dir, a converted-in-place table references the original parquet dir.
+      * `None` (the overwhelmingly common case) = this table's `data/`. */
+    base: Option[String] = None,
+    /** MoR tombstone log: the file's rows are DELETE markers (key/partition
+      * only, data columns null) — a keyed delete lands as one of these
+      * instead of forcing a log fold, the deletion-vector idea. A tombstone
+      * kills every same-key row with a lower write-id; compaction folds
+      * tombstones away. Only ever true when `log` is true. */
+    tombstone: Boolean = false)
 
 /** A committed version of the table: files added/removed plus metadata.
   * `commitTime` uses Hudi's timeline shape `yyyyMMddHHmmssSSS`
@@ -95,6 +106,10 @@ object CommitLog {
     c.spec.partition.foreach(spec.put("partition", _))
     spec.put("mor", c.spec.mor)
     if (c.spec.bloomBitsPerKey > 0) spec.put("bloomBitsPerKey", c.spec.bloomBitsPerKey)
+    if (c.spec.constraints.nonEmpty) {
+      val cons = spec.putObject("constraints")
+      c.spec.constraints.foreach { case (name, sql) => cons.put(name, sql) }
+    }
     val adds = root.putArray("add")
     c.add.foreach { a =>
       val n = adds.addObject()
@@ -102,6 +117,8 @@ object CommitLog {
       n.put("minKey", a.minKey); n.put("maxKey", a.maxKey)
       n.put("numericKey", a.numericKey)
       a.partitionValue.foreach(n.put("partitionValue", _))
+      a.base.foreach(n.put("base", _))
+      if (a.tombstone) n.put("tombstone", true)
     }
     val rm = root.putArray("remove")
     c.remove.foreach(rm.add)
@@ -194,13 +211,23 @@ object CommitLog {
       partition = optText(specN, "partition"),
       mor = specN.get("mor").asBoolean,
       bloomBitsPerKey =
-        if (specN.hasNonNull("bloomBitsPerKey")) specN.get("bloomBitsPerKey").asInt else 0)
+        if (specN.hasNonNull("bloomBitsPerKey")) specN.get("bloomBitsPerKey").asInt else 0,
+      constraints = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        if (specN.hasNonNull("constraints")) {
+          val it = specN.get("constraints").asInstanceOf[ObjectNode].fields()
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText }
+        }
+        m.toMap
+      })
     val adds = ArrayBuffer.empty[FileAction]
     root.get("add").asInstanceOf[ArrayNode].forEach { n =>
       adds += FileAction(
         n.get("path").asText, n.get("log").asBoolean, n.get("rows").asLong,
         n.get("minKey").asText, n.get("maxKey").asText,
-        n.get("numericKey").asBoolean, optText(n, "partitionValue"))
+        n.get("numericKey").asBoolean, optText(n, "partitionValue"),
+        optText(n, "base"),
+        n.hasNonNull("tombstone") && n.get("tombstone").asBoolean)
     }
     val removes = ArrayBuffer.empty[String]
     root.get("remove").asInstanceOf[ArrayNode].forEach(n => removes += n.asText)
@@ -261,6 +288,8 @@ object CommitLog {
       n.put("minKey", a.minKey); n.put("maxKey", a.maxKey)
       n.put("numericKey", a.numericKey)
       a.partitionValue.foreach(n.put("partitionValue", _))
+      a.base.foreach(n.put("base", _))
+      if (a.tombstone) n.put("tombstone", true)
     }
     val target = checkpointFile(tablePath, version)
     val f = fs(target, conf)
@@ -281,7 +310,9 @@ object CommitLog {
       files += FileAction(
         n.get("path").asText, n.get("log").asBoolean, n.get("rows").asLong,
         n.get("minKey").asText, n.get("maxKey").asText, n.get("numericKey").asBoolean,
-        if (n.hasNonNull("partitionValue")) Some(n.get("partitionValue").asText) else None)
+        if (n.hasNonNull("partitionValue")) Some(n.get("partitionValue").asText) else None,
+        if (n.hasNonNull("base")) Some(n.get("base").asText) else None,
+        n.hasNonNull("tombstone") && n.get("tombstone").asBoolean)
     }
     files.toSeq
   }

@@ -119,15 +119,39 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val (logActions, baseActions) = live.partition(_.log)
     if (logActions.isEmpty)
       return ordered(readFiles(baseActions, asOf = asOf), asOf)
+    val (tombActions, dataLogs) = logActions.partition(_.tombstone)
     val base = withJoinIds(readFiles(baseActions, keepWriteId = true, asOf = asOf))
-    val logs = withJoinIds(readFiles(logActions, keepWriteId = true, asOf = asOf))
-    val logKeys = logs.select(joinIdCols.map(col): _*).distinct()
+    val logs = withJoinIds(readFiles(dataLogs, keepWriteId = true, asOf = asOf))
+    // tombstoned keys are contested too: their base rows must enter the
+    // merge so the tombstone filter can kill them
+    val logKeys = logs.select(joinIdCols.map(col): _*)
+      .unionByName(withJoinIds(readFiles(tombActions, asOf = asOf))
+        .select(joinIdCols.map(col): _*))
+      .distinct()
     val passThrough = base.join(logKeys, joinIdCols, "left_anti")
-    val contested = base.join(logKeys, joinIdCols, "left_semi").unionByName(logs)
+    val contested = applyTombstones(
+      base.join(logKeys, joinIdCols, "left_semi").unionByName(logs),
+      tombActions, asOf)
     val merged = dedupLatest(contested, idCols, spec.precombine, col(WRITE_ID))
       .unionByName(passThrough)
       .drop(WRITE_ID, PID)
     ordered(merged, asOf)
+  }
+
+  /** Kill rows superseded by a newer tombstone: a keyed MoR delete lands as
+    * a tombstone log row ([[FileAction.tombstone]]) that deletes whatever
+    * was live at its commit — any same-key row with a LOWER write-id; a
+    * later upsert (higher write-id) reinserts the key. `df` must carry the
+    * join ids and [[WRITE_ID]]. The tombstone side is a key-only aggregate
+    * over the (churn-bounded) tombstone files — broadcast-sized. */
+  private def applyTombstones(df: DataFrame, tombActions: Seq[FileAction],
+      asOf: Option[Long] = None): DataFrame = {
+    if (tombActions.isEmpty) return df
+    val tombs = withJoinIds(readFiles(tombActions, keepWriteId = true, asOf = asOf))
+      .groupBy(joinIdCols.map(col): _*).agg(max(col(WRITE_ID)).as(TOMB_V))
+    df.join(tombs, joinIdCols, "left")
+      .filter(col(TOMB_V).isNull || col(WRITE_ID) > col(TOMB_V))
+      .drop(TOMB_V)
   }
 
   private def ordered(df: DataFrame, asOf: Option[Long] = None): DataFrame = {
@@ -138,25 +162,51 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   /** Read a set of live files as one pruned, partition-aware scan. The
     * data schema is passed EXPLICITLY (no footer inference): files written
     * before an additive schema evolution simply surface nulls for the new
-    * columns, and read planning skips footer merging entirely. */
+    * columns, and read planning skips footer merging entirely.
+    *
+    * Files live in the table's own `data/` dir except for shallow-clone /
+    * converted-in-place references ([[FileAction.base]]); each distinct base
+    * becomes its own scan (so `_v=`/partition dirs still parse against the
+    * right root) and the scans union. `relFile = true` attaches the
+    * `_rel_file` column — the action-path-compatible identity the
+    * touched-file detection passes join on — computed correctly per group. */
   private def readFiles(actions: Seq[FileAction], keepWriteId: Boolean = false,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None, relFile: Boolean = false): DataFrame = {
     val dataSchema = schemaAt(asOf)
     if (actions.isEmpty) {
       val full = StructType(META_SCHEMA.fields ++ dataSchema.fields ++
-        (if (keepWriteId) Seq(StructField(WRITE_ID, LongType)) else Nil))
+        (if (keepWriteId) Seq(StructField(WRITE_ID, LongType)) else Nil) ++
+        (if (relFile) Seq(StructField(REL_FILE, StringType)) else Nil))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
     }
-    val paths = actions.map(a => s"$dataDir/${a.path}")
     // full read schema: meta cols + data cols; partition col (if any) and
     // the write-id dir col are matched by name against the dir structure
     val readSchema = StructType(
       META_SCHEMA.fields.filterNot(_.name == "_file_name") ++
         dataSchema.fields ++ Seq(StructField(WRITE_ID, LongType)))
-    var df = spark.read.option("basePath", dataDir).schema(readSchema).parquet(paths: _*)
-      .withColumn("_file_name", element_at(split(input_file_name(), "/"), -1))
-    if (!keepWriteId) df = df.drop(WRITE_ID)
-    df
+    def finish(df0: DataFrame, rel: Column): DataFrame = {
+      val df = df0.withColumn("_file_name", element_at(split(input_file_name(), "/"), -1))
+      if (relFile) df.withColumn(REL_FILE, rel) else df
+    }
+    val parts = actions.groupBy(_.base).toSeq.sortBy(_._1.getOrElse("")).map {
+      case (base, acts) =>
+        val dir = base.getOrElse(dataDir)
+        val paths = acts.map(a => s"$dir/${a.path}")
+        if (base.isEmpty || acts.forall(_.path.startsWith(s"$WRITE_ID="))) {
+          // graft layout (own data dir, or a cloned source's)
+          val df = spark.read.option("basePath", dir).schema(readSchema).parquet(paths: _*)
+          finish(df, substring_index(input_file_name(), "/data/", -1))
+        } else {
+          // converted-in-place foreign parquet: flat files, nothing to parse
+          // from dirs — write-id 0 (pre-history) and the file name as the
+          // rel identity (unique: convert sources are a single flat dir)
+          val df = spark.read.schema(readSchema).parquet(paths: _*)
+            .withColumn(WRITE_ID, coalesce(col(WRITE_ID), lit(0L)))
+          finish(df, element_at(split(input_file_name(), "/"), -1))
+        }
+    }
+    val out = parts.reduce(_.unionByName(_))
+    if (!keepWriteId) out.drop(WRITE_ID) else out
   }
 
   // ---- writes ----------------------------------------------------------
@@ -187,9 +237,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       "replaceWhere: every incoming row must match the predicate")
     val live = liveFiles(None)
     writeCommit("overwriteWhere", txn = txn) { (writeId, commitTime) =>
-      val touched = readFiles(live)
-        .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
-        .filter(cond).select("_rel_file").distinct()
+      val touched = readFiles(live, relFile = true)
+        .filter(cond).select(REL_FILE).distinct()
         .collect().map(_.getString(0)).toSeq
       val batch = stampMeta(dedupBatch(conformed), commitTime)
       val kept = if (touched.isEmpty) Seq.empty else {
@@ -265,12 +314,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val (touchedPaths, rewriteSet) =
         if (candidates.isEmpty) (Seq.empty[String], inStamped)
         else {
-          val cand = withJoinIds(readFiles(candidates, keepWriteId = true)
-            .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1)))
+          val cand = withJoinIds(readFiles(candidates, keepWriteId = true, relFile = true))
           val touched = cand
             .join(withJoinIds(incoming).select(joinIdCols.map(col): _*).distinct(),
               joinIdCols, "left_semi")
-            .select("_rel_file").distinct().collect().map(_.getString(0)).toSeq
+            .select(REL_FILE).distinct().collect().map(_.getString(0)).toSeq
           if (touched.isEmpty) (touched, inStamped)
           else {
             // re-scan ONLY the touched files (the detection scan above is
@@ -363,9 +411,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val live = liveFiles(None)
     writeCommit("delete") { (writeId, _) =>
       // detection pass: column-pruned to cond's columns + the file name
-      val touched = readFiles(live)
-        .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
-        .filter(cond).select("_rel_file").distinct()
+      val touched = readFiles(live, relFile = true)
+        .filter(cond).select(REL_FILE).distinct()
         .collect().map(_.getString(0)).toSeq
       if (touched.isEmpty) Seq.empty
       else {
@@ -400,9 +447,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
     val live = liveFiles(None)
     writeCommit("update") { (writeId, commitTime) =>
-      val touched = readFiles(live)
-        .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1))
-        .filter(cond).select("_rel_file").distinct()
+      val touched = readFiles(live, relFile = true)
+        .filter(cond).select(REL_FILE).distinct()
         .collect().map(_.getString(0)).toSeq
       if (touched.isEmpty) Seq.empty
       else {
@@ -428,7 +474,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             case None => col(c)
           }
         }
-        Seq(writeFiles(base.select(outCols.toSeq: _*), writeId, log = false)
+        val rewritten = base.select(outCols.toSeq: _*)
+        // CHECK constraints see the post-image of the updated rows
+        checkConstraints(rewritten.filter(hit))
+        Seq(writeFiles(rewritten, writeId, log = false)
           .copy(remove = touched))
       }
     }
@@ -439,8 +488,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * files actually holding a doomed key via a semi-join, rewrite only
     * those with an anti-join — no driver-side key list, no literal `isin`,
     * so the plan is O(1) in both key count and file count. */
-  def deleteKeys(keys: DataFrame): LakeTable = retrying {
-    if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
+  def deleteKeys(keys: DataFrame): LakeTable =
+    if (spec.mor) deleteKeysMor(keys) else retrying {
     val live = liveFiles(None)
     // Record identity is (key, partition) when the table is partitioned AND
     // the caller supplies the partition column — then only the matched
@@ -456,10 +505,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     try {
       writeCommit("delete") { (writeId, _) =>
         val candidates = pruneCandidates(live, k)
-        val touched = ids(readFiles(candidates)
-          .withColumn("_rel_file", substring_index(input_file_name(), "/data/", -1)))
+        val touched = ids(readFiles(candidates, relFile = true))
           .join(k, jc, "left_semi")
-          .select("_rel_file").distinct().collect().map(_.getString(0)).toSeq
+          .select(REL_FILE).distinct().collect().map(_.getString(0)).toSeq
         if (touched.isEmpty) Seq.empty
         else {
           val touchedSet = touched.toSet
@@ -473,6 +521,37 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     } finally {
       k.unpersist(blocking = false)
       ()
+    }
+  }
+
+  /** MoR keyed delete: write TOMBSTONE log rows (key/partition real, data
+    * columns null, [[FileAction.tombstone]] flagged) instead of folding the
+    * logs and rewriting base files — the deletion-vector idea. Cost is
+    * O(deleted keys) regardless of table size; `_rt` filters tombstoned
+    * rows at read ([[applyTombstones]]), `_ro` stays stale until
+    * compaction folds the tombstones away — ordinary MoR staleness. */
+  private def deleteKeysMor(keys: DataFrame): LakeTable = retrying {
+    val live = liveFiles(None)
+    val byPartition = spec.partition.exists(keys.columns.contains)
+    val idC: Seq[String] = if (byPartition) idCols else Seq(spec.key)
+    val jc: Seq[String] = if (byPartition) joinIdCols else Seq(spec.key)
+    def ids(df: DataFrame): DataFrame = if (byPartition) withJoinIds(df) else df
+    val k = ids(keys.select(idC.map(col): _*)).distinct()
+    writeCommit("delete") { (writeId, commitTime) =>
+      // tombstone only keys that exist (stray keys would bloat the logs);
+      // the existence probe is a key-column-pruned scan of stats-candidates.
+      // The probe must see the full identity: a bare key set still needs
+      // the live rows' partition values on the tombstone rows.
+      val existing = withJoinIds(readFiles(pruneCandidates(live, k)))
+        .join(k.select(jc.map(col): _*), jc, "left_semi")
+        .select(idCols.map(col): _*).distinct()
+      val row = schema.fields.map { f =>
+        if (idCols.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      val doomed = stampMeta(existing.select(row.toSeq: _*), commitTime)
+      Seq(writeFiles(doomed, writeId + 1, log = true, tombstone = true))
+        .filter(_.add.nonEmpty)
     }
   }
 
@@ -493,15 +572,20 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * whole table. */
   private def mergedRewrite(live: Seq[FileAction]): DataFrame = {
     val (logActions, baseActions) = live.partition(_.log)
+    val (tombActions, dataLogs) = logActions.partition(_.tombstone)
     val base = withJoinIds(readFiles(baseActions, keepWriteId = true))
-    val logs = withJoinIds(readFiles(logActions, keepWriteId = true))
-    val logKeys = logs.select(joinIdCols.map(col): _*).distinct()
+    val logs = withJoinIds(readFiles(dataLogs, keepWriteId = true))
+    val logKeys = logs.select(joinIdCols.map(col): _*)
+      .unionByName(withJoinIds(readFiles(tombActions))
+        .select(joinIdCols.map(col): _*))
+      .distinct()
     val dupBaseKeys = base.groupBy(joinIdCols.map(col): _*).count()
       .filter(col("count") > 1).select(joinIdCols.map(col): _*)
     val contestedKeys = logKeys.union(dupBaseKeys).distinct()
     val passThrough = base.join(contestedKeys, joinIdCols, "left_anti")
-    val contested = base.unionByName(logs)
-      .join(contestedKeys, joinIdCols, "left_semi")
+    val contested = applyTombstones(
+      base.unionByName(logs).join(contestedKeys, joinIdCols, "left_semi"),
+      tombActions)
     dedupLatest(contested, idCols, spec.precombine, col(WRITE_ID))
       .unionByName(passThrough)
       .drop(WRITE_ID, "_file_name", PID)
@@ -582,7 +666,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // which folds the logs and reaches the same small-file goal.
     if (spec.mor && all.exists(_.log)) return compact()
     val fs = new Path(dataDir).getFileSystem(conf)
-    val small = all.filterNot(_.log).filter { a =>
+    // external references (shallow clone / convert) are not concatenation
+    // candidates — compact() is the op that absorbs them into own files
+    val small = all.filterNot(_.log).filter(_.base.isEmpty).filter { a =>
       fs.getFileStatus(new Path(s"$dataDir/${a.path}")).getLen < smallFileBytes
     }
     if (small.size < 2) return this // nothing to concatenate
@@ -606,11 +692,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .filter(c => c.version > sinceVersion && c.version <= upTo)
       .flatMap(_.add)
     // a file added then removed by a later included commit has been
-    // rewritten — its surviving rows live in the newer file
-    val live = liveFiles(Some(upTo)).map(_.path).toSet
-    val files = added.filter(a => live.contains(a.path))
-    val df = readFiles(files, keepWriteId = true, asOf = Some(upTo))
-    val deduped = dedupLatest(df, idCols, spec.precombine, col(WRITE_ID)).drop(WRITE_ID)
+    // rewritten — its surviving rows live in the newer file. Tombstone
+    // files carry no post-images (MoR deletes are not surfaced, like
+    // Hudi's incremental view) but LIVE tombstones must still suppress
+    // post-images of rows they killed.
+    val live = liveFiles(Some(upTo))
+    val livePaths = live.map(_.path).toSet
+    val files = added.filter(a => livePaths.contains(a.path) && !a.tombstone)
+    val df = withJoinIds(readFiles(files, keepWriteId = true, asOf = Some(upTo)))
+    val alive = applyTombstones(df, live.filter(_.tombstone), Some(upTo))
+      .drop(PID)
+    val deduped = dedupLatest(alive, idCols, spec.precombine, col(WRITE_ID)).drop(WRITE_ID)
     // rewritten files carry old rows too — keep only rows stamped by the
     // included commits
     val sinceTime = cs.find(_.version == sinceVersion).map(_.commitTime)
@@ -670,10 +762,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .withColumn("_change_type",
         when(col("_pre").isNotNull, "update_postimage").otherwise("insert"))
       .drop("_pre", PID)
-    val liveNow = liveFiles(Some(upTo)).map(_.path).toSet
-    val nowIds = ids(readFiles(
-        window.flatMap(_.add).filter(a => liveNow.contains(a.path)),
-        asOf = Some(upTo)))
+    val liveNow = liveFiles(Some(upTo))
+    val liveNowPaths = liveNow.map(_.path).toSet
+    // "still alive at asOf": rows of the window's added live files minus
+    // tombstone files, with tombstone-killed rows filtered — a key whose
+    // only window trace is its tombstone is NOT alive
+    val nowIds = applyTombstones(
+        withJoinIds(readFiles(
+          window.flatMap(_.add).filter(a => liveNowPaths.contains(a.path) && !a.tombstone),
+          keepWriteId = true, asOf = Some(upTo))),
+        liveNow.filter(_.tombstone), Some(upTo))
       .select(joinIdCols.map(col): _*).distinct()
     val deleted = preIds.join(nowIds, joinIdCols, "left_anti")
       .select(idCols.map(col): _*).distinct()
@@ -722,6 +820,31 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       }
     }
     this
+  }
+
+  /** Shallow clone (Delta `CREATE TABLE … SHALLOW CLONE` analog): a new
+    * table at `targetPath` whose bootstrap commit REFERENCES this table's
+    * live files — zero data copied, metadata-only, O(file count). Writes to
+    * the clone diverge copy-on-write: touched source files are rewritten
+    * INTO THE CLONE's own data dir, the source is never modified. The
+    * clone's history starts at this table's current version so its write
+    * ids stay above every referenced file's (the dedup tiebreak ordering).
+    *
+    * Caveat (same as Delta's): VACUUM on the SOURCE can remove files a
+    * clone still references — clones are for experiments/short-lived forks,
+    * or compact() the clone to make it self-contained. */
+  def cloneTo(targetPath: String, asOf: Option[Long] = None): LakeTable = {
+    require(CommitLog.latestVersion(targetPath, conf).isEmpty,
+      s"table exists at $targetPath")
+    CommitLog.invalidateTable(targetPath)
+    // a source file that is itself external (clone of a clone / of a
+    // converted table) keeps its own base
+    val refs = liveFiles(asOf).map(a => a.copy(base = a.base.orElse(Some(dataDir))))
+    val bootVersion = asOf.getOrElse(latestVersion)
+    CommitLog.write(targetPath,
+      Commit(bootVersion, LakeTable.commitTimeNow(), "clone",
+        schemaAt(asOf).json, spec, refs, Seq.empty), conf)
+    new LakeTable(spark, targetPath)
   }
 
   /** Delta `DESCRIBE HISTORY` analog: one row per commit, newest first. */
@@ -795,16 +918,61 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val missing = declared.fieldNames.filterNot(have)
     require(missing.isEmpty, s"incoming batch missing columns: ${missing.mkString(",")}")
     val extras = df.schema.fields.filterNot(f => declared.fieldNames.contains(f.name))
-    if (extras.isEmpty)
-      (df.select(declared.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*), None)
-    else if (!mergeSchema)
-      throw new IllegalArgumentException(
-        s"incoming batch has columns not in the table schema: " +
-          s"${extras.map(_.name).mkString(",")}; pass mergeSchema=true to evolve additively")
-    else {
-      val widened = StructType(declared.fields ++ extras)
-      (df.select(widened.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*),
-        Some(widened))
+    val out =
+      if (extras.isEmpty)
+        (df.select(declared.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*), None)
+      else if (!mergeSchema)
+        throw new IllegalArgumentException(
+          s"incoming batch has columns not in the table schema: " +
+            s"${extras.map(_.name).mkString(",")}; pass mergeSchema=true to evolve additively")
+      else {
+        val widened = StructType(declared.fields ++ extras)
+        (df.select(widened.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*),
+          Some(widened))
+      }
+    checkConstraints(out._1)
+    out
+  }
+
+  /** Enforce every CHECK constraint over an incoming batch in ONE aggregate
+    * pass (SQL CHECK semantics: NULL passes, only definitively-FALSE rows
+    * violate). Violations name the constraint, like Delta's error. */
+  private def checkConstraints(df: DataFrame): Unit = {
+    val cons = spec.constraints
+    if (cons.isEmpty) return
+    val names = cons.keys.toSeq
+    val aggs = names.map { n =>
+      max(when(!coalesce(expr(cons(n)), lit(true)), lit(1)).otherwise(lit(0))).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = names.zipWithIndex
+      .filter { case (_, i) => !row.isNullAt(i) && row.getInt(i) == 1 }.map(_._1)
+    if (violated.nonEmpty) throw new IllegalArgumentException(
+      "CHECK constraint violated by the incoming batch: " +
+        violated.map(n => s"$n CHECK (${cons(n)})").mkString("; "))
+  }
+
+  /** Delta `ALTER TABLE … ADD CONSTRAINT name CHECK (sql)`: existing rows
+    * must already satisfy the expression; every later write re-validates
+    * its batch. Metadata-only commit. */
+  def addConstraint(name: String, sql: String): LakeTable = retrying {
+    require(!spec.constraints.keys.exists(_.equalsIgnoreCase(name)),
+      s"constraint $name already exists")
+    val bad = read().filter(!coalesce(expr(sql), lit(true))).limit(1).count()
+    require(bad == 0, s"existing rows violate CHECK ($sql) — constraint not added")
+    writeCommit("addConstraint",
+      newSpec = Some(spec.copy(constraints = spec.constraints + (name -> sql)))) {
+      (_, _) => Seq.empty
+    }
+  }
+
+  /** Drop a named CHECK constraint (metadata-only commit). */
+  def dropConstraint(name: String): LakeTable = retrying {
+    require(spec.constraints.keys.exists(_.equalsIgnoreCase(name)), s"no constraint $name")
+    writeCommit("dropConstraint",
+      newSpec = Some(spec.copy(
+        constraints = spec.constraints.filterNot(_._1.equalsIgnoreCase(name))))) {
+      (_, _) => Seq.empty
     }
   }
 
@@ -933,7 +1101,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * one, the write is a no-op — checked INSIDE the attempt, so a replayed
     * batch racing its duplicate is also suppressed on rebase. */
   private def writeCommit(operation: String, removeAll: Boolean = false,
-      newSchema: Option[StructType] = None, txn: Option[(String, Long)] = None)(
+      newSchema: Option[StructType] = None, txn: Option[(String, Long)] = None,
+      newSpec: Option[TableSpec] = None)(
       body: (Long, String) => Seq[WriteResult]): LakeTable = {
     val version = latestVersion + 1
     if (version == 0) throw new IllegalStateException("use LakeTable.create")
@@ -947,7 +1116,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val schemaJson = newSchema.map(_.json).getOrElse(latestCommit.schemaJson)
     val txnMap = latestCommit.txn ++ txn.toMap
     try {
-      CommitLog.write(path, Commit(version, commitTime, operation, schemaJson, spec,
+      CommitLog.write(path, Commit(version, commitTime, operation, schemaJson,
+        newSpec.getOrElse(spec),
         results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct,
         txnMap), conf)
     } catch {
@@ -1011,7 +1181,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * Writes unconditionally — a pre-write `isEmpty` would execute the whole
     * upstream pipeline (dedup shuffle included) a second time; an empty
     * batch just yields zero stat rows and no adds. */
-  private def writeFiles(batch: DataFrame, writeId: Long, log: Boolean): WriteResult = {
+  private def writeFiles(batch: DataFrame, writeId: Long, log: Boolean,
+      tombstone: Boolean = false): WriteResult = {
     val target = s"$dataDir/${WRITE_ID}=$writeId"
     // the attempt's write-id dir is freshly allocated (freshWriteId probes
     // existence), so nothing to clear; an attempt that dies before its
@@ -1052,7 +1223,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           .map(s => URLDecoder.decode(s.substring(p.length + 1), "UTF-8"))
       }
       val (rows, mn, mx) = FooterStats.keyStats(f, conf, spec.key)
-      FileAction(rel, log, rows, mn, mx, numericKey, partVal)
+      FileAction(rel, log, rows, mn, mx, numericKey, partVal, tombstone = tombstone)
     }
     // a fully-empty batch still emits one 0-row part file — don't log it
     val kept = adds.filter(_.rows > 0)
@@ -1094,6 +1265,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 object LakeTable {
   private[lake] val WRITE_ID = "_v"
   private[lake] val RANK = "_graft_rank"
+  /** Per-scan file identity matching FileAction.path (see readFiles). */
+  private[lake] val REL_FILE = "_rel_file"
+  /** Max tombstone write-id per key during tombstone application. */
+  private[lake] val TOMB_V = "_graft_tomb_v"
   /** Write-id slots per commit version: an attempt's base files take
     * `version*WRITE_SLOTS + 2*nonce`, its log files `+1`. The wide slot
     * space lets concurrent attempts at the same version (optimistic
@@ -1172,6 +1347,40 @@ object LakeTable {
     CommitLog.invalidate(path, version) // the one place a commit file is replaced
     CommitLog.write(path, boot.copy(add = res.add), conf)
     t
+  }
+
+  /** Convert a plain parquet directory into a graft table IN PLACE (Delta
+    * `CONVERT TO DELTA` / Hudi bootstrap analog): no data is rewritten —
+    * the bootstrap commit references the existing files (with footer-derived
+    * key stats for pruning), and the commit log lands in `<dir>/_graft_log`.
+    * Later writes rewrite touched files into the table's own `data/` dir;
+    * the originals are simply de-referenced (never deleted — they remain
+    * the user's files). Flat, non-partitioned sources only; rows in
+    * converted files carry null meta columns until first rewritten. */
+  def convert(spark: SparkSession, dir: String, spec: TableSpec): LakeTable = {
+    val conf = spark.sessionState.newHadoopConf()
+    require(spec.partition.isEmpty, "convert supports flat, non-partitioned sources")
+    require(!spec.mor, "convert bootstraps a CoW table")
+    require(CommitLog.latestVersion(dir, conf).isEmpty, s"table exists at $dir")
+    CommitLog.invalidateTable(dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files to convert at $dir")
+    val schema = spark.read.parquet(dir).schema
+    require(schema.fieldNames.contains(spec.key) &&
+      schema.fieldNames.contains(spec.precombine), "key/precombine not in schema")
+    val numericKey = schema(spec.key).dataType.isInstanceOf[NumericType]
+    val baseDir = fs.makeQualified(root).toUri.getPath
+    val adds = files.map { f =>
+      val (rows, mn, mx) = FooterStats.keyStats(f, conf, spec.key)
+      FileAction(f.getName, log = false, rows, mn, mx, numericKey,
+        partitionValue = None, base = Some(baseDir))
+    }
+    CommitLog.write(dir,
+      Commit(0L, commitTimeNow(), "convert", schema.json, spec, adds, Seq.empty), conf)
+    new LakeTable(spark, dir)
   }
 
   /** Open an existing table. */

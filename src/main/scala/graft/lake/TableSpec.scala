@@ -21,9 +21,15 @@ package graft.lake
   *                   false positives; a false positive only costs reading
   *                   one extra candidate file.
   */
+/** @param constraints named CHECK constraints (Delta `ALTER TABLE … ADD
+  *                   CONSTRAINT name CHECK (expr)` analog): every write
+  *                   validates each SQL expression over the incoming batch
+  *                   and fails loudly on a violating row. Names are
+  *                   case-insensitive-unique. */
 case class TableSpec(
     key: String,
     precombine: String,
     partition: Option[String] = None,
     mor: Boolean = false,
-    bloomBitsPerKey: Int = 0)
+    bloomBitsPerKey: Int = 0,
+    constraints: Map[String, String] = Map.empty)

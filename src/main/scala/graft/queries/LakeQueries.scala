@@ -337,6 +337,62 @@ object LakeQueries {
         |SELECT o_orderkey, o_custkey, 'R', o_totalprice / 2.0,
         |       CAST(epoch(o_orderdate) AS BIGINT)
         |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Shallow clone: metadata-only fork; writes diverge copy-on-write. The
+    // clone gets the CDC churn, the source must stay at the base state —
+    // the oracle is the merged state (clone) which also proves the fork
+    // carried the full source snapshot without copying a byte.
+    "q75_shallow_clone" -> ((
+      (s: SparkSession, d: String) => {
+        val srcPath = freshDir(s"clone_src_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val clonePath = freshDir(s"clone_tgt_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val src = LakeTable.create(s, srcPath, ordersSpec, t(s, d, "orders"))
+        val clone = src.cloneTo(clonePath)
+        clone.upsert(ordersSource(s, d))
+        // divergence check folded in: the source must still be pristine
+        require(src.read().count() == t(s, d, "orders").count(),
+          "clone write leaked into the source")
+        proj(clone.read())
+      },
+      mergedSql)),
+
+    // MoR tombstone delete (deletion-vector analog): the keyed delete
+    // lands as tombstone log rows — no log fold, no base rewrite — and the
+    // `_rt` read filters them out. The require proves compaction did NOT
+    // run: tombstone files are still live at read time.
+    "q77_mor_tombstone_delete" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"tomb_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec.copy(mor = true), t(s, d, "orders"))
+        tbl.upsert(ordersSource(s, d))
+        tbl.deleteKeys(
+          t(s, d, "orders").filter(col("o_orderkey") % 11 === 0).select("o_orderkey"))
+        require(tbl.commits.flatMap(_.add).exists(_.tombstone),
+          "delete must land as tombstones, not a fold")
+        proj(tbl.read())
+      },
+      s"""WITH src AS ($ordersSourceSql),
+         |merged AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch FROM src
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(epoch(o_orderdate) AS BIGINT)
+         |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+         |SELECT * FROM merged
+         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0)
+         |ORDER BY o_orderkey""".stripMargin)),
+
+    // Convert-in-place: plain parquet dir -> graft table without rewriting
+    // a byte, then a keyed upsert over the converted files (touched
+    // originals de-referenced, survivors pass through).
+    "q76_convert_in_place" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = freshDir(s"convert_${d.replaceAll("[^a-z0-9.]", "_")}")
+        t(s, d, "orders").repartition(4).write.mode("overwrite").parquet(dir)
+        val tbl = LakeTable.convert(s, dir, ordersSpec)
+        tbl.upsert(ordersSource(s, d))
+        proj(tbl.read())
+      },
+      mergedSql))
   )
 }

@@ -49,17 +49,54 @@ class GraftStreamSource(ctx: SQLContext, path: String,
       case v => v.toLong
     }.getOrElse(-1L)
 
+  /** Admission control (Delta's maxFilesPerTrigger / Hudi read limits):
+    * bound each micro-batch to at most this many newly-added files /
+    * commit versions. Essential when a stream starts from version 0 of a
+    * large table — the backfill arrives as bounded batches instead of one
+    * giant first batch. At least one commit is always admitted, so an
+    * oversized single commit still makes progress. */
+  private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong)
+  private val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+  private var lastOffered: Long = startingVersion
+
   override val schema: StructType = GraftStreamSource.schemaFor(ctx, path, changeFeed)
 
-  override def getOffset: Option[Offset] = {
-    val v = table.latestVersion
-    if (v < 0 || v <= startingVersion) None else Some(LongOffset(v))
+  override def getOffset: Option[Offset] = synchronized {
+    val latest = table.latestVersion
+    val from = lastOffered
+    if (latest < 0 || latest <= from)
+      return if (from < 0) None else Some(LongOffset(from))
+    val end =
+      if (maxFilesPerTrigger.isEmpty && maxVersionsPerTrigger.isEmpty) latest
+      else {
+        val window = table.commits
+          .filter(c => c.version > from && c.version <= latest).sortBy(_.version)
+        var e = from; var files = 0L; var n = 0L
+        val it = window.iterator
+        var done = false
+        while (it.hasNext && !done) {
+          val c = it.next()
+          val nf = files + c.add.size
+          val nn = n + 1
+          val over = maxFilesPerTrigger.exists(nf > _) || maxVersionsPerTrigger.exists(nn > _)
+          if (over && e > from) done = true // stop BEFORE this commit
+          else {
+            files = nf; n = nn; e = c.version
+            if (over) done = true // first commit alone exceeds the cap: admit it
+          }
+        }
+        e
+      }
+    lastOffered = end
+    Some(LongOffset(end))
   }
 
   /** Rows committed in version window `(start, end]`. */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val s = start.map(_.json.toLong).getOrElse(startingVersion)
     val e = end.json.toLong
+    // recovery: never re-offer an already-committed window
+    synchronized { lastOffered = math.max(lastOffered, e) }
     val raw = if (changeFeed) table.changes(s, Some(e)) else table.incremental(s, Some(e))
     // pin declared column order (changes() appends _change_type; delete
     // rows carry nulls for the data columns)

@@ -81,6 +81,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case SHOW_PARTS_RE(target) => claimOr(sqlText, target) {
       GraftShowPartitionsCommand(target.trim)
     }
+    // claim by the SOURCE's provider (the target doesn't exist yet)
+    case CLONE_RE(target, source, v, loc) => claimOr(sqlText, source) {
+      GraftCloneCommand(target.trim, source.trim,
+        Option(v).map(_.toLong), Option(loc))
+    }
+    case ADD_CONSTRAINT_RE(target, name, check) => claimOr(sqlText, target) {
+      GraftAddConstraintCommand(target.trim, name, check.trim)
+    }
+    case DROP_CONSTRAINT_RE(target, name) => claimOr(sqlText, target) {
+      GraftDropConstraintCommand(target.trim, name)
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -119,6 +130,14 @@ object GraftSqlParser {
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$TGT\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""").r
   private[sql] val SHOW_PARTS_RE =
     (s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$TGT\\s*;?\\s*""").r
+  private[sql] val CLONE_RE =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$TGT\\s+SHALLOW\\s+CLONE\\s+$TGT""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  private[sql] val ADD_CONSTRAINT_RE =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TGT\\s+ADD\\s+CONSTRAINT\\s+(\\w+)""" +
+      """\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private[sql] val DROP_CONSTRAINT_RE =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TGT\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""").r
 
   private def stripIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -188,6 +207,45 @@ case class GraftDescribeDetailCommand(target: String)
     Seq(Row("graft", t.path, if (t.spec.mor) "merge-on-read" else "copy-on-write",
       t.spec.key, t.spec.precombine, t.spec.partition.orNull,
       live._1, live._2, t.latestVersion))
+  }
+}
+
+/** `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n] [LOCATION 'p']` —
+  * metadata-only table fork (see [[graft.lake.LakeTable.cloneTo]]). A
+  * catalog-name target needs LOCATION; a quoted-path target is its own
+  * location and skips catalog registration. */
+case class GraftCloneCommand(target: String, source: String,
+    version: Option[Long], location: Option[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftSqlParser.resolveTable(spark, source)
+    def isPath(t: String) = t.startsWith("'") || t.toLowerCase.startsWith("graft.`")
+    val tgtPath = location.getOrElse {
+      require(isPath(target),
+        s"CREATE TABLE $target SHALLOW CLONE: a table-name target needs LOCATION '<path>'")
+      if (target.startsWith("'")) target.stripPrefix("'").stripSuffix("'")
+      else target.substring("graft.`".length).stripSuffix("`")
+    }
+    src.cloneTo(new Path(tgtPath).toString, version)
+    if (!isPath(target))
+      spark.sql(s"CREATE TABLE $target USING graft LOCATION '$tgtPath'")
+    Seq.empty
+  }
+}
+
+case class GraftAddConstraintCommand(target: String, name: String, check: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolveTable(spark, target).addConstraint(name, check)
+    Seq.empty
+  }
+}
+
+case class GraftDropConstraintCommand(target: String, name: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolveTable(spark, target).dropConstraint(name)
+    Seq.empty
   }
 }
 

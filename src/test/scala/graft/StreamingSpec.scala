@@ -72,6 +72,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to one commit window") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_rate").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a")).toDF("k", "pc", "v"))
+    t.upsert(Seq((2, 1L, "b")).toDF("k", "pc", "v"))
+    t.upsert(Seq((3, 1L, "c")).toDF("k", "pc", "v"))
+    // 3 commits outstanding; with the cap each drains as its own batch
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(path)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.select("k").collect().map(_.getInt(0)).toSet }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.toSeq) == Seq(Set(1), Set(2), Set(3)),
+        s"one commit per batch, got ${batches.synchronized(batches.toSeq)}")
+    } finally q.stop()
+  }
+
   test("graft streaming source honors startingVersion=latest") {
     import spark.implicits._
     import graft.lake.{LakeTable, TableSpec}
