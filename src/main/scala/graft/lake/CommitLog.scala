@@ -34,7 +34,12 @@ case class FileAction(
       * instead of forcing a log fold, the deletion-vector idea. A tombstone
       * kills every same-key row with a lower write-id; compaction folds
       * tombstones away. Only ever true when `log` is true. */
-    tombstone: Boolean = false)
+    tombstone: Boolean = false,
+    /** Per-column (min, max) for the table's declared `statsColumns` —
+      * data-skipping metadata beyond the record key, so scans filtered on
+      * any stat'd column prune whole files from the commit log before
+      * planning. Rendered in the same string forms as the key stats. */
+    colStats: Map[String, (String, String)] = Map.empty)
 
 /** A committed version of the table: files added/removed plus metadata.
   * `commitTime` uses Hudi's timeline shape `yyyyMMddHHmmssSSS`
@@ -110,6 +115,10 @@ object CommitLog {
       val cons = spec.putObject("constraints")
       c.spec.constraints.foreach { case (name, sql) => cons.put(name, sql) }
     }
+    if (c.spec.statsColumns.nonEmpty) {
+      val sc = spec.putArray("statsColumns")
+      c.spec.statsColumns.foreach(sc.add)
+    }
     val adds = root.putArray("add")
     c.add.foreach { a =>
       val n = adds.addObject()
@@ -119,6 +128,12 @@ object CommitLog {
       a.partitionValue.foreach(n.put("partitionValue", _))
       a.base.foreach(n.put("base", _))
       if (a.tombstone) n.put("tombstone", true)
+      if (a.colStats.nonEmpty) {
+        val cs = n.putObject("colStats")
+        a.colStats.foreach { case (c, mm) =>
+          val e = cs.putObject(c); e.put("min", mm._1); e.put("max", mm._2)
+        }
+      }
     }
     val rm = root.putArray("remove")
     c.remove.foreach(rm.add)
@@ -201,6 +216,17 @@ object CommitLog {
     c
   }
 
+  private def readColStats(n: JsonNode): Map[String, (String, String)] = {
+    if (!n.hasNonNull("colStats")) return Map.empty
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+    val it = n.get("colStats").asInstanceOf[ObjectNode].fields()
+    while (it.hasNext) {
+      val e = it.next()
+      m(e.getKey) = (e.getValue.get("min").asText, e.getValue.get("max").asText)
+    }
+    m.toMap
+  }
+
   private def parse(root: JsonNode): Commit = {
     def optText(n: JsonNode, field: String): Option[String] =
       if (n.hasNonNull(field)) Some(n.get(field).asText) else None
@@ -219,6 +245,12 @@ object CommitLog {
           while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText }
         }
         m.toMap
+      },
+      statsColumns = {
+        val b = ArrayBuffer.empty[String]
+        if (specN.hasNonNull("statsColumns"))
+          specN.get("statsColumns").asInstanceOf[ArrayNode].forEach(x => b += x.asText)
+        b.toSeq
       })
     val adds = ArrayBuffer.empty[FileAction]
     root.get("add").asInstanceOf[ArrayNode].forEach { n =>
@@ -227,7 +259,8 @@ object CommitLog {
         n.get("minKey").asText, n.get("maxKey").asText,
         n.get("numericKey").asBoolean, optText(n, "partitionValue"),
         optText(n, "base"),
-        n.hasNonNull("tombstone") && n.get("tombstone").asBoolean)
+        n.hasNonNull("tombstone") && n.get("tombstone").asBoolean,
+        readColStats(n))
     }
     val removes = ArrayBuffer.empty[String]
     root.get("remove").asInstanceOf[ArrayNode].forEach(n => removes += n.asText)
@@ -290,6 +323,12 @@ object CommitLog {
       a.partitionValue.foreach(n.put("partitionValue", _))
       a.base.foreach(n.put("base", _))
       if (a.tombstone) n.put("tombstone", true)
+      if (a.colStats.nonEmpty) {
+        val cs = n.putObject("colStats")
+        a.colStats.foreach { case (c, mm) =>
+          val e = cs.putObject(c); e.put("min", mm._1); e.put("max", mm._2)
+        }
+      }
     }
     val target = checkpointFile(tablePath, version)
     val f = fs(target, conf)
@@ -312,7 +351,8 @@ object CommitLog {
         n.get("minKey").asText, n.get("maxKey").asText, n.get("numericKey").asBoolean,
         if (n.hasNonNull("partitionValue")) Some(n.get("partitionValue").asText) else None,
         if (n.hasNonNull("base")) Some(n.get("base").asText) else None,
-        n.hasNonNull("tombstone") && n.get("tombstone").asBoolean)
+        n.hasNonNull("tombstone") && n.get("tombstone").asBoolean,
+        readColStats(n))
     }
     files.toSeq
   }

@@ -21,32 +21,46 @@ object FooterStats {
   /** @return (rowCount, minKey, maxKey) with keys rendered as the plain
     *         string forms FileAction stores. */
   def keyStats(file: Path, conf: Configuration, key: String): (Long, String, String) = {
+    val (rows, m) = fileStats(file, conf, Seq(key))
+    val (mn, mx) = m(key)
+    (rows, mn, mx)
+  }
+
+  /** One footer read covering several columns: per-column (min, max) in the
+    * plain string forms FileAction stores, plus the row count. A column
+    * whose stats are unusable in ANY row group gets the whole-range
+    * sentinel — the recorded range would otherwise understate the file and
+    * data skipping could wrongly drop it. */
+  def fileStats(file: Path, conf: Configuration,
+      cols: Seq[String]): (Long, Map[String, (String, String)]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      var mn: Option[Any] = None
-      var mx: Option[Any] = None
-      // if ANY row group lacks usable stats (e.g. truncated long-binary
-      // min/max), the recorded range would understate the file and pruning
-      // could wrongly drop it — fall back to the whole-range sentinel
-      var partial = false
-      blocks.foreach { b =>
-        b.getColumns.asScala
-          .find(_.getPath.toDotString.equalsIgnoreCase(key)) match {
-          case Some(c) =>
-            val st = c.getStatistics
-            if (st != null && st.hasNonNullValue) {
-              val (lo, hi) = (st.genericGetMin, st.genericGetMax)
-              if (mn.isEmpty || cmp(lo, mn.get) < 0) mn = Some(lo)
-              if (mx.isEmpty || cmp(hi, mx.get) > 0) mx = Some(hi)
-            } else if (b.getRowCount > 0) partial = true
-          case None => if (b.getRowCount > 0) partial = true
+      val out = cols.map { name =>
+        var mn: Option[Any] = None
+        var mx: Option[Any] = None
+        var partial = false
+        blocks.foreach { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString.equalsIgnoreCase(name)) match {
+            case Some(c) =>
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                val (lo, hi) = (st.genericGetMin, st.genericGetMax)
+                if (mn.isEmpty || cmp(lo, mn.get) < 0) mn = Some(lo)
+                if (mx.isEmpty || cmp(hi, mx.get) > 0) mx = Some(hi)
+              } else if (b.getRowCount > 0) partial = true
+            case None => if (b.getRowCount > 0) partial = true
+          }
         }
-      }
-      if (partial) (rows, "", "￿")
-      else (rows, mn.map(render).getOrElse(""), mx.map(render).getOrElse("￿"))
+        val stat =
+          if (partial) ("", "￿")
+          else (mn.map(render).getOrElse(""), mx.map(render).getOrElse("￿"))
+        name -> stat
+      }.toMap
+      (rows, out)
     } finally reader.close()
   }
 

@@ -103,6 +103,73 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     if (spec.mor) realtime(asOf)
     else ordered(readFiles(liveFiles(asOf), asOf = asOf), asOf)
 
+  /** Snapshot read with file-level DATA SKIPPING for the pushed filters:
+    * files whose commit-log stat ranges (record key, declared
+    * `statsColumns`, partition value) cannot satisfy the filters are
+    * dropped before the scan is even planned. MoR with outstanding logs
+    * falls back to the full realtime merge — skipping a base file before
+    * the merge would be unsound (a log row may supersede its rows). */
+  def readWhere(filters: Seq[org.apache.spark.sql.sources.Filter],
+      asOf: Option[Long] = None): DataFrame = {
+    val live = liveFiles(asOf)
+    if (live.exists(_.log)) read(asOf)
+    else ordered(readFiles(skipByStats(live, filters), asOf = asOf), asOf)
+  }
+
+  /** Conservative file-level skipping: top-level AND conjuncts only;
+    * unknown filter shapes, missing/sentinel stats, non-numeric non-ASCII
+    * comparisons all KEEP the file (never wrong, only less pruning). */
+  private def skipByStats(actions: Seq[FileAction],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileAction] = {
+    import org.apache.spark.sql.sources._
+    if (filters.isEmpty || actions.isEmpty) return actions
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val cj = filters.flatMap(conjuncts)
+    val declared = schema
+    def numericCol(c: String): Boolean =
+      declared.fields.find(_.name.equalsIgnoreCase(c)).exists(_.dataType.isInstanceOf[NumericType])
+    def rangeOf(a: FileAction, c: String): Option[(String, String)] =
+      if (c.equalsIgnoreCase(spec.key)) Some((a.minKey, a.maxKey))
+      else if (spec.partition.exists(_.equalsIgnoreCase(c))) a.partitionValue.map(p => (p, p))
+      else a.colStats.find(_._1.equalsIgnoreCase(c)).map(_._2)
+    def toD(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue)
+      case _ => None
+    }
+    def ascii(x: String): Boolean = x.forall(_ < 0x80)
+    // compare a stored stat bound against the literal; None = can't decide
+    def cmpStat(c: String, stat: String, v: Any): Option[Int] = {
+      if (stat.isEmpty || stat == "￿") return None // sentinel bound
+      if (numericCol(c)) for { s <- scala.util.Try(stat.toDouble).toOption; d <- toD(v) }
+        yield s.compare(d)
+      else v match {
+        case str: String if ascii(stat) && ascii(str) => Some(stat.compareTo(str))
+        case _ => None
+      }
+    }
+    def covers(a: FileAction, c: String, v: Any): Boolean =
+      rangeOf(a, c).forall { case (mn, mx) =>
+        cmpStat(c, mn, v).forall(_ <= 0) && cmpStat(c, mx, v).forall(_ >= 0)
+      }
+    def keep(a: FileAction, f: Filter): Boolean = f match {
+      case EqualTo(c, v) => covers(a, c, v)
+      case In(c, vs) => vs.isEmpty || vs.exists(v => covers(a, c, v))
+      case GreaterThan(c, v) =>
+        rangeOf(a, c).forall { case (_, mx) => cmpStat(c, mx, v).forall(_ > 0) }
+      case GreaterThanOrEqual(c, v) =>
+        rangeOf(a, c).forall { case (_, mx) => cmpStat(c, mx, v).forall(_ >= 0) }
+      case LessThan(c, v) =>
+        rangeOf(a, c).forall { case (mn, _) => cmpStat(c, mn, v).forall(_ < 0) }
+      case LessThanOrEqual(c, v) =>
+        rangeOf(a, c).forall { case (mn, _) => cmpStat(c, mn, v).forall(_ <= 0) }
+      case _ => true
+    }
+    actions.filter(a => cj.forall(f => keep(a, f)))
+  }
+
   /** MoR `_ro`: base files only — stale until compaction (S9/J3). */
   def readOptimized(asOf: Option[Long] = None): DataFrame =
     ordered(readFiles(liveFiles(asOf).filterNot(_.log), asOf = asOf), asOf)
@@ -1222,8 +1289,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         rel.split("/").find(_.startsWith(p + "="))
           .map(s => URLDecoder.decode(s.substring(p.length + 1), "UTF-8"))
       }
-      val (rows, mn, mx) = FooterStats.keyStats(f, conf, spec.key)
-      FileAction(rel, log, rows, mn, mx, numericKey, partVal, tombstone = tombstone)
+      val statCols = spec.key +: spec.statsColumns.filterNot(_.equalsIgnoreCase(spec.key))
+      val (rows, stats) = FooterStats.fileStats(f, conf, statCols)
+      val (mn, mx) = stats(spec.key)
+      FileAction(rel, log, rows, mn, mx, numericKey, partVal, tombstone = tombstone,
+        colStats = stats - spec.key)
     }
     // a fully-empty batch still emits one 0-row part file — don't log it
     val kept = adds.filter(_.rows > 0)

@@ -20,16 +20,23 @@ package graft.lake
   *                   churn), where min/max stats prune nothing. 10 ⇒ ~1%
   *                   false positives; a false positive only costs reading
   *                   one extra candidate file.
-  */
-/** @param constraints named CHECK constraints (Delta `ALTER TABLE … ADD
+  * @param constraints named CHECK constraints (Delta `ALTER TABLE … ADD
   *                   CONSTRAINT name CHECK (expr)` analog): every write
   *                   validates each SQL expression over the incoming batch
   *                   and fails loudly on a violating row. Names are
-  *                   case-insensitive-unique. */
+  *                   case-insensitive-unique.
+  * @param statsColumns extra columns to collect per-file (min, max) footer
+  *                   stats for (the record key always has stats): scans
+  *                   filtered on these columns skip whole files from
+  *                   commit-log metadata — Delta data-skipping analog.
+  *                   Pairs naturally with `zorder(...)` over the same
+  *                   columns, which makes per-file ranges tight.
+  */
 case class TableSpec(
     key: String,
     precombine: String,
     partition: Option[String] = None,
     mor: Boolean = false,
     bloomBitsPerKey: Int = 0,
-    constraints: Map[String, String] = Map.empty)
+    constraints: Map[String, String] = Map.empty,
+    statsColumns: Seq[String] = Seq.empty)

@@ -135,7 +135,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val spec = TableSpec(key, precombine, partition = partCol,
           mor = opt("mor").exists(_.toBoolean) ||
             opt("type").exists(_.equalsIgnoreCase("MERGE_ON_READ")),
-          bloomBitsPerKey = opt("bloomBitsPerKey").map(_.toInt).getOrElse(0))
+          bloomBitsPerKey = opt("bloomBitsPerKey").map(_.toInt).getOrElse(0),
+          statsColumns = opt("statsColumns")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
         val path = other.getOrElse(tableDir(ident).toString)
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

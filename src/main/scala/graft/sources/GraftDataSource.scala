@@ -125,6 +125,8 @@ object GraftDataSource {
       mor = opt("mor").exists(_.toBoolean) ||
         opt("type", "hoodie.datasource.write.storage.type", "hoodie.datasource.write.table.type")
           .exists(_.equalsIgnoreCase("MERGE_ON_READ")),
+      statsColumns = opt("statsColumns", "dataSkippingColumns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       bloomBitsPerKey = opt("bloomBitsPerKey").map(_.toInt).getOrElse(
         // Hudi option-surface alias: BLOOM index type at its default sizing
         if (opt("hoodie.index.type").exists(_.equalsIgnoreCase("BLOOM"))) 10 else 0))
@@ -166,7 +168,7 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
 
   private def spark: SparkSession = ctx.sparkSession
 
-  private def snapshot(): DataFrame = {
+  private def snapshot(filters: Seq[Filter] = Seq.empty): DataFrame = {
     val t = LakeTable.load(spark, path)
     val asOf = parameters.get("versionAsOf").map(_.toLong)
     (parameters.get("incremental.since"), parameters.get("changes.since")) match {
@@ -176,6 +178,9 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
         parameters.getOrElse("view", "snapshot").toLowerCase match {
           case "ro" => t.readOptimized(asOf)
           case "rt" => t.realtime(asOf)
+          // data skipping: pushed filters prune whole files from commit-log
+          // stats (key, statsColumns, partition) before the scan plans
+          case _ if filters.nonEmpty => t.readWhere(filters, asOf)
           case _ => t.read(asOf)
         }
     }
@@ -198,7 +203,7 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
   }
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    var df = snapshot()
+    var df = snapshot(filters.toSeq)
     filters.flatMap(GraftRelation.toColumnStatic).foreach(c => df = df.filter(c))
     df.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
   }
