@@ -70,6 +70,30 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus CONTAMINATION check — the train/eval hygiene step of a
+    * training-data pipeline: for every eval document, the share of its
+    * k-shingles that appear anywhere in the training corpus (containment,
+    * not Jaccard — a tiny eval doc fully quoted inside a big train doc
+    * must score 1.0). Inverted-index join on DISTINCT train shingles, so
+    * cost is eval-shingles × matches, never train×eval; the train side
+    * collapses to one row per shingle (map-side partial distinct) no
+    * matter how large the corpus. Returns (id, contamination) for eval
+    * docs with any overlap ≥ threshold. */
+  def contamination(train: DataFrame, eval0: DataFrame, threshold: Double = 0.8,
+      k: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val trainSh = train.select(explode(shingles(col(textCol), k)).as("s")).distinct()
+    val evalSh = eval0
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+    val total = evalSh.groupBy("id").agg(count(lit(1)).as("n_total"))
+    val hit = evalSh.join(trainSh, Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    total.join(hit, Seq("id"), "left")
+      .withColumn("contamination",
+        coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_total").cast("double"))
+      .filter(col("contamination") >= threshold)
+      .select(col("id").as(idCol), col("contamination"))
+  }
+
   // ---- duplicate clustering -------------------------------------------
 
   /** Connected components over a near-dup pair graph: every id that appears

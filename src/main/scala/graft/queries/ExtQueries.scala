@@ -131,6 +131,43 @@ object ExtQueries {
         |FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Train/eval CONTAMINATION check: share of each eval doc's 3-shingles
+    // found anywhere in the training corpus (containment, not Jaccard).
+    // Planted eval docs are train docs with a one-token suffix — they must
+    // score near 1.0; fresh docs only clear the 0.5 bar by real overlap.
+    "q78_contamination" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("doc_id") < 2000)
+        val eval0 = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 2000)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text", concat(col("text"), lit(" graftdup")))
+          .unionByName(docs.filter(col("doc_id") >= 2000 && col("doc_id") < 2500))
+        Dedup.contamination(train, eval0, threshold = 0.5, k = 3)
+          .orderBy("doc_id")
+      },
+      raw"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |ev AS (
+        |  SELECT doc_id + 100000 AS id, text || ' graftdup' AS text
+        |  FROM documents WHERE doc_id < 2000 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 2000 AND doc_id < 2500),
+        |tsh AS (SELECT DISTINCT UNNEST(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS s
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS tk FROM train)),
+        |esh AS (SELECT id, UNNEST(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS s
+        |  FROM (SELECT id, regexp_split_to_array(trim(text), '\s+') AS tk FROM ev)),
+        |tot AS (SELECT id, COUNT(*) AS n_total FROM esh GROUP BY 1),
+        |hit AS (SELECT id, COUNT(*) AS n_hit FROM esh WHERE s IN (SELECT s FROM tsh) GROUP BY 1)
+        |SELECT tot.id AS doc_id,
+        |       CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / tot.n_total AS contamination
+        |FROM tot LEFT JOIN hit USING (id)
+        |WHERE CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / tot.n_total >= 0.5
+        |ORDER BY doc_id""".stripMargin)),
+
     // Avro batch scan (S1): nation written to Avro (driver-side, tiny dim
     // table), read back through graft's bundled-avro reader, oracled
     // against the parquet original — proves schema mapping + decode.

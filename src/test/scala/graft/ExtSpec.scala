@@ -27,6 +27,23 @@ class ExtSpec extends AnyFunSuite {
     docs.filter(col("doc_id") % 10 === 0).select("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
 
+  test("contamination flags every planted eval doc near 1.0, clean docs stay low") {
+    val train = docs
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graftdup")))
+    val expected = plantedIds.map(_._2)
+    val flagged = Dedup.contamination(train, evalDocs, threshold = 0.8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(expected.subsetOf(flagged.keySet),
+      s"missed ${expected -- flagged.keySet}")
+    assert(flagged.values.forall(_ >= 0.8))
+    // a doc with no train overlap must not be flagged
+    import spark.implicits._
+    val clean = Seq((999999L, "zzqx wvut plonk vree karmic blorp nuxl trep")).toDF("doc_id", "text")
+    assert(Dedup.contamination(train, clean, threshold = 0.1, k = 3).isEmpty)
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     val found = Dedup.minhashPairs(planted, threshold = 0.6, numHashes = 64, bands = 16, k = 4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
