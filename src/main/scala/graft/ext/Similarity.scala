@@ -52,10 +52,15 @@ object Similarity {
     * Recall vs the float brute force is asserted in ExtSpec. */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val maxAbs = corpus
-      .select(max(expr(
-        s"aggregate(transform($vecCol, x -> abs(cast(x as double))), 0D, (a, x) -> greatest(a, x))")))
-      .head().getDouble(0)
+    // the shared scale must cover BOTH sides: a query component above the
+    // corpus max would quantize past 127 and the byte cast would WRAP
+    // (silent sign flip) — so take the max |x| over corpus ∪ queries
+    val absMax = (c: org.apache.spark.sql.DataFrame) => c.select(max(expr(
+      s"aggregate(transform($vecCol, x -> abs(cast(x as double))), 0D, (a, x) -> greatest(a, x))"))
+      .cast("double")).head().getDouble(0)
+    val maxAbs = math.max(absMax(corpus), absMax(queries))
+    require(maxAbs > 0.0 && !maxAbs.isNaN,
+      s"quantizedTopK: embeddings are all-zero or NaN (max |x| = $maxAbs)")
     val scale = 127.0 / maxAbs
     def quantize(c: Column): Column =
       graft.functions.Int8Ops.pack(

@@ -181,6 +181,25 @@ object CommitLog {
     }
   }
 
+  /** Atomically create an empty marker file: true iff THIS caller created
+    * it. Local paths use NIO `createFile` (O_EXCL); others best-effort
+    * exists+create-no-overwrite (atomic on HDFS). Used to claim write-id
+    * directories so concurrent attempts never share one. */
+  private[lake] def claimMarker(f: FileSystem, marker: Path): Boolean =
+    try {
+      f.mkdirs(marker.getParent)
+      val q = f.makeQualified(marker)
+      if (Option(q.toUri.getScheme).forall(_ == "file")) {
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(q.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        if (f.exists(marker)) false
+        else { val out = f.create(marker, false); out.close(); true }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   // commit files are immutable once renamed into place, so reads are safe
   // to memoize — spec/schema accessors hit the latest commit many times per
   // operation, and on object stores every uncached read is a network call.

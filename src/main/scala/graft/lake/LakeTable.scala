@@ -189,36 +189,46 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val (tombActions, dataLogs) = logActions.partition(_.tombstone)
     val base = withJoinIds(readFiles(baseActions, keepWriteId = true, asOf = asOf))
     val logs = withJoinIds(readFiles(dataLogs, keepWriteId = true, asOf = asOf))
+    val tombs = tombMax(tombActions, asOf)
     // tombstoned keys are contested too: their base rows must enter the
     // merge so the tombstone filter can kill them
-    val logKeys = logs.select(joinIdCols.map(col): _*)
-      .unionByName(withJoinIds(readFiles(tombActions, asOf = asOf))
-        .select(joinIdCols.map(col): _*))
-      .distinct()
+    val logKeys = contestedLogKeys(logs, tombs)
     val passThrough = base.join(logKeys, joinIdCols, "left_anti")
     val contested = applyTombstones(
-      base.join(logKeys, joinIdCols, "left_semi").unionByName(logs),
-      tombActions, asOf)
+      base.join(logKeys, joinIdCols, "left_semi").unionByName(logs), tombs)
     val merged = dedupLatest(contested, idCols, spec.precombine, col(WRITE_ID))
       .unionByName(passThrough)
       .drop(WRITE_ID, PID)
     ordered(merged, asOf)
   }
 
+  /** Max tombstone write-id per record identity — the one scan of the
+    * (churn-bounded) tombstone files a read needs; both its consumers (the
+    * contested-key union and the kill filter) reference the same subplan,
+    * which Spark collapses via exchange reuse. */
+  private def tombMax(tombActions: Seq[FileAction],
+      asOf: Option[Long] = None): Option[DataFrame] =
+    if (tombActions.isEmpty) None
+    else Some(withJoinIds(readFiles(tombActions, keepWriteId = true, asOf = asOf))
+      .groupBy(joinIdCols.map(col): _*).agg(max(col(WRITE_ID)).as(TOMB_V)))
+
   /** Kill rows superseded by a newer tombstone: a keyed MoR delete lands as
     * a tombstone log row ([[FileAction.tombstone]]) that deletes whatever
     * was live at its commit — any same-key row with a LOWER write-id; a
     * later upsert (higher write-id) reinserts the key. `df` must carry the
-    * join ids and [[WRITE_ID]]. The tombstone side is a key-only aggregate
-    * over the (churn-bounded) tombstone files — broadcast-sized. */
-  private def applyTombstones(df: DataFrame, tombActions: Seq[FileAction],
-      asOf: Option[Long] = None): DataFrame = {
-    if (tombActions.isEmpty) return df
-    val tombs = withJoinIds(readFiles(tombActions, keepWriteId = true, asOf = asOf))
-      .groupBy(joinIdCols.map(col): _*).agg(max(col(WRITE_ID)).as(TOMB_V))
-    df.join(tombs, joinIdCols, "left")
-      .filter(col(TOMB_V).isNull || col(WRITE_ID) > col(TOMB_V))
-      .drop(TOMB_V)
+    * join ids and [[WRITE_ID]]. */
+  private def applyTombstones(df: DataFrame, tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(df) { t =>
+      df.join(t, joinIdCols, "left")
+        .filter(col(TOMB_V).isNull || col(WRITE_ID) > col(TOMB_V))
+        .drop(TOMB_V)
+    }
+
+  /** Contested identities of a MoR read: every data-log key plus every
+    * tombstoned key (their base rows must enter the merge to be killed). */
+  private def contestedLogKeys(logs: DataFrame, tombs: Option[DataFrame]): DataFrame = {
+    val lk = logs.select(joinIdCols.map(col): _*)
+    tombs.fold(lk)(t => lk.unionByName(t.select(joinIdCols.map(col): _*))).distinct()
   }
 
   private def ordered(df: DataFrame, asOf: Option[Long] = None): DataFrame = {
@@ -295,7 +305,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * rows and adds the new data, so readers never see a half-swapped state.
     * Every incoming row must satisfy `cond` (Delta's constraint): the op is
     * a range/partition swap, not a disguised upsert. Detection is
-    * column-pruned to `cond`'s columns; only touched files are rewritten. */
+    * column-pruned to `cond`'s columns; only touched files are rewritten.
+    *
+    * Keyed-uniqueness contract: a record key must not move ACROSS the
+    * predicate boundary — an incoming key that also has a non-matching row
+    * elsewhere would duplicate the record (replaceWhere swaps a region,
+    * like Delta's; use upsert to move keys). Violations against the
+    * touched files' surviving rows are detected and fail loudly; rows in
+    * completely untouched files are the caller's contract (checking them
+    * would need the full-table scan this operation exists to avoid). */
   def overwriteWhere(df: DataFrame, cond: Column,
       txn: Option[(String, Long)] = None): LakeTable = retrying {
     if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
@@ -314,6 +332,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val rows = readFiles(live.filter(a => touchedSet.contains(a.path)))
           .filter(!coalesce(cond, lit(false)))
           .drop("_file_name")
+        // keyed-uniqueness guard (see scaladoc): an incoming key surviving
+        // outside the predicate in a touched file would duplicate
+        val dup = withJoinIds(rows)
+          .join(withJoinIds(batch).select(joinIdCols.map(col): _*).distinct(),
+            joinIdCols, "left_semi")
+        require(dup.isEmpty,
+          "replaceWhere: an incoming record key also has rows NOT matching " +
+            "the predicate — a key may not move across the replace boundary")
         Seq(writeFiles(rows, writeId + 1, log = false))
       }
       Seq(writeFiles(batch, writeId, log = false).copy(remove = touched)) ++ kept
@@ -555,18 +581,26 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * files actually holding a doomed key via a semi-join, rewrite only
     * those with an anti-join — no driver-side key list, no literal `isin`,
     * so the plan is O(1) in both key count and file count. */
+  /** Record identity of a caller-supplied key frame: (key, partition) when
+    * the table is partitioned AND the frame carries the partition column —
+    * then only the matched partition's row dies; a bare key set keeps the
+    * historical global semantics (the key dies in every partition). */
+  private case class KeyIdentity(idC: Seq[String], jc: Seq[String],
+      ids: DataFrame => DataFrame)
+  private def keyIdentity(keys: DataFrame): KeyIdentity = {
+    val byPartition = spec.partition.exists(keys.columns.contains)
+    KeyIdentity(
+      if (byPartition) idCols else Seq(spec.key),
+      if (byPartition) joinIdCols else Seq(spec.key),
+      df => if (byPartition) withJoinIds(df) else df)
+  }
+
   def deleteKeys(keys: DataFrame): LakeTable =
     if (spec.mor) deleteKeysMor(keys) else retrying {
     val live = liveFiles(None)
-    // Record identity is (key, partition) when the table is partitioned AND
-    // the caller supplies the partition column — then only the matched
-    // partition's row dies. A bare key set keeps the historical global
-    // semantics (the key is deleted in every partition). Keeping the raw
-    // partition column in `k` also lets pruneCandidates partition-prune.
-    val byPartition = spec.partition.exists(keys.columns.contains)
-    val idC: Seq[String] = if (byPartition) idCols else Seq(spec.key)
-    val jc: Seq[String] = if (byPartition) joinIdCols else Seq(spec.key)
-    def ids(df: DataFrame): DataFrame = if (byPartition) withJoinIds(df) else df
+    // keeping the raw partition column in `k` also lets pruneCandidates
+    // partition-prune (see keyIdentity for the semantics)
+    val KeyIdentity(idC, jc, ids) = keyIdentity(keys)
     val k = ids(keys.select(idC.map(col): _*)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -599,10 +633,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * compaction folds the tombstones away — ordinary MoR staleness. */
   private def deleteKeysMor(keys: DataFrame): LakeTable = retrying {
     val live = liveFiles(None)
-    val byPartition = spec.partition.exists(keys.columns.contains)
-    val idC: Seq[String] = if (byPartition) idCols else Seq(spec.key)
-    val jc: Seq[String] = if (byPartition) joinIdCols else Seq(spec.key)
-    def ids(df: DataFrame): DataFrame = if (byPartition) withJoinIds(df) else df
+    val KeyIdentity(idC, jc, ids) = keyIdentity(keys)
     val k = ids(keys.select(idC.map(col): _*)).distinct()
     writeCommit("delete") { (writeId, commitTime) =>
       // tombstone only keys that exist (stray keys would bloat the logs);
@@ -642,17 +673,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val (tombActions, dataLogs) = logActions.partition(_.tombstone)
     val base = withJoinIds(readFiles(baseActions, keepWriteId = true))
     val logs = withJoinIds(readFiles(dataLogs, keepWriteId = true))
-    val logKeys = logs.select(joinIdCols.map(col): _*)
-      .unionByName(withJoinIds(readFiles(tombActions))
-        .select(joinIdCols.map(col): _*))
-      .distinct()
+    val tombs = tombMax(tombActions)
+    val logKeys = contestedLogKeys(logs, tombs)
     val dupBaseKeys = base.groupBy(joinIdCols.map(col): _*).count()
       .filter(col("count") > 1).select(joinIdCols.map(col): _*)
     val contestedKeys = logKeys.union(dupBaseKeys).distinct()
     val passThrough = base.join(contestedKeys, joinIdCols, "left_anti")
     val contested = applyTombstones(
-      base.unionByName(logs).join(contestedKeys, joinIdCols, "left_semi"),
-      tombActions)
+      base.unionByName(logs).join(contestedKeys, joinIdCols, "left_semi"), tombs)
     dedupLatest(contested, idCols, spec.precombine, col(WRITE_ID))
       .unionByName(passThrough)
       .drop(WRITE_ID, "_file_name", PID)
@@ -767,7 +795,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val livePaths = live.map(_.path).toSet
     val files = added.filter(a => livePaths.contains(a.path) && !a.tombstone)
     val df = withJoinIds(readFiles(files, keepWriteId = true, asOf = Some(upTo)))
-    val alive = applyTombstones(df, live.filter(_.tombstone), Some(upTo))
+    val alive = applyTombstones(df, tombMax(live.filter(_.tombstone), Some(upTo)))
       .drop(PID)
     val deduped = dedupLatest(alive, idCols, spec.precombine, col(WRITE_ID)).drop(WRITE_ID)
     // rewritten files carry old rows too — keep only rows stamped by the
@@ -838,7 +866,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         withJoinIds(readFiles(
           window.flatMap(_.add).filter(a => liveNowPaths.contains(a.path) && !a.tombstone),
           keepWriteId = true, asOf = Some(upTo))),
-        liveNow.filter(_.tombstone), Some(upTo))
+        tombMax(liveNow.filter(_.tombstone), Some(upTo)))
       .select(joinIdCols.map(col): _*).distinct()
     val deleted = preIds.join(nowIds, joinIdCols, "left_anti")
       .select(idCols.map(col): _*).distinct()
@@ -852,7 +880,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * `RETAIN n HOURS` knob, the retention operators actually set). Time
     * travel before the horizon stops working — same trade as Delta VACUUM
     * (`/root/reference/README.md:1240`). */
-  def vacuum(retainVersions: Int = 1, retainHours: Option[Double] = None): LakeTable = {
+  def vacuum(retainVersions: Int = 1, retainHours: Option[Double] = None,
+      orphanGraceHours: Double = 1.0): LakeTable = {
     val latest = latestVersion
     val horizon = retainHours match {
       case Some(h) =>
@@ -868,6 +897,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
     val keep: Set[String] =
       (horizon to latest).flatMap(v => liveFiles(Some(v)).map(_.path)).toSet
+    // files some commit once referenced: superseded data, safe to drop the
+    // moment they leave the retained window. A file NO commit ever added is
+    // an attempt dir — possibly a CONCURRENT writer's in-flight files, so
+    // it only goes once it is older than the orphan grace (multi-writer
+    // safety; the same reason Delta vacuums with a retention check).
+    val everAdded: Set[String] =
+      commits.flatMap(_.add).filter(_.base.isEmpty).map(_.path).toSet
+    val orphanCutoff = System.currentTimeMillis() - (orphanGraceHours * 3600e3).toLong
     val fs = new Path(dataDir).getFileSystem(conf)
     val root = new Path(dataDir)
     if (fs.exists(root)) {
@@ -878,12 +915,22 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         // "/data/", -1) in detection — a table path containing "/data/"
         // must not shift the relative path
         val rel = f.getPath.toString.split("/data/").last
-        if (f.getPath.getName.endsWith(".parquet") && !keep.contains(rel))
-          fs.delete(f.getPath, false)
-        // bloom sidecar of a vacuumed data file goes with it
-        else if (rel.startsWith(".blooms/") &&
-            !keep.contains(rel.stripPrefix(".blooms/").stripSuffix(".bf")))
-          fs.delete(f.getPath, false)
+        def stale = f.getModificationTime < orphanCutoff
+        if (f.getPath.getName.endsWith(".parquet") && !keep.contains(rel)) {
+          if (everAdded.contains(rel) || stale) fs.delete(f.getPath, false)
+        }
+        // bloom sidecar goes with its data file (same in-flight guard)
+        else if (rel.startsWith(".blooms/")) {
+          val dataRel = rel.stripPrefix(".blooms/").stripSuffix(".bf")
+          if (!keep.contains(dataRel) && (everAdded.contains(dataRel) || stale))
+            fs.delete(f.getPath, false)
+        }
+        // write-id claim markers of dirs that no longer exist
+        else if (rel.startsWith(".claims/")) {
+          val dir = rel.stripPrefix(".claims/")
+          if (!fs.exists(new Path(s"$dataDir/$dir")) && stale)
+            fs.delete(f.getPath, false)
+        }
       }
     }
     this
@@ -1189,11 +1236,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         txnMap), conf)
     } catch {
       case c: CommitConflictException =>
-        // lost the race: this attempt's files were never referenced by any
-        // commit — drop them (best-effort; vacuum sweeps survivors)
+        // lost the race: drop ONLY the dirs this attempt itself created —
+        // i.e. its own write-id dirs (ids in this version's slot range).
+        // An attempt can also RE-ADD pre-existing files (restore re-lists
+        // an old version's files, clone bodies carry external bases):
+        // those are committed data and must never be touched.
         val fsys = new Path(dataDir).getFileSystem(conf)
-        results.flatMap(_.add).map(_.path.split("/").head).distinct.foreach { d =>
-          scala.util.Try(fsys.delete(new Path(s"$dataDir/$d"), true))
+        Seq(writeId, writeId + 1).foreach { id =>
+          scala.util.Try(fsys.delete(new Path(s"$dataDir/${WRITE_ID}=$id"), true))
+          scala.util.Try(fsys.delete(claimFile(id), false))
         }
         throw c
     }
@@ -1201,18 +1252,23 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     this
   }
 
+  private def claimFile(id: Long): Path = new Path(s"$dataDir/.claims/${WRITE_ID}=$id")
+
   /** Allocate this attempt's unique base write-id for `version` (even
-    * nonce; `+1` is reserved for the commit's log files). Probes the data
-    * dir so two attempts — concurrent writers, or a crashed earlier attempt
-    * — never share a `_v=` directory. */
+    * nonce; `+1` is reserved for the commit's log files). The id is CLAIMED
+    * atomically via a marker file (hard-link-exclusive on local paths, like
+    * the commit publish), so two concurrent attempts can never share a
+    * `_v=` directory even if they draw the same nonce — an exists-probe
+    * alone would be check-then-act. */
   private def freshWriteId(version: Long): Long = {
     val fsys = new Path(dataDir).getFileSystem(conf)
     var tries = 0
     while (tries < 32) {
       val nonce = scala.util.Random.between(0L, WRITE_SLOTS / 2 - 1)
       val id = version * WRITE_SLOTS + nonce * 2
-      if (!fsys.exists(new Path(s"$dataDir/${WRITE_ID}=$id")) &&
-          !fsys.exists(new Path(s"$dataDir/${WRITE_ID}=${id + 1}"))) return id
+      val free = !fsys.exists(new Path(s"$dataDir/${WRITE_ID}=$id")) &&
+        !fsys.exists(new Path(s"$dataDir/${WRITE_ID}=${id + 1}"))
+      if (free && CommitLog.claimMarker(fsys, claimFile(id))) return id
       tries += 1
     }
     throw new IllegalStateException(s"could not allocate a write id for version $version")

@@ -51,7 +51,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft stream source needs a path"))
-    new GraftStreamSource(ctx, path, parameters)
+    new GraftStreamSource(ctx, path, parameters, Option(metadataPath))
   }
 
   /** Streaming sink: each micro-batch flows through the keyed upsert —

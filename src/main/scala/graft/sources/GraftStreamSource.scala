@@ -35,7 +35,8 @@ import graft.lake.LakeTable
   * the key (and partition) and null data columns. Same churn-bounded cost.
   */
 class GraftStreamSource(ctx: SQLContext, path: String,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String],
+    metadataPath: Option[String] = None) extends Source {
 
   private def table: LakeTable = LakeTable.load(ctx.sparkSession, path)
 
@@ -57,7 +58,44 @@ class GraftStreamSource(ctx: SQLContext, path: String,
     * oversized single commit still makes progress. */
   private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong)
   private val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
-  private var lastOffered: Long = startingVersion
+  private val capped = maxFilesPerTrigger.isDefined || maxVersionsPerTrigger.isDefined
+
+  /** Highest version offered to the engine so far. With a trigger cap this
+    * is REAL source state: after a restart Spark only replays the last
+    * UNcommitted batch, so an in-memory value would reset below the
+    * committed offset and re-deliver processed versions. Persisted under
+    * the query's source-metadata dir (the FileStreamSource pattern) — tiny,
+    * one number, rewritten per advance; uncapped sources are stateless
+    * (getOffset = latest) and skip persistence entirely. */
+  private var lastOffered: Long = {
+    val persisted = if (capped) watermarkFile.flatMap(readWatermark) else None
+    math.max(startingVersion, persisted.getOrElse(Long.MinValue))
+  }
+
+  private def watermarkFile: Option[org.apache.hadoop.fs.Path] =
+    metadataPath.map(m => new org.apache.hadoop.fs.Path(m, "graft-offered"))
+
+  private def readWatermark(p: org.apache.hadoop.fs.Path): Option[Long] = {
+    val fs = p.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      catch { case scala.util.control.NonFatal(_) => None }
+      finally in.close()
+    }
+  }
+
+  private def writeWatermark(v: Long): Unit = watermarkFile.foreach { p =>
+    val fs = p.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+    ()
+  }
 
   override val schema: StructType = GraftStreamSource.schemaFor(ctx, path, changeFeed)
 
@@ -65,9 +103,12 @@ class GraftStreamSource(ctx: SQLContext, path: String,
     val latest = table.latestVersion
     val from = lastOffered
     if (latest < 0 || latest <= from)
-      return if (from < 0) None else Some(LongOffset(from))
+      // nothing beyond what we've offered; before ANY offer, report no
+      // data (None) rather than a zero-width offset that would trigger a
+      // phantom empty batch 0
+      return if (from <= startingVersion) None else Some(LongOffset(from))
     val end =
-      if (maxFilesPerTrigger.isEmpty && maxVersionsPerTrigger.isEmpty) latest
+      if (!capped) latest
       else {
         val window = table.commits
           .filter(c => c.version > from && c.version <= latest).sortBy(_.version)
@@ -88,6 +129,7 @@ class GraftStreamSource(ctx: SQLContext, path: String,
         e
       }
     lastOffered = end
+    if (capped) writeWatermark(end)
     Some(LongOffset(end))
   }
 
@@ -96,7 +138,9 @@ class GraftStreamSource(ctx: SQLContext, path: String,
     val s = start.map(_.json.toLong).getOrElse(startingVersion)
     val e = end.json.toLong
     // recovery: never re-offer an already-committed window
-    synchronized { lastOffered = math.max(lastOffered, e) }
+    synchronized {
+      if (e > lastOffered) { lastOffered = e; if (capped) writeWatermark(e) }
+    }
     val raw = if (changeFeed) table.changes(s, Some(e)) else table.incremental(s, Some(e))
     // pin declared column order (changes() appends _change_type; delete
     // rows carry nulls for the data columns)

@@ -76,6 +76,56 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.commits.size == writers * perWriter + 1)
   }
 
+  test("a restore losing a race never deletes historical files") {
+    import spark.implicits._
+    val path = seedTable("restore_race")
+    val t = LakeTable.load(spark, path)
+    (1 to 3).foreach(i => t.upsert(Seq((i.toLong, 1L, s"v$i")).toDF("k", "ts", "v")))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val start = new CountDownLatch(1)
+    // restore re-ADDS old files; if it loses the commit race, the conflict
+    // cleanup must not touch those historical dirs (only its own write-id)
+    val restorer = Future { start.await(); LakeTable.load(spark, path).restore(1) }
+    val writer = Future {
+      start.await()
+      val w = LakeTable.load(spark, path)
+      (10 to 14).foreach(i => w.upsert(Seq((i.toLong, 1L, s"w$i")).toDF("k", "ts", "v")))
+    }
+    start.countDown()
+    Await.result(Future.sequence(Seq(restorer, writer)), 600.seconds)
+    pool.shutdown()
+    val t2 = LakeTable.load(spark, path)
+    // every historical version must still be fully readable — a deleted
+    // committed file would surface as FileNotFound here
+    (0L to t2.latestVersion).foreach { v =>
+      assert(t2.read(Some(v)).count() >= 0, s"version $v unreadable")
+    }
+  }
+
+  test("vacuum spares young orphan attempt dirs (in-flight writers), sweeps stale ones") {
+    import spark.implicits._
+    val path = seedTable("vac_orphan")
+    val t = LakeTable.load(spark, path)
+    t.upsert(Seq((5L, 1L, "x")).toDF("k", "ts", "v")) // creates superseded files
+    // simulate a concurrent writer's in-flight (uncommitted) attempt dir
+    val orphanDir = new java.io.File(s"$path/data/_v=999999999")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-inflight.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    t.vacuum(retainVersions = 1) // default 1h orphan grace
+    assert(orphan.exists, "a YOUNG never-committed file must survive vacuum " +
+      "(it may be a concurrent writer's in-flight attempt)")
+    Thread.sleep(20) // put the orphan's mtime safely behind a zero grace
+    t.vacuum(retainVersions = 1, orphanGraceHours = 0.0)
+    assert(!orphan.exists, "past the grace period the orphan is swept")
+    // superseded (ever-committed) files still go immediately
+    val all = t.commits.flatMap(_.add).map(_.path).toSet
+    val live = t.read().count()
+    assert(live == 2)
+    assert(all.nonEmpty)
+  }
+
   test("idempotent txn: replayed batch is a no-op, newer version applies") {
     import spark.implicits._
     val path = seedTable("txn")

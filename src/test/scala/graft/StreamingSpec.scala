@@ -95,6 +95,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate-limited stream restart does not re-deliver committed versions") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_restart_c").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a")).toDF("k", "pc", "v"))
+    t.upsert(Seq((2, 1L, "b")).toDF("k", "pc", "v"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(path)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized { batches += df.select("k").collect().map(_.getInt(0)).toSet }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // drains v0, v1 as two capped batches
+    assert(batches.synchronized(batches.toSeq) == Seq(Set(1), Set(2)))
+    t.upsert(Seq((3, 1L, "c")).toDF("k", "pc", "v"))
+    run() // restart: the capped source must resume ABOVE the committed offset
+    assert(batches.synchronized(batches.toSeq) == Seq(Set(1), Set(2), Set(3)),
+      s"restart re-delivered: ${batches.synchronized(batches.toSeq)}")
+  }
+
   test("graft streaming source honors startingVersion=latest") {
     import spark.implicits._
     import graft.lake.{LakeTable, TableSpec}
