@@ -78,6 +78,8 @@ class ConstraintSpec extends AnyFunSuite {
     Seq((1L, 1L, 10)).toDF("k", "ts", "value").write.format("graft")
       .option("key", "k").option("precombine", "ts").mode("overwrite").save(path)
     s.sql(s"ALTER TABLE '$path' ADD CONSTRAINT v_pos CHECK (value > 0)")
+    val detail = s.sql(s"DESCRIBE DETAIL '$path'").collect().head
+    assert(detail.getAs[String]("constraints") == "v_pos CHECK (value > 0)")
     val e = intercept[Exception] {
       Seq((2L, 1L, -2)).toDF("k", "ts", "value").write.format("graft")
         .option("key", "k").option("precombine", "ts").mode("append").save(path)

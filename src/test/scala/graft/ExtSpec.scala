@@ -136,6 +136,18 @@ class ExtSpec extends AnyFunSuite {
     assert(full == bf, "nProbe = numLists must equal brute force")
   }
 
+  test("k-means-trained IVF meets the recall floor and stays deterministic") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.ivfTopK(emb, queries, 5, numLists = 16, nProbe = 6, trainIters = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = run()
+    val recall = (bf & trained).size.toDouble / bf.size
+    assert(recall >= 0.5, s"trained IVF recall $recall below 0.5")
+    assert(run() == trained, "training must be deterministic for identical input")
+  }
+
   test("connected components label chains and cliques with the min reachable id") {
     import spark.implicits._
     // a 4-chain (multi-hop propagation), an isolated edge, and a triangle
