@@ -41,6 +41,49 @@ object Sampling {
       fractions16: Seq[(String, Int)] = Seq(("train", 12), ("val", 2), ("test", 2))): DataFrame =
     df.withColumn("split", splitColumn(col(keyCol), fractions16))
 
+  /** Select documents up to a TOKEN BUDGET, deterministically — the
+    * dataset-mixing primitive ("give me ~1B tokens of this source"). Docs
+    * are consumed in md5-of-key order (uniform, engine-portable, stable
+    * under repartitioning), so the selection is a fixed prefix of a fixed
+    * permutation: reruns and incremental re-mixes agree on every doc.
+    *
+    * Scale shape: a global running sum would be a single-partition window.
+    * Instead the md5 order is split into 256 hash buckets (first hex
+    * pair): one partial-agg pass sums tokens per bucket (256 rows to the
+    * driver), a prefix sum picks the boundary bucket, whole buckets before
+    * it are taken with a map-side filter, and only the boundary bucket —
+    * 1/256th of the corpus — runs the exact running-sum window. The
+    * boundary doc that crosses the budget is included iff it starts under
+    * it (so the budget is always reached when the corpus allows). */
+  def tokenBudget(df: DataFrame, budget: Long, textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val h = md5(col(keyCol).cast("string"))
+    val tagged = df.withColumn("_tok", toks)
+      .withColumn("_h", h)
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val perBucket = tagged.groupBy("_b").agg(sum(col("_tok")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    var acc = 0L
+    var boundary = 256 // first bucket that does NOT fit entirely
+    var before = 0L
+    var i = 0
+    while (i < 256 && boundary == 256) {
+      val t = perBucket.getOrElse(i, 0L)
+      if (acc + t > budget) { boundary = i; before = acc } else acc += t
+      i += 1
+    }
+    if (boundary == 256) return df // whole corpus fits
+    val whole = tagged.filter(col("_b") < boundary)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_b").orderBy(col("_h").asc, col(keyCol).asc)
+    val partial = tagged.filter(col("_b") === boundary)
+      .withColumn("_run", sum(col("_tok")).over(w) - col("_tok"))
+      .filter(col("_run") + lit(before) < budget) // doc STARTS under budget
+      .drop("_run")
+    whole.unionByName(partial).drop("_tok", "_h", "_b")
+  }
+
   /** Stratified proportional sample: per-stratum Bernoulli with a fixed
     * seed (stock `sampleBy`) — for class-balanced subsets where exact
     * key-stability is not required. */

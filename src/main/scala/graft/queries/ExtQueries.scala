@@ -131,6 +131,29 @@ object ExtQueries {
         |FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Token-budget sampling: a deterministic ~10k-token prefix of the
+    // md5-ordered corpus (the dataset-mixing primitive). The engine runs
+    // the 256-bucket two-phase plan (no global window); the oracle is the
+    // equivalent global running-sum rule — equivalence is exact because
+    // bucket order is a prefix of the hash order and every doc has >= 1
+    // token.
+    "q79_token_budget" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Sampling
+        Sampling.tokenBudget(t(s, d, "documents"), budget = 10000L)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+          .orderBy("doc_id")
+      },
+      raw"""WITH d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY h ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM r WHERE run < 10000
+        |ORDER BY doc_id""".stripMargin)),
+
     // Train/eval CONTAMINATION check: share of each eval doc's 3-shingles
     // found anywhere in the training corpus (containment, not Jaccard).
     // Planted eval docs are train docs with a one-token suffix — they must

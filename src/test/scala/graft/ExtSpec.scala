@@ -168,6 +168,23 @@ class ExtSpec extends AnyFunSuite {
     assert(got.size == 60 && got.values.forall(_ == 1L))
   }
 
+  test("token-budget sample lands on the budget, deterministically") {
+    import graft.ext.Sampling
+    val tok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val total = docs.select(sum(tok)).head().getLong(0)
+    val budget = total / 3
+    def run() = Sampling.tokenBudget(docs, budget)
+    val sel = run()
+    val selTok = sel.select(sum(tok)).head().getLong(0)
+    val maxDoc = docs.select(max(tok)).head().getLong(0)
+    assert(selTok >= budget, "budget must be reached when the corpus allows")
+    assert(selTok < budget + maxDoc, "only the boundary doc may cross the budget")
+    assert(run().select("doc_id").collect().map(_.getLong(0)).toSet ==
+      sel.select("doc_id").collect().map(_.getLong(0)).toSet, "selection is deterministic")
+    // a budget beyond the corpus returns everything
+    assert(Sampling.tokenBudget(docs, total * 2).count() == docs.count())
+  }
+
   test("deterministic split is key-stable, exhaustive, and roughly proportional") {
     import graft.ext.Sampling
     val a = Sampling.deterministicSplit(docs).select("doc_id", "split").collect()
