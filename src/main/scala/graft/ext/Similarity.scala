@@ -55,9 +55,12 @@ object Similarity {
     // the shared scale must cover BOTH sides: a query component above the
     // corpus max would quantize past 127 and the byte cast would WRAP
     // (silent sign flip) — so take the max |x| over corpus ∪ queries
-    val absMax = (c: org.apache.spark.sql.DataFrame) => c.select(max(expr(
-      s"aggregate(transform($vecCol, x -> abs(cast(x as double))), 0D, (a, x) -> greatest(a, x))"))
-      .cast("double")).head().getDouble(0)
+    val absMax = (c: org.apache.spark.sql.DataFrame) => {
+      val r = c.select(max(expr(
+        s"aggregate(transform($vecCol, x -> abs(cast(x as double))), 0D, (a, x) -> greatest(a, x))"))
+        .cast("double")).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0) // empty frame -> no contribution
+    }
     val maxAbs = math.max(absMax(corpus), absMax(queries))
     require(maxAbs > 0.0 && !maxAbs.isNaN,
       s"quantizedTopK: embeddings are all-zero or NaN (max |x| = $maxAbs)")
@@ -141,15 +144,28 @@ object Similarity {
         var cents: Array[Seq[Double]] = centRows.map(_._2)
         for (_ <- 1 to trainIters) {
           val labeled = cents.zipWithIndex.map { case (v, i) => (i.asInstanceOf[Any], v) }
-          val means = c0
+          // per-(list, dim, PARTITION) partial sums, folded on the driver in
+          // fixed partition order: a plain avg() would merge shuffle blocks
+          // in arrival order, and FP addition is non-associative — trained
+          // centroids would differ in low-order bits between runs
+          val partials = c0
             .withColumn("cid",
               nearestLists(labeled)(col("cv"), col("cn"), 1).getItem(0).getField("cid"))
             .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
-            .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+            .groupBy(col("cid"), col("pos"), spark_partition_id().as("pid"))
+            .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
             .collect()
-            .groupBy(_.getInt(0))
-            .map { case (cid, rows) =>
-              cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          val means = partials
+            .groupBy(r => (r.getInt(0), r.getInt(1)))
+            .view.mapValues { rows =>
+              val ordered = rows.sortBy(_.getInt(2))
+              var sAcc = 0.0d; var nAcc = 0L
+              ordered.foreach { r => sAcc += r.getDouble(3); nAcc += r.getLong(4) }
+              sAcc / nAcc
+            }.toMap
+            .groupBy(_._1._1)
+            .map { case (cid, dims) =>
+              cid -> dims.toSeq.sortBy(_._1._2).map(_._2).toSeq
             }
           // a list that attracted no rows keeps its previous centroid
           cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }

@@ -92,8 +92,13 @@ class GraftStreamSource(ctx: SQLContext, path: String,
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p)
+    // local rename replaces atomically (POSIX); where it refuses an
+    // existing target (HDFS), fall back to delete+rename — a crash in that
+    // tiny window degrades to the missing-watermark path, never corrupts
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      fs.rename(tmp, p)
+    }
     ()
   }
 

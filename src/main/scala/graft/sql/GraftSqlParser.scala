@@ -206,7 +206,7 @@ case class GraftDescribeDetailCommand(target: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolveTable(spark, target)
     val live = t.liveFileStats
-    val cons = t.spec.constraints
+    val cons = t.spec.constraints.toSeq.sortBy(_._1)
       .map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; ")
     Seq(Row("graft", t.path, if (t.spec.mor) "merge-on-read" else "copy-on-write",
       t.spec.key, t.spec.precombine, t.spec.partition.orNull,
