@@ -874,6 +874,31 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     tagged.unionByName(deleted, allowMissingColumns = true)
   }
 
+  /** Net row delta of a CoW table over `(since, upTo]`, as two DataFrames:
+    * `plus` = rows of files ADDED in the window and still live at `upTo`,
+    * `minus` = rows of files live at `since` and REMOVED by a window commit.
+    *
+    * A copy-on-write rewrite carries every surviving row of the old file
+    * into the new one, so rewritten-but-unchanged rows appear in BOTH sides
+    * and cancel under any linear aggregate — `Σf(plus) − Σf(minus)` is
+    * exactly the table's aggregate change, with NO key-level diff and cost
+    * proportional to window churn, not table size. This is the engine of
+    * [[MaterializedView.refresh]]. Both sides read with the `upTo` schema,
+    * so mid-window additive evolution surfaces nulls instead of breaking.
+    * CoW only: MoR log rows supersede base rows without removing their
+    * file, which breaks the cancellation (compact first, or keep the MV on
+    * a CoW table). */
+  private[lake] def windowDelta(since: Long, upTo: Long): (DataFrame, DataFrame) = {
+    require(!spec.mor, "windowDelta is defined for CoW tables (compact MoR first)")
+    val window = commits.filter(c => c.version > since && c.version <= upTo)
+    val liveUp = liveFiles(Some(upTo)).map(_.path).toSet
+    val plusActs = window.flatMap(_.add)
+      .filter(a => liveUp.contains(a.path) && !a.log && !a.tombstone)
+    val removedPaths = window.flatMap(_.remove).toSet
+    val minusActs = liveFiles(Some(since)).filter(a => removedPaths.contains(a.path))
+    (readFiles(plusActs, asOf = Some(upTo)), readFiles(minusActs, asOf = Some(upTo)))
+  }
+
   /** Physically delete files not live in the `retainVersions` most recent
     * versions (M1) — or, when `retainHours` is set, not live in any version
     * committed within that many hours of the latest commit (Delta's
@@ -1131,13 +1156,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         cands = cands.filter(a => a.partitionValue.forall(inParts.contains))
       }
     }
-    // key-range pruning
+    // key-range pruning. The numeric min/max is only computed for numeric
+    // key types: casting an arbitrary string key to double would throw
+    // under ANSI mode (and is never consulted for string keys anyway).
     if (exact.contains(keyType)) {
-      val r = incoming.agg(
-        min(col(spec.key).cast(StringType)), max(col(spec.key).cast(StringType)),
-        min(col(spec.key).cast("double")), max(col(spec.key).cast("double"))).collect()(0)
+      val numeric = keyType != StringType
+      val aggCols =
+        Seq(min(col(spec.key).cast(StringType)), max(col(spec.key).cast(StringType))) ++
+          (if (numeric) Seq(min(col(spec.key).cast("double")), max(col(spec.key).cast("double")))
+           else Nil)
+      val r = incoming.agg(aggCols.head, aggCols.tail: _*).collect()(0)
       if (!r.isNullAt(0)) {
-        val numeric = keyType != StringType
         cands = cands.filter { a =>
           // sentinel/unparseable stats → keep the file (never prune wrongly)
           if (a.minKey.isEmpty || a.maxKey == "￿") true

@@ -1,0 +1,285 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ArrayNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One aggregate of a materialized view: `kind` ∈ count | sum | avg | min |
+  * max over `input` (a base-table column; `"*"` only for count). `name` is
+  * the output column. */
+case class MvAgg(name: String, kind: String, input: String) {
+  require(Set("count", "sum", "avg", "min", "max").contains(kind), s"unknown agg kind $kind")
+  require(kind == "count" || input != "*", s"$kind requires a column input")
+}
+
+/** Incrementally-maintained aggregate over a CoW [[LakeTable]] — the
+  * materialized-view pattern a 100 TB pipeline needs: the base table takes
+  * continuous upserts/deletes, and `refresh()` brings the aggregate up to
+  * date at a cost proportional to the CHURN since the last refresh, never
+  * to the base table size.
+  *
+  * How: [[LakeTable.windowDelta]] yields the rows of window-added live
+  * files (`plus`) and window-removed files (`minus`); copy-on-write
+  * rewrites put carried-over rows in both sides, so they cancel under any
+  * linear aggregate. One hash-aggregate over `plus ∪ minus` (signed)
+  * computes per-group deltas; the deltas merge into the stored state by
+  * key. Groups whose row count reaches zero are deleted.
+  *
+  *   - count / sum / avg: pure delta merge — never touches the base table.
+  *     Use exact input types (integers, DECIMAL) for bit-exact maintenance;
+  *     floating-point sums would drift under cancellation.
+  *   - min / max: delta-merged (`least`/`greatest`) for groups that saw
+  *     only additions; a group that LOST rows may have lost its extremum,
+  *     so exactly those groups are re-aggregated from the base snapshot
+  *     (one scan filtered to the affected groups — still churn-bounded).
+  *
+  * State is itself a [[LakeTable]] (keyed on the null-safe dim tuple, so
+  * refreshes are versioned, time-travelable, and stats-pruned like any
+  * other table). The refresh window must lie within the base table's
+  * vacuum retention — same constraint as any incremental/CDF consumer.
+  */
+class MaterializedView private (val spark: SparkSession, val path: String) {
+  import MaterializedView._
+
+  private def conf: Configuration = spark.sessionState.newHadoopConf()
+
+  def meta: MvMeta = readMeta(path, conf)
+
+  /** The backing state table (internal columns; use [[read]] for results). */
+  def state: LakeTable = LakeTable.load(spark, new Path(path, "state").toString)
+
+  def lastRefreshedVersion: Long = meta.lastVersion
+
+  /** Finalized view: dims + one column per declared aggregate. Sums and
+    * averages over a group whose inputs are all NULL finalize to NULL,
+    * matching SQL aggregate semantics (the stored delta is 0-based). */
+  def read(): DataFrame = {
+    val m = meta
+    val cols = m.dims.map(col) ++ m.aggs.map {
+      case MvAgg(n, "sum", _) => when(col(cntCol(n)) > 0, col(sumCol(n))).as(n)
+      case MvAgg(n, "avg", _) =>
+        when(col(cntCol(n)) > 0, col(sumCol(n)).cast(DoubleType) / col(cntCol(n))).as(n)
+      case MvAgg(n, _, _) => col(n)
+    }
+    state.read().select(cols: _*)
+  }
+
+  /** Bring the view up to date with the base table's latest version. */
+  def refresh(): MaterializedView = {
+    val m = meta
+    val base = LakeTable.load(spark, m.basePath)
+    val upTo = base.latestVersion
+    if (upTo <= m.lastVersion) return this
+    val dims = m.dims
+    val stSchema = state.schema
+    def stType(c: String): DataType = stSchema(c).dataType
+
+    val (plus, minus) = base.windowDelta(m.lastVersion, upTo)
+    val inputs = m.aggs.map(_.input).filter(_ != "*").distinct
+    val proj = (dims ++ inputs).map(col)
+    val contrib = plus.select(proj: _*).withColumn(SGN, lit(1L))
+      .unionByName(minus.select(proj: _*).withColumn(SGN, lit(-1L)))
+
+    // one signed hash-aggregate computes every per-group delta at once
+    val sgn = col(SGN)
+    val deltaAggs: Seq[Column] =
+      Seq(sum(sgn).as(DN), max(when(sgn === -1, 1).otherwise(0)).as(HASM)) ++
+        m.aggs.flatMap {
+          case MvAgg(n, "count", in) =>
+            val c = if (in == "*") sum(sgn) else sum(when(col(in).isNotNull, sgn).otherwise(0L))
+            Seq(c.as(dCol(n)))
+          case MvAgg(n, "sum", in) => Seq(
+            sum(when(sgn === 1, col(in)).otherwise(-col(in))).as(dCol(sumCol(n))),
+            sum(when(col(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
+          case MvAgg(n, "avg", in) => Seq(
+            sum(when(sgn === 1, col(in)).otherwise(-col(in))).as(dCol(sumCol(n))),
+            sum(when(col(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
+          case MvAgg(n, "min", in) => Seq(min(when(sgn === 1, col(in))).as(pCol(n)))
+          case MvAgg(n, "max", in) => Seq(max(when(sgn === 1, col(in))).as(pCol(n)))
+        }
+    val delta = contrib.groupBy(dims.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .withColumn(MVKEY, mvKeyCol(dims))
+
+    val internalCols = stateValueCols(m.aggs)
+    val old = state.read().select((MVKEY +: internalCols).map(col): _*)
+    val merged = delta.as("d").join(old.as("o"), Seq(MVKEY), "left")
+
+    def d(c: String) = col(s"d.$c")
+    def o(c: String) = col(s"o.$c")
+    // both sides 0-coalesced: a window can contribute only-NULL inputs for
+    // an agg (null delta) without erasing the stored value
+    def plusOld(name: String, deltaName: String): Column =
+      (coalesce(o(name), lit(0)) + coalesce(d(deltaName), lit(0))).cast(stType(name)).as(name)
+
+    val newN = (coalesce(o(GRP_N), lit(0L)) + d(DN)).cast(LongType)
+    val valueCols: Seq[Column] = m.aggs.flatMap {
+      case MvAgg(n, "count", _) => Seq(plusOld(n, dCol(n)))
+      case MvAgg(n, "sum", _) =>
+        Seq(plusOld(sumCol(n), dCol(sumCol(n))), plusOld(cntCol(n), dCol(cntCol(n))))
+      case MvAgg(n, "avg", _) =>
+        Seq(plusOld(sumCol(n), dCol(sumCol(n))), plusOld(cntCol(n), dCol(cntCol(n))))
+      case MvAgg(n, "min", _) =>
+        // sound only for groups with no removals; removal groups get
+        // re-aggregated below and this placeholder is overridden
+        Seq(when(d(HASM) === 0, least(o(n), d(pCol(n)))).cast(stType(n)).as(n))
+      case MvAgg(n, "max", _) =>
+        Seq(when(d(HASM) === 0, greatest(o(n), d(pCol(n)))).cast(stType(n)).as(n))
+    }
+    val newRows = merged.select(
+      (dims.map(x => d(x).as(x)) :+ col(MVKEY) :+ newN.as(GRP_N)) ++
+        valueCols :+ d(HASM).as(HASM): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val live = newRows.filter(col(GRP_N) > 0)
+      val dead = newRows.filter(col(GRP_N) <= 0).select(MVKEY)
+
+      val minMax = m.aggs.filter(a => a.kind == "min" || a.kind == "max")
+      val patched =
+        if (minMax.isEmpty) live.drop(HASM)
+        else {
+          // groups that lost rows may have lost their extremum: re-aggregate
+          // exactly those groups from the base snapshot
+          val reKeys = live.filter(col(HASM) > 0).select(MVKEY)
+          val reAggs = minMax.map {
+            case MvAgg(n, "min", in) => min(col(in)).as(reCol(n))
+            case MvAgg(n, _, in) => max(col(in)).as(reCol(n))
+          }
+          val re = base.read(Some(upTo)).withColumn(MVKEY, mvKeyCol(dims))
+            .join(reKeys, Seq(MVKEY), "left_semi")
+            .groupBy(MVKEY).agg(reAggs.head, reAggs.tail: _*)
+          val keep = live.columns.filterNot(c => c == HASM || minMax.exists(_.name == c))
+          live.join(re, Seq(MVKEY), "left")
+            .select(keep.map(col) ++ minMax.map(a =>
+              coalesce(col(reCol(a.name)), col(a.name)).cast(stType(a.name)).as(a.name)): _*)
+        }
+
+      val st = state
+      if (!patched.isEmpty) st.upsert(patched.withColumn(MVVER, lit(upTo)))
+      if (!dead.isEmpty) st.deleteKeys(dead)
+    } finally {
+      newRows.unpersist(blocking = false)
+      ()
+    }
+    writeMeta(path, m.copy(lastVersion = upTo), conf)
+    this
+  }
+}
+
+object MaterializedView {
+  private val mapper = new ObjectMapper()
+
+  private[lake] val MVKEY = "_mv_key"
+  private[lake] val MVVER = "_mv_ver"
+  private[lake] val GRP_N = "_grp_n"
+  private val SGN = "_sgn"
+  // agg output names are required to be plain identifiers (no leading `_`),
+  // so the `_`-prefixed internal names below can never collide with
+  // `dCol`/`pCol`/`reCol` of a user agg
+  private val DN = "_d0"
+  private val HASM = "_hasm"
+  private def dCol(n: String) = s"_d_$n"
+  private def pCol(n: String) = s"_p_$n"
+  private def reCol(n: String) = s"_re_$n"
+  private def sumCol(n: String) = s"${n}__sum"
+  private def cntCol(n: String) = s"${n}__cnt"
+
+  /** Null-safe, collision-free dim-tuple key: each dim base64-encoded (no
+    * `,` in the alphabet) with a `v`/`n` null marker, comma-joined — so no
+    * concatenation of values can alias another tuple. */
+  private def mvKeyCol(dims: Seq[String]): Column =
+    concat_ws(",",
+      dims.map(d =>
+        coalesce(concat(lit("v"), base64(col(d).cast(StringType).cast(BinaryType))),
+          lit("n"))): _*)
+
+  /** Internal stored columns for the declared aggregates (plus [[GRP_N]]). */
+  private def stateValueCols(aggs: Seq[MvAgg]): Seq[String] =
+    GRP_N +: aggs.flatMap {
+      case MvAgg(n, "sum", _) => Seq(sumCol(n), cntCol(n))
+      case MvAgg(n, "avg", _) => Seq(sumCol(n), cntCol(n))
+      case a => Seq(a.name)
+    }
+
+  private def fullState(base: DataFrame, dims: Seq[String], aggs: Seq[MvAgg],
+      version: Long): DataFrame = {
+    val exprs: Seq[Column] = count(lit(1)).as(GRP_N) +: aggs.flatMap {
+      case MvAgg(n, "count", in) =>
+        Seq((if (in == "*") count(lit(1)) else count(col(in))).as(n))
+      case MvAgg(n, "sum", in) =>
+        Seq(coalesce(sum(col(in)), lit(0)).as(sumCol(n)), count(col(in)).as(cntCol(n)))
+      case MvAgg(n, "avg", in) =>
+        Seq(coalesce(sum(col(in)), lit(0)).as(sumCol(n)), count(col(in)).as(cntCol(n)))
+      case MvAgg(n, "min", in) => Seq(min(col(in)).as(n))
+      case MvAgg(n, "max", in) => Seq(max(col(in)).as(n))
+    }
+    base.groupBy(dims.map(col): _*).agg(exprs.head, exprs.tail: _*)
+      .withColumn(MVKEY, mvKeyCol(dims))
+      .withColumn(MVVER, lit(version))
+  }
+
+  case class MvMeta(basePath: String, dims: Seq[String], aggs: Seq[MvAgg], lastVersion: Long)
+
+  private def metaFile(path: String) = new Path(path, "_graft_mv.json")
+
+  private def writeMeta(path: String, m: MvMeta, conf: Configuration): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("basePath", m.basePath)
+    val dn = root.putArray("dims"); m.dims.foreach(dn.add)
+    val an = root.putArray("aggs")
+    m.aggs.foreach { a =>
+      val n = an.addObject(); n.put("name", a.name); n.put("kind", a.kind); n.put("input", a.input)
+    }
+    root.put("lastVersion", m.lastVersion)
+    val target = metaFile(path)
+    val fs = target.getFileSystem(conf)
+    fs.mkdirs(target.getParent)
+    val tmp = new Path(path, s".mv-${java.util.UUID.randomUUID()}.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) throw new java.io.IOException(s"cannot publish $target")
+  }
+
+  private def readMeta(path: String, conf: Configuration): MvMeta = {
+    val p = metaFile(path)
+    val in = p.getFileSystem(conf).open(p)
+    val root = try mapper.readTree(in) finally in.close()
+    val dims = scala.collection.mutable.ArrayBuffer.empty[String]
+    root.get("dims").asInstanceOf[ArrayNode].forEach(x => dims += x.asText)
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[MvAgg]
+    root.get("aggs").asInstanceOf[ArrayNode].forEach { n =>
+      aggs += MvAgg(n.get("name").asText, n.get("kind").asText, n.get("input").asText)
+    }
+    MvMeta(root.get("basePath").asText, dims.toSeq, aggs.toSeq, root.get("lastVersion").asLong)
+  }
+
+  /** Define + fully compute the view at the base table's current version. */
+  def create(spark: SparkSession, path: String, base: LakeTable,
+      dims: Seq[String], aggs: Seq[MvAgg]): MaterializedView = {
+    require(!base.spec.mor, "materialized views maintain CoW base tables")
+    require(dims.nonEmpty, "at least one dim")
+    val names = dims ++ aggs.map(_.name)
+    require(names.distinct.size == names.size, "dim/agg output names must be unique")
+    aggs.foreach(a => require(a.name.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"agg name ${a.name} must be a plain identifier (internal columns are _-prefixed)"))
+    val conf = spark.sessionState.newHadoopConf()
+    val v = base.latestVersion
+    val st = fullState(base.read(Some(v)), dims, aggs, v)
+    LakeTable.create(spark, new Path(path, "state").toString,
+      TableSpec(MVKEY, MVVER), st)
+    writeMeta(path, MvMeta(base.path, dims, aggs, v), conf)
+    new MaterializedView(spark, path)
+  }
+
+  def load(spark: SparkSession, path: String): MaterializedView = {
+    val conf = spark.sessionState.newHadoopConf()
+    require(metaFile(path).getFileSystem(conf).exists(metaFile(path)), s"no MV at $path")
+    new MaterializedView(spark, path)
+  }
+}

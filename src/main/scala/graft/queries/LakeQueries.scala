@@ -382,6 +382,50 @@ object LakeQueries {
          |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0)
          |ORDER BY o_orderkey""".stripMargin)),
 
+    // Incremental materialized view: the aggregate is maintained from the
+    // base table's window delta (cost ∝ churn), then must equal a
+    // from-scratch GROUP BY over the final state. Prices are held as exact
+    // cent integers so sums are drift-free and avg is an exact-int ratio
+    // (bit-identical doubles on both engines). The delete kills every row
+    // of one (status, priority) group — group death — and random keys —
+    // min/max loss, exercising the removal-group re-aggregation path.
+    "q80_incremental_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val bp = freshDir(s"mv_base_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val mp = freshDir(s"mv_view_${d.replaceAll("[^a-z0-9.]", "_")}")
+        def cents(df: DataFrame): DataFrame =
+          df.withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))
+        val tbl = LakeTable.create(s, bp, ordersSpec, cents(t(s, d, "orders")))
+        val mv = MaterializedView.create(s, mp, tbl,
+          Seq("o_orderstatus", "o_orderpriority"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("sum_cents", "sum", "price_cents"),
+            MvAgg("avg_cents", "avg", "price_cents"),
+            MvAgg("min_cents", "min", "price_cents"), MvAgg("max_cents", "max", "price_cents")))
+        tbl.upsert(cents(ordersSource(s, d)))
+        tbl.delete(col("o_orderkey") % 11 === 0 ||
+          (col("o_orderstatus") === "N" && col("o_orderpriority") === "1-URGENT"))
+        mv.refresh()
+        mv.read().orderBy("o_orderstatus", "o_orderpriority")
+      },
+      s"""WITH src AS ($ordersSourceSql),
+         |merged AS (
+         |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM src
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         |         CAST(round(o_totalprice * 100) AS BIGINT)
+         |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)),
+         |f AS (SELECT * FROM merged
+         |  WHERE NOT (o_orderkey % 11 = 0
+         |             OR (o_orderstatus = 'N' AND o_orderpriority = '1-URGENT')))
+         |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+         |  CAST(SUM(price_cents) AS DOUBLE) / COUNT(price_cents) AS avg_cents,
+         |  MIN(price_cents) AS min_cents, MAX(price_cents) AS max_cents
+         |FROM f GROUP BY 1, 2
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
     // Convert-in-place: plain parquet dir -> graft table without rewriting
     // a byte, then a keyed upsert over the converted files (touched
     // originals de-referenced, survivors pass through).

@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, MaterializedView, MvAgg, TableSpec}
+
+/** Incremental materialized-view maintenance: after ANY sequence of base
+  * mutations, `refresh()` must equal a from-scratch aggregate over the
+  * final base state — including group birth, group death, min/max loss
+  * under deletion, NULL inputs, and no-op refreshes.
+  */
+class MaterializedViewSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def tmp(): String = Files.createTempDirectory("graft_mv").toString
+
+  private def baseRows(n: Int): DataFrame =
+    spark.range(n.toLong).select(
+      col("id").as("k"),
+      lit(0L).as("ver"),
+      (col("id") % 7).cast("string").as("grp"),
+      (col("id") * 10).cast("decimal(18,2)").as("amt"),
+      when(col("id") % 5 === 0, lit(null).cast("int")).otherwise((col("id") % 100).cast("int")).as("score"))
+
+  private val aggs = Seq(
+    MvAgg("n", "count", "*"),
+    MvAgg("n_score", "count", "score"),
+    MvAgg("sum_amt", "sum", "amt"),
+    MvAgg("avg_amt", "avg", "amt"),
+    MvAgg("min_score", "min", "score"),
+    MvAgg("max_score", "max", "score"))
+
+  private def recompute(t: LakeTable): DataFrame =
+    t.read().groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      count(col("score")).as("n_score"),
+      sum(col("amt")).as("sum_amt"),
+      (sum(col("amt")).cast("double") / count(col("amt"))).as("avg_amt"),
+      min(col("score")).as("min_score"),
+      max(col("score")).as("max_score"))
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def checkEq(mv: MaterializedView, t: LakeTable): Unit = {
+    val got = rows(mv.read().select("grp", "n", "n_score", "sum_amt", "avg_amt", "min_score", "max_score"))
+    val want = rows(recompute(t))
+    assert(got == want, s"mv != recompute\n got: $got\nwant: $want")
+  }
+
+  test("refresh after upsert + delete equals full recompute; dead groups vanish") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(500))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    checkEq(mv, t)
+
+    // churn: bump 1 in 7, insert new keys, delete one whole group
+    val churn = baseRows(500).filter(col("k") % 7 === 1)
+      .withColumn("ver", lit(1L)).withColumn("amt", col("amt") + lit(5.55).cast("decimal(18,2)"))
+    val fresh = baseRows(60).withColumn("k", col("k") + 10000L)
+      .withColumn("grp", lit("new"))
+    t.upsert(churn.unionByName(fresh))
+    t.delete(col("grp") === "3") // group death
+    mv.refresh()
+    checkEq(mv, t)
+    assert(!mv.read().where(col("grp") === "3").collect().nonEmpty, "dead group must be deleted")
+  }
+
+  test("min/max survive losing their extremum (removal-group re-aggregation)") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(300))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    // delete exactly the max-score rows of every group
+    t.delete(col("score") >= 90)
+    mv.refresh()
+    checkEq(mv, t)
+    // and an update that lowers a previous max via upsert
+    val lower = t.read().where(col("score") === 89)
+      .select("k", "ver", "grp", "amt", "score")
+      .withColumn("ver", col("ver") + 1).withColumn("score", lit(1))
+    t.upsert(lower)
+    mv.refresh()
+    checkEq(mv, t)
+  }
+
+  test("no-op refresh and repeated refresh are stable; version tracked") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(100))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    val v0 = mv.lastRefreshedVersion
+    mv.refresh()
+    assert(mv.lastRefreshedVersion == v0, "no-op refresh must not advance")
+    t.upsert(baseRows(100).filter(col("k") % 3 === 0).withColumn("ver", lit(1L))
+      .withColumn("amt", col("amt") * 2))
+    mv.refresh(); mv.refresh() // second is a no-op
+    assert(mv.lastRefreshedVersion == t.latestVersion)
+    checkEq(mv, t)
+  }
+
+  test("NULL dim values group correctly and stay distinct from 'null' string") {
+    val bp = tmp(); val mp = tmp()
+    val base = baseRows(100)
+      .withColumn("grp", when(col("k") % 3 === 0, lit(null).cast("string"))
+        .when(col("k") % 3 === 1, lit("null")).otherwise(col("grp")))
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), base)
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    checkEq(mv, t)
+    t.upsert(base.filter(col("k") % 6 === 0).withColumn("ver", lit(1L))
+      .withColumn("amt", col("amt") + lit(1).cast("decimal(18,2)")))
+    mv.refresh()
+    checkEq(mv, t)
+    val grps = mv.read().select("grp").collect().map(_.getString(0)).toSet
+    assert(grps.contains(null) && grps.contains("null"))
+  }
+
+  test("multi-dim MV with overwriteWhere churn") {
+    val bp = tmp(); val mp = tmp()
+    val base = baseRows(400).withColumn("g2", (col("k") % 2).cast("string"))
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), base)
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp", "g2"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("sum_amt", "sum", "amt")))
+    t.overwriteWhere(
+      base.filter(col("grp") === "2").withColumn("amt", col("amt") * 3),
+      col("grp") === "2")
+    mv.refresh()
+    val got = rows(mv.read())
+    val want = rows(t.read().groupBy("grp", "g2")
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt")))
+    assert(got == want)
+  }
+
+  test("refresh scans only churn for linear aggs (delta plan reads window files)") {
+    val bp = tmp(); val mp = tmp()
+    // key-clustered multi-file layout so key-local churn touches few files
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"),
+      baseRows(1000).repartitionByRange(8, col("k")), bulkInsert = true)
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("sum_amt", "sum", "amt")))
+    val before = t.latestVersion
+    t.upsert(baseRows(1000).filter(col("k") < 20).withColumn("ver", lit(1L)))
+    // the windowDelta inputs must be bounded by churn-touched files, not
+    // the table: all files added in the window plus files they replaced
+    val window = t.commits.filter(c => c.version > before)
+    val touched = window.flatMap(c => c.add.map(_.rows)).sum + {
+      val removed = window.flatMap(_.remove).toSet
+      t.commits.filter(_.version <= before).flatMap(_.add)
+        .filter(a => removed.contains(a.path)).map(_.rows).sum
+    }
+    val total = t.read().count()
+    assert(touched < total, s"churn rows $touched must be under table rows $total")
+    mv.refresh()
+    // n/sum agree without ever scanning the base (no min/max aggs)
+    val got = rows(mv.read())
+    val want = rows(t.read().groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt")))
+    assert(got == want)
+  }
+}
