@@ -84,6 +84,41 @@ object Sampling {
     whole.unionByName(partial).drop("_tok", "_h", "_b")
   }
 
+  /** GPT-style sequence packing: documents are concatenated in md5-of-key
+    * order and the token stream is chunked into fixed `seqLen` windows.
+    * Each doc gets `seq_id` (the training sequence its first token lands
+    * in) and `seq_offset` (its position inside that sequence) — the
+    * assignment a trainer needs to build fixed-length batches with zero
+    * padding waste. Deterministic and key-stable like [[tokenBudget]]:
+    * the order is a fixed permutation, so shards can be re-materialized
+    * reproducibly on any engine.
+    *
+    * Scale shape: the global running sum is computed two-phase — one
+    * partial-agg pass sums tokens per 256 hash buckets (256 rows to the
+    * driver), exclusive bucket offsets are broadcast back as a literal
+    * map, and each bucket runs its own window — so no single-partition
+    * global window ever exists. */
+  def packSequences(df: DataFrame, seqLen: Long, textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val tagged = df.withColumn("_tok", toks)
+      .withColumn("_h", md5(col(keyCol).cast("string")))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val perBucket = tagged.groupBy("_b").agg(sum(col("_tok")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val offsets = (0 until 256).scanLeft(0L)((acc, b) => acc + perBucket.getOrElse(b, 0L))
+    val offsetOf = typedLit((0 until 256).map(b => b -> offsets(b)).toMap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_b").orderBy(col("_h").asc, col(keyCol).asc)
+    tagged
+      .withColumn("_run",
+        sum(col("_tok")).over(w) - col("_tok") + element_at(offsetOf, col("_b")))
+      .withColumn("seq_id", expr(s"_run div ${seqLen}L"))
+      .withColumn("seq_offset", col("_run") % seqLen)
+      .drop("_tok", "_h", "_b", "_run")
+  }
+
   /** Stratified proportional sample: per-stratum Bernoulli with a fixed
     * seed (stock `sampleBy`) — for class-balanced subsets where exact
     * key-stability is not required. */

@@ -114,6 +114,59 @@ object TextAnalysis {
       .drop("_tstats")
   }
 
+  /** Gopher-style repetition and quality signals (Rae et al. 2021 §A1.1's
+    * repetition filters, re-expressed relationally): per document,
+    *
+    *   - `dup_word_frac`  = 1 − distinct words / words
+    *   - `dup_2gram_frac` = 1 − distinct word-2-grams / 2-grams
+    *   - `top_word_frac`  = occurrences of the most frequent word / words
+    *   - `alpha_word_frac`= words containing an alphabetic char / words
+    *   - `mean_word_len`  = non-whitespace chars / words
+    *   - `gopher_keep`    = the composite keep/drop decision
+    *
+    * Every ratio is a quotient of exact integers (bit-stable across
+    * engines). Distinct-counting runs as array expressions per row;
+    * only the top-word mode needs an explode + two hash aggregates —
+    * rows ∝ corpus token count, the same shape as word-frequency stats,
+    * so it scales like any token-level aggregation. */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    val w = tokens(col(textCol))
+    // null-safe `get` (not `element_at`, which throws out-of-bounds under
+    // ANSI): a single-word doc yields one degenerate "2-gram" = the word,
+    // mirroring the concat_ws(NULL-skipping) oracle shape
+    val grams2 = transform(
+      sequence(lit(0), greatest(size(w) - 2, lit(0))),
+      j => concat_ws(" ", get(w, j), get(w, j + 1)))
+    val base = df.withColumn("_w", w)
+      .withColumn("n_words", size(col("_w")).cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(col("_w"))).cast("long"))
+      .withColumn("_g", grams2)
+      .withColumn("n_2grams", size(col("_g")).cast("long"))
+      .withColumn("n_distinct_2grams", size(array_distinct(col("_g"))).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(col("_w"), x => x.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_chars",
+        length(regexp_replace(trim(col(textCol)), "\\s+", "")).cast("long"))
+      .drop("_w", "_g")
+    val topWord = base.select(col(keyCol), explode(tokens(col(textCol))).as("_word"))
+      .groupBy(keyCol, "_word").agg(count(lit(1)).as("_c"))
+      .groupBy(keyCol).agg(max(col("_c")).as("top_word_n"))
+    val nw = col("n_words").cast("double")
+    base.join(topWord, Seq(keyCol), "left")
+      .withColumn("dup_word_frac", lit(1.0) - col("n_distinct_words") / nw)
+      .withColumn("dup_2gram_frac", lit(1.0) - col("n_distinct_2grams") / col("n_2grams").cast("double"))
+      .withColumn("top_word_frac", col("top_word_n") / nw)
+      .withColumn("alpha_word_frac", col("n_alpha_words") / nw)
+      .withColumn("mean_word_len", col("n_chars") / nw)
+      .withColumn("gopher_keep",
+        col("n_words").between(10, 100000) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("dup_2gram_frac") <= 0.3 &&
+          col("top_word_frac") <= 0.25)
+  }
+
   /** Column-per-stat spec of [[stats]] (each stat re-derives its own
     * tokenization; cross-checked against the native single-pass expression
     * in TextStatsSpec). */

@@ -154,6 +154,65 @@ object ExtQueries {
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM r WHERE run < 10000
         |ORDER BY doc_id""".stripMargin)),
 
+    // GPT-style sequence packing: concat-and-chunk assignment of every doc
+    // to its fixed-length training sequence. The engine runs the 256-bucket
+    // two-phase prefix sum (no global window); the oracle is the equivalent
+    // global running-sum rule. All-integer output: hash-exact.
+    "q81_sequence_pack" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Sampling
+        Sampling.packSequences(t(s, d, "documents"), seqLen = 2048L)
+          .select(col("doc_id"), col("seq_id"), col("seq_offset"))
+          .orderBy("doc_id")
+      },
+      raw"""WITH dd AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY h ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        |  FROM dd)
+        |SELECT doc_id, CAST(run // 2048 AS BIGINT) AS seq_id,
+        |  CAST(run % 2048 AS BIGINT) AS seq_offset
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition/quality filters: every ratio is an exact-int
+    // quotient (bit-stable doubles); the top-word mode runs as explode +
+    // two hash aggregates, everything else as per-row array expressions.
+    "q82_repetition_filter" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.repetitionStats(t(s, d, "documents"))
+          .select("doc_id", "n_words", "n_distinct_words", "n_2grams",
+            "n_distinct_2grams", "top_word_n", "dup_word_frac", "dup_2gram_frac",
+            "top_word_frac", "alpha_word_frac", "mean_word_len", "gopher_keep")
+          .orderBy("doc_id"),
+      raw"""WITH dd AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_chars FROM documents),
+        |g AS (SELECT doc_id, w, n_chars,
+        |    list_transform(generate_series(1, greatest(len(w)-1, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1])) AS g2 FROM dd),
+        |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        |    CAST(len(g2) AS BIGINT) AS n_2grams,
+        |    CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(n_chars AS BIGINT) AS n_chars FROM g),
+        |tw AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_n FROM (
+        |    SELECT doc_id, COUNT(*) AS c FROM (SELECT doc_id, UNNEST(w) AS word FROM dd)
+        |    GROUP BY doc_id, word) GROUP BY doc_id),
+        |j AS (SELECT m.*, tw.top_word_n FROM m JOIN tw USING (doc_id))
+        |SELECT doc_id, n_words, n_distinct_words, n_2grams, n_distinct_2grams, top_word_n,
+        |  1.0 - CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+        |  1.0 - CAST(n_distinct_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE) AS dup_2gram_frac,
+        |  CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+        |  CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_word_frac,
+        |  CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+        |  (n_words BETWEEN 10 AND 100000)
+        |    AND (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 2.0 AND 12.0)
+        |    AND (CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8)
+        |    AND (1.0 - CAST(n_distinct_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE) <= 0.3)
+        |    AND (CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.25) AS gopher_keep
+        |FROM j ORDER BY doc_id""".stripMargin)),
+
     // Train/eval CONTAMINATION check: share of each eval doc's 3-shingles
     // found anywhere in the training corpus (containment, not Jaccard).
     // Planted eval docs are train docs with a one-token suffix — they must

@@ -289,4 +289,44 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.count() == docs.count())
     assert(kept.filter(col("doc_id") >= 100000L).count() == 0)
   }
+
+  test("sequence packing is a consistent concat-and-chunk assignment") {
+    import graft.ext.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val seqLen = 512L
+    val packed = Sampling.packSequences(docs, seqLen)
+      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .select("doc_id", "seq_id", "seq_offset", "n_tok")
+    val rows = packed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.forall { case (_, _, off, _) => off >= 0 && off < seqLen })
+    // reconstruct: (seq_id, seq_offset) must equal the global running sum
+    // in md5 order — i.e. consecutive docs are exactly n_tok apart
+    val inOrder = rows.sortBy { case (id, s, off, _) => (s, off, id) }
+    val starts = inOrder.map { case (_, s, off, _) => s * seqLen + off }
+    val expect = inOrder.map(_._4).scanLeft(0L)(_ + _).dropRight(1)
+    assert(starts.sameElements(expect), "packing must tile the token stream with no gaps")
+    // stable under physical layout changes
+    val repacked = Sampling.packSequences(docs.repartition(17), seqLen)
+      .select("doc_id", "seq_id", "seq_offset").collect().map(_.toSeq).toSet
+    assert(repacked == rows.map(r => Seq[Any](r._1, r._2, r._3)).toSet)
+  }
+
+  test("repetition stats flag degenerate docs and pass clean ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "one two one two one two one two one two one two one two"),
+      (4L, "x")).toDF("doc_id", "text")
+    val st = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(st(1L).getAs[Boolean]("gopher_keep"), "normal prose must pass")
+    assert(!st(2L).getAs[Boolean]("gopher_keep"), "single-word spam must fail")
+    assert(st(2L).getAs[Double]("top_word_frac") == 1.0)
+    assert(!st(3L).getAs[Boolean]("gopher_keep"), "2-gram loop must fail")
+    assert(st(3L).getAs[Double]("dup_2gram_frac") > 0.8)
+    val single = st(4L)
+    assert(single.getAs[Long]("n_2grams") == 1L, "degenerate single-word 2-gram")
+    assert(!single.getAs[Boolean]("gopher_keep"))
+  }
 }
