@@ -39,7 +39,17 @@ case class FileAction(
       * data-skipping metadata beyond the record key, so scans filtered on
       * any stat'd column prune whole files from the commit log before
       * planning. Rendered in the same string forms as the key stats. */
-    colStats: Map[String, (String, String)] = Map.empty)
+    colStats: Map[String, (String, String)] = Map.empty,
+    /** Deletion-vector sidecar for this file: a parquet dir of
+      * `(file, pos)` row positions to EXCLUDE at read — Delta's DV idea,
+      * so a CoW row-level delete costs O(matched rows), not a rewrite of
+      * every touched file. Relative to the owning table's `data/` dir, or
+      * absolute (leading `/`) when referenced across tables (clones).
+      * A DV delete re-adds the same data path with a new `dv`, so every
+      * incremental/CDF/window-delta consumer sees a remove+add pair. */
+    dv: Option[String] = None,
+    /** Rows excluded by `dv` (`rows` stays the file's physical count). */
+    dvRows: Long = 0L)
 
 /** A committed version of the table: files added/removed plus metadata.
   * `commitTime` uses Hudi's timeline shape `yyyyMMddHHmmssSSS`
@@ -128,6 +138,8 @@ object CommitLog {
       a.partitionValue.foreach(n.put("partitionValue", _))
       a.base.foreach(n.put("base", _))
       if (a.tombstone) n.put("tombstone", true)
+      a.dv.foreach(n.put("dv", _))
+      if (a.dvRows != 0) n.put("dvRows", a.dvRows)
       if (a.colStats.nonEmpty) {
         val cs = n.putObject("colStats")
         a.colStats.foreach { case (c, mm) =>
@@ -279,7 +291,9 @@ object CommitLog {
         n.get("numericKey").asBoolean, optText(n, "partitionValue"),
         optText(n, "base"),
         n.hasNonNull("tombstone") && n.get("tombstone").asBoolean,
-        readColStats(n))
+        readColStats(n),
+        optText(n, "dv"),
+        if (n.hasNonNull("dvRows")) n.get("dvRows").asLong else 0L)
     }
     val removes = ArrayBuffer.empty[String]
     root.get("remove").asInstanceOf[ArrayNode].forEach(n => removes += n.asText)
@@ -299,12 +313,15 @@ object CommitLog {
       txn = txn.toMap)
   }
 
-  /** Replay commits 0..version: the live file set (adds minus later removes). */
+  /** Replay commits 0..version: the live file set (adds minus later
+    * removes). Within a commit, removes apply FIRST: a deletion-vector
+    * commit lists the same path in both (remove the old action, re-add it
+    * with the new DV) so change consumers see the pre/post pair. */
   def snapshotFiles(commits: Seq[Commit]): Seq[FileAction] = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileAction]
     commits.sortBy(_.version).foreach { c =>
-      c.add.foreach(a => live(a.path) = a)
       c.remove.foreach(live.remove)
+      c.add.foreach(a => live(a.path) = a)
     }
     live.values.toSeq
   }
@@ -342,6 +359,8 @@ object CommitLog {
       a.partitionValue.foreach(n.put("partitionValue", _))
       a.base.foreach(n.put("base", _))
       if (a.tombstone) n.put("tombstone", true)
+      a.dv.foreach(n.put("dv", _))
+      if (a.dvRows != 0) n.put("dvRows", a.dvRows)
       if (a.colStats.nonEmpty) {
         val cs = n.putObject("colStats")
         a.colStats.foreach { case (c, mm) =>
@@ -371,7 +390,9 @@ object CommitLog {
         if (n.hasNonNull("partitionValue")) Some(n.get("partitionValue").asText) else None,
         if (n.hasNonNull("base")) Some(n.get("base").asText) else None,
         n.hasNonNull("tombstone") && n.get("tombstone").asBoolean,
-        readColStats(n))
+        readColStats(n),
+        if (n.hasNonNull("dv")) Some(n.get("dv").asText) else None,
+        if (n.hasNonNull("dvRows")) n.get("dvRows").asLong else 0L)
     }
     files.toSeq
   }
@@ -389,8 +410,8 @@ object CommitLog {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileAction]
     base.foreach(a => live(a.path) = a)
     tail.foreach { c =>
+      c.remove.foreach(live.remove) // removes first — see snapshotFiles
       c.add.foreach(a => live(a.path) = a)
-      c.remove.foreach(live.remove)
     }
     live.values.toSeq
   }

@@ -50,7 +50,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * Hudi's timeline row stats). */
   def liveFileStats: (Long, Long) = {
     val live = liveFiles(None)
-    (live.size.toLong, live.map(_.rows).sum)
+    (live.size.toLong, live.map(a => a.rows - a.dvRows).sum)
   }
 
   private def latestCommit: Commit = CommitLog.read(path, latestVersion, conf)
@@ -248,12 +248,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * `_rel_file` column — the action-path-compatible identity the
     * touched-file detection passes join on — computed correctly per group. */
   private def readFiles(actions: Seq[FileAction], keepWriteId: Boolean = false,
-      asOf: Option[Long] = None, relFile: Boolean = false): DataFrame = {
+      asOf: Option[Long] = None, relFile: Boolean = false,
+      keepPos: Boolean = false): DataFrame = {
     val dataSchema = schemaAt(asOf)
     if (actions.isEmpty) {
       val full = StructType(META_SCHEMA.fields ++ dataSchema.fields ++
         (if (keepWriteId) Seq(StructField(WRITE_ID, LongType)) else Nil) ++
-        (if (relFile) Seq(StructField(REL_FILE, StringType)) else Nil))
+        (if (relFile) Seq(StructField(REL_FILE, StringType)) else Nil) ++
+        (if (keepPos) Seq(StructField(DV_POS, LongType)) else Nil))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
     }
     // full read schema: meta cols + data cols; partition col (if any) and
@@ -261,30 +263,64 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val readSchema = StructType(
       META_SCHEMA.fields.filterNot(_.name == "_file_name") ++
         dataSchema.fields ++ Seq(StructField(WRITE_ID, LongType)))
-    def finish(df0: DataFrame, rel: Column): DataFrame = {
-      val df = df0.withColumn("_file_name", element_at(split(input_file_name(), "/"), -1))
-      if (relFile) df.withColumn(REL_FILE, rel) else df
-    }
-    val parts = actions.groupBy(_.base).toSeq.sortBy(_._1.getOrElse("")).map {
-      case (base, acts) =>
-        val dir = base.getOrElse(dataDir)
-        val paths = acts.map(a => s"$dir/${a.path}")
-        if (base.isEmpty || acts.forall(_.path.startsWith(s"$WRITE_ID="))) {
-          // graft layout (own data dir, or a cloned source's)
-          val df = spark.read.option("basePath", dir).schema(readSchema).parquet(paths: _*)
-          finish(df, substring_index(input_file_name(), "/data/", -1))
-        } else {
+    // one scan per (base root, layout, dv-ness); `needIdent` attaches the
+    // per-row (file, position) identity deletion vectors are keyed on
+    def scanGroup(base: Option[String], acts: Seq[FileAction], needIdent: Boolean): DataFrame = {
+      val dir = base.getOrElse(dataDir)
+      val paths = acts.map(a => s"$dir/${a.path}")
+      val graftLayout = base.isEmpty || acts.forall(_.path.startsWith(s"$WRITE_ID="))
+      var df =
+        if (graftLayout)
+          spark.read.option("basePath", dir).schema(readSchema).parquet(paths: _*)
+        else
           // converted-in-place foreign parquet: flat files, nothing to parse
           // from dirs — write-id 0 (pre-history) and the file name as the
           // rel identity (unique: convert sources are a single flat dir)
-          val df = spark.read.schema(readSchema).parquet(paths: _*)
+          spark.read.schema(readSchema).parquet(paths: _*)
             .withColumn(WRITE_ID, coalesce(col(WRITE_ID), lit(0L)))
-          finish(df, element_at(split(input_file_name(), "/"), -1))
-        }
+      if (needIdent)
+        df = df.withColumn(DV_POS, col("_metadata").getField("row_index"))
+      df = df.withColumn("_file_name", element_at(split(input_file_name(), "/"), -1))
+      val rel =
+        if (graftLayout) substring_index(input_file_name(), "/data/", -1)
+        else element_at(split(input_file_name(), "/"), -1)
+      if (relFile || needIdent) df.withColumn(REL_FILE, rel) else df
+    }
+    val parts = actions.groupBy(_.base).toSeq.sortBy(_._1.getOrElse("")).flatMap {
+      case (base, acts) =>
+        val (dvd, plain) = acts.partition(_.dv.isDefined)
+        val plainDf =
+          if (plain.isEmpty) None
+          else {
+            val df = scanGroup(base, plain, needIdent = keepPos)
+            Some(if (keepPos && !relFile) df.drop(REL_FILE) else df)
+          }
+        val dvdDf =
+          if (dvd.isEmpty) None
+          else {
+            // anti-join each row's (file, position) against the union of the
+            // referenced DV sidecars: deleted positions vanish at scan time.
+            // Only the DV'd files pay; sidecar size ∝ deleted rows, so AQE
+            // broadcasts it in the common case.
+            val df = scanGroup(base, dvd, needIdent = true)
+            val dirs = dvd.flatMap(_.dv).distinct.map(dvRoot)
+            val dvRows = spark.read.schema(DV_SCHEMA).parquet(dirs: _*)
+            val alive = df.join(dvRows,
+              df(REL_FILE) === dvRows("file") && df(DV_POS) === dvRows("pos"),
+              "left_anti")
+            val dropRel = if (relFile) alive else alive.drop(REL_FILE)
+            Some(if (keepPos) dropRel else dropRel.drop(DV_POS))
+          }
+        plainDf.toSeq ++ dvdDf.toSeq
     }
     val out = parts.reduce(_.unionByName(_))
     if (!keepWriteId) out.drop(WRITE_ID) else out
   }
+
+  /** Resolve a [[FileAction.dv]] reference: absolute across-table paths
+    * pass through, relative ones live under this table's data dir. */
+  private def dvRoot(d: String): String =
+    if (d.startsWith("/")) d else s"$dataDir/$d"
 
   // ---- writes ----------------------------------------------------------
 
@@ -516,6 +552,64 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           .filter(!coalesce(cond, lit(false)))
           .drop("_file_name")
         Seq(writeFiles(kept, writeId, log = false).copy(remove = touched))
+      }
+    }
+  }
+
+  /** Row-level delete via DELETION VECTORS (Delta DV analog): instead of
+    * rewriting every touched file, record the matched rows' `(file,
+    * position)` pairs in a parquet sidecar and re-add the same data files
+    * with the DV attached — the rows vanish from every read path at scan
+    * time. Cost is O(matched rows + touched file metadata) regardless of
+    * file sizes: deleting 100 rows spread over 100 × 1 GB files writes a
+    * few KB instead of rewriting 100 GB. A later delete on an already-DV'd
+    * file writes a merged sidecar; upsert/compact/optimize rewrites
+    * materialize the DV away (their scans never see deleted rows, and the
+    * fresh files carry no `dv`). Commit shape is remove+re-add of the same
+    * path, so incremental/CDF/materialized-view consumers observe the
+    * change like any rewrite. A file whose every row is deleted is simply
+    * removed. CoW only — MoR deletes are tombstone log rows already. */
+  def deleteVectors(cond: Column): LakeTable = retrying {
+    require(!spec.mor, "MoR deletes land as tombstone logs; deletion vectors are the CoW analog")
+    val live = liveFiles(None)
+    writeCommit("delete") { (writeId, _) =>
+      val dvRel = s"$DV_DIR/${WRITE_ID}=$writeId"
+      // detection scans DV-filtered rows: already-deleted positions can't
+      // re-match, so the new sidecar unions cleanly with the old ones
+      val matched = readFiles(live, relFile = true, keepPos = true)
+        .filter(cond)
+        .select(col(REL_FILE).as("file"), col(DV_POS).as("pos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touched = matched.select("file").distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (touched.isEmpty) Seq.empty
+        else {
+          val touchedSet = touched.toSet
+          val touchedActs = live.filter(a => touchedSet.contains(a.path))
+          // prior DV rows of the touched files move into the new sidecar
+          // (untouched DV'd files keep referencing their old dirs)
+          val oldDirs = touchedActs.flatMap(_.dv).distinct.map(dvRoot)
+          val carried =
+            if (oldDirs.isEmpty) matched.limit(0)
+            else {
+              import spark.implicits._
+              spark.read.schema(DV_SCHEMA).parquet(oldDirs: _*)
+                .join(touched.toDF("file"), Seq("file"), "left_semi")
+            }
+          val all = matched.unionByName(carried)
+          all.write.mode("errorifexists").parquet(s"$dataDir/$dvRel")
+          val counts = all.groupBy("file").agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          // fully-deleted files are dropped outright instead of re-added
+          val adds = touchedActs
+            .filter(a => counts.getOrElse(a.path, 0L) < a.rows)
+            .map(a => a.copy(dv = Some(dvRel), dvRows = counts.getOrElse(a.path, 0L)))
+          Seq(WriteResult(adds, touched))
+        }
+      } finally {
+        matched.unpersist(blocking = false)
+        ()
       }
     }
   }
@@ -920,15 +1014,22 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           .minOption.map(v => math.min(v, latest)).getOrElse(latest)
       case None => math.max(0L, latest - (retainVersions - 1))
     }
-    val keep: Set[String] =
-      (horizon to latest).flatMap(v => liveFiles(Some(v)).map(_.path)).toSet
+    val retained = (horizon to latest).map(v => liveFiles(Some(v)))
+    val keep: Set[String] = retained.flatten.map(_.path).toSet
+    // DV sidecar dirs referenced by any retained snapshot must survive;
+    // relative refs only (absolute ones belong to another table)
+    val keepDv: Set[String] =
+      retained.flatten.flatMap(_.dv).filterNot(_.startsWith("/")).toSet
     // files some commit once referenced: superseded data, safe to drop the
     // moment they leave the retained window. A file NO commit ever added is
     // an attempt dir — possibly a CONCURRENT writer's in-flight files, so
     // it only goes once it is older than the orphan grace (multi-writer
     // safety; the same reason Delta vacuums with a retention check).
+    val allAdds = commits.flatMap(_.add)
     val everAdded: Set[String] =
-      commits.flatMap(_.add).filter(_.base.isEmpty).map(_.path).toSet
+      allAdds.filter(_.base.isEmpty).map(_.path).toSet
+    val everDv: Set[String] =
+      allAdds.flatMap(_.dv).filterNot(_.startsWith("/")).toSet
     val orphanCutoff = System.currentTimeMillis() - (orphanGraceHours * 3600e3).toLong
     val fs = new Path(dataDir).getFileSystem(conf)
     val root = new Path(dataDir)
@@ -941,7 +1042,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         // must not shift the relative path
         val rel = f.getPath.toString.split("/data/").last
         def stale = f.getModificationTime < orphanCutoff
-        if (f.getPath.getName.endsWith(".parquet") && !keep.contains(rel)) {
+        // DV sidecars first (they are .parquet too): swept per DIR — a
+        // referenced dir survives whole, a superseded one goes the moment
+        // it leaves the window, an unknown one waits out the orphan grace
+        if (rel.startsWith(s"$DV_DIR/")) {
+          val dvDir = rel.split("/").take(2).mkString("/")
+          if (!keepDv.contains(dvDir) && (everDv.contains(dvDir) || stale))
+            fs.delete(f.getPath, false)
+        }
+        else if (f.getPath.getName.endsWith(".parquet") && !keep.contains(rel)) {
           if (everAdded.contains(rel) || stale) fs.delete(f.getPath, false)
         }
         // bloom sidecar goes with its data file (same in-flight guard)
@@ -978,7 +1087,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     CommitLog.invalidateTable(targetPath)
     // a source file that is itself external (clone of a clone / of a
     // converted table) keeps its own base
-    val refs = liveFiles(asOf).map(a => a.copy(base = a.base.orElse(Some(dataDir))))
+    val refs = liveFiles(asOf).map(a => a.copy(
+      base = a.base.orElse(Some(dataDir)),
+      // DV refs cross the table boundary too: absolutize relative ones
+      dv = a.dv.map(dvRoot)))
     val bootVersion = asOf.getOrElse(latestVersion)
     CommitLog.write(targetPath,
       Commit(bootVersion, LakeTable.commitTimeNow(), "clone",
@@ -1273,6 +1385,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val fsys = new Path(dataDir).getFileSystem(conf)
         Seq(writeId, writeId + 1).foreach { id =>
           scala.util.Try(fsys.delete(new Path(s"$dataDir/${WRITE_ID}=$id"), true))
+          scala.util.Try(fsys.delete(new Path(s"$dataDir/$DV_DIR/${WRITE_ID}=$id"), true))
           scala.util.Try(fsys.delete(claimFile(id), false))
         }
         throw c
@@ -1424,6 +1537,13 @@ object LakeTable {
   private[lake] val REL_FILE = "_rel_file"
   /** Max tombstone write-id per key during tombstone application. */
   private[lake] val TOMB_V = "_graft_tomb_v"
+  /** Deletion-vector sidecar area under `data/` (`_dv/_v=<writeId>/`). */
+  private[lake] val DV_DIR = "_dv"
+  /** Per-row parquet position (`_metadata.row_index`) during DV work. */
+  private[lake] val DV_POS = "_dv_pos"
+  /** DV sidecar schema: excluded (file, position) pairs. */
+  private[lake] val DV_SCHEMA = StructType(Seq(
+    StructField("file", StringType), StructField("pos", LongType)))
   /** Write-id slots per commit version: an attempt's base files take
     * `version*WRITE_SLOTS + 2*nonce`, its log files `+1`. The wide slot
     * space lets concurrent attempts at the same version (optimistic

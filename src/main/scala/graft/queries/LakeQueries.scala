@@ -382,6 +382,29 @@ object LakeQueries {
          |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0)
          |ORDER BY o_orderkey""".stripMargin)),
 
+    // Deletion vectors: two successive row-level deletes land as positional
+    // sidecars — the require proves NO data file was rewritten (every
+    // post-create add is a re-add of an existing path with a DV attached) —
+    // and the snapshot equals the filtered base.
+    "q83_deletion_vectors" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"dv_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          t(s, d, "orders").repartitionByRange(8, col("o_orderkey")), bulkInsert = true)
+        val dataFiles = tbl.commits.flatMap(_.add).map(_.path).toSet
+        tbl.deleteVectors(col("o_orderkey") % 7 === 0)
+        tbl.deleteVectors(col("o_totalprice") > 400000.0)
+        require(tbl.commits.filter(_.version > 0).flatMap(_.add)
+          .forall(a => a.dv.isDefined && dataFiles.contains(a.path)),
+          "DV deletes must not write new data files")
+        proj(tbl.read())
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_totalprice > 400000.0)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Incremental materialized view: the aggregate is maintained from the
     // base table's window delta (cost ∝ churn), then must equal a
     // from-scratch GROUP BY over the final state. Prices are held as exact
