@@ -129,6 +129,10 @@ object CommitLog {
       val sc = spec.putArray("statsColumns")
       c.spec.statsColumns.foreach(sc.add)
     }
+    if (c.spec.columnMap.nonEmpty) {
+      val cm = spec.putObject("columnMap")
+      c.spec.columnMap.foreach { case (l, p) => cm.put(l, p) }
+    }
     val adds = root.putArray("add")
     c.add.foreach { a =>
       val n = adds.addObject()
@@ -282,6 +286,14 @@ object CommitLog {
         if (specN.hasNonNull("statsColumns"))
           specN.get("statsColumns").asInstanceOf[ArrayNode].forEach(x => b += x.asText)
         b.toSeq
+      },
+      columnMap = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        if (specN.hasNonNull("columnMap")) {
+          val it = specN.get("columnMap").asInstanceOf[ObjectNode].fields()
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText }
+        }
+        m.toMap
       })
     val adds = ArrayBuffer.empty[FileAction]
     root.get("add").asInstanceOf[ArrayNode].forEach { n =>

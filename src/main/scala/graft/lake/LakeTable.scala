@@ -71,6 +71,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       DataType.fromJson(CommitLog.read(path, target, conf).schemaJson).asInstanceOf[StructType]
   }
 
+  /** Spec as of a version (column mapping travels with the schema). */
+  private def specAt(asOf: Option[Long]): TableSpec = asOf match {
+    case None => spec
+    case Some(v) =>
+      val target = math.max(0L, math.min(v, latestVersion))
+      CommitLog.read(path, target, conf).spec
+  }
+
   /** Checkpoint-aware: latest checkpoint + commit tail, not a full replay. */
   private def liveFiles(asOf: Option[Long]): Seq[FileAction] =
     CommitLog.liveFiles(path, asOf, conf)
@@ -259,10 +267,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
     }
     // full read schema: meta cols + data cols; partition col (if any) and
-    // the write-id dir col are matched by name against the dir structure
+    // the write-id dir col are matched by name against the dir structure.
+    // Data fields are requested under their PHYSICAL names (column
+    // mapping) and aliased back to logical after the scan.
+    val cmap = specAt(asOf).columnMap
     val readSchema = StructType(
       META_SCHEMA.fields.filterNot(_.name == "_file_name") ++
-        dataSchema.fields ++ Seq(StructField(WRITE_ID, LongType)))
+        dataSchema.fields.map(f => f.copy(name = cmap.getOrElse(f.name, f.name))) ++
+        Seq(StructField(WRITE_ID, LongType)))
     // one scan per (base root, layout, dv-ness); `needIdent` attaches the
     // per-row (file, position) identity deletion vectors are keyed on
     def scanGroup(base: Option[String], acts: Seq[FileAction], needIdent: Boolean): DataFrame = {
@@ -313,7 +325,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           }
         plainDf.toSeq ++ dvdDf.toSeq
     }
-    val out = parts.reduce(_.unionByName(_))
+    val joined = parts.reduce(_.unionByName(_))
+    val out =
+      if (cmap.isEmpty) joined
+      else {
+        val rev = cmap.map(_.swap)
+        joined.select(joined.columns.toSeq.map(c =>
+          rev.get(c).map(l => col(c).as(l)).getOrElse(col(c))): _*)
+      }
     if (!keepWriteId) out.drop(WRITE_ID) else out
   }
 
@@ -1134,13 +1153,88 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   /** Additive schema evolution WITHOUT data (the `ALTER TABLE ADD COLUMNS`
     * path): a schema-only commit widens the declared schema; existing files
     * simply surface nulls for the new columns at read (readFiles plans with
-    * the declared schema, no footer merging). */
+    * the declared schema, no footer merging). A re-added name whose
+    * physical field was used before (dropped or renamed away) gets a FRESH
+    * physical mapping, so old on-disk values never resurface. */
   def addColumns(fields: Seq[StructField]): LakeTable = retrying {
     val declared = schema
     val dup = fields.map(_.name).filter(n => declared.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
+    val used = usedPhysicalNames
+    val remap = fields.flatMap { f =>
+      if (!used.contains(f.name)) None
+      else {
+        var i = 1
+        while (used.contains(s"${f.name}_$i")) i += 1
+        Some(f.name -> s"${f.name}_$i")
+      }
+    }.toMap
     writeCommit("evolve",
-      newSchema = Some(StructType(declared.fields ++ fields.map(_.copy(nullable = true))))) {
+      newSchema = Some(StructType(declared.fields ++ fields.map(_.copy(nullable = true)))),
+      newSpec = if (remap.isEmpty) None
+        else Some(spec.copy(columnMap = spec.columnMap ++ remap))) {
+      (_, _) => Seq.empty
+    }
+  }
+
+  /** Every PHYSICAL parquet field name any version of this table ever
+    * wrote or declared — the collision set for fresh-name assignment. */
+  private def usedPhysicalNames: Set[String] =
+    commits.flatMap { c =>
+      val fields = DataType.fromJson(c.schemaJson).asInstanceOf[StructType].fieldNames
+      fields.map(f => c.spec.columnMap.getOrElse(f, f)) ++ c.spec.columnMap.values
+    }.toSet
+
+  /** Guard for metadata-only column ops: the key/precombine/partition
+    * columns anchor file layout, footer stats, and bloom sidecars; a
+    * statsColumns entry anchors data-skipping metadata; a CHECK constraint
+    * references columns by name in SQL text. All would silently break
+    * under a rename, so they are rejected (Delta blocks these the same
+    * way). */
+  private def requireMappable(n: String, op: String): Unit = {
+    require(!n.equalsIgnoreCase(spec.key) && !n.equalsIgnoreCase(spec.precombine),
+      s"cannot $op the key/precombine column '$n'")
+    require(!spec.partition.exists(_.equalsIgnoreCase(n)),
+      s"cannot $op the partition column '$n'")
+    require(!spec.statsColumns.exists(_.equalsIgnoreCase(n)),
+      s"cannot $op data-skipping stats column '$n'")
+    require(!spec.constraints.exists(_._2.toLowerCase.contains(n.toLowerCase)),
+      s"cannot $op '$n': referenced by a CHECK constraint")
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` — METADATA-ONLY (Delta
+    * column-mapping analog): the declared schema renames the field and the
+    * column map pins the new logical name to the column's original
+    * physical field, so not a byte of data moves. Time travel before the
+    * rename still surfaces the old name. */
+  def renameColumn(oldName: String, newName: String): LakeTable = retrying {
+    val declared = schema
+    require(declared.fieldNames.contains(oldName), s"no column '$oldName'")
+    require(!declared.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    requireMappable(oldName, "rename")
+    val phys = spec.physical(oldName)
+    val renamed = StructType(declared.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    writeCommit("rename_column", newSchema = Some(renamed),
+      newSpec = Some(spec.copy(columnMap = spec.columnMap - oldName + (newName -> phys)))) {
+      (_, _) => Seq.empty
+    }
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — METADATA-ONLY: the field leaves the
+    * declared schema and the map; the physical data stays on disk,
+    * unreferenced (and time-travelable), exactly like Delta's drop under
+    * column mapping. Re-adding the same name later maps to a fresh
+    * physical field ([[addColumns]]), never the dropped data. */
+  def dropColumn(name: String): LakeTable = retrying {
+    val declared = schema
+    require(declared.fieldNames.contains(name), s"no column '$name'")
+    require(declared.fields.length > 1, "cannot drop the last column")
+    requireMappable(name, "drop")
+    writeCommit("drop_column",
+      newSchema = Some(StructType(declared.fields.filterNot(_.name == name))),
+      newSpec = Some(spec.copy(columnMap = spec.columnMap - name))) {
       (_, _) => Seq.empty
     }
   }
@@ -1177,6 +1271,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           s"incoming batch has columns not in the table schema: " +
             s"${extras.map(_.name).mkString(",")}; pass mergeSchema=true to evolve additively")
       else {
+        // a dropped/renamed-away column's physical name must not be
+        // silently reused — the old on-disk values would resurface. The
+        // addColumns path assigns a fresh physical mapping instead.
+        val retired = usedPhysicalNames -- declared.fieldNames.map(spec.physical)
+        extras.foreach(f => require(!retired.contains(f.name),
+          s"column '${f.name}' was dropped or renamed away; re-add it via addColumns"))
         val widened = StructType(declared.fields ++ extras)
         (df.select(widened.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*),
           Some(widened))
@@ -1446,8 +1546,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * Writes unconditionally — a pre-write `isEmpty` would execute the whole
     * upstream pipeline (dedup shuffle included) a second time; an empty
     * batch just yields zero stat rows and no adds. */
-  private def writeFiles(batch: DataFrame, writeId: Long, log: Boolean,
+  private def writeFiles(batch0: DataFrame, writeId: Long, log: Boolean,
       tombstone: Boolean = false): WriteResult = {
+    // column mapping: batches arrive with LOGICAL names; files store
+    // PHYSICAL names (stable since each column's creation), so every file
+    // of the table stays uniform across renames
+    val batch =
+      if (spec.columnMap.isEmpty) batch0
+      else batch0.select(batch0.columns.toSeq.map(c =>
+        spec.columnMap.get(c).map(p => col(c).as(p)).getOrElse(col(c))): _*)
     val target = s"$dataDir/${WRITE_ID}=$writeId"
     // the attempt's write-id dir is freshly allocated (freshWriteId probes
     // existence), so nothing to clear; an attempt that dies before its

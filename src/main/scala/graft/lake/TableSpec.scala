@@ -39,4 +39,15 @@ case class TableSpec(
     mor: Boolean = false,
     bloomBitsPerKey: Int = 0,
     constraints: Map[String, String] = Map.empty,
-    statsColumns: Seq[String] = Seq.empty)
+    statsColumns: Seq[String] = Seq.empty,
+    /** Column mapping (Delta name-mapping analog): LOGICAL column name →
+      * PHYSICAL parquet field name. Empty/absent entries mean identity.
+      * RENAME/DROP COLUMN are metadata-only commits that edit this map and
+      * the declared schema; data files keep their original field names
+      * forever, so no rewrite ever happens and a re-added logical name gets
+      * a fresh physical name instead of resurrecting dropped data. */
+    columnMap: Map[String, String] = Map.empty) {
+
+  /** Physical parquet field name of a logical column. */
+  def physical(logical: String): String = columnMap.getOrElse(logical, logical)
+}

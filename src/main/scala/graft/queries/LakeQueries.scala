@@ -382,6 +382,34 @@ object LakeQueries {
          |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0)
          |ORDER BY o_orderkey""".stripMargin)),
 
+    // Column mapping: RENAME + DROP COLUMN are schema-only commits (zero
+    // files touched — the requires prove it), old files read under the new
+    // logical names, and a post-rename upsert round-trips through the
+    // stable physical field names.
+    "q84_column_mapping" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"cmap_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        tbl.renameColumn("o_totalprice", "price")
+        tbl.dropColumn("o_orderpriority")
+        require(tbl.commits.filter(c => c.version == 1 || c.version == 2)
+          .forall(c => c.add.isEmpty && c.remove.isEmpty),
+          "rename/drop must be metadata-only commits")
+        tbl.upsert(ordersSource(s, d)
+          .withColumnRenamed("o_totalprice", "price").drop("o_orderpriority"))
+        tbl.read()
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("price"), unix_timestamp(col("o_orderdate")).as("od_epoch"))
+          .orderBy("o_orderkey")
+      },
+      s"""WITH src AS ($ordersSourceSql)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS price,
+         |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch FROM src
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(epoch(o_orderdate) AS BIGINT)
+         |FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+         |ORDER BY o_orderkey""".stripMargin)),
+
     // Deletion vectors: two successive row-level deletes land as positional
     // sidecars — the require proves NO data file was rewritten (every
     // post-create add is a re-add of an existing path with a DV attached) —

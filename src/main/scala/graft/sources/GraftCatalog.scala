@@ -150,18 +150,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  /** `ALTER TABLE … ADD COLUMNS` → an additive schema-evolution commit
-    * (same mechanism as `upsert(mergeSchema = true)`); other changes are
-    * rejected — graft evolution is additive-only. */
+  /** `ALTER TABLE … ADD COLUMNS` → an additive schema-evolution commit;
+    * `RENAME COLUMN` / `DROP COLUMN` → metadata-only column-mapping
+    * commits (no data rewrite — see [[graft.lake.LakeTable.renameColumn]]).
+    * Other changes are rejected. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = resolvePath(ident).getOrElse(throw new NoSuchTableException(ident))
-    val added = changes.map {
+    val t = LakeTable.load(spark, path)
+    val added = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         StructField(a.fieldNames.head, a.dataType, nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"graft supports only ALTER TABLE ADD COLUMNS (additive evolution), got $other")
     }
-    LakeTable.load(spark, path).addColumns(added)
+    if (added.nonEmpty) t.addColumns(added)
+    changes.foreach {
+      case _: TableChange.AddColumn => () // handled above (batched)
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        t.renameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        t.dropColumn(d.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"graft supports ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN, got $other")
+    }
     GraftCatalogTable(ident, path, asOf = None)
   }
 

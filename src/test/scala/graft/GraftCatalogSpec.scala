@@ -123,10 +123,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT k, v, tag FROM graft.db.evo ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
     assert(rows == Seq((1L, "a", None), (2L, "b", Some("new"))))
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN are metadata-only through the catalog") {
+    spark.sql("""CREATE TABLE graft.db.cmap (k BIGINT, pc BIGINT, v STRING, x BIGINT)
+                 USING graft OPTIONS (key 'k', precombine 'pc')""")
+    spark.sql("INSERT INTO graft.db.cmap VALUES (1L, 1L, 'a', 10L), (2L, 1L, 'b', 20L)")
+    spark.sql("ALTER TABLE graft.db.cmap RENAME COLUMN v TO label")
+    val r = spark.sql("SELECT k, label FROM graft.db.cmap ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(r == Seq((1L, "a"), (2L, "b")))
+    spark.sql("ALTER TABLE graft.db.cmap DROP COLUMN x")
+    assert(!spark.table("graft.db.cmap").columns.contains("x"))
+    spark.sql("INSERT INTO graft.db.cmap VALUES (3L, 1L, 'c')")
+    val all = spark.sql("SELECT k, label FROM graft.db.cmap ORDER BY k").collect()
+    assert(all.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.db.evo DROP COLUMN v")
+      spark.sql("ALTER TABLE graft.db.cmap RENAME COLUMN k TO kk")
     }
-    assert(e.getMessage.contains("additive"))
+    assert(e.getMessage.contains("key"))
   }
 
   test("DELETE FROM removes matching rows through the catalog") {
