@@ -149,8 +149,21 @@ object Bench {
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }
 
+    // E6: PQ/ADC top-k with exact rerank — the compressed-scan ANN path;
+    // compare against e2 (same answer shape, 8-byte codes instead of
+    // 512-byte vectors in the scan).
+    results("e6_pq_ann") = median {
+      val emb = tbl("embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, rerank = 4)
+    }
+
     // E3: full text-stats pass over documents.
     results("e3_text_stats") = median(TextAnalysis.stats(tbl("documents")))
+
+    // E7: span-level dedup over the full documents table — explode-heavy
+    // (one row per word position), all keyed shuffles; the C4-pipeline
+    // op whose cost tracks corpus token count.
+    results("e7_span_dedup") = median(Dedup.spanDedup(tbl("documents")))
 
     // E4: as-of join, purchases to latest prior click per user.
     results("e4_asof_join") = median {

@@ -284,4 +284,58 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  // ---- span-level dedup ------------------------------------------------
+
+  /** SPAN-level exact dedup — C4's "remove any three-sentence span seen
+    * before" / MassiveText's repeated-passage removal, on word windows:
+    * every occurrence of a `spanWords`-word sliding window that is NOT the
+    * corpus-wide first occurrence (lexicographic (doc, position)) has its
+    * word positions blanked, and the surviving words are re-joined into the
+    * cleaned text. Whole-doc dedup (exact/minhash) misses a boilerplate
+    * paragraph pasted into a thousand otherwise-distinct pages; this is the
+    * operator that catches it.
+    *
+    * Scale shape: explode = one row per word position (the inherent cost of
+    * span analysis); spans travel as md5 digests, not 100-byte strings;
+    * ownership is one partial-agg `min` shuffle on the digest; coverage and
+    * reconstruction are keyed (doc, position) shuffles. No windows, no
+    * cartesian joins, no driver-side state — every stage is a hash
+    * aggregate or hash join on a high-cardinality key, so it rides AQE
+    * through skew at 100 TB.
+    *
+    * @return one row per input doc: (idCol, n_words, n_kept, text_dedup) —
+    *         `text_dedup` is empty when every span was owned elsewhere. */
+  def spanDedup(df: DataFrame, spanWords: Int = 15,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // (doc, pos) -> one sortable scalar so first-occurrence is a plain MIN
+    // (engine-portable: the oracle computes the same arithmetic); positions
+    // are bounded by doc length << 2^20
+    val ord = lit(1L << 20)
+    val base = df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("w"))
+    val spans = base
+      .select(col("id"), posexplode(when(size(col("w")) >= spanWords,
+        expr(s"transform(sequence(0, size(w) - $spanWords), " +
+          s"i -> md5(concat_ws(' ', slice(w, i + 1, $spanWords))))")).otherwise(array())))
+      .toDF("id", "pos", "span")
+    val owners = spans.groupBy("span")
+      .agg(min(col("id") * ord + col("pos")).as("own"))
+    val dups = spans.join(owners, "span")
+      .filter(col("id") * ord + col("pos") =!= col("own"))
+      .select("id", "pos")
+    val covered = dups
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(spanWords - 1))).as("p"))
+      .distinct()
+    val words = base.select(col("id"), posexplode(col("w"))).toDF("id", "p", "word")
+    val kept = words.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy("id").agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(p, word))), x -> x.word)"))
+          .as("text_dedup"))
+    base.select(col("id"), size(col("w")).cast("long").as("n_words"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

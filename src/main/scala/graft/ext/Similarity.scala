@@ -190,6 +190,105 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Product-quantized (PQ) ANN: each vector is compressed to `m` one-byte
+    * codes — dimension split into `m` subspaces, each sub-vector snapped to
+    * the nearest of `ks` codewords — and candidates are scored by ADC
+    * (asymmetric distance computation): the query precomputes an m×ks
+    * lookup table of exact sub-dot-products, and scoring a candidate is m
+    * table lookups and adds over its code bytes
+    * ([[graft.functions.AdcScore]], codegen'd). At 100 TB the scan reads
+    * `m` bytes per vector instead of `dim·8` — here 64 B vs 512 B — the
+    * memory-compression step that makes an exhaustive rerank feasible;
+    * compose with [[ivfTopK]]'s list pruning for IVF-PQ.
+    *
+    * Codewords are drawn deterministically from the corpus (the same
+    * md5-ordered sample the IVF oracle reproduces), sub-sliced per
+    * subspace: no training pass, engine-portable, so the whole search is
+    * fully oracled. Every FP reduction is order-pinned (sequential fold
+    * over subspace elements; ascending-subspace ADC accumulation), so
+    * scores are bit-reproducible across engines.
+    *
+    * Scores are quantized cosine: adcDot / (‖q‖ · ‖v̂‖) with ‖v̂‖² looked
+    * up from the same code bytes via a codeword-norm table. Recall vs the
+    * float brute force is asserted in ExtSpec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ks: Int = 16, seed: Long = 42L, rerank: Int = 0,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.Int8Ops
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
+    val sampled: Array[Seq[Double]] = c0
+      .orderBy(md5(concat(col("neighbor_id").cast("string"), lit(":" + seed))).asc,
+        col("neighbor_id").asc)
+      .limit(ks).collect().map(_.getSeq[Double](1))
+    require(sampled.length == ks, s"pqTopK: corpus smaller than ks=$ks")
+    // codewords(j)(c) = subspace j of sampled vector c
+    val codewords: Array[Array[Seq[Double]]] =
+      Array.tabulate(m)(j => sampled.map(_.slice(j * sub, j * sub + sub)))
+    // ‖codeword‖² table, folded in ascending element order (the order the
+    // oracle's list_sum replays)
+    val cnormLut: Seq[Double] = for (j <- 0 until m; c <- 0 until ks) yield {
+      var acc = 0.0d
+      codewords(j)(c).foreach(y => acc += y * y)
+      acc
+    }
+
+    // encode: per subspace, argmin_{c} ‖sub − codeword_c‖² with index-asc
+    // tiebreak (sort on (dist, idx) structs) — a pure literal-chain
+    // expression over the row, zero shuffle
+    def l2(s: Column, cw: Seq[Double]): Column = {
+      val cLit = array(cw.map(lit): _*)
+      aggregate(zip_with(s, cLit, (x, y) => (x - y) * (x - y)), lit(0.0d), (a, x) => a + x)
+    }
+    def codeFor(v: Column, j: Int): Column = {
+      val s = slice(v, j * sub + 1, sub)
+      sort_array(array((0 until ks).map(cI =>
+        struct(l2(s, codewords(j)(cI)).as("d"), lit(cI).as("i"))): _*))
+        .getItem(0).getField("i")
+    }
+    val encoded = c0.withColumn("codes",
+      Int8Ops.pack(array((0 until m).map(j => codeFor(col("cv"), j)): _*)))
+      .select("neighbor_id", "codes")
+
+    // query side: exact sub-dot LUT (m×ks flattened, subspace-major)
+    def lutFor(qv: Column): Column =
+      array((for { j <- 0 until m; cI <- 0 until ks } yield
+        dot(slice(qv, j * sub + 1, sub), array(codewords(j)(cI).map(lit): _*))): _*)
+    val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", normSq(col("qv")))
+      .withColumn("lut", lutFor(col("qv")))
+      .select("query_id", "qn", "lut")
+
+    val cnLit = array(cnormLut.map(lit): _*)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    val scored = encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        Int8Ops.adc(col("codes"), col("lut"), ks) /
+          (sqrt(col("qn")) * sqrt(Int8Ops.adc(col("codes"), cnLit, ks))))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      scored.filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    else {
+      // production PQ shape: the compressed scan produces a rerank·k
+      // shortlist per query, then only those candidates are exact-scored
+      // against the full vectors — the expensive FP work touches
+      // Q·rerank·k rows, never the corpus
+      val shortlist = scored.filter(col("rank") <= rerank * k)
+        .select("query_id", "neighbor_id")
+      val qv = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+        .withColumn("qn", normSq(col("qv")))
+      val cvn = c0.withColumn("cn", normSq(col("cv")))
+      val exact = shortlist.join(cvn, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+        .withColumn("score", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    }
+  }
+
   /** Multi-table LSH ANN: `numTables` independent hyperplane signatures;
     * a query probes, per table, its own bucket plus every Hamming-1 bucket,
     * then exact-refines candidates and takes top-k. More tables → higher

@@ -167,6 +167,35 @@ object TextAnalysis {
           col("top_word_frac") <= 0.25)
   }
 
+  /** C4-style page cleaning (Raffel et al. 2020 §2.2, public heuristics):
+    * line-level — keep only lines that end in terminal punctuation, have
+    * ≥ 5 words, and don't mention "javascript"; page-level — flag pages
+    * containing "lorem ipsum" or a curly brace, count sentences, and emit
+    * the composite `c4_keep` (≥ 1 surviving line, ≥ 3 sentences, no page
+    * flags) plus the cleaned text (surviving lines re-joined). All per-row
+    * array expressions — no shuffle at any corpus size. The C4 pipeline's
+    * remaining step, three-sentence-span dedup across pages, is
+    * [[Dedup.spanDedup]]. */
+  def c4Rules(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= 5 &&
+        !lower(l).contains("javascript"))
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("_kept", keptLines)
+      .withColumn("n_kept_lines", size(col("_kept")).cast("long"))
+      .withColumn("n_sentences",
+        (size(split(col(textCol), "[.!?]")) - 1).cast("long"))
+      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("c4_keep",
+        col("n_kept_lines") >= 1 && col("n_sentences") >= 3 &&
+          !col("has_lorem") && !col("has_brace"))
+      .withColumn("clean_text", concat_ws("\n", col("_kept")))
+      .drop("_kept")
+  }
+
   /** Column-per-stat spec of [[stats]] (each stat re-derives its own
     * tokenization; cross-checked against the native single-pass expression
     * in TextStatsSpec). */

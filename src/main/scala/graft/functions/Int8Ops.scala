@@ -25,6 +25,14 @@ object Int8Ops {
   def dotInt8(a: Column, b: Column): Column =
     GraftExpressionBridge.column(DotInt8(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** Product-quantization ADC lookup: `codes` is one packed byte per
+    * subspace, `lut` a flattened (subspace-major) table of `ks` doubles per
+    * subspace; the result is Σ_j lut[j·ks + codes[j]], accumulated in
+    * ascending subspace order (FP-order-pinned so oracles replay it). */
+  def adc(codes: Column, lut: Column, ks: Int): Column =
+    GraftExpressionBridge.column(AdcScore(
+      GraftExpressionBridge.expression(codes), GraftExpressionBridge.expression(lut), ks))
 }
 
 case class PackInt8(child: Expression) extends UnaryExpression {
@@ -91,6 +99,50 @@ case class DotInt8(left: Expression, right: Expression) extends BinaryExpression
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $x[$i] * $y[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** The per-candidate hot loop of PQ search: m table lookups and adds over
+  * the m-byte code — no per-dimension FP work at all, which is the whole
+  * point of product quantization at 100 TB (memory traffic ∝ code bytes,
+  * not vector bytes). */
+case class AdcScore(left: Expression, right: Expression, ks: Int) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"adc needs (binary, array<double>), got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val lut = b.asInstanceOf[ArrayData]
+    var acc = 0.0d
+    var j = 0
+    while (j < codes.length) {
+      acc += lut.getDouble(j * ks + (codes(j) & 0xff))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double $acc = 0.0d;
+         |for (int $j = 0; $j < $c.length; $j++) {
+         |  $acc += $l.getDouble($j * $ks + ($c[$j] & 0xff));
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -49,7 +49,12 @@ case class FileAction(
       * incremental/CDF/window-delta consumer sees a remove+add pair. */
     dv: Option[String] = None,
     /** Rows excluded by `dv` (`rows` stays the file's physical count). */
-    dvRows: Long = 0L)
+    dvRows: Long = 0L,
+    /** On-disk file length — captured from the filesystem status at write
+      * time (no extra RPC: the listing that discovers the file carries it).
+      * Feeds table-size statistics to Catalyst so small lake tables
+      * auto-broadcast in joins. 0 = unknown (pre-stats commits). */
+    bytes: Long = 0L)
 
 /** A committed version of the table: files added/removed plus metadata.
   * `commitTime` uses Hudi's timeline shape `yyyyMMddHHmmssSSS`
@@ -144,6 +149,7 @@ object CommitLog {
       if (a.tombstone) n.put("tombstone", true)
       a.dv.foreach(n.put("dv", _))
       if (a.dvRows != 0) n.put("dvRows", a.dvRows)
+      if (a.bytes != 0) n.put("bytes", a.bytes)
       if (a.colStats.nonEmpty) {
         val cs = n.putObject("colStats")
         a.colStats.foreach { case (c, mm) =>
@@ -305,7 +311,8 @@ object CommitLog {
         n.hasNonNull("tombstone") && n.get("tombstone").asBoolean,
         readColStats(n),
         optText(n, "dv"),
-        if (n.hasNonNull("dvRows")) n.get("dvRows").asLong else 0L)
+        if (n.hasNonNull("dvRows")) n.get("dvRows").asLong else 0L,
+        if (n.hasNonNull("bytes")) n.get("bytes").asLong else 0L)
     }
     val removes = ArrayBuffer.empty[String]
     root.get("remove").asInstanceOf[ArrayNode].forEach(n => removes += n.asText)
@@ -373,6 +380,7 @@ object CommitLog {
       if (a.tombstone) n.put("tombstone", true)
       a.dv.foreach(n.put("dv", _))
       if (a.dvRows != 0) n.put("dvRows", a.dvRows)
+      if (a.bytes != 0) n.put("bytes", a.bytes)
       if (a.colStats.nonEmpty) {
         val cs = n.putObject("colStats")
         a.colStats.foreach { case (c, mm) =>
@@ -404,7 +412,8 @@ object CommitLog {
         n.hasNonNull("tombstone") && n.get("tombstone").asBoolean,
         readColStats(n),
         if (n.hasNonNull("dv")) Some(n.get("dv").asText) else None,
-        if (n.hasNonNull("dvRows")) n.get("dvRows").asLong else 0L)
+        if (n.hasNonNull("dvRows")) n.get("dvRows").asLong else 0L,
+        if (n.hasNonNull("bytes")) n.get("bytes").asLong else 0L)
     }
     files.toSeq
   }

@@ -53,6 +53,58 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     (live.size.toLong, live.map(a => a.rows - a.dvRows).sum)
   }
 
+  /** Snapshot row count from commit-log metadata alone, when it is EXACT:
+    * base-file rows minus DV-killed rows. Live MoR log files make the
+    * metadata count an over-estimate (contested keys merge at read), so the
+    * answer is None and callers must fall back to a scan. Feeds the
+    * metadata-only `count(*)` rewrite ([[graft.sql.GraftMetadataOnlyCount]]). */
+  def exactRowCount(asOf: Option[Long] = None): Option[Long] = {
+    val live = liveFiles(asOf)
+    if (live.exists(_.log)) None
+    else Some(live.map(a => a.rows - a.dvRows).sum)
+  }
+
+  /** Per-live-file (min, max) of `colName` in FooterStats' rendered string
+    * forms, when they are EXACT for the whole snapshot: the record key and
+    * declared `statsColumns` carry file stats; live MoR logs, tombstones,
+    * or deletion vectors (which may have killed an extremal row), or any
+    * file with sentinel/partial stats, make the metadata inexact → None.
+    * Feeds the metadata-only MIN/MAX rewrite. */
+  def fileExtremes(colName: String, asOf: Option[Long] = None): Option[Seq[(String, String)]] = {
+    val live = liveFiles(asOf)
+    if (live.isEmpty) return None
+    if (live.exists(a => a.log || a.dv.isDefined || a.dvRows > 0)) return None
+    val sp = specAt(asOf)
+    val perFile = live.map { a =>
+      if (colName.equalsIgnoreCase(sp.key)) Some((a.minKey, a.maxKey))
+      else a.colStats.collectFirst { case (c, mm) if c.equalsIgnoreCase(colName) => mm }
+    }
+    // sentinel whole-range stats ("", "￿") mean "unknown" — an actual
+    // empty-string minimum is indistinguishable, so treat both as opaque
+    if (perFile.exists(s => s.isEmpty || s.get._1.isEmpty || s.get._2 == "￿")) None
+    else Some(perFile.map(_.get))
+  }
+
+  /** Total on-disk bytes of the live snapshot, from commit-log metadata —
+    * the table-size statistic Catalyst's join planner consumes (a small dim
+    * table under `spark.sql.autoBroadcastJoinThreshold` then broadcasts
+    * without a hint). Files recorded before byte stats existed fall back to
+    * one driver-side file-status call each; DV'd files are discounted by
+    * the killed-row fraction so a mostly-deleted file doesn't block a
+    * broadcast. */
+  def sizeBytes(asOf: Option[Long] = None): Long = {
+    val fs = new Path(path).getFileSystem(conf)
+    liveFiles(asOf).map { a =>
+      val physical =
+        if (a.bytes > 0) a.bytes
+        else try fs.getFileStatus(new Path(s"${a.base.getOrElse(dataDir)}/${a.path}")).getLen
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      if (a.dvRows > 0 && a.rows > 0)
+        (physical * ((a.rows - a.dvRows).toDouble / a.rows)).toLong
+      else physical
+    }.sum
+  }
+
   private def latestCommit: Commit = CommitLog.read(path, latestVersion, conf)
 
   def spec: TableSpec = latestCommit.spec
@@ -1575,18 +1627,18 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
     val fs = new Path(target).getFileSystem(conf)
     val files = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
       val it = fs.listFiles(new Path(target), true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+        if (f.getPath.getName.endsWith(".parquet")) out += ((f.getPath, f.getLen))
       }
       out.toSeq
     }
     if (files.isEmpty) return WriteResult(Seq.empty, Seq.empty)
     // per-file stats from parquet FOOTERS — driver-side metadata reads, no
     // executor job, instead of re-scanning everything just written
-    val adds = files.map { f =>
+    val adds = files.map { case (f, len) =>
       // LAST occurrence — see vacuum(); keeps rel paths consistent with
       // the executor-side substring_index detection
       val rel = f.toString.split("/data/").last
@@ -1598,7 +1650,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val (rows, stats) = FooterStats.fileStats(f, conf, statCols)
       val (mn, mx) = stats(spec.key)
       FileAction(rel, log, rows, mn, mx, numericKey, partVal, tombstone = tombstone,
-        colStats = stats - spec.key)
+        colStats = stats - spec.key, bytes = len)
     }
     // a fully-empty batch still emits one 0-row part file — don't log it
     val kept = adds.filter(_.rows > 0)
@@ -1747,18 +1799,19 @@ object LakeTable {
     CommitLog.invalidateTable(dir)
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
+    val files = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath, st.getLen))
     require(files.nonEmpty, s"no parquet files to convert at $dir")
     val schema = spark.read.parquet(dir).schema
     require(schema.fieldNames.contains(spec.key) &&
       schema.fieldNames.contains(spec.precombine), "key/precombine not in schema")
     val numericKey = schema(spec.key).dataType.isInstanceOf[NumericType]
     val baseDir = fs.makeQualified(root).toUri.getPath
-    val adds = files.map { f =>
+    val adds = files.map { case (f, len) =>
       val (rows, mn, mx) = FooterStats.keyStats(f, conf, spec.key)
       FileAction(f.getName, log = false, rows, mn, mx, numericKey,
-        partitionValue = None, base = Some(baseDir))
+        partitionValue = None, base = Some(baseDir), bytes = len)
     }
     CommitLog.write(dir,
       Commit(0L, commitTimeNow(), "convert", schema.json, spec, adds, Seq.empty), conf)

@@ -213,6 +213,80 @@ object ExtQueries {
         |    AND (CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.25) AS gopher_keep
         |FROM j ORDER BY doc_id""".stripMargin)),
 
+    // C4/MassiveText span-level dedup: every later occurrence of a repeated
+    // 15-word window is blanked and the cleaned text reconstructed — the
+    // boilerplate-paragraph catcher whole-doc dedup misses. Spans travel as
+    // md5 digests (engine-portable), first-occurrence is MIN over the
+    // (doc, pos) scalar, so the oracle reproduces ownership exactly.
+    "q86_span_dedup" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.spanDedup(t(s, d, "documents"), spanWords = 15).orderBy("doc_id"),
+      raw"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |inst0 AS (SELECT doc_id, w,
+        |    UNNEST(range(1, greatest(len(w) - 13, 1))) AS i FROM w),
+        |inst AS (SELECT doc_id, i - 1 AS pos,
+        |    md5(array_to_string(w[i:i+14], ' ')) AS span FROM inst0),
+        |own AS (SELECT span, MIN(doc_id * 1048576 + pos) AS own FROM inst GROUP BY span),
+        |dups AS (SELECT i.doc_id, i.pos FROM inst i JOIN own o USING (span)
+        |  WHERE i.doc_id * 1048576 + i.pos <> o.own),
+        |cov AS (SELECT DISTINCT doc_id, pos + UNNEST(range(0, 15)) AS p FROM dups),
+        |words0 AS (SELECT doc_id, w, UNNEST(range(1, len(w) + 1)) AS i FROM w),
+        |words AS (SELECT doc_id, i - 1 AS p, w[i] AS word FROM words0),
+        |kept AS (SELECT wo.doc_id, wo.p, wo.word FROM words wo
+        |  LEFT JOIN cov ON cov.doc_id = wo.doc_id AND cov.p = wo.p
+        |  WHERE cov.p IS NULL),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(word, ' ' ORDER BY p) AS text_dedup
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM w LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // C4 page-cleaning rules (line keep-filter, sentence floor, lorem/brace
+    // flags, cleaned-text reconstruction). The corpus is newline- and
+    // punctuation-free, so deterministic page variants are planted in-query
+    // (mod-3 docs gain valid sentence lines, mod-5 docs gain the poison
+    // markers) — both engines construct identical inputs.
+    "q89_c4_rules" -> ((
+      (s: SparkSession, d: String) => {
+        val planted = t(s, d, "documents").withColumn("text", concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nThis is a valid sentence line one." +
+            "\nShort line.\nAnother good sentence follows right here!" +
+            "\nA third full sentence ends this page.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nlorem ipsum dolor { javascript")).otherwise(lit(""))))
+        TextAnalysis.c4Rules(planted)
+          .select("doc_id", "n_lines", "n_kept_lines", "n_sentences",
+            "has_lorem", "has_brace", "c4_keep", "clean_text")
+          .orderBy("doc_id")
+      },
+      raw"""WITH d0 AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'This is a valid sentence line one.'
+        |      || chr(10) || 'Short line.'
+        |      || chr(10) || 'Another good sentence follows right here!'
+        |      || chr(10) || 'A third full sentence ends this page.' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN chr(10) || 'lorem ipsum dolor { javascript' ELSE '' END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, text, regexp_split_to_array(text, chr(10)) AS lines FROM d0),
+        |k AS (SELECT doc_id, text, lines,
+        |    list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$$')
+        |      AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept FROM l)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  CAST(len(regexp_split_to_array(text, '[.!?]')) - 1 AS BIGINT) AS n_sentences,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  len(kept) >= 1 AND len(regexp_split_to_array(text, '[.!?]')) - 1 >= 3
+        |    AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{') AS c4_keep,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin)),
+
     // Train/eval CONTAMINATION check: share of each eval doc's 3-shingles
     // found anywhere in the training corpus (containment, not Jaccard).
     // Planted eval docs are train docs with a one-token suffix — they must
@@ -456,6 +530,54 @@ object ExtQueries {
         |      / sqrt(CAST(q.nsq * c.nsq AS DOUBLE)) AS score
         |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM p)
+        |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin)),
+
+    // Product-quantized ANN (ADC scoring): vectors compress to 8 one-byte
+    // codes (64 B -> 8 B per vector), queries score candidates by table
+    // lookup. Codewords are the md5-ordered corpus sample (as q39) sliced
+    // per subspace; every FP reduction is order-pinned (sequential folds,
+    // ascending-subspace ADC, ordered SUMs in the oracle) so scores are
+    // bit-reproducible and the search is fully oracled.
+    "q88_pq_ann" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT e, ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') ASC, vec_id ASC) - 1 AS cidx
+        |  FROM v QUALIFY cidx < 16),
+        |subs AS (SELECT UNNEST(range(0, 8)) AS j),
+        |dist AS (SELECT v.vec_id, s.j, c.cidx,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (v.e[s.j*8 + i] - c.e[s.j*8 + i]) * (v.e[s.j*8 + i] - c.e[s.j*8 + i]))) AS d
+        |  FROM v CROSS JOIN cent c CROSS JOIN subs s),
+        |code AS (SELECT vec_id, j, cidx AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cidx ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |cnorm AS (SELECT c.cidx, s.j,
+        |    list_sum(list_transform(range(1, 9), i -> c.e[s.j*8 + i] * c.e[s.j*8 + i])) AS w
+        |  FROM cent c CROSS JOIN subs s),
+        |vn AS (SELECT co.vec_id, SUM(cn.w ORDER BY co.j) AS vhatn
+        |  FROM code co JOIN cnorm cn ON cn.j = co.j AND cn.cidx = co.code
+        |  GROUP BY co.vec_id),
+        |qn AS (SELECT vec_id, e, (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS qn
+        |  FROM v WHERE vec_id < 10),
+        |lut AS (SELECT q.vec_id AS query_id, s.j, c.cidx,
+        |    list_sum(list_transform(range(1, 9), i -> q.e[s.j*8 + i] * c.e[s.j*8 + i])) AS val
+        |  FROM qn q CROSS JOIN cent c CROSS JOIN subs s),
+        |adc AS (SELECT l.query_id, co.vec_id AS neighbor_id, SUM(l.val ORDER BY co.j) AS dotv
+        |  FROM code co JOIN lut l ON l.j = co.j AND l.cidx = co.code
+        |  WHERE co.vec_id <> l.query_id
+        |  GROUP BY l.query_id, co.vec_id),
+        |sc AS (SELECT a.query_id, a.neighbor_id,
+        |    a.dotv / (sqrt(q.qn) * sqrt(vn.vhatn)) AS score
+        |  FROM adc a JOIN qn q ON q.vec_id = a.query_id
+        |  JOIN vn ON vn.vec_id = a.neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM sc)
         |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin)),
 

@@ -477,6 +477,64 @@ object LakeQueries {
          |FROM f GROUP BY 1, 2
          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
 
+    // Metadata-only count(*): after a DV delete, the aggregate collapses to
+    // the commit log's (rows - dvRows) sum — the require proves the rewrite
+    // produced a LocalRelation (zero data files opened). The rule is applied
+    // explicitly so the proof holds on any session; sessions built with
+    // GraftExtensions get it from the injected optimizer rule.
+    "q85_meta_count" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"metacount_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        tbl.deleteVectors(col("o_orderkey") % 5 === 0)
+        val agg = s.read.format("graft").load(path)
+          .groupBy().count().select(col("count").as("n"))
+        val rewritten = graft.sql.GraftMetadataOnlyCount(agg.queryExecution.analyzed)
+        require(rewritten.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+          "count(*) must collapse to commit-log metadata (LocalRelation)")
+        org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+      },
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM orders WHERE NOT (o_orderkey % 5 = 0)")),
+
+    // Metadata-only MIN/MAX: on a DV-free snapshot, extremes of the key and
+    // of declared stats columns fold from per-file footer stats — the
+    // require proves the whole aggregate collapsed to a LocalRelation even
+    // after a churn upsert (new files carry fresh stats). Date extremes are
+    // epochized ABOVE the aggregate so the rewrite still sees bare min/max.
+    "q87_meta_minmax" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"metamm_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val spec = ordersSpec.copy(statsColumns = Seq("o_totalprice", "o_orderdate"))
+        val tbl = LakeTable.create(s, path, spec, t(s, d, "orders"))
+        tbl.upsert(ordersSource(s, d))
+        val agg = s.read.format("graft").load(path).agg(
+            count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_k"), max(col("o_orderkey")).as("max_k"),
+            min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"),
+            min(col("o_orderdate")).as("min_od"), max(col("o_orderdate")).as("max_od"))
+          .select(col("n"), col("min_k"), col("max_k"), col("min_price"), col("max_price"),
+            unix_timestamp(col("min_od")).as("min_od_epoch"),
+            unix_timestamp(col("max_od")).as("max_od_epoch"))
+        val rewritten = graft.sql.GraftMetadataOnlyCount(agg.queryExecution.analyzed)
+        require(rewritten.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+          "count/min/max must collapse to commit-log footer stats (LocalRelation)")
+        org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+      },
+      s"""WITH src AS ($ordersSourceSql),
+         |merged AS (
+         |  SELECT o_orderkey, o_totalprice, o_orderdate FROM src
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice, o_orderdate
+         |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+         |  CAST(epoch(MIN(o_orderdate)) AS BIGINT) AS min_od_epoch,
+         |  CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS max_od_epoch
+         |FROM merged""".stripMargin)),
+
     // Convert-in-place: plain parquet dir -> graft table without rewriting
     // a byte, then a keyed upsert over the converted files (touched
     // originals de-referenced, survivors pass through).

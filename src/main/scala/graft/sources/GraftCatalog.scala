@@ -312,15 +312,36 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
   override def pushedFilters(): Array[Filter] =
     filters.filter(f => GraftRelation.toColumnStatic(f).isDefined)
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
+
+    /** Commit-log table stats (bytes + rows) so catalog-table joins get the
+      * same auto-broadcast planning as the path-based V1 relation. */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+      val est: Option[(Long, Long)] =
+        try {
+          val t = LakeTable.load(SparkSession.active, path)
+          Some((t.sizeBytes(asOf), t.liveFileStats._2))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          est.map(e => java.util.OptionalLong.of(e._1)).getOrElse(java.util.OptionalLong.empty())
+        override def numRows(): java.util.OptionalLong =
+          est.map(e => java.util.OptionalLong.of(e._2)).getOrElse(java.util.OptionalLong.empty())
+      }
+    }
 
     override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
       new BaseRelation with TableScan {
         override def sqlContext: SQLContext = ctx
         override def schema: StructType = required
         override def buildScan(): RDD[Row] = {
-          var df = LakeTable.load(ctx.sparkSession, path).read(asOf)
+          // pushed filters prune whole files from commit-log stats before
+          // the scan plans (same data-skipping path as the V1 relation)
+          val t = LakeTable.load(ctx.sparkSession, path)
+          var df =
+            if (filters.nonEmpty) t.readWhere(filters.toIndexedSeq, asOf) else t.read(asOf)
           filters.flatMap(GraftRelation.toColumnStatic).foreach(c => df = df.filter(c))
           df.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
         }

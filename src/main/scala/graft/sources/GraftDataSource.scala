@@ -188,6 +188,16 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
 
   override def sqlContext: SQLContext = ctx
 
+  /** Table size from commit-log byte stats — lets Catalyst auto-broadcast
+    * a small lake table in joins (the V1 default is `defaultSizeInBytes`,
+    * i.e. "assume huge", which forces sort-merge plans). Incremental/CDF
+    * reads cover a window, not the snapshot — report the default there. */
+  override def sizeInBytes: Long =
+    if (parameters.contains("incremental.since") || parameters.contains("changes.since"))
+      super.sizeInBytes
+    else try LakeTable.load(spark, path).sizeBytes(parameters.get("versionAsOf").map(_.toLong))
+    catch { case scala.util.control.NonFatal(_) => super.sizeInBytes }
+
   /** Derived from the commit log's declared schema + meta columns — NOT by
     * planning a snapshot DataFrame (a MoR snapshot plan builds the whole
     * realtime merge just to report field names). */

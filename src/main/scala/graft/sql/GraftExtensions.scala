@@ -41,6 +41,7 @@ import graft.sources.GraftRelation
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => ResolveGraftMerge)
+    e.injectOptimizerRule(_ => GraftMetadataOnlyCount)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     graft.functions.GraftFunctions.functions.foreach { case (name, builder) =>
       e.injectFunction((

@@ -1,0 +1,151 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.LakeTable
+import graft.sources.{GraftCatalogTable, GraftRelation}
+
+/** Answer unfiltered `count(*)` / `min(col)` / `max(col)` over a graft
+  * table from commit-log stats — zero data files opened (Delta's
+  * metadata-only query idea). At 100 TB this turns a full-table scan into
+  * one driver-side metadata read.
+  *
+  * The rewrite fires only when the metadata answer is EXACT:
+  *   - plain snapshot reads (no incremental/CDF window, no `_ro`/`_rt`
+  *     view override), optionally time-traveled;
+  *   - `count(*)`: no live MoR log files ([[LakeTable.exactRowCount]] —
+  *     log rows over-count contested keys); deletion vectors stay exact
+  *     (rows − dvRows);
+  *   - `min`/`max`: additionally no DVs at all (one could have killed the
+  *     extremal row), the column is the record key or a declared stats
+  *     column, every live file has non-sentinel stats
+  *     ([[LakeTable.fileExtremes]]), and the type round-trips the rendered
+  *     footer form exactly (integral, float/double via Java's reversible
+  *     toString, string, date, timestamp — graft writes files with parquet's
+  *     default untruncated footer statistics);
+  *   - nothing between the aggregate and the scan but aliases/projections
+  *     of the scan's own attributes (resolved by exprId, so a renaming
+  *     projection bails out rather than answering for the wrong column);
+  *   - every aggregate is bare and non-distinct with no FILTER clause.
+  *
+  * Escape hatch: `spark.graft.metadataCount.enabled=false`.
+  */
+object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
+
+  private sealed trait Want
+  private case object WantCount extends Want
+  private case class WantExtreme(name: String, dt: DataType, isMin: Boolean) extends Want
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val spark = SparkSession.active
+    if (!spark.conf.get("spark.graft.metadataCount.enabled", "true").toBoolean) return plan
+    plan.transformUp {
+      case agg @ Aggregate(Nil, aggs, child, _) if aggs.nonEmpty =>
+        (for {
+          (path, asOf, relOut) <- scanTarget(child)
+          wants <- traverse(aggs)(classify(_, relOut))
+          values <- answer(spark, path, asOf, wants)
+        } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
+          .getOrElse(agg)
+    }
+  }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+
+  private def classify(e: NamedExpression,
+      relOut: Seq[AttributeReference]): Option[Want] = {
+    val ae = e match {
+      case Alias(a: AggregateExpression, _) => Some(a)
+      case a: AggregateExpression => Some(a)
+      case _ => None
+    }
+    ae.flatMap {
+      case AggregateExpression(Count(children), Complete, false, None, _)
+          if children.forall { case Literal(v, _) => v != null; case _ => false } =>
+        Some(WantCount)
+      case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _) =>
+        relOut.find(_.exprId == a.exprId).map(r => WantExtreme(r.name, r.dataType, isMin = true))
+      case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _) =>
+        relOut.find(_.exprId == a.exprId).map(r => WantExtreme(r.name, r.dataType, isMin = false))
+      case _ => None
+    }
+  }
+
+  /** The aggregate's child must bottom out in a plain graft snapshot scan
+    * through row-count-preserving nodes only; scan attributes are tracked
+    * by exprId so projection renames cannot mislabel a column. */
+  private def scanTarget(p: LogicalPlan): Option[(String, Option[Long], Seq[AttributeReference])] =
+    p match {
+      case SubqueryAlias(_, c) => scanTarget(c)
+      case Project(_, c) => scanTarget(c)
+      case lr @ LogicalRelation(rel: GraftRelation, _, _, _, _)
+          if !rel.parameters.contains("incremental.since") &&
+            !rel.parameters.contains("changes.since") &&
+            rel.parameters.getOrElse("view", "snapshot").equalsIgnoreCase("snapshot") =>
+        Some((rel.path, rel.parameters.get("versionAsOf").map(_.toLong),
+          lr.output.collect { case a: AttributeReference => a }))
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case t: GraftCatalogTable =>
+            Some((t.path, t.asOf, r.output.collect { case a: AttributeReference => a }))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def answer(spark: SparkSession, path: String, asOf: Option[Long],
+      wants: Seq[Want]): Option[Seq[Any]] =
+    try {
+      val t = LakeTable.load(spark, path)
+      traverse(wants) {
+        case WantCount => t.exactRowCount(asOf).map(n => n: Any)
+        case WantExtreme(name, dt, isMin) =>
+          t.fileExtremes(name, asOf).flatMap { perFile =>
+            val side = perFile.map(mm => if (isMin) mm._1 else mm._2)
+            traverse(side)(parse(_, dt)).map(_.reduce { (a, b) =>
+              val lt = lessThan(a, b)
+              if (isMin == lt) a else b
+            })
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Parse a FooterStats-rendered value back to Spark's internal form —
+    * only for types where the string round-trip is exact. */
+  private def parse(s: String, dt: DataType): Option[Any] = dt match {
+    case LongType => s.toLongOption
+    case IntegerType => s.toIntOption
+    case ShortType => s.toShortOption
+    case ByteType => s.toByteOption
+    case DoubleType => s.toDoubleOption
+    case FloatType => s.toFloatOption
+    case StringType => Some(UTF8String.fromString(s))
+    case DateType => s.toIntOption // parquet DATE = int32 days, Spark internal too
+    case TimestampType => s.toLongOption // int64 micros on both sides
+    case TimestampNTZType => s.toLongOption // ditto (Spark 4 reads no-tz parquet as NTZ)
+    case _ => None
+  }
+
+  private def lessThan(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int) => x < y
+    case (x: Short, y: Short) => x < y
+    case (x: Byte, y: Byte) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: Float, y: Float) => x < y
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y) < 0
+    case _ => false
+  }
+}

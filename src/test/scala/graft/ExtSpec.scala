@@ -122,6 +122,44 @@ class ExtSpec extends AnyFunSuite {
       "DotInt8/PackInt8 must equal the HOF integer dot exactly")
   }
 
+  test("PQ/ADC top-k: recall floor, determinism, native ADC ≡ HOF lookup") {
+    import org.apache.spark.sql.functions.expr
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    // random near-orthogonal embeddings are PQ's worst case; the point of
+    // the compressed scan is shortlisting, not final ranking
+    assert(recall >= 0.2, s"PQ recall $recall below 0.2")
+    // the production shape — ADC shortlist + exact rerank — recovers recall
+    val rr = Similarity.pqTopK(emb, queries, 10, rerank = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrRecall = (bf & rr).size.toDouble / bf.size
+    assert(rrRecall >= 0.6, s"PQ+rerank recall $rrRecall below 0.6")
+    assert(rrRecall > recall, "exact rerank must improve on raw ADC ranking")
+    // deterministic end to end (codebook sample + order-pinned FP)
+    val again = Similarity.pqTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == again, "pqTopK must be deterministic")
+    // native AdcScore ≡ a scalar replay of the same table lookup, bit for bit
+    val ks = 4
+    val probe = emb.limit(50)
+      .withColumn("codes", graft.functions.Int8Ops.pack(expr(
+        "transform(slice(embedding, 1, 8), x -> abs(cast(round(cast(x as double) * 10.0) as int)) % 4)")))
+      .withColumn("lut", expr(
+        "transform(sequence(1, 32), i -> cast(i as double) * 1.5)"))
+      .withColumn("native", graft.functions.Int8Ops.adc(col("codes"), col("lut"), ks))
+    probe.select("codes", "lut", "native").collect().foreach { r =>
+      val codes = r.getAs[Array[Byte]]("codes")
+      val lut = r.getSeq[Double](1)
+      var expected = 0.0d
+      codes.zipWithIndex.foreach { case (c, j) => expected += lut(j * ks + (c & 0xff)) }
+      assert(r.getDouble(2) == expected, "AdcScore must equal the scalar replay exactly")
+    }
+  }
+
   test("IVF top-k recall vs brute force >= 0.5 at nProbe=6/16") {
     val queries = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)
@@ -328,5 +366,47 @@ class ExtSpec extends AnyFunSuite {
     val single = st(4L)
     assert(single.getAs[Long]("n_2grams") == 1L, "degenerate single-word 2-gram")
     assert(!single.getAs[Boolean]("gopher_keep"))
+  }
+
+  test("C4 rules keep punctuated prose lines and flag poisoned pages") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "A proper sentence with enough words here.\nshort one.\nno terminal punctuation line with many words\nAnother full sentence closes the page!\nFinal sentence number three lands right here."),
+      (2L, "This page mentions javascript inside its only long sentence line.\nBackup sentence line with plenty of words here.\nSecond proper sentence right here today.\nThird proper sentence right here now."),
+      (3L, "Valid long sentence on a page with lorem ipsum inside it.\nMore valid sentence content right here. And a third one too."),
+      (4L, "function() { return 1; } some code page here.")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(in).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_kept_lines") == 3L, "short + unpunctuated lines drop")
+    assert(out(1L).getAs[Boolean]("c4_keep"))
+    assert(!out(1L).getAs[String]("clean_text").contains("short one"))
+    assert(out(2L).getAs[Long]("n_kept_lines") == 3L, "javascript line drops")
+    assert(out(2L).getAs[Boolean]("c4_keep"))
+    assert(out(3L).getAs[Boolean]("has_lorem") && !out(3L).getAs[Boolean]("c4_keep"))
+    assert(out(4L).getAs[Boolean]("has_brace") && !out(4L).getAs[Boolean]("c4_keep"))
+  }
+
+  test("span dedup blanks later occurrences of a shared passage, keeps the first") {
+    import spark.implicits._
+    val boiler = (1 to 6).map(i => s"boiler$i").mkString(" ") // 6-word span
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val in = Seq(
+      (1L, s"${uniq("a", 4)} $boiler ${uniq("b", 4)}"), // first occurrence - kept whole
+      (2L, s"${uniq("c", 4)} $boiler ${uniq("d", 4)}"), // later - boiler removed
+      (3L, uniq("e", 10)), // no dup - untouched
+      (4L, "tiny doc")) // shorter than the span - untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(in, spanWords = 6).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("text_dedup") == in.collect()(0).getString(1),
+      "owner doc keeps its text verbatim")
+    val cleaned2 = out(2L).getAs[String]("text_dedup")
+    assert(!cleaned2.contains("boiler1"), "duplicated span must be blanked")
+    assert(cleaned2.contains("c1") && cleaned2.contains("d4"),
+      "unique words around the span survive")
+    assert(out(2L).getAs[Long]("n_kept") < out(2L).getAs[Long]("n_words"))
+    assert(out(3L).getAs[Long]("n_kept") == 10L)
+    assert(out(4L).getAs[String]("text_dedup") == "tiny doc",
+      "docs shorter than the span pass through")
   }
 }

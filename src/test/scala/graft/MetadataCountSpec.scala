@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, TableSpec}
+
+/** Metadata-only `count(*)`: unfiltered counts over graft tables collapse
+  * to the commit log's row stats (zero data files opened) — and, just as
+  * important, the rewrite REFUSES every case where metadata is not exact.
+  */
+class MetadataCountSpec extends AnyFunSuite {
+
+  /** Extensions-enabled session (same SparkContext as the shared one). */
+  lazy val spark: SparkSession = {
+    SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = graft.core.GraftSession.tune(
+      SparkSession.builder().master("local[4]").appName("graft-metacount-test"), 4)
+      .withExtensions(new graft.sql.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  private def mk(tag: String, mor: Boolean = false): LakeTable = {
+    val path = Files.createTempDirectory(s"graft_mc_$tag").toString
+    val df = (1L to 1000L).map(i => (i, 1L, s"v$i")).toDF("k", "ts", "v")
+    LakeTable.create(spark, path, TableSpec("k", "ts", mor = mor), df)
+  }
+
+  private def isMetadataOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().forall(_.isInstanceOf[LocalRelation])
+
+  test("unfiltered count(*) collapses to metadata and stays correct") {
+    val t = mk("cow")
+    val df = spark.read.format("graft").load(t.path).groupBy().count()
+    assert(isMetadataOnly(df), df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().head.getLong(0) == 1000L)
+  }
+
+  test("DV deletes and upserts keep the metadata count exact") {
+    val t = mk("dv")
+    t.deleteVectors(col("k") <= 100L)
+    t.upsert(Seq((2000L, 2L, "new")).toDF("k", "ts", "v"))
+    val df = spark.read.format("graft").load(t.path).groupBy().count()
+    assert(isMetadataOnly(df))
+    assert(df.collect().head.getLong(0) == 901L)
+  }
+
+  test("a filter disables the rewrite but not the answer") {
+    val t = mk("filtered")
+    val df = spark.read.format("graft").load(t.path).filter($"k" > 500L).groupBy().count()
+    assert(!isMetadataOnly(df), "filtered counts must scan")
+    assert(df.collect().head.getLong(0) == 500L)
+  }
+
+  test("live MoR log files disable the rewrite (metadata over-counts)") {
+    val t = mk("mor", mor = true)
+    t.upsert(Seq((1L, 2L, "updated")).toDF("k", "ts", "v")) // lands in a log file
+    val df = spark.read.format("graft").load(t.path).groupBy().count()
+    assert(!isMetadataOnly(df), "MoR tables with live logs must scan")
+    assert(df.collect().head.getLong(0) == 1000L)
+    // compaction folds the logs away - metadata becomes exact again
+    t.compact()
+    val df2 = spark.read.format("graft").load(t.path).groupBy().count()
+    assert(isMetadataOnly(df2))
+    assert(df2.collect().head.getLong(0) == 1000L)
+  }
+
+  test("catalog tables get the rewrite through SQL, honoring time travel") {
+    val t = mk("cat")
+    t.upsert((1001L to 1500L).map(i => (i, 1L, s"v$i")).toDF("k", "ts", "v"))
+    val cat = "graft_mc_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_mc_wh").toString)
+    try {
+      spark.sql(s"CREATE TABLE $cat.default.mc USING graft LOCATION '${t.path}'")
+      val df = spark.sql(s"SELECT count(*) FROM $cat.default.mc")
+      assert(isMetadataOnly(df), df.queryExecution.optimizedPlan.toString)
+      assert(df.collect().head.getLong(0) == 1500L)
+      val tt = spark.sql(s"SELECT count(*) FROM $cat.default.mc VERSION AS OF 0")
+      assert(isMetadataOnly(tt))
+      assert(tt.collect().head.getLong(0) == 1000L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $cat.default.mc")
+  }
+
+  test("min/max over key and stats columns collapse to footer stats") {
+    val path = Files.createTempDirectory("graft_mc_mm").toString
+    val df = (1L to 1000L).map(i => (i, 1L, (i * 7 % 997).toDouble, s"s$i"))
+      .toDF("k", "ts", "score", "v")
+    val t = LakeTable.create(spark, path,
+      TableSpec("k", "ts", statsColumns = Seq("score")), df)
+    val agg = spark.read.format("graft").load(t.path)
+      .agg(min($"k").as("mn"), max($"k").as("mx"),
+        min($"score").as("smn"), max($"score").as("smx"), count(lit(1)).as("n"))
+    assert(isMetadataOnly(agg), agg.queryExecution.optimizedPlan.toString)
+    val r = agg.collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1000L)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 996.0)
+    assert(r.getLong(4) == 1000L)
+    // a column without declared stats must scan
+    val noStats = spark.read.format("graft").load(t.path).agg(max($"v"))
+    assert(!isMetadataOnly(noStats))
+    assert(noStats.collect().head.getString(0) == "s999") // lexicographic max
+  }
+
+  test("deletion vectors disable min/max (extremal row may be dead) but not count") {
+    val t = mk("mm_dv")
+    t.deleteVectors(col("k") > 900L)
+    val mm = spark.read.format("graft").load(t.path).agg(max($"k"))
+    assert(!isMetadataOnly(mm), "DV'd snapshots must scan for extremes")
+    assert(mm.collect().head.getLong(0) == 900L)
+    val cnt = spark.read.format("graft").load(t.path).groupBy().count()
+    assert(isMetadataOnly(cnt))
+    assert(cnt.collect().head.getLong(0) == 900L)
+  }
+
+  test("a renaming projection cannot mislabel the column (exprId resolution)") {
+    val t = mk("alias")
+    // k renamed to ts, ts renamed to k: name-based stats lookup would
+    // answer from the wrong column; exprId tracking must bail to a scan
+    val swapped = spark.read.format("graft").load(t.path)
+      .select($"k".as("ts2"), $"ts".as("k"))
+      .agg(max($"k").as("mx"))
+    assert(!isMetadataOnly(swapped), "aliased columns must not use stats")
+    assert(swapped.collect().head.getLong(0) == 1L) // real ts values are all 1
+  }
+
+  test("the escape hatch restores the scanning plan") {
+    val t = mk("hatch")
+    spark.conf.set("spark.graft.metadataCount.enabled", "false")
+    try {
+      val df = spark.read.format("graft").load(t.path).groupBy().count()
+      assert(!isMetadataOnly(df))
+      assert(df.collect().head.getLong(0) == 1000L)
+    } finally spark.conf.set("spark.graft.metadataCount.enabled", "true")
+  }
+}
