@@ -236,17 +236,18 @@ object Similarity {
     }
 
     // encode: per subspace, argmin_{c} ‖sub − codeword_c‖² with index-asc
-    // tiebreak (sort on (dist, idx) structs) — a pure literal-chain
-    // expression over the row, zero shuffle
-    def l2(s: Column, cw: Seq[Double]): Column = {
-      val cLit = array(cw.map(lit): _*)
-      aggregate(zip_with(s, cLit, (x, y) => (x - y) * (x - y)), lit(0.0d), (a, x) => a + x)
-    }
+    // tiebreak — a pure literal-chain expression over the row, zero
+    // shuffle. The ‖s‖² term is constant across codewords, so the ranking
+    // quantity is just ‖c‖² − 2·⟨s,c⟩: one codegen'd dot per codeword (the
+    // interpreted zip-with L2 made the index build ~6× slower), min via a
+    // single (d, idx) struct-min pass.
     def codeFor(v: Column, j: Int): Column = {
       val s = slice(v, j * sub + 1, sub)
-      sort_array(array((0 until ks).map(cI =>
-        struct(l2(s, codewords(j)(cI)).as("d"), lit(cI).as("i"))): _*))
-        .getItem(0).getField("i")
+      array_min(array((0 until ks).map { cI =>
+        val cw = codewords(j)(cI)
+        struct((lit(cnormLut(j * ks + cI)) - lit(2.0d) * dot(s, array(cw.map(lit): _*)))
+          .as("d"), lit(cI).as("i"))
+      }: _*)).getField("i")
     }
     val encoded = c0.withColumn("codes",
       Int8Ops.pack(array((0 until m).map(j => codeFor(col("cv"), j)): _*)))

@@ -126,6 +126,7 @@ object CommitLog {
     c.spec.partition.foreach(spec.put("partition", _))
     spec.put("mor", c.spec.mor)
     if (c.spec.bloomBitsPerKey > 0) spec.put("bloomBitsPerKey", c.spec.bloomBitsPerKey)
+    if (c.spec.buckets > 0) spec.put("buckets", c.spec.buckets)
     if (c.spec.constraints.nonEmpty) {
       val cons = spec.putObject("constraints")
       c.spec.constraints.foreach { case (name, sql) => cons.put(name, sql) }
@@ -279,6 +280,7 @@ object CommitLog {
       mor = specN.get("mor").asBoolean,
       bloomBitsPerKey =
         if (specN.hasNonNull("bloomBitsPerKey")) specN.get("bloomBitsPerKey").asInt else 0,
+      buckets = if (specN.hasNonNull("buckets")) specN.get("buckets").asInt else 0,
       constraints = {
         val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
         if (specN.hasNonNull("constraints")) {

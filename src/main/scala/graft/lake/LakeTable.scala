@@ -35,7 +35,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   import LakeTable._
 
   private def conf: Configuration = spark.sessionState.newHadoopConf()
-  private val dataDir = new Path(path, "data").toString
+  private[graft] val dataDir = new Path(path, "data").toString
 
   // ---- log access ------------------------------------------------------
 
@@ -124,7 +124,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Spec as of a version (column mapping travels with the schema). */
-  private def specAt(asOf: Option[Long]): TableSpec = asOf match {
+  private[graft] def specAt(asOf: Option[Long]): TableSpec = asOf match {
     case None => spec
     case Some(v) =>
       val target = math.max(0L, math.min(v, latestVersion))
@@ -132,7 +132,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Checkpoint-aware: latest checkpoint + commit tail, not a full replay. */
-  private def liveFiles(asOf: Option[Long]): Seq[FileAction] =
+  private[graft] def liveFiles(asOf: Option[Long]): Seq[FileAction] =
     CommitLog.liveFiles(path, asOf, conf)
 
   /** Record identity: (key, partition) when partitioned — Hudi's
@@ -1308,8 +1308,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * appended to the declared schema (additive evolution only — drops and
     * type changes are not supported). Returns the conformed batch and the
     * widened schema when evolution happened. */
-  private def conform(df: DataFrame, mergeSchema: Boolean = false): (DataFrame, Option[StructType]) = {
-    if (latestVersion < 0) return (df, None)
+  private def conform(df0: DataFrame, mergeSchema: Boolean = false): (DataFrame, Option[StructType]) = {
+    if (latestVersion < 0) return (df0, None)
+    // bucketed tables: (re)stamp the stored bucket id from the key — always
+    // recomputed, so a caller-supplied value can never mis-place a row
+    val df =
+      if (spec.buckets > 0)
+        df0.withColumn(TableSpec.BUCKET_COL,
+          pmod(hash(col(spec.key)), lit(spec.buckets)))
+      else df0
     val declared = schema
     val have = df.columns.toSet
     val missing = declared.fieldNames.filterNot(have)
@@ -1758,11 +1765,23 @@ object LakeTable {
     *   duplicate keys the snapshot shows duplicates until an upsert or
     *   compaction collapses them, exactly like Hudi. Default keeps the
     *   dedup (unique-key base invariant). */
-  def create(spark: SparkSession, path: String, spec: TableSpec, df: DataFrame,
+  def create(spark: SparkSession, path: String, spec0: TableSpec, df0: DataFrame,
       bulkInsert: Boolean = false): LakeTable = {
     val conf = spark.sessionState.newHadoopConf()
     require(CommitLog.latestVersion(path, conf).isEmpty, s"table exists at $path")
     CommitLog.invalidateTable(path) // a dropped table may have lived here
+    // hash-bucketed layout: the bucket id is a STORED column laid out as the
+    // table's (hive-style) partition dirs, so every partition-aware path
+    // (pruning, dynamic overwrite, SHOW PARTITIONS) works unchanged and the
+    // DSv2 scan can report KeyGroupedPartitioning for shuffle-free joins
+    val (spec, df) =
+      if (spec0.buckets > 0) {
+        require(spec0.partition.isEmpty,
+          "buckets and partition are mutually exclusive (buckets ARE the layout)")
+        (spec0.copy(partition = Some(TableSpec.BUCKET_COL)),
+          df0.withColumn(TableSpec.BUCKET_COL,
+            pmod(hash(col(spec0.key)), lit(spec0.buckets))))
+      } else (spec0, df0)
     spec.partition.foreach(p => require(df.columns.contains(p), s"missing partition col $p"))
     require(df.columns.contains(spec.key) && df.columns.contains(spec.precombine),
       s"key/precombine not in schema")

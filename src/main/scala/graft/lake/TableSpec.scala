@@ -46,8 +46,22 @@ case class TableSpec(
       * the declared schema; data files keep their original field names
       * forever, so no rewrite ever happens and a re-added logical name gets
       * a fresh physical name instead of resurrecting dropped data. */
-    columnMap: Map[String, String] = Map.empty) {
+    columnMap: Map[String, String] = Map.empty,
+    /** Hash-bucket the table into this many buckets on the record key
+      * (0 = off). Writes stamp and store a `_bucket` column
+      * (pmod(hash(key), buckets)) laid out as a hive-style dir per bucket;
+      * the DSv2 catalog scan then reports KeyGroupedPartitioning on
+      * `_bucket`, so a join of two same-bucketed tables that includes
+      * `_bucket` in its keys plans WITHOUT a shuffle on either side
+      * (Spark storage-partitioned join). Mutually exclusive with
+      * `partition` (buckets ARE the partition layout). */
+    buckets: Int = 0) {
 
   /** Physical parquet field name of a logical column. */
   def physical(logical: String): String = columnMap.getOrElse(logical, logical)
+}
+
+object TableSpec {
+  /** The stored bucket-id column of a bucketed table. */
+  val BUCKET_COL = "_bucket"
 }

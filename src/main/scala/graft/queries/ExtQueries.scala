@@ -550,16 +550,17 @@ object ExtQueries {
         |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') ASC, vec_id ASC) - 1 AS cidx
         |  FROM v QUALIFY cidx < 16),
         |subs AS (SELECT UNNEST(range(0, 8)) AS j),
-        |dist AS (SELECT v.vec_id, s.j, c.cidx,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (v.e[s.j*8 + i] - c.e[s.j*8 + i]) * (v.e[s.j*8 + i] - c.e[s.j*8 + i]))) AS d
-        |  FROM v CROSS JOIN cent c CROSS JOIN subs s),
-        |code AS (SELECT vec_id, j, cidx AS code FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cidx ASC) AS rn
-        |    FROM dist) WHERE rn = 1),
         |cnorm AS (SELECT c.cidx, s.j,
         |    list_sum(list_transform(range(1, 9), i -> c.e[s.j*8 + i] * c.e[s.j*8 + i])) AS w
         |  FROM cent c CROSS JOIN subs s),
+        |dist AS (SELECT v.vec_id, s.j, c.cidx,
+        |    cn.w - 2.0 * list_sum(list_transform(range(1, 9),
+        |      i -> v.e[s.j*8 + i] * c.e[s.j*8 + i])) AS d
+        |  FROM v CROSS JOIN cent c CROSS JOIN subs s
+        |  JOIN cnorm cn ON cn.cidx = c.cidx AND cn.j = s.j),
+        |code AS (SELECT vec_id, j, cidx AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cidx ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
         |vn AS (SELECT co.vec_id, SUM(cn.w ORDER BY co.j) AS vhatn
         |  FROM code co JOIN cnorm cn ON cn.j = co.j AND cn.cidx = co.code
         |  GROUP BY co.vec_id),

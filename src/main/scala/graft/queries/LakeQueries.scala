@@ -535,6 +535,67 @@ object LakeQueries {
          |  CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS max_od_epoch
          |FROM merged""".stripMargin)),
 
+    // Storage-partitioned join: two hash-bucketed tables join with ZERO
+    // shuffle (the requires prove it against the physical plan) — the scans
+    // report KeyGroupedPartitioning on the stored _bucket column and Spark
+    // co-locates bucket i of both sides in one task. The oracle is the
+    // plain relational join (same key => same bucket, so the _bucket
+    // equality is semantically free).
+    "q90_bucket_join" -> ((
+      (s: SparkSession, d: String) => {
+        val pa = freshDir(s"bkt_a_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val pb = freshDir(s"bkt_b_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val spec = graft.lake.TableSpec("o_orderkey", "o_orderdate", buckets = 8)
+        LakeTable.create(s, pa, spec, t(s, d, "orders"))
+        LakeTable.create(s, pb, spec, t(s, d, "orders")
+          .filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 10.0))
+        val cat = "graft_q90"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", freshDir("bkt_wh"))
+        val saved = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> s.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+          "spark.sql.requireAllClusterKeysForCoPartition" -> s.conf.getOption("spark.sql.requireAllClusterKeysForCoPartition"),
+          "spark.sql.autoBroadcastJoinThreshold" -> s.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          s.sql(s"DROP TABLE IF EXISTS $cat.default.q90_a")
+          s.sql(s"DROP TABLE IF EXISTS $cat.default.q90_b")
+          s.sql(s"CREATE TABLE $cat.default.q90_a USING graft LOCATION '$pa'")
+          s.sql(s"CREATE TABLE $cat.default.q90_b USING graft LOCATION '$pb'")
+          // no ORDER BY here: the plan must show the bare join (a sort would
+          // add its own legitimate range exchange); rows are sorted below
+          val joined = s.sql(
+            s"""SELECT a.o_orderkey, a.o_totalprice AS price_a, b.o_totalprice AS price_b
+               |FROM $cat.default.q90_a a JOIN $cat.default.q90_b b
+               |ON a.o_orderkey = b.o_orderkey AND a._bucket = b._bucket""".stripMargin)
+          val plan = joined.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          val nShuffles = plan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+          require(nShuffles == 0,
+            s"storage-partitioned join must plan zero shuffles, got $nShuffles:\n$plan")
+          // materialize before the confs are restored below
+          val rows = joined.collect()
+          s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), joined.schema)
+            .orderBy("o_orderkey")
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      """SELECT a.o_orderkey, a.o_totalprice AS price_a,
+        |       b.o_totalprice + 10.0 AS price_b
+        |FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey
+        |WHERE b.o_orderkey % 2 = 0
+        |ORDER BY a.o_orderkey""".stripMargin)),
+
     // Convert-in-place: plain parquet dir -> graft table without rewriting
     // a byte, then a keyed upsert over the converted files (touched
     // originals de-referenced, survivors pass through).

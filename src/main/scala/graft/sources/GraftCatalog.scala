@@ -137,7 +137,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             opt("type").exists(_.equalsIgnoreCase("MERGE_ON_READ")),
           bloomBitsPerKey = opt("bloomBitsPerKey").map(_.toInt).getOrElse(0),
           statsColumns = opt("statsColumns")
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+          buckets = opt("buckets").map(_.toInt).getOrElse(0))
         val path = other.getOrElse(tableDir(ident).toString)
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -312,7 +313,39 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
   override def pushedFilters(): Array[Filter] =
     filters.filter(f => GraftRelation.toColumnStatic(f).isDefined)
 
-  override def build(): Scan = new V1Scan
+  /** Route to the SPJ-capable bucket Batch scan when the snapshot is plain
+    * enough for it to be exact; anything else takes the general V1 path. */
+  override def build(): Scan = {
+    bucketScan().getOrElse(v1Scan())
+  }
+
+  private def bucketScan(): Option[Scan] =
+    try {
+      val t = LakeTable.load(SparkSession.active, path)
+      val spec = t.specAt(asOf)
+      // IsNotNull-only filter sets (the join planner's null-guard artifacts)
+      // are fine: every filter was returned as residual from pushFilters, so
+      // Spark re-evaluates them above the scan; anything more selective goes
+      // to the V1 path to keep commit-log file skipping
+      val onlyNullGuards = filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.IsNotNull])
+      if (spec.buckets <= 0 || !onlyNullGuards || spec.columnMap.nonEmpty) return None
+      val dataSchema = t.schemaAt(asOf)
+      val dataFields = dataSchema.fieldNames.toSet
+      if (required.isEmpty || !required.fieldNames.forall(dataFields.contains)) return None
+      // required columns must be a schema-order subsequence: the vectorized
+      // reader emits file order and we report readSchema verbatim
+      val order = dataSchema.fieldNames.zipWithIndex.toMap
+      val idx = required.fieldNames.map(order)
+      if (!idx.sameElements(idx.sorted)) return None
+      val live = t.liveFiles(asOf)
+      if (live.exists(a => a.log || a.dv.isDefined || a.base.isDefined)) return None
+      val byBucket = live.groupBy(_.partitionValue.map(_.toInt).getOrElse(-1))
+        .map { case (b, as) => b -> as.map(_.path) }
+      if (byBucket.keySet.exists(b => b < 0 || b >= spec.buckets)) return None
+      Some(new GraftBucketScan(t.dataDir, spec.buckets, byBucket, required, dataFields))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def v1Scan(): Scan = new V1Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
 

@@ -129,7 +129,8 @@ object GraftDataSource {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       bloomBitsPerKey = opt("bloomBitsPerKey").map(_.toInt).getOrElse(
         // Hudi option-surface alias: BLOOM index type at its default sizing
-        if (opt("hoodie.index.type").exists(_.equalsIgnoreCase("BLOOM"))) 10 else 0))
+        if (opt("hoodie.index.type").exists(_.equalsIgnoreCase("BLOOM"))) 10 else 0),
+      buckets = opt("buckets").map(_.toInt).getOrElse(0))
 
     val mergeSchema = opt("mergeSchema").exists(_.toBoolean) // Delta option name
     // Delta replaceWhere / Spark dynamic partition overwrite: scoped

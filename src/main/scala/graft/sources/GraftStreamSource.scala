@@ -58,7 +58,10 @@ class GraftStreamSource(ctx: SQLContext, path: String,
     * oversized single commit still makes progress. */
   private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong)
   private val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
-  private val capped = maxFilesPerTrigger.isDefined || maxVersionsPerTrigger.isDefined
+  // Delta's maxBytesPerTrigger (soft cap): commit-log byte stats, no listing
+  private val maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong)
+  private val capped = maxFilesPerTrigger.isDefined || maxVersionsPerTrigger.isDefined ||
+    maxBytesPerTrigger.isDefined
 
   /** Highest version offered to the engine so far. With a trigger cap this
     * is REAL source state: after a restart Spark only replays the last
@@ -117,17 +120,19 @@ class GraftStreamSource(ctx: SQLContext, path: String,
       else {
         val window = table.commits
           .filter(c => c.version > from && c.version <= latest).sortBy(_.version)
-        var e = from; var files = 0L; var n = 0L
+        var e = from; var files = 0L; var n = 0L; var bytes = 0L
         val it = window.iterator
         var done = false
         while (it.hasNext && !done) {
           val c = it.next()
           val nf = files + c.add.size
           val nn = n + 1
-          val over = maxFilesPerTrigger.exists(nf > _) || maxVersionsPerTrigger.exists(nn > _)
+          val nb = bytes + c.add.map(_.bytes).sum
+          val over = maxFilesPerTrigger.exists(nf > _) ||
+            maxVersionsPerTrigger.exists(nn > _) || maxBytesPerTrigger.exists(nb > _)
           if (over && e > from) done = true // stop BEFORE this commit
           else {
-            files = nf; n = nn; e = c.version
+            files = nf; n = nn; bytes = nb; e = c.version
             if (over) done = true // first commit alone exceeds the cap: admit it
           }
         }

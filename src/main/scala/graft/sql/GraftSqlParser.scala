@@ -199,6 +199,7 @@ case class GraftDescribeDetailCommand(target: String)
     AttributeReference("partition_column", StringType)(),
     AttributeReference("num_files", LongType)(),
     AttributeReference("num_rows", LongType)(),
+    AttributeReference("size_bytes", LongType)(),
     AttributeReference("latest_version", LongType)(),
     AttributeReference("constraints", StringType)(),
     AttributeReference("stats_columns", StringType)())
@@ -210,7 +211,7 @@ case class GraftDescribeDetailCommand(target: String)
       .map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; ")
     Seq(Row("graft", t.path, if (t.spec.mor) "merge-on-read" else "copy-on-write",
       t.spec.key, t.spec.precombine, t.spec.partition.orNull,
-      live._1, live._2, t.latestVersion,
+      live._1, live._2, t.sizeBytes(), t.latestVersion,
       if (cons.isEmpty) null else cons,
       if (t.spec.statsColumns.isEmpty) null else t.spec.statsColumns.mkString(",")))
   }

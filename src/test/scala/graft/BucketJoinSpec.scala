@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, TableSpec}
+
+/** Storage-partitioned join over hash-bucketed graft tables: two tables
+  * bucketed the same way join with ZERO shuffle on either side (the scans
+  * report KeyGroupedPartitioning on the stored `_bucket` column). The
+  * 100 TB story: a fact-fact join that moves nothing over the network.
+  */
+class BucketJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = graft.core.GraftSession.tune(
+      SparkSession.builder().master("local[4]").appName("graft-bucket-test"), 4)
+      .withExtensions(new graft.sql.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  private val NB = 8
+
+  private def mk(tag: String, rows: Seq[(Long, Long, String)]): LakeTable = {
+    val path = Files.createTempDirectory(s"graft_bkt_$tag").toString
+    LakeTable.create(spark, path,
+      TableSpec("k", "ts", buckets = NB), rows.toDF("k", "ts", "v"))
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: ShuffleExchangeExec => s }.size
+  }
+
+  test("bucketed create lays out one dir per bucket and stores the bucket id") {
+    val t = mk("layout", (1L to 1000L).map(i => (i, 1L, s"v$i")))
+    val parts = t.commits.flatMap(_.add).flatMap(_.partitionValue).distinct
+    assert(parts.nonEmpty && parts.forall(p => p.toInt >= 0 && p.toInt < NB))
+    val read = t.read()
+    assert(read.columns.contains("_bucket"))
+    // stored bucket ids match the stamp formula
+    assert(read.filter(col("_bucket") =!= pmod(hash(col("k")), lit(NB))).isEmpty)
+    assert(read.count() == 1000)
+  }
+
+  test("two same-bucketed tables join with zero shuffles (SPJ)") {
+    val a = mk("spj_a", (1L to 2000L).map(i => (i, 1L, s"a$i")))
+    val b = mk("spj_b", (500L to 2500L).map(i => (i, 1L, s"b$i")))
+    val cat = "graft_bkt_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_bkt_wh").toString)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // partition keys ([_bucket]) are a subset of the join keys ([k, _bucket]);
+    // co-partitioning on the subset is what SPJ exploits
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql(s"CREATE TABLE $cat.default.bkt_a USING graft LOCATION '${a.path}'")
+      spark.sql(s"CREATE TABLE $cat.default.bkt_b USING graft LOCATION '${b.path}'")
+      val joined = spark.sql(
+        s"""SELECT a.k, a.v AS av, b.v AS bv
+           |FROM $cat.default.bkt_a a JOIN $cat.default.bkt_b b
+           |ON a.k = b.k AND a._bucket = b._bucket""".stripMargin)
+      assert(joined.count() == 1501, "join result must be correct")
+      assert(shuffles(joined) == 0,
+        s"SPJ must plan zero shuffles, got:\n${joined.queryExecution.executedPlan}")
+      // sanity: the same join WITHOUT the v2 bucketing flag still works
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val replanned = spark.sql(
+        s"""SELECT a.k, a.v AS av, b.v AS bv
+           |FROM $cat.default.bkt_a a JOIN $cat.default.bkt_b b
+           |ON a.k = b.k AND a._bucket = b._bucket""".stripMargin)
+      assert(replanned.count() == 1501)
+      assert(shuffles(replanned) > 0, "without the flag the join shuffles as usual")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.default.bkt_a")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.default.bkt_b")
+    }
+  }
+
+  test("upserts restamp buckets and keep the SPJ path correct") {
+    val t = mk("upsert", (1L to 500L).map(i => (i, 1L, s"v$i")))
+    t.upsert(Seq((10L, 2L, "updated"), (9999L, 1L, "new")).toDF("k", "ts", "v"))
+    val read = t.read()
+    assert(read.count() == 501)
+    assert(read.filter(col("_bucket") =!= pmod(hash(col("k")), lit(NB))).isEmpty,
+      "post-upsert rows carry correct bucket ids")
+    assert(read.filter("k = 10").select("v").head().getString(0) == "updated")
+  }
+
+  test("bucket fast path falls back when meta columns or filters are needed") {
+    val t = mk("fallback", (1L to 300L).map(i => (i, 1L, s"v$i")))
+    val cat = "graft_bkt_cat2"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_bkt_wh2").toString)
+    try {
+      spark.sql(s"CREATE TABLE $cat.default.bkt_f USING graft LOCATION '${t.path}'")
+      // meta column request → V1 path, still correct
+      val meta = spark.sql(s"SELECT _commit_time, k FROM $cat.default.bkt_f")
+      assert(meta.count() == 300 && meta.filter(col("_commit_time").isNull).isEmpty)
+      // filtered read → V1 path with data skipping, still correct
+      val filtered = spark.sql(s"SELECT k, v FROM $cat.default.bkt_f WHERE k <= 50")
+      assert(filtered.count() == 50)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $cat.default.bkt_f")
+  }
+}

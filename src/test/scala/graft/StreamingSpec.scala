@@ -95,6 +95,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger bounds micro-batches by commit-log byte stats") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_bytes").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a")).toDF("k", "pc", "v"))
+    t.upsert(Seq((2, 1L, "b")).toDF("k", "pc", "v"))
+    t.upsert(Seq((3, 1L, "c")).toDF("k", "pc", "v"))
+    // every commit's file is larger than 1 byte, so each drains alone
+    // (an oversized single commit must still be admitted - progress)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1").load(path)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.select("k").collect().map(_.getInt(0)).toSet }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.toSeq) == Seq(Set(1), Set(2), Set(3)),
+        s"one commit per batch under the byte cap, got ${batches.synchronized(batches.toSeq)}")
+    } finally q.stop()
+  }
+
   test("rate-limited stream restart does not re-deliver committed versions") {
     import spark.implicits._
     import graft.lake.{LakeTable, TableSpec}
