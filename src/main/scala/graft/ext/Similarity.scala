@@ -211,36 +211,34 @@ object Similarity {
     * Scores are quantized cosine: adcDot / (‖q‖ · ‖v̂‖) with ‖v̂‖² looked
     * up from the same code bytes via a codeword-norm table. Recall vs the
     * float brute force is asserted in ExtSpec. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ks: Int = 16, seed: Long = 42L, rerank: Int = 0,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+  /** The persistent half of [[pqTopK]]: codebooks + the encoded corpus.
+    * Build once, reuse across query batches (`encoded` is safe to cache or
+    * write out — it is just (id, codes) rows, m bytes of code per vector). */
+  case class PqIndex(m: Int, ks: Int, sub: Int,
+      codewords: Array[Array[Seq[Double]]], cnormLut: Seq[Double],
+      encoded: DataFrame)
+
+  /** Build the PQ index for a corpus: deterministic md5-sampled codebooks,
+    * zero-shuffle literal-chain encoding (see [[pqTopK]]). */
+  def pqIndex(corpus: DataFrame, m: Int = 8, ks: Int = 16, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): PqIndex = {
     import graft.functions.Int8Ops
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
+    require(dim % m == 0, s"pqIndex: dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
     val sampled: Array[Seq[Double]] = c0
       .orderBy(md5(concat(col("neighbor_id").cast("string"), lit(":" + seed))).asc,
         col("neighbor_id").asc)
       .limit(ks).collect().map(_.getSeq[Double](1))
-    require(sampled.length == ks, s"pqTopK: corpus smaller than ks=$ks")
-    // codewords(j)(c) = subspace j of sampled vector c
+    require(sampled.length == ks, s"pqIndex: corpus smaller than ks=$ks")
     val codewords: Array[Array[Seq[Double]]] =
       Array.tabulate(m)(j => sampled.map(_.slice(j * sub, j * sub + sub)))
-    // ‖codeword‖² table, folded in ascending element order (the order the
-    // oracle's list_sum replays)
     val cnormLut: Seq[Double] = for (j <- 0 until m; c <- 0 until ks) yield {
       var acc = 0.0d
       codewords(j)(c).foreach(y => acc += y * y)
       acc
     }
-
-    // encode: per subspace, argmin_{c} ‖sub − codeword_c‖² with index-asc
-    // tiebreak — a pure literal-chain expression over the row, zero
-    // shuffle. The ‖s‖² term is constant across codewords, so the ranking
-    // quantity is just ‖c‖² − 2·⟨s,c⟩: one codegen'd dot per codeword (the
-    // interpreted zip-with L2 made the index build ~6× slower), min via a
-    // single (d, idx) struct-min pass.
     def codeFor(v: Column, j: Int): Column = {
       val s = slice(v, j * sub + 1, sub)
       array_min(array((0 until ks).map { cI =>
@@ -252,6 +250,25 @@ object Similarity {
     val encoded = c0.withColumn("codes",
       Int8Ops.pack(array((0 until m).map(j => codeFor(col("cv"), j)): _*)))
       .select("neighbor_id", "codes")
+    PqIndex(m, ks, sub, codewords, cnormLut, encoded)
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ks: Int = 16, seed: Long = 42L, rerank: Int = 0,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    pqSearch(pqIndex(corpus, m, ks, seed, vecCol, idCol), corpus, queries, k, rerank,
+      vecCol, idCol)
+
+  /** ADC search over a prebuilt [[PqIndex]] — the per-query-batch cost at
+    * scale: scan m code bytes per candidate, no per-dimension FP.
+    * `corpus` is only consulted when `rerank > 0` (exact rescoring of the
+    * shortlist). */
+  def pqSearch(index: PqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 0,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.Int8Ops
+    val PqIndex(m, ks, sub, codewords, cnormLut, encoded) = index
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
 
     // query side: exact sub-dot LUT (m×ks flattened, subspace-major)
     def lutFor(qv: Column): Column =

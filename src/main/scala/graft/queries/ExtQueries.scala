@@ -768,6 +768,20 @@ object ExtQueries {
           .orderBy("event_type"),
       "")),
 
+    // Distributed BPE tokenizer training + native greedy encode. The merge
+    // loop is iterative (not SQL-expressible → rows-only check); BpeSpec
+    // pins canonical merge order, round-trip reconstruction, determinism,
+    // and native ≡ scalar-replay equality.
+    "q91_bpe_tokens" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Bpe
+        val docs = t(s, d, "documents")
+        val merges = Bpe.train(docs.filter(col("doc_id") < 1000), numMerges = 40)
+        require(merges.pairs.length == 40, "training must learn the requested merges")
+        Bpe.tokenStats(docs, merges).drop("bpe").orderBy("doc_id")
+      },
+      "")),
+
     // Interval/range join: purchases within 30 minutes after a signup by
     // the same user (time-windowed self-join, J-extension beyond equi).
     "q61_range_join" -> ((

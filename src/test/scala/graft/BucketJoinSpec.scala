@@ -94,6 +94,29 @@ class BucketJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed aggregation over a bucketed table plans without a shuffle") {
+    val t = mk("agg", (1L to 3000L).map(i => (i % 400, i, s"v$i")))
+    val cat = "graft_bkt_cat3"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_bkt_wh3").toString)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      spark.sql(s"CREATE TABLE $cat.default.bkt_g USING graft LOCATION '${t.path}'")
+      // group keys ⊇ partition keys ([_bucket]) → partial+final agg fuse in
+      // place, no exchange: keyed rollups over 100 TB without moving data
+      val agg = spark.sql(
+        s"SELECT k, _bucket, count(*) AS n, max(ts) AS mx FROM $cat.default.bkt_g GROUP BY k, _bucket")
+      assert(agg.count() == 400)
+      assert(shuffles(agg) == 0,
+        s"bucket-clustered aggregation must not shuffle:\n${agg.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.default.bkt_g")
+    }
+  }
+
   test("upserts restamp buckets and keep the SPJ path correct") {
     val t = mk("upsert", (1L to 500L).map(i => (i, 1L, s"v$i")))
     t.upsert(Seq((10L, 2L, "updated"), (9999L, 1L, "new")).toDF("k", "ts", "v"))
