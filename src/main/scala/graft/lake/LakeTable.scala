@@ -53,6 +53,18 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     (live.size.toLong, live.map(a => a.rows - a.dvRows).sum)
   }
 
+  /** Version whose snapshot was current at `epochMillis` (Delta
+    * `TIMESTAMP AS OF` semantics): the newest commit at-or-before the
+    * instant. Commit times are UTC-millisecond, strictly monotonic. */
+  def versionAt(epochMillis: Long): Long = {
+    val cs = commits
+    val at = cs.filter(c => LakeTable.commitTimeMillis(c.commitTime) <= epochMillis)
+    require(at.nonEmpty,
+      s"timestamp $epochMillis predates the table's first commit " +
+        s"(${cs.headOption.map(_.commitTime).getOrElse("none")})")
+    at.map(_.version).max
+  }
+
   /** Snapshot row count from commit-log metadata alone, when it is EXACT:
     * base-file rows minus DV-killed rows. Live MoR log files make the
     * metadata count an over-estimate (contested keys merge at read), so the
@@ -1733,6 +1745,22 @@ object LakeTable {
   private val lastTime = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Hudi-shaped commit id, strictly monotonic even within one millisecond. */
+  /** Parse a commit-log timeline timestamp back to UTC epoch millis. */
+  def commitTimeMillis(commitTime: String): Long =
+    java.time.LocalDateTime.parse(commitTime, TIME_FMT)
+      .toInstant(ZoneOffset.UTC).toEpochMilli
+
+  /** Accepts either epoch millis or an ISO/SQL timestamp string (UTC). */
+  def parseUserTimestamp(s: String): Long =
+    s.toLongOption.getOrElse {
+      val t = s.trim.replace(' ', 'T')
+      try java.time.LocalDateTime.parse(t).toInstant(ZoneOffset.UTC).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.Instant.parse(if (t.endsWith("Z")) t else t + "Z").toEpochMilli
+      }
+    }
+
   private[lake] def commitTimeNow(): String = {
     val now = System.currentTimeMillis()
     val t = lastTime.updateAndGet(prev => math.max(prev + 1, now))

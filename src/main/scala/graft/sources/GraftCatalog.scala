@@ -105,6 +105,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** `TIMESTAMP AS OF <ts>` time travel — Spark hands epoch MICROseconds;
+    * resolve to the newest commit at-or-before that instant. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    resolvePath(ident) match {
+      case Some(p) =>
+        val v = LakeTable.load(spark, p).versionAt(timestamp / 1000L)
+        GraftCatalogTable(ident, p, asOf = Some(v))
+      case None => throw new NoSuchTableException(ident)
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)

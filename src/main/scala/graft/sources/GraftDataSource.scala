@@ -169,9 +169,16 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
 
   private def spark: SparkSession = ctx.sparkSession
 
+  /** `versionAsOf` wins over `timestampAsOf` (Delta errors on both; being
+    * lenient here keeps option-merging callers working). */
+  private def resolveAsOf(t: LakeTable): Option[Long] =
+    parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf")
+        .map(s => t.versionAt(LakeTable.parseUserTimestamp(s))))
+
   private def snapshot(filters: Seq[Filter] = Seq.empty): DataFrame = {
     val t = LakeTable.load(spark, path)
-    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    val asOf = resolveAsOf(t)
     (parameters.get("incremental.since"), parameters.get("changes.since")) match {
       case (Some(v), _) => t.incremental(v.toLong, asOf) // Hudi incremental query
       case (_, Some(v)) => t.changes(v.toLong, asOf) // Delta CDF-style read
@@ -196,15 +203,17 @@ case class GraftRelation(ctx: SQLContext, path: String, parameters: Map[String, 
   override def sizeInBytes: Long =
     if (parameters.contains("incremental.since") || parameters.contains("changes.since"))
       super.sizeInBytes
-    else try LakeTable.load(spark, path).sizeBytes(parameters.get("versionAsOf").map(_.toLong))
-    catch { case scala.util.control.NonFatal(_) => super.sizeInBytes }
+    else try {
+      val t = LakeTable.load(spark, path)
+      t.sizeBytes(resolveAsOf(t))
+    } catch { case scala.util.control.NonFatal(_) => super.sizeInBytes }
 
   /** Derived from the commit log's declared schema + meta columns — NOT by
     * planning a snapshot DataFrame (a MoR snapshot plan builds the whole
     * realtime merge just to report field names). */
   override def schema: StructType = {
     val t = LakeTable.load(spark, path)
-    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    val asOf = resolveAsOf(t)
     val base = StructType(LakeTable.META_COLS.map(org.apache.spark.sql.types.StructField(_,
       org.apache.spark.sql.types.StringType)) ++ t.schemaAt(asOf).fields)
     if (parameters.contains("changes.since"))

@@ -51,9 +51,9 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(Nil, aggs, child, _) if aggs.nonEmpty =>
         (for {
-          (path, asOf, relOut) <- scanTarget(child)
+          (path, resolveAsOf, relOut) <- scanTarget(child)
           wants <- traverse(aggs)(classify(_, relOut))
-          values <- answer(spark, path, asOf, wants)
+          values <- answer(spark, path, resolveAsOf, wants)
         } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
           .getOrElse(agg)
     }
@@ -85,8 +85,11 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
 
   /** The aggregate's child must bottom out in a plain graft snapshot scan
     * through row-count-preserving nodes only; scan attributes are tracked
-    * by exprId so projection renames cannot mislabel a column. */
-  private def scanTarget(p: LogicalPlan): Option[(String, Option[Long], Seq[AttributeReference])] =
+    * by exprId so projection renames cannot mislabel a column. The time
+    * travel version is resolved LAZILY (a function of the loaded table) so
+    * `timestampAsOf` reads answer for the right snapshot. */
+  private def scanTarget(
+      p: LogicalPlan): Option[(String, LakeTable => Option[Long], Seq[AttributeReference])] =
     p match {
       case SubqueryAlias(_, c) => scanTarget(c)
       case Project(_, c) => scanTarget(c)
@@ -94,21 +97,25 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
           if !rel.parameters.contains("incremental.since") &&
             !rel.parameters.contains("changes.since") &&
             rel.parameters.getOrElse("view", "snapshot").equalsIgnoreCase("snapshot") =>
-        Some((rel.path, rel.parameters.get("versionAsOf").map(_.toLong),
-          lr.output.collect { case a: AttributeReference => a }))
+        val resolve: LakeTable => Option[Long] = t =>
+          rel.parameters.get("versionAsOf").map(_.toLong)
+            .orElse(rel.parameters.get("timestampAsOf")
+              .map(s => t.versionAt(LakeTable.parseUserTimestamp(s))))
+        Some((rel.path, resolve, lr.output.collect { case a: AttributeReference => a }))
       case r: DataSourceV2Relation =>
         r.table match {
           case t: GraftCatalogTable =>
-            Some((t.path, t.asOf, r.output.collect { case a: AttributeReference => a }))
+            Some((t.path, _ => t.asOf, r.output.collect { case a: AttributeReference => a }))
           case _ => None
         }
       case _ => None
     }
 
-  private def answer(spark: SparkSession, path: String, asOf: Option[Long],
-      wants: Seq[Want]): Option[Seq[Any]] =
+  private def answer(spark: SparkSession, path: String,
+      resolveAsOf: LakeTable => Option[Long], wants: Seq[Want]): Option[Seq[Any]] =
     try {
       val t = LakeTable.load(spark, path)
+      val asOf = resolveAsOf(t)
       traverse(wants) {
         case WantCount => t.exactRowCount(asOf).map(n => n: Any)
         case WantExtreme(name, dt, isMin) =>

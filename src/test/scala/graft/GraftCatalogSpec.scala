@@ -71,6 +71,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(v == 2, "version 1 = first INSERT only")
   }
 
+  test("TIMESTAMP AS OF time travel (SQL, reader option, and API)") {
+    import graft.lake.{LakeTable, TableSpec}
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cat_tsasof").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "pc", "v"))
+    val t0 = LakeTable.commitTimeMillis(t.commits.last.commitTime)
+    Thread.sleep(20)
+    t.upsert(Seq((3L, 1L, "c")).toDF("k", "pc", "v"))
+    val t1 = LakeTable.commitTimeMillis(t.commits.last.commitTime)
+    // API: newest commit at-or-before the instant
+    assert(t.versionAt(t0) == 0L && t.versionAt(t1) == 1L)
+    assert(t.versionAt((t0 + t1) / 2) == 0L, "between commits resolves backward")
+    intercept[IllegalArgumentException](t.versionAt(t0 - 10000))
+    // reader option (epoch millis and ISO string forms)
+    assert(spark.read.format("graft").option("timestampAsOf", t0.toString)
+      .load(path).count() == 2)
+    val iso = java.time.Instant.ofEpochMilli(t0).toString
+    assert(spark.read.format("graft").option("timestampAsOf", iso)
+      .load(path).count() == 2)
+    // SQL surface through the catalog (timestamps are session-UTC)
+    spark.sql(s"CREATE TABLE graft.db.tsasof USING graft LOCATION '$path'")
+    try {
+      val tsLit = new java.sql.Timestamp(t0).toInstant
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
+      val old = spark.sql(
+        s"SELECT k FROM graft.db.tsasof TIMESTAMP AS OF '$tsLit'").count()
+      assert(old == 2, s"TIMESTAMP AS OF '$tsLit' must see version 0")
+      assert(spark.sql("SELECT k FROM graft.db.tsasof").count() == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.db.tsasof")
+  }
+
   test("INSERT OVERWRITE replaces the table contents") {
     spark.sql("""CREATE TABLE graft.db.ow (k BIGINT, pc BIGINT, v STRING)
                  USING graft OPTIONS (key 'k', precombine 'pc')""")
