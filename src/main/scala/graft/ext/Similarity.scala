@@ -88,47 +88,51 @@ object Similarity {
     * its own vector. The one-time assignment pass is the index build —
     * at scale it's written once and reused across query batches; recall
     * rises with nProbe (nProbe = numLists degenerates to brute force). */
+  /** Deterministic coarse-quantizer sample: top-`numLists` corpus vectors
+    * by seeded md5 (engine-portable — the DuckDB oracle reproduces the
+    * selection). `c0` must carry (neighbor_id, cv). */
+  private def sampleCentroids(c0: DataFrame, numLists: Int,
+      seed: Long): Array[(Any, Seq[Double])] = c0
+    .select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
+    .orderBy(md5(concat(col("cid").cast("string"), lit(":" + seed))).asc, col("cid").asc)
+    .limit(numLists)
+    .collect().map(r => (r.get(0), r.getSeq[Double](1)))
+
+  /** Array of the n nearest (neg_sim, cid) structs over the given
+    * centroid set; ascending sort on the negated cosine = sim desc with
+    * cid-asc tiebreak, matching the window ordering it replaces (same
+    * IEEE op sequence: driver-side norm fold ≡ the sequential normSq
+    * fold). A pure codegen'd literal-chain expression — zero shuffle. */
+  private def nearestLists(cents: Array[(Any, Seq[Double])])(
+      vec: Column, rowNormSq: Column, n: Int): Column = {
+    val rowNorm = sqrt(rowNormSq)
+    val entries = cents.map { case (cid, v) =>
+      var acc = 0.0d
+      v.foreach(x => acc += x * x)
+      val cLit = array(v.map(lit).toSeq: _*)
+      struct((-(dot(vec, cLit) / (rowNorm * lit(math.sqrt(acc))))).as("neg_sim"),
+        lit(cid).as("cid"))
+    }
+    slice(sort_array(array(entries.toSeq: _*)), 1, n)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id",
       trainIters: Int = 0): DataFrame = {
     val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", normSq(col("cv")))
-    // deterministic centroid sample: top-numLists by seeded hash (md5 of
-    // "id:seed" — engine-portable, so the DuckDB oracle can reproduce the
-    // selection). The centroid set is tiny and driver-materialized, so list
-    // assignment is a pure codegen'd expression chain over literal centroid
-    // arrays — zero shuffle, embarrassingly parallel, which is what an index
-    // build over 100 TB needs (the previous formulation ran a row_number
-    // window over corpus × centroids: a full corpus shuffle+sort just to
-    // pick an argmax).
-    val centRows: Array[(Any, Seq[Double])] = c0
-      .select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
-      .orderBy(md5(concat(col("cid").cast("string"), lit(":" + seed))).asc, col("cid").asc)
-      .limit(numLists)
-      .collect().map(r => (r.get(0), r.getSeq[Double](1)))
+    // deterministic centroid sample; the centroid set is tiny and
+    // driver-materialized, so list assignment is a pure codegen'd
+    // expression chain over literal centroid arrays — zero shuffle,
+    // embarrassingly parallel, which is what an index build over 100 TB
+    // needs (the previous formulation ran a row_number window over
+    // corpus × centroids: a full corpus shuffle+sort to pick an argmax).
+    val centRows: Array[(Any, Seq[Double])] = sampleCentroids(c0, numLists, seed)
     if (centRows.isEmpty)
       return queries.select(col(idCol).as("query_id"))
         .withColumn("neighbor_id", col("query_id"))
         .withColumn("rank", lit(1)).withColumn("score", lit(0.0d)).limit(0)
-
-    /** Array of the n nearest (neg_sim, cid) structs over the given
-      * centroid set; ascending sort on the negated cosine = sim desc with
-      * cid-asc tiebreak, matching the window ordering it replaces (same
-      * IEEE op sequence: driver-side norm fold ≡ the sequential normSq
-      * fold). */
-    def nearestLists(cents: Array[(Any, Seq[Double])])(
-        vec: Column, rowNormSq: Column, n: Int): Column = {
-      val rowNorm = sqrt(rowNormSq)
-      val entries = cents.map { case (cid, v) =>
-        var acc = 0.0d
-        v.foreach(x => acc += x * x)
-        val cLit = array(v.map(lit).toSeq: _*)
-        struct((-(dot(vec, cLit) / (rowNorm * lit(math.sqrt(acc))))).as("neg_sim"),
-          lit(cid).as("cid"))
-      }
-      slice(sort_array(array(entries.toSeq: _*)), 1, n)
-    }
 
     // Optional Lloyd (k-means) refinement of the coarse quantizer — tighter
     // lists raise recall at the same nProbe. Per round: the same codegen'd
@@ -300,6 +304,69 @@ object Similarity {
         .withColumn("qn", normSq(col("qv")))
       val cvn = c0.withColumn("cn", normSq(col("cv")))
       val exact = shortlist.join(cvn, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+        .withColumn("score", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    }
+  }
+
+  /** IVF-PQ: the full production ANN architecture — coarse lists prune the
+    * candidate set (only `nProbe` of `numLists` lists are touched per
+    * query) and PQ codes compress what remains (m bytes scanned per
+    * candidate, ADC lookup scoring), with an optional exact rerank of the
+    * shortlist. At 100 TB: the scan touches nProbe/numLists of the corpus
+    * and reads 8 bytes per touched vector instead of 512 — the two
+    * reductions compose multiplicatively. Both quantizers are the
+    * deterministic md5 sample, so results are reproducible run to run. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numLists: Int = 16, nProbe: Int = 4, m: Int = 8, ks: Int = 16,
+      seed: Long = 42L, rerank: Int = 0,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.Int8Ops
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", normSq(col("cv")))
+    val cents = sampleCentroids(c0, numLists, seed)
+    require(cents.nonEmpty, "ivfPqTopK: empty corpus")
+    val index = pqIndex(corpus, m, ks, seed, vecCol, idCol)
+    val sub = index.sub
+
+    // one corpus pass builds BOTH halves of the index: the list id (coarse
+    // argmax, literal chain) and the PQ code bytes — zero shuffle
+    val assigned = index.encoded
+      .join(c0, Seq("neighbor_id"))
+      .withColumn("cid", nearestLists(cents)(col("cv"), col("cn"), 1)
+        .getItem(0).getField("cid"))
+      .select("neighbor_id", "cid", "codes")
+
+    def lutFor(qv: Column): Column =
+      array((for { j <- 0 until m; cI <- 0 until ks } yield
+        dot(slice(qv, j * sub + 1, sub),
+          array(index.codewords(j)(cI).map(lit): _*))): _*)
+    val probes = queries
+      .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", normSq(col("qv")))
+      .withColumn("lut", lutFor(col("qv")))
+      .withColumn("_probe", explode(nearestLists(cents)(col("qv"), col("qn"), nProbe)))
+      .withColumn("cid", col("_probe").getField("cid"))
+      .select("query_id", "qn", "lut", "cid")
+
+    val cnLit = array(index.cnormLut.map(lit): _*)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        Int8Ops.adc(col("codes"), col("lut"), ks) /
+          (sqrt(col("qn")) * sqrt(Int8Ops.adc(col("codes"), cnLit, ks))))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      scored.filter(col("rank") <= k).select("query_id", "neighbor_id", "rank", "score")
+    else {
+      val shortlist = scored.filter(col("rank") <= rerank * k)
+        .select("query_id", "neighbor_id")
+      val qv = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+        .withColumn("qn", normSq(col("qv")))
+      val exact = shortlist.join(c0, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
         .withColumn("score", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       exact.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)

@@ -160,6 +160,27 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ composed search: recall with rerank, determinism") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both approximations stacked: generous probe + exact rerank recovers
+    // usable recall on worst-case random embeddings
+    val ip = Similarity.ivfPqTopK(emb, queries, 10, numLists = 16, nProbe = 10, rerank = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ip).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall below 0.3")
+    val again = Similarity.ivfPqTopK(emb, queries, 10, numLists = 16, nProbe = 10, rerank = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ip == again, "ivfPqTopK must be deterministic")
+    // full probing reduces to plain PQ+rerank over the whole corpus
+    val full = Similarity.ivfPqTopK(emb, queries, 10, numLists = 8, nProbe = 8, rerank = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, 10, rerank = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == pq, "nProbe = numLists must degenerate to the un-pruned PQ search")
+  }
+
   test("IVF top-k recall vs brute force >= 0.5 at nProbe=6/16") {
     val queries = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)
