@@ -342,17 +342,67 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
       val dataSchema = t.schemaAt(asOf)
       val dataFields = dataSchema.fieldNames.toSet
       if (required.isEmpty || !required.fieldNames.forall(dataFields.contains)) return None
-      // required columns must be a schema-order subsequence: the vectorized
-      // reader emits file order and we report readSchema verbatim
-      val order = dataSchema.fieldNames.zipWithIndex.toMap
-      val idx = required.fieldNames.map(order)
-      if (!idx.sameElements(idx.sorted)) return None
       val live = t.liveFiles(asOf)
-      if (live.exists(a => a.log || a.dv.isDefined || a.base.isDefined)) return None
-      val byBucket = live.groupBy(_.partitionValue.map(_.toInt).getOrElse(-1))
-        .map { case (b, as) => b -> as.map(_.path) }
-      if (byBucket.keySet.exists(b => b < 0 || b >= spec.buckets)) return None
-      Some(new GraftBucketScan(t.dataDir, spec.buckets, byBucket, required, dataFields))
+      // foreign base dirs (shallow clone / convert-in-place) keep the
+      // general path; MoR logs and deletion vectors are served IN the
+      // bucket readers (per-bucket merge / position skipping), so
+      // row-level changes no longer forfeit the storage-partitioned join
+      if (live.exists(_.base.isDefined)) return None
+      val anyLog = live.exists(_.log)
+      val order = dataSchema.fieldNames.zipWithIndex.toMap
+      val keyType = dataSchema(spec.key).dataType
+      val pcType = dataSchema(spec.precombine).dataType
+      if (anyLog && !(GraftScanBuilder.hashableKey(keyType) &&
+        GraftScanBuilder.orderablePc(pcType))) return None
+      // columns physically read from the files: the merge needs key +
+      // precombine even when unprojected; `_bucket` is dir layout, never
+      // file data. Always schema order (the reader emits file order).
+      val fileNames: Seq[String] =
+        if (anyLog)
+          (required.fieldNames.toSeq ++ Seq(spec.key, spec.precombine))
+            .distinct.filter(_ != TableSpec.BUCKET_COL).sortBy(order)
+        else required.fieldNames.toSeq.filter(_ != TableSpec.BUCKET_COL)
+      if (!anyLog) {
+        // the plain reader's emission is identity (zero projection) —
+        // required must be a schema-order subsequence
+        val idx = required.fieldNames.map(order)
+        if (!idx.sameElements(idx.sorted)) return None
+      }
+      val fileSchema = StructType(fileNames.map(n => dataSchema(n)))
+      val fOrd = fileNames.zipWithIndex.toMap
+      val outIdx = required.fieldNames.map(n =>
+        if (n == TableSpec.BUCKET_COL) -1 else fOrd(n))
+      val merge =
+        if (anyLog)
+          Some(BucketMergeSpec(fOrd(spec.key), keyType, fOrd(spec.precombine), pcType))
+        else None
+      // per-file descriptors: write-id from the `_v=` dir (the merge
+      // tiebreak), DV sidecar dirs listed HERE on the driver so executors
+      // never do filesystem metadata work
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val dvLists = scala.collection.mutable.HashMap.empty[String, Array[String]]
+      def dvFilesOf(d: String): Array[String] = dvLists.getOrElseUpdate(d, {
+        val root = if (d.startsWith("/")) d else s"${t.dataDir}/$d"
+        val p = new Path(root)
+        p.getFileSystem(conf).listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      })
+      val descs = live.map { a =>
+        val b = a.partitionValue.flatMap(_.toIntOption)
+        val head = a.path.takeWhile(_ != '/')
+        val wid = // `_v=<writeId>/…` — the same dir readFiles parses by name
+          if (head.startsWith("_v=")) head.drop(3).toLongOption else None
+        (b, wid, a)
+      }
+      if (descs.exists { case (b, wid, _) =>
+        b.isEmpty || wid.isEmpty || b.get < 0 || b.get >= spec.buckets }) return None
+      val byBucket = descs.groupBy(_._1.get).map { case (b, as) =>
+        b -> as.map { case (_, wid, a) =>
+          BucketFileDesc(s"${t.dataDir}/${a.path}", a.path, wid.get, a.log,
+            a.tombstone, a.dv.map(dvFilesOf).getOrElse(Array.empty))
+        }
+      }
+      Some(new GraftBucketScan(spec.buckets, byBucket, required, fileSchema, outIdx, merge))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def v1Scan(): Scan = new V1Scan
@@ -389,6 +439,28 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
           df.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
         }
       }.asInstanceOf[T]
+  }
+}
+
+object GraftScanBuilder {
+  import org.apache.spark.sql.types._
+
+  /** Key types the in-reader MoR merge can hash: boxed integrals and
+    * UTF8String hash/compare by value (a byte[]-backed BinaryType would
+    * not). Matches the `exact` set the stats pruner trusts. */
+  private[sources] def hashableKey(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** Precombine types whose boxed forms are [[java.lang.Comparable]] with
+    * the same order as Spark's struct ordering — the latest-wins compare
+    * runs on raw reader values. */
+  private[sources] def orderablePc(t: DataType): Boolean = t match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
   }
 }
 

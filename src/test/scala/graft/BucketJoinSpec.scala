@@ -127,6 +127,90 @@ class BucketJoinSpec extends AnyFunSuite {
     assert(read.filter("k = 10").select("v").head().getString(0) == "updated")
   }
 
+  test("SPJ survives deletion vectors: zero shuffles, DV'd rows absent") {
+    val a = mk("dv_a", (1L to 1200L).map(i => (i, 1L, s"a$i")))
+    val b = mk("dv_b", (1L to 1200L).map(i => (i, 1L, s"b$i")))
+    a.deleteVectors(col("k") % 10 === 0) // 120 rows vanish via sidecar, no rewrite
+    assert(a.commits.flatMap(_.add).exists(_.dv.isDefined), "DV sidecar must be live")
+    val cat = "graft_bkt_dv"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_bkt_dv_wh").toString)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql(s"CREATE TABLE $cat.default.dv_a USING graft LOCATION '${a.path}'")
+      spark.sql(s"CREATE TABLE $cat.default.dv_b USING graft LOCATION '${b.path}'")
+      val joined = spark.sql(
+        s"""SELECT a.k, a.v AS av, b.v AS bv
+           |FROM $cat.default.dv_a a JOIN $cat.default.dv_b b
+           |ON a.k = b.k AND a._bucket = b._bucket""".stripMargin)
+      assert(joined.count() == 1080, "deleted positions must be skipped in-reader")
+      assert(joined.filter(col("k") % 10 === 0).isEmpty)
+      assert(shuffles(joined) == 0,
+        s"SPJ must survive a DV delete, got:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.default.dv_a")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.default.dv_b")
+    }
+  }
+
+  test("SPJ survives un-compacted MoR logs: zero shuffles, latest-wins in-reader") {
+    import spark.implicits._
+    def mkMor(tag: String, rows: Seq[(Long, Long, String)]): LakeTable = {
+      val path = Files.createTempDirectory(s"graft_bkt_$tag").toString
+      LakeTable.create(spark, path,
+        TableSpec("k", "ts", mor = true, buckets = NB), rows.toDF("k", "ts", "v"))
+    }
+    val a = mkMor("mor_a", (1L to 1000L).map(i => (i, 1L, s"a$i")))
+    val b = mkMor("mor_b", (1L to 1000L).map(i => (i, 1L, s"b$i")))
+    // un-compacted churn on a: updates land as logs, a delete as tombstones,
+    // a stale (lower-precombine) update must LOSE to the live base row
+    a.upsert(Seq((10L, 5L, "updated10"), (20L, 5L, "updated20"), (5000L, 1L, "new"))
+      .toDF("k", "ts", "v"))
+    a.upsert(Seq((10L, 3L, "stale10")).toDF("k", "ts", "v")) // loses: ts 3 < 5
+    a.deleteKeys(Seq(30L, 40L).toDF("k"))
+    val live = a.commits.flatMap(_.add) // cumulative adds; just assert logs exist
+    assert(live.exists(f => f.log && !f.tombstone) && live.exists(_.tombstone),
+      "un-compacted data logs AND tombstones must be present")
+    // oracle: the realtime DataFrame merge over the same snapshot
+    val expected = a.read().select("k", "ts", "v").collect().map(_.toSeq).toSet
+    val cat = "graft_bkt_mor"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_bkt_mor_wh").toString)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql(s"CREATE TABLE $cat.default.mor_a USING graft LOCATION '${a.path}'")
+      spark.sql(s"CREATE TABLE $cat.default.mor_b USING graft LOCATION '${b.path}'")
+      // the merged bucket read alone matches the realtime DataFrame merge
+      val got = spark.sql(s"SELECT k, ts, v FROM $cat.default.mor_a")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, "in-reader merge must equal the realtime merge")
+      val one = spark.sql(s"SELECT v FROM $cat.default.mor_a WHERE k = 10")
+      assert(one.collect().map(_.getString(0)).toSeq == Seq("updated10"))
+      val joined = spark.sql(
+        s"""SELECT a.k, a.v AS av, b.v AS bv
+           |FROM $cat.default.mor_a a JOIN $cat.default.mor_b b
+           |ON a.k = b.k AND a._bucket = b._bucket""".stripMargin)
+      // 1000 base keys - 2 tombstoned; key 5000 is new on a only
+      assert(joined.count() == 998)
+      assert(joined.filter(col("k").isin(30L, 40L)).isEmpty, "tombstoned keys dead")
+      assert(shuffles(joined) == 0,
+        s"SPJ must survive MoR logs, got:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.default.mor_a")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.default.mor_b")
+    }
+  }
+
   test("bucket fast path falls back when meta columns or filters are needed") {
     val t = mk("fallback", (1L to 300L).map(i => (i, 1L, s"v$i")))
     val cat = "graft_bkt_cat2"
