@@ -40,36 +40,144 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Train up to `numMerges` BPE merges from the corpus. Deterministic:
-    * ties on pair frequency break lexicographically on (left, right);
-    * training stops early when no adjacent pair is left. */
-  def train(df: DataFrame, numMerges: Int, textCol: String = "text"): Merges = {
-    // each round rewrites the vocab: localCheckpoint (eager) both caches it
-    // AND truncates the logical plan — without that the lineage nests one
-    // projection per merge and plan analysis blows up long before the data
-    // does (the vocab itself is tiny)
-    var vocab = wordFrequencies(df, textCol)
+  /** Per-merge-round training telemetry: the chosen pair, its count, and
+    * how many vocabulary words actually contained it — the round's true
+    * work set (everything exploded/re-aggregated that round is ∝ this,
+    * never ∝ the vocabulary). */
+  case class RoundStat(l: String, r: String, n: Long, affectedWords: Long)
+
+  /** Adjacent symbol pairs of `symsCol`, weighted by word frequency.
+    * Single-symbol words emit nothing (sequence(0,-1) would DESCEND and
+    * index out of bounds under ANSI). */
+  private def pairsOf(df: DataFrame, symsCol: String): DataFrame =
+    df.select(col("freq"), explode(expr(
+      s"CASE WHEN size($symsCol) < 2 THEN array() ELSE " +
+        s"transform(sequence(0, size($symsCol) - 2), " +
+        s"i -> struct($symsCol[i] AS l, $symsCol[i+1] AS r)) END")).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("freq"))
+
+  /** Does `syms` contain (l, r) adjacent? A word contains the pair iff
+    * merging it changes the array — the check IS the native merge
+    * expression (codegen'd, zero per-row allocation beyond the candidate
+    * merge), so detection can never disagree with what the fold does.
+    * Typed columns, not SQL text — symbols are corpus-derived and may
+    * contain quote characters. */
+  private def containsPair(syms: Column, l: String, r: String): Column =
+    BpeOps.mergePair(syms, array(lit(l), lit(r))) =!= syms
+
+  /** Initial symbol vocabulary: one row per distinct word, chars split out
+    * with the EOW mark on the last. */
+  private def initialVocab(df: DataFrame, textCol: String): DataFrame =
+    wordFrequencies(df, textCol)
       // split('') can emit a trailing '' depending on regex semantics —
       // filter first, THEN tag the last real character with the EOW mark
       .withColumn("cs", expr("filter(split(word, ''), c -> c <> '')"))
       .withColumn("syms", expr(
         s"transform(cs, (c, i) -> if (i = size(cs) - 1, concat(c, '$EOW'), c))"))
       .select("syms", "freq")
+
+  /** Train up to `numMerges` BPE merges from the corpus. Deterministic:
+    * ties on pair frequency break lexicographically on (left, right);
+    * training stops early when no adjacent pair is left. */
+  def train(df: DataFrame, numMerges: Int, textCol: String = "text"): Merges =
+    trainWithStats(df, numMerges, textCol)._1
+
+  /** Incremental training loop. Pair counts are computed from the corpus
+    * ONCE; every round after that:
+    *
+    *  1. argmax the persisted count table (one tiny driver fetch);
+    *  2. pull only the words CONTAINING the winning pair (a narrow
+    *     filter — no explode, no shuffle — over the vocabulary chain);
+    *  3. fold the pair into those words and DELTA-update the count table
+    *     from just their old/new adjacencies (merging (l,r) only changes
+    *     counts of pairs overlapping an occurrence — everything else is
+    *     untouched, so the explode/aggregate volume is ∝ affected words,
+    *     not ∝ vocabulary × rounds);
+    *  4. splice the rewritten words back as a lazy filter+union overlay,
+    *     consolidated (localCheckpoint) every few rounds so lineage stays
+    *     bounded without paying a full-vocabulary write per merge.
+    *
+    * At 32k–100k merges on a 100 TB corpus this is the difference between
+    * `rounds × full-vocab recount` (a non-starter) and `one corpus pass +
+    * Σ affected-word work` — the same incremental-count idea fast
+    * single-node BPE trainers use, in distributed form. Exact: longs in,
+    * longs out, so incremental counts equal a full recount bit-for-bit
+    * and the merge sequence (tie-break included) is unchanged. */
+  def trainWithStats(df: DataFrame, numMerges: Int,
+      textCol: String = "text"): (Merges, Seq[RoundStat]) = {
+    var vocab = initialVocab(df, textCol).localCheckpoint(true)
+    // the ONE corpus/vocab-scale pair aggregation
+    var pairCounts = pairsOf(vocab, "syms")
+      .groupBy("l", "r").agg(sum("freq").as("n"))
       .localCheckpoint(true)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
+    val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStat]
+    var sinceConsolidate = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
-      val top = vocab
-        // single-symbol words have no pairs (sequence(0,-1) would DESCEND
-        // and index out of bounds under ANSI)
-        .select(col("freq"), explode(expr(
-          "CASE WHEN size(syms) < 2 THEN array() ELSE " +
-            "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i+1] AS r)) END"))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("n"))
+    while (merges.length < numMerges && !exhausted) {
+      val top = pairCounts
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((l, r))
+        // the round's work set: only words containing (l, r) — eagerly
+        // materialized (it is small) with old AND new symbols side by side.
+        // coalesce is load-bearing: the filtered chain inherits the
+        // vocab's partitions PLUS every overlaid affected set's, and a
+        // checkpoint that keeps them makes the next union's partition
+        // count grow exponentially (2^rounds tasks by round 16)
+        val affected = vocab.filter(containsPair(col("syms"), l, r))
+          .withColumn("new_syms", BpeOps.mergePair(col("syms"), array(lit(l), lit(r))))
+          .coalesce(df.sparkSession.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+        val nAffected = affected.count()
+        stats += RoundStat(l, r, n, nAffected)
+        // delta = (new adjacencies) − (old adjacencies) of the affected
+        // words only; merged into the persisted count table by key
+        val delta = pairsOf(affected, "new_syms").withColumn("d", col("freq"))
+          .unionByName(pairsOf(affected, "syms").withColumn("d", -col("freq")))
+          .groupBy("l", "r").agg(sum("d").as("d"))
+        pairCounts = pairCounts.join(delta, Seq("l", "r"), "full_outer")
+          .select(col("l"), col("r"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint(true)
+        // vocabulary overlay: unaffected rows pass through a lazy filter,
+        // rewritten rows union in from the (checkpointed, small) affected
+        // set — no full-vocab materialization this round
+        vocab = vocab.filter(!containsPair(col("syms"), l, r))
+          .unionByName(affected.select(col("new_syms").as("syms"), col("freq")))
+        sinceConsolidate += 1
+        if (sinceConsolidate >= CONSOLIDATE_EVERY) {
+          // bound the filter/union lineage chain; one vocab-sized write
+          // per CONSOLIDATE_EVERY merges, not per merge (coalesced so the
+          // union-accumulated partitions reset too)
+          vocab = vocab.coalesce(df.sparkSession.sparkContext.defaultParallelism)
+            .localCheckpoint(true)
+          sinceConsolidate = 0
+        }
+      }
+    }
+    (Merges(merges.toSeq), stats.toSeq)
+  }
+
+  /** Overlay consolidation cadence — see [[trainWithStats]] step 4. */
+  private val CONSOLIDATE_EVERY = 16
+
+  /** Reference implementation: full pair recount every round (the
+    * pre-incremental loop). Kept for the equivalence spec — incremental
+    * training must reproduce this merge sequence exactly. */
+  private[graft] def trainRecount(df: DataFrame, numMerges: Int,
+      textCol: String = "text"): Merges = {
+    var vocab = initialVocab(df, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val top = pairsOf(vocab, "syms")
+        .groupBy("l", "r").agg(sum("freq").as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -79,7 +187,6 @@ object Bpe {
         vocab = vocab
           .withColumn("syms", BpeOps.mergePair(col("syms"), array(lit(l), lit(r))))
           .localCheckpoint(true)
-        round += 1
       }
     }
     Merges(merges.toSeq)

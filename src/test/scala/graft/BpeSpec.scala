@@ -48,6 +48,30 @@ class BpeSpec extends AnyFunSuite {
       "BPE must not expand beyond character segmentation")
   }
 
+  test("incremental pair counts reproduce the full-recount merge sequence exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val inc = Bpe.train(docs, numMerges = 25)
+    val ref = Bpe.trainRecount(docs, numMerges = 25)
+    assert(inc.pairs == ref.pairs,
+      s"incremental and recount training diverged:\n${inc.pairs}\nvs\n${ref.pairs}")
+  }
+
+  test("round cost is proportional to affected words, not the vocabulary") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val (m, stats) = Bpe.trainWithStats(docs, numMerges = 30)
+    assert(m.pairs.length == 30 && stats.length == 30)
+    val vocabWords = Bpe.wordFrequencies(docs).count()
+    // every round's work set is the words containing the merged pair; past
+    // the first few ultra-common pairs that must be a small fraction of
+    // the vocabulary — the old loop re-exploded ALL of it every round
+    val later = stats.drop(5)
+    assert(later.forall(_.affectedWords < vocabWords),
+      s"affected must never reach the full vocab: $stats")
+    assert(later.map(_.affectedWords).sum < vocabWords * later.length / 2,
+      s"mean affected fraction must stay well under the vocabulary: " +
+        s"${later.map(_.affectedWords)} of $vocabWords words")
+  }
+
   test("native encode equals a scalar replay of the merge table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
     val m = Bpe.train(docs, numMerges = 15)
