@@ -581,10 +581,11 @@ object LakeQueries {
           }.size
           require(nShuffles == 0,
             s"storage-partitioned join must plan zero shuffles, got $nShuffles:\n$plan")
-          // materialize before the confs are restored below
-          val rows = joined.collect()
-          s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), joined.schema)
-            .orderBy("o_orderkey")
+          // materialize distributed (a parquet write under the SPJ confs)
+          // before they are restored below — never through the driver
+          val out = freshDir(s"bkt_out_${d.replaceAll("[^a-z0-9.]", "_")}")
+          joined.write.mode("overwrite").parquet(out)
+          s.read.parquet(out).orderBy("o_orderkey")
         } finally saved.foreach {
           case (k, Some(v)) => s.conf.set(k, v)
           case (k, None) => s.conf.unset(k)
@@ -595,6 +596,40 @@ object LakeQueries {
         |FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey
         |WHERE b.o_orderkey % 2 = 0
         |ORDER BY a.o_orderkey""".stripMargin)),
+
+    // SQL CDF: the Delta `table_changes('t', since)` TVF over the change
+    // feed — v1 deletes every 9th key (sparing future updates), v2 upserts
+    // the churn, and the whole (0, latest] window reads back in one SQL
+    // statement: post-images tagged insert/update, the deleted keys as
+    // null-data delete rows. The TVF resolves through the same rule
+    // GraftExtensions injects; Verify sessions lack extensions, so the
+    // rule is applied to the parsed plan explicitly (q85 pattern).
+    "q92_table_changes" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"tvf_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        tbl.delete(col("o_orderkey") % 9 === 0 && col("o_orderkey") % 7 =!= 0)
+        tbl.upsert(ordersSource(s, d))
+        val plan = s.sessionState.sqlParser.parsePlan(
+          s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |       _change_type AS change_type
+             |FROM table_changes('$path', 0)
+             |ORDER BY change_type, o_orderkey""".stripMargin)
+        org.apache.spark.sql.GraftExpressionBridge.ofRows(s,
+          graft.sql.ResolveGraftTableChanges(s)(plan))
+      },
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, change_type FROM (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 1.0 AS o_totalprice,
+        |         'update_postimage' AS change_type
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice, 'insert'
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), 'delete'
+        |  FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 7 <> 0)
+        |ORDER BY change_type, o_orderkey""".stripMargin)),
 
     // Convert-in-place: plain parquet dir -> graft table without rewriting
     // a byte, then a keyed upsert over the converted files (touched

@@ -41,6 +41,11 @@ import graft.sources.GraftRelation
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => ResolveGraftMerge)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftTableChanges.NAME),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft", GraftTableChanges.NAME),
+      args => GraftTableChanges.plan(SparkSession.active, args)))
     e.injectOptimizerRule(_ => GraftMetadataOnlyCount)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     graft.functions.GraftFunctions.functions.foreach { case (name, builder) =>

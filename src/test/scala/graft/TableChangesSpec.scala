@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, TableSpec}
+
+/** SQL `table_changes` TVF (Delta CDF parity): the resolution rule injected
+  * by GraftExtensions rewrites `FROM table_changes('t', since[, end])` into
+  * the change-feed read, composable with arbitrary surrounding SQL. */
+class TableChangesSpec extends AnyFunSuite {
+
+  /** Dedicated session so the extension applies (the shared test session
+    * was built without it). Same SparkContext is reused underneath. */
+  lazy val spark: SparkSession = {
+    SparkTestSession.spark // ensure context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = graft.core.GraftSession.tune(
+      SparkSession.builder().master("local[4]").appName("graft-tvf-test"), 4)
+      .withExtensions(new graft.sql.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def mkTable(name: String): (String, LakeTable) = {
+    import spark.implicits._
+    val path = Files.createTempDirectory(s"graft_tvf_$name").toString
+    val base = Seq((1, 10, 100L), (2, 20, 100L), (3, 30, 100L), (4, 40, 100L))
+      .toDF("id", "v", "ts")
+    (path, LakeTable.create(spark, path, TableSpec("id", "ts"), base))
+  }
+
+  test("table_changes('path', since) tags inserts, updates and deletes in SQL") {
+    import spark.implicits._
+    val (path, tbl) = mkTable("full")
+    tbl.delete(col("id") === 3) // v1
+    tbl.upsert(Seq((2, 21, 200L), (9, 90, 200L)).toDF("id", "v", "ts")) // v2
+    val got = spark.sql(
+      s"""SELECT id, v, _change_type FROM table_changes('$path', 0)
+         |ORDER BY _change_type, id""".stripMargin)
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq((3, -1, "delete"), (9, 90, "insert"), (2, 21, "update_postimage")))
+  }
+
+  test("the third argument bounds the window to (since, end]") {
+    import spark.implicits._
+    val (path, tbl) = mkTable("bounded")
+    tbl.upsert(Seq((1, 11, 200L)).toDF("id", "v", "ts")) // v1
+    tbl.upsert(Seq((2, 22, 300L)).toDF("id", "v", "ts")) // v2
+    val got = spark.sql(
+      s"SELECT id, v, _change_type FROM table_changes('$path', 1, 2)")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq((2, 22, "update_postimage")))
+  }
+
+  test("a catalog table name resolves and the feed composes with joins/aggregates") {
+    import spark.implicits._
+    val (path, tbl) = mkTable("compose")
+    tbl.upsert(Seq((1, 11, 200L), (2, 22, 200L), (9, 90, 200L)).toDF("id", "v", "ts"))
+    spark.sql("DROP TABLE IF EXISTS tvf_t")
+    spark.sql(s"CREATE TABLE tvf_t USING graft LOCATION '$path'")
+    val got = spark.sql(
+      """SELECT c._change_type, count(*) AS n, sum(d.v) AS base_v
+        |FROM table_changes('tvf_t', 0) c JOIN tvf_t d ON c.id = d.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("insert", 1L, 90L), ("update_postimage", 2L, 33L)))
+    spark.sql("DROP TABLE tvf_t")
+  }
+
+  test("a timestamp `since` resolves through versionAt; a future one reads nothing") {
+    import spark.implicits._
+    val (path, tbl) = mkTable("ts")
+    tbl.upsert(Seq((1, 11, 200L)).toDF("id", "v", "ts"))
+    val n = spark.sql(
+      s"SELECT * FROM table_changes('$path', TIMESTAMP '2999-01-01 00:00:00')")
+      .count()
+    assert(n == 0L, "a since-timestamp after the last commit must yield an empty feed")
+  }
+
+  test("a non-graft target errors with the statement shape, not a planner crash") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('/no/such/table', 0)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("table_changes"),
+      s"claimed TVF must report its own argument error, got: ${err.getMessage}")
+  }
+}
