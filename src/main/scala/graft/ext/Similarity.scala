@@ -222,10 +222,77 @@ object Similarity {
       codewords: Array[Array[Seq[Double]]], cnormLut: Seq[Double],
       encoded: DataFrame)
 
+  /** Squared-distance argmin code of subspace `j` of `v` against the
+    * codebook: `argmin_c ‖s − c‖²` via the `‖c‖² − 2·s·c` expansion (the
+    * `‖s‖²` term is constant per row). A pure codegen'd literal-chain
+    * expression — zero shuffle, the same shape [[nearestLists]] uses. */
+  private def pqCode(codewords: Array[Array[Seq[Double]]], cnormLut: Seq[Double],
+      sub: Int, ks: Int)(v: Column, j: Int): Column = {
+    val s = slice(v, j * sub + 1, sub)
+    array_min(array((0 until ks).map { cI =>
+      val cw = codewords(j)(cI)
+      struct((lit(cnormLut(j * ks + cI)) - lit(2.0d) * dot(s, array(cw.map(lit): _*)))
+        .as("d"), lit(cI).as("i"))
+    }: _*)).getField("i")
+  }
+
+  private def pqNormLut(codewords: Array[Array[Seq[Double]]], m: Int,
+      ks: Int): Seq[Double] =
+    for (j <- 0 until m; c <- 0 until ks) yield {
+      var acc = 0.0d
+      codewords(j)(c).foreach(y => acc += y * y)
+      acc
+    }
+
+  /** Per-subspace Lloyd refinement of PQ codebooks — the training pass that
+    * turns the md5-sampled seed codewords into centroids of what they
+    * actually encode. One round is one distributed job for ALL m subspaces:
+    * the codegen'd argmin assigns every subspace's code map-side (zero
+    * shuffle), a narrow posexplode keys each element by (subspace, code,
+    * offset), and the groupBy partial-aggregates so the shuffle carries
+    * only m·ks·sub·partitions rows. Means are folded on the driver in
+    * fixed partition order (same determinism discipline as [[ivfTopK]]'s
+    * coarse trainer: shuffle-block arrival order must not leak into FP
+    * low-order bits). A codeword that attracted no sub-vectors keeps its
+    * previous value. */
+  private def lloydCodewords(c0: DataFrame, m: Int, ks: Int, sub: Int,
+      init: Array[Array[Seq[Double]]], iters: Int): Array[Array[Seq[Double]]] = {
+    var cws = init
+    for (_ <- 1 to iters) {
+      val lut = pqNormLut(cws, m, ks)
+      val codes = array((0 until m).map(j => pqCode(cws, lut, sub, ks)(col("cv"), j)): _*)
+      val partials = c0
+        .select(codes.as("codes"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .withColumn("j", (col("pos") / lit(sub)).cast("int"))
+        .withColumn("rel", col("pos") % lit(sub))
+        .withColumn("code", element_at(col("codes"), col("j") + 1))
+        .groupBy(col("j"), col("code"), col("rel"), spark_partition_id().as("pid"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val means = partials
+        .groupBy(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+        .view.mapValues { rows =>
+          val ordered = rows.sortBy(_.getInt(3))
+          var sAcc = 0.0d; var nAcc = 0L
+          ordered.foreach { r => sAcc += r.getDouble(4); nAcc += r.getLong(5) }
+          sAcc / nAcc
+        }.toMap
+      cws = Array.tabulate(m)(j => Array.tabulate(ks) { c =>
+        if (means.contains((j, c, 0))) Seq.tabulate(sub)(rel => means((j, c, rel)))
+        else cws(j)(c)
+      })
+    }
+    cws
+  }
+
   /** Build the PQ index for a corpus: deterministic md5-sampled codebooks,
-    * zero-shuffle literal-chain encoding (see [[pqTopK]]). */
+    * zero-shuffle literal-chain encoding (see [[pqTopK]]). `trainIters > 0`
+    * adds per-subspace Lloyd refinement ([[lloydCodewords]]) — tighter
+    * codebooks, higher raw-ADC recall at the same m/ks; the default 0 keeps
+    * the engine-portable sampled codebooks the q88 oracle reproduces. */
   def pqIndex(corpus: DataFrame, m: Int = 8, ks: Int = 16, seed: Long = 42L,
-      vecCol: String = "embedding", idCol: String = "vec_id"): PqIndex = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      trainIters: Int = 0): PqIndex = {
     import graft.functions.Int8Ops
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"pqIndex: dim $dim not divisible into $m subspaces")
@@ -236,21 +303,13 @@ object Similarity {
         col("neighbor_id").asc)
       .limit(ks).collect().map(_.getSeq[Double](1))
     require(sampled.length == ks, s"pqIndex: corpus smaller than ks=$ks")
-    val codewords: Array[Array[Seq[Double]]] =
+    val seeded: Array[Array[Seq[Double]]] =
       Array.tabulate(m)(j => sampled.map(_.slice(j * sub, j * sub + sub)))
-    val cnormLut: Seq[Double] = for (j <- 0 until m; c <- 0 until ks) yield {
-      var acc = 0.0d
-      codewords(j)(c).foreach(y => acc += y * y)
-      acc
-    }
-    def codeFor(v: Column, j: Int): Column = {
-      val s = slice(v, j * sub + 1, sub)
-      array_min(array((0 until ks).map { cI =>
-        val cw = codewords(j)(cI)
-        struct((lit(cnormLut(j * ks + cI)) - lit(2.0d) * dot(s, array(cw.map(lit): _*)))
-          .as("d"), lit(cI).as("i"))
-      }: _*)).getField("i")
-    }
+    val codewords =
+      if (trainIters <= 0) seeded
+      else lloydCodewords(c0, m, ks, sub, seeded, trainIters)
+    val cnormLut = pqNormLut(codewords, m, ks)
+    val codeFor = pqCode(codewords, cnormLut, sub, ks) _
     val encoded = c0.withColumn("codes",
       Int8Ops.pack(array((0 until m).map(j => codeFor(col("cv"), j)): _*)))
       .select("neighbor_id", "codes")

@@ -757,16 +757,26 @@ object ExtQueries {
         |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
 
-    // Sketch aggregation: HLL++ approximate distinct users per event type
-    // (approximate by nature → rows-only; accuracy bound pinned in ExtSpec).
+    // Sketch aggregation: HLL++ approximate distinct users per event type,
+    // verified numerically — the exact count is hashed against the oracle
+    // and the sketch enters as a boolean error-bound check (HLL++ register
+    // merges are commutative maxes, so the estimate is partition-order
+    // deterministic and the bound is reproducible; the oracle's column is
+    // literal TRUE). rsd=0.02 ⇒ a 10% bound is ≥5 sigma.
     "q60_approx_distinct" -> ((
       (s: SparkSession, d: String) =>
         events(s, d)
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-            count(lit(1)).as("n"))
+          .agg(count_distinct(col("user_id")).as("exact_users"),
+            count(lit(1)).as("n"),
+            (abs(approx_count_distinct(col("user_id"), 0.02).cast("double") /
+              count_distinct(col("user_id")).cast("double") - 1.0) <= 0.1)
+              .as("sketch_ok"))
           .orderBy("event_type"),
-      "")),
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n, TRUE AS sketch_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Distributed BPE tokenizer training + native greedy encode. The merge
     // loop is iterative (not SQL-expressible → rows-only check); BpeSpec

@@ -160,6 +160,24 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("Lloyd-trained PQ codebooks beat the sampled ones on raw ADC recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def adcRecall(idx: Similarity.PqIndex): Double = {
+      val got = Similarity.pqSearch(idx, emb, queries, 10)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val sampled = adcRecall(Similarity.pqIndex(emb))
+    val trained = adcRecall(Similarity.pqIndex(emb, trainIters = 3))
+    assert(trained > sampled,
+      s"trained codebooks must raise raw-ADC recall: sampled=$sampled trained=$trained")
+    // partition-order-pinned means ⇒ the trained index is reproducible
+    val again = adcRecall(Similarity.pqIndex(emb, trainIters = 3))
+    assert(trained == again, "trained pqIndex must be deterministic")
+  }
+
   test("IVF-PQ composed search: recall with rerank, determinism") {
     val queries = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, 10)
