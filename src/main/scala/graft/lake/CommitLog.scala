@@ -56,6 +56,16 @@ case class FileAction(
       * auto-broadcast in joins. 0 = unknown (pre-stats commits). */
     bytes: Long = 0L)
 
+/** Table-level column statistics from `ANALYZE TABLE` — NDV + null count
+  * per analyzed column plus the snapshot row count, persisted on the
+  * analyze commit and surfaced through DSv2 `SupportsReportStatistics`
+  * so Catalyst's cost-based optimizer can estimate join cardinalities
+  * (and hence reorder multi-fact joins). `rows` is the exact live-row
+  * count at analyze time; `ndv` is HLL++-estimated (Spark's own ANALYZE
+  * does the same). */
+case class ColumnStatValues(ndv: Long, nulls: Long)
+case class TableStats(rows: Long, cols: Map[String, ColumnStatValues])
+
 /** A committed version of the table: files added/removed plus metadata.
   * `commitTime` uses Hudi's timeline shape `yyyyMMddHHmmssSSS`
   * (`/root/reference/README.md:352`).
@@ -73,7 +83,10 @@ case class Commit(
     spec: TableSpec,
     add: Seq[FileAction],
     remove: Seq[String],
-    txn: Map[String, Long] = Map.empty)
+    txn: Map[String, Long] = Map.empty,
+    /** Set only on `analyze` commits; readers walk back to the newest
+      * commit carrying stats ([[graft.lake.LakeTable.tableStats]]). */
+    tableStats: Option[TableStats] = None)
 
 /** Another writer claimed this commit version first. Callers rebase: re-read
   * the snapshot, recompute, retry at the next version ([[graft.lake.LakeTable]]
@@ -163,6 +176,14 @@ object CommitLog {
     if (c.txn.nonEmpty) {
       val tx = root.putObject("txn")
       c.txn.foreach { case (app, v) => tx.put(app, v) }
+    }
+    c.tableStats.foreach { ts =>
+      val n = root.putObject("tableStats")
+      n.put("rows", ts.rows)
+      val cols = n.putObject("cols")
+      ts.cols.foreach { case (name, cs) =>
+        val e = cols.putObject(name); e.put("ndv", cs.ndv); e.put("nulls", cs.nulls)
+      }
     }
 
     val target = fileFor(tablePath, c.version)
@@ -323,6 +344,19 @@ object CommitLog {
       val it = root.get("txn").asInstanceOf[ObjectNode].fields()
       while (it.hasNext) { val e = it.next(); txn(e.getKey) = e.getValue.asLong }
     }
+    val tableStats =
+      if (!root.hasNonNull("tableStats")) None
+      else {
+        val n = root.get("tableStats")
+        val cols = scala.collection.mutable.LinkedHashMap.empty[String, ColumnStatValues]
+        val it = n.get("cols").asInstanceOf[ObjectNode].fields()
+        while (it.hasNext) {
+          val e = it.next()
+          cols(e.getKey) = ColumnStatValues(
+            e.getValue.get("ndv").asLong, e.getValue.get("nulls").asLong)
+        }
+        Some(TableStats(n.get("rows").asLong, cols.toMap))
+      }
     Commit(
       version = root.get("version").asLong,
       commitTime = root.get("commitTime").asText,
@@ -331,7 +365,8 @@ object CommitLog {
       spec = spec,
       add = adds.toSeq,
       remove = removes.toSeq,
-      txn = txn.toMap)
+      txn = txn.toMap,
+      tableStats = tableStats)
   }
 
   /** Replay commits 0..version: the live file set (adds minus later

@@ -188,6 +188,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     else ordered(readFiles(skipByStats(live, filters), asOf = asOf), asOf)
   }
 
+  /** [[skipByStats]] for the DSv2 scan builder: plan-time file pruning
+    * from commit-log stats against the pushed V1 filters. */
+  private[graft] def pruneByFilters(actions: Seq[FileAction],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileAction] =
+    skipByStats(actions, filters)
+
   /** Conservative file-level skipping: top-level AND conjuncts only;
     * unknown filter shapes, missing/sentinel stats, non-numeric non-ASCII
     * comparisons all KEEP the file (never wrong, only less pruning). */
@@ -1388,6 +1394,45 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS …`: one
+    * partial-aggregated pass over the snapshot computes the exact row
+    * count plus per-column NDV (HLL++, like Spark's own ANALYZE) and null
+    * counts, committed as a metadata-only `analyze` commit (OCC-safe).
+    * Surfaced through DSv2 statistics so Catalyst's CBO estimates join
+    * cardinalities — the input multi-fact join reordering needs. Default
+    * = every data column; the pass is one job regardless of column count. */
+  def analyze(columns: Seq[String] = Seq.empty): TableStats = retrying {
+    val names = if (columns.nonEmpty) columns else schema.fieldNames.toSeq
+    names.foreach { n =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"ANALYZE: no such column '$n'")
+    }
+    val aggs = names.flatMap { n =>
+      Seq(approx_count_distinct(col(n)).as(s"ndv_$n"),
+        coalesce(sum(when(col(n).isNull, 1L).otherwise(0L)), lit(0L)).as(s"nulls_$n"))
+    }
+    val row = read().agg(count(lit(1)).as("rows"), aggs: _*).head()
+    val cols = names.zipWithIndex.map { case (n, i) =>
+      n -> ColumnStatValues(row.getLong(1 + 2 * i), row.getLong(2 + 2 * i))
+    }.toMap
+    val ts = TableStats(row.getLong(0), cols)
+    writeCommit("analyze", tableStats = Some(ts)) { (_, _) => Seq.empty }
+    ts
+  }
+
+  /** Newest `ANALYZE` stats at-or-before `asOf` (latest by default):
+    * walk the commit tail backwards — reads are memoized, so this is a
+    * handful of cached lookups, not a log replay. */
+  def tableStats(asOf: Option[Long] = None): Option[TableStats] = {
+    var v = asOf.map(a => math.min(a, latestVersion)).getOrElse(latestVersion)
+    while (v >= 0) {
+      val c = CommitLog.read(path, v, conf)
+      if (c.tableStats.isDefined) return c.tableStats
+      v -= 1
+    }
+    None
+  }
+
   /** Drop a named CHECK constraint (metadata-only commit). */
   def dropConstraint(name: String): LakeTable = retrying {
     require(spec.constraints.keys.exists(_.equalsIgnoreCase(name)), s"no constraint $name")
@@ -1528,7 +1573,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * batch racing its duplicate is also suppressed on rebase. */
   private def writeCommit(operation: String, removeAll: Boolean = false,
       newSchema: Option[StructType] = None, txn: Option[(String, Long)] = None,
-      newSpec: Option[TableSpec] = None)(
+      newSpec: Option[TableSpec] = None,
+      tableStats: Option[TableStats] = None)(
       body: (Long, String) => Seq[WriteResult]): LakeTable = {
     val version = latestVersion + 1
     if (version == 0) throw new IllegalStateException("use LakeTable.create")
@@ -1545,7 +1591,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       CommitLog.write(path, Commit(version, commitTime, operation, schemaJson,
         newSpec.getOrElse(spec),
         results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct,
-        txnMap), conf)
+        txnMap, tableStats), conf)
     } catch {
       case c: CommitConflictException =>
         // lost the race: drop ONLY the dirs this attempt itself created —

@@ -159,8 +159,11 @@ private final class DvLookup {
     mutable.HashMap.empty[String, ju.HashMap[String, ju.HashSet[java.lang.Long]]]
 
   def deleted(f: BucketFileDesc): ju.HashSet[java.lang.Long] =
-    if (f.dvFiles.isEmpty) null
-    else cache.getOrElseUpdate(f.dvFiles.mkString("\n"), loadAll(f.dvFiles)).get(f.rel)
+    deleted(f.rel, f.dvFiles)
+
+  def deleted(rel: String, dvFiles: Array[String]): ju.HashSet[java.lang.Long] =
+    if (dvFiles.isEmpty) null
+    else cache.getOrElseUpdate(dvFiles.mkString("\n"), loadAll(dvFiles)).get(rel)
 
   private def loadAll(files: Array[String]): ju.HashMap[String, ju.HashSet[java.lang.Long]] = {
     val out = new ju.HashMap[String, ju.HashSet[java.lang.Long]]()

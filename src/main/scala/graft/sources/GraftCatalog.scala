@@ -324,10 +324,95 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
     filters.filter(f => GraftRelation.toColumnStatic(f).isDefined)
 
   /** Route to the SPJ-capable bucket Batch scan when the snapshot is plain
-    * enough for it to be exact; anything else takes the general V1 path. */
+    * enough for it to be exact; then the general v2 file scan (CoW, no
+    * merge — keeps statistics visible through push-down, see
+    * [[GraftFileScan]]); anything else takes the V1 path. */
   override def build(): Scan = {
-    bucketScan().getOrElse(v1Scan())
+    bucketScan().orElse(fileScan()).getOrElse(v1Scan())
   }
+
+  /** General v2 batch scan for merge-free snapshots: CoW files (+ DVs),
+    * explicit projection, partition/_bucket constants from the dir layout,
+    * plan-time file skipping for the pushed filters. Falls back to V1 for
+    * MoR logs, foreign bases (clone/convert), column mapping, evolved
+    * schemas (old files lack new columns at the parquet level),
+    * `_file_name`, or empty projections. */
+  private def fileScan(): Option[Scan] =
+    try {
+      val spark = SparkSession.active
+      val t = LakeTable.load(spark, path)
+      val spec = t.specAt(asOf)
+      if (spec.columnMap.nonEmpty) return None
+      if (required.isEmpty) return None
+      if (t.commits.filter(c => asOf.forall(c.version <= _))
+        .map(_.schemaJson).distinct.size > 1) return None
+      val live0 = t.liveFiles(asOf)
+      if (live0.isEmpty || live0.exists(a => a.log || a.base.isDefined)) return None
+      val live = t.pruneByFilters(live0, filters.toSeq)
+      val dataSchema = t.schemaAt(asOf)
+      val constCol: Option[String] =
+        spec.partition.orElse(
+          if (spec.buckets > 0) Some(TableSpec.BUCKET_COL) else None)
+      val metaReadable =
+        LakeTable.META_COLS.filterNot(_ == "_file_name").toSet
+      val dataFields = dataSchema.fieldNames.toSet
+      val fileCols: Seq[String] =
+        required.fieldNames.toSeq.filterNot(n => constCol.contains(n))
+      if (!fileCols.forall(n => metaReadable.contains(n) || dataFields.contains(n)))
+        return None
+      // typed per-file constant for the dir-derived column
+      val constType = constCol.map(c => dataSchema(c).dataType)
+      def constOf(v: String): Option[Any] = constType.flatMap {
+        case org.apache.spark.sql.types.IntegerType =>
+          v.toIntOption.map(Integer.valueOf)
+        case org.apache.spark.sql.types.LongType =>
+          v.toLongOption.map(java.lang.Long.valueOf)
+        case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+        case _ => None
+      }
+      val conf = spark.sessionState.newHadoopConf()
+      val dvLists = scala.collection.mutable.HashMap.empty[String, Array[String]]
+      def dvFilesOf(d: String): Array[String] = dvLists.getOrElseUpdate(d, {
+        val root = if (d.startsWith("/")) d else s"${t.dataDir}/$d"
+        val p = new Path(root)
+        p.getFileSystem(conf).listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      })
+      val descs = live.map { a =>
+        val pv: Any = constCol match {
+          case None => null
+          case Some(_) => a.partitionValue.flatMap(constOf).orNull
+        }
+        if (constCol.isDefined && pv == null && a.partitionValue.isDefined)
+          return None // unconvertible partition value type
+        if (constCol.isDefined && a.partitionValue.isEmpty)
+          return None // layout missing the dir value
+        ScanFileDesc(s"${t.dataDir}/${a.path}", a.path, pv,
+          a.dv.map(dvFilesOf).getOrElse(Array.empty))
+      }
+      // bin-pack files into maxPartitionBytes splits from commit-log byte
+      // stats (unknown sizes get their own split)
+      val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Array[ScanFileDesc]]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[ScanFileDesc]
+      var acc = 0L
+      live.zip(descs).foreach { case (a, d) =>
+        val b = if (a.bytes > 0) a.bytes else maxBytes
+        if (cur.nonEmpty && acc + b > maxBytes) {
+          groups += cur.toArray; cur.clear(); acc = 0L
+        }
+        cur += d; acc += b
+      }
+      if (cur.nonEmpty) groups += cur.toArray
+      val fileSchema = StructType(fileCols.map(n =>
+        if (metaReadable.contains(n) && !dataFields.contains(n))
+          StructField(n, StringType)
+        else dataSchema(n)))
+      val fOrd = fileCols.zipWithIndex.toMap
+      val outIdx = required.fieldNames.map(n =>
+        if (constCol.contains(n)) -1 else fOrd(n))
+      Some(new GraftFileScan(path, asOf, groups.toArray, required, fileSchema, outIdx))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def bucketScan(): Option[Scan] =
     try {
@@ -409,21 +494,14 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
 
-    /** Commit-log table stats (bytes + rows) so catalog-table joins get the
-      * same auto-broadcast planning as the path-based V1 relation. */
-    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-      val est: Option[(Long, Long)] =
-        try {
-          val t = LakeTable.load(SparkSession.active, path)
-          Some((t.sizeBytes(asOf), t.liveFileStats._2))
-        } catch { case scala.util.control.NonFatal(_) => None }
-      new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong =
-          est.map(e => java.util.OptionalLong.of(e._1)).getOrElse(java.util.OptionalLong.empty())
-        override def numRows(): java.util.OptionalLong =
-          est.map(e => java.util.OptionalLong.of(e._2)).getOrElse(java.util.OptionalLong.empty())
-      }
-    }
+    /** Commit-log table stats (bytes + rows + ANALYZE column stats) so
+      * catalog-table joins get auto-broadcast and CBO planning. NOTE:
+      * Spark's push-down wraps a `V1Scan` in `V1ScanWrapper`, which hides
+      * this interface from the optimizer — the general v2
+      * [[GraftFileScan]] is the path that actually feeds the CBO; this
+      * report covers direct consumers of the un-pushed relation. */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      GraftScanStats.estimate(path, asOf)
 
     override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
       new BaseRelation with TableScan {
@@ -500,6 +578,52 @@ class GraftWriteBuilder(path: String)
         if (overwriteAll || overwrite) { table.overwrite(aligned); () }
         else { table.upsert(aligned); () }
       }
+    }
+  }
+}
+
+/** Shared v2 statistics report for graft scans: table bytes + row count
+  * from the commit log (auto-broadcast planning) plus, when the table has
+  * been ANALYZEd, per-column NDV/null-count stats — Spark's
+  * `transformV2Stats` folds them into catalyst attribute stats, which is
+  * what lets the CBO estimate join cardinalities and reorder multi-fact
+  * joins. All driver-side commit-log metadata — no file footer is
+  * opened. */
+object GraftScanStats {
+  def estimate(path: String, asOf: Option[Long]): org.apache.spark.sql.connector.read.Statistics = {
+    val t0: Option[LakeTable] =
+      try Some(LakeTable.load(SparkSession.active, path))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val est: Option[(Long, Long)] =
+      try t0.map(t => (t.sizeBytes(asOf), t.liveFileStats._2))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      try t0.flatMap(_.tableStats(asOf)).foreach { ts =>
+        ts.cols.foreach { case (name, cs) =>
+          m.put(Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(cs.ndv)
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(cs.nulls)
+            })
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      m
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        est.map(e => java.util.OptionalLong.of(e._1)).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        est.map(e => java.util.OptionalLong.of(e._2)).getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 }

@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.{util => ju}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** One live data file as the executor-side reader needs it: absolute path,
+  * the commit-log-relative identity DV sidecars key on, the typed
+  * partition-column constant (null when the table is unpartitioned), and
+  * the file's DV sidecar parquet files (listed on the driver at plan
+  * time). */
+case class ScanFileDesc(abs: String, rel: String, partVal: Any,
+    dvFiles: Array[String])
+
+/** General DSv2 batch scan for graft CoW snapshots — the default catalog
+  * read path when no merge is needed (un-bucketed tables, or projections
+  * the bucket scan can't serve). Files are read with Spark's vectorized
+  * parquet reader, deletion-vector'd positions skipped in-stream, columns
+  * projected explicitly, and dir-derived columns (the partition column or
+  * `_bucket`) appended as per-file constants — the same mechanics as
+  * [[GraftBucketScan]] without the bucket contract.
+  *
+  * Being a REAL v2 Batch (not a `V1Scan`) is load-bearing for planning:
+  * Spark wraps `V1Scan` in `V1ScanWrapper` during early scan push-down,
+  * which hides `SupportsReportStatistics` from
+  * `DataSourceV2ScanRelation.computeStats` — so a V1-served table can
+  * never feed row counts or ANALYZE column stats (NDV / null counts) to
+  * the cost-based optimizer. This scan reports them directly, which is
+  * what lets a multi-fact join reorder onto the selective dimension
+  * first. File-level skipping for pushed filters happens at plan time in
+  * the scan builder (commit-log stats), and every filter is re-applied by
+  * Spark above the scan, so partial pruning is always sound.
+  *
+  * Input partitions are files bin-packed to `maxPartitionBytes` using the
+  * commit log's byte stats — no filesystem listing at plan time beyond DV
+  * sidecar dirs. */
+class GraftFileScan(path: String, asOf: Option[Long],
+    groups: Array[Array[ScanFileDesc]], required: StructType,
+    fileSchema: StructType, outIdx: Array[Int])
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics =
+    GraftScanStats.estimate(path, asOf)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.map(g => GraftFileInputPartition(g): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftFileReaderFactory(fileSchema, outIdx)
+}
+
+case class GraftFileInputPartition(files: Array[ScanFileDesc]) extends InputPartition
+
+case class GraftFileReaderFactory(fileSchema: StructType, outIdx: Array[Int])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftFileReader(p.asInstanceOf[GraftFileInputPartition], fileSchema, outIdx)
+}
+
+/** Streams the partition's files through the vectorized reader, skipping
+  * DV'd positions and projecting `outIdx` (−1 = this file's partition
+  * constant) into the output row. */
+private final class GraftFileReader(gp: GraftFileInputPartition,
+    fileSchema: StructType, outIdx: Array[Int])
+  extends PartitionReader[InternalRow] {
+
+  private val cols: ju.List[String] = fileSchema.fieldNames.toSeq.asJava
+  private val fileTypes: Array[DataType] = fileSchema.fields.map(_.dataType)
+  private val out = new GenericInternalRow(outIdx.length)
+  private val files = gp.files.iterator
+  private val dv = new DvLookup
+  private val cursor = new VectorizedFileRows(cols, None)
+  private var partVal: Any = _
+
+  private def fill(row: InternalRow): Unit = {
+    var i = 0
+    while (i < outIdx.length) {
+      val src = outIdx(i)
+      out.update(i, if (src < 0) partVal else row.get(src, fileTypes(src)))
+      i += 1
+    }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (!cursor.hasOpenFile) {
+        if (!files.hasNext) return false
+        val f = files.next()
+        partVal = f.partVal
+        cursor.open(f.abs, dv.deleted(f.rel, f.dvFiles))
+      }
+      if (cursor.next()) { fill(cursor.get()); return true }
+      cursor.close()
+    }
+    false
+  }
+
+  override def get(): InternalRow = out
+
+  override def close(): Unit = cursor.close()
+}

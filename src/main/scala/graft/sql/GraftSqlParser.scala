@@ -86,6 +86,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftCloneCommand(target.trim, source.trim,
         Option(v).map(_.toLong), Option(loc))
     }
+    case ANALYZE_RE(target, cols) => claimOr(sqlText, target) {
+      GraftAnalyzeCommand(target.trim,
+        Option(cols).map(_.split(",").map(stripIdent).toSeq).getOrElse(Seq.empty))
+    }
     case ADD_CONSTRAINT_RE(target, name, check) => claimOr(sqlText, target) {
       GraftAddConstraintCommand(target.trim, name, check.trim)
     }
@@ -133,6 +137,9 @@ object GraftSqlParser {
   private[sql] val CLONE_RE =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$TGT\\s+SHALLOW\\s+CLONE\\s+$TGT""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  private[sql] val ANALYZE_RE =
+    (s"""(?is)\\s*ANALYZE\\s+TABLE\\s+$TGT\\s+COMPUTE\\s+STATISTICS""" +
+      """(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+([^;]+)))?\s*;?\s*""").r
   private[sql] val ADD_CONSTRAINT_RE =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TGT\\s+ADD\\s+CONSTRAINT\\s+(\\w+)""" +
       """\s+CHECK\s*\((.+)\)\s*;?\s*""").r
@@ -236,6 +243,17 @@ case class GraftCloneCommand(target: String, source: String,
     src.cloneTo(new Path(tgtPath).toString, version)
     if (!isPath(target))
       spark.sql(s"CREATE TABLE $target USING graft LOCATION '$tgtPath'")
+    Seq.empty
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL
+  * COLUMNS]` → [[graft.lake.LakeTable.analyze]]: NDV + null counts into
+  * the commit log, feeding CBO join estimation through DSv2 statistics. */
+case class GraftAnalyzeCommand(target: String, columns: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolveTable(spark, target).analyze(columns)
     Seq.empty
   }
 }

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, TableSpec}
+
+/** `ANALYZE TABLE` column statistics: NDV + null counts land in the commit
+  * log and flow through DSv2 `SupportsReportStatistics.columnStats` into
+  * Catalyst attribute stats — which is what the cost-based optimizer needs
+  * to estimate join cardinalities and REORDER a multi-fact join. The
+  * 100 TB story: joining the selective dimension first shrinks the
+  * intermediate from |fact| rows to a few percent of it before the second
+  * join ever runs. */
+class AnalyzeStatsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = graft.core.GraftSession.tune(
+      SparkSession.builder().master("local[4]").appName("graft-analyze-test"), 4)
+      .withExtensions(new graft.sql.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  test("analyze records row count, NDV and null counts in the commit log") {
+    val path = Files.createTempDirectory("graft_analyze").toString
+    val df = (1L to 1000L).map(i =>
+        (i, i % 10, if (i % 4 == 0) null else s"v${i % 25}", 1L))
+      .toDF("id", "grp", "v", "ts")
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"), df)
+    assert(tbl.tableStats().isEmpty, "no stats before ANALYZE")
+    val ts = tbl.analyze()
+    assert(ts.rows == 1000)
+    assert(ts.cols("id").nulls == 0 && ts.cols("v").nulls == 250)
+    // HLL++ NDV: exact at tiny cardinalities, ~5% rsd at larger ones
+    assert(ts.cols("grp").ndv == 10)
+    assert(math.abs(ts.cols("id").ndv - 1000) <= 50,
+      s"id ndv ${ts.cols("id").ndv} too far from 1000")
+    // persisted: a fresh load sees them, and they survive later commits
+    tbl.upsert(Seq((2000L, 0L, "x", 2L)).toDF("id", "grp", "v", "ts"))
+    val reloaded = LakeTable.load(spark, path).tableStats()
+    assert(reloaded.exists(_.cols("grp").ndv == 10))
+  }
+
+  test("ANALYZE TABLE SQL statement targets graft tables, FOR COLUMNS subset") {
+    val path = Files.createTempDirectory("graft_analyze_sql").toString
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
+      (1L to 100L).map(i => (i, i % 5, 1L)).toDF("id", "grp", "ts"))
+    spark.sql(s"ANALYZE TABLE graft.`$path` COMPUTE STATISTICS FOR COLUMNS id, grp")
+    val ts = LakeTable.load(spark, path).tableStats()
+    assert(ts.exists(s => s.cols.keySet == Set("id", "grp") && s.cols("grp").ndv == 5))
+    spark.sql(s"ANALYZE TABLE graft.`$path` COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert(LakeTable.load(spark, path).tableStats().exists(_.cols.contains("ts")))
+  }
+
+  /** Leaf table names under the FIRST (deepest) join of the optimized plan. */
+  private def bottomJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val bottom = joins.last // collect is pre-order; last = deepest
+    bottom.output.map(_.name).toSet
+  }
+
+  test("a 3-table join reorders to the selective dimension under ANALYZE stats") {
+    val cat = "ga"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_analyze_wh").toString)
+    def create(name: String, df: org.apache.spark.sql.DataFrame): LakeTable = {
+      val path = Files.createTempDirectory(s"graft_cbo_$name").toString
+      val t = LakeTable.create(spark, path, TableSpec("id", "ts"), df)
+      spark.sql(s"DROP TABLE IF EXISTS $cat.default.$name")
+      spark.sql(s"CREATE TABLE $cat.default.$name USING graft LOCATION '$path'")
+      t
+    }
+    // fact: every k_m matches medium (FK), only 5% of k_s match small
+    val fact = create("fact", (1L to 20000L).map(i =>
+      (i, i % 2000, i % 1000, s"f$i", 1L)).toDF("id", "k_m", "k_s", "f_tag", "ts"))
+    val medium = create("medium", (0L until 2000L).map(i =>
+      (i, s"m$i", 1L)).toDF("id", "m_tag", "ts"))
+    val small = create("small", (0L until 50L).map(i =>
+      (i, s"s$i", 1L)).toDF("id", "s_tag", "ts"))
+
+    val sql =
+      s"""SELECT f.f_tag, m.m_tag, s.s_tag
+         |FROM $cat.default.fact f
+         |JOIN $cat.default.medium m ON f.k_m = m.id
+         |JOIN $cat.default.small s ON f.k_s = s.id""".stripMargin
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      // CBO off: the written order (fact JOIN medium first) stands
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val before = bottomJoinTables(spark.sql(sql))
+      assert(before.contains("m_tag") && !before.contains("s_tag"),
+        s"without CBO the written join order must stand, bottom=$before")
+
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      Seq(fact, medium, small).foreach(_.analyze())
+      spark.sql(s"REFRESH TABLE $cat.default.fact")
+      spark.sql(s"REFRESH TABLE $cat.default.medium")
+      spark.sql(s"REFRESH TABLE $cat.default.small")
+
+      // with stats: |fact ⋈ small| ≈ 1000 rows vs |fact ⋈ medium| =
+      // 20000 — the selective dimension must join first
+      val df = spark.sql(sql)
+      val after = bottomJoinTables(df)
+      assert(after.contains("s_tag") && !after.contains("m_tag"),
+        s"under CBO + ANALYZE the selective join must run first, bottom=$after")
+      // and the ANALYZE column stats (NDV ≈ 50 on small.id) must be what
+      // the optimizer saw, not just row counts
+      val smallScan = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.output.exists(_.name == "s_tag") => r
+      }.get
+      val idNdv = smallScan.stats.attributeStats.collectFirst {
+        case (a, cs) if a.name == "id" => cs.distinctCount.get.toLong
+      }.get
+      assert(math.abs(idNdv - 50L) <= 5, s"small.id NDV $idNdv must be ~50")
+      // same answer either way: 20000 · (50/1000) matches, 1 medium each
+      assert(df.count() == 1000L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
