@@ -140,6 +140,8 @@ object CommitLog {
     spec.put("mor", c.spec.mor)
     if (c.spec.bloomBitsPerKey > 0) spec.put("bloomBitsPerKey", c.spec.bloomBitsPerKey)
     if (c.spec.buckets > 0) spec.put("buckets", c.spec.buckets)
+    if (c.spec.autoCompactFiles > 0) spec.put("autoCompactFiles", c.spec.autoCompactFiles)
+    if (c.spec.autoCompactLogs > 0) spec.put("autoCompactLogs", c.spec.autoCompactLogs)
     if (c.spec.constraints.nonEmpty) {
       val cons = spec.putObject("constraints")
       c.spec.constraints.foreach { case (name, sql) => cons.put(name, sql) }
@@ -302,6 +304,10 @@ object CommitLog {
       bloomBitsPerKey =
         if (specN.hasNonNull("bloomBitsPerKey")) specN.get("bloomBitsPerKey").asInt else 0,
       buckets = if (specN.hasNonNull("buckets")) specN.get("buckets").asInt else 0,
+      autoCompactFiles =
+        if (specN.hasNonNull("autoCompactFiles")) specN.get("autoCompactFiles").asInt else 0,
+      autoCompactLogs =
+        if (specN.hasNonNull("autoCompactLogs")) specN.get("autoCompactLogs").asInt else 0,
       constraints = {
         val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
         if (specN.hasNonNull("constraints")) {

@@ -1608,7 +1608,37 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         throw c
     }
     CommitLog.maybeCheckpoint(path, version, conf)
+    maybeAutoCompact(operation)
     this
+  }
+
+  /** Data-write operations that may trigger auto-maintenance — maintenance
+    * and metadata commits never re-trigger it (no recursion, no churn). */
+  private val AUTO_COMPACT_TRIGGERS = Set(
+    "upsert", "delete", "update", "overwrite", "overwriteWhere",
+    "overwritePartitions")
+
+  /** Post-commit auto-maintenance ([[TableSpec.autoCompactFiles]] /
+    * [[TableSpec.autoCompactLogs]]): when a data write pushes the live
+    * file count (or MoR outstanding-log count) over its threshold, fold /
+    * concatenate immediately. Best-effort by design: the triggering write
+    * has already committed, so a maintenance failure (e.g. OCC retries
+    * exhausted under heavy concurrency) must never surface as a write
+    * failure — the next write simply re-triggers. Compaction itself runs
+    * through the normal retrying OCC path, so concurrent writers stay
+    * correct: a loser rebases onto the compacted snapshot. */
+  private def maybeAutoCompact(operation: String): Unit = {
+    val s = spec
+    if ((s.autoCompactFiles <= 0 && s.autoCompactLogs <= 0) ||
+      !AUTO_COMPACT_TRIGGERS.contains(operation)) return
+    try {
+      val live = liveFiles(None)
+      val logs = live.count(_.log)
+      val overFiles = s.autoCompactFiles > 0 && live.size > s.autoCompactFiles
+      val overLogs = s.autoCompactLogs > 0 && logs > s.autoCompactLogs
+      if (overLogs || (overFiles && logs > 0)) { compact(); () }
+      else if (overFiles) { optimize(); () }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def claimFile(id: Long): Path = new Path(s"$dataDir/.claims/${WRITE_ID}=$id")

@@ -55,7 +55,17 @@ case class TableSpec(
       * `_bucket` in its keys plans WITHOUT a shuffle on either side
       * (Spark storage-partitioned join). Mutually exclusive with
       * `partition` (buckets ARE the partition layout). */
-    buckets: Int = 0) {
+    buckets: Int = 0,
+    /** Auto-maintenance (Delta auto-OPTIMIZE analog): after any data-write
+      * commit, when the live file count exceeds this, small files are
+      * concatenated (MoR logs folded) automatically — best-effort and
+      * OCC-safe, so a stream of small upserts can never accrete unbounded
+      * file counts without anyone running OPTIMIZE. 0 = off. */
+    autoCompactFiles: Int = 0,
+    /** MoR: fold logs automatically when the outstanding log-file count
+      * exceeds this (bounds read-time merge work under continuous
+      * upserts). 0 = off. */
+    autoCompactLogs: Int = 0) {
 
   /** Physical parquet field name of a logical column. */
   def physical(logical: String): String = columnMap.getOrElse(logical, logical)

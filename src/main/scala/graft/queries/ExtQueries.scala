@@ -757,6 +757,75 @@ object ExtQueries {
         |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
 
+    // Stream-stream LEFT OUTER join (§2.9): like q71 but signups WITHOUT a
+    // purchase in the window also emit (null purchase columns) — the shape
+    // Delta/Flink users reach for in funnel analysis. Outer results only
+    // materialize when the watermark passes a row's eviction bound, so a
+    // far-future sentinel purchase (unmatched — never emitted by a left
+    // join) pushes the final watermark past every signup and the engine's
+    // closing no-data batch flushes the remaining state. Drained with
+    // AvailableNow → output equals the batch LEFT JOIN.
+    "q93_stream_outer_join" -> ((
+      (s: SparkSession, d: String) => {
+        graft.core.GraftSession.ensure(s)
+        val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_oj")
+        val inDir = base.resolve("in")
+        if (!Files.exists(inDir)) Files.createDirectories(inDir)
+        Files.copy(Paths.get(d, "events.parquet"), inDir.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val evb = s.read.parquet(s"$d/events.parquet")
+        val sch = evb.schema
+        val maxTs = evb.agg(max("ts")).head().getLong(0)
+        // one far-future signup AND purchase: the global watermark is the
+        // MIN across both sides' watermark operators, so both must advance
+        // past every real event for the final flush to cover everything
+        val sentBase = evb.limit(1)
+          .withColumn("event_id", lit(-1L).cast(sch("event_id").dataType))
+          .withColumn("user_id", lit(-1L).cast(sch("user_id").dataType))
+          .withColumn("ts",
+            (lit(maxTs) + lit(30L * 24 * 3600) * lit(1000000000L)).cast(sch("ts").dataType))
+        val sentinel = sentBase.withColumn("event_type", lit("signup"))
+          .unionByName(sentBase.withColumn("event_type", lit("purchase")))
+        val sentDir = base.resolve("sent")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+        val sentPart = Files.list(sentDir).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.copy(sentPart, inDir.resolve("zz_sentinel.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val ev = s.readStream.schema(sch).parquet(inDir.toString)
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        val signup = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"), col("ts_t").as("s_ts"))
+          .withWatermark("s_ts", "1 hour")
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts_t").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = signup.join(purchase,
+          col("user_id") === col("p_user") && col("p_ts") > col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        val name = "graft_soj_sink"
+        s.catalog.dropTempView(name)
+        val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .filter(col("user_id") >= 0) // drop the sentinel if it ever flushes
+          .select(col("user_id"), col("signup_id"), col("purchase_id"),
+            unix_micros(col("p_ts")).as("p_ts"))
+          .orderBy("user_id", "signup_id", "purchase_id")
+      },
+      """SELECT s.user_id AS user_id, s.event_id AS signup_id,
+        |  p.event_id AS purchase_id, epoch_ns(p.ts)//1000 AS p_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        |  AND epoch_ns(p.ts)//1000 > epoch_ns(s.ts)//1000
+        |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
+        |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
+
     // Sketch aggregation: HLL++ approximate distinct users per event type,
     // verified numerically — the exact count is hashed against the oracle
     // and the sketch enters as a boolean error-bound check (HLL++ register

@@ -27,7 +27,10 @@ import graft.lake.LakeTable
   *
   * `startingVersion` (default -1 = include everything from version 0, like
   * Delta's full-snapshot-then-tail default; `latest` = only commits after
-  * stream start) bounds the first batch.
+  * stream start) bounds the first batch. `startingTimestamp` (epoch millis
+  * or ISO/SQL string) is the Delta analog resolved against the commit
+  * timeline: every commit stamped at-or-after the instant is included.
+  * When both are given, `startingVersion` wins.
   *
   * `changes=true` (alias `readChangeFeed`, Delta's streaming CDF): each
   * batch is `LakeTable.changes(start, end]` instead — rows carry
@@ -48,7 +51,17 @@ class GraftStreamSource(ctx: SQLContext, path: String,
     parameters.get("startingVersion").map {
       case v if v.equalsIgnoreCase("latest") => table.latestVersion
       case v => v.toLong
-    }.getOrElse(-1L)
+    }.orElse(parameters.get("startingTimestamp").map { raw =>
+      // Delta's startingTimestamp: include every commit stamped AT or
+      // AFTER the instant. The offset window is exclusive at the start,
+      // so resolve to the newest commit strictly BEFORE it (−1 = none:
+      // the whole history qualifies). Accepts epoch millis or an ISO/SQL
+      // timestamp string, like TIMESTAMP AS OF.
+      val ms = LakeTable.parseUserTimestamp(raw)
+      table.commits
+        .filter(c => LakeTable.commitTimeMillis(c.commitTime) < ms)
+        .map(_.version).maxOption.getOrElse(-1L)
+    }).getOrElse(-1L)
 
   /** Admission control (Delta's maxFilesPerTrigger / Hudi read limits):
     * bound each micro-batch to at most this many newly-added files /

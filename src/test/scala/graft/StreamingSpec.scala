@@ -170,6 +170,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("graft streaming source honors startingTimestamp (commit-timeline resolved)") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_ts").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a")).toDF("k", "pc", "v")) // v0
+    t.upsert(Seq((2, 1L, "b")).toDF("k", "pc", "v")) // v1
+    // instant strictly between v1 and v2 — only v2+ commits qualify
+    val v1Time = graft.lake.LakeTable.commitTimeMillis(
+      t.commits.find(_.version == 1).get.commitTime)
+    Thread.sleep(5)
+    t.upsert(Seq((3, 1L, "c")).toDF("k", "pc", "v")) // v2
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", (v1Time + 1).toString).load(path)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("k", "v").collect()
+          .map(r => (r.getInt(0), r.getString(1))) }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == Set((3, "c")),
+        s"only commits at-or-after the timestamp must stream, got $got")
+    } finally q.stop()
+    // a timestamp before the table's creation streams the full history
+    val all = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q2 = spark.readStream.format("graft")
+      .option("startingTimestamp", "2000-01-01 00:00:00").load(path)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        all.synchronized { all ++= df.select("k").collect().map(_.getInt(0)) }
+        ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      assert(all.synchronized(all.toSet) == Set(1, 2, 3))
+    } finally q2.stop()
+  }
+
   test("islands sessionization equals native session_window") {
     val islands = SparkEntry.queries("q47_sessionize")(spark, sf)
       .select("user_id", "n_events").collect()
