@@ -222,6 +222,40 @@ object Similarity {
       codewords: Array[Array[Seq[Double]]], cnormLut: Seq[Double],
       encoded: DataFrame)
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with the
+    * deterministic md5-sampled coarse quantizer (the q39 oracle-portable
+    * assignment — a pure codegen'd argmax over literal centroids, zero
+    * shuffle), then inside each cluster drop every vector whose cosine to
+    * an EARLIER member (id order — first occurrence owns, the same
+    * convention as span dedup) exceeds `threshold`. Returns the kept
+    * `(vec_id, cid)` rows.
+    *
+    * The scale story is the SemDeDup paper's: near-duplicate pairs are
+    * only sought WITHIN a cluster, so the pairwise work is
+    * Σ cluster_size² instead of corpus² — one hash shuffle on the cluster
+    * id co-locates each cluster, and everything before it is map-side.
+    * Every FP reduction is order-pinned (sequential dot folds), so the
+    * keep set is bit-reproducible and DuckDB-replayable. */
+  def semanticDedup(corpus: DataFrame, numClusters: Int = 16,
+      threshold: Double = 0.99, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", normSq(col("cv")))
+    val cents = sampleCentroids(
+      c0.select(col("vec_id").as("neighbor_id"), col("cv")), numClusters, seed)
+    require(cents.nonEmpty, "semanticDedup: empty corpus")
+    val assigned = c0.withColumn("cid",
+      nearestLists(cents)(col("cv"), col("cn"), 1).getItem(0).getField("cid"))
+    val earlier = assigned.select(col("cid"), col("vec_id").as("b_id"),
+      col("cv").as("b_cv"), col("cn").as("b_cn"))
+    val dropped = assigned.join(earlier, Seq("cid"))
+      .filter(col("b_id") < col("vec_id"))
+      .filter(cosinePre(dot(col("cv"), col("b_cv")), col("cn"), col("b_cn")) >
+        lit(threshold))
+      .select("vec_id").distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti").select("vec_id", "cid")
+  }
+
   /** Squared-distance argmin code of subspace `j` of `v` against the
     * codebook: `argmin_c ‖s − c‖²` via the `‖c‖² − 2·s·c` expansion (the
     * `‖s‖²` term is constant per row). A pure codegen'd literal-chain

@@ -826,6 +826,42 @@ object ExtQueries {
         |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
 
+    // SemDeDup semantic deduplication: md5-sampled cluster assignment (the
+    // q39-portable argmax), then within-cluster first-occurrence-owns
+    // pruning of near-duplicates (cosine > 0.99 to an earlier member).
+    // Planted exact copies (vec_id + 100000) must all drop; genuine
+    // near-dups among the random embeddings drop identically on both
+    // engines because every cosine is an order-pinned FP fold.
+    "q94_semantic_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val planted = emb.filter(col("vec_id") < 50)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+        Similarity.semanticDedup(emb.unionByName(planted),
+          numClusters = 16, threshold = 0.99)
+          .orderBy("vec_id")
+      },
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (SELECT * FROM v0 UNION ALL
+        |      SELECT vec_id + 100000, e FROM v0 WHERE vec_id < 50),
+        |n AS (SELECT vec_id, e, (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS nsq FROM v),
+        |cent AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM n
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') ASC, vec_id ASC LIMIT 16),
+        |sim AS (SELECT n.vec_id, n.e, n.nsq, cent.cid,
+        |    (SELECT SUM(t.x*t.y) FROM (SELECT UNNEST(n.e) AS x, UNNEST(cent.ce) AS y) t)
+        |      / (sqrt(n.nsq) * sqrt(cent.cn)) AS csim
+        |  FROM n CROSS JOIN cent),
+        |assign AS (SELECT vec_id, e, nsq, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM sim) WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT a.vec_id FROM assign a JOIN assign b
+        |  ON a.cid = b.cid AND b.vec_id < a.vec_id
+        |  AND (SELECT SUM(t.x*t.y) FROM (SELECT UNNEST(a.e) AS x, UNNEST(b.e) AS y) t)
+        |      / (sqrt(a.nsq) * sqrt(b.nsq)) > 0.99)
+        |SELECT a.vec_id, a.cid FROM assign a
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY a.vec_id""".stripMargin)),
+
     // Sketch aggregation: HLL++ approximate distinct users per event type,
     // verified numerically — the exact count is hashed against the oracle
     // and the sketch enters as a boolean error-bound check (HLL++ register

@@ -68,12 +68,20 @@ case class BucketMergeSpec(keyOrd: Int, keyType: DataType,
   * Only shallow-clone / converted-in-place snapshots (foreign base dirs)
   * and column-mapped tables still fall back to the general V1 path.
   */
-class GraftBucketScan(numBuckets: Int,
+class GraftBucketScan(path: String, asOf: Option[Long], numBuckets: Int,
     filesByBucket: Map[Int, Seq[BucketFileDesc]], required: StructType,
     fileSchema: StructType, outIdx: Array[Int], merge: Option[BucketMergeSpec])
-  extends Scan with Batch with SupportsReportPartitioning {
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Commit-log table + ANALYZE column stats (see [[GraftScanStats]]) —
+    * bucketed fact tables feed the CBO the same way the general file
+    * scan does, so a bucketed multi-fact join still reorders onto the
+    * selective dimension. */
+  override def estimateStatistics(): Statistics =
+    GraftScanStats.estimate(path, asOf)
 
   override def toBatch: Batch = this
 

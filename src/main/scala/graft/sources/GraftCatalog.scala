@@ -332,11 +332,11 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
   }
 
   /** General v2 batch scan for merge-free snapshots: CoW files (+ DVs),
-    * explicit projection, partition/_bucket constants from the dir layout,
-    * plan-time file skipping for the pushed filters. Falls back to V1 for
-    * MoR logs, foreign bases (clone/convert), column mapping, evolved
-    * schemas (old files lack new columns at the parquet level),
-    * `_file_name`, or empty projections. */
+    * explicit projection, partition/_bucket/_file_name constants from the
+    * layout, plan-time file skipping for the pushed filters. Falls back to
+    * V1 for MoR logs, foreign bases (clone/convert), column mapping,
+    * evolved schemas (old files lack new columns at the parquet level), or
+    * empty projections. */
   private def fileScan(): Option[Scan] =
     try {
       val spark = SparkSession.active
@@ -356,8 +356,8 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
       val metaReadable =
         LakeTable.META_COLS.filterNot(_ == "_file_name").toSet
       val dataFields = dataSchema.fieldNames.toSet
-      val fileCols: Seq[String] =
-        required.fieldNames.toSeq.filterNot(n => constCol.contains(n))
+      val fileCols: Seq[String] = required.fieldNames.toSeq
+        .filterNot(n => constCol.contains(n) || n == "_file_name")
       if (!fileCols.forall(n => metaReadable.contains(n) || dataFields.contains(n)))
         return None
       // typed per-file constant for the dir-derived column
@@ -410,7 +410,9 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
         else dataSchema(n)))
       val fOrd = fileCols.zipWithIndex.toMap
       val outIdx = required.fieldNames.map(n =>
-        if (constCol.contains(n)) -1 else fOrd(n))
+        if (constCol.contains(n)) GraftFileScan.PART_CONST
+        else if (n == "_file_name") GraftFileScan.FILE_NAME_CONST
+        else fOrd(n))
       Some(new GraftFileScan(path, asOf, groups.toArray, required, fileSchema, outIdx))
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -487,7 +489,8 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
             a.tombstone, a.dv.map(dvFilesOf).getOrElse(Array.empty))
         }
       }
-      Some(new GraftBucketScan(spec.buckets, byBucket, required, fileSchema, outIdx, merge))
+      Some(new GraftBucketScan(path, asOf, spec.buckets, byBucket, required,
+        fileSchema, outIdx, merge))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def v1Scan(): Scan = new V1Scan

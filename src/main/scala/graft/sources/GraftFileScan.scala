@@ -58,6 +58,13 @@ class GraftFileScan(path: String, asOf: Option[Long],
     GraftFileReaderFactory(fileSchema, outIdx)
 }
 
+object GraftFileScan {
+  /** `outIdx` sentinel: emit the file's partition/`_bucket` constant. */
+  val PART_CONST: Int = -1
+  /** `outIdx` sentinel: emit the file's `_file_name`. */
+  val FILE_NAME_CONST: Int = -2
+}
+
 case class GraftFileInputPartition(files: Array[ScanFileDesc]) extends InputPartition
 
 case class GraftFileReaderFactory(fileSchema: StructType, outIdx: Array[Int])
@@ -68,7 +75,7 @@ case class GraftFileReaderFactory(fileSchema: StructType, outIdx: Array[Int])
 
 /** Streams the partition's files through the vectorized reader, skipping
   * DV'd positions and projecting `outIdx` (−1 = this file's partition
-  * constant) into the output row. */
+  * constant, −2 = this file's `_file_name`) into the output row. */
 private final class GraftFileReader(gp: GraftFileInputPartition,
     fileSchema: StructType, outIdx: Array[Int])
   extends PartitionReader[InternalRow] {
@@ -80,12 +87,16 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
   private val dv = new DvLookup
   private val cursor = new VectorizedFileRows(cols, None)
   private var partVal: Any = _
+  private var fileName: Any = _
 
   private def fill(row: InternalRow): Unit = {
     var i = 0
     while (i < outIdx.length) {
       val src = outIdx(i)
-      out.update(i, if (src < 0) partVal else row.get(src, fileTypes(src)))
+      out.update(i,
+        if (src == GraftFileScan.PART_CONST) partVal
+        else if (src == GraftFileScan.FILE_NAME_CONST) fileName
+        else row.get(src, fileTypes(src)))
       i += 1
     }
   }
@@ -96,6 +107,9 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
         if (!files.hasNext) return false
         val f = files.next()
         partVal = f.partVal
+        // the V1 path's `_file_name` shape: the bare file name segment
+        fileName = org.apache.spark.unsafe.types.UTF8String.fromString(
+          f.abs.substring(f.abs.lastIndexOf('/') + 1))
         cursor.open(f.abs, dv.deleted(f.rel, f.dvFiles))
       }
       if (cursor.next()) { fill(cursor.get()); return true }

@@ -61,6 +61,29 @@ class AnalyzeStatsSpec extends AnyFunSuite {
     assert(LakeTable.load(spark, path).tableStats().exists(_.cols.contains("ts")))
   }
 
+  test("SELECT * (with _file_name) stays on the v2 file scan") {
+    val path = Files.createTempDirectory("graft_star").toString
+    LakeTable.create(spark, path, TableSpec("id", "ts"),
+      (1L to 100L).map(i => (i, 1L, s"v$i")).toDF("id", "ts", "v"))
+    val cat = "gstar"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_star_wh").toString)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.default.star")
+    spark.sql(s"CREATE TABLE $cat.default.star USING graft LOCATION '$path'")
+    val df = spark.sql(s"SELECT * FROM $cat.default.star")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.sources.GraftFileScan]),
+      s"SELECT * must plan through the v2 file scan, got ${scans.map(_.getClass)}")
+    val rows = df.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.getAs[String]("_file_name").endsWith(".parquet")),
+      "_file_name must carry the bare file-name segment")
+    assert(rows.forall(_.getAs[String]("_record_key").nonEmpty))
+  }
+
   /** Leaf table names under the FIRST (deepest) join of the optimized plan. */
   private def bottomJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }

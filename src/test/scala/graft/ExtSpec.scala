@@ -160,6 +160,23 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup drops planted scaled copies, keeps originals, deterministic") {
+    import org.apache.spark.sql.functions.expr
+    // ×2 scaling is FP-exact (power of two), so the copy's cosine to every
+    // centroid is bit-identical to the original's: same cluster, cosine 1
+    val planted = emb.unionByName(emb.filter(col("vec_id") < 30)
+      .withColumn("vec_id", col("vec_id") + 500000L)
+      .withColumn("embedding", expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))")))
+    def run(): Set[Long] = Similarity.semanticDedup(planted, numClusters = 16,
+      threshold = 0.99).select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = run()
+    assert((0L until 30L).forall(i => !kept.contains(500000L + i)),
+      "every planted scaled copy must drop (an earlier identical-direction member exists)")
+    assert((0L until 30L).count(kept.contains) > 20,
+      "most originals must survive (random embeddings are rarely near-duplicates)")
+    assert(kept == run(), "semanticDedup must be deterministic")
+  }
+
   test("Lloyd-trained PQ codebooks beat the sampled ones on raw ADC recall") {
     val queries = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, 10)
