@@ -194,6 +194,22 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileAction] =
     skipByStats(actions, filters)
 
+  /** Physical column names present in a live graft-written file: the
+    * declared schema of the commit that wrote it, derived from the file's
+    * `_v=<writeId>/` dir (writeId / WRITE_SLOTS = version). Lets the v2
+    * scan serve ADDITIVELY evolved tables — files older than an added
+    * column simply surface nulls for it. None when the path doesn't carry
+    * a graft write-id (foreign/converted files — not v2-scan candidates). */
+  private[graft] def fileColumns(a: FileAction): Option[Set[String]] = {
+    val head = a.path.takeWhile(_ != '/')
+    if (!head.startsWith(s"$WRITE_ID=")) return None
+    head.drop(WRITE_ID.length + 1).toLongOption.map { wid =>
+      val v = wid / LakeTable.WRITE_SLOTS
+      DataType.fromJson(CommitLog.read(path, v, conf).schemaJson)
+        .asInstanceOf[StructType].fieldNames.toSet
+    }
+  }
+
   /** Conservative file-level skipping: top-level AND conjuncts only;
     * unknown filter shapes, missing/sentinel stats, non-numeric non-ASCII
     * comparisons all KEEP the file (never wrong, only less pruning). */
@@ -936,19 +952,29 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * small files"): rewrite only base files smaller than `smallFileBytes`
     * into consolidated files, leaving right-sized files untouched (compact
     * rewrites everything). MoR log files are left to `compact`. */
-  def optimize(smallFileBytes: Long = 64L * 1024 * 1024): LakeTable = retrying {
+  def optimize(smallFileBytes: Long = 64L * 1024 * 1024,
+      partitionFilter: Option[String => Boolean] = None): LakeTable = retrying {
     val all = liveFiles(None)
     // MoR with outstanding logs: rewriting base files would give them a
     // newer write-id than the logs and flip precombine-TIE resolution at
     // read (log must beat base for equal precombine) — compact instead,
     // which folds the logs and reaches the same small-file goal.
-    if (spec.mor && all.exists(_.log)) return compact()
+    if (spec.mor && all.exists(_.log)) {
+      require(partitionFilter.isEmpty,
+        "partition-scoped OPTIMIZE needs the MoR logs folded first (run compact())")
+      return compact()
+    }
     val fs = new Path(dataDir).getFileSystem(conf)
     // external references (shallow clone / convert) are not concatenation
-    // candidates — compact() is the op that absorbs them into own files
-    val small = all.filterNot(_.log).filter(_.base.isEmpty).filter { a =>
-      fs.getFileStatus(new Path(s"$dataDir/${a.path}")).getLen < smallFileBytes
-    }
+    // candidates — compact() is the op that absorbs them into own files.
+    // A partition filter (Delta `OPTIMIZE t WHERE part = …`) scopes the
+    // concatenation to matching partitions — commit-log metadata only,
+    // nothing outside the named partitions is listed or rewritten.
+    val small = all.filterNot(_.log).filter(_.base.isEmpty)
+      .filter(a => partitionFilter.forall(f => a.partitionValue.exists(f)))
+      .filter { a =>
+        fs.getFileStatus(new Path(s"$dataDir/${a.path}")).getLen < smallFileBytes
+      }
     if (small.size < 2) return this // nothing to concatenate
     writeCommit("optimize") { (writeId, _) =>
       val rows = readFiles(small).drop("_file_name")
@@ -1087,9 +1113,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * committed within that many hours of the latest commit (Delta's
     * `RETAIN n HOURS` knob, the retention operators actually set). Time
     * travel before the horizon stops working — same trade as Delta VACUUM
-    * (`/root/reference/README.md:1240`). */
+    * (`/root/reference/README.md:1240`). `dryRun` (Delta `VACUUM … DRY
+    * RUN`) enumerates without deleting. Returns the table-relative paths
+    * deleted (or, dry, WOULD be deleted) — driver metadata + one listing,
+    * the same work the destructive pass does. */
   def vacuum(retainVersions: Int = 1, retainHours: Option[Double] = None,
-      orphanGraceHours: Double = 1.0): LakeTable = {
+      orphanGraceHours: Double = 1.0, dryRun: Boolean = false): Seq[String] = {
     val latest = latestVersion
     val horizon = retainHours match {
       case Some(h) =>
@@ -1122,6 +1151,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val orphanCutoff = System.currentTimeMillis() - (orphanGraceHours * 3600e3).toLong
     val fs = new Path(dataDir).getFileSystem(conf)
     val root = new Path(dataDir)
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drop(p: Path, rel: String): Unit = {
+      doomed += rel
+      if (!dryRun) { fs.delete(p, false); () }
+    }
     if (fs.exists(root)) {
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
@@ -1137,26 +1171,26 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         if (rel.startsWith(s"$DV_DIR/")) {
           val dvDir = rel.split("/").take(2).mkString("/")
           if (!keepDv.contains(dvDir) && (everDv.contains(dvDir) || stale))
-            fs.delete(f.getPath, false)
+            drop(f.getPath, rel)
         }
         else if (f.getPath.getName.endsWith(".parquet") && !keep.contains(rel)) {
-          if (everAdded.contains(rel) || stale) fs.delete(f.getPath, false)
+          if (everAdded.contains(rel) || stale) drop(f.getPath, rel)
         }
         // bloom sidecar goes with its data file (same in-flight guard)
         else if (rel.startsWith(".blooms/")) {
           val dataRel = rel.stripPrefix(".blooms/").stripSuffix(".bf")
           if (!keep.contains(dataRel) && (everAdded.contains(dataRel) || stale))
-            fs.delete(f.getPath, false)
+            drop(f.getPath, rel)
         }
         // write-id claim markers of dirs that no longer exist
         else if (rel.startsWith(".claims/")) {
           val dir = rel.stripPrefix(".claims/")
           if (!fs.exists(new Path(s"$dataDir/$dir")) && stale)
-            fs.delete(f.getPath, false)
+            drop(f.getPath, rel)
         }
       }
     }
-    this
+    doomed.toSeq
   }
 
   /** Shallow clone (Delta `CREATE TABLE … SHALLOW CLONE` analog): a new

@@ -123,13 +123,14 @@ case class GraftBucketReaderFactory(fileSchema: StructType, required: StructType
   * exact because the reader is unfiltered — every physical row surfaces,
   * in file order, matching the `_metadata.row_index` identity the DV
   * sidecars were keyed on at write. */
-private final class VectorizedFileRows(cols: ju.List[String],
+private final class VectorizedFileRows(defaultCols: ju.List[String],
     appendBucket: Option[(StructType, InternalRow)]) extends AutoCloseable {
   private var r: VectorizedParquetRecordReader = _
   private var dels: ju.HashSet[java.lang.Long] = _
   private var pos = -1L
 
-  def open(path: String, deleted: ju.HashSet[java.lang.Long]): Unit = {
+  def open(path: String, deleted: ju.HashSet[java.lang.Long],
+      cols: ju.List[String] = defaultCols): Unit = {
     close()
     val rd = new VectorizedParquetRecordReader(false, 4096)
     rd.initialize(path, cols)

@@ -333,9 +333,10 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
 
   /** General v2 batch scan for merge-free snapshots: CoW files (+ DVs),
     * explicit projection, partition/_bucket/_file_name constants from the
-    * layout, plan-time file skipping for the pushed filters. Falls back to
-    * V1 for MoR logs, foreign bases (clone/convert), column mapping,
-    * evolved schemas (old files lack new columns at the parquet level), or
+    * layout, plan-time file skipping for the pushed filters, and
+    * additively evolved schemas (per-file column presence from the commit
+    * log; older files surface nulls for later columns). Falls back to V1
+    * for MoR logs, foreign bases (clone/convert), column mapping, or
     * empty projections. */
   private def fileScan(): Option[Scan] =
     try {
@@ -344,8 +345,6 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
       val spec = t.specAt(asOf)
       if (spec.columnMap.nonEmpty) return None
       if (required.isEmpty) return None
-      if (t.commits.filter(c => asOf.forall(c.version <= _))
-        .map(_.schemaJson).distinct.size > 1) return None
       val live0 = t.liveFiles(asOf)
       if (live0.isEmpty || live0.exists(a => a.log || a.base.isDefined)) return None
       val live = t.pruneByFilters(live0, filters.toSeq)
@@ -378,6 +377,12 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
         p.getFileSystem(conf).listStatus(p).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
       })
+      // additive schema evolution: files older than an added column carry
+      // a subset of today's columns — known per file from the commit log
+      // (the file's write-id dir names its commit), no footer opened. Meta
+      // columns predate every evolution; only data columns can be absent.
+      val evolved = t.commits.filter(c => asOf.forall(c.version <= _))
+        .map(_.schemaJson).distinct.size > 1
       val descs = live.map { a =>
         val pv: Any = constCol match {
           case None => null
@@ -387,8 +392,17 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
           return None // unconvertible partition value type
         if (constCol.isDefined && a.partitionValue.isEmpty)
           return None // layout missing the dir value
+        val present: Array[Boolean] =
+          if (!evolved) null
+          else t.fileColumns(a) match {
+            case None => return None // no write-id dir: not a v2 candidate
+            case Some(has) =>
+              val p = fileCols.map(n =>
+                metaReadable.contains(n) || has.contains(n)).toArray
+              if (p.forall(identity)) null else p
+          }
         ScanFileDesc(s"${t.dataDir}/${a.path}", a.path, pv,
-          a.dv.map(dvFilesOf).getOrElse(Array.empty))
+          a.dv.map(dvFilesOf).getOrElse(Array.empty), present)
       }
       // bin-pack files into maxPartitionBytes splits from commit-log byte
       // stats (unknown sizes get their own split)

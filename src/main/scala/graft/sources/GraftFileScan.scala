@@ -11,11 +11,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** One live data file as the executor-side reader needs it: absolute path,
   * the commit-log-relative identity DV sidecars key on, the typed
-  * partition-column constant (null when the table is unpartitioned), and
-  * the file's DV sidecar parquet files (listed on the driver at plan
-  * time). */
+  * partition-column constant (null when the table is unpartitioned), the
+  * file's DV sidecar parquet files (listed on the driver at plan time),
+  * and — for additively evolved tables — which of the scan's file columns
+  * are physically present in THIS file (`null` = all of them, the common
+  * case; a file older than an added column surfaces nulls for it). */
 case class ScanFileDesc(abs: String, rel: String, partVal: Any,
-    dvFiles: Array[String])
+    dvFiles: Array[String], present: Array[Boolean] = null)
 
 /** General DSv2 batch scan for graft CoW snapshots — the default catalog
   * read path when no merge is needed (un-bucketed tables, or projections
@@ -88,6 +90,10 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
   private val cursor = new VectorizedFileRows(cols, None)
   private var partVal: Any = _
   private var fileName: Any = _
+  /** fileSchema index → position in THIS file's read list, −1 = absent
+    * (emit null). Identity when the file carries every column. */
+  private var srcPos: Array[Int] = Array.tabulate(fileSchema.length)(identity)
+  private val identityPos = srcPos
 
   private def fill(row: InternalRow): Unit = {
     var i = 0
@@ -96,7 +102,10 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
       out.update(i,
         if (src == GraftFileScan.PART_CONST) partVal
         else if (src == GraftFileScan.FILE_NAME_CONST) fileName
-        else row.get(src, fileTypes(src)))
+        else {
+          val p = srcPos(src)
+          if (p < 0) null else row.get(p, fileTypes(src))
+        })
       i += 1
     }
   }
@@ -110,7 +119,24 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
         // the V1 path's `_file_name` shape: the bare file name segment
         fileName = org.apache.spark.unsafe.types.UTF8String.fromString(
           f.abs.substring(f.abs.lastIndexOf('/') + 1))
-        cursor.open(f.abs, dv.deleted(f.rel, f.dvFiles))
+        if (f.present == null) {
+          srcPos = identityPos
+          cursor.open(f.abs, dv.deleted(f.rel, f.dvFiles))
+        } else {
+          // additive evolution: read only the columns this file has, emit
+          // nulls for the rest
+          val names = fileSchema.fieldNames
+          val subset = new ju.ArrayList[String](names.length)
+          srcPos = new Array[Int](names.length)
+          var j = 0
+          var k = 0
+          while (j < names.length) {
+            if (f.present(j)) { subset.add(names(j)); srcPos(j) = k; k += 1 }
+            else srcPos(j) = -1
+            j += 1
+          }
+          cursor.open(f.abs, dv.deleted(f.rel, f.dvFiles), subset)
+        }
       }
       if (cursor.next()) { fill(cursor.get()); return true }
       cursor.close()

@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft", GraftTableChanges.NAME),
       args => GraftTableChanges.plan(SparkSession.active, args)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftTableChanges.BY_PATH_NAME),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft", GraftTableChanges.BY_PATH_NAME),
+      args => GraftTableChanges.plan(SparkSession.active, args, byPath = true)))
     e.injectOptimizerRule(_ => GraftMetadataOnlyCount)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     graft.functions.GraftFunctions.functions.foreach { case (name, builder) =>

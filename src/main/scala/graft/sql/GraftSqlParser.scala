@@ -61,13 +61,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OPTIMIZE_RE(target, zcols) => claimOr(sqlText, target) {
+    case OPTIMIZE_RE(target, where, zcols) => claimOr(sqlText, target) {
       GraftOptimizeCommand(target.trim,
-        Option(zcols).map(_.split(",").map(stripIdent).toSeq).getOrElse(Seq.empty))
+        Option(zcols).map(_.split(",").map(stripIdent).toSeq).getOrElse(Seq.empty),
+        Option(where).map(_.trim))
     }
-    case VACUUM_RE(target, hours) => claimOr(sqlText, target) {
+    case VACUUM_RE(target, hours, dry) => claimOr(sqlText, target) {
       GraftVacuumCommand(target.trim,
-        Option(hours).map(_.toDouble).getOrElse(DEFAULT_RETAIN_HOURS))
+        Option(hours).map(_.toDouble).getOrElse(DEFAULT_RETAIN_HOURS),
+        dryRun = dry != null)
     }
     case HISTORY_RE(target) => claimOr(sqlText, target) {
       GraftDescribeHistoryCommand(target.trim)
@@ -76,7 +78,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftDescribeDetailCommand(target.trim)
     }
     case RESTORE_RE(target, v) => claimOr(sqlText, target) {
-      GraftRestoreCommand(target.trim, v.toLong)
+      GraftRestoreCommand(target.trim, Left(v.toLong))
+    }
+    case RESTORE_TS_RE(target, ts) => claimOr(sqlText, target) {
+      GraftRestoreCommand(target.trim, Right(ts))
     }
     case SHOW_PARTS_RE(target) => claimOr(sqlText, target) {
       GraftShowPartitionsCommand(target.trim)
@@ -123,15 +128,19 @@ object GraftSqlParser {
 
   private val TGT = """((?:'[^']+')|(?:graft\.`[^`]+`)|(?:[\w.]+))"""
   private[sql] val OPTIMIZE_RE =
-    (s"""(?is)\\s*OPTIMIZE\\s+$TGT\\s*(?:ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""").r
+    (s"""(?is)\\s*OPTIMIZE\\s+$TGT\\s*(?:WHERE\\s+(.+?))?\\s*""" +
+      """(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private[sql] val VACUUM_RE =
-    (s"""(?is)\\s*VACUUM\\s+$TGT\\s*(?:RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?)?\\s*;?\\s*""").r
+    (s"""(?is)\\s*VACUUM\\s+$TGT\\s*(?:RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?)?""" +
+      """\s*(DRY\s+RUN)?\s*;?\s*""").r
   private[sql] val HISTORY_RE =
     (s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$TGT\\s*;?\\s*""").r
   private[sql] val DETAIL_RE =
     (s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$TGT\\s*;?\\s*""").r
   private[sql] val RESTORE_RE =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$TGT\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""").r
+  private[sql] val RESTORE_TS_RE =
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$TGT\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""").r
   private[sql] val SHOW_PARTS_RE =
     (s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$TGT\\s*;?\\s*""").r
   private[sql] val CLONE_RE =
@@ -167,29 +176,67 @@ object GraftSqlParser {
   }
 }
 
-case class GraftOptimizeCommand(target: String, zorderCols: Seq[String])
+case class GraftOptimizeCommand(target: String, zorderCols: Seq[String],
+    where: Option[String] = None)
     extends LeafRunnableCommand {
+
+  /** Delta-style partition predicate for `OPTIMIZE t WHERE …`: equality or
+    * IN on the table's partition column only (the same restriction Delta
+    * documents) — evaluated against commit-log partitionValue strings, so
+    * scoping is pure metadata. */
+  private def partitionPredicate(t: graft.lake.LakeTable): Option[String => Boolean] =
+    where.map { w =>
+      val part = t.spec.partition.getOrElse(throw new IllegalArgumentException(
+        s"OPTIMIZE … WHERE needs a partitioned table ($target is unpartitioned)"))
+      def lit(s: String): String = s.trim.stripPrefix("'").stripSuffix("'")
+      val Eq = ("""(?is)\s*`?(\w+)`?\s*=\s*('[^']*'|[\w.-]+)\s*""").r
+      val In = ("""(?is)\s*`?(\w+)`?\s+IN\s*\(([^)]+)\)\s*""").r
+      w match {
+        case Eq(c, v) if c.equalsIgnoreCase(part) =>
+          val want = lit(v); pv => pv == want
+        case In(c, vs) if c.equalsIgnoreCase(part) =>
+          val want = vs.split(",").map(lit).toSet; pv => want.contains(pv)
+        case other => throw new IllegalArgumentException(
+          s"OPTIMIZE … WHERE supports `$part = <value>` or `$part IN (…)` " +
+            s"on the partition column only, got: $other")
+      }
+    }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolveTable(spark, target)
     // optimize() itself folds a MoR table's outstanding logs via compact()
-    if (zorderCols.nonEmpty) t.zorder(zorderCols) else t.optimize()
+    if (zorderCols.nonEmpty) {
+      require(where.isEmpty, "OPTIMIZE … WHERE cannot combine with ZORDER BY")
+      t.zorder(zorderCols)
+    } else t.optimize(partitionFilter = partitionPredicate(t))
     Seq.empty
   }
 }
 
-case class GraftVacuumCommand(target: String, retainHours: Double)
+case class GraftVacuumCommand(target: String, retainHours: Double,
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(AttributeReference("path", StringType)()) else Seq.empty
+
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolveTable(spark, target)
-      .vacuum(retainHours = Some(retainHours))
-    Seq.empty
+    val doomed = GraftSqlParser.resolveTable(spark, target)
+      .vacuum(retainHours = Some(retainHours), dryRun = dryRun)
+    if (dryRun) doomed.sorted.map(Row(_)) else Seq.empty
   }
 }
 
-case class GraftRestoreCommand(target: String, version: Long)
+/** `RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'` — the
+  * timestamp resolves like time travel (newest commit at-or-before). */
+case class GraftRestoreCommand(target: String, to: Either[Long, String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolveTable(spark, target).restore(version)
+    val t = GraftSqlParser.resolveTable(spark, target)
+    val v = to match {
+      case Left(version) => version
+      case Right(ts) => t.versionAt(graft.lake.LakeTable.parseUserTimestamp(ts))
+    }
+    t.restore(v)
     Seq.empty
   }
 }

@@ -39,11 +39,15 @@ import graft.lake.LakeTable
 object GraftTableChanges {
 
   val NAME = "table_changes"
+  /** Delta's path-addressed twin: the first argument is ALWAYS a table
+    * path, never a catalog name. */
+  val BY_PATH_NAME = "table_changes_by_path"
 
   /** TVF builder: literal args → the CDF read's analyzed plan. Argument
     * errors throw eagerly with the offending statement shape — the function
     * is registry-claimed, so there is no later resolver to defer to. */
-  def plan(session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+  def plan(session: SparkSession, args: Seq[Expression],
+      byPath: Boolean = false): LogicalPlan = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"table_changes(table, since[, end]): $why " +
         s"(got ${args.map(_.sql).mkString("(", ", ", ")")})")
@@ -54,7 +58,7 @@ object GraftTableChanges {
     }
     val name = stringArg(tableArg).getOrElse(
       fail("the first argument must be a table name or path string literal"))
-    val table = loadGraft(session, name).getOrElse(
+    val table = loadGraft(session, name, byPath).getOrElse(
       fail(s"'$name' is not a graft table"))
     val since = versionArg(table, sinceArg).getOrElse(
       fail("`since` must be a version number or timestamp literal"))
@@ -83,10 +87,11 @@ object GraftTableChanges {
   }
 
   /** The target resolves only when it IS a graft table: a path-shaped
-    * string loads directly, a bare identifier goes through the session
-    * catalog's provider check. */
-  private def loadGraft(session: SparkSession, name: String): Option[LakeTable] = {
-    val target = if (name.contains("/")) s"'$name'" else name
+    * string (or any string via the by-path function) loads directly, a
+    * bare identifier goes through the session catalog's provider check. */
+  private def loadGraft(session: SparkSession, name: String,
+      byPath: Boolean): Option[LakeTable] = {
+    val target = if (byPath || name.contains("/")) s"'$name'" else name
     Try(GraftSqlParser.resolveTable(session, target)).toOption
   }
 }
@@ -100,5 +105,9 @@ case class ResolveGraftTableChanges(session: SparkSession) extends Rule[LogicalP
     case u: UnresolvedTableValuedFunction
         if u.name.length == 1 && u.name.head.equalsIgnoreCase(GraftTableChanges.NAME) =>
       GraftTableChanges.plan(session, u.functionArgs)
+    case u: UnresolvedTableValuedFunction
+        if u.name.length == 1 &&
+          u.name.head.equalsIgnoreCase(GraftTableChanges.BY_PATH_NAME) =>
+      GraftTableChanges.plan(session, u.functionArgs, byPath = true)
   }
 }

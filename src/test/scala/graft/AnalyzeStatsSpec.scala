@@ -84,6 +84,32 @@ class AnalyzeStatsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("_record_key").nonEmpty))
   }
 
+  test("additively evolved tables stay on the v2 scan; old files surface nulls") {
+    val path = Files.createTempDirectory("graft_evo").toString
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
+      (1L to 50L).map(i => (i, 1L, s"v$i")).toDF("id", "ts", "v"))
+    tbl.addColumns(Seq(org.apache.spark.sql.types.StructField("extra",
+      org.apache.spark.sql.types.LongType)))
+    tbl.upsert(Seq((100L, 2L, "new", 7L)).toDF("id", "ts", "v", "extra"))
+    val cat = "gevo"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_evo_wh").toString)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.default.evo")
+    spark.sql(s"CREATE TABLE $cat.default.evo USING graft LOCATION '$path'")
+    val df = spark.sql(s"SELECT id, v, extra FROM $cat.default.evo")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.sources.GraftFileScan]),
+      s"evolved snapshot must stay on the v2 scan, got ${scans.map(_.getClass)}")
+    val rows = df.collect()
+    assert(rows.length == 51)
+    assert(rows.filter(_.getLong(0) <= 50L).forall(_.isNullAt(2)),
+      "pre-evolution rows must surface null for the added column")
+    assert(rows.find(_.getLong(0) == 100L).exists(_.getLong(2) == 7L))
+  }
+
   /** Leaf table names under the FIRST (deepest) join of the optimized plan. */
   private def bottomJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, TableSpec}
+
+/** Round-4 Delta-parity maintenance SQL: `VACUUM … DRY RUN`,
+  * `RESTORE … TO TIMESTAMP AS OF`, partition-scoped `OPTIMIZE … WHERE`,
+  * and the path-addressed `table_changes_by_path` TVF. */
+class MaintenanceSqlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = graft.core.GraftSession.tune(
+      SparkSession.builder().master("local[4]").appName("graft-maint-test"), 4)
+      .withExtensions(new graft.sql.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  test("VACUUM DRY RUN lists deletable files without deleting them") {
+    val path = Files.createTempDirectory("graft_vac_dry").toString
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
+      (1L to 100L).map(i => (i, 1L, s"v$i")).toDF("id", "ts", "v"))
+    tbl.overwrite((1L to 100L).map(i => (i, 2L, s"w$i")).toDF("id", "ts", "v"))
+    val dry = spark.sql(s"VACUUM graft.`$path` RETAIN 0 HOURS DRY RUN").collect()
+    assert(dry.nonEmpty, "superseded v0 files must be listed")
+    assert(dry.forall(_.getString(0).endsWith(".parquet")))
+    // nothing deleted: the old version still reads
+    assert(LakeTable.load(spark, path).read(Some(0L)).count() == 100)
+    // the destructive pass then removes exactly the listed set
+    spark.sql(s"VACUUM graft.`$path` RETAIN 0 HOURS")
+    val gone = dry.map(_.getString(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(gone.forall(rel =>
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/data/$rel"))))
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves like time travel") {
+    val path = Files.createTempDirectory("graft_restore_ts").toString
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
+      Seq((1L, 1L, "a")).toDF("id", "ts", "v"))
+    val t0 = tbl.commits.find(_.version == 0).get.commitTime
+    Thread.sleep(5)
+    tbl.upsert(Seq((1L, 2L, "b")).toDF("id", "ts", "v"))
+    // an instant just after commit 0 restores the v0 state
+    val instant = java.time.LocalDateTime
+      .parse(t0, java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS"))
+      .plusNanos(1000000).format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+    spark.sql(s"RESTORE TABLE graft.`$path` TO TIMESTAMP AS OF '$instant'")
+    val v = LakeTable.load(spark, path).read()
+      .filter(col("id") === 1L).select("v").as[String].head()
+    assert(v == "a", "restore must land on the newest commit at-or-before the instant")
+  }
+
+  test("OPTIMIZE WHERE concatenates only the named partition's files") {
+    val path = Files.createTempDirectory("graft_opt_where").toString
+    val spec = TableSpec("id", "ts", partition = Some("p"))
+    val tbl = LakeTable.create(spark, path, spec,
+      (1L to 40L).map(i => (i, 1L, if (i % 2 == 0) "a" else "b")).toDF("id", "ts", "p"))
+    // several small upserts per partition → many small files
+    (1 to 3).foreach { r =>
+      tbl.upsert(Seq((100L + r, r.toLong, "a"), (200L + r, r.toLong, "b"))
+        .toDF("id", "ts", "p"))
+    }
+    def filesOf(pv: String): Int =
+      LakeTable.load(spark, path).liveFiles(None).count(_.partitionValue.contains(pv))
+    val (a0, b0) = (filesOf("a"), filesOf("b"))
+    assert(a0 > 1 && b0 > 1)
+    spark.sql(s"OPTIMIZE graft.`$path` WHERE p = 'a'")
+    assert(filesOf("a") < a0, "partition a must be concatenated")
+    assert(filesOf("b") == b0, "partition b must be untouched")
+    // rows intact
+    assert(LakeTable.load(spark, path).read().count() == 46)
+    // unpartitioned-table and non-partition-column predicates are rejected
+    val err = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`$path` WHERE id = 3")
+    }
+    assert(err.getMessage.contains("partition column"))
+  }
+
+  test("table_changes_by_path addresses the table by location") {
+    val path = Files.createTempDirectory("graft_tvf_path").toString
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
+      Seq((1, 10, 100L)).toDF("id", "v", "ts"))
+    tbl.upsert(Seq((2, 20, 200L)).toDF("id", "v", "ts"))
+    val got = spark.sql(
+      s"SELECT id, _change_type FROM table_changes_by_path('$path', 0)")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((2, "insert")))
+  }
+}
