@@ -119,6 +119,63 @@ object Sampling {
       .drop("_tok", "_h", "_b", "_run")
   }
 
+  /** Domain-mixture sampling (the DoReMi-style remix primitive): draw a
+    * corpus whose token mass follows `weights` per domain — "50% web, 25%
+    * code, 25% books at 1B tokens total". Each domain contributes a
+    * deterministic md5-order token-budget prefix of itself
+    * ([[tokenBudget]]'s rule: a doc is taken iff its running sum STARTS
+    * under the domain's budget), so remixes are reproducible doc-for-doc
+    * and a weight change only grows/shrinks each domain's prefix instead
+    * of reshuffling it. Domains outside `weights` are excluded; a domain
+    * smaller than its budget contributes all of itself (the usual
+    * up-weighting caveat applies — log it, don't silently repeat).
+    *
+    * Scale shape: ONE partial-agg pass over (domain × 256 md5 buckets)
+    * drives all per-domain prefix sums (≤ 256·|domains| rows to the
+    * driver); whole buckets pass with a map-side filter and only each
+    * domain's boundary bucket — 1/256th of that domain — runs an exact
+    * window. No global or single-domain-partition window ever exists, so
+    * domain skew (one domain being 90% of the corpus) cannot bottleneck. */
+  def mixture(df: DataFrame, weights: Map[String, Double], totalTokens: Long,
+      domainCol: String = "source", textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture needs positive domain weights")
+    val wsum = weights.values.sum
+    val budgets: Map[String, Long] =
+      weights.map { case (d, w) => d -> (totalTokens * w / wsum).toLong }
+    val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val tagged = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
+      .withColumn("_tok", toks)
+      .withColumn("_h", md5(col(keyCol).cast("string")))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val per = tagged.groupBy(domainCol, "_b").agg(sum(col("_tok")).as("t"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    // per-domain boundary bucket + mass before it (driver prefix sums)
+    val bounds: Map[String, (Int, Long)] = budgets.map { case (d, budget) =>
+      var acc = 0L; var boundary = 256; var before = 0L; var i = 0
+      while (i < 256 && boundary == 256) {
+        val t = per.getOrElse((d, i), 0L)
+        if (acc + t > budget) { boundary = i; before = acc } else acc += t
+        i += 1
+      }
+      d -> (boundary, before)
+    }
+    val boundaryOf = typedLit(bounds.map { case (d, (b, _)) => d -> b })
+    val beforeOf = typedLit(bounds.map { case (d, (_, p)) => d -> p })
+    val budgetOf = typedLit(budgets)
+    val whole = tagged.filter(col("_b") < element_at(boundaryOf, col(domainCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol, "_b").orderBy(col("_h").asc, col(keyCol).asc)
+    val partial = tagged
+      .filter(col("_b") === element_at(boundaryOf, col(domainCol)))
+      .withColumn("_run", sum(col("_tok")).over(w) - col("_tok"))
+      .filter(col("_run") + element_at(beforeOf, col(domainCol)) <
+        element_at(budgetOf, col(domainCol)))
+      .drop("_run")
+    whole.unionByName(partial).drop("_tok", "_h", "_b")
+  }
+
   /** Stratified proportional sample: per-stratum Bernoulli with a fixed
     * seed (stock `sampleBy`) — for class-balanced subsets where exact
     * key-stability is not required. */

@@ -154,6 +154,33 @@ object ExtQueries {
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM r WHERE run < 10000
         |ORDER BY doc_id""".stripMargin)),
 
+    // Domain-mixture sampling (DoReMi-style): each named source contributes
+    // its own deterministic md5-order token-budget prefix, weighted
+    // 50/25/25 over a 2000-token total. Engine runs the skew-free
+    // (domain × 256-bucket) two-phase plan; the oracle is the equivalent
+    // per-domain global running-sum rule. All-integer output: hash-exact.
+    "q95_domain_mixture" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Sampling
+        Sampling.mixture(t(s, d, "documents"),
+          weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+          totalTokens = 2000L)
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+          .orderBy("doc_id")
+      },
+      raw"""WITH d AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |r AS (SELECT doc_id, source, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        |  FROM d)
+        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok FROM r
+        |WHERE run < CASE source WHEN 'src0' THEN 1000 ELSE 500 END
+        |ORDER BY doc_id""".stripMargin)),
+
     // GPT-style sequence packing: concat-and-chunk assignment of every doc
     // to its fixed-length training sequence. The engine runs the 256-bucket
     // two-phase prefix sum (no global window); the oracle is the equivalent

@@ -160,6 +160,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("domain mixture hits each domain's token budget and is deterministic") {
+    import org.apache.spark.sql.functions.{expr, sum => fsum}
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    def run() = graft.ext.Sampling.mixture(docs, weights, totalTokens = 2000L)
+    val got = run()
+      .withColumn("tok", expr(raw"size(split(trim(text), '\\s+'))").cast("long"))
+    val perDomain = got.groupBy("source").agg(fsum("tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDomain.keySet == weights.keySet, "only the weighted domains contribute")
+    // each domain reaches its budget (corpus is big enough) and overshoots
+    // by at most the boundary doc
+    Seq("src0" -> 1000L, "src1" -> 500L, "src2" -> 500L).foreach { case (d, b) =>
+      assert(perDomain(d) >= b, s"$d must reach its budget: ${perDomain(d)} < $b")
+      assert(perDomain(d) < b + 1000, s"$d overshoots by more than one doc")
+    }
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == run().select("doc_id").collect().map(_.getLong(0)).toSet,
+      "mixture must be deterministic")
+  }
+
   test("semantic dedup drops planted scaled copies, keeps originals, deterministic") {
     import org.apache.spark.sql.functions.expr
     // ×2 scaling is FP-exact (power of two), so the copy's cosine to every
