@@ -308,10 +308,12 @@ case class GraftCatalogTable(ident: Identifier, path: String, asOf: Option[Long]
   * the V1 fallback (Spark re-applies every filter on top, so partial
   * conversion is safe — same contract as [[GraftRelation]]). */
 class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -322,6 +324,15 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
 
   override def pushedFilters(): Array[Filter] =
     filters.filter(f => GraftRelation.toColumnStatic(f).isDefined)
+
+  /** Bare-LIMIT push-down (partial — Spark keeps the global limit): only
+    * accepted with no pushed filters, since a residual filter rejecting
+    * rows above the scan would starve the limit of candidates. The v2
+    * file scan turns it into a commit-log row-count file prefix + a
+    * per-task emission cap. */
+  override def pushLimit(n: Int): Boolean =
+    if (filters.nonEmpty) false
+    else { limit = Some(n); true }
 
   /** Route to the SPJ-capable bucket Batch scan when the snapshot is plain
     * enough for it to be exact; then the general v2 file scan (CoW, no
@@ -404,20 +415,7 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
         ScanFileDesc(s"${t.dataDir}/${a.path}", a.path, pv,
           a.dv.map(dvFilesOf).getOrElse(Array.empty), present)
       }
-      // bin-pack files into maxPartitionBytes splits from commit-log byte
-      // stats (unknown sizes get their own split)
       val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
-      val groups = scala.collection.mutable.ArrayBuffer.empty[Array[ScanFileDesc]]
-      val cur = scala.collection.mutable.ArrayBuffer.empty[ScanFileDesc]
-      var acc = 0L
-      live.zip(descs).foreach { case (a, d) =>
-        val b = if (a.bytes > 0) a.bytes else maxBytes
-        if (cur.nonEmpty && acc + b > maxBytes) {
-          groups += cur.toArray; cur.clear(); acc = 0L
-        }
-        cur += d; acc += b
-      }
-      if (cur.nonEmpty) groups += cur.toArray
       val fileSchema = StructType(fileCols.map(n =>
         if (metaReadable.contains(n) && !dataFields.contains(n))
           StructField(n, StringType)
@@ -427,7 +425,19 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
         if (constCol.contains(n)) GraftFileScan.PART_CONST
         else if (n == "_file_name") GraftFileScan.FILE_NAME_CONST
         else fOrd(n))
-      Some(new GraftFileScan(path, asOf, groups.toArray, required, fileSchema, outIdx))
+      // runtime (dynamic) pruning attributes: the partition column (the
+      // classic DPP case) plus declared stats columns (an explicit
+      // data-skipping opt-in) — NOT the record key: declaring it would
+      // bolt runtime-filter subquery machinery onto every keyed equi-join,
+      // whose planning overhead swamps the benefit outside genuinely
+      // selective star joins. RESTRICTED to the scan's own output (Spark
+      // resolves these refs against the pruned projection and errors on
+      // absent names).
+      val requiredNames = required.fieldNames.toSet
+      val filterCols = (spec.partition.toSeq ++ spec.statsColumns)
+        .distinct.filter(requiredNames.contains).toArray
+      Some(new GraftFileScan(path, asOf, live.zip(descs), required, fileSchema,
+        outIdx, maxBytes, limit, filterCols))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def bucketScan(): Option[Scan] =

@@ -4,10 +4,15 @@ import java.{util => ju}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.lake.{FileAction, LakeTable}
 
 /** One live data file as the executor-side reader needs it: absolute path,
   * the commit-log-relative identity DV sidecars key on, the typed
@@ -38,13 +43,32 @@ case class ScanFileDesc(abs: String, rel: String, partVal: Any,
   * the scan builder (commit-log stats), and every filter is re-applied by
   * Spark above the scan, so partial pruning is always sound.
   *
+  * Two more planning hooks the V1 path could never offer:
+  *
+  *  - '''Runtime (dynamic) file pruning''' — `SupportsRuntimeFiltering`
+  *    on the record key, the partition column and every declared stats
+  *    column: when Spark's dynamic-pruning subquery delivers the join
+  *    side's values (the lake analog of dynamic partition pruning), the
+  *    scan re-prunes its file list against commit-log stats BEFORE any
+  *    task launches — a star join touches only the fact files that can
+  *    contain the dimension's keys.
+  *  - '''Limit push-down''' — a bare `LIMIT n` (no residual filters)
+  *    plans a file PREFIX whose commit-log row counts already cover `n`
+  *    and each task stops after `n` emitted rows; `SELECT * FROM t LIMIT
+  *    10` opens one file, not the table. Partial push-down: Spark keeps
+  *    the global limit above.
+  *
   * Input partitions are files bin-packed to `maxPartitionBytes` using the
   * commit log's byte stats — no filesystem listing at plan time beyond DV
   * sidecar dirs. */
 class GraftFileScan(path: String, asOf: Option[Long],
-    groups: Array[Array[ScanFileDesc]], required: StructType,
-    fileSchema: StructType, outIdx: Array[Int])
-  extends Scan with Batch with SupportsReportStatistics {
+    files: Seq[(FileAction, ScanFileDesc)], required: StructType,
+    fileSchema: StructType, outIdx: Array[Int], maxBytes: Long,
+    limit: Option[Int], filterCols: Array[String])
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
+
+  private var current: Seq[(FileAction, ScanFileDesc)] = files
 
   override def readSchema(): StructType = required
 
@@ -53,11 +77,52 @@ class GraftFileScan(path: String, asOf: Option[Long],
   override def estimateStatistics(): Statistics =
     GraftScanStats.estimate(path, asOf)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    groups.map(g => GraftFileInputPartition(g): InputPartition)
+  override def filterAttributes(): Array[NamedReference] =
+    filterCols.map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    try {
+      val t = LakeTable.load(SparkSession.active, path)
+      val kept = t.pruneByFilters(current.map(_._1), filters.toSeq)
+        .map(_.path).toSet
+      current = current.filter { case (a, _) => kept.contains(a.path) }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // bare-LIMIT prefix: stop adding files once the commit-log live-row
+    // counts (physical minus DV'd) already cover the limit — only offered
+    // by the builder when no filter could reject rows above the scan
+    val chosen: Seq[(FileAction, ScanFileDesc)] = limit match {
+      case None => current
+      case Some(n) =>
+        val out = Seq.newBuilder[(FileAction, ScanFileDesc)]
+        var acc = 0L
+        val it = current.iterator
+        while (acc < n && it.hasNext) {
+          val fa = it.next()
+          acc += math.max(0L, fa._1.rows - fa._1.dvRows)
+          out += fa
+        }
+        out.result()
+    }
+    val groups = Seq.newBuilder[Array[ScanFileDesc]]
+    val cur = Seq.newBuilder[ScanFileDesc]
+    var curN = 0
+    var acc = 0L
+    chosen.foreach { case (a, d) =>
+      val b = if (a.bytes > 0) a.bytes else maxBytes
+      if (curN > 0 && acc + b > maxBytes) {
+        groups += cur.result().toArray; cur.clear(); curN = 0; acc = 0L
+      }
+      cur += d; curN += 1; acc += b
+    }
+    if (curN > 0) groups += cur.result().toArray
+    groups.result().map(g => GraftFileInputPartition(g): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftFileReaderFactory(fileSchema, outIdx)
+    GraftFileReaderFactory(fileSchema, outIdx, limit)
 }
 
 object GraftFileScan {
@@ -69,17 +134,20 @@ object GraftFileScan {
 
 case class GraftFileInputPartition(files: Array[ScanFileDesc]) extends InputPartition
 
-case class GraftFileReaderFactory(fileSchema: StructType, outIdx: Array[Int])
+case class GraftFileReaderFactory(fileSchema: StructType, outIdx: Array[Int],
+    limit: Option[Int])
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftFileReader(p.asInstanceOf[GraftFileInputPartition], fileSchema, outIdx)
+    new GraftFileReader(p.asInstanceOf[GraftFileInputPartition], fileSchema,
+      outIdx, limit.map(_.toLong).getOrElse(Long.MaxValue))
 }
 
 /** Streams the partition's files through the vectorized reader, skipping
   * DV'd positions and projecting `outIdx` (−1 = this file's partition
-  * constant, −2 = this file's `_file_name`) into the output row. */
+  * constant, −2 = this file's `_file_name`) into the output row. Emits at
+  * most `rowCap` rows (the pushed per-partition limit). */
 private final class GraftFileReader(gp: GraftFileInputPartition,
-    fileSchema: StructType, outIdx: Array[Int])
+    fileSchema: StructType, outIdx: Array[Int], rowCap: Long)
   extends PartitionReader[InternalRow] {
 
   private val cols: ju.List[String] = fileSchema.fieldNames.toSeq.asJava
@@ -90,6 +158,7 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
   private val cursor = new VectorizedFileRows(cols, None)
   private var partVal: Any = _
   private var fileName: Any = _
+  private var emitted = 0L
   /** fileSchema index → position in THIS file's read list, −1 = absent
     * (emit null). Identity when the file carries every column. */
   private var srcPos: Array[Int] = Array.tabulate(fileSchema.length)(identity)
@@ -111,6 +180,7 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
   }
 
   override def next(): Boolean = {
+    if (emitted >= rowCap) return false
     while (true) {
       if (!cursor.hasOpenFile) {
         if (!files.hasNext) return false
@@ -138,7 +208,7 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
           cursor.open(f.abs, dv.deleted(f.rel, f.dvFiles), subset)
         }
       }
-      if (cursor.next()) { fill(cursor.get()); return true }
+      if (cursor.next()) { fill(cursor.get()); emitted += 1; return true }
       cursor.close()
     }
     false

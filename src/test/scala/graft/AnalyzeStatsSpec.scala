@@ -110,6 +110,67 @@ class AnalyzeStatsSpec extends AnyFunSuite {
     assert(rows.find(_.getLong(0) == 100L).exists(_.getLong(2) == 7L))
   }
 
+  test("bare LIMIT plans a commit-log row-count file prefix") {
+    val path = Files.createTempDirectory("graft_limit").toString
+    LakeTable.create(spark, path, TableSpec("id", "ts"),
+      (1L to 400L).map(i => (i, 1L, s"v$i")).toDF("id", "ts", "v").repartition(8))
+    val cat = "glim"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_limit_wh").toString)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.default.lim")
+    spark.sql(s"CREATE TABLE $cat.default.lim USING graft LOCATION '$path'")
+    val df = spark.sql(s"SELECT id, v FROM $cat.default.lim LIMIT 5")
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get.asInstanceOf[graft.sources.GraftFileScan]
+    val nFiles = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftFileInputPartition].files.length).sum
+    assert(nFiles == 1, s"LIMIT 5 over ~50-row files must open ONE file, got $nFiles")
+    assert(df.collect().length == 5)
+    // a filtered limit must NOT push (the filter rejects rows above the scan)
+    val filtered = spark.sql(
+      s"SELECT id FROM $cat.default.lim WHERE v = 'v399' LIMIT 5")
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(399L))
+  }
+
+  test("runtime filtering re-prunes the file list from commit-log stats") {
+    val path = Files.createTempDirectory("graft_rtf").toString
+    val spec = TableSpec("id", "ts", partition = Some("p"))
+    LakeTable.create(spark, path, spec,
+      (1L to 300L).map(i => (i, 1L, s"p${i % 6}")).toDF("id", "ts", "p"))
+    val cat = "grtf"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_rtf_wh").toString)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.default.fact_rtf")
+    spark.sql(s"CREATE TABLE $cat.default.fact_rtf USING graft LOCATION '$path'")
+    val df = spark.sql(s"SELECT id, p FROM $cat.default.fact_rtf")
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get.asInstanceOf[graft.sources.GraftFileScan]
+    assert(scan.filterAttributes().map(_.describe()).toSet == Set("p"))
+    val before = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftFileInputPartition].files.length).sum
+    // the dynamic-pruning delivery path: Spark hands the dim side's values
+    // as an In filter; the scan re-prunes against commit-log stats
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("p", Array("p1"))))
+    val after = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftFileInputPartition].files.length).sum
+    assert(after < before && after > 0,
+      s"runtime In-filter must shrink the file list: $before -> $after")
+    // and a real DPP-shaped join stays correct end to end
+    val dim = Seq(("p1", "keep")).toDF("p", "tag")
+    dim.createOrReplaceTempView("rtf_dim")
+    val joined = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.default.fact_rtf f
+         |JOIN rtf_dim d ON f.p = d.p""".stripMargin)
+    assert(joined.head().getLong(0) == 50L)
+  }
+
   /** Leaf table names under the FIRST (deepest) join of the optimized plan. */
   private def bottomJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
