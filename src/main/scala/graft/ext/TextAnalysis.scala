@@ -196,6 +196,41 @@ object TextAnalysis {
       .drop("_kept")
   }
 
+  /** Corpus n-gram typicality: how "known" each document's word n-grams
+    * are against the whole corpus — the LM-free quality signal behind
+    * "this page is boilerplate/templated" (high mass of very common
+    * n-grams) and "this page is line noise" (n-grams nobody else uses).
+    * Per doc, all-integer: `n_ngrams` (occurrences), `n_known`
+    * (occurrences whose corpus count ≥ `minCount`), `gram_mass` (sum of
+    * corpus counts over the doc's occurrences). Docs shorter than `n`
+    * words score zeros.
+    *
+    * Scale shape: one explode to (doc, gram) rows (∝ corpus tokens —
+    * inherent), one hash agg for the corpus counts, one hash join back,
+    * one per-doc re-agg. No driver materialization, no windows; the
+    * count table is reused via exchange reuse, never recomputed. */
+  def typicality(df: DataFrame, n: Int = 2, minCount: Long = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "typicality needs n >= 1")
+    val grams = df
+      .withColumn("_w", split(trim(lower(col(textCol))), "\\s+"))
+      .select(col(idCol), explode(expr(
+        s"CASE WHEN size(_w) < $n THEN array() ELSE " +
+          s"transform(sequence(0, size(_w) - $n), " +
+          s"i -> array_join(slice(_w, i + 1, $n), ' ')) END")).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val perDoc = grams.join(counts, Seq("g"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_known"),
+        sum("c").as("gram_mass"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("gram_mass"), lit(0L)).as("gram_mass"))
+  }
+
   /** Column-per-stat spec of [[stats]] (each stat re-derives its own
     * tokenization; cross-checked against the native single-pass expression
     * in TextStatsSpec). */

@@ -853,6 +853,31 @@ object ExtQueries {
         |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
 
+    // Corpus n-gram typicality: per-doc knownness of word bigrams against
+    // the whole corpus (boilerplate = high common-gram mass, noise = grams
+    // nobody else uses). Explode → corpus hash agg → join back → per-doc
+    // re-agg; all-integer output: hash-exact.
+    "q96_ngram_typicality" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.typicality(t(s, d, "documents"), n = 2, minCount = 3)
+          .orderBy("doc_id"),
+      raw"""WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    UNNEST(list_transform(range(1, len(ws)),
+        |      i -> array_to_string(ws[i:i+1], ' '))) AS g FROM w),
+        |counts AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g),
+        |perdoc AS (SELECT doc_id, COUNT(*) AS n_ngrams,
+        |    SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS n_known,
+        |    SUM(c) AS gram_mass
+        |  FROM g JOIN counts USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(COALESCE(p.n_known, 0) AS BIGINT) AS n_known,
+        |  CAST(COALESCE(p.gram_mass, 0) AS BIGINT) AS gram_mass
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // SemDeDup semantic deduplication: md5-sampled cluster assignment (the
     // q39-portable argmax), then within-cluster first-occurrence-owns
     // pruning of near-duplicates (cosine > 0.99 to an earlier member).

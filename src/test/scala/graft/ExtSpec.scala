@@ -160,6 +160,23 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram typicality separates boilerplate from line noise") {
+    import spark.implicits._
+    val planted = docs.select("doc_id", "text").unionByName(Seq(
+      // boilerplate: the same sentence the corpus-common way, repeated
+      (900000L, Seq.fill(20)("the data table row value part").mkString(" ")),
+      // line noise: grams nobody else has
+      (900001L, "zqx9 wvu8 plm7 okn6 ijb5 uhv4 ygc3 tfx2 rdz1 esw0")
+    ).toDF("doc_id", "text"))
+    val t = graft.ext.TextAnalysis.typicality(planted, n = 2, minCount = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (bN, bKnown, bMass) = t(900000L)
+    val (nN, nKnown, _) = t(900001L)
+    assert(bN > 0 && bKnown == bN, "repeated common grams must all be known")
+    assert(bMass > bN, "boilerplate gram mass must exceed its occurrence count")
+    assert(nN == 9 && nKnown == 0, "noise grams must be unknown to the corpus")
+  }
+
   test("domain mixture hits each domain's token budget and is deterministic") {
     import org.apache.spark.sql.functions.{expr, sum => fsum}
     val weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
