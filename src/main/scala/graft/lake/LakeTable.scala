@@ -1467,6 +1467,31 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     None
   }
 
+  /** `ALTER TABLE … SET TBLPROPERTIES` — edit the MUTABLE TableSpec knobs
+    * with a metadata-only commit (OCC-safe): auto-maintenance thresholds,
+    * bloom sizing, stats columns. Identity properties (key, precombine,
+    * partition, buckets, mor) define the table's layout and are rejected.
+    * Unknown properties are rejected loudly — a typo must not silently
+    * no-op a maintenance policy. */
+  def setProperties(props: Map[String, String]): LakeTable = retrying {
+    val next = props.foldLeft(spec) { case (s, (k, v)) =>
+      k.toLowerCase match {
+        case "autocompactfiles" => s.copy(autoCompactFiles = v.toInt)
+        case "autocompactlogs" => s.copy(autoCompactLogs = v.toInt)
+        case "bloombitsperkey" => s.copy(bloomBitsPerKey = v.toInt)
+        case "statscolumns" => s.copy(statsColumns =
+          v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "key" | "precombine" | "partition" | "buckets" | "mor" =>
+          throw new UnsupportedOperationException(
+            s"table property '$k' is identity metadata and cannot be altered")
+        case other => throw new IllegalArgumentException(
+          s"unknown graft table property '$other' (settable: autoCompactFiles, " +
+            "autoCompactLogs, bloomBitsPerKey, statsColumns)")
+      }
+    }
+    writeCommit("setProperties", newSpec = Some(next)) { (_, _) => Seq.empty }
+  }
+
   /** Drop a named CHECK constraint (metadata-only commit). */
   def dropConstraint(name: String): LakeTable = retrying {
     require(spec.constraints.keys.exists(_.equalsIgnoreCase(name)), s"no constraint $name")

@@ -95,6 +95,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftAnalyzeCommand(target.trim,
         Option(cols).map(_.split(",").map(stripIdent).toSeq).getOrElse(Seq.empty))
     }
+    case SET_PROPS_RE(target, kvs) => claimOr(sqlText, target) {
+      GraftSetPropertiesCommand(target.trim, parseProps(kvs))
+    }
     case ADD_CONSTRAINT_RE(target, name, check) => claimOr(sqlText, target) {
       GraftAddConstraintCommand(target.trim, name, check.trim)
     }
@@ -146,6 +149,17 @@ object GraftSqlParser {
   private[sql] val CLONE_RE =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$TGT\\s+SHALLOW\\s+CLONE\\s+$TGT""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  private[sql] val SET_PROPS_RE =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TGT\\s+SET\\s+TBLPROPERTIES\\s*""" +
+      """\(([^)]+)\)\s*;?\s*""").r
+
+  /** `'k' = 'v', k2 = 'v2'` → map (quotes on either side optional). */
+  private[sql] def parseProps(kvs: String): Map[String, String] =
+    kvs.split(",").map { kv =>
+      val Array(k, v) = kv.split("=", 2).map(_.trim.stripPrefix("'").stripSuffix("'"))
+      k -> v
+    }.toMap
+
   private[sql] val ANALYZE_RE =
     (s"""(?is)\\s*ANALYZE\\s+TABLE\\s+$TGT\\s+COMPUTE\\s+STATISTICS""" +
       """(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+([^;]+)))?\s*;?\s*""").r
@@ -301,6 +315,16 @@ case class GraftAnalyzeCommand(target: String, columns: Seq[String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.resolveTable(spark, target).analyze(columns)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES('autoCompactFiles'='8', …)` →
+  * [[graft.lake.LakeTable.setProperties]] (mutable spec knobs only). */
+case class GraftSetPropertiesCommand(target: String, props: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolveTable(spark, target).setProperties(props)
     Seq.empty
   }
 }

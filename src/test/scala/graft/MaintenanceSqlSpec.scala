@@ -87,6 +87,29 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(err.getMessage.contains("partition column"))
   }
 
+  test("SET TBLPROPERTIES turns auto-compaction on for an existing table") {
+    val path = Files.createTempDirectory("graft_props").toString
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
+      (1L to 50L).map(i => (i, 1L, s"v$i")).toDF("id", "ts", "v"))
+    spark.sql(s"ALTER TABLE graft.`$path` SET TBLPROPERTIES('autoCompactFiles' = '4')")
+    assert(LakeTable.load(spark, path).spec.autoCompactFiles == 4)
+    (1 to 8).foreach { r =>
+      LakeTable.load(spark, path)
+        .upsert(Seq((1000L + r, r.toLong, s"n$r")).toDF("id", "ts", "v"))
+    }
+    assert(LakeTable.load(spark, path).liveFiles(None).size <= 4,
+      "the altered policy must bound the file count")
+    // identity properties and typos are rejected loudly
+    val err1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$path` SET TBLPROPERTIES('buckets' = '8')")
+    }
+    assert(err1.getMessage.contains("identity"))
+    val err2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$path` SET TBLPROPERTIES('autoCompactFile' = '4')")
+    }
+    assert(err2.getMessage.contains("unknown"))
+  }
+
   test("table_changes_by_path addresses the table by location") {
     val path = Files.createTempDirectory("graft_tvf_path").toString
     val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
