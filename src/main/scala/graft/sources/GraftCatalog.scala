@@ -309,11 +309,13 @@ case class GraftCatalogTable(ident: Identifier, path: String, asOf: Option[Long]
   * conversion is safe — same contract as [[GraftRelation]]). */
 class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -334,12 +336,74 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
     if (filters.nonEmpty) false
     else { limit = Some(n); true }
 
+  /** DSv2 aggregate push-down: unfiltered, ungrouped `COUNT(*)` /
+    * `MIN(col)` / `MAX(col)` collapse to ONE commit-log metadata row —
+    * zero data files opened, on ANY session (the optimizer-rule variant,
+    * [[graft.sql.GraftMetadataOnlyCount]], needs GraftExtensions; this is
+    * the pure-DSv2 route). Accepted only when metadata answers EXACTLY:
+    * count needs no live MoR logs (DVs stay exact via rows − dvRows);
+    * extremes additionally need no DVs, key/stats-column footer stats on
+    * every file, and a string-round-trippable type. Complete push-down:
+    * Spark consumes the row directly, no re-aggregation. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryAnswer(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryAnswer(agg) match {
+      case some @ Some(_) => aggAnswer = some; true
+      case None => false
+    }
+
+  private def tryAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
+      Option[(StructType, Seq[Any])] =
+    try {
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      if (filters.nonEmpty || limit.isDefined || agg.groupByExpressions().nonEmpty)
+        return None
+      val t = LakeTable.load(SparkSession.active, path)
+      def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+        e match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames.length == 1 =>
+            fullSchema.fields.find(_.name == nr.fieldNames.head)
+          case _ => None
+        }
+      val answered = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          t.exactRowCount(asOf).map(n =>
+            (StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false),
+              n: Any))
+        case m: Min => colOf(m.column).flatMap { f =>
+          graft.sql.GraftMetadataOnlyCount
+            .metaExtreme(t, f.name, f.dataType, isMin = true, asOf)
+            .map(v => (StructField(s"min(${f.name})", f.dataType), v))
+        }
+        case m: Max => colOf(m.column).flatMap { f =>
+          graft.sql.GraftMetadataOnlyCount
+            .metaExtreme(t, f.name, f.dataType, isMin = false, asOf)
+            .map(v => (StructField(s"max(${f.name})", f.dataType), v))
+        }
+        case _ => None
+      }
+      if (answered.exists(_.isEmpty) || answered.isEmpty) None
+      else {
+        val pairs = answered.map(_.get)
+        Some((StructType(pairs.map(_._1)), pairs.map(_._2)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Route to the SPJ-capable bucket Batch scan when the snapshot is plain
     * enough for it to be exact; then the general v2 file scan (CoW, no
     * merge — keeps statistics visible through push-down, see
     * [[GraftFileScan]]); anything else takes the V1 path. */
   override def build(): Scan = {
-    bucketScan().orElse(fileScan()).getOrElse(v1Scan())
+    aggAnswer match {
+      case Some((schema, values)) => new GraftMetaAggScan(schema, values)
+      case None => bucketScan().orElse(fileScan()).getOrElse(v1Scan())
+    }
   }
 
   /** General v2 batch scan for merge-free snapshots: CoW files (+ DVs),
@@ -653,4 +717,39 @@ object GraftScanStats {
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
+}
+
+/** One-row scan carrying a completely pushed-down aggregate answered from
+  * commit-log metadata ([[GraftScanBuilder.pushAggregation]]) — the
+  * executed plan reads this single InternalRow instead of the table. */
+class GraftMetaAggScan(schema: StructType, values: Seq[Any])
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions():
+      Array[org.apache.spark.sql.connector.read.InputPartition] =
+    Array(GraftMetaAggPartition(values))
+  override def createReaderFactory():
+      org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    GraftMetaAggReaderFactory()
+}
+
+case class GraftMetaAggPartition(values: Seq[Any])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+case class GraftMetaAggReaderFactory()
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition):
+      org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val vals = p.asInstanceOf[GraftMetaAggPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+      override def close(): Unit = ()
+    }
 }

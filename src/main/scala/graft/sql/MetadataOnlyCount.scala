@@ -118,16 +118,22 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
       val asOf = resolveAsOf(t)
       traverse(wants) {
         case WantCount => t.exactRowCount(asOf).map(n => n: Any)
-        case WantExtreme(name, dt, isMin) =>
-          t.fileExtremes(name, asOf).flatMap { perFile =>
-            val side = perFile.map(mm => if (isMin) mm._1 else mm._2)
-            traverse(side)(parse(_, dt)).map(_.reduce { (a, b) =>
-              val lt = lessThan(a, b)
-              if (isMin == lt) a else b
-            })
-          }
+        case WantExtreme(name, dt, isMin) => metaExtreme(t, name, dt, isMin, asOf)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Exact commit-log min/max of a stat'd column in Spark's internal form —
+    * None whenever metadata can't answer exactly (shared with the DSv2
+    * aggregate push-down, [[graft.sources.GraftScanBuilder]]). */
+  private[graft] def metaExtreme(t: LakeTable, name: String, dt: DataType,
+      isMin: Boolean, asOf: Option[Long]): Option[Any] =
+    t.fileExtremes(name, asOf).flatMap { perFile =>
+      val side = perFile.map(mm => if (isMin) mm._1 else mm._2)
+      traverse(side)(parse(_, dt)).map(_.reduce { (a, b) =>
+        val lt = lessThan(a, b)
+        if (isMin == lt) a else b
+      })
+    }
 
   /** Parse a FooterStats-rendered value back to Spark's internal form —
     * only for types where the string round-trip is exact. */

@@ -171,6 +171,46 @@ class AnalyzeStatsSpec extends AnyFunSuite {
     assert(joined.head().getLong(0) == 50L)
   }
 
+  test("DSv2 aggregate push-down answers count/min/max from the commit log") {
+    val path = Files.createTempDirectory("graft_aggpd").toString
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
+      (1L to 200L).map(i => (i, 1L, s"v$i")).toDF("id", "ts", "v"))
+    val cat = "gagg"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_aggpd_wh").toString)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.default.agg")
+    spark.sql(s"CREATE TABLE $cat.default.agg USING graft LOCATION '$path'")
+    // isolate the pure-DSv2 route from the injected optimizer rule
+    spark.conf.set("spark.graft.metadataCount.enabled", "false")
+    try {
+      val df = spark.sql(
+        s"SELECT count(*) AS n, min(id) AS mn, max(id) AS mx FROM $cat.default.agg")
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+      }
+      assert(scans.exists(_.isInstanceOf[graft.sources.GraftMetaAggScan]),
+        s"the aggregate must push to a metadata scan, got ${scans.map(_.getClass)}")
+      assert(df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+        Seq((200L, 1L, 200L)))
+      // row-level changes: count stays metadata-exact (rows − dvRows);
+      // extremes are no longer answerable and fall back to a real scan
+      tbl.deleteVectors(col("id") > 150L)
+      spark.sql(s"REFRESH TABLE $cat.default.agg")
+      val counted = spark.sql(s"SELECT count(*) AS n FROM $cat.default.agg")
+      assert(counted.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+      }.exists(_.isInstanceOf[graft.sources.GraftMetaAggScan]))
+      assert(counted.head().getLong(0) == 150L)
+      val mm = spark.sql(s"SELECT max(id) AS mx FROM $cat.default.agg")
+      assert(!mm.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+      }.exists(_.isInstanceOf[graft.sources.GraftMetaAggScan]),
+        "a DV'd extreme must NOT claim metadata exactness")
+      assert(mm.head().getLong(0) == 150L)
+    } finally spark.conf.unset("spark.graft.metadataCount.enabled")
+  }
+
   /** Leaf table names under the FIRST (deepest) join of the optimized plan. */
   private def bottomJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
