@@ -29,6 +29,38 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Incremental cross-snapshot exact dedup: survivors of a NEW `batch`
+    * against a persisted fingerprint index (a graft table keyed on the
+    * content fingerprint) — the production shape of exact dedup, where
+    * each day's crawl dedups against everything ever ingested without
+    * re-reading the corpus.
+    *
+    * Within-batch duplicates keep the smallest id; batch rows whose
+    * fingerprint the index already contains drop. `commit = true` then
+    * upserts the survivors' (fingerprint, id) into the index so the next
+    * batch probes an up-to-date corpus memory — the index is the only
+    * state, and it grows by distinct content, not by corpus reads.
+    *
+    * Scale shape: one hash agg over the batch + [[graft.lake.LakeTable
+    * .containsKeys]] (key-range + bloom-sidecar pruned probe: cost ∝ batch
+    * and its candidate index files, never index size) + one anti-join.
+    * The returned frame carries the batch's columns plus `fingerprint`. */
+  def incrementalDedup(index: graft.lake.LakeTable, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      commit: Boolean = true): DataFrame = {
+    val key = index.spec.key
+    val fp = batch.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    val firstIds = fp.groupBy("fingerprint").agg(min(col(idCol)).as(idCol))
+    val inBatch = fp.join(firstIds, Seq("fingerprint", idCol), "left_semi")
+    val seen = index.containsKeys(fp.select(col("fingerprint").as(key)))
+      .withColumnRenamed(key, "fingerprint")
+    val survivors = inBatch.join(seen, Seq("fingerprint"), "left_anti")
+    if (commit)
+      index.upsert(survivors.select(col("fingerprint").as(key),
+        col(idCol).cast("long").as(index.spec.precombine)))
+    survivors
+  }
+
   // ---- shingles -------------------------------------------------------
 
   /** Distinct word k-shingles per document (native expression — see

@@ -231,6 +231,100 @@ object TextAnalysis {
         coalesce(col("gram_mass"), lit(0L)).as("gram_mass"))
   }
 
+  /** CCNet-style n-gram LM quality scoring with Stupid Backoff (Brants et
+    * al. 2007): train trigram/bigram/unigram counts on `model`, score each
+    * `df` document per token at the longest matching order, backing off
+    * with a 0.4 penalty per unmatched order. Fluent in-domain text scores
+    * high; line noise and out-of-domain text score low — the distributed
+    * analog of the Wikipedia-perplexity filter in CCNet.
+    *
+    * All arithmetic is FIXED-POINT INTEGER: a position's score is the
+    * relative frequency scaled to millionths and floor-divided
+    * (`count*1000000 div ctxCount`), with backoff factors 0.4 → ×400000
+    * and 0.16 → ×160000. No floating point anywhere, so results are
+    * bit-identical across engines, partitionings and plans — which also
+    * makes the whole pipeline DuckDB-oracle-able. Tokens before position 2
+    * score at their longest AVAILABLE order penalty-free (position 0 =
+    * unigram, position 1 = bigram first).
+    *
+    * Output per doc: `n_pos` (scored positions), `hits3/hits2/hits1`
+    * (positions matched at each order), `n_oov` (unigram misses, score 0),
+    * `sb_milli` (sum of position scores in millionths).
+    *
+    * Scale shape: three hash aggs over the exploded model corpus build the
+    * count tables once (∝ model tokens); scoring is one posexplode of the
+    * scored corpus and five hash joins on gram strings (tri, ctx-bigram,
+    * bigram, ctx-unigram, unigram) + one broadcast of the 1-row total —
+    * cost ∝ scored tokens, no windows, no driver materialization. Small
+    * models broadcast automatically via AQE; corpus-sized models shuffle
+    * on the gram key like any dimension join. */
+  def stupidBackoff(model: DataFrame, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def words(d: DataFrame): DataFrame =
+      d.withColumn("_w", split(trim(lower(col(textCol))), "\\s+"))
+    def gramCounts(d: DataFrame, n: Int, gCol: String, cCol: String): DataFrame =
+      d.select(explode(expr(
+          s"CASE WHEN size(_w) < $n THEN array() ELSE " +
+            s"transform(sequence(0, size(_w) - $n), " +
+            s"i -> array_join(slice(_w, i + 1, $n), ' ')) END")).as(gCol))
+        .groupBy(gCol).agg(count(lit(1)).as(cCol))
+
+    val mw = words(model)
+    val uc = gramCounts(mw, 1, "_g1", "_c1")
+    val bc = gramCounts(mw, 2, "_g2", "_c2")
+    val tc = gramCounts(mw, 3, "_g3", "_c3")
+    val tot = mw.select(explode(col("_w")).as("_t"))
+      .agg(count(lit(1)).as("_n")).withColumn("_k", lit(1))
+
+    val pos = words(df).select(col(idCol),
+        posexplode(col("_w")).as(Seq("_p", "_w0")),
+        col("_w"))
+      .withColumn("_w1", when(col("_p") >= 1, expr("element_at(_w, _p)")))
+      .withColumn("_w2", when(col("_p") >= 2, expr("element_at(_w, _p - 1)")))
+      .withColumn("_k", lit(1))
+      .select(col(idCol), col("_p"), col("_w0"), col("_w1"), col("_w2"),
+        col("_k"),
+        when(col("_w2").isNotNull,
+          concat_ws(" ", col("_w2"), col("_w1"), col("_w0"))).as("_g3"),
+        when(col("_w2").isNotNull,
+          concat_ws(" ", col("_w2"), col("_w1"))).as("_gctx"),
+        when(col("_w1").isNotNull,
+          concat_ws(" ", col("_w1"), col("_w0"))).as("_g2"))
+
+    val joined = pos
+      .join(tc, Seq("_g3"), "left")
+      .join(bc.withColumnRenamed("_g2", "_gctx").withColumnRenamed("_c2", "_cctx"),
+        Seq("_gctx"), "left")
+      .join(bc, Seq("_g2"), "left")
+      .join(uc.withColumnRenamed("_g1", "_w1").withColumnRenamed("_c1", "_cu1"),
+        Seq("_w1"), "left")
+      .join(uc.withColumnRenamed("_g1", "_w0"), Seq("_w0"), "left")
+      .join(broadcast(tot), Seq("_k"))
+
+    val s = expr(
+      """CASE
+        |  WHEN _c3 IS NOT NULL THEN _c3 * 1000000L div _cctx
+        |  WHEN _c2 IS NOT NULL AND _p >= 2 THEN _c2 * 400000L div _cu1
+        |  WHEN _c2 IS NOT NULL THEN _c2 * 1000000L div _cu1
+        |  WHEN _c1 IS NOT NULL THEN
+        |    (CASE WHEN _p >= 2 THEN _c1 * 160000L
+        |          WHEN _p = 1 THEN _c1 * 400000L
+        |          ELSE _c1 * 1000000L END) div _n
+        |  ELSE 0L END""".stripMargin)
+
+    joined
+      .withColumn("_s", s)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("_c3").isNotNull, 1L).otherwise(0L)).as("hits3"),
+        sum(when(col("_c3").isNull && col("_c2").isNotNull, 1L).otherwise(0L))
+          .as("hits2"),
+        sum(when(col("_c3").isNull && col("_c2").isNull && col("_c1").isNotNull,
+          1L).otherwise(0L)).as("hits1"),
+        sum(when(col("_c1").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("_s")).as("sb_milli"))
+  }
+
   /** Column-per-stat spec of [[stats]] (each stat re-derives its own
     * tokenization; cross-checked against the native single-pass expression
     * in TextStatsSpec). */

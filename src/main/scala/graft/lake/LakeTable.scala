@@ -296,6 +296,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     ordered(merged, asOf)
   }
 
+  /** Existence probe: the DISTINCT values of `keys`' `spec.key` column
+    * already present in the snapshot — the upsert's pruned detection scan
+    * exposed standalone (the primitive behind incremental cross-snapshot
+    * dedup: "which of these fingerprints has the corpus already seen?").
+    *
+    * CoW snapshots scan only candidate files — partition, key-range and
+    * bloom-sidecar pruning narrow the file set exactly as `upsert` does —
+    * so probe cost scales with the batch and its matching files, never the
+    * table. MoR snapshots with live logs probe through the merged realtime
+    * read instead (a tombstoned key must NOT report as existing). Key-only
+    * semantics: on partitioned tables a key reports existing in ANY
+    * partition. */
+  def containsKeys(keys: DataFrame): DataFrame = {
+    val k = keys.select(col(spec.key)).filter(col(spec.key).isNotNull).distinct()
+    val live = liveFiles(None)
+    val present =
+      if (live.exists(_.log)) realtime().select(col(spec.key))
+      else readFiles(pruneCandidates(live, k)).select(col(spec.key))
+    k.join(present, Seq(spec.key), "left_semi")
+  }
+
   /** Max tombstone write-id per record identity — the one scan of the
     * (churn-bounded) tombstone files a read needs; both its consumers (the
     * contested-key union and the kill filter) reference the same subplan,

@@ -878,6 +878,71 @@ object ExtQueries {
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // CCNet-style Stupid-Backoff LM quality scoring: trigram/bigram/unigram
+    // counts trained on the even-doc_id half of the corpus, every doc scored
+    // per token at the longest matching order with 0.4-per-order backoff.
+    // Fixed-point integer arithmetic end to end (millionths, floor division)
+    // so the oracle replay is hash-exact — no FP anywhere.
+    "q97_lm_quality" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        TextAnalysis.stupidBackoff(docs.filter(col("doc_id") % 2 === 0), docs)
+          .orderBy("doc_id")
+      },
+      raw"""WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+        |m AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+        |u AS (SELECT UNNEST(ws) AS g FROM m),
+        |uc AS (SELECT g, COUNT(*) AS c FROM u GROUP BY g),
+        |tot AS (SELECT COUNT(*) AS n FROM u),
+        |bc AS (SELECT g, COUNT(*) AS c FROM (
+        |    SELECT UNNEST(CASE WHEN len(ws) < 2 THEN [] ELSE
+        |      list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')) END) AS g
+        |    FROM m) GROUP BY g),
+        |tc AS (SELECT g, COUNT(*) AS c FROM (
+        |    SELECT UNNEST(CASE WHEN len(ws) < 3 THEN [] ELSE
+        |      list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) END) AS g
+        |    FROM m) GROUP BY g),
+        |pos AS (SELECT doc_id,
+        |    UNNEST(range(0, len(ws))) AS p,
+        |    UNNEST(ws) AS w0,
+        |    UNNEST(list_transform(range(1, len(ws) + 1),
+        |      i -> CASE WHEN i >= 2 THEN ws[i-1] ELSE NULL END)) AS w1,
+        |    UNNEST(list_transform(range(1, len(ws) + 1),
+        |      i -> CASE WHEN i >= 3 THEN ws[i-2] ELSE NULL END)) AS w2
+        |  FROM w),
+        |j AS (SELECT pos.doc_id, pos.p, tc.c AS c3, bctx.c AS cctx,
+        |    bc2.c AS c2, u1.c AS cu1, u0.c AS c1, tot.n AS n
+        |  FROM pos
+        |  LEFT JOIN tc ON pos.w2 IS NOT NULL
+        |    AND tc.g = pos.w2 || ' ' || pos.w1 || ' ' || pos.w0
+        |  LEFT JOIN bc bctx ON pos.w2 IS NOT NULL
+        |    AND bctx.g = pos.w2 || ' ' || pos.w1
+        |  LEFT JOIN bc bc2 ON pos.w1 IS NOT NULL
+        |    AND bc2.g = pos.w1 || ' ' || pos.w0
+        |  LEFT JOIN uc u1 ON u1.g = pos.w1
+        |  LEFT JOIN uc u0 ON u0.g = pos.w0
+        |  CROSS JOIN tot),
+        |s AS (SELECT doc_id, p, c3, c2, c1,
+        |    CASE
+        |      WHEN c3 IS NOT NULL THEN c3 * 1000000 // cctx
+        |      WHEN c2 IS NOT NULL AND p >= 2 THEN c2 * 400000 // cu1
+        |      WHEN c2 IS NOT NULL THEN c2 * 1000000 // cu1
+        |      WHEN c1 IS NOT NULL THEN
+        |        (CASE WHEN p >= 2 THEN c1 * 160000
+        |              WHEN p = 1 THEN c1 * 400000
+        |              ELSE c1 * 1000000 END) // n
+        |      ELSE 0 END AS sc
+        |  FROM j)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+        |  CAST(SUM(CASE WHEN c3 IS NULL AND c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits2,
+        |  CAST(SUM(CASE WHEN c3 IS NULL AND c2 IS NULL AND c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+        |  CAST(SUM(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(sc) AS BIGINT) AS sb_milli
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // SemDeDup semantic deduplication: md5-sampled cluster assignment (the
     // q39-portable argmax), then within-cluster first-occurrence-owns
     // pruning of near-duplicates (cosine > 0.99 to an earlier member).

@@ -631,6 +631,44 @@ object LakeQueries {
         |  FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 7 <> 0)
         |ORDER BY change_type, o_orderkey""".stripMargin)),
 
+    // Incremental cross-snapshot exact dedup: a persisted fingerprint index
+    // (graft table keyed on content md5, bloom sidecars) seeded from the
+    // even-doc_id half of the corpus; a new batch of odd docs + planted
+    // copies of indexed docs + planted within-batch dups dedups against it.
+    // Index-hits and within-batch later copies drop; cost ∝ batch via the
+    // pruned containsKeys probe, never index size.
+    "q98_incremental_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = freshDir(s"incdedup_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val seed = graft.ext.Dedup.copyCounts(docs.filter(col("doc_id") % 2 === 0))
+          .select(col("fingerprint"), col("keep_id").cast("long").as("doc_id"))
+        val index = LakeTable.create(s, dir,
+          TableSpec("fingerprint", "doc_id", bloomBitsPerKey = 10), seed)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 900000L))
+          .unionByName(docs.filter(col("doc_id") % 14 === 1)
+            .withColumn("doc_id", col("doc_id") + 800000L))
+        graft.ext.Dedup.incrementalDedup(index, batch)
+          .select("doc_id", "fingerprint").orderBy("doc_id")
+      },
+      raw"""WITH fp AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |  FROM documents),
+        |idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 900000, fingerprint FROM fp WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 800000, fingerprint FROM fp WHERE doc_id % 14 = 1),
+        |first AS (SELECT fingerprint, MIN(doc_id) AS doc_id
+        |  FROM batch GROUP BY fingerprint)
+        |SELECT doc_id, fingerprint FROM first
+        |WHERE fingerprint NOT IN (SELECT fingerprint FROM idx)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Convert-in-place: plain parquet dir -> graft table without rewriting
     // a byte, then a keyed upsert over the converted files (touched
     // originals de-referenced, survivors pass through).

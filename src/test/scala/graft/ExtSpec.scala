@@ -177,6 +177,72 @@ class ExtSpec extends AnyFunSuite {
     assert(nN == 9 && nKnown == 0, "noise grams must be unknown to the corpus")
   }
 
+  test("incremental dedup: index hits and within-batch dups drop, commit persists") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val seed = graft.ext.Dedup.copyCounts(
+        Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"))
+      .select(col("fingerprint"), col("keep_id").cast("long").as("doc_id"))
+    val index = LakeTable.create(spark, dir,
+      TableSpec("fingerprint", "doc_id", bloomBitsPerKey = 10), seed)
+    val batch1 = Seq(
+      (2L, "delta epsilon zeta"),   // new content -> survives
+      (10L, "alpha beta gamma"),    // already indexed -> drops
+      (11L, "delta epsilon zeta")   // within-batch copy, larger id -> drops
+    ).toDF("doc_id", "text")
+    val s1 = graft.ext.Dedup.incrementalDedup(index, batch1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1.toSeq == Seq(2L))
+    // the commit made batch1's survivor part of the corpus memory
+    val batch2 = Seq(
+      (20L, "delta epsilon zeta"),  // introduced by batch1 -> drops
+      (21L, "eta theta iota")       // new -> survives
+    ).toDF("doc_id", "text")
+    val s2 = graft.ext.Dedup.incrementalDedup(index, batch2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s2.toSeq == Seq(21L))
+    // MoR index with a tombstoned key: the probe must NOT report it existing
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_incdedup_mor").toString
+    val index2 = LakeTable.create(spark, dir2,
+      TableSpec("fingerprint", "doc_id", mor = true), seed)
+    index2.deleteKeys(seed.select("fingerprint"))
+    val s3 = graft.ext.Dedup.incrementalDedup(index2,
+        Seq((30L, "alpha beta gamma")).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(s3.toSeq == Seq(30L), "a tombstoned fingerprint must readmit content")
+  }
+
+  test("stupid-backoff LM scoring: exact fixed-point values, backoff levels, OOV") {
+    import spark.implicits._
+    // model: N=6; uni a:2 b:2 c:1 d:1; bi "a b":2 "b c":1 "c a":1 "b d":1;
+    // tri "a b c":1 "b c a":1 "c a b":1 "a b d":1
+    val model = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "a b c"), // uni 2e6/6=333333; bi 2e6/2=1000000; tri 1e6/2=500000
+      (2L, "b b z")  // uni 333333; bigram miss→2*4e5/6=133333; OOV→0
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.stupidBackoff(model, scored)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got(1L) == ((3L, 1L, 1L, 1L, 0L, 1833333L)))
+    assert(got(2L) == ((3L, 0L, 0L, 2L, 1L, 466666L)))
+    // an in-model document must outscore its own reversed token sequence:
+    // natural order hits trigrams everywhere, the reversal mostly backs off
+    val fluent = docs.select("doc_id", "text").limit(40)
+    val sample = fluent.orderBy("doc_id").head().getString(1)
+    val toks = sample.trim.toLowerCase.split("\\s+").take(30)
+    val probe = Seq(
+      (800000L, toks.mkString(" ")),
+      (800001L, toks.reverse.mkString(" "))
+    ).toDF("doc_id", "text")
+    val d = graft.ext.TextAnalysis.stupidBackoff(fluent, probe)
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(d(800000L) > d(800001L),
+      s"in-order grams must outscore the reversed sequence: $d")
+  }
+
   test("domain mixture hits each domain's token budget and is deterministic") {
     import org.apache.spark.sql.functions.{expr, sum => fsum}
     val weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
