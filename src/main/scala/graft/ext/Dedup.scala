@@ -196,16 +196,97 @@ object Dedup {
 
   /** Corpus-scale MinHash signatures: explode shingles to rows, compute the
     * seeded hashes as plain codegen'd columns, aggregate per-doc minimums
-    * map-side. One narrow shuffle of (id, 64 longs). */
+    * map-side. One narrow shuffle of (id, 64 longs). `seededHash` defaults
+    * to xxhash64 (fastest); pass [[portableSeededHash]] when another engine
+    * must replay the signatures bit-for-bit. */
   def minhashSignatures(df: DataFrame, numHashes: Int, k: Int,
-      textCol: String, idCol: String): DataFrame = {
+      textCol: String, idCol: String,
+      seededHash: (Column, Column) => Column = (seed, s) => xxhash64(seed, s)): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
     val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(lit(seed), col("s"))).as(s"h$seed"))
+      min(seededHash(lit(seed), col("s"))).as(s"h$seed"))
     exploded.groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Engine-portable seeded shingle hash: 60-bit integer from the first 15
+    * hex chars of `md5(seed + ":" + shingle)` — any engine with md5
+    * recomputes it exactly (the seeded sibling of [[portableTokenHash]]). */
+  def portableSeededHash(seed: Column, s: Column): Column =
+    conv(substring(md5(concat_ws(":", seed, s)), 1, 15), 16, 10).cast("long")
+
+  /** Banded index rows for a persisted MinHash-LSH near-dup index: one row
+    * per (doc, band) carrying the record key `bk` = `bkey + ":" + id`, the
+    * bucket key `bkey` = `band + ":" + the band's signature values joined`
+    * (value concatenation, NOT a second hash — any engine replays it by
+    * string equality), the doc id, and the full signature. */
+  def nearDupIndexRows(df: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      k: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+      seededHash: (Column, Column) => Column = (seed, s) => xxhash64(seed, s)): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    minhashSignatures(df, numHashes, k, textCol, idCol, seededHash)
+      .select(col("id"), col("sig"), explode(array((0 until bands).map(b =>
+        concat_ws(":", lit(b), array_join(
+          transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))): _*))
+        .as("bkey"))
+      .select(concat_ws(":", col("bkey"), col("id")).as("bk"),
+        col("bkey"), col("id").cast("long").as("doc_id"), col("sig"))
+  }
+
+  /** Incremental cross-snapshot NEAR-dup dedup: survivors of a new `batch`
+    * against a persisted MinHash-LSH index (a graft table of
+    * [[nearDupIndexRows]], keyed on `bk`) — the production shape of fuzzy
+    * dedup, where each crawl increment dedups against every signature ever
+    * admitted without re-reading corpus text.
+    *
+    * A batch doc drops when its estimated Jaccard — the fraction of equal
+    * signature components, `eq/numHashes` — reaches `minEqual/numHashes`
+    * against ANY indexed doc, or against any EARLIER batch doc
+    * (first-occurrence-owns, the same rule as [[graft.ext.Similarity
+    * .semanticDedup]]). `commit = true` upserts the survivors' band rows so
+    * the index is the only cross-batch state.
+    *
+    * Scale shape: signature build is the one corpus-∝ pass (codegen'd
+    * hashes, map-side min agg); the probe joins band buckets — the index
+    * side moves only (bkey, id, sig) rows, ~1% of corpus bytes (the point
+    * of signatures: text never moves); refinement is per candidate pair.
+    * Estimated Jaccard (not exact) is deliberate: it needs no shingle
+    * storage and is the standard at-scale practice (Gopher/RefinedWeb). */
+  def incrementalNearDedup(index: graft.lake.LakeTable, batch: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3, minEqual: Int = 58,
+      textCol: String = "text", idCol: String = "doc_id",
+      seededHash: (Column, Column) => Column = (seed, s) => xxhash64(seed, s),
+      commit: Boolean = true): DataFrame = {
+    // banded rows feed the index probe, the self-join (twice) and the
+    // commit — cache them rather than re-running the signature agg per use
+    val rows = nearDupIndexRows(batch, numHashes, bands, k, textCol, idCol,
+      seededHash).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def eqCount(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), _ + _)
+    val idxRows = index.read().select(col("bkey"), col("doc_id").as("_iid"),
+      col("sig").as("_isig"))
+    val idxDrops = rows.join(idxRows, Seq("bkey"))
+      .select(col("doc_id"), col("_iid"), col("sig"), col("_isig")).distinct()
+      .filter(eqCount(col("sig"), col("_isig")) >= minEqual)
+      .select("doc_id").distinct()
+    val batchDrops = rows.as("a").join(rows.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id"), col("a.sig").as("_sa"),
+        col("b.sig").as("_sb")).distinct()
+      .filter(eqCount(col("_sa"), col("_sb")) >= minEqual)
+      .select("doc_id").distinct()
+    val drops = idxDrops.unionByName(batchDrops).distinct()
+    val survivors = batch.join(
+      drops.select(col("doc_id").cast(batch.schema(idCol).dataType).as(idCol)),
+      Seq(idCol), "left_anti")
+    if (commit)
+      index.upsert(rows.join(drops, Seq("doc_id"), "left_anti")
+        .select("bk", "bkey", "doc_id", "sig"))
+    survivors
   }
 
   /** LSH banding: split the signature into `bands` bands and hash each —

@@ -669,6 +669,75 @@ object LakeQueries {
         |WHERE fingerprint NOT IN (SELECT fingerprint FROM idx)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Incremental cross-snapshot NEAR-dup dedup: a persisted MinHash-LSH
+    // index (graft table of banded signature rows) seeded from the even
+    // half of the corpus; the batch = odd docs + near-copies of indexed
+    // docs (one appended token) + exact within-batch copies. Estimated
+    // Jaccard (equal signature components / 64) >= 48/64 drops a doc
+    // against any indexed or earlier batch doc. Engine-portable md5
+    // signatures -> DuckDB replays candidates AND refinement bit-for-bit.
+    "q99_incremental_near_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = freshDir(s"neardedup_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        val index = LakeTable.create(s, dir, TableSpec("bk", "doc_id"),
+          graft.ext.Dedup.nearDupIndexRows(even,
+            seededHash = graft.ext.Dedup.portableSeededHash))
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(even.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 900000L)
+            .withColumn("text", concat(col("text"), lit(" xyzzy"))))
+          .unionByName(docs.filter(col("doc_id") % 14 === 1)
+            .withColumn("doc_id", col("doc_id") + 800000L))
+        graft.ext.Dedup.incrementalNearDedup(index, batch, minEqual = 48,
+            seededHash = graft.ext.Dedup.portableSeededHash)
+          .select("doc_id").orderBy("doc_id")
+      },
+      raw"""WITH corpus AS (
+        |  SELECT 'i' AS src, doc_id AS id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'b', doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'b', doc_id + 900000, text || ' xyzzy' FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 'b', doc_id + 800000, text FROM documents WHERE doc_id % 14 = 1),
+        |sh AS (SELECT src, id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+        |  FROM (SELECT src, id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |        FROM corpus)),
+        |ex AS (SELECT src, id, UNNEST(sh) AS s FROM sh),
+        |sig AS (SELECT src, id, sd.seed,
+        |    MIN(('0x' || substr(md5(CAST(sd.seed AS VARCHAR) || ':' || ex.s), 1, 15))::BIGINT) AS h
+        |  FROM ex CROSS JOIN (SELECT UNNEST(range(0, 64)) AS seed) sd
+        |  GROUP BY src, id, sd.seed),
+        |bnd AS (SELECT src, id, seed // 4 AS band,
+        |    CAST(seed // 4 AS VARCHAR) || ':' ||
+        |      string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bkey
+        |  FROM sig GROUP BY src, id, seed // 4),
+        |icand AS (SELECT DISTINCT b.id AS bid, i.id AS iid
+        |  FROM bnd b JOIN bnd i ON b.bkey = i.bkey
+        |  WHERE b.src = 'b' AND i.src = 'i'),
+        |idrop AS (SELECT DISTINCT c.bid AS id FROM icand c
+        |  JOIN sig sb ON sb.src = 'b' AND sb.id = c.bid
+        |  JOIN sig si ON si.src = 'i' AND si.id = c.iid AND si.seed = sb.seed
+        |  GROUP BY c.bid, c.iid
+        |  HAVING SUM(CASE WHEN sb.h = si.h THEN 1 ELSE 0 END) >= 48),
+        |bcand AS (SELECT DISTINCT a.id AS aid, b.id AS bid
+        |  FROM bnd a JOIN bnd b ON a.bkey = b.bkey AND a.id < b.id
+        |  WHERE a.src = 'b' AND b.src = 'b'),
+        |bdrop AS (SELECT DISTINCT c.bid AS id FROM bcand c
+        |  JOIN sig sa ON sa.src = 'b' AND sa.id = c.aid
+        |  JOIN sig sb ON sb.src = 'b' AND sb.id = c.bid AND sb.seed = sa.seed
+        |  GROUP BY c.aid, c.bid
+        |  HAVING SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 48)
+        |SELECT id AS doc_id FROM corpus WHERE src = 'b'
+        |  AND id NOT IN (SELECT id FROM idrop)
+        |  AND id NOT IN (SELECT id FROM bdrop)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Convert-in-place: plain parquet dir -> graft table without rewriting
     // a byte, then a keyed upsert over the converted files (touched
     // originals de-referenced, survivors pass through).

@@ -213,6 +213,44 @@ class ExtSpec extends AnyFunSuite {
     assert(s3.toSeq == Seq(30L), "a tombstoned fingerprint must readmit content")
   }
 
+  test("incremental near-dup: near-copies drop across and within batches, commit persists") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    // portable seeded hash = parse(first 15 hex of md5("seed:shingle"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("0:a".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val gotHash = spark.range(1)
+      .select(graft.ext.Dedup.portableSeededHash(lit(0), lit("a"))).head().getLong(0)
+    assert(gotHash == expected)
+
+    val wordsA = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val wordsB = (0 until 40).map(i => s"beta$i").mkString(" ")
+    val wordsC = (0 until 40).map(i => s"gamma$i").mkString(" ")
+    val wordsD = (0 until 40).map(i => s"delta$i").mkString(" ")
+    def mutate(t: String) = t.split(" ").updated(20, "CHANGED").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardedup").toString
+    val index = LakeTable.create(spark, dir, TableSpec("bk", "doc_id"),
+      graft.ext.Dedup.nearDupIndexRows(Seq((1L, wordsA)).toDF("doc_id", "text")))
+    val batch1 = Seq(
+      (10L, mutate(wordsA)), // near-copy of indexed A -> drops
+      (11L, wordsB),         // new -> survives
+      (12L, mutate(wordsB)), // near-copy of earlier batch doc -> drops
+      (13L, wordsC)          // new -> survives
+    ).toDF("doc_id", "text")
+    val s1 = graft.ext.Dedup.incrementalNearDedup(index, batch1, minEqual = 32)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1.toSeq == Seq(11L, 13L), s"batch1 survivors: ${s1.toSeq}")
+    // commit admitted B and C: their near-copies drop next batch, D survives
+    val batch2 = Seq(
+      (20L, mutate(wordsC)),
+      (21L, wordsD)
+    ).toDF("doc_id", "text")
+    val s2 = graft.ext.Dedup.incrementalNearDedup(index, batch2, minEqual = 32)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s2.toSeq == Seq(21L), s"batch2 survivors: ${s2.toSeq}")
+  }
+
   test("stupid-backoff LM scoring: exact fixed-point values, backoff levels, OOV") {
     import spark.implicits._
     // model: N=6; uni a:2 b:2 c:1 d:1; bi "a b":2 "b c":1 "c a":1 "b d":1;
