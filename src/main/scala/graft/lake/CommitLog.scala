@@ -86,7 +86,12 @@ case class Commit(
     txn: Map[String, Long] = Map.empty,
     /** Set only on `analyze` commits; readers walk back to the newest
       * commit carrying stats ([[graft.lake.LakeTable.tableStats]]). */
-    tableStats: Option[TableStats] = None)
+    tableStats: Option[TableStats] = None,
+    /** Set only on `copy_into` commits: the source files this commit
+      * loaded. The union over history is COPY INTO's already-loaded set
+      * (Delta's file-dedup ledger analog) — per-commit, never
+      * denormalized, so commit size tracks its own load. */
+    copyFiles: Seq[String] = Seq.empty)
 
 /** Another writer claimed this commit version first. Callers rebase: re-read
   * the snapshot, recompute, retry at the next version ([[graft.lake.LakeTable]]
@@ -186,6 +191,10 @@ object CommitLog {
       ts.cols.foreach { case (name, cs) =>
         val e = cols.putObject(name); e.put("ndv", cs.ndv); e.put("nulls", cs.nulls)
       }
+    }
+    if (c.copyFiles.nonEmpty) {
+      val cf = root.putArray("copyFiles")
+      c.copyFiles.foreach(cf.add)
     }
 
     val target = fileFor(tablePath, c.version)
@@ -372,7 +381,13 @@ object CommitLog {
       add = adds.toSeq,
       remove = removes.toSeq,
       txn = txn.toMap,
-      tableStats = tableStats)
+      tableStats = tableStats,
+      copyFiles = {
+        val b = ArrayBuffer.empty[String]
+        if (root.hasNonNull("copyFiles"))
+          root.get("copyFiles").asInstanceOf[ArrayNode].forEach(x => b += x.asText)
+        b.toSeq
+      })
   }
 
   /** Replay commits 0..version: the live file set (adds minus later

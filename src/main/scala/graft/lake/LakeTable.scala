@@ -545,13 +545,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * prune aggregate, the touched-file semi-join, and the rewrite union —
     * without caching, the dedup shuffle would run once per consumer. */
   def upsert(df: DataFrame, mergeSchema: Boolean = false,
-      txn: Option[(String, Long)] = None): LakeTable = retrying {
+      txn: Option[(String, Long)] = None,
+      copyFiles: Seq[String] = Seq.empty): LakeTable = retrying {
     val (conformed, evolved) = conform(df, mergeSchema)
     val incoming0 = dedupBatch(conformed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (spec.mor) upsertMor(incoming0, evolved, txn)
-      else upsertCow(incoming0, evolved, txn)
+      if (spec.mor) upsertMor(incoming0, evolved, txn, copyFiles)
+      else upsertCow(incoming0, evolved, txn, copyFiles)
     } finally {
       incoming0.unpersist(blocking = false)
       ()
@@ -559,10 +560,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   private def upsertCow(incoming: DataFrame, evolved: Option[StructType] = None,
-      txn: Option[(String, Long)] = None): LakeTable = {
+      txn: Option[(String, Long)] = None,
+      copyFiles: Seq[String] = Seq.empty): LakeTable = {
     val live = liveFiles(None)
     val candidates = pruneCandidates(live, incoming)
-    writeCommit("upsert", newSchema = evolved, txn = txn) { (writeId, commitTime) =>
+    writeCommit("upsert", newSchema = evolved, txn = txn,
+      copyFiles = copyFiles) { (writeId, commitTime) =>
       val inStamped = stampMeta(incoming, commitTime).withColumn(RANK, lit(Long.MaxValue))
       // second element: the incoming batch when nothing is touched, else
       // the full row set of the files being rewritten
@@ -611,9 +614,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   private def upsertMor(incoming: DataFrame, evolved: Option[StructType] = None,
-      txn: Option[(String, Long)] = None): LakeTable = {
+      txn: Option[(String, Long)] = None,
+      copyFiles: Seq[String] = Seq.empty): LakeTable = {
     val live = liveFiles(None)
-    writeCommit("upsert", newSchema = evolved, txn = txn) { (writeId, commitTime) =>
+    writeCommit("upsert", newSchema = evolved, txn = txn,
+      copyFiles = copyFiles) { (writeId, commitTime) =>
       val stamped = stampMeta(incoming, commitTime)
       if (live.isEmpty) Seq(writeFiles(stamped, writeId, log = false))
       else {
@@ -642,6 +647,52 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         }
       }
     }
+  }
+
+  /** Delta `COPY INTO` analog: file-granular idempotent ingestion from a
+    * parquet directory. Every commit that loads files records them
+    * ([[graft.lake.Commit.copyFiles]]); re-running the same COPY INTO
+    * skips everything already recorded and commits nothing — load a
+    * landing directory on a schedule and each file's rows enter exactly
+    * once. New files load through the normal keyed upsert (graft tables
+    * are keyed, so the blind-append of Delta's COPY INTO would break the
+    * key invariant; latest-wins also makes a rare double-load under
+    * concurrent COPY INTOs benign). `pattern` is a glob on the path
+    * relative to `sourceDir` (Delta's PATTERN). Extra source columns are
+    * dropped; missing table columns fail the load.
+    *
+    * Returns the files THIS call loaded (empty = everything was already
+    * in). Scale: listing + set-diff are driver metadata ∝ directory size;
+    * the data path is one upsert over only the new files' rows. */
+  def copyInto(sourceDir: String, pattern: Option[String] = None): Seq[String] = {
+    val src = new Path(sourceDir)
+    val fsys = src.getFileSystem(conf)
+    val srcRoot = fsys.makeQualified(src).toString.stripSuffix("/")
+    val listed = {
+      val it = fsys.listFiles(src, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) b += fsys.makeQualified(st.getPath).toString
+      }
+      b.result()
+    }
+    val rx = pattern.map { g =>
+      java.util.regex.Pattern.compile(
+        "\\Q" + g.replace("*", "\\E[^/]*\\Q").replace("?", "\\E.\\Q") + "\\E")
+    }
+    def rel(f: String): String = f.stripPrefix(srcRoot).stripPrefix("/")
+    val eligible = listed
+      .filter(f => f.endsWith(".parquet") && !rel(f).startsWith("_"))
+      .filter(f => rx.forall(_.matcher(rel(f)).matches))
+    val loaded = commits.iterator.flatMap(_.copyFiles).toSet
+    val fresh = eligible.filterNot(loaded.contains).sorted
+    if (fresh.nonEmpty) {
+      val incoming = spark.read.parquet(fresh: _*)
+        .select(schema.fieldNames.map(col): _*)
+      upsert(incoming, copyFiles = fresh)
+    }
+    fresh
   }
 
   /** MERGE with delete application (Delta `WHEN MATCHED AND ... DELETE`
@@ -1654,7 +1705,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private def writeCommit(operation: String, removeAll: Boolean = false,
       newSchema: Option[StructType] = None, txn: Option[(String, Long)] = None,
       newSpec: Option[TableSpec] = None,
-      tableStats: Option[TableStats] = None)(
+      tableStats: Option[TableStats] = None,
+      copyFiles: Seq[String] = Seq.empty)(
       body: (Long, String) => Seq[WriteResult]): LakeTable = {
     val version = latestVersion + 1
     if (version == 0) throw new IllegalStateException("use LakeTable.create")
@@ -1671,7 +1723,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       CommitLog.write(path, Commit(version, commitTime, operation, schemaJson,
         newSpec.getOrElse(spec),
         results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct,
-        txnMap, tableStats), conf)
+        txnMap, tableStats, copyFiles), conf)
     } catch {
       case c: CommitConflictException =>
         // lost the race: drop ONLY the dirs this attempt itself created —

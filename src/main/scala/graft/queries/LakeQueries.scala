@@ -738,6 +738,28 @@ object LakeQueries {
         |  AND id NOT IN (SELECT id FROM bdrop)
         |ORDER BY doc_id""".stripMargin)),
 
+    // COPY INTO: file-granular idempotent ingestion from a landing dir —
+    // two parquet batches load exactly once (second copyInto proves the
+    // no-op), keyed latest-wins reconciles the seeded overlap.
+    "q100_copy_into" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = freshDir(s"copyinto_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val land = freshDir(s"copyland_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$land/even")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$land/odd")
+        val tbl = LakeTable.create(s, dir, ordersSpec,
+          o.filter(col("o_orderkey") % 13 === 0))
+        require(tbl.copyInto(land).nonEmpty, "first COPY INTO must load files")
+        require(tbl.copyInto(land).isEmpty, "rerun COPY INTO must be a no-op")
+        proj(LakeTable.load(s, dir).read())
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Convert-in-place: plain parquet dir -> graft table without rewriting
     // a byte, then a keyed upsert over the converted files (touched
     // originals de-referenced, survivors pass through).

@@ -104,6 +104,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DROP_CONSTRAINT_RE(target, name) => claimOr(sqlText, target) {
       GraftDropConstraintCommand(target.trim, name)
     }
+    case COPY_INTO_RE(target, src, pat) => claimOr(sqlText, target) {
+      GraftCopyIntoCommand(target.trim, src, Option(pat))
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -168,6 +171,9 @@ object GraftSqlParser {
       """\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private[sql] val DROP_CONSTRAINT_RE =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TGT\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""").r
+  private[sql] val COPY_INTO_RE =
+    (s"""(?is)\\s*COPY\\s+INTO\\s+$TGT\\s+FROM\\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*PARQUET)?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
 
   private def stripIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -238,6 +244,21 @@ case class GraftVacuumCommand(target: String, retainHours: Double,
       .vacuum(retainHours = Some(retainHours), dryRun = dryRun)
     if (dryRun) doomed.sorted.map(Row(_)) else Seq.empty
   }
+}
+
+/** Delta `COPY INTO t FROM 'dir' [FILEFORMAT = PARQUET] [PATTERN = 'glob']`
+  * analog: file-granular idempotent parquet ingestion
+  * ([[graft.lake.LakeTable.copyInto]]). Returns one row per file loaded by
+  * THIS statement (rerun → zero rows, nothing committed). */
+case class GraftCopyIntoCommand(target: String, sourceDir: String,
+    pattern: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("file_loaded", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.resolveTable(spark, target)
+      .copyInto(sourceDir, pattern).sorted.map(Row(_))
 }
 
 /** `RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'` — the

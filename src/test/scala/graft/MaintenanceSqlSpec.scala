@@ -120,4 +120,37 @@ class MaintenanceSqlSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1)))
     assert(got.toSeq == Seq((2, "insert")))
   }
+
+  test("COPY INTO loads each file exactly once, PATTERN filters, rerun is a no-op") {
+    val path = Files.createTempDirectory("graft_copy_tbl").toString
+    val land = Files.createTempDirectory("graft_copy_land").toString
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
+      Seq((0L, 0L, "seed")).toDF("id", "ts", "v"))
+    (1L to 50L).map(i => (i, 1L, s"a$i")).toDF("id", "ts", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$land/batch1")
+    (51L to 80L).map(i => (i, 1L, s"b$i")).toDF("id", "ts", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$land/batch2")
+    val first = spark.sql(s"COPY INTO graft.`$path` FROM '$land'").collect()
+    assert(first.length == 2, s"both landing files load: ${first.toSeq}")
+    assert(LakeTable.load(spark, path).read().count() == 81)
+    // rerun: nothing new, nothing committed
+    val vBefore = tbl.latestVersion
+    assert(spark.sql(s"COPY INTO graft.`$path` FROM '$land'").collect().isEmpty)
+    assert(tbl.latestVersion == vBefore)
+    // a new file is picked up alone; PATTERN scopes the listing
+    (81L to 90L).map(i => (i, 1L, s"c$i")).toDF("id", "ts", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$land/batch3")
+    val third = spark.sql(
+      s"COPY INTO graft.`$path` FROM '$land' FILEFORMAT = PARQUET " +
+        "PATTERN = 'batch3/*.parquet'").collect()
+    assert(third.length == 1 && third.head.getString(0).contains("batch3"))
+    assert(LakeTable.load(spark, path).read().count() == 91)
+    // extra source columns drop; rows with already-present keys latest-win
+    Seq((1L, 9L, "upd", "extra")).toDF("id", "ts", "v", "junk")
+      .coalesce(1).write.mode("overwrite").parquet(s"$land/batch4")
+    spark.sql(s"COPY INTO graft.`$path` FROM '$land'")
+    val t2 = LakeTable.load(spark, path)
+    assert(t2.read().count() == 91)
+    assert(t2.read().filter(col("id") === 1L).select("v").as[String].head() == "upd")
+  }
 }
