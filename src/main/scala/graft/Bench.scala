@@ -198,6 +198,32 @@ object Bench {
     // op whose cost tracks corpus token count.
     results("e7_span_dedup") = median(Dedup.spanDedup(tbl("documents")))
 
+    // E8: Stupid-Backoff LM quality scoring (the CCNet-style filter):
+    // three n-gram count tables trained on the even half, every doc
+    // scored per token at its longest matching order — fixed-point
+    // integer arithmetic, five gram joins, cost ∝ scored tokens.
+    results("e8_lm_quality") = median {
+      val docs = tbl("documents")
+      TextAnalysis.stupidBackoff(docs.filter(col("doc_id") % 2 === 0), docs)
+    }
+
+    // E9: incremental-dedup probe — a new batch against the persisted
+    // fingerprint index (index build untimed: it is long-lived state at
+    // scale; the recurring cost is the probe). Timed: within-batch dedup
+    // + pruned containsKeys probe + anti-join, cost ∝ batch.
+    results("e9_inc_dedup") = {
+      val docs = tbl("documents").select("doc_id", "text")
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val seed = Dedup.copyCounts(even)
+        .select(col("fingerprint"), col("keep_id").cast("long").as("doc_id"))
+      val idx = LakeTable.create(spark, freshDir("e9_idx"),
+        TableSpec("fingerprint", "doc_id", bloomBitsPerKey = 10), seed)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(even.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000L))
+      median { Dedup.incrementalDedup(idx, batch, commit = false) }
+    }
+
     // E4: as-of join, purchases to latest prior click per user.
     results("e4_asof_join") = median {
       val ev = events

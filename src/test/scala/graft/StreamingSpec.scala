@@ -225,4 +225,36 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(islands == native)
   }
+
+  test("dedup-on-ingest stream drops cross-batch duplicates via the fingerprint index") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    val src = java.nio.file.Files.createTempDirectory("graft_dstream_src").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft_dstream_ckp").toString
+    val seedDocs = Seq((0L, "seed zero content")).toDF("doc_id", "text")
+    val index = LakeTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_dstream_idx").toString,
+      TableSpec("fingerprint", "doc_id"),
+      graft.ext.Dedup.copyCounts(seedDocs)
+        .select(col("fingerprint"), col("keep_id").cast("long").as("doc_id")))
+    val target = LakeTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_dstream_tgt").toString,
+      TableSpec("doc_id", "doc_id"), seedDocs)
+    val schema = seedDocs.schema
+
+    Seq((1L, "first new content"), (2L, "second new content"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    graft.streaming.DedupStream.ingest(spark, src, schema, index, target, ckp)
+    assert(target.read().select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L))
+
+    // batch 2: a copy of doc 1's content, a copy of the seed, and one new doc
+    Seq((10L, "first new content"), (11L, "seed zero content"),
+        (12L, "third new content"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    graft.streaming.DedupStream.ingest(spark, src, schema, index, target, ckp)
+    assert(target.read().select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 12L), "only the genuinely new doc lands")
+    assert(index.read().count() == 4, "index = one fingerprint per distinct content")
+  }
 }
