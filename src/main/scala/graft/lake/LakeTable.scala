@@ -1180,6 +1180,44 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     (readFiles(plusActs, asOf = Some(upTo)), readFiles(minusActs, asOf = Some(upTo)))
   }
 
+  /** Delta `GENERATE symlink_format_manifest` analog: write text manifests
+    * under `_symlink_format_manifest/` listing the snapshot's absolute data
+    * file paths — one `manifest` per partition directory (unpartitioned:
+    * one at the root), so manifest-reading engines (Trino/Presto/Athena
+    * symlink tables) can query the exact committed snapshot without
+    * understanding the graft log. Refuses MoR logs and deletion vectors
+    * (a path list cannot express read-time merges — the same restriction
+    * Delta documents for DV tables): compact first. Regenerates from
+    * scratch each call (stale partition manifests are removed). Returns
+    * the manifest-relative partition dirs written. */
+  def generateManifest(): Seq[String] = {
+    val live = liveFiles(None)
+    require(!live.exists(_.log),
+      "manifest generation needs a compacted table: MoR logs cannot be " +
+        "expressed as a path list — run compact() first")
+    require(live.forall(_.dv.isEmpty),
+      "manifest generation cannot express deletion vectors — compact() first")
+    val fsys = new Path(path).getFileSystem(conf)
+    val manifestRoot = new Path(path, "_symlink_format_manifest")
+    if (fsys.exists(manifestRoot)) fsys.delete(manifestRoot, true)
+    val part = spec.partition
+    val groups = live.groupBy { a =>
+      part.flatMap(p => a.partitionValue.map(v => s"$p=$v")).getOrElse("")
+    }
+    groups.toSeq.sortBy(_._1).map { case (rel, acts) =>
+      val dir = if (rel.isEmpty) manifestRoot else new Path(manifestRoot, rel)
+      fsys.mkdirs(dir)
+      val body = acts.map { a =>
+        val base = a.base.getOrElse(dataDir)
+        fsys.makeQualified(new Path(s"$base/${a.path}")).toString
+      }.sorted.mkString("", "\n", "\n")
+      val out = fsys.create(new Path(dir, "manifest"), true)
+      out.write(body.getBytes("UTF-8"))
+      out.close()
+      rel
+    }
+  }
+
   /** Physically delete files not live in the `retainVersions` most recent
     * versions (M1) — or, when `retainHours` is set, not live in any version
     * committed within that many hours of the latest commit (Delta's

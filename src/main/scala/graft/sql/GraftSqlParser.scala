@@ -107,6 +107,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case COPY_INTO_RE(target, src, pat) => claimOr(sqlText, target) {
       GraftCopyIntoCommand(target.trim, src, Option(pat))
     }
+    case GENERATE_RE(target) => claimOr(sqlText, target) {
+      GraftGenerateManifestCommand(target.trim)
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -174,6 +177,8 @@ object GraftSqlParser {
   private[sql] val COPY_INTO_RE =
     (s"""(?is)\\s*COPY\\s+INTO\\s+$TGT\\s+FROM\\s+'([^']+)'""" +
       """(?:\s+FILEFORMAT\s*=\s*PARQUET)?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
+  private[sql] val GENERATE_RE =
+    (s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$TGT\\s*;?\\s*""").r
 
   private def stripIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -259,6 +264,18 @@ case class GraftCopyIntoCommand(target: String, sourceDir: String,
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.resolveTable(spark, target)
       .copyInto(sourceDir, pattern).sorted.map(Row(_))
+}
+
+/** Delta `GENERATE symlink_format_manifest FOR TABLE t` analog
+  * ([[graft.lake.LakeTable.generateManifest]]): one row per partition
+  * manifest written. */
+case class GraftGenerateManifestCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.resolveTable(spark, target).generateManifest().map(Row(_))
 }
 
 /** `RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'` — the

@@ -121,6 +121,52 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2, "insert")))
   }
 
+  test("GENERATE symlink_format_manifest lists the exact snapshot, per partition") {
+    val path = Files.createTempDirectory("graft_manifest").toString
+    val tbl = LakeTable.create(spark, path,
+      TableSpec("id", "ts", partition = Some("p")),
+      (1L to 100L).map(i => (i, 1L, s"v$i", s"part${i % 3}")).toDF("id", "ts", "v", "p"))
+    val parts = spark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE graft.`$path`")
+      .collect().map(_.getString(0)).sorted
+    assert(parts.toSeq == Seq("p=part0", "p=part1", "p=part2"))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val listed = parts.flatMap { rel =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"$path/_symlink_format_manifest/$rel/manifest"))
+      val body = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      body.split("\n").filter(_.nonEmpty)
+    }
+    // the manifest IS the snapshot: reading the listed paths matches read()
+    assert(listed.nonEmpty)
+    val viaManifest = spark.read.parquet(listed.toIndexedSeq: _*).count()
+    assert(viaManifest == tbl.read().count())
+    // regenerate after churn: the manifests track the NEW snapshot (the
+    // touched partition's rewritten file replaces the stale path)
+    tbl.upsert(Seq((1L, 2L, "v1b", "part1")).toDF("id", "ts", "v", "p"))
+    spark.sql(s"GENERATE symlink_format_manifest FOR TABLE graft.`$path`")
+    val relisted = parts.flatMap { rel =>
+      val in2 = fs.open(new org.apache.hadoop.fs.Path(
+        s"$path/_symlink_format_manifest/$rel/manifest"))
+      val body2 = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in2), "UTF-8")
+      in2.close()
+      body2.split("\n").filter(_.nonEmpty)
+    }
+    val after = spark.read.parquet(relisted.toIndexedSeq: _*)
+    assert(after.count() == 100)
+    assert(after.filter(col("id") === 1L).select("v").as[String].head() == "v1b")
+    // a DV'd snapshot refuses (a path list cannot express row-level deletes)
+    tbl.deleteVectors(col("id") === 50L)
+    val err = intercept[IllegalArgumentException] {
+      tbl.generateManifest()
+    }
+    assert(err.getMessage.contains("deletion vectors"))
+  }
+
   test("COPY INTO loads each file exactly once, PATTERN filters, rerun is a no-op") {
     val path = Files.createTempDirectory("graft_copy_tbl").toString
     val land = Files.createTempDirectory("graft_copy_land").toString
