@@ -1109,8 +1109,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     *
     * Cost therefore scales with window churn, not table size — the property
     * that matters when tailing a 100 TB table. Delete rows carry the key
-    * and null data columns, like Delta's CDF delete rows. */
-  def changes(since: Long, asOf: Option[Long] = None): DataFrame = {
+    * and null data columns, like Delta's CDF delete rows.
+    *
+    * `includePreimages` (Delta CDF parity) additionally emits an
+    * `update_preimage` row per updated key: its values AT `since` (the
+    * window-initial state — `changes` is net-change over the window, so
+    * one pre/post pair per key, not one per intermediate commit). CoW
+    * only, and still ∝ churn: preimages are rows of the window-REMOVED
+    * files, which a CoW update necessarily rewrote. */
+  def changes(since: Long, asOf: Option[Long] = None,
+      includePreimages: Boolean = false): DataFrame = {
     val upTo = asOf.getOrElse(latestVersion)
     val post = incremental(since, Some(upTo))
     val cs = commits // one log read for window + sinceTime
@@ -1121,9 +1129,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     def ids(df: DataFrame): DataFrame =
       withJoinIds(df).select((idCols ++ spec.partition.map(_ => PID)).map(col): _*)
     val removedPaths = window.flatMap(_.remove).toSet
-    val rewrittenKeys = ids(readFiles(
+    val rewrittenRows = readFiles(
       liveFiles(Some(since)).filter(a => removedPaths.contains(a.path)),
-      asOf = Some(since)))
+      asOf = Some(since))
+    val rewrittenKeys = ids(rewrittenRows)
     val logKeys = {
       val logAdded = window.flatMap(_.add).filter(_.log)
       val fresh = readFiles(window.flatMap(_.add).filterNot(_.log), asOf = Some(upTo))
@@ -1152,7 +1161,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val deleted = preIds.join(nowIds, joinIdCols, "left_anti")
       .select(idCols.map(col): _*).distinct()
       .withColumn("_change_type", lit("delete"))
-    tagged.unionByName(deleted, allowMissingColumns = true)
+    val base = tagged.unionByName(deleted, allowMissingColumns = true)
+    if (!includePreimages) base
+    else {
+      require(!spec.mor,
+        "update_preimage needs a CoW table: a MoR update leaves the old " +
+          "value in an un-removed base file — compact() first")
+      // updated = has a postimage AND existed before. NOT preIds ∩ nowIds:
+      // a CoW rewrite carries unchanged rows into the new file, so they sit
+      // in both preIds (removed file) and nowIds (added file) without being
+      // updates — only the commit-time-filtered post rows are real changes.
+      val updatedIds = withJoinIds(post).select(joinIdCols.map(col): _*)
+        .distinct()
+        .join(preIds.select(joinIdCols.map(col): _*).distinct(),
+          joinIdCols, "left_semi")
+      val preimages = withJoinIds(rewrittenRows)
+        .join(updatedIds.select(joinIdCols.map(col): _*).distinct(),
+          joinIdCols, "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+        .drop(PID)
+      base.unionByName(preimages, allowMissingColumns = true)
+    }
   }
 
   /** Net row delta of a CoW table over `(since, upTo]`, as two DataFrames:

@@ -738,6 +738,37 @@ object LakeQueries {
         |  AND id NOT IN (SELECT id FROM bdrop)
         |ORDER BY doc_id""".stripMargin)),
 
+    // CDF with preimages (Delta parity): same churn as q92, but the feed
+    // also carries update_preimage rows — each updated key's values AT the
+    // window start, read from the window-REMOVED files (cost ∝ churn).
+    // Rewritten-but-unchanged keys must NOT emit preimages.
+    "q101_cdf_preimages" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"cdfpre_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec, t(s, d, "orders"))
+        tbl.delete(col("o_orderkey") % 9 === 0 && col("o_orderkey") % 7 =!= 0)
+        tbl.upsert(ordersSource(s, d))
+        LakeTable.load(s, path).changes(0, includePreimages = true)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("_change_type").as("change_type"))
+          .orderBy("change_type", "o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, change_type FROM (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 1.0 AS o_totalprice,
+        |         'update_postimage' AS change_type
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'update_preimage'
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice, 'insert'
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), 'delete'
+        |  FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 7 <> 0)
+        |ORDER BY change_type, o_orderkey""".stripMargin)),
+
     // COPY INTO: file-granular idempotent ingestion from a landing dir —
     // two parquet batches load exactly once (second copyInto proves the
     // no-op), keyed latest-wins reconciles the seeded overlap.

@@ -90,4 +90,35 @@ class TableChangesSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("table_changes"),
       s"claimed TVF must report its own argument error, got: ${err.getMessage}")
   }
+
+  test("includePreimages adds exactly the updated keys' window-start values") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft_cdf_pre").toString
+    // one file holds ALL keys: updating key 2 rewrites 1 and 3 too, and
+    // they must NOT surface as preimages
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
+      Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1"))
+        .toDF("id", "ts", "v").coalesce(1))
+    tbl.upsert(Seq((2L, 2L, "b2"), (9L, 1L, "new")).toDF("id", "ts", "v"))
+    tbl.delete(col("id") === 3L)
+    val feed = LakeTable.load(spark, path).changes(0, includePreimages = true)
+      .select("id", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(feed == Set(
+      (2L, "b2", "update_postimage"),
+      (2L, "b1", "update_preimage"),
+      (9L, "new", "insert"),
+      (3L, null, "delete")))
+    // MoR refuses: the old value never leaves its base file
+    val morPath = java.nio.file.Files.createTempDirectory("graft_cdf_pre_mor").toString
+    val mor = LakeTable.create(spark, morPath, TableSpec("id", "ts", mor = true),
+      Seq((1L, 1L, "a")).toDF("id", "ts", "v"))
+    mor.upsert(Seq((1L, 2L, "b")).toDF("id", "ts", "v"))
+    val err2 = intercept[IllegalArgumentException] {
+      mor.changes(0, includePreimages = true).collect()
+    }
+    assert(err2.getMessage.contains("CoW"))
+  }
 }
