@@ -55,6 +55,34 @@ object Sampling {
     * 1/256th of the corpus — runs the exact running-sum window. The
     * boundary doc that crosses the budget is included iff it starts under
     * it (so the budget is always reached when the corpus allows). */
+  /** Deterministic global shuffle for reproducible training order: every
+    * row gets `shuffle_pos`, its 0-based position in the md5(seed ":" key)
+    * permutation — a fixed, engine-replayable pseudo-random order, so any
+    * shard of the training stream can be re-materialized identically
+    * (change `seed` for a fresh epoch permutation).
+    *
+    * Scale shape: the global rank is computed two-phase like
+    * [[tokenBudget]] — one partial-agg pass counts rows per 256 hash
+    * buckets (256 rows to the driver), exclusive bucket offsets broadcast
+    * back as a literal map, and each bucket ranks only itself — no
+    * single-partition global window ever exists. */
+  def deterministicShuffle(df: DataFrame, seed: Long = 42L,
+      keyCol: String = "doc_id"): DataFrame = {
+    val tagged = df
+      .withColumn("_h", md5(concat_ws(":", lit(seed), col(keyCol).cast("string"))))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val perBucket = tagged.groupBy("_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val offsets = (0 until 256).scanLeft(0L)((acc, b) => acc + perBucket.getOrElse(b, 0L))
+    val offsetOf = typedLit((0 until 256).map(b => b -> offsets(b)).toMap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_b").orderBy(col("_h").asc, col(keyCol).asc)
+    tagged
+      .withColumn("shuffle_pos",
+        row_number().over(w).cast("long") - 1L + element_at(offsetOf, col("_b")))
+      .drop("_h", "_b")
+  }
+
   def tokenBudget(df: DataFrame, budget: Long, textCol: String = "text",
       keyCol: String = "doc_id"): DataFrame = {
     val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")

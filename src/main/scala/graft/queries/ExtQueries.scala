@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.lake.{LakeTable, TableSpec}
 
 /** Training-data-pipeline extension coverage: text analysis, dedup (exact /
@@ -877,6 +877,20 @@ object ExtQueries {
         |  CAST(COALESCE(p.gram_mass, 0) AS BIGINT) AS gram_mass
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
+
+    // Deterministic global shuffle: every doc's 0-based position in the
+    // md5(seed:key) permutation — reproducible training order, computed
+    // two-phase (256-bucket counts -> driver prefix -> per-bucket ranks),
+    // never a single-partition global window.
+    "q102_det_shuffle" -> ((
+      (s: SparkSession, d: String) =>
+        Sampling.deterministicShuffle(t(s, d, "documents"), seed = 42L)
+          .select("doc_id", "shuffle_pos").orderBy("doc_id"),
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) - 1
+        |    AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // CCNet-style Stupid-Backoff LM quality scoring: trigram/bigram/unigram
     // counts trained on the even-doc_id half of the corpus, every doc scored

@@ -177,6 +177,21 @@ class ExtSpec extends AnyFunSuite {
     assert(nN == 9 && nKnown == 0, "noise grams must be unknown to the corpus")
   }
 
+  test("deterministic shuffle: exact permutation, seed-keyed, partitioning-stable") {
+    import spark.implicits._
+    val n = docs.count()
+    def posMap(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      graft.ext.Sampling.deterministicShuffle(df, seed)
+        .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val p1 = posMap(docs, 7L)
+    assert(p1.values.toSeq.sorted == (0L until n).toSeq,
+      "positions must be an exact 0..n-1 permutation")
+    // same seed, different physical partitioning -> identical mapping
+    assert(posMap(docs.repartition(7), 7L) == p1)
+    // a different seed produces a genuinely different order
+    assert(posMap(docs, 8L) != p1)
+  }
+
   test("incremental dedup: index hits and within-batch dups drop, commit persists") {
     import spark.implicits._
     import graft.lake.{LakeTable, TableSpec}
