@@ -82,19 +82,40 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * or deletion vectors (which may have killed an extremal row), or any
     * file with sentinel/partial stats, make the metadata inexact → None.
     * Feeds the metadata-only MIN/MAX rewrite. */
-  def fileExtremes(colName: String, asOf: Option[Long] = None): Option[Seq[(String, String)]] = {
+  def fileExtremes(colName: String, asOf: Option[Long] = None): Option[Seq[(String, String)]] =
+    fileExtremesWithPartition(colName, asOf).map(_.map(_._2))
+
+  /** [[fileExtremes]] with each file's partitionValue attached (null
+    * partition = `__HIVE_DEFAULT_PARTITION__`) — feeds the
+    * partition-grouped metadata aggregate. Same exactness gates. */
+  def fileExtremesWithPartition(colName: String, asOf: Option[Long] = None):
+      Option[Seq[(String, (String, String))]] = {
     val live = liveFiles(asOf)
     if (live.isEmpty) return None
     if (live.exists(a => a.log || a.dv.isDefined || a.dvRows > 0)) return None
     val sp = specAt(asOf)
     val perFile = live.map { a =>
-      if (colName.equalsIgnoreCase(sp.key)) Some((a.minKey, a.maxKey))
-      else a.colStats.collectFirst { case (c, mm) if c.equalsIgnoreCase(colName) => mm }
+      val mm =
+        if (colName.equalsIgnoreCase(sp.key)) Some((a.minKey, a.maxKey))
+        else a.colStats.collectFirst { case (c, s) if c.equalsIgnoreCase(colName) => s }
+      mm.map(a.partitionValue.getOrElse("__HIVE_DEFAULT_PARTITION__") -> _)
     }
     // sentinel whole-range stats ("", "￿") mean "unknown" — an actual
     // empty-string minimum is indistinguishable, so treat both as opaque
-    if (perFile.exists(s => s.isEmpty || s.get._1.isEmpty || s.get._2 == "￿")) None
+    if (perFile.exists(s => s.isEmpty || s.get._2._1.isEmpty || s.get._2._2 == "￿")) None
     else Some(perFile.map(_.get))
+  }
+
+  /** Exact per-partition live row counts from commit-log metadata (DV'd
+    * files discounted); None for unpartitioned tables or when live MoR
+    * logs make counts inexact. Keys are the stored partitionValue strings
+    * (null partition = `__HIVE_DEFAULT_PARTITION__`). */
+  def partitionRowCounts(asOf: Option[Long] = None): Option[Map[String, Long]] = {
+    if (specAt(asOf).partition.isEmpty) return None
+    val live = liveFiles(asOf)
+    if (live.exists(_.log)) None
+    else Some(live.groupBy(_.partitionValue.getOrElse("__HIVE_DEFAULT_PARTITION__"))
+      .map { case (pv, as) => pv -> as.map(a => a.rows - a.dvRows).sum })
   }
 
   /** Total on-disk bytes of the live snapshot, from commit-log metadata —

@@ -738,6 +738,37 @@ object LakeQueries {
         |  AND id NOT IN (SELECT id FROM bdrop)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Partition-grouped metadata-only aggregate: GROUP BY the partition
+    // column with count/min/max answered ENTIRELY from commit-log
+    // metadata via DSv2 complete aggregate push-down — the require
+    // asserts zero data files are opened (plan reads GraftMetaAggScan).
+    "q103_meta_group_agg" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = freshDir(s"metagrp_${d.replaceAll("[^a-z0-9.]", "_")}")
+        LakeTable.create(s, dir,
+          TableSpec("o_orderkey", "o_orderdate", partition = Some("o_orderstatus")),
+          t(s, d, "orders"))
+        s.conf.set("spark.sql.catalog.gmeta", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gmeta.warehouse",
+          freshDir(s"metagrp_wh_${d.replaceAll("[^a-z0-9.]", "_")}"))
+        s.sql("DROP TABLE IF EXISTS gmeta.default.om")
+        s.sql(s"CREATE TABLE gmeta.default.om USING graft LOCATION '$dir'")
+        val df = s.sql(
+          """SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS mn,
+            |       max(o_orderkey) AS mx
+            |FROM gmeta.default.om GROUP BY o_orderstatus
+            |ORDER BY o_orderstatus""".stripMargin)
+        require(df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan
+        }.exists(_.isInstanceOf[graft.sources.GraftMetaAggScan]),
+          "partition-grouped aggregate must be answered from commit-log metadata")
+        df
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS mn,
+        |       MAX(o_orderkey) AS mx
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // CDF with preimages (Delta parity): same churn as q92, but the feed
     // also carries update_preimage rows — each updated key's values AT the
     // window start, read from the window-REMOVED files (cost ∝ churn).

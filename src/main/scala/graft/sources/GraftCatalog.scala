@@ -315,7 +315,7 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
-  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -336,15 +336,19 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
     if (filters.nonEmpty) false
     else { limit = Some(n); true }
 
-  /** DSv2 aggregate push-down: unfiltered, ungrouped `COUNT(*)` /
-    * `MIN(col)` / `MAX(col)` collapse to ONE commit-log metadata row —
-    * zero data files opened, on ANY session (the optimizer-rule variant,
+  /** DSv2 aggregate push-down: unfiltered `COUNT(*)` / `MIN(col)` /
+    * `MAX(col)` — ungrouped, or `GROUP BY` the table's PARTITION column —
+    * collapse to commit-log metadata rows (one per group) — zero data
+    * files opened, on ANY session (the optimizer-rule variant,
     * [[graft.sql.GraftMetadataOnlyCount]], needs GraftExtensions; this is
     * the pure-DSv2 route). Accepted only when metadata answers EXACTLY:
     * count needs no live MoR logs (DVs stay exact via rows − dvRows);
     * extremes additionally need no DVs, key/stats-column footer stats on
-    * every file, and a string-round-trippable type. Complete push-down:
-    * Spark consumes the row directly, no re-aggregation. */
+    * every file, and a string-round-trippable type; the grouped form
+    * additionally needs an exact-round-trip partition column type.
+    * Complete push-down: Spark consumes the rows directly, no
+    * re-aggregation — `SELECT p, count(*), max(x) FROM t GROUP BY p` on a
+    * 100 TB table is a pure driver-metadata answer. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     tryAnswer(agg).isDefined
@@ -358,11 +362,10 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
 
   private def tryAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
-      Option[(StructType, Seq[Any])] =
+      Option[(StructType, Seq[Seq[Any]])] =
     try {
       import org.apache.spark.sql.connector.expressions.aggregate._
-      if (filters.nonEmpty || limit.isDefined || agg.groupByExpressions().nonEmpty)
-        return None
+      if (filters.nonEmpty || limit.isDefined) return None
       val t = LakeTable.load(SparkSession.active, path)
       def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
         e match {
@@ -371,27 +374,75 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
             fullSchema.fields.find(_.name == nr.fieldNames.head)
           case _ => None
         }
-      val answered = agg.aggregateExpressions().toSeq.map {
-        case _: CountStar =>
-          t.exactRowCount(asOf).map(n =>
-            (StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false),
-              n: Any))
-        case m: Min => colOf(m.column).flatMap { f =>
-          graft.sql.GraftMetadataOnlyCount
-            .metaExtreme(t, f.name, f.dataType, isMin = true, asOf)
-            .map(v => (StructField(s"min(${f.name})", f.dataType), v))
-        }
-        case m: Max => colOf(m.column).flatMap { f =>
-          graft.sql.GraftMetadataOnlyCount
-            .metaExtreme(t, f.name, f.dataType, isMin = false, asOf)
-            .map(v => (StructField(s"max(${f.name})", f.dataType), v))
-        }
-        case _ => None
+      val groupBy = agg.groupByExpressions().toSeq
+      // grouped form: exactly GROUP BY the table's partition column
+      val partField: Option[StructField] = groupBy match {
+        case Seq() => None
+        case Seq(g) =>
+          val f = colOf(g)
+          val exact = Set[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.StringType)
+          if (f.exists(x => t.spec.partition.exists(_.equalsIgnoreCase(x.name)) &&
+              exact.contains(x.dataType))) f
+          else return None
+        case _ => return None
       }
+      // per-group answer functions: pv = stored partitionValue string
+      // (ungrouped = single pseudo-group answering from whole-table stats)
+      val longT = org.apache.spark.sql.types.LongType
+      def const(v: Any): String => Any = _ => v
+      val answered: Seq[Option[(StructField, String => Any)]] =
+        agg.aggregateExpressions().toSeq.map {
+          case _: CountStar => partField match {
+            case None => t.exactRowCount(asOf).map(n =>
+              (StructField("count(*)", longT, nullable = false), const(n)))
+            case Some(_) => t.partitionRowCounts(asOf).map(counts =>
+              (StructField("count(*)", longT, nullable = false),
+                (pv: String) => counts(pv)))
+          }
+          case m: Min => colOf(m.column).flatMap { f => partField match {
+            case None => graft.sql.GraftMetadataOnlyCount
+              .metaExtreme(t, f.name, f.dataType, isMin = true, asOf)
+              .map(v => (StructField(s"min(${f.name})", f.dataType), const(v)))
+            case Some(_) => graft.sql.GraftMetadataOnlyCount
+              .metaExtremeByPartition(t, f.name, f.dataType, isMin = true, asOf)
+              .map(vs => (StructField(s"min(${f.name})", f.dataType),
+                (pv: String) => vs(pv)))
+          }}
+          case m: Max => colOf(m.column).flatMap { f => partField match {
+            case None => graft.sql.GraftMetadataOnlyCount
+              .metaExtreme(t, f.name, f.dataType, isMin = false, asOf)
+              .map(v => (StructField(s"max(${f.name})", f.dataType), const(v)))
+            case Some(_) => graft.sql.GraftMetadataOnlyCount
+              .metaExtremeByPartition(t, f.name, f.dataType, isMin = false, asOf)
+              .map(vs => (StructField(s"max(${f.name})", f.dataType),
+                (pv: String) => vs(pv)))
+          }}
+          case _ => None
+        }
       if (answered.exists(_.isEmpty) || answered.isEmpty) None
       else {
         val pairs = answered.map(_.get)
-        Some((StructType(pairs.map(_._1)), pairs.map(_._2)))
+        val aggSchema = pairs.map(_._1)
+        partField match {
+          case None =>
+            Some((StructType(aggSchema), Seq(pairs.map(_._2("")))))
+          case Some(pf) =>
+            // complete grouped push-down: output = group column, then aggs
+            val pvs = t.liveFiles(asOf)
+              .map(_.partitionValue.getOrElse("__HIVE_DEFAULT_PARTITION__"))
+              .distinct.sorted
+            val keys = pvs.map(pv =>
+              graft.sql.GraftMetadataOnlyCount.parsePartitionValue(pv, pf.dataType)
+                .map(pv -> _))
+            if (keys.exists(_.isEmpty)) return None
+            val rows = keys.map(_.get).map { case (pv, k) =>
+              k +: pairs.map(_._2(pv))
+            }
+            Some((StructType(pf +: aggSchema), rows))
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -719,23 +770,24 @@ object GraftScanStats {
   }
 }
 
-/** One-row scan carrying a completely pushed-down aggregate answered from
+/** Tiny scan carrying a completely pushed-down aggregate answered from
   * commit-log metadata ([[GraftScanBuilder.pushAggregation]]) — the
-  * executed plan reads this single InternalRow instead of the table. */
-class GraftMetaAggScan(schema: StructType, values: Seq[Any])
+  * executed plan reads these InternalRows (one per group; ungrouped = one
+  * row) instead of the table. */
+class GraftMetaAggScan(schema: StructType, rows: Seq[Seq[Any]])
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.Batch {
   override def readSchema(): StructType = schema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def planInputPartitions():
       Array[org.apache.spark.sql.connector.read.InputPartition] =
-    Array(GraftMetaAggPartition(values))
+    Array(GraftMetaAggPartition(rows))
   override def createReaderFactory():
       org.apache.spark.sql.connector.read.PartitionReaderFactory =
     GraftMetaAggReaderFactory()
 }
 
-case class GraftMetaAggPartition(values: Seq[Any])
+case class GraftMetaAggPartition(rows: Seq[Seq[Any]])
   extends org.apache.spark.sql.connector.read.InputPartition
 
 case class GraftMetaAggReaderFactory()
@@ -745,11 +797,11 @@ case class GraftMetaAggReaderFactory()
         org.apache.spark.sql.catalyst.InternalRow] =
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {
-      private val vals = p.asInstanceOf[GraftMetaAggPartition].values
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
+      private val it = p.asInstanceOf[GraftMetaAggPartition].rows.iterator
+      private var cur: Seq[Any] = _
+      override def next(): Boolean = if (it.hasNext) { cur = it.next(); true } else false
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(cur)
       override def close(): Unit = ()
     }
 }

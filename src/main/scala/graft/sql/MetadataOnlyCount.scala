@@ -135,6 +135,26 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
       })
     }
 
+  /** Per-PARTITION exact min/max of a stat'd column, keyed by the stored
+    * partitionValue string — the grouped sibling of [[metaExtreme]] behind
+    * the `GROUP BY <partition>` DSv2 aggregate push-down. */
+  private[graft] def metaExtremeByPartition(t: LakeTable, name: String,
+      dt: DataType, isMin: Boolean, asOf: Option[Long]): Option[Map[String, Any]] =
+    t.fileExtremesWithPartition(name, asOf).flatMap { perFile =>
+      val reduced = perFile.groupBy(_._1).map { case (pv, files) =>
+        val side = files.map { case (_, mm) => if (isMin) mm._1 else mm._2 }
+        traverse(side)(parse(_, dt)).map(v => pv -> v.reduce { (a, b) =>
+          if (isMin == lessThan(a, b)) a else b
+        })
+      }
+      if (reduced.exists(_.isEmpty)) None else Some(reduced.map(_.get).toMap)
+    }
+
+  /** A stored partitionValue string in Spark's internal form (null
+    * partition sentinel → null). Only exact-round-trip types. */
+  private[graft] def parsePartitionValue(pv: String, dt: DataType): Option[Any] =
+    if (pv == "__HIVE_DEFAULT_PARTITION__") Some(null) else parse(pv, dt)
+
   /** Parse a FooterStats-rendered value back to Spark's internal form —
     * only for types where the string round-trip is exact. */
   private def parse(s: String, dt: DataType): Option[Any] = dt match {

@@ -211,6 +211,57 @@ class AnalyzeStatsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.metadataCount.enabled")
   }
 
+  test("GROUP BY partition column answers count/min/max from commit-log metadata") {
+    val path = Files.createTempDirectory("graft_aggpd_grp").toString
+    val tbl = LakeTable.create(spark, path,
+      TableSpec("id", "ts", partition = Some("p")),
+      (1L to 300L).map(i => (i, 1L, s"v$i", s"g${i % 3}"))
+        .toDF("id", "ts", "v", "p"))
+    val cat = "gagg2"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_aggpd_grp_wh").toString)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.default.gagg")
+    spark.sql(s"CREATE TABLE $cat.default.gagg USING graft LOCATION '$path'")
+    spark.conf.set("spark.graft.metadataCount.enabled", "false")
+    try {
+      def metaScans(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+        }.filter(_.isInstanceOf[graft.sources.GraftMetaAggScan])
+      val df = spark.sql(
+        s"""SELECT p, count(*) AS n, min(id) AS mn, max(id) AS mx
+           |FROM $cat.default.gagg GROUP BY p ORDER BY p""".stripMargin)
+      assert(metaScans(df).nonEmpty,
+        "GROUP BY partition must push to the metadata scan")
+      val got = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // g0 = {3,6,...,300}: 100 rows, min 3, max 300; g1 = {1,...,298};
+      // g2 = {2,...,299}
+      assert(got.toSeq == Seq(("g0", 100L, 3L, 300L), ("g1", 100L, 1L, 298L),
+        ("g2", 100L, 2L, 299L)))
+      // a non-partition group column must NOT claim the metadata scan
+      val byV = spark.sql(
+        s"SELECT v, count(*) AS n FROM $cat.default.gagg GROUP BY v")
+      assert(metaScans(byV).isEmpty)
+      assert(byV.count() == 300)
+      // DVs: grouped count stays exact (rows − dvRows per partition),
+      // grouped extremes fall back to a real scan
+      tbl.deleteVectors(col("id") > 290L)
+      spark.sql(s"REFRESH TABLE $cat.default.gagg")
+      val counted = spark.sql(
+        s"SELECT p, count(*) AS n FROM $cat.default.gagg GROUP BY p ORDER BY p")
+      assert(metaScans(counted).nonEmpty)
+      assert(counted.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("g0", 96L), ("g1", 97L), ("g2", 97L)))
+      val mm = spark.sql(
+        s"SELECT p, max(id) AS mx FROM $cat.default.gagg GROUP BY p ORDER BY p")
+      assert(metaScans(mm).isEmpty, "DV'd grouped extreme must not claim exactness")
+      assert(mm.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("g0", 288L), ("g1", 289L), ("g2", 290L)))
+    } finally spark.conf.unset("spark.graft.metadataCount.enabled")
+  }
+
   /** Leaf table names under the FIRST (deepest) join of the optimized plan. */
   private def bottomJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
