@@ -497,6 +497,30 @@ object LakeQueries {
       },
       "SELECT CAST(count(*) AS BIGINT) AS n FROM orders WHERE NOT (o_orderkey % 5 = 0)")),
 
+    // Partition-FILTERED metadata-only aggregate: WHERE on the partition
+    // column (equality / IN) restricts the commit-log stats to the allowed
+    // partitions — count/min/max still collapse to a LocalRelation, zero
+    // data files opened (the everyday "how many rows landed today" query).
+    "q104_meta_filtered_agg" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"metafilt_${d.replaceAll("[^a-z0-9.]", "_")}")
+        LakeTable.create(s, path,
+          TableSpec("o_orderkey", "o_orderdate", partition = Some("o_orderstatus")),
+          t(s, d, "orders"))
+        val agg = s.read.format("graft").load(path)
+          .filter(col("o_orderstatus") === "F")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+        val rewritten = graft.sql.GraftMetadataOnlyCount(agg.queryExecution.analyzed)
+        require(rewritten.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+          "partition-filtered aggregate must collapse to commit-log metadata")
+        org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n, MIN(o_orderkey) AS mn,
+        |       MAX(o_orderkey) AS mx
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+
     // Metadata-only MIN/MAX: on a DV-free snapshot, extremes of the key and
     // of declared stats columns fold from per-file footer stats — the
     // require proves the whole aggregate collapsed to a LocalRelation even

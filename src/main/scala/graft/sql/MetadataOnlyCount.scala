@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, In, InSet, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -51,11 +51,50 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(Nil, aggs, child, _) if aggs.nonEmpty =>
         (for {
-          (path, resolveAsOf, relOut) <- scanTarget(child)
+          (path, resolveAsOf, relOut, allowed) <- scanTarget(child)
           wants <- traverse(aggs)(classify(_, relOut))
-          values <- answer(spark, path, resolveAsOf, wants)
+          values <- answer(spark, path, resolveAsOf, wants, allowed)
         } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
           .getOrElse(agg)
+    }
+  }
+
+  /** Decompose a filter condition into "partition attribute ∈ literal set"
+    * — EqualTo / IN / InSet on ONE attribute, AND-composed. Values are
+    * rendered to the stored partitionValue string form (exact for string
+    * and integral types only). Anything else → None (rule bails). */
+  private def partitionPredicate(cond: Expression,
+      relOut: Seq[AttributeReference]): Option[(String, Set[String])] = {
+    def lit2s(l: Literal): Option[String] = l match {
+      case Literal(null, _) => None // = NULL matches nothing; bail
+      case Literal(v: UTF8String, StringType) => Some(v.toString)
+      case Literal(v, ByteType | ShortType | IntegerType | LongType) => Some(v.toString)
+      case _ => None
+    }
+    def nameOf(a: AttributeReference): Option[String] =
+      relOut.find(_.exprId == a.exprId).map(_.name)
+    cond match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        for { n <- nameOf(a); s <- lit2s(l) } yield (n, Set(s))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        for { n <- nameOf(a); s <- lit2s(l) } yield (n, Set(s))
+      case In(a: AttributeReference, ls) if ls.forall(_.isInstanceOf[Literal]) =>
+        for {
+          n <- nameOf(a)
+          ss <- traverse(ls)(l => lit2s(l.asInstanceOf[Literal]))
+        } yield (n, ss.toSet)
+      case InSet(a: AttributeReference, vs) =>
+        nameOf(a).map(n => (n, vs.filter(_ != null).map {
+          case u: UTF8String => u.toString
+          case v => v.toString
+        }.toSet))
+      case And(x, y) =>
+        for {
+          (nx, vx) <- partitionPredicate(x, relOut)
+          (ny, vy) <- partitionPredicate(y, relOut)
+          if nx == ny
+        } yield (nx, vx.intersect(vy))
+      case _ => None
     }
   }
 
@@ -88,11 +127,26 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
     * by exprId so projection renames cannot mislabel a column. The time
     * travel version is resolved LAZILY (a function of the loaded table) so
     * `timestampAsOf` reads answer for the right snapshot. */
-  private def scanTarget(
-      p: LogicalPlan): Option[(String, LakeTable => Option[Long], Seq[AttributeReference])] =
+  private def scanTarget(p: LogicalPlan): Option[(String,
+      LakeTable => Option[Long], Seq[AttributeReference],
+      Option[(String, Set[String])])] =
     p match {
       case SubqueryAlias(_, c) => scanTarget(c)
       case Project(_, c) => scanTarget(c)
+      // a partition-predicate Filter keeps the plan answerable: the
+      // metadata restricts to the allowed partitionValues (validated
+      // against the table's partition column inside `answer`)
+      case Filter(cond, c) =>
+        scanTarget(c).flatMap { case (path, r, out, prev) =>
+          partitionPredicate(cond, out).flatMap { case (name, vals) =>
+            prev match {
+              case None => Some((path, r, out, Some((name, vals))))
+              case Some((pn, pv)) if pn == name =>
+                Some((path, r, out, Some((name, pv.intersect(vals)))))
+              case _ => None
+            }
+          }
+        }
       case lr @ LogicalRelation(rel: GraftRelation, _, _, _, _)
           if !rel.parameters.contains("incremental.since") &&
             !rel.parameters.contains("changes.since") &&
@@ -101,24 +155,45 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
           rel.parameters.get("versionAsOf").map(_.toLong)
             .orElse(rel.parameters.get("timestampAsOf")
               .map(s => t.versionAt(LakeTable.parseUserTimestamp(s))))
-        Some((rel.path, resolve, lr.output.collect { case a: AttributeReference => a }))
+        Some((rel.path, resolve,
+          lr.output.collect { case a: AttributeReference => a }, None))
       case r: DataSourceV2Relation =>
         r.table match {
           case t: GraftCatalogTable =>
-            Some((t.path, _ => t.asOf, r.output.collect { case a: AttributeReference => a }))
+            Some((t.path, _ => t.asOf,
+              r.output.collect { case a: AttributeReference => a }, None))
           case _ => None
         }
       case _ => None
     }
 
   private def answer(spark: SparkSession, path: String,
-      resolveAsOf: LakeTable => Option[Long], wants: Seq[Want]): Option[Seq[Any]] =
+      resolveAsOf: LakeTable => Option[Long], wants: Seq[Want],
+      allowed: Option[(String, Set[String])]): Option[Seq[Any]] =
     try {
       val t = LakeTable.load(spark, path)
       val asOf = resolveAsOf(t)
+      // a filter is only answerable when it constrains the partition column
+      allowed.foreach { case (name, _) =>
+        if (!t.specAt(asOf).partition.exists(_.equalsIgnoreCase(name))) return None
+      }
+      val vals = allowed.map(_._2)
       traverse(wants) {
-        case WantCount => t.exactRowCount(asOf).map(n => n: Any)
-        case WantExtreme(name, dt, isMin) => metaExtreme(t, name, dt, isMin, asOf)
+        case WantCount => vals match {
+          case None => t.exactRowCount(asOf).map(n => n: Any)
+          case Some(vs) => t.partitionRowCounts(asOf)
+            .map(m => vs.toSeq.map(v => m.getOrElse(v, 0L)).sum: Any)
+        }
+        case WantExtreme(name, dt, isMin) => vals match {
+          case None => metaExtreme(t, name, dt, isMin, asOf)
+          case Some(vs) => metaExtremeByPartition(t, name, dt, isMin, asOf).map { m =>
+            val sel = m.collect { case (pv, v) if vs.contains(pv) => v }
+            // empty selection = no rows in the allowed partitions → NULL,
+            // the exact SQL answer for MIN/MAX over zero rows
+            if (sel.isEmpty) null
+            else sel.reduce((a, b) => if (isMin == lessThan(a, b)) a else b)
+          }
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -38,6 +38,37 @@ class MetadataCountSpec extends AnyFunSuite {
   private def isMetadataOnly(df: org.apache.spark.sql.DataFrame): Boolean =
     df.queryExecution.optimizedPlan.collectLeaves().forall(_.isInstanceOf[LocalRelation])
 
+  test("partition-equality filters keep aggregates metadata-only; others refuse") {
+    val path = Files.createTempDirectory("graft_mc_part").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "ts", partition = Some("p")),
+      (1L to 300L).map(i => (i, 1L, s"v$i", s"g${i % 3}")).toDF("k", "ts", "v", "p"))
+    def q(where: String) = spark.read.format("graft").load(t.path)
+      .filter(where).agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    // p = 'g0' -> rows 3,6,...,300
+    val eq = q("p = 'g0'")
+    assert(isMetadataOnly(eq), eq.queryExecution.optimizedPlan.toString)
+    assert(eq.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      Seq((100L, 3L, 300L)))
+    // IN over two partitions
+    val in = q("p IN ('g1', 'g2')")
+    assert(isMetadataOnly(in))
+    assert(in.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      Seq((200L, 1L, 299L)))
+    // a non-existent partition: count 0, NULL extremes — still metadata
+    val none = q("p = 'nope'")
+    assert(isMetadataOnly(none))
+    val r0 = none.collect().head
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1) && r0.isNullAt(2))
+    // a non-partition filter must refuse the rewrite (and stay correct)
+    val nonPart = q("v = 'v3'")
+    assert(!isMetadataOnly(nonPart))
+    assert(nonPart.collect().head.getLong(0) == 1L)
+    // a range predicate on the partition column also refuses (only = / IN)
+    val range = q("p > 'g0'")
+    assert(!isMetadataOnly(range))
+    assert(range.collect().head.getLong(0) == 200L)
+  }
+
   test("unfiltered count(*) collapses to metadata and stays correct") {
     val t = mk("cow")
     val df = spark.read.format("graft").load(t.path).groupBy().count()
