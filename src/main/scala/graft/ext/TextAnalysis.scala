@@ -325,6 +325,121 @@ object TextAnalysis {
         sum(col("_s")).as("sb_milli"))
   }
 
+  /** RAG-style sliding-window chunking: split each document into
+    * fixed-size token windows (`chunkTokens` wide, overlapping by
+    * `overlap`) with stable, reproducible chunk identities — the indexing
+    * step that feeds retrieval pipelines. Chunk 0 starts at token 0;
+    * successive chunks start every `chunkTokens - overlap` tokens; the
+    * last chunk is the first one whose window reaches the end of the
+    * document (a doc of `<= chunkTokens` tokens is exactly one chunk).
+    *
+    * Output per chunk: the parent id, `chunk_id` (0-based), `n_tokens`
+    * (whole doc), `chunk_start`/`chunk_len` (token offsets), `chunk_text`,
+    * and `chunk_hash` (md5 of the chunk text — the retrieval-unit
+    * fingerprint, also the chunk-level exact-dedup key).
+    *
+    * Scale shape: tokenize once per row, one `posexplode` over the chunk
+    * starts (output ∝ corpus tokens × (1 + overlap/stride) — inherent),
+    * zero shuffles; chunk ids derive from (doc, offset), never from any
+    * global counter, so the op is embarrassingly parallel at any scale. */
+  def chunk(df: DataFrame, chunkTokens: Int = 64, overlap: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens >= 1, "chunk needs chunkTokens >= 1")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "chunk needs 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.withColumn("_w", tokens(col(textCol)))
+      .withColumn("_n", size(col("_w")).cast("long"))
+      .withColumn("_nc", expr(
+        s"CASE WHEN _n <= $chunkTokens THEN 1L " +
+          s"ELSE (_n - $chunkTokens + ${stride - 1}) div $stride + 1L END"))
+      .select(col(idCol), col("_w"), col("_n"),
+        posexplode(expr(s"sequence(0L, (_nc - 1) * $stride, $stride)"))
+          .as(Seq("chunk_id", "chunk_start")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("_n").as("n_tokens"),
+        col("chunk_start"),
+        least(lit(chunkTokens.toLong), col("_n") - col("chunk_start"))
+          .as("chunk_len"),
+        array_join(slice(col("_w"), col("chunk_start").cast("int") + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+  }
+
+  /** Feature-hashed text embedding (the hashing trick, Weinberger et al.
+    * 2009): each token lands in `pmod(h, dim)` with sign ±1 from the next
+    * hash bit, summed per document — a fixed-width, vocabulary-free,
+    * all-integer embedding that any engine with md5 replays bit-for-bit
+    * ([[Dedup.portableSeededHash]] buckets). Returns sparse rows
+    * `(id, bucket, weight)` — only touched buckets appear (cancelled-out
+    * buckets appear with weight 0: the row set is the set of hashed-into
+    * buckets, a deterministic function of the text alone).
+    *
+    * Scale shape: one explode to token rows, one (id, bucket) hash agg —
+    * map-side partial combine absorbs repeated tokens, the shuffle carries
+    * at most `dim` rows per document. No windows, no driver state. */
+  def hashedEmbedding(df: DataFrame, dim: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dim >= 1, "hashedEmbedding needs dim >= 1")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .withColumn("_h", Dedup.portableSeededHash(lit(0), col("_tok")))
+      .select(col(idCol), (col("_h") % dim).as("bucket"),
+        when(expr(s"(_h div $dim) % 2") === 0, 1L).otherwise(-1L).as("_sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("_sign")).as("weight"))
+  }
+
+  /** Dense companion of [[hashedEmbedding]]: one `Array[Long]` of length
+    * `dim` per document (untouched buckets 0), ready for the
+    * [[Similarity]] ANN family. Built from the sparse rows with a
+    * map-from-entries gather — still one shuffle, rows ∝ touched buckets. */
+  def hashedEmbeddingDense(df: DataFrame, dim: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    hashedEmbedding(df, dim, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("weight"))))
+        .as("_m"))
+      .select(col(idCol), expr(
+        s"transform(sequence(0, ${dim - 1}), i -> coalesce(_m[CAST(i AS BIGINT)], 0L))")
+        .as("embedding"))
+
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) with an
+    * exact companion: build a `depth × width` CMS over corpus word
+    * frequencies, then report the exact top-`k` words alongside their
+    * sketch estimates and the one-sided CMS guarantee (`cms_est >=
+    * exact_c`, always true — collisions only overcount). The sketch rows
+    * are md5-portable ([[Dedup.portableSeededHash]]), so another engine
+    * replays the estimates bit-for-bit, collisions included.
+    *
+    * Scale shape: the sketch is `depth` hash aggs over the token rows
+    * (map-side combine; the shuffled sketch is at most depth×width rows
+    * TOTAL, independent of corpus size — that is the point of a CMS), the
+    * exact top-k is one hash agg + top-k, and the estimate lookup joins k×
+    * depth probe rows against the fixed-size sketch. At 100 TB the sketch
+    * is still depth×width rows; only the linear token scan grows. */
+  def heavyHitters(df: DataFrame, k: Int = 20, depth: Int = 4,
+      width: Int = 1024, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(depth >= 1 && width >= 1 && k >= 1, "heavyHitters needs positive k/depth/width")
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    val sketch = toks
+      .select(posexplode(array((0 until depth).map(d =>
+        Dedup.portableSeededHash(lit(d), col("tok")) % width): _*))
+        .as(Seq("d", "bucket")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    val topK = toks.groupBy("tok").agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col("tok").asc).limit(k)
+    val probes = topK.select(col("tok"), col("exact_c"),
+      posexplode(array((0 until depth).map(d =>
+        Dedup.portableSeededHash(lit(d), col("tok")) % width): _*))
+        .as(Seq("d", "bucket")))
+    probes.join(sketch, Seq("d", "bucket"))
+      .groupBy("tok", "exact_c").agg(min("c").as("cms_est"))
+      .select(col("tok"), col("exact_c"), col("cms_est"),
+        (col("cms_est") >= col("exact_c")).as("bound_ok"))
+  }
+
   /** Column-per-stat spec of [[stats]] (each stat re-derives its own
     * tokenization; cross-checked against the native single-pass expression
     * in TextStatsSpec). */

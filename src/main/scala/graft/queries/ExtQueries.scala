@@ -853,6 +853,51 @@ object ExtQueries {
         |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
 
+    // Streaming dedup with watermark-bounded state (§2.9):
+    // `dropDuplicatesWithinWatermark` keeps first occurrences while holding
+    // per-key state only as long as the watermark delay — the bounded-state
+    // answer to exactly-once ingestion of an at-least-once feed (a 100 TB
+    // stream cannot keep every key ever seen; a batch-window dedup can't
+    // dedup across batches). Every 10th event is re-fed as a second file in
+    // a later micro-batch (maxFilesPerTrigger=1) and must drop; the delay
+    // (90 days) covers the 30-day feed span, so no row is ever late and the
+    // drained output equals the duplicate-free feed exactly.
+    "q108_stream_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        graft.core.GraftSession.ensure(s)
+        val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_ddw")
+        val inDir = base.resolve("in")
+        if (!Files.exists(inDir)) Files.createDirectories(inDir)
+        Files.copy(Paths.get(d, "events.parquet"), inDir.resolve("a_events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val evb = s.read.parquet(s"$d/events.parquet")
+        val sch = evb.schema
+        val dupDir = base.resolve("dup")
+        evb.filter(col("event_id") % 10 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(dupDir.toString)
+        val dupPart = Files.list(dupDir)
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.copy(dupPart, inDir.resolve("zz_dups.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val deduped = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts_t", "90 days")
+          .dropDuplicatesWithinWatermark("event_id")
+        val name = "graft_ddw_sink"
+        s.catalog.dropTempView(name)
+        val q = deduped.writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts_t")).as("ts_us"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin)),
+
     // Corpus n-gram typicality: per-doc knownness of word bigrams against
     // the whole corpus (boilerplate = high common-gram mass, noise = grams
     // nobody else uses). Explode → corpus hash agg → join back → per-doc
@@ -877,6 +922,71 @@ object ExtQueries {
         |  CAST(COALESCE(p.gram_mass, 0) AS BIGINT) AS gram_mass
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
+
+    // RAG-style sliding-window chunking: 64-token windows, 16-token
+    // overlap, stable (doc, offset)-derived chunk ids + md5 chunk
+    // fingerprints. Pure per-row tokenize + posexplode — no shuffle;
+    // all-integer/string output: hash-exact.
+    "q105_chunking" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.chunk(t(s, d, "documents"), chunkTokens = 64, overlap = 16)
+          .orderBy("doc_id", "chunk_id"),
+      raw"""WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+        |    CASE WHEN len(ws) <= 64 THEN 1
+        |         ELSE (len(ws) - 64 + 47) // 48 + 1 END AS nc FROM w),
+        |x AS (SELECT doc_id, ws, n, UNNEST(range(nc)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id, n AS n_tokens,
+        |  chunk_id * 48 AS chunk_start,
+        |  CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) AS chunk_len,
+        |  array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+        |  md5(array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_hash
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Feature-hashed (hashing-trick) text embeddings: vocabulary-free
+    // fixed-width integer vectors from md5-portable token buckets with
+    // ±1 signs — sparse (doc, bucket, weight) rows, replayed exactly by
+    // the oracle including sign cancellations.
+    "q106_hashed_embedding" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.hashedEmbedding(t(s, d, "documents"), dim = 256)
+          .orderBy("doc_id", "bucket"),
+      raw"""WITH tok AS (SELECT doc_id,
+        |    UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS hv FROM tok)
+        |SELECT doc_id, hv % 256 AS bucket,
+        |  CAST(SUM(CASE WHEN (hv // 256) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        |FROM h GROUP BY doc_id, hv % 256 ORDER BY doc_id, bucket""".stripMargin)),
+
+    // Count-min-sketch heavy hitters with exact companion: the 4×1024
+    // md5-portable sketch is replayed bit-for-bit (collisions included),
+    // the exact top-20 anchors it, and the CMS one-sided bound
+    // (est >= exact) enters as an always-true boolean column.
+    "q107_heavy_hitters" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.heavyHitters(t(s, d, "documents"), k = 20, depth = 4, width = 1024)
+          .orderBy(col("exact_c").desc, col("tok").asc),
+      raw"""WITH tok AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |sk AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT UNNEST([0, 1, 2, 3]) AS d,
+        |      UNNEST([('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT % 1024,
+        |              ('0x' || substr(md5('1:' || tok), 1, 15))::BIGINT % 1024,
+        |              ('0x' || substr(md5('2:' || tok), 1, 15))::BIGINT % 1024,
+        |              ('0x' || substr(md5('3:' || tok), 1, 15))::BIGINT % 1024]) AS bucket
+        |    FROM tok) GROUP BY d, bucket),
+        |topk AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_c FROM tok
+        |  GROUP BY tok ORDER BY exact_c DESC, tok ASC LIMIT 20),
+        |probe AS (SELECT t.tok, t.exact_c, x.d,
+        |    ('0x' || substr(md5(CAST(x.d AS VARCHAR) || ':' || t.tok), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM topk t CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS d) x)
+        |SELECT p.tok, p.exact_c, MIN(s.c) AS cms_est,
+        |  MIN(s.c) >= p.exact_c AS bound_ok
+        |FROM probe p JOIN sk s ON p.d = s.d AND p.bucket = s.bucket
+        |GROUP BY p.tok, p.exact_c
+        |ORDER BY exact_c DESC, tok ASC""".stripMargin)),
 
     // Deterministic global shuffle: every doc's 0-based position in the
     // md5(seed:key) permutation — reproducible training order, computed

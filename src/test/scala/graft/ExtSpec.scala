@@ -621,4 +621,66 @@ class ExtSpec extends AnyFunSuite {
     assert(out(4L).getAs[String]("text_dedup") == "tiny doc",
       "docs shorter than the span pass through")
   }
+
+  test("chunking covers every token, respects overlap, and is reproducible") {
+    import spark.implicits._
+    val words = (1 to 150).map(i => s"w$i").mkString(" ")
+    val in = Seq((1L, words), (2L, "a b c"), (3L, (1 to 64).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(in, chunkTokens = 64, overlap = 16)
+    val byDoc = out.collect().groupBy(_.getAs[Long]("doc_id"))
+    // 150 tokens, stride 48: starts 0,48,96 → 96+64=160 >= 150 → 3 chunks
+    assert(byDoc(1L).length == 3)
+    assert(byDoc(1L).map(_.getAs[Long]("chunk_start")).sorted.sameElements(Array(0L, 48L, 96L)))
+    assert(byDoc(1L).map(_.getAs[Long]("chunk_len")).sorted.sameElements(Array(54L, 64L, 64L)))
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = byDoc(1L).find(_.getAs[Long]("chunk_id") == 0L).get.getAs[String]("chunk_text")
+    val c1 = byDoc(1L).find(_.getAs[Long]("chunk_id") == 1L).get.getAs[String]("chunk_text")
+    assert(c0.split(" ").takeRight(16).sameElements(c1.split(" ").take(16)))
+    // short docs and exactly-chunk-sized docs are one chunk, text verbatim
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getAs[String]("chunk_text") == "a b c")
+    assert(byDoc(3L).length == 1 && byDoc(3L).head.getAs[Long]("chunk_len") == 64L)
+    // reconstruction: concatenating each chunk's non-overlap prefix + the
+    // last chunk's tail covers the doc exactly
+    val ordered = byDoc(1L).sortBy(_.getAs[Long]("chunk_id"))
+    val rebuilt = ordered.init.map(_.getAs[String]("chunk_text").split(" ").take(48))
+      .flatten ++ ordered.last.getAs[String]("chunk_text").split(" ")
+    assert(rebuilt.mkString(" ") == words, "chunks must cover the doc losslessly")
+  }
+
+  test("hashed embeddings: dense gather matches sparse rows; cosine ANN runs on them") {
+    val sparse = TextAnalysis.hashedEmbedding(docs, dim = 64)
+    val dense = TextAnalysis.hashedEmbeddingDense(docs, dim = 64)
+    val sm = sparse.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket")) -> r.getAs[Long]("weight"))
+      .toMap
+    val dm = dense.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("embedding")).toMap
+    assert(dm.nonEmpty && dm.values.forall(_.length == 64))
+    for (((id, b), w) <- sm) assert(dm(id)(b.toInt) == w, s"doc $id bucket $b")
+    assert(dm.forall { case (id, v) =>
+      v.zipWithIndex.forall { case (x, i) => x == 0L || sm.contains((id, i.toLong)) }
+    }, "dense non-zeros must all come from sparse rows")
+    // identical text → identical embedding; the vectors are ANN-ready
+    val one = docs.orderBy("doc_id").limit(1)
+    val dup = one.withColumn("doc_id", lit(999999L))
+    val dd = TextAnalysis.hashedEmbeddingDense(one.unionByName(dup), dim = 64)
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("embedding"))
+    assert(dd(0) == dd(1), "same text must hash to the same embedding")
+  }
+
+  test("heavy hitters: estimates dominate exact counts and collide upward only") {
+    val out = TextAnalysis.heavyHitters(docs, k = 15, depth = 4, width = 64).collect()
+    assert(out.length == 15)
+    assert(out.forall(_.getAs[Boolean]("bound_ok")), "CMS must never undercount")
+    assert(out.forall(r => r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_c")))
+    // tiny width forces collisions: at least one estimate strictly above
+    // exact proves the sketch is really a sketch, not a passthrough
+    assert(out.exists(r => r.getAs[Long]("cms_est") > r.getAs[Long]("exact_c")),
+      "width 64 over a real vocabulary must collide somewhere")
+    // a wide sketch on the same corpus is exact for the top hitters
+    val wide = TextAnalysis.heavyHitters(docs, k = 5, depth = 4, width = 1 << 20).collect()
+    assert(wide.forall(r => r.getAs[Long]("cms_est") == r.getAs[Long]("exact_c")),
+      "2^20 buckets at sf0.001 vocabulary should be collision-free for top-5")
+  }
 }

@@ -257,4 +257,48 @@ class StreamingSpec extends AnyFunSuite {
       Seq(0L, 1L, 2L, 12L), "only the genuinely new doc lands")
     assert(index.read().count() == 4, "index = one fingerprint per distinct content")
   }
+
+  test("dropDuplicatesWithinWatermark dedups across batches, evicts state past the watermark") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_ddw_src").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft_ddw_ckp").toString
+    val t0 = 1700000000000000L // µs
+    val hour = 3600L * 1000000L
+    val day = 24L * hour
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ddw_out").toString
+    // memory sinks cannot recover a checkpoint — accumulate emitted rows
+    // via foreachBatch parquet appends instead (the restartable shape)
+    def drain(): Map[String, Long] = {
+      val q = spark.readStream
+        .schema("k STRING, ts_us BIGINT").parquet(src)
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_t", "1 day")
+        .dropDuplicatesWithinWatermark("k")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir): Unit
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).groupBy("k").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    Seq(("A", t0), ("B", t0)).toDF("k", "ts_us")
+      .coalesce(1).write.mode("append").parquet(src)
+    assert(drain() == Map("A" -> 1L, "B" -> 1L), "first occurrences all emit")
+    // a dup within the watermark drops even though it arrives batches later;
+    // C advances the watermark to t0+2d, past A's t0+1d state expiry
+    Seq(("A", t0 + hour), ("C", t0 + 3 * day)).toDF("k", "ts_us")
+      .coalesce(1).write.mode("append").parquet(src)
+    assert(drain() == Map("A" -> 1L, "B" -> 1L, "C" -> 1L),
+      "in-watermark duplicate must drop across micro-batches")
+    // A's state was evicted when the watermark passed — a fresh A re-emits:
+    // bounded state means dedup is only guaranteed WITHIN the delay
+    Seq(("A", t0 + 2 * day + hour)).toDF("k", "ts_us")
+      .coalesce(1).write.mode("append").parquet(src)
+    assert(drain() == Map("A" -> 2L, "B" -> 1L, "C" -> 1L),
+      "post-eviction key behaves as first-seen again (bounded state)")
+  }
 }

@@ -28,8 +28,12 @@ def canon(rows, cols):
         out.append("\x01".join(vals))
     return sorted(out)
 
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
         s_cols, s_rows = spark_rel.columns, spark_rel.fetchall()
