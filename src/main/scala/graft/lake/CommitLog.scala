@@ -159,6 +159,10 @@ object CommitLog {
       val cm = spec.putObject("columnMap")
       c.spec.columnMap.foreach { case (l, p) => cm.put(l, p) }
     }
+    if (c.spec.generated.nonEmpty) {
+      val g = spec.putObject("generated")
+      c.spec.generated.foreach { case (n, e) => g.put(n, e) }
+    }
     val adds = root.putArray("add")
     c.add.foreach { a =>
       val n = adds.addObject()
@@ -335,6 +339,14 @@ object CommitLog {
         val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
         if (specN.hasNonNull("columnMap")) {
           val it = specN.get("columnMap").asInstanceOf[ObjectNode].fields()
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText }
+        }
+        m.toMap
+      },
+      generated = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        if (specN.hasNonNull("generated")) {
+          val it = specN.get("generated").asInstanceOf[ObjectNode].fields()
           while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText }
         }
         m.toMap

@@ -242,7 +242,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val cj = filters.flatMap(conjuncts)
+    val cj0 = filters.flatMap(conjuncts)
+    // hidden partitioning: filters on a generated partition column's SOURCE
+    // column prune through the (monotonic) transform — pure additions to
+    // the conjunction, so this can only skip more, never change results
+    val cj = cj0 ++ (for {
+      p <- spec.partition.toSeq
+      gen <- spec.generated.find(_._1.equalsIgnoreCase(p)).map(_._2).toSeq
+      src <- GeneratedCols.monotonicSource(spark, gen).toSeq
+      d <- GeneratedCols.derive(spark, p, gen, src, cj0)
+    } yield d)
     val declared = schema
     def numericCol(c: String): Boolean =
       declared.fields.find(_.name.equalsIgnoreCase(c)).exists(_.dataType.isInstanceOf[NumericType])
@@ -1524,11 +1533,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     if (latestVersion < 0) return (df0, None)
     // bucketed tables: (re)stamp the stored bucket id from the key — always
     // recomputed, so a caller-supplied value can never mis-place a row
-    val df =
+    val dfB =
       if (spec.buckets > 0)
         df0.withColumn(TableSpec.BUCKET_COL,
           pmod(hash(col(spec.key)), lit(spec.buckets)))
       else df0
+    // generated columns: stamp when omitted, validate when supplied
+    val df = GeneratedCols(dfB, spec.generated)
     val declared = schema
     val have = df.columns.toSet
     val missing = declared.fieldNames.filterNot(have)
@@ -2098,7 +2109,7 @@ object LakeTable {
     // table's (hive-style) partition dirs, so every partition-aware path
     // (pruning, dynamic overwrite, SHOW PARTITIONS) works unchanged and the
     // DSv2 scan can report KeyGroupedPartitioning for shuffle-free joins
-    val (spec, df) =
+    val (spec, dfB) =
       if (spec0.buckets > 0) {
         require(spec0.partition.isEmpty,
           "buckets and partition are mutually exclusive (buckets ARE the layout)")
@@ -2106,6 +2117,7 @@ object LakeTable {
           df0.withColumn(TableSpec.BUCKET_COL,
             pmod(hash(col(spec0.key)), lit(spec0.buckets))))
       } else (spec0, df0)
+    val df = GeneratedCols(dfB, spec.generated)
     spec.partition.foreach(p => require(df.columns.contains(p), s"missing partition col $p"))
     require(df.columns.contains(spec.key) && df.columns.contains(spec.precombine),
       s"key/precombine not in schema")

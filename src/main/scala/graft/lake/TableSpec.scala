@@ -65,7 +65,20 @@ case class TableSpec(
     /** MoR: fold logs automatically when the outstanding log-file count
       * exceeds this (bounds read-time merge work under continuous
       * upserts). 0 = off. */
-    autoCompactLogs: Int = 0) {
+    autoCompactLogs: Int = 0,
+    /** Generated columns (Delta `GENERATED ALWAYS AS (expr)` analog):
+      * logical column name → SQL generation expression over the other
+      * columns. Every write computes a missing generated column
+      * automatically and VALIDATES a caller-supplied one (null-safe
+      * equality, fails loudly on the first divergent batch — Delta's
+      * contract). Partitioning on a generated column gives HIDDEN
+      * PARTITIONING: when the expression is a recognized monotonic
+      * transform of one source column (`to_date`, `date_trunc`, `year`,
+      * zero-padded `date_format`, `div` by a positive constant, casts),
+      * scans filtered on the SOURCE column prune partitions through the
+      * transform — `WHERE ts BETWEEN a AND b` skips date partitions a
+      * query never has to name (see [[GeneratedCols]]). */
+    generated: Map[String, String] = Map.empty) {
 
   /** Physical parquet field name of a logical column. */
   def physical(logical: String): String = columnMap.getOrElse(logical, logical)

@@ -316,6 +316,43 @@ object LakeQueries {
         |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Hidden partitioning via generated columns (Delta GENERATED ALWAYS
+    // AS): the table partitions on event_date = to_date(timestamp_micros(
+    // ts_us)), which no writer ever supplies; a scan filtered on the RAW
+    // timestamp prunes whole date partitions through the monotonic
+    // transform — at 100 TB a 10-day window opens 1/3 of the files without
+    // the query naming a single partition value. The require()s pin that
+    // the pruning actually happened (exactly the 10 in-window partitions).
+    "q109_hidden_partitioning" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+        val path = freshDir(s"gen_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val spec = TableSpec("event_id", "ts_us", partition = Some("event_date"),
+          generated = Map("event_date" -> "to_date(timestamp_micros(ts_us))"))
+        val tbl = LakeTable.create(s, path, spec,
+          events(s, d).select("event_id", "user_id", "event_type", "ts_us"))
+        val lo = 1704844800000000L // 2024-01-10T00:00:00Z in µs
+        val hi = 1705708799999999L // 2024-01-19T23:59:59.999999Z
+        val fs = Seq(GreaterThanOrEqual("ts_us", lo), LessThanOrEqual("ts_us", hi))
+        val all = tbl.liveFiles(None)
+        val kept = tbl.pruneByFilters(all, fs)
+        require(kept.size < all.size, "hidden partitioning must prune files")
+        val parts = kept.flatMap(_.partitionValue).distinct.sorted
+        require(parts.size == 10 && parts.head == "2024-01-10" &&
+          parts.last == "2024-01-19", s"transform pruning kept $parts")
+        tbl.readWhere(fs)
+          .filter(col("ts_us") >= lo && col("ts_us") <= hi)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_us"), col("event_date"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS ts_us,
+        |  CAST(ts AS DATE) AS event_date
+        |FROM events
+        |WHERE epoch_ns(ts)//1000 >= 1704844800000000
+        |  AND epoch_ns(ts)//1000 <= 1705708799999999
+        |ORDER BY event_id""".stripMargin)),
+
     // Delta replaceWhere: atomically swap the rows matching a row-level
     // predicate (not a partition boundary) for the incoming frame — rows
     // matching the predicate but absent from the frame are gone.

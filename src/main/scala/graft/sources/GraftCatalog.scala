@@ -148,7 +148,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           bloomBitsPerKey = opt("bloomBitsPerKey").map(_.toInt).getOrElse(0),
           statsColumns = opt("statsColumns")
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
-          buckets = opt("buckets").map(_.toInt).getOrElse(0))
+          buckets = opt("buckets").map(_.toInt).getOrElse(0),
+          // GENERATED ALWAYS AS via namespaced options:
+          //   OPTIONS ('generated.event_date' = 'to_date(…)')
+          generated = props.collect {
+            case (k, v) if k.startsWith("generated.") =>
+              k.stripPrefix("generated.") -> v
+            case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX + "generated.") =>
+              k.stripPrefix(TableCatalog.OPTION_PREFIX + "generated.") -> v
+          }.toMap)
         val path = other.getOrElse(tableDir(ident).toString)
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -275,7 +283,8 @@ case class GraftCatalogTable(ident: Identifier, path: String, asOf: Option[Long]
       "key" -> spec.key,
       "precombine" -> spec.precombine,
       "type" -> (if (spec.mor) "merge_on_read" else "copy_on_write")) ++
-      spec.partition.map("partition" -> _)).asJava
+      spec.partition.map("partition" -> _) ++
+      spec.generated.map { case (c, e) => s"generated.$c" -> e }).asJava
   }
 
   override def capabilities(): util.Set[TableCapability] =
