@@ -1390,6 +1390,93 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     new LakeTable(spark, targetPath)
   }
 
+  /** Delta `CREATE TABLE t DEEP CLONE s` analog: a fully independent copy
+    * of the snapshot — unlike [[cloneTo]] (shallow), vacuuming or dropping
+    * the source can never break a deep clone.
+    *
+    * Fast path: byte-level file copies distributed over the executors (an
+    * IO-bound distcp, no decode/encode — compression, clustering, Z-order
+    * and bucket layout survive exactly), with every commit-log stat
+    * (key ranges, column stats, row/byte counts, partition values, bloom
+    * sidecars) carried over verbatim — at 100 TB nothing is recomputed.
+    * The copy is only provably sound when every live file carries the
+    * snapshot schema and no DV is outstanding (the clone's single-commit
+    * log cannot express per-file schemas or cross-table DV refs), so
+    * evolved/DV'd/foreign-based snapshots fall back to a REWRITE
+    * materialization (`read(asOf)` + bulk create) — always correct, costs
+    * one decode/encode pass, and collapses MoR logs and DVs into clean
+    * base files as a side effect. */
+  def deepCloneTo(targetPath: String, asOf: Option[Long] = None): LakeTable = {
+    require(CommitLog.latestVersion(targetPath, conf).isEmpty,
+      s"table exists at $targetPath")
+    CommitLog.invalidateTable(targetPath)
+    val live = liveFiles(asOf)
+    val snapSchema = schemaAt(asOf)
+    val snapSpec = specAt(asOf)
+    val uniform = live.forall(a =>
+      a.base.isEmpty && a.dv.isEmpty && a.path.startsWith(s"$WRITE_ID=")) && {
+      val versions = live.map(_.path.takeWhile(_ != '/').drop(WRITE_ID.length + 1))
+        .flatMap(_.toLongOption).map(_ / LakeTable.WRITE_SLOTS).distinct
+      versions.map(v => CommitLog.read(path, v, conf).schemaJson).distinct
+        .forall(_ == snapSchema.json)
+    }
+    if (!uniform) {
+      // rewrite materialization: bulk create from the merged snapshot
+      // (logs folded, DVs applied, logical column names restored; a
+      // bucketed spec hands partition=None back — create re-derives it)
+      val clean = snapSpec.copy(columnMap = Map.empty,
+        partition = if (snapSpec.buckets > 0) None else snapSpec.partition)
+      // read() prepends META_COLS; create() stamps its own — drop them here
+      // or the clone's committed schema would carry duplicates
+      val snap = read(asOf)
+      val data = snap.select(
+        snap.columns.filterNot(LakeTable.META_COLS.contains).map(col): _*)
+      return LakeTable.create(spark, targetPath, clean, data, bulkInsert = true)
+    }
+    val version = 0L
+    val wid = version * LakeTable.WRITE_SLOTS
+    val widDir = s"$WRITE_ID=$wid"
+    // new leaf names carry a per-file ordinal: two source write dirs may
+    // hold identically-named part files, and the copies share one dir
+    val copies = live.zipWithIndex.map { case (a, i) =>
+      val relNoV = a.path.dropWhile(_ != '/').drop(1)
+      val (dirs, leaf) = relNoV.lastIndexOf('/') match {
+        case -1 => ("", relNoV)
+        case cut => (relNoV.substring(0, cut + 1), relNoV.substring(cut + 1))
+      }
+      (a, s"$dataDir/${a.path}", s"$widDir/${dirs}c$i-$leaf")
+    }
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val tgtData = s"$targetPath/data"
+    val bloomSrcs = copies.map { case (a, src, _) =>
+      s"$dataDir/.blooms/${a.path}.bf"
+    }
+    spark.sparkContext
+      .parallelize(copies.map { case (_, s, d) => (s, d) }.zip(bloomSrcs),
+        math.max(1, math.min(copies.size, 32)))
+      .foreach { case ((src, dstRel), bloomSrc) =>
+        val c = sconf.value
+        val srcP = new Path(src)
+        val fs = srcP.getFileSystem(c)
+        val dstP = new Path(s"$tgtData/$dstRel")
+        org.apache.hadoop.fs.FileUtil.copy(fs, srcP,
+          dstP.getFileSystem(c), dstP, false, c)
+        val bp = new Path(bloomSrc)
+        if (fs.exists(bp)) {
+          val bDst = new Path(s"$tgtData/.blooms/$dstRel.bf")
+          org.apache.hadoop.fs.FileUtil.copy(fs, bp,
+            bDst.getFileSystem(c), bDst, false, c)
+        }
+      }
+    val adds = copies.map { case (a, _, dstRel) =>
+      a.copy(path = dstRel, base = None)
+    }
+    CommitLog.write(targetPath,
+      Commit(version, LakeTable.commitTimeNow(), "deepClone",
+        snapSchema.json, snapSpec, adds, Seq.empty), conf)
+    new LakeTable(spark, targetPath)
+  }
+
   /** Delta `DESCRIBE HISTORY` analog: one row per commit, newest first. */
   def history: DataFrame = {
     import spark.implicits._

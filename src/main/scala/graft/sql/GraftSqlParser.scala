@@ -87,9 +87,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftShowPartitionsCommand(target.trim)
     }
     // claim by the SOURCE's provider (the target doesn't exist yet)
-    case CLONE_RE(target, source, v, loc) => claimOr(sqlText, source) {
+    case CLONE_RE(target, kind, source, v, loc) => claimOr(sqlText, source) {
       GraftCloneCommand(target.trim, source.trim,
-        Option(v).map(_.toLong), Option(loc))
+        Option(v).map(_.toLong), Option(loc),
+        deep = kind.equalsIgnoreCase("DEEP"))
     }
     case ANALYZE_RE(target, cols) => claimOr(sqlText, target) {
       GraftAnalyzeCommand(target.trim,
@@ -153,7 +154,7 @@ object GraftSqlParser {
   private[sql] val SHOW_PARTS_RE =
     (s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$TGT\\s*;?\\s*""").r
   private[sql] val CLONE_RE =
-    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$TGT\\s+SHALLOW\\s+CLONE\\s+$TGT""" +
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$TGT\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$TGT""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
   private[sql] val SET_PROPS_RE =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TGT\\s+SET\\s+TBLPROPERTIES\\s*""" +
@@ -323,23 +324,26 @@ case class GraftDescribeDetailCommand(target: String)
   }
 }
 
-/** `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n] [LOCATION 'p']` —
-  * metadata-only table fork (see [[graft.lake.LakeTable.cloneTo]]). A
-  * catalog-name target needs LOCATION; a quoted-path target is its own
-  * location and skips catalog registration. */
+/** `CREATE TABLE t (SHALLOW|DEEP) CLONE s [VERSION AS OF n] [LOCATION
+  * 'p']` — metadata-only fork (shallow, [[graft.lake.LakeTable.cloneTo]])
+  * or fully independent copy (deep,
+  * [[graft.lake.LakeTable.deepCloneTo]]). A catalog-name target needs
+  * LOCATION; a quoted-path target is its own location and skips catalog
+  * registration. */
 case class GraftCloneCommand(target: String, source: String,
-    version: Option[Long], location: Option[String])
+    version: Option[Long], location: Option[String], deep: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftSqlParser.resolveTable(spark, source)
     def isPath(t: String) = t.startsWith("'") || t.toLowerCase.startsWith("graft.`")
     val tgtPath = location.getOrElse {
       require(isPath(target),
-        s"CREATE TABLE $target SHALLOW CLONE: a table-name target needs LOCATION '<path>'")
+        s"CREATE TABLE $target CLONE: a table-name target needs LOCATION '<path>'")
       if (target.startsWith("'")) target.stripPrefix("'").stripSuffix("'")
       else target.substring("graft.`".length).stripSuffix("`")
     }
-    src.cloneTo(new Path(tgtPath).toString, version)
+    if (deep) src.deepCloneTo(new Path(tgtPath).toString, version)
+    else src.cloneTo(new Path(tgtPath).toString, version)
     if (!isPath(target))
       spark.sql(s"CREATE TABLE $target USING graft LOCATION '$tgtPath'")
     Seq.empty
