@@ -54,7 +54,16 @@ case class FileAction(
       * time (no extra RPC: the listing that discovers the file carries it).
       * Feeds table-size statistics to Catalyst so small lake tables
       * auto-broadcast in joins. 0 = unknown (pre-stats commits). */
-    bytes: Long = 0L)
+    bytes: Long = 0L,
+    /** Per-column (exact sum, non-null count) for the table's declared
+      * `sumColumns` — SUM/COUNT(col) data-skipping metadata beyond
+      * min/max, so unfiltered SUM/AVG aggregates answer from the commit
+      * log without opening a data file. Sums are rendered as plain
+      * decimal strings (integral and decimal columns only — the types
+      * whose sums are exact and addition-order-independent, unlike
+      * floats). Collected by a one-pass executor job over just-written
+      * files (parquet footers carry min/max/nullCount but never sums). */
+    colSums: Map[String, (String, Long)] = Map.empty)
 
 /** Table-level column statistics from `ANALYZE TABLE` — NDV + null count
   * per analyzed column plus the snapshot row count, persisted on the
@@ -155,6 +164,10 @@ object CommitLog {
       val sc = spec.putArray("statsColumns")
       c.spec.statsColumns.foreach(sc.add)
     }
+    if (c.spec.sumColumns.nonEmpty) {
+      val sc = spec.putArray("sumColumns")
+      c.spec.sumColumns.foreach(sc.add)
+    }
     if (c.spec.columnMap.nonEmpty) {
       val cm = spec.putObject("columnMap")
       c.spec.columnMap.foreach { case (l, p) => cm.put(l, p) }
@@ -181,6 +194,7 @@ object CommitLog {
           val e = cs.putObject(c); e.put("min", mm._1); e.put("max", mm._2)
         }
       }
+      writeColSums(n, a)
     }
     val rm = root.putArray("remove")
     c.remove.foreach(rm.add)
@@ -305,6 +319,25 @@ object CommitLog {
     m.toMap
   }
 
+  private def writeColSums(n: ObjectNode, a: FileAction): Unit =
+    if (a.colSums.nonEmpty) {
+      val cs = n.putObject("colSums")
+      a.colSums.foreach { case (c, sv) =>
+        val e = cs.putObject(c); e.put("sum", sv._1); e.put("nonNull", sv._2)
+      }
+    }
+
+  private def readColSums(n: JsonNode): Map[String, (String, Long)] = {
+    if (!n.hasNonNull("colSums")) return Map.empty
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, (String, Long)]
+    val it = n.get("colSums").asInstanceOf[ObjectNode].fields()
+    while (it.hasNext) {
+      val e = it.next()
+      m(e.getKey) = (e.getValue.get("sum").asText, e.getValue.get("nonNull").asLong)
+    }
+    m.toMap
+  }
+
   private def parse(root: JsonNode): Commit = {
     def optText(n: JsonNode, field: String): Option[String] =
       if (n.hasNonNull(field)) Some(n.get(field).asText) else None
@@ -335,6 +368,12 @@ object CommitLog {
           specN.get("statsColumns").asInstanceOf[ArrayNode].forEach(x => b += x.asText)
         b.toSeq
       },
+      sumColumns = {
+        val b = ArrayBuffer.empty[String]
+        if (specN.hasNonNull("sumColumns"))
+          specN.get("sumColumns").asInstanceOf[ArrayNode].forEach(x => b += x.asText)
+        b.toSeq
+      },
       columnMap = {
         val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
         if (specN.hasNonNull("columnMap")) {
@@ -362,7 +401,8 @@ object CommitLog {
         readColStats(n),
         optText(n, "dv"),
         if (n.hasNonNull("dvRows")) n.get("dvRows").asLong else 0L,
-        if (n.hasNonNull("bytes")) n.get("bytes").asLong else 0L)
+        if (n.hasNonNull("bytes")) n.get("bytes").asLong else 0L,
+        colSums = readColSums(n))
     }
     val removes = ArrayBuffer.empty[String]
     root.get("remove").asInstanceOf[ArrayNode].forEach(n => removes += n.asText)
@@ -457,6 +497,7 @@ object CommitLog {
           val e = cs.putObject(c); e.put("min", mm._1); e.put("max", mm._2)
         }
       }
+      writeColSums(n, a)
     }
     val target = checkpointFile(tablePath, version)
     val f = fs(target, conf)
@@ -483,7 +524,8 @@ object CommitLog {
         readColStats(n),
         if (n.hasNonNull("dv")) Some(n.get("dv").asText) else None,
         if (n.hasNonNull("dvRows")) n.get("dvRows").asLong else 0L,
-        if (n.hasNonNull("bytes")) n.get("bytes").asLong else 0L)
+        if (n.hasNonNull("bytes")) n.get("bytes").asLong else 0L,
+        colSums = readColSums(n))
     }
     files.toSeq
   }

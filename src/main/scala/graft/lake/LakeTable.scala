@@ -1,6 +1,5 @@
 package graft.lake
 
-import java.net.URLDecoder
 import java.time.format.DateTimeFormatter
 import java.time.{ZoneOffset, ZonedDateTime}
 
@@ -104,6 +103,31 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // empty-string minimum is indistinguishable, so treat both as opaque
     if (perFile.exists(s => s.isEmpty || s.get._2._1.isEmpty || s.get._2._2 == "￿")) None
     else Some(perFile.map(_.get))
+  }
+
+  /** Per-live-file (exact sum string, non-null count) of `colName`, when
+    * the snapshot-wide total is EXACT: every live file must carry sums for
+    * the column (files written before the column joined `sumColumns`
+    * don't), and live MoR logs, tombstones, or deletion vectors (which
+    * drop rows the stored sums still include) all make metadata inexact →
+    * None. Feeds the metadata-only SUM/COUNT(col) rewrite. */
+  def fileSums(colName: String, asOf: Option[Long] = None): Option[Seq[(String, Long)]] =
+    fileSumsWithPartition(colName, asOf).map(_.map(_._2))
+
+  /** [[fileSums]] with each file's partitionValue attached — feeds the
+    * partition-grouped metadata aggregate. Same exactness gates. */
+  def fileSumsWithPartition(colName: String, asOf: Option[Long] = None):
+      Option[Seq[(String, (String, Long))]] = {
+    val live = liveFiles(asOf)
+    if (live.isEmpty) return None
+    if (live.exists(a => a.log || a.tombstone || a.dv.isDefined || a.dvRows > 0)) return None
+    // files store PHYSICAL names (column mapping), callers pass LOGICAL
+    val phys = specAt(asOf).physical(colName)
+    val perFile = live.map { a =>
+      a.colSums.collectFirst { case (c, sv) if c.equalsIgnoreCase(phys) => sv }
+        .map(a.partitionValue.getOrElse("__HIVE_DEFAULT_PARTITION__") -> _)
+    }
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.map(_.get))
   }
 
   /** Exact per-partition live row counts from commit-log metadata (DV'd
@@ -429,10 +453,18 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             .withColumn(WRITE_ID, coalesce(col(WRITE_ID), lit(0L)))
       if (needIdent)
         df = df.withColumn(DV_POS, col("_metadata").getField("row_index"))
-      df = df.withColumn("_file_name", element_at(split(input_file_name(), "/"), -1))
+      // input_file_name() is URI-ENCODED (space → %20) while FileAction
+      // paths come from FileSystem listings (literal) — decode before any
+      // compare, or partition values with URI-special chars silently break
+      // touched-file detection, DV anti-joins, and file-restricted scans.
+      // '+' is literal in a URI path but form-decoding would turn it into
+      // a space, so mask it first.
+      def uriDecode(c: Column): Column = url_decode(replace(c, lit("+"), lit("%2B")))
+      df = df.withColumn("_file_name",
+        uriDecode(element_at(split(input_file_name(), "/"), -1)))
       val rel =
-        if (graftLayout) substring_index(input_file_name(), "/data/", -1)
-        else element_at(split(input_file_name(), "/"), -1)
+        if (graftLayout) substring_index(uriDecode(input_file_name()), "/data/", -1)
+        else uriDecode(element_at(split(input_file_name(), "/"), -1))
       if (relFile || needIdent) df.withColumn(REL_FILE, rel) else df
     }
     val parts = actions.groupBy(_.base).toSeq.sortBy(_._1.getOrElse("")).flatMap {
@@ -2057,7 +2089,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val rel = f.toString.split("/data/").last
       val partVal = spec.partition.flatMap { p =>
         rel.split("/").find(_.startsWith(p + "="))
-          .map(s => URLDecoder.decode(s.substring(p.length + 1), "UTF-8"))
+          // Hive-style unescape, NOT URLDecoder: dir names are Hive-escaped
+          // (%XX only) and a literal '+' in a partition value must survive
+          .map(s => LakeTable.unescapePathName(s.substring(p.length + 1)))
       }
       val statCols = spec.key +: spec.statsColumns.filterNot(_.equalsIgnoreCase(spec.key))
       val (rows, stats) = FooterStats.fileStats(f, conf, statCols)
@@ -2066,9 +2100,53 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         colStats = stats - spec.key, bytes = len)
     }
     // a fully-empty batch still emits one 0-row part file — don't log it
-    val kept = adds.filter(_.rows > 0)
+    val kept0 = adds.filter(_.rows > 0)
+    val kept =
+      if (log || kept0.isEmpty) kept0
+      else writeSums(target, kept0)
     if (spec.bloomBitsPerKey > 0 && kept.nonEmpty) writeBlooms(target, kept)
     WriteResult(kept, Seq.empty)
+  }
+
+  /** Per-file (exact sum, non-null count) for the declared `sumColumns`:
+    * ONE aggregation job over the just-written files (cache-hot), emitting
+    * one row per file — parquet footers carry min/max/nullCount but never
+    * sums, so this is the only way to get them without a later full scan.
+    * Sums accumulate in DECIMAL(38,s): exact, order-independent, and
+    * practically un-overflowable, so per-file partials re-add to the true
+    * total at any scale. Float/double columns are skipped — their sums are
+    * order-dependent, so a metadata answer could differ from a scan. */
+  private def writeSums(target: String, adds: Seq[FileAction]): Seq[FileAction] = {
+    val sumCols = spec.sumColumns.map(spec.physical)
+      .filterNot(c => spec.partition.contains(c))
+    if (sumCols.isEmpty) return adds
+    val src = spark.read.parquet(target)
+    val typed = sumCols.flatMap { c =>
+      src.schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f => f.dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+          Some((f.name, DecimalType(38, 0)))
+        case d: DecimalType => Some((f.name, DecimalType(38, d.scale)))
+        case _ => None // float/double: order-dependent sums — never stored
+      })
+    }
+    if (typed.isEmpty) return adds
+    val aggs = typed.flatMap { case (c, dt) =>
+      Seq(sum(col(c).cast(dt)).as(s"_sum_$c"), count(col(c)).as(s"_nn_$c"))
+    }
+    val perFile = src
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per just-written file
+      .map { r =>
+        val rel = LakeTable.decodeFileUri(r.getString(0)).split("/data/").last
+        val sums = typed.map { case (c, _) =>
+          val d = r.getAs[java.math.BigDecimal](s"_sum_$c")
+          val nn = r.getAs[Long](s"_nn_$c")
+          c -> (if (d == null) "0" else d.stripTrailingZeros.toPlainString, nn)
+        }.toMap
+        rel -> sums
+      }.toMap
+    adds.map(a => a.copy(colSums = perFile.getOrElse(a.path, Map.empty)))
   }
 
   /** Build one key-bloom sidecar per just-written file (Hudi bloom-index
@@ -2085,7 +2163,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val acc = scala.collection.mutable.HashMap
           .empty[String, org.apache.spark.util.sketch.BloomFilter]
         it.foreach { r =>
-          val rel = r.getString(0).split("/data/").last
+          val rel = LakeTable.decodeFileUri(r.getString(0)).split("/data/").last
           rowsByRel.get(rel).foreach { rows =>
             val b = acc.getOrElseUpdate(rel, KeyBloom.create(rows, bpk))
             if (!r.isNullAt(1)) b.putString(r.getString(1))
@@ -2107,6 +2185,27 @@ object LakeTable {
   private[lake] val RANK = "_graft_rank"
   /** Per-scan file identity matching FileAction.path (see readFiles). */
   private[lake] val REL_FILE = "_rel_file"
+  /** Decode an input_file_name() URI to the literal path form FileAction
+    * paths use (listing-derived). URI.getPath decodes %XX but keeps a
+    * literal '+' — unlike form-decoding — matching path semantics. */
+  private[lake] def decodeFileUri(s: String): String =
+    try new java.net.URI(s).getPath
+    catch { case _: java.net.URISyntaxException => s }
+  /** Hive `unescapePathName`: decode the %XX escapes partition-dir names
+    * use, leaving every other char (notably '+') alone — URLDecoder's
+    * form-decoding would corrupt a literal '+' into a space. */
+  private[lake] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
   /** Max tombstone write-id per key during tombstone application. */
   private[lake] val TOMB_V = "_graft_tomb_v"
   /** Deletion-vector sidecar area under `data/` (`_dv/_v=<writeId>/`). */

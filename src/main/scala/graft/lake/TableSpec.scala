@@ -40,6 +40,16 @@ case class TableSpec(
     bloomBitsPerKey: Int = 0,
     constraints: Map[String, String] = Map.empty,
     statsColumns: Seq[String] = Seq.empty,
+    /** Columns to collect per-file (exact sum, non-null count) for at
+      * write time: unfiltered `SUM(col)` / `COUNT(col)` (and hence any
+      * sum/count-derived AVG) then answer from commit-log metadata alone —
+      * zero data files opened at 100 TB. Restricted to integral and
+      * decimal columns, whose sums are exact and addition-order-
+      * independent (a float sum is neither, so it can never be answered
+      * from per-file partials without changing the result). Costs one
+      * extra aggregation pass over just-written files per commit (the
+      * files are cache-hot; parquet footers carry min/max but no sums). */
+    sumColumns: Seq[String] = Seq.empty,
     /** Column mapping (Delta name-mapping analog): LOGICAL column name →
       * PHYSICAL parquet field name. Empty/absent entries mean identity.
       * RENAME/DROP COLUMN are metadata-only commits that edit this map and

@@ -830,6 +830,85 @@ object LakeQueries {
         |       MAX(o_orderkey) AS mx
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Metadata-only SUM/AVG building block, DSv2 route: per-file EXACT
+    // (sum, nonNull) pairs for declared `sumColumns` land in the commit
+    // log at write time (parquet footers carry min/max but never sums),
+    // so unfiltered SUM(col)/COUNT(col) — grouped by the partition column
+    // — answer with ZERO data files opened, composed across a create AND
+    // an upsert commit. Restricted to integral/decimal columns, whose
+    // sums are exact and addition-order-independent; the require proves
+    // the whole grouped aggregate collapsed to commit-log metadata.
+    "q110_meta_sum" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = freshDir(s"metasum_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val price = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        // partition by o_orderpriority: stable under the CDC churn, so the
+        // upsert is a pure (key, partition)-identity update/insert mix
+        val tbl = LakeTable.create(s, dir,
+          TableSpec("o_orderkey", "o_orderdate", partition = Some("o_orderpriority"),
+            sumColumns = Seq("o_price", "o_custkey")),
+          t(s, d, "orders").withColumn("o_price", price))
+        tbl.upsert(ordersSource(s, d).withColumn("o_price", price))
+        s.conf.set("spark.sql.catalog.gsum", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsum.warehouse",
+          freshDir(s"metasum_wh_${d.replaceAll("[^a-z0-9.]", "_")}"))
+        s.sql("DROP TABLE IF EXISTS gsum.default.osum")
+        s.sql(s"CREATE TABLE gsum.default.osum USING graft LOCATION '$dir'")
+        val df = s.sql(
+          """SELECT o_orderpriority, n, CAST(sum_price AS DOUBLE) AS sum_price,
+            |       sum_cust, n_cust FROM (
+            |  SELECT o_orderpriority, count(*) AS n, sum(o_price) AS sum_price,
+            |         sum(o_custkey) AS sum_cust, count(o_custkey) AS n_cust
+            |  FROM gsum.default.osum GROUP BY o_orderpriority)
+            |ORDER BY o_orderpriority""".stripMargin)
+        require(df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan
+        }.exists(_.isInstanceOf[graft.sources.GraftMetaAggScan]),
+          "grouped SUM/COUNT must be answered from commit-log metadata")
+        df
+      },
+      s"""WITH src AS ($ordersSourceSql),
+         |merged AS (
+         |  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM src
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+         |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+         |SELECT o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(COUNT(o_custkey) AS BIGINT) AS n_cust
+         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Metadata-only SUM, optimizer-rule route with a PARTITION filter:
+    // WHERE on the partition column restricts the stored per-file sums to
+    // the allowed partitions — SUM/COUNT(col) still collapse to a
+    // LocalRelation on any session (rule applied explicitly; zero files).
+    "q111_meta_sum_filtered" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = freshDir(s"metasumf_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val price = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        LakeTable.create(s, dir,
+          TableSpec("o_orderkey", "o_orderdate", partition = Some("o_orderstatus"),
+            sumColumns = Seq("o_price", "o_custkey")),
+          t(s, d, "orders").withColumn("o_price", price))
+        val agg = s.read.format("graft").load(dir)
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .agg(sum(col("o_price")).as("sp"), sum(col("o_custkey")).as("sum_cust"),
+            count(col("o_custkey")).as("n_cust"))
+        val rewritten = graft.sql.GraftMetadataOnlyCount(agg.queryExecution.analyzed)
+        require(rewritten.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+          "partition-filtered SUM must collapse to commit-log metadata")
+        org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+          .select(col("sp").cast("double").as("sum_price"),
+            col("sum_cust"), col("n_cust"))
+      },
+      """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(COUNT(o_custkey) AS BIGINT) AS n_cust
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin)),
+
     // CDF with preimages (Delta parity): same churn as q92, but the feed
     // also carries update_preimage rows — each updated key's values AT the
     // window start, read from the window-REMOVED files (cost ∝ churn).

@@ -429,6 +429,45 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
               .map(vs => (StructField(s"max(${f.name})", f.dataType),
                 (pv: String) => vs(pv)))
           }}
+          // SUM(col) / COUNT(col) from stored per-file (sum, nonNull)
+          // pairs — only columns declared in `sumColumns` carry them, and
+          // fileSums bails on MoR logs / DVs / any sum-less file, so the
+          // answer is exact whenever one exists. The result types mirror
+          // Spark's Sum resolution (integral → LongType, decimal →
+          // widened decimal) so complete push-down type-checks.
+          case sm: Sum if !sm.isDistinct => colOf(sm.column).flatMap { f =>
+            val resultDt = f.dataType match {
+              case _: org.apache.spark.sql.types.ByteType |
+                   _: org.apache.spark.sql.types.ShortType |
+                   _: org.apache.spark.sql.types.IntegerType |
+                   _: org.apache.spark.sql.types.LongType => Some(longT)
+              case d: org.apache.spark.sql.types.DecimalType =>
+                Some(org.apache.spark.sql.types.DecimalType(
+                  math.min(38, d.precision + 10), d.scale))
+              case _ => None // float/double sums are order-dependent
+            }
+            resultDt.flatMap { dt => partField match {
+              case None => graft.sql.GraftMetadataOnlyCount
+                .metaSum(t, f.name, dt, asOf)
+                .map(v => (StructField(s"sum(${f.name})", dt), const(v)))
+              case Some(_) => graft.sql.GraftMetadataOnlyCount
+                .metaSumByPartition(t, f.name, dt, asOf)
+                .map(vs => (StructField(s"sum(${f.name})", dt),
+                  (pv: String) => vs(pv)))
+            }}
+          }
+          case ct: Count if !ct.isDistinct => colOf(ct.column).flatMap { f =>
+            partField match {
+              case None => graft.sql.GraftMetadataOnlyCount
+                .metaNonNull(t, f.name, asOf)
+                .map(n => (StructField(s"count(${f.name})", longT,
+                  nullable = false), const(n)))
+              case Some(_) => graft.sql.GraftMetadataOnlyCount
+                .metaNonNullByPartition(t, f.name, asOf)
+                .map(ns => (StructField(s"count(${f.name})", longT,
+                  nullable = false), (pv: String) => ns(pv)))
+            }
+          }
           case _ => None
         }
       if (answered.exists(_.isEmpty) || answered.isEmpty) None

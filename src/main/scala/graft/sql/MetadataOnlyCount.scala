@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, In, InSet, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -44,6 +44,12 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
   private sealed trait Want
   private case object WantCount extends Want
   private case class WantExtreme(name: String, dt: DataType, isMin: Boolean) extends Want
+  /** `SUM(col)` from stored per-file sums; `resultDt` is Spark's Sum
+    * result type (LongType for integral input, widened decimal for
+    * decimal input) so the LocalRelation value matches the plan's type. */
+  private case class WantSum(name: String, resultDt: DataType) extends Want
+  /** `COUNT(col)` — non-null count from the same stored per-file pairs. */
+  private case class WantNonNull(name: String) extends Want
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val spark = SparkSession.active
@@ -114,10 +120,14 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
       case AggregateExpression(Count(children), Complete, false, None, _)
           if children.forall { case Literal(v, _) => v != null; case _ => false } =>
         Some(WantCount)
+      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _) =>
+        relOut.find(_.exprId == a.exprId).map(r => WantNonNull(r.name))
       case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _) =>
         relOut.find(_.exprId == a.exprId).map(r => WantExtreme(r.name, r.dataType, isMin = true))
       case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _) =>
         relOut.find(_.exprId == a.exprId).map(r => WantExtreme(r.name, r.dataType, isMin = false))
+      case AggregateExpression(s @ Sum(a: AttributeReference, _), Complete, false, None, _) =>
+        relOut.find(_.exprId == a.exprId).map(r => WantSum(r.name, s.dataType))
       case _ => None
     }
   }
@@ -194,8 +204,42 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
             else sel.reduce((a, b) => if (isMin == lessThan(a, b)) a else b)
           }
         }
+        case WantSum(name, resultDt) =>
+          metaSumPairs(t, name, asOf, vals).flatMap(ps => renderSum(ps, resultDt))
+        case WantNonNull(name) =>
+          metaSumPairs(t, name, asOf, vals).map(ps => ps.map(_._2).sum: Any)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The live (sum, nonNull) pairs of a stat'd column, optionally
+    * restricted to a set of stored partitionValue strings. */
+  private def metaSumPairs(t: LakeTable, name: String, asOf: Option[Long],
+      allowed: Option[Set[String]]): Option[Seq[(String, Long)]] =
+    allowed match {
+      case None => t.fileSums(name, asOf)
+      case Some(vs) => t.fileSumsWithPartition(name, asOf)
+        .map(_.collect { case (pv, sv) if vs.contains(pv) => sv })
+    }
+
+  /** Fold stored per-file sums into Spark's internal value for the Sum
+    * result type: Long for integral input (bail rather than reproduce
+    * overflow wrap), Decimal for decimal input, NULL over zero non-null
+    * rows (the SQL answer). Wrapped in Some(Some(v))-style Option[Any]
+    * where the inner value may legally be null. */
+  private def renderSum(pairs: Seq[(String, Long)], resultDt: DataType): Option[Any] = {
+    if (pairs.forall(_._2 == 0L)) return Some(null)
+    val total = pairs.filter(_._2 > 0)
+      .map(p => new java.math.BigDecimal(p._1)).reduce(_ add _)
+    resultDt match {
+      case LongType =>
+        try Some(total.longValueExact())
+        catch { case _: ArithmeticException => None }
+      case d: DecimalType =>
+        val v = org.apache.spark.sql.types.Decimal(total)
+        if (v.changePrecision(d.precision, d.scale)) Some(v) else None
+      case _ => None
+    }
+  }
 
   /** Exact commit-log min/max of a stat'd column in Spark's internal form —
     * None whenever metadata can't answer exactly (shared with the DSv2
@@ -224,6 +268,34 @@ object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
       }
       if (reduced.exists(_.isEmpty)) None else Some(reduced.map(_.get).toMap)
     }
+
+  /** Exact commit-log SUM of a sum-stat'd column in Spark's internal form
+    * (value may legally be null — SUM over zero non-null rows); None when
+    * metadata can't answer exactly. Shared with the DSv2 push-down. */
+  private[graft] def metaSum(t: LakeTable, name: String, resultDt: DataType,
+      asOf: Option[Long]): Option[Any] =
+    t.fileSums(name, asOf).flatMap(ps => renderSum(ps, resultDt))
+
+  /** Per-PARTITION exact SUM, keyed by stored partitionValue string. */
+  private[graft] def metaSumByPartition(t: LakeTable, name: String,
+      resultDt: DataType, asOf: Option[Long]): Option[Map[String, Any]] =
+    t.fileSumsWithPartition(name, asOf).flatMap { perFile =>
+      val grouped = perFile.groupBy(_._1).map { case (pv, fs) =>
+        renderSum(fs.map(_._2), resultDt).map(pv -> _)
+      }
+      if (grouped.exists(_.isEmpty)) None else Some(grouped.map(_.get).toMap)
+    }
+
+  /** Exact commit-log COUNT(col) (non-null count). */
+  private[graft] def metaNonNull(t: LakeTable, name: String,
+      asOf: Option[Long]): Option[Long] =
+    t.fileSums(name, asOf).map(_.map(_._2).sum)
+
+  /** Per-PARTITION exact COUNT(col). */
+  private[graft] def metaNonNullByPartition(t: LakeTable, name: String,
+      asOf: Option[Long]): Option[Map[String, Long]] =
+    t.fileSumsWithPartition(name, asOf).map(_.groupBy(_._1)
+      .map { case (pv, fs) => pv -> fs.map(_._2._2).sum })
 
   /** A stored partitionValue string in Spark's internal form (null
     * partition sentinel → null). Only exact-round-trip types. */

@@ -165,6 +165,57 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(swapped.collect().head.getLong(0) == 1L) // real ts values are all 1
   }
 
+  test("SUM/COUNT(col) answer from stored per-file sums and refuse when inexact") {
+    val path = Files.createTempDirectory("graft_mc_sum").toString
+    val df = (1L to 1000L)
+      .map(i => (i, 1L, if (i % 5 == 0) None else Some(i % 97), i.toDouble))
+      .toDF("k", "ts", "x", "f")
+      .withColumn("d", col("k").cast("decimal(10,2)"))
+    val t = LakeTable.create(spark, path,
+      TableSpec("k", "ts", sumColumns = Seq("x", "d", "f")), df)
+    val expectedX = (1L to 1000L).filter(_ % 5 != 0).map(_ % 97).sum
+    val agg = spark.read.format("graft").load(t.path)
+      .agg(sum($"x").as("sx"), count($"x").as("nx"), sum($"d").as("sd"))
+    assert(isMetadataOnly(agg), agg.queryExecution.optimizedPlan.toString)
+    val r = agg.collect().head
+    assert(r.getLong(0) == expectedX && r.getLong(1) == 800L)
+    assert(r.getDecimal(2) == new java.math.BigDecimal("500500.00"))
+    // an upsert's new files carry fresh sums - still metadata-only
+    t.upsert(Seq((2000L, 2L, Some(50L), 1.0)).toDF("k", "ts", "x", "f")
+      .withColumn("d", col("k").cast("decimal(10,2)")))
+    val agg2 = spark.read.format("graft").load(t.path).agg(sum($"x").as("sx"))
+    assert(isMetadataOnly(agg2))
+    assert(agg2.collect().head.getLong(0) == expectedX + 50L)
+    // a double column NEVER stores sums (order-dependent): scan, same answer
+    val fsum = spark.read.format("graft").load(t.path).agg(sum($"f").as("sf"))
+    assert(!isMetadataOnly(fsum), "float sums must come from a scan")
+    // a column outside sumColumns scans too
+    val ksum = spark.read.format("graft").load(t.path).agg(sum($"k").as("sk"))
+    assert(!isMetadataOnly(ksum))
+    assert(ksum.collect().head.getLong(0) == (1L to 1000L).sum + 2000L)
+    // deletion vectors make stored sums stale - refuse, stay correct
+    t.deleteVectors(col("k") <= 100L)
+    val dv = spark.read.format("graft").load(t.path).agg(sum($"x").as("sx"))
+    assert(!isMetadataOnly(dv), "DV'd snapshots must scan for sums")
+    val expectedDv = (101L to 1000L).filter(_ % 5 != 0).map(_ % 97).sum + 50L
+    assert(dv.collect().head.getLong(0) == expectedDv)
+  }
+
+  test("live MoR logs disable metadata sums; compaction restores them") {
+    val path = Files.createTempDirectory("graft_mc_summor").toString
+    val df = (1L to 100L).map(i => (i, 1L, i * 2)).toDF("k", "ts", "x")
+    val t = LakeTable.create(spark, path,
+      TableSpec("k", "ts", mor = true, sumColumns = Seq("x")), df)
+    t.upsert(Seq((1L, 2L, 1000L)).toDF("k", "ts", "x")) // log file
+    val logged = spark.read.format("graft").load(t.path).agg(sum($"x").as("sx"))
+    assert(!isMetadataOnly(logged), "MoR logs must disable metadata sums")
+    assert(logged.collect().head.getLong(0) == (2L to 100L).map(_ * 2).sum + 1000L)
+    t.compact()
+    val compacted = spark.read.format("graft").load(t.path).agg(sum($"x").as("sx"))
+    assert(isMetadataOnly(compacted))
+    assert(compacted.collect().head.getLong(0) == (2L to 100L).map(_ * 2).sum + 1000L)
+  }
+
   test("the escape hatch restores the scanning plan") {
     val t = mk("hatch")
     spark.conf.set("spark.graft.metadataCount.enabled", "false")
