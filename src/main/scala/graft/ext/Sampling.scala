@@ -204,6 +204,79 @@ object Sampling {
     whole.unionByName(partial).drop("_tok", "_h", "_b")
   }
 
+  /** DSIR-style hashed n-gram importance scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score each
+    * candidate document by how much more likely its tokens are under a
+    * small in-domain TARGET sample than under the general SOURCE pool,
+    * with both distributions estimated over `buckets` hashed unigram
+    * buckets (vocabulary-free, fixed memory).
+    *
+    * Deviation from the paper, for engine-reproducibility: instead of
+    * summing log-likelihood ratios (transcendental — JVM vs libm differ in
+    * the last ulp, so scores would not replay), the per-token likelihood
+    * ratio is computed as an EXACT fixed-point integer —
+    * `((ct+1) · (totS+B) · scale) div ((cs+1) · (totT+B))`, Laplace
+    * smoothed — then CENTERED at the SOURCE-WEIGHTED MEAN ratio
+    * (`Σ cs·r div Σ cs`), so the average pool token scores exactly zero by
+    * construction. Centering at the data-driven mean rather than at the
+    * ratio-1 point matters twice: a small target sample tilts every
+    * smoothed ratio above 1 (its Laplace mass is proportionally huge), and
+    * linear-space ratios are rare-token-skewed where log-space would
+    * compress them — both cancel in the mean. Target-leaning tokens push
+    * up, typical tokens cancel, and a long out-of-domain document cannot
+    * win on bulk. All-integer, bit-identical on any engine (the q97
+    * Stupid-Backoff trick).
+    *
+    * Scale shape: one explode + one hash-agg builds the ≤ `buckets`-row
+    * ratio table (the totals fold in via a broadcast 1-row join, never a
+    * driver collect); scoring joins tokens to that BROADCAST table and
+    * hash-aggregates per document — two shuffles total, both ∝ corpus
+    * tokens, nothing ∝ vocabulary. */
+  def importanceScores(df: DataFrame, isTarget: Column, idCol: String = "doc_id",
+      textCol: String = "text", buckets: Int = 1024,
+      scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && scale > 0, "buckets and scale must be positive")
+    val toks = df.select(col(idCol).as("_id"),
+        coalesce(isTarget.cast("boolean"), lit(false)).as("_tgt"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      // portable md5 bucket (engine-replayable, like the LSH family)
+      .withColumn("_b", pmod(
+        conv(substring(md5(col("_tok")), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    val counts = toks.groupBy("_b").agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
+      sum(when(!col("_tgt"), 1L).otherwise(0L)).as("_cs"))
+    val totals = counts.agg(
+      (sum("_ct") + buckets).as("_totT"), (sum("_cs") + buckets).as("_totS"))
+    val raw = counts.withColumn("_j", lit(1))
+      .join(broadcast(totals.withColumn("_j", lit(1))), "_j")
+      .withColumn("_rr", expr(s"((_ct + 1) * _totS * $scale) div ((_cs + 1) * _totT)"))
+    val baseline = raw.agg(
+      expr("sum(_cs * _rr) div greatest(sum(_cs), 1)").as("_r0"))
+    val ratio = raw.join(broadcast(baseline.withColumn("_j", lit(1))), "_j")
+      .withColumn("_r", col("_rr") - col("_r0"))
+      .select("_b", "_r")
+    toks.filter(!col("_tgt"))
+      .join(broadcast(ratio), Seq("_b"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("_r")).as("dsir_score"))
+      // when the target sample is small, Laplace mass tilts EVERY token
+      // slightly positive and the raw sum re-acquires a length bias — the
+      // per-token mean (exact integer div) is the length-free ranking key
+      .withColumn("per_tok_score", expr("dsir_score div n_toks"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Deterministic importance resampling: the `k` candidates with the
+    * highest per-token importance ([[importanceScores]]), ties broken by
+    * id — a distributed top-k (TakeOrdered), never a global sort. */
+  def importanceResample(df: DataFrame, isTarget: Column, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 1024): DataFrame =
+    importanceScores(df, isTarget, idCol, textCol, buckets)
+      .orderBy(col("per_tok_score").desc, col(idCol)).limit(k)
+
   /** Stratified proportional sample: per-stratum Bernoulli with a fixed
     * seed (stock `sampleBy`) — for class-balanced subsets where exact
     * key-stability is not required. */

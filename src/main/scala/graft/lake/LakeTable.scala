@@ -1590,6 +1590,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       s"cannot $op the partition column '$n'")
     require(!spec.statsColumns.exists(_.equalsIgnoreCase(n)),
       s"cannot $op data-skipping stats column '$n'")
+    require(!spec.sumColumns.exists(_.equalsIgnoreCase(n)),
+      s"cannot $op sum-stats column '$n'")
     require(!spec.constraints.exists(_._2.toLowerCase.contains(n.toLowerCase)),
       s"cannot $op '$n': referenced by a CHECK constraint")
   }

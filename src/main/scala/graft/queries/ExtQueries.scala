@@ -181,6 +181,43 @@ object ExtQueries {
         |WHERE run < CASE source WHEN 'src0' THEN 1000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // DSIR-style importance resampling (Xie et al. 2023): pick the 50
+    // general-pool docs whose hashed-unigram distribution looks most like
+    // the target domain ('src18'). Likelihood ratios are EXACT fixed-point
+    // integers (Laplace-smoothed, ×1e6, integer div) over portable md5
+    // buckets, so DuckDB replays every score bit-for-bit — the log-sum of
+    // the paper is traded for an integer ratio-sum (documented deviation).
+    "q112_dsir_importance" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Sampling
+        Sampling.importanceResample(t(s, d, "documents"),
+          isTarget = col("source") === "src18", k = 50)
+          .select(col("doc_id"), col("n_toks"), col("dsir_score"),
+            col("per_tok_score"))
+      },
+      raw"""WITH tok AS (
+        |  SELECT doc_id, tgt, ('0x' || substr(md5(tk), 1, 15))::BIGINT % 1024 AS b
+        |  FROM (SELECT doc_id, (source = 'src18') AS tgt,
+        |          UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk
+        |        FROM documents)
+        |  WHERE len(tk) > 0),
+        |cnt AS (SELECT b,
+        |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cs
+        |  FROM tok GROUP BY b),
+        |tot AS (SELECT SUM(ct) + 1024 AS totT, SUM(cs) + 1024 AS totS FROM cnt),
+        |rat0 AS (SELECT b, cs,
+        |    ((ct + 1) * totS * 1000000) // ((cs + 1) * totT) AS rr
+        |  FROM cnt, tot),
+        |base AS (SELECT SUM(cs * rr) // GREATEST(SUM(cs), 1) AS r0 FROM rat0),
+        |ratio AS (SELECT b, rr - r0 AS r FROM rat0, base),
+        |sc AS (SELECT tok.doc_id, COUNT(*) AS n_toks, SUM(r) AS score
+        |  FROM tok JOIN ratio USING (b) WHERE NOT tgt GROUP BY tok.doc_id)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |       CAST(score AS BIGINT) AS dsir_score,
+        |       CAST(score // n_toks AS BIGINT) AS per_tok_score
+        |FROM sc ORDER BY per_tok_score DESC, doc_id LIMIT 50""".stripMargin)),
+
     // GPT-style sequence packing: concat-and-chunk assignment of every doc
     // to its fixed-length training sequence. The engine runs the 256-bucket
     // two-phase prefix sum (no global window); the oracle is the equivalent

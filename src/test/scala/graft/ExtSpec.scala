@@ -683,4 +683,39 @@ class ExtSpec extends AnyFunSuite {
     assert(wide.forall(r => r.getAs[Long]("cms_est") == r.getAs[Long]("exact_c")),
       "2^20 buckets at sf0.001 vocabulary should be collision-free for top-5")
   }
+
+  test("DSIR importance scoring surfaces planted in-domain docs from the pool") {
+    import graft.ext.Sampling
+    // the synthetic corpus shares ONE 31-word vocabulary across all
+    // sources (no natural domain signal), so the test plants one: target
+    // docs carry distinctive domain-marker tokens, and 5 pool docs get the
+    // same markers — those are the in-domain needles resampling must find
+    val markers = lit(" graftmed graftbio graftsci graftlab")
+    val target = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), markers))
+      .withColumn("_tgt", lit(true))
+    val needles = docs.filter(col("doc_id") % 10 === 7 && col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 500000L)
+      .withColumn("text", concat(col("text"), markers))
+    val pool = docs.filter(col("doc_id") % 10 =!= 0).unionByName(needles)
+      .withColumn("_tgt", lit(false))
+    val corpus = pool.unionByName(target)
+    val nNeedles = needles.count()
+    assert(nNeedles == 5, s"expected 5 planted needles, got $nNeedles")
+    val scored = Sampling.importanceScores(corpus, isTarget = col("_tgt"))
+    val needleMin = scored.filter(col("doc_id") >= 500000L)
+      .agg(min("per_tok_score")).head.getLong(0)
+    val poolMax = scored.filter(col("doc_id") < 500000L)
+      .agg(max("per_tok_score")).head.getLong(0)
+    assert(needleMin > poolMax,
+      s"every marked doc must outscore every unmarked one ($needleMin vs $poolMax)")
+    // resample determinism + needle recall in the top-k
+    val top = Sampling.importanceResample(corpus, isTarget = col("_tgt"), k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val top2 = Sampling.importanceResample(corpus, isTarget = col("_tgt"), k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top == top2, "resampling must be deterministic")
+    assert(top.toSet == Set(500007L, 500017L, 500027L, 500037L, 500047L),
+      s"the top 5 must be exactly the planted needles, got $top")
+  }
 }
