@@ -890,6 +890,73 @@ object ExtQueries {
         |  AND epoch_ns(p.ts)//1000 <= epoch_ns(s.ts)//1000 + 30*60*1000000
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin)),
 
+    // Session windows (§2.9): per-user sessionization with a 60-minute
+    // inactivity gap — the streaming-native op batch windows can't express
+    // (session extent depends on the DATA, not the clock). State is one
+    // open session per active user, merged/closed as the watermark passes
+    // session end + gap; a far-future sentinel (filtered out) pushes the
+    // final watermark past every real session so AvailableNow drains them
+    // all. Oracle: the classic gaps-and-islands rewrite — a new session
+    // starts when the gap to the previous event is >= 60 min (Spark's
+    // half-open [ts, ts+gap) windows merge only on strict overlap).
+    "q113_session_window" -> ((
+      (s: SparkSession, d: String) => {
+        graft.core.GraftSession.ensure(s)
+        val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_sess")
+        val inDir = base.resolve("in")
+        if (!Files.exists(inDir)) Files.createDirectories(inDir)
+        Files.copy(Paths.get(d, "events.parquet"), inDir.resolve("a_events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val evb = s.read.parquet(s"$d/events.parquet")
+        val sch = evb.schema
+        val maxTs = evb.agg(max("ts")).head().getLong(0)
+        val sentinel = evb.limit(1)
+          .withColumn("event_id", lit(-1L).cast(sch("event_id").dataType))
+          .withColumn("user_id", lit(-1L).cast(sch("user_id").dataType))
+          .withColumn("ts",
+            (lit(maxTs) + lit(30L * 24 * 3600) * lit(1000000000L)).cast(sch("ts").dataType))
+        val sentDir = base.resolve("sent")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+        val sentPart = Files.list(sentDir).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.copy(sentPart, inDir.resolve("zz_sentinel.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val agg = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts_t", "1 minute")
+          .groupBy(session_window(col("ts_t"), "60 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(Tables.dec2(col("value"))).cast("double").as("sum_value"))
+        val name = "graft_sess_sink"
+        s.catalog.dropTempView(name)
+        val q = agg.writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .filter(col("user_id") >= 0) // the sentinel's own session never counts
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("sess_start"),
+            unix_micros(col("session_window.end")).as("sess_end"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "sess_start")
+      },
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, value FROM events),
+        |m AS (SELECT user_id, ts_us, value,
+        |    CASE WHEN LAG(ts_us) OVER w IS NULL
+        |         OR ts_us - LAG(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |g AS (SELECT user_id, ts_us, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts_us) AS sess_start,
+        |  MAX(ts_us) + 3600000000 AS sess_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin)),
+
     // Streaming dedup with watermark-bounded state (§2.9):
     // `dropDuplicatesWithinWatermark` keeps first occurrences while holding
     // per-key state only as long as the watermark delay — the bounded-state
