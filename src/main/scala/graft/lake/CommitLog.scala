@@ -100,7 +100,13 @@ case class Commit(
       * loaded. The union over history is COPY INTO's already-loaded set
       * (Delta's file-dedup ledger analog) — per-commit, never
       * denormalized, so commit size tracks its own load. */
-    copyFiles: Seq[String] = Seq.empty)
+    copyFiles: Seq[String] = Seq.empty,
+    /** Cumulative identity high-water marks: for each
+      * [[TableSpec.identity]] column, the highest (per `step` direction:
+      * latest) value ever allocated. Denormalized on every commit like
+      * `txn`, so the latest commit alone answers "what id comes next" —
+      * ids are never reused, even across delete/overwrite. */
+    identityHigh: Map[String, Long] = Map.empty)
 
 /** Another writer claimed this commit version first. Callers rebase: re-read
   * the snapshot, recompute, retry at the next version ([[graft.lake.LakeTable]]
@@ -176,6 +182,12 @@ object CommitLog {
       val g = spec.putObject("generated")
       c.spec.generated.foreach { case (n, e) => g.put(n, e) }
     }
+    if (c.spec.identity.nonEmpty) {
+      val idn = spec.putObject("identity")
+      c.spec.identity.foreach { case (n, d) =>
+        val e = idn.putObject(n); e.put("start", d.start); e.put("step", d.step)
+      }
+    }
     val adds = root.putArray("add")
     c.add.foreach { a =>
       val n = adds.addObject()
@@ -213,6 +225,10 @@ object CommitLog {
     if (c.copyFiles.nonEmpty) {
       val cf = root.putArray("copyFiles")
       c.copyFiles.foreach(cf.add)
+    }
+    if (c.identityHigh.nonEmpty) {
+      val ih = root.putObject("identityHigh")
+      c.identityHigh.foreach { case (n, v) => ih.put(n, v) }
     }
 
     val target = fileFor(tablePath, c.version)
@@ -389,6 +405,18 @@ object CommitLog {
           while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText }
         }
         m.toMap
+      },
+      identity = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, IdentityDef]
+        if (specN.hasNonNull("identity")) {
+          val it = specN.get("identity").asInstanceOf[ObjectNode].fields()
+          while (it.hasNext) {
+            val e = it.next()
+            m(e.getKey) = IdentityDef(
+              e.getValue.get("start").asLong, e.getValue.get("step").asLong)
+          }
+        }
+        m.toMap
       })
     val adds = ArrayBuffer.empty[FileAction]
     root.get("add").asInstanceOf[ArrayNode].forEach { n =>
@@ -439,6 +467,14 @@ object CommitLog {
         if (root.hasNonNull("copyFiles"))
           root.get("copyFiles").asInstanceOf[ArrayNode].forEach(x => b += x.asText)
         b.toSeq
+      },
+      identityHigh = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        if (root.hasNonNull("identityHigh")) {
+          val it = root.get("identityHigh").asInstanceOf[ObjectNode].fields()
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asLong }
+        }
+        m.toMap
       })
   }
 

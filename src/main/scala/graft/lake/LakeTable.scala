@@ -255,6 +255,18 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** The schema a file was WRITTEN with (its commit's declared schema) —
+    * after a type widening this is narrower than today's; None when the
+    * path carries no write-id dir (foreign base). */
+  private[graft] def fileSchemaOf(a: FileAction): Option[StructType] = {
+    val head = a.path.takeWhile(_ != '/')
+    if (!head.startsWith(s"$WRITE_ID=")) return None
+    head.drop(WRITE_ID.length + 1).toLongOption.map { wid =>
+      val v = wid / LakeTable.WRITE_SLOTS
+      DataType.fromJson(CommitLog.read(path, v, conf).schemaJson).asInstanceOf[StructType]
+    }
+  }
+
   /** Conservative file-level skipping: top-level AND conjuncts only;
     * unknown filter shapes, missing/sentinel stats, non-numeric non-ASCII
     * comparisons all KEEP the file (never wrong, only less pruning). */
@@ -517,8 +529,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * Delta's mergeSchema analog). */
   def overwrite(df: DataFrame, mergeSchema: Boolean = false,
       txn: Option[(String, Long)] = None): LakeTable = retrying {
-    val (conformed, evolved) = conform(df, mergeSchema)
-    writeCommit("overwrite", removeAll = true, newSchema = evolved, txn = txn) { (writeId, commitTime) =>
+    val (withIds, idHighs) = stampIdentity(df, freshForAll = true)
+    val (conformed, evolved) = conform(withIds, mergeSchema)
+    writeCommit("overwrite", removeAll = true, newSchema = evolved, txn = txn,
+      identityHigh = idHighs) { (writeId, commitTime) =>
       val batch = stampMeta(dedupBatch(conformed), commitTime)
       Seq(writeFiles(batch, writeId, log = false))
     }
@@ -541,11 +555,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def overwriteWhere(df: DataFrame, cond: Column,
       txn: Option[(String, Long)] = None): LakeTable = retrying {
     if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
-    val (conformed, _) = conform(df, mergeSchema = false)
+    val (withIds, idHighs) = stampIdentity(df, freshForAll = true)
+    val (conformed, _) = conform(withIds, mergeSchema = false)
     require(conformed.filter(!coalesce(cond, lit(false))).isEmpty,
       "replaceWhere: every incoming row must match the predicate")
     val live = liveFiles(None)
-    writeCommit("overwriteWhere", txn = txn) { (writeId, commitTime) =>
+    writeCommit("overwriteWhere", txn = txn, identityHigh = idHighs) { (writeId, commitTime) =>
       val touched = readFiles(live, relFile = true)
         .filter(cond).select(REL_FILE).distinct()
         .collect().map(_.getString(0)).toSeq
@@ -579,12 +594,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       txn: Option[(String, Long)] = None): LakeTable = retrying {
     val p = spec.partition.getOrElse(throw new IllegalArgumentException(
       "dynamic partition overwrite needs a partitioned table"))
-    val (conformed, _) = conform(df, mergeSchema = false)
+    val (withIds, idHighs) = stampIdentity(df, freshForAll = true)
+    val (conformed, _) = conform(withIds, mergeSchema = false)
     val parts = conformed.select(col(p).cast(StringType)).distinct()
       .collect().map(r => Option(r.getString(0))
         .getOrElse("__HIVE_DEFAULT_PARTITION__")).toSet
     val live = liveFiles(None)
-    writeCommit("overwritePartitions", txn = txn) { (writeId, commitTime) =>
+    writeCommit("overwritePartitions", txn = txn,
+      identityHigh = idHighs) { (writeId, commitTime) =>
       // MoR log files carry partitionValue too — a replaced partition's
       // outstanding logs go with it
       val touched = live.filter(_.partitionValue.exists(parts.contains)).map(_.path)
@@ -609,12 +626,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def upsert(df: DataFrame, mergeSchema: Boolean = false,
       txn: Option[(String, Long)] = None,
       copyFiles: Seq[String] = Seq.empty): LakeTable = retrying {
-    val (conformed, evolved) = conform(df, mergeSchema)
+    val (withIds, idHighs) = stampIdentity(df, freshForAll = false)
+    val (conformed, evolved) = conform(withIds, mergeSchema)
     val incoming0 = dedupBatch(conformed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (spec.mor) upsertMor(incoming0, evolved, txn, copyFiles)
-      else upsertCow(incoming0, evolved, txn, copyFiles)
+      if (spec.mor) upsertMor(incoming0, evolved, txn, copyFiles, idHighs)
+      else upsertCow(incoming0, evolved, txn, copyFiles, idHighs)
     } finally {
       incoming0.unpersist(blocking = false)
       ()
@@ -623,11 +641,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   private def upsertCow(incoming: DataFrame, evolved: Option[StructType] = None,
       txn: Option[(String, Long)] = None,
-      copyFiles: Seq[String] = Seq.empty): LakeTable = {
+      copyFiles: Seq[String] = Seq.empty,
+      idHighs: Map[String, Long] = Map.empty): LakeTable = {
     val live = liveFiles(None)
     val candidates = pruneCandidates(live, incoming)
     writeCommit("upsert", newSchema = evolved, txn = txn,
-      copyFiles = copyFiles) { (writeId, commitTime) =>
+      copyFiles = copyFiles, identityHigh = idHighs) { (writeId, commitTime) =>
       val inStamped = stampMeta(incoming, commitTime).withColumn(RANK, lit(Long.MaxValue))
       // second element: the incoming batch when nothing is touched, else
       // the full row set of the files being rewritten
@@ -677,10 +696,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   private def upsertMor(incoming: DataFrame, evolved: Option[StructType] = None,
       txn: Option[(String, Long)] = None,
-      copyFiles: Seq[String] = Seq.empty): LakeTable = {
+      copyFiles: Seq[String] = Seq.empty,
+      idHighs: Map[String, Long] = Map.empty): LakeTable = {
     val live = liveFiles(None)
     writeCommit("upsert", newSchema = evolved, txn = txn,
-      copyFiles = copyFiles) { (writeId, commitTime) =>
+      copyFiles = copyFiles, identityHigh = idHighs) { (writeId, commitTime) =>
       val stamped = stampMeta(incoming, commitTime)
       if (live.isEmpty) Seq(writeFiles(stamped, writeId, log = false))
       else {
@@ -853,6 +873,28 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Delta `REORG TABLE … APPLY (PURGE)` analog: physically rewrite ONLY
+    * the files carrying deletion vectors, materializing the soft deletes
+    * into clean files (fresh footer/bloom/sum stats, no `dv` reference) —
+    * after which `vacuum` can reclaim the old files AND the sidecars, and
+    * DV-restricted paths (storage-partitioned-join fast path, deep-clone
+    * byte-copy, symlink manifests) light up again. Untouched files are
+    * never rewritten or even opened: cost ∝ DV'd data, not table size —
+    * the reason this exists next to [[compact]] (which rewrites
+    * everything). Commit shape is remove+add per purged file, so
+    * incremental/CDF consumers observe a rewrite, not a row change. */
+  def reorgPurge(): LakeTable = retrying {
+    val dvd = liveFiles(None).filter(_.dv.isDefined)
+    if (dvd.isEmpty) return this
+    writeCommit("reorg") { (writeId, _) =>
+      // readFiles applies the DVs at scan time: what it returns IS the
+      // purged content; meta columns ride along so rows keep their
+      // original commit identity
+      val rows = readFiles(dvd).drop("_file_name")
+      Seq(writeFiles(rows, writeId, log = false).copy(remove = dvd.map(_.path)))
+    }
+  }
+
   /** Row-level UPDATE (Delta `UPDATE t SET … WHERE …`): rewrite only the
     * files holding rows where `cond` is definitively true, applying
     * `assigns` to those rows and passing every other row of the touched
@@ -869,6 +911,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       // delete + insert instead
       require(!spec.partition.exists(_.equalsIgnoreCase(n)),
         s"cannot UPDATE the partition column '$n'")
+      require(!spec.identity.keys.exists(_.equalsIgnoreCase(n)),
+        s"column '$n' is GENERATED ALWAYS AS IDENTITY and cannot be updated")
     }
     if (spec.mor && liveFiles(None).exists(_.log)) compact() // see delete()
     val live = liveFiles(None)
@@ -1418,7 +1462,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val bootVersion = asOf.getOrElse(latestVersion)
     CommitLog.write(targetPath,
       Commit(bootVersion, LakeTable.commitTimeNow(), "clone",
-        schemaAt(asOf).json, spec, refs, Seq.empty), conf)
+        schemaAt(asOf).json, spec, refs, Seq.empty,
+        // identity never restarts on a clone: carry the source's marks
+        identityHigh = CommitLog.read(path, bootVersion, conf).identityHigh), conf)
     new LakeTable(spark, targetPath)
   }
 
@@ -1463,7 +1509,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val snap = read(asOf)
       val data = snap.select(
         snap.columns.filterNot(LakeTable.META_COLS.contains).map(col): _*)
-      return LakeTable.create(spark, targetPath, clean, data, bulkInsert = true)
+      // identity fidelity: the materialized rows KEEP their assigned ids
+      // (and the source's high-water marks), they are not re-drawn
+      return LakeTable.create(spark, targetPath, clean, data, bulkInsert = true,
+        presetIdentityHigh =
+          CommitLog.read(path, asOf.getOrElse(latestVersion), conf).identityHigh)
     }
     val version = 0L
     val wid = version * LakeTable.WRITE_SLOTS
@@ -1505,7 +1555,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
     CommitLog.write(targetPath,
       Commit(version, LakeTable.commitTimeNow(), "deepClone",
-        snapSchema.json, snapSpec, adds, Seq.empty), conf)
+        snapSchema.json, snapSpec, adds, Seq.empty,
+        identityHigh = CommitLog.read(path,
+          asOf.getOrElse(latestVersion), conf).identityHigh), conf)
     new LakeTable(spark, targetPath)
   }
 
@@ -1594,6 +1646,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       s"cannot $op sum-stats column '$n'")
     require(!spec.constraints.exists(_._2.toLowerCase.contains(n.toLowerCase)),
       s"cannot $op '$n': referenced by a CHECK constraint")
+    require(!spec.identity.keys.exists(_.equalsIgnoreCase(n)),
+      s"cannot $op identity column '$n'")
   }
 
   /** `ALTER TABLE … RENAME COLUMN old TO new` — METADATA-ONLY (Delta
@@ -1631,6 +1685,37 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       newSpec = Some(spec.copy(columnMap = spec.columnMap - name))) {
       (_, _) => Seq.empty
     }
+  }
+
+  /** Delta TYPE WIDENING analog (`ALTER TABLE … ALTER COLUMN c TYPE t`):
+    * a METADATA-ONLY commit widens the declared type — no file is
+    * rewritten, ever. Sound because Spark 4's parquet reader up-converts
+    * narrower physical types to the requested read schema natively
+    * (int32→long, float→double, decimal re-scale), so old files keep
+    * their narrow encoding while reads and new writes use the wide type;
+    * per-file stats (key ranges, colStats strings, DECIMAL(38) colSums)
+    * are representation-independent and stay valid.
+    *
+    * Allowed: integral up-chain (byte→short→int→long), float→double,
+    * decimal with non-decreasing scale AND integer capacity, integral→
+    * decimal with enough integer digits — exactly the value-preserving
+    * set; anything lossy (narrowing, long→double, →string) refuses.
+    * The record key of a BUCKETED table refuses: `hash(5)` ≠ `hash(5L)`
+    * in Spark's Murmur3, so widening would silently re-bucket new writes
+    * away from existing rows. */
+  def widenColumn(name: String, to: DataType): LakeTable = retrying {
+    val declared = schema
+    require(declared.fieldNames.contains(name), s"no column '$name'")
+    require(!spec.identity.keys.exists(_.equalsIgnoreCase(name)),
+      s"cannot widen identity column '$name'")
+    require(spec.buckets == 0 || !name.equalsIgnoreCase(spec.key),
+      "cannot widen the record key of a bucketed table: the bucket hash is type-dependent")
+    val from = declared(name).dataType
+    require(LakeTable.widens(from, to),
+      s"ALTER COLUMN $name TYPE: ${from.simpleString} -> ${to.simpleString} is not a lossless widening")
+    writeCommit("widen_column",
+      newSchema = Some(StructType(declared.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f)))) { (_, _) => Seq.empty }
   }
 
   /** Hive-sync analog (S12/S13): register snapshot views in the session
@@ -1704,6 +1789,92 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     if (violated.nonEmpty) throw new IllegalArgumentException(
       "CHECK constraint violated by the incoming batch: " +
         violated.map(n => s"$n CHECK (${cons(n)})").mkString("; "))
+  }
+
+  /** Next-unallocated high-water mark of one identity column: the latest
+    * commit's denormalized mark, or `start - step` before any allocation. */
+  private def identityHighOf(c: String): Long =
+    latestCommit.identityHigh.getOrElse(c, {
+      val d = spec.identity(c); d.start - d.step
+    })
+
+  /** Stamp every GENERATED ALWAYS AS IDENTITY column onto an incoming
+    * batch and return the updated high-water marks to commit.
+    *
+    * Semantics (Delta MERGE parity, re-expressed for a keyed table):
+    * identity is 1:1 with the RECORD KEY — an upsert's existing keys keep
+    * their current ids (`freshForAll = false`; MERGE UPDATE never touches
+    * the column), new keys draw the next ones (MERGE INSERT). Overwrite
+    * paths (`freshForAll = true`) re-id every incoming key: the replaced
+    * rows are gone and ids are never reused, exactly like a Delta
+    * overwrite of an identity table. A supplied identity column is
+    * rejected (ALWAYS), except all-null — SQL `INSERT` paths materialize
+    * omitted columns as nulls — which is treated as absent.
+    *
+    * Determinism: new keys are ranked by md5(key) via the two-phase
+    * 256-bucket plan (bucket counts → driver prefix offsets → per-bucket
+    * window ≈ 1/256th of the batch each; no global window), and
+    * `id = high + step · (rank+1)`. The order is content-defined, so
+    * reruns of the same batch against the same snapshot allocate
+    * identically — and a DuckDB oracle can replay the whole assignment.
+    *
+    * Scale shape: the existing-key lookup reads only pruned candidate
+    * files (partition/key-range/bloom — the upsert's own detection scan),
+    * so cost follows the batch and its matching files, never the table.
+    * MoR snapshots with live logs look up through the realtime merge (a
+    * tombstoned key must re-draw, not resurrect its old id). */
+  private def stampIdentity(df0: DataFrame,
+      freshForAll: Boolean): (DataFrame, Map[String, Long]) = {
+    val ids = spec.identity
+    if (ids.isEmpty) return (df0, Map.empty)
+    // ALWAYS: a caller-supplied identity column must be absent or all-null
+    val supplied = df0.columns.filter(c => ids.keys.exists(_.equalsIgnoreCase(c)))
+    val df = if (supplied.isEmpty) df0 else {
+      val aggs = supplied.map(c => max(when(col(c).isNotNull, 1).otherwise(0)).as(c))
+      val row = df0.agg(aggs.head, aggs.tail.toSeq: _*).head()
+      supplied.zipWithIndex.foreach { case (c, i) =>
+        require(row.isNullAt(i) || row.getInt(i) == 0,
+          s"column '$c' is GENERATED ALWAYS AS IDENTITY and cannot be supplied")
+      }
+      df0.drop(supplied.toSeq: _*)
+    }
+    val keys = df.select(col(spec.key)).filter(col(spec.key).isNotNull).distinct()
+    val live = if (freshForAll || latestVersion < 0) Seq.empty else liveFiles(None)
+    val existing =
+      if (live.isEmpty) None
+      else {
+        val src = if (live.exists(_.log)) realtime()
+          else readFiles(pruneCandidates(live, keys))
+        val uniq = src.select((spec.key +: ids.keys.toSeq).map(col): _*)
+          .join(keys, Seq(spec.key), "left_semi")
+          .groupBy(spec.key)
+          .agg(ids.keys.toSeq.map(c => max(col(c)).as(c)).head,
+            ids.keys.toSeq.map(c => max(col(c)).as(c)).tail: _*)
+        Some(uniq)
+      }
+    val newKeys = existing.fold(keys)(e =>
+      keys.join(e.select(spec.key), Seq(spec.key), "left_anti"))
+    // two-phase deterministic rank of the new keys (md5-of-key order)
+    val tagged = newKeys
+      .withColumn("_idh", md5(col(spec.key).cast("string")))
+      .withColumn("_idb", conv(substring(col("_idh"), 1, 2), 16, 10).cast("int"))
+    val perBucket = tagged.groupBy("_idb").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val total = perBucket.values.sum
+    val offsets = (0 until 256).scanLeft(0L)((acc, b) => acc + perBucket.getOrElse(b, 0L))
+    val offsetOf = typedLit((0 until 256).map(b => b -> offsets(b)).toMap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_idb").orderBy(col("_idh").asc, col(spec.key).asc)
+    val ranked = tagged.withColumn("_idr",
+      row_number().over(w).cast("long") - 1L + element_at(offsetOf, col("_idb")))
+      .drop("_idh", "_idb")
+    val highs = ids.map { case (c, _) => c -> identityHighOf(c) }
+    val newIds = ids.foldLeft(ranked) { case (acc, (c, d)) =>
+      acc.withColumn(c, lit(highs(c)) + lit(d.step) * (col("_idr") + 1L))
+    }.drop("_idr")
+    val mapping = existing.fold(newIds)(_.unionByName(newIds))
+    val out = df.join(mapping, Seq(spec.key), "left")
+    (out, ids.map { case (c, d) => c -> (highs(c) + d.step * total) })
   }
 
   /** Delta `ALTER TABLE … ADD CONSTRAINT name CHECK (sql)`: existing rows
@@ -1926,7 +2097,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       newSchema: Option[StructType] = None, txn: Option[(String, Long)] = None,
       newSpec: Option[TableSpec] = None,
       tableStats: Option[TableStats] = None,
-      copyFiles: Seq[String] = Seq.empty)(
+      copyFiles: Seq[String] = Seq.empty,
+      identityHigh: Map[String, Long] = Map.empty)(
       body: (Long, String) => Seq[WriteResult]): LakeTable = {
     val version = latestVersion + 1
     if (version == 0) throw new IllegalStateException("use LakeTable.create")
@@ -1943,7 +2115,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       CommitLog.write(path, Commit(version, commitTime, operation, schemaJson,
         newSpec.getOrElse(spec),
         results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct,
-        txnMap, tableStats, copyFiles), conf)
+        txnMap, tableStats, copyFiles,
+        identityHigh = latestCommit.identityHigh ++ identityHigh), conf)
     } catch {
       case c: CommitConflictException =>
         // lost the race: drop ONLY the dirs this attempt itself created —
@@ -2185,6 +2358,26 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 object LakeTable {
   private[lake] val WRITE_ID = "_v"
   private[lake] val RANK = "_graft_rank"
+
+  /** Value-preserving type widenings ([[LakeTable.widenColumn]]): every
+    * value of `from` maps to exactly itself in `to`. */
+  private[graft] def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => false
+    // byte/short/int → double is exact too (53-bit mantissa ⊇ 32-bit int);
+    // long → double is NOT (Delta's matrix draws the same line)
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+    // integral → decimal with room for every value of the source type
+    case (ByteType, t: DecimalType) => t.precision - t.scale >= 3
+    case (ShortType, t: DecimalType) => t.precision - t.scale >= 5
+    case (IntegerType, t: DecimalType) => t.precision - t.scale >= 10
+    case (LongType, t: DecimalType) => t.precision - t.scale >= 19
+    case _ => false
+  }
   /** Per-scan file identity matching FileAction.path (see readFiles). */
   private[lake] val REL_FILE = "_rel_file"
   /** Decode an input_file_name() URI to the literal path form FileAction
@@ -2289,7 +2482,8 @@ object LakeTable {
     *   compaction collapses them, exactly like Hudi. Default keeps the
     *   dedup (unique-key base invariant). */
   def create(spark: SparkSession, path: String, spec0: TableSpec, df0: DataFrame,
-      bulkInsert: Boolean = false): LakeTable = {
+      bulkInsert: Boolean = false,
+      presetIdentityHigh: Map[String, Long] = Map.empty): LakeTable = {
     val conf = spark.sessionState.newHadoopConf()
     require(CommitLog.latestVersion(path, conf).isEmpty, s"table exists at $path")
     CommitLog.invalidateTable(path) // a dropped table may have lived here
@@ -2309,14 +2503,27 @@ object LakeTable {
     spec.partition.foreach(p => require(df.columns.contains(p), s"missing partition col $p"))
     require(df.columns.contains(spec.key) && df.columns.contains(spec.precombine),
       s"key/precombine not in schema")
+    spec.identity.keys.foreach { c =>
+      require(!c.equalsIgnoreCase(spec.key) && !c.equalsIgnoreCase(spec.precombine) &&
+        !spec.partition.exists(_.equalsIgnoreCase(c)) &&
+        !spec.generated.keys.exists(_.equalsIgnoreCase(c)),
+        s"identity column '$c' cannot also be the key/precombine/partition/generated column")
+    }
     val t = new LakeTable(spark, path)
     // bootstrap commit 0 by hand (writeCommit requires an existing schema)
     val version = 0L
     val commitTime = commitTimeNow()
-    val dataSchema = df.schema
-    val boot = Commit(version, commitTime, "create", dataSchema.json, spec, Seq.empty, Seq.empty)
-    CommitLog.write(path, boot, conf)
-    val batch = t.stampMeta(if (bulkInsert) df else t.dedupBatch(df), commitTime)
+    val boot0 = Commit(version, commitTime, "create", df.schema.json, spec, Seq.empty, Seq.empty)
+    CommitLog.write(path, boot0, conf)
+    // identity columns stamp AFTER the provisional boot (stampIdentity reads
+    // spec through the log); the final commit 0 carries the widened schema
+    // and the allocated high-water marks. presetIdentityHigh: the rows
+    // already carry authoritative ids (deep-clone materialization).
+    val (dfI, idHighs) =
+      if (presetIdentityHigh.nonEmpty) (df, presetIdentityHigh)
+      else t.stampIdentity(df, freshForAll = true)
+    val boot = boot0.copy(schemaJson = dfI.schema.json, identityHigh = idHighs)
+    val batch = t.stampMeta(if (bulkInsert) dfI else t.dedupBatch(dfI), commitTime)
     val res = t.writeFiles(batch, t.freshWriteId(version), log = false)
     // amend: rewrite commit 0 with the files (single-writer, pre-publish)
     val fs = CommitLog.logDir(path).getFileSystem(conf)
@@ -2338,6 +2545,8 @@ object LakeTable {
     val conf = spark.sessionState.newHadoopConf()
     require(spec.partition.isEmpty, "convert supports flat, non-partitioned sources")
     require(!spec.mor, "convert bootstraps a CoW table")
+    require(spec.identity.isEmpty,
+      "convert cannot declare identity columns — the existing files were never stamped")
     require(CommitLog.latestVersion(dir, conf).isEmpty, s"table exists at $dir")
     CommitLog.invalidateTable(dir)
     val root = new Path(dir)

@@ -88,7 +88,18 @@ case class TableSpec(
       * scans filtered on the SOURCE column prune partitions through the
       * transform — `WHERE ts BETWEEN a AND b` skips date partitions a
       * query never has to name (see [[GeneratedCols]]). */
-    generated: Map[String, String] = Map.empty) {
+    generated: Map[String, String] = Map.empty,
+    /** Identity columns (Delta `GENERATED ALWAYS AS IDENTITY (START WITH s
+      * INCREMENT BY k)` analog): column name → allocation rule. The engine
+      * assigns every value — a caller may never supply one (an all-null
+      * supplied column, e.g. from SQL `INSERT`, is treated as absent) —
+      * and never reuses one: a cumulative high-water mark per column rides
+      * the commit log (denormalized like `txn`), so deletes/overwrites
+      * can't resurrect an id. Assignment is per RECORD KEY and
+      * deterministic (md5-of-key order within the batch's new keys): an
+      * upsert's existing keys KEEP their ids (Delta MERGE UPDATE parity),
+      * new keys draw the next ids (MERGE INSERT parity). */
+    identity: Map[String, IdentityDef] = Map.empty) {
 
   /** Physical parquet field name of a logical column. */
   def physical(logical: String): String = columnMap.getOrElse(logical, logical)
@@ -97,4 +108,10 @@ case class TableSpec(
 object TableSpec {
   /** The stored bucket-id column of a bucketed table. */
   val BUCKET_COL = "_bucket"
+}
+
+/** Allocation rule of one identity column: first value `start`, spaced
+  * `step` apart (positive or negative, never 0). Values are BIGINTs. */
+case class IdentityDef(start: Long = 1L, step: Long = 1L) {
+  require(step != 0L, "identity INCREMENT BY must not be 0")
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{Envelope, Normalize}
-import graft.lake.{LakeTable, TableSpec}
+import graft.lake.{IdentityDef, LakeTable, TableSpec}
 
 /** Lakehouse operator coverage (SURVEY.md §2.1/§2.8) driven through
   * LakeTable and verified against DuckDB by re-expressing the table's final
@@ -352,6 +352,38 @@ object LakeQueries {
         |WHERE epoch_ns(ts)//1000 >= 1704844800000000
         |  AND epoch_ns(ts)//1000 <= 1705708799999999
         |ORDER BY event_id""".stripMargin)),
+
+    // GENERATED ALWAYS AS IDENTITY: engine-assigned per-key surrogate ids.
+    // Deterministic allocation (md5-of-key order within each batch's new
+    // keys, two-phase 256-bucket rank — no global window) lets DuckDB
+    // replay the exact assignment: batch 1 draws 1..n1, the upsert's
+    // existing keys KEEP their ids while its new keys continue n1+1.. —
+    // Delta MERGE UPDATE/INSERT identity parity, hash-exact.
+    "q114_identity_columns" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"ident_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val spec = ordersSpec.copy(identity = Map("row_id" -> IdentityDef()))
+        val tbl = LakeTable.create(s, path, spec,
+          t(s, d, "orders").filter(col("o_orderkey") % 3 === 0))
+        // churn: update half the existing keys, insert the %3==1 cohort
+        tbl.upsert(t(s, d, "orders")
+          .filter(col("o_orderkey") % 6 === 0 || col("o_orderkey") % 3 === 1)
+          .withColumn("o_orderstatus", lit("U")))
+        tbl.read().select("o_orderkey", "row_id", "o_orderstatus")
+          .orderBy("o_orderkey")
+      },
+      """WITH b1 AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |r1 AS (SELECT o_orderkey, ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS row_id FROM b1),
+        |b2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 1),
+        |r2 AS (SELECT o_orderkey, (SELECT COUNT(*) FROM b1) + ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS row_id FROM b2)
+        |SELECT r1.o_orderkey AS o_orderkey, r1.row_id AS row_id,
+        |  CASE WHEN r1.o_orderkey % 6 = 0 THEN 'U' ELSE b1.o_orderstatus END AS o_orderstatus
+        |FROM r1 JOIN b1 ON r1.o_orderkey = b1.o_orderkey
+        |UNION ALL
+        |SELECT o_orderkey, row_id, 'U' FROM r2
+        |ORDER BY o_orderkey""".stripMargin)),
 
     // Delta replaceWhere: atomically swap the rows matching a row-level
     // predicate (not a partition boundary) for the incoming frame — rows

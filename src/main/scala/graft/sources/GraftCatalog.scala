@@ -17,7 +17,7 @@ import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, Insertabl
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.lake.{CommitLog, LakeTable, TableSpec}
+import graft.lake.{CommitLog, IdentityDef, LakeTable, TableSpec}
 
 /** DSv2 `TableCatalog` for graft tables (SURVEY.md §7.4): register with
   *
@@ -41,6 +41,24 @@ import graft.lake.{CommitLog, LakeTable, TableSpec}
   * get the identical pruned/stats-driven scans and contested-key upserts as
   * the programmatic API — nothing is duplicated for the catalog path.
   */
+object GraftCatalog {
+  /** Parse an `identity.<col>` option value: the standard-SQL
+    * `START WITH s INCREMENT BY k` clause (either part optional, any
+    * order), or empty for the defaults (1, 1). */
+  private[sources] def parseIdentityDef(v: String): IdentityDef = {
+    val s = v.trim
+    if (s.isEmpty) return IdentityDef()
+    val startR = "(?i)START\\s+WITH\\s+(-?\\d+)".r
+    val stepR = "(?i)INCREMENT\\s+BY\\s+(-?\\d+)".r
+    val start = startR.findFirstMatchIn(s).map(_.group(1).toLong)
+    val step = stepR.findFirstMatchIn(s).map(_.group(1).toLong)
+    require(start.isDefined || step.isDefined,
+      s"cannot parse identity definition '$v' — " +
+        "expected 'START WITH <n> INCREMENT BY <n>' (either part optional)")
+    IdentityDef(start.getOrElse(1L), step.getOrElse(1L))
+  }
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft"
@@ -156,6 +174,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               k.stripPrefix("generated.") -> v
             case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX + "generated.") =>
               k.stripPrefix(TableCatalog.OPTION_PREFIX + "generated.") -> v
+          }.toMap,
+          // GENERATED ALWAYS AS IDENTITY via namespaced options:
+          //   OPTIONS ('identity.row_id' = 'START WITH 1 INCREMENT BY 1')
+          // (empty value = the defaults, START WITH 1 INCREMENT BY 1)
+          identity = props.collect {
+            case (k, v) if k.startsWith("identity.") =>
+              k.stripPrefix("identity.") -> GraftCatalog.parseIdentityDef(v)
+            case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX + "identity.") =>
+              k.stripPrefix(TableCatalog.OPTION_PREFIX + "identity.") ->
+                GraftCatalog.parseIdentityDef(v)
           }.toMap)
         val path = other.getOrElse(tableDir(ident).toString)
         val empty = spark.createDataFrame(
@@ -187,8 +215,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         t.renameColumn(r.fieldNames.head, r.newName)
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
         t.dropColumn(d.fieldNames.head)
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+        // Delta type widening: metadata-only, old files up-convert on read
+        t.widenColumn(u.fieldNames.head, u.newDataType)
       case other => throw new UnsupportedOperationException(
-        s"graft supports ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN, got $other")
+        s"graft supports ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
+          s"ALTER COLUMN … TYPE (widening), got $other")
     }
     GraftCatalogTable(ident, path, asOf = None)
   }
@@ -284,7 +316,10 @@ case class GraftCatalogTable(ident: Identifier, path: String, asOf: Option[Long]
       "precombine" -> spec.precombine,
       "type" -> (if (spec.mor) "merge_on_read" else "copy_on_write")) ++
       spec.partition.map("partition" -> _) ++
-      spec.generated.map { case (c, e) => s"generated.$c" -> e }).asJava
+      spec.generated.map { case (c, e) => s"generated.$c" -> e } ++
+      spec.identity.map { case (c, d) =>
+        s"identity.$c" -> s"START WITH ${d.start} INCREMENT BY ${d.step}"
+      }).asJava
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -551,12 +586,17 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
         p.getFileSystem(conf).listStatus(p).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
       })
-      // additive schema evolution: files older than an added column carry
-      // a subset of today's columns — known per file from the commit log
+      // schema evolution: files older than an added column carry a subset
+      // of today's columns, files older than a TYPE WIDENING carry the
+      // narrow physical type — both known per file from the commit log
       // (the file's write-id dir names its commit), no footer opened. Meta
-      // columns predate every evolution; only data columns can be absent.
+      // columns predate every evolution; only data columns can change.
       val evolved = t.commits.filter(c => asOf.forall(c.version <= _))
         .map(_.schemaJson).distinct.size > 1
+      val declaredTypes: Array[org.apache.spark.sql.types.DataType] =
+        fileCols.map(n =>
+          if (metaReadable.contains(n) && !dataFields.contains(n)) StringType
+          else dataSchema(n).dataType).toArray
       val descs = live.map { a =>
         val pv: Any = constCol match {
           case None => null
@@ -566,17 +606,29 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
           return None // unconvertible partition value type
         if (constCol.isDefined && a.partitionValue.isEmpty)
           return None // layout missing the dir value
-        val present: Array[Boolean] =
-          if (!evolved) null
-          else t.fileColumns(a) match {
+        val (present, narrow): (Array[Boolean], Array[org.apache.spark.sql.types.DataType]) =
+          if (!evolved) (null, null)
+          else t.fileSchemaOf(a) match {
             case None => return None // no write-id dir: not a v2 candidate
-            case Some(has) =>
+            case Some(fs) =>
+              val fsTypes = fs.fields.map(f => f.name -> f.dataType).toMap
               val p = fileCols.map(n =>
-                metaReadable.contains(n) || has.contains(n)).toArray
-              if (p.forall(identity)) null else p
+                metaReadable.contains(n) || fsTypes.contains(n)).toArray
+              val nr = fileCols.zipWithIndex.map { case (n, i) =>
+                fsTypes.getOrElse(n, declaredTypes(i))
+              }.toArray
+              (if (p.forall(identity)) null else p,
+                if (nr.sameElements(declaredTypes)) null else nr)
           }
+        // only lossless widenings are convertible — anything else (a
+        // re-added column whose old files carry an incompatible type)
+        // falls back to the V1 path
+        if (narrow != null && narrow.indices.exists(i =>
+          narrow(i) != declaredTypes(i) &&
+            !graft.lake.LakeTable.widens(narrow(i), declaredTypes(i))))
+          return None
         ScanFileDesc(s"${t.dataDir}/${a.path}", a.path, pv,
-          a.dv.map(dvFilesOf).getOrElse(Array.empty), present)
+          a.dv.map(dvFilesOf).getOrElse(Array.empty), present, narrow)
       }
       val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
       val fileSchema = StructType(fileCols.map(n =>
@@ -613,6 +665,11 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
       // to the V1 path to keep commit-log file skipping
       val onlyNullGuards = filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.IsNotNull])
       if (spec.buckets <= 0 || !onlyNullGuards || spec.columnMap.nonEmpty) return None
+      // schema evolution (added columns / widened types): the bucket
+      // readers read files at one fixed schema — serve evolved snapshots
+      // through the V1 path, which handles per-file schemas
+      if (t.commits.filter(c => asOf.forall(c.version <= _))
+        .map(_.schemaJson).distinct.size > 1) return None
       val dataSchema = t.schemaAt(asOf)
       val dataFields = dataSchema.fieldNames.toSet
       if (required.isEmpty || !required.fieldNames.forall(dataFields.contains)) return None

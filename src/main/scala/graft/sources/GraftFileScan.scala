@@ -20,9 +20,13 @@ import graft.lake.{FileAction, LakeTable}
   * file's DV sidecar parquet files (listed on the driver at plan time),
   * and — for additively evolved tables — which of the scan's file columns
   * are physically present in THIS file (`null` = all of them, the common
-  * case; a file older than an added column surfaces nulls for it). */
+  * case; a file older than an added column surfaces nulls for it).
+  * `narrow`: for type-WIDENED tables, the physical type each file column
+  * has in THIS file (`null` = all match the declared schema); the reader
+  * reads at the narrow type and up-converts per value. */
 case class ScanFileDesc(abs: String, rel: String, partVal: Any,
-    dvFiles: Array[String], present: Array[Boolean] = null)
+    dvFiles: Array[String], present: Array[Boolean] = null,
+    narrow: Array[DataType] = null)
 
 /** General DSv2 batch scan for graft CoW snapshots — the default catalog
   * read path when no merge is needed (un-bucketed tables, or projections
@@ -163,6 +167,42 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
     * (emit null). Identity when the file carries every column. */
   private var srcPos: Array[Int] = Array.tabulate(fileSchema.length)(identity)
   private val identityPos = srcPos
+  /** Per-column type to READ at for the current file (type widening: a
+    * pre-widen file stores the narrow physical type) + the up-converter
+    * into the declared type (null = identity). */
+  private var readTypes: Array[DataType] = fileTypes
+  private var convs: Array[Any => Any] = _
+
+  /** Value-level widening converters (mirrors LakeTable.widens). */
+  private def setFileTypes(narrow: Array[DataType]): Unit = {
+    if (narrow == null) { readTypes = fileTypes; convs = null; return }
+    readTypes = narrow
+    convs = new Array[Any => Any](fileTypes.length)
+    var i = 0
+    while (i < fileTypes.length) {
+      import org.apache.spark.sql.types._
+      convs(i) = (narrow(i), fileTypes(i)) match {
+        case (a, b) if a == b => null
+        case (ByteType, ShortType) => v => java.lang.Short.valueOf(v.asInstanceOf[Byte])
+        case (ByteType, IntegerType) => v => Integer.valueOf(v.asInstanceOf[Byte].toInt)
+        case (ByteType | ShortType, IntegerType) => v => Integer.valueOf(v.asInstanceOf[Number].intValue)
+        case (ByteType | ShortType | IntegerType, LongType) =>
+          v => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue)
+        case (ByteType | ShortType | IntegerType | FloatType, DoubleType) =>
+          v => java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue)
+        case (_: DecimalType, t: DecimalType) =>
+          // scale increase only (the widens() gate) — setScale is exact
+          v => Decimal(v.asInstanceOf[Decimal].toJavaBigDecimal
+            .setScale(t.scale), t.precision, t.scale)
+        case (ByteType | ShortType | IntegerType | LongType, t: DecimalType) =>
+          v => Decimal(java.math.BigDecimal.valueOf(v.asInstanceOf[Number].longValue)
+            .setScale(t.scale), t.precision, t.scale)
+        case (a, b) => throw new IllegalStateException(
+          s"no widening from ${a.simpleString} to ${b.simpleString}")
+      }
+      i += 1
+    }
+  }
 
   private def fill(row: InternalRow): Unit = {
     var i = 0
@@ -173,7 +213,11 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
         else if (src == GraftFileScan.FILE_NAME_CONST) fileName
         else {
           val p = srcPos(src)
-          if (p < 0) null else row.get(p, fileTypes(src))
+          if (p < 0) null
+          else {
+            val v = row.get(p, readTypes(src))
+            if (v == null || convs == null || convs(src) == null) v else convs(src)(v)
+          }
         })
       i += 1
     }
@@ -189,6 +233,7 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
         // the V1 path's `_file_name` shape: the bare file name segment
         fileName = org.apache.spark.unsafe.types.UTF8String.fromString(
           f.abs.substring(f.abs.lastIndexOf('/') + 1))
+        setFileTypes(f.narrow)
         if (f.present == null) {
           srcPos = identityPos
           cursor.open(f.abs, dv.deleted(f.rel, f.dvFiles))

@@ -19,6 +19,7 @@ import graft.lake.LakeTable
   * OPTIMIZE tbl ZORDER BY (a, b)      -- multi-dimensional clustering
   * VACUUM tbl                         -- default 168h retention, like Delta
   * VACUUM tbl RETAIN 24 HOURS
+  * REORG TABLE tbl APPLY (PURGE)      -- materialize deletion vectors
   * DESCRIBE HISTORY tbl
   * }}}
   *
@@ -111,6 +112,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case GENERATE_RE(target) => claimOr(sqlText, target) {
       GraftGenerateManifestCommand(target.trim)
     }
+    case REORG_RE(target) => claimOr(sqlText, target) {
+      GraftReorgPurgeCommand(target.trim)
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -180,6 +184,9 @@ object GraftSqlParser {
       """(?:\s+FILEFORMAT\s*=\s*PARQUET)?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
   private[sql] val GENERATE_RE =
     (s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$TGT\\s*;?\\s*""").r
+
+  private[sql] val REORG_RE =
+    (s"""(?is)\\s*REORG\\s+TABLE\\s+$TGT\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""").r
 
   private def stripIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -277,6 +284,17 @@ case class GraftGenerateManifestCommand(target: String)
 
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.resolveTable(spark, target).generateManifest().map(Row(_))
+}
+
+/** Delta `REORG TABLE t APPLY (PURGE)` analog
+  * ([[graft.lake.LakeTable.reorgPurge]]): materialize deletion vectors by
+  * rewriting only the DV'd files. */
+case class GraftReorgPurgeCommand(target: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolveTable(spark, target).reorgPurge()
+    Seq.empty
+  }
 }
 
 /** `RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'` — the

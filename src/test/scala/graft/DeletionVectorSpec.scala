@@ -35,6 +35,29 @@ class DeletionVectorSpec extends AnyFunSuite {
   private def keys(df: DataFrame): Set[Long] =
     df.select("k").collect().map(_.getLong(0)).toSet
 
+  test("REORG APPLY (PURGE) rewrites only DV'd files; clean files stay put") {
+    val (_, t) = mk()
+    // DVs land on the files holding k%10==3; the range layout puts every
+    // k<250 in file 0 — delete only there so some files stay clean
+    t.deleteVectors(col("k") < 100 && col("k") % 10 === 3)
+    val dvd = t.liveFiles(None).filter(_.dv.isDefined).map(_.path).toSet
+    val clean = t.liveFiles(None).filterNot(_.dv.isDefined).map(_.path).toSet
+    assert(dvd.nonEmpty && clean.nonEmpty, "need both DV'd and clean files")
+    val expect = keys(t.read())
+    t.reorgPurge()
+    val after = t.liveFiles(None)
+    assert(after.forall(_.dv.isEmpty), "no DV survives a purge")
+    assert(clean.subsetOf(after.map(_.path).toSet), "clean files must not be rewritten")
+    assert(after.map(_.path).toSet.intersect(dvd).isEmpty, "DV'd files must be replaced")
+    assert(keys(t.read()) == expect, "content identical before/after purge")
+    // row counts in the log now reflect the purge exactly
+    assert(after.map(a => a.rows - a.dvRows).sum == expect.size)
+    // idempotent: nothing left to purge, no new commit
+    val v = t.latestVersion
+    t.reorgPurge()
+    assert(t.latestVersion == v)
+  }
+
   test("DV delete removes rows without rewriting any data file") {
     val (_, t) = mk()
     val filesBefore = t.commits.flatMap(_.add).map(_.path).toSet

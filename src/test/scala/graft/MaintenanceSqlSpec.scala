@@ -25,6 +25,21 @@ class MaintenanceSqlSpec extends AnyFunSuite {
   }
   import spark.implicits._
 
+  test("REORG TABLE APPLY (PURGE) materializes deletion vectors via SQL") {
+    val path = Files.createTempDirectory("graft_reorg").toString
+    val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
+      (1L to 100L).map(i => (i, 1L, s"v$i")).toDF("id", "ts", "v"))
+    tbl.deleteVectors(org.apache.spark.sql.functions.col("id") <= 10)
+    assert(tbl.liveFiles(None).exists(_.dv.isDefined))
+    spark.sql(s"REORG TABLE graft.`$path` APPLY (PURGE)")
+    val t2 = LakeTable.load(spark, path)
+    assert(t2.liveFiles(None).forall(_.dv.isEmpty), "purge must clear every DV")
+    assert(t2.read().count() == 90)
+    // purged files are self-contained: vacuum away the old ones, still reads
+    t2.vacuum(retainVersions = 1)
+    assert(LakeTable.load(spark, path).read().count() == 90)
+  }
+
   test("VACUUM DRY RUN lists deletable files without deleting them") {
     val path = Files.createTempDirectory("graft_vac_dry").toString
     val tbl = LakeTable.create(spark, path, TableSpec("id", "ts"),
