@@ -52,8 +52,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def tbl(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
-    def events = tbl("events").withColumn("ts_us", expr("ts div 1000"))
-      .select("event_id", "user_id", "event_type", "value", "ts_us")
+    def events = {
+      val ev = tbl("events")
+      ev.withColumn("ts_us", graft.queries.Tables.tsMicrosOf(ev.schema("ts").dataType))
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+    }
 
     // lineitem with a synthetic unique record key for lakehouse benches
     def li = tbl("lineitem")

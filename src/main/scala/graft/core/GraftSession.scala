@@ -19,8 +19,10 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    // events.parquet carries timestamp[ns]; stock Spark 4 reads nanos only
-    // through this switch (as LongType nanos) — graft normalizes on read.
+    // events.parquet has shipped as timestamp[ns] (readable only through
+    // this switch, as LongType nanos) and as timestamp[us] (reads fine
+    // without it) — keep the switch for the ns vintage; readers normalize
+    // either type via graft.queries.Tables.tsMicrosOf.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def local(appName: String = "graft", cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

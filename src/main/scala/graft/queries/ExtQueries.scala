@@ -159,6 +159,27 @@ object ExtQueries {
     // 50/25/25 over a 2000-token total. Engine runs the skew-free
     // (domain × 256-bucket) two-phase plan; the oracle is the equivalent
     // per-domain global running-sum rule. All-integer output: hash-exact.
+    // Per-domain cap (C4/RefinedWeb "≤ N docs per host" rule): at most 20
+    // docs per source, deterministic md5-order representatives, via the
+    // two-phase (domain × 256-bucket) plan — no domain-wide window exists,
+    // so a 90%-one-domain crawl can't bottleneck. Oracle = the per-domain
+    // global rank rule the plan implements.
+    "q116_domain_cap" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Sampling
+        val out = Sampling.perDomainCap(t(s, d, "documents"), cap = 20L)
+          .select(col("doc_id"), col("source"))
+        val over = out.groupBy("source").count().filter(col("count") > 20)
+        require(over.isEmpty, "cap must bound every domain")
+        out.orderBy("doc_id")
+      },
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin)),
+
     "q95_domain_mixture" -> ((
       (s: SparkSession, d: String) => {
         import graft.ext.Sampling
@@ -768,7 +789,7 @@ object ExtQueries {
           ev.filter(lit(false)))
         val schema = s.read.parquet(s"$d/events.parquet").schema
         graft.streaming.CdcStream.ingest(s, tbl, inDir.toString, schema, ckDir.toString,
-          transform = b => b.withColumn("ts_us", expr("ts div 1000"))
+          transform = b => b.withColumn("ts_us", tsMicrosOf(schema("ts").dataType))
             .select("event_id", "user_id", "event_type", "value", "ts_us"))
         tbl.read().select("user_id", "event_id", "event_type", "ts_us").orderBy("user_id")
       },
@@ -790,7 +811,7 @@ object ExtQueries {
           StandardCopyOption.REPLACE_EXISTING)
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val ev = s.readStream.schema(schema).parquet(inDir.toString)
-          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_t", timestamp_micros(tsMicrosOf(schema("ts").dataType)))
         val signup = ev.filter(col("event_type") === "signup")
           .select(col("user_id"), col("event_id").as("signup_id"), col("ts_t").as("s_ts"))
           .withWatermark("s_ts", "1 hour")
@@ -839,15 +860,15 @@ object ExtQueries {
           StandardCopyOption.REPLACE_EXISTING)
         val evb = s.read.parquet(s"$d/events.parquet")
         val sch = evb.schema
-        val maxTs = evb.agg(max("ts")).head().getLong(0)
+        val maxUs = evb.agg(max(tsMicrosOf(evb.schema("ts").dataType))).head().getLong(0)
         // one far-future signup AND purchase: the global watermark is the
         // MIN across both sides' watermark operators, so both must advance
         // past every real event for the final flush to cover everything
         val sentBase = evb.limit(1)
           .withColumn("event_id", lit(-1L).cast(sch("event_id").dataType))
           .withColumn("user_id", lit(-1L).cast(sch("user_id").dataType))
-          .withColumn("ts",
-            (lit(maxTs) + lit(30L * 24 * 3600) * lit(1000000000L)).cast(sch("ts").dataType))
+          .withColumn("ts", tsFromMicros(sch("ts").dataType,
+            lit(maxUs) + lit(30L * 24 * 3600) * lit(1000000L)))
         val sentinel = sentBase.withColumn("event_type", lit("signup"))
           .unionByName(sentBase.withColumn("event_type", lit("purchase")))
         val sentDir = base.resolve("sent")
@@ -857,7 +878,7 @@ object ExtQueries {
         Files.copy(sentPart, inDir.resolve("zz_sentinel.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
         val ev = s.readStream.schema(sch).parquet(inDir.toString)
-          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_t", timestamp_micros(tsMicrosOf(sch("ts").dataType)))
         val signup = ev.filter(col("event_type") === "signup")
           .select(col("user_id"), col("event_id").as("signup_id"), col("ts_t").as("s_ts"))
           .withWatermark("s_ts", "1 hour")
@@ -909,12 +930,12 @@ object ExtQueries {
           StandardCopyOption.REPLACE_EXISTING)
         val evb = s.read.parquet(s"$d/events.parquet")
         val sch = evb.schema
-        val maxTs = evb.agg(max("ts")).head().getLong(0)
+        val maxUs = evb.agg(max(tsMicrosOf(evb.schema("ts").dataType))).head().getLong(0)
         val sentinel = evb.limit(1)
           .withColumn("event_id", lit(-1L).cast(sch("event_id").dataType))
           .withColumn("user_id", lit(-1L).cast(sch("user_id").dataType))
-          .withColumn("ts",
-            (lit(maxTs) + lit(30L * 24 * 3600) * lit(1000000000L)).cast(sch("ts").dataType))
+          .withColumn("ts", tsFromMicros(sch("ts").dataType,
+            lit(maxUs) + lit(30L * 24 * 3600) * lit(1000000L)))
         val sentDir = base.resolve("sent")
         sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
         val sentPart = Files.list(sentDir).filter(_.getFileName.toString.endsWith(".parquet"))
@@ -923,7 +944,7 @@ object ExtQueries {
           StandardCopyOption.REPLACE_EXISTING)
         val agg = s.readStream.schema(sch)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_t", timestamp_micros(tsMicrosOf(sch("ts").dataType)))
           .withWatermark("ts_t", "1 minute")
           .groupBy(session_window(col("ts_t"), "60 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events"),
@@ -985,7 +1006,7 @@ object ExtQueries {
           StandardCopyOption.REPLACE_EXISTING)
         val deduped = s.readStream.schema(sch)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_t", timestamp_micros(tsMicrosOf(sch("ts").dataType)))
           .withWatermark("ts_t", "90 days")
           .dropDuplicatesWithinWatermark("event_id")
         val name = "graft_ddw_sink"
@@ -1244,6 +1265,37 @@ object ExtQueries {
 
     // Interval/range join: purchases within 30 minutes after a signup by
     // the same user (time-windowed self-join, J-extension beyond equi).
+    // Banded range join: an inequality join with NO equi key — purchases
+    // 1µs..30min after ANY error event, cross-user. Naively this is a
+    // broadcast-nested-loop (O(|L|·|R|) at any scale); RangeJoin.bandJoin
+    // quantizes both sides into band-width bins, hash-joins the bin id
+    // (constant left duplication), and re-applies the exact predicate —
+    // the require pins that no nested-loop/cartesian survives in the plan.
+    "q115_band_join" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.RangeJoin
+        val ev = events(s, d)
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("ts_us").as("e_ts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+        val joined = RangeJoin.bandJoin(errs, "e_ts", purch, "p_ts",
+          lower = 1L, upper = 30L * 60 * 1000000 + 1)
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+          "banded range join must plan as a hash join on the bin id")
+        joined.groupBy("error_id")
+          .agg(count(lit(1)).as("n_purchases"), max("purchase_id").as("max_purchase"))
+          .orderBy("error_id")
+      },
+      """SELECT e.event_id AS error_id, COUNT(*) AS n_purchases,
+        |  MAX(p.event_id) AS max_purchase
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON epoch_ns(p.ts)//1000 - epoch_ns(e.ts)//1000 >= 1
+        |  AND epoch_ns(p.ts)//1000 - epoch_ns(e.ts)//1000 < 1800000001
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q61_range_join" -> ((
       (s: SparkSession, d: String) => {
         val ev = events(s, d)
@@ -1374,7 +1426,7 @@ object ExtQueries {
         val schema = s.read.parquet(s"$d/events.parquet").schema
         import s.implicits._
         val stream = s.readStream.schema(schema).parquet(inDir.toString)
-          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_us", tsMicrosOf(schema("ts").dataType))
           .select("user_id", "event_type", "event_id", "ts_us")
           .as[graft.streaming.StatefulOps.Keyed]
         val out = graft.streaming.StatefulOps.firstSeen(stream)
@@ -1479,7 +1531,7 @@ object ExtQueries {
           StandardCopyOption.REPLACE_EXISTING)
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val agg = s.readStream.schema(schema).parquet(inDir.toString)
-          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_t", timestamp_micros(tsMicrosOf(schema("ts").dataType)))
           .withWatermark("ts_t", "10 minutes")
           .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"),

@@ -12,14 +12,33 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet timestamp[ns]; graft reads it as LongType nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and exposes epoch-micros, the
-    * same value DuckDB yields via epoch_ns(ts)//1000. */
+  /** Epoch-microseconds from an events `ts` column of either corpus
+    * vintage — the driver has shipped events.parquet both as
+    * timestamp[ns] (readable only as LongType nanos via
+    * spark.sql.legacy.parquet.nanosAsLong; integer `div`, never `/`:
+    * double division loses ulps at epoch-nano magnitudes) and as
+    * timestamp[us] (surfacing as TIMESTAMP_NTZ; cast to TIMESTAMP is
+    * instant-preserving in the UTC sessions graft runs, then
+    * unix_micros is exact). Both agree with DuckDB's epoch_ns(ts)//1000. */
+  def tsMicrosOf(dt: org.apache.spark.sql.types.DataType, c: String = "ts"): Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+      case _ => unix_micros(col(c).cast("timestamp"))
+    }
+
+  /** Inverse of [[tsMicrosOf]]: render an epoch-micros VALUE in the events
+    * `ts` column's own type (Long = nanos; timestamps via timestamp_micros). */
+  def tsFromMicros(dt: org.apache.spark.sql.types.DataType, us: Column): Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType => us * lit(1000L)
+      case other => timestamp_micros(us).cast(other)
+    }
+
+  /** events with `ts_us` (epoch µs) attached, vintage-adaptive. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     graft.core.GraftSession.ensure(spark)
-    // integer division (`div`), not `/`: double division loses ulps on
-    // epoch-nano magnitudes and disagrees with DuckDB's epoch_ns(ts)//1000
-    t(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val ev = t(spark, sfDir, "events")
+    ev.withColumn("ts_us", tsMicrosOf(ev.schema("ts").dataType))
   }
 
   /** Money columns are 2-decimal doubles. Both engines sum them exactly as

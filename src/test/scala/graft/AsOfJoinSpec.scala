@@ -68,8 +68,10 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("as-of ≡ range-join + per-left-row argmax (brute force) on events") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .selectExpr("user_id", "event_id", "event_type", "ts div 1000 as ts_us")
+    // the production reader handles both ts vintages (ns-as-long vs µs
+    // NTZ) — go through it instead of assuming a raw-read type
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_id", "event_type", "ts_us")
     import org.apache.spark.sql.functions._
     val purchase = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id".as("purchase_id"), $"ts_us")
