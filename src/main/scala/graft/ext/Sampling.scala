@@ -204,6 +204,54 @@ object Sampling {
     whole.unionByName(partial).drop("_tok", "_h", "_b")
   }
 
+  /** Per-domain document cap (the crawl-pipeline "at most N pages per
+    * host/domain" rule — C4 and RefinedWeb both apply one to stop a
+    * single boilerplate-heavy site from dominating the corpus): keep at
+    * most `cap` documents per domain, chosen DETERMINISTICALLY in
+    * md5-of-key order, so reruns and incremental re-crawls keep the same
+    * representatives.
+    *
+    * Scale shape (the [[mixture]] two-phase plan, count-mass instead of
+    * token-mass): ONE partial-agg pass over (domain × 256 md5 buckets)
+    * gives the driver every per-bucket count (≤ 256·|domains| rows);
+    * whole buckets under the boundary pass MAP-SIDE with no shuffle, and
+    * only each domain's single boundary bucket — 1/256th of that domain —
+    * runs an exact rank window partitioned by (domain, bucket). A domain
+    * with a billion documents never sees a domain-wide window, so domain
+    * skew cannot bottleneck: the cap costs one aggregation regardless of
+    * how lopsided the crawl is. */
+  def perDomainCap(df: DataFrame, cap: Long,
+      domainCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val tagged = df
+      .withColumn("_h", md5(col(keyCol).cast("string")))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val per = tagged.groupBy(domainCol, "_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val domains = per.keys.map(_._1).toSeq.distinct
+    // per-domain boundary bucket + docs before it (driver prefix sums)
+    val bounds: Map[String, (Int, Long)] = domains.map { d =>
+      var acc = 0L; var boundary = 256; var before = 0L; var i = 0
+      while (i < 256 && boundary == 256) {
+        val n = per.getOrElse((d, i), 0L)
+        if (acc + n > cap) { boundary = i; before = acc } else acc += n
+        i += 1
+      }
+      d -> (boundary, before)
+    }.toMap
+    val boundaryOf = typedLit(bounds.map { case (d, (b, _)) => d -> b })
+    val beforeOf = typedLit(bounds.map { case (d, (_, p)) => d -> p })
+    val whole = tagged.filter(col("_b") < element_at(boundaryOf, col(domainCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol, "_b").orderBy(col("_h").asc, col(keyCol).asc)
+    val partial = tagged
+      .filter(col("_b") === element_at(boundaryOf, col(domainCol)))
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .filter(element_at(beforeOf, col(domainCol)) + col("_rk") <= cap)
+      .drop("_rk")
+    whole.unionByName(partial).drop("_h", "_b")
+  }
+
   /** DSIR-style hashed n-gram importance scoring (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score each
     * candidate document by how much more likely its tokens are under a
