@@ -440,6 +440,48 @@ object TextAnalysis {
         (col("cms_est") >= col("exact_c")).as("bound_ok"))
   }
 
+  /** Seed-labeled quality classifier — the fastText/CCNet quality-filter
+    * role (GPT-3 trained a classifier on WebText-vs-crawl; CCNet on
+    * Wikipedia-vs-CommonCrawl), re-expressed as an exact-integer average
+    * token posterior so the whole model AND its scores replay bit-for-bit
+    * in any engine with md5:
+    *
+    *   - train: hashed-unigram class counts over `buckets` md5 buckets
+    *     (vocabulary-free, fixed memory) from the `isPos`/`isNeg` seed
+    *     rows; per-bucket weight = Laplace posterior
+    *     `(pos+1)·scale div (pos+neg+2)` — integer division, no floats;
+    *   - score: EVERY doc's mean weight over its tokens (exact integer
+    *     mean; unseen buckets take the scale/2 prior). High = looks like
+    *     the positive seed; the classic corpus-filter threshold knob.
+    *
+    * Scale shape: one explode + one hash agg build a ≤`buckets`-row
+    * weight table; scoring is a broadcast join + per-doc agg — two
+    * corpus-proportional passes, nothing ∝ vocabulary, no driver
+    * collect. */
+  def seedClassifier(df: DataFrame, isPos: Column, isNeg: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 1024, scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && scale > 0, "buckets and scale must be positive")
+    val toks = df.select(col(idCol).as("_id"),
+        coalesce(isPos.cast("boolean"), lit(false)).as("_p"),
+        coalesce(isNeg.cast("boolean"), lit(false)).as("_n"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      .withColumn("_b", pmod(
+        conv(substring(md5(col("_tok")), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    val w = toks.filter(col("_p") || col("_n")).groupBy("_b").agg(
+        sum(when(col("_p"), 1L).otherwise(0L)).as("_cp"),
+        sum(when(col("_n"), 1L).otherwise(0L)).as("_cn"))
+      .withColumn("_w", expr(s"((_cp + 1) * $scale) div (_cp + _cn + 2)"))
+      .select("_b", "_w")
+    toks.join(broadcast(w), Seq("_b"), "left")
+      .withColumn("_w", coalesce(col("_w"), lit(scale / 2)))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_toks"), expr("sum(_w) div count(1)").as("quality_score"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Column-per-stat spec of [[stats]] (each stat re-derives its own
     * tokenization; cross-checked against the native single-pass expression
     * in TextStatsSpec). */

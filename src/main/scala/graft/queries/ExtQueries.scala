@@ -1234,6 +1234,60 @@ object ExtQueries {
     // merges are commutative maxes, so the estimate is partition-order
     // deterministic and the bound is reproducible; the oracle's column is
     // literal TRUE). rsd=0.02 ⇒ a 10% bound is ≥5 sigma.
+    // Mergeable quantile sketch (q60's pattern for quantiles): exact
+    // per-group percentiles are hashed; the approx_percentile sketch
+    // (Spark's distributed-mergeable GK digest at accuracy 1000) enters
+    // as a rank-error boolean — its value rank must sit within 2% of the
+    // target quantile, the documented guarantee with slack for merges.
+    "q117_approx_quantiles" -> ((
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val agg = o.groupBy("o_orderstatus").agg(
+          count(lit(1)).as("n"),
+          percentile(col("o_totalprice"), lit(0.5)).as("exact_med"),
+          percentile(col("o_totalprice"), lit(0.9)).as("exact_p90"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("_am"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("_a9"))
+        val ranks = o.join(agg.select("o_orderstatus", "_am", "_a9"), "o_orderstatus")
+          .groupBy("o_orderstatus").agg(
+            sum(when(col("o_totalprice") <= col("_am"), 1L).otherwise(0L)).as("_rm"),
+            sum(when(col("o_totalprice") <= col("_a9"), 1L).otherwise(0L)).as("_r9"))
+        agg.join(ranks, "o_orderstatus")
+          .select(col("o_orderstatus"), col("n"), col("exact_med"), col("exact_p90"),
+            (abs(col("_rm").cast("double") / col("n") - 0.5) <= 0.02).as("med_ok"),
+            (abs(col("_r9").cast("double") / col("n") - 0.9) <= 0.02).as("p90_ok"))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_cont(o_totalprice, 0.5) AS exact_med,
+        |  quantile_cont(o_totalprice, 0.9) AS exact_p90,
+        |  TRUE AS med_ok, TRUE AS p90_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Seed-labeled quality classifier (fastText/CCNet corpus-filter role):
+    // src0 docs are the positive seed, src1 the negative; every doc gets
+    // an exact-integer mean token posterior — model and scores replay
+    // bit-for-bit in DuckDB (md5 buckets, Laplace integer division).
+    "q118_quality_classifier" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.seedClassifier(t(s, d, "documents"),
+          isPos = col("source") === "src0", isNeg = col("source") === "src1")
+          .orderBy("doc_id"),
+      raw"""WITH tok AS (SELECT doc_id, source,
+        |    UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+        |  FROM tok WHERE length(tok) > 0),
+        |w AS (SELECT b,
+        |    (SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1) * 1000000
+        |      // (SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) + 2) AS w
+        |  FROM tt WHERE source IN ('src0', 'src1') GROUP BY b)
+        |SELECT tt.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |  CAST(SUM(COALESCE(w.w, 500000)) // COUNT(*) AS BIGINT) AS quality_score
+        |FROM tt LEFT JOIN w ON tt.b = w.b
+        |GROUP BY tt.doc_id ORDER BY doc_id""".stripMargin)),
+
     "q60_approx_distinct" -> ((
       (s: SparkSession, d: String) =>
         events(s, d)

@@ -718,4 +718,48 @@ class ExtSpec extends AnyFunSuite {
     assert(top.toSet == Set(500007L, 500017L, 500027L, 500037L, 500047L),
       s"the top 5 must be exactly the planted needles, got $top")
   }
+
+  test("perDomainCap bounds a 90%-one-domain crawl without a domain-wide window") {
+    import spark.implicits._
+    import graft.ext.Sampling
+    // 900 docs in the giant domain, 60 in a small one, 3 in a tiny one
+    val df = ((1L to 900L).map(i => (i, "giant")) ++
+      (1001L to 1060L).map(i => (i, "small")) ++
+      (2001L to 2003L).map(i => (i, "tiny"))).toDF("doc_id", "source")
+    val capped = Sampling.perDomainCap(df, cap = 50L)
+    val counts = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("giant") == 50L && counts("small") == 50L && counts("tiny") == 3L)
+    // deterministic representatives: rerun picks the same ids
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.perDomainCap(df, cap = 50L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // and they are exactly the md5-order prefix per domain
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    val expect = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 50)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == expect)
+  }
+
+  test("seedClassifier separates seed-like text and is deterministic") {
+    import spark.implicits._
+    val good = (1L to 30L).map(i => (i, "the curious library catalogue preserves careful prose", "pos"))
+    val bad = (31L to 60L).map(i => (i, "zzz spam casino jackpot winner click buy now", "neg"))
+    val test = Seq(
+      (101L, "library catalogue prose is careful and curious", "?"),
+      (102L, "casino spam click jackpot now", "?"))
+    val df = (good ++ bad ++ test).toDF("doc_id", "text", "lab")
+    val scored = TextAnalysis.seedClassifier(df,
+      isPos = col("lab") === "pos", isNeg = col("lab") === "neg")
+    val s = scored.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(101L) > s(102L), s"seed-like text must outscore spam: ${s(101L)} vs ${s(102L)}")
+    assert(s(101L) > 500000L && s(102L) < 500000L,
+      "scores must sit on the right side of the 0.5 prior")
+    val s2 = TextAnalysis.seedClassifier(df,
+      isPos = col("lab") === "pos", isNeg = col("lab") === "neg")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s == s2, "scoring must be deterministic")
+  }
 }
