@@ -1469,6 +1469,64 @@ object ExtQueries {
     // Custom stateful streaming (flatMapGroupsWithState): first-seen dedup
     // per (user, event_type); one input file → one micro-batch → output is
     // the global (ts, id)-minimum per key, which SQL can express exactly.
+    // transformWithState (Spark 4's arbitrary-state API — typed per-key
+    // state handles + TTL + timers, the flatMapGroupsWithState successor):
+    // a per-user running aggregate held in ValueState across micro-batches
+    // (maxFilesPerTrigger=1 forces several), each batch emitting the
+    // state-so-far; the LAST update per user must equal the batch GROUP BY
+    // — that contract is the oracle. Integer-only state ⇒ engine-exact.
+    "q119_transform_with_state" -> ((
+      (s: SparkSession, d: String) => {
+        graft.core.GraftSession.ensure(s)
+        val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_tws")
+        val inDir = base.resolve("in")
+        if (!Files.exists(inDir)) Files.createDirectories(inDir)
+        Files.copy(Paths.get(d, "events.parquet"), inDir.resolve("a_events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val evb = s.read.parquet(s"$d/events.parquet")
+        val schema = evb.schema
+        // a second input file = a second micro-batch: state must carry over
+        evb.filter(col("event_id") % 3 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(base.resolve("extra").toString)
+        val extra = Files.list(base.resolve("extra"))
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.copy(extra, inDir.resolve("zz_extra.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        import s.implicits._
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .withColumn("ts_us", tsMicrosOf(schema("ts").dataType))
+          .select("user_id", "event_type", "event_id", "ts_us")
+          .as[graft.streaming.StatefulOps.Keyed]
+        val out = graft.streaming.StatefulOps.runningAgg(stream)
+        val name = "graft_tws_sink"
+        s.catalog.dropTempView(name)
+        // transformWithState needs the multi-column-family RocksDB store
+        // (HDFSBacked refuses); scope the provider to this query
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prior = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = out.writeStream.outputMode("update").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally prior.fold(s.conf.unset(providerKey))(s.conf.set(providerKey, _))
+        // the final update per user (greatest running count) = batch agg
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_events").desc)
+        val updates = s.table(name)
+        require(updates.groupBy("user_id").count().filter(col("count") >= 2).count() > 0,
+          "state must have carried across micro-batches (users with 2+ updates)")
+        updates.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+          .select("user_id", "n_events", "max_event_id")
+          .orderBy("user_id")
+      },
+      """SELECT user_id,
+        |  CAST(COUNT(*) + COUNT(*) FILTER (event_id % 3 = 0) AS BIGINT) AS n_events,
+        |  MAX(event_id) AS max_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     "q58_stream_stateful" -> ((
       (s: SparkSession, d: String) => {
         graft.core.GraftSession.ensure(s)
