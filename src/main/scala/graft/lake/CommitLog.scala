@@ -106,7 +106,12 @@ case class Commit(
       * latest) value ever allocated. Denormalized on every commit like
       * `txn`, so the latest commit alone answers "what id comes next" —
       * ids are never reused, even across delete/overwrite. */
-    identityHigh: Map[String, Long] = Map.empty)
+    identityHigh: Map[String, Long] = Map.empty,
+    /** Versions pinned against vacuum (Hudi savepoint analog): every
+      * pinned version's snapshot files survive cleaning regardless of the
+      * retention window, so time travel / restore to it always works.
+      * Denormalized cumulative like `txn`. */
+    savepoints: Seq[Long] = Seq.empty)
 
 /** Another writer claimed this commit version first. Callers rebase: re-read
   * the snapshot, recompute, retry at the next version ([[graft.lake.LakeTable]]
@@ -229,6 +234,10 @@ object CommitLog {
     if (c.identityHigh.nonEmpty) {
       val ih = root.putObject("identityHigh")
       c.identityHigh.foreach { case (n, v) => ih.put(n, v) }
+    }
+    if (c.savepoints.nonEmpty) {
+      val sp = root.putArray("savepoints")
+      c.savepoints.foreach(sp.add)
     }
 
     val target = fileFor(tablePath, c.version)
@@ -475,6 +484,12 @@ object CommitLog {
           while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asLong }
         }
         m.toMap
+      },
+      savepoints = {
+        val b = ArrayBuffer.empty[Long]
+        if (root.hasNonNull("savepoints"))
+          root.get("savepoints").asInstanceOf[ArrayNode].forEach(x => b += x.asLong)
+        b.toSeq
       })
   }
 

@@ -1362,6 +1362,30 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * RUN`) enumerates without deleting. Returns the table-relative paths
     * deleted (or, dry, WOULD be deleted) — driver metadata + one listing,
     * the same work the destructive pass does. */
+  /** Hudi savepoint analog: pin version `v` against vacuum — its
+    * snapshot's files survive cleaning regardless of the retention
+    * window, so `read(Some(v))` / `restore(v)` keep working for as long
+    * as the pin exists. Metadata-only commit; the pin set rides the
+    * commit log denormalized (like `txn`), OCC-safe. */
+  def savepoint(v: Long): LakeTable = retrying {
+    require(v >= 0 && v <= latestVersion, s"no version $v to savepoint")
+    val cur = latestCommit.savepoints
+    if (cur.contains(v)) return this
+    writeCommit("savepoint", savepoints = Some((cur :+ v).sorted)) { (_, _) => Seq.empty }
+  }
+
+  /** Drop a savepoint pin: the version's files become reclaimable the
+    * moment they leave the normal retention window. */
+  def releaseSavepoint(v: Long): LakeTable = retrying {
+    val cur = latestCommit.savepoints
+    require(cur.contains(v), s"no savepoint at version $v")
+    writeCommit("release_savepoint",
+      savepoints = Some(cur.filterNot(_ == v))) { (_, _) => Seq.empty }
+  }
+
+  /** Currently pinned versions. */
+  def savepoints: Seq[Long] = latestCommit.savepoints
+
   def vacuum(retainVersions: Int = 1, retainHours: Option[Double] = None,
       orphanGraceHours: Double = 1.0, dryRun: Boolean = false): Seq[String] = {
     val latest = latestVersion
@@ -1377,7 +1401,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           .minOption.map(v => math.min(v, latest)).getOrElse(latest)
       case None => math.max(0L, latest - (retainVersions - 1))
     }
-    val retained = (horizon to latest).map(v => liveFiles(Some(v)))
+    // savepointed snapshots survive regardless of the retention window
+    val pinned = latestCommit.savepoints.filter(v => v >= 0 && v < horizon)
+    val retained = ((horizon to latest) ++ pinned).map(v => liveFiles(Some(v)))
     val keep: Set[String] = retained.flatten.map(_.path).toSet
     // DV sidecar dirs referenced by any retained snapshot must survive;
     // relative refs only (absolute ones belong to another table)
@@ -2098,7 +2124,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       newSpec: Option[TableSpec] = None,
       tableStats: Option[TableStats] = None,
       copyFiles: Seq[String] = Seq.empty,
-      identityHigh: Map[String, Long] = Map.empty)(
+      identityHigh: Map[String, Long] = Map.empty,
+      savepoints: Option[Seq[Long]] = None)(
       body: (Long, String) => Seq[WriteResult]): LakeTable = {
     val version = latestVersion + 1
     if (version == 0) throw new IllegalStateException("use LakeTable.create")
@@ -2116,7 +2143,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         newSpec.getOrElse(spec),
         results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct,
         txnMap, tableStats, copyFiles,
-        identityHigh = latestCommit.identityHigh ++ identityHigh), conf)
+        identityHigh = latestCommit.identityHigh ++ identityHigh,
+        savepoints = savepoints.getOrElse(latestCommit.savepoints)), conf)
     } catch {
       case c: CommitConflictException =>
         // lost the race: drop ONLY the dirs this attempt itself created —

@@ -103,6 +103,29 @@ class LakeTableSpec extends AnyFunSuite {
     assert(state(t.read()) == goldenFinal)
   }
 
+  test("savepoint pins a version's files against vacuum; release unpins") {
+    import spark.implicits._
+    val path = tmp()
+    def batch(tag: String) = (1 to 50).map(i => (i, tag.hashCode.toLong, tag)).toDF("k", "pc", "v")
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"), batch("v0"))
+    t.overwrite(batch("v1"))
+    t.overwrite(batch("v2"))
+    t.savepoint(0L)
+    assert(t.savepoints == Seq(0L))
+    t.vacuum(retainVersions = 1)
+    // v0 pinned: still time-travels; v1 (unpinned, superseded) is gone
+    assert(t.read(Some(0L)).select("v").head().getString(0) == "v0")
+    intercept[Exception] { t.read(Some(1L)).collect() }
+    // restore to the savepointed version works (the Hudi use-case)
+    t.restore(0L)
+    assert(t.read().select("v").head().getString(0) == "v0")
+    // release + vacuum reclaims nothing retained... pin v0's files again
+    // via the restore (they are the LIVE set now), so releasing is safe
+    t.releaseSavepoint(0L)
+    assert(t.savepoints.isEmpty)
+    intercept[IllegalArgumentException] { t.releaseSavepoint(0L) }
+  }
+
   test("delete on MoR with outstanding logs folds them first — no duplicate keys") {
     import spark.implicits._
     val path = tmp()
