@@ -193,6 +193,10 @@ object CommitLog {
         val e = idn.putObject(n); e.put("start", d.start); e.put("step", d.step)
       }
     }
+    if (c.spec.defaults.nonEmpty) {
+      val df = spec.putObject("defaults")
+      c.spec.defaults.foreach { case (n, e) => df.put(n, e) }
+    }
     val adds = root.putArray("add")
     c.add.foreach { a =>
       val n = adds.addObject()
@@ -424,6 +428,14 @@ object CommitLog {
             m(e.getKey) = IdentityDef(
               e.getValue.get("start").asLong, e.getValue.get("step").asLong)
           }
+        }
+        m.toMap
+      },
+      defaults = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        if (specN.hasNonNull("defaults")) {
+          val it = specN.get("defaults").asInstanceOf[ObjectNode].fields()
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText }
         }
         m.toMap
       })

@@ -1674,6 +1674,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       s"cannot $op '$n': referenced by a CHECK constraint")
     require(!spec.identity.keys.exists(_.equalsIgnoreCase(n)),
       s"cannot $op identity column '$n'")
+    require(!spec.defaults.keys.exists(_.equalsIgnoreCase(n)),
+      s"cannot $op column '$n': it carries a DEFAULT — drop the default first")
   }
 
   /** `ALTER TABLE … RENAME COLUMN old TO new` — METADATA-ONLY (Delta
@@ -1771,7 +1773,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           pmod(hash(col(spec.key)), lit(spec.buckets)))
       else df0
     // generated columns: stamp when omitted, validate when supplied
-    val df = GeneratedCols(dfB, spec.generated)
+    val dfG = GeneratedCols(dfB, spec.generated)
+    // column DEFAULTs: an OMITTED column takes its default expression; a
+    // supplied one (nulls included) passes through untouched
+    val df = spec.defaults.foldLeft(dfG) { case (acc, (c, e)) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(c))) acc
+      else acc.withColumn(c, expr(e))
+    }
     val declared = schema
     val have = df.columns.toSet
     val missing = declared.fieldNames.filterNot(have)
@@ -2527,7 +2535,18 @@ object LakeTable {
           df0.withColumn(TableSpec.BUCKET_COL,
             pmod(hash(col(spec0.key)), lit(spec0.buckets))))
       } else (spec0, df0)
-    val df = GeneratedCols(dfB, spec.generated)
+    val dfG = GeneratedCols(dfB, spec.generated)
+    // DEFAULT columns omitted at create are stamped so the declared
+    // schema carries them from version 0
+    val df = spec.defaults.foldLeft(dfG) { case (acc, (c, e)) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(c))) acc
+      else acc.withColumn(c, expr(e))
+    }
+    spec.defaults.keys.foreach { c =>
+      require(!spec.generated.keys.exists(_.equalsIgnoreCase(c)) &&
+        !spec.identity.keys.exists(_.equalsIgnoreCase(c)),
+        s"default column '$c' cannot also be generated or identity")
+    }
     spec.partition.foreach(p => require(df.columns.contains(p), s"missing partition col $p"))
     require(df.columns.contains(spec.key) && df.columns.contains(spec.precombine),
       s"key/precombine not in schema")

@@ -99,7 +99,15 @@ case class TableSpec(
       * deterministic (md5-of-key order within the batch's new keys): an
       * upsert's existing keys KEEP their ids (Delta MERGE UPDATE parity),
       * new keys draw the next ids (MERGE INSERT parity). */
-    identity: Map[String, IdentityDef] = Map.empty) {
+    identity: Map[String, IdentityDef] = Map.empty,
+    /** Column DEFAULT expressions (SQL `DEFAULT` / Delta default-columns
+      * analog, write-side): when a write OMITS the column entirely, it is
+      * stamped with this SQL expression; a SUPPLIED column — including
+      * explicit nulls — passes through untouched (the difference from
+      * [[generated]], which validates supplied values). Defaults do not
+      * rewrite history: rows written before a default was declared keep
+      * their stored values. */
+    defaults: Map[String, String] = Map.empty) {
 
   /** Physical parquet field name of a logical column. */
   def physical(logical: String): String = columnMap.getOrElse(logical, logical)

@@ -1117,6 +1117,66 @@ object ExtQueries {
     // md5(seed:key) permutation — reproducible training order, computed
     // two-phase (256-bucket counts -> driver prefix -> per-bucket ranks),
     // never a single-partition global window.
+    // The END-TO-END training-data pipeline, one query: exact dedup →
+    // language filter → seed-classifier quality gate → per-domain cap →
+    // token budget → deterministic epoch shuffle. Every stage is an
+    // operator this engine ships individually; chained here they replay
+    // doc-for-doc in DuckDB — the "a user could run their whole pipeline
+    // and prove it" flagship. All-integer outputs: hash-exact.
+    "q120_training_pipeline" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Sampling
+        val docs = t(s, d, "documents")
+        val deduped = Dedup.exact(docs)
+        val en = deduped.filter(col("lang") === "en")
+        // classifier trained on the FULL corpus's src0/src1 seeds
+        val scores = TextAnalysis.seedClassifier(docs,
+          isPos = col("source") === "src0", isNeg = col("source") === "src1")
+        val quality = en.join(scores, "doc_id")
+          .filter(col("quality_score") >= 500000L)
+        val capped = Sampling.perDomainCap(quality, cap = 15L)
+        val budgeted = Sampling.tokenBudget(capped, budget = 6000L)
+        Sampling.deterministicShuffle(budgeted, seed = 42L)
+          .select("doc_id", "source", "n_toks", "quality_score", "shuffle_pos")
+          .orderBy("doc_id")
+      },
+      raw"""WITH dedup AS (
+        |  SELECT doc_id, source, lang, text FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |en AS (SELECT * FROM dedup WHERE lang = 'en'),
+        |tok AS (SELECT doc_id, source,
+        |    UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+        |  FROM tok WHERE length(tok) > 0),
+        |w AS (SELECT b,
+        |    (SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1) * 1000000
+        |      // (SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) + 2) AS w
+        |  FROM tt WHERE source IN ('src0', 'src1') GROUP BY b),
+        |score AS (SELECT tt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |    CAST(SUM(COALESCE(w.w, 500000)) // COUNT(*) AS BIGINT) AS q
+        |  FROM tt LEFT JOIN w ON tt.b = w.b GROUP BY tt.doc_id),
+        |quality AS (SELECT en.doc_id, en.source, en.text, score.n_toks, score.q
+        |  FROM en JOIN score ON en.doc_id = score.doc_id WHERE score.q >= 500000),
+        |capped AS (SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crk
+        |  FROM quality) WHERE crk <= 15),
+        |budget AS (SELECT *,
+        |    SUM(wtok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) - wtok AS run
+        |  FROM (SELECT *,
+        |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS wtok
+        |    FROM capped)),
+        |kept AS (SELECT * FROM budget WHERE run < 6000)
+        |SELECT doc_id, source, n_toks, q AS quality_score,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) - 1
+        |    AS shuffle_pos
+        |FROM kept ORDER BY doc_id""".stripMargin)),
+
     "q102_det_shuffle" -> ((
       (s: SparkSession, d: String) =>
         Sampling.deterministicShuffle(t(s, d, "documents"), seed = 42L)

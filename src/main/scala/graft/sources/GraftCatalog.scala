@@ -184,6 +184,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX + "identity.") =>
               k.stripPrefix(TableCatalog.OPTION_PREFIX + "identity.") ->
                 GraftCatalog.parseIdentityDef(v)
+          }.toMap,
+          // column DEFAULTs: OPTIONS ('default.status' = "'open'")
+          defaults = props.collect {
+            case (k, v) if k.startsWith("default.") =>
+              k.stripPrefix("default.") -> v
+            case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX + "default.") =>
+              k.stripPrefix(TableCatalog.OPTION_PREFIX + "default.") -> v
           }.toMap)
         val path = other.getOrElse(tableDir(ident).toString)
         val empty = spark.createDataFrame(
@@ -319,7 +326,8 @@ case class GraftCatalogTable(ident: Identifier, path: String, asOf: Option[Long]
       spec.generated.map { case (c, e) => s"generated.$c" -> e } ++
       spec.identity.map { case (c, d) =>
         s"identity.$c" -> s"START WITH ${d.start} INCREMENT BY ${d.step}"
-      }).asJava
+      } ++
+      spec.defaults.map { case (c, e) => s"default.$c" -> e }).asJava
   }
 
   override def capabilities(): util.Set[TableCapability] =

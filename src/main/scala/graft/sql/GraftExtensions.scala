@@ -51,6 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft", GraftTableChanges.BY_PATH_NAME),
       args => GraftTableChanges.plan(SparkSession.active, args, byPath = true)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftMetadataTvfs.FILES_NAME),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft", GraftMetadataTvfs.FILES_NAME),
+      args => GraftMetadataTvfs.filesPlan(SparkSession.active, args)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftMetadataTvfs.HISTORY_NAME),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft", GraftMetadataTvfs.HISTORY_NAME),
+      args => GraftMetadataTvfs.historyPlan(SparkSession.active, args)))
     e.injectOptimizerRule(_ => GraftMetadataOnlyCount)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     graft.functions.GraftFunctions.functions.foreach { case (name, builder) =>

@@ -72,10 +72,15 @@ object GraftTableChanges {
     case _ => None
   }
 
+  /** Resolve a TVF table argument (name or path string literal). */
+  private[sql] def resolveArg(session: SparkSession,
+      e: Expression): Option[LakeTable] =
+    stringArg(e).flatMap(loadGraft(session, _, byPath = false))
+
   /** A version bound: integer literal = version number; timestamp or
     * timestamp-shaped string literal = the newest version at-or-before it
     * (`TIMESTAMP AS OF` semantics via [[LakeTable.versionAt]]). */
-  private def versionArg(t: LakeTable, e: Expression): Option[Long] = e match {
+  private[sql] def versionArg(t: LakeTable, e: Expression): Option[Long] = e match {
     case Literal(v: Int, IntegerType) => Some(v.toLong)
     case Literal(v: Long, LongType) => Some(v)
     case Literal(micros: Long, TimestampType) => Some(t.versionAt(micros / 1000L))
@@ -96,10 +101,60 @@ object GraftTableChanges {
   }
 }
 
-/** Standalone-resolution twin of the registry entry, for sessions built
+/** Iceberg-style metadata TVFs (`t.files` / `t.history` re-expressed as
+  * table functions, composable with arbitrary SQL):
+  *
+  * {{{
+  * SELECT * FROM table_files('t')              -- live files at HEAD
+  * SELECT * FROM table_files('t', 3)           -- live files at version 3
+  * SELECT sum(bytes) FROM table_files('/path/to/t')
+  * SELECT * FROM table_history('t')            -- one row per commit
+  * }}}
+  *
+  * Both answer from commit-log METADATA on the driver (a LocalRelation —
+  * zero data files opened at any table size), then plan like any relation. */
+object GraftMetadataTvfs {
+
+  val FILES_NAME = "table_files"
+  val HISTORY_NAME = "table_history"
+
+  def filesPlan(session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"table_files(table[, version]): $why")
+    val (tableArg, asOfArg) = args match {
+      case Seq(t) => (t, None)
+      case Seq(t, v) => (t, Some(v))
+      case _ => fail("takes 1 or 2 arguments")
+    }
+    val t = GraftTableChanges.resolveArg(session, tableArg).getOrElse(
+      fail("the first argument must name a graft table"))
+    val asOf = asOfArg.map(e => GraftTableChanges.versionArg(t, e).getOrElse(
+      fail("`version` must be a version number or timestamp literal")))
+    import session.implicits._
+    t.liveFiles(asOf).map(a =>
+        (a.path, a.log, a.tombstone, a.rows, a.dvRows, a.bytes,
+          a.partitionValue.orNull, a.minKey, a.maxKey, a.dv.orNull))
+      .toDF("path", "is_log", "is_tombstone", "rows", "dv_rows", "bytes",
+        "partition_value", "min_key", "max_key", "dv")
+      .queryExecution.analyzed
+  }
+
+  def historyPlan(session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"table_history(table): $why")
+    val t = args match {
+      case Seq(a) => GraftTableChanges.resolveArg(session, a).getOrElse(
+        fail("the argument must name a graft table"))
+      case _ => fail("takes exactly 1 argument")
+    }
+    t.history.queryExecution.analyzed
+  }
+}
+
+/** Standalone-resolution twin of the registry entries, for sessions built
   * WITHOUT GraftExtensions (the driver's Verify session): apply this rule to
-  * a parsed plan and the `table_changes` TVF nodes resolve exactly as the
-  * registered function would. Non-matching nodes pass through untouched. */
+  * a parsed plan and the graft TVF nodes resolve exactly as the registered
+  * functions would. Non-matching nodes pass through untouched. */
 case class ResolveGraftTableChanges(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case u: UnresolvedTableValuedFunction
@@ -109,5 +164,13 @@ case class ResolveGraftTableChanges(session: SparkSession) extends Rule[LogicalP
         if u.name.length == 1 &&
           u.name.head.equalsIgnoreCase(GraftTableChanges.BY_PATH_NAME) =>
       GraftTableChanges.plan(session, u.functionArgs, byPath = true)
+    case u: UnresolvedTableValuedFunction
+        if u.name.length == 1 &&
+          u.name.head.equalsIgnoreCase(GraftMetadataTvfs.FILES_NAME) =>
+      GraftMetadataTvfs.filesPlan(session, u.functionArgs)
+    case u: UnresolvedTableValuedFunction
+        if u.name.length == 1 &&
+          u.name.head.equalsIgnoreCase(GraftMetadataTvfs.HISTORY_NAME) =>
+      GraftMetadataTvfs.historyPlan(session, u.functionArgs)
   }
 }

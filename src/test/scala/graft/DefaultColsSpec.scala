@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, TableSpec}
+
+/** Column DEFAULTs (write-side): an omitted column takes its expression,
+  * a supplied one — explicit nulls included — passes through untouched. */
+class DefaultColsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_def").toString
+
+  private val spec = TableSpec("k", "pc",
+    defaults = Map("status" -> "'open'", "score" -> "100L"))
+
+  test("omitted default columns stamp; supplied values (and nulls) pass through") {
+    val path = tmp()
+    // create WITHOUT either default column: both stamp into the schema
+    val t = LakeTable.create(spark, path, spec, Seq((1L, 1L, "a")).toDF("k", "pc", "v"))
+    val r0 = t.read().head()
+    assert(r0.getAs[String]("status") == "open" && r0.getAs[Long]("score") == 100L)
+    // upsert omitting both → stamped
+    t.upsert(Seq((2L, 1L, "b")).toDF("k", "pc", "v"))
+    assert(t.read().filter($"k" === 2L).head().getAs[String]("status") == "open")
+    // supplied values win; an explicit null STAYS null (not a generated col)
+    t.upsert(Seq((3L, 1L, "c", "closed")).toDF("k", "pc", "v", "status"))
+    t.upsert(Seq((4L, 1L, "d")).toDF("k", "pc", "v")
+      .withColumn("status", lit(null).cast("string")))
+    val rows = t.read().select("k", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(3L) == "closed")
+    assert(rows(4L) == null, "explicit null must not be overwritten by the default")
+    // rename/drop of a defaulted column refuses
+    intercept[IllegalArgumentException] { t.dropColumn("status") }
+    intercept[IllegalArgumentException] { t.renameColumn("status", "state") }
+  }
+
+  test("catalog DDL declares defaults via namespaced options") {
+    spark.conf.set("spark.sql.catalog.graft_def", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_def.warehouse",
+      Files.createTempDirectory("graft_def_wh").toString)
+    spark.sql(
+      """CREATE TABLE graft_def.db.dt (k BIGINT, pc BIGINT, v STRING, status STRING)
+        |USING graft OPTIONS (key 'k', precombine 'pc',
+        |  'default.status' "'open'")""".stripMargin)
+    val props = spark.sql("SHOW TBLPROPERTIES graft_def.db.dt")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("default.status").contains("'open'"))
+    spark.sql("DROP TABLE graft_def.db.dt")
+  }
+}

@@ -47,6 +47,30 @@ class TableChangesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((3, -1, "delete"), (9, 90, "insert"), (2, 21, "update_postimage")))
   }
 
+  test("table_files / table_history answer from commit-log metadata in SQL") {
+    import spark.implicits._
+    val (path, tbl) = mkTable("meta")
+    tbl.upsert(Seq((9, 90, 200L)).toDF("id", "v", "ts")) // v1
+    // files: rows sum equals the snapshot, composable with aggregates
+    val sums = spark.sql(
+      s"SELECT CAST(SUM(rows - dv_rows) AS BIGINT) FROM table_files('$path')")
+      .head().getLong(0)
+    assert(sums == tbl.read().count())
+    // time travel: v0's file list is smaller
+    val n0 = spark.sql(s"SELECT COUNT(*) FROM table_files('$path', 0)").head().getLong(0)
+    val nNow = spark.sql(s"SELECT COUNT(*) FROM table_files('$path')").head().getLong(0)
+    assert(n0 <= nNow && n0 > 0)
+    // history: one row per commit, newest first
+    val hist = spark.sql(s"SELECT version, operation FROM table_history('$path')")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.map(_._1).toSeq == Seq(1L, 0L))
+    assert(hist.map(_._2).toSeq == Seq("upsert", "create"))
+    // zero data files opened: the plan is a LocalRelation scan
+    val plan = spark.sql(s"SELECT * FROM table_files('$path')")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation"), plan)
+  }
+
   test("the third argument bounds the window to (since, end]") {
     import spark.implicits._
     val (path, tbl) = mkTable("bounded")
