@@ -502,6 +502,58 @@ object LakeQueries {
         |WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_totalprice > 400000.0)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // REORG APPLY (PURGE): q83's DV churn, then the purge materializes the
+    // soft deletes into clean files — only DV'd files rewrite (require),
+    // no DV survives, old files vacuum away, and the content is untouched.
+    "q121_reorg_purge" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"reorg_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          t(s, d, "orders").repartitionByRange(8, col("o_orderkey")), bulkInsert = true)
+        // confine the delete to the low key range so only SOME of the 8
+        // range-partitioned files take a DV — the purge must leave the
+        // clean ones untouched
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        tbl.deleteVectors(col("o_orderkey") % 7 === 0 && col("o_orderkey") <= mx / 8)
+        val dvd = tbl.liveFiles(None).filter(_.dv.isDefined).map(_.path).toSet
+        val clean = tbl.liveFiles(None).filterNot(_.dv.isDefined).map(_.path).toSet
+        require(dvd.nonEmpty && clean.nonEmpty, "need both DV'd and clean files")
+        tbl.reorgPurge()
+        val after = tbl.liveFiles(None)
+        require(after.forall(_.dv.isEmpty), "no DV survives the purge")
+        require(clean.subsetOf(after.map(_.path).toSet) &&
+          after.map(_.path).toSet.intersect(dvd).isEmpty,
+          "exactly the DV'd files must have been rewritten")
+        tbl.vacuum(retainVersions = 1)
+        proj(LakeTable.load(s, path).read())
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0
+        |           AND o_orderkey <= (SELECT MAX(o_orderkey) // 8 FROM orders))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Savepoints: v0 stays time-travelable THROUGH a retention-1 vacuum
+    // because the pin holds its files; the query reads the pinned snapshot
+    // after churn + vacuum, so the oracle is simply the original content.
+    "q122_savepoint" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"sp_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        tbl.savepoint(0L)
+        tbl.overwrite(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_orderstatus", lit("X")))
+        tbl.vacuum(retainVersions = 1)
+        require(tbl.savepoints == Seq(0L), "pin must survive churn + vacuum")
+        proj(LakeTable.load(s, path).read(Some(0L)))
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Incremental materialized view: the aggregate is maintained from the
     // base table's window delta (cost ∝ churn), then must equal a
     // from-scratch GROUP BY over the final state. Prices are held as exact
