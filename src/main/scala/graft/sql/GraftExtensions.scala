@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft", GraftMetadataTvfs.HISTORY_NAME),
       args => GraftMetadataTvfs.historyPlan(SparkSession.active, args)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftMetadataTvfs.PARTITIONS_NAME),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft", GraftMetadataTvfs.PARTITIONS_NAME),
+      args => GraftMetadataTvfs.partitionsPlan(SparkSession.active, args)))
     e.injectOptimizerRule(_ => GraftMetadataOnlyCount)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     graft.functions.GraftFunctions.functions.foreach { case (name, builder) =>

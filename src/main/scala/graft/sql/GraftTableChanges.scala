@@ -149,6 +149,33 @@ object GraftMetadataTvfs {
     }
     t.history.queryExecution.analyzed
   }
+
+  val PARTITIONS_NAME = "table_partitions"
+
+  /** Iceberg `t.partitions`: one row per live partition with file/row/byte
+    * rollups — commit-log metadata only, zero data files opened. */
+  def partitionsPlan(session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"table_partitions(table[, version]): $why")
+    val (tableArg, asOfArg) = args match {
+      case Seq(t) => (t, None)
+      case Seq(t, v) => (t, Some(v))
+      case _ => fail("takes 1 or 2 arguments")
+    }
+    val t = GraftTableChanges.resolveArg(session, tableArg).getOrElse(
+      fail("the first argument must name a graft table"))
+    val asOf = asOfArg.map(e => GraftTableChanges.versionArg(t, e).getOrElse(
+      fail("`version` must be a version number or timestamp literal")))
+    import session.implicits._
+    t.liveFiles(asOf)
+      .groupBy(_.partitionValue.orNull)
+      .map { case (pv, as) =>
+        (pv, as.size.toLong, as.count(_.log).toLong,
+          as.map(a => a.rows - a.dvRows).sum, as.map(_.bytes).sum)
+      }.toSeq
+      .toDF("partition_value", "n_files", "n_log_files", "rows", "bytes")
+      .queryExecution.analyzed
+  }
 }
 
 /** Standalone-resolution twin of the registry entries, for sessions built
@@ -172,5 +199,9 @@ case class ResolveGraftTableChanges(session: SparkSession) extends Rule[LogicalP
         if u.name.length == 1 &&
           u.name.head.equalsIgnoreCase(GraftMetadataTvfs.HISTORY_NAME) =>
       GraftMetadataTvfs.historyPlan(session, u.functionArgs)
+    case u: UnresolvedTableValuedFunction
+        if u.name.length == 1 &&
+          u.name.head.equalsIgnoreCase(GraftMetadataTvfs.PARTITIONS_NAME) =>
+      GraftMetadataTvfs.partitionsPlan(session, u.functionArgs)
   }
 }

@@ -71,6 +71,22 @@ class TableChangesSpec extends AnyFunSuite {
     assert(plan.contains("LocalRelation"), plan)
   }
 
+  test("table_partitions rolls up per-partition file/row/byte metadata") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_tvf_parts").toString
+    val tbl = LakeTable.create(spark, path,
+      TableSpec("id", "ts", partition = Some("p")),
+      Seq((1, 100L, "a"), (2, 100L, "a"), (3, 100L, "b")).toDF("id", "ts", "p"))
+    tbl.deleteVectors(col("id") === 1)
+    val rows = spark.sql(
+      s"""SELECT partition_value, rows, n_files FROM table_partitions('$path')
+         |ORDER BY partition_value""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(x => x._1 -> x._2).toMap == Map("a" -> 1L, "b" -> 1L),
+      s"DV-discounted per-partition rows, got ${rows.toSeq}")
+    assert(rows.forall(_._3 >= 1L))
+  }
+
   test("the third argument bounds the window to (since, end]") {
     import spark.implicits._
     val (path, tbl) = mkTable("bounded")

@@ -67,6 +67,29 @@ class WideningSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { bt.widenColumn("k", LongType) }
   }
 
+  test("widening interplays: defaulted and sum-stats columns stay exact") {
+    import graft.lake.IdentityDef
+    val path = tmp()
+    val spec = TableSpec("k", "ver",
+      defaults = Map("n" -> "7"),
+      sumColumns = Seq("n"),
+      identity = Map("rid" -> IdentityDef()))
+    val t = LakeTable.create(spark, path, spec,
+      Seq((1L, 1L, 5)).toDF("k", "ver", "n"))
+    t.upsert(Seq((2L, 1L)).toDF("k", "ver")) // default stamps n=7
+    // widen the defaulted+summed column: metadata-only, sums stay exact
+    t.widenColumn("n", LongType)
+    val t2 = LakeTable.load(spark, path)
+    assert(t2.read().agg(sum("n")).head().getLong(0) == 12L)
+    // a post-widen write with a long-range value coexists with narrow files
+    t2.upsert(Seq((3L, 1L, 6000000000L)).toDF("k", "ver", "n"))
+    assert(LakeTable.load(spark, path).read().agg(sum("n")).head().getLong(0)
+      == 6000000012L)
+    // identity unaffected by the widen: ids 1..3 dense
+    assert(LakeTable.load(spark, path).read().select("rid").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("catalog SQL ALTER COLUMN TYPE routes to the metadata-only widen") {
     spark.conf.set("spark.sql.catalog.graft_w", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_w.warehouse",
