@@ -130,7 +130,18 @@ object GraftDataSource {
       bloomBitsPerKey = opt("bloomBitsPerKey").map(_.toInt).getOrElse(
         // Hudi option-surface alias: BLOOM index type at its default sizing
         if (opt("hoodie.index.type").exists(_.equalsIgnoreCase("BLOOM"))) 10 else 0),
-      buckets = opt("buckets").map(_.toInt).getOrElse(0))
+      buckets = opt("buckets").map(_.toInt).getOrElse(0),
+      // same namespaced option surface as the DSv2 catalog
+      generated = parameters.collect {
+        case (k, v) if k.startsWith("generated.") => k.stripPrefix("generated.") -> v
+      },
+      identity = parameters.collect {
+        case (k, v) if k.startsWith("identity.") =>
+          k.stripPrefix("identity.") -> GraftCatalog.parseIdentityDef(v)
+      },
+      defaults = parameters.collect {
+        case (k, v) if k.startsWith("default.") => k.stripPrefix("default.") -> v
+      })
 
     val mergeSchema = opt("mergeSchema").exists(_.toBoolean) // Delta option name
     // Delta replaceWhere / Spark dynamic partition overwrite: scoped

@@ -41,6 +41,21 @@ class DefaultColsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.renameColumn("status", "state") }
   }
 
+  test("V1 writer options declare defaults and identity on a new table") {
+    val path = tmp()
+    Seq((1L, 1L, "a")).toDF("k", "pc", "v").write.format("graft")
+      .option("key", "k").option("precombine", "pc")
+      .option("default.status", "'open'")
+      .option("identity.rid", "START WITH 10 INCREMENT BY 1")
+      .mode("overwrite").save(path)
+    val t = LakeTable.load(spark, path)
+    val r = t.read().head()
+    assert(r.getAs[String]("status") == "open")
+    assert(r.getAs[Long]("rid") == 10L)
+    t.upsert(Seq((2L, 1L, "b")).toDF("k", "pc", "v"))
+    assert(t.read().filter($"k" === 2L).head().getAs[Long]("rid") == 11L)
+  }
+
   test("catalog DDL declares defaults via namespaced options") {
     spark.conf.set("spark.sql.catalog.graft_def", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_def.warehouse",
