@@ -197,6 +197,10 @@ object CommitLog {
       val df = spec.putObject("defaults")
       c.spec.defaults.foreach { case (n, e) => df.put(n, e) }
     }
+    if (c.spec.existenceDefaults.nonEmpty) {
+      val ed = spec.putObject("existenceDefaults")
+      c.spec.existenceDefaults.foreach { case (n, e) => ed.put(n, e) }
+    }
     val adds = root.putArray("add")
     c.add.foreach { a =>
       val n = adds.addObject()
@@ -435,6 +439,14 @@ object CommitLog {
         val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
         if (specN.hasNonNull("defaults")) {
           val it = specN.get("defaults").asInstanceOf[ObjectNode].fields()
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText }
+        }
+        m.toMap
+      },
+      existenceDefaults = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        if (specN.hasNonNull("existenceDefaults")) {
+          val it = specN.get("existenceDefaults").asInstanceOf[ObjectNode].fields()
           while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText }
         }
         m.toMap

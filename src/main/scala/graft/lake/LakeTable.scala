@@ -479,13 +479,36 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         else uriDecode(element_at(split(input_file_name(), "/"), -1))
       if (relFile || needIdent) df.withColumn(REL_FILE, rel) else df
     }
-    val parts = actions.groupBy(_.base).toSeq.sortBy(_._1.getOrElse("")).flatMap {
-      case (base, acts) =>
+    // existence defaults: rows in files that PREDATE an added-with-DEFAULT
+    // column read the frozen constant instead of null. "Absent" is known
+    // per file from its commit's schema (no footers); files carrying the
+    // column — genuine nulls included — are untouched. Zero overhead when
+    // no existence default is declared (every absent-set is empty).
+    val exDefaults: Map[String, String] = {
+      val ed = specAt(asOf).existenceDefaults
+      if (ed.isEmpty) Map.empty
+      else ed.filter { case (c, _) => dataSchema.fieldNames.contains(c) }
+    }
+    def absentOf(a: FileAction): Set[String] =
+      if (exDefaults.isEmpty) Set.empty
+      else fileSchemaOf(a) match {
+        case Some(fs) => exDefaults.keySet -- fs.fieldNames.toSet
+        case None => Set.empty // foreign base: refused at add time
+      }
+    // fill on the PHYSICAL-named scan output (aliasing to logical happens
+    // after the union)
+    def fillAbsent(df: DataFrame, absent: Set[String]): DataFrame =
+      absent.foldLeft(df)((acc, c) =>
+        acc.withColumn(cmap.getOrElse(c, c),
+          expr(exDefaults(c)).cast(dataSchema(c).dataType)))
+    val parts = actions.groupBy(a => (a.base, absentOf(a))).toSeq
+      .sortBy { case ((base, abs), _) => (base.getOrElse(""), abs.toSeq.sorted.mkString(",")) }
+      .flatMap { case ((base, absent), acts) =>
         val (dvd, plain) = acts.partition(_.dv.isDefined)
         val plainDf =
           if (plain.isEmpty) None
           else {
-            val df = scanGroup(base, plain, needIdent = keepPos)
+            val df = fillAbsent(scanGroup(base, plain, needIdent = keepPos), absent)
             Some(if (keepPos && !relFile) df.drop(REL_FILE) else df)
           }
         val dvdDf =
@@ -498,14 +521,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             val df = scanGroup(base, dvd, needIdent = true)
             val dirs = dvd.flatMap(_.dv).distinct.map(dvRoot)
             val dvRows = spark.read.schema(DV_SCHEMA).parquet(dirs: _*)
-            val alive = df.join(dvRows,
+            val alive = fillAbsent(df.join(dvRows,
               df(REL_FILE) === dvRows("file") && df(DV_POS) === dvRows("pos"),
-              "left_anti")
+              "left_anti"), absent)
             val dropRel = if (relFile) alive else alive.drop(REL_FILE)
             Some(if (keepPos) dropRel else dropRel.drop(DV_POS))
           }
         plainDf.toSeq ++ dvdDf.toSeq
-    }
+      }
     val joined = parts.reduce(_.unionByName(_))
     val out =
       if (cmap.isEmpty) joined
@@ -1626,10 +1649,44 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * the declared schema, no footer merging). A re-added name whose
     * physical field was used before (dropped or renamed away) gets a FRESH
     * physical mapping, so old on-disk values never resurface. */
-  def addColumns(fields: Seq[StructField]): LakeTable = retrying {
+  def addColumns(fields: Seq[StructField]): LakeTable =
+    addColumns(fields, Map.empty)
+
+  /** `ALTER TABLE … ADD COLUMNS` with optional per-column DEFAULTs — the
+    * Delta existence-default semantics: a default given HERE applies in
+    * BOTH directions, still without rewriting a byte:
+    *
+    *   - rows in files that PREDATE the column read the default instead
+    *     of null (the "existence default", frozen at add time — the read
+    *     paths know per file, from its commit's schema, whether the
+    *     column is physically present);
+    *   - later writes that OMIT the column stamp it ([[TableSpec.defaults]]);
+    *   - a genuine NULL written after the add STAYS null — only
+    *     physically-absent columns fill.
+    *
+    * The expression must fold to a constant (validated here). Tables with
+    * foreign-base files (shallow clones of converted tables, convert-in-
+    * place) refuse: those files' physical columns aren't described by a
+    * commit schema, so "absent" would be a guess. */
+  def addColumns(fields: Seq[StructField],
+      defaults: Map[String, String]): LakeTable = retrying {
     val declared = schema
     val dup = fields.map(_.name).filter(n => declared.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
+    defaults.keys.foreach { c =>
+      require(fields.exists(_.name.equalsIgnoreCase(c)),
+        s"DEFAULT given for '$c', which is not among the added columns")
+    }
+    if (defaults.nonEmpty) {
+      require(liveFiles(None).forall(_.base.isEmpty),
+        "existence defaults need per-file commit schemas; this table has " +
+          "foreign-base files (clone/convert) whose columns are undeclared")
+      // the default must be a constant: evaluate it once now, loudly
+      defaults.foreach { case (c, e) =>
+        val dt = fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+        spark.range(1).select(expr(e).cast(dt)).head()
+      }
+    }
     val used = usedPhysicalNames
     val remap = fields.flatMap { f =>
       if (!used.contains(f.name)) None
@@ -1639,10 +1696,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         Some(f.name -> s"${f.name}_$i")
       }
     }.toMap
+    val newSpec0 =
+      if (remap.isEmpty && defaults.isEmpty) None
+      else Some(spec.copy(
+        columnMap = spec.columnMap ++ remap,
+        defaults = spec.defaults ++ defaults,
+        existenceDefaults = spec.existenceDefaults ++ defaults))
     writeCommit("evolve",
       newSchema = Some(StructType(declared.fields ++ fields.map(_.copy(nullable = true)))),
-      newSpec = if (remap.isEmpty) None
-        else Some(spec.copy(columnMap = spec.columnMap ++ remap))) {
+      newSpec = newSpec0) {
       (_, _) => Seq.empty
     }
   }

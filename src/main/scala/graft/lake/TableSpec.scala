@@ -107,7 +107,14 @@ case class TableSpec(
       * [[generated]], which validates supplied values). Defaults do not
       * rewrite history: rows written before a default was declared keep
       * their stored values. */
-    defaults: Map[String, String] = Map.empty) {
+    defaults: Map[String, String] = Map.empty,
+    /** Existence defaults (Delta `ADD COLUMN … DEFAULT` read-side half):
+      * rows in files that PREDATE the column — known per file from its
+      * commit's schema — read this constant instead of null; files that
+      * carry the column (genuine nulls included) are untouched. Set only
+      * by [[graft.lake.LakeTable.addColumns]] with defaults; frozen
+      * constants (never re-evaluated against later spec changes). */
+    existenceDefaults: Map[String, String] = Map.empty) {
 
   /** Physical parquet field name of a logical column. */
   def physical(logical: String): String = columnMap.getOrElse(logical, logical)

@@ -208,14 +208,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * `RENAME COLUMN` / `DROP COLUMN` → metadata-only column-mapping
     * commits (no data rewrite — see [[graft.lake.LakeTable.renameColumn]]).
     * Other changes are rejected. */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = resolvePath(ident).getOrElse(throw new NoSuchTableException(ident))
     val t = LakeTable.load(spark, path)
+    // ADD COLUMNS, optionally with DEFAULTs (both write-side and
+    // existence semantics — see LakeTable.addColumns)
     val added = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
-        StructField(a.fieldNames.head, a.dataType, nullable = true)
+        (StructField(a.fieldNames.head, a.dataType, nullable = true),
+          Option(a.defaultValue()).flatMap(d => Option(d.getSql)))
     }
-    if (added.nonEmpty) t.addColumns(added)
+    if (added.nonEmpty) t.addColumns(added.map(_._1),
+      added.collect { case (f, Some(sql)) => f.name -> sql }.toMap)
     changes.foreach {
       case _: TableChange.AddColumn => () // handled above (batched)
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
@@ -659,8 +668,30 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
       val requiredNames = required.fieldNames.toSet
       val filterCols = (spec.partition.toSeq ++ spec.statsColumns)
         .distinct.filter(requiredNames.contains).toArray
+      // existence defaults: evaluate each frozen constant ONCE at plan
+      // time into its Catalyst value; the reader emits it wherever a file
+      // physically lacks the column (present-flag miss)
+      val absentFill: Array[Any] = {
+        val ed = spec.existenceDefaults
+        if (ed.isEmpty) null
+        else {
+          val arr = new Array[Any](fileCols.length)
+          var any = false
+          fileCols.zipWithIndex.foreach { case (n, i) =>
+            ed.get(n).foreach { e =>
+              val ext = spark.range(1)
+                .select(org.apache.spark.sql.functions.expr(e)
+                  .cast(dataSchema(n).dataType)).head().get(0)
+              arr(i) = org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .convertToCatalyst(ext)
+              any = true
+            }
+          }
+          if (any) arr else null
+        }
+      }
       Some(new GraftFileScan(path, asOf, live.zip(descs), required, fileSchema,
-        outIdx, maxBytes, limit, filterCols))
+        outIdx, maxBytes, limit, filterCols, absentFill))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def bucketScan(): Option[Scan] =

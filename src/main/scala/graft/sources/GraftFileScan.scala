@@ -68,7 +68,8 @@ case class ScanFileDesc(abs: String, rel: String, partVal: Any,
 class GraftFileScan(path: String, asOf: Option[Long],
     files: Seq[(FileAction, ScanFileDesc)], required: StructType,
     fileSchema: StructType, outIdx: Array[Int], maxBytes: Long,
-    limit: Option[Int], filterCols: Array[String])
+    limit: Option[Int], filterCols: Array[String],
+    absentFill: Array[Any] = null)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -126,7 +127,7 @@ class GraftFileScan(path: String, asOf: Option[Long],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftFileReaderFactory(fileSchema, outIdx, limit)
+    GraftFileReaderFactory(fileSchema, outIdx, limit, absentFill)
 }
 
 object GraftFileScan {
@@ -139,11 +140,11 @@ object GraftFileScan {
 case class GraftFileInputPartition(files: Array[ScanFileDesc]) extends InputPartition
 
 case class GraftFileReaderFactory(fileSchema: StructType, outIdx: Array[Int],
-    limit: Option[Int])
+    limit: Option[Int], absentFill: Array[Any] = null)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftFileReader(p.asInstanceOf[GraftFileInputPartition], fileSchema,
-      outIdx, limit.map(_.toLong).getOrElse(Long.MaxValue))
+      outIdx, limit.map(_.toLong).getOrElse(Long.MaxValue), absentFill)
 }
 
 /** Streams the partition's files through the vectorized reader, skipping
@@ -151,7 +152,8 @@ case class GraftFileReaderFactory(fileSchema: StructType, outIdx: Array[Int],
   * constant, −2 = this file's `_file_name`) into the output row. Emits at
   * most `rowCap` rows (the pushed per-partition limit). */
 private final class GraftFileReader(gp: GraftFileInputPartition,
-    fileSchema: StructType, outIdx: Array[Int], rowCap: Long)
+    fileSchema: StructType, outIdx: Array[Int], rowCap: Long,
+    absentFill: Array[Any] = null)
   extends PartitionReader[InternalRow] {
 
   private val cols: ju.List[String] = fileSchema.fieldNames.toSeq.asJava
@@ -213,7 +215,8 @@ private final class GraftFileReader(gp: GraftFileInputPartition,
         else if (src == GraftFileScan.FILE_NAME_CONST) fileName
         else {
           val p = srcPos(src)
-          if (p < 0) null
+          // physically-absent column: the existence default (null when none)
+          if (p < 0) { if (absentFill == null) null else absentFill(src) }
           else {
             val v = row.get(p, readTypes(src))
             if (v == null || convs == null || convs(src) == null) v else convs(src)(v)

@@ -56,6 +56,59 @@ class DefaultColsSpec extends AnyFunSuite {
     assert(t.read().filter($"k" === 2L).head().getAs[Long]("rid") == 11L)
   }
 
+  test("existence defaults: pre-add rows read the default; post-add nulls stay null") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "pc", "v"))
+    t.addColumns(
+      Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType)),
+      defaults = Map("score" -> "42"))
+    val t2 = LakeTable.load(spark, path)
+    // OLD rows (files predate the column): the default, not null
+    assert(t2.read().select("score").collect().map(_.getLong(0)).toSeq
+      == Seq(42L, 42L))
+    // a post-add write with an EXPLICIT null keeps the null
+    t2.upsert(Seq((3L, 1L, "c")).toDF("k", "pc", "v")
+      .withColumn("score", lit(null).cast("long")))
+    // a post-add write omitting the column stamps the write-side default
+    t2.upsert(Seq((4L, 1L, "d")).toDF("k", "pc", "v"))
+    val rows = t2.read().select("k", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(rows(1L) == 42L && rows(2L) == 42L, "pre-add rows keep the default")
+    assert(rows(3L) == null, "genuine post-add null is preserved")
+    assert(rows(4L) == 42L, "omitted column takes the write default")
+    // DV delete on a pre-add file: survivors still read the default
+    t2.deleteVectors(col("k") === 1L)
+    assert(LakeTable.load(spark, path).read().filter(col("k") === 2L)
+      .head().getAs[Long]("score") == 42L)
+    // compaction materializes the defaults physically; reads unchanged
+    t2.compact()
+    val after = LakeTable.load(spark, path).read().select("k", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(after == Map(2L -> 42L, 3L -> null, 4L -> 42L))
+  }
+
+  test("existence defaults through SQL ALTER TABLE ADD COLUMNS ... DEFAULT and the v2 scan") {
+    spark.conf.set("spark.sql.catalog.graft_ed", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ed.warehouse",
+      Files.createTempDirectory("graft_ed_wh").toString)
+    spark.sql(
+      """CREATE TABLE graft_ed.db.et (k BIGINT, pc BIGINT, v STRING)
+        |USING graft OPTIONS (key 'k', precombine 'pc')""".stripMargin)
+    spark.sql("INSERT INTO graft_ed.db.et VALUES (1, 1, 'a')")
+    spark.sql("ALTER TABLE graft_ed.db.et ADD COLUMNS (status STRING DEFAULT 'open')")
+    // the catalog read path (v2 scan, present-flag fill) serves the default
+    val out = spark.sql("SELECT k, status FROM graft_ed.db.et").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "open"), s"got $out")
+    spark.sql("INSERT INTO graft_ed.db.et VALUES (2, 1, 'b', 'closed')")
+    val out2 = spark.sql("SELECT k, status FROM graft_ed.db.et ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(1L -> "open", 2L -> "closed"))
+    spark.sql("DROP TABLE graft_ed.db.et")
+  }
+
   test("catalog DDL declares defaults via namespaced options") {
     spark.conf.set("spark.sql.catalog.graft_def", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_def.warehouse",
