@@ -534,6 +534,37 @@ object LakeQueries {
         |           AND o_orderkey <= (SELECT MAX(o_orderkey) // 8 FROM orders))
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Existence defaults: ADD COLUMN … DEFAULT makes pre-add rows read
+    // the frozen constant (no rewrite), later explicit values — nulls
+    // included — win, and a later omitted column takes the write default.
+    // All three populations in one readback, hash-exact.
+    "q123_existence_default" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"ed_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        tbl.addColumns(
+          Seq(org.apache.spark.sql.types.StructField("priority_score",
+            org.apache.spark.sql.types.LongType)),
+          defaults = Map("priority_score" -> "5"))
+        // explicit values on new keys
+        tbl.upsert(t(s, d, "orders").filter(col("o_orderkey") % 4 === 1)
+          .withColumn("priority_score", (col("o_orderkey") % 10).cast("long")))
+        // explicit NULLs on other new keys — preserved, never defaulted
+        tbl.upsert(t(s, d, "orders").filter(col("o_orderkey") % 4 === 3)
+          .withColumn("priority_score", lit(null).cast("long")))
+        tbl.read().select("o_orderkey", "priority_score").orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, CAST(5 AS BIGINT) AS priority_score
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(o_orderkey % 10 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 = 3
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Savepoints: v0 stays time-travelable THROUGH a retention-1 vacuum
     // because the pin holds its files; the query reads the pinned snapshot
     // after churn + vacuum, so the oracle is simply the original content.
