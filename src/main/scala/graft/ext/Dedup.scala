@@ -81,25 +81,85 @@ object Dedup {
 
   // ---- n-gram Jaccard -------------------------------------------------
 
-  /** Near-dup pairs by exact n-gram Jaccard ≥ threshold, via an inverted
-    * index on shingles (explode → join on shingle → per-pair overlap
-    * count), so cost is Σ posting-list² not N². Returns (id_a, id_b,
-    * jaccard) with id_a < id_b. */
+  /** Near-dup pairs by exact n-gram Jaccard ≥ threshold. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Default plan: inverted index on ALL shingles (explode → join on
+    * shingle → per-pair overlap count), cost Σ posting-list² — exact and
+    * simple, but a corpus-common shingle ("in the of") contributes a
+    * quadratic posting list.
+    *
+    * `prefixFilter = true` switches to the PPJoin/SSJoin prefix-filtering
+    * plan (Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): order every
+    * document's shingles by a GLOBAL canonical order (ascending document
+    * frequency, ties by value — rarest first), index only each document's
+    * PREFIX of `|sh| − ⌈t·|sh|⌉ + 1` shingles, and join prefixes under
+    * the length filter `t·|a| ≤ |b| ∧ t·|b| ≤ |a|`. Guarantee: a pair at
+    * Jaccard ≥ t shares ≥ ⌈t·max(|a|,|b|)⌉ shingles, so its prefixes
+    * must intersect — zero false negatives; candidates then verify with
+    * an EXACT `array_intersect` overlap. At corpus scale this turns the
+    * quadratic head-token posting lists into rare-token lists (a
+    * same-length pair is only generated by its (1−t) rarest shingles),
+    * at the cost of one extra shuffle to learn document frequencies. */
   def ngramJaccardPairs(df: DataFrame, threshold: Double, k: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      prefixFilter: Boolean = false): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val inv = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val pairs = inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    if (prefixFilter) {
+      val cand = prefixCandidates(docs, threshold)
+      val exact = cand
+        .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a"),
+          col("n_sh").as("na")), Seq("id_a"))
+        .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b"),
+          col("n_sh").as("nb")), Seq("id_b"))
+        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      exact
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      val inv = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
+  }
+
+  /** PPJoin candidate pairs (see [[ngramJaccardPairs]]): distinct
+    * (id_a, id_b) whose frequency-ordered PREFIXES share a shingle under
+    * the length filter. `docs` must carry (id, sh, n_sh). Exposed for the
+    * candidate-count assertion in ExtSpec — the whole point of prefix
+    * filtering is that this set is far smaller than the full inverted
+    * index's pair set. */
+  private[graft] def prefixCandidates(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    // canonical global order: rarest shingle first, ties by value — both
+    // sides sort identically, the prefix-filter precondition
+    val ordered = toks.join(dfreq, Seq("s"))
+      .groupBy("id", "n_sh")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("s")))).as("ordered"))
+    val prefix = ordered
+      .withColumn("pref_len",
+        (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1)).cast("int"))
+      .select(col("id"), col("n_sh"),
+        explode(slice(transform(col("ordered"), x => x.getField("s")),
+          lit(1), col("pref_len"))).as("s"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("b.n_sh").cast("double") >= col("a.n_sh") * lit(threshold) &&
+          col("a.n_sh").cast("double") >= col("b.n_sh") * lit(threshold))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** Cross-corpus CONTAMINATION check — the train/eval hygiene step of a

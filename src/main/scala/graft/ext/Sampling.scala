@@ -333,4 +333,31 @@ object Sampling {
     val strata = df.select(stratumCol).distinct().collect().map(_.get(0))
     df.stat.sampleBy(stratumCol, strata.map(s => s -> fraction).toMap, seed)
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES) — the data-mixing primitive "draw k docs ∝ weight,
+    * no repeats" (e.g. ∝ quality score or token count), exactly the
+    * sequential weighted draw's inclusion law. Each row derives a
+    * PORTABLE 48-bit uniform u ∈ (0,1] from md5(id:seed), keys itself
+    * with `−ln(u)/w` (⇔ largest `u^(1/w)` wins), and the k smallest keys
+    * are the sample.
+    *
+    * Scale shape: pure per-row expressions + TakeOrdered — one map pass
+    * and a per-partition top-k fold into the driver's k rows; no global
+    * sort, no shuffle of the corpus. Deterministic in (id, seed) — reruns
+    * and engine replays pick the identical sample; rows with w ≤ 0 or
+    * null never qualify (they'd be unsamplable mass). */
+  def weightedSample(df: DataFrame, k: Int, weightCol: Column,
+      idCol: String = "doc_id", seed: String = "graft"): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    // (0,1]: 48-bit md5 prefix + 1 over 2^48 — never 0, so ln is safe
+    val u = (conv(substring(md5(concat_ws(":", col(idCol).cast("string"),
+      lit(seed))), 1, 12), 16, 10).cast("double") + lit(1.0)) /
+      lit(281474976710656.0)
+    val w = weightCol.cast("double")
+    df.filter(w.isNotNull && w > 0)
+      .withColumn("es_key", -log(u) / w)
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
 }

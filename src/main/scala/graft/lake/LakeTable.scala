@@ -93,6 +93,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     if (live.isEmpty) return None
     if (live.exists(a => a.log || a.dv.isDefined || a.dvRows > 0)) return None
     val sp = specAt(asOf)
+    // after a partition evolution, an old-era file's stored partitionValue
+    // belongs to a DIFFERENT column — grouped answers would mis-attribute
+    if (mixedPartitionEras(live, sp)) return None
     val perFile = live.map { a =>
       val mm =
         if (colName.equalsIgnoreCase(sp.key)) Some((a.minKey, a.maxKey))
@@ -121,6 +124,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val live = liveFiles(asOf)
     if (live.isEmpty) return None
     if (live.exists(a => a.log || a.tombstone || a.dv.isDefined || a.dvRows > 0)) return None
+    // partition-evolution era guard — see fileExtremesWithPartition
+    if (mixedPartitionEras(live, specAt(asOf))) return None
     // files store PHYSICAL names (column mapping), callers pass LOGICAL
     val phys = specAt(asOf).physical(colName)
     val perFile = live.map { a =>
@@ -137,6 +142,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def partitionRowCounts(asOf: Option[Long] = None): Option[Map[String, Long]] = {
     if (specAt(asOf).partition.isEmpty) return None
     val live = liveFiles(asOf)
+    // partition-evolution era guard — see fileExtremesWithPartition
+    if (mixedPartitionEras(live, specAt(asOf))) return None
     if (live.exists(_.log)) None
     else Some(live.groupBy(_.partitionValue.getOrElse("__HIVE_DEFAULT_PARTITION__"))
       .map { case (pv, as) => pv -> as.map(a => a.rows - a.dvRows).sum })
@@ -267,6 +274,36 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** The hive-style dir column a file was physically WRITTEN under, parsed
+    * from its own path (`_v=N/<col>=<val>/part-*.parquet`) — the file's
+    * PARTITION ERA. After [[changePartition]] eras differ per file; the
+    * layout is self-describing, so evolution needed no commit-log change.
+    * None = flat layout (unpartitioned era) or a foreign/converted base.
+    * Returns the PHYSICAL dir name (`_bucket` for bucketed files). */
+  private[graft] def partitionColOf(a: FileAction): Option[String] = {
+    val segs = a.path.split("/")
+    if (segs.length >= 3 && segs(0).startsWith(s"$WRITE_ID=")) {
+      val d = segs(1)
+      val i = d.indexOf('=')
+      if (i > 0) Some(LakeTable.unescapePathName(d.substring(0, i))) else None
+    } else None
+  }
+
+  /** The dir column files of spec `sp` are written under: the partition
+    * column, or `_bucket` for bucketed tables. */
+  private def expectedDirCol(sp: TableSpec): Option[String] =
+    if (sp.buckets > 0) Some(TableSpec.BUCKET_COL) else sp.partition
+
+  /** True when any live file predates the current partitioning layout —
+    * possible only after [[changePartition]], until a full rewrite
+    * (compact()/zorder()) migrates every row forward. Every metadata
+    * shortcut keyed on `partitionValue` must refuse mixed-era snapshots:
+    * an old-era file's stored value belongs to a DIFFERENT column. */
+  private[graft] def mixedPartitionEras(live: Seq[FileAction], sp: TableSpec): Boolean = {
+    val want = expectedDirCol(sp)
+    live.exists(a => partitionColOf(a) != want)
+  }
+
   /** Conservative file-level skipping: top-level AND conjuncts only;
     * unknown filter shapes, missing/sentinel stats, non-numeric non-ASCII
     * comparisons all KEEP the file (never wrong, only less pruning). */
@@ -293,7 +330,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       declared.fields.find(_.name.equalsIgnoreCase(c)).exists(_.dataType.isInstanceOf[NumericType])
     def rangeOf(a: FileAction, c: String): Option[(String, String)] =
       if (c.equalsIgnoreCase(spec.key)) Some((a.minKey, a.maxKey))
-      else if (spec.partition.exists(_.equalsIgnoreCase(c))) a.partitionValue.map(p => (p, p))
+      // era-aware: the stored partitionValue belongs to the column this
+      // FILE was partitioned under (which, after changePartition, may not
+      // be the spec's) — so old-era files keep pruning on their own column
+      // and never mis-prune on the current one
+      else if (partitionColOf(a).exists(_.equalsIgnoreCase(c))) a.partitionValue.map(p => (p, p))
       else a.colStats.find(_._1.equalsIgnoreCase(c)).map(_._2)
     def toD(v: Any): Option[Double] = v match {
       case n: java.lang.Number => Some(n.doubleValue)
@@ -501,9 +542,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       absent.foldLeft(df)((acc, c) =>
         acc.withColumn(cmap.getOrElse(c, c),
           expr(exDefaults(c)).cast(dataSchema(c).dataType)))
-    val parts = actions.groupBy(a => (a.base, absentOf(a))).toSeq
-      .sortBy { case ((base, abs), _) => (base.getOrElse(""), abs.toSeq.sorted.mkString(",")) }
-      .flatMap { case ((base, absent), acts) =>
+    // one scan per (base, absent-set, PARTITION ERA): after a partition
+    // evolution, files written under different partition columns have
+    // different dir structures, and Spark's partition discovery requires a
+    // uniform layout per read — each era scans separately and the scans
+    // union. Every column still resolves for every era: a file's own era
+    // column comes from its dirs, every other column from its data.
+    val parts = actions.groupBy(a => (a.base, absentOf(a), partitionColOf(a))).toSeq
+      .sortBy { case ((base, abs, era), _) =>
+        (base.getOrElse(""), abs.toSeq.sorted.mkString(","), era.getOrElse("")) }
+      .flatMap { case ((base, absent, _), acts) =>
         val (dvd, plain) = acts.partition(_.dv.isDefined)
         val plainDf =
           if (plain.isEmpty) None
@@ -614,7 +662,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * no detection scan, so the swap costs one write of the incoming data
     * regardless of table size: the partition-load pattern at 100 TB. */
   def overwritePartitions(df: DataFrame,
-      txn: Option[(String, Long)] = None): LakeTable = retrying {
+      txn: Option[(String, Long)] = None): LakeTable = {
+    val p0 = spec.partition.getOrElse(throw new IllegalArgumentException(
+      "dynamic partition overwrite needs a partitioned table"))
+    // partition-evolution era guard: an old-era file interleaves current
+    // partition values WITHIN the file, so per-file metadata selection
+    // would drop innocent rows — route through row-level replaceWhere
+    // (same swap semantics, detection-scan cost) until compact() migrates
+    if (mixedPartitionEras(liveFiles(None), spec)) {
+      val pvals = df.select(col(p0).cast(StringType)).distinct()
+        .collect().map(r => Option(r.getString(0))).toSeq
+      val (nulls, vals) = pvals.partition(_.isEmpty)
+      var cond = if (vals.nonEmpty) col(p0).cast(StringType).isin(vals.flatten: _*)
+        else lit(false)
+      if (nulls.nonEmpty) cond = cond || col(p0).isNull
+      return overwriteWhere(df, cond, txn)
+    }
+    overwritePartitionsUniform(df, txn)
+  }
+
+  private def overwritePartitionsUniform(df: DataFrame,
+      txn: Option[(String, Long)]): LakeTable = retrying {
     val p = spec.partition.getOrElse(throw new IllegalArgumentException(
       "dynamic partition overwrite needs a partitioned table"))
     val (withIds, idHighs) = stampIdentity(df, freshForAll = true)
@@ -633,11 +701,24 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
-  /** Live partition values from commit-log metadata — `SHOW PARTITIONS`
-    * without touching a single data file. */
+  /** Live partition values — `SHOW PARTITIONS` from commit-log metadata
+    * alone for every file written under the current partition column.
+    * After a partition evolution, OLD-ERA files store the current column
+    * as plain data, so their values come from a column-pruned distinct
+    * scan over just those files — cost ∝ unmigrated data, shrinking to
+    * zero as compaction/churn moves the table forward, never ∝ table
+    * size. */
   def partitionValues: Seq[String] = {
-    require(spec.partition.isDefined, s"table at $path is not partitioned")
-    liveFiles(None).flatMap(_.partitionValue).distinct.sorted
+    val p = spec.partition.getOrElse(
+      throw new IllegalArgumentException(s"table at $path is not partitioned"))
+    val live = liveFiles(None)
+    val (cur, old) = live.partition(a => partitionColOf(a) == spec.partition)
+    val fromMeta = cur.flatMap(_.partitionValue)
+    val fromScan =
+      if (old.isEmpty) Seq.empty
+      else readFiles(old).select(col(p).cast(StringType)).distinct()
+        .collect().toSeq.flatMap(r => Option(r.getString(0)))
+    (fromMeta ++ fromScan).distinct.sorted
   }
 
   /** Keyed upsert (S7/S9/J2). CoW: rewrite only files holding incoming keys.
@@ -1172,7 +1253,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // concatenation to matching partitions — commit-log metadata only,
     // nothing outside the named partitions is listed or rewritten.
     val small = all.filterNot(_.log).filter(_.base.isEmpty)
-      .filter(a => partitionFilter.forall(f => a.partitionValue.exists(f)))
+      // era guard: a partition-scoped OPTIMIZE matches files against the
+      // CURRENT partition column — an old-era file's stored value belongs
+      // to a different column, so it never matches (compact() migrates it)
+      .filter(a => partitionFilter.forall(f =>
+        partitionColOf(a) == spec.partition && a.partitionValue.exists(f)))
       .filter { a =>
         fs.getFileStatus(new Path(s"$dataDir/${a.path}")).getLen < smallFileBytes
       }
@@ -1358,9 +1443,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val fsys = new Path(path).getFileSystem(conf)
     val manifestRoot = new Path(path, "_symlink_format_manifest")
     if (fsys.exists(manifestRoot)) fsys.delete(manifestRoot, true)
-    val part = spec.partition
+    // era-aware dir naming: each file's manifest entry sits under the
+    // partition dir it was PHYSICALLY written with (after a partition
+    // evolution, old-era files keep their own column's dirs — external
+    // engines read the same layout the filesystem shows)
     val groups = live.groupBy { a =>
-      part.flatMap(p => a.partitionValue.map(v => s"$p=$v")).getOrElse("")
+      (if (spec.partition.isDefined) partitionColOf(a) else None)
+        .flatMap(c => a.partitionValue.map(v => s"$c=$v")).getOrElse("")
     }
     groups.toSeq.sortBy(_._1).map { case (rel, acts) =>
       val dir = if (rel.isEmpty) manifestRoot else new Path(manifestRoot, rel)
@@ -2061,6 +2150,52 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Iceberg-style PARTITION EVOLUTION: change the table's partition
+    * column in a METADATA-ONLY commit — zero data files touched at any
+    * table size (re-laying out a 100 TB table is exactly the rewrite this
+    * exists to avoid). Files keep the physical layout of their own ERA:
+    * the column a file was partitioned by is self-described by its dir
+    * path ([[partitionColOf]]), stored in dirs for that era and as plain
+    * data for every other, so a mixed-era table still reads every column
+    * for every row — scans group per era ([[readFiles]]) and union.
+    *
+    * Era discipline: every `partitionValue` metadata shortcut (file
+    * skipping, dynamic partition overwrite, SHOW PARTITIONS, metadata-only
+    * aggregates, the v2 scan's dir-constant) is era-guarded — old-era
+    * files stop qualifying for current-column shortcuts until a full
+    * rewrite (compact()/zorder()) migrates them forward, Iceberg's exact
+    * contract: correctness immediately, layout benefits as data churns.
+    *
+    * Record identity follows the SPEC: after evolution, upserts key on
+    * (key, new partition column) — the values exist on every row
+    * regardless of era. Refused while MoR log/tombstone files are
+    * outstanding (a tombstone row carries only key + its OWN era's
+    * partition value, so it could not kill base rows under the new
+    * identity) — compact() first. Bucketed tables refuse (buckets ARE
+    * the layout). */
+  def changePartition(newPartition: Option[String]): LakeTable = retrying {
+    require(spec.buckets == 0,
+      "a bucketed table's layout is its buckets — cannot re-partition")
+    require(newPartition.map(_.toLowerCase) != spec.partition.map(_.toLowerCase),
+      s"table is already partitioned ${spec.partition.fold("flat")(p => s"by $p")}")
+    val resolved = newPartition.map { p0 =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(p0)).getOrElse(
+        throw new IllegalArgumentException(s"no column $p0 to partition by"))
+      require(spec.physical(f.name) == f.name,
+        s"cannot partition by renamed (column-mapped) column ${f.name}: " +
+          "dir names must match the stored physical name")
+      require(!(f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType] || f.dataType == BinaryType),
+        s"cannot partition by ${f.name}: ${f.dataType.simpleString} has no dir encoding")
+      f.name
+    }
+    require(!liveFiles(None).exists(_.log),
+      "partition evolution with outstanding MoR log/tombstone files would " +
+        "orphan their era's record identity — run compact() first")
+    writeCommit("changePartitioning",
+      newSpec = Some(spec.copy(partition = resolved))) { (_, _) => Seq.empty }
+  }
+
   /** A4 precombine dedup inside one batch: greatest precombine wins; ties
     * broken by a deterministic row hash so re-runs are stable. NULL record
     * keys fail loudly (Hudi errors too) — the group-by would otherwise
@@ -2099,7 +2234,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val inParts = incoming.select(col(p).cast(StringType)).distinct()
           .collect().map(r => Option(r.getString(0))
             .getOrElse("__HIVE_DEFAULT_PARTITION__")).toSet
-        cands = cands.filter(a => a.partitionValue.forall(inParts.contains))
+        // era guard: only a file written under the CURRENT partition
+        // column may be pruned by its stored value — an old-era file
+        // (post partition evolution) can hold any current-column value
+        cands = cands.filter(a =>
+          partitionColOf(a) != spec.partition || a.partitionValue.forall(inParts.contains))
       }
     }
     // key-range pruning. The numeric min/max is only computed for numeric

@@ -131,6 +131,52 @@ object ExtQueries {
         |FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // PPJoin prefix filtering: same exact-Jaccard semantics as q32, but
+    // candidates come only from frequency-ordered PREFIX shingles under
+    // the length filter — the plan that survives a corpus whose head
+    // shingles have quadratic posting lists. Exactness means the oracle
+    // is the SAME full-index replay as q32's.
+    "q125_jaccard_prefix" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.ngramJaccardPairs(plantedDocs(s, d), threshold = 0.6, k = 4,
+          prefixFilter = true)
+          .orderBy("id_a", "id_b"),
+      raw"""WITH corpus AS ($plantedDocsSql),
+        |docs AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-3, 1)),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus)),
+        |inv AS (SELECT id, len(sh) AS n, UNNEST(sh) AS s FROM docs),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, CAST(common AS DOUBLE)/(na+nb-common) AS jaccard
+        |FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // 200 docs drawn ∝ token count, exactly replayable — u is a portable
+    // 48-bit md5 uniform (bit-identical on both engines: the 2^48 divide
+    // is exact), the key is −ln(u)/w, TakeOrdered keeps k. The only
+    // engine divergence channel is a last-ulp ln() at the k-boundary
+    // pair — order statistics gaps are ~10 orders of magnitude wider.
+    "q126_weighted_sample" -> ((
+      (s: SparkSession, d: String) => {
+        val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+        Sampling.weightedSample(
+          t(s, d, "documents").withColumn("n_tok", nTok), 200, col("n_tok"))
+          .select("doc_id", "n_tok").orderBy("doc_id")
+      },
+      raw"""WITH w AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+        |keyed AS (SELECT doc_id, w,
+        |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 12))::BIGINT
+        |         + 1.0) / 281474976710656.0) / w AS es_key
+        |  FROM w WHERE w > 0),
+        |top AS (SELECT doc_id, w FROM keyed ORDER BY es_key, doc_id LIMIT 200)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_tok FROM top
+        |ORDER BY doc_id""".stripMargin)),
+
     // Token-budget sampling: a deterministic ~10k-token prefix of the
     // md5-ordered corpus (the dataset-mixing primitive). The engine runs
     // the 256-bucket two-phase plan (no global window); the oracle is the

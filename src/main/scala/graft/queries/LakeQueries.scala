@@ -565,6 +565,57 @@ object LakeQueries {
         |FROM orders WHERE o_orderkey % 4 = 3
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Partition evolution (Iceberg parity): the table starts partitioned
+    // by o_orderstatus, evolves to o_orderpriority in a METADATA-ONLY
+    // commit, then takes (a) an upsert whose updates hit OLD-era rows and
+    // whose inserts land under the NEW layout, and (b) a dynamic partition
+    // overwrite of one NEW-column partition — which must route row-level,
+    // because old-era files interleave priorities within files. The final
+    // readback exercises era-grouped scans end to end; the oracle replays
+    // the same state in pure SQL.
+    "q124_partition_evolution" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"pevo_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path,
+          ordersSpec.copy(partition = Some("o_orderstatus")),
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        tbl.changePartition(Some("o_orderpriority"))
+        val o = t(s, d, "orders")
+        val updates = o.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+          .withColumn("o_orderstatus", lit("U"))
+        val inserts = o.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 5 === 0)
+        LakeTable.load(s, path).upsert(updates.unionByName(inserts))
+        val repl = o.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+          .withColumn("o_orderpriority", lit("1-URGENT"))
+        LakeTable.load(s, path).overwritePartitions(repl)
+        proj(LakeTable.load(s, path).read())
+      },
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 1.0 AS o_totalprice,
+        |         o_orderdate + INTERVAL 1 DAY AS o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 6 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+        |)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM merged WHERE o_orderpriority <> '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Savepoints: v0 stays time-travelable THROUGH a retention-1 vacuum
     // because the pin holds its files; the query reads the pinned snapshot
     // after churn + vacuum, so the oracle is simply the original content.

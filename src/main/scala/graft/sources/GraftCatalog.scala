@@ -573,6 +573,10 @@ class GraftScanBuilder(path: String, asOf: Option[Long], fullSchema: StructType)
       if (required.isEmpty) return None
       val live0 = t.liveFiles(asOf)
       if (live0.isEmpty || live0.exists(a => a.log || a.base.isDefined)) return None
+      // partition-evolution era guard: the dir-constant logic below
+      // assumes every file's stored partitionValue belongs to the CURRENT
+      // partition column — mixed eras read through V1 (era-grouped scans)
+      if (t.mixedPartitionEras(live0, spec)) return None
       val live = t.pruneByFilters(live0, filters.toSeq)
       val dataSchema = t.schemaAt(asOf)
       val constCol: Option[String] =

@@ -115,6 +115,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case REORG_RE(target) => claimOr(sqlText, target) {
       GraftReorgPurgeCommand(target.trim)
     }
+    case SET_PART_RE(target, colName) => claimOr(sqlText, target) {
+      GraftChangePartitionCommand(target.trim, Some(stripIdent(colName)))
+    }
+    case DROP_PART_RE(target) => claimOr(sqlText, target) {
+      GraftChangePartitionCommand(target.trim, None)
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -187,6 +193,11 @@ object GraftSqlParser {
 
   private[sql] val REORG_RE =
     (s"""(?is)\\s*REORG\\s+TABLE\\s+$TGT\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""").r
+
+  private[sql] val SET_PART_RE =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TGT\\s+SET\\s+PARTITION\\s+FIELD\\s+(`?\\w+`?)\\s*;?\\s*""").r
+  private[sql] val DROP_PART_RE =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TGT\\s+DROP\\s+PARTITION\\s+FIELD\\s*;?\\s*""").r
 
   private def stripIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -401,6 +412,18 @@ case class GraftDropConstraintCommand(target: String, name: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.resolveTable(spark, target).dropConstraint(name)
+    Seq.empty
+  }
+}
+
+/** Iceberg-style partition evolution: `ALTER TABLE t SET PARTITION FIELD c`
+  * / `ALTER TABLE t DROP PARTITION FIELD` →
+  * [[graft.lake.LakeTable.changePartition]] — a metadata-only commit; files
+  * keep their own era's layout, new writes use the new column. */
+case class GraftChangePartitionCommand(target: String, partition: Option[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolveTable(spark, target).changePartition(partition)
     Seq.empty
   }
 }

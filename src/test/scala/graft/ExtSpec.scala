@@ -59,6 +59,64 @@ class ExtSpec extends AnyFunSuite {
     assert(mh.subsetOf(exact), s"minhash produced non-exact pairs: ${mh -- exact}")
   }
 
+  test("PPJoin prefix filtering ≡ full inverted index, with fewer candidates") {
+    val full = Dedup.ngramJaccardPairs(planted, 0.6, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pp = Dedup.ngramJaccardPairs(planted, 0.6, k = 4, prefixFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pp == full, s"prefix filter changed results: ${(pp -- full) ++ (full -- pp)}")
+    // the point of the plan: the candidate set is strictly smaller than
+    // the full index's joined pair set
+    val docs = planted.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 4).as("sh"))
+      .withColumn("n_sh", org.apache.spark.sql.functions.size(col("sh")))
+    val candN = Dedup.prefixCandidates(docs, 0.6).count()
+    val inv = docs.select(col("id"), explode(col("sh")).as("s"))
+    val fullN = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select("a.id", "b.id").distinct().count()
+    assert(candN < fullN,
+      s"prefix filtering must shrink the candidate set ($candN vs $fullN)")
+    assert(full.map(p => (p._1, p._2)).subsetOf(
+      Dedup.prefixCandidates(docs, 0.6).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet),
+      "every true pair must survive candidate generation (zero false negatives)")
+  }
+
+  test("weighted sampling: deterministic, k-exact, weight-proportional, no w<=0") {
+    import spark.implicits._
+    import graft.ext.Sampling
+    // 400 light docs (w=1) + 100 heavy (w=50): heavies hold ~92.6% of the
+    // mass, so a k=50 sample should be dominated by them
+    val pool = ((1L to 400L).map(i => (i, 1L)) ++ (1001L to 1100L).map(i => (i, 50L)) ++
+      Seq((9999L, 0L), (9998L, -3L))).toDF("doc_id", "w")
+    val s1 = Sampling.weightedSample(pool, 50, col("w")).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.weightedSample(pool, 50, col("w")).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "same seed must replay the same sample")
+    assert(s1.size == 50 && s1.distinct.size == 50)
+    assert(!s1.contains(9999L) && !s1.contains(9998L), "w<=0 must never qualify")
+    val heavies = s1.count(_ >= 1001L)
+    assert(heavies >= 35, s"heavy docs must dominate ∝ weight (got $heavies/50)")
+    // exact A-ES law replay: the engine's pick must equal a driver-side
+    // recomputation of −ln(u)/w over the same portable md5 uniforms
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(s"$id:graft".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 281474976710656.0
+      -math.log(u) / w.toDouble
+    }
+    val expect = (((1L to 400L).map(i => (i, 1L)) ++ (1001L to 1100L).map(i => (i, 50L)))
+      .map { case (id, w) => (key(id, w), id) }.sorted.take(50).map(_._2)).toSet
+    assert(s1.toSet == expect, "engine sample must equal the A-ES law replay")
+    // a different seed draws a different (but same-law) sample
+    val s3 = Sampling.weightedSample(pool, 50, col("w"), seed = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(s3 != s1 && s3.size == 50)
+  }
+
   test("simhash finds planted near-duplicates (appended token ⇒ tiny bit flip)") {
     val found = Dedup.simhashPairs(planted, maxHamming = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
