@@ -1576,6 +1576,38 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     doomed.toSeq
   }
 
+  /** Delta `FSCK REPAIR TABLE` analog: drop commit-log references to live
+    * files whose PHYSICAL data is missing on storage (external deletion,
+    * partial restore, lost bucket object) so the table reads again —
+    * losing exactly the missing rows instead of failing every query. A
+    * file whose DELETION-VECTOR sidecar is gone is dropped too: serving
+    * it without the DV would resurrect deleted rows, strictly worse than
+    * honest absence. Existence checks batch ONE `listStatus` per parent
+    * dir (never one RPC per file), so the repair costs ∝ directory
+    * count. `dryRun` reports without committing. Returns the dropped
+    * references. History is untouched — time travel to versions whose
+    * files still exist keeps working. */
+  def repair(dryRun: Boolean = false): Seq[String] = retrying {
+    val live = liveFiles(None)
+    val dirCache = scala.collection.mutable.HashMap.empty[String, Set[String]]
+    def names(dir: Path): Set[String] = dirCache.getOrElseUpdate(dir.toString, {
+      val f = dir.getFileSystem(conf)
+      if (!f.exists(dir)) Set.empty
+      else f.listStatus(dir).map(_.getPath.getName).toSet
+    })
+    def present(abs: Path): Boolean = names(abs.getParent).contains(abs.getName)
+    def dvIntact(a: FileAction): Boolean = a.dv.forall { d =>
+      names(new Path(dvRoot(d))).exists(_.endsWith(".parquet"))
+    }
+    val missing = live.filter(a =>
+      !present(new Path(s"${a.base.getOrElse(dataDir)}/${a.path}")) || !dvIntact(a))
+    if (missing.nonEmpty && !dryRun)
+      writeCommit("fsck") { (_, _) =>
+        Seq(WriteResult(Seq.empty, missing.map(_.path)))
+      }
+    missing.map(_.path)
+  }
+
   /** Shallow clone (Delta `CREATE TABLE … SHALLOW CLONE` analog): a new
     * table at `targetPath` whose bootstrap commit REFERENCES this table's
     * live files — zero data copied, metadata-only, O(file count). Writes to

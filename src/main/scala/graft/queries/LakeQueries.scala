@@ -616,6 +616,28 @@ object LakeQueries {
         |FROM orders WHERE o_orderkey % 97 = 0
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // FSCK repair: storage loses every file of one partition (simulated
+    // external deletion); repair drops exactly the dead references and
+    // the table serves the survivors — the oracle is simply the other
+    // partitions' rows.
+    "q127_fsck_repair" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"fsck_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path,
+          ordersSpec.copy(partition = Some("o_orderstatus")), t(s, d, "orders"))
+        val conf = s.sessionState.newHadoopConf()
+        tbl.liveFiles(None).filter(_.partitionValue.contains("F")).foreach { a =>
+          val p = new org.apache.hadoop.fs.Path(s"$path/data/${a.path}")
+          p.getFileSystem(conf).delete(p, false)
+        }
+        LakeTable.load(s, path).repair()
+        proj(LakeTable.load(s, path).read())
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Savepoints: v0 stays time-travelable THROUGH a retention-1 vacuum
     // because the pin holds its files; the query reads the pinned snapshot
     // after churn + vacuum, so the oracle is simply the original content.

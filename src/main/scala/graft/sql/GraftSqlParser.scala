@@ -115,6 +115,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case REORG_RE(target) => claimOr(sqlText, target) {
       GraftReorgPurgeCommand(target.trim)
     }
+    case FSCK_RE(target, dry) => claimOr(sqlText, target) {
+      GraftFsckCommand(target.trim, dry != null)
+    }
     case SET_PART_RE(target, colName) => claimOr(sqlText, target) {
       GraftChangePartitionCommand(target.trim, Some(stripIdent(colName)))
     }
@@ -194,6 +197,8 @@ object GraftSqlParser {
   private[sql] val REORG_RE =
     (s"""(?is)\\s*REORG\\s+TABLE\\s+$TGT\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""").r
 
+  private[sql] val FSCK_RE =
+    (s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$TGT(\\s+DRY\\s+RUN)?\\s*;?\\s*""").r
   private[sql] val SET_PART_RE =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TGT\\s+SET\\s+PARTITION\\s+FIELD\\s+(`?\\w+`?)\\s*;?\\s*""").r
   private[sql] val DROP_PART_RE =
@@ -414,6 +419,19 @@ case class GraftDropConstraintCommand(target: String, name: String)
     GraftSqlParser.resolveTable(spark, target).dropConstraint(name)
     Seq.empty
   }
+}
+
+/** Delta-parity `FSCK REPAIR TABLE t [DRY RUN]`: drop commit-log
+  * references to physically missing files (lost storage objects, lost DV
+  * sidecars) so the table reads again; DRY RUN only reports. One row per
+  * dropped reference. */
+case class GraftFsckCommand(target: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("removed_file", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.resolveTable(spark, target).repair(dryRun).map(Row(_))
 }
 
 /** Iceberg-style partition evolution: `ALTER TABLE t SET PARTITION FIELD c`
