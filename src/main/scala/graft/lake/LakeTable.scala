@@ -1191,11 +1191,33 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * space, so parquet row-group stats prune scans filtered on ANY of the
     * clustered columns — the property a 100 TB table needs when queries
     * filter on more than the record key. */
-  def zorder(cols: Seq[String], targetFiles: Int = 0, bitsPerDim: Int = 8): LakeTable = retrying {
+  def zorder(cols: Seq[String], targetFiles: Int = 0, bitsPerDim: Int = 8,
+      incremental: Boolean = false): LakeTable = retrying {
     require(cols.size >= 2 && cols.size <= 3, "zorder needs 2-3 columns (1-D: compact(clusterByKey))")
     cols.foreach(c => require(schema.fieldNames.contains(c), s"no column $c"))
-    val live = liveFiles(None)
-    writeCommit("zorder") { (writeId, _) =>
+    val all = liveFiles(None)
+    // incremental (liquid-clustering style): re-cluster ONLY files that no
+    // prior zorder produced — cost ∝ data added since the last clustering,
+    // never ∝ table size. Already-clustered files keep their tight
+    // hyper-rectangles (and their row-group stats keep pruning); the new
+    // batch gets its own. A file's provenance is its write-id's commit
+    // operation — pure commit-log metadata.
+    val live =
+      if (!incremental) all
+      else {
+        require(!all.exists(_.log),
+          "incremental zorder needs MoR logs folded first (run compact())")
+        val opOf: Map[Long, String] = commits.map(c => c.version -> c.operation).toMap
+        all.filterNot { a =>
+          val head = a.path.takeWhile(_ != '/')
+          head.startsWith(s"$WRITE_ID=") &&
+            head.drop(WRITE_ID.length + 1).toLongOption
+              .map(_ / LakeTable.WRITE_SLOTS)
+              .exists(v => opOf.get(v).exists(_.startsWith("zorder")))
+        }
+      }
+    if (incremental && live.isEmpty) return this // nothing new to cluster
+    writeCommit(if (incremental) "zorder_incremental" else "zorder") { (writeId, _) =>
       val rt = mergedRewrite(live)
       val aggExprs = cols.flatMap(c =>
         Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))

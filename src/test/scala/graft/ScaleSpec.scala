@@ -142,6 +142,38 @@ class ScaleSpec extends AnyFunSuite {
       s"z-order should localize both dims (~0.25 ideal at 16 files), got a=$wa b=$wb")
   }
 
+  test("incremental zorder re-clusters ONLY files added since the last zorder") {
+    val path = Files.createTempDirectory("graft_zinc").toString
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 20000).map(i => (i, 1L, rnd.nextInt(1000000), rnd.nextInt(1000000)))
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      base.toDF("k", "pc", "a", "b"), bulkInsert = true)
+    t.zorder(Seq("a", "b"), targetFiles = 8)
+    val clustered = LakeTable.load(spark, path).liveFiles(None).map(_.path).toSet
+    // fresh unclustered appends
+    val extra = (20001 to 24000).map(i => (i, 1L, rnd.nextInt(1000000), rnd.nextInt(1000000)))
+    LakeTable.load(spark, path).upsert(extra.toDF("k", "pc", "a", "b"))
+    val t2 = LakeTable.load(spark, path)
+    val newFiles = t2.liveFiles(None).map(_.path).toSet -- clustered
+    assert(newFiles.nonEmpty)
+    val content = t2.read().select("k", "a").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    t2.zorder(Seq("a", "b"), targetFiles = 4, incremental = true)
+    val t3 = LakeTable.load(spark, path)
+    val after = t3.liveFiles(None).map(_.path).toSet
+    assert(clustered.subsetOf(after),
+      "incremental zorder must not touch already-clustered files")
+    assert((newFiles & after).isEmpty,
+      "incremental zorder must rewrite every unclustered file")
+    assert(t3.read().select("k", "a").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet == content,
+      "incremental zorder must not change contents")
+    // a second incremental run with nothing new is a commit-free no-op
+    val v = t3.latestVersion
+    t3.zorder(Seq("a", "b"), incremental = true)
+    assert(LakeTable.load(spark, path).latestVersion == v)
+  }
+
   test("upsert touching hundreds of files rewrites them correctly (join-based selection)") {
     val path = Files.createTempDirectory("graft_many").toString
     val base = (1 to 30000).map(i => (i, 1L, s"v$i")).toDF("k", "pc", "payload")
