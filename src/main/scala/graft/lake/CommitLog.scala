@@ -179,6 +179,10 @@ object CommitLog {
       val sc = spec.putArray("sumColumns")
       c.spec.sumColumns.foreach(sc.add)
     }
+    if (c.spec.bloomColumns.nonEmpty) {
+      val bc = spec.putArray("bloomColumns")
+      c.spec.bloomColumns.foreach(bc.add)
+    }
     if (c.spec.columnMap.nonEmpty) {
       val cm = spec.putObject("columnMap")
       c.spec.columnMap.foreach { case (l, p) => cm.put(l, p) }
@@ -405,6 +409,12 @@ object CommitLog {
         val b = ArrayBuffer.empty[String]
         if (specN.hasNonNull("sumColumns"))
           specN.get("sumColumns").asInstanceOf[ArrayNode].forEach(x => b += x.asText)
+        b.toSeq
+      },
+      bloomColumns = {
+        val b = ArrayBuffer.empty[String]
+        if (specN.hasNonNull("bloomColumns"))
+          specN.get("bloomColumns").asInstanceOf[ArrayNode].forEach(x => b += x.asText)
         b.toSeq
       },
       columnMap = {

@@ -237,14 +237,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       asOf: Option[Long] = None): DataFrame = {
     val live = liveFiles(asOf)
     if (live.exists(_.log)) read(asOf)
-    else ordered(readFiles(skipByStats(live, filters), asOf = asOf), asOf)
+    else ordered(readFiles(bloomSkip(skipByStats(live, filters), filters), asOf = asOf), asOf)
   }
 
-  /** [[skipByStats]] for the DSv2 scan builder: plan-time file pruning
-    * from commit-log stats against the pushed V1 filters. */
+  /** [[skipByStats]] + [[bloomSkip]] for the DSv2 scan builder: plan-time
+    * file pruning from commit-log stats and bloom sidecars against the
+    * pushed V1 filters. */
   private[graft] def pruneByFilters(actions: Seq[FileAction],
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileAction] =
-    skipByStats(actions, filters)
+    bloomSkip(skipByStats(actions, filters), filters)
 
   /** Physical column names present in a live graft-written file: the
     * declared schema of the commit that wrote it, derived from the file's
@@ -1581,9 +1582,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         else if (f.getPath.getName.endsWith(".parquet") && !keep.contains(rel)) {
           if (everAdded.contains(rel) || stale) drop(f.getPath, rel)
         }
-        // bloom sidecar goes with its data file (same in-flight guard)
+        // bloom sidecar goes with its data file (same in-flight guard);
+        // column sidecars (`<rel>.<col>.bf`) strip their column segment
         else if (rel.startsWith(".blooms/")) {
-          val dataRel = rel.stripPrefix(".blooms/").stripSuffix(".bf")
+          val raw = rel.stripPrefix(".blooms/").stripSuffix(".bf")
+          val cut = raw.lastIndexOf(".parquet")
+          val dataRel = if (cut >= 0) raw.substring(0, cut + ".parquet".length) else raw
           if (!keep.contains(dataRel) && (everAdded.contains(dataRel) || stale))
             drop(f.getPath, rel)
         }
@@ -2183,12 +2187,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         case "bloombitsperkey" => s.copy(bloomBitsPerKey = v.toInt)
         case "statscolumns" => s.copy(statsColumns =
           v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "bloomcolumns" => s.copy(bloomColumns =
+          v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "key" | "precombine" | "partition" | "buckets" | "mor" =>
           throw new UnsupportedOperationException(
             s"table property '$k' is identity metadata and cannot be altered")
         case other => throw new IllegalArgumentException(
           s"unknown graft table property '$other' (settable: autoCompactFiles, " +
-            "autoCompactLogs, bloomBitsPerKey, statsColumns)")
+            "autoCompactLogs, bloomBitsPerKey, statsColumns, bloomColumns)")
       }
     }
     writeCommit("setProperties", newSpec = Some(next)) { (_, _) => Seq.empty }
@@ -2327,34 +2333,97 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         .limit(LakeTable.MAX_BLOOM_PROBE_KEYS + 1)
         .collect().map(_.getString(0))
       if (keys.length <= LakeTable.MAX_BLOOM_PROBE_KEYS) {
-        val bKeys = spark.sparkContext.broadcast(keys)
-        // Configuration is not serializable — ship its entries and rebuild
-        // in-task (executors need the session's fs credentials/impls)
-        val confEntries = {
-          val it = conf.iterator(); val buf = Seq.newBuilder[(String, String)]
-          while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-          buf.result()
-        }
-        val bConf = spark.sparkContext.broadcast(confEntries)
-        val dd = dataDir
-        val hit = spark.sparkContext
-          .parallelize(cands.map(_.path), math.max(1, math.min(cands.size, 64)))
-          .mapPartitions { it =>
-            val c = new org.apache.hadoop.conf.Configuration(false)
-            bConf.value.foreach { case (k, v) => c.set(k, v) }
-            val fs = new Path(dd).getFileSystem(c)
-            it.filter { rel =>
-              KeyBloom.readOpt(fs, new Path(s"$dd/.blooms/$rel.bf")) match {
-                case Some(bloom) => bKeys.value.exists(bloom.mightContainString)
-                case None => true // absent/torn sidecar: fail open, keep the file
-              }
-            }
-          }.collect().toSet
+        val hit = bloomSurvivors(cands.map(_.path), ".bf", keys)
         cands = cands.filter(a => hit.contains(a.path))
       }
     }
     lastPrunedCandidates = cands.size
     cands
+  }
+
+  /** Distributed bloom-sidecar probe: the subset of `rels` whose sidecar
+    * at `<rel><suffix>` might contain ANY probe value (absent/torn
+    * sidecar = kept — pruning may be suboptimal, never wrong). One tiny
+    * job of ≤64 tasks reading a few KB each — never a data-file open. */
+  private def bloomSurvivors(rels: Seq[String], suffix: String,
+      probes: Array[String]): Set[String] = {
+    val bKeys = spark.sparkContext.broadcast(probes)
+    // Configuration is not serializable — ship its entries and rebuild
+    // in-task (executors need the session's fs credentials/impls)
+    val confEntries = {
+      val it = conf.iterator(); val buf = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.result()
+    }
+    val bConf = spark.sparkContext.broadcast(confEntries)
+    val dd = dataDir
+    spark.sparkContext
+      .parallelize(rels, math.max(1, math.min(rels.size, 64)))
+      .mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        bConf.value.foreach { case (k, v) => c.set(k, v) }
+        val fs = new Path(dd).getFileSystem(c)
+        it.filter { rel =>
+          KeyBloom.readOpt(fs, new Path(s"$dd/.blooms/$rel$suffix")) match {
+            case Some(bloom) => bKeys.value.exists(bloom.mightContainString)
+            case None => true // absent/torn sidecar: fail open, keep the file
+          }
+        }
+      }.collect().toSet
+  }
+
+  /** Bloom-COLUMN file skipping for scans ([[TableSpec.bloomColumns]]):
+    * point-lookup conjuncts (`=`, `<=>`, `IN` up to the probe cap) on a
+    * bloom-indexed column probe each candidate file's per-column sidecar
+    * and drop definite misses before the scan is planned — the non-key
+    * equality analog of stats skipping. Only string and integral literals
+    * probe (their canonical cast-to-string forms are unambiguous);
+    * anything else keeps its files. External/base files never probe
+    * (their sidecars live elsewhere — fail-open). */
+  private[graft] def bloomSkip(actions: Seq[FileAction],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileAction] = {
+    import org.apache.spark.sql.sources._
+    if (spec.bloomColumns.isEmpty || actions.isEmpty || filters.isEmpty) return actions
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def canon(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Long => Some(v.toString)
+      case _ => None
+    }
+    def bloomColOf(c: String): Option[String] =
+      spec.bloomColumns.find(_.equalsIgnoreCase(c)).map(spec.physical)
+    var out = actions
+    conjuncts(filters.reduce(And)).foreach {
+      case EqualTo(c, v) => for (p <- bloomColOf(c); s <- canon(v)) {
+        out = probeColumn(out, p, Array(s))
+      }
+      case EqualNullSafe(c, v) if v != null =>
+        for (p <- bloomColOf(c); s <- canon(v)) {
+          out = probeColumn(out, p, Array(s))
+        }
+      case In(c, vs) if vs.nonEmpty && vs.length <= LakeTable.MAX_BLOOM_PROBE_KEYS =>
+        for (p <- bloomColOf(c)) {
+          val canons = vs.toSeq.map(canon)
+          // a null/unconvertible member makes the probe unsound — skip
+          if (canons.forall(_.isDefined))
+            out = probeColumn(out, p, canons.flatten.toArray)
+        }
+      case _ => ()
+    }
+    out
+  }
+
+  private def probeColumn(actions: Seq[FileAction], phys: String,
+      probes: Array[String]): Seq[FileAction] = {
+    if (actions.isEmpty) return actions
+    val (own, foreign) = actions.partition(_.base.isEmpty)
+    if (own.isEmpty) return actions
+    val hit = bloomSurvivors(own.map(_.path), s".$phys.bf", probes)
+    own.filter(a => hit.contains(a.path)) ++ foreign
   }
 
   /** Candidate-file count after the latest pruneCandidates pass — test
@@ -2570,7 +2639,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val kept =
       if (log || kept0.isEmpty) kept0
       else writeSums(target, kept0)
-    if (spec.bloomBitsPerKey > 0 && kept.nonEmpty) writeBlooms(target, kept)
+    if ((spec.bloomBitsPerKey > 0 || spec.bloomColumns.nonEmpty) && kept.nonEmpty)
+      writeBlooms(target, kept)
     WriteResult(kept, Seq.empty)
   }
 
@@ -2619,20 +2689,39 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * analog, see [[KeyBloom]]): one executor job re-reads only the new
     * files' key column (hot in cache), partial blooms are OR-merged per
     * file, sidecars land under `data/.blooms/<rel>.bf`. */
+  /** Build bloom sidecars for the just-written files in ONE pass: the key
+    * bloom (when `bloomBitsPerKey` > 0, sidecar `<rel>.bf`) plus one per
+    * declared [[TableSpec.bloomColumns]] entry (sidecar
+    * `<rel>.<physical>.bf`), all accumulated from the same scan. */
   private def writeBlooms(target: String, adds: Seq[FileAction]): Unit = {
-    val bpk = spec.bloomBitsPerKey
+    val bpk = if (spec.bloomBitsPerKey > 0) spec.bloomBitsPerKey else 10
     val rowsByRel = adds.map(a => (a.path, a.rows)).toMap
-    val keyName = spec.key
-    val partials = spark.read.parquet(target)
-      .select(input_file_name().as("_f"), col(keyName).cast(StringType).as("_k"))
+    // (physical select column, sidecar suffix)
+    val bloomCols: Seq[(String, String)] =
+      (if (spec.bloomBitsPerKey > 0) Seq(spec.physical(spec.key) -> ".bf") else Seq.empty) ++
+        spec.bloomColumns.map(spec.physical).map(p => p -> s".$p.bf")
+    if (bloomCols.isEmpty) return
+    val n = bloomCols.size
+    val written = spark.read.parquet(target)
+    // a log/tombstone batch carries only a column subset — index what exists
+    val present = bloomCols.zipWithIndex
+      .filter { case ((p, _), _) => written.columns.exists(_.equalsIgnoreCase(p)) }
+    if (present.isEmpty) return
+    val sel = input_file_name().as("_f") +:
+      present.map { case ((p, _), i) => col(p).cast(StringType).as(s"_c$i") }
+    val partials = written.select(sel: _*)
       .rdd.mapPartitions { it =>
         val acc = scala.collection.mutable.HashMap
-          .empty[String, org.apache.spark.util.sketch.BloomFilter]
+          .empty[(String, Int), org.apache.spark.util.sketch.BloomFilter]
         it.foreach { r =>
           val rel = LakeTable.decodeFileUri(r.getString(0)).split("/data/").last
           rowsByRel.get(rel).foreach { rows =>
-            val b = acc.getOrElseUpdate(rel, KeyBloom.create(rows, bpk))
-            if (!r.isNullAt(1)) b.putString(r.getString(1))
+            var j = 0
+            while (j < r.length - 1) {
+              val b = acc.getOrElseUpdate((rel, j), KeyBloom.create(rows, bpk))
+              if (!r.isNullAt(j + 1)) b.putString(r.getString(j + 1))
+              j += 1
+            }
           }
         }
         acc.iterator
@@ -2640,8 +2729,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .reduceByKey((a, b) => { a.mergeInPlace(b); a })
       .collect()
     val fs = new Path(dataDir).getFileSystem(conf)
-    partials.foreach { case (rel, bloom) =>
-      KeyBloom.write(fs, new Path(s"$dataDir/.blooms/$rel.bf"), bloom)
+    val suffixes = present.map { case ((_, s), _) => s }
+    partials.foreach { case ((rel, j), bloom) =>
+      KeyBloom.write(fs, new Path(s"$dataDir/.blooms/$rel${suffixes(j)}"), bloom)
     }
   }
 }

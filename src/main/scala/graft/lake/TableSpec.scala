@@ -114,7 +114,17 @@ case class TableSpec(
       * carry the column (genuine nulls included) are untouched. Set only
       * by [[graft.lake.LakeTable.addColumns]] with defaults; frozen
       * constants (never re-evaluated against later spec changes). */
-    existenceDefaults: Map[String, String] = Map.empty) {
+    existenceDefaults: Map[String, String] = Map.empty,
+    /** Bloom filter indexes (Delta `CREATE BLOOMFILTER INDEX` analog):
+      * per-file bloom sidecars for these NON-KEY columns, built in the
+      * same one-pass job as the key bloom. Point-lookup scans
+      * (`WHERE col = v` / `IN`) probe a few KB of sidecar per candidate
+      * file instead of opening it — the non-key equality story at 100 TB,
+      * where min/max stats prune nothing for high-cardinality columns
+      * scattered across files. Fail-open like the key bloom: a missing or
+      * torn sidecar keeps its file. Sizing follows `bloomBitsPerKey`
+      * (default 10 bits/value ≈ 1% FP when unset). */
+    bloomColumns: Seq[String] = Seq.empty) {
 
   /** Physical parquet field name of a logical column. */
   def physical(logical: String): String = columnMap.getOrElse(logical, logical)

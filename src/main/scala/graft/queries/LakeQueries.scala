@@ -638,6 +638,33 @@ object LakeQueries {
         |FROM orders WHERE o_orderstatus <> 'F'
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Bloom column index: a point lookup on a NON-key high-cardinality
+    // column (o_custkey — every file's min/max covers the whole domain,
+    // so stats prune nothing) must prune files via the per-column bloom
+    // sidecars before planning; the require pins that the index actually
+    // bit. Result is the plain relational answer, hash-exact.
+    "q128_bloom_index" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"bloomix_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path,
+          ordersSpec.copy(bloomColumns = Seq("o_custkey")),
+          t(s, d, "orders").repartition(16), bulkInsert = true)
+        val ck = tbl.read().filter(col("o_orderkey") === 32L)
+          .select("o_custkey").head().getLong(0)
+        val live = tbl.liveFiles(None)
+        val kept = tbl.pruneByFilters(live,
+          Seq(org.apache.spark.sql.sources.EqualTo("o_custkey", ck)))
+        require(kept.size < live.size,
+          s"bloom index must prune files (kept ${kept.size}/${live.size})")
+        proj(tbl.readWhere(Seq(org.apache.spark.sql.sources.EqualTo("o_custkey", ck)))
+          .filter(col("o_custkey") === ck))
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders
+        |WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = 32)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Savepoints: v0 stays time-travelable THROUGH a retention-1 vacuum
     // because the pin holds its files; the query reads the pinned snapshot
     // after churn + vacuum, so the oracle is simply the original content.
