@@ -260,7 +260,7 @@ object Similarity {
     * codebook: `argmin_c ‖s − c‖²` via the `‖c‖² − 2·s·c` expansion (the
     * `‖s‖²` term is constant per row). A pure codegen'd literal-chain
     * expression — zero shuffle, the same shape [[nearestLists]] uses. */
-  private def pqCode(codewords: Array[Array[Seq[Double]]], cnormLut: Seq[Double],
+  private[ext] def pqCode(codewords: Array[Array[Seq[Double]]], cnormLut: Seq[Double],
       sub: Int, ks: Int)(v: Column, j: Int): Column = {
     val s = slice(v, j * sub + 1, sub)
     array_min(array((0 until ks).map { cI =>
@@ -270,7 +270,7 @@ object Similarity {
     }: _*)).getField("i")
   }
 
-  private def pqNormLut(codewords: Array[Array[Seq[Double]]], m: Int,
+  private[ext] def pqNormLut(codewords: Array[Array[Seq[Double]]], m: Int,
       ks: Int): Seq[Double] =
     for (j <- 0 until m; c <- 0 until ks) yield {
       var acc = 0.0d

@@ -713,6 +713,59 @@ object ExtQueries {
         |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin)),
 
+    // Persisted incremental ANN index: codebooks trained on the EVEN half
+    // only, persisted to lake tables, the ODD half added incrementally
+    // with frozen codebooks, then searched after a reload. The oracle is
+    // the q88 ADC replay with `cent` drawn from the even corpus — codes
+    // for every vector, bit-exact scores, proving the whole
+    // build→persist→add→reload→search lifecycle is deterministic.
+    "q129_vector_index" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.VectorIndex
+        val path = java.nio.file.Files.createTempDirectory("graft_vix_q").toString
+        val emb = t(s, d, "embeddings")
+        val ix = VectorIndex.build(s, path, emb.filter(col("vec_id") % 2 === 0))
+        ix.add(emb.filter(col("vec_id") % 2 === 1))
+        VectorIndex.load(s, path).search(emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT e, ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') ASC, vec_id ASC) - 1 AS cidx
+        |  FROM v WHERE vec_id % 2 = 0 QUALIFY cidx < 16),
+        |subs AS (SELECT UNNEST(range(0, 8)) AS j),
+        |cnorm AS (SELECT c.cidx, s.j,
+        |    list_sum(list_transform(range(1, 9), i -> c.e[s.j*8 + i] * c.e[s.j*8 + i])) AS w
+        |  FROM cent c CROSS JOIN subs s),
+        |dist AS (SELECT v.vec_id, s.j, c.cidx,
+        |    cn.w - 2.0 * list_sum(list_transform(range(1, 9),
+        |      i -> v.e[s.j*8 + i] * c.e[s.j*8 + i])) AS d
+        |  FROM v CROSS JOIN cent c CROSS JOIN subs s
+        |  JOIN cnorm cn ON cn.cidx = c.cidx AND cn.j = s.j),
+        |code AS (SELECT vec_id, j, cidx AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cidx ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |vn AS (SELECT co.vec_id, SUM(cn.w ORDER BY co.j) AS vhatn
+        |  FROM code co JOIN cnorm cn ON cn.j = co.j AND cn.cidx = co.code
+        |  GROUP BY co.vec_id),
+        |qn AS (SELECT vec_id, e, (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS qn
+        |  FROM v WHERE vec_id < 10),
+        |lut AS (SELECT q.vec_id AS query_id, s.j, c.cidx,
+        |    list_sum(list_transform(range(1, 9), i -> q.e[s.j*8 + i] * c.e[s.j*8 + i])) AS val
+        |  FROM qn q CROSS JOIN cent c CROSS JOIN subs s),
+        |adc AS (SELECT l.query_id, co.vec_id AS neighbor_id, SUM(l.val ORDER BY co.j) AS dotv
+        |  FROM code co JOIN lut l ON l.j = co.j AND l.cidx = co.code
+        |  WHERE co.vec_id <> l.query_id
+        |  GROUP BY l.query_id, co.vec_id),
+        |sc AS (SELECT a.query_id, a.neighbor_id,
+        |    a.dotv / (sqrt(q.qn) * sqrt(vn.vhatn)) AS score
+        |  FROM adc a JOIN qn q ON q.vec_id = a.query_id
+        |  JOIN vn ON vn.vec_id = a.neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM sc)
+        |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin)),
+
     // LSH-bucketed ANN (multi-probe) — the 100 TB path; recall vs brute
     // force asserted in ExtSpec. Fully oracled (see lshOracleSql).
     "q37_lsh_topk" -> ((

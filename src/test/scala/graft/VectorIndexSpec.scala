@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Similarity, VectorIndex}
+
+/** Persisted incremental PQ ANN index: build-once codebooks on lake
+  * tables, frozen-codebook incremental adds, ADC search equal to the
+  * in-memory path, bit-stable across reloads. */
+class VectorIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_vix").toString
+
+  /** 120 deterministic 16-dim vectors. */
+  private def corpus: DataFrame = {
+    val rnd = new scala.util.Random(5)
+    (0L until 120L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("persisted search ≡ in-memory pqTopK, and survives reload bit-exactly") {
+    val path = tmp()
+    val c = corpus.cache()
+    val queries = c.filter(col("vec_id") < 5)
+    val ix = VectorIndex.build(spark, path, c, m = 8, ks = 16)
+    def rows(df: DataFrame) = df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val fromIndex = rows(ix.search(queries, k = 5))
+    val inMemory = rows(Similarity.pqTopK(c, queries, k = 5, m = 8, ks = 16))
+    assert(fromIndex == inMemory, "index search must equal the in-memory PQ path")
+    val reloaded = VectorIndex.load(spark, path)
+    assert(reloaded.codewords.map(_.toSeq).toSeq == ix.codewords.map(_.toSeq).toSeq,
+      "codebooks must round-trip parquet bit-exactly")
+    assert(rows(reloaded.search(queries, k = 5)) == fromIndex)
+    // exact rerank path works from the stored embeddings alone
+    val reranked = rows(reloaded.search(queries, k = 5, rerank = 3))
+    assert(reranked.nonEmpty && reranked.map(x => (x._1, x._3)).distinct.size == reranked.size)
+  }
+
+  test("incremental add with frozen codebooks: new vectors are searchable") {
+    val path = tmp()
+    val c = corpus.cache()
+    val ix = VectorIndex.build(spark, path, c, m = 8, ks = 16)
+    // plant a vector almost identical to query 3's embedding
+    val q3 = c.filter(col("vec_id") === 3L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val planted = q3.clone(); planted(0) += 1e-4f
+    ix.add(Seq((777L, planted)).toDF("vec_id", "embedding"))
+    val got = VectorIndex.load(spark, path)
+      .search(c.filter(col("vec_id") === 3L), k = 1, rerank = 4)
+      .select("neighbor_id").head().getLong(0)
+    assert(got == 777L, s"the planted near-duplicate must be rank 1, got $got")
+  }
+
+  test("re-adding a vec_id replaces its code (keyed upsert, never duplicates)") {
+    val path = tmp()
+    val c = corpus.cache()
+    val ix = VectorIndex.build(spark, path, c, m = 8, ks = 16)
+    val newVec = Array.fill(16)(0.25f)
+    ix.add(Seq((7L, newVec)).toDF("vec_id", "embedding"))
+    val codes = graft.lake.LakeTable.load(spark, s"$path/codes").read()
+    assert(codes.filter(col("vec_id") === 7L).count() == 1)
+    val stored = codes.filter(col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0)
+    assert(stored == newVec.toSeq, "the replacement embedding must win")
+  }
+}
