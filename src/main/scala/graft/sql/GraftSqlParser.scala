@@ -62,10 +62,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OPTIMIZE_RE(target, where, zcols) => claimOr(sqlText, target) {
+    case OPTIMIZE_RE(target, where, zcols, inc) => claimOr(sqlText, target) {
       GraftOptimizeCommand(target.trim,
         Option(zcols).map(_.split(",").map(stripIdent).toSeq).getOrElse(Seq.empty),
-        Option(where).map(_.trim))
+        Option(where).map(_.trim), incremental = inc != null)
     }
     case VACUUM_RE(target, hours, dry) => claimOr(sqlText, target) {
       GraftVacuumCommand(target.trim,
@@ -115,6 +115,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case REORG_RE(target) => claimOr(sqlText, target) {
       GraftReorgPurgeCommand(target.trim)
     }
+    case CREATE_BLOOM_RE(target, cols) => claimOr(sqlText, target) {
+      GraftBloomIndexCommand(target.trim,
+        cols.split(",").map(stripIdent).toSeq, drop = false)
+    }
+    case DROP_BLOOM_RE(target) => claimOr(sqlText, target) {
+      GraftBloomIndexCommand(target.trim, Seq.empty, drop = true)
+    }
     case FSCK_RE(target, dry) => claimOr(sqlText, target) {
       GraftFsckCommand(target.trim, dry != null)
     }
@@ -152,7 +159,7 @@ object GraftSqlParser {
   private val TGT = """((?:'[^']+')|(?:graft\.`[^`]+`)|(?:[\w.]+))"""
   private[sql] val OPTIMIZE_RE =
     (s"""(?is)\\s*OPTIMIZE\\s+$TGT\\s*(?:WHERE\\s+(.+?))?\\s*""" +
-      """(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+      """(?:ZORDER\s+BY\s*\(([^)]+)\)(\s+INCREMENTAL)?)?\s*;?\s*""").r
   private[sql] val VACUUM_RE =
     (s"""(?is)\\s*VACUUM\\s+$TGT\\s*(?:RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?)?""" +
       """\s*(DRY\s+RUN)?\s*;?\s*""").r
@@ -197,6 +204,11 @@ object GraftSqlParser {
   private[sql] val REORG_RE =
     (s"""(?is)\\s*REORG\\s+TABLE\\s+$TGT\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""").r
 
+  private[sql] val CREATE_BLOOM_RE =
+    (s"""(?is)\\s*CREATE\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?$TGT""" +
+      """\s+FOR\s+COLUMNS\s*\(([^)]+)\)\s*;?\s*""").r
+  private[sql] val DROP_BLOOM_RE =
+    (s"""(?is)\\s*DROP\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?$TGT\\s*;?\\s*""").r
   private[sql] val FSCK_RE =
     (s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$TGT(\\s+DRY\\s+RUN)?\\s*;?\\s*""").r
   private[sql] val SET_PART_RE =
@@ -226,7 +238,7 @@ object GraftSqlParser {
 }
 
 case class GraftOptimizeCommand(target: String, zorderCols: Seq[String],
-    where: Option[String] = None)
+    where: Option[String] = None, incremental: Boolean = false)
     extends LeafRunnableCommand {
 
   /** Delta-style partition predicate for `OPTIMIZE t WHERE …`: equality or
@@ -256,8 +268,13 @@ case class GraftOptimizeCommand(target: String, zorderCols: Seq[String],
     // optimize() itself folds a MoR table's outstanding logs via compact()
     if (zorderCols.nonEmpty) {
       require(where.isEmpty, "OPTIMIZE … WHERE cannot combine with ZORDER BY")
-      t.zorder(zorderCols)
-    } else t.optimize(partitionFilter = partitionPredicate(t))
+      // INCREMENTAL = liquid-clustering style: only files added since the
+      // last zorder re-cluster (cost ∝ new data, never ∝ table size)
+      t.zorder(zorderCols, incremental = incremental)
+    } else {
+      require(!incremental, "INCREMENTAL applies to ZORDER BY only")
+      t.optimize(partitionFilter = partitionPredicate(t))
+    }
     Seq.empty
   }
 }
@@ -417,6 +434,23 @@ case class GraftDropConstraintCommand(target: String, name: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.resolveTable(spark, target).dropConstraint(name)
+    Seq.empty
+  }
+}
+
+/** Delta-parity `CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (c1,…)` /
+  * `DROP BLOOMFILTER INDEX ON TABLE t`: declare (union with existing) or
+  * clear the table's [[graft.lake.TableSpec.bloomColumns]] — a
+  * metadata-only commit; sidecars appear with subsequent writes/rewrites,
+  * earlier files fail open. */
+case class GraftBloomIndexCommand(target: String, cols: Seq[String], drop: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, target)
+    val next =
+      if (drop) Seq.empty
+      else (t.spec.bloomColumns ++ cols).distinct
+    t.setProperties(Map("bloomColumns" -> next.mkString(",")))
     Seq.empty
   }
 }

@@ -81,6 +81,30 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(got == LakeTable.load(spark, path).read().filter(col("tag") === probe).count())
   }
 
+  test("SQL: CREATE/DROP BLOOMFILTER INDEX and OPTIMIZE ZORDER INCREMENTAL") {
+    val s = MaintenanceSqlSessions.sql
+    import s.implicits._
+    val path = tmp()
+    val rows = (1 to 4000).map(i => (i.toLong, 1L, s"t$i", i % 1000, (i * 37) % 1000))
+    LakeTable.create(s, path, TableSpec("k", "ver"),
+      rows.toDF("k", "ver", "tag", "a", "b").repartition(4), bulkInsert = true)
+    s.sql(s"CREATE BLOOMFILTER INDEX ON TABLE graft.`$path` FOR COLUMNS (tag)")
+    assert(LakeTable.load(s, path).spec.bloomColumns == Seq("tag"))
+    s.sql(s"OPTIMIZE graft.`$path` ZORDER BY (a, b)")
+    val zfiles = LakeTable.load(s, path).liveFiles(None).map(_.path).toSet
+    LakeTable.load(s, path).upsert(
+      (4001 to 5000).map(i => (i.toLong, 1L, s"t$i", i % 1000, (i * 37) % 1000))
+        .toDF("k", "ver", "tag", "a", "b"))
+    s.sql(s"OPTIMIZE graft.`$path` ZORDER BY (a, b) INCREMENTAL")
+    val t2 = LakeTable.load(s, path)
+    assert(t2.history.filter(col("operation") === "zorder_incremental").count() == 1)
+    assert(t2.read().count() == 5000)
+    // incremental kept every file the full zorder produced
+    assert(zfiles.subsetOf(t2.liveFiles(None).map(_.path).toSet))
+    s.sql(s"DROP BLOOMFILTER INDEX ON TABLE graft.`$path`")
+    assert(LakeTable.load(s, path).spec.bloomColumns.isEmpty)
+  }
+
   test("bloomColumns is settable as a table property; later writes index it") {
     val path = tmp()
     val rows = (1 to 2000).map(i => (i.toLong, 1L, s"u${i * 7919 % 50000}"))
