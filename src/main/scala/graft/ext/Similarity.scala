@@ -116,6 +116,23 @@ object Similarity {
     slice(sort_array(array(entries.toSeq: _*)), 1, n)
   }
 
+  /** Deterministic coarse clustering: each vector's nearest of
+    * `numClusters` md5-sampled centroids (cosine argmax, cid-asc
+    * tiebreak) — the engine-portable assignment IVF and SemDeDup share,
+    * exposed as the curation primitive behind cluster-balanced sampling.
+    * Returns (idCol, cid). One bounded driver sample (≤ numClusters
+    * rows), then a pure codegen'd literal-centroid argmax — zero
+    * shuffle. */
+  def clusterAssign(corpus: DataFrame, numClusters: Int = 16, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
+    val cents = sampleCentroids(c0, numClusters, seed)
+    c0.withColumn("nsq", normSq(col("cv")))
+      .withColumn("_nl", nearestLists(cents)(col("cv"), col("nsq"), 1))
+      .select(col("neighbor_id").as(idCol),
+        element_at(col("_nl"), 1).getField("cid").as("cid"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id",

@@ -766,6 +766,40 @@ object ExtQueries {
         |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin)),
 
+    // Cluster-balanced sampling: coarse-cluster the corpus embeddings
+    // (deterministic md5-sampled centroids, codegen'd literal argmax,
+    // zero shuffle) and cap each semantic cluster at 50 docs via the
+    // two-phase md5-order rule — the "don't let one dominant topic eat
+    // the budget" curation primitive (the DataComp/SemDeDup curation
+    // line). Oracle = q39's assignment replay + q116's per-group global
+    // rank rule, composed.
+    "q130_cluster_balanced" -> ((
+      (s: SparkSession, d: String) => {
+        val assign = Similarity.clusterAssign(t(s, d, "embeddings"), numClusters = 16)
+        val joined = t(s, d, "documents").select("doc_id")
+          .join(assign, col("doc_id") === col("vec_id")).drop("vec_id")
+          .withColumn("cid_s", col("cid").cast("string"))
+        Sampling.perDomainCap(joined, cap = 50, domainCol = "cid_s")
+          .select(col("doc_id"), col("cid").cast("int").as("cid"))
+          .orderBy("doc_id")
+      },
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS nsq FROM v),
+        |cent AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM n
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') ASC, vec_id ASC LIMIT 16),
+        |sim AS (SELECT n.vec_id, cent.cid,
+        |    (SELECT SUM(t.x*t.y) FROM (SELECT UNNEST(n.e) AS x, UNNEST(cent.ce) AS y) t)
+        |      / (sqrt(n.nsq) * sqrt(cent.cn)) AS csim
+        |  FROM n CROSS JOIN cent),
+        |assign AS (SELECT vec_id, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM sim) WHERE rn = 1),
+        |j AS (SELECT d.doc_id, a.cid FROM documents d JOIN assign a ON a.vec_id = d.doc_id),
+        |rk AS (SELECT doc_id, cid, ROW_NUMBER() OVER (
+        |    PARTITION BY cid ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r FROM j)
+        |SELECT doc_id, CAST(cid AS INT) AS cid FROM rk WHERE r <= 50
+        |ORDER BY doc_id""".stripMargin)),
+
     // LSH-bucketed ANN (multi-probe) — the 100 TB path; recall vs brute
     // force asserted in ExtSpec. Fully oracled (see lshOracleSql).
     "q37_lsh_topk" -> ((
