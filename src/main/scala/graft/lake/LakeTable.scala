@@ -1488,6 +1488,97 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Delta Lake PROTOCOL interop export: write a `_delta_log/` snapshot
+    * (version 00000000000000000000.json, newline-delimited actions —
+    * protocol v1/v2, metaData with the Spark schema JSON Delta itself
+    * uses as `schemaString`, one `add` per live file with relative
+    * URI-encoded path + partitionValues + size) so ANY Delta reader
+    * (delta-rs, DuckDB's delta extension, Spark with delta jars, Trino)
+    * can query the committed snapshot in place — no copy, the same
+    * parquet files. The export is a static snapshot (regenerated per
+    * call), the complement of the symlink manifest for engines that speak
+    * Delta rather than Hive symlink tables.
+    *
+    * Same expressibility refusals as the manifest (MoR logs, DVs —
+    * compact first), plus: column mapping (files store physical names the
+    * exported logical schema would not match), shallow-clone/convert
+    * references (Delta add paths must resolve under THIS table root; deep
+    * clone first), and mixed partition eras (one declared
+    * partitionColumns list cannot describe two layouts — compact
+    * migrates). Deterministic apart from file modification times: the
+    * table id derives from the path, createdTime from commit 0. Returns
+    * the log file path. */
+  def generateDeltaLog(): String = {
+    val live = liveFiles(None)
+    require(!live.exists(_.log),
+      "delta-log export needs a compacted table (MoR logs) — run compact() first")
+    require(live.forall(_.dv.isEmpty),
+      "delta-log export cannot express deletion vectors — compact() or reorgPurge() first")
+    require(spec.columnMap.isEmpty,
+      "delta-log export of a column-mapped table would mismatch physical names")
+    require(live.forall(_.base.isEmpty),
+      "delta-log export needs self-contained files (shallow clone/convert) — compact() first")
+    require(!mixedPartitionEras(live, spec),
+      "delta-log export needs a single partition layout — compact() after partition evolution")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def obj() = mapper.createObjectNode()
+    val fsys = new Path(path).getFileSystem(conf)
+    // batch one listing per parent dir for (size, modificationTime)
+    val statCache = scala.collection.mutable.HashMap.empty[String, Map[String, (Long, Long)]]
+    def statOf(rel: String): (Long, Long) = {
+      val abs = new Path(s"$dataDir/$rel")
+      val dir = abs.getParent.toString
+      statCache.getOrElseUpdate(dir, {
+        fsys.listStatus(abs.getParent)
+          .map(s => s.getPath.getName -> (s.getLen, s.getModificationTime)).toMap
+      }).getOrElse(abs.getName, (0L, 0L))
+    }
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val protocol = obj()
+    protocol.putObject("protocol").put("minReaderVersion", 1).put("minWriterVersion", 2)
+    lines += mapper.writeValueAsString(protocol)
+    val meta = obj()
+    val md = meta.putObject("metaData")
+    md.put("id", java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString)
+    md.putObject("format").put("provider", "parquet").putObject("options")
+    md.put("schemaString", schema.json)
+    val pcols = md.putArray("partitionColumns")
+    spec.partition.foreach(pcols.add)
+    md.putObject("configuration")
+    md.put("createdTime",
+      java.time.LocalDateTime.parse(CommitLog.read(path, 0L, conf).commitTime,
+        LakeTable.TIME_FMT).toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    lines += mapper.writeValueAsString(meta)
+    live.sortBy(_.path).foreach { a =>
+      val add = obj()
+      val n = add.putObject("add")
+      val rel = s"data/${a.path}"
+      n.put("path", new java.net.URI(null, null, rel, null).toASCIIString)
+      val pv = n.putObject("partitionValues")
+      spec.partition.foreach { p =>
+        a.partitionValue match {
+          case Some("__HIVE_DEFAULT_PARTITION__") | None => pv.putNull(p)
+          case Some(v) => pv.put(p, v)
+        }
+      }
+      val (len, mod) = statOf(a.path)
+      n.put("size", if (a.bytes > 0) a.bytes else len)
+      n.put("modificationTime", mod)
+      n.put("dataChange", true)
+      lines += mapper.writeValueAsString(add)
+    }
+    val logDir = new Path(path, "_delta_log")
+    fsys.mkdirs(logDir)
+    // sweep any previous export: a stale higher version would shadow ours
+    fsys.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
+      .foreach(s => fsys.delete(s.getPath, false))
+    val target = new Path(logDir, f"${0L}%020d.json")
+    val out = fsys.create(target, true)
+    out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    target.toString
+  }
+
   /** Physically delete files not live in the `retainVersions` most recent
     * versions (M1) — or, when `retainHours` is set, not live in any version
     * committed within that many hours of the latest commit (Delta's

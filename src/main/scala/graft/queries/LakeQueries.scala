@@ -665,6 +665,43 @@ object LakeQueries {
         |WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = 32)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Delta-protocol export: write `_delta_log` for the snapshot, then
+    // read the table back THROUGH the exported log alone (parse actions,
+    // scan the add paths, attach partitionValues) — what any external
+    // Delta reader would do. The oracle is the plain expected state, so a
+    // hash match proves the log describes the exact snapshot.
+    "q131_delta_export" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"dexp_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path,
+          ordersSpec.copy(partition = Some("o_orderstatus")),
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        tbl.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1))
+        LakeTable.load(s, path).generateDeltaLog()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val src = scala.io.Source.fromFile(
+          s"$path/_delta_log/00000000000000000000.json")
+        val actions = try src.getLines().toList.map(mapper.readTree) finally src.close()
+        val md = actions.flatMap(a => Option(a.get("metaData"))).head
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(md.get("schemaString").asText)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val dataCols = schema.fields.filterNot(_.name == "o_orderstatus")
+        val frames = actions.flatMap(a => Option(a.get("add"))).map { add =>
+          val rel = java.net.URLDecoder.decode(add.get("path").asText, "UTF-8")
+          val pv = add.get("partitionValues").get("o_orderstatus")
+          s.read.schema(org.apache.spark.sql.types.StructType(dataCols))
+            .parquet(s"$path/$rel")
+            .withColumn("o_orderstatus",
+              lit(if (pv == null || pv.isNull) null else pv.asText))
+        }
+        proj(frames.reduce(_.unionByName(_)))
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Savepoints: v0 stays time-travelable THROUGH a retention-1 vacuum
     // because the pin holds its files; the query reads the pinned snapshot
     // after churn + vacuum, so the oracle is simply the original content.
