@@ -254,6 +254,31 @@ object Bench {
         .groupBy("error_id").agg(count(lit(1)).as("n"))
     }
 
+    // E11: exact-Jaccard near-dup pairs via PPJoin prefix filtering — the
+    // exact-answer complement of e1's minhash on the same doc subset and
+    // threshold: candidate pairs come only from each doc's rarest
+    // (frequency-ordered prefix) shingles, then verify exactly.
+    results("e11_prefix_jaccard") = median {
+      val docs = tbl("documents").filter(col("doc_id") < 2000)
+      Dedup.ngramJaccardPairs(docs, threshold = 0.6, k = 4, prefixFilter = true)
+    }
+
+    // B10: bloom-indexed point lookup — the non-key equality path. The
+    // table is built once (untimed, like e6's index build); the timed
+    // work is sidecar probing + scanning only the surviving files.
+    results("b10_bloom_lookup") = {
+      val dir = freshDir("b10_bloom")
+      val t = LakeTable.create(spark, dir,
+        TableSpec("o_orderkey", "o_orderdate", bloomColumns = Seq("o_custkey")),
+        tbl("orders").repartition(32), bulkInsert = true)
+      val ck = t.read().filter(col("o_orderkey") === 32L)
+        .select("o_custkey").head().getLong(0)
+      median {
+        t.readWhere(Seq(org.apache.spark.sql.sources.EqualTo("o_custkey", ck)))
+          .filter(col("o_custkey") === ck)
+      }
+    }
+
     // R1: TPC-H Q1 shape from the relational set.
     results("r1_pricing_summary") = median(
       graft.queries.Relational.defs("q01_pricing_summary")._1(spark, sfDir))
