@@ -183,6 +183,10 @@ object CommitLog {
       val bc = spec.putArray("bloomColumns")
       c.spec.bloomColumns.foreach(bc.add)
     }
+    if (c.spec.writeSortColumns.nonEmpty) {
+      val ws = spec.putArray("writeSortColumns")
+      c.spec.writeSortColumns.foreach(ws.add)
+    }
     if (c.spec.columnMap.nonEmpty) {
       val cm = spec.putObject("columnMap")
       c.spec.columnMap.foreach { case (l, p) => cm.put(l, p) }
@@ -415,6 +419,12 @@ object CommitLog {
         val b = ArrayBuffer.empty[String]
         if (specN.hasNonNull("bloomColumns"))
           specN.get("bloomColumns").asInstanceOf[ArrayNode].forEach(x => b += x.asText)
+        b.toSeq
+      },
+      writeSortColumns = {
+        val b = ArrayBuffer.empty[String]
+        if (specN.hasNonNull("writeSortColumns"))
+          specN.get("writeSortColumns").asInstanceOf[ArrayNode].forEach(x => b += x.asText)
         b.toSeq
       },
       columnMap = {

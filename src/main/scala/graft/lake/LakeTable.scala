@@ -2280,12 +2280,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "bloomcolumns" => s.copy(bloomColumns =
           v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "writesortcolumns" => s.copy(writeSortColumns =
+          v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "key" | "precombine" | "partition" | "buckets" | "mor" =>
           throw new UnsupportedOperationException(
             s"table property '$k' is identity metadata and cannot be altered")
         case other => throw new IllegalArgumentException(
           s"unknown graft table property '$other' (settable: autoCompactFiles, " +
-            "autoCompactLogs, bloomBitsPerKey, statsColumns, bloomColumns)")
+            "autoCompactLogs, bloomBitsPerKey, statsColumns, bloomColumns, " +
+            "writeSortColumns)")
       }
     }
     writeCommit("setProperties", newSpec = Some(next)) { (_, _) => Seq.empty }
@@ -2682,9 +2685,21 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // the attempt's write-id dir is freshly allocated (freshWriteId probes
     // existence), so nothing to clear; an attempt that dies before its
     // commit JSON lands leaves an orphan dir that vacuum() sweeps
-    val shuffled = spec.partition match {
-      case Some(p) => batch.repartition(col(p))
-      case None => batch
+    // write-side clustering: range-partition + sort by the declared
+    // writeSortColumns (physical names; only those present in this batch
+    // — tombstone/log writes carry subsets) so per-file ranges come out
+    // tight and non-overlapping without any later OPTIMIZE pass
+    val sortCols = spec.writeSortColumns.map(spec.physical)
+      .filter(c => batch.columns.exists(_.equalsIgnoreCase(c)))
+    val shuffled = (spec.partition, sortCols) match {
+      case (Some(p), Nil) => batch.repartition(col(p))
+      case (Some(p), sc) =>
+        val keys = col(p) +: sc.map(col)
+        batch.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+      case (None, Nil) => batch
+      case (None, sc) =>
+        batch.repartitionByRange(sc.map(col): _*)
+          .sortWithinPartitions(sc.map(col): _*)
     }
     val writer = shuffled.write.mode("errorifexists")
     spec.partition match {

@@ -124,7 +124,16 @@ case class TableSpec(
       * scattered across files. Fail-open like the key bloom: a missing or
       * torn sidecar keeps its file. Sizing follows `bloomBitsPerKey`
       * (default 10 bits/value ≈ 1% FP when unset). */
-    bloomColumns: Seq[String] = Seq.empty) {
+    bloomColumns: Seq[String] = Seq.empty,
+    /** Write-side clustering (Delta `CLUSTER BY`/optimized-write analog):
+      * every write range-partitions and sorts its files by these columns
+      * (after the hive partition column when one is declared), so
+      * per-file min/max ranges are TIGHT and non-overlapping from the
+      * first commit — filters on these columns prune files without ever
+      * running OPTIMIZE/ZORDER. Pair with `statsColumns` on the same
+      * columns so the ranges reach the commit log. Columns missing from a
+      * batch (tombstone/log subsets) are skipped for that write. */
+    writeSortColumns: Seq[String] = Seq.empty) {
 
   /** Physical parquet field name of a logical column. */
   def physical(logical: String): String = columnMap.getOrElse(logical, logical)

@@ -702,6 +702,40 @@ object LakeQueries {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Write-side clustering: with writeSortColumns the very first write
+    // lays files out as non-overlapping o_totalprice ranges, so a range
+    // scan prunes from commit-log stats alone — no OPTIMIZE ever ran.
+    // The require pins that pruning actually bit.
+    "q132_write_clustered" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"wsort_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val knobs = Seq(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+        val prev = knobs.map(k => k -> s.conf.getOption(k))
+        knobs.foreach(s.conf.set(_, "65536"))
+        val tbl = try LakeTable.create(s, path,
+          ordersSpec.copy(statsColumns = Seq("o_totalprice"),
+            writeSortColumns = Seq("o_totalprice")),
+          t(s, d, "orders"), bulkInsert = true)
+        finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+        val live = tbl.liveFiles(None)
+        val filt = Seq(org.apache.spark.sql.sources.And(
+          org.apache.spark.sql.sources.GreaterThan("o_totalprice", 100000.0),
+          org.apache.spark.sql.sources.LessThan("o_totalprice", 120000.0)))
+        val kept = tbl.pruneByFilters(live, filt)
+        require(kept.size < live.size,
+          s"write clustering must prune a range scan (kept ${kept.size}/${live.size})")
+        proj(tbl.readWhere(filt)
+          .filter(col("o_totalprice") > 100000.0 && col("o_totalprice") < 120000.0))
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders
+        |WHERE o_totalprice > 100000.0 AND o_totalprice < 120000.0
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Savepoints: v0 stays time-travelable THROUGH a retention-1 vacuum
     // because the pin holds its files; the query reads the pinned snapshot
     // after churn + vacuum, so the oracle is simply the original content.

@@ -167,13 +167,16 @@ object GraftMetadataTvfs {
     val asOf = asOfArg.map(e => GraftTableChanges.versionArg(t, e).getOrElse(
       fail("`version` must be a version number or timestamp literal")))
     import session.implicits._
+    // era-aware: after a partition evolution each file's stored value
+    // belongs to the column IT was written under — report (column, value)
+    // pairs so mixed-era rollups never conflate two columns' values
     t.liveFiles(asOf)
-      .groupBy(_.partitionValue.orNull)
-      .map { case (pv, as) =>
-        (pv, as.size.toLong, as.count(_.log).toLong,
+      .groupBy(a => (t.partitionColOf(a).orNull, a.partitionValue.orNull))
+      .map { case ((pc, pv), as) =>
+        (pc, pv, as.size.toLong, as.count(_.log).toLong,
           as.map(a => a.rows - a.dvRows).sum, as.map(_.bytes).sum)
       }.toSeq
-      .toDF("partition_value", "n_files", "n_log_files", "rows", "bytes")
+      .toDF("partition_column", "partition_value", "n_files", "n_log_files", "rows", "bytes")
       .queryExecution.analyzed
   }
 }

@@ -142,6 +142,46 @@ class ScaleSpec extends AnyFunSuite {
       s"z-order should localize both dims (~0.25 ideal at 16 files), got a=$wa b=$wb")
   }
 
+  test("writeSortColumns clusters every write: tight ranges, pruning from day 1") {
+    val path = Files.createTempDirectory("graft_wsort").toString
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 40000).map(i => (i, 1L, rnd.nextInt(1000000)))
+    // AQE (correctly) coalesces a tiny batch to one file — shrink its
+    // advisory size so the range write fans out like a real-sized batch
+    val knobs = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = knobs.map(k => k -> spark.conf.getOption(k))
+    knobs.foreach(spark.conf.set(_, "32768"))
+    val t = try LakeTable.create(spark, path,
+      TableSpec("k", "pc", statsColumns = Seq("a"), writeSortColumns = Seq("a")),
+      rows.toDF("k", "pc", "a"), bulkInsert = true)
+    finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    val live = t.liveFiles(None)
+    assert(live.size >= 4, s"want several files, got ${live.size}")
+    // per-file [min,max] of `a` must be (near-)non-overlapping: the sum of
+    // widths ≈ the domain, not files × domain
+    val widths = live.map { f =>
+      val (mn, mx) = f.colStats("a")
+      mx.toDouble - mn.toDouble
+    }
+    assert(widths.sum < 1.3e6,
+      s"range-clustered files must tile the domain, total width ${widths.sum}")
+    // a range filter prunes most files via commit-log stats alone
+    val kept = t.pruneByFilters(live,
+      Seq(org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThan("a", 400000),
+        org.apache.spark.sql.sources.LessThan("a", 420000))))
+    assert(kept.size * 4 <= live.size,
+      s"day-1 pruning must skip most files (kept ${kept.size}/${live.size})")
+    // content unchanged, and a later upsert stays clustered too
+    assert(t.read().count() == 40000)
+    t.upsert((40001 to 42000).map(i => (i, 1L, rnd.nextInt(1000000)))
+      .toDF("k", "pc", "a"))
+    assert(LakeTable.load(spark, path).read().count() == 42000)
+  }
+
   test("incremental zorder re-clusters ONLY files added since the last zorder") {
     val path = Files.createTempDirectory("graft_zinc").toString
     val rnd = new scala.util.Random(11)

@@ -76,7 +76,8 @@ class TableChangesSpec extends AnyFunSuite {
     val path = Files.createTempDirectory("graft_tvf_parts").toString
     val tbl = LakeTable.create(spark, path,
       TableSpec("id", "ts", partition = Some("p")),
-      Seq((1, 100L, "a"), (2, 100L, "a"), (3, 100L, "b")).toDF("id", "ts", "p"))
+      Seq((1, 100L, "a", "x"), (2, 100L, "a", "y"), (3, 100L, "b", "y"))
+        .toDF("id", "ts", "p", "q"))
     tbl.deleteVectors(col("id") === 1)
     val rows = spark.sql(
       s"""SELECT partition_value, rows, n_files FROM table_partitions('$path')
@@ -85,6 +86,18 @@ class TableChangesSpec extends AnyFunSuite {
     assert(rows.map(x => x._1 -> x._2).toMap == Map("a" -> 1L, "b" -> 1L),
       s"DV-discounted per-partition rows, got ${rows.toSeq}")
     assert(rows.forall(_._3 >= 1L))
+    // era awareness: after a partition evolution, each file reports the
+    // COLUMN it was physically written under alongside its value
+    LakeTable.load(spark, path).compact() // fold the DV first
+    LakeTable.load(spark, path).changePartition(Some("q"))
+    LakeTable.load(spark, path)
+      .upsert(Seq((4, 100L, "c", "z")).toDF("id", "ts", "p", "q"))
+    val eras = spark.sql(
+      s"""SELECT partition_column, partition_value FROM table_partitions('$path')
+         |ORDER BY partition_column, partition_value""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(eras.exists(_._1 == "p") && eras.contains(("q", "z")),
+      s"mixed eras must report per-column values, got $eras")
   }
 
   test("the third argument bounds the window to (since, end]") {
