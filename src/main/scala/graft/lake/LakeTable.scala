@@ -1874,7 +1874,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val target = liveFiles(Some(v))
     val targetPaths = target.map(_.path).toSet
     val current = liveFiles(None).map(_.path).toSet
-    writeCommit("restore", newSchema = Some(schemaAt(Some(v)))) { (_, _) =>
+    // restoring across a partition evolution also restores the partition
+    // SPEC — the restored files carry that era's layout, and new writes
+    // should land beside them, not under a layout the snapshot predates
+    val restoredSpec =
+      if (specAt(Some(v)).partition != spec.partition)
+        Some(spec.copy(partition = specAt(Some(v)).partition))
+      else None
+    writeCommit("restore", newSchema = Some(schemaAt(Some(v))),
+      newSpec = restoredSpec) { (_, _) =>
       Seq(WriteResult(
         add = target.filterNot(a => current.contains(a.path)),
         remove = (current -- targetPaths).toSeq))

@@ -100,6 +100,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case SET_PROPS_RE(target, kvs) => claimOr(sqlText, target) {
       GraftSetPropertiesCommand(target.trim, parseProps(kvs))
     }
+    case UNSET_PROPS_RE(target, keys) => claimOr(sqlText, target) {
+      GraftUnsetPropertiesCommand(target.trim,
+        keys.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
+    }
+    case SHOW_PROPS_RE(target) => claimOr(sqlText, target) {
+      GraftShowPropertiesCommand(target.trim)
+    }
     case ADD_CONSTRAINT_RE(target, name, check) => claimOr(sqlText, target) {
       GraftAddConstraintCommand(target.trim, name, check.trim)
     }
@@ -188,6 +195,11 @@ object GraftSqlParser {
       k -> v
     }.toMap
 
+  private[sql] val UNSET_PROPS_RE =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TGT\\s+UNSET\\s+TBLPROPERTIES\\s*""" +
+      """\(([^)]+)\)\s*;?\s*""").r
+  private[sql] val SHOW_PROPS_RE =
+    (s"""(?is)\\s*SHOW\\s+TBLPROPERTIES\\s+$TGT\\s*;?\\s*""").r
   private[sql] val ANALYZE_RE =
     (s"""(?is)\\s*ANALYZE\\s+TABLE\\s+$TGT\\s+COMPUTE\\s+STATISTICS""" +
       """(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+([^;]+)))?\s*;?\s*""").r
@@ -423,6 +435,55 @@ case class GraftSetPropertiesCommand(target: String, props: Map[String, String])
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.resolveTable(spark, target).setProperties(props)
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE t UNSET TBLPROPERTIES ('k', …)`: reset each mutable spec
+  * knob to its default (lists clear, thresholds drop to 0) — unknown keys
+  * fail loudly, exactly like SET. */
+case class GraftUnsetPropertiesCommand(target: String, keys: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val defaults = Map(
+      "autocompactfiles" -> "0", "autocompactlogs" -> "0",
+      "bloombitsperkey" -> "0", "statscolumns" -> "",
+      "bloomcolumns" -> "", "writesortcolumns" -> "")
+    val resets = keys.map { k =>
+      defaults.get(k.toLowerCase) match {
+        case Some(d) => k -> d
+        case None => throw new IllegalArgumentException(
+          s"unknown graft table property '$k' (unsettable: ${defaults.keys.mkString(", ")})")
+      }
+    }.toMap
+    GraftSqlParser.resolveTable(spark, target).setProperties(resets)
+    Seq.empty
+  }
+}
+
+/** `SHOW TBLPROPERTIES t`: one (key, value) row per spec property —
+  * identity metadata included read-only, list knobs comma-joined. */
+case class GraftShowPropertiesCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType)(),
+    AttributeReference("value", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sp = GraftSqlParser.resolveTable(spark, target).spec
+    Seq(
+      "key" -> sp.key,
+      "precombine" -> sp.precombine,
+      "partition" -> sp.partition.getOrElse(""),
+      "mor" -> sp.mor.toString,
+      "buckets" -> sp.buckets.toString,
+      "bloomBitsPerKey" -> sp.bloomBitsPerKey.toString,
+      "autoCompactFiles" -> sp.autoCompactFiles.toString,
+      "autoCompactLogs" -> sp.autoCompactLogs.toString,
+      "statsColumns" -> sp.statsColumns.mkString(","),
+      "sumColumns" -> sp.sumColumns.mkString(","),
+      "bloomColumns" -> sp.bloomColumns.mkString(","),
+      "writeSortColumns" -> sp.writeSortColumns.mkString(",")
+    ).map { case (k, v) => Row(k, v) }
   }
 }
 

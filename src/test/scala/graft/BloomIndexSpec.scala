@@ -105,6 +105,25 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(LakeTable.load(s, path).spec.bloomColumns.isEmpty)
   }
 
+  test("SQL: SHOW TBLPROPERTIES and ALTER TABLE UNSET TBLPROPERTIES") {
+    val s = MaintenanceSqlSessions.sql
+    import s.implicits._
+    val path = tmp()
+    LakeTable.create(s, path,
+      TableSpec("k", "ver", bloomColumns = Seq("tag"), autoCompactFiles = 7),
+      (1L to 10L).map(i => (i, 1L, s"t$i")).toDF("k", "ver", "tag"))
+    val props = s.sql(s"SHOW TBLPROPERTIES graft.`$path`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("key") == "k" && props("bloomColumns") == "tag" &&
+      props("autoCompactFiles") == "7")
+    s.sql(s"ALTER TABLE graft.`$path` UNSET TBLPROPERTIES ('bloomColumns', 'autoCompactFiles')")
+    val t2 = LakeTable.load(s, path)
+    assert(t2.spec.bloomColumns.isEmpty && t2.spec.autoCompactFiles == 0)
+    intercept[Exception] {
+      s.sql(s"ALTER TABLE graft.`$path` UNSET TBLPROPERTIES ('nope')")
+    }
+  }
+
   test("bloomColumns is settable as a table property; later writes index it") {
     val path = tmp()
     val rows = (1 to 2000).map(i => (i.toLong, 1L, s"u${i * 7919 % 50000}"))

@@ -171,6 +171,25 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(t2.specAt(Some(0L)).partition.contains("region"))
   }
 
+  test("restore across an evolution also restores the partition spec") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path,
+      TableSpec("k", "ver", partition = Some("region")), seed)
+    t.changePartition(Some("cat"))
+    LakeTable.load(spark, path)
+      .upsert(Seq((90L, 1L, "amer", "c0", 900L)).toDF("k", "ver", "region", "cat", "v"))
+    LakeTable.load(spark, path).restore(0L)
+    val t2 = LakeTable.load(spark, path)
+    assert(t2.spec.partition.contains("region"),
+      "restore to a pre-evolution version must restore its partition column")
+    assert(t2.read().count() == 40)
+    // new writes land under the RESTORED layout
+    t2.upsert(Seq((91L, 1L, "amer", "c0", 910L)).toDF("k", "ver", "region", "cat", "v"))
+    val newFiles = LakeTable.load(spark, path).liveFiles(None)
+      .filter(_.path.contains("region=amer"))
+    assert(newFiles.nonEmpty)
+  }
+
   test("refusals: bucketed, MoR logs outstanding, unknown/compound columns") {
     val path = tmp()
     val b = LakeTable.create(spark, tmp(),
