@@ -162,6 +162,34 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT edit-distance-≤1 similarity join via deletion neighborhoods
+    * (the FastSS/SymSpell scheme): two strings with unit-cost edit
+    * distance ≤ 1 MUST share a member of their deletion neighborhoods
+    * ({s} ∪ {s minus one char}) — equality shares s itself, a
+    * substitution at i shares both-minus-i, an insert/delete shares the
+    * shorter string — so candidates come from one hash join on variant
+    * strings and only they pay the `levenshtein` verify. Cost is
+    * Σ string-length index entries and the collided pairs, never |L|·|R|
+    * — the record-linkage / near-identical-key dedup primitive at corpus
+    * scale. Returns (id_a, id_b, dist ∈ {0,1}) distinct pairs. */
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+      textCol: String = "name", leftId: String = "id_a",
+      rightId: String = "id_b"): DataFrame = {
+    def variants(c: Column): Column = array_union(
+      array(c),
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i))))
+    val l = left.select(col(leftId), col(textCol).as("_ta"))
+      .withColumn("_v", explode(variants(col("_ta"))))
+    val r = right.select(col(rightId), col(textCol).as("_tb"))
+      .withColumn("_v", explode(variants(col("_tb"))))
+    l.join(r, Seq("_v"))
+      .select(col(leftId), col(rightId), col("_ta"), col("_tb")).distinct()
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
+      .filter(col("dist") <= 1)
+      .select(leftId, rightId, "dist")
+  }
+
   /** Cross-corpus CONTAMINATION check — the train/eval hygiene step of a
     * training-data pipeline: for every eval document, the share of its
     * k-shingles that appear anywhere in the training corpus (containment,

@@ -154,6 +154,47 @@ object ExtQueries {
         |FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Exact edit-distance-1 fuzzy join (FastSS deletion neighborhoods):
+    // every third customer name gets one md5-chosen character deleted;
+    // the join must recover each corrupted name's original (plus any
+    // genuine distance-1 neighbors — TPC-H names differ by one digit) via
+    // a hash join on deletion variants, never a quadratic scan. The
+    // oracle replays corruption, neighborhoods, and levenshtein verify.
+    "q133_fuzzy_join" -> ((
+      (s: SparkSession, d: String) => {
+        val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+        val corrupted = cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("pos",
+            (conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10)
+              .cast("int") % length(col("c_name"))) + 1)
+          .select((col("c_custkey") + 1000000L).as("id_a"),
+            concat(col("c_name").substr(lit(1), col("pos") - 1),
+              col("c_name").substr(col("pos") + 1, length(col("c_name")) - col("pos")))
+              .as("name"))
+        val originals = cust.select(col("c_custkey").as("id_b"), col("c_name").as("name"))
+        Dedup.editDistanceJoin(corrupted, originals, "name")
+          .orderBy("id_a", "id_b")
+      },
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer),
+        |corr AS (SELECT c_custkey + 1000000 AS id_a,
+        |    substr(c_name, 1, p-1) || substr(c_name, p+1, len(c_name)-p) AS name
+        |  FROM (SELECT c_custkey, c_name,
+        |      (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))::INT
+        |        % len(c_name)) + 1 AS p
+        |    FROM cust WHERE c_custkey % 3 = 0)),
+        |lv AS (SELECT id_a, name AS ta, UNNEST(list_concat([name],
+        |    list_transform(range(1, len(name)+1),
+        |      i -> substr(name, 1, i-1) || substr(name, i+1, len(name)-i)))) AS v
+        |  FROM corr),
+        |rv AS (SELECT c_custkey AS id_b, c_name AS tb, UNNEST(list_concat([c_name],
+        |    list_transform(range(1, len(c_name)+1),
+        |      i -> substr(c_name, 1, i-1) || substr(c_name, i+1, len(c_name)-i)))) AS v
+        |  FROM cust),
+        |cand AS (SELECT DISTINCT id_a, id_b, ta, tb FROM lv JOIN rv USING (v))
+        |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INT) AS dist FROM cand
+        |WHERE levenshtein(ta, tb) <= 1
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // 200 docs drawn ∝ token count, exactly replayable — u is a portable
     // 48-bit md5 uniform (bit-identical on both engines: the 2^48 divide

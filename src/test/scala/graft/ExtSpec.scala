@@ -117,6 +117,25 @@ class ExtSpec extends AnyFunSuite {
     assert(s3 != s1 && s3.size == 50)
   }
 
+  test("edit-distance join finds every ≤1-edit pair (sub, ins, del, eq) and no more") {
+    import spark.implicits._
+    val right = Seq((1L, "alphabet"), (2L, "spark"), (3L, "granite"))
+      .toDF("id_b", "name")
+    val left = Seq(
+      (10L, "alphabet"),  // equal            → dist 0 to 1
+      (11L, "alphabex"),  // substitution     → dist 1 to 1
+      (12L, "alphabets"), // insertion        → dist 1 to 1
+      (13L, "lphabet"),   // deletion         → dist 1 to 1
+      (14L, "sprk"),      // deletion         → dist 1 to 2
+      (15L, "granizz"),   // two substitutions → dist 2: must NOT match
+      (16L, "zzzzz")      // unrelated        → no match
+    ).toDF("id_a", "name")
+    val got = Dedup.editDistanceJoin(left, right, "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((10L, 1L, 0), (11L, 1L, 1), (12L, 1L, 1), (13L, 1L, 1), (14L, 2L, 1)),
+      s"got $got")
+  }
+
   test("simhash finds planted near-duplicates (appended token ⇒ tiny bit flip)") {
     val found = Dedup.simhashPairs(planted, maxHamming = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
