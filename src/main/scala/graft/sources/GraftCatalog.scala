@@ -166,6 +166,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           bloomBitsPerKey = opt("bloomBitsPerKey").map(_.toInt).getOrElse(0),
           statsColumns = opt("statsColumns")
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+          bloomColumns = opt("bloomColumns")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+          writeSortColumns = opt("writeSortColumns")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+          sumColumns = opt("sumColumns")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
           buckets = opt("buckets").map(_.toInt).getOrElse(0),
           // GENERATED ALWAYS AS via namespaced options:
           //   OPTIONS ('generated.event_date' = 'to_date(…)')

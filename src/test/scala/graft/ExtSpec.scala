@@ -136,6 +136,22 @@ class ExtSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("new join ops plan as equi-joins — never nested loops") {
+    import spark.implicits._
+    def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    val l = Seq((1L, "abc")).toDF("id_a", "name")
+    val r = Seq((2L, "abd")).toDF("id_b", "name")
+    val fuzzy = planOf(Dedup.editDistanceJoin(l, r, "name"))
+    assert(!fuzzy.contains("BroadcastNestedLoopJoin") && !fuzzy.contains("CartesianProduct"),
+      s"fuzzy join must hash-join on variants:\n$fuzzy")
+    val docs = planted.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 4).as("sh"))
+      .withColumn("n_sh", org.apache.spark.sql.functions.size(col("sh")))
+    val pp = planOf(Dedup.prefixCandidates(docs, 0.6))
+    assert(!pp.contains("BroadcastNestedLoopJoin") && !pp.contains("CartesianProduct"),
+      s"prefix candidates must equi-join on the shingle:\n$pp")
+  }
+
   test("simhash finds planted near-duplicates (appended token ⇒ tiny bit flip)") {
     val found = Dedup.simhashPairs(planted, maxHamming = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -205,4 +205,20 @@ class GraftCatalogSpec extends AnyFunSuite {
                  OPTIONS (key 'k', precombine 'pc')""")
     assert(spark.sql("SELECT * FROM graft.db.tmp").count() == 0)
   }
+
+  test("CREATE TABLE carries bloom/writeSort/sum column options into the spec") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.opts (k BIGINT, pc BIGINT, tag STRING, n BIGINT)
+                 USING graft
+                 OPTIONS (key 'k', precombine 'pc', bloomColumns 'tag',
+                          writeSortColumns 'n', sumColumns 'n')""")
+    val path = s"$warehouse/db/opts"
+    val sp = LakeTable.load(spark, path).spec
+    assert(sp.bloomColumns == Seq("tag"))
+    assert(sp.writeSortColumns == Seq("n"))
+    assert(sp.sumColumns == Seq("n"))
+    spark.sql("INSERT INTO graft.db.opts VALUES (1L, 1L, 'a', 10L), (2L, 1L, 'b', 20L)")
+    assert(spark.sql("SELECT SUM(n) FROM graft.db.opts").head().getLong(0) == 30L)
+    spark.sql("DROP TABLE graft.db.opts")
+  }
 }
