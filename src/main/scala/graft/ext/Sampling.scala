@@ -334,6 +334,33 @@ object Sampling {
     df.stat.sampleBy(stratumCol, strata.map(s => s -> fraction).toMap, seed)
   }
 
+  /** LENGTH-GROUPED BATCHING (the dynamic-batching / bucketed-padding
+    * trick every training loader wants): deterministically shard the
+    * corpus (md5 buckets — the parallel unit), order each shard by token
+    * count (md5 tiebreak), and cut consecutive runs of `batchSize` docs
+    * into batches. Documents inside a batch then have near-equal lengths,
+    * so per-batch padding waste collapses versus random batching.
+    *
+    * Scale shape: one hash shuffle on the shard id, then a per-SHARD
+    * window — never a global sort; shards are the parallelism knob and
+    * each is a bounded slice of the corpus. Fully deterministic in
+    * (doc_id, shards, batchSize). Returns (idCol, n_tok, shard,
+    * batch_id). */
+  def lengthGroupedBatches(df: DataFrame, shards: Int = 64, batchSize: Int = 32,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0 && batchSize > 0, "shards and batchSize must be positive")
+    val tagged = df.select(col(idCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tok"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .withColumn("shard",
+        (conv(substring(col("_h"), 1, 4), 16, 10).cast("int") % shards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("n_tok").asc, col("_h").asc, col(idCol).asc)
+    tagged
+      .withColumn("batch_id", ((row_number().over(w) - 1) / batchSize).cast("int"))
+      .select(idCol, "n_tok", "shard", "batch_id")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * algorithm A-ES) — the data-mixing primitive "draw k docs ∝ weight,
     * no repeats" (e.g. ∝ quality score or token count), exactly the

@@ -195,6 +195,27 @@ object ExtQueries {
         |WHERE levenshtein(ta, tb) <= 1
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Length-grouped batching: shard by md5, order each shard by token
+    // count, cut runs of 32 — docs inside a batch have near-equal
+    // lengths (bucketed padding). Per-SHARD windows only, never a global
+    // sort; the oracle replays shard/order/cut exactly.
+    "q134_length_batches" -> ((
+      (s: SparkSession, d: String) =>
+        Sampling.lengthGroupedBatches(t(s, d, "documents"), shards = 16, batchSize = 32)
+          .orderBy("doc_id"),
+      raw"""WITH tagged AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |sharded AS (SELECT doc_id, n_tok, h,
+        |    CAST(('0x' || substr(h, 1, 4))::BIGINT % 16 AS INT) AS shard
+        |  FROM tagged)
+        |SELECT doc_id, n_tok, shard,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY shard
+        |        ORDER BY n_tok ASC, h ASC, doc_id ASC) - 1) // 32 AS INT) AS batch_id
+        |FROM sharded
+        |ORDER BY doc_id""".stripMargin)),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // 200 docs drawn ∝ token count, exactly replayable — u is a portable
     // 48-bit md5 uniform (bit-identical on both engines: the 2^48 divide

@@ -152,6 +152,26 @@ class ExtSpec extends AnyFunSuite {
       s"prefix candidates must equi-join on the shingle:\n$pp")
   }
 
+  test("length-grouped batches collapse padding waste vs random batching") {
+    import graft.ext.Sampling
+    val out = Sampling.lengthGroupedBatches(docs, shards = 8, batchSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out.map(_._1).distinct.length == out.length, "every doc appears once")
+    // padding waste of a batch = Σ(max_len − len); compare grouped vs a
+    // random (doc_id-order) batching of the same corpus
+    def waste(batches: Iterable[Iterable[Long]]): Long = batches.map { b =>
+      val m = b.max; b.map(m - _).sum
+    }.sum
+    val grouped = waste(out.groupBy(x => (x._3, x._4)).values.map(_.map(_._2).toSeq))
+    val random = waste(out.sortBy(_._1).map(_._2).toSeq.grouped(16).map(_.toSeq).toSeq)
+    assert(grouped * 3 <= random,
+      s"grouped padding waste $grouped should be ≪ random $random")
+    // deterministic across runs
+    val again = Sampling.lengthGroupedBatches(docs, shards = 8, batchSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("simhash finds planted near-duplicates (appended token ⇒ tiny bit flip)") {
     val found = Dedup.simhashPairs(planted, maxHamming = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
