@@ -172,8 +172,60 @@ object Sampling {
     val wsum = weights.values.sum
     val budgets: Map[String, Long] =
       weights.map { case (d, w) => d -> (totalTokens * w / wsum).toLong }
+    budgeted(df, budgets, domainCol, textCol, keyCol)
+  }
+
+  /** Temperature-scaled domain mixture (the mT5/XLM-R "α-sampling" rule):
+    * domain token budgets ∝ `T_d^α` for corpus token totals `T_d`, so
+    * α ∈ (0,1) flattens the domain distribution — low-resource domains are
+    * upsampled relative to their share, α→0 approaches uniform, α=1 is
+    * proportional. Budgets then cut each domain deterministically in
+    * md5-of-key order via the two-phase [[budgeted]] plan.
+    *
+    * Engine-portable by construction at the default α=0.5: the α-power is
+    * quantized driver-side to fixed point, `floor(sqrt(T_d)·10^6)`, and
+    * IEEE 754 requires sqrt (unlike pow) to be EXACTLY rounded — so any
+    * engine replays the weights bit-for-bit, and the budget division is
+    * exact integer arithmetic (BigInt here, HUGEINT in the oracle). Other
+    * α values go through `Math.pow` (deterministic on the JVM, but only
+    * faithfully — not correctly — rounded in general, so cross-engine
+    * replay is not guaranteed off the default).
+    *
+    * Scale shape: ONE |domains|-row aggregate for the totals (driver-side
+    * weights), then [[budgeted]]'s single-pass bucket plan — no global
+    * windows, nothing ∝ corpus size on the driver. */
+  def temperatureMixture(df: DataFrame, totalTokens: Long,
+      alpha: Double = 0.5, domainCol: String = "source",
+      textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(totalTokens > 0, "totalTokens must be positive")
     val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")
-    val tagged = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
+    val totals = df.groupBy(domainCol).agg(sum(toks).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(totals.nonEmpty, "temperatureMixture needs at least one domain")
+    val qw: Map[String, Long] = totals.map { case (d, t) =>
+      val p = if (alpha == 0.5) math.sqrt(t.toDouble)
+              else math.pow(t.toDouble, alpha)
+      d -> math.floor(p * 1e6).toLong
+    }
+    val wsum = qw.values.map(BigInt(_)).sum
+    val budgets = qw.map { case (d, w) =>
+      d -> (BigInt(totalTokens) * w / wsum).toLong }
+    budgeted(df, budgets, domainCol, textCol, keyCol)
+  }
+
+  /** Cut each domain to its token budget deterministically in md5-of-key
+    * order — the shared engine under [[mixture]] and [[temperatureMixture]].
+    * Two-phase plan: one (domain × 256 md5-bucket) partial aggregate gives
+    * the driver every bucket's token mass (≤ 256·|domains| rows); whole
+    * buckets below the boundary pass MAP-SIDE, and only each domain's
+    * single boundary bucket (1/256th of the domain) runs an exact
+    * running-sum window — a domain with a billion documents never sees a
+    * domain-wide window. */
+  private def budgeted(df: DataFrame, budgets: Map[String, Long],
+      domainCol: String, textCol: String, keyCol: String): DataFrame = {
+    val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val tagged = df.filter(col(domainCol).isin(budgets.keys.toSeq: _*))
       .withColumn("_tok", toks)
       .withColumn("_h", md5(col(keyCol).cast("string")))
       .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))

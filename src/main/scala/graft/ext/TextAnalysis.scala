@@ -495,4 +495,61 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(c))
       .withColumn("lang_guess", langId(c))
   }
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, the Okapi scorer) as
+    * EXACT fixed-point integer arithmetic, so scores — and therefore the
+    * ranking — replay bit-for-bit on any engine. Parameters are pinned to
+    * the rationals k1 = 6/5, b = 3/4 (the textbook defaults), and the
+    * usual `ln((N−df+½)/(df+½)+…)` idf is traded for the raw rarity ratio
+    * `(2N−2df+1)/(2df+1)` — the same log→ratio trade [[Sampling]]'s DSIR
+    * scorer documents (a log would force non-portable libm calls; the
+    * ratio preserves the rarity ORDER, which is what the ranking needs).
+    * Multiplying out with avgdl = totTok/N:
+    *
+    * {{{
+    * score(d, t) = (2N − 2df + 1) · tf · 22 · totTok · 10^6
+    *             ÷ (2df + 1) · (10 · totTok · tf + 3 · totTok + 9 · dl · N)
+    * }}}
+    *
+    * evaluated in DECIMAL(38,0) with one integral divide per (doc, term) —
+    * every product stays far below 38 digits for any realistic corpus —
+    * and per-doc scores are exact integer SUMS (no FP summation-order
+    * hazard). Higher tf raises the score with diminishing returns, longer
+    * docs are penalized, rarer terms weigh more: the BM25 shape, exactly.
+    *
+    * Scale shape: tokenize once per doc (dl is map-side), the explode is
+    * filtered to the query terms BEFORE the (doc, term) hash agg — so the
+    * only corpus-proportional shuffle carries query-term postings, not the
+    * corpus; df and the two corpus scalars (N, totTok) are tiny aggregates;
+    * top-k is TakeOrdered, never a global sort. */
+  def bm25(df: DataFrame, terms: Seq[String], topK: Int = 10,
+      textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(topK > 0, "topK must be positive")
+    val toks = df.select(col(keyCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("long"))
+    // two bounded corpus scalars (one 1-row aggregate)
+    val Array(nDocs, totTok) = toks
+      .agg(count(lit(1)).cast("long"), sum(col("_dl")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val tf = toks
+      .select(col(keyCol), col("_dl"), explode(col("_toks")).as("_term"))
+      .filter(col("_term").isin(terms: _*))
+      .groupBy(col(keyCol), col("_dl"), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy("_term")
+      .agg(count(lit(1)).cast("long").as("_df"))
+    val dec = "DECIMAL(38,0)"
+    val scored = tf.join(broadcast(dfreq), "_term")
+      .withColumn("_score", expr(
+        s"""CAST(CAST((2 * ${nDocs}L - 2 * _df + 1) AS $dec) * _tf * 22
+           |  * ${totTok}L * 1000000 div
+           |  (CAST((2 * _df + 1) AS $dec) *
+           |   (CAST(10 AS $dec) * ${totTok}L * _tf
+           |    + CAST(3 AS $dec) * ${totTok}L
+           |    + CAST(9 AS $dec) * _dl * ${nDocs}L)) AS BIGINT)""".stripMargin))
+      .groupBy(keyCol).agg(sum(col("_score")).as("bm25_score"),
+        count(lit(1)).as("n_terms_hit"))
+    scored.orderBy(col("bm25_score").desc, col(keyCol).asc).limit(topK)
+  }
 }

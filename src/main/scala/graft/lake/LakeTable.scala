@@ -237,15 +237,62 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       asOf: Option[Long] = None): DataFrame = {
     val live = liveFiles(asOf)
     if (live.exists(_.log)) read(asOf)
-    else ordered(readFiles(bloomSkip(skipByStats(live, filters), filters), asOf = asOf), asOf)
+    else ordered(readFiles(pruneByFilters(live, filters), asOf = asOf), asOf)
   }
 
-  /** [[skipByStats]] + [[bloomSkip]] for the DSv2 scan builder: plan-time
-    * file pruning from commit-log stats and bloom sidecars against the
-    * pushed V1 filters. */
+  /** [[skipByStats]] + [[bucketSkip]] + [[bloomSkip]] for the DSv2 scan
+    * builder: plan-time file pruning from commit-log stats, the bucket
+    * layout, and bloom sidecars against the pushed V1 filters. */
   private[graft] def pruneByFilters(actions: Seq[FileAction],
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileAction] =
-    bloomSkip(skipByStats(actions, filters), filters)
+    bloomSkip(bucketSkip(skipByStats(actions, filters), filters), filters)
+
+  /** Bucket-index pruning (the Hudi bucket-index READ half): on a
+    * bucketed table an equality/IN filter on the record key pins the only
+    * bucket(s) matching rows can inhabit — `pmod(murmur3(key), buckets)`
+    * is the write-side layout rule, so it is evaluated here on the
+    * literal, driver-side, with the same Murmur3 seed Spark's `hash()`
+    * uses. A point lookup then opens 1/buckets of the table even when
+    * every file's key RANGE covers the probe (random keys — exactly where
+    * min/max stats prune nothing). Files not written under the current
+    * bucket layout (foreign/converted bases, no `_bucket=` dir) are
+    * always kept; an unevaluable literal (type mismatch) keeps the file —
+    * skipping is only ever an optimization, never a semantics change. */
+  private def bucketSkip(actions: Seq[FileAction],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileAction] = {
+    import org.apache.spark.sql.sources._
+    if (spec.buckets <= 0 || actions.isEmpty || filters.isEmpty) return actions
+    val keyType = schema.fields.find(_.name.equalsIgnoreCase(spec.key))
+      .map(_.dataType).getOrElse(return actions)
+    def bucketOf(v: Any): Option[Int] = scala.util.Try {
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(v, keyType)
+      val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(lit))
+        .eval(null).asInstanceOf[Int]
+      ((h % spec.buckets) + spec.buckets) % spec.buckets
+    }.toOption
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // each key-equality conjunct independently pins an allowed-bucket set;
+    // rows must satisfy ALL conjuncts, so the sets intersect
+    val pins = filters.flatMap(conjuncts).flatMap {
+      case EqualTo(c, v) if c.equalsIgnoreCase(spec.key) && v != null =>
+        bucketOf(v).map(Set(_))
+      case EqualNullSafe(c, v) if c.equalsIgnoreCase(spec.key) && v != null =>
+        bucketOf(v).map(Set(_))
+      case In(c, vs) if c.equalsIgnoreCase(spec.key) && vs != null && vs.nonEmpty =>
+        val bs = vs.toSeq.filter(_ != null).map(bucketOf)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case _ => None
+    }
+    if (pins.isEmpty) return actions
+    val allowed = pins.reduce(_ intersect _)
+    actions.filter { a =>
+      if (!partitionColOf(a).contains(TableSpec.BUCKET_COL)) true
+      else a.partitionValue.flatMap(_.toIntOption).forall(allowed.contains)
+    }
+  }
 
   /** Physical column names present in a live graft-written file: the
     * declared schema of the commit that wrote it, derived from the file's
@@ -1578,6 +1625,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     out.close()
     target.toString
   }
+
+  /** Iceberg-protocol snapshot export — `metadata/v1.metadata.json` +
+    * manifest-list/manifest avro per the PUBLIC Iceberg v1 spec, so any
+    * Iceberg reader queries the committed snapshot in place (the UniForm
+    * idea; [[graft.lake.IcebergExport]] for the format details). SQL:
+    * `GENERATE iceberg_metadata FOR TABLE t`. Returns the metadata.json
+    * path. Refusals mirror [[generateDeltaLog]] (MoR logs, DVs, column
+    * mapping, external file references, mixed partition eras). */
+  def generateIcebergMetadata(): String = IcebergExport.write(this, conf)
 
   /** Physically delete files not live in the `retainVersions` most recent
     * versions (M1) — or, when `retainHours` is set, not live in any version

@@ -310,6 +310,79 @@ object ExtQueries {
         |WHERE run < CASE source WHEN 'src0' THEN 1000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // Temperature-scaled mixture (mT5/XLM-R α-sampling): budgets ∝
+    // sqrt(domain token total), normalized — low-resource domains
+    // upsampled vs their share. Portable by construction: IEEE requires
+    // sqrt exactly rounded, the weights quantize to fixed point, the
+    // budget division is HUGEINT-exact, and the per-domain cut is the
+    // q95 md5-order prefix rule — DuckDB replays every budget and every
+    // kept doc bit-for-bit.
+    "q136_temperature_mixture" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Sampling
+        Sampling.temperatureMixture(t(s, d, "documents"), totalTokens = 3000L)
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+          .orderBy("doc_id")
+      },
+      raw"""WITH d AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |tot AS (SELECT source, SUM(n_tok) AS t FROM d GROUP BY source),
+        |qw AS (SELECT source,
+        |    CAST(FLOOR(SQRT(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        |  FROM tot),
+        |bud AS (SELECT source,
+        |    CAST(CAST(3000 AS HUGEINT) * w
+        |      // (SELECT SUM(CAST(w AS HUGEINT)) FROM qw) AS BIGINT) AS budget
+        |  FROM qw),
+        |r AS (SELECT d.doc_id, d.source, d.n_tok, bud.budget,
+        |    COALESCE(SUM(d.n_tok) OVER (PARTITION BY d.source
+        |      ORDER BY d.h ASC, d.doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        |  FROM d JOIN bud ON d.source = bud.source)
+        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok FROM r
+        |WHERE run < budget
+        |ORDER BY doc_id""".stripMargin)),
+
+    // BM25 ranked retrieval in EXACT fixed-point integers: k1=6/5, b=3/4
+    // multiplied out over avgdl = tot/N, idf as the raw rarity ratio
+    // (2N−2df+1)/(2df+1) — the documented log→ratio trade (see DSIR) — so
+    // every per-term score is one HUGEINT integral divide and per-doc
+    // scores are exact integer sums: DuckDB replays the full ranking
+    // bit-for-bit, no FP anywhere.
+    "q137_bm25" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.TextAnalysis
+        TextAnalysis.bm25(t(s, d, "documents"),
+          terms = Seq("join", "window", "dup"), topK = 20)
+          .orderBy(col("bm25_score").desc, col("doc_id").asc)
+      },
+      raw"""WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dl) AS tot FROM dl),
+        |ex AS (SELECT doc_id, UNNEST(ts) AS term FROM toks),
+        |tf AS (SELECT ex.doc_id, ex.term, dl.dl, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM ex JOIN dl ON ex.doc_id = dl.doc_id
+        |  WHERE ex.term IN ('join', 'window', 'dup')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |    CAST(CAST((2*n.n - 2*df.df + 1) AS HUGEINT) * tf.tf * 22
+        |      * n.tot * 1000000
+        |      // (CAST((2*df.df + 1) AS HUGEINT) *
+        |         (CAST(10 AS HUGEINT) * n.tot * tf.tf
+        |          + CAST(3 AS HUGEINT) * n.tot
+        |          + CAST(9 AS HUGEINT) * tf.dl * n.n)) AS BIGINT) AS sc
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS bm25_score,
+        |       COUNT(*) AS n_terms_hit
+        |FROM s GROUP BY doc_id
+        |ORDER BY bm25_score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
     // DSIR-style importance resampling (Xie et al. 2023): pick the 50
     // general-pool docs whose hashed-unigram distribution looks most like
     // the target domain ('src18'). Likelihood ratios are EXACT fixed-point

@@ -665,6 +665,72 @@ object LakeQueries {
         |WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = 32)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Bucket-index point lookup (Hudi bucket-index read analog): on a
+    // bucketed table a key-equality probe computes pmod(murmur3(key),
+    // buckets) driver-side and opens ONLY that bucket's files — 1/buckets
+    // of the table even though every file's key RANGE covers the probe
+    // (sequential keys partitioned by hash: min/max stats prune nothing).
+    // The requires pin the pruning; the oracle replays the lookup.
+    "q135_bucket_point_lookup" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.sources.{EqualTo, In}
+        val path = freshDir(s"bktpt_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path,
+          TableSpec("o_orderkey", "o_orderdate", buckets = 8),
+          t(s, d, "orders"))
+        val live = tbl.liveFiles(None)
+        val kept = tbl.pruneByFilters(live, Seq(EqualTo("o_orderkey", 32L)))
+        require(kept.flatMap(_.partitionValue).distinct.size <= 1 &&
+          kept.size < live.size,
+          s"point lookup must open one bucket (kept ${kept.size}/${live.size})")
+        val probe = Array[Any](32L, 33L, 70L, 71L)
+        val keptIn = tbl.pruneByFilters(live, Seq(In("o_orderkey", probe)))
+        require(keptIn.flatMap(_.partitionValue).distinct.size <= probe.length &&
+          keptIn.size < live.size,
+          s"IN probe must stay within its buckets (kept ${keptIn.size}/${live.size})")
+        proj(tbl.readWhere(Seq(In("o_orderkey", probe)))
+          .filter(col("o_orderkey").isin(32L, 33L, 70L, 71L)))
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders WHERE o_orderkey IN (32, 33, 70, 71)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Dynamic partition pruning through a graft scan: the V1 read is a
+    // genuine partitioned parquet scan, so a fact⋈dim join on the fact's
+    // partition column prunes fact PARTITIONS at runtime from the dim
+    // side's filter — Catalyst's own PartitionPruning rule, no graft
+    // code in the loop. The require pins the DynamicPruningExpression in
+    // the fact scan; the oracle replays the join.
+    "q138_dpp_join" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"dpp_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path,
+          ordersSpec.copy(partition = Some("o_orderstatus")),
+          t(s, d, "orders"))
+        // the dim must be FILE-backed: an in-memory dim's filter constant-
+        // folds into its LocalRelation, leaving no selective predicate for
+        // the DPP rule to recognize (exactly as in production, where dims
+        // are tables)
+        val dimPath = freshDir(s"dppdim_${d.replaceAll("[^a-z0-9.]", "_")}")
+        s.createDataFrame(Seq(("O", "open"), ("F", "finished"),
+          ("P", "pending"))).toDF("o_orderstatus", "status_name")
+          .write.mode("overwrite").parquet(dimPath)
+        val dim = s.read.parquet(dimPath)
+        val joined = tbl.read()
+          .join(dim.filter(col("status_name") === "finished"), "o_orderstatus")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("status_name"))
+        val opt = joined.queryExecution.optimizedPlan
+        val dpp = opt.exists(_.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery])))
+        require(dpp,
+          s"optimizer must insert a dynamic partition pruning subquery:\n$opt")
+        joined.orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus, 'finished' AS status_name
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Delta-protocol export: write `_delta_log` for the snapshot, then
     // read the table back THROUGH the exported log alone (parse actions,
     // scan the add paths, attach partitionValues) — what any external
@@ -702,6 +768,50 @@ object LakeQueries {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Iceberg-protocol export: write metadata/v1.metadata.json + manifest
+    // avro chain, then read the table back THROUGH the exported metadata
+    // alone (json → manifest list avro → manifest avro → data files +
+    // partition records) — the walk any Iceberg reader does. The oracle
+    // is the plain expected state, so a hash match proves the metadata
+    // describes the exact snapshot.
+    "q139_iceberg_export" -> ((
+      (s: SparkSession, d: String) => {
+        val path = freshDir(s"iexp_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path,
+          ordersSpec.copy(partition = Some("o_orderstatus")),
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        tbl.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1))
+        LakeTable.load(s, path).generateIcebergMetadata()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val meta = mapper.readTree(
+          new java.io.File(s"$path/metadata/v1.metadata.json"))
+        require(meta.get("format-version").asInt == 1)
+        val snapId = meta.get("current-snapshot-id").asLong
+        val listPath = meta.get("snapshots").get(0).get("manifest-list").asText
+        require(meta.get("snapshots").get(0).get("snapshot-id").asLong == snapId)
+        val manifests = graft.sources.AvroSource.read(s, listPath)
+          .select("manifest_path").collect().map(_.getString(0))
+        val schemaIt = meta.get("schema").get("fields").elements()
+        val names = Seq.newBuilder[String]
+        while (schemaIt.hasNext) names += schemaIt.next().get("name").asText
+        val dataCols = names.result().filterNot(_ == "o_orderstatus")
+        val frames = manifests.toSeq.flatMap { m =>
+          graft.sources.AvroSource.read(s, m)
+            .select(col("data_file.file_path"),
+              col("data_file.partition.o_orderstatus"))
+            .collect().map { e =>
+              s.read.parquet(e.getString(0))
+                .select(dataCols.map(col): _*)
+                .withColumn("o_orderstatus", lit(e.getString(1)))
+            }
+        }
+        proj(frames.reduce(_.unionByName(_)))
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Write-side clustering: with writeSortColumns the very first write
     // lays files out as non-overlapping o_totalprice ranges, so a range
     // scan prunes from commit-log stats alone — no OPTIMIZE ever ran.
@@ -713,7 +823,9 @@ object LakeQueries {
           "spark.sql.adaptive.advisoryPartitionSizeInBytes",
           "spark.sql.adaptive.coalescePartitions.minPartitionSize")
         val prev = knobs.map(k => k -> s.conf.getOption(k))
-        knobs.foreach(s.conf.set(_, "65536"))
+        // small enough that even sf0.001 (~1.5k rows) splits into several
+        // range files — the require below needs >1 file to mean anything
+        knobs.foreach(s.conf.set(_, "8192"))
         val tbl = try LakeTable.create(s, path,
           ordersSpec.copy(statsColumns = Seq("o_totalprice"),
             writeSortColumns = Seq("o_totalprice")),

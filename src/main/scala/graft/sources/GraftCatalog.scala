@@ -59,7 +59,8 @@ object GraftCatalog {
   }
 }
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -268,6 +269,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // ---- namespaces ------------------------------------------------------
 
   override def defaultNamespace(): Array[String] = Array("default")
+
+  /** FunctionCatalog: graft's native functions as catalog-qualified SQL
+    * functions (see [[GraftV2Functions]]). They live in every existing
+    * namespace (Iceberg's `system`-style convention, without forcing a
+    * reserved namespace): `SELECT cat.default.dot_product(a, b)`. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      GraftV2Functions.names.map(Identifier.of(namespace, _)).toArray
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftV2Functions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   override def listNamespaces(): Array[Array[String]] = {
     val root = new Path(warehouse)

@@ -117,8 +117,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftCopyIntoCommand(target.trim, src, Option(pat))
     }
     case GENERATE_RE(mode, target) => claimOr(sqlText, target) {
-      GraftGenerateManifestCommand(target.trim,
-        deltaLog = mode.equalsIgnoreCase("delta_log"))
+      GraftGenerateManifestCommand(target.trim, mode = mode.toLowerCase)
     }
     case REORG_RE(target) => claimOr(sqlText, target) {
       GraftReorgPurgeCommand(target.trim)
@@ -212,7 +211,7 @@ object GraftSqlParser {
     (s"""(?is)\\s*COPY\\s+INTO\\s+$TGT\\s+FROM\\s+'([^']+)'""" +
       """(?:\s+FILEFORMAT\s*=\s*PARQUET)?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
   private[sql] val GENERATE_RE =
-    (s"""(?is)\\s*GENERATE\\s+(symlink_format_manifest|delta_log)\\s+FOR\\s+TABLE\\s+$TGT\\s*;?\\s*""").r
+    (s"""(?is)\\s*GENERATE\\s+(symlink_format_manifest|delta_log|iceberg_metadata)\\s+FOR\\s+TABLE\\s+$TGT\\s*;?\\s*""").r
 
   private[sql] val REORG_RE =
     (s"""(?is)\\s*REORG\\s+TABLE\\s+$TGT\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""").r
@@ -323,15 +322,18 @@ case class GraftCopyIntoCommand(target: String, sourceDir: String,
 /** Delta `GENERATE symlink_format_manifest FOR TABLE t` analog
   * ([[graft.lake.LakeTable.generateManifest]]): one row per partition
   * manifest written. */
-case class GraftGenerateManifestCommand(target: String, deltaLog: Boolean = false)
-    extends LeafRunnableCommand {
+case class GraftGenerateManifestCommand(target: String,
+    mode: String = "symlink_format_manifest") extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("partition", StringType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolveTable(spark, target)
-    if (deltaLog) Seq(Row(t.generateDeltaLog()))
-    else t.generateManifest().map(Row(_))
+    mode match {
+      case "delta_log" => Seq(Row(t.generateDeltaLog()))
+      case "iceberg_metadata" => Seq(Row(t.generateIcebergMetadata()))
+      case _ => t.generateManifest().map(Row(_))
+    }
   }
 }
 

@@ -429,6 +429,63 @@ class ExtSpec extends AnyFunSuite {
       "mixture must be deterministic")
   }
 
+  test("temperature mixture flattens the domain distribution at α=0.5") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, sum => fsum}
+    // skewed corpus: "big" holds 96% of the tokens (1000 docs × 10 tok),
+    // "small" 4% (40 docs × 10 tok); every doc is exactly 10 tokens
+    val text = Seq.fill(10)("w").mkString(" ")
+    val corpus = ((1 to 1000).map(i => (i.toLong, "big", text)) ++
+      (2001 to 2040).map(i => (i.toLong, "small", text)))
+      .toDF("doc_id", "source", "text")
+    def tokensPer(df: DataFrame): Map[String, Long] = df
+      .withColumn("tok", expr(raw"size(split(trim(text), '\\s+'))").cast("long"))
+      .groupBy("source").agg(fsum("tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = graft.ext.Sampling.temperatureMixture(corpus, totalTokens = 600L)
+    val got = tokensPer(mixed)
+    // sqrt weights: √10000 : √400 = 100 : 20 → budgets 500 : 100 — the
+    // small domain's share rises 4% → ~17%, the big one falls 96% → ~83%
+    // (each domain may overshoot its budget by at most one 10-token doc)
+    assert(got("big") >= 500L && got("big") < 510L, s"big budget: $got")
+    assert(got("small") >= 100L && got("small") < 110L, s"small budget: $got")
+    // α=1 is proportional: budgets 10000/10400 and 400/10400 of 600
+    val prop = tokensPer(graft.ext.Sampling.temperatureMixture(
+      corpus, totalTokens = 600L, alpha = 1.0))
+    assert(prop("small") < got("small"),
+      s"α=1 must give the small domain less than α=0.5: $prop vs $got")
+    // deterministic across runs
+    val again = graft.ext.Sampling.temperatureMixture(corpus, totalTokens = 600L)
+    assert(mixed.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("bm25 ranks rare-term and higher-tf docs first, exact and deterministic") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common rare x x"),
+      (2L, "common x x x"),
+      (3L, "x x x x"),
+      (4L, "common common x x")).toDF("doc_id", "text")
+    def run() = graft.ext.TextAnalysis.bm25(corpus,
+      terms = Seq("common", "rare"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = run()
+    // doc 3 has no query term; rare (df=1) dominates, then tf breaks ties
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L), s"ranking: ${got.toSeq}")
+    assert(got.find(_._1 == 1L).get._3 == 2L, "doc 1 hits both terms")
+    // hand-computed exact scores: N=4, tot=16, all dl=4
+    // rare@1: 7·1·22·16e6 / (3·(160+48+144)) = 2464e6/1056
+    // common@1: 3·1·22·16e6 / (7·352); common@2: 3·2·22·16e6 / (7·512)
+    val rare1 = 2464000000L / 1056L
+    val c1 = 1056000000L / 2464L
+    val c2 = 2112000000L / 3584L
+    assert(got.find(_._1 == 1L).get._2 == rare1 + c1, s"doc1 score: ${got.toSeq}")
+    assert(got.find(_._1 == 4L).get._2 == c2)
+    assert(got.find(_._1 == 2L).get._2 == c1)
+    assert(run().toSeq == got.toSeq, "bm25 must be deterministic")
+  }
+
   test("semantic dedup drops planted scaled copies, keeps originals, deterministic") {
     import org.apache.spark.sql.functions.expr
     // ×2 scaling is FP-exact (power of two), so the copy's cosine to every

@@ -221,4 +221,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT SUM(n) FROM graft.db.opts").head().getLong(0) == 30L)
     spark.sql("DROP TABLE graft.db.opts")
   }
+
+  test("FunctionCatalog: catalog-qualified functions resolve and match engine twins") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    // discoverable
+    val listed = spark.sql("SHOW FUNCTIONS IN graft.db")
+      .collect().map(_.getString(0)).toSet
+    assert(Seq("dot_product", "graft_bucket", "ws_token_count")
+      .forall(f => listed.exists(_.endsWith(f))), s"listed: $listed")
+    // dot_product ≡ the HOF formulation / native expression (index fold)
+    val dp = spark.sql(
+      """SELECT graft.db.dot_product(CAST(array(1.5, 2.0, -3.25) AS array<double>),
+        |                            CAST(array(4.0, 0.5, 2.0) AS array<double>))""".stripMargin)
+      .head().getDouble(0)
+    assert(dp == 1.5 * 4.0 + 2.0 * 0.5 + (-3.25) * 2.0)
+    // graft_bucket ≡ pmod(hash(k), n) — the bucketed-table layout rule
+    val got = spark.sql(
+      """SELECT k, graft.db.graft_bucket(k, 8) AS b,
+        |       pmod(hash(k), 8) AS expect
+        |FROM VALUES (1L), (2L), (77L), (-5L), (123456789L) AS t(k)""".stripMargin)
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), s"bucket mismatch: $r"))
+    // ws_token_count ≡ size(split(trim(s), '\s+')) incl. the empty edge
+    val tc = spark.sql(
+      raw"""SELECT s, graft.db.ws_token_count(s) AS n,
+           |       size(split(trim(s), '\\s+')) AS expect
+           |FROM VALUES (' a  b c '), (''), ('  '), ('one') AS t(s)""".stripMargin)
+      .collect()
+    tc.foreach(r => assert(r.getInt(1) == r.getInt(2), s"token count mismatch: $r"))
+    // nulls flow through as nulls
+    assert(spark.sql("SELECT graft.db.ws_token_count(CAST(NULL AS STRING))")
+      .head().isNullAt(0))
+    // unknown function fails loudly
+    val err = intercept[Exception](
+      spark.sql("SELECT graft.db.no_such_fn(1)").collect())
+    assert(err.getMessage.toLowerCase.contains("no_such_fn"))
+  }
 }
