@@ -812,6 +812,51 @@ object LakeQueries {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Automatic MV rewrite: an aggregate over the base table whose shape a
+    // registered FRESH materialized view maintains is answered from the
+    // view's state — no Aggregate, no base scan in the plan (the require
+    // pins both). The view went stale under churn and was refresh()ed
+    // first, so the rewrite serves post-churn numbers; the oracle is the
+    // plain aggregate over the final base state.
+    "q140_mv_rewrite" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val path = freshDir(s"mvrw_${d.replaceAll("[^a-z0-9.]", "_")}")
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        val mvPath = freshDir(s"mvrw_mv_${d.replaceAll("[^a-z0-9.]", "_")}")
+        MaterializedView.create(s, mvPath, tbl, Seq("o_orderstatus"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "o_custkey"),
+            MvAgg("a", "avg", "o_custkey")))
+        tbl.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1))
+        MaterializedView.load(s, mvPath).refresh()
+        graft.sql.GraftMvRewrite.register(mvPath)
+        try {
+          val q = s.read.format("graft").load(path).groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"),
+              avg("o_custkey").as("a"))
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          require(!rewritten.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+            s"MV rewrite must replace the aggregate:\n$rewritten")
+          val readsState = rewritten.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("/state/"))
+            case _ => false
+          })
+          require(readsState, "rewritten plan must read the MV state table")
+          org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+            .orderBy("o_orderstatus")
+        } finally graft.sql.GraftMvRewrite.unregister(mvPath)
+      },
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS s,
+        |       CAST(SUM(o_custkey) AS DOUBLE) / COUNT(o_custkey) AS a
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
     // Write-side clustering: with writeSortColumns the very first write
     // lays files out as non-overlapping o_totalprice ranges, so a range
     // scan prunes from commit-log stats alone — no OPTIMIZE ever ran.

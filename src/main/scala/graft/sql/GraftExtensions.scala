@@ -67,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft", GraftMetadataTvfs.PARTITIONS_NAME),
       args => GraftMetadataTvfs.partitionsPlan(SparkSession.active, args)))
     e.injectOptimizerRule(_ => GraftMetadataOnlyCount)
+    e.injectOptimizerRule(_ => GraftMvRewrite)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     graft.functions.GraftFunctions.functions.foreach { case (name, builder) =>
       e.injectFunction((

@@ -1,0 +1,159 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.lake.{LakeTable, MaterializedView, MvAgg}
+import graft.sources.{GraftCatalogTable, GraftRelation}
+
+/** Automatic query rewrite to materialized views — the classic warehouse
+  * optimization: an aggregate query over a base table whose (dims, aggs)
+  * shape a registered, UP-TO-DATE [[MaterializedView]] already maintains
+  * is answered from the view's state table instead of scanning the base.
+  * At 100 TB the difference is a full fact scan + shuffle vs reading a
+  * few thousand pre-aggregated rows — and the incremental refresh keeps
+  * the view current at churn cost, so the rewrite almost always applies.
+  *
+  * Matched shape (conservative — a miss only costs the rewrite, never
+  * correctness):
+  *
+  *   `Aggregate(dims, aggs, [Filter(dim-only preds)] [Project] base)`
+  *
+  * where `base` is a plain-snapshot graft scan (V1 `format("graft")`
+  * relation or a DSv2 catalog table, no time travel / incremental /
+  * change-feed options), the grouping keys are exactly the view's dims,
+  * and every aggregate is one of the view's declared count/sum/avg/min/
+  * max columns (no DISTINCT, no FILTER clauses). Dim-only predicates
+  * commute with grouping, so they re-apply against the view's dim
+  * columns. Result types must match exactly or the rewrite bails.
+  *
+  * Freshness: the rewrite fires ONLY when `mv.lastRefreshedVersion`
+  * equals the base table's latest commit — a stale view silently serving
+  * old aggregates would be a correctness bug, so staleness disables the
+  * rewrite (refresh() re-enables it).
+  *
+  * Views register per-process via [[GraftMvRewrite.register]]; the rule
+  * itself is injected by [[GraftExtensions]].
+  */
+object GraftMvRewrite extends Rule[LogicalPlan] {
+
+  private val registry = new java.util.concurrent.CopyOnWriteArraySet[String]()
+
+  def register(mvPath: String): Unit = { registry.add(mvPath); () }
+  def unregister(mvPath: String): Unit = { registry.remove(mvPath); () }
+  def clear(): Unit = registry.clear()
+  def registered: Seq[String] = {
+    val it = registry.iterator(); val b = Seq.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    plan.transformUp {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** The base-table path under alias/attr-projection/filter wrappers, the
+    * scan output, and any Filter conditions collected on the way down. */
+  private def baseScan(p: LogicalPlan): Option[(String, Seq[Expression])] = p match {
+    case SubqueryAlias(_, c) => baseScan(c)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => baseScan(c)
+    case Filter(cond, c) => baseScan(c).map { case (path, fs) => (path, fs :+ cond) }
+    case LogicalRelation(rel: GraftRelation, _, _, _, _)
+        if !rel.parameters.contains("incremental.since") &&
+          !rel.parameters.contains("changes.since") &&
+          !rel.parameters.contains("versionAsOf") &&
+          !rel.parameters.contains("timestampAsOf") &&
+          rel.parameters.getOrElse("view", "snapshot").equalsIgnoreCase("snapshot") =>
+      Some((rel.path, Nil))
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftCatalogTable if t.asOf.isEmpty => Some((t.path, Nil))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Which view column answers this aggregate call, if any. */
+  private def aggColumn(fn: AggregateFunction, aggs: Seq[MvAgg]): Option[MvAgg] = {
+    def find(kind: String, input: String) =
+      aggs.find(a => a.kind == kind && a.input.equalsIgnoreCase(input))
+    fn match {
+      case Count(Seq(Literal(1, _))) => find("count", "*")
+      case Count(Seq(a: AttributeReference)) => find("count", a.name)
+      case Sum(a: AttributeReference, _) => find("sum", a.name)
+      case Average(a: AttributeReference, _) => find("avg", a.name)
+      case Min(a: AttributeReference) => find("min", a.name)
+      case Max(a: AttributeReference) => find("max", a.name)
+      case _ => None
+    }
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    if (!agg.resolved) return None
+    val spark = SparkSession.active
+    val (path, filters) = baseScan(agg.child).getOrElse(return None)
+    // every grouping key must be a bare column
+    val dims = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val mv = registered.iterator.flatMap { p =>
+      try {
+        val m = MaterializedView.load(spark, p)
+        val meta = m.meta
+        if (meta.basePath == path &&
+          meta.dims.map(_.toLowerCase).toSet == dims.map(_.name.toLowerCase).toSet &&
+          // freshness gate: a stale view must never serve
+          meta.lastVersion == LakeTable.load(spark, path).latestVersion) Some((m, meta))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.nextOption().getOrElse(return None)
+    val (view, meta) = mv
+    // dim-only predicates commute with GROUP BY; anything else bails
+    val dimNames = meta.dims.map(_.toLowerCase).toSet
+    if (!filters.forall(_.references.forall(a => dimNames.contains(a.name.toLowerCase))))
+      return None
+    if (filters.exists(!_.deterministic)) return None
+    // map every output column of the aggregate to a view column
+    val mapping: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map {
+      case a: AttributeReference if dims.exists(_.exprId == a.exprId) =>
+        (a, meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+        (al, aggColumn(fn, meta.aggs).getOrElse(return None).name)
+      case al @ Alias(a: AttributeReference, _) if dims.exists(_.exprId == a.exprId) =>
+        (al, meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
+      case _ => return None
+    }
+    // build the replacement: view read [+ refiltered dims] + a Project
+    // that re-aliases view columns under the ORIGINAL output exprIds, so
+    // everything above the aggregate keeps resolving
+    val viewPlan = view.read().queryExecution.analyzed
+    def viewAttr(name: String): Option[AttributeReference] =
+      viewPlan.output.collectFirst {
+        case a: AttributeReference if a.name.equalsIgnoreCase(name) => a
+      }
+    // exact result-type match or bail (e.g. decimal avg finalized as double)
+    mapping.foreach { case (orig, viewCol) =>
+      val va = viewAttr(viewCol).getOrElse(return None)
+      if (va.dataType != orig.dataType) return None
+    }
+    if (filters.exists(_.references.exists(a => viewAttr(a.name).isEmpty)))
+      return None
+    val refiltered = filters.foldLeft(viewPlan) { (acc, cond) =>
+      Filter(cond.transform {
+        case a: AttributeReference if viewAttr(a.name).isDefined => viewAttr(a.name).get
+      }, acc)
+    }
+    val out = mapping.map { case (orig, viewCol) =>
+      Alias(viewAttr(viewCol).get, orig.name)(exprId = orig.exprId)
+    }
+    Some(Project(out, refiltered))
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, MaterializedView, MvAgg, TableSpec}
+import graft.sql.GraftMvRewrite
+
+/** Automatic query rewrite to materialized views: an aggregate over the
+  * base table whose shape a registered fresh MV maintains is answered
+  * from the MV state (no Aggregate, no base scan in the optimized plan);
+  * a STALE view never serves; shapes the view cannot answer fall through
+  * untouched.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = graft.core.GraftSession.tune(
+      SparkSession.builder().master("local[4]").appName("graft-mvrw-test"), 4)
+      .withExtensions(new graft.sql.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  private def freshBase(tag: String): (LakeTable, String) = {
+    val path = Files.createTempDirectory(s"graft_mvrw_$tag").toString
+    val rows = (1L to 2000L).map(i => (i, 1L, s"g${i % 7}", i % 100))
+      .toDF("k", "ver", "grp", "amt")
+    (LakeTable.create(spark, path, TableSpec("k", "ver"), rows), path)
+  }
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate])
+
+  private def scansMvState(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.exists(_.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.exists(_.toString.contains("/state/"))
+      case _ => false
+    })
+
+  private def query(basePath: String): DataFrame =
+    spark.read.format("graft").load(basePath)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("amt").as("s"), avg("amt").as("a"))
+
+  test("matching aggregate is answered from the MV state, exactly") {
+    val (base, path) = freshBase("hit")
+    val mvPath = Files.createTempDirectory("graft_mvrw_mv").toString
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"), MvAgg("a", "avg", "amt")))
+    try {
+      GraftMvRewrite.register(mvPath)
+      val q = query(path)
+      assert(!hasAggregate(q), s"rewritten plan must not aggregate:\n${q.queryExecution.optimizedPlan}")
+      assert(scansMvState(q), "rewritten plan must scan the MV state table")
+      val direct = query(path) // plan is fresh each call; compare values
+      val expect = base.read().groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"), avg("amt").as("a"))
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet == expect)
+      assert(direct.collect().map(_.toSeq).toSet == expect)
+    } finally GraftMvRewrite.clear()
+  }
+
+  test("dim-only filters commute into the view; non-dim filters bail") {
+    val (base, path) = freshBase("filter")
+    val mvPath = Files.createTempDirectory("graft_mvrw_mv2").toString
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    try {
+      GraftMvRewrite.register(mvPath)
+      val q = spark.read.format("graft").load(path)
+        .filter(col("grp").isin("g1", "g3"))
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      assert(!hasAggregate(q) && scansMvState(q))
+      val expect = base.read().filter(col("grp").isin("g1", "g3"))
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet == expect && expect.size == 2)
+      // a filter on a non-dim column cannot commute — no rewrite, correct
+      val miss = spark.read.format("graft").load(path)
+        .filter(col("amt") > 50)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      assert(hasAggregate(miss), "non-dim filter must not rewrite")
+      assert(miss.collect().map(_.toSeq).toSet ==
+        base.read().filter(col("amt") > 50).groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+          .collect().map(_.toSeq).toSet)
+    } finally GraftMvRewrite.clear()
+  }
+
+  test("a stale view never serves; refresh re-enables the rewrite") {
+    val (base, path) = freshBase("stale")
+    val mvPath = Files.createTempDirectory("graft_mvrw_mv3").toString
+    val mv = MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    try {
+      GraftMvRewrite.register(mvPath)
+      assert(!hasAggregate(query(path).select("grp", "n", "s")))
+      // churn the base: the view is now stale — the rewrite must NOT fire
+      base.upsert(Seq((1L, 2L, "g1", 999L), (3000L, 1L, "g0", 5L))
+        .toDF("k", "ver", "grp", "amt"))
+      val q = query(path).select("grp", "n", "s")
+      assert(hasAggregate(q), "stale view must not serve")
+      val expect = LakeTable.load(spark, path).read().groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet == expect)
+      // refresh → up to date → rewrite fires again, with the new numbers
+      mv.refresh()
+      val q2 = query(path).select("grp", "n", "s")
+      assert(!hasAggregate(q2) && scansMvState(q2))
+      assert(q2.collect().map(_.toSeq).toSet == expect)
+    } finally GraftMvRewrite.clear()
+  }
+
+  test("shapes the view cannot answer fall through untouched") {
+    val (base, path) = freshBase("bail")
+    val mvPath = Files.createTempDirectory("graft_mvrw_mv4").toString
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    try {
+      GraftMvRewrite.register(mvPath)
+      // undeclared aggregate (min), different grouping, distinct, time travel
+      val cases = Seq(
+        spark.read.format("graft").load(path)
+          .groupBy("grp").agg(min("amt").as("m")),
+        spark.read.format("graft").load(path)
+          .groupBy("grp", "ver").agg(count(lit(1)).as("n")),
+        spark.read.format("graft").load(path)
+          .groupBy("grp").agg(countDistinct("amt").as("n")),
+        spark.read.format("graft").option("versionAsOf", "0").load(path)
+          .groupBy("grp").agg(count(lit(1)).as("n")))
+      cases.foreach { q =>
+        assert(hasAggregate(q), s"must not rewrite:\n${q.queryExecution.optimizedPlan}")
+        assert(q.collect().nonEmpty)
+      }
+    } finally GraftMvRewrite.clear()
+  }
+}
