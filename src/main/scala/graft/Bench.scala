@@ -279,6 +279,38 @@ object Bench {
       }
     }
 
+    // E12: BM25 ranked retrieval — exact-integer scoring; the explode is
+    // filtered to the 3 query terms before any shuffle.
+    results("e12_bm25") = median {
+      TextAnalysis.bm25(tbl("documents"),
+        terms = Seq("join", "window", "dup"), topK = 20)
+    }
+
+    // B11: automatic MV rewrite — the aggregate is answered from the MV
+    // state table (build untimed, like e6's index); the timed work is the
+    // rewrite + a scan of a few pre-aggregated rows, vs r2's full
+    // scan + shuffle shape.
+    results("b11_mv_rewrite") = {
+      val dir = freshDir("b11_mv_base")
+      val base = LakeTable.create(spark, dir,
+        TableSpec("o_orderkey", "o_orderdate"), tbl("orders"))
+      val mvDir = freshDir("b11_mv")
+      graft.lake.MaterializedView.create(spark, mvDir, base, Seq("o_orderstatus"),
+        Seq(graft.lake.MvAgg("n", "count", "*"),
+          graft.lake.MvAgg("s", "sum", "o_custkey")))
+      graft.sql.GraftMvRewrite.register(mvDir)
+      val t = median {
+        val q = spark.read.format("graft").load(dir).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"))
+        val plan = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+        require(!plan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]))
+        org.apache.spark.sql.GraftExpressionBridge.ofRows(spark, plan)
+      }
+      graft.sql.GraftMvRewrite.unregister(mvDir)
+      t
+    }
+
     // R1: TPC-H Q1 shape from the relational set.
     results("r1_pricing_summary") = median(
       graft.queries.Relational.defs("q01_pricing_summary")._1(spark, sfDir))

@@ -202,4 +202,37 @@ object Bpe {
       idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol), encode(merges, col(textCol)).as("bpe"))
       .select(col(idCol), size(col("bpe")).cast("long").as("n_bpe_tokens"), col("bpe"))
+
+  /** Persist a learned merge table as a lake table `(rank, left, right)` —
+    * the tokenizer-ARTIFACT lifecycle (the [[VectorIndex]] idea for
+    * tokenizers): train once, version the merges like any table (ACID,
+    * OCC, history, time travel), reload from any session or engine. A
+    * re-save after retraining overwrites in place, becoming the next
+    * version — consumers pinned to `versionAsOf` keep the old tokenizer,
+    * which is exactly what a reproducible training run needs. */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String,
+      merges: Merges): graft.lake.LakeTable = {
+    require(merges.pairs.nonEmpty, "nothing to save: empty merge table")
+    val rows = merges.pairs.zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+    val df = spark.createDataFrame(rows).toDF("rank", "left", "right")
+    if (graft.lake.CommitLog.latestVersion(path,
+        spark.sessionState.newHadoopConf()).isDefined) {
+      val t = graft.lake.LakeTable.load(spark, path)
+      t.overwrite(df)
+      t
+    } else graft.lake.LakeTable.create(spark, path,
+      graft.lake.TableSpec("rank", "rank"), df)
+  }
+
+  /** Reload a persisted merge table (optionally a past version). The
+    * merge list is rank-ordered and bounded (32k–100k rows for real
+    * tokenizers) — a driver-side artifact by nature, like the PQ
+    * codebooks. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String,
+      versionAsOf: Option[Long] = None): Merges = {
+    val rows = graft.lake.LakeTable.load(spark, path).read(versionAsOf)
+      .select("rank", "left", "right").orderBy("rank").collect()
+    require(rows.nonEmpty, s"no merges stored at $path")
+    Merges(rows.map(r => (r.getString(1), r.getString(2))).toSeq)
+  }
 }

@@ -84,4 +84,24 @@ class BpeSpec extends AnyFunSuite {
         assert(row.getSeq[String](1) == expected)
       }
   }
+
+  test("persisted tokenizer round-trips; re-save versions; time travel pins") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_art").toString
+    val m1 = Bpe.train(docs.limit(60), numMerges = 12)
+    Bpe.save(spark, path, m1)
+    // reload is rank-for-rank identical, and encodes identically
+    val back = Bpe.loadMerges(spark, path)
+    assert(back.pairs == m1.pairs)
+    val probe = docs.limit(10)
+    val a = probe.select(Bpe.encode(m1, col("text"))).collect().map(_.getSeq[String](0))
+    val b = probe.select(Bpe.encode(back, col("text"))).collect().map(_.getSeq[String](0))
+    assert(a.toSeq == b.toSeq)
+    // retrain on more data and re-save: the artifact versions in place
+    val m2 = Bpe.train(docs.limit(200), numMerges = 20)
+    Bpe.save(spark, path, m2)
+    assert(Bpe.loadMerges(spark, path).pairs == m2.pairs)
+    // a consumer pinned to the old version keeps the old tokenizer
+    assert(Bpe.loadMerges(spark, path, versionAsOf = Some(0L)).pairs == m1.pairs)
+  }
 }
