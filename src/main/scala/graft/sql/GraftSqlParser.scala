@@ -119,6 +119,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case GENERATE_RE(mode, target) => claimOr(sqlText, target) {
       GraftGenerateManifestCommand(target.trim, mode = mode.toLowerCase)
     }
+    case CREATE_MV_RE(target, query) => claimOr(sqlText, target) {
+      GraftCreateMaterializedViewCommand(target.trim, query.trim)
+    }
+    case REFRESH_MV_RE(target) => claimOr(sqlText, target) {
+      GraftRefreshMaterializedViewCommand(target.trim)
+    }
+    case DROP_MV_RE(target) => claimOr(sqlText, target) {
+      GraftDropMaterializedViewCommand(target.trim)
+    }
     case REORG_RE(target) => claimOr(sqlText, target) {
       GraftReorgPurgeCommand(target.trim)
     }
@@ -212,6 +221,12 @@ object GraftSqlParser {
       """(?:\s+FILEFORMAT\s*=\s*PARQUET)?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
   private[sql] val GENERATE_RE =
     (s"""(?is)\\s*GENERATE\\s+(symlink_format_manifest|delta_log|iceberg_metadata)\\s+FOR\\s+TABLE\\s+$TGT\\s*;?\\s*""").r
+  private[sql] val CREATE_MV_RE =
+    (s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$TGT\\s+AS\\s+(.+?)\\s*;?\\s*""").r
+  private[sql] val REFRESH_MV_RE =
+    (s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$TGT\\s*;?\\s*""").r
+  private[sql] val DROP_MV_RE =
+    (s"""(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+$TGT\\s*;?\\s*""").r
 
   private[sql] val REORG_RE =
     (s"""(?is)\\s*REORG\\s+TABLE\\s+$TGT\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""").r
@@ -233,6 +248,14 @@ object GraftSqlParser {
 
   /** Resolve the statement target to a table path: quoted path, Delta-style
     * ``graft.`path` ``, or a session-catalog `USING graft` table. */
+  /** The literal path of a quoted target (`'<dir>'` or ``graft.`<dir>` ``);
+    * None for catalog identifiers. */
+  private[sql] def rawPath(target: String): Option[String] =
+    if (target.startsWith("'")) Some(target.stripPrefix("'").stripSuffix("'"))
+    else if (target.toLowerCase.startsWith("graft.`"))
+      Some(target.substring("graft.`".length).stripSuffix("`"))
+    else None
+
   def resolveTable(spark: SparkSession, target: String): LakeTable = {
     val path =
       if (target.startsWith("'")) target.stripPrefix("'").stripSuffix("'")
@@ -322,6 +345,73 @@ case class GraftCopyIntoCommand(target: String, sourceDir: String,
 /** Delta `GENERATE symlink_format_manifest FOR TABLE t` analog
   * ([[graft.lake.LakeTable.generateManifest]]): one row per partition
   * manifest written. */
+/** `CREATE MATERIALIZED VIEW '<dir>' AS SELECT …`: analyze the definition,
+  * extract the maintainable (base, dims, aggs) shape ([[GraftMvShape]] —
+  * the mirror of the rewrite matcher, so anything accepted here the
+  * rewrite can serve), build the view with its initial full state, and
+  * register it for automatic query rewrite. The FROM may be any reference
+  * that resolves to a graft snapshot (temp view over `format("graft")`,
+  * DSv2 catalog table). */
+case class GraftCreateMaterializedViewCommand(target: String, query: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mvPath = GraftSqlParser.rawPath(target).getOrElse(
+      throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW target must be a path: '<dir>' or graft.`<dir>`"))
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(query)).analyzed
+    GraftMvShape.extract(analyzed) match {
+      case Left(err) => throw new IllegalArgumentException(
+        s"materialized view definition is not incrementally maintainable: $err")
+      case Right((basePath, dims, aggs)) =>
+        graft.lake.MaterializedView.create(spark, mvPath,
+          LakeTable.load(spark, basePath), dims, aggs)
+        GraftMvRewrite.register(mvPath)
+        Seq(Row(mvPath))
+    }
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW '<dir>'`: bring the view up to date with the
+  * base table (cost ∝ churn) and re-register it for rewrite. */
+case class GraftRefreshMaterializedViewCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("last_refreshed_version", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mvPath = GraftSqlParser.rawPath(target).getOrElse(
+      throw new IllegalArgumentException(
+        "REFRESH MATERIALIZED VIEW target must be a path: '<dir>' or graft.`<dir>`"))
+    val mv = graft.lake.MaterializedView.load(spark, mvPath).refresh()
+    GraftMvRewrite.register(mvPath)
+    Seq(Row(mv.lastRefreshedVersion))
+  }
+}
+
+/** `DROP MATERIALIZED VIEW '<dir>'`: unregister from the rewrite and
+  * delete the view's state. The base table is untouched. */
+case class GraftDropMaterializedViewCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mvPath = GraftSqlParser.rawPath(target).getOrElse(
+      throw new IllegalArgumentException(
+        "DROP MATERIALIZED VIEW target must be a path: '<dir>' or graft.`<dir>`"))
+    GraftMvRewrite.unregister(mvPath)
+    // loading first gives the clear "no such view" error for a bad path
+    graft.lake.MaterializedView.load(spark, mvPath)
+    val p = new Path(mvPath)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    Seq(Row(mvPath))
+  }
+}
+
 case class GraftGenerateManifestCommand(target: String,
     mode: String = "symlink_format_manifest") extends LeafRunnableCommand {
   override val output: Seq[Attribute] =

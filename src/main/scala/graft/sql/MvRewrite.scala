@@ -62,8 +62,9 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
 
   /** The base-table path under alias/attr-projection/filter wrappers, the
     * scan output, and any Filter conditions collected on the way down. */
-  private def baseScan(p: LogicalPlan): Option[(String, Seq[Expression])] = p match {
+  private[sql] def baseScan(p: LogicalPlan): Option[(String, Seq[Expression])] = p match {
     case SubqueryAlias(_, c) => baseScan(c)
+    case v: View => baseScan(v.child)
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => baseScan(c)
     case Filter(cond, c) => baseScan(c).map { case (path, fs) => (path, fs :+ cond) }
     case LogicalRelation(rel: GraftRelation, _, _, _, _)
@@ -80,20 +81,22 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Which view column answers this aggregate call, if any. */
-  private def aggColumn(fn: AggregateFunction, aggs: Seq[MvAgg]): Option[MvAgg] = {
-    def find(kind: String, input: String) =
-      aggs.find(a => a.kind == kind && a.input.equalsIgnoreCase(input))
-    fn match {
-      case Count(Seq(Literal(1, _))) => find("count", "*")
-      case Count(Seq(a: AttributeReference)) => find("count", a.name)
-      case Sum(a: AttributeReference, _) => find("sum", a.name)
-      case Average(a: AttributeReference, _) => find("avg", a.name)
-      case Min(a: AttributeReference) => find("min", a.name)
-      case Max(a: AttributeReference) => find("max", a.name)
-      case _ => None
-    }
+  /** (kind, input) of an aggregate call in MV terms, if maintainable. */
+  private[sql] def aggSpec(fn: AggregateFunction): Option[(String, String)] = fn match {
+    case Count(Seq(Literal(1, _))) => Some(("count", "*"))
+    case Count(Seq(a: AttributeReference)) => Some(("count", a.name))
+    case Sum(a: AttributeReference, _) => Some(("sum", a.name))
+    case Average(a: AttributeReference, _) => Some(("avg", a.name))
+    case Min(a: AttributeReference) => Some(("min", a.name))
+    case Max(a: AttributeReference) => Some(("max", a.name))
+    case _ => None
   }
+
+  /** Which view column answers this aggregate call, if any. */
+  private def aggColumn(fn: AggregateFunction, aggs: Seq[MvAgg]): Option[MvAgg] =
+    aggSpec(fn).flatMap { case (kind, input) =>
+      aggs.find(a => a.kind == kind && a.input.equalsIgnoreCase(input))
+    }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (!agg.resolved) return None
@@ -156,4 +159,48 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     }
     Some(Project(out, refiltered))
   }
+}
+
+/** Extract a maintainable (basePath, dims, aggs) from an analyzed MV
+  * definition query — the SQL `CREATE MATERIALIZED VIEW … AS SELECT`
+  * front half. Deliberately the mirror of [[GraftMvRewrite]]'s matcher:
+  * anything this accepts, the rewrite can serve. */
+private[sql] object GraftMvShape {
+
+  def extract(plan: LogicalPlan): Either[String, (String, Seq[String], Seq[MvAgg])] =
+    plan match {
+      case SubqueryAlias(_, c) => extract(c)
+      case agg: Aggregate =>
+        val (path, filters) = GraftMvRewrite.baseScan(agg.child).getOrElse(
+          return scala.Left("FROM must resolve to a plain graft table snapshot " +
+            "(no time travel / incremental / change-feed options)"))
+        if (filters.nonEmpty)
+          return scala.Left("WHERE is not supported in a materialized view definition " +
+            "(filter at query time — dim predicates commute into the view)")
+        val dims = agg.groupingExpressions.map {
+          case a: AttributeReference => a.name
+          case e => return scala.Left(s"grouping keys must be bare columns, got ${e.sql}")
+        }
+        val dimSet = dims.map(_.toLowerCase).toSet
+        val aggs = agg.aggregateExpressions.flatMap {
+          case a: AttributeReference if dimSet.contains(a.name.toLowerCase) => None
+          case al @ Alias(a: AttributeReference, _)
+              if dimSet.contains(a.name.toLowerCase) =>
+            if (al.name.equalsIgnoreCase(a.name)) None
+            else return scala.Left(s"dim columns cannot be re-aliased (${al.sql})")
+          case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+            GraftMvRewrite.aggSpec(fn) match {
+              case Some((kind, input)) => Some(MvAgg(al.name, kind, input))
+              case None => return scala.Left(
+                s"unsupported aggregate ${al.sql} — count/sum/avg/min/max " +
+                  "over a bare column (no DISTINCT, no FILTER)")
+            }
+          case e => return scala.Left(s"unsupported select item ${e.sql} — " +
+            "alias every aggregate (e.g. count(1) AS n)")
+        }
+        if (aggs.isEmpty) scala.Left("the definition needs at least one aggregate")
+        else scala.Right((path, dims, aggs))
+      case _ => scala.Left("the definition must be a single GROUP BY aggregate " +
+        "over a graft table")
+    }
 }

@@ -125,6 +125,54 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally GraftMvRewrite.clear()
   }
 
+  test("SQL lifecycle: CREATE/REFRESH/DROP MATERIALIZED VIEW, rewrite end-to-end") {
+    val (base, path) = freshBase("sql")
+    val mvPath = Files.createTempDirectory("graft_mvrw_sql").toString + "/mv"
+    spark.read.format("graft").load(path).createOrReplaceTempView("mv_base_v")
+    try {
+      val created = spark.sql(
+        s"""CREATE MATERIALIZED VIEW '$mvPath' AS
+           |SELECT grp, count(1) AS n, sum(amt) AS s
+           |FROM mv_base_v GROUP BY grp""".stripMargin).head().getString(0)
+      assert(created == mvPath)
+      // the SAME SQL aggregate now rewrites through the injected rule
+      val q = spark.sql(
+        "SELECT grp, count(1) AS n, sum(amt) AS s FROM mv_base_v GROUP BY grp")
+      assert(!hasAggregate(q) && scansMvState(q),
+        s"SQL aggregate must rewrite:\n${q.queryExecution.optimizedPlan}")
+      val expect = base.read().groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet == expect)
+      // churn → stale → REFRESH re-enables with new numbers
+      base.upsert(Seq((5000L, 1L, "g2", 7L)).toDF("k", "ver", "grp", "amt"))
+      assert(hasAggregate(spark.sql(
+        "SELECT grp, count(1) AS n FROM mv_base_v GROUP BY grp")))
+      val v = spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath'").head().getLong(0)
+      assert(v == LakeTable.load(spark, path).latestVersion)
+      val q2 = spark.sql(
+        "SELECT grp, count(1) AS n, sum(amt) AS s FROM mv_base_v GROUP BY grp")
+      assert(!hasAggregate(q2))
+      assert(q2.collect().map(_.toSeq).toSet ==
+        LakeTable.load(spark, path).read().groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+          .collect().map(_.toSeq).toSet)
+      // unmaintainable definitions are rejected with a clear reason
+      val err = intercept[Exception](spark.sql(
+        s"""CREATE MATERIALIZED VIEW '${mvPath}_bad' AS
+           |SELECT grp, count(DISTINCT amt) AS n FROM mv_base_v GROUP BY grp""".stripMargin))
+      assert(err.getMessage.contains("not incrementally maintainable"))
+      // DROP unregisters (no rewrite) and removes the state
+      spark.sql(s"DROP MATERIALIZED VIEW '$mvPath'")
+      assert(hasAggregate(spark.sql(
+        "SELECT grp, count(1) AS n FROM mv_base_v GROUP BY grp")))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(mvPath)))
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("mv_base_v")
+    }
+  }
+
   test("shapes the view cannot answer fall through untouched") {
     val (base, path) = freshBase("bail")
     val mvPath = Files.createTempDirectory("graft_mvrw_mv4").toString
