@@ -34,7 +34,14 @@ object GraftFunctions {
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "word_shingles" -> (es => WordShingles(es(0), if (es.size > 1) intArg(es(1), "k") else 3)),
     "token_set_count" -> (es => TokenSetCount(es(0), stringArrayArg(es(1), "words"),
-      lowercase = es.size > 2 && intArg(es(2), "lowercase") != 0)))
+      lowercase = es.size > 2 && intArg(es(2), "lowercase") != 0)),
+    // pmod(murmur3(key), n) — the bucketed-table layout rule, so SQL users
+    // can compute a key's bucket / pre-cluster batches to a table's layout
+    // (twin of the FunctionCatalog surface in graft.sources.GraftV2Functions)
+    "graft_bucket" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.Pmod(
+        new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(es(0))),
+        es(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

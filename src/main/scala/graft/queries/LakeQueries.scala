@@ -857,6 +857,41 @@ object LakeQueries {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)),
 
+    // Streaming ingestion + continuous MV maintenance: the odd half of
+    // orders streams in via foreachBatch micro-batches, each upserting
+    // the base and refresh()ing the view — so the aggregate tracks the
+    // stream batch-by-batch at churn cost. The require pins that the view
+    // caught the final base version; the oracle is the aggregate over the
+    // complete final state.
+    "q141_stream_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        graft.core.GraftSession.ensure(s)
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val path = freshDir(s"smv_base_$tag")
+        val mvPath = freshDir(s"smv_mv_$tag")
+        val land = freshDir(s"smv_land_$tag")
+        val ck = freshDir(s"smv_ck_$tag")
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        MaterializedView.create(s, mvPath, tbl, Seq("o_orderstatus"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "o_custkey")))
+        t(s, d, "orders").filter(col("o_orderkey") % 2 === 1)
+          .repartition(5).write.mode("overwrite").parquet(land)
+        val schema = s.read.parquet(land).schema
+        graft.streaming.CdcStream.ingestWithViews(s, tbl, land, schema, ck,
+          Seq(mvPath))
+        val mv = MaterializedView.load(s, mvPath)
+        require(mv.lastRefreshedVersion == LakeTable.load(s, path).latestVersion,
+          "the view must track the stream to the final base version")
+        mv.read().select(col("o_orderstatus"), col("n"), col("s"))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS s
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
     // Write-side clustering: with writeSortColumns the very first write
     // lays files out as non-overlapping o_totalprice ranges, so a range
     // scan prunes from commit-log stats alone — no OPTIMIZE ever ran.

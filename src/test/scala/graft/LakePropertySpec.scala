@@ -132,4 +132,30 @@ class LakePropertySpec extends AnyFunSuite {
     val hasLogs = t.commits.flatMap(_.add).exists(_.log)
     assert(hasLogs, "updates should have produced log files")
   }
+
+  test("bucket-pruned point lookups equal unpruned reads on random keys") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(900 + trial)
+      val base = genBatch(rnd, 400, 120, 0)
+      val t = LakeTable.create(spark, tmp(),
+        TableSpec("k", "pc", buckets = 8), df(base))
+      t.upsert(df(genBatch(rnd, 60, 120, 2000000)))
+      val full = state(t)
+      (1 to 10).foreach { _ =>
+        val probe = rnd.nextInt(150) // includes absent keys
+        val got = t.readWhere(Seq(EqualTo("k", probe)))
+          .filter(org.apache.spark.sql.functions.col("k") === probe)
+          .select("k", "pc", "payload").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+        assert(got == full.filter(_._1 == probe), s"trial $trial key $probe")
+      }
+      val ks = Array.fill(5)(rnd.nextInt(150))
+      val gotIn = t.readWhere(Seq(In("k", ks.map(_.asInstanceOf[Any]))))
+        .filter(org.apache.spark.sql.functions.col("k").isin(ks.toIndexedSeq: _*))
+        .select("k", "pc", "payload").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+      assert(gotIn == full.filter(r => ks.contains(r._1)), s"trial $trial IN")
+    }
+  }
 }

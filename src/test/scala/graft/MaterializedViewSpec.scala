@@ -160,4 +160,33 @@ class MaterializedViewSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt")))
     assert(got == want)
   }
+
+  test("streaming ingestion keeps the view continuously fresh; restart is safe") {
+    val bp = tmp(); val mp = tmp(); val land = tmp(); val ckpt = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(200))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("sum_amt", "sum", "amt")))
+    def check(): Unit = {
+      val base = LakeTable.load(spark, bp)
+      assert(MaterializedView.load(spark, mp).lastRefreshedVersion ==
+        base.latestVersion, "view must track the stream")
+      assert(rows(MaterializedView.load(spark, mp).read()) ==
+        rows(base.read().groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt"))))
+    }
+    // wave 1: updates to existing keys + new keys, across several files
+    baseRows(300).filter(col("k") >= 150).withColumn("ver", lit(1L))
+      .repartition(6).write.mode("overwrite").parquet(s"$land/w1")
+    graft.streaming.CdcStream.ingestWithViews(spark, t, s"$land/w1",
+      t.read().select("k", "ver", "grp", "amt", "score").schema, ckpt, Seq(mp))
+    check()
+    // wave 2 into the same landing zone + checkpoint: only NEW files are
+    // processed on the rerun (restart semantics), and the view follows
+    baseRows(320).filter(col("k") >= 300).withColumn("ver", lit(2L))
+      .repartition(3).write.mode("append").parquet(s"$land/w1")
+    graft.streaming.CdcStream.ingestWithViews(spark,
+      LakeTable.load(spark, bp), s"$land/w1",
+      t.read().select("k", "ver", "grp", "amt", "score").schema, ckpt, Seq(mp))
+    check()
+  }
 }

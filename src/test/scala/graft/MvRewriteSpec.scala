@@ -173,6 +173,32 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("HAVING and ORDER BY over a rewritten aggregate keep working") {
+    val (base, path) = freshBase("having")
+    val mvPath = Files.createTempDirectory("graft_mvrw_hav").toString
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    spark.read.format("graft").load(path).createOrReplaceTempView("mv_hav_v")
+    try {
+      GraftMvRewrite.register(mvPath)
+      // the analyzer's HAVING rewrite adds an extra (unaliased) aggregate
+      // column — the matcher maps it by (kind, input), not by name
+      val q = spark.sql(
+        """SELECT grp, sum(amt) AS s FROM mv_hav_v
+          |GROUP BY grp HAVING sum(amt) > 14000 ORDER BY s DESC, grp""".stripMargin)
+      assert(!hasAggregate(q),
+        s"HAVING query must still rewrite:\n${q.queryExecution.optimizedPlan}")
+      val expect = base.read().groupBy("grp").agg(sum("amt").as("s"))
+        .filter(col("s") > 14000).orderBy(col("s").desc, col("grp"))
+        .collect().map(_.toSeq).toSeq
+      val got = q.collect().map(_.toSeq).toSeq
+      assert(got == expect && got.nonEmpty)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("mv_hav_v")
+    }
+  }
+
   test("shapes the view cannot answer fall through untouched") {
     val (base, path) = freshBase("bail")
     val mvPath = Files.createTempDirectory("graft_mvrw_mv4").toString

@@ -38,17 +38,20 @@ class RuntimeFilterSpec extends AnyFunSuite {
     }
   }
 
-  /** Collect file scans through AQE query-stage boundaries — QueryStageExec
+  /** Collect nodes through AQE query-stage boundaries — QueryStageExec
     * is a LEAF node, so a plain collect never sees inside a finalized
     * stage. */
-  private def deepScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+  private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
     val kids = p match {
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
       case o => o.children
     }
-    (p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }) ++
-      kids.flatMap(deepScans)
+    f.lift(p).toSeq ++ kids.flatMap(deepCollect(_)(f))
   }
+
+  private def deepScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    deepCollect(p) { case f: FileSourceScanExec => f }
 
   test("dynamic partition pruning fires on a partitioned lake table join") {
     val path = Files.createTempDirectory("graft_dpp").toString
@@ -75,6 +78,46 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(joined.collect().map(_.toSeq).toSet ==
       expect.collect().map(_.toSeq).toSet)
     assert(joined.count() == 1000)
+  }
+
+  test("AQE splits a skewed graft join partition at runtime") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val path = Files.createTempDirectory("graft_skew").toString
+    // one pathological key carries ~97% of the probe side
+    val rows = (1L to 150000L).map(i =>
+      (i, if (i <= 145000L) 1L else i % 100, s"payload_$i"))
+      .toDF("k", "fk", "v")
+    val tbl = LakeTable.create(spark, path, TableSpec("k", "fk"), rows)
+    val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("fk", "name")
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // test data is small — shrink the production thresholds so the hot
+      // partition counts as skewed
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = tbl.read().join(dim, "fk").select("k", "fk", "name")
+      val plan = executed(joined)
+      val skewJoins = deepCollect(plan) {
+        case j: SortMergeJoinExec if j.isSkewJoin => j
+      }
+      assert(skewJoins.nonEmpty,
+        s"AQE must mark the hot-key join as a skew join:\n$plan")
+      // every fk ∈ [0, 100) has a dim row — the skew split must not drop
+      // or duplicate a single row
+      assert(joined.count() == 150000L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("runtime bloom filter injects on a selective dim join") {
