@@ -214,6 +214,54 @@ object Sampling {
     budgeted(df, budgets, domainCol, textCol, keyCol)
   }
 
+  /** UniMax domain sampling (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling"): split the token budget UNIFORMLY
+    * across domains, but cap every domain at `maxEpochs` passes over its
+    * own corpus — the leftover from capped (small) domains redistributes
+    * uniformly among the rest. Kills both failure modes of proportional
+    * sampling (big domains swallow the budget) and naive uniform
+    * (tiny domains repeat for dozens of epochs).
+    *
+    * The waterfill is EXACT integer arithmetic on the |domains|-row totals
+    * (driver-side): with caps sorted ascending (domain-name tiebreak),
+    * domain i is capped iff `cap_i · (n−i+1) ≤ B − prefix_{i−1}` — the
+    * multiplication form avoids division-rounding ambiguity — and the
+    * uncapped remainder R spreads as `R div m` each with the `R mod m`
+    * extra tokens going to the LAST `R mod m` uncapped domains. Every
+    * step replays bit-for-bit in SQL window functions, so the oracle
+    * recomputes the budgets, not just the cut.
+    *
+    * Scale shape: one |domains|-row aggregate, then the [[budgeted]]
+    * two-phase bucket plan. */
+  def unimax(df: DataFrame, totalTokens: Long, maxEpochs: Int = 4,
+      domainCol: String = "source", textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    require(totalTokens > 0 && maxEpochs > 0, "positive budget and epochs")
+    val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val totals = df.groupBy(domainCol).agg(sum(toks).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(totals.nonEmpty, "unimax needs at least one domain")
+    val sorted = totals.map { case (d, t) => (d, t * maxEpochs) }
+      .sortBy { case (d, cap) => (cap, d) }
+    val n = sorted.length
+    var prefix = 0L
+    var j = 0 // number of capped domains (a prefix of the sorted order)
+    while (j < n &&
+        BigInt(sorted(j)._2) * (n - j) <= BigInt(totalTokens) - prefix) {
+      prefix += sorted(j)._2; j += 1
+    }
+    val m = n - j
+    val r = totalTokens - prefix
+    val budgets: Map[String, Long] = sorted.zipWithIndex.map { case ((d, cap), i) =>
+      if (i < j) d -> cap
+      else {
+        val q = i - j + 1 // 1-based position among the uncapped
+        d -> (r / m + (if (q > m - (r % m)) 1L else 0L))
+      }
+    }.toMap
+    budgeted(df, budgets, domainCol, textCol, keyCol)
+  }
+
   /** Cut each domain to its token budget deterministically in md5-of-key
     * order — the shared engine under [[mixture]] and [[temperatureMixture]].
     * Two-phase plan: one (domain × 256 md5-bucket) partial aggregate gives

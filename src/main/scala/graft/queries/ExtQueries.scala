@@ -383,6 +383,66 @@ object ExtQueries {
         |FROM s GROUP BY doc_id
         |ORDER BY bm25_score DESC, doc_id ASC LIMIT 20""".stripMargin)),
 
+    // UniMax sampling (Chung et al. 2023): uniform per-domain budgets with
+    // an epoch cap — the leftover from capped (small) domains
+    // redistributes uniformly. Domains are a deterministic 70/20/10 split
+    // of the corpus so the budget (= half the corpus, computed not
+    // hard-coded) caps 'small' and (boundary-exactly) 'mid' at any scale
+    // factor; the waterfill is pure integer arithmetic, so DuckDB replays
+    // the BUDGETS as well as the md5-order cut.
+    "q142_unimax" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Sampling
+        val docs = t(s, d, "documents").withColumn("dom",
+          when(col("doc_id") % 10 < 7, "big")
+            .when(col("doc_id") % 10 < 9, "mid").otherwise("small"))
+        val total = docs
+          .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+          .head().getLong(0)
+        Sampling.unimax(docs, totalTokens = total / 2, maxEpochs = 1,
+          domainCol = "dom")
+          .select(col("doc_id"), col("dom"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+          .orderBy("doc_id")
+      },
+      raw"""WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 7 THEN 'big'
+        |         WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS dom,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |bt AS (SELECT CAST(SUM(n_tok) // 2 AS BIGINT) AS B FROM d),
+        |tot AS (SELECT dom, CAST(SUM(n_tok) AS BIGINT) AS t FROM d GROUP BY dom),
+        |c AS (SELECT dom, t AS cap,
+        |    ROW_NUMBER() OVER (ORDER BY t ASC, dom ASC) AS rn,
+        |    COUNT(*) OVER () AS n,
+        |    COALESCE(SUM(t) OVER (ORDER BY t ASC, dom ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        |  FROM tot),
+        |k AS (SELECT c.*, bt.B,
+        |    CASE WHEN CAST(cap AS HUGEINT) * (n - rn + 1) <= CAST(B AS HUGEINT) - pfx
+        |         THEN 1 ELSE 0 END AS capped
+        |  FROM c CROSS JOIN bt),
+        |g AS (SELECT CAST(SUM(capped) AS BIGINT) AS j,
+        |    CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN cap END), 0) AS BIGINT) AS pc,
+        |    CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(B) AS BIGINT) AS B FROM k),
+        |bud AS (SELECT k.dom,
+        |    CASE WHEN k.capped = 1 THEN k.cap
+        |         ELSE (g.B - g.pc) // (g.n - g.j) +
+        |              CASE WHEN (k.rn - g.j) >
+        |                   (g.n - g.j) - ((g.B - g.pc) % (g.n - g.j))
+        |                   THEN 1 ELSE 0 END
+        |    END AS budget
+        |  FROM k CROSS JOIN g),
+        |r AS (SELECT d.doc_id, d.dom, d.n_tok, bud.budget,
+        |    COALESCE(SUM(d.n_tok) OVER (PARTITION BY d.dom
+        |      ORDER BY d.h ASC, d.doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        |  FROM d JOIN bud ON d.dom = bud.dom)
+        |SELECT doc_id, dom, CAST(n_tok AS BIGINT) AS n_tok FROM r
+        |WHERE run < budget
+        |ORDER BY doc_id""".stripMargin)),
+
     // DSIR-style importance resampling (Xie et al. 2023): pick the 50
     // general-pool docs whose hashed-unigram distribution looks most like
     // the target domain ('src18'). Likelihood ratios are EXACT fixed-point

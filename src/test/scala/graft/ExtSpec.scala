@@ -460,6 +460,34 @@ class ExtSpec extends AnyFunSuite {
       again.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("unimax waterfill: epoch caps bind, leftover redistributes uniformly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, sum => fsum}
+    val text = Seq.fill(10)("w").mkString(" ") // every doc = exactly 10 tokens
+    val corpus = ((1 to 100).map(i => (i.toLong, "A", text)) ++
+      (201 to 260).map(i => (i.toLong, "B", text)) ++
+      (301 to 310).map(i => (i.toLong, "C", text)))
+      .toDF("doc_id", "source", "text")
+    // caps at 2 epochs: A 2000, B 1200, C 200; budget 900:
+    //   C capped (200·3 ≤ 900); B uncapped (1200·2 > 700) → R=700 over 2
+    //   → A 350, B 350 — and C can only REALIZE its 100 actual tokens
+    val got = graft.ext.Sampling
+      .unimax(corpus, totalTokens = 900L, maxEpochs = 2)
+      .withColumn("tok", expr(raw"size(split(trim(text), '\\s+'))").cast("long"))
+      .groupBy("source").agg(fsum("tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 350L, "B" -> 350L, "C" -> 100L), s"got $got")
+    // odd remainder goes to the LAST uncapped domains in cap order:
+    // budget 901 → R=701 over {B, A} (B first: smaller cap) → B 350, A 351
+    val odd = graft.ext.Sampling
+      .unimax(corpus, totalTokens = 901L, maxEpochs = 2)
+      .withColumn("tok", expr(raw"size(split(trim(text), '\\s+'))").cast("long"))
+      .groupBy("source").agg(fsum("tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc granularity is 10 tokens: budget 351 still cuts at run<351 → 360
+    assert(odd("B") == 350L && odd("A") == 360L && odd("C") == 100L, s"got $odd")
+  }
+
   test("bm25 ranks rare-term and higher-tf docs first, exact and deterministic") {
     import spark.implicits._
     val corpus = Seq(
