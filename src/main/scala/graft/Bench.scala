@@ -299,16 +299,14 @@ object Bench {
         Seq(graft.lake.MvAgg("n", "count", "*"),
           graft.lake.MvAgg("s", "sum", "o_custkey")))
       graft.sql.GraftMvRewrite.register(mvDir)
-      val t = median {
+      try median {
         val q = spark.read.format("graft").load(dir).groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"))
         val plan = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
         require(!plan.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]))
         org.apache.spark.sql.GraftExpressionBridge.ofRows(spark, plan)
-      }
-      graft.sql.GraftMvRewrite.unregister(mvDir)
-      t
+      } finally graft.sql.GraftMvRewrite.unregister(mvDir)
     }
 
     // R1: TPC-H Q1 shape from the relational set.

@@ -200,8 +200,15 @@ object Sampling {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(totalTokens > 0, "totalTokens must be positive")
     val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")
-    val totals = df.groupBy(domainCol).agg(sum(toks).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // guard the driver-side map build: a NULL domain key or an all-null
+    // token sum would NPE out of getString/getLong with no context
+    val totals = df.groupBy(domainCol)
+      .agg(coalesce(sum(toks), lit(0L)).as("t"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"temperatureMixture: column '$domainCol' contains NULL domain keys")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
     require(totals.nonEmpty, "temperatureMixture needs at least one domain")
     val qw: Map[String, Long] = totals.map { case (d, t) =>
       val p = if (alpha == 0.5) math.sqrt(t.toDouble)
@@ -238,8 +245,13 @@ object Sampling {
       keyCol: String = "doc_id"): DataFrame = {
     require(totalTokens > 0 && maxEpochs > 0, "positive budget and epochs")
     val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")
-    val totals = df.groupBy(domainCol).agg(sum(toks).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val totals = df.groupBy(domainCol)
+      .agg(coalesce(sum(toks), lit(0L)).as("t"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"unimax: column '$domainCol' contains NULL domain keys")
+        r.getString(0) -> r.getLong(1)
+      }
     require(totals.nonEmpty, "unimax needs at least one domain")
     val sorted = totals.map { case (d, t) => (d, t * maxEpochs) }
       .sortBy { case (d, cap) => (cap, d) }

@@ -2130,12 +2130,19 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private def conform(df0: DataFrame, mergeSchema: Boolean = false): (DataFrame, Option[StructType]) = {
     if (latestVersion < 0) return (df0, None)
     // bucketed tables: (re)stamp the stored bucket id from the key — always
-    // recomputed, so a caller-supplied value can never mis-place a row
+    // recomputed, so a caller-supplied value can never mis-place a row.
+    // Hash at the DECLARED key type: Murmur3(Int) != Murmur3(Long), and
+    // read-side bucketSkip evaluates the probe literal at the declared
+    // type, so a narrower-typed incoming key (Scala Int into a BIGINT
+    // column) must be cast BEFORE hashing or write layout and read-time
+    // bucket pruning disagree — silent missing rows on point lookups.
     val dfB =
-      if (spec.buckets > 0)
+      if (spec.buckets > 0) {
+        val keyExpr = schema.fields.find(_.name.equalsIgnoreCase(spec.key))
+          .map(f => col(spec.key).cast(f.dataType)).getOrElse(col(spec.key))
         df0.withColumn(TableSpec.BUCKET_COL,
-          pmod(hash(col(spec.key)), lit(spec.buckets)))
-      else df0
+          pmod(hash(keyExpr), lit(spec.buckets)))
+      } else df0
     // generated columns: stamp when omitted, validate when supplied
     val dfG = GeneratedCols(dfB, spec.generated)
     // column DEFAULTs: an OMITTED column takes its default expression; a

@@ -68,6 +68,39 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     state.read().select(cols: _*)
   }
 
+  /** Finalized view re-aggregated to a COARSER dim subset — the rollup
+    * half of MV rewrite: a view grouped on {a,b} answers `GROUP BY a`
+    * because count/sum re-aggregate by summing the stored partials,
+    * min/max by min/max of the group extrema, and avg from the stored
+    * sum+count pair — never touching the base table. `preFilters`
+    * (dim-only predicates, resolved by name against the state table)
+    * apply BEFORE re-aggregation so a predicate on a rolled-away dim
+    * still works. Empty `rollDims` = global aggregate (count finalizes
+    * to 0 over an empty state, matching SQL `count(*)` over no rows). */
+  private[graft] def readRollup(rollDims: Seq[String],
+      preFilters: Seq[Column] = Nil): DataFrame = {
+    val m = meta
+    require(rollDims.forall(d => m.dims.exists(_.equalsIgnoreCase(d))),
+      s"rollup dims [${rollDims.mkString(",")}] must be a subset of view dims " +
+        s"[${m.dims.mkString(",")}]")
+    val stSchema = state.schema
+    val st = preFilters.foldLeft(state.read())((acc, c) => acc.filter(c))
+    val aggCols: Seq[Column] = m.aggs.map {
+      case MvAgg(n, "count", _) => coalesce(sum(col(n)), lit(0L)).cast(LongType).as(n)
+      case MvAgg(n, "sum", _) =>
+        // cast the re-sum back to the stored (= original query) sum type;
+        // validity from the non-null input count, as in read()
+        when(sum(col(cntCol(n))) > 0,
+          sum(col(sumCol(n))).cast(stSchema(sumCol(n)).dataType)).as(n)
+      case MvAgg(n, "avg", _) =>
+        when(sum(col(cntCol(n))) > 0,
+          sum(col(sumCol(n))).cast(DoubleType) / sum(col(cntCol(n)))).as(n)
+      case MvAgg(n, "min", _) => min(col(n)).as(n)
+      case MvAgg(n, "max", _) => max(col(n)).as(n)
+    }
+    st.groupBy(rollDims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** Bring the view up to date with the base table's latest version. */
   def refresh(): MaterializedView = {
     val m = meta

@@ -26,11 +26,15 @@ import graft.sources.{GraftCatalogTable, GraftRelation}
   *
   * where `base` is a plain-snapshot graft scan (V1 `format("graft")`
   * relation or a DSv2 catalog table, no time travel / incremental /
-  * change-feed options), the grouping keys are exactly the view's dims,
+  * change-feed options), the grouping keys are the view's dims or a
+  * SUBSET of them (rollup: count/sum re-aggregate by summing the stored
+  * partials, min/max by min/max, avg from the stored sum+count pair),
   * and every aggregate is one of the view's declared count/sum/avg/min/
   * max columns (no DISTINCT, no FILTER clauses). Dim-only predicates
   * commute with grouping, so they re-apply against the view's dim
-  * columns. Result types must match exactly or the rewrite bails.
+  * columns — below the re-aggregation on the rollup path, so predicates
+  * on rolled-away dims work too. Result types must match exactly or the
+  * rewrite bails.
   *
   * Freshness: the rewrite fires ONLY when `mv.lastRefreshedVersion`
   * equals the base table's latest commit — a stale view silently serving
@@ -44,9 +48,35 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
 
   private val registry = new java.util.concurrent.CopyOnWriteArraySet[String]()
 
-  def register(mvPath: String): Unit = { registry.add(mvPath); () }
-  def unregister(mvPath: String): Unit = { registry.remove(mvPath); () }
-  def clear(): Unit = registry.clear()
+  /** Registration-scoped shape cache (mvPath → (basePath, lowercased
+    * dims)). basePath and dims are immutable for an MV's life, so they
+    * pre-filter candidates with ZERO filesystem I/O — without this, every
+    * Aggregate node in every optimizer fixed-point iteration paid an MV
+    * meta read + base commit-log listing per registered view. The
+    * authoritative (fresh) meta is still re-read for any candidate that
+    * survives the pre-filter, so a stale entry can only MISS a rewrite,
+    * never mis-serve one. */
+  private val shapeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Set[String])]()
+
+  def register(mvPath: String): Unit = {
+    shapeCache.remove(mvPath); registry.add(mvPath); ()
+  }
+  def unregister(mvPath: String): Unit = {
+    registry.remove(mvPath); shapeCache.remove(mvPath); ()
+  }
+  def clear(): Unit = { registry.clear(); shapeCache.clear() }
+
+  private def shapeOf(spark: SparkSession, p: String): Option[(String, Set[String])] = {
+    val cached = shapeCache.get(p)
+    if (cached != null) return Some(cached)
+    try {
+      val meta = MaterializedView.load(spark, p).meta
+      val s = (meta.basePath, meta.dims.map(_.toLowerCase).toSet)
+      shapeCache.put(p, s)
+      Some(s)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
   def registered: Seq[String] = {
     val it = registry.iterator(); val b = Seq.newBuilder[String]
     while (it.hasNext) b += it.next()
@@ -107,18 +137,29 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => a
       case _ => return None
     }
-    val mv = registered.iterator.flatMap { p =>
+    val dimSet = dims.map(_.name.toLowerCase).toSet
+    // cached-shape pre-filter (zero I/O), exact-dim views before rollup
+    // candidates (no re-aggregation beats a re-aggregation), smaller
+    // state tables first among rollups
+    val candidates = registered.flatMap { p =>
+      shapeOf(spark, p) match {
+        case Some((bp, ds)) if bp == path && dimSet.subsetOf(ds) => Some((p, ds))
+        case _ => None
+      }
+    }.sortBy { case (_, ds) => (if (ds == dimSet) 0 else 1, ds.size) }
+    val mv = candidates.iterator.flatMap { case (p, _) =>
       try {
         val m = MaterializedView.load(spark, p)
-        val meta = m.meta
+        val meta = m.meta // fresh read — authoritative over the cache
         if (meta.basePath == path &&
-          meta.dims.map(_.toLowerCase).toSet == dims.map(_.name.toLowerCase).toSet &&
+          dimSet.subsetOf(meta.dims.map(_.toLowerCase).toSet) &&
           // freshness gate: a stale view must never serve
           meta.lastVersion == LakeTable.load(spark, path).latestVersion) Some((m, meta))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
     }.nextOption().getOrElse(return None)
     val (view, meta) = mv
+    val exact = meta.dims.map(_.toLowerCase).toSet == dimSet
     // dim-only predicates commute with GROUP BY; anything else bails
     val dimNames = meta.dims.map(_.toLowerCase).toSet
     if (!filters.forall(_.references.forall(a => dimNames.contains(a.name.toLowerCase))))
@@ -134,10 +175,25 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         (al, meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
       case _ => return None
     }
-    // build the replacement: view read [+ refiltered dims] + a Project
-    // that re-aliases view columns under the ORIGINAL output exprIds, so
-    // everything above the aggregate keeps resolving
-    val viewPlan = view.read().queryExecution.analyzed
+    // build the replacement: an exact-dim view serves a plain state read
+    // (dim filters re-applied on top); a COARSER query re-aggregates the
+    // state table via readRollup, with the dim predicates pushed BELOW
+    // the re-aggregation (they may reference rolled-away dims). Either
+    // way a Project re-aliases view columns under the ORIGINAL output
+    // exprIds, so everything above the aggregate keeps resolving.
+    val viewPlan =
+      if (exact) view.read().queryExecution.analyzed
+      else {
+        val preCols = filters.map(c =>
+          org.apache.spark.sql.GraftExpressionBridge.column(c.transform {
+            case a: AttributeReference =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+          }))
+        val rollDims = dims.map(a =>
+          meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
+        try view.readRollup(rollDims, preCols).queryExecution.analyzed
+        catch { case scala.util.control.NonFatal(_) => return None }
+      }
     def viewAttr(name: String): Option[AttributeReference] =
       viewPlan.output.collectFirst {
         case a: AttributeReference if a.name.equalsIgnoreCase(name) => a
@@ -147,13 +203,15 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       val va = viewAttr(viewCol).getOrElse(return None)
       if (va.dataType != orig.dataType) return None
     }
-    if (filters.exists(_.references.exists(a => viewAttr(a.name).isEmpty)))
+    if (exact && filters.exists(_.references.exists(a => viewAttr(a.name).isEmpty)))
       return None
-    val refiltered = filters.foldLeft(viewPlan) { (acc, cond) =>
-      Filter(cond.transform {
-        case a: AttributeReference if viewAttr(a.name).isDefined => viewAttr(a.name).get
-      }, acc)
-    }
+    val refiltered =
+      if (!exact) viewPlan // rollup path: filters already below the re-agg
+      else filters.foldLeft(viewPlan) { (acc, cond) =>
+        Filter(cond.transform {
+          case a: AttributeReference if viewAttr(a.name).isDefined => viewAttr(a.name).get
+        }, acc)
+      }
     val out = mapping.map { case (orig, viewCol) =>
       Alias(viewAttr(viewCol).get, orig.name)(exprId = orig.exprId)
     }

@@ -117,6 +117,29 @@ class BucketJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("narrower-typed upsert keys hash at the declared type (bucket pruning stays correct)") {
+    import org.apache.spark.sql.sources.EqualTo
+    // table declared with BIGINT key; upsert arrives with an INT key column.
+    // Murmur3(Int) != Murmur3(Long) for the same value, so the stamp must
+    // cast to the declared type BEFORE hashing or read-side bucketSkip
+    // (which hashes the probe literal at the declared type) silently
+    // prunes the file holding the row.
+    val t = mk("narrow", (1L to 200L).map(i => (i, 1L, s"v$i")))
+    t.upsert(Seq((9001, 2L, "narrow-new"), (7, 2L, "narrow-upd"))
+      .toDF("k", "ts", "v")) // k is Int here, declared BIGINT
+    // probe through the pushed-filter path that exercises bucketSkip
+    def lookup(k: Long): Set[String] =
+      t.readWhere(Seq(EqualTo("k", k))).filter(col("k") === k)
+        .select("v").collect().map(_.getString(0)).toSet
+    assert(lookup(9001L) == Set("narrow-new"),
+      "row inserted with a narrower-typed key must survive bucket pruning")
+    assert(lookup(7L) == Set("narrow-upd"))
+    // stored bucket ids agree with the declared-type hash formula
+    val read = t.read()
+    assert(read.filter(col("_bucket") =!=
+      pmod(hash(col("k").cast("bigint")), lit(NB))).isEmpty)
+  }
+
   test("upserts restamp buckets and keep the SPJ path correct") {
     val t = mk("upsert", (1L to 500L).map(i => (i, 1L, s"v$i")))
     t.upsert(Seq((10L, 2L, "updated"), (9999L, 1L, "new")).toDF("k", "ts", "v"))

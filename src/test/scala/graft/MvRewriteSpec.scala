@@ -199,6 +199,63 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  private def scansPath(df: DataFrame, path: String): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.exists(_.relation match {
+      case g: graft.sources.GraftRelation => g.path.contains(path)
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.exists(_.toString.contains(path))
+      case _ => false
+    })
+
+  test("a coarser GROUP BY rolls up from a finer-dim view without a base scan") {
+    val path = Files.createTempDirectory("graft_mvrw_roll").toString
+    val rows = (1L to 3000L).map(i => (i, 1L, s"g${i % 5}", s"s${i % 3}", i % 97))
+      .toDF("k", "ver", "grp", "sub", "amt")
+    val base = LakeTable.create(spark, path, TableSpec("k", "ver"), rows)
+    val mvPath = Files.createTempDirectory("graft_mvrw_roll_mv").toString
+    MaterializedView.create(spark, mvPath, base, Seq("grp", "sub"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"), MvAgg("a", "avg", "amt"),
+        MvAgg("mn", "min", "amt"), MvAgg("mx", "max", "amt")))
+    def roll(): DataFrame = spark.read.format("graft").load(path)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"),
+        avg("amt").as("a"), min("amt").as("mn"), max("amt").as("mx"))
+    try {
+      GraftMvRewrite.register(mvPath)
+      val q = roll()
+      // the rollup re-aggregates the (tiny) state table — an Aggregate
+      // stays in the plan, but the base table is never scanned
+      assert(scansMvState(q) && !scansPath(q, path),
+        s"rollup must read MV state, not the base:\n${q.queryExecution.optimizedPlan}")
+      val expect = base.read().groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"), avg("amt").as("a"),
+          min("amt").as("mn"), max("amt").as("mx"))
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet == expect)
+      // global aggregate (GROUP BY nothing) is the extreme rollup
+      val g = spark.read.format("graft").load(path)
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"), min("amt").as("mn"))
+      assert(scansMvState(g) && !scansPath(g, path))
+      assert(g.collect().map(_.toSeq).toSet ==
+        base.read().agg(count(lit(1)).as("n"), sum("amt").as("s"),
+          min("amt").as("mn")).collect().map(_.toSeq).toSet)
+      // a predicate on the ROLLED-AWAY dim applies below the re-aggregation
+      val f = spark.read.format("graft").load(path).filter(col("sub") === "s1")
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      assert(scansMvState(f) && !scansPath(f, path),
+        s"rolled-away-dim filter must still rewrite:\n${f.queryExecution.optimizedPlan}")
+      assert(f.collect().map(_.toSeq).toSet ==
+        base.read().filter(col("sub") === "s1").groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+          .collect().map(_.toSeq).toSet)
+      // staleness disables the rollup exactly like the exact-dim path
+      base.upsert(Seq((9001L, 1L, "g0", "s0", 10L)).toDF("k", "ver", "grp", "sub", "amt"))
+      val stale = roll()
+      assert(scansPath(stale, path), "stale view must not serve a rollup")
+    } finally GraftMvRewrite.clear()
+  }
+
   test("shapes the view cannot answer fall through untouched") {
     val (base, path) = freshBase("bail")
     val mvPath = Files.createTempDirectory("graft_mvrw_mv4").toString
