@@ -24,6 +24,13 @@ import graft.lake.{LakeTable, TableSpec}
 object ExtQueries {
   import Tables._
 
+  /** Fixed artifact path for the q143 oracle: Verify and the driver's
+    * DuckDB check run on the same host, so the query dumps the learned
+    * merges here as plain parquet and the oracle SQL replays encode from
+    * it (a lake-table dir would glob overwritten MVCC files too). */
+  private val BpeOracleMergesPath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bpe_oracle_merges"
+
   private def plantedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
     docs.unionByName(
@@ -1704,6 +1711,74 @@ object ExtQueries {
         Bpe.tokenStats(docs, merges).drop("bpe").orderBy("doc_id")
       },
       "")),
+
+    // Greedy BPE ENCODE under a FIXED merges table, hash-checked end to
+    // end: training (q91) is iterative and stays rows-only, but encode is
+    // a deterministic per-row function of (text, merges) — so the learned
+    // (rank,left,right) table is persisted as a plain-parquet artifact at
+    // a fixed path and DuckDB REPLAYS the greedy lowest-rank-first merge
+    // loop from it with a recursive CTE (distinct words only, one
+    // iteration per applied merge; symbols space-wrapped so a pair match
+    // in the string is exactly symbol adjacency and replace() is the
+    // canonical non-overlapping left-to-right merge). The save/loadMerges
+    // lake-table lifecycle is exercised on the way: the encode runs off
+    // the RELOADED artifact, proving persist→load→encode determinism.
+    "q143_bpe_encode" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Bpe
+        val docs = t(s, d, "documents")
+        val merges = Bpe.train(docs.filter(col("doc_id") < 1000), numMerges = 40)
+        val lakeDir = Files.createTempDirectory("graft_bpe_lake").toString
+        Bpe.save(s, lakeDir, merges)
+        val reloaded = Bpe.loadMerges(s, lakeDir)
+        require(reloaded.pairs == merges.pairs, "save/load must round-trip the merges")
+        val rows = merges.pairs.zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+        s.createDataFrame(rows).toDF("rank", "left", "right")
+          .coalesce(1).write.mode("overwrite").parquet(BpeOracleMergesPath)
+        val toks = Bpe.encode(reloaded, col("text"))
+        docs.select(col("doc_id"),
+          size(toks).cast("long").as("n_bpe_tokens"),
+          concat_ws(" ", toks).as("bpe_text")).orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE
+        |m AS (SELECT "rank" AS rk, "left" AS l, "right" AS r
+        |      FROM read_parquet('$BpeOracleMergesPath/*.parquet')),
+        |dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+        |       FROM documents),
+        |inst AS (SELECT doc_id, u.i AS pos, u.w AS word FROM (
+        |    SELECT doc_id, UNNEST(list_transform(range(1, len(ws)+1),
+        |        i -> {'i': i, 'w': ws[i]})) AS u
+        |    FROM dw) WHERE u.w <> ''),
+        |w1 AS (SELECT DISTINCT word FROM inst),
+        |init AS (SELECT word, ' ' || array_to_string(syms, '  ') || ' ' AS s,
+        |    len(syms) < 2 AS done
+        |  FROM (SELECT word, list_transform(range(1, len(c)+1),
+        |          i -> c[i] || CASE WHEN i = len(c) THEN '·' ELSE '' END) AS syms
+        |        FROM (SELECT word, str_split_regex(word, '') AS c FROM w1))),
+        |enc(word, s, done) AS (
+        |  SELECT word, s, done FROM init
+        |  UNION ALL
+        |  SELECT e.word,
+        |    CASE WHEN b.l IS NULL THEN e.s
+        |         ELSE replace(e.s, ' ' || b.l || '  ' || b.r || ' ',
+        |                      ' ' || b.l || b.r || ' ') END,
+        |    b.l IS NULL
+        |  FROM (SELECT word, s FROM enc WHERE NOT done) e
+        |  LEFT JOIN LATERAL (
+        |     SELECT m.l, m.r FROM m
+        |     WHERE contains(e.s, ' ' || m.l || '  ' || m.r || ' ')
+        |     ORDER BY m.rk LIMIT 1) b ON true),
+        |wt AS (SELECT word, replace(trim(s), '  ', ' ') AS toks,
+        |              len(str_split(trim(s), '  ')) AS n
+        |       FROM enc WHERE done)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(SUM(wt.n), 0) AS BIGINT) AS n_bpe_tokens,
+        |  COALESCE(string_agg(wt.toks, ' ' ORDER BY i.pos), '') AS bpe_text
+        |FROM documents d
+        |LEFT JOIN inst i ON i.doc_id = d.doc_id
+        |LEFT JOIN wt ON wt.word = i.word
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
 
     // Interval/range join: purchases within 30 minutes after a signup by
     // the same user (time-windowed self-join, J-extension beyond equi).
