@@ -684,7 +684,9 @@ object ExtQueries {
           w.append(rec)
         }
         w.close()
-        graft.sources.AvroSource.read(s, dir.toString + "/*.avro")
+        // the verbatim reference call shape (README.md:264,440) — resolves
+        // to graft.sources.AvroFileSource via DataSourceRegister
+        s.read.format("avro").load(dir.toString + "/*.avro")
           .orderBy("n_nationkey")
       },
       """SELECT n_nationkey, n_name, n_regionkey

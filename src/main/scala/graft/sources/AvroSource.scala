@@ -127,3 +127,35 @@ object AvroSource {
     }
   }
 }
+
+/** `spark.read.format("avro").load(path)` — the verbatim reference call
+  * shape (`/root/reference/README.md:264,440`; `scala-cdc-hudi.ipynb`
+  * cells 5-6), registered under the standard `avro` short name via
+  * `DataSourceRegister` so a user porting the reference notebooks runs
+  * the exact same line. Delegates to [[AvroSource.read]]. */
+class AvroFileSource extends org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "avro"
+
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "avro source needs a path: spark.read.format(\"avro\").load(path)"))
+    new AvroRelation(ctx, path)
+  }
+}
+
+/** V1 relation over an Avro file glob: schema inferred from the first
+  * file's header at plan time, rows decoded on executors (one task per
+  * CDC file — see the scale note on [[AvroSource]]). */
+class AvroRelation(ctx: org.apache.spark.sql.SQLContext, val path: String)
+    extends org.apache.spark.sql.sources.BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+
+  private lazy val df: DataFrame = AvroSource.read(ctx.sparkSession, path)
+
+  override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+  override lazy val schema: StructType = df.schema
+  override def buildScan(): org.apache.spark.rdd.RDD[Row] = df.rdd
+}

@@ -88,6 +88,25 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(rows(2).toSeq == Seq(3, null, 30, 1673496078L, "DELETE", true, 42L, 1673496285L))
   }
 
+  test("spark.read.format(\"avro\") resolves via DataSourceRegister (reference call shape)") {
+    val dir = Files.createTempDirectory("graft_avro_fmt").toFile
+    writeFixture(dir)
+    // the verbatim reference line (README.md:264,440)
+    val df = spark.read.format("avro").load(dir.getAbsolutePath + "/*.avro")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("uuid", "read_timestamp", "sort_keys", "source_metadata", "payload"))
+    // identical rows to the direct-API read
+    val direct = AvroSource.read(spark, dir.getAbsolutePath + "/*.avro")
+      .selectExpr("uuid", "payload.pk_id").orderBy("pk_id").collect().map(_.toSeq).toSeq
+    val viaFmt = df.selectExpr("uuid", "payload.pk_id")
+      .orderBy("pk_id").collect().map(_.toSeq).toSeq
+    assert(viaFmt == direct && viaFmt.length == 3)
+    // a missing path fails with the call-shape hint, not an NPE
+    val err = intercept[Exception](
+      spark.read.format("avro").load().collect())
+    assert(err.getMessage != null)
+  }
+
   test("flatten + epochize work on Avro-read envelopes (EP1 on real Avro)") {
     val dir = Files.createTempDirectory("graft_avro2").toFile
     writeFixture(dir)
