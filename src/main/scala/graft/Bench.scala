@@ -197,6 +197,21 @@ object Bench {
       t
     }
 
+    // E13: persisted IVF-PQ probe-pruned search — e6's ADC scan with
+    // coarse-list FILE pruning on a persisted lake index (build untimed,
+    // long-lived state at scale): per query only nProbe/numLists of the
+    // codes partitions contribute candidates, and the scan opens only the
+    // probed lists' files (require-pinned on a single-query probe).
+    results("e13_ivf_pruned_ann") = {
+      val emb = tbl("embeddings")
+      val ix = graft.ext.VectorIndex.build(spark, freshDir("e13_vix"), emb,
+        numLists = 16)
+      val queries = emb.filter(col("vec_id") < 10)
+      val (p, tot) = ix.prunedFileCounts(queries.filter(col("vec_id") < 1), nProbe = 4)
+      require(p > 0 && p < tot, s"probe pruning must skip files: $p/$tot")
+      median { ix.search(queries, k = 5, rerank = 4, nProbe = 4) }
+    }
+
     // E3: full text-stats pass over documents.
     results("e3_text_stats") = median(TextAnalysis.stats(tbl("documents")))
 

@@ -91,19 +91,43 @@ object Similarity {
   /** Deterministic coarse-quantizer sample: top-`numLists` corpus vectors
     * by seeded md5 (engine-portable — the DuckDB oracle reproduces the
     * selection). `c0` must carry (neighbor_id, cv). */
-  private def sampleCentroids(c0: DataFrame, numLists: Int,
+  private[ext] def sampleCentroids(c0: DataFrame, numLists: Int,
       seed: Long): Array[(Any, Seq[Double])] = c0
     .select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
     .orderBy(md5(concat(col("cid").cast("string"), lit(":" + seed))).asc, col("cid").asc)
     .limit(numLists)
     .collect().map(r => (r.get(0), r.getSeq[Double](1)))
 
+  /** Fixed-order mean fold for Lloyd training, executed ON THE EXECUTORS:
+    * per-group (sum, count) partials keyed by shuffle partition id are
+    * gathered per group, sorted by pid, and folded SEQUENTIALLY via the
+    * `aggregate` higher-order function — the exact IEEE op sequence of a
+    * driver-side pid-ordered fold (FP addition is non-associative; a plain
+    * avg() would merge shuffle blocks in arrival order), without ever
+    * collecting ∝ partitions rows to the driver. The per-group partial
+    * list is bounded by the input partition count, and what reaches the
+    * driver is one row per GROUP (lists×dim — true metadata), not
+    * lists×dim×partitions: at 100 TB partition counts that is the
+    * difference between kilobytes and tens of millions of rows.
+    * `grouped` must carry the key columns plus `x`. */
+  private[graft] def pinnedMeans(grouped: DataFrame,
+      keys: Seq[String]): Array[org.apache.spark.sql.Row] = grouped
+    .groupBy((keys.map(col) :+ spark_partition_id().as("pid")): _*)
+    .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    .groupBy(keys.map(col): _*)
+    .agg(sort_array(collect_list(struct(col("pid"), col("s"), col("n")))).as("ps"))
+    .select((keys.map(col) :+
+      (aggregate(col("ps"), lit(0.0d), (a, p) => a + p.getField("s")) /
+        aggregate(col("ps"), lit(0L), (a, p) => a + p.getField("n")).cast("double"))
+        .as("mean")): _*)
+    .collect()
+
   /** Array of the n nearest (neg_sim, cid) structs over the given
     * centroid set; ascending sort on the negated cosine = sim desc with
     * cid-asc tiebreak, matching the window ordering it replaces (same
     * IEEE op sequence: driver-side norm fold ≡ the sequential normSq
     * fold). A pure codegen'd literal-chain expression — zero shuffle. */
-  private def nearestLists(cents: Array[(Any, Seq[Double])])(
+  private[ext] def nearestLists(cents: Array[(Any, Seq[Double])])(
       vec: Column, rowNormSq: Column, n: Int): Column = {
     val rowNorm = sqrt(rowNormSq)
     val entries = cents.map { case (cid, v) =>
@@ -165,28 +189,19 @@ object Similarity {
         var cents: Array[Seq[Double]] = centRows.map(_._2)
         for (_ <- 1 to trainIters) {
           val labeled = cents.zipWithIndex.map { case (v, i) => (i.asInstanceOf[Any], v) }
-          // per-(list, dim, PARTITION) partial sums, folded on the driver in
-          // fixed partition order: a plain avg() would merge shuffle blocks
-          // in arrival order, and FP addition is non-associative — trained
-          // centroids would differ in low-order bits between runs
-          val partials = c0
-            .withColumn("cid",
-              nearestLists(labeled)(col("cv"), col("cn"), 1).getItem(0).getField("cid"))
-            .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
-            .groupBy(col("cid"), col("pos"), spark_partition_id().as("pid"))
-            .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-            .collect()
-          val means = partials
-            .groupBy(r => (r.getInt(0), r.getInt(1)))
-            .view.mapValues { rows =>
-              val ordered = rows.sortBy(_.getInt(2))
-              var sAcc = 0.0d; var nAcc = 0L
-              ordered.foreach { r => sAcc += r.getDouble(3); nAcc += r.getLong(4) }
-              sAcc / nAcc
-            }.toMap
-            .groupBy(_._1._1)
-            .map { case (cid, dims) =>
-              cid -> dims.toSeq.sortBy(_._1._2).map(_._2).toSeq
+          // per-(list, dim, PARTITION) partial sums, folded in fixed
+          // partition order INSIDE the executors ([[pinnedMeans]] — same
+          // IEEE op sequence as a driver fold, but only lists×dim rows
+          // ever reach the driver)
+          val folded = pinnedMeans(
+            c0.withColumn("cid",
+                nearestLists(labeled)(col("cv"), col("cn"), 1).getItem(0).getField("cid"))
+              .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x"))),
+            Seq("cid", "pos"))
+          val means = folded
+            .groupBy(_.getInt(0))
+            .map { case (cid, rows) =>
+              cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
             }
           // a list that attracted no rows keeps its previous centroid
           cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
@@ -301,33 +316,26 @@ object Similarity {
     * the codegen'd argmin assigns every subspace's code map-side (zero
     * shuffle), a narrow posexplode keys each element by (subspace, code,
     * offset), and the groupBy partial-aggregates so the shuffle carries
-    * only m·ks·sub·partitions rows. Means are folded on the driver in
-    * fixed partition order (same determinism discipline as [[ivfTopK]]'s
-    * coarse trainer: shuffle-block arrival order must not leak into FP
-    * low-order bits). A codeword that attracted no sub-vectors keeps its
-    * previous value. */
+    * only m·ks·sub·partitions rows. Means are folded in fixed partition
+    * order inside the executors ([[pinnedMeans]] — shuffle-block arrival
+    * order must not leak into FP low-order bits), and only m·ks·sub mean
+    * rows reach the driver. A codeword that attracted no sub-vectors keeps
+    * its previous value. */
   private def lloydCodewords(c0: DataFrame, m: Int, ks: Int, sub: Int,
       init: Array[Array[Seq[Double]]], iters: Int): Array[Array[Seq[Double]]] = {
     var cws = init
     for (_ <- 1 to iters) {
       val lut = pqNormLut(cws, m, ks)
       val codes = array((0 until m).map(j => pqCode(cws, lut, sub, ks)(col("cv"), j)): _*)
-      val partials = c0
-        .select(codes.as("codes"), posexplode(col("cv")).as(Seq("pos", "x")))
-        .withColumn("j", (col("pos") / lit(sub)).cast("int"))
-        .withColumn("rel", col("pos") % lit(sub))
-        .withColumn("code", element_at(col("codes"), col("j") + 1))
-        .groupBy(col("j"), col("code"), col("rel"), spark_partition_id().as("pid"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val means = partials
-        .groupBy(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
-        .view.mapValues { rows =>
-          val ordered = rows.sortBy(_.getInt(3))
-          var sAcc = 0.0d; var nAcc = 0L
-          ordered.foreach { r => sAcc += r.getDouble(4); nAcc += r.getLong(5) }
-          sAcc / nAcc
-        }.toMap
+      val folded = pinnedMeans(
+        c0.select(codes.as("codes"), posexplode(col("cv")).as(Seq("pos", "x")))
+          .withColumn("j", (col("pos") / lit(sub)).cast("int"))
+          .withColumn("rel", col("pos") % lit(sub))
+          .withColumn("code", element_at(col("codes"), col("j") + 1)),
+        Seq("j", "code", "rel"))
+      val means = folded
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
       cws = Array.tabulate(m)(j => Array.tabulate(ks) { c =>
         if (means.contains((j, c, 0))) Seq.tabulate(sub)(rel => means((j, c, rel)))
         else cws(j)(c)

@@ -472,6 +472,19 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     k.join(present, Seq(spec.key), "left_semi")
   }
 
+  /** Pruned candidate read for a key set: the rows of files that MIGHT
+    * hold one of `keys` (same partition/key-range/bloom pruning as the
+    * upsert detection scan), so cost ∝ batch and its matching files, never
+    * the table. Candidate files can contribute non-matching rows — callers
+    * filter/join on the key themselves. MoR with live logs reads through
+    * the merged realtime view (a tombstoned key must not surface). */
+  def readForKeys(keys: DataFrame): DataFrame = {
+    val k = keys.select(col(spec.key)).filter(col(spec.key).isNotNull).distinct()
+    val live = liveFiles(None)
+    if (live.exists(_.log)) realtime()
+    else ordered(readFiles(pruneCandidates(live, k)))
+  }
+
   /** Max tombstone write-id per record identity — the one scan of the
     * (churn-bounded) tombstone files a read needs; both its consumers (the
     * contested-key union and the kill filter) reference the same subplan,

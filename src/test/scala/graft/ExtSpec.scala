@@ -584,6 +584,40 @@ class ExtSpec extends AnyFunSuite {
     assert(full == bf, "nProbe = numLists must equal brute force")
   }
 
+  test("Lloyd mean fold runs on the executors yet matches a driver-side pid-ordered fold bit-exactly") {
+    import graft.functions.VectorOps.toDoubleVec
+    // adversarial partitioning: many partitions, uneven group spread
+    val base = emb.repartition(13)
+      .select((col("vec_id") % 3).cast("int").as("cid"),
+        posexplode(toDoubleVec(col("embedding"))).as(Seq("pos", "x")))
+      .cache()
+    val got = Similarity.pinnedMeans(base, Seq("cid", "pos"))
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // reference: the old driver-side fold — per-(group, pid) partials
+    // collected, sorted by pid, summed sequentially
+    val partials = base
+      .groupBy(col("cid"), col("pos"), spark_partition_id().as("pid"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val want = partials.groupBy(r => (r.getInt(0), r.getInt(1)))
+      .view.mapValues { rows =>
+        val ordered = rows.sortBy(_.getInt(2))
+        var sAcc = 0.0d; var nAcc = 0L
+        ordered.foreach { r => sAcc += r.getDouble(3); nAcc += r.getLong(4) }
+        sAcc / nAcc
+      }.toMap
+    base.unpersist()
+    assert(got.keySet == want.keySet)
+    // bit-exact: the executor-side aggregate() fold must replay the exact
+    // IEEE op sequence (compare raw long bits, not ==, to catch -0.0/ulp)
+    val diff = got.collect { case (k, v)
+        if java.lang.Double.doubleToRawLongBits(v) !=
+          java.lang.Double.doubleToRawLongBits(want(k)) => k }
+    assert(diff.isEmpty, s"FP sequence diverged for groups $diff")
+    // and the driver-side result is one row per GROUP, not per partition
+    assert(got.size == base.select("cid", "pos").distinct().count())
+  }
+
   test("k-means-trained IVF meets the recall floor and stays deterministic") {
     val queries = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)

@@ -58,6 +58,54 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got == 777L, s"the planted near-duplicate must be rank 1, got $got")
   }
 
+  test("IVF-partitioned index: probe-pruned search opens fewer files, equals in-memory IVF-PQ") {
+    val path = tmp()
+    val c = corpus.cache()
+    val queries = c.filter(col("vec_id") < 5)
+    val ix = VectorIndex.build(spark, path, c, m = 8, ks = 16, numLists = 8)
+    def rows(df: DataFrame) = df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    // the scan is really pruned: probed lists' files < total live files
+    val (pruned, total) = ix.prunedFileCounts(queries, nProbe = 2)
+    assert(pruned < total, s"expected file pruning, got $pruned of $total")
+    assert(pruned > 0, "probed lists must still contribute files")
+    // pruned search ≡ the in-memory IVF-PQ composition (same md5 coarse
+    // sample, same codewords, same ADC scores) — raw and reranked
+    assert(rows(ix.search(queries, k = 5, nProbe = 2)) ==
+      rows(Similarity.ivfPqTopK(c, queries, k = 5, numLists = 8, nProbe = 2)))
+    assert(rows(ix.search(queries, k = 5, rerank = 4, nProbe = 2)) ==
+      rows(Similarity.ivfPqTopK(c, queries, k = 5, numLists = 8, nProbe = 2, rerank = 4)))
+    // nProbe >= numLists degenerates to the flat ADC path
+    assert(rows(ix.search(queries, k = 5, nProbe = 8)) == rows(ix.search(queries, k = 5)))
+    // survives reload: centroids round-trip parquet bit-exactly
+    val reloaded = VectorIndex.load(spark, path)
+    assert(reloaded.centroids.toSeq == ix.centroids.toSeq)
+    assert(rows(reloaded.search(queries, k = 5, nProbe = 2)) ==
+      rows(ix.search(queries, k = 5, nProbe = 2)))
+  }
+
+  test("IVF-partitioned add: a re-added vector that moves lists leaves no stale row") {
+    val path = tmp()
+    val c = corpus.cache()
+    val ix = VectorIndex.build(spark, path, c, m = 8, ks = 16, numLists = 8)
+    val codes = graft.lake.LakeTable.load(spark, s"$path/codes")
+    val oldCid = codes.read().filter(col("vec_id") === 7L)
+      .select("cid").head().getInt(0)
+    // re-add vec 7 AS another list's centroid: its nearest list is that
+    // centroid's own (cos ≈ 1), so the record must MOVE partitions
+    val targetCid = (oldCid + 3) % ix.centroids.length
+    val moved = Seq((7L, ix.centroids(targetCid).map(_.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    ix.add(moved)
+    val after = codes.read().filter(col("vec_id") === 7L)
+      .select("cid", "embedding").collect()
+    assert(after.length == 1, s"stale row must die, got ${after.length} rows")
+    assert(after.head.getInt(0) == targetCid)
+    // an add that does NOT move lists still replaces in place
+    ix.add(moved)
+    assert(codes.read().filter(col("vec_id") === 7L).count() == 1)
+  }
+
   test("re-adding a vec_id replaces its code (keyed upsert, never duplicates)") {
     val path = tmp()
     val c = corpus.cache()
