@@ -331,11 +331,13 @@ object CommitLog {
 
   /** Drop every cached commit for a table — a new table created at a
     * previously-used path (DROP + CREATE) must not see the old log. */
-  private[lake] def invalidateTable(tablePath: String): Unit =
+  private[lake] def invalidateTable(tablePath: String): Unit = {
     readCache.synchronized {
       val it = readCache.keySet().iterator()
       while (it.hasNext) if (it.next().startsWith(tablePath + "#")) it.remove()
     }
+    invalidateCheckpoints(tablePath)
+  }
 
   def read(tablePath: String, version: Long, conf: Configuration): Commit = {
     val key = s"$tablePath#$version"
@@ -555,19 +557,34 @@ object CommitLog {
   // next to the log (the Delta `checkpoint` pattern): snapshot resolution
   // reads one checkpoint + the commit tail instead of every commit since
   // version 0 — O(1) driver metadata work regardless of table age.
+  //
+  // Checkpoints are COLUMNAR (one parquet dir per checkpoint — the Delta
+  // checkpoint.parquet analog) whenever a SparkSession is active at write
+  // time: at millions of live files a JSON checkpoint funnels the whole
+  // file list through driver-side Jackson on every snapshot resolution,
+  // while parquet parses columnar and compressed. The JSON form remains
+  // the session-less fallback and the reader understands both; immutable
+  // once published, so reads memoize ([[ckptCache]]).
 
   val CHECKPOINT_INTERVAL = 10
 
   private def checkpointFile(tablePath: String, version: Long): Path =
     new Path(logDir(tablePath), f"$version%020d.checkpoint.json")
 
+  private def checkpointParquetDir(tablePath: String, version: Long): Path =
+    new Path(logDir(tablePath), f"$version%020d.checkpoint.parquet")
+
   def listCheckpoints(tablePath: String, conf: Configuration): Seq[Long] = {
     val dir = logDir(tablePath)
     val f = fs(dir, conf)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".checkpoint.json"))
-      .map(_.stripSuffix(".checkpoint.json").toLong).sorted
+      .collect {
+        case n if n.endsWith(".checkpoint.json") && !n.startsWith(".") =>
+          n.stripSuffix(".checkpoint.json").toLong
+        case n if n.endsWith(".checkpoint.parquet") && !n.startsWith(".") =>
+          n.stripSuffix(".checkpoint.parquet").toLong
+      }.distinct.sorted
   }
 
   def writeCheckpoint(tablePath: String, version: Long, files: Seq[FileAction],
@@ -604,7 +621,67 @@ object CommitLog {
     f.rename(tmp, target)
   }
 
+  /** Columnar checkpoint write: the live-file list as one parquet dir
+    * (write-then-rename — a reader never sees a torn checkpoint). Row
+    * order is preserved through an explicit `idx` column so the resolved
+    * snapshot's file order is identical to the JSON form's. */
+  private[graft] def writeParquetCheckpoint(tablePath: String, version: Long,
+      files: Seq[FileAction], conf: Configuration,
+      ss: org.apache.spark.sql.SparkSession): Unit = {
+    import ss.implicits._
+    val rows = files.zipWithIndex.map { case (a, i) =>
+      CheckpointRow(i.toLong, a.path, a.log, a.rows, a.minKey, a.maxKey,
+        a.numericKey, a.partitionValue, a.base, a.tombstone, a.colStats,
+        a.dv, a.dvRows, a.bytes, a.colSums)
+    }
+    val target = checkpointParquetDir(tablePath, version)
+    val f = fs(target, conf)
+    val tmp = new Path(logDir(tablePath), s".$version.checkpoint.parquet.tmp")
+    f.delete(tmp, true)
+    rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    f.delete(target, true)
+    f.rename(tmp, target)
+    ()
+  }
+
+  // checkpoints are immutable once renamed into place — memoize reads (a
+  // snapshot resolution otherwise re-parses the checkpoint every call)
+  private val ckptCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[FileAction]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[FileAction]]): Boolean = size() > 64
+    })
+
+  private[lake] def invalidateCheckpoints(tablePath: String): Unit =
+    ckptCache.synchronized {
+      val it = ckptCache.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(tablePath + "#")) it.remove()
+    }
+
   def readCheckpoint(tablePath: String, version: Long, conf: Configuration): Seq[FileAction] = {
+    val key = s"$tablePath#$version"
+    val cached = ckptCache.get(key)
+    if (cached != null) return cached
+    val pq = checkpointParquetDir(tablePath, version)
+    if (fs(pq, conf).exists(pq)) {
+      val ss = org.apache.spark.sql.SparkSession.active
+      import ss.implicits._
+      val files = ss.read.parquet(pq.toString).as[CheckpointRow].collect()
+        .sortBy(_.idx)
+        .map(r => FileAction(r.path, r.log, r.rows, r.minKey, r.maxKey,
+          r.numericKey, r.partitionValue, r.base, r.tombstone, r.colStats,
+          r.dv, r.dvRows, r.bytes, r.colSums))
+        .toSeq
+      ckptCache.put(key, files)
+      return files
+    }
+    val files = readJsonCheckpoint(tablePath, version, conf)
+    ckptCache.put(key, files)
+    files
+  }
+
+  private def readJsonCheckpoint(tablePath: String, version: Long,
+      conf: Configuration): Seq[FileAction] = {
     val p = checkpointFile(tablePath, version)
     val in = fs(p, conf).open(p)
     val root = try mapper.readTree(in) finally in.close()
@@ -644,8 +721,28 @@ object CommitLog {
     live.values.toSeq
   }
 
-  /** Write a checkpoint when the version hits the interval. */
+  /** Write a checkpoint when the version hits the interval — columnar
+    * (parquet) when a SparkSession is active, JSON otherwise (and for the
+    * empty-file-list edge, where a parquet dir would carry no schema). */
   def maybeCheckpoint(tablePath: String, version: Long, conf: Configuration): Unit =
-    if (version > 0 && version % CHECKPOINT_INTERVAL == 0)
-      writeCheckpoint(tablePath, version, liveFiles(tablePath, Some(version), conf), conf)
+    if (version > 0 && version % CHECKPOINT_INTERVAL == 0) {
+      val files = liveFiles(tablePath, Some(version), conf)
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(ss) if files.nonEmpty =>
+          writeParquetCheckpoint(tablePath, version, files, conf, ss)
+        case _ => writeCheckpoint(tablePath, version, files, conf)
+      }
+    }
 }
+
+/** One live file inside a columnar checkpoint — [[FileAction]] plus the
+  * original position (`idx`), so the resolved file order is stable across
+  * the JSON and parquet forms. Tuple-valued maps encode as
+  * `map<string, struct<_1, _2>>`. */
+private[lake] case class CheckpointRow(
+    idx: Long, path: String, log: Boolean, rows: Long, minKey: String,
+    maxKey: String, numericKey: Boolean, partitionValue: Option[String],
+    base: Option[String], tombstone: Boolean,
+    colStats: Map[String, (String, String)],
+    dv: Option[String], dvRows: Long, bytes: Long,
+    colSums: Map[String, (String, Long)])

@@ -892,6 +892,55 @@ object LakeQueries {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)),
 
+    // q141 driven PURELY through the SQL lifecycle: the view comes from
+    // CREATE MATERIALIZED VIEW (the command registers it for rewrite; run
+    // directly — Verify sessions lack the parser extension, q85 pattern)
+    // and the streaming ingest names NO view paths — each micro-batch
+    // auto-discovers registered views over its base table and refreshes
+    // them. Requires pin (a) the view tracked the stream to the final
+    // base version without ever being listed and (b) the post-stream
+    // aggregate rewrites to the view's state table (no Aggregate node).
+    "q145_stream_mv_sql" -> ((
+      (s: SparkSession, d: String) => {
+        graft.core.GraftSession.ensure(s)
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val path = freshDir(s"smvs_base_$tag")
+        val mvPath = freshDir(s"smvs_mv_$tag") + "/mv"
+        val land = freshDir(s"smvs_land_$tag")
+        val ck = freshDir(s"smvs_ck_$tag")
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        s.read.format("graft").load(path).createOrReplaceTempView("smvs_base_v")
+        graft.sql.GraftCreateMaterializedViewCommand(s"'$mvPath'",
+          """SELECT o_orderstatus, count(1) AS n, sum(o_custkey) AS s
+            |FROM smvs_base_v GROUP BY o_orderstatus""".stripMargin).run(s)
+        try {
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 1)
+            .repartition(5).write.mode("overwrite").parquet(land)
+          val schema = s.read.parquet(land).schema
+          graft.streaming.CdcStream.ingestWithViews(s, tbl, land, schema, ck)
+          val mv = graft.lake.MaterializedView.load(s, mvPath)
+          require(mv.lastRefreshedVersion == LakeTable.load(s, path).latestVersion,
+            "the SQL-registered view must track the stream with no explicit list")
+          val q = s.read.format("graft").load(path).groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"))
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          require(!rewritten.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+            "the post-stream aggregate must rewrite to the view state")
+          org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+            .orderBy("o_orderstatus")
+        } finally {
+          graft.sql.GraftMvRewrite.unregister(mvPath)
+          s.catalog.dropTempView("smvs_base_v")
+          ()
+        }
+      },
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS s
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
     // Write-side clustering: with writeSortColumns the very first write
     // lays files out as non-overlapping o_totalprice ranges, so a range
     // scan prunes from commit-log stats alone — no OPTIMIZE ever ran.

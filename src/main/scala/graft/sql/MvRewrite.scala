@@ -83,6 +83,14 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     b.result()
   }
 
+  /** Registered view paths maintained over `basePath` — the streaming
+    * auto-maintenance discovery hook ([[graft.streaming.CdcStream
+    * .ingestWithViews]] refreshes these per micro-batch when the caller
+    * names none). Uses the zero-I/O shape cache; sorted for a
+    * deterministic refresh order. */
+  def viewsOver(spark: SparkSession, basePath: String): Seq[String] =
+    registered.filter(p => shapeOf(spark, p).exists(_._1 == basePath)).sorted
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan
     plan.transformUp {

@@ -46,10 +46,16 @@ object CdcStream {
     * precombine-deduped, and refresh() is windowed on the base version —
     * a replayed batch that changed nothing refreshes nothing. Cost per
     * batch ∝ batch churn (never base size), the property that makes a
-    * CONTINUOUSLY fresh aggregate affordable at 100 TB. */
+    * CONTINUOUSLY fresh aggregate affordable at 100 TB.
+    *
+    * With the default EMPTY `viewPaths`, views are auto-discovered from
+    * the SQL lifecycle registry each batch
+    * ([[graft.sql.GraftMvRewrite.viewsOver]]): every `CREATE MATERIALIZED
+    * VIEW` over this base table — including one issued mid-stream — is
+    * maintained without the caller ever listing it. */
   def ingestWithViews(spark: SparkSession, table: LakeTable, dir: String,
       schema: StructType, checkpoint: String,
-      viewPaths: Seq[String], continuous: Boolean = false,
+      viewPaths: Seq[String] = Seq.empty, continuous: Boolean = false,
       transform: DataFrame => DataFrame = identity): Unit = {
     val stream = spark.readStream
       .schema(schema)
@@ -62,7 +68,10 @@ object CdcStream {
         val b = transform(batch)
         if (!b.isEmpty) {
           table.upsert(b)
-          viewPaths.foreach(p =>
+          val views =
+            if (viewPaths.nonEmpty) viewPaths
+            else graft.sql.GraftMvRewrite.viewsOver(spark, table.path)
+          views.foreach(p =>
             graft.lake.MaterializedView.load(spark, p).refresh())
         }
         ()

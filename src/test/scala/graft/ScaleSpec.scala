@@ -35,6 +35,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaCp == full)
   }
 
+  test("columnar checkpoint: parquet form, JSON-prefix truncation, 10k-file round-trip") {
+    val path = Files.createTempDirectory("graft_ckpt_pq").toString
+    val t = LakeTable.create(spark, path, TableSpec("k", "pc"),
+      Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "pc", "payload"))
+    (1 to 12).foreach { i =>
+      t.upsert(Seq((1, i + 1L, s"v$i"), (100 + i, 1L, s"new$i")).toDF("k", "pc", "payload"))
+    }
+    val log = new java.io.File(path, "_graft_log")
+    assert(new java.io.File(log, "00000000000000000010.checkpoint.parquet").isDirectory,
+      "checkpoints must be columnar (parquet) when a SparkSession is active")
+    // Delta-style log truncation: once the checkpoint exists, the JSON
+    // commits BEFORE it are not consulted for latest-snapshot resolution —
+    // delete them and the table still reads (one parquet + a 2-commit tail)
+    (0 to 9).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete())
+    }
+    val latest = LakeTable.load(spark, path).read().select("k", "payload")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(latest(1) == "v12" && latest.size == 14)
+
+    // every FileAction field survives a columnar round-trip at 10k files
+    val conf = spark.sessionState.newHadoopConf()
+    val dir2 = Files.createTempDirectory("graft_ckpt_rt").toString
+    val synthetic = (0 until 10000).map { i =>
+      graft.lake.FileAction(
+        path = s"_v=7/part-$i.parquet", log = i % 17 == 0, rows = i.toLong,
+        minKey = i.toString, maxKey = (i + 1).toString, numericKey = true,
+        partitionValue = if (i % 3 == 0) Some(s"p${i % 5}") else None,
+        base = if (i % 999 == 0) Some("/elsewhere") else None,
+        tombstone = i % 2000 == 0,
+        colStats = Map("c" -> ((s"a$i", s"b$i"))),
+        dv = if (i % 100 == 0) Some(s"dv/$i") else None, dvRows = i % 4,
+        bytes = 123L + i, colSums = Map("s" -> ((i.toString, i.toLong))))
+    }
+    CommitLog.writeParquetCheckpoint(dir2, 20L, synthetic, conf, spark)
+    assert(CommitLog.listCheckpoints(dir2, conf) == Seq(20L))
+    assert(CommitLog.readCheckpoint(dir2, 20L, conf) == synthetic,
+      "columnar checkpoint must round-trip every field and preserve order")
+  }
+
   test("concurrent-writer guard: duplicate commit version is rejected") {
     val path = Files.createTempDirectory("graft_cc").toString
     LakeTable.create(spark, path, TableSpec("k", "pc"),
