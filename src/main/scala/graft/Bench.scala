@@ -197,20 +197,31 @@ object Bench {
       t
     }
 
-    // E13: persisted IVF-PQ probe-pruned search — e6's ADC scan with
-    // coarse-list FILE pruning on a persisted lake index (build untimed,
-    // long-lived state at scale): per query only nProbe/numLists of the
-    // codes partitions contribute candidates, and the scan opens only the
-    // probed lists' files (require-pinned on a single-query probe).
+    // E13/E14: persisted IVF-PQ search over ONE list-partitioned lake
+    // index (build untimed, long-lived state at scale). e13 probes 2/16
+    // lists per query (the small-batch serving shape) — only the probed
+    // partitions' files open (require-pinned) and per query only its own
+    // lists' candidates score; e14 is the SAME index and query batch
+    // scanned in full (nProbe=0 → flat ADC over every file) — the pair
+    // isolates what coarse pruning buys at equal storage and recall
+    // shape. The corpus is the embeddings table replicated 192× under
+    // shifted ids (deterministic — at the bench SF the raw table is so
+    // small that per-job fixed costs would swamp the scan the pruning
+    // removes; the pruning factor itself is size-independent).
+    val vixCorpus = tbl("embeddings")
+      .crossJoin(spark.range(192).toDF("rep"))
+      .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L)
+      .drop("rep")
+    val vixIndex = graft.ext.VectorIndex.build(spark, freshDir("e13_vix"),
+      vixCorpus, numLists = 16)
+    val vixQueries = tbl("embeddings").filter(col("vec_id") < 2)
     results("e13_ivf_pruned_ann") = {
-      val emb = tbl("embeddings")
-      val ix = graft.ext.VectorIndex.build(spark, freshDir("e13_vix"), emb,
-        numLists = 16)
-      val queries = emb.filter(col("vec_id") < 10)
-      val (p, tot) = ix.prunedFileCounts(queries.filter(col("vec_id") < 1), nProbe = 4)
+      val (p, tot) = vixIndex.prunedFileCounts(vixQueries, nProbe = 2)
       require(p > 0 && p < tot, s"probe pruning must skip files: $p/$tot")
-      median { ix.search(queries, k = 5, rerank = 4, nProbe = 4) }
+      median { vixIndex.search(vixQueries, k = 5, rerank = 4, nProbe = 2) }
     }
+    results("e14_vix_full_adc") =
+      median { vixIndex.search(vixQueries, k = 5, rerank = 4) }
 
     // E3: full text-stats pass over documents.
     results("e3_text_stats") = median(TextAnalysis.stats(tbl("documents")))
