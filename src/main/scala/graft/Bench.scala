@@ -312,6 +312,19 @@ object Bench {
         terms = Seq("join", "window", "dup"), topK = 20)
     }
 
+    // E15: the SAME ranked retrieval served from the persisted inverted
+    // index (build untimed — long-lived state at scale): the scan opens
+    // only the 3 query terms' bucket partitions (require-pinned) and
+    // reads pre-counted (term, doc, tf, dl) postings instead of
+    // re-tokenizing the corpus — e12 is the per-query full-scan control.
+    results("e15_text_index") = {
+      val ix = graft.ext.TextIndex.build(spark, freshDir("e15_tix"), tbl("documents"))
+      val qterms = Seq("join", "window", "dup")
+      val (p, tot) = ix.prunedFileCounts(qterms)
+      require(p > 0 && p < tot, s"term-bucket pruning must skip files: $p/$tot")
+      median { ix.search(qterms, topK = 20) }
+    }
+
     // B11: automatic MV rewrite — the aggregate is answered from the MV
     // state table (build untimed, like e6's index); the timed work is the
     // rewrite + a scan of a few pre-aggregated rows, vs r2's full

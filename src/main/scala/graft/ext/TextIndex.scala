@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.lake.{LakeTable, TableSpec}
+
+/** PERSISTED incremental inverted text index — the text-retrieval mirror of
+  * [[VectorIndex]]'s "index once, append incrementally, serve many" shape,
+  * built for exact-integer BM25 serving over a 100 TB corpus:
+  *
+  *   - `build` materializes THREE lake tables under the index path:
+  *     `postings` (one row per (term, doc): tf + doc length, keyed
+  *     `term U+0001 doc_id` and laid out as one hive partition per TERM HASH
+  *     BUCKET), `docs` (per-doc length + distinct-term list — the reverse
+  *     map a replacement needs), and `meta` (the two corpus scalars BM25
+  *     needs: doc count and total tokens). All inherit lake semantics:
+  *     ACID commits, time travel, OCC.
+  *   - `add` upserts new documents at cost ∝ batch tokens. A RE-ADDED
+  *     doc_id is a replacement: its vanished terms' postings die first via
+  *     a partition-scoped keyed delete (the old term set comes from a
+  *     key-pruned `docs` lookup, each doomed posting's bucket is derived
+  *     from its term — no scan of the postings table), and the meta
+  *     scalars adjust by the length delta, so the index always equals a
+  *     fresh build over the current corpus (spec-pinned).
+  *   - `search` is the q137 exact-fixed-point BM25 (bit-replayable in any
+  *     engine — no FP in scoring): the scan opens ONLY the query terms'
+  *     hash-bucket partitions (commit-log partition pruning, ≤ |terms| of
+  *     [[TextIndex.BUCKETS]] buckets), df comes from the probed postings
+  *     themselves (a term's postings all live in its bucket), and N /
+  *     total-tokens come from the 1-row meta table — per-query cost is
+  *     the query terms' posting lists, never the corpus.
+  */
+object TextIndex {
+
+  /** Term-hash partitions of the postings table. Probe cost per query is
+    * ≤ |terms|/BUCKETS of the table's files; more buckets = sharper
+    * pruning at more (small) files. */
+  val BUCKETS = 64
+
+  private val SEP = "\u0001"
+
+  /** The bucket of a term — MUST match [[bucketCol]]'s layout rule.
+    * Spark's `xxhash64` (seed 42) evaluated driver-side on the literal,
+    * the same trick the lake layer's bucket pruning uses. */
+  private[ext] def bucketOf(term: String): Int = {
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(term, StringType)))
+      .eval(null).asInstanceOf[Long]
+    (((h % BUCKETS) + BUCKETS) % BUCKETS).toInt
+  }
+
+  private def bucketCol(term: org.apache.spark.sql.Column) =
+    pmod(xxhash64(term), lit(BUCKETS.toLong)).cast("int")
+
+  /** (postings, docs) batch halves for a tokenized document set. */
+  private def indexRows(docs: DataFrame, ver: Long, textCol: String,
+      keyCol: String): (DataFrame, DataFrame) = {
+    val toks = docs
+      .select(col(keyCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("ver", lit(ver))
+      .withColumn("pkey", concat_ws(SEP, col("term"), col("doc_id")))
+      .withColumn("bkt", bucketCol(col("term")))
+    val docRows = toks
+      .select(col("doc_id"), col("dl"), array_distinct(col("_toks")).as("terms"))
+      .withColumn("ver", lit(ver))
+    (postings, docRows)
+  }
+
+  /** Index `corpus` under `path`. `keyCol` must be unique per document. */
+  def build(spark: SparkSession, path: String, corpus: DataFrame,
+      textCol: String = "text", keyCol: String = "doc_id"): TextIndex = {
+    import spark.implicits._
+    val (postings, docRows) = indexRows(corpus, 1L, textCol, keyCol)
+    LakeTable.create(spark, s"$path/postings",
+      TableSpec("pkey", "ver", partition = Some("bkt")), postings)
+    LakeTable.create(spark, s"$path/docs", TableSpec("doc_id", "ver"), docRows)
+    val agg = docRows
+      .agg(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L))).head()
+    LakeTable.create(spark, s"$path/meta", TableSpec("k", "ver"),
+      Seq((0L, 1L, agg.getLong(0), agg.getLong(1)))
+        .toDF("k", "ver", "n_docs", "tot_tokens"))
+    new TextIndex(spark, path)
+  }
+
+  def load(spark: SparkSession, path: String): TextIndex =
+    new TextIndex(spark, path)
+}
+
+class TextIndex private[ext] (spark: SparkSession, val path: String) {
+  import TextIndex._
+
+  private def postingsTable: LakeTable = LakeTable.load(spark, s"$path/postings")
+  private def docsTable: LakeTable = LakeTable.load(spark, s"$path/docs")
+  private def metaTable: LakeTable = LakeTable.load(spark, s"$path/meta")
+
+  /** Add (or replace) documents — cost ∝ batch tokens plus the replaced
+    * docs' posting lists, never the index. `keyCol` must be unique within
+    * the batch. */
+  def add(batch: DataFrame, textCol: String = "text",
+      keyCol: String = "doc_id"): TextIndex = {
+    val dt = docsTable
+    val pt = postingsTable
+    val nextVer = dt.read().agg(coalesce(max(col("ver")), lit(0L)))
+      .head().getLong(0) + 1L
+    val (postings, docRows0) = indexRows(batch, nextVer, textCol, keyCol)
+    val docRows = docRows0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // replacements: the old term set comes from a key-pruned docs lookup
+      val old = dt.readForKeys(docRows.select(col("doc_id")))
+        .select(col("doc_id"), col("dl").as("_old_dl"), col("terms").as("_old_terms"))
+      val joined = docRows.select(col("doc_id"), col("dl"), col("terms"))
+        .join(old, Seq("doc_id"), "left")
+      // postings of terms the new text no longer contains die
+      // partition-scoped (bucket derived per doomed term — no scan)
+      val vanished = joined.filter(col("_old_terms").isNotNull)
+        .select(col("doc_id"),
+          explode(array_except(col("_old_terms"), col("terms"))).as("term"))
+        .select(concat_ws(SEP, col("term"), col("doc_id")).as("pkey"),
+          bucketCol(col("term")).as("bkt"))
+      if (!vanished.isEmpty) { pt.deleteKeys(vanished); () }
+      // meta: new-doc count and token delta in one bounded aggregate
+      val d = joined.agg(
+        coalesce(sum(when(col("_old_dl").isNull, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(col("dl") - coalesce(col("_old_dl"), lit(0L))), lit(0L))).head()
+      val mt = metaTable
+      val cur = mt.read().select("n_docs", "tot_tokens").head()
+      import spark.implicits._
+      mt.upsert(Seq((0L, nextVer, cur.getLong(0) + d.getLong(0),
+        cur.getLong(1) + d.getLong(1))).toDF("k", "ver", "n_docs", "tot_tokens"))
+      pt.upsert(postings)
+      dt.upsert(docRows)
+      this
+    } finally {
+      docRows.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  private def bucketFilter(terms: Seq[String]): Seq[org.apache.spark.sql.sources.Filter] =
+    Seq(org.apache.spark.sql.sources.In("bkt",
+      terms.map(bucketOf).distinct.sorted.map(_.asInstanceOf[Any]).toArray))
+
+  /** (files opened after term-bucket pruning, total live postings files)
+    * — the observable half of the partition-pruning contract. */
+  def prunedFileCounts(terms: Seq[String]): (Int, Int) = {
+    val pt = postingsTable
+    val live = pt.liveFiles(None)
+    (pt.pruneByFilters(live, bucketFilter(terms)).length, live.length)
+  }
+
+  /** Exact-integer BM25 top-k over the persisted postings — the same
+    * fixed-point formula as [[TextAnalysis.bm25]] (k1=6/5, b=3/4
+    * multiplied out over avgdl; one DECIMAL(38,0) integral divide per
+    * (doc, term)), so the ranking replays bit-for-bit in any engine. The
+    * scan opens only the query terms' bucket partitions; df is counted
+    * from the probed postings (a term's postings all live in its bucket);
+    * N and total tokens read from the 1-row meta table. */
+  def search(terms: Seq[String], topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one query term")
+    require(topK > 0, "topK must be positive")
+    val meta = metaTable.read().select("n_docs", "tot_tokens").head()
+    val (nDocs, totTok) = (meta.getLong(0), meta.getLong(1))
+    val post = postingsTable.readWhere(bucketFilter(terms))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf").as("_tf"), col("dl").as("_dl"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("long").as("_df"))
+    val dec = "DECIMAL(38,0)"
+    post.join(broadcast(dfreq), "term")
+      .withColumn("_score", expr(
+        s"""CAST(CAST((2 * ${nDocs}L - 2 * _df + 1) AS $dec) * _tf * 22
+           |  * ${totTok}L * 1000000 div
+           |  (CAST((2 * _df + 1) AS $dec) *
+           |   (CAST(10 AS $dec) * ${totTok}L * _tf
+           |    + CAST(3 AS $dec) * ${totTok}L
+           |    + CAST(9 AS $dec) * _dl * ${nDocs}L)) AS BIGINT)""".stripMargin))
+      .groupBy("doc_id").agg(sum(col("_score")).as("bm25_score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25_score").desc, col("doc_id").asc).limit(topK)
+  }
+}

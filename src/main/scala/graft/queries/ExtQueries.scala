@@ -970,6 +970,52 @@ object ExtQueries {
         |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin)),
 
+    // Persisted incremental INVERTED INDEX (the text-retrieval mirror of
+    // q129/q144's vector lifecycle): postings live in a lake table
+    // partitioned by term hash bucket, built on the EVEN half and extended
+    // incrementally with the odd half; search opens only the query terms'
+    // bucket partitions (require-pinned) and scores the q137 exact-integer
+    // BM25 with df from the probed postings and N/total-tokens from the
+    // 1-row meta table. Oracle = the q137 full-corpus replay verbatim —
+    // the incremental index must equal a from-scratch build.
+    "q146_text_index" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.TextIndex
+        val path = java.nio.file.Files.createTempDirectory("graft_tix_q").toString
+        val docs = t(s, d, "documents")
+        val ix = TextIndex.build(s, path, docs.filter(col("doc_id") % 2 === 0))
+        ix.add(docs.filter(col("doc_id") % 2 === 1))
+        val qterms = Seq("join", "window", "dup")
+        val (pruned, total) = ix.prunedFileCounts(qterms)
+        require(pruned > 0 && pruned < total,
+          s"term-bucket pruning must skip files: opened $pruned of $total")
+        TextIndex.load(s, path).search(qterms, topK = 20)
+          .orderBy(col("bm25_score").desc, col("doc_id").asc)
+      },
+      raw"""WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dl) AS tot FROM dl),
+        |ex AS (SELECT doc_id, UNNEST(ts) AS term FROM toks),
+        |tf AS (SELECT ex.doc_id, ex.term, dl.dl, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM ex JOIN dl ON ex.doc_id = dl.doc_id
+        |  WHERE ex.term IN ('join', 'window', 'dup')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |    CAST(CAST((2*n.n - 2*df.df + 1) AS HUGEINT) * tf.tf * 22
+        |      * n.tot * 1000000
+        |      // (CAST((2*df.df + 1) AS HUGEINT) *
+        |         (CAST(10 AS HUGEINT) * n.tot * tf.tf
+        |          + CAST(3 AS HUGEINT) * n.tot
+        |          + CAST(9 AS HUGEINT) * tf.dl * n.n)) AS BIGINT) AS sc
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS bm25_score,
+        |       COUNT(*) AS n_terms_hit
+        |FROM s GROUP BY doc_id
+        |ORDER BY bm25_score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
     // Persisted IVF-PQ index with LIST-PARTITIONED codes (the persisted
     // analog of q39's coarse pruning composed onto q129's lifecycle): the
     // codes table is laid out as one hive partition per coarse list, so a

@@ -66,6 +66,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft", GraftMetadataTvfs.PARTITIONS_NAME),
       args => GraftMetadataTvfs.partitionsPlan(SparkSession.active, args)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftIndexTvfs.TEXT_NAME),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft", GraftIndexTvfs.TEXT_NAME),
+      args => GraftIndexTvfs.textPlan(SparkSession.active, args)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftIndexTvfs.VECTOR_NAME),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft", GraftIndexTvfs.VECTOR_NAME),
+      args => GraftIndexTvfs.vectorPlan(SparkSession.active, args)))
     e.injectOptimizerRule(_ => GraftMetadataOnlyCount)
     e.injectOptimizerRule(_ => GraftMvRewrite)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))

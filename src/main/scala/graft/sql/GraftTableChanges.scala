@@ -181,6 +181,86 @@ object GraftMetadataTvfs {
   }
 }
 
+/** SQL serving surface for the persisted indexes ([[graft.ext.TextIndex]]
+  * / [[graft.ext.VectorIndex]]) — search becomes a composable relation:
+  *
+  * {{{
+  * SELECT * FROM text_search('/idx/text', 'join window dup', 20)
+  * SELECT * FROM vector_search('/idx/vec', 'query_view', 5)        -- flat ADC
+  * SELECT * FROM vector_search('/idx/vec', 'query_view', 5, 2, 4)  -- 2 probe lists, rerank 4
+  * }}}
+  *
+  * `text_search` takes the index path, the query terms as ONE
+  * whitespace-separated string, and top-k; the plan is the probe-pruned
+  * exact-integer BM25 read (only the query terms' bucket partitions
+  * open). `vector_search` takes the index path, a query-vector relation
+  * (temp view / catalog table name, or a parquet path — rows must carry
+  * `vec_id` + `embedding`), top-k, and optional nProbe / rerank; with
+  * nProbe > 0 on a list-partitioned index only the probed lists' files
+  * open. Both rewrite at analysis time into ordinary distributed plans —
+  * joins/filters/aggregates over the results compose through Catalyst. */
+object GraftIndexTvfs {
+
+  val TEXT_NAME = "text_search"
+  val VECTOR_NAME = "vector_search"
+
+  private def stringArg(e: Expression): Option[String] = e match {
+    case Literal(s: UTF8String, StringType) => Some(s.toString)
+    case _ => None
+  }
+  private def intArg(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, IntegerType) => Some(v)
+    case Literal(v: Long, LongType) => Some(v.toInt)
+    case _ => None
+  }
+
+  def textPlan(session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"text_search(index_path, terms[, k]): $why " +
+        s"(got ${args.map(_.sql).mkString("(", ", ", ")")})")
+    val (pathArg, termsArg, kArg) = args match {
+      case Seq(p, t) => (p, t, None)
+      case Seq(p, t, k) => (p, t, Some(k))
+      case _ => fail("takes 2 or 3 arguments")
+    }
+    val path = stringArg(pathArg).getOrElse(
+      fail("the first argument must be the index path string literal"))
+    val terms = stringArg(termsArg).map(_.trim.split("\\s+").toSeq)
+      .filter(_.nonEmpty).getOrElse(
+        fail("`terms` must be a non-empty whitespace-separated string literal"))
+    val k = kArg.map(intArg(_).getOrElse(fail("`k` must be an integer literal")))
+      .getOrElse(10)
+    graft.ext.TextIndex.load(session, path).search(terms, k)
+      .queryExecution.analyzed
+  }
+
+  def vectorPlan(session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"vector_search(index_path, queries, k[, nProbe[, rerank]]): $why " +
+        s"(got ${args.map(_.sql).mkString("(", ", ", ")")})")
+    val (pathArg, qArg, rest) = args match {
+      case Seq(p, q, r @ _*) if r.size <= 3 => (p, q, r)
+      case _ => fail("takes 2 to 5 arguments")
+    }
+    val path = stringArg(pathArg).getOrElse(
+      fail("the first argument must be the index path string literal"))
+    val qRef = stringArg(qArg).getOrElse(
+      fail("`queries` must be a table/view name or parquet path string literal"))
+    val ints = rest.map(e => intArg(e).getOrElse(
+      fail("k / nProbe / rerank must be integer literals")))
+    val k = ints.headOption.getOrElse(10)
+    val nProbe = ints.lift(1).getOrElse(0)
+    val rerank = ints.lift(2).getOrElse(0)
+    val queries = Try(session.table(qRef)).getOrElse {
+      Try(session.read.parquet(qRef)).getOrElse(
+        fail(s"'$qRef' is neither a table/view nor a readable parquet path"))
+    }
+    graft.ext.VectorIndex.load(session, path)
+      .search(queries, k, rerank = rerank, nProbe = nProbe)
+      .queryExecution.analyzed
+  }
+}
+
 /** Standalone-resolution twin of the registry entries, for sessions built
   * WITHOUT GraftExtensions (the driver's Verify session): apply this rule to
   * a parsed plan and the graft TVF nodes resolve exactly as the registered
@@ -206,5 +286,13 @@ case class ResolveGraftTableChanges(session: SparkSession) extends Rule[LogicalP
         if u.name.length == 1 &&
           u.name.head.equalsIgnoreCase(GraftMetadataTvfs.PARTITIONS_NAME) =>
       GraftMetadataTvfs.partitionsPlan(session, u.functionArgs)
+    case u: UnresolvedTableValuedFunction
+        if u.name.length == 1 &&
+          u.name.head.equalsIgnoreCase(GraftIndexTvfs.TEXT_NAME) =>
+      GraftIndexTvfs.textPlan(session, u.functionArgs)
+    case u: UnresolvedTableValuedFunction
+        if u.name.length == 1 &&
+          u.name.head.equalsIgnoreCase(GraftIndexTvfs.VECTOR_NAME) =>
+      GraftIndexTvfs.vectorPlan(session, u.functionArgs)
   }
 }

@@ -174,4 +174,43 @@ class TableChangesSpec extends AnyFunSuite {
     }
     assert(err2.getMessage.contains("CoW"))
   }
+
+  test("text_search / vector_search TVFs serve the persisted indexes from SQL") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tixPath = java.nio.file.Files.createTempDirectory("graft_tvf_tix").toString
+    graft.ext.TextIndex.build(spark, tixPath, docs)
+    val viaSql = spark.sql(
+      s"SELECT doc_id, bm25_score FROM text_search('$tixPath', 'join window dup', 20)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = graft.ext.TextIndex.load(spark, tixPath)
+      .search(Seq("join", "window", "dup"), 20)
+      .select("doc_id", "bm25_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == direct && viaSql.nonEmpty)
+    // composes with surrounding SQL (filter + aggregate over the TVF)
+    val n = spark.sql(
+      s"SELECT count(*) FROM text_search('$tixPath', 'join', 50) WHERE bm25_score > 0")
+      .head().getLong(0)
+    assert(n > 0)
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vixPath = java.nio.file.Files.createTempDirectory("graft_tvf_vix").toString
+    graft.ext.VectorIndex.build(spark, vixPath, emb, numLists = 8)
+    emb.filter(col("vec_id") < 3).createOrReplaceTempView("tvf_queries")
+    try {
+      val viaSqlV = spark.sql(
+        s"SELECT query_id, neighbor_id, rank FROM vector_search('$vixPath', 'tvf_queries', 5, 2)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+      val directV = graft.ext.VectorIndex.load(spark, vixPath)
+        .search(emb.filter(col("vec_id") < 3), k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+      assert(viaSqlV == directV && viaSqlV.nonEmpty)
+    } finally { spark.catalog.dropTempView("tvf_queries"); () }
+
+    // argument errors are eager and descriptive
+    val err = intercept[Exception](spark.sql(s"SELECT * FROM text_search('$tixPath')"))
+    assert(err.getMessage.contains("text_search"))
+  }
 }
