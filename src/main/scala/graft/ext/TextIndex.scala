@@ -10,27 +10,30 @@ import graft.lake.{LakeTable, TableSpec}
   * [[VectorIndex]]'s "index once, append incrementally, serve many" shape,
   * built for exact-integer BM25 serving over a 100 TB corpus:
   *
-  *   - `build` materializes THREE lake tables under the index path:
+  *   - `build` materializes TWO lake tables under the index path:
   *     `postings` (one row per (term, doc): tf + doc length, keyed
-  *     `term U+0001 doc_id` and laid out as one hive partition per TERM HASH
-  *     BUCKET), `docs` (per-doc length + distinct-term list — the reverse
-  *     map a replacement needs), and `meta` (the two corpus scalars BM25
-  *     needs: doc count and total tokens). All inherit lake semantics:
-  *     ACID commits, time travel, OCC.
+  *     `term U+0001 doc_id` and laid out as one hive partition per TERM
+  *     HASH BUCKET) and `docs` (per-doc length + distinct-term list — the
+  *     reverse map a replacement needs, with `sumColumns = dl` so the
+  *     corpus token total rides the commit log). Both inherit lake
+  *     semantics: ACID commits, time travel, OCC.
   *   - `add` upserts new documents at cost ∝ batch tokens. A RE-ADDED
   *     doc_id is a replacement: its vanished terms' postings die first via
   *     a partition-scoped keyed delete (the old term set comes from a
   *     key-pruned `docs` lookup, each doomed posting's bucket is derived
-  *     from its term — no scan of the postings table), and the meta
-  *     scalars adjust by the length delta, so the index always equals a
-  *     fresh build over the current corpus (spec-pinned).
+  *     from its term — no scan of the postings table), so the index always
+  *     equals a fresh build over the current corpus (spec-pinned). There
+  *     is NO maintained counter state: the BM25 corpus scalars derive from
+  *     the docs table itself, so concurrent adds to disjoint doc sets
+  *     serialize through ordinary lake OCC with nothing to lose.
   *   - `search` is the q137 exact-fixed-point BM25 (bit-replayable in any
   *     engine — no FP in scoring): the scan opens ONLY the query terms'
   *     hash-bucket partitions (commit-log partition pruning, ≤ |terms| of
   *     [[TextIndex.BUCKETS]] buckets), df comes from the probed postings
   *     themselves (a term's postings all live in its bucket), and N /
-  *     total-tokens come from the 1-row meta table — per-query cost is
-  *     the query terms' posting lists, never the corpus.
+  *     total-tokens come from the docs table's commit-log METADATA (live
+  *     row count + the declared `dl` sum column — zero files opened) —
+  *     per-query cost is the query terms' posting lists, never the corpus.
   */
 object TextIndex {
 
@@ -76,16 +79,11 @@ object TextIndex {
   /** Index `corpus` under `path`. `keyCol` must be unique per document. */
   def build(spark: SparkSession, path: String, corpus: DataFrame,
       textCol: String = "text", keyCol: String = "doc_id"): TextIndex = {
-    import spark.implicits._
     val (postings, docRows) = indexRows(corpus, 1L, textCol, keyCol)
     LakeTable.create(spark, s"$path/postings",
       TableSpec("pkey", "ver", partition = Some("bkt")), postings)
-    LakeTable.create(spark, s"$path/docs", TableSpec("doc_id", "ver"), docRows)
-    val agg = docRows
-      .agg(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L))).head()
-    LakeTable.create(spark, s"$path/meta", TableSpec("k", "ver"),
-      Seq((0L, 1L, agg.getLong(0), agg.getLong(1)))
-        .toDF("k", "ver", "n_docs", "tot_tokens"))
+    LakeTable.create(spark, s"$path/docs",
+      TableSpec("doc_id", "ver", sumColumns = Seq("dl")), docRows)
     new TextIndex(spark, path)
   }
 
@@ -98,7 +96,23 @@ class TextIndex private[ext] (spark: SparkSession, val path: String) {
 
   private def postingsTable: LakeTable = LakeTable.load(spark, s"$path/postings")
   private def docsTable: LakeTable = LakeTable.load(spark, s"$path/docs")
-  private def metaTable: LakeTable = LakeTable.load(spark, s"$path/meta")
+
+  /** The two BM25 corpus scalars (doc count, total tokens) from the docs
+    * table's commit-log METADATA — exact live row count + the declared
+    * `dl` sum column, zero data files opened. Falls back to one bounded
+    * aggregate scan if any live file predates the sum column. */
+  private def corpusScalars: (Long, Long) = {
+    val dt = docsTable
+    dt.fileSums("dl") match {
+      case Some(sums) =>
+        val n = dt.liveFiles(None).map(a => a.rows - a.dvRows).sum
+        (n, sums.map(s => BigInt(s._1)).sum.toLong)
+      case None =>
+        val r = dt.read()
+          .agg(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+    }
+  }
 
   /** Add (or replace) documents — cost ∝ batch tokens plus the replaced
     * docs' posting lists, never the index. `keyCol` must be unique within
@@ -113,28 +127,18 @@ class TextIndex private[ext] (spark: SparkSession, val path: String) {
     val docRows = docRows0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // replacements: the old term set comes from a key-pruned docs lookup
-      val old = dt.readForKeys(docRows.select(col("doc_id")))
-        .select(col("doc_id"), col("dl").as("_old_dl"), col("terms").as("_old_terms"))
-      val joined = docRows.select(col("doc_id"), col("dl"), col("terms"))
-        .join(old, Seq("doc_id"), "left")
+      // replacements: the old term set comes from a key-pruned docs lookup;
       // postings of terms the new text no longer contains die
       // partition-scoped (bucket derived per doomed term — no scan)
-      val vanished = joined.filter(col("_old_terms").isNotNull)
+      val old = dt.readForKeys(docRows.select(col("doc_id")))
+        .select(col("doc_id"), col("terms").as("_old_terms"))
+      val vanished = docRows.select(col("doc_id"), col("terms"))
+        .join(old, Seq("doc_id"))
         .select(col("doc_id"),
           explode(array_except(col("_old_terms"), col("terms"))).as("term"))
         .select(concat_ws(SEP, col("term"), col("doc_id")).as("pkey"),
           bucketCol(col("term")).as("bkt"))
       if (!vanished.isEmpty) { pt.deleteKeys(vanished); () }
-      // meta: new-doc count and token delta in one bounded aggregate
-      val d = joined.agg(
-        coalesce(sum(when(col("_old_dl").isNull, 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(col("dl") - coalesce(col("_old_dl"), lit(0L))), lit(0L))).head()
-      val mt = metaTable
-      val cur = mt.read().select("n_docs", "tot_tokens").head()
-      import spark.implicits._
-      mt.upsert(Seq((0L, nextVer, cur.getLong(0) + d.getLong(0),
-        cur.getLong(1) + d.getLong(1))).toDF("k", "ver", "n_docs", "tot_tokens"))
       pt.upsert(postings)
       dt.upsert(docRows)
       this
@@ -166,8 +170,7 @@ class TextIndex private[ext] (spark: SparkSession, val path: String) {
   def search(terms: Seq[String], topK: Int = 10): DataFrame = {
     require(terms.nonEmpty, "search needs at least one query term")
     require(topK > 0, "topK must be positive")
-    val meta = metaTable.read().select("n_docs", "tot_tokens").head()
-    val (nDocs, totTok) = (meta.getLong(0), meta.getLong(1))
+    val (nDocs, totTok) = corpusScalars
     val post = postingsTable.readWhere(bucketFilter(terms))
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("tf").as("_tf"), col("dl").as("_dl"))

@@ -60,6 +60,11 @@ class TextIndexSpec extends AnyFunSuite {
     assert(rows(ix.search(terms, topK = 20)) ==
       rows(TextAnalysis.bm25(corpus2, terms, topK = 20)),
       "index after replacement must equal a fresh build over the new corpus")
+    // the BM25 corpus scalars still come from commit-log metadata (the
+    // exactness gate survives the replacement's delete + upsert rewrites)
+    val dt = graft.lake.LakeTable.load(spark, s"$path/docs")
+    assert(dt.fileSums("dl").isDefined,
+      "docs-table dl sums must stay metadata-exact after replacement")
     // vanished terms truly left the postings
     val old = docs.filter(col("doc_id") === victim).select("text").head().getString(0)
     val goneTerm = old.trim.split("\\s+").find(t => !newText.contains(t))
