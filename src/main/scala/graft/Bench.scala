@@ -325,6 +325,21 @@ object Bench {
       median { ix.search(qterms, topK = 20) }
     }
 
+    // E16: unigram-LM tokenizer encode over the full documents table —
+    // training untimed (artifact lifecycle, like the index builds); the
+    // timed work is the per-word native integer Viterbi inside whole-stage
+    // codegen, cost ∝ corpus tokens (the recurring encode cost of every
+    // training-data pipeline).
+    results("e16_unigram_encode") = {
+      val docs = tbl("documents")
+      val vocab = graft.ext.Unigram.train(docs.filter(col("doc_id") < 1000),
+        vocabSize = 400, seedSize = 1500, maxPieceLen = 4, emIters = 2)
+      median {
+        docs.select(col("doc_id"),
+          size(graft.ext.Unigram.encode(vocab, col("text"))).as("n"))
+      }
+    }
+
     // B11: automatic MV rewrite — the aggregate is answered from the MV
     // state table (build untimed, like e6's index); the timed work is the
     // rewrite + a scan of a few pre-aggregated rows, vs r2's full

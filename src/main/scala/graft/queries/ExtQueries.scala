@@ -31,6 +31,10 @@ object ExtQueries {
   private val BpeOracleMergesPath =
     s"${System.getProperty("java.io.tmpdir")}/graft_bpe_oracle_merges"
 
+  /** q147's persisted-vocab twin of [[BpeOracleMergesPath]]. */
+  private val UnigramOracleVocabPath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ug_oracle_vocab"
+
   private def plantedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
     docs.unionByName(
@@ -969,6 +973,74 @@ object ExtQueries {
         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM sc)
         |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin)),
+
+    // Unigram-LM (SentencePiece-family) tokenizer: hard-EM training is
+    // rows-only by nature (like q91's BPE training), but ENCODE with a
+    // FROZEN vocabulary is a deterministic integer Viterbi any engine can
+    // replay — scores are fixed-point log-probs stamped once at train time
+    // and persisted as data (the q143 discipline). The oracle replays the
+    // full DP from the dumped (piece, qscore) parquet with a recursive
+    // CTE: forward pass carrying the best-score and chosen-length lists,
+    // backtrack pass rebuilding the token sequence; tie rule (longer last
+    // piece) and the UNK single-char floor (-100000000) mirrored verbatim.
+    "q147_unigram_encode" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.Unigram
+        val docs = t(s, d, "documents")
+        val vocab = Unigram.train(docs.filter(col("doc_id") < 1000),
+          vocabSize = 400, seedSize = 1500, maxPieceLen = 4, emIters = 2)
+        val lakeDir = Files.createTempDirectory("graft_ug_lake").toString
+        Unigram.save(s, lakeDir, vocab)
+        val reloaded = Unigram.loadVocab(s, lakeDir)
+        require(reloaded.pieces == vocab.pieces, "save/load must round-trip the vocab")
+        s.createDataFrame(reloaded.pieces).toDF("piece", "qscore")
+          .coalesce(1).write.mode("overwrite").parquet(UnigramOracleVocabPath)
+        val toks = Unigram.encode(reloaded, col("text"))
+        docs.select(col("doc_id"),
+          size(toks).cast("long").as("n_ug_tokens"),
+          concat_ws(" ", toks).as("ug_text")).orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE
+        |v AS (SELECT piece, qscore FROM read_parquet('$UnigramOracleVocabPath/*.parquet')),
+        |dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+        |       FROM documents),
+        |inst AS (SELECT doc_id, u.i AS pos, u.w AS word FROM (
+        |    SELECT doc_id, UNNEST(list_transform(range(1, len(ws)+1),
+        |        i -> {'i': i, 'w': ws[i]})) AS u
+        |    FROM dw) WHERE u.w <> ''),
+        |w1 AS (SELECT DISTINCT word FROM inst),
+        |dp(word, n, i, bests, choice) AS (
+        |  SELECT word, len(word), 0, [CAST(0 AS BIGINT)], CAST([] AS INT[]) FROM w1
+        |  UNION ALL
+        |  SELECT d.word, d.n, d.i + 1,
+        |    list_append(d.bests, b.s), list_append(d.choice, CAST(b.l AS INT))
+        |  FROM (SELECT * FROM dp WHERE i < n) d
+        |  JOIN LATERAL (
+        |    SELECT c.s, c.l FROM (
+        |      SELECT d.bests[d.i + 2 - CAST(t.l AS INT)] + COALESCE(
+        |          (SELECT v2.qscore FROM v v2 WHERE v2.piece =
+        |             substr(d.word, d.i + 2 - CAST(t.l AS INT), CAST(t.l AS INT))),
+        |          CASE WHEN t.l = 1 THEN -100000000 ELSE NULL END) AS s, t.l AS l
+        |      FROM (SELECT UNNEST(range(1, least(4, d.i + 1) + 1)) AS l) t
+        |    ) c WHERE c.s IS NOT NULL
+        |    ORDER BY c.s DESC, c.l DESC LIMIT 1) b ON true),
+        |dpn AS (SELECT word, n, choice FROM dp WHERE i = n),
+        |bt(word, pos, toks) AS (
+        |  SELECT word, n, CAST([] AS VARCHAR[]) FROM dpn
+        |  UNION ALL
+        |  SELECT b.word, b.pos - d.choice[b.pos],
+        |    list_prepend(substr(b.word, b.pos - d.choice[b.pos] + 1, d.choice[b.pos]),
+        |                 b.toks)
+        |  FROM bt b JOIN dpn d ON d.word = b.word
+        |  WHERE b.pos > 0),
+        |wt AS (SELECT word, toks, len(toks) AS n FROM bt WHERE pos = 0)
+        |SELECT d.doc_id, CAST(COALESCE(SUM(wt.n), 0) AS BIGINT) AS n_ug_tokens,
+        |  COALESCE(string_agg(array_to_string(wt.toks, ' '), ' ' ORDER BY i.pos), '') AS ug_text
+        |FROM documents d
+        |LEFT JOIN inst i ON i.doc_id = d.doc_id
+        |LEFT JOIN wt ON wt.word = i.word
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
 
     // Persisted incremental INVERTED INDEX (the text-retrieval mirror of
     // q129/q144's vector lifecycle): postings live in a lake table
