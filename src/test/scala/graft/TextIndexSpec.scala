@@ -46,6 +46,48 @@ class TextIndexSpec extends AnyFunSuite {
       rows(TextAnalysis.bm25(docs, terms, topK = 20)))
   }
 
+  test("lake maintenance composes: optimized postings serve identical, still-pruned results") {
+    val path = tmp()
+    val ix = TextIndex.build(spark, path, docs.filter(col("doc_id") % 2 === 0))
+    ix.add(docs.filter(col("doc_id") % 2 === 1)) // second wave → more files
+    val before = rows(ix.search(terms, topK = 20))
+    val pt = graft.lake.LakeTable.load(spark, s"$path/postings")
+    val filesBefore = pt.liveFiles(None).size
+    pt.optimize()
+    assert(pt.liveFiles(None).size < filesBefore,
+      "optimize must concatenate the add's small files")
+    assert(rows(TextIndex.load(spark, path).search(terms, topK = 20)) == before,
+      "search must be unchanged by compaction")
+    val (p, tot) = ix.prunedFileCounts(terms)
+    assert(p > 0 && p < tot, s"bucket pruning must survive compaction: $p/$tot")
+  }
+
+  test("concurrent adds of disjoint batches both land — no counter state to lose") {
+    import java.util.concurrent.{CountDownLatch, Executors}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = tmp()
+    TextIndex.build(spark, path, docs.filter(col("doc_id") < 100))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val start = new CountDownLatch(1)
+    val futs = Seq(0, 1).map { par =>
+      Future {
+        start.await()
+        TextIndex.load(spark, path).add(
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 200 &&
+            col("doc_id") % 2 === par))
+      }
+    }
+    start.countDown()
+    Await.result(Future.sequence(futs), 600.seconds)
+    pool.shutdown()
+    val full = docs.filter(col("doc_id") < 200)
+    assert(rows(TextIndex.load(spark, path).search(terms, topK = 20)) ==
+      rows(TextAnalysis.bm25(full, terms, topK = 20)),
+      "after racing disjoint adds the index must equal a fresh full build")
+  }
+
   test("replacement: re-added doc ≡ fresh build over the updated corpus") {
     val path = tmp()
     val ix = TextIndex.build(spark, path, docs)
