@@ -1088,6 +1088,57 @@ object ExtQueries {
         |FROM s GROUP BY doc_id
         |ORDER BY bm25_score DESC, doc_id ASC LIMIT 20""".stripMargin)),
 
+    // Streaming maintenance of the inverted index (q146's lifecycle driven
+    // through Structured Streaming): the odd half arrives as micro-batched
+    // files and each batch is absorbed via the index's incremental add —
+    // restart-safe by convergence (every write inside add is keyed). The
+    // post-drain probe-pruned search must equal the full-corpus BM25
+    // replay, same oracle as q146.
+    "q148_stream_text_index" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.TextIndex
+        graft.core.GraftSession.ensure(s)
+        val docs = t(s, d, "documents")
+        val path = java.nio.file.Files.createTempDirectory("graft_tix_s").toString
+        TextIndex.build(s, path, docs.filter(col("doc_id") % 2 === 0))
+        val land = java.nio.file.Files.createTempDirectory("graft_tix_land").toString
+        val ck = java.nio.file.Files.createTempDirectory("graft_tix_ck").toString
+        docs.filter(col("doc_id") % 2 === 1)
+          .repartition(5).write.mode("overwrite").parquet(land)
+        graft.streaming.IndexStream.ingestText(s, land,
+          s.read.parquet(land).schema, path, ck)
+        val ix = TextIndex.load(s, path)
+        val qterms = Seq("join", "window", "dup")
+        val (pruned, total) = ix.prunedFileCounts(qterms)
+        require(pruned > 0 && pruned < total,
+          s"term-bucket pruning must skip files: opened $pruned of $total")
+        ix.search(qterms, topK = 20)
+          .orderBy(col("bm25_score").desc, col("doc_id").asc)
+      },
+      raw"""WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dl) AS tot FROM dl),
+        |ex AS (SELECT doc_id, UNNEST(ts) AS term FROM toks),
+        |tf AS (SELECT ex.doc_id, ex.term, dl.dl, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM ex JOIN dl ON ex.doc_id = dl.doc_id
+        |  WHERE ex.term IN ('join', 'window', 'dup')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |    CAST(CAST((2*n.n - 2*df.df + 1) AS HUGEINT) * tf.tf * 22
+        |      * n.tot * 1000000
+        |      // (CAST((2*df.df + 1) AS HUGEINT) *
+        |         (CAST(10 AS HUGEINT) * n.tot * tf.tf
+        |          + CAST(3 AS HUGEINT) * n.tot
+        |          + CAST(9 AS HUGEINT) * tf.dl * n.n)) AS BIGINT) AS sc
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS bm25_score,
+        |       COUNT(*) AS n_terms_hit
+        |FROM s GROUP BY doc_id
+        |ORDER BY bm25_score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
     // Persisted IVF-PQ index with LIST-PARTITIONED codes (the persisted
     // analog of q39's coarse pruning composed onto q129's lifecycle): the
     // codes table is laid out as one hive partition per coarse list, so a
