@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Spark whole-stage codegen churns the JIT code cache hard in a
+  // long-lived JVM (one bench/verify process compiles hundreds of
+  // generated classes); at the JDK17 default (240m) the cache can fill
+  // mid-suite, the JIT stops compiling until the flusher catches up, and
+  // whole query blocks run interpreted (the round-5 bench tail). Reserve
+  // enough that compilation never pauses.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("GRAFT_EXTRA_JVM").map(_.trim.split("\\s+").toSeq).getOrElse(Nil)

@@ -349,32 +349,38 @@ object Dedup {
       seededHash: (Column, Column) => Column = (seed, s) => xxhash64(seed, s),
       commit: Boolean = true): DataFrame = {
     // banded rows feed the index probe, the self-join (twice) and the
-    // commit — cache them rather than re-running the signature agg per use
+    // commit — persist for the duration of THIS function's jobs, then
+    // release (round 5 leaked this persist: the returned frame is lazy, so
+    // nothing ever unpersisted it and CacheManager entries accumulated per
+    // call). The drop set is pinned via an eager localCheckpoint — block
+    // storage the ContextCleaner reclaims on GC, not a CacheManager entry —
+    // so the returned survivors frame references no persisted state at all.
     val rows = nearDupIndexRows(batch, numHashes, bands, k, textCol, idCol,
       seededHash).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def eqCount(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), _ + _)
-    val idxRows = index.read().select(col("bkey"), col("doc_id").as("_iid"),
-      col("sig").as("_isig"))
-    val idxDrops = rows.join(idxRows, Seq("bkey"))
-      .select(col("doc_id"), col("_iid"), col("sig"), col("_isig")).distinct()
-      .filter(eqCount(col("sig"), col("_isig")) >= minEqual)
-      .select("doc_id").distinct()
-    val batchDrops = rows.as("a").join(rows.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("b.doc_id").as("doc_id"), col("a.sig").as("_sa"),
-        col("b.sig").as("_sb")).distinct()
-      .filter(eqCount(col("_sa"), col("_sb")) >= minEqual)
-      .select("doc_id").distinct()
-    val drops = idxDrops.unionByName(batchDrops).distinct()
-    val survivors = batch.join(
-      drops.select(col("doc_id").cast(batch.schema(idCol).dataType).as(idCol)),
-      Seq(idCol), "left_anti")
-    if (commit)
-      index.upsert(rows.join(drops, Seq("doc_id"), "left_anti")
-        .select("bk", "bkey", "doc_id", "sig"))
-    survivors
+    try {
+      def eqCount(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), _ + _)
+      val idxRows = index.read().select(col("bkey"), col("doc_id").as("_iid"),
+        col("sig").as("_isig"))
+      val idxDrops = rows.join(idxRows, Seq("bkey"))
+        .select(col("doc_id"), col("_iid"), col("sig"), col("_isig")).distinct()
+        .filter(eqCount(col("sig"), col("_isig")) >= minEqual)
+        .select("doc_id").distinct()
+      val batchDrops = rows.as("a").join(rows.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("doc_id"), col("a.sig").as("_sa"),
+          col("b.sig").as("_sb")).distinct()
+        .filter(eqCount(col("_sa"), col("_sb")) >= minEqual)
+        .select("doc_id").distinct()
+      val drops = idxDrops.unionByName(batchDrops).distinct().localCheckpoint()
+      if (commit)
+        index.upsert(rows.join(drops, Seq("doc_id"), "left_anti")
+          .select("bk", "bkey", "doc_id", "sig"))
+      batch.join(
+        drops.select(col("doc_id").cast(batch.schema(idCol).dataType).as(idCol)),
+        Seq(idCol), "left_anti")
+    } finally rows.unpersist(blocking = false)
   }
 
   /** LSH banding: split the signature into `bands` bands and hash each —
@@ -402,10 +408,13 @@ object Dedup {
       bands: Int = 16, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val cand = minhashCandidates(df, numHashes, bands, k, textCol, idCol)
-    // shingle arrays feed both sides of the refine join — cache them rather
-    // than re-running the (interpreted) shingle construction per side
+    // shingle arrays feed both sides of the refine join. NOT persisted: the
+    // function returns a lazy frame, so a persist here could only be
+    // released by the caller (the round-5 leak — CacheManager entries
+    // accumulated per invocation); shingles are a native codegen'd
+    // expression, so recomputing them on the second join side is a scan,
+    // not the interpreted HOF the old cache was guarding against
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -448,9 +457,12 @@ object Dedup {
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(bits % 4 == 0, "bits must split into 4 chunks")
     val cw = bits / 4 // chunk width
+    // NOT persisted (the round-5 leak): both sides of the candidate
+    // self-join below shuffle the SAME chunked frame on (chunk, ch), so
+    // ReuseExchange materializes the signature computation once; a persist
+    // on a lazily-returned frame can never be unpersisted by this function
     val sigs = df.select(col(idCol).as("id"),
         simhash(col(textCol), bits, tokenHash).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("id"), col("sig"), explode(
       array((0 until 4).map(c => struct(lit(c).as("chunk"),
         shiftrightunsigned(col("sig"), c * cw).bitwiseAND((1L << cw) - 1).as("ch"))): _*)).as("cc"))

@@ -292,7 +292,7 @@ object Similarity {
     * codebook: `argmin_c ‖s − c‖²` via the `‖c‖² − 2·s·c` expansion (the
     * `‖s‖²` term is constant per row). A pure codegen'd literal-chain
     * expression — zero shuffle, the same shape [[nearestLists]] uses. */
-  private[ext] def pqCode(codewords: Array[Array[Seq[Double]]], cnormLut: Seq[Double],
+  private[graft] def pqCode(codewords: Array[Array[Seq[Double]]], cnormLut: Seq[Double],
       sub: Int, ks: Int)(v: Column, j: Int): Column = {
     val s = slice(v, j * sub + 1, sub)
     array_min(array((0 until ks).map { cI =>
@@ -302,7 +302,7 @@ object Similarity {
     }: _*)).getField("i")
   }
 
-  private[ext] def pqNormLut(codewords: Array[Array[Seq[Double]]], m: Int,
+  private[graft] def pqNormLut(codewords: Array[Array[Seq[Double]]], m: Int,
       ks: Int): Seq[Double] =
     for (j <- 0 until m; c <- 0 until ks) yield {
       var acc = 0.0d
@@ -326,7 +326,7 @@ object Similarity {
     var cws = init
     for (_ <- 1 to iters) {
       val lut = pqNormLut(cws, m, ks)
-      val codes = array((0 until m).map(j => pqCode(cws, lut, sub, ks)(col("cv"), j)): _*)
+      val codes = graft.functions.PqOps.encode(col("cv"), cws, lut, ks, sub)
       val folded = pinnedMeans(
         c0.select(codes.as("codes"), posexplode(col("cv")).as(Seq("pos", "x")))
           .withColumn("j", (col("pos") / lit(sub)).cast("int"))
@@ -368,9 +368,10 @@ object Similarity {
       if (trainIters <= 0) seeded
       else lloydCodewords(c0, m, ks, sub, seeded, trainIters)
     val cnormLut = pqNormLut(codewords, m, ks)
-    val codeFor = pqCode(codewords, cnormLut, sub, ks) _
+    // native all-subspace encode (codebook as a reference object — constant
+    // codegen size; bit-identical to the pqCode literal chain, see PqEncode)
     val encoded = c0.withColumn("codes",
-      Int8Ops.pack(array((0 until m).map(j => codeFor(col("cv"), j)): _*)))
+      Int8Ops.pack(graft.functions.PqOps.encode(col("cv"), codewords, cnormLut, ks, sub)))
       .select("neighbor_id", "codes")
     PqIndex(m, ks, sub, codewords, cnormLut, encoded)
   }
@@ -392,21 +393,24 @@ object Similarity {
     val PqIndex(m, ks, sub, codewords, cnormLut, encoded) = index
     val c0 = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
 
-    // query side: exact sub-dot LUT (m×ks flattened, subspace-major)
-    def lutFor(qv: Column): Column =
-      array((for { j <- 0 until m; cI <- 0 until ks } yield
-        dot(slice(qv, j * sub + 1, sub), array(codewords(j)(cI).map(lit): _*))): _*)
+    // query side: exact sub-dot LUT (m×ks flattened, subspace-major) — a
+    // native expression carrying the codebook as a reference object
+    // (constant generated-code size; bit-identical to the literal-chain
+    // dot(slice(...)) expansion, see PqLut)
     val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
       .withColumn("qn", normSq(col("qv")))
-      .withColumn("lut", lutFor(col("qv")))
+      .withColumn("lut", graft.functions.PqOps.lut(col("qv"), codewords, ks, sub))
       .select("query_id", "qn", "lut")
 
+    // candidate-side code norm: per CANDIDATE, hoisted above the join so it
+    // is computed once per corpus row, not once per (query × candidate) pair
     val cnLit = array(cnormLut.map(lit): _*)
+    val enc = encoded.withColumn("cn_adc", Int8Ops.adc(col("codes"), cnLit, ks))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    val scored = encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         Int8Ops.adc(col("codes"), col("lut"), ks) /
-          (sqrt(col("qn")) * sqrt(Int8Ops.adc(col("codes"), cnLit, ks))))
+          (sqrt(col("qn")) * sqrt(col("cn_adc"))))
       .withColumn("rank", row_number().over(w))
     if (rerank <= 0)
       scored.filter(col("rank") <= k)
@@ -457,25 +461,22 @@ object Similarity {
         .getItem(0).getField("cid"))
       .select("neighbor_id", "cid", "codes")
 
-    def lutFor(qv: Column): Column =
-      array((for { j <- 0 until m; cI <- 0 until ks } yield
-        dot(slice(qv, j * sub + 1, sub),
-          array(index.codewords(j)(cI).map(lit): _*))): _*)
     val probes = queries
       .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
       .withColumn("qn", normSq(col("qv")))
-      .withColumn("lut", lutFor(col("qv")))
+      .withColumn("lut", graft.functions.PqOps.lut(col("qv"), index.codewords, ks, sub))
       .withColumn("_probe", explode(nearestLists(cents)(col("qv"), col("qn"), nProbe)))
       .withColumn("cid", col("_probe").getField("cid"))
       .select("query_id", "qn", "lut", "cid")
 
     val cnLit = array(index.cnormLut.map(lit): _*)
+    val assignedN = assigned.withColumn("cn_adc", Int8Ops.adc(col("codes"), cnLit, ks))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    val scored = assigned.join(broadcast(probes), Seq("cid"))
+    val scored = assignedN.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         Int8Ops.adc(col("codes"), col("lut"), ks) /
-          (sqrt(col("qn")) * sqrt(Int8Ops.adc(col("codes"), cnLit, ks))))
+          (sqrt(col("qn")) * sqrt(col("cn_adc"))))
       .withColumn("rank", row_number().over(w))
     if (rerank <= 0)
       scored.filter(col("rank") <= k).select("query_id", "neighbor_id", "rank", "score")

@@ -111,11 +111,9 @@ object VectorIndex {
       sub: Int, ks: Int,
       cents: Array[(Any, Seq[Double])] = Array.empty): DataFrame = {
     import graft.functions.Int8Ops
-    val m = codewords.length
-    val codeFor = Similarity.pqCode(codewords, cnormLut, sub, ks) _
     val coded = batch.withColumn("cv", toDoubleVec(col("embedding")))
       .withColumn("codes",
-        Int8Ops.pack(array((0 until m).map(j => codeFor(col("cv"), j)): _*)))
+        Int8Ops.pack(graft.functions.PqOps.encode(col("cv"), codewords, cnormLut, ks, sub)))
     val out =
       if (cents.isEmpty) coded
       else coded.withColumn("cid",
@@ -216,10 +214,10 @@ class VectorIndex private[ext] (spark: SparkSession, val path: String,
     val q = q0.select(col("vec_id").as("query_id"),
         toDoubleVec(col("embedding")).as("qv"))
       .withColumn("qn", normSq(col("qv")))
-    def lutFor(qv: Column): Column =
-      array((for { j <- 0 until m; cI <- 0 until ks } yield
-        dot(slice(qv, j * sub + 1, sub), array(codewords(j)(cI).map(lit): _*))): _*)
-    val probes = q.withColumn("lut", lutFor(col("qv")))
+    // native LUT expression (codebook as a reference object — constant
+    // codegen size, bit-identical to the dot(slice(...)) chain; see PqLut)
+    val probes = q.withColumn("lut",
+        graft.functions.PqOps.lut(col("qv"), codewords, ks, sub))
       .withColumn("_p",
         explode(Similarity.nearestLists(cents)(col("qv"), col("qn"), nProbe)))
       .withColumn("cid", col("_p").getField("cid").cast("int"))
@@ -230,17 +228,20 @@ class VectorIndex private[ext] (spark: SparkSession, val path: String,
     val state = codesTable.readWhere(probeFilter(cids))
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("codes"),
         col("cid"))
+    // candidate-side code norm hoisted above the join: once per candidate,
+    // not once per (query × candidate) pair
     val cnLit = array(cnormLut.map(lit): _*)
+    val stateN = state.withColumn("cn_adc", Int8Ops.adc(col("codes"), cnLit, ks))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     // per-query IVF semantics: candidates come only from the query's OWN
     // probe lists (join on cid), never from a list another query probed
-    val scored = state.join(broadcast(probes.select("query_id", "qn", "lut", "cid")),
+    val scored = stateN.join(broadcast(probes.select("query_id", "qn", "lut", "cid")),
         Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         Int8Ops.adc(col("codes"), col("lut"), ks) /
-          (sqrt(col("qn")) * sqrt(Int8Ops.adc(col("codes"), cnLit, ks))))
+          (sqrt(col("qn")) * sqrt(col("cn_adc"))))
       .withColumn("rank", row_number().over(w))
     if (rerank <= 0)
       scored.filter(col("rank") <= k)
