@@ -31,6 +31,11 @@ object ExtQueries {
   private val BpeOracleMergesPath =
     s"${System.getProperty("java.io.tmpdir")}/graft_bpe_oracle_merges"
 
+  /** q91's training-certificate twin of [[BpeOracleMergesPath]] (separate
+    * path so neither query depends on the other having run). */
+  private val BpeOracleTrainPath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bpe_oracle_train"
+
   /** q147's persisted-vocab twin of [[BpeOracleMergesPath]]. */
   private val UnigramOracleVocabPath =
     s"${System.getProperty("java.io.tmpdir")}/graft_ug_oracle_vocab"
@@ -1945,19 +1950,70 @@ object ExtQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n, TRUE AS sketch_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // Distributed BPE tokenizer training + native greedy encode. The merge
-    // loop is iterative (not SQL-expressible → rows-only check); BpeSpec
-    // pins canonical merge order, round-trip reconstruction, determinism,
-    // and native ≡ scalar-replay equality.
+    // Distributed BPE tokenizer TRAINING, hash-checked end to end via an
+    // argmax CERTIFICATE: the query emits one row per merge round — the
+    // chosen pair, its corpus-weighted adjacency count, and the number of
+    // vocabulary words it touched — and persists the learned merge table
+    // as the q143-style parquet artifact. The oracle uses that artifact
+    // ONLY to advance the vocabulary state (the same space-wrapped
+    // replace() recurrence the q143 encode replay uses), then recomputes
+    // each round's argmax (n DESC, l ASC, r ASC — binary collation on
+    // both engines) and affected-word count INDEPENDENTLY: a wrong merge
+    // at any round makes the recomputed argmax disagree with the emitted
+    // row and the hash goes red. Training itself stays the iterative
+    // driver-paced loop (BpeSpec pins incremental ≡ full-recount); this
+    // closes the last rows-only CORRECTNESS entry from round 5.
     "q91_bpe_tokens" -> ((
       (s: SparkSession, d: String) => {
         import graft.ext.Bpe
         val docs = t(s, d, "documents")
-        val merges = Bpe.train(docs.filter(col("doc_id") < 1000), numMerges = 40)
+        val (merges, stats) =
+          Bpe.trainWithStats(docs.filter(col("doc_id") < 1000), numMerges = 40)
         require(merges.pairs.length == 40, "training must learn the requested merges")
-        Bpe.tokenStats(docs, merges).drop("bpe").orderBy("doc_id")
+        val rows = merges.pairs.zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+        s.createDataFrame(rows).toDF("rank", "left", "right")
+          .coalesce(1).write.mode("overwrite").parquet(BpeOracleTrainPath)
+        val statRows = stats.zipWithIndex.map { case (st, i) =>
+          (i.toLong, st.l, st.r, st.n, st.affectedWords) }
+        s.createDataFrame(statRows).toDF("rk", "l", "r", "n_pair", "n_words")
+          .orderBy("rk")
       },
-      "")),
+      s"""WITH RECURSIVE
+        |m AS (SELECT "rank" AS rk, "left" AS l, "right" AS r
+        |      FROM read_parquet('$BpeOracleTrainPath/*.parquet')),
+        |wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+        |    FROM documents WHERE doc_id < 1000)
+        |  WHERE word <> '' GROUP BY word),
+        |init AS (SELECT word, freq, ' ' || array_to_string(syms, '  ') || ' ' AS s
+        |  FROM (SELECT word, freq, list_transform(range(1, len(c)+1),
+        |          i -> c[i] || CASE WHEN i = len(c) THEN '·' ELSE '' END) AS syms
+        |        FROM (SELECT word, freq, str_split_regex(word, '') AS c FROM wf))),
+        |st(iter, word, freq, s) AS (
+        |  SELECT 0, word, freq, s FROM init
+        |  UNION ALL
+        |  SELECT e.iter + 1, e.word, e.freq,
+        |    replace(e.s, ' ' || g.l || '  ' || g.r || ' ', ' ' || g.l || g.r || ' ')
+        |  FROM st e JOIN m g ON g.rk = e.iter
+        |  WHERE e.iter < 40),
+        |pc AS (SELECT iter, p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS n_pair
+        |  FROM (SELECT iter, freq,
+        |      UNNEST(list_transform(range(1, len(sy)), j -> {'l': sy[j], 'r': sy[j+1]})) AS p
+        |    FROM (SELECT iter, freq, str_split(trim(s), '  ') AS sy
+        |          FROM st WHERE iter < 40)
+        |    WHERE len(sy) >= 2)
+        |  GROUP BY iter, p.l, p.r),
+        |aff AS (SELECT g.rk, CAST(COUNT(*) AS BIGINT) AS n_words
+        |  FROM st e JOIN m g ON g.rk = e.iter
+        |  WHERE contains(e.s, ' ' || g.l || '  ' || g.r || ' ')
+        |  GROUP BY g.rk),
+        |best AS (SELECT iter, l, r, n_pair FROM (
+        |    SELECT iter, l, r, n_pair, ROW_NUMBER() OVER (
+        |      PARTITION BY iter ORDER BY n_pair DESC, l ASC, r ASC) AS rn
+        |    FROM pc) WHERE rn = 1)
+        |SELECT CAST(b.iter AS BIGINT) AS rk, b.l, b.r, b.n_pair, a.n_words
+        |FROM best b JOIN aff a ON a.rk = b.iter
+        |ORDER BY rk""".stripMargin)),
 
     // Greedy BPE ENCODE under a FIXED merges table, hash-checked end to
     // end: training (q91) is iterative and stays rows-only, but encode is
