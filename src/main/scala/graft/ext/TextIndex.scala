@@ -121,8 +121,12 @@ class TextIndex private[ext] (spark: SparkSession, val path: String) {
       keyCol: String = "doc_id"): TextIndex = {
     val dt = docsTable
     val pt = postingsTable
-    val nextVer = dt.read().agg(coalesce(max(col("ver")), lit(0L)))
-      .head().getLong(0) + 1L
+    // replacement-ordering version from commit-log METADATA, not a data
+    // scan (the documented contract is cost ∝ batch, never the index).
+    // latestVersion+2 clears the build stamp (ver=1 at commit 0) and every
+    // prior add's stamp (each add commits ≥1 version, so the bound rises
+    // strictly between calls).
+    val nextVer = dt.latestVersion + 2L
     val (postings, docRows0) = indexRows(batch, nextVer, textCol, keyCol)
     val docRows = docRows0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -166,7 +170,8 @@ class TextIndex private[ext] (spark: SparkSession, val path: String) {
     * (doc, term)), so the ranking replays bit-for-bit in any engine. The
     * scan opens only the query terms' bucket partitions; df is counted
     * from the probed postings (a term's postings all live in its bucket);
-    * N and total tokens read from the 1-row meta table. */
+    * N and total tokens come from the docs table's commit-log metadata
+    * ([[corpusScalars]] — zero data files opened). */
   def search(terms: Seq[String], topK: Int = 10): DataFrame = {
     require(terms.nonEmpty, "search needs at least one query term")
     require(topK > 0, "topK must be positive")

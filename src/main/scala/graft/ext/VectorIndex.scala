@@ -138,7 +138,9 @@ class VectorIndex private[ext] (spark: SparkSession, val path: String,
   def add(batch: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id"): VectorIndex = {
     val t = codesTable
-    val nextVer = t.read().agg(coalesce(max(col("ver")), lit(0L))).head().getLong(0) + 1L
+    // commit-log-metadata version, not a data scan (cost ∝ batch contract;
+    // +2 clears the build stamp ver=1 at commit 0 — see TextIndex.add)
+    val nextVer = t.latestVersion + 2L
     val encoded = batch
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("ver", lit(nextVer))

@@ -28,15 +28,25 @@ object UnigramUtil {
 
   /** Viterbi-best segmentation of one word under integer piece scores.
     *
-    * DP over prefix lengths: `best(i) = max over piece lengths l` of
-    * `best(i-l) + score(word[i-l, i))`; candidate pieces are vocabulary
-    * entries up to `maxLen` chars, plus ANY single character at
-    * [[UNK_SCORE]] when it is not in the vocabulary (coverage). Ties
-    * break toward the LONGER last piece — fixed, engine-replayable. */
+    * DP over prefix lengths IN CODEPOINTS: `best(i) = max over piece
+    * lengths l` of `best(i-l) + score(word[i-l, i))`; candidate pieces
+    * are vocabulary entries up to `maxLen` codepoints, plus ANY single
+    * CODEPOINT at [[UNK_SCORE]] when it is not in the vocabulary
+    * (coverage). Ties break toward the LONGER last piece — fixed,
+    * engine-replayable. Codepoint indexing (not UTF-16 units) matches
+    * both the Spark-side training (UTF8String substring/length count
+    * codepoints) and the DuckDB oracle's substr/len — a non-BMP char
+    * (emoji, CJK extension) is one UNK unit, never a split surrogate
+    * pair (pinned in UnigramSpec). */
   def encodeWord(word: String, scores: java.util.HashMap[String, java.lang.Long],
       maxLen: Int): Array[String] = {
-    val n = word.length
-    if (n == 0) return Array.empty
+    if (word.isEmpty) return Array.empty
+    // char offset of each codepoint boundary: off(0)=0 .. off(n)=word.length
+    val off = new Array[Int](word.codePointCount(0, word.length) + 1)
+    val n = off.length - 1
+    var k = 0; var ci = 0
+    while (k < n) { off(k) = ci; ci = word.offsetByCodePoints(ci, 1); k += 1 }
+    off(n) = word.length
     val best = new Array[Long](n + 1)
     val choice = new Array[Int](n + 1)
     var i = 1
@@ -46,7 +56,7 @@ object UnigramUtil {
       var l = 1
       val lMax = math.min(maxLen, i)
       while (l <= lMax) {
-        val piece = word.substring(i - l, i)
+        val piece = word.substring(off(i - l), off(i))
         val s = scores.get(piece)
         val pieceScore: java.lang.Long =
           if (s != null) s
@@ -69,7 +79,7 @@ object UnigramUtil {
     var pos = n
     while (pos > 0) {
       val l = choice(pos)
-      out += word.substring(pos - l, pos)
+      out += word.substring(off(pos - l), off(pos))
       pos -= l
     }
     out.reverseIterator.toArray
@@ -102,7 +112,8 @@ case class UnigramEncodeExpr(child: Expression, vocab: Seq[(String, Long)])
     m
   }
   @transient private lazy val maxLen: Int =
-    if (vocab.isEmpty) 1 else math.max(1, vocab.map(_._1.length).max)
+    if (vocab.isEmpty) 1
+    else math.max(1, vocab.map(p => p._1.codePointCount(0, p._1.length)).max)
 
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(

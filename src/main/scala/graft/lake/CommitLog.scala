@@ -563,8 +563,10 @@ object CommitLog {
   // time: at millions of live files a JSON checkpoint funnels the whole
   // file list through driver-side Jackson on every snapshot resolution,
   // while parquet parses columnar and compressed. The JSON form remains
-  // the session-less fallback and the reader understands both; immutable
-  // once published, so reads memoize ([[ckptCache]]).
+  // the session-less WRITE fallback; reads of either form are session-less
+  // and conf-based (parquet goes straight through parquet-hadoop, see
+  // [[readParquetCheckpoint]]); immutable once published, so reads
+  // memoize ([[ckptCache]]).
 
   val CHECKPOINT_INTERVAL = 10
 
@@ -663,21 +665,64 @@ object CommitLog {
     val cached = ckptCache.get(key)
     if (cached != null) return cached
     val pq = checkpointParquetDir(tablePath, version)
-    if (fs(pq, conf).exists(pq)) {
-      val ss = org.apache.spark.sql.SparkSession.active
-      import ss.implicits._
-      val files = ss.read.parquet(pq.toString).as[CheckpointRow].collect()
-        .sortBy(_.idx)
-        .map(r => FileAction(r.path, r.log, r.rows, r.minKey, r.maxKey,
-          r.numericKey, r.partitionValue, r.base, r.tombstone, r.colStats,
-          r.dv, r.dvRows, r.bytes, r.colSums))
-        .toSeq
-      ckptCache.put(key, files)
-      return files
-    }
-    val files = readJsonCheckpoint(tablePath, version, conf)
+    val files =
+      if (fs(pq, conf).exists(pq)) readParquetCheckpoint(pq, conf)
+      else readJsonCheckpoint(tablePath, version, conf)
     ckptCache.put(key, files)
     files
+  }
+
+  /** Conf-based columnar checkpoint read, straight through parquet-hadoop —
+    * no SparkSession required (both checkpoint forms stay readable from
+    * session-less code), the passed Configuration is honored (a filesystem
+    * configured only through it works), and resolving a snapshot never
+    * schedules a Spark job for what is driver-side metadata. */
+  private def readParquetCheckpoint(dir: Path, conf: Configuration): Seq[FileAction] = {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+
+    def has(g: Group, field: String): Boolean =
+      g.getType.containsField(field) && g.getFieldRepetitionCount(field) > 0
+    def optStr(g: Group, field: String): Option[String] =
+      if (has(g, field)) Some(g.getString(field, 0)) else None
+    def lng(g: Group, field: String): Long = if (has(g, field)) g.getLong(field, 0) else 0L
+    def bool(g: Group, field: String): Boolean = has(g, field) && g.getBoolean(field, 0)
+    // map<string, struct<_1, _2>> in the standard parquet MAP layout
+    def tupleMap[V](g: Group, field: String, second: Group => V): Map[String, (String, V)] =
+      if (!has(g, field)) Map.empty
+      else {
+        val m = g.getGroup(field, 0)
+        (0 until m.getFieldRepetitionCount("key_value")).map { i =>
+          val kv = m.getGroup("key_value", i)
+          val v = kv.getGroup("value", 0)
+          kv.getString("key", 0) -> (v.getString("_1", 0), second(v))
+        }.toMap
+      }
+
+    val f = fs(dir, conf)
+    val parts = f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+      .sortBy(_.getName)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, FileAction)]
+    parts.foreach { part =>
+      val reader = ParquetReader
+        .builder[Group](new GroupReadSupport(), part).withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          rows += ((lng(g, "idx"), FileAction(
+            g.getString("path", 0), bool(g, "log"), lng(g, "rows"),
+            g.getString("minKey", 0), g.getString("maxKey", 0),
+            bool(g, "numericKey"), optStr(g, "partitionValue"), optStr(g, "base"),
+            bool(g, "tombstone"), tupleMap(g, "colStats", _.getString("_2", 0)),
+            optStr(g, "dv"), lng(g, "dvRows"), lng(g, "bytes"),
+            colSums = tupleMap(g, "colSums", _.getLong("_2", 0)))))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    rows.sortBy(_._1).map(_._2).toSeq
   }
 
   private def readJsonCheckpoint(tablePath: String, version: Long,

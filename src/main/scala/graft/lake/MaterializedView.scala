@@ -255,13 +255,8 @@ object MaterializedView {
       .withColumn(MVVER, lit(version))
   }
 
-  /** Join half of a star-join view: the fact table equi-joins `dimPath`
-    * on `factKey = dimKey`, with the dim PINNED at `dimVersion` for
-    * incremental maintenance (see [[MaterializedView.refresh]]). */
-  case class MvJoin(dimPath: String, factKey: String, dimKey: String, dimVersion: Long)
-
   case class MvMeta(basePath: String, dims: Seq[String], aggs: Seq[MvAgg],
-      lastVersion: Long, join: Option[MvJoin] = None)
+      lastVersion: Long)
 
   private def metaFile(path: String) = new Path(path, "_graft_mv.json")
 
@@ -274,11 +269,6 @@ object MaterializedView {
       val n = an.addObject(); n.put("name", a.name); n.put("kind", a.kind); n.put("input", a.input)
     }
     root.put("lastVersion", m.lastVersion)
-    m.join.foreach { j =>
-      val n = root.putObject("join")
-      n.put("dimPath", j.dimPath); n.put("factKey", j.factKey)
-      n.put("dimKey", j.dimKey); n.put("dimVersion", j.dimVersion)
-    }
     val target = metaFile(path)
     val fs = target.getFileSystem(conf)
     fs.mkdirs(target.getParent)
@@ -300,15 +290,8 @@ object MaterializedView {
     root.get("aggs").asInstanceOf[ArrayNode].forEach { n =>
       aggs += MvAgg(n.get("name").asText, n.get("kind").asText, n.get("input").asText)
     }
-    val join =
-      if (!root.hasNonNull("join")) None
-      else {
-        val n = root.get("join")
-        Some(MvJoin(n.get("dimPath").asText, n.get("factKey").asText,
-          n.get("dimKey").asText, n.get("dimVersion").asLong))
-      }
     MvMeta(root.get("basePath").asText, dims.toSeq, aggs.toSeq,
-      root.get("lastVersion").asLong, join)
+      root.get("lastVersion").asLong)
   }
 
   /** Define + fully compute the view at the base table's current version. */

@@ -880,7 +880,7 @@ object LakeQueries {
           .repartition(5).write.mode("overwrite").parquet(land)
         val schema = s.read.parquet(land).schema
         graft.streaming.CdcStream.ingestWithViews(s, tbl, land, schema, ck,
-          Seq(mvPath))
+          Some(Seq(mvPath)))
         val mv = MaterializedView.load(s, mvPath)
         require(mv.lastRefreshedVersion == LakeTable.load(s, path).latestVersion,
           "the view must track the stream to the final base version")

@@ -48,14 +48,16 @@ object CdcStream {
     * batch ∝ batch churn (never base size), the property that makes a
     * CONTINUOUSLY fresh aggregate affordable at 100 TB.
     *
-    * With the default EMPTY `viewPaths`, views are auto-discovered from
-    * the SQL lifecycle registry each batch
-    * ([[graft.sql.GraftMvRewrite.viewsOver]]): every `CREATE MATERIALIZED
-    * VIEW` over this base table — including one issued mid-stream — is
-    * maintained without the caller ever listing it. */
+    * `viewPaths = None` (the default) auto-discovers views from the SQL
+    * lifecycle registry each batch ([[graft.sql.GraftMvRewrite.viewsOver]]):
+    * every `CREATE MATERIALIZED VIEW` over this base table — including one
+    * issued mid-stream — is maintained without the caller ever listing it.
+    * `Some(paths)` pins the refresh set explicitly — `Some(Seq.empty)`
+    * genuinely refreshes nothing (an Option sentinel, so "none" and
+    * "auto-discover" can never be conflated). */
   def ingestWithViews(spark: SparkSession, table: LakeTable, dir: String,
       schema: StructType, checkpoint: String,
-      viewPaths: Seq[String] = Seq.empty, continuous: Boolean = false,
+      viewPaths: Option[Seq[String]] = None, continuous: Boolean = false,
       transform: DataFrame => DataFrame = identity): Unit = {
     val stream = spark.readStream
       .schema(schema)
@@ -68,9 +70,8 @@ object CdcStream {
         val b = transform(batch)
         if (!b.isEmpty) {
           table.upsert(b)
-          val views =
-            if (viewPaths.nonEmpty) viewPaths
-            else graft.sql.GraftMvRewrite.viewsOver(spark, table.path)
+          val views = viewPaths
+            .getOrElse(graft.sql.GraftMvRewrite.viewsOver(spark, table.path))
           views.foreach(p =>
             graft.lake.MaterializedView.load(spark, p).refresh())
         }

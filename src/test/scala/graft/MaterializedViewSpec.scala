@@ -178,7 +178,7 @@ class MaterializedViewSpec extends AnyFunSuite {
     baseRows(300).filter(col("k") >= 150).withColumn("ver", lit(1L))
       .repartition(6).write.mode("overwrite").parquet(s"$land/w1")
     graft.streaming.CdcStream.ingestWithViews(spark, t, s"$land/w1",
-      t.read().select("k", "ver", "grp", "amt", "score").schema, ckpt, Seq(mp))
+      t.read().select("k", "ver", "grp", "amt", "score").schema, ckpt, Some(Seq(mp)))
     check()
     // wave 2 into the same landing zone + checkpoint: only NEW files are
     // processed on the rerun (restart semantics), and the view follows
@@ -186,7 +186,7 @@ class MaterializedViewSpec extends AnyFunSuite {
       .repartition(3).write.mode("append").parquet(s"$land/w1")
     graft.streaming.CdcStream.ingestWithViews(spark,
       LakeTable.load(spark, bp), s"$land/w1",
-      t.read().select("k", "ver", "grp", "amt", "score").schema, ckpt, Seq(mp))
+      t.read().select("k", "ver", "grp", "amt", "score").schema, ckpt, Some(Seq(mp)))
     check()
   }
 }

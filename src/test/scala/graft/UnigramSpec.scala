@@ -93,4 +93,24 @@ class UnigramSpec extends AnyFunSuite {
       assert(got(w) == reference(w), s"Viterbi diverged on '$w'")
     }
   }
+
+  test("non-BMP text segments by CODEPOINT: an emoji is one UNK unit, never a split surrogate pair") {
+    // vocab with only ASCII pieces; the word mixes in supplementary-plane
+    // chars (2 UTF-16 units each) — a UTF-16-indexed DP would emit
+    // unpaired surrogates as separate UNK "chars"
+    val v = Unigram.Vocab(Seq(("ab", -100L), ("c", -200L)))
+    val word = "ab😀c🤓" // ab😀c🤓
+    val got = Seq(word).toDF("text")
+      .select(Unigram.encode(v, col("text"))).head().getSeq[String](0)
+    assert(got == Seq("ab", "😀", "c", "🤓"),
+      s"expected codepoint-aligned tokens, got $got")
+    // concatenation must rebuild the text exactly (no lost/duplicated units)
+    assert(got.mkString == word)
+    // and the scorer side: maxLen is counted in codepoints, so a 1-codepoint
+    // non-BMP piece in the vocab is matchable
+    val v2 = Unigram.Vocab(Seq(("😀", -50L), ("a", -100L)))
+    val got2 = Seq("a😀a").toDF("text")
+      .select(Unigram.encode(v2, col("text"))).head().getSeq[String](0)
+    assert(got2 == Seq("a", "😀", "a"))
+  }
 }
