@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.BpeOps
+import graft.functions.{BpeOps, BpeUtil}
 
 /** Byte-pair-encoding tokenizer TRAINING and encoding on Spark — the
   * "train the tokenizer on the corpus" step of a training-data pipeline
@@ -77,87 +77,216 @@ object Bpe {
       .select("syms", "freq")
 
   /** Train up to `numMerges` BPE merges from the corpus. Deterministic:
-    * ties on pair frequency break lexicographically on (left, right);
-    * training stops early when no adjacent pair is left. */
+    * ties on pair frequency break lexicographically on (left, right) in
+    * UTF-8 binary order (Spark's string collation); training stops early
+    * when no adjacent pair is left. */
   def train(df: DataFrame, numMerges: Int, textCol: String = "text"): Merges =
     trainWithStats(df, numMerges, textCol)._1
 
-  /** Incremental training loop. Pair counts are computed from the corpus
-    * ONCE; every round after that:
+  /** Incremental, BATCHED training loop. Pair counts are computed from
+    * the corpus ONCE; after that merges are accepted in speculative
+    * batches of up to `maxBatch`, each batch costing a CONSTANT number of
+    * Spark jobs (~6) instead of one scheduler round-trip per merge:
     *
-    *  1. argmax the persisted count table (one tiny driver fetch);
-    *  2. pull only the words CONTAINING the winning pair (a narrow
-    *     filter — no explode, no shuffle — over the vocabulary chain);
-    *  3. fold the pair into those words and DELTA-update the count table
-    *     from just their old/new adjacencies (merging (l,r) only changes
-    *     counts of pairs overlapping an occurrence — everything else is
-    *     untouched, so the explode/aggregate volume is ∝ affected words,
-    *     not ∝ vocabulary × rounds);
-    *  4. splice the rewritten words back as a lazy filter+union overlay,
-    *     consolidated (localCheckpoint) every few rounds so lineage stays
-    *     bounded without paying a full-vocabulary write per merge.
+    *  1. a driver-side SAMPLE of the highest-frequency words simulates
+    *     sequential BPE to PROPOSE the next B merges (heuristic — it can
+    *     only cost performance, never correctness);
+    *  2. one distributed pass chains the B proposed merges over the
+    *     vocabulary (`s0 → s1 → … → sB`, each step a native
+    *     [[graft.functions.BpeMergePair]] call) and aggregates the EXACT
+    *     per-round pair-count deltas plus per-round affected-word counts
+    *     from only the words the batch touches;
+    *  3. a driver-side CERTIFICATE replays the argmax recurrence over
+    *     (exact snapshot top-M counts) + (exact per-round deltas) and
+    *     accepts the longest proposal prefix provably identical to what
+    *     one-merge-at-a-time sequential training would have chosen —
+    *     count AND (left, right) UTF-8 tie-break. Pairs outside the
+    *     certified knowledge set are bounded above by the M-th snapshot
+    *     count, so a pass can never be a false positive; a truncation
+    *     just shrinks the next batch (adaptive B);
+    *  4. the count table is delta-merged and the vocabulary spliced as a
+    *     lazy filter+union overlay, consolidated every few rounds.
     *
-    * At 32k–100k merges on a 100 TB corpus this is the difference between
-    * `rounds × full-vocab recount` (a non-starter) and `one corpus pass +
-    * Σ affected-word work` — the same incremental-count idea fast
-    * single-node BPE trainers use, in distributed form. Exact: longs in,
-    * longs out, so incremental counts equal a full recount bit-for-bit
-    * and the merge sequence (tie-break included) is unchanged. */
+    * At 32k–100k merges on a 100 TB corpus this is the difference
+    * between `rounds × (scheduler round-trip + full-vocab recount)` and
+    * `one corpus pass + rounds/B job groups of Σ affected-word work`.
+    * Exact: longs in, longs out, and every accepted merge carries a
+    * certificate, so the sequence (tie-break included) equals the
+    * one-at-a-time loop bit-for-bit (pinned in BpeSpec). */
   def trainWithStats(df: DataFrame, numMerges: Int,
-      textCol: String = "text"): (Merges, Seq[RoundStat]) = {
+      textCol: String = "text", maxBatch: Int = 32): (Merges, Seq[RoundStat]) = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
     var vocab = initialVocab(df, textCol).localCheckpoint(true)
     // the ONE corpus/vocab-scale pair aggregation
     var pairCounts = pairsOf(vocab, "syms")
       .groupBy("l", "r").agg(sum("freq").as("n"))
       .localCheckpoint(true)
 
+    // speculation sample: top-K words by frequency, evolved driver-side as
+    // merges are accepted. Its tiebreak/coverage is deliberately
+    // uncertified — proposals it produces are checked before acceptance.
+    val sample = if (maxBatch > 1) fetchSample(vocab)
+      else scala.collection.mutable.ArrayBuffer.empty[(Array[String], Long)]
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStat]
     var sinceConsolidate = 0
     var exhausted = false
+    var batchSize = math.min(4, math.max(1, maxBatch))
+    // snapshot horizon: how many exact top counts the certificate sees.
+    // Grows (capped) whenever a batch truncates ONLY because a proposed
+    // count tied/undercut the M-th — flat count tails need a deeper
+    // exact region, not a smaller batch. A 64k-row driver fetch of
+    // (l, r, n) is trivially bounded at any corpus scale.
+    var horizon = 1024
+
+    def consolidate(accepted: Int): Unit = {
+      sinceConsolidate += accepted
+      if (sinceConsolidate >= CONSOLIDATE_EVERY) {
+        // bound the filter/union lineage chain; one vocab-sized write per
+        // CONSOLIDATE_EVERY merges (coalesced so the union-accumulated
+        // partitions reset too — a checkpoint that kept them would grow
+        // the next union's task count exponentially)
+        vocab = vocab.coalesce(par).localCheckpoint(true)
+        sinceConsolidate = 0
+      }
+    }
+
+    /** One exact single-merge round with `(l, r, n)` already known to be
+      * the argmax of the exact count table. */
+    def singleMerge(l: String, r: String, n: Long): Unit = {
+      merges += ((l, r))
+      // the round's work set: only words containing (l, r) — eagerly
+      // materialized (it is small) with old AND new symbols side by side
+      val affected = vocab.filter(containsPair(col("syms"), l, r))
+        .withColumn("new_syms", BpeOps.mergePair(col("syms"), array(lit(l), lit(r))))
+        .coalesce(par)
+        .localCheckpoint(true)
+      stats += RoundStat(l, r, n, affected.count())
+      // delta = (new adjacencies) − (old adjacencies) of the affected
+      // words only; merged into the persisted count table by key
+      val delta = pairsOf(affected, "new_syms").withColumn("d", col("freq"))
+        .unionByName(pairsOf(affected, "syms").withColumn("d", -col("freq")))
+        .groupBy("l", "r").agg(sum("d").as("d"))
+      pairCounts = pairCounts.join(delta, Seq("l", "r"), "full_outer")
+        .select(col("l"), col("r"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+        .localCheckpoint(true)
+      vocab = vocab.filter(!containsPair(col("syms"), l, r))
+        .unionByName(affected.select(col("new_syms").as("syms"), col("freq")))
+      applyToSample(sample, Seq((l, r)))
+      consolidate(1)
+    }
+
     while (merges.length < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - merges.length)
+      val mTop = math.max(4 * want + 64, horizon)
       val top = pairCounts
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+        .limit(mTop).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val proposal =
+        if (top.isEmpty || want <= 1) Seq.empty else simulate(sample, want)
       if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((l, r))
-        // the round's work set: only words containing (l, r) — eagerly
-        // materialized (it is small) with old AND new symbols side by side.
-        // coalesce is load-bearing: the filtered chain inherits the
-        // vocab's partitions PLUS every overlaid affected set's, and a
-        // checkpoint that keeps them makes the next union's partition
-        // count grow exponentially (2^rounds tasks by round 16)
-        val affected = vocab.filter(containsPair(col("syms"), l, r))
-          .withColumn("new_syms", BpeOps.mergePair(col("syms"), array(lit(l), lit(r))))
-          .coalesce(df.sparkSession.sparkContext.defaultParallelism)
-          .localCheckpoint(true)
-        val nAffected = affected.count()
-        stats += RoundStat(l, r, n, nAffected)
-        // delta = (new adjacencies) − (old adjacencies) of the affected
-        // words only; merged into the persisted count table by key
-        val delta = pairsOf(affected, "new_syms").withColumn("d", col("freq"))
-          .unionByName(pairsOf(affected, "syms").withColumn("d", -col("freq")))
-          .groupBy("l", "r").agg(sum("d").as("d"))
-        pairCounts = pairCounts.join(delta, Seq("l", "r"), "full_outer")
-          .select(col("l"), col("r"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
-          .filter(col("n") > 0)
-          .localCheckpoint(true)
-        // vocabulary overlay: unaffected rows pass through a lazy filter,
-        // rewritten rows union in from the (checkpointed, small) affected
-        // set — no full-vocab materialization this round
-        vocab = vocab.filter(!containsPair(col("syms"), l, r))
-          .unionByName(affected.select(col("new_syms").as("syms"), col("freq")))
-        sinceConsolidate += 1
-        if (sinceConsolidate >= CONSOLIDATE_EVERY) {
-          // bound the filter/union lineage chain; one vocab-sized write
-          // per CONSOLIDATE_EVERY merges, not per merge (coalesced so the
-          // union-accumulated partitions reset too)
-          vocab = vocab.coalesce(df.sparkSession.sparkContext.defaultParallelism)
-            .localCheckpoint(true)
-          sinceConsolidate = 0
+      else if (proposal.length <= 1) {
+        val (l, r, n) = top.head
+        singleMerge(l, r, n)
+        batchSize = math.min(maxBatch, batchSize * 2)
+      } else {
+        val b = proposal.length
+        // exact base counts for proposed pairs that sit below the top-M
+        // horizon (absent row = count 0): the certificate needs the
+        // proposal's own counts exactly, never as a bound
+        val needBase = proposal.toSet
+          .diff(top.map(t => (t._1, t._2)).toSet).toSeq
+        val baseMap: Map[(String, String), Long] =
+          if (needBase.isEmpty) Map.empty
+          else pairCounts.filter(
+              needBase.map(p => col("l") === lit(p._1) && col("r") === lit(p._2))
+                .reduce(_ || _))
+            .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        // chain the proposed merges: s0 = syms, sk = merge k applied to
+        // s(k-1). A word is touched by the batch iff sB != s0 (merging
+        // only ever shortens the array, so any intermediate change
+        // survives to sB)
+        var chained = vocab.withColumn("_s0", col("syms"))
+        for (k <- 1 to b) chained = chained.withColumn(s"_s$k",
+          BpeOps.mergePair(col(s"_s${k - 1}"),
+            array(lit(proposal(k - 1)._1), lit(proposal(k - 1)._2))))
+        val aff = chained.filter(col(s"_s$b") =!= col("_s0"))
+          .coalesce(par).localCheckpoint(true)
+        // per-round affected-word counts, one row
+        val affRow = aff.select((1 to b).map(k =>
+          sum(when(col(s"_s$k") =!= col(s"_s${k - 1}"), 1L).otherwise(0L))
+            .as(s"a$k")): _*).head()
+        // exact per-round count deltas from only the touched words
+        val deltas = (1 to b).map { k =>
+          val ch = aff.filter(col(s"_s$k") =!= col(s"_s${k - 1}"))
+          pairsOf(ch.select(col(s"_s$k").as("syms"), col("freq")), "syms")
+            .withColumn("d", col("freq"))
+            .unionByName(
+              pairsOf(ch.select(col(s"_s${k - 1}").as("syms"), col("freq")), "syms")
+                .withColumn("d", -col("freq")))
+            .select(lit(k).as("round"), col("l"), col("r"), col("d"))
+        }.reduce(_ unionByName _)
+          .groupBy("round", "l", "r").agg(sum("d").as("d"))
+          .filter(col("d") =!= 0)
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        val byRound = deltas.groupBy(_._1)
+          .map { case (k, rs) => k -> rs.map(t => (t._2, t._3, t._4)).toSeq }
+        val (accepted, roundNs, horizonLimited) =
+          certify(top, top.length == mTop, proposal, baseMap, byRound)
+        if (horizonLimited) horizon = math.min(horizon * 4, 1 << 16)
+        if (accepted == 0) {
+          // proposal's very first pair wasn't the exact argmax — fall
+          // back to one certain merge; shrink the batch only on a REAL
+          // mismatch (a horizon-limited failure retries at full size
+          // with a deeper exact region)
+          val (l, r, n) = top.head
+          singleMerge(l, r, n)
+          if (!horizonLimited) batchSize = 2
+        } else {
+          val t = accepted
+          for (k <- 1 to t) {
+            val (l, r) = proposal(k - 1)
+            merges += ((l, r))
+            stats += RoundStat(l, r, roundNs(k - 1), affRow.getLong(k - 1))
+          }
+          // count-table update: the accepted rounds' deltas, summed by
+          // pair (driver-built — the delta set is bounded by pairs
+          // adjacent to merged occurrences, O(symbol vocabulary) rows)
+          val acceptedDelta = deltas.filter(_._1 <= t)
+            .groupBy(d => (d._2, d._3))
+            .map { case ((l, r), rs) => (l, r, rs.map(_._4).sum) }
+            .filter(_._3 != 0).toSeq
+          if (acceptedDelta.nonEmpty) {
+            val deltaDf = df.sparkSession.createDataFrame(acceptedDelta)
+              .toDF("l", "r", "d")
+            pairCounts = pairCounts.join(deltaDf, Seq("l", "r"), "full_outer")
+              .select(col("l"), col("r"),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
+              .filter(col("n") > 0)
+              .localCheckpoint(true)
+          }
+          // vocabulary overlay: words unchanged through round t pass a
+          // narrow recomputed-chain filter; rewritten words union in
+          // from the checkpointed touched set
+          var keepChain = vocab.withColumn("_k0", col("syms"))
+          for (k <- 1 to t) keepChain = keepChain.withColumn(s"_k$k",
+            BpeOps.mergePair(col(s"_k${k - 1}"),
+              array(lit(proposal(k - 1)._1), lit(proposal(k - 1)._2))))
+          vocab = keepChain.filter(col(s"_k$t") === col("syms"))
+            .select("syms", "freq")
+            .unionByName(aff.filter(col(s"_s$t") =!= col("_s0"))
+              .select(col(s"_s$t").as("syms"), col("freq")))
+          applyToSample(sample, proposal.take(t))
+          consolidate(t)
+          batchSize =
+            if (t == want) math.min(maxBatch, batchSize * 2)
+            else if (horizonLimited) batchSize // deeper horizon, same size
+            else math.max(2, t)
         }
       }
     }
@@ -166,6 +295,142 @@ object Bpe {
 
   /** Overlay consolidation cadence — see [[trainWithStats]] step 4. */
   private val CONSOLIDATE_EVERY = 16
+
+  /** Speculation-sample size ([[trainWithStats]] step 1). Coverage-mass
+    * heuristic: the top words by frequency dominate every top pair count,
+    * so the sample's sequential simulation predicts the true merge order
+    * far beyond the certificate's batch horizon. */
+  private val SAMPLE_WORDS = 8192
+
+  private def fetchSample(vocab: DataFrame)
+      : scala.collection.mutable.ArrayBuffer[(Array[String], Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Array[String], Long)]
+    vocab.orderBy(col("freq").desc).limit(SAMPLE_WORDS).collect()
+      .foreach(r => out += ((r.getSeq[String](0).toArray, r.getLong(1))))
+    out
+  }
+
+  /** UTF-8 binary (l, r) order — identical to Spark's `orderBy` on the
+    * count table, so driver-side tie-breaks replay the engine's. */
+  private def pairLess(a: (String, String), b: (String, String)): Boolean = {
+    val c = org.apache.spark.unsafe.types.UTF8String.fromString(a._1)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._1))
+    c < 0 || (c == 0 &&
+      org.apache.spark.unsafe.types.UTF8String.fromString(a._2)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._2)) < 0)
+  }
+
+  /** Sequential BPE over the driver sample: up to `rounds` proposed
+    * merges. Never mutates the sample (mergePair copies). */
+  private def simulate(sample: scala.collection.mutable.ArrayBuffer[(Array[String], Long)],
+      rounds: Int): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var words = sample.toArray
+    var k = 0
+    while (k < rounds) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.merge(p, f, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) k = rounds
+      else {
+        var best: (String, String) = null
+        var bestN = Long.MinValue
+        counts.forEach { (p, n) =>
+          if (n > bestN || (n == bestN && pairLess(p, best))) { best = p; bestN = n }
+        }
+        out += best
+        words = words.map { case (syms, f) =>
+          (BpeUtil.mergePair(syms, best._1, best._2), f)
+        }
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Evolve the driver sample through accepted merges, in order. */
+  private def applyToSample(
+      sample: scala.collection.mutable.ArrayBuffer[(Array[String], Long)],
+      pairs: Seq[(String, String)]): Unit = {
+    var i = 0
+    while (i < sample.length) {
+      var syms = sample(i)._1
+      pairs.foreach(p => syms = BpeUtil.mergePair(syms, p._1, p._2))
+      sample(i) = (syms, sample(i)._2)
+      i += 1
+    }
+  }
+
+  /** The acceptance certificate ([[trainWithStats]] step 3): replay the
+    * sequential argmax recurrence driver-side over exact knowledge and
+    * upper bounds, returning the longest proposal prefix that provably
+    * equals sequential training, plus each accepted round's exact count.
+    *
+    * Knowledge sets: `top` (exact snapshot counts of the M best pairs),
+    * `base` (exact snapshot counts of proposed pairs below the horizon),
+    * per-round deltas (exact). A pair outside all three has snapshot
+    * count ≤ the M-th count `nM`; once delta'd its intermediate count is
+    * bounded by `nM + cumulative delta`. Round k certifies iff the
+    * proposed pair's exact intermediate count beats every known count
+    * and every bound (ties resolved by UTF-8 (l, r) order where the
+    * competitor is known; an unknown-identity tie fails the round). A
+    * failed round truncates the batch — never accepts — so the output
+    * sequence is exact regardless of proposal quality. */
+  private def certify(top: Array[(String, String, Long)], horizonFull: Boolean,
+      proposal: Seq[(String, String)], base: Map[(String, String), Long],
+      deltasByRound: Map[Int, Seq[(String, String, Long)]])
+      : (Int, Seq[Long], Boolean) = {
+    val nM = top.last._3
+    val cur = scala.collection.mutable.Map.empty[(String, String), Long]
+    top.foreach { case (l, r, n) => cur((l, r)) = n }
+    base.foreach { case (p, n) => cur.getOrElseUpdate(p, n) }
+    proposal.foreach(p => cur.getOrElseUpdate(p, 0L))
+    // delta'd pairs with unknown snapshot count: cumulative delta only.
+    // Only possible under a truncated horizon — with the complete table
+    // fetched, an absent pair has snapshot count exactly 0 and stays in
+    // `cur` as exact knowledge.
+    val unk = scala.collection.mutable.Map.empty[(String, String), Long]
+    val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var accepted = 0
+    var horizonLimited = false
+    var k = 1
+    var stop = false
+    while (k <= proposal.length && !stop) {
+      val pk = proposal(k - 1)
+      val nk = cur(pk)
+      def beats(q: (String, String), nq: Long): Boolean =
+        q == pk || nq < nk || (nq == nk && pairLess(pk, q))
+      val okExact = nk > 0 && cur.forall { case (q, nq) => beats(q, nq) }
+      val okBounds =
+        unk.forall { case (q, dq) => beats(q, nM + dq) } &&
+        // pairs below the horizon never delta'd: count ≤ nM, identity
+        // unknown (a tie there is uncertifiable)
+        (!horizonFull || nk > nM)
+      if (!(okExact && okBounds)) {
+        stop = true
+        // exact knowledge says the proposal was right but an unknown
+        // MIGHT tie/beat it — a deeper horizon would decide
+        horizonLimited = okExact
+      } else {
+        accepted = k
+        ns += nk
+        deltasByRound.getOrElse(k, Nil).foreach { case (l, r, d) =>
+          val q = (l, r)
+          if (cur.contains(q)) cur(q) += d
+          else if (!horizonFull) cur(q) = d
+          else unk(q) = unk.getOrElse(q, 0L) + d
+        }
+        k += 1
+      }
+    }
+    (accepted, ns.toSeq, horizonLimited)
+  }
 
   /** Reference implementation: full pair recount every round (the
     * pre-incremental loop). Kept for the equivalence spec — incremental

@@ -72,6 +72,42 @@ class BpeSpec extends AnyFunSuite {
         s"${later.map(_.affectedWords)} of $vocabWords words")
   }
 
+  test("batched training: identical merges to one-at-a-time, ≥10x fewer Spark jobs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
+      .localCheckpoint(true) // pin the input so both runs read identical rows
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // the listener bus is async — wait for the count to go quiet
+        var last = -1
+        while (n.get() != last) { last = n.get(); Thread.sleep(300) }
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    var batched: (Bpe.Merges, Seq[Bpe.RoundStat]) = null
+    var single: (Bpe.Merges, Seq[Bpe.RoundStat]) = null
+    val jb = countJobs { batched = Bpe.trainWithStats(docs, numMerges = 120) }
+    val js = countJobs { single = Bpe.trainWithStats(docs, numMerges = 120, maxBatch = 1) }
+    // the certificate makes batching invisible in the OUTPUT: merges AND
+    // per-round stats (chosen pair, its exact intermediate count, affected
+    // words) are bit-identical to the sequential loop
+    assert(batched._1.pairs == single._1.pairs,
+      s"batched and sequential merge sequences diverged:\n${batched._1.pairs}\nvs\n${single._1.pairs}")
+    assert(batched._2 == single._2,
+      s"round stats diverged:\n${batched._2}\nvs\n${single._2}")
+    // ...and visible in the COST: the scheduler round-trips per merge
+    // collapse by the batch factor
+    assert(jb * 10 <= js,
+      s"batched training must use >=10x fewer Spark jobs: $jb vs $js")
+  }
+
   test("native encode equals a scalar replay of the merge table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
     val m = Bpe.train(docs, numMerges = 15)
