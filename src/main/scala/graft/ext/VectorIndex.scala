@@ -162,6 +162,13 @@ class VectorIndex private[ext] (spark: SparkSession, val path: String,
     this
   }
 
+  /** Fold the codes table's accumulated add-files into consolidated
+    * per-list files. A pure physical rewrite under OCC: a compaction
+    * racing an `add` serializes through commit retries with both landing,
+    * and the hive list layout is preserved, so probe pruning keeps
+    * working afterwards (pinned by q149 and VectorIndexSpec). */
+  def compact(): VectorIndex = { codesTable.compact(); this }
+
   /** ADC top-k over the persisted codes (see [[Similarity.pqSearch]]);
     * `rerank > 0` exact-rescores the shortlist from the stored
     * embeddings. On a list-partitioned index, `nProbe > 0` scores each

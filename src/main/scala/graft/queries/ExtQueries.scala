@@ -1220,6 +1220,87 @@ object ExtQueries {
         |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin)),
 
+    // The q144 lifecycle under MAINTENANCE: codebooks trained on the even
+    // half, the odd half added in two increments with a codes-table
+    // COMPACTION after each — the steady state of a serving index that
+    // takes appends forever (small add-files folded into per-list files,
+    // OCC-serialized against the adds; the racing schedule is pinned in
+    // VectorIndexSpec). Compaction is a pure physical rewrite: the oracle
+    // is the q144 replay with even-half-trained centroids/codebooks, so a
+    // compaction that dropped/duplicated/reassigned ANY code would break
+    // the hash; the require pins that probe pruning still skips files on
+    // the compacted layout.
+    "q149_vix_add_compact" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.ext.VectorIndex
+        val path = java.nio.file.Files.createTempDirectory("graft_vix_c").toString
+        val emb = t(s, d, "embeddings")
+        val ix = VectorIndex.build(s, path, emb.filter(col("vec_id") % 2 === 0),
+          numLists = 8)
+        ix.add(emb.filter(col("vec_id") % 4 === 1)).compact()
+        ix.add(emb.filter(col("vec_id") % 4 === 3)).compact()
+        val reloaded = VectorIndex.load(s, path)
+        val queries = emb.filter(col("vec_id") < 10)
+        val (pruned, total) =
+          reloaded.prunedFileCounts(queries.filter(col("vec_id") === 0L), nProbe = 2)
+        require(pruned < total && pruned > 0,
+          s"probe pruning must survive compaction: opened $pruned of $total")
+        reloaded.search(queries, k = 5, nProbe = 2).orderBy("query_id", "rank")
+      },
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS nsq FROM v),
+        |cl AS (SELECT e AS ce, nsq AS cn, ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') ASC, vec_id ASC) - 1 AS cid
+        |  FROM n WHERE vec_id % 2 = 0 QUALIFY cid < 8),
+        |csim AS (SELECT n.vec_id, cl.cid,
+        |    (SELECT SUM(t.x*t.y) FROM (SELECT UNNEST(n.e) AS x, UNNEST(cl.ce) AS y) t)
+        |      / (sqrt(n.nsq) * sqrt(cl.cn)) AS s
+        |  FROM n CROSS JOIN cl),
+        |cassign AS (SELECT vec_id, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        |    FROM csim) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        |    FROM csim WHERE vec_id < 10) WHERE rn <= 2),
+        |cent AS (SELECT e, ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') ASC, vec_id ASC) - 1 AS cidx
+        |  FROM v WHERE vec_id % 2 = 0 QUALIFY cidx < 16),
+        |subs AS (SELECT UNNEST(range(0, 8)) AS j),
+        |cnorm AS (SELECT c.cidx, s.j,
+        |    list_sum(list_transform(range(1, 9), i -> c.e[s.j*8 + i] * c.e[s.j*8 + i])) AS w
+        |  FROM cent c CROSS JOIN subs s),
+        |dist AS (SELECT v.vec_id, s.j, c.cidx,
+        |    cn.w - 2.0 * list_sum(list_transform(range(1, 9),
+        |      i -> v.e[s.j*8 + i] * c.e[s.j*8 + i])) AS d
+        |  FROM v CROSS JOIN cent c CROSS JOIN subs s
+        |  JOIN cnorm cn ON cn.cidx = c.cidx AND cn.j = s.j),
+        |code AS (SELECT vec_id, j, cidx AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cidx ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |vn AS (SELECT co.vec_id, SUM(cn.w ORDER BY co.j) AS vhatn
+        |  FROM code co JOIN cnorm cn ON cn.j = co.j AND cn.cidx = co.code
+        |  GROUP BY co.vec_id),
+        |qn AS (SELECT vec_id, e, (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS qn
+        |  FROM v WHERE vec_id < 10),
+        |lut AS (SELECT q.vec_id AS query_id, s.j, c.cidx,
+        |    list_sum(list_transform(range(1, 9), i -> q.e[s.j*8 + i] * c.e[s.j*8 + i])) AS val
+        |  FROM qn q CROSS JOIN cent c CROSS JOIN subs s),
+        |adc AS (SELECT l.query_id, co.vec_id AS neighbor_id, SUM(l.val ORDER BY co.j) AS dotv
+        |  FROM code co
+        |  JOIN cassign ca ON ca.vec_id = co.vec_id
+        |  JOIN probe p ON p.cid = ca.cid
+        |  JOIN lut l ON l.j = co.j AND l.cidx = co.code AND l.query_id = p.query_id
+        |  WHERE co.vec_id <> l.query_id
+        |  GROUP BY l.query_id, co.vec_id),
+        |sc AS (SELECT a.query_id, a.neighbor_id,
+        |    a.dotv / (sqrt(q.qn) * sqrt(vn.vhatn)) AS score
+        |  FROM adc a JOIN qn q ON q.vec_id = a.query_id
+        |  JOIN vn ON vn.vec_id = a.neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM sc)
+        |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin)),
+
     // Cluster-balanced sampling: coarse-cluster the corpus embeddings
     // (deterministic md5-sampled centroids, codegen'd literal argmax,
     // zero shuffle) and cap each semantic cluster at 50 docs via the

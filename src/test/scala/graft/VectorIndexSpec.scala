@@ -106,6 +106,52 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(codes.read().filter(col("vec_id") === 7L).count() == 1)
   }
 
+  test("adds racing a compaction: OCC serializes all three, search and pruning unchanged") {
+    import java.util.concurrent.{CountDownLatch, Executors}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val c = corpus.cache()
+    val even = c.filter(col("vec_id") % 2 === 0)
+    val addA = c.filter(col("vec_id") % 4 === 1)
+    val addB = c.filter(col("vec_id") % 4 === 3)
+    val queries = c.filter(col("vec_id") < 5)
+    def rows(df: DataFrame) = df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    // reference: the same final state, no races, no compaction
+    val refPath = tmp()
+    VectorIndex.build(spark, refPath, even, numLists = 8).add(addA).add(addB)
+    val want = rows(VectorIndex.load(spark, refPath).search(queries, k = 5, nProbe = 4))
+    // raced: two disjoint adds and a compaction loop, all concurrent.
+    // Adds commute (disjoint keys), compaction is a pure physical
+    // rewrite — every serialization order yields the same logical state.
+    val racePath = tmp()
+    VectorIndex.build(spark, racePath, even, numLists = 8)
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val start = new CountDownLatch(1)
+    val futs = Seq(
+      Future { start.await(); VectorIndex.load(spark, racePath).add(addA) },
+      Future { start.await(); VectorIndex.load(spark, racePath).add(addB) },
+      Future { start.await()
+        val ix = VectorIndex.load(spark, racePath)
+        (0 until 3).foreach(_ => ix.compact()) })
+    start.countDown()
+    Await.result(Future.sequence(futs), 600.seconds)
+    pool.shutdown()
+    val after = VectorIndex.load(spark, racePath)
+    assert(rows(after.search(queries, k = 5, nProbe = 4)) == want,
+      "racing add/add/compact must converge to the sequential no-compaction state")
+    // compaction preserved the hive list layout: probe pruning still skips files
+    val (pruned, total) = after.prunedFileCounts(queries.limit(1), nProbe = 2)
+    assert(pruned > 0 && pruned < total,
+      s"probe pruning must survive compaction: opened $pruned of $total")
+    // and every writer landed: commits show 2 upserts + 3 compacts after build
+    val ops = graft.lake.LakeTable.load(spark, s"$racePath/codes")
+      .commits.map(_.operation)
+    assert(ops.count(_ == "compact") == 3 && ops.count(_ == "upsert") >= 2,
+      s"all racers must commit, got $ops")
+  }
+
   test("re-adding a vec_id replaces its code (keyed upsert, never duplicates)") {
     val path = tmp()
     val c = corpus.cache()
