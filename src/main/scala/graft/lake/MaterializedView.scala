@@ -101,21 +101,57 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     st.groupBy(rollDims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
-  /** Bring the view up to date with the base table's latest version. */
+  /** Bring the view up to date with the base table's latest version (and,
+    * for a star-join view, the dim table's).
+    *
+    * Join maintenance is the signed multiset identity
+    * `Δ(F ⋈ D) = ΔF ⋈ D_old + F_new ⋈ ΔD`: fact churn joins against the
+    * dim AS OF the last refresh (cost ∝ fact churn — the fact table is
+    * never scanned), and dim churn joins the current fact snapshot
+    * against only the CHANGED dim rows (cost ∝ the changed keys'
+    * matching fact rows; the fact scan is key-restricted by the join,
+    * so stats/bloom pruning applies). Carried-over rows of a CoW
+    * rewrite appear in both plus and minus and cancel after the join
+    * exactly as they do without one. */
   def refresh(): MaterializedView = {
     val m = meta
     val base = LakeTable.load(spark, m.basePath)
     val upTo = base.latestVersion
-    if (upTo <= m.lastVersion) return this
+    val dimOpt = m.join.map(j => (j, LakeTable.load(spark, j.dimPath)))
+    val dimUpTo = dimOpt.map(_._2.latestVersion)
+    if (upTo <= m.lastVersion &&
+        dimOpt.forall { case (j, _) => dimUpTo.get <= j.dimVersion }) return this
     val dims = m.dims
     val stSchema = state.schema
     def stType(c: String): DataType = stSchema(c).dataType
 
-    val (plus, minus) = base.windowDelta(m.lastVersion, upTo)
     val inputs = m.aggs.map(_.input).filter(_ != "*").distinct
-    val proj = (dims ++ inputs).map(col)
-    val contrib = plus.select(proj: _*).withColumn(SGN, lit(1L))
-      .unionByName(minus.select(proj: _*).withColumn(SGN, lit(-1L)))
+    val need = (dims ++ inputs).distinct
+    val contrib = dimOpt match {
+      case None =>
+        val (plus, minus) = base.windowDelta(m.lastVersion, upTo)
+        val proj = need.map(col)
+        plus.select(proj: _*).withColumn(SGN, lit(1L))
+          .unionByName(minus.select(proj: _*).withColumn(SGN, lit(-1L)))
+      case Some((j, dim)) =>
+        val (factCols, dimCols) = sideSplit(base.schema, dim.schema, need, j)
+        val outCols = (need :+ SGN).map(col)
+        // ΔF ⋈ D_old — fact churn against the dim as of the last refresh
+        val (plusF, minusF) = base.windowDelta(m.lastVersion, upTo)
+        val fProj = (j.factKey +: factCols).distinct.map(col)
+        val fDelta = plusF.select(fProj: _*).withColumn(SGN, lit(1L))
+          .unionByName(minusF.select(fProj: _*).withColumn(SGN, lit(-1L)))
+        val dProj = (j.dimKey +: dimCols).distinct.map(col)
+        val dOld = dim.read(Some(j.dimVersion)).select(dProj: _*)
+        val cF = fDelta.join(dOld, col(j.factKey) === col(j.dimKey))
+        // F_new ⋈ ΔD — only the changed dim rows ever reach the join
+        val (plusD, minusD) = dim.windowDelta(j.dimVersion, dimUpTo.get)
+        val dDelta = plusD.select(dProj: _*).withColumn(SGN, lit(1L))
+          .unionByName(minusD.select(dProj: _*).withColumn(SGN, lit(-1L)))
+        val fNew = base.read(Some(upTo)).select(fProj: _*)
+        val cD = fNew.join(dDelta, col(j.factKey) === col(j.dimKey))
+        cF.select(outCols: _*).unionByName(cD.select(outCols: _*))
+    }
 
     // one signed hash-aggregate computes every per-group delta at once
     val sgn = col(SGN)
@@ -176,13 +212,23 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         if (minMax.isEmpty) live.drop(HASM)
         else {
           // groups that lost rows may have lost their extremum: re-aggregate
-          // exactly those groups from the base snapshot
+          // exactly those groups from the base (or joined) snapshot
           val reKeys = live.filter(col(HASM) > 0).select(MVKEY)
           val reAggs = minMax.map {
             case MvAgg(n, "min", in) => min(col(in)).as(reCol(n))
             case MvAgg(n, _, in) => max(col(in)).as(reCol(n))
           }
-          val re = base.read(Some(upTo)).withColumn(MVKEY, mvKeyCol(dims))
+          val snap = dimOpt match {
+            case None => base.read(Some(upTo))
+            case Some((j, dim)) =>
+              val (factCols, dimCols) = sideSplit(base.schema, dim.schema, need, j)
+              base.read(Some(upTo))
+                .select((j.factKey +: factCols).distinct.map(col): _*)
+                .join(dim.read(Some(dimUpTo.get))
+                    .select((j.dimKey +: dimCols).distinct.map(col): _*),
+                  col(j.factKey) === col(j.dimKey))
+          }
+          val re = snap.withColumn(MVKEY, mvKeyCol(dims))
             .join(reKeys, Seq(MVKEY), "left_semi")
             .groupBy(MVKEY).agg(reAggs.head, reAggs.tail: _*)
           val keep = live.columns.filterNot(c => c == HASM || minMax.exists(_.name == c))
@@ -198,7 +244,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       newRows.unpersist(blocking = false)
       ()
     }
-    writeMeta(path, m.copy(lastVersion = upTo), conf)
+    writeMeta(path, m.copy(lastVersion = upTo,
+      join = m.join.map(_.copy(dimVersion = dimUpTo.get))), conf)
     this
   }
 }
@@ -255,8 +302,30 @@ object MaterializedView {
       .withColumn(MVVER, lit(version))
   }
 
+  /** Star-join half of a view: the fact (base) table equi-joins the dim
+    * lake table at `dimPath` on `factKey = dimKey`. `dimVersion` is the
+    * dim version the stored state reflects — pinned at create, advanced
+    * by every refresh (the incremental-maintenance cursor, exactly like
+    * `lastVersion` for the fact side). */
+  case class MvJoin(dimPath: String, factKey: String, dimKey: String,
+      dimVersion: Long = 0L)
+
   case class MvMeta(basePath: String, dims: Seq[String], aggs: Seq[MvAgg],
-      lastVersion: Long)
+      lastVersion: Long, join: Option[MvJoin] = None)
+
+  /** Assign each needed output column to the fact or dim side, rejecting
+    * names present in both (the view definition must be unambiguous). */
+  private def sideSplit(factSchema: StructType, dimSchema: StructType,
+      need: Seq[String], j: MvJoin): (Seq[String], Seq[String]) = {
+    need.foreach { c =>
+      val inF = factSchema.fieldNames.contains(c)
+      val inD = dimSchema.fieldNames.contains(c)
+      require(inF || inD, s"view column $c is in neither fact nor dim schema")
+      require(!(inF && inD), s"view column $c is ambiguous (fact AND dim)")
+    }
+    (need.filter(factSchema.fieldNames.contains),
+      need.filter(dimSchema.fieldNames.contains))
+  }
 
   private def metaFile(path: String) = new Path(path, "_graft_mv.json")
 
@@ -269,6 +338,11 @@ object MaterializedView {
       val n = an.addObject(); n.put("name", a.name); n.put("kind", a.kind); n.put("input", a.input)
     }
     root.put("lastVersion", m.lastVersion)
+    m.join.foreach { j =>
+      val n = root.putObject("join")
+      n.put("dimPath", j.dimPath); n.put("factKey", j.factKey)
+      n.put("dimKey", j.dimKey); n.put("dimVersion", j.dimVersion)
+    }
     val target = metaFile(path)
     val fs = target.getFileSystem(conf)
     fs.mkdirs(target.getParent)
@@ -290,13 +364,25 @@ object MaterializedView {
     root.get("aggs").asInstanceOf[ArrayNode].forEach { n =>
       aggs += MvAgg(n.get("name").asText, n.get("kind").asText, n.get("input").asText)
     }
+    val join =
+      if (!root.hasNonNull("join")) None
+      else {
+        val n = root.get("join")
+        Some(MvJoin(n.get("dimPath").asText, n.get("factKey").asText,
+          n.get("dimKey").asText, n.get("dimVersion").asLong))
+      }
     MvMeta(root.get("basePath").asText, dims.toSeq, aggs.toSeq,
-      root.get("lastVersion").asLong)
+      root.get("lastVersion").asLong, join)
   }
 
-  /** Define + fully compute the view at the base table's current version. */
+  /** Define + fully compute the view at the base table's current version.
+    * With `join`, the view aggregates `base ⋈ dim` (equi-join on
+    * `factKey = dimKey`, dim rows latest-as-of-create): dims and agg
+    * inputs may come from either side, and `refresh()` maintains the
+    * state incrementally under churn on BOTH tables. */
   def create(spark: SparkSession, path: String, base: LakeTable,
-      dims: Seq[String], aggs: Seq[MvAgg]): MaterializedView = {
+      dims: Seq[String], aggs: Seq[MvAgg],
+      join: Option[MvJoin] = None): MaterializedView = {
     require(!base.spec.mor, "materialized views maintain CoW base tables")
     require(dims.nonEmpty, "at least one dim")
     val names = dims ++ aggs.map(_.name)
@@ -305,10 +391,26 @@ object MaterializedView {
       s"agg name ${a.name} must be a plain identifier (internal columns are _-prefixed)"))
     val conf = spark.sessionState.newHadoopConf()
     val v = base.latestVersion
-    val st = fullState(base.read(Some(v)), dims, aggs, v)
+    val need = (dims ++ aggs.map(_.input).filter(_ != "*")).distinct
+    val (snap, pinned) = join match {
+      case None => (base.read(Some(v)), None)
+      case Some(j0) =>
+        val dim = LakeTable.load(spark, j0.dimPath)
+        require(!dim.spec.mor, "star-join views maintain CoW dim tables")
+        require(j0.factKey != j0.dimKey,
+          s"factKey and dimKey must have distinct names (got ${j0.factKey})")
+        val (factCols, dimCols) = sideSplit(base.schema, dim.schema, need, j0)
+        val dv = dim.latestVersion
+        val joined = base.read(Some(v))
+          .select((j0.factKey +: factCols).distinct.map(col): _*)
+          .join(dim.read(Some(dv)).select((j0.dimKey +: dimCols).distinct.map(col): _*),
+            col(j0.factKey) === col(j0.dimKey))
+        (joined, Some(j0.copy(dimVersion = dv)))
+    }
+    val st = fullState(snap, dims, aggs, v)
     LakeTable.create(spark, new Path(path, "state").toString,
       TableSpec(MVKEY, MVVER), st)
-    writeMeta(path, MvMeta(base.path, dims, aggs, v), conf)
+    writeMeta(path, MvMeta(base.path, dims, aggs, v, pinned), conf)
     new MaterializedView(spark, path)
   }
 

@@ -857,6 +857,74 @@ object LakeQueries {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)),
 
+    // Star-join incremental MV: the view aggregates fact ⋈ dim (orders ⋈
+    // customer on o_custkey = c_custkey) grouped by a DIM attribute, and
+    // one refresh absorbs churn on BOTH tables — fact inserts/updates/
+    // deletes via `ΔF ⋈ D_old` (fact never scanned) and dim segment moves
+    // + deletes via `F_new ⋈ ΔD` (only changed dim keys reach the join).
+    // The oracle recomputes the aggregate over the final joined state in
+    // DuckDB (latest-wins replay of both tables' churn), so any error in
+    // the signed-delta join algebra — a group move counted once instead
+    // of minus-old/plus-new, a lost extremum, an undead group — breaks
+    // the hash.
+    "q150_mv_join" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        import graft.lake.MaterializedView.MvJoin
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvj_f_$tag"); val dp = freshDir(s"mvj_d_$tag")
+        val mp = freshDir(s"mvj_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0))
+        val dim = LakeTable.create(s, dp, TableSpec("c_custkey", "cver"),
+          t(s, d, "customer").withColumn("cver", lit(0L)))
+        MaterializedView.create(s, mp, fact, Seq("c_mktsegment"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "o_custkey"),
+            MvAgg("a", "avg", "o_custkey"), MvAgg("mx", "max", "o_totalprice"),
+            MvAgg("mn", "min", "c_acctbal")),
+          Some(MvJoin(dp, "o_custkey", "c_custkey")))
+        // fact churn: the missing third arrives, every 7th reprices a day
+        // later (newer precombine wins), every 11th key is deleted
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .unionByName(t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))))
+        fact.delete(col("o_orderkey") % 11 === 0)
+        // dim churn: every 5th customer switches segment (its orders MOVE
+        // groups), every 17th is deleted (its orders drop out entirely)
+        dim.upsert(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_mktsegment", lit("MOVED")).withColumn("cver", lit(1L)))
+        dim.delete(col("c_custkey") % 17 === 0)
+        val mv = MaterializedView.load(s, mp).refresh()
+        require(mv.lastRefreshedVersion ==
+            LakeTable.load(s, fp).latestVersion &&
+          mv.meta.join.exists(_.dimVersion == LakeTable.load(s, dp).latestVersion),
+          "one refresh must advance BOTH maintenance cursors")
+        mv.read().orderBy("c_mktsegment")
+      },
+      """WITH cand AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+        |         o_orderdate + INTERVAL 1 DAY, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |fact AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+        |    FROM cand) WHERE rn = 1 AND o_orderkey % 11 <> 0),
+        |dim AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+        |    c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT d.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(f.o_custkey) AS BIGINT) AS s,
+        |       CAST(SUM(f.o_custkey) AS DOUBLE) / COUNT(f.o_custkey) AS a,
+        |       MAX(f.o_totalprice) AS mx, MIN(d.c_acctbal) AS mn
+        |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.lake.{LakeTable, MaterializedView, MvAgg, TableSpec}
+import graft.lake.MaterializedView.MvJoin
 
 /** Incremental materialized-view maintenance: after ANY sequence of base
   * mutations, `refresh()` must equal a from-scratch aggregate over the
@@ -159,6 +160,101 @@ class MaterializedViewSpec extends AnyFunSuite {
     val want = rows(t.read().groupBy("grp")
       .agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt")))
     assert(got == want)
+  }
+
+  private def factRows(n: Int): DataFrame =
+    spark.range(n.toLong).select(
+      col("id").as("k"),
+      lit(0L).as("ver"),
+      (col("id") % 20).as("fk"),
+      (col("id") * 10).cast("decimal(18,2)").as("amt"),
+      when(col("id") % 5 === 0, lit(null).cast("int"))
+        .otherwise((col("id") % 100).cast("int")).as("score"))
+
+  private def dimRows: DataFrame =
+    spark.range(20L).select(
+      col("id").as("dk"),
+      lit(0L).as("dver"),
+      concat(lit("r"), (col("id") % 4).cast("string")).as("region"),
+      (col("id") * 100).cast("int").as("dval"))
+
+  private val joinAggs = Seq(
+    MvAgg("n", "count", "*"),
+    MvAgg("sum_amt", "sum", "amt"),
+    MvAgg("avg_amt", "avg", "amt"),
+    MvAgg("min_score", "min", "score"),
+    MvAgg("max_dval", "max", "dval"))
+
+  private def checkJoinEq(mp: String, ft: LakeTable, dt: LakeTable): Unit = {
+    val got = rows(MaterializedView.load(spark, mp).read())
+    val want = rows(ft.read().join(dt.read(), col("fk") === col("dk"))
+      .groupBy("region").agg(
+        count(lit(1)).as("n"),
+        sum(col("amt")).as("sum_amt"),
+        (sum(col("amt")).cast("double") / count(col("amt"))).as("avg_amt"),
+        min(col("score")).as("min_score"),
+        max(col("dval")).as("max_dval")))
+    assert(got == want, s"join mv != recompute\n got: $got\nwant: $want")
+  }
+
+  test("star-join view: fact churn, dim churn, and both — refresh equals recompute") {
+    val fp = tmp(); val dp = tmp(); val mp = tmp()
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), factRows(400))
+    val dt = LakeTable.create(spark, dp, TableSpec("dk", "dver"), dimRows)
+    val mv = MaterializedView.create(spark, mp, ft, Seq("region"), joinAggs,
+      Some(MvJoin(dp, "fk", "dk")))
+    checkJoinEq(mp, ft, dt)
+    // 1) fact churn only: updates, inserts, deletes — the dim is untouched
+    ft.upsert(factRows(400).filter(col("k") % 7 === 1).withColumn("ver", lit(1L))
+      .withColumn("amt", col("amt") + lit(5.55).cast("decimal(18,2)"))
+      .unionByName(factRows(460).filter(col("k") >= 400)))
+    ft.delete(col("k") % 11 === 0)
+    mv.refresh()
+    checkJoinEq(mp, ft, dt)
+    // 2) dim churn only: a dim row switches region — every matching fact
+    // row's contribution must MOVE groups (minus old, plus new), without
+    // the refresh scanning more of the fact table than those keys
+    dt.upsert(dimRows.filter(col("dk") === 3L).withColumn("dver", lit(1L))
+      .withColumn("region", lit("r9")))
+    mv.refresh()
+    checkJoinEq(mp, ft, dt)
+    // 3) both tables churn in one refresh window (ΔF⋈D_old + F_new⋈ΔD)
+    ft.upsert(factRows(400).filter(col("k") % 13 === 2).withColumn("ver", lit(2L))
+      .withColumn("score", lit(7)))
+    dt.upsert(dimRows.filter(col("dk") === 8L).withColumn("dver", lit(1L))
+      .withColumn("region", lit("r9")).withColumn("dval", lit(-1)))
+    mv.refresh()
+    checkJoinEq(mp, ft, dt)
+    // 4) dim row DELETE: inner-join semantics — its fact rows drop out,
+    // and a group death (r9 loses dk=3 AND dk=8) deletes state rows
+    dt.delete(col("dk").isin(3L, 8L))
+    mv.refresh()
+    checkJoinEq(mp, ft, dt)
+    assert(MaterializedView.load(spark, mp).read()
+      .where(col("region") === "r9").count() == 0, "dead group must vanish")
+    // 5) no-op refresh is stable on both cursors
+    val m0 = MaterializedView.load(spark, mp).meta
+    mv.refresh()
+    val m1 = MaterializedView.load(spark, mp).meta
+    assert(m0 == m1, "no-op refresh must advance neither cursor")
+  }
+
+  test("star-join min/max repair re-aggregates from the JOINED snapshot") {
+    val fp = tmp(); val dp = tmp(); val mp = tmp()
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), factRows(300))
+    val dt = LakeTable.create(spark, dp, TableSpec("dk", "dver"), dimRows)
+    MaterializedView.create(spark, mp, ft, Seq("region"), joinAggs,
+      Some(MvJoin(dp, "fk", "dk")))
+    // delete the max-dval dim row of every region: the lost extremum must
+    // be recomputed from fact⋈dim, and fact rows of the deleted dim keys
+    // must leave every aggregate (not only min/max)
+    dt.delete(col("dk") >= 16L)
+    MaterializedView.load(spark, mp).refresh()
+    checkJoinEq(mp, ft, dt)
+    // and a fact-side extremum loss in the same view
+    ft.delete(col("score") >= 50)
+    MaterializedView.load(spark, mp).refresh()
+    checkJoinEq(mp, ft, dt)
   }
 
   test("streaming ingestion keeps the view continuously fresh; restart is safe") {
