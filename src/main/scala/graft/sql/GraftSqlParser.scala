@@ -366,9 +366,9 @@ case class GraftCreateMaterializedViewCommand(target: String, query: String)
     GraftMvShape.extract(analyzed) match {
       case Left(err) => throw new IllegalArgumentException(
         s"materialized view definition is not incrementally maintainable: $err")
-      case Right((basePath, dims, aggs)) =>
+      case Right((basePath, dims, aggs, join)) =>
         graft.lake.MaterializedView.create(spark, mvPath,
-          LakeTable.load(spark, basePath), dims, aggs)
+          LakeTable.load(spark, basePath), dims, aggs, join)
         GraftMvRewrite.register(mvPath)
         Seq(Row(mvPath))
     }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.lake.{LakeTable, MaterializedView, MvAgg}
+import graft.lake.MaterializedView.MvJoin
 import graft.sources.{GraftCatalogTable, GraftRelation}
 
 /** Automatic query rewrite to materialized views — the classic warehouse
@@ -49,15 +50,17 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   private val registry = new java.util.concurrent.CopyOnWriteArraySet[String]()
 
   /** Registration-scoped shape cache (mvPath → (basePath, lowercased
-    * dims)). basePath and dims are immutable for an MV's life, so they
-    * pre-filter candidates with ZERO filesystem I/O — without this, every
-    * Aggregate node in every optimizer fixed-point iteration paid an MV
-    * meta read + base commit-log listing per registered view. The
+    * dims, join triple)). All three are immutable for an MV's life, so
+    * they pre-filter candidates with ZERO filesystem I/O — without this,
+    * every Aggregate node in every optimizer fixed-point iteration paid
+    * an MV meta read + base commit-log listing per registered view. The
     * authoritative (fresh) meta is still re-read for any candidate that
     * survives the pre-filter, so a stale entry can only MISS a rewrite,
     * never mis-serve one. */
+  private case class MvShapeKey(basePath: String, dims: Set[String],
+      join: Option[(String, String, String)])
   private val shapeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Set[String])]()
+    new java.util.concurrent.ConcurrentHashMap[String, MvShapeKey]()
 
   def register(mvPath: String): Unit = {
     shapeCache.remove(mvPath); registry.add(mvPath); ()
@@ -67,12 +70,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   }
   def clear(): Unit = { registry.clear(); shapeCache.clear() }
 
-  private def shapeOf(spark: SparkSession, p: String): Option[(String, Set[String])] = {
+  private def shapeOf(spark: SparkSession, p: String): Option[MvShapeKey] = {
     val cached = shapeCache.get(p)
     if (cached != null) return Some(cached)
     try {
       val meta = MaterializedView.load(spark, p).meta
-      val s = (meta.basePath, meta.dims.map(_.toLowerCase).toSet)
+      val s = MvShapeKey(meta.basePath, meta.dims.map(_.toLowerCase).toSet,
+        meta.join.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase)))
       shapeCache.put(p, s)
       Some(s)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -86,10 +90,12 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   /** Registered view paths maintained over `basePath` — the streaming
     * auto-maintenance discovery hook ([[graft.streaming.CdcStream
     * .ingestWithViews]] refreshes these per micro-batch when the caller
-    * names none). Uses the zero-I/O shape cache; sorted for a
-    * deterministic refresh order. */
+    * names none). A star-join view is "over" BOTH its fact and its dim
+    * table, so a stream landing on either keeps it fresh. Uses the
+    * zero-I/O shape cache; sorted for a deterministic refresh order. */
   def viewsOver(spark: SparkSession, basePath: String): Seq[String] =
-    registered.filter(p => shapeOf(spark, p).exists(_._1 == basePath)).sorted
+    registered.filter(p => shapeOf(spark, p).exists(s =>
+      s.basePath == basePath || s.join.exists(_._1 == basePath))).sorted
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan
@@ -119,6 +125,32 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A two-table inner equi-join scan under alias/projection/filter
+    * wrappers: `(leftPath, leftKey, rightPath, rightKey, filters)`, keys
+    * assigned to their own side. Filters are only collected ABOVE the
+    * join (side-local filters would change the joined multiset a view
+    * doesn't model). */
+  private[sql] def joinScan(p: LogicalPlan)
+      : Option[(String, String, String, String, Seq[Expression])] = p match {
+    case SubqueryAlias(_, c) => joinScan(c)
+    case v: View => joinScan(v.child)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => joinScan(c)
+    case Filter(cond, c) =>
+      joinScan(c).map { case (lp, lk, rp, rk, fs) => (lp, lk, rp, rk, fs :+ cond) }
+    case j @ Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+        Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+      for {
+        (lp, lf) <- baseScan(l)
+        (rp, rf) <- baseScan(r)
+        if lf.isEmpty && rf.isEmpty
+        (lk, rk) <-
+          if (l.outputSet.contains(a) && r.outputSet.contains(b)) Some((a.name, b.name))
+          else if (l.outputSet.contains(b) && r.outputSet.contains(a)) Some((b.name, a.name))
+          else None
+      } yield (lp, lk, rp, rk, Seq.empty[Expression])
+    case _ => None
+  }
+
   /** (kind, input) of an aggregate call in MV terms, if maintainable. */
   private[sql] def aggSpec(fn: AggregateFunction): Option[(String, String)] = fn match {
     case Count(Seq(Literal(1, _))) => Some(("count", "*"))
@@ -139,7 +171,26 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (!agg.resolved) return None
     val spark = SparkSession.active
-    val (path, filters) = baseScan(agg.child).getOrElse(return None)
+    // the scanned shape: a plain base snapshot, or a two-table inner
+    // equi-join of two snapshots (either join order)
+    val plain = baseScan(agg.child)
+    val joined = if (plain.isDefined) None else joinScan(agg.child)
+    val (path, filters) = plain.orElse(
+        joined.map { case (lp, _, _, _, fs) => (lp, fs) })
+      .getOrElse(return None)
+    // does this view's join triple serve the scanned shape? A plain scan
+    // needs a JOIN-FREE view (a join view has joined multiplicity); a
+    // join scan needs the matching triple in EITHER orientation.
+    def joinMatches(basePath: String, join: Option[(String, String, String)]): Boolean =
+      (joined, join) match {
+        case (None, None) => basePath == path
+        case (Some((lp, lk, rp, rk, _)), Some((jDim, jFk, jDk))) =>
+          (basePath == lp && jDim == rp &&
+            jFk == lk.toLowerCase && jDk == rk.toLowerCase) ||
+          (basePath == rp && jDim == lp &&
+            jFk == rk.toLowerCase && jDk == lk.toLowerCase)
+        case _ => false
+      }
     // every grouping key must be a bare column
     val dims = agg.groupingExpressions.map {
       case a: AttributeReference => a
@@ -151,7 +202,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // state tables first among rollups
     val candidates = registered.flatMap { p =>
       shapeOf(spark, p) match {
-        case Some((bp, ds)) if bp == path && dimSet.subsetOf(ds) => Some((p, ds))
+        case Some(s) if joinMatches(s.basePath, s.join) && dimSet.subsetOf(s.dims) =>
+          Some((p, s.dims))
         case _ => None
       }
     }.sortBy { case (_, ds) => (if (ds == dimSet) 0 else 1, ds.size) }
@@ -159,10 +211,15 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       try {
         val m = MaterializedView.load(spark, p)
         val meta = m.meta // fresh read — authoritative over the cache
-        if (meta.basePath == path &&
+        if (joinMatches(meta.basePath,
+            meta.join.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))) &&
           dimSet.subsetOf(meta.dims.map(_.toLowerCase).toSet) &&
-          // freshness gate: a stale view must never serve
-          meta.lastVersion == LakeTable.load(spark, path).latestVersion) Some((m, meta))
+          // freshness gate: a stale view must never serve — for a join
+          // view BOTH maintenance cursors must be current
+          meta.lastVersion == LakeTable.load(spark, meta.basePath).latestVersion &&
+          meta.join.forall(j =>
+            j.dimVersion == LakeTable.load(spark, j.dimPath).latestVersion))
+          Some((m, meta))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
     }.nextOption().getOrElse(return None)
@@ -233,13 +290,23 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   * anything this accepts, the rewrite can serve. */
 private[sql] object GraftMvShape {
 
-  def extract(plan: LogicalPlan): Either[String, (String, Seq[String], Seq[MvAgg])] =
+  def extract(plan: LogicalPlan)
+      : Either[String, (String, Seq[String], Seq[MvAgg], Option[MvJoin])] =
     plan match {
       case SubqueryAlias(_, c) => extract(c)
       case agg: Aggregate =>
-        val (path, filters) = GraftMvRewrite.baseScan(agg.child).getOrElse(
+        // plain snapshot, or a two-table inner equi-join (the LEFT table
+        // becomes the maintenance base — correctness is join-symmetric)
+        val (path, filters, join) =
+          GraftMvRewrite.baseScan(agg.child)
+            .map { case (p, fs) => (p, fs, None) }
+            .orElse(GraftMvRewrite.joinScan(agg.child).map {
+              case (lp, lk, rp, rk, fs) => (lp, fs, Some(MvJoin(rp, lk, rk)))
+            })
+            .getOrElse(
           return scala.Left("FROM must resolve to a plain graft table snapshot " +
-            "(no time travel / incremental / change-feed options)"))
+            "or an INNER equi-join of two (no time travel / incremental / " +
+            "change-feed options, ON a = b only)"))
         if (filters.nonEmpty)
           return scala.Left("WHERE is not supported in a materialized view definition " +
             "(filter at query time — dim predicates commute into the view)")
@@ -265,7 +332,7 @@ private[sql] object GraftMvShape {
             "alias every aggregate (e.g. count(1) AS n)")
         }
         if (aggs.isEmpty) scala.Left("the definition needs at least one aggregate")
-        else scala.Right((path, dims, aggs))
+        else scala.Right((path, dims, aggs, join))
       case _ => scala.Left("the definition must be a single GROUP BY aggregate " +
         "over a graft table")
     }

@@ -173,6 +173,66 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("star-join MV over SQL: join aggregate rewrites to state, either join order; staleness on EITHER table gates") {
+    val fp = Files.createTempDirectory("graft_mvrw_jf").toString
+    val dp = Files.createTempDirectory("graft_mvrw_jd").toString
+    val mvPath = Files.createTempDirectory("graft_mvrw_jmv").toString + "/mv"
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 1000L).map(i => (i, 1L, i % 20, i % 100)).toDF("k", "ver", "fk", "amt"))
+    val dim = LakeTable.create(spark, dp, TableSpec("dk", "dver"),
+      (0L until 20L).map(i => (i, 0L, s"r${i % 4}")).toDF("dk", "dver", "region"))
+    spark.read.format("graft").load(fp).createOrReplaceTempView("jfact_v")
+    spark.read.format("graft").load(dp).createOrReplaceTempView("jdim_v")
+    def hasJoin(df: DataFrame): Boolean = df.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])
+    def joinQ(sql: String): DataFrame = spark.sql(sql)
+    val qSql = "SELECT region, count(1) AS n, sum(amt) AS s " +
+      "FROM jfact_v JOIN jdim_v ON fk = dk GROUP BY region"
+    def recompute(): Set[Seq[Any]] = LakeTable.load(spark, fp).read()
+      .join(LakeTable.load(spark, dp).read(), col("fk") === col("dk"))
+      .groupBy("region").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      .collect().map(_.toSeq).toSet
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS $qSql")
+      // the join aggregate is served from state: no Aggregate AND no Join
+      val q = joinQ(qSql)
+      assert(!hasAggregate(q) && !hasJoin(q) && scansMvState(q),
+        s"join aggregate must rewrite:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet == recompute())
+      // the SWAPPED join order serves too
+      val q2 = joinQ("SELECT region, count(1) AS n, sum(amt) AS s " +
+        "FROM jdim_v JOIN jfact_v ON dk = fk GROUP BY region")
+      assert(!hasAggregate(q2) && !hasJoin(q2) && scansMvState(q2))
+      assert(q2.collect().map(_.toSeq).toSet == recompute())
+      // a plain aggregate over the fact table alone must NOT be served by
+      // a join view (joined multiplicity differs)
+      assert(hasAggregate(joinQ(
+        "SELECT fk, count(1) AS n FROM jfact_v GROUP BY fk")))
+      // DIM churn alone makes the view stale — the rewrite must gate on
+      // the dim cursor, not only the fact cursor
+      dim.upsert(Seq((3L, 1L, "r9")).toDF("dk", "dver", "region"))
+      assert(hasAggregate(joinQ(qSql)), "dim-stale view must never serve")
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath'")
+      val q3 = joinQ(qSql)
+      assert(!hasAggregate(q3) && scansMvState(q3))
+      assert(q3.collect().map(_.toSeq).toSet == recompute())
+      // fact churn gates as before, for a join view
+      fact.upsert(Seq((5000L, 1L, 3L, 7L)).toDF("k", "ver", "fk", "amt"))
+      assert(hasAggregate(joinQ(qSql)), "fact-stale view must never serve")
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath'")
+      assert(joinQ(qSql).collect().map(_.toSeq).toSet == recompute())
+      // rollup: a coarser global aggregate over the join re-aggregates
+      // from state without touching fact or dim
+      val g = joinQ("SELECT count(1) AS n FROM jfact_v JOIN jdim_v ON fk = dk")
+      assert(!hasJoin(g) && scansMvState(g))
+      assert(g.head().getLong(0) == recompute().toSeq.map(_(1).asInstanceOf[Long]).sum)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("jfact_v")
+      spark.catalog.dropTempView("jdim_v")
+    }
+  }
+
   test("HAVING and ORDER BY over a rewritten aggregate keep working") {
     val (base, path) = freshBase("having")
     val mvPath = Files.createTempDirectory("graft_mvrw_hav").toString
