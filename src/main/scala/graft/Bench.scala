@@ -363,6 +363,31 @@ object Bench {
       } finally graft.sql.GraftMvRewrite.unregister(mvDir)
     }
 
+    // B12: star-join MV incremental refresh — churn on BOTH tables (1%
+    // of fact repriced a day later, 0.5% of dim re-segmented) absorbed in
+    // one refresh via ΔF⋈D_old + F_new⋈ΔD. The fact-churn half joins only
+    // the window delta against the dim; the dim-churn half key-restricts
+    // the fact snapshot to the changed dim keys. r2 is the
+    // recompute-shaped control (full join + aggregate).
+    results("b12_mv_join_refresh") = {
+      val fDir = freshDir("b12_f"); val dDir = freshDir("b12_d")
+      val fact = LakeTable.create(spark, fDir,
+        TableSpec("o_orderkey", "o_orderdate"), tbl("orders"))
+      val dim = LakeTable.create(spark, dDir, TableSpec("c_custkey", "cver"),
+        tbl("customer").withColumn("cver", lit(0L)))
+      val mvDir = freshDir("b12_mv")
+      graft.lake.MaterializedView.create(spark, mvDir, fact, Seq("c_mktsegment"),
+        Seq(graft.lake.MvAgg("n", "count", "*"),
+          graft.lake.MvAgg("s", "sum", "o_custkey")),
+        Some(graft.lake.MaterializedView.MvJoin(dDir, "o_custkey", "c_custkey")))
+      fact.upsert(tbl("orders").filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY")))
+      dim.upsert(tbl("customer").filter(col("c_custkey") % 200 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")).withColumn("cver", lit(1L)))
+      time { graft.lake.MaterializedView.load(spark, mvDir).refresh() }
+    }
+
     // R1: TPC-H Q1 shape from the relational set.
     results("r1_pricing_summary") = median(
       graft.queries.Relational.defs("q01_pricing_summary")._1(spark, sfDir))
