@@ -233,6 +233,27 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("viewsOver reports a join view for BOTH its fact and its dim table") {
+    val fp = Files.createTempDirectory("graft_mvrw_vo_f").toString
+    val dp = Files.createTempDirectory("graft_mvrw_vo_d").toString
+    val mvPath = Files.createTempDirectory("graft_mvrw_vo_mv").toString + "/mv"
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      Seq((1L, 1L, 2L, 10L)).toDF("k", "ver", "fk", "amt"))
+    LakeTable.create(spark, dp, TableSpec("dk", "dver"),
+      Seq((2L, 0L, "r0")).toDF("dk", "dver", "region"))
+    MaterializedView.create(spark, mvPath, fact, Seq("region"),
+      Seq(MvAgg("n", "count", "*")),
+      Some(graft.lake.MaterializedView.MvJoin(dp, "fk", "dk")))
+    try {
+      GraftMvRewrite.register(mvPath)
+      // a stream landing on EITHER table must discover (and so refresh)
+      // the join view
+      assert(GraftMvRewrite.viewsOver(spark, fp).contains(mvPath))
+      assert(GraftMvRewrite.viewsOver(spark, dp).contains(mvPath))
+      assert(!GraftMvRewrite.viewsOver(spark, "/nowhere").contains(mvPath))
+    } finally GraftMvRewrite.clear()
+  }
+
   test("HAVING and ORDER BY over a rewritten aggregate keep working") {
     val (base, path) = freshBase("having")
     val mvPath = Files.createTempDirectory("graft_mvrw_hav").toString
