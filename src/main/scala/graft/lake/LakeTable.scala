@@ -804,14 +804,36 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Upsert pinned at `expectedVersion` with NO internal rebase: if any
+    * other commit landed after the caller observed `expectedVersion`, the
+    * version claim fails and [[CommitConflictException]] propagates — the
+    * caller re-reads and recomputes (refresh-level OCC; see
+    * [[MaterializedView.refresh]]). CoW only. */
+  private[lake] def upsertPinned(df: DataFrame, expectedVersion: Long,
+      txn: Option[(String, Long)] = None): LakeTable = {
+    require(!spec.mor, "upsertPinned is a CoW primitive")
+    val (withIds, idHighs) = stampIdentity(df, freshForAll = false)
+    val (conformed, evolved) = conform(withIds, mergeSchema = false)
+    val incoming0 = dedupBatch(conformed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try upsertCow(incoming0, evolved, txn, idHighs = idHighs,
+      expectedVersion = Some(expectedVersion))
+    finally {
+      incoming0.unpersist(blocking = false)
+      ()
+    }
+  }
+
   private def upsertCow(incoming: DataFrame, evolved: Option[StructType] = None,
       txn: Option[(String, Long)] = None,
       copyFiles: Seq[String] = Seq.empty,
-      idHighs: Map[String, Long] = Map.empty): LakeTable = {
+      idHighs: Map[String, Long] = Map.empty,
+      expectedVersion: Option[Long] = None): LakeTable = {
     val live = liveFiles(None)
     val candidates = pruneCandidates(live, incoming)
     writeCommit("upsert", newSchema = evolved, txn = txn,
-      copyFiles = copyFiles, identityHigh = idHighs) { (writeId, commitTime) =>
+      copyFiles = copyFiles, identityHigh = idHighs,
+      expectedVersion = expectedVersion) { (writeId, commitTime) =>
       val inStamped = stampMeta(incoming, commitTime).withColumn(RANK, lit(Long.MaxValue))
       // second element: the incoming batch when nothing is touched, else
       // the full row set of the files being rewritten
@@ -2635,9 +2657,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       tableStats: Option[TableStats] = None,
       copyFiles: Seq[String] = Seq.empty,
       identityHigh: Map[String, Long] = Map.empty,
-      savepoints: Option[Seq[Long]] = None)(
+      savepoints: Option[Seq[Long]] = None,
+      expectedVersion: Option[Long] = None)(
       body: (Long, String) => Seq[WriteResult]): LakeTable = {
-    val version = latestVersion + 1
+    // expectedVersion pins the commit at a version the CALLER observed:
+    // any interleaved commit claims expected+1 first, so this attempt's
+    // claim fails with CommitConflictException instead of silently
+    // landing on top of state the caller never read — the primitive a
+    // read-compute-write transaction (e.g. an MV refresh) needs for
+    // true optimistic concurrency at ITS level, not just the write's
+    val version = expectedVersion.map(_ + 1).getOrElse(latestVersion + 1)
     if (version == 0) throw new IllegalStateException("use LakeTable.create")
     txn.foreach { case (app, v) =>
       if (latestCommit.txn.get(app).exists(_ >= v)) return this

@@ -52,11 +52,29 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
   /** The backing state table (internal columns; use [[read]] for results). */
   def state: LakeTable = LakeTable.load(spark, new Path(path, "state").toString)
 
-  def lastRefreshedVersion: Long = meta.lastVersion
+  /** The maintenance cursor, read from the state table's LATEST commit
+    * (the `txn` watermark a refresh records ATOMICALLY with its data —
+    * see [[refresh]]); the meta JSON holds the create-time value and a
+    * display mirror. Returns (fact version, dim version). */
+  private def cursorOf(st: LakeTable): (Long, Long) = {
+    val packed = CommitLog.read(st.path, st.latestVersion,
+      spark.sessionState.newHadoopConf()).txn.get(CURSOR_APP)
+    packed.map(unpackCursor).getOrElse {
+      val m = meta
+      (m.lastVersion, m.join.map(_.dimVersion).getOrElse(0L))
+    }
+  }
+
+  def lastRefreshedVersion: Long = cursorOf(state)._1
+
+  /** For a star-join view: the dim version the state reflects. */
+  def dimRefreshedVersion: Option[Long] = meta.join.map(_ => cursorOf(state)._2)
 
   /** Finalized view: dims + one column per declared aggregate. Sums and
     * averages over a group whose inputs are all NULL finalize to NULL,
-    * matching SQL aggregate semantics (the stored delta is 0-based). */
+    * matching SQL aggregate semantics (the stored delta is 0-based).
+    * Dead groups (every row removed) persist as `GRP_N ≤ 0` tombstone
+    * rows — retained so a refresh is ONE commit — and are filtered here. */
   def read(): DataFrame = {
     val m = meta
     val cols = m.dims.map(col) ++ m.aggs.map {
@@ -65,7 +83,7 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         when(col(cntCol(n)) > 0, col(sumCol(n)).cast(DoubleType) / col(cntCol(n))).as(n)
       case MvAgg(n, _, _) => col(n)
     }
-    state.read().select(cols: _*)
+    state.read().filter(col(GRP_N) > 0).select(cols: _*)
   }
 
   /** Finalized view re-aggregated to a COARSER dim subset — the rollup
@@ -84,7 +102,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       s"rollup dims [${rollDims.mkString(",")}] must be a subset of view dims " +
         s"[${m.dims.mkString(",")}]")
     val stSchema = state.schema
-    val st = preFilters.foldLeft(state.read())((acc, c) => acc.filter(c))
+    val st = preFilters.foldLeft(
+      state.read().filter(col(GRP_N) > 0))((acc, c) => acc.filter(c))
     val aggCols: Seq[Column] = m.aggs.map {
       case MvAgg(n, "count", _) => coalesce(sum(col(n)), lit(0L)).cast(LongType).as(n)
       case MvAgg(n, "sum", _) =>
@@ -112,24 +131,57 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     * matching fact rows; the fact scan is key-restricted by the join,
     * so stats/bloom pruning applies). Carried-over rows of a CoW
     * rewrite appear in both plus and minus and cancel after the join
-    * exactly as they do without one. */
+    * exactly as they do without one.
+    *
+    * Concurrency: a refresh is a read-compute-write transaction, made
+    * safe by refresh-level OCC. The maintenance cursor lives in the
+    * state table's commit `txn` map — atomic with the data it
+    * describes — the old state is read PINNED at the observed state
+    * version, and the single output commit is claimed at exactly
+    * observed+1 ([[LakeTable.upsertPinned]]). A racing refresh that
+    * lands first makes this one's claim fail; it then re-reads the
+    * (advanced) cursor and recomputes — usually finding nothing left to
+    * do. Dead groups are retained as `GRP_N ≤ 0` tombstone rows
+    * (filtered by [[read]]) precisely so the whole refresh is ONE
+    * commit: a separate delete could interleave with a racer. */
   def refresh(): MaterializedView = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try done = refreshOnce()
+      catch {
+        case _: CommitConflictException =>
+          attempt += 1
+          if (attempt >= 10) throw new java.util.ConcurrentModificationException(
+            s"materialized view at $path: gave up after $attempt conflicting refreshes")
+          Thread.sleep(scala.util.Random.between(5L, 50L * attempt))
+      }
+    }
+    this
+  }
+
+  /** One optimistic refresh attempt: true = up to date (applied here or
+    * nothing to do); throws [[CommitConflictException]] when a racer
+    * committed to the state table after this attempt's snapshot read. */
+  private def refreshOnce(): Boolean = {
     val m = meta
+    val st = state
+    val vState = st.latestVersion
+    val (lastV, dimV) = cursorOf(st)
     val base = LakeTable.load(spark, m.basePath)
     val upTo = base.latestVersion
     val dimOpt = m.join.map(j => (j, LakeTable.load(spark, j.dimPath)))
     val dimUpTo = dimOpt.map(_._2.latestVersion)
-    if (upTo <= m.lastVersion &&
-        dimOpt.forall { case (j, _) => dimUpTo.get <= j.dimVersion }) return this
+    if (upTo <= lastV && dimOpt.forall(_ => dimUpTo.get <= dimV)) return true
     val dims = m.dims
-    val stSchema = state.schema
+    val stSchema = st.schema
     def stType(c: String): DataType = stSchema(c).dataType
 
     val inputs = m.aggs.map(_.input).filter(_ != "*").distinct
     val need = (dims ++ inputs).distinct
     val contrib = dimOpt match {
       case None =>
-        val (plus, minus) = base.windowDelta(m.lastVersion, upTo)
+        val (plus, minus) = base.windowDelta(lastV, upTo)
         val proj = need.map(col)
         plus.select(proj: _*).withColumn(SGN, lit(1L))
           .unionByName(minus.select(proj: _*).withColumn(SGN, lit(-1L)))
@@ -137,15 +189,15 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         val (factCols, dimCols) = sideSplit(base.schema, dim.schema, need, j)
         val outCols = (need :+ SGN).map(col)
         // ΔF ⋈ D_old — fact churn against the dim as of the last refresh
-        val (plusF, minusF) = base.windowDelta(m.lastVersion, upTo)
+        val (plusF, minusF) = base.windowDelta(lastV, upTo)
         val fProj = (j.factKey +: factCols).distinct.map(col)
         val fDelta = plusF.select(fProj: _*).withColumn(SGN, lit(1L))
           .unionByName(minusF.select(fProj: _*).withColumn(SGN, lit(-1L)))
         val dProj = (j.dimKey +: dimCols).distinct.map(col)
-        val dOld = dim.read(Some(j.dimVersion)).select(dProj: _*)
+        val dOld = dim.read(Some(dimV)).select(dProj: _*)
         val cF = fDelta.join(dOld, col(j.factKey) === col(j.dimKey))
         // F_new ⋈ ΔD — only the changed dim rows ever reach the join
-        val (plusD, minusD) = dim.windowDelta(j.dimVersion, dimUpTo.get)
+        val (plusD, minusD) = dim.windowDelta(dimV, dimUpTo.get)
         val dDelta = plusD.select(dProj: _*).withColumn(SGN, lit(1L))
           .unionByName(minusD.select(dProj: _*).withColumn(SGN, lit(-1L)))
         val fNew = base.read(Some(upTo)).select(fProj: _*)
@@ -175,15 +227,23 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       .withColumn(MVKEY, mvKeyCol(dims))
 
     val internalCols = stateValueCols(m.aggs)
-    val old = state.read().select((MVKEY +: internalCols).map(col): _*)
+    // the OLD state pinned at the observed version — a racer's commit
+    // after this point can change neither what we read nor what we
+    // publish (the pinned claim fails instead)
+    val old = st.read(Some(vState)).select((MVKEY +: internalCols).map(col): _*)
     val merged = delta.as("d").join(old.as("o"), Seq(MVKEY), "left")
 
     def d(c: String) = col(s"d.$c")
     def o(c: String) = col(s"o.$c")
     // both sides 0-coalesced: a window can contribute only-NULL inputs for
-    // an agg (null delta) without erasing the stored value
+    // an agg (null delta) without erasing the stored value. A DEAD stored
+    // row's linear values are exactly 0 (everything cancelled on the way
+    // down), so rebirth arithmetic continues from the zeroed baseline.
     def plusOld(name: String, deltaName: String): Column =
       (coalesce(o(name), lit(0)) + coalesce(d(deltaName), lit(0))).cast(stType(name)).as(name)
+
+    // a dead row's stored extremum is stale — rebirth must not inherit it
+    def oLive(name: String): Column = when(o(GRP_N) > 0, o(name))
 
     val newN = (coalesce(o(GRP_N), lit(0L)) + d(DN)).cast(LongType)
     val valueCols: Seq[Column] = m.aggs.flatMap {
@@ -195,25 +255,23 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       case MvAgg(n, "min", _) =>
         // sound only for groups with no removals; removal groups get
         // re-aggregated below and this placeholder is overridden
-        Seq(when(d(HASM) === 0, least(o(n), d(pCol(n)))).cast(stType(n)).as(n))
+        Seq(when(d(HASM) === 0, least(oLive(n), d(pCol(n)))).cast(stType(n)).as(n))
       case MvAgg(n, "max", _) =>
-        Seq(when(d(HASM) === 0, greatest(o(n), d(pCol(n)))).cast(stType(n)).as(n))
+        Seq(when(d(HASM) === 0, greatest(oLive(n), d(pCol(n)))).cast(stType(n)).as(n))
     }
     val newRows = merged.select(
       (dims.map(x => d(x).as(x)) :+ col(MVKEY) :+ newN.as(GRP_N)) ++
         valueCols :+ d(HASM).as(HASM): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val live = newRows.filter(col(GRP_N) > 0)
-      val dead = newRows.filter(col(GRP_N) <= 0).select(MVKEY)
-
       val minMax = m.aggs.filter(a => a.kind == "min" || a.kind == "max")
       val patched =
-        if (minMax.isEmpty) live.drop(HASM)
+        if (minMax.isEmpty) newRows.drop(HASM)
         else {
-          // groups that lost rows may have lost their extremum: re-aggregate
-          // exactly those groups from the base (or joined) snapshot
-          val reKeys = live.filter(col(HASM) > 0).select(MVKEY)
+          // LIVE groups that lost rows may have lost their extremum:
+          // re-aggregate exactly those groups from the base (or joined)
+          // snapshot; dead rows keep their null placeholders
+          val reKeys = newRows.filter(col(GRP_N) > 0 && col(HASM) > 0).select(MVKEY)
           val reAggs = minMax.map {
             case MvAgg(n, "min", in) => min(col(in)).as(reCol(n))
             case MvAgg(n, _, in) => max(col(in)).as(reCol(n))
@@ -231,22 +289,37 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
           val re = snap.withColumn(MVKEY, mvKeyCol(dims))
             .join(reKeys, Seq(MVKEY), "left_semi")
             .groupBy(MVKEY).agg(reAggs.head, reAggs.tail: _*)
-          val keep = live.columns.filterNot(c => c == HASM || minMax.exists(_.name == c))
-          live.join(re, Seq(MVKEY), "left")
+          val keep = newRows.columns.filterNot(c => c == HASM || minMax.exists(_.name == c))
+          newRows.join(re, Seq(MVKEY), "left")
             .select(keep.map(col) ++ minMax.map(a =>
               coalesce(col(reCol(a.name)), col(a.name)).cast(stType(a.name)).as(a.name)): _*)
         }
 
-      val st = state
-      if (!patched.isEmpty) st.upsert(patched.withColumn(MVVER, lit(upTo)))
-      if (!dead.isEmpty) st.deleteKeys(dead)
+      // ONE commit: touched groups (live AND dead tombstones) upserted,
+      // pinned at the observed state version, with the new cursor in the
+      // commit's txn map — data and cursor can never disagree
+      st.upsertPinned(patched.withColumn(MVVER, lit(upTo)), vState,
+        txn = Some((CURSOR_APP,
+          packCursor(upTo, dimUpTo.getOrElse(0L)))))
     } finally {
       newRows.unpersist(blocking = false)
       ()
     }
-    writeMeta(path, m.copy(lastVersion = upTo,
-      join = m.join.map(_.copy(dimVersion = dimUpTo.get))), conf)
-    this
+    // Done ONLY if the now-recorded cursor covers this attempt's windows
+    // component-wise. The pinned commit can silently no-op on the packed
+    // txn watermark when a racer recorded a HIGHER pack (fact bits
+    // dominate) that still covers LESS of one component — e.g. a racing
+    // fact-window refresh (f2, d0) outranks this dim-window one (f1, d2)
+    // without applying d0→d2; returning false re-runs from the racer's
+    // cursor and applies the missing window.
+    val (cf, cd) = cursorOf(state)
+    val covered = cf >= upTo && dimOpt.forall(_ => cd >= dimUpTo.get)
+    if (covered) {
+      // display mirror only — the authoritative cursor is in the state commit
+      writeMeta(path, m.copy(lastVersion = cf,
+        join = m.join.map(_.copy(dimVersion = cd))), conf)
+    }
+    covered
   }
 }
 
@@ -256,6 +329,20 @@ object MaterializedView {
   private[lake] val MVKEY = "_mv_key"
   private[lake] val MVVER = "_mv_ver"
   private[lake] val GRP_N = "_grp_n"
+
+  /** txn appId carrying the packed maintenance cursor on every refresh
+    * commit of the state table (see [[MaterializedView.refresh]]). */
+  private val CURSOR_APP = "graft.mv.cursor"
+  /** (factVersion, dimVersion) packed into one monotone txn watermark —
+    * fact in the high 32 bits, dim in the low 31 (both versions only ever
+    * grow, so the pack grows on every real refresh). */
+  private def packCursor(factV: Long, dimV: Long): Long = {
+    require(factV >= 0 && factV < (1L << 31) && dimV >= 0 && dimV < (1L << 31),
+      s"cursor versions out of range: $factV / $dimV")
+    (factV << 31) | dimV
+  }
+  private def unpackCursor(packed: Long): (Long, Long) =
+    (packed >> 31, packed & ((1L << 31) - 1))
   private val SGN = "_sgn"
   // agg output names are required to be plain identifiers (no leading `_`),
   // so the `_`-prefixed internal names below can never collide with

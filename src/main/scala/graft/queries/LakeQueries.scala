@@ -898,7 +898,7 @@ object LakeQueries {
         val mv = MaterializedView.load(s, mp).refresh()
         require(mv.lastRefreshedVersion ==
             LakeTable.load(s, fp).latestVersion &&
-          mv.meta.join.exists(_.dimVersion == LakeTable.load(s, dp).latestVersion),
+          mv.dimRefreshedVersion.contains(LakeTable.load(s, dp).latestVersion),
           "one refresh must advance BOTH maintenance cursors")
         mv.read().orderBy("c_mktsegment")
       },

@@ -215,10 +215,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             meta.join.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))) &&
           dimSet.subsetOf(meta.dims.map(_.toLowerCase).toSet) &&
           // freshness gate: a stale view must never serve — for a join
-          // view BOTH maintenance cursors must be current
-          meta.lastVersion == LakeTable.load(spark, meta.basePath).latestVersion &&
+          // view BOTH maintenance cursors must be current. The cursor is
+          // read from the state table's commit (atomic with the data),
+          // not the meta mirror.
+          m.lastRefreshedVersion == LakeTable.load(spark, meta.basePath).latestVersion &&
           meta.join.forall(j =>
-            j.dimVersion == LakeTable.load(spark, j.dimPath).latestVersion))
+            m.dimRefreshedVersion.contains(
+              LakeTable.load(spark, j.dimPath).latestVersion)))
           Some((m, meta))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }

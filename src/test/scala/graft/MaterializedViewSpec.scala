@@ -257,6 +257,98 @@ class MaterializedViewSpec extends AnyFunSuite {
     checkJoinEq(mp, ft, dt)
   }
 
+  test("group death persists a tombstone; rebirth restarts exactly (incl. min/max)") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(210))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    // kill group "4" entirely, then refresh: read() hides it, state keeps
+    // a GRP_N <= 0 tombstone row (single-commit refresh invariant)
+    t.delete(col("grp") === "4")
+    mv.refresh()
+    checkEq(mv, t)
+    assert(mv.read().where(col("grp") === "4").count() == 0)
+    // rebirth with DIFFERENT values: the tombstone's zeroed linear state
+    // and stale extremum must not leak into the reborn group
+    t.upsert(baseRows(9000).filter(col("k") >= 8950)
+      .withColumn("grp", lit("4")).withColumn("score", lit(3)))
+    mv.refresh()
+    checkEq(mv, t)
+  }
+
+  test("racing refreshes serialize exactly: no double-apply, no lost window, no phantom death") {
+    import java.util.concurrent.{CountDownLatch, Executors}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(400))
+    MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    (1 to 3).foreach { wave =>
+      // churn: reprice a stripe, delete a stripe (min/max loss included)
+      t.upsert(baseRows(400).filter(col("k") % 5 === wave)
+        .withColumn("ver", lit(wave.toLong))
+        .withColumn("amt", col("amt") + lit(wave).cast("decimal(18,2)")))
+      t.delete(col("score") >= 100 - wave * 7 && col("score") < 100 - wave * 7 + 3)
+      // three handles race the SAME refresh window: exactly one applies,
+      // the others either no-op on the recorded cursor or lose the pinned
+      // claim and re-read — the double-apply (amt counted twice) or
+      // phantom-death (n pushed <= 0 from a doubled delta) failure modes
+      // both break the recompute equality below
+      val start = new CountDownLatch(1)
+      val futs = (1 to 3).map(_ => Future {
+        start.await()
+        MaterializedView.load(spark, mp).refresh()
+      })
+      start.countDown()
+      Await.result(Future.sequence(futs), 600.seconds)
+      checkEq(MaterializedView.load(spark, mp), LakeTable.load(spark, bp))
+    }
+    pool.shutdown()
+  }
+
+  test("star-join view maintained by two racing writers (fact stream + dim stream)") {
+    import java.util.concurrent.{CountDownLatch, Executors}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val fp = tmp(); val dp = tmp(); val mp = tmp()
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), factRows(300))
+    val dt = LakeTable.create(spark, dp, TableSpec("dk", "dver"), dimRows)
+    MaterializedView.create(spark, mp, ft, Seq("region"), joinAggs,
+      Some(MvJoin(dp, "fk", "dk")))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val start = new CountDownLatch(1)
+    // the two-streams shape: each writer commits to ITS table then
+    // refreshes the shared view, twice, unsynchronized — overlapping
+    // DIFFERENT refresh windows, the hardest interleaving
+    val factWriter = Future {
+      start.await()
+      (1 to 2).foreach { w =>
+        val f = LakeTable.load(spark, fp)
+        f.upsert(factRows(300).filter(col("k") % 4 === w)
+          .withColumn("ver", lit(w.toLong)).withColumn("score", lit(w * 11)))
+        MaterializedView.load(spark, mp).refresh()
+      }
+    }
+    val dimWriter = Future {
+      start.await()
+      (1 to 2).foreach { w =>
+        val d = LakeTable.load(spark, dp)
+        d.upsert(dimRows.filter(col("dk") === (w * 3).toLong)
+          .withColumn("dver", lit(w.toLong)).withColumn("region", lit(s"rw$w")))
+        MaterializedView.load(spark, mp).refresh()
+      }
+    }
+    start.countDown()
+    Await.result(Future.sequence(Seq(factWriter, dimWriter)), 600.seconds)
+    pool.shutdown()
+    // NO settle refresh: each writer's refresh() only returns once the
+    // recorded cursor covers the versions it observed — its own churn
+    // included — so after both join, the view covers all four commits
+    checkJoinEq(mp, LakeTable.load(spark, fp), LakeTable.load(spark, dp))
+  }
+
   test("streaming ingestion keeps the view continuously fresh; restart is safe") {
     val bp = tmp(); val mp = tmp(); val land = tmp(); val ckpt = tmp()
     val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(200))
