@@ -379,7 +379,7 @@ object Bench {
       graft.lake.MaterializedView.create(spark, mvDir, fact, Seq("c_mktsegment"),
         Seq(graft.lake.MvAgg("n", "count", "*"),
           graft.lake.MvAgg("s", "sum", "o_custkey")),
-        Some(graft.lake.MaterializedView.MvJoin(dDir, "o_custkey", "c_custkey")))
+        Seq(graft.lake.MaterializedView.MvJoin(dDir, "o_custkey", "c_custkey")))
       fact.upsert(tbl("orders").filter(col("o_orderkey") % 100 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1.0)
         .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY")))

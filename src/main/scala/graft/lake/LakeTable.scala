@@ -810,14 +810,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * caller re-reads and recomputes (refresh-level OCC; see
     * [[MaterializedView.refresh]]). CoW only. */
   private[lake] def upsertPinned(df: DataFrame, expectedVersion: Long,
-      txn: Option[(String, Long)] = None): LakeTable = {
+      txnMany: Map[String, Long] = Map.empty): LakeTable = {
     require(!spec.mor, "upsertPinned is a CoW primitive")
     val (withIds, idHighs) = stampIdentity(df, freshForAll = false)
     val (conformed, evolved) = conform(withIds, mergeSchema = false)
     val incoming0 = dedupBatch(conformed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try upsertCow(incoming0, evolved, txn, idHighs = idHighs,
-      expectedVersion = Some(expectedVersion))
+    try upsertCow(incoming0, evolved, idHighs = idHighs,
+      expectedVersion = Some(expectedVersion), txnMany = txnMany)
     finally {
       incoming0.unpersist(blocking = false)
       ()
@@ -828,12 +828,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       txn: Option[(String, Long)] = None,
       copyFiles: Seq[String] = Seq.empty,
       idHighs: Map[String, Long] = Map.empty,
-      expectedVersion: Option[Long] = None): LakeTable = {
+      expectedVersion: Option[Long] = None,
+      txnMany: Map[String, Long] = Map.empty): LakeTable = {
     val live = liveFiles(None)
     val candidates = pruneCandidates(live, incoming)
     writeCommit("upsert", newSchema = evolved, txn = txn,
       copyFiles = copyFiles, identityHigh = idHighs,
-      expectedVersion = expectedVersion) { (writeId, commitTime) =>
+      expectedVersion = expectedVersion, txnMany = txnMany) { (writeId, commitTime) =>
       val inStamped = stampMeta(incoming, commitTime).withColumn(RANK, lit(Long.MaxValue))
       // second element: the incoming batch when nothing is touched, else
       // the full row set of the files being rewritten
@@ -2658,7 +2659,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       copyFiles: Seq[String] = Seq.empty,
       identityHigh: Map[String, Long] = Map.empty,
       savepoints: Option[Seq[Long]] = None,
-      expectedVersion: Option[Long] = None)(
+      expectedVersion: Option[Long] = None,
+      txnMany: Map[String, Long] = Map.empty)(
       body: (Long, String) => Seq[WriteResult]): LakeTable = {
     // expectedVersion pins the commit at a version the CALLER observed:
     // any interleaved commit claims expected+1 first, so this attempt's
@@ -2667,6 +2669,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // read-compute-write transaction (e.g. an MV refresh) needs for
     // true optimistic concurrency at ITS level, not just the write's
     val version = expectedVersion.map(_ + 1).getOrElse(latestVersion + 1)
+    // multi-watermark idempotence: skip only when EVERY component is
+    // already covered (a commit that would advance any one still lands)
+    if (txnMany.nonEmpty &&
+      txnMany.forall { case (app, v) =>
+        latestCommit.txn.get(app).exists(_ >= v) }) return this
     if (version == 0) throw new IllegalStateException("use LakeTable.create")
     txn.foreach { case (app, v) =>
       if (latestCommit.txn.get(app).exists(_ >= v)) return this
@@ -2676,7 +2683,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val prevLive = if (removeAll) liveFiles(None).map(_.path) else Seq.empty
     val results = body(writeId, commitTime)
     val schemaJson = newSchema.map(_.json).getOrElse(latestCommit.schemaJson)
-    val txnMap = latestCommit.txn ++ txn.toMap
+    val txnMap = latestCommit.txn ++ txn.toMap ++ txnMany
     try {
       CommitLog.write(path, Commit(version, commitTime, operation, schemaJson,
         newSpec.getOrElse(spec),

@@ -53,22 +53,27 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
   def state: LakeTable = LakeTable.load(spark, new Path(path, "state").toString)
 
   /** The maintenance cursor, read from the state table's LATEST commit
-    * (the `txn` watermark a refresh records ATOMICALLY with its data —
-    * see [[refresh]]); the meta JSON holds the create-time value and a
-    * display mirror. Returns (fact version, dim version). */
-  private def cursorOf(st: LakeTable): (Long, Long) = {
-    val packed = CommitLog.read(st.path, st.latestVersion,
-      spark.sessionState.newHadoopConf()).txn.get(CURSOR_APP)
-    packed.map(unpackCursor).getOrElse {
-      val m = meta
-      (m.lastVersion, m.join.map(_.dimVersion).getOrElse(0L))
-    }
+    * (the per-component `txn` watermarks a refresh records ATOMICALLY
+    * with its data — see [[refresh]]); the meta JSON holds the
+    * create-time values and a display mirror. Returns (fact version,
+    * one dim version per join). */
+  private def cursorOf(st: LakeTable): (Long, Seq[Long]) = {
+    val txn = CommitLog.read(st.path, st.latestVersion,
+      spark.sessionState.newHadoopConf()).txn
+    val m = meta
+    (txn.getOrElse(CURSOR_APP, m.lastVersion),
+      m.joins.zipWithIndex.map { case (j, i) =>
+        txn.getOrElse(dimCursorApp(i), j.dimVersion) })
   }
 
   def lastRefreshedVersion: Long = cursorOf(state)._1
 
-  /** For a star-join view: the dim version the state reflects. */
-  def dimRefreshedVersion: Option[Long] = meta.join.map(_ => cursorOf(state)._2)
+  /** For a star-join view: the dim versions the state reflects, one per
+    * join in definition order. */
+  def dimRefreshedVersions: Seq[Long] = cursorOf(state)._2
+
+  /** Single-join convenience over [[dimRefreshedVersions]]. */
+  def dimRefreshedVersion: Option[Long] = dimRefreshedVersions.headOption
 
   /** Finalized view: dims + one column per declared aggregate. Sums and
     * averages over a group whose inputs are all NULL finalize to NULL,
@@ -167,43 +172,66 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     val m = meta
     val st = state
     val vState = st.latestVersion
-    val (lastV, dimV) = cursorOf(st)
+    val (lastV, dimVs) = cursorOf(st)
     val base = LakeTable.load(spark, m.basePath)
     val upTo = base.latestVersion
-    val dimOpt = m.join.map(j => (j, LakeTable.load(spark, j.dimPath)))
-    val dimUpTo = dimOpt.map(_._2.latestVersion)
-    if (upTo <= lastV && dimOpt.forall(_ => dimUpTo.get <= dimV)) return true
+    val dimTables = m.joins.map(j => LakeTable.load(spark, j.dimPath))
+    val dimUpTos = dimTables.map(_.latestVersion)
+    if (upTo <= lastV &&
+        dimUpTos.zip(dimVs).forall { case (u, v) => u <= v }) return true
     val dims = m.dims
     val stSchema = st.schema
     def stType(c: String): DataType = stSchema(c).dataType
 
     val inputs = m.aggs.map(_.input).filter(_ != "*").distinct
     val need = (dims ++ inputs).distinct
-    val contrib = dimOpt match {
-      case None =>
+    val split =
+      if (m.joins.isEmpty) None
+      else Some(sideSplitN(base.schema, dimTables.map(_.schema), need, m.joins))
+    // the current joined snapshot projection (min/max repair source, and
+    // the F_new side of dim-churn terms)
+    def fProj = (m.joins.map(_.factKey) ++ split.get._1).distinct.map(col)
+    def dProj(i: Int) = (m.joins(i).dimKey +: split.get._2(i)).distinct.map(col)
+    def joinDim(acc: DataFrame, i: Int, df: DataFrame): DataFrame =
+      acc.join(df, col(m.joins(i).factKey) === col(m.joins(i).dimKey))
+    def dAt(i: Int, v: Long) = dimTables(i).read(Some(v)).select(dProj(i): _*)
+    val contrib: DataFrame =
+      if (m.joins.isEmpty) {
         val (plus, minus) = base.windowDelta(lastV, upTo)
         val proj = need.map(col)
         plus.select(proj: _*).withColumn(SGN, lit(1L))
           .unionByName(minus.select(proj: _*).withColumn(SGN, lit(-1L)))
-      case Some((j, dim)) =>
-        val (factCols, dimCols) = sideSplit(base.schema, dim.schema, need, j)
+      } else {
+        // telescoping signed sum over the star:
+        //   Δ(F⋈D1⋈…⋈Dn) = ΔF ⋈ D1_old ⋈ … ⋈ Dn_old
+        //     + Σ_i F_new ⋈ D1_new…D(i-1)_new ⋈ ΔD_i ⋈ D(i+1)_old…Dn_old
+        // Each term is churn-bounded on its Δ side; unchanged tables
+        // contribute no term at all.
         val outCols = (need :+ SGN).map(col)
-        // ΔF ⋈ D_old — fact churn against the dim as of the last refresh
-        val (plusF, minusF) = base.windowDelta(lastV, upTo)
-        val fProj = (j.factKey +: factCols).distinct.map(col)
-        val fDelta = plusF.select(fProj: _*).withColumn(SGN, lit(1L))
-          .unionByName(minusF.select(fProj: _*).withColumn(SGN, lit(-1L)))
-        val dProj = (j.dimKey +: dimCols).distinct.map(col)
-        val dOld = dim.read(Some(dimV)).select(dProj: _*)
-        val cF = fDelta.join(dOld, col(j.factKey) === col(j.dimKey))
-        // F_new ⋈ ΔD — only the changed dim rows ever reach the join
-        val (plusD, minusD) = dim.windowDelta(dimV, dimUpTo.get)
-        val dDelta = plusD.select(dProj: _*).withColumn(SGN, lit(1L))
-          .unionByName(minusD.select(dProj: _*).withColumn(SGN, lit(-1L)))
-        val fNew = base.read(Some(upTo)).select(fProj: _*)
-        val cD = fNew.join(dDelta, col(j.factKey) === col(j.dimKey))
-        cF.select(outCols: _*).unionByName(cD.select(outCols: _*))
-    }
+        val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        if (upTo > lastV) {
+          val (plusF, minusF) = base.windowDelta(lastV, upTo)
+          val fDelta = plusF.select(fProj: _*).withColumn(SGN, lit(1L))
+            .unionByName(minusF.select(fProj: _*).withColumn(SGN, lit(-1L)))
+          terms += m.joins.indices.foldLeft(fDelta)(
+            (acc, i) => joinDim(acc, i, dAt(i, dimVs(i))))
+        }
+        lazy val fNew = base.read(Some(upTo)).select(fProj: _*)
+        m.joins.indices.foreach { i =>
+          if (dimUpTos(i) > dimVs(i)) {
+            val (plusD, minusD) = dimTables(i).windowDelta(dimVs(i), dimUpTos(i))
+            val dDelta = plusD.select(dProj(i): _*).withColumn(SGN, lit(1L))
+              .unionByName(minusD.select(dProj(i): _*).withColumn(SGN, lit(-1L)))
+            terms += m.joins.indices.foldLeft(joinDim(fNew, i, dDelta)) {
+              (acc, jx) =>
+                if (jx == i) acc
+                else joinDim(acc, jx,
+                  dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx)))
+            }
+          }
+        }
+        terms.map(_.select(outCols: _*)).reduce(_ unionByName _)
+      }
 
     // one signed hash-aggregate computes every per-group delta at once
     val sgn = col(SGN)
@@ -276,16 +304,11 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
             case MvAgg(n, "min", in) => min(col(in)).as(reCol(n))
             case MvAgg(n, _, in) => max(col(in)).as(reCol(n))
           }
-          val snap = dimOpt match {
-            case None => base.read(Some(upTo))
-            case Some((j, dim)) =>
-              val (factCols, dimCols) = sideSplit(base.schema, dim.schema, need, j)
-              base.read(Some(upTo))
-                .select((j.factKey +: factCols).distinct.map(col): _*)
-                .join(dim.read(Some(dimUpTo.get))
-                    .select((j.dimKey +: dimCols).distinct.map(col): _*),
-                  col(j.factKey) === col(j.dimKey))
-          }
+          val snap =
+            if (m.joins.isEmpty) base.read(Some(upTo))
+            else m.joins.indices.foldLeft(
+              base.read(Some(upTo)).select(fProj: _*))(
+              (acc, i) => joinDim(acc, i, dAt(i, dimUpTos(i))))
           val re = snap.withColumn(MVKEY, mvKeyCol(dims))
             .join(reKeys, Seq(MVKEY), "left_semi")
             .groupBy(MVKEY).agg(reAggs.head, reAggs.tail: _*)
@@ -296,28 +319,29 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         }
 
       // ONE commit: touched groups (live AND dead tombstones) upserted,
-      // pinned at the observed state version, with the new cursor in the
-      // commit's txn map — data and cursor can never disagree
+      // pinned at the observed state version, with the new cursor
+      // components in the commit's txn map — data and cursor can never
+      // disagree, and the commit no-ops only when a racer already
+      // covered EVERY component
       st.upsertPinned(patched.withColumn(MVVER, lit(upTo)), vState,
-        txn = Some((CURSOR_APP,
-          packCursor(upTo, dimUpTo.getOrElse(0L)))))
+        txnMany = Map(CURSOR_APP -> upTo) ++
+          m.joins.indices.map(i => dimCursorApp(i) -> dimUpTos(i)))
     } finally {
       newRows.unpersist(blocking = false)
       ()
     }
     // Done ONLY if the now-recorded cursor covers this attempt's windows
-    // component-wise. The pinned commit can silently no-op on the packed
-    // txn watermark when a racer recorded a HIGHER pack (fact bits
-    // dominate) that still covers LESS of one component — e.g. a racing
-    // fact-window refresh (f2, d0) outranks this dim-window one (f1, d2)
-    // without applying d0→d2; returning false re-runs from the racer's
-    // cursor and applies the missing window.
-    val (cf, cd) = cursorOf(state)
-    val covered = cf >= upTo && dimOpt.forall(_ => cd >= dimUpTo.get)
+    // component-wise — a racer can have advanced one table's component
+    // past ours while never applying another's window; returning false
+    // re-runs from the racer's cursor and applies what is missing.
+    val (cf, cds) = cursorOf(state)
+    val covered = cf >= upTo &&
+      cds.zip(dimUpTos).forall { case (c, u) => c >= u }
     if (covered) {
       // display mirror only — the authoritative cursor is in the state commit
       writeMeta(path, m.copy(lastVersion = cf,
-        join = m.join.map(_.copy(dimVersion = cd))), conf)
+        joins = m.joins.zip(cds).map { case (j, c) => j.copy(dimVersion = c) }),
+        conf)
     }
     covered
   }
@@ -330,19 +354,11 @@ object MaterializedView {
   private[lake] val MVVER = "_mv_ver"
   private[lake] val GRP_N = "_grp_n"
 
-  /** txn appId carrying the packed maintenance cursor on every refresh
-    * commit of the state table (see [[MaterializedView.refresh]]). */
+  /** txn appIds carrying the maintenance-cursor components on every
+    * refresh commit of the state table — one watermark for the fact
+    * window, one per star-join dim (see [[MaterializedView.refresh]]). */
   private val CURSOR_APP = "graft.mv.cursor"
-  /** (factVersion, dimVersion) packed into one monotone txn watermark —
-    * fact in the high 32 bits, dim in the low 31 (both versions only ever
-    * grow, so the pack grows on every real refresh). */
-  private def packCursor(factV: Long, dimV: Long): Long = {
-    require(factV >= 0 && factV < (1L << 31) && dimV >= 0 && dimV < (1L << 31),
-      s"cursor versions out of range: $factV / $dimV")
-    (factV << 31) | dimV
-  }
-  private def unpackCursor(packed: Long): (Long, Long) =
-    (packed >> 31, packed & ((1L << 31) - 1))
+  private def dimCursorApp(i: Int) = s"graft.mv.cursor.dim$i"
   private val SGN = "_sgn"
   // agg output names are required to be plain identifiers (no leading `_`),
   // so the `_`-prefixed internal names below can never collide with
@@ -389,29 +405,30 @@ object MaterializedView {
       .withColumn(MVVER, lit(version))
   }
 
-  /** Star-join half of a view: the fact (base) table equi-joins the dim
-    * lake table at `dimPath` on `factKey = dimKey`. `dimVersion` is the
-    * dim version the stored state reflects — pinned at create, advanced
-    * by every refresh (the incremental-maintenance cursor, exactly like
+  /** One star-join arm of a view: the fact (base) table equi-joins the
+    * dim lake table at `dimPath` on `factKey = dimKey` (star, not
+    * snowflake: every factKey is a FACT column). `dimVersion` is the dim
+    * version the stored state reflects — pinned at create, advanced by
+    * every refresh (an incremental-maintenance cursor, exactly like
     * `lastVersion` for the fact side). */
   case class MvJoin(dimPath: String, factKey: String, dimKey: String,
       dimVersion: Long = 0L)
 
   case class MvMeta(basePath: String, dims: Seq[String], aggs: Seq[MvAgg],
-      lastVersion: Long, join: Option[MvJoin] = None)
+      lastVersion: Long, joins: Seq[MvJoin] = Seq.empty)
 
-  /** Assign each needed output column to the fact or dim side, rejecting
-    * names present in both (the view definition must be unambiguous). */
-  private def sideSplit(factSchema: StructType, dimSchema: StructType,
-      need: Seq[String], j: MvJoin): (Seq[String], Seq[String]) = {
+  /** Assign each needed output column to the fact or exactly one dim,
+    * rejecting names present in more than one table (the view definition
+    * must be unambiguous). Returns (fact columns, per-dim columns). */
+  private def sideSplitN(factSchema: StructType, dimSchemas: Seq[StructType],
+      need: Seq[String], joins: Seq[MvJoin]): (Seq[String], Seq[Seq[String]]) = {
     need.foreach { c =>
-      val inF = factSchema.fieldNames.contains(c)
-      val inD = dimSchema.fieldNames.contains(c)
-      require(inF || inD, s"view column $c is in neither fact nor dim schema")
-      require(!(inF && inD), s"view column $c is ambiguous (fact AND dim)")
+      val hits = (factSchema +: dimSchemas).count(_.fieldNames.contains(c))
+      require(hits > 0, s"view column $c is in neither the fact nor any dim schema")
+      require(hits == 1, s"view column $c is ambiguous (present in $hits tables)")
     }
     (need.filter(factSchema.fieldNames.contains),
-      need.filter(dimSchema.fieldNames.contains))
+      dimSchemas.map(ds => need.filter(ds.fieldNames.contains)))
   }
 
   private def metaFile(path: String) = new Path(path, "_graft_mv.json")
@@ -425,10 +442,13 @@ object MaterializedView {
       val n = an.addObject(); n.put("name", a.name); n.put("kind", a.kind); n.put("input", a.input)
     }
     root.put("lastVersion", m.lastVersion)
-    m.join.foreach { j =>
-      val n = root.putObject("join")
-      n.put("dimPath", j.dimPath); n.put("factKey", j.factKey)
-      n.put("dimKey", j.dimKey); n.put("dimVersion", j.dimVersion)
+    if (m.joins.nonEmpty) {
+      val ja = root.putArray("joins")
+      m.joins.foreach { j =>
+        val n = ja.addObject()
+        n.put("dimPath", j.dimPath); n.put("factKey", j.factKey)
+        n.put("dimKey", j.dimKey); n.put("dimVersion", j.dimVersion)
+      }
     }
     val target = metaFile(path)
     val fs = target.getFileSystem(conf)
@@ -451,25 +471,25 @@ object MaterializedView {
     root.get("aggs").asInstanceOf[ArrayNode].forEach { n =>
       aggs += MvAgg(n.get("name").asText, n.get("kind").asText, n.get("input").asText)
     }
-    val join =
-      if (!root.hasNonNull("join")) None
-      else {
-        val n = root.get("join")
-        Some(MvJoin(n.get("dimPath").asText, n.get("factKey").asText,
-          n.get("dimKey").asText, n.get("dimVersion").asLong))
+    val joins = scala.collection.mutable.ArrayBuffer.empty[MvJoin]
+    if (root.hasNonNull("joins"))
+      root.get("joins").asInstanceOf[ArrayNode].forEach { n =>
+        joins += MvJoin(n.get("dimPath").asText, n.get("factKey").asText,
+          n.get("dimKey").asText, n.get("dimVersion").asLong)
       }
     MvMeta(root.get("basePath").asText, dims.toSeq, aggs.toSeq,
-      root.get("lastVersion").asLong, join)
+      root.get("lastVersion").asLong, joins.toSeq)
   }
 
   /** Define + fully compute the view at the base table's current version.
-    * With `join`, the view aggregates `base ⋈ dim` (equi-join on
-    * `factKey = dimKey`, dim rows latest-as-of-create): dims and agg
-    * inputs may come from either side, and `refresh()` maintains the
-    * state incrementally under churn on BOTH tables. */
+    * With `joins`, the view aggregates the STAR `base ⋈ D1 ⋈ … ⋈ Dn`
+    * (inner equi-joins, every join key a fact column, dim rows
+    * latest-as-of-create): dims and agg inputs may come from any table,
+    * and `refresh()` maintains the state incrementally under churn on
+    * ALL of them. */
   def create(spark: SparkSession, path: String, base: LakeTable,
       dims: Seq[String], aggs: Seq[MvAgg],
-      join: Option[MvJoin] = None): MaterializedView = {
+      joins: Seq[MvJoin] = Seq.empty): MaterializedView = {
     require(!base.spec.mor, "materialized views maintain CoW base tables")
     require(dims.nonEmpty, "at least one dim")
     val names = dims ++ aggs.map(_.name)
@@ -479,20 +499,32 @@ object MaterializedView {
     val conf = spark.sessionState.newHadoopConf()
     val v = base.latestVersion
     val need = (dims ++ aggs.map(_.input).filter(_ != "*")).distinct
-    val (snap, pinned) = join match {
-      case None => (base.read(Some(v)), None)
-      case Some(j0) =>
-        val dim = LakeTable.load(spark, j0.dimPath)
-        require(!dim.spec.mor, "star-join views maintain CoW dim tables")
-        require(j0.factKey != j0.dimKey,
-          s"factKey and dimKey must have distinct names (got ${j0.factKey})")
-        val (factCols, dimCols) = sideSplit(base.schema, dim.schema, need, j0)
-        val dv = dim.latestVersion
-        val joined = base.read(Some(v))
-          .select((j0.factKey +: factCols).distinct.map(col): _*)
-          .join(dim.read(Some(dv)).select((j0.dimKey +: dimCols).distinct.map(col): _*),
-            col(j0.factKey) === col(j0.dimKey))
-        (joined, Some(j0.copy(dimVersion = dv)))
+    val (snap, pinned) =
+      if (joins.isEmpty) (base.read(Some(v)), Seq.empty[MvJoin])
+      else {
+        val dimTables = joins.map(j => LakeTable.load(spark, j.dimPath))
+        dimTables.foreach(d =>
+          require(!d.spec.mor, "star-join views maintain CoW dim tables"))
+        joins.foreach { j =>
+          require(base.schema.fieldNames.contains(j.factKey),
+            s"factKey ${j.factKey} must be a fact column (star, not snowflake)")
+          require(j.factKey != j.dimKey,
+            s"factKey and dimKey must have distinct names (got ${j.factKey})")
+        }
+        val keyNames = joins.map(_.dimKey)
+        require(keyNames.distinct.size == keyNames.size,
+          "dim keys must have pairwise distinct names")
+        val (factCols, dimColsN) =
+          sideSplitN(base.schema, dimTables.map(_.schema), need, joins)
+        val dvs = dimTables.map(_.latestVersion)
+        val start = base.read(Some(v))
+          .select((joins.map(_.factKey) ++ factCols).distinct.map(col): _*)
+        val joined = joins.indices.foldLeft(start) { (acc, i) =>
+          acc.join(dimTables(i).read(Some(dvs(i)))
+              .select((joins(i).dimKey +: dimColsN(i)).distinct.map(col): _*),
+            col(joins(i).factKey) === col(joins(i).dimKey))
+        }
+        (joined, joins.zip(dvs).map { case (j, dv) => j.copy(dimVersion = dv) })
     }
     val st = fullState(snap, dims, aggs, v)
     LakeTable.create(spark, new Path(path, "state").toString,

@@ -882,7 +882,7 @@ object LakeQueries {
           Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "o_custkey"),
             MvAgg("a", "avg", "o_custkey"), MvAgg("mx", "max", "o_totalprice"),
             MvAgg("mn", "min", "c_acctbal")),
-          Some(MvJoin(dp, "o_custkey", "c_custkey")))
+          Seq(MvJoin(dp, "o_custkey", "c_custkey")))
         // fact churn: the missing third arrives, every 7th reprices a day
         // later (newer precombine wins), every 11th key is deleted
         fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)

@@ -58,7 +58,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * survives the pre-filter, so a stale entry can only MISS a rewrite,
     * never mis-serve one. */
   private case class MvShapeKey(basePath: String, dims: Set[String],
-      join: Option[(String, String, String)])
+      dimPaths: Seq[String], joinTriple: Option[(String, String, String)])
   private val shapeCache =
     new java.util.concurrent.ConcurrentHashMap[String, MvShapeKey]()
 
@@ -76,7 +76,14 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     try {
       val meta = MaterializedView.load(spark, p).meta
       val s = MvShapeKey(meta.basePath, meta.dims.map(_.toLowerCase).toSet,
-        meta.join.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase)))
+        meta.joins.map(_.dimPath),
+        // the rewrite matcher serves plain (no-join) and SINGLE-join
+        // query shapes; a multi-dim star view is maintained and readable
+        // but not auto-served (no 3+-table matcher)
+        meta.joins match {
+          case Seq(j) => Some((j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))
+          case _ => None
+        })
       shapeCache.put(p, s)
       Some(s)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -95,7 +102,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * zero-I/O shape cache; sorted for a deterministic refresh order. */
   def viewsOver(spark: SparkSession, basePath: String): Seq[String] =
     registered.filter(p => shapeOf(spark, p).exists(s =>
-      s.basePath == basePath || s.join.exists(_._1 == basePath))).sorted
+      s.basePath == basePath || s.dimPaths.contains(basePath))).sorted
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan
@@ -202,7 +209,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // state tables first among rollups
     val candidates = registered.flatMap { p =>
       shapeOf(spark, p) match {
-        case Some(s) if joinMatches(s.basePath, s.join) && dimSet.subsetOf(s.dims) =>
+        case Some(s) if (s.dimPaths.isEmpty || s.joinTriple.isDefined) &&
+            joinMatches(s.basePath, s.joinTriple) && dimSet.subsetOf(s.dims) =>
           Some((p, s.dims))
         case _ => None
       }
@@ -211,17 +219,20 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       try {
         val m = MaterializedView.load(spark, p)
         val meta = m.meta // fresh read — authoritative over the cache
-        if (joinMatches(meta.basePath,
-            meta.join.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))) &&
+        val metaTriple = meta.joins match {
+          case Seq(j) => Some((j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))
+          case _ => None
+        }
+        if ((meta.joins.isEmpty || metaTriple.isDefined) &&
+          joinMatches(meta.basePath, metaTriple) &&
           dimSet.subsetOf(meta.dims.map(_.toLowerCase).toSet) &&
           // freshness gate: a stale view must never serve — for a join
-          // view BOTH maintenance cursors must be current. The cursor is
+          // view EVERY maintenance cursor must be current. The cursor is
           // read from the state table's commit (atomic with the data),
           // not the meta mirror.
           m.lastRefreshedVersion == LakeTable.load(spark, meta.basePath).latestVersion &&
-          meta.join.forall(j =>
-            m.dimRefreshedVersion.contains(
-              LakeTable.load(spark, j.dimPath).latestVersion)))
+          meta.joins.zip(m.dimRefreshedVersions).forall { case (j, c) =>
+            c == LakeTable.load(spark, j.dimPath).latestVersion })
           Some((m, meta))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }

@@ -202,7 +202,7 @@ class MaterializedViewSpec extends AnyFunSuite {
     val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), factRows(400))
     val dt = LakeTable.create(spark, dp, TableSpec("dk", "dver"), dimRows)
     val mv = MaterializedView.create(spark, mp, ft, Seq("region"), joinAggs,
-      Some(MvJoin(dp, "fk", "dk")))
+      Seq(MvJoin(dp, "fk", "dk")))
     checkJoinEq(mp, ft, dt)
     // 1) fact churn only: updates, inserts, deletes — the dim is untouched
     ft.upsert(factRows(400).filter(col("k") % 7 === 1).withColumn("ver", lit(1L))
@@ -244,7 +244,7 @@ class MaterializedViewSpec extends AnyFunSuite {
     val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), factRows(300))
     val dt = LakeTable.create(spark, dp, TableSpec("dk", "dver"), dimRows)
     MaterializedView.create(spark, mp, ft, Seq("region"), joinAggs,
-      Some(MvJoin(dp, "fk", "dk")))
+      Seq(MvJoin(dp, "fk", "dk")))
     // delete the max-dval dim row of every region: the lost extremum must
     // be recomputed from fact⋈dim, and fact rows of the deleted dim keys
     // must leave every aggregate (not only min/max)
@@ -255,6 +255,62 @@ class MaterializedViewSpec extends AnyFunSuite {
     ft.delete(col("score") >= 50)
     MaterializedView.load(spark, mp).refresh()
     checkJoinEq(mp, ft, dt)
+  }
+
+  test("multi-dim star: fact x 2 dims, churn on all three tables in one refresh") {
+    val fp = tmp(); val d1p = tmp(); val d2p = tmp(); val mp = tmp()
+    // fact carries TWO dim keys; dims: region table and a product table
+    val fact0 = spark.range(400L).select(
+      col("id").as("k"), lit(0L).as("ver"),
+      (col("id") % 20).as("fk"), (col("id") % 8).as("pk_prod"),
+      (col("id") * 10).cast("decimal(18,2)").as("amt"))
+    val prod0 = spark.range(8L).select(
+      col("id").as("pdk"), lit(0L).as("pver"),
+      concat(lit("cat"), (col("id") % 3).cast("string")).as("category"))
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), fact0)
+    val d1 = LakeTable.create(spark, d1p, TableSpec("dk", "dver"), dimRows)
+    val d2 = LakeTable.create(spark, d2p, TableSpec("pdk", "pver"), prod0)
+    val mv = MaterializedView.create(spark, mp, ft, Seq("region", "category"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mx", "max", "amt")),
+      Seq(MvJoin(d1p, "fk", "dk"), MvJoin(d2p, "pk_prod", "pdk")))
+    def check(): Unit = {
+      val got = rows(MaterializedView.load(spark, mp).read())
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, d1p).read(), col("fk") === col("dk"))
+        .join(LakeTable.load(spark, d2p).read(), col("pk_prod") === col("pdk"))
+        .groupBy("region", "category").agg(count(lit(1)).as("n"),
+          sum(col("amt")).as("s"), max(col("amt")).as("mx")))
+      assert(got == want, s"star mv != recompute\n got: $got\nwant: $want")
+    }
+    check()
+    // churn EVERY table, one refresh: fact updates+deletes, dim1 region
+    // move, dim2 category move + delete (its facts drop out)
+    ft.upsert(fact0.filter(col("k") % 6 === 1).withColumn("ver", lit(1L))
+      .withColumn("amt", col("amt") + lit(0.25).cast("decimal(18,2)")))
+    ft.delete(col("k") % 13 === 0)
+    d1.upsert(dimRows.filter(col("dk") === 5L).withColumn("dver", lit(1L))
+      .withColumn("region", lit("rX")))
+    d2.upsert(prod0.filter(col("pdk") === 2L).withColumn("pver", lit(1L))
+      .withColumn("category", lit("catX")))
+    d2.delete(col("pdk") === 7L)
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    // subsequent single-table churn still maintains incrementally
+    d1.upsert(dimRows.filter(col("dk") === 5L).withColumn("dver", lit(2L))
+      .withColumn("region", lit("rY")))
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    assert(mv.dimRefreshedVersions ==
+      Seq(LakeTable.load(spark, d1p).latestVersion,
+        LakeTable.load(spark, d2p).latestVersion))
+    // snowflake definitions are rejected: every join key must be a FACT column
+    val err = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, tmp(), ft, Seq("region"),
+        Seq(MvAgg("n", "count", "*")),
+        Seq(MvJoin(d1p, "fk", "dk"), MvJoin(d2p, "region", "pdk")))
+    }
+    assert(err.getMessage.contains("fact column"))
   }
 
   test("group death persists a tombstone; rebirth restarts exactly (incl. min/max)") {
@@ -315,7 +371,7 @@ class MaterializedViewSpec extends AnyFunSuite {
     val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), factRows(300))
     val dt = LakeTable.create(spark, dp, TableSpec("dk", "dver"), dimRows)
     MaterializedView.create(spark, mp, ft, Seq("region"), joinAggs,
-      Some(MvJoin(dp, "fk", "dk")))
+      Seq(MvJoin(dp, "fk", "dk")))
     val pool = Executors.newFixedThreadPool(2)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val start = new CountDownLatch(1)

@@ -243,7 +243,7 @@ class MvRewriteSpec extends AnyFunSuite {
       Seq((2L, 0L, "r0")).toDF("dk", "dver", "region"))
     MaterializedView.create(spark, mvPath, fact, Seq("region"),
       Seq(MvAgg("n", "count", "*")),
-      Some(graft.lake.MaterializedView.MvJoin(dp, "fk", "dk")))
+      Seq(graft.lake.MaterializedView.MvJoin(dp, "fk", "dk")))
     try {
       GraftMvRewrite.register(mvPath)
       // a stream landing on EITHER table must discover (and so refresh)
