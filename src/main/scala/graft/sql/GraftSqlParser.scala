@@ -368,7 +368,7 @@ case class GraftCreateMaterializedViewCommand(target: String, query: String)
         s"materialized view definition is not incrementally maintainable: $err")
       case Right((basePath, dims, aggs, join)) =>
         graft.lake.MaterializedView.create(spark, mvPath,
-          LakeTable.load(spark, basePath), dims, aggs, join.toSeq)
+          LakeTable.load(spark, basePath), dims, aggs, join)
         GraftMvRewrite.register(mvPath)
         Seq(Row(mvPath))
     }

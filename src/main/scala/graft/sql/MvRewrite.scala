@@ -58,7 +58,9 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * survives the pre-filter, so a stale entry can only MISS a rewrite,
     * never mis-serve one. */
   private case class MvShapeKey(basePath: String, dims: Set[String],
-      dimPaths: Seq[String], joinTriple: Option[(String, String, String)])
+      joinTriples: Seq[(String, String, String)]) {
+    def dimPaths: Seq[String] = joinTriples.map(_._1)
+  }
   private val shapeCache =
     new java.util.concurrent.ConcurrentHashMap[String, MvShapeKey]()
 
@@ -76,14 +78,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     try {
       val meta = MaterializedView.load(spark, p).meta
       val s = MvShapeKey(meta.basePath, meta.dims.map(_.toLowerCase).toSet,
-        meta.joins.map(_.dimPath),
-        // the rewrite matcher serves plain (no-join) and SINGLE-join
-        // query shapes; a multi-dim star view is maintained and readable
-        // but not auto-served (no 3+-table matcher)
-        meta.joins match {
-          case Seq(j) => Some((j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))
-          case _ => None
-        })
+        meta.joins.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase)))
       shapeCache.put(p, s)
       Some(s)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -158,6 +153,50 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A left-deep STAR join scan of 2+ dims: the fact scan at the
+    * bottom-left, each Join adding one dim scan on the right under an
+    * `EqualTo(factCol, dimCol)` condition (every left key must come from
+    * the FACT scan — snowflake conditions don't match). Returns
+    * `(factPath, arms, filters)` with arms `(dimPath, factKey, dimKey)`
+    * in join order; filters only from ABOVE the topmost join. */
+  private[sql] def starScan(p: LogicalPlan)
+      : Option[(String, Seq[(String, String, String)], Seq[Expression])] = {
+    def peel(p: LogicalPlan): Option[(String, AttributeSet, Seq[(String, String, String)])] =
+      p match {
+        case SubqueryAlias(_, c) => peel(c)
+        case v: View => peel(v.child)
+        case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => peel(c)
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+          for {
+            (rp, rf) <- baseScan(r)
+            if rf.isEmpty
+            (lAttr, rAttr) <-
+              if (!r.outputSet.contains(a) && r.outputSet.contains(b)) Some((a, b))
+              else if (!r.outputSet.contains(b) && r.outputSet.contains(a)) Some((b, a))
+              else None
+            (fp, factOut, arms) <- baseScan(l) match {
+              case Some((lp, lf)) if lf.isEmpty =>
+                Some((lp, l.outputSet, Seq.empty[(String, String, String)]))
+              case _ => peel(l)
+            }
+            if factOut.contains(lAttr) // star, not snowflake
+          } yield (fp, factOut, arms :+ ((rp, lAttr.name, rAttr.name)))
+        case _ => None
+      }
+    def strip(p: LogicalPlan, fs: Seq[Expression])
+        : Option[(String, Seq[(String, String, String)], Seq[Expression])] = p match {
+      case SubqueryAlias(_, c) => strip(c, fs)
+      case v: View => strip(v.child, fs)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c, fs)
+      case Filter(cond, c) => strip(c, fs :+ cond)
+      case j: Join =>
+        peel(j).collect { case (fp, _, arms) if arms.size >= 2 => (fp, arms, fs) }
+      case _ => None
+    }
+    strip(p, Seq.empty)
+  }
+
   /** (kind, input) of an aggregate call in MV terms, if maintainable. */
   private[sql] def aggSpec(fn: AggregateFunction): Option[(String, String)] = fn match {
     case Count(Seq(Literal(1, _))) => Some(("count", "*"))
@@ -178,24 +217,36 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (!agg.resolved) return None
     val spark = SparkSession.active
-    // the scanned shape: a plain base snapshot, or a two-table inner
-    // equi-join of two snapshots (either join order)
+    // the scanned shape: a plain base snapshot, a two-table inner
+    // equi-join (either join order), or a left-deep 2+-dim star
     val plain = baseScan(agg.child)
     val joined = if (plain.isDefined) None else joinScan(agg.child)
-    val (path, filters) = plain.orElse(
-        joined.map { case (lp, _, _, _, fs) => (lp, fs) })
+    val starred =
+      if (plain.isDefined || joined.isDefined) None else starScan(agg.child)
+    val (path, filters) = plain
+      .orElse(joined.map { case (lp, _, _, _, fs) => (lp, fs) })
+      .orElse(starred.map { case (fp, _, fs) => (fp, fs) })
       .getOrElse(return None)
-    // does this view's join triple serve the scanned shape? A plain scan
+    // does this view's join set serve the scanned shape? A plain scan
     // needs a JOIN-FREE view (a join view has joined multiplicity); a
-    // join scan needs the matching triple in EITHER orientation.
-    def joinMatches(basePath: String, join: Option[(String, String, String)]): Boolean =
-      (joined, join) match {
-        case (None, None) => basePath == path
-        case (Some((lp, lk, rp, rk, _)), Some((jDim, jFk, jDk))) =>
-          (basePath == lp && jDim == rp &&
-            jFk == lk.toLowerCase && jDk == rk.toLowerCase) ||
-          (basePath == rp && jDim == lp &&
-            jFk == rk.toLowerCase && jDk == lk.toLowerCase)
+    // join scan needs the single triple in EITHER orientation; a star
+    // scan needs the same triple SET over the same fact (any join order).
+    def joinMatches(basePath: String,
+        triples: Seq[(String, String, String)]): Boolean =
+      (plain, joined, starred) match {
+        case (Some(_), _, _) => triples.isEmpty && basePath == path
+        case (_, Some((lp, lk, rp, rk, _)), _) => triples match {
+          case Seq((jDim, jFk, jDk)) =>
+            (basePath == lp && jDim == rp &&
+              jFk == lk.toLowerCase && jDk == rk.toLowerCase) ||
+            (basePath == rp && jDim == lp &&
+              jFk == rk.toLowerCase && jDk == lk.toLowerCase)
+          case _ => false
+        }
+        case (_, _, Some((fp, arms, _))) =>
+          basePath == fp && triples.size == arms.size &&
+            arms.map(a => (a._1, a._2.toLowerCase, a._3.toLowerCase)).toSet ==
+              triples.toSet
         case _ => false
       }
     // every grouping key must be a bare column
@@ -209,8 +260,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // state tables first among rollups
     val candidates = registered.flatMap { p =>
       shapeOf(spark, p) match {
-        case Some(s) if (s.dimPaths.isEmpty || s.joinTriple.isDefined) &&
-            joinMatches(s.basePath, s.joinTriple) && dimSet.subsetOf(s.dims) =>
+        case Some(s) if joinMatches(s.basePath, s.joinTriples) &&
+            dimSet.subsetOf(s.dims) =>
           Some((p, s.dims))
         case _ => None
       }
@@ -219,12 +270,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       try {
         val m = MaterializedView.load(spark, p)
         val meta = m.meta // fresh read — authoritative over the cache
-        val metaTriple = meta.joins match {
-          case Seq(j) => Some((j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))
-          case _ => None
-        }
-        if ((meta.joins.isEmpty || metaTriple.isDefined) &&
-          joinMatches(meta.basePath, metaTriple) &&
+        if (joinMatches(meta.basePath,
+            meta.joins.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))) &&
           dimSet.subsetOf(meta.dims.map(_.toLowerCase).toSet) &&
           // freshness gate: a stale view must never serve — for a join
           // view EVERY maintenance cursor must be current. The cursor is
@@ -305,22 +352,27 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
 private[sql] object GraftMvShape {
 
   def extract(plan: LogicalPlan)
-      : Either[String, (String, Seq[String], Seq[MvAgg], Option[MvJoin])] =
+      : Either[String, (String, Seq[String], Seq[MvAgg], Seq[MvJoin])] =
     plan match {
       case SubqueryAlias(_, c) => extract(c)
       case agg: Aggregate =>
-        // plain snapshot, or a two-table inner equi-join (the LEFT table
-        // becomes the maintenance base — correctness is join-symmetric)
+        // plain snapshot, a two-table inner equi-join (the LEFT table
+        // becomes the maintenance base — correctness is join-symmetric),
+        // or a left-deep multi-dim star (fact first in the FROM)
         val (path, filters, join) =
           GraftMvRewrite.baseScan(agg.child)
-            .map { case (p, fs) => (p, fs, None) }
+            .map { case (p, fs) => (p, fs, Seq.empty[MvJoin]) }
             .orElse(GraftMvRewrite.joinScan(agg.child).map {
-              case (lp, lk, rp, rk, fs) => (lp, fs, Some(MvJoin(rp, lk, rk)))
+              case (lp, lk, rp, rk, fs) => (lp, fs, Seq(MvJoin(rp, lk, rk)))
+            })
+            .orElse(GraftMvRewrite.starScan(agg.child).map {
+              case (fp, arms, fs) => (fp, fs,
+                arms.map { case (dp, fk, dk) => MvJoin(dp, fk, dk) })
             })
             .getOrElse(
           return scala.Left("FROM must resolve to a plain graft table snapshot " +
-            "or an INNER equi-join of two (no time travel / incremental / " +
-            "change-feed options, ON a = b only)"))
+            "or an INNER equi-join star over one (no time travel / incremental / " +
+            "change-feed options, ON a = b only, fact table first)"))
         if (filters.nonEmpty)
           return scala.Left("WHERE is not supported in a materialized view definition " +
             "(filter at query time — dim predicates commute into the view)")

@@ -233,6 +233,70 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-dim star MV over SQL: 3-table aggregate rewrites to state; any table's staleness gates") {
+    val fp = Files.createTempDirectory("graft_mvrw_sf").toString
+    val d1p = Files.createTempDirectory("graft_mvrw_sd1").toString
+    val d2p = Files.createTempDirectory("graft_mvrw_sd2").toString
+    val mvPath = Files.createTempDirectory("graft_mvrw_smv").toString + "/mv"
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 800L).map(i => (i, 1L, i % 16, i % 6, i % 100))
+        .toDF("k", "ver", "fk", "pk_prod", "amt"))
+    val d1 = LakeTable.create(spark, d1p, TableSpec("dk", "dver"),
+      (0L until 16L).map(i => (i, 0L, s"r${i % 4}")).toDF("dk", "dver", "region"))
+    val d2 = LakeTable.create(spark, d2p, TableSpec("pdk", "pver"),
+      (0L until 6L).map(i => (i, 0L, s"c${i % 2}")).toDF("pdk", "pver", "category"))
+    spark.read.format("graft").load(fp).createOrReplaceTempView("sfact_v")
+    spark.read.format("graft").load(d1p).createOrReplaceTempView("sdim1_v")
+    spark.read.format("graft").load(d2p).createOrReplaceTempView("sdim2_v")
+    def hasJoin(df: DataFrame): Boolean = df.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])
+    val qSql = "SELECT region, category, count(1) AS n, sum(amt) AS s " +
+      "FROM sfact_v JOIN sdim1_v ON fk = dk JOIN sdim2_v ON pk_prod = pdk " +
+      "GROUP BY region, category"
+    def recompute(): Set[Seq[Any]] = LakeTable.load(spark, fp).read()
+      .join(LakeTable.load(spark, d1p).read(), col("fk") === col("dk"))
+      .join(LakeTable.load(spark, d2p).read(), col("pk_prod") === col("pdk"))
+      .groupBy("region", "category")
+      .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      .collect().map(_.toSeq).toSet
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS $qSql")
+      // the 3-table aggregate is served from state: no Aggregate, no Join
+      val q = spark.sql(qSql)
+      assert(!hasAggregate(q) && !hasJoin(q) && scansMvState(q),
+        s"star aggregate must rewrite:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet == recompute())
+      // the dims joined in the OTHER order serve too (triple-set match)
+      val q2 = spark.sql("SELECT region, category, count(1) AS n, sum(amt) AS s " +
+        "FROM sfact_v JOIN sdim2_v ON pk_prod = pdk JOIN sdim1_v ON fk = dk " +
+        "GROUP BY region, category")
+      assert(!hasAggregate(q2) && !hasJoin(q2) && scansMvState(q2))
+      // a rollup to ONE dim also serves from state
+      val roll = spark.sql("SELECT region, count(1) AS n " +
+        "FROM sfact_v JOIN sdim1_v ON fk = dk JOIN sdim2_v ON pk_prod = pdk " +
+        "GROUP BY region")
+      assert(!hasJoin(roll) && scansMvState(roll))
+      assert(roll.collect().map(_.toSeq).toSet == LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, d1p).read(), col("fk") === col("dk"))
+        .join(LakeTable.load(spark, d2p).read(), col("pk_prod") === col("pdk"))
+        .groupBy("region").agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet)
+      // a 2-table subset of the star must NOT be served (multiplicity)
+      assert(hasAggregate(spark.sql(
+        "SELECT region, count(1) AS n FROM sfact_v JOIN sdim1_v ON fk = dk GROUP BY region")))
+      // churn on the SECOND dim gates until refresh
+      d2.upsert(Seq((3L, 1L, "cX")).toDF("pdk", "pver", "category"))
+      assert(hasAggregate(spark.sql(qSql)), "any table's staleness must gate")
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath'")
+      val q3 = spark.sql(qSql)
+      assert(!hasAggregate(q3) && scansMvState(q3))
+      assert(q3.collect().map(_.toSeq).toSet == recompute())
+    } finally {
+      GraftMvRewrite.clear()
+      Seq("sfact_v", "sdim1_v", "sdim2_v").foreach(spark.catalog.dropTempView)
+    }
+  }
+
   test("viewsOver reports a join view for BOTH its fact and its dim table") {
     val fp = Files.createTempDirectory("graft_mvrw_vo_f").toString
     val dp = Files.createTempDirectory("graft_mvrw_vo_d").toString
