@@ -527,8 +527,12 @@ object MaterializedView {
         (joined, joins.zip(dvs).map { case (j, dv) => j.copy(dimVersion = dv) })
     }
     val st = fullState(snap, dims, aggs, v)
+    // every refresh lands ~1 small state file; post-commit auto-compaction
+    // folds them so a CONTINUOUSLY maintained view (streaming ingestion,
+    // thousands of refreshes) keeps a bounded file count. The cursor
+    // survives compaction — txn watermarks are cumulative across commits.
     LakeTable.create(spark, new Path(path, "state").toString,
-      TableSpec(MVKEY, MVVER), st)
+      TableSpec(MVKEY, MVVER, autoCompactFiles = 16), st)
     writeMeta(path, MvMeta(base.path, dims, aggs, v, pinned), conf)
     new MaterializedView(spark, path)
   }

@@ -405,6 +405,26 @@ class MaterializedViewSpec extends AnyFunSuite {
     checkJoinEq(mp, LakeTable.load(spark, fp), LakeTable.load(spark, dp))
   }
 
+  test("long-lived maintenance: many refreshes keep a bounded state file count; cursor survives compaction") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(120))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("sum_amt", "sum", "amt")))
+    (1 to 24).foreach { w =>
+      t.upsert(baseRows(120).filter(col("k") % 8 === w % 8)
+        .withColumn("ver", lit(w.toLong))
+        .withColumn("amt", col("amt") + lit(w).cast("decimal(18,2)")))
+      mv.refresh()
+    }
+    val live = mv.state.liveFiles(None).filterNot(_.log)
+    assert(live.size <= 17,
+      s"auto-compaction must bound the state file count, got ${live.size}")
+    // the cursor (a txn watermark) survived every interleaved compaction
+    assert(mv.lastRefreshedVersion == t.latestVersion)
+    assert(rows(mv.read()) == rows(t.read().groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt"))))
+  }
+
   test("streaming ingestion keeps the view continuously fresh; restart is safe") {
     val bp = tmp(); val mp = tmp(); val land = tmp(); val ckpt = tmp()
     val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(200))
