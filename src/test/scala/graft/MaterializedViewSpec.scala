@@ -405,6 +405,23 @@ class MaterializedViewSpec extends AnyFunSuite {
     checkJoinEq(mp, LakeTable.load(spark, fp), LakeTable.load(spark, dp))
   }
 
+  test("physical-only base churn (compaction) refreshes as an empty delta but advances the cursor") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"),
+      baseRows(200).repartition(6))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    // compact rewrites every file; carried-over rows appear in plus AND
+    // minus of the window delta and must cancel to a zero-row change
+    t.compact()
+    mv.refresh()
+    assert(mv.lastRefreshedVersion == t.latestVersion,
+      "the cursor must advance past a physical-only commit")
+    checkEq(mv, t)
+    // and the rewrite freshness gate sees the view as current again
+    mv.refresh() // no-op
+    checkEq(mv, t)
+  }
+
   test("long-lived maintenance: many refreshes keep a bounded state file count; cursor survives compaction") {
     val bp = tmp(); val mp = tmp()
     val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(120))
