@@ -38,6 +38,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Hard-negative mining — the contrastive-training data-prep
+    * primitive: for each query, the k most-similar corpus items that are
+    * NOT its known positives (the aligned pairs a retrieval/embedding
+    * trainer already has). "Closest non-positive" is exactly the
+    * hard-negative definition (in-batch negatives are easy; the ones a
+    * model confuses live just below the positive band).
+    *
+    * `positives` is a (query_id, pos_id) pair table. Exclusion happens
+    * BEFORE the rank, so the k returned are the top k of the remaining
+    * corpus, and the query itself is never a negative. Scale shape =
+    * [[bruteForceTopK]] (broadcast queries, partial WindowGroupLimit —
+    * never a corpus shuffle) plus one broadcast anti-join on the pair
+    * table; swap in the IVF/PQ candidates for the billion-scale path. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      positives: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", normSq(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", normSq(col("qv")))
+    val pos = positives.select(col("query_id"), col("pos_id").as("neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("score", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** Scalar-quantized (int8) top-k: the memory-bandwidth scale path.
     *
     * One metadata-light corpus pass finds the global max |x|; every vector

@@ -851,6 +851,46 @@ object ExtQueries {
         |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin)),
 
+    // Hard-negative mining for contrastive training: each query's k
+    // most-similar corpus items EXCLUDING its known positives (here the
+    // deterministic aligned pairs q→q+1, q→q+2, and the query's TRUE
+    // nearest neighbor — the realistic "the retrieved positive is not a
+    // negative" case). Exclusion precedes the rank, so the result is the
+    // band just below the positives — exactly what a bi-encoder trainer
+    // feeds as hard negatives. Oracle: the q36 cosine replay with the
+    // same three-way exclusion (the true-NN exclusion replayed via a
+    // nested rank).
+    "q151_hard_negatives" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        val truePos = Similarity.bruteForceTopK(emb, queries, k = 1)
+          .select(col("query_id"), col("neighbor_id").as("pos_id"))
+        val aligned = queries.select(col("vec_id").as("query_id"))
+          .withColumn("pos_id", explode(array(col("query_id") + 1, col("query_id") + 2)))
+        Similarity.hardNegatives(emb, queries,
+            truePos.unionByName(aligned), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS nsq FROM v),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    (SELECT SUM(t.x*t.y) FROM (SELECT UNNEST(q.e) AS x, UNNEST(c.e) AS y) t)
+        |      / (sqrt(q.nsq) * sqrt(c.nsq)) AS score
+        |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |tp AS (SELECT query_id, neighbor_id AS pos_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+        |    FROM p) WHERE rk = 1),
+        |pos AS (SELECT query_id, pos_id FROM tp
+        |  UNION SELECT query_id, query_id + 1 FROM tp
+        |  UNION SELECT query_id, query_id + 2 FROM tp),
+        |neg AS (SELECT p.* FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos
+        |    WHERE pos.query_id = p.query_id AND pos.pos_id = p.neighbor_id)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM neg)
+        |SELECT query_id, neighbor_id, rk AS "rank", score FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin)),
+
     // int8 scalar-quantized ANN — the memory-bandwidth scale path (4×/8×
     // smaller vectors, integer dot hot loop). Fully oracled bit-exact: the
     // shared scale, away-from-zero round, integer dots, and the final

@@ -214,6 +214,31 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"LSH recall $recall below 0.7")
   }
 
+  test("hard negatives: top-k of the corpus minus the positive set, exactly") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 8)
+    // positives: each query's true top-2 plus an arbitrary aligned pair
+    val top2 = Similarity.bruteForceTopK(emb, queries, 2)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"))
+    val positives = top2.unionByName(
+      queries.select(col("vec_id").as("query_id"), (col("vec_id") + 5).as("pos_id")))
+    val posSet = positives.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.hardNegatives(emb, queries, positives, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // no positive (and never the query itself) appears as a negative
+    assert(got.forall { case (q, n, _) => !posSet.contains((q, n)) && q != n })
+    // and the result IS the rank-rewritten suffix of the unrestricted
+    // top list: drop positives from brute-force top-(k + |pos per query|),
+    // re-rank, take 4
+    val bf = Similarity.bruteForceTopK(emb, queries, 4 + 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = bf.filterNot { case (q, n, _) => posSet.contains((q, n)) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(_._3).take(4).zipWithIndex.map { case ((_, n, _), i) => (q, n, i + 1) }
+      }.toSet
+    assert(got.toSet == want, s"hard negatives diverged:\n$got\nvs\n$want")
+  }
+
   test("int8-quantized top-k recall vs float brute force >= 0.9") {
     import org.apache.spark.sql.functions.expr
     val queries = emb.filter(col("vec_id") < 20)
