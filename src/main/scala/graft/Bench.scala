@@ -340,6 +340,17 @@ object Bench {
       }
     }
 
+    // E17: batched BPE tokenizer training — merges accepted in
+    // certificate-verified speculative batches (a CONSTANT ~6 Spark jobs
+    // per batch instead of 3+ scheduler round-trips per merge — the
+    // difference between 32 merges and a real 30k vocabulary being
+    // schedulable at all). Timed: the one corpus-scale word-frequency
+    // pass + 32 certified merges over the full documents table.
+    results("e17_bpe_train") = {
+      val docs = tbl("documents")
+      time { graft.ext.Bpe.trainWithStats(docs, numMerges = 32) }
+    }
+
     // B11: automatic MV rewrite — the aggregate is answered from the MV
     // state table (build untimed, like e6's index); the timed work is the
     // rewrite + a scan of a few pre-aggregated rows, vs r2's full

@@ -132,7 +132,7 @@ object Bpe {
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStat]
     var sinceConsolidate = 0
     var exhausted = false
-    var batchSize = math.min(4, math.max(1, maxBatch))
+    var batchSize = math.min(8, math.max(1, maxBatch))
     // snapshot horizon: how many exact top counts the certificate sees.
     // Grows (capped) whenever a batch truncates ONLY because a proposed
     // count tied/undercut the M-th — flat count tails need a deeper
