@@ -344,10 +344,12 @@ object Bench {
     // certificate-verified speculative batches (a CONSTANT ~6 Spark jobs
     // per batch instead of 3+ scheduler round-trips per merge — the
     // difference between 32 merges and a real 30k vocabulary being
-    // schedulable at all). Timed: the one corpus-scale word-frequency
-    // pass + 32 certified merges over the full documents table.
+    // schedulable at all). Timed: the word-frequency pass + 32 certified
+    // merges on the q91 training corpus (doc_id < 1000 — tokenizers
+    // train on a bounded sample; the corpus-∝ piece is the one
+    // word-frequency aggregate).
     results("e17_bpe_train") = {
-      val docs = tbl("documents")
+      val docs = tbl("documents").filter(col("doc_id") < 1000)
       time { graft.ext.Bpe.trainWithStats(docs, numMerges = 32) }
     }
 

@@ -117,10 +117,22 @@ object Bpe {
       textCol: String = "text", maxBatch: Int = 32): (Merges, Seq[RoundStat]) = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     var vocab = initialVocab(df, textCol).localCheckpoint(true)
+    // the last MATERIALIZED vocab (the overlay between consolidations is
+    // lazy and references it); superseded checkpoints are freed eagerly —
+    // see [[freeCheckpoint]]
+    var vocabCkpt = vocab
+    // affected-set checkpoints the current overlay still references;
+    // freed at the next consolidation
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // the ONE corpus/vocab-scale pair aggregation
     var pairCounts = pairsOf(vocab, "syms")
       .groupBy("l", "r").agg(sum("freq").as("n"))
       .localCheckpoint(true)
+    def replacePairCounts(next: DataFrame): Unit = {
+      val old = pairCounts
+      pairCounts = next.localCheckpoint(true)
+      freeCheckpoint(old)
+    }
 
     // speculation sample: top-K words by frequency, evolved driver-side as
     // merges are accepted. Its tiebreak/coverage is deliberately
@@ -146,8 +158,14 @@ object Bpe {
         // bound the filter/union lineage chain; one vocab-sized write per
         // CONSOLIDATE_EVERY merges (coalesced so the union-accumulated
         // partitions reset too — a checkpoint that kept them would grow
-        // the next union's task count exponentially)
+        // the next union's task count exponentially). The new checkpoint
+        // is a materialized copy, so the old one and every affected-set
+        // checkpoint the overlay referenced can be freed now.
         vocab = vocab.coalesce(par).localCheckpoint(true)
+        freeCheckpoint(vocabCkpt)
+        retired.foreach(freeCheckpoint)
+        retired.clear()
+        vocabCkpt = vocab
         sinceConsolidate = 0
       }
     }
@@ -162,17 +180,17 @@ object Bpe {
         .withColumn("new_syms", BpeOps.mergePair(col("syms"), array(lit(l), lit(r))))
         .coalesce(par)
         .localCheckpoint(true)
+      retired += affected
       stats += RoundStat(l, r, n, affected.count())
       // delta = (new adjacencies) − (old adjacencies) of the affected
       // words only; merged into the persisted count table by key
       val delta = pairsOf(affected, "new_syms").withColumn("d", col("freq"))
         .unionByName(pairsOf(affected, "syms").withColumn("d", -col("freq")))
         .groupBy("l", "r").agg(sum("d").as("d"))
-      pairCounts = pairCounts.join(delta, Seq("l", "r"), "full_outer")
+      replacePairCounts(pairCounts.join(delta, Seq("l", "r"), "full_outer")
         .select(col("l"), col("r"),
           (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
-        .filter(col("n") > 0)
-        .localCheckpoint(true)
+        .filter(col("n") > 0))
       vocab = vocab.filter(!containsPair(col("syms"), l, r))
         .unionByName(affected.select(col("new_syms").as("syms"), col("freq")))
       applyToSample(sample, Seq((l, r)))
@@ -216,6 +234,7 @@ object Bpe {
             array(lit(proposal(k - 1)._1), lit(proposal(k - 1)._2))))
         val aff = chained.filter(col(s"_s$b") =!= col("_s0"))
           .coalesce(par).localCheckpoint(true)
+        retired += aff
         // per-round affected-word counts, one row
         val affRow = aff.select((1 to b).map(k =>
           sum(when(col(s"_s$k") =!= col(s"_s${k - 1}"), 1L).otherwise(0L))
@@ -264,11 +283,10 @@ object Bpe {
           if (acceptedDelta.nonEmpty) {
             val deltaDf = df.sparkSession.createDataFrame(acceptedDelta)
               .toDF("l", "r", "d")
-            pairCounts = pairCounts.join(deltaDf, Seq("l", "r"), "full_outer")
+            replacePairCounts(pairCounts.join(deltaDf, Seq("l", "r"), "full_outer")
               .select(col("l"), col("r"),
                 (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
-              .filter(col("n") > 0)
-              .localCheckpoint(true)
+              .filter(col("n") > 0))
           }
           // vocabulary overlay: words unchanged through round t pass a
           // narrow recomputed-chain filter; rewritten words union in
@@ -290,11 +308,27 @@ object Bpe {
         }
       }
     }
+    // release every block the loop pinned: the returned values are plain
+    // driver objects, so nothing of the distributed state survives the call
+    freeCheckpoint(vocabCkpt)
+    retired.foreach(freeCheckpoint)
+    freeCheckpoint(pairCounts)
     (Merges(merges.toSeq), stats.toSeq)
   }
 
   /** Overlay consolidation cadence — see [[trainWithStats]] step 4. */
   private val CONSOLIDATE_EVERY = 16
+
+  /** Free a superseded localCheckpoint's cached blocks NOW instead of
+    * waiting for the ContextCleaner to notice the DataFrame is garbage.
+    * A 30k-merge training run retires thousands of checkpoints; left to
+    * GC timing they pile up in the BlockManager and degrade everything
+    * scheduled after the loop (the same block-accumulation failure mode
+    * as an unpaired persist). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
 
   /** Speculation-sample size ([[trainWithStats]] step 1). Coverage-mass
     * heuristic: the top words by frequency dominate every top pair count,
