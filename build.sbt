@@ -38,4 +38,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // whole query blocks run interpreted (the round-5 bench tail). Reserve
   // enough that compilation never pauses.
   "-XX:ReservedCodeCacheSize=1g",
-) ++ sys.env.get("GRAFT_EXTRA_JVM").map(_.trim.split("\\s+").toSeq).getOrElse(Nil)
+) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq
+  .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

@@ -151,6 +151,11 @@ object Bpe {
     // exact region, not a smaller batch. A 64k-row driver fetch of
     // (l, r, n) is trivially bounded at any corpus scale.
     var horizon = 1024
+    // tie-plateau backoff: when certification fails at round 1 with the
+    // horizon ALREADY capped (a count tie that 64k exact rows cannot
+    // break), batching cannot help — stop paying failed speculative
+    // passes and run single-merge for a stretch, then probe again
+    var singleUntil = 0
 
     def consolidate(accepted: Int): Unit = {
       sinceConsolidate += accepted
@@ -198,7 +203,8 @@ object Bpe {
     }
 
     while (merges.length < numMerges && !exhausted) {
-      val want = math.min(batchSize, numMerges - merges.length)
+      val plateau = merges.length < singleUntil
+      val want = if (plateau) 1 else math.min(batchSize, numMerges - merges.length)
       val mTop = math.max(4 * want + 64, horizon)
       val top = pairCounts
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
@@ -210,7 +216,7 @@ object Bpe {
       else if (proposal.length <= 1) {
         val (l, r, n) = top.head
         singleMerge(l, r, n)
-        batchSize = math.min(maxBatch, batchSize * 2)
+        if (!plateau) batchSize = math.min(maxBatch, batchSize * 2)
       } else {
         val b = proposal.length
         // exact base counts for proposed pairs that sit below the top-M
@@ -257,7 +263,12 @@ object Bpe {
           .map { case (k, rs) => k -> rs.map(t => (t._2, t._3, t._4)).toSeq }
         val (accepted, roundNs, horizonLimited) =
           certify(top, top.length == mTop, proposal, baseMap, byRound)
-        if (horizonLimited) horizon = math.min(horizon * 4, 1 << 16)
+        if (horizonLimited) {
+          val grown = math.min(horizon * 4, 1 << 16)
+          if (grown == horizon && accepted == 0)
+            singleUntil = merges.length + 32
+          horizon = grown
+        }
         if (accepted == 0) {
           // proposal's very first pair wasn't the exact argmax — fall
           // back to one certain merge; shrink the batch only on a REAL

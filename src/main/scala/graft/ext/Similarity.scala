@@ -25,12 +25,22 @@ object Similarity {
     * per query and the per-query reducer sees ≤ k × partitions rows, not
     * the corpus (asserted in ExtSpec). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    cosineTopK(corpus, queries, k, vecCol, idCol, exclude = None)
+
+  /** Shared exact-cosine scoring pipeline: broadcast queries, native dot,
+    * optional (query_id, neighbor_id) exclusion pairs anti-joined BEFORE
+    * the partial top-k rank. */
+  private def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String, idCol: String, exclude: Option[DataFrame]): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", normSq(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
       .withColumn("qn", normSq(col("qv")))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val candidates = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val kept = exclude.fold(candidates)(pos =>
+      candidates.join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti"))
+    val scored = kept
       .withColumn("score", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -53,20 +63,9 @@ object Similarity {
     * table; swap in the IVF/PQ candidates for the billion-scale path. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
       positives: DataFrame, k: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
-      .withColumn("cn", normSq(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
-      .withColumn("qn", normSq(col("qv")))
-    val pos = positives.select(col("query_id"), col("pos_id").as("neighbor_id"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
-      .withColumn("score", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
-  }
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    cosineTopK(corpus, queries, k, vecCol, idCol,
+      exclude = Some(positives.select(col("query_id"), col("pos_id").as("neighbor_id"))))
 
   /** Scalar-quantized (int8) top-k: the memory-bandwidth scale path.
     *

@@ -60,14 +60,19 @@ object PqLutRuntime {
   /** codewords is flattened (j, c, rel)-major: cw[((j·ks)+c)·sub + rel]. */
   def lut(qv: ArrayData, cw: Array[Double], m: Int, ks: Int, sub: Int): ArrayData = {
     val out = new Array[Double](m * ks)
+    val n = qv.numElements()
     var j = 0
     while (j < m) {
+      // a short (wrong-dim/corrupt) vector contributes a PARTIAL dot, the
+      // exact semantics of the dot(slice(...)) literal chain this
+      // expression replaced — never an index crash inside generated code
+      val lim = math.min(sub, math.max(0, n - j * sub))
       var c = 0
       while (c < ks) {
         var acc = 0.0d
         var rel = 0
         val base = (j * ks + c) * sub
-        while (rel < sub) {
+        while (rel < lim) {
           acc += qv.getDouble(j * sub + rel) * cw(base + rel)
           rel += 1
         }
@@ -85,6 +90,7 @@ object PqLutRuntime {
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
+      val lim = math.min(sub, math.max(0, qv.numElements() - j * sub))
       var bestI = 0
       var bestD = Double.NaN
       var c = 0
@@ -92,7 +98,7 @@ object PqLutRuntime {
         var acc = 0.0d
         var rel = 0
         val base = (j * ks + c) * sub
-        while (rel < sub) {
+        while (rel < lim) {
           acc += qv.getDouble(j * sub + rel) * cw(base + rel)
           rel += 1
         }

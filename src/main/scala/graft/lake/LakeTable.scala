@@ -2662,35 +2662,39 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       expectedVersion: Option[Long] = None,
       txnMany: Map[String, Long] = Map.empty)(
       body: (Long, String) => Seq[WriteResult]): LakeTable = {
+    // one commit-log resolution for everything below (each latestCommit /
+    // latestVersion call re-lists the log directory)
+    val curV = latestVersion
+    if (curV < 0) throw new IllegalStateException("use LakeTable.create")
+    val lc = CommitLog.read(path, curV, conf)
     // expectedVersion pins the commit at a version the CALLER observed:
     // any interleaved commit claims expected+1 first, so this attempt's
     // claim fails with CommitConflictException instead of silently
     // landing on top of state the caller never read — the primitive a
     // read-compute-write transaction (e.g. an MV refresh) needs for
     // true optimistic concurrency at ITS level, not just the write's
-    val version = expectedVersion.map(_ + 1).getOrElse(latestVersion + 1)
+    val version = expectedVersion.map(_ + 1).getOrElse(curV + 1)
     // multi-watermark idempotence: skip only when EVERY component is
     // already covered (a commit that would advance any one still lands)
     if (txnMany.nonEmpty &&
       txnMany.forall { case (app, v) =>
-        latestCommit.txn.get(app).exists(_ >= v) }) return this
-    if (version == 0) throw new IllegalStateException("use LakeTable.create")
+        lc.txn.get(app).exists(_ >= v) }) return this
     txn.foreach { case (app, v) =>
-      if (latestCommit.txn.get(app).exists(_ >= v)) return this
+      if (lc.txn.get(app).exists(_ >= v)) return this
     }
     val commitTime = LakeTable.commitTimeNow()
     val writeId = freshWriteId(version)
     val prevLive = if (removeAll) liveFiles(None).map(_.path) else Seq.empty
     val results = body(writeId, commitTime)
-    val schemaJson = newSchema.map(_.json).getOrElse(latestCommit.schemaJson)
-    val txnMap = latestCommit.txn ++ txn.toMap ++ txnMany
+    val schemaJson = newSchema.map(_.json).getOrElse(lc.schemaJson)
+    val txnMap = lc.txn ++ txn.toMap ++ txnMany
     try {
       CommitLog.write(path, Commit(version, commitTime, operation, schemaJson,
         newSpec.getOrElse(spec),
         results.flatMap(_.add), (prevLive ++ results.flatMap(_.remove)).distinct,
         txnMap, tableStats, copyFiles,
-        identityHigh = latestCommit.identityHigh ++ identityHigh,
-        savepoints = savepoints.getOrElse(latestCommit.savepoints)), conf)
+        identityHigh = lc.identityHigh ++ identityHigh,
+        savepoints = savepoints.getOrElse(lc.savepoints)), conf)
     } catch {
       case c: CommitConflictException =>
         // lost the race: drop ONLY the dirs this attempt itself created —

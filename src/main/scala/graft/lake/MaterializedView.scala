@@ -66,11 +66,16 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         txn.getOrElse(dimCursorApp(i), j.dimVersion) })
   }
 
-  def lastRefreshedVersion: Long = cursorOf(state)._1
+  /** Both maintenance-cursor components in ONE state resolution —
+    * prefer this in hot paths (e.g. the rewrite freshness gate) over
+    * calling the per-component getters separately. */
+  def refreshedVersions: (Long, Seq[Long]) = cursorOf(state)
+
+  def lastRefreshedVersion: Long = refreshedVersions._1
 
   /** For a star-join view: the dim versions the state reflects, one per
     * join in definition order. */
-  def dimRefreshedVersions: Seq[Long] = cursorOf(state)._2
+  def dimRefreshedVersions: Seq[Long] = refreshedVersions._2
 
   /** Single-join convenience over [[dimRefreshedVersions]]. */
   def dimRefreshedVersion: Option[Long] = dimRefreshedVersions.headOption

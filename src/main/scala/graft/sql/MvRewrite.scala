@@ -276,10 +276,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           // freshness gate: a stale view must never serve — for a join
           // view EVERY maintenance cursor must be current. The cursor is
           // read from the state table's commit (atomic with the data),
-          // not the meta mirror.
-          m.lastRefreshedVersion == LakeTable.load(spark, meta.basePath).latestVersion &&
-          meta.joins.zip(m.dimRefreshedVersions).forall { case (j, c) =>
-            c == LakeTable.load(spark, j.dimPath).latestVersion })
+          // not the meta mirror; one resolution yields both components.
+          {
+            val (cf, cds) = m.refreshedVersions
+            cf == LakeTable.load(spark, meta.basePath).latestVersion &&
+            meta.joins.zip(cds).forall { case (j, c) =>
+              c == LakeTable.load(spark, j.dimPath).latestVersion }
+          })
           Some((m, meta))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
