@@ -269,6 +269,42 @@ object Dedup {
     }
   }
 
+  /** Duplicate-cluster retention — the keep/drop decision that follows
+    * near-dup detection in a training pipeline: each duplicate cluster
+    * keeps exactly ONE representative, the member with the highest
+    * `score` (quality, length, recency — caller's choice; ties broken by
+    * smallest id), and docs in no pair are singleton clusters that always
+    * survive. Returns one row per input doc — the input columns plus
+    * `cluster_id`, `score`, and a `kept` boolean — so callers can filter
+    * the keep set or audit the drop set. (Reference pipeline context:
+    * README.md:1213-1224 keeps the latest row per key; this is the fuzzy
+    * analog where "same key" is a near-dup cluster and "latest" is an
+    * arbitrary quality score.)
+    *
+    * Scale shape: [[components]] labels only the PAIRED docs (cost ∝ the
+    * pair graph, O(log diameter) rounds); the corpus then takes one keyed
+    * left join against those labels (duplicate clusters are normally a few
+    * percent of the corpus — AQE broadcasts the label table when small)
+    * and one hash-shuffle window whose partitions are individual clusters
+    * (singletons hash-spread by their own id) — never a global sort, never
+    * an all-pairs stage.
+    */
+  def keepBestPerCluster(df: DataFrame, pairs: DataFrame, score: Column,
+      idCol: String = "doc_id", idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val labels = components(pairs, idA, idB, maxIters)
+    val labeled = df
+      .withColumn("_score", score)
+      .join(labels, df(idCol) === labels("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .drop("id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("_score").desc, col(idCol).asc)
+    labeled
+      .withColumn("kept", row_number().over(w) === 1)
+      .withColumnRenamed("_score", "score")
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   /** MinHash signature over a (precomputed) shingle-array column: per seed,

@@ -768,6 +768,47 @@ object ExtQueries {
         |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Duplicate-cluster retention: keep the highest-quality member per
+    // near-dup cluster (score = token count, ties to the smaller id),
+    // singletons always survive. The planted copies are one token LONGER
+    // than their sources ("graftdup"), so keep-best retains the planted
+    // doc — the OPPOSITE of q62's min-id rule — which makes the score
+    // genuinely decide. Oracle = q62's recursive-CTE components + the
+    // same windowed argmax in DuckDB.
+    "q152_keep_best" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = plantedDocs(s, d)
+        Dedup.keepBestPerCluster(docs,
+            Dedup.ngramJaccardPairs(docs, threshold = 0.6, k = 4),
+            score = size(split(trim(col("text")), "\\s+")).cast("long"))
+          .select(col("doc_id"), col("cluster_id"), col("score"), col("kept"))
+          .orderBy("doc_id")
+      },
+      raw"""WITH RECURSIVE corpus AS ($plantedDocsSql),
+        |docs AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-3, 1)),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus)),
+        |inv AS (SELECT id, len(sh) AS n, UNNEST(sh) AS s FROM docs),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT id_a, id_b FROM cand
+        |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |scored AS (SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS cluster_id,
+        |    CAST(len(regexp_split_to_array(trim(c.text), '\s+')) AS BIGINT) AS score
+        |  FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id)
+        |SELECT doc_id, cluster_id, score,
+        |  (row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) = 1) AS kept
+        |FROM scored ORDER BY doc_id""".stripMargin)),
+
     // MinHash+LSH near-dup pairs (banded signatures, exact-Jaccard refine).
     // Deterministic (fixed seeds) with measured 100% recall on this corpus
     // at sf0.01 AND sf0.1 — oracled against the exact inverted-index pairs;

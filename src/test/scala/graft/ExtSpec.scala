@@ -675,6 +675,48 @@ class ExtSpec extends AnyFunSuite {
     assert(got.size == 60 && got.values.forall(_ == 1L))
   }
 
+  test("keep-best retention: one survivor per cluster, highest score wins, singletons live") {
+    import spark.implicits._
+    // cluster {1,2,3}: 2 has the top score; {10,11}: tie → smaller id; 99 unpaired
+    val corpus = Seq((1L, "a", 5L), (2L, "b", 9L), (3L, "c", 7L),
+      (10L, "d", 4L), (11L, "e", 4L), (99L, "f", 1L)).toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.keepBestPerCluster(corpus, pairs, score = col("q"))
+      .select("doc_id", "cluster_id", "kept")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false), 99L -> (99L, true)))
+  }
+
+  test("keep-best on the planted corpus retains the longer planted copy") {
+    val p = planted
+    val rows = Dedup.keepBestPerCluster(p,
+        Dedup.ngramJaccardPairs(p, threshold = 0.6, k = 4),
+        score = size(split(trim(col("text")), "\\s+")).cast("long"))
+      .select("doc_id", "cluster_id", "score", "kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // global invariants: exactly one survivor per cluster, and it carries
+    // the cluster's (max score, min id) — checked against the op's output
+    val byCluster = rows.groupBy(_._2)
+    for ((c, members) <- byCluster) {
+      val keptM = members.filter(_._4)
+      assert(keptM.length == 1, s"cluster $c must keep exactly one")
+      val winner = members.minBy(m => (-m._3, m._1))
+      assert(keptM.head._1 == winner._1, s"cluster $c kept ${keptM.head._1}, not $winner")
+    }
+    // and concretely: in every two-member {orig, dup} cluster the planted
+    // +100000 copy is one token longer and survives over the original
+    val kept = rows.filter(_._4).map(_._1).toSet
+    for ((orig, dup) <- plantedIds) {
+      val cluster = byCluster(rows.find(_._1 == dup).get._2)
+      if (cluster.map(_._1).toSet == Set(orig, dup)) {
+        assert(kept.contains(dup) && !kept.contains(orig),
+          s"planted $dup (longer) must beat $orig")
+      }
+    }
+  }
+
   test("token-budget sample lands on the budget, deterministically") {
     import graft.ext.Sampling
     val tok = size(split(trim(col("text")), "\\s+")).cast("long")
