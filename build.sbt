@@ -38,5 +38,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // whole query blocks run interpreted (the round-5 bench tail). Reserve
   // enough that compilation never pauses.
   "-XX:ReservedCodeCacheSize=1g",
+  // With a large -Xmx (the bench protocol runs 100g) G1's adaptive young
+  // gen balloons to tens of GB: garbage from scan-heavy queries then
+  // accumulates for whole query blocks with ZERO collections, RSS climbs
+  // past 30 GB, and the box degrades until a collection finally fires —
+  // measured as a progressive 2-10x slowdown on the scan-heaviest bench
+  // entries (e13/e14 repeated searches: reps 1-7 ~1.5s, reps 8-14 10-20s,
+  // instant recovery after the first GC; graft.tools.VixProbe reproduces
+  // it). Capping the young gen keeps collections frequent (tens of ms,
+  // small live set) and RSS bounded, and the same probe then holds ~1.5s
+  // across all reps.
+  "-XX:MaxNewSize=2g",
 ) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq
   .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

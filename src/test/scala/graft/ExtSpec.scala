@@ -404,6 +404,29 @@ class ExtSpec extends AnyFunSuite {
     assert(s2.toSeq == Seq(21L), s"batch2 survivors: ${s2.toSeq}")
   }
 
+  test("dedup ops leave no CacheManager entries behind (round-5 persist leak)") {
+    import spark.implicits._
+    import graft.lake.{LakeTable, TableSpec}
+    // start from a clean cache (suites run sequentially in the forked JVM)
+    spark.catalog.clearCache()
+    Dedup.minhashPairs(planted, 0.6, 64, 16, k = 4).count()
+    Dedup.simhashPairs(planted, maxHamming = 8).count()
+    val words = (0 until 40).map(i => s"cache$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cacheleak").toString
+    val index = LakeTable.create(spark, dir, TableSpec("bk", "doc_id"),
+      graft.ext.Dedup.nearDupIndexRows(Seq((1L, words)).toDF("doc_id", "text")))
+    Dedup.incrementalNearDedup(index,
+      Seq((2L, words.split(" ").updated(20, "X").mkString(" ")),
+        (3L, (0 until 40).map(i => s"fresh$i").mkString(" "))).toDF("doc_id", "text"),
+      minEqual = 32).count()
+    // every persist these paths take must be released before return: in a
+    // long-lived session (the driver's one-JVM bench calls minhashPairs 4x)
+    // leaked entries accumulate in the CacheManager and pin block storage
+    // for the rest of the suite
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup left entries in the CacheManager")
+  }
+
   test("stupid-backoff LM scoring: exact fixed-point values, backoff levels, OOV") {
     import spark.implicits._
     // model: N=6; uni a:2 b:2 c:1 d:1; bi "a b":2 "b c":1 "c a":1 "b d":1;
