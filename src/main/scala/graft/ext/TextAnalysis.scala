@@ -422,22 +422,17 @@ object TextAnalysis {
       width: Int = 1024, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(depth >= 1 && width >= 1 && k >= 1, "heavyHitters needs positive k/depth/width")
+    // sketch + estimation delegate to the Sketch primitive (one CMS
+    // implementation; q154 exercises its estimate-only serving path);
+    // this query ADDS the exact top-k anchor and the bound column
     val toks = df.select(explode(tokens(col(textCol))).as("tok"))
-    val sketch = toks
-      .select(posexplode(array((0 until depth).map(d =>
-        Dedup.portableSeededHash(lit(d), col("tok")) % width): _*))
-        .as(Seq("d", "bucket")))
-      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    val cells = Sketch.cmsBuild(df, depth, width, textCol)
     val topK = toks.groupBy("tok").agg(count(lit(1)).as("exact_c"))
       .orderBy(col("exact_c").desc, col("tok").asc).limit(k)
-    val probes = topK.select(col("tok"), col("exact_c"),
-      posexplode(array((0 until depth).map(d =>
-        Dedup.portableSeededHash(lit(d), col("tok")) % width): _*))
-        .as(Seq("d", "bucket")))
-    probes.join(sketch, Seq("d", "bucket"))
-      .groupBy("tok", "exact_c").agg(min("c").as("cms_est"))
-      .select(col("tok"), col("exact_c"), col("cms_est"),
-        (col("cms_est") >= col("exact_c")).as("bound_ok"))
+    Sketch.cmsEstimates(cells, topK.select("tok"), depth, width)
+      .join(topK, Seq("tok"))
+      .select(col("tok"), col("exact_c"), col("est").as("cms_est"),
+        (col("est") >= col("exact_c")).as("bound_ok"))
   }
 
   /** Seed-labeled quality classifier — the fastText/CCNet quality-filter

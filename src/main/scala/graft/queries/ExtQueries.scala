@@ -809,6 +809,65 @@ object ExtQueries {
         |  (row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) = 1) AS kept
         |FROM scored ORDER BY doc_id""".stripMargin)),
 
+    // Unicode normalization (NFC) + casefold — the standard first step of
+    // a curation pipeline: canonically equivalent byte sequences must
+    // fingerprint/dedup identically. The corpus is ASCII, so the query
+    // appends the SAME decomposed sequences on both engines (combining
+    // acute/ring/diaeresis) and the oracle pins that Java's Normalizer and
+    // DuckDB's nfc_normalize compose them identically (é, å, ï).
+    "q153_normalize" -> ((
+      (s: SparkSession, d: String) => {
+        val aug = t(s, d, "documents").filter(col("doc_id") < 500)
+          .withColumn("raw",
+            concat(col("text"), lit(" Café Å naïve STRASSE")))
+        aug.select(col("doc_id"),
+            graft.functions.UnicodeNorm.unicodeNorm(lower(col("raw")), "NFC")
+              .as("norm_text"),
+            length(col("raw")).as("raw_len"))
+          .withColumn("nfc_len", length(col("norm_text")))
+          .orderBy("doc_id")
+      },
+      raw"""WITH aug AS (SELECT doc_id,
+        |    text || ' Cafe' || chr(769) || ' A' || chr(778) || ' nai' || chr(776) || 've STRASSE' AS raw
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, nfc_normalize(lower(raw)) AS norm_text,
+        |  length(raw) AS raw_len,
+        |  length(nfc_normalize(lower(raw))) AS nfc_len
+        |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // Count-Min-sketch heavy hitters: token frequencies from a fixed
+    // depth×width cell matrix instead of a vocabulary-sized exact groupBy
+    // (the 100 TB shape: the sketch shuffle is ≤ 4·1024 cells no matter
+    // the corpus; estimates are one-sided upper bounds). Hashing is the
+    // portable md5 bucket, so DuckDB rebuilds the identical sketch and
+    // the estimates hash-match bit-for-bit.
+    "q154_cms_heavy_hitters" -> ((
+      (s: SparkSession, d: String) => {
+        val corpus = t(s, d, "documents").filter(col("doc_id") < 500)
+        val cands = t(s, d, "documents").filter(col("doc_id") < 50)
+        graft.ext.Sketch.cmsHeavyHitters(corpus, cands, minCount = 50L,
+            depth = 4, width = 1024)
+          .orderBy(col("est").desc, col("tok"))
+      },
+      raw"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |toks AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok FROM corpus),
+        |seeds AS (SELECT UNNEST(generate_series(0, 3)) AS seed),
+        |cells AS (SELECT seed,
+        |    ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 1024 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM toks CROSS JOIN seeds GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT tok FROM (
+        |  SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM corpus WHERE doc_id < 50) u),
+        |probes AS (SELECT tok, seed,
+        |    ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM cand CROSS JOIN seeds),
+        |est AS (SELECT p.tok, MIN(COALESCE(c.cnt, 0)) AS est
+        |  FROM probes p LEFT JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+        |  GROUP BY 1)
+        |SELECT tok, CAST(est AS BIGINT) AS est FROM est WHERE est >= 50
+        |ORDER BY est DESC, tok""".stripMargin)),
+
     // MinHash+LSH near-dup pairs (banded signatures, exact-Jaccard refine).
     // Deterministic (fixed seeds) with measured 100% recall on this corpus
     // at sf0.01 AND sf0.1 — oracled against the exact inverted-index pairs;
