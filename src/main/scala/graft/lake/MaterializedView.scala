@@ -9,10 +9,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** One aggregate of a materialized view: `kind` ∈ count | sum | avg | min |
-  * max over `input` (a base-table column; `"*"` only for count). `name` is
-  * the output column. */
+  * max | hll over `input` (a base-table column; `"*"` only for count).
+  * `name` is the output column. `hll` is an incrementally-maintained
+  * APPROXIMATE COUNT(DISTINCT input): the state stores a mergeable
+  * Datasketches HLL sketch per group (additions union in; removals ride
+  * the min/max group-recompute path, since a sketch cannot retract), and
+  * the view finalizes to the rounded estimate. Below the sketch's exact
+  * regime (≲ 512 distinct values per group at the default lgK=12) the
+  * estimate IS the exact distinct count. */
 case class MvAgg(name: String, kind: String, input: String) {
-  require(Set("count", "sum", "avg", "min", "max").contains(kind), s"unknown agg kind $kind")
+  require(Set("count", "sum", "avg", "min", "max", "hll").contains(kind), s"unknown agg kind $kind")
   require(kind == "count" || input != "*", s"$kind requires a column input")
 }
 
@@ -36,6 +42,12 @@ case class MvAgg(name: String, kind: String, input: String) {
   *     only additions; a group that LOST rows may have lost its extremum,
   *     so exactly those groups are re-aggregated from the base snapshot
   *     (one scan filtered to the affected groups — still churn-bounded).
+  *   - hll (approximate count-distinct): the per-group Datasketches HLL
+  *     sketch unions in each window's added values; removal-touched
+  *     groups re-sketch via the same churn-bounded recompute path as
+  *     min/max. The 100 TB shape: distinct-user/distinct-document counts
+  *     maintained at churn cost, with a fixed-size mergeable state per
+  *     group instead of a distinct-values set.
   *
   * State is itself a [[LakeTable]] (keyed on the null-safe dim tuple, so
   * refreshes are versioned, time-travelable, and stats-pruned like any
@@ -91,6 +103,10 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       case MvAgg(n, "sum", _) => when(col(cntCol(n)) > 0, col(sumCol(n))).as(n)
       case MvAgg(n, "avg", _) =>
         when(col(cntCol(n)) > 0, col(sumCol(n)).cast(DoubleType) / col(cntCol(n))).as(n)
+      case MvAgg(n, "hll", _) =>
+        // estimate of the stored sketch; an all-null-input group (null
+        // sketch) finalizes to 0, matching COUNT(DISTINCT) over no values
+        coalesce(hll_sketch_estimate(col(hllCol(n))), lit(0L)).as(n)
       case MvAgg(n, _, _) => col(n)
     }
     state.read().filter(col(GRP_N) > 0).select(cols: _*)
@@ -126,6 +142,9 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
           sum(col(sumCol(n))).cast(DoubleType) / sum(col(cntCol(n)))).as(n)
       case MvAgg(n, "min", _) => min(col(n)).as(n)
       case MvAgg(n, "max", _) => max(col(n)).as(n)
+      case MvAgg(n, "hll", _) =>
+        // sketches are mergeable: union the group sketches, then estimate
+        coalesce(hll_sketch_estimate(hll_union_agg(col(hllCol(n)))), lit(0L)).as(n)
     }
     st.groupBy(rollDims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
   }
@@ -254,6 +273,10 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
             sum(when(col(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
           case MvAgg(n, "min", in) => Seq(min(when(sgn === 1, col(in))).as(pCol(n)))
           case MvAgg(n, "max", in) => Seq(max(when(sgn === 1, col(in))).as(pCol(n)))
+          case MvAgg(n, "hll", in) =>
+            // sketch of the window's ADDED values only — removals route the
+            // group through the recompute path below (sketches can't retract)
+            Seq(hll_sketch_agg(when(sgn === 1, col(in))).as(pCol(n)))
         }
     val delta = contrib.groupBy(dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
@@ -291,22 +314,37 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         Seq(when(d(HASM) === 0, least(oLive(n), d(pCol(n)))).cast(stType(n)).as(n))
       case MvAgg(n, "max", _) =>
         Seq(when(d(HASM) === 0, greatest(oLive(n), d(pCol(n)))).cast(stType(n)).as(n))
+      case MvAgg(n, "hll", _) =>
+        // additions-only groups union the window sketch into the stored
+        // one (either side absent → the other); removal groups get the
+        // null placeholder and are re-sketched below. oLive: a reborn
+        // group must not inherit the dead row's stale sketch.
+        val sc = hllCol(n)
+        Seq(when(d(HASM) === 0,
+          when(oLive(sc).isNull, d(pCol(n)))
+            .when(d(pCol(n)).isNull, oLive(sc))
+            .otherwise(hll_union(oLive(sc), d(pCol(n))))).as(sc))
     }
     val newRows = merged.select(
       (dims.map(x => d(x).as(x)) :+ col(MVKEY) :+ newN.as(GRP_N)) ++
         valueCols :+ d(HASM).as(HASM): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val minMax = m.aggs.filter(a => a.kind == "min" || a.kind == "max")
+      // non-retractable aggregates: min/max (a removal may take the
+      // extremum) and hll (a sketch cannot forget a value)
+      val nonLin = m.aggs.filter(a => Set("min", "max", "hll").contains(a.kind))
+      def storedName(a: MvAgg): String = if (a.kind == "hll") hllCol(a.name) else a.name
       val patched =
-        if (minMax.isEmpty) newRows.drop(HASM)
+        if (nonLin.isEmpty) newRows.drop(HASM)
         else {
-          // LIVE groups that lost rows may have lost their extremum:
-          // re-aggregate exactly those groups from the base (or joined)
-          // snapshot; dead rows keep their null placeholders
+          // LIVE groups that lost rows may have lost their extremum (or
+          // sketched a removed value): re-aggregate exactly those groups
+          // from the base (or joined) snapshot; dead rows keep their null
+          // placeholders
           val reKeys = newRows.filter(col(GRP_N) > 0 && col(HASM) > 0).select(MVKEY)
-          val reAggs = minMax.map {
+          val reAggs = nonLin.map {
             case MvAgg(n, "min", in) => min(col(in)).as(reCol(n))
+            case MvAgg(n, "hll", in) => hll_sketch_agg(col(in)).as(reCol(n))
             case MvAgg(n, _, in) => max(col(in)).as(reCol(n))
           }
           val snap =
@@ -317,10 +355,12 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
           val re = snap.withColumn(MVKEY, mvKeyCol(dims))
             .join(reKeys, Seq(MVKEY), "left_semi")
             .groupBy(MVKEY).agg(reAggs.head, reAggs.tail: _*)
-          val keep = newRows.columns.filterNot(c => c == HASM || minMax.exists(_.name == c))
+          val keep = newRows.columns.filterNot(c =>
+            c == HASM || nonLin.exists(storedName(_) == c))
           newRows.join(re, Seq(MVKEY), "left")
-            .select(keep.map(col) ++ minMax.map(a =>
-              coalesce(col(reCol(a.name)), col(a.name)).cast(stType(a.name)).as(a.name)): _*)
+            .select(keep.map(col) ++ nonLin.map(a =>
+              coalesce(col(reCol(a.name)), col(storedName(a)))
+                .cast(stType(storedName(a))).as(storedName(a))): _*)
         }
 
       // ONE commit: touched groups (live AND dead tombstones) upserted,
@@ -375,6 +415,7 @@ object MaterializedView {
   private def reCol(n: String) = s"_re_$n"
   private def sumCol(n: String) = s"${n}__sum"
   private def cntCol(n: String) = s"${n}__cnt"
+  private def hllCol(n: String) = s"${n}__hll"
 
   /** Null-safe, collision-free dim-tuple key: each dim base64-encoded (no
     * `,` in the alphabet) with a `v`/`n` null marker, comma-joined — so no
@@ -390,6 +431,7 @@ object MaterializedView {
     GRP_N +: aggs.flatMap {
       case MvAgg(n, "sum", _) => Seq(sumCol(n), cntCol(n))
       case MvAgg(n, "avg", _) => Seq(sumCol(n), cntCol(n))
+      case MvAgg(n, "hll", _) => Seq(hllCol(n))
       case a => Seq(a.name)
     }
 
@@ -404,6 +446,7 @@ object MaterializedView {
         Seq(coalesce(sum(col(in)), lit(0)).as(sumCol(n)), count(col(in)).as(cntCol(n)))
       case MvAgg(n, "min", in) => Seq(min(col(in)).as(n))
       case MvAgg(n, "max", in) => Seq(max(col(in)).as(n))
+      case MvAgg(n, "hll", in) => Seq(hll_sketch_agg(col(in)).as(hllCol(n)))
     }
     base.groupBy(dims.map(col): _*).agg(exprs.head, exprs.tail: _*)
       .withColumn(MVKEY, mvKeyCol(dims))

@@ -925,6 +925,42 @@ object LakeQueries {
         |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Incremental APPROXIMATE COUNT(DISTINCT) materialized view: the state
+    // stores one mergeable Datasketches HLL sketch per group; additions
+    // union in at churn cost, removal-touched groups re-sketch (bounded by
+    // churn groups, like min/max repair). The custkey cap keeps every
+    // group inside the sketch's exact coupon regime (< 512 distinct), so
+    // the estimate deterministically EQUALS COUNT(DISTINCT) and DuckDB
+    // oracles it exactly — at larger cardinalities the same maintenance
+    // yields the sketch estimate (pinned incremental ≡ recompute in
+    // MaterializedViewSpec).
+    "q155_mv_hll" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val path = freshDir(s"mvhll_$tag")
+        val mp = freshDir(s"mvhll_mv_$tag")
+        val capped = t(s, d, "orders").filter(col("o_custkey") <= 397)
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          capped.filter(col("o_orderkey") % 2 === 0))
+        MaterializedView.create(s, mp, tbl, Seq("o_orderstatus"), Seq(
+          MvAgg("n", "count", "*"),
+          MvAgg("du", "hll", "o_custkey")))
+        // additions only (pure sketch-union refresh) ...
+        tbl.upsert(capped.filter(col("o_orderkey") % 2 === 1))
+        MaterializedView.load(s, mp).refresh()
+        // ... then deletions (removal groups re-sketch from the snapshot)
+        tbl.delete(col("o_orderkey") % 5 === 0)
+        val mv = MaterializedView.load(s, mp).refresh()
+        require(mv.lastRefreshedVersion == LakeTable.load(s, path).latestVersion,
+          "refresh must reach the final base version")
+        mv.read().orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS du
+        |FROM orders WHERE o_custkey <= 397 AND o_orderkey % 5 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

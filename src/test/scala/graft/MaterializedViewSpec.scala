@@ -89,6 +89,52 @@ class MaterializedViewSpec extends AnyFunSuite {
     checkEq(mv, t)
   }
 
+  test("hll distinct-count MV: union on additions, re-sketch on removals, death/rebirth, rollup") {
+    val bp = tmp(); val mp = tmp()
+    // ≤ 91 distinct users per group / ≤ 91 overall: inside the sketch's
+    // exact (coupon) regime, so the estimate IS COUNT(DISTINCT) and the
+    // equality checks below are deterministic, not statistical
+    def mk(from: Long, until: Long, ver: Long, userMod: Long): DataFrame =
+      spark.range(from, until).select(
+        col("id").as("k"), lit(ver).as("ver"),
+        (col("id") % 5).cast("string").as("grp"),
+        (col("id") % userMod).as("user"),
+        when(col("id") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("id") % userMod).as("maybe_user"))
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), mk(0, 400, 0L, 57))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), Seq(
+      MvAgg("n", "count", "*"),
+      MvAgg("du", "hll", "user"),
+      MvAgg("dm", "hll", "maybe_user")))
+    def want = rows(t.read().groupBy("grp").agg(count(lit(1)).as("n"),
+      countDistinct(col("user")).as("du"),
+      countDistinct(col("maybe_user")).as("dm")))
+    def got = rows(mv.read().select("grp", "n", "du", "dm"))
+    assert(got == want, "create-time state")
+    // additions only (pure sketch-union path): new keys, new distinct users
+    t.upsert(mk(400, 520, 1L, 91))
+    mv.refresh()
+    assert(got == want, "additions-only refresh")
+    // removals: distinct counts must DROP (the removal-group re-sketch)
+    t.delete(col("user") < 10)
+    mv.refresh()
+    assert(got == want, "removal refresh")
+    // group death, then rebirth — the reborn sketch must not inherit the
+    // dead row's stale sketch
+    t.delete(col("grp") === "2")
+    mv.refresh()
+    assert(got == want, "group death")
+    assert(mv.read().where(col("grp") === "2").isEmpty)
+    t.upsert(mk(2000, 2030, 2L, 7).withColumn("grp", lit("2")))
+    mv.refresh()
+    assert(got == want, "rebirth")
+    // rollup to the global aggregate: group sketches UNION to the true
+    // global distinct (not the sum of per-group distincts)
+    val glob = mv.readRollup(Nil).select("du").head().getLong(0)
+    val exactGlob = t.read().select(countDistinct(col("user"))).head().getLong(0)
+    assert(glob == exactGlob, s"rollup distinct $glob != exact $exactGlob")
+  }
+
   test("no-op refresh and repeated refresh are stable; version tracked") {
     val bp = tmp(); val mp = tmp()
     val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(100))
