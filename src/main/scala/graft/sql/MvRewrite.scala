@@ -391,11 +391,24 @@ private[sql] object GraftMvShape {
             if (al.name.equalsIgnoreCase(a.name)) None
             else return scala.Left(s"dim columns cannot be re-aliased (${al.sql})")
           case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-            GraftMvRewrite.aggSpec(fn) match {
+            // CREATE-only extension over aggSpec: approx_count_distinct(x)
+            // defines an hll agg (maintained as a Datasketches sketch; the
+            // stored estimate is the sketch's, not HLL++'s — both are
+            // "approximate distinct", but the DIFFERENT estimator is why
+            // the query-rewrite side never maps this function: a rewrite
+            // must not change a query's result)
+            val spec = fn match {
+              case h: HyperLogLogPlusPlus => h.child match {
+                case a: AttributeReference => Some(("hll", a.name))
+                case _ => None
+              }
+              case _ => GraftMvRewrite.aggSpec(fn)
+            }
+            spec match {
               case Some((kind, input)) => Some(MvAgg(al.name, kind, input))
               case None => return scala.Left(
-                s"unsupported aggregate ${al.sql} — count/sum/avg/min/max " +
-                  "over a bare column (no DISTINCT, no FILTER)")
+                s"unsupported aggregate ${al.sql} — count/sum/avg/min/max/" +
+                  "approx_count_distinct over a bare column (no DISTINCT, no FILTER)")
             }
           case e => return scala.Left(s"unsupported select item ${e.sql} — " +
             "alias every aggregate (e.g. count(1) AS n)")

@@ -173,6 +173,39 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL CREATE with approx_count_distinct defines an hll MV; queries never rewrite to it") {
+    val (base, path) = freshBase("hll")
+    val mvPath = Files.createTempDirectory("graft_mvrw_hll").toString + "/mv"
+    spark.read.format("graft").load(path).createOrReplaceTempView("mv_hll_v")
+    try {
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW '$mvPath' AS
+           |SELECT grp, count(1) AS n, approx_count_distinct(amt) AS du
+           |FROM mv_hll_v GROUP BY grp""".stripMargin)
+      val mv = MaterializedView.load(spark, mvPath)
+      assert(mv.meta.aggs.contains(MvAgg("du", "hll", "amt")))
+      // amt has ≤ 100 distinct values per group: exact coupon regime, so
+      // the maintained estimate equals COUNT(DISTINCT) deterministically
+      def expect = base.read().groupBy("grp")
+        .agg(count(lit(1)).as("n"), countDistinct(col("amt")).as("du"))
+        .collect().map(_.toSeq).toSet
+      assert(mv.read().select("grp", "n", "du").collect().map(_.toSeq).toSet == expect)
+      base.upsert((5000L to 5100L).map(i => (i, 1L, s"g${i % 7}", i % 190))
+        .toDF("k", "ver", "grp", "amt"))
+      mv.refresh()
+      assert(mv.read().select("grp", "n", "du").collect().map(_.toSeq).toSet == expect)
+      // a query's approx_count_distinct keeps ITS estimator (HLL++): the
+      // rewrite must not swap in the sketch estimate, so the Aggregate stays
+      val q = spark.sql(
+        "SELECT grp, approx_count_distinct(amt) AS du FROM mv_hll_v GROUP BY grp")
+      assert(hasAggregate(q) && !scansMvState(q),
+        s"approx_count_distinct must not rewrite:\n${q.queryExecution.optimizedPlan}")
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("mv_hll_v")
+    }
+  }
+
   test("star-join MV over SQL: join aggregate rewrites to state, either join order; staleness on EITHER table gates") {
     val fp = Files.createTempDirectory("graft_mvrw_jf").toString
     val dp = Files.createTempDirectory("graft_mvrw_jd").toString
