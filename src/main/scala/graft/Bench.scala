@@ -401,6 +401,33 @@ object Bench {
       time { graft.lake.MaterializedView.load(spark, mvDir).refresh() }
     }
 
+    // B13/B14: incremental distinct-count maintenance vs recompute. B13
+    // times one hll-MV refresh absorbing a 1% pure-addition batch (new
+    // keys, new custkeys): windowDelta reads only the appended file, the
+    // per-group sketches union in — cost ∝ churn + state commit. B14 is
+    // the recompute control on the SAME final table: full COUNT(DISTINCT)
+    // groupBy (expand + vocabulary-sized shuffle). At this SF the refresh
+    // is commit-overhead bound; at 100 TB the control is a full scan
+    // whose shuffle carries every distinct (group, custkey) pair, while
+    // the refresh stays ∝ the batch.
+    val b13Dir = freshDir("b13_base")
+    results("b13_mv_hll_refresh") = {
+      val base = LakeTable.create(spark, b13Dir,
+        TableSpec("o_orderkey", "o_orderdate"), tbl("orders"))
+      val mvDir = freshDir("b13_mv")
+      graft.lake.MaterializedView.create(spark, mvDir, base, Seq("o_orderstatus"),
+        Seq(graft.lake.MvAgg("n", "count", "*"),
+          graft.lake.MvAgg("du", "hll", "o_custkey")))
+      base.upsert(tbl("orders").filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_custkey", col("o_custkey") + 10000000L))
+      time { graft.lake.MaterializedView.load(spark, mvDir).refresh() }
+    }
+    results("b14_distinct_recompute") = median {
+      spark.read.format("graft").load(b13Dir).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("du"))
+    }
+
     // R1: TPC-H Q1 shape from the relational set.
     results("r1_pricing_summary") = median(
       graft.queries.Relational.defs("q01_pricing_summary")._1(spark, sfDir))
