@@ -21,27 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
+  /** A built Count-Min sketch: the cells plus the (depth, width) geometry
+    * they were hashed with. Estimation MUST probe with the same geometry —
+    * a mismatched width would silently underestimate (probes land in
+    * buckets the build never filled) — so the handle carries it and
+    * [[cmsEstimates]] takes the handle, never free depth/width numbers. */
+  case class Cms(cells: DataFrame, depth: Int, width: Int)
+
   private def bucketOf(seed: Int, tok: Column, width: Int): Column =
     pmod(Dedup.portableSeededHash(lit(seed), tok), lit(width.toLong))
 
-  /** Whitespace tokens of a corpus — the shared tokenization of the text
-    * ops (space-only trim + `\s+` split, trailing-empties preserved). */
+  /** Whitespace tokens of a corpus — [[TextAnalysis.tokens]], the single
+    * tokenization every text op shares (heavyHitters' exact-vs-estimate
+    * bound depends on the two sides tokenizing identically). */
   private def tokens(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
 
   /** Build the sketch: one pass over the corpus, one shuffle whose
     * cardinality is ≤ depth·width cells (map-side combined — each of the
     * corpus partitions emits at most depth·width partial cells, never a
     * row per token). Returns the cells as a tiny DataFrame
-    * (seed, bucket, cnt); absent cells are zero. */
+    * (seed, bucket, cnt) wrapped with their geometry; absent cells are
+    * zero. */
   def cmsBuild(df: DataFrame, depth: Int = 4, width: Int = 1024,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): Cms = {
     require(depth >= 1 && width >= 2, s"cmsBuild: bad depth=$depth width=$width")
-    tokens(df, textCol)
+    Cms(tokens(df, textCol)
       .select(explode(array((0 until depth).map(d =>
         struct(lit(d).as("seed"), bucketOf(d, col("tok"), width).as("bucket"))): _*)).as("c"))
       .groupBy(col("c.seed").as("seed"), col("c.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")), depth, width)
   }
 
   /** Point estimates for candidate tokens: est(tok) = min over the sketch
@@ -49,13 +58,13 @@ object Sketch {
     * and is broadcast — per candidate this is a map-side lookup plus one
     * candidate-sized min-aggregation; nothing scales with the corpus.
     * Estimates are upper bounds: est ≥ true count, always. */
-  def cmsEstimates(cells: DataFrame, candidates: DataFrame,
-      depth: Int = 4, width: Int = 1024, tokCol: String = "tok"): DataFrame = {
+  def cmsEstimates(cms: Cms, candidates: DataFrame,
+      tokCol: String = "tok"): DataFrame = {
     val probes = candidates.select(col(tokCol).as("tok")).distinct()
-      .select(col("tok"), explode(array((0 until depth).map(d =>
-        struct(lit(d).as("seed"), bucketOf(d, col("tok"), width).as("bucket"))): _*)).as("p"))
+      .select(col("tok"), explode(array((0 until cms.depth).map(d =>
+        struct(lit(d).as("seed"), bucketOf(d, col("tok"), cms.width).as("bucket"))): _*)).as("p"))
       .select(col("tok"), col("p.seed").as("seed"), col("p.bucket").as("bucket"))
-    probes.join(broadcast(cells), Seq("seed", "bucket"), "left")
+    probes.join(broadcast(cms.cells), Seq("seed", "bucket"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
@@ -67,8 +76,8 @@ object Sketch {
     * sketch itself never enumerates the corpus vocabulary). */
   def cmsHeavyHitters(corpus: DataFrame, candidates: DataFrame, minCount: Long,
       depth: Int = 4, width: Int = 1024, textCol: String = "text"): DataFrame = {
-    val cells = cmsBuild(corpus, depth, width, textCol)
-    cmsEstimates(cells, tokens(candidates, textCol), depth, width)
+    val cms = cmsBuild(corpus, depth, width, textCol)
+    cmsEstimates(cms, tokens(candidates, textCol))
       .filter(col("est") >= minCount)
   }
 }

@@ -421,15 +421,16 @@ object TextAnalysis {
   def heavyHitters(df: DataFrame, k: Int = 20, depth: Int = 4,
       width: Int = 1024, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(depth >= 1 && width >= 1 && k >= 1, "heavyHitters needs positive k/depth/width")
+    require(depth >= 1 && width >= 2 && k >= 1,
+      "heavyHitters needs k >= 1, depth >= 1, width >= 2")
     // sketch + estimation delegate to the Sketch primitive (one CMS
     // implementation; q154 exercises its estimate-only serving path);
     // this query ADDS the exact top-k anchor and the bound column
     val toks = df.select(explode(tokens(col(textCol))).as("tok"))
-    val cells = Sketch.cmsBuild(df, depth, width, textCol)
+    val cms = Sketch.cmsBuild(df, depth, width, textCol)
     val topK = toks.groupBy("tok").agg(count(lit(1)).as("exact_c"))
       .orderBy(col("exact_c").desc, col("tok").asc).limit(k)
-    Sketch.cmsEstimates(cells, topK.select("tok"), depth, width)
+    Sketch.cmsEstimates(cms, topK.select("tok"))
       .join(topK, Seq("tok"))
       .select(col("tok"), col("exact_c"), col("est").as("cms_est"),
         (col("est") >= col("exact_c")).as("bound_ok"))

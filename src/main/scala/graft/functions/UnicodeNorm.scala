@@ -15,22 +15,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * e.g. "é" as U+00E9 vs "e"+U+0301). Spark ships no builtin for it; a
   * Scala UDF would break whole-stage codegen on the corpus scan.
   *
-  * Scale posture: per-row, no shuffle; the already-normalized fast path
-  * (all of ASCII, and most real NFC text) is a quick-check scan that
-  * allocates nothing, so a 100 TB mostly-ASCII corpus pays ~zero.
+  * Scale posture: per-row, no shuffle; the `form` resolves to its enum
+  * ONCE at expression construction (a reference object in generated
+  * code, not a per-row lookup), and ASCII input — normal under every
+  * form — short-circuits on the raw UTF8 bytes without materializing a
+  * String, so a 100 TB mostly-ASCII corpus scans allocation-free.
   * Engine-portable: the computation is the Unicode standard's — DuckDB's
   * `nfc_normalize` replays it exactly (pinned by the q153 oracle).
   */
 case class UnicodeNorm(child: Expression, form: String) extends UnaryExpression {
 
+  @transient private lazy val nform: Normalizer.Form = UnicodeNorm.formOf(form)
+
   override def dataType: DataType = StringType
 
   override protected def nullSafeEval(input: Any): Any =
-    UnicodeNorm.normalize(input.asInstanceOf[UTF8String], form)
+    UnicodeNorm.normalize(input.asInstanceOf[UTF8String], nform)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"""graft.functions.UnicodeNorm.normalize($c, "$form")""")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nform", nform, classOf[Normalizer.Form].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeNorm.normalize($c, $ref)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -41,19 +46,25 @@ object UnicodeNorm {
   private val Forms: Map[String, Normalizer.Form] =
     Normalizer.Form.values().map(f => f.name -> f).toMap
 
+  def formOf(form: String): Normalizer.Form = Forms.getOrElse(form,
+    throw new IllegalArgumentException(s"unknown normalization form: $form"))
+
   /** Called from generated code — keep signature stable. */
-  def normalize(text: UTF8String, form: String): UTF8String = {
-    val f = Forms.getOrElse(form,
-      throw new IllegalArgumentException(s"unknown normalization form: $form"))
+  def normalize(text: UTF8String, form: Normalizer.Form): UTF8String = {
+    // ASCII is normalized under every form: check the raw bytes and
+    // return the input untouched — no String materialized, no allocation
+    val n = text.numBytes()
+    var i = 0
+    while (i < n && text.getByte(i) >= 0) i += 1
+    if (i == n) return text
     val s = text.toString
-    // quick-check fast path: ASCII (and most NFC text) returns the input
-    // UTF8String untouched — no new allocation on the common case
-    if (Normalizer.isNormalized(s, f)) text
-    else UTF8String.fromString(Normalizer.normalize(s, f))
+    // quick-check second chance: most non-ASCII real text is already NFC
+    if (Normalizer.isNormalized(s, form)) text
+    else UTF8String.fromString(Normalizer.normalize(s, form))
   }
 
   def unicodeNorm(text: Column, form: String = "NFC"): Column = {
-    require(Forms.contains(form), s"unknown normalization form: $form")
+    formOf(form) // reject unknown forms at column construction
     GraftExpressionBridge.column(
       UnicodeNorm(GraftExpressionBridge.expression(text), form))
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -399,7 +400,24 @@ private[sql] object GraftMvShape {
             // must not change a query's result)
             val spec = fn match {
               case h: HyperLogLogPlusPlus => h.child match {
-                case a: AttributeReference => Some(("hll", a.name))
+                case a: AttributeReference =>
+                  // the maintained sketch is hll_sketch_agg's: only its
+                  // input types are maintainable, and its precision is the
+                  // default lgK — validate BOTH here so the user gets this
+                  // message, not a DATATYPE_MISMATCH from deep inside
+                  // state creation (which would also strand a state dir)
+                  a.dataType match {
+                    case IntegerType | LongType | StringType | BinaryType =>
+                    case dt => return scala.Left(
+                      s"approx_count_distinct over ${dt.simpleString} is not " +
+                        "maintainable — the sketch state supports int, bigint, " +
+                        "string, binary inputs")
+                  }
+                  if (h.relativeSD != 0.05) return scala.Left(
+                    "approx_count_distinct with an explicit relativeSD is not " +
+                      "supported — the maintained sketch has fixed default " +
+                      "precision; drop the second argument")
+                  Some(("hll", a.name))
                 case _ => None
               }
               case _ => GraftMvRewrite.aggSpec(fn)

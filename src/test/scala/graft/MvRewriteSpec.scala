@@ -200,9 +200,31 @@ class MvRewriteSpec extends AnyFunSuite {
         "SELECT grp, approx_count_distinct(amt) AS du FROM mv_hll_v GROUP BY grp")
       assert(hasAggregate(q) && !scansMvState(q),
         s"approx_count_distinct must not rewrite:\n${q.queryExecution.optimizedPlan}")
+      // non-maintainable shapes are rejected by the VALIDATOR (clear
+      // message, no stranded state dir), not deep inside state creation
+      val dblPath = Files.createTempDirectory("graft_mvrw_hlld").toString
+      LakeTable.create(spark, dblPath, TableSpec("k", "ver"),
+        (1L to 50L).map(i => (i, 1L, s"g${i % 3}", i.toDouble))
+          .toDF("k", "ver", "grp", "d"))
+      spark.read.format("graft").load(dblPath).createOrReplaceTempView("mv_hll_dv")
+      val badType = intercept[Exception](spark.sql(
+        s"""CREATE MATERIALIZED VIEW '${mvPath}_bt' AS
+           |SELECT grp, approx_count_distinct(d) AS du
+           |FROM mv_hll_dv GROUP BY grp""".stripMargin))
+      assert(badType.getMessage.contains("int, bigint, string, binary"),
+        badType.getMessage)
+      val badSd = intercept[Exception](spark.sql(
+        s"""CREATE MATERIALIZED VIEW '${mvPath}_sd' AS
+           |SELECT grp, approx_count_distinct(amt, 0.005) AS du
+           |FROM mv_hll_v GROUP BY grp""".stripMargin))
+      assert(badSd.getMessage.contains("relativeSD"), badSd.getMessage)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${mvPath}_bt")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"${mvPath}_sd")),
+        "rejected definitions must not strand state directories")
     } finally {
       GraftMvRewrite.clear()
       spark.catalog.dropTempView("mv_hll_v")
+      spark.catalog.dropTempView("mv_hll_dv")
     }
   }
 

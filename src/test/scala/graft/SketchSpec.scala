@@ -19,8 +19,8 @@ class SketchSpec extends AnyFunSuite {
     val exact = docs
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("exact"))
-    val cells = Sketch.cmsBuild(docs, depth = 4, width = 256)
-    val joined = Sketch.cmsEstimates(cells, exact.select("tok"), depth = 4, width = 256)
+    val cms = Sketch.cmsBuild(docs, depth = 4, width = 256)
+    val joined = Sketch.cmsEstimates(cms, exact.select("tok"))
       .join(exact, Seq("tok"))
       .select(col("tok"), col("est"), col("exact")).collect()
     assert(joined.nonEmpty)
@@ -31,7 +31,7 @@ class SketchSpec extends AnyFunSuite {
   test("CMS total mass per sketch row equals the corpus token count") {
     val n = docs.select(explode(split(trim(col("text")), "\\s+"))).count()
     val rows = Sketch.cmsBuild(docs, depth = 4, width = 256)
-      .groupBy("seed").agg(sum("cnt").as("mass"))
+      .cells.groupBy("seed").agg(sum("cnt").as("mass"))
       .collect().map(r => r.getLong(1))
     assert(rows.length == 4 && rows.forall(_ == n),
       s"per-row mass ${rows.toSeq} != token count $n")
@@ -41,19 +41,17 @@ class SketchSpec extends AnyFunSuite {
     val exact = docs
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("exact"))
-    val cells = Sketch.cmsBuild(docs, depth = 4, width = 65536)
-    val mismatched = Sketch.cmsEstimates(cells, exact.select("tok"),
-        depth = 4, width = 65536)
+    val cms = Sketch.cmsBuild(docs, depth = 4, width = 65536)
+    val mismatched = Sketch.cmsEstimates(cms, exact.select("tok"))
       .join(exact, Seq("tok"))
       .filter(col("est") =!= col("exact")).count()
     assert(mismatched == 0)
   }
 
   test("unknown candidate tokens estimate to collision mass only (>= 0, never null)") {
-    val cells = Sketch.cmsBuild(docs, depth = 4, width = 256)
-    val est = Sketch.cmsEstimates(cells,
-        Seq("zzqx_never_in_corpus_1", "zzqx_never_in_corpus_2").toDF("tok"),
-        depth = 4, width = 256)
+    val cms = Sketch.cmsBuild(docs, depth = 4, width = 256)
+    val est = Sketch.cmsEstimates(cms,
+        Seq("zzqx_never_in_corpus_1", "zzqx_never_in_corpus_2").toDF("tok"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(est.length == 2 && est.forall(_._2 >= 0L))
   }
