@@ -229,7 +229,9 @@ class MaterializedViewSpec extends AnyFunSuite {
     MvAgg("sum_amt", "sum", "amt"),
     MvAgg("avg_amt", "avg", "amt"),
     MvAgg("min_score", "min", "score"),
-    MvAgg("max_dval", "max", "dval"))
+    MvAgg("max_dval", "max", "dval"),
+    // ≤ 20 distinct fks: exact coupon regime, estimate == COUNT(DISTINCT)
+    MvAgg("dfk", "hll", "fk"))
 
   private def checkJoinEq(mp: String, ft: LakeTable, dt: LakeTable): Unit = {
     val got = rows(MaterializedView.load(spark, mp).read())
@@ -239,7 +241,8 @@ class MaterializedViewSpec extends AnyFunSuite {
         sum(col("amt")).as("sum_amt"),
         (sum(col("amt")).cast("double") / count(col("amt"))).as("avg_amt"),
         min(col("score")).as("min_score"),
-        max(col("dval")).as("max_dval")))
+        max(col("dval")).as("max_dval"),
+        countDistinct(col("fk")).as("dfk")))
     assert(got == want, s"join mv != recompute\n got: $got\nwant: $want")
   }
 
