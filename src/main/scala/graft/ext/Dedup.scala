@@ -292,12 +292,21 @@ object Dedup {
   def keepBestPerCluster(df: DataFrame, pairs: DataFrame, score: Column,
       idCol: String = "doc_id", idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 20): DataFrame = {
+    // cluster_id/score/kept are the OUTPUT columns and _score/_cc_* are
+    // internal — a caller column with any of those names would be silently
+    // dropped or overwritten (an unqualified drop("id") here once ate a
+    // caller's unrelated "id" column), so reject the collision loudly
+    Seq("cluster_id", "score", "kept", "_score", "_cc_id", "_cc_label")
+      .foreach(c => require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"keepBestPerCluster: input already has a '$c' column — rename it " +
+          "(cluster_id/score/kept are outputs; _-prefixed names are internal)"))
     val labels = components(pairs, idA, idB, maxIters)
+      .select(col("id").as("_cc_id"), col("cluster_id").as("_cc_label"))
     val labeled = df
       .withColumn("_score", score)
-      .join(labels, df(idCol) === labels("id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
-      .drop("id")
+      .join(labels, df(idCol) === labels("_cc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("_cc_label"), col(idCol)))
+      .drop("_cc_id", "_cc_label")
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("_score").desc, col(idCol).asc)
     labeled

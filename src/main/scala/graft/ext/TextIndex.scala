@@ -125,7 +125,11 @@ class TextIndex private[ext] (spark: SparkSession, val path: String) {
     // scan (the documented contract is cost ∝ batch, never the index).
     // latestVersion+2 clears the build stamp (ver=1 at commit 0) and every
     // prior add's stamp (each add commits ≥1 version, so the bound rises
-    // strictly between calls).
+    // strictly between SERIALIZED calls). Two adds racing on the SAME key
+    // from the same observed version stamp the same ver, so which one's
+    // row serves is the precombine tiebreak, i.e. unspecified — racing
+    // adds are safe for DISJOINT keys (the spec's race case); same-key
+    // replacement order needs caller-side serialization.
     val nextVer = dt.latestVersion + 2L
     val (postings, docRows0) = indexRows(batch, nextVer, textCol, keyCol)
     val docRows = docRows0

@@ -139,7 +139,10 @@ class VectorIndex private[ext] (spark: SparkSession, val path: String,
       idCol: String = "vec_id"): VectorIndex = {
     val t = codesTable
     // commit-log-metadata version, not a data scan (cost ∝ batch contract;
-    // +2 clears the build stamp ver=1 at commit 0 — see TextIndex.add)
+    // +2 clears the build stamp ver=1 at commit 0 — see TextIndex.add,
+    // including the caveat that same-KEY racing adds tie on ver and
+    // resolve by precombine tiebreak; racing adds are ordered only for
+    // disjoint keys)
     val nextVer = t.latestVersion + 2L
     val encoded = batch
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))

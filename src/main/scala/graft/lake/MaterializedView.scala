@@ -64,15 +64,17 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
   /** The backing state table (internal columns; use [[read]] for results). */
   def state: LakeTable = LakeTable.load(spark, new Path(path, "state").toString)
 
-  /** The maintenance cursor, read from the state table's LATEST commit
-    * (the per-component `txn` watermarks a refresh records ATOMICALLY
-    * with its data — see [[refresh]]); the meta JSON holds the
-    * create-time values and a display mirror. Returns (fact version,
-    * one dim version per join). */
-  private def cursorOf(st: LakeTable): (Long, Seq[Long]) = {
-    val txn = CommitLog.read(st.path, st.latestVersion,
+  /** The maintenance cursor, read from the state table's commit at
+    * `vState` (the per-component `txn` watermarks a refresh records
+    * ATOMICALLY with its data — see [[refresh]]); the meta JSON holds
+    * the create-time values and a display mirror. Takes the
+    * already-loaded meta and state version so the maintenance hot path
+    * (per-micro-batch streaming refreshes) pays ONE meta read and ONE
+    * commit-log resolution per attempt, not three of each. Returns
+    * (fact version, one dim version per join). */
+  private def cursorOf(st: LakeTable, m: MvMeta, vState: Long): (Long, Seq[Long]) = {
+    val txn = CommitLog.read(st.path, vState,
       spark.sessionState.newHadoopConf()).txn
-    val m = meta
     (txn.getOrElse(CURSOR_APP, m.lastVersion),
       m.joins.zipWithIndex.map { case (j, i) =>
         txn.getOrElse(dimCursorApp(i), j.dimVersion) })
@@ -81,7 +83,10 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
   /** Both maintenance-cursor components in ONE state resolution —
     * prefer this in hot paths (e.g. the rewrite freshness gate) over
     * calling the per-component getters separately. */
-  def refreshedVersions: (Long, Seq[Long]) = cursorOf(state)
+  def refreshedVersions: (Long, Seq[Long]) = {
+    val st = state
+    cursorOf(st, meta, st.latestVersion)
+  }
 
   def lastRefreshedVersion: Long = refreshedVersions._1
 
@@ -189,6 +194,27 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     this
   }
 
+  /** Delete the dead-group tombstone rows (`GRP_N ≤ 0`) from the state
+    * table — periodic maintenance for long-lived views over high-churn
+    * dims, where without it one permanent row per ever-dead group
+    * accumulates (every read filters them; every refresh's pinned
+    * old-state read joins against them). Returns the number of rows
+    * pruned.
+    *
+    * Safe against racing refreshes: the prune is its own OCC commit, so
+    * a refresh pinned at the pre-prune version fails its claim and
+    * retries; the retry's old-state read finds the row ABSENT, which the
+    * merge arithmetic treats identically to a tombstone — both coalesce
+    * to the zeroed baseline, and the `oLive` guard already masks dead
+    * extrema/sketches — so rebirth behaves the same with or without the
+    * row (pinned by the MaterializedViewSpec prune case). */
+  def pruneDeadGroups(): Long = {
+    val st = state
+    val dead = st.read().filter(col(GRP_N) <= 0).count()
+    if (dead > 0) st.delete(col(GRP_N) <= 0)
+    dead
+  }
+
   /** One optimistic refresh attempt: true = up to date (applied here or
     * nothing to do); throws [[CommitConflictException]] when a racer
     * committed to the state table after this attempt's snapshot read. */
@@ -196,7 +222,7 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     val m = meta
     val st = state
     val vState = st.latestVersion
-    val (lastV, dimVs) = cursorOf(st)
+    val (lastV, dimVs) = cursorOf(st, m, vState)
     val base = LakeTable.load(spark, m.basePath)
     val upTo = base.latestVersion
     val dimTables = m.joins.map(j => LakeTable.load(spark, j.dimPath))
@@ -379,7 +405,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     // component-wise — a racer can have advanced one table's component
     // past ours while never applying another's window; returning false
     // re-runs from the racer's cursor and applies what is missing.
-    val (cf, cds) = cursorOf(state)
+    val stNow = state
+    val (cf, cds) = cursorOf(stNow, m, stNow.latestVersion)
     val covered = cf >= upTo &&
       cds.zip(dimUpTos).forall { case (c, u) => c >= u }
     if (covered) {

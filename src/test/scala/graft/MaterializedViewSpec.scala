@@ -135,6 +135,25 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(glob == exactGlob, s"rollup distinct $glob != exact $exactGlob")
   }
 
+  test("pruneDeadGroups removes tombstones; reads unchanged, rebirth still exact") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(210))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    // kill two groups, then prune their tombstone rows
+    t.delete(col("grp").isin("2", "4"))
+    mv.refresh()
+    val stateRows0 = mv.state.read().count()
+    assert(mv.pruneDeadGroups() == 2L, "two dead groups expected")
+    assert(mv.pruneDeadGroups() == 0L, "second prune is a no-op")
+    assert(mv.state.read().count() == stateRows0 - 2, "tombstone rows gone")
+    checkEq(mv, t)
+    // rebirth from an ABSENT row must equal rebirth from a tombstone:
+    // zeroed baseline, no stale extrema inherited
+    t.upsert(baseRows(210).filter(col("grp") === "2").withColumn("ver", lit(2L)))
+    mv.refresh()
+    checkEq(mv, t)
+  }
+
   test("no-op refresh and repeated refresh are stable; version tracked") {
     val bp = tmp(); val mp = tmp()
     val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(100))

@@ -19,7 +19,12 @@ SPARK_GRAFT_SF_DIR="$SF_DIR" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-100g}" \
   sbt -batch "runMain graft.Bench" >"$LOG" 2>&1 || { tail -20 "$LOG"; exit 1; }
-grep -o '{"metric".*}' "$LOG" | tail -1 >"$OUT"
+# sbt can exit 0 with the bench aborted before its JSON line (swallowed
+# OOM, output drift) — under pipefail a bare grep miss would kill the
+# script with no diagnostic, so make that failure self-describing
+grep -o '{"metric".*}' "$LOG" | tail -1 >"$OUT" || {
+  echo "bench_driver: no '{\"metric\"...}' line in $LOG" >&2
+  tail -20 "$LOG"; exit 1; }
 python3 - "$OUT" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
