@@ -50,6 +50,14 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // known-benign warning sources, silenced so the bench tail is signal:
+    // BPE eagerly frees SUPERSEDED localCheckpoints (their lineage
+    // truncation is the point — they are never recomputed), and
+    // CacheManager re-cache notices from persist-reuse inside retries
+    Seq("org.apache.spark.rdd.MapPartitionsRDD",
+        "org.apache.spark.sql.execution.CacheManager").foreach(l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.ERROR))
 
     def tbl(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
     def events = {

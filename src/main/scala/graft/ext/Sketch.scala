@@ -45,7 +45,10 @@ object Sketch {
     * zero. */
   def cmsBuild(df: DataFrame, depth: Int = 4, width: Int = 1024,
       textCol: String = "text"): Cms = {
-    require(depth >= 1 && width >= 2, s"cmsBuild: bad depth=$depth width=$width")
+    // width >= 1: a single-bucket sketch is degenerate (every estimate =
+    // the total count) but well-defined — the CMS upper-bound property
+    // holds, so it degrades gracefully rather than breaking callers
+    require(depth >= 1 && width >= 1, s"cmsBuild: bad depth=$depth width=$width")
     Cms(tokens(df, textCol)
       .select(explode(array((0 until depth).map(d =>
         struct(lit(d).as("seed"), bucketOf(d, col("tok"), width).as("bucket"))): _*)).as("c"))

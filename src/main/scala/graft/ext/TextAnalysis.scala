@@ -421,8 +421,8 @@ object TextAnalysis {
   def heavyHitters(df: DataFrame, k: Int = 20, depth: Int = 4,
       width: Int = 1024, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(depth >= 1 && width >= 2 && k >= 1,
-      "heavyHitters needs k >= 1, depth >= 1, width >= 2")
+    require(depth >= 1 && width >= 1 && k >= 1,
+      "heavyHitters needs k >= 1, depth >= 1, width >= 1")
     // sketch + estimation delegate to the Sketch primitive (one CMS
     // implementation; q154 exercises its estimate-only serving path);
     // this query ADDS the exact top-k anchor and the bound column

@@ -688,13 +688,19 @@ object CommitLog {
       if (has(g, field)) Some(g.getString(field, 0)) else None
     def lng(g: Group, field: String): Long = if (has(g, field)) g.getLong(field, 0) else 0L
     def bool(g: Group, field: String): Boolean = has(g, field) && g.getBoolean(field, 0)
-    // map<string, struct<_1, _2>> in the standard parquet MAP layout
+    // map<string, struct<_1, _2>> — tolerate BOTH parquet MAP layouts: the
+    // modern one names the repeated group `key_value`, the legacy Spark
+    // layout (spark.sql.parquet.writeLegacyFormat=true at checkpoint-write
+    // time) names it `map`. Without this, one legacy-conf checkpoint write
+    // makes every later snapshot resolution throw, wedging the table.
     def tupleMap[V](g: Group, field: String, second: Group => V): Map[String, (String, V)] =
       if (!has(g, field)) Map.empty
       else {
         val m = g.getGroup(field, 0)
-        (0 until m.getFieldRepetitionCount("key_value")).map { i =>
-          val kv = m.getGroup("key_value", i)
+        val kvField =
+          if (m.getType.containsField("key_value")) "key_value" else "map"
+        (0 until m.getFieldRepetitionCount(kvField)).map { i =>
+          val kv = m.getGroup(kvField, i)
           val v = kv.getGroup("value", 0)
           kv.getString("key", 0) -> (v.getString("_1", 0), second(v))
         }.toMap

@@ -40,14 +40,21 @@ case class MvAgg(name: String, kind: String, input: String) {
   *     floating-point sums would drift under cancellation.
   *   - min / max: delta-merged (`least`/`greatest`) for groups that saw
   *     only additions; a group that LOST rows may have lost its extremum,
-  *     so exactly those groups are re-aggregated from the base snapshot
-  *     (one scan filtered to the affected groups — still churn-bounded).
+  *     so exactly those groups are re-aggregated from the base snapshot.
+  *     The repair scan is FILE-pruned when the view's dims are fact-table
+  *     stats/partition/key columns: the affected groups' dim values (one
+  *     row per removal-touched group — already a bounded set) push into
+  *     the snapshot read as `IN` filters, so commit-log skipping opens
+  *     only those groups' files. When no dim is a prunable fact column
+  *     (e.g. a star view grouped purely on dim-table attributes) the
+  *     repair reads the full snapshot — an honest cliff; prefer count/
+  *     sum/avg-only views on hot paths over unclustered dims.
   *   - hll (approximate count-distinct): the per-group Datasketches HLL
   *     sketch unions in each window's added values; removal-touched
-  *     groups re-sketch via the same churn-bounded recompute path as
-  *     min/max. The 100 TB shape: distinct-user/distinct-document counts
-  *     maintained at churn cost, with a fixed-size mergeable state per
-  *     group instead of a distinct-values set.
+  *     groups re-sketch via the same recompute path (and the same file
+  *     pruning) as min/max. The 100 TB shape: distinct-user/distinct-
+  *     document counts maintained at churn cost, with a fixed-size
+  *     mergeable state per group instead of a distinct-values set.
   *
   * State is itself a [[LakeTable]] (keyed on the null-safe dim tuple, so
   * refreshes are versioned, time-travelable, and stats-pruned like any
@@ -191,6 +198,18 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
           Thread.sleep(scala.util.Random.between(5L, 50L * attempt))
       }
     }
+    // self-pruning cadence: every AUTO_PRUNE_EVERY state commits, one
+    // bounded state scan checks the tombstone count and prunes past the
+    // threshold — a long-lived streaming view under death/rebirth churn
+    // keeps its state row count bounded without a caller remembering
+    // [[pruneDeadGroups]]. OCC-safe like the manual call (its own commit;
+    // a racing refresh pinned pre-prune just retries).
+    val stv = state.latestVersion
+    if (stv % AUTO_PRUNE_EVERY == 0 && stv > 0) {
+      val st = state
+      val dead = st.read().filter(col(GRP_N) <= 0).count()
+      if (dead >= AUTO_PRUNE_MIN_DEAD) st.delete(col(GRP_N) <= 0)
+    }
     this
   }
 
@@ -234,17 +253,42 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     def stType(c: String): DataType = stSchema(c).dataType
 
     val inputs = m.aggs.map(_.input).filter(_ != "*").distinct
-    val need = (dims ++ inputs).distinct
+    // a filtered view's predicate references must ride every projection so
+    // the filter can apply to the (joined) delta rows
+    val filterRefs = m.filter.toSeq.flatMap(f => filterRefNames(spark, f))
+    val need = (dims ++ inputs ++ filterRefs).distinct
     val split =
       if (m.joins.isEmpty) None
       else Some(sideSplitN(base.schema, dimTables.map(_.schema), need, m.joins))
-    // the current joined snapshot projection (min/max repair source, and
-    // the F_new side of dim-churn terms)
-    def fProj = (m.joins.map(_.factKey) ++ split.get._1).distinct.map(col)
-    def dProj(i: Int) = (m.joins(i).dimKey +: split.get._2(i)).distinct.map(col)
+    // per-join home of the LEFT key (-1 = fact, j = dim j) — revalidated
+    // on every refresh so a base-table schema evolution that makes a join
+    // key ambiguous fails with the constraint's own message, not an
+    // opaque AnalysisException from a bare column reference
+    lazy val homes = keyHomes(base.schema, dimTables.map(_.schema), m.joins)
+    // the current joined snapshot projections (min/max repair source, and
+    // the F_new side of dim-churn terms): each table carries its resident
+    // need columns plus every join key HOMED on it (snowflake chain keys
+    // live on a dim, not the fact)
+    def fProj = (m.joins.indices.filter(homes(_) == -1).map(m.joins(_).factKey)
+      ++ split.get._1).distinct.map(col)
+    def dProj(i: Int) = ((m.joins(i).dimKey +:
+      m.joins.indices.filter(homes(_) == i).map(m.joins(_).factKey))
+      ++ split.get._2(i)).distinct.map(col)
     def joinDim(acc: DataFrame, i: Int, df: DataFrame): DataFrame =
       acc.join(df, col(m.joins(i).factKey) === col(m.joins(i).dimKey))
     def dAt(i: Int, v: Long) = dimTables(i).read(Some(v)).select(dProj(i): _*)
+    // fold order for the ΔD_i term: the chain ancestors of i first (a
+    // snowflake key can only be joined once its home table is in the
+    // accumulator), then the DELTA, then everything else — so the small
+    // churn side restricts the row flow as early as the topology allows
+    // (for a pure star the delta joins first, exactly the old plan)
+    def foldOrder(i: Int): Seq[Int] = {
+      val anc = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var h = homes(i)
+      while (h >= 0) { anc += h; h = homes(h) }
+      val first = anc.sorted.toSeq :+ i
+      first ++ m.joins.indices.filterNot(first.contains)
+    }
     val contrib: DataFrame =
       if (m.joins.isEmpty) {
         val (plus, minus) = base.windowDelta(lastV, upTo)
@@ -252,7 +296,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         plus.select(proj: _*).withColumn(SGN, lit(1L))
           .unionByName(minus.select(proj: _*).withColumn(SGN, lit(-1L)))
       } else {
-        // telescoping signed sum over the star:
+        // telescoping signed sum over the join tree (star or snowflake —
+        // the identity is topology-independent for inner equi-joins):
         //   Δ(F⋈D1⋈…⋈Dn) = ΔF ⋈ D1_old ⋈ … ⋈ Dn_old
         //     + Σ_i F_new ⋈ D1_new…D(i-1)_new ⋈ ΔD_i ⋈ D(i+1)_old…Dn_old
         // Each term is churn-bounded on its Δ side; unchanged tables
@@ -272,16 +317,19 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
             val (plusD, minusD) = dimTables(i).windowDelta(dimVs(i), dimUpTos(i))
             val dDelta = plusD.select(dProj(i): _*).withColumn(SGN, lit(1L))
               .unionByName(minusD.select(dProj(i): _*).withColumn(SGN, lit(-1L)))
-            terms += m.joins.indices.foldLeft(joinDim(fNew, i, dDelta)) {
-              (acc, jx) =>
-                if (jx == i) acc
-                else joinDim(acc, jx,
-                  dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx)))
+            terms += foldOrder(i).foldLeft(fNew) { (acc, jx) =>
+              joinDim(acc, jx,
+                if (jx == i) dDelta
+                else dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx)))
             }
           }
         }
         terms.map(_.select(outCols: _*)).reduce(_ unionByName _)
       }
+    // a filtered view maintains σ_p(F⋈D…): the predicate commutes with the
+    // signed delta (deterministic, row-local), so filtering the joined
+    // contribution rows maintains exactly the filtered aggregate
+    val contribF = m.filter.map(f => contrib.filter(expr(f))).getOrElse(contrib)
 
     // one signed hash-aggregate computes every per-group delta at once
     val sgn = col(SGN)
@@ -304,7 +352,7 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
             // group through the recompute path below (sketches can't retract)
             Seq(hll_sketch_agg(when(sgn === 1, col(in))).as(pCol(n)))
         }
-    val delta = contrib.groupBy(dims.map(col): _*)
+    val delta = contribF.groupBy(dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .withColumn(MVKEY, mvKeyCol(dims))
 
@@ -360,24 +408,46 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       // extremum) and hll (a sketch cannot forget a value)
       val nonLin = m.aggs.filter(a => Set("min", "max", "hll").contains(a.kind))
       def storedName(a: MvAgg): String = if (a.kind == "hll") hllCol(a.name) else a.name
+      // LIVE groups that lost rows may have lost their extremum (or
+      // sketched a removed value): re-aggregate exactly those groups from
+      // the snapshot. Their dim tuples are collected (bounded: one row per
+      // removal-touched group, capped) BOTH to skip the snapshot scan
+      // entirely on pure-addition windows and to derive IN filters on the
+      // fact-resident dims — pushed through [[LakeTable.readWhere]] so
+      // commit-log stats/partition/bucket skipping opens only the affected
+      // groups' files. Over the cap, or for null dim values, the filter is
+      // dropped (pruning is an optimization; the MVKEY semi-join below is
+      // what bounds the re-aggregate's ROWS).
+      val factDims = dims.filter(base.schema.fieldNames.contains)
+      val affected =
+        if (nonLin.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else newRows.filter(col(GRP_N) > 0 && col(HASM) > 0)
+          .select(dims.map(col): _*).distinct().limit(REPAIR_IN_CAP + 1).collect()
       val patched =
-        if (nonLin.isEmpty) newRows.drop(HASM)
+        if (nonLin.isEmpty || affected.isEmpty) newRows.drop(HASM)
         else {
-          // LIVE groups that lost rows may have lost their extremum (or
-          // sketched a removed value): re-aggregate exactly those groups
-          // from the base (or joined) snapshot; dead rows keep their null
-          // placeholders
           val reKeys = newRows.filter(col(GRP_N) > 0 && col(HASM) > 0).select(MVKEY)
           val reAggs = nonLin.map {
             case MvAgg(n, "min", in) => min(col(in)).as(reCol(n))
             case MvAgg(n, "hll", in) => hll_sketch_agg(col(in)).as(reCol(n))
             case MvAgg(n, _, in) => max(col(in)).as(reCol(n))
           }
-          val snap =
-            if (m.joins.isEmpty) base.read(Some(upTo))
-            else m.joins.indices.foldLeft(
-              base.read(Some(upTo)).select(fProj: _*))(
+          val inFilters: Seq[org.apache.spark.sql.sources.Filter] =
+            if (affected.length > REPAIR_IN_CAP) Nil
+            else factDims.flatMap { d =>
+              val ix = dims.indexOf(d)
+              val vs = affected.map(_.get(ix)).distinct
+              if (vs.contains(null)) None
+              else Some(org.apache.spark.sql.sources.In(d, vs))
+            }
+          val live = base.liveFiles(Some(upTo))
+          lastRepairScan = Some((live.size, base.pruneByFilters(live, inFilters).size))
+          val snapBase = base.readWhere(inFilters, Some(upTo))
+          val snapJoined =
+            if (m.joins.isEmpty) snapBase
+            else m.joins.indices.foldLeft(snapBase.select(fProj: _*))(
               (acc, i) => joinDim(acc, i, dAt(i, dimUpTos(i))))
+          val snap = m.filter.map(f => snapJoined.filter(expr(f))).getOrElse(snapJoined)
           val re = snap.withColumn(MVKEY, mvKeyCol(dims))
             .join(reKeys, Seq(MVKEY), "left_semi")
             .groupBy(MVKEY).agg(reAggs.head, reAggs.tail: _*)
@@ -425,6 +495,62 @@ object MaterializedView {
   private[lake] val MVKEY = "_mv_key"
   private[lake] val MVVER = "_mv_ver"
   private[lake] val GRP_N = "_grp_n"
+
+  /** Extremum/sketch repair pushes at most this many affected-group dim
+    * tuples into the snapshot scan as IN filters; beyond it the repair
+    * falls back to the unpruned scan (a huge removal wave re-touches most
+    * files anyway, and a driver-side IN list must stay bounded). */
+  private val REPAIR_IN_CAP = 256
+
+  /** Diagnostic seam for the repair-scan pruning (total live files,
+    * files actually scanned by the LAST repair this JVM ran) — read by
+    * MaterializedViewSpec to pin that clustered dims shrink the repair. */
+  @volatile private[graft] var lastRepairScan: Option[(Int, Int)] = None
+
+  /** Dead-group self-pruning cadence: every 16th state commit checks the
+    * tombstone count (one bounded state scan) and prunes once at least 64
+    * have accumulated — so a streaming view's state stays bounded without
+    * manual [[MaterializedView.pruneDeadGroups]] calls, while low-churn
+    * views never pay a needless delete commit. */
+  private val AUTO_PRUNE_EVERY = 16L
+  private val AUTO_PRUNE_MIN_DEAD = 64L
+
+  /** Unresolved attribute names a view-filter predicate references —
+    * these must ride every maintenance projection. */
+  private[lake] def filterRefNames(spark: SparkSession, f: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(f).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+    }.distinct
+
+  /** Home table of each join's LEFT key: -1 = the fact table, j = dim j.
+    * Validates the bare-name join contract — every join key must live in
+    * EXACTLY one of the n+1 schemas (so `col(key)` stays unambiguous
+    * under any fold order, and stays so if a table evolves), a dim key
+    * only on its own dim, and a left key on the fact or an EARLIER dim
+    * (star arms hang off the fact; snowflake arms chain parent-first). */
+  private[lake] def keyHomes(factSchema: StructType, dimSchemas: Seq[StructType],
+      joins: Seq[MvJoin]): Seq[Int] = {
+    val all = factSchema +: dimSchemas
+    def owners(c: String): Seq[Int] =
+      all.indices.filter(i => all(i).fieldNames.contains(c))
+    joins.zipWithIndex.map { case (j, i) =>
+      require(j.factKey != j.dimKey,
+        s"join keys must have distinct names (got ${j.factKey} on both sides) — " +
+          "alias one side so bare-name join columns stay unambiguous")
+      val dk = owners(j.dimKey)
+      require(dk == Seq(i + 1),
+        s"dimKey ${j.dimKey} must be a column of its OWN dim table only " +
+          s"(resolves in ${dk.size} of the joined tables)")
+      val fk = owners(j.factKey)
+      require(fk.size == 1,
+        s"join key ${j.factKey} must resolve in exactly one joined table " +
+          s"(resolves in ${fk.size}) — rename the colliding column(s)")
+      require(fk.head <= i,
+        s"join key ${j.factKey} lives on dim ${fk.head - 1}, which joins AFTER " +
+          s"join $i — order snowflake arms parent-first")
+      fk.head - 1
+    }
+  }
 
   /** txn appIds carrying the maintenance-cursor components on every
     * refresh commit of the state table — one watermark for the fact
@@ -489,8 +615,14 @@ object MaterializedView {
   case class MvJoin(dimPath: String, factKey: String, dimKey: String,
       dimVersion: Long = 0L)
 
+  /** `filter` is an optional deterministic row predicate (SQL text over
+    * the joined row) — the view maintains `σ_filter(F ⋈ D…)` GROUP BY
+    * dims, the shape real deployments slice on (one tenant, one status,
+    * recent partitions). Stored in its ANALYZED rendering so the rewrite
+    * can match query predicates canonically. */
   case class MvMeta(basePath: String, dims: Seq[String], aggs: Seq[MvAgg],
-      lastVersion: Long, joins: Seq[MvJoin] = Seq.empty)
+      lastVersion: Long, joins: Seq[MvJoin] = Seq.empty,
+      filter: Option[String] = None)
 
   /** Assign each needed output column to the fact or exactly one dim,
     * rejecting names present in more than one table (the view definition
@@ -517,6 +649,7 @@ object MaterializedView {
       val n = an.addObject(); n.put("name", a.name); n.put("kind", a.kind); n.put("input", a.input)
     }
     root.put("lastVersion", m.lastVersion)
+    m.filter.foreach(root.put("filter", _))
     if (m.joins.nonEmpty) {
       val ja = root.putArray("joins")
       m.joins.foreach { j =>
@@ -553,18 +686,23 @@ object MaterializedView {
           n.get("dimKey").asText, n.get("dimVersion").asLong)
       }
     MvMeta(root.get("basePath").asText, dims.toSeq, aggs.toSeq,
-      root.get("lastVersion").asLong, joins.toSeq)
+      root.get("lastVersion").asLong, joins.toSeq,
+      if (root.hasNonNull("filter")) Some(root.get("filter").asText) else None)
   }
 
   /** Define + fully compute the view at the base table's current version.
-    * With `joins`, the view aggregates the STAR `base ⋈ D1 ⋈ … ⋈ Dn`
-    * (inner equi-joins, every join key a fact column, dim rows
-    * latest-as-of-create): dims and agg inputs may come from any table,
-    * and `refresh()` maintains the state incrementally under churn on
-    * ALL of them. */
+    * With `joins`, the view aggregates `base ⋈ D1 ⋈ … ⋈ Dn` (inner
+    * equi-joins; each join's left key lives on the fact OR an earlier
+    * dim — so both stars and snowflake chains like fact→customer→nation
+    * maintain incrementally; order chained arms parent-first). Dims and
+    * agg inputs may come from any table. With `filter`, the view
+    * aggregates only rows satisfying the (deterministic, subquery-free)
+    * predicate — maintained by filtering each signed delta term.
+    * `refresh()` keeps the state current under churn on ALL tables. */
   def create(spark: SparkSession, path: String, base: LakeTable,
       dims: Seq[String], aggs: Seq[MvAgg],
-      joins: Seq[MvJoin] = Seq.empty): MaterializedView = {
+      joins: Seq[MvJoin] = Seq.empty,
+      filter: Option[String] = None): MaterializedView = {
     require(!base.spec.mor, "materialized views maintain CoW base tables")
     require(dims.nonEmpty, "at least one dim")
     val names = dims ++ aggs.map(_.name)
@@ -573,34 +711,47 @@ object MaterializedView {
       s"agg name ${a.name} must be a plain identifier (internal columns are _-prefixed)"))
     val conf = spark.sessionState.newHadoopConf()
     val v = base.latestVersion
-    val need = (dims ++ aggs.map(_.input).filter(_ != "*")).distinct
-    val (snap, pinned) =
+    val filterRefs = filter.toSeq.flatMap(f => filterRefNames(spark, f))
+    val need = (dims ++ aggs.map(_.input).filter(_ != "*") ++ filterRefs).distinct
+    val (snapJoined, pinned) =
       if (joins.isEmpty) (base.read(Some(v)), Seq.empty[MvJoin])
       else {
         val dimTables = joins.map(j => LakeTable.load(spark, j.dimPath))
         dimTables.foreach(d =>
-          require(!d.spec.mor, "star-join views maintain CoW dim tables"))
-        joins.foreach { j =>
-          require(base.schema.fieldNames.contains(j.factKey),
-            s"factKey ${j.factKey} must be a fact column (star, not snowflake)")
-          require(j.factKey != j.dimKey,
-            s"factKey and dimKey must have distinct names (got ${j.factKey})")
-        }
-        val keyNames = joins.map(_.dimKey)
-        require(keyNames.distinct.size == keyNames.size,
-          "dim keys must have pairwise distinct names")
+          require(!d.spec.mor, "join views maintain CoW dim tables"))
+        val homes = keyHomes(base.schema, dimTables.map(_.schema), joins)
         val (factCols, dimColsN) =
           sideSplitN(base.schema, dimTables.map(_.schema), need, joins)
         val dvs = dimTables.map(_.latestVersion)
-        val start = base.read(Some(v))
-          .select((joins.map(_.factKey) ++ factCols).distinct.map(col): _*)
+        val start = base.read(Some(v)).select(
+          (joins.indices.filter(homes(_) == -1).map(joins(_).factKey)
+            ++ factCols).distinct.map(col): _*)
         val joined = joins.indices.foldLeft(start) { (acc, i) =>
           acc.join(dimTables(i).read(Some(dvs(i)))
-              .select((joins(i).dimKey +: dimColsN(i)).distinct.map(col): _*),
+              .select(((joins(i).dimKey +:
+                joins.indices.filter(homes(_) == i).map(joins(_).factKey))
+                ++ dimColsN(i)).distinct.map(col): _*),
             col(joins(i).factKey) === col(joins(i).dimKey))
         }
         (joined, joins.zip(dvs).map { case (j, dv) => j.copy(dimVersion = dv) })
     }
+    // validate the filter against the joined row and pin its ANALYZED
+    // rendering — the canonical text the rewrite matches query predicates
+    // against, and what every refresh re-parses
+    val storedFilter = filter.map { f =>
+      val cond = snapJoined.filter(expr(f)).queryExecution.analyzed.collectFirst {
+        case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt.condition
+      }.getOrElse(throw new IllegalArgumentException(s"cannot analyze view filter: $f"))
+      require(cond.deterministic, s"view filter must be deterministic: $f")
+      require(!cond.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+        s"view filter must not contain a subquery: $f")
+      cond.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.withQualifier(Seq.empty)
+      }.sql
+    }
+    val snap = storedFilter.map(f => snapJoined.filter(expr(f))).getOrElse(snapJoined)
     val st = fullState(snap, dims, aggs, v)
     // every refresh lands ~1 small state file; post-commit auto-compaction
     // folds them so a CONTINUOUSLY maintained view (streaming ingestion,
@@ -608,7 +759,7 @@ object MaterializedView {
     // survives compaction — txn watermarks are cumulative across commits.
     LakeTable.create(spark, new Path(path, "state").toString,
       TableSpec(MVKEY, MVVER, autoCompactFiles = 16), st)
-    writeMeta(path, MvMeta(base.path, dims, aggs, v, pinned), conf)
+    writeMeta(path, MvMeta(base.path, dims, aggs, v, pinned, storedFilter), conf)
     new MaterializedView(spark, path)
   }
 

@@ -961,6 +961,152 @@ object LakeQueries {
         |FROM orders WHERE o_custkey <= 397 AND o_orderkey % 5 <> 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // FILTERED materialized view: the view maintains σ_pred(orders) GROUP
+    // BY status for pred = urgent-priority only — the slice real
+    // deployments pin (one tenant, one class). Churn crosses the
+    // predicate boundary in BOTH directions (every 7th order flips
+    // priority with a newer precombine) plus deletes that can take a
+    // slice group's max, so the signed delta must filter correctly and
+    // the extremum repair must re-aggregate the FILTERED snapshot. The
+    // require pins that a query whose WHERE matches the view's predicate
+    // is served from state (conjunct-matched implication).
+    "q156_filtered_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val path = freshDir(s"mvf_$tag"); val mp = freshDir(s"mvf_mv_$tag")
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        MaterializedView.create(s, mp, tbl, Seq("o_orderstatus"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey"),
+            MvAgg("mx", "max", "o_totalprice")),
+          filter = Some("o_orderpriority = '1-URGENT'"))
+        tbl.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1)
+          .unionByName(t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_orderpriority",
+              when(col("o_orderpriority") === "1-URGENT", "3-MEDIUM")
+                .otherwise("1-URGENT"))
+            .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))))
+        tbl.delete(col("o_orderkey") % 5 === 0)
+        val mv = MaterializedView.load(s, mp).refresh()
+        require(mv.lastRefreshedVersion == LakeTable.load(s, path).latestVersion,
+          "refresh must reach the final base version")
+        graft.sql.GraftMvRewrite.register(mp)
+        try {
+          val q = s.read.format("graft").load(path)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), sum("o_custkey").as("su"),
+              max("o_totalprice").as("mx"))
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          require(!rewritten.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+            s"a WHERE-matching query must be served by the filtered view:\n$rewritten")
+          // and the UNFILTERED aggregate must NOT be served
+          val bare = s.read.format("graft").load(path).groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"))
+          require(graft.sql.GraftMvRewrite(bare.queryExecution.analyzed).exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+            "the filtered view must never serve the unfiltered aggregate")
+        } finally graft.sql.GraftMvRewrite.unregister(mp)
+        mv.read().orderBy("o_orderstatus")
+      },
+      """WITH cand AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate + INTERVAL 1 DAY,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN '3-MEDIUM'
+        |              ELSE '1-URGENT' END
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |fact AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+        |    FROM cand) WHERE rn = 1 AND o_orderkey % 5 <> 0)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS su, MAX(o_totalprice) AS mx
+        |FROM fact WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // SNOWFLAKE materialized view: orders ⋈ customer ⋈ nation where the
+    // second join key (c_nationkey) lives on the CUSTOMER dim, not the
+    // fact — the dim-of-dim chain every star schema grows. One refresh
+    // absorbs churn on all three levels: fact updates/deletes, customers
+    // MOVING between nations (their orders change groups), a nation
+    // rename (a whole group re-labels) and a nation delete (its
+    // customers' orders leave the join). The oracle replays all three
+    // tables' churn in DuckDB over the final joined state.
+    "q157_snowflake_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        import graft.lake.MaterializedView.MvJoin
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvsf_f_$tag"); val cp = freshDir(s"mvsf_c_$tag")
+        val np = freshDir(s"mvsf_n_$tag"); val mp = freshDir(s"mvsf_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0))
+        val cust = LakeTable.create(s, cp, TableSpec("c_custkey", "cver"),
+          t(s, d, "customer").withColumn("cver", lit(0L)))
+        val nat = LakeTable.create(s, np, TableSpec("n_nationkey", "nver"),
+          t(s, d, "nation").withColumn("nver", lit(0L)))
+        MaterializedView.create(s, mp, fact, Seq("n_name"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey"),
+            MvAgg("mx", "max", "o_totalprice")),
+          Seq(MvJoin(cp, "o_custkey", "c_custkey"),
+            MvJoin(np, "c_nationkey", "n_nationkey")))
+        // fact churn: missing third arrives, every 7th reprices a day
+        // later (newer precombine wins), every 11th key deleted
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .unionByName(t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))))
+        fact.delete(col("o_orderkey") % 11 === 0)
+        // mid-chain churn: every 5th customer moves to the next nation,
+        // every 17th is deleted
+        cust.upsert(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_nationkey", (col("c_nationkey") + 1) % 25)
+          .withColumn("cver", lit(1L)))
+        cust.delete(col("c_custkey") % 17 === 0)
+        // chain-tail churn: nation 3 renamed (group re-label), 7 deleted
+        nat.upsert(t(s, d, "nation").filter(col("n_nationkey") === 3)
+          .withColumn("n_name", lit("RENAMED")).withColumn("nver", lit(1L)))
+        nat.delete(col("n_nationkey") === 7)
+        val mv = MaterializedView.load(s, mp).refresh()
+        require(mv.lastRefreshedVersion == LakeTable.load(s, fp).latestVersion &&
+          mv.dimRefreshedVersions == Seq(
+            LakeTable.load(s, cp).latestVersion,
+            LakeTable.load(s, np).latestVersion),
+          "one refresh must advance all three maintenance cursors")
+        mv.read().orderBy("n_name")
+      },
+      """WITH cand AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+        |         o_orderdate + INTERVAL 1 DAY, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |fact AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+        |    FROM cand) WHERE rn = 1 AND o_orderkey % 11 <> 0),
+        |cust AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM customer WHERE c_custkey % 17 <> 0),
+        |nat AS (SELECT n_nationkey,
+        |    CASE WHEN n_nationkey = 3 THEN 'RENAMED' ELSE n_name END AS n_name
+        |  FROM nation WHERE n_nationkey <> 7)
+        |SELECT nt.n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(f.o_custkey) AS BIGINT) AS su, MAX(f.o_totalprice) AS mx
+        |FROM fact f
+        |JOIN cust c ON f.o_custkey = c.c_custkey
+        |JOIN nat nt ON c.c_nationkey = nt.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

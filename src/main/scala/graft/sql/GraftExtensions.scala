@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft", GraftIndexTvfs.VECTOR_NAME),
       args => GraftIndexTvfs.vectorPlan(SparkSession.active, args)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftMvTvf.NAME),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft", GraftMvTvf.NAME),
+      args => GraftMvTvf.plan(SparkSession.active, args)))
     e.injectOptimizerRule(_ => GraftMetadataOnlyCount)
     e.injectOptimizerRule(_ => GraftMvRewrite)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))

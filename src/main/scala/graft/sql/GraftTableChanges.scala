@@ -261,6 +261,56 @@ object GraftIndexTvfs {
   }
 }
 
+/** SQL serving surface for [[graft.lake.MaterializedView]] state — the
+  * rewrite serves views transparently, but inspecting one directly
+  * (operational debugging, freshness checks, ad-hoc rollups) needs an
+  * addressable relation:
+  *
+  * {{{
+  * SELECT * FROM mv('/path/to/view')                    -- finalized view
+  * SELECT * FROM mv('/path/to/view', 'region')          -- rollup to a dim subset
+  * SELECT * FROM mv('/path/to/view', '')                -- global rollup (no dims)
+  * }}}
+  *
+  * The plan is the view's finalized state read (tombstones filtered,
+  * sums/avgs/sketches finalized) — a few thousand pre-aggregated rows at
+  * any base-table size, composable with arbitrary surrounding SQL. The
+  * optional second argument re-aggregates to a COARSER comma-separated
+  * dim subset via the stored partials, exactly like the rewrite's rollup
+  * path ('' = the global aggregate). */
+object GraftMvTvf {
+
+  val NAME = "mv"
+
+  def plan(session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"mv(view_path[, rollup_dims]): $why " +
+        s"(got ${args.map(_.sql).mkString("(", ", ", ")")})")
+    def stringArg(e: Expression): Option[String] = e match {
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
+      case _ => None
+    }
+    val (pathArg, rollArg) = args match {
+      case Seq(p) => (p, None)
+      case Seq(p, r) => (p, Some(r))
+      case _ => fail("takes 1 or 2 arguments")
+    }
+    val path = stringArg(pathArg).getOrElse(
+      fail("the first argument must be the view path string literal"))
+    val mv = Try(graft.lake.MaterializedView.load(session, path)).getOrElse(
+      fail(s"no materialized view at '$path'"))
+    val df = rollArg match {
+      case None => mv.read()
+      case Some(r) =>
+        val dims = stringArg(r).getOrElse(
+          fail("`rollup_dims` must be a comma-separated string literal"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        mv.readRollup(dims)
+    }
+    df.queryExecution.analyzed
+  }
+}
+
 /** Standalone-resolution twin of the registry entries, for sessions built
   * WITHOUT GraftExtensions (the driver's Verify session): apply this rule to
   * a parsed plan and the graft TVF nodes resolve exactly as the registered
@@ -294,5 +344,8 @@ case class ResolveGraftTableChanges(session: SparkSession) extends Rule[LogicalP
         if u.name.length == 1 &&
           u.name.head.equalsIgnoreCase(GraftIndexTvfs.VECTOR_NAME) =>
       GraftIndexTvfs.vectorPlan(session, u.functionArgs)
+    case u: UnresolvedTableValuedFunction
+        if u.name.length == 1 && u.name.head.equalsIgnoreCase(GraftMvTvf.NAME) =>
+      GraftMvTvf.plan(session, u.functionArgs)
   }
 }

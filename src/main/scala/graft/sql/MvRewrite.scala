@@ -35,8 +35,11 @@ import graft.sources.{GraftCatalogTable, GraftRelation}
   * max columns (no DISTINCT, no FILTER clauses). Dim-only predicates
   * commute with grouping, so they re-apply against the view's dim
   * columns — below the re-aggregation on the rollup path, so predicates
-  * on rolled-away dims work too. Result types must match exactly or the
-  * rewrite bails.
+  * on rolled-away dims work too. A FILTERED view additionally requires
+  * the query's WHERE to imply its predicate (conjunct-matched under a
+  * canonical rendering); the matched conjuncts are absorbed by the view
+  * and only the remainder must be dim-only. Result types must match
+  * exactly or the rewrite bails.
   *
   * Freshness: the rewrite fires ONLY when `mv.lastRefreshedVersion`
   * equals the base table's latest commit — a stale view silently serving
@@ -154,12 +157,15 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** A left-deep STAR join scan of 2+ dims: the fact scan at the
-    * bottom-left, each Join adding one dim scan on the right under an
-    * `EqualTo(factCol, dimCol)` condition (every left key must come from
-    * the FACT scan — snowflake conditions don't match). Returns
-    * `(factPath, arms, filters)` with arms `(dimPath, factKey, dimKey)`
-    * in join order; filters only from ABOVE the topmost join. */
+  /** A left-deep join scan of 2+ dims: the fact scan at the bottom-left,
+    * each Join adding one dim scan on the right under an
+    * `EqualTo(leftCol, dimCol)` condition. The left key may come from the
+    * FACT scan (star arm) or from an ALREADY-JOINED dim (snowflake chain
+    * like fact→customer→nation) — either way it resolves in the left
+    * subtree, which is exactly what [[graft.lake.MaterializedView]]'s
+    * parent-first join contract maintains. Returns `(factPath, arms,
+    * filters)` with arms `(dimPath, leftKey, dimKey)` in join order;
+    * filters only from ABOVE the topmost join. */
   private[sql] def starScan(p: LogicalPlan)
       : Option[(String, Seq[(String, String, String)], Seq[Expression])] = {
     def peel(p: LogicalPlan): Option[(String, AttributeSet, Seq[(String, String, String)])] =
@@ -176,13 +182,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
               if (!r.outputSet.contains(a) && r.outputSet.contains(b)) Some((a, b))
               else if (!r.outputSet.contains(b) && r.outputSet.contains(a)) Some((b, a))
               else None
-            (fp, factOut, arms) <- baseScan(l) match {
+            (fp, treeOut, arms) <- baseScan(l) match {
               case Some((lp, lf)) if lf.isEmpty =>
                 Some((lp, l.outputSet, Seq.empty[(String, String, String)]))
               case _ => peel(l)
             }
-            if factOut.contains(lAttr) // star, not snowflake
-          } yield (fp, factOut, arms :+ ((rp, lAttr.name, rAttr.name)))
+            if treeOut.contains(lAttr) // the left key resolves in the joined tree
+          } yield (fp, treeOut ++ r.outputSet, arms :+ ((rp, lAttr.name, rAttr.name)))
         case _ => None
       }
     def strip(p: LogicalPlan, fs: Seq[Expression])
@@ -290,11 +296,45 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     }.nextOption().getOrElse(return None)
     val (view, meta) = mv
     val exact = meta.dims.map(_.toLowerCase).toSet == dimSet
-    // dim-only predicates commute with GROUP BY; anything else bails
+    // a FILTERED view serves only queries whose WHERE implies the view's
+    // predicate — checked conservatively: each view-filter conjunct must
+    // match a query conjunct one-to-one under a canonical rendering
+    // (attribute names lowercased, analyzed sql text). A miss only loses
+    // the rewrite, never correctness.
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
+    }
+    // canonical rendering: attribute names lowercased+unqualified, and
+    // literal-only subtrees constant-folded — the optimizer has already
+    // folded the QUERY's casts (`CAST(50 AS BIGINT)` → `50L`) by the time
+    // this rule runs, so the parsed view filter must fold the same way
+    def canon(e: Expression): String = e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name.toLowerCase)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(u.name.toLowerCase)
+    }.transformUp {
+      case f if f.resolved && f.foldable && !f.isInstanceOf[Literal] =>
+        try Literal.create(f.eval(null), f.dataType)
+        catch { case scala.util.control.NonFatal(_) => f }
+    }.sql
+    val qConj = scala.collection.mutable.ArrayBuffer(filters.flatMap(conjunctsOf): _*)
+    meta.filter.toSeq.flatMap(f =>
+        conjunctsOf(spark.sessionState.sqlParser.parseExpression(f)))
+      .foreach { vc =>
+        val want = canon(vc)
+        val ix = qConj.indexWhere(c => canon(c) == want)
+        if (ix < 0) return None
+        qConj.remove(ix)
+      }
+    // whatever the view's filter did NOT absorb must be dim-only — those
+    // predicates commute with GROUP BY and re-apply on the view's dims
+    val rest = qConj.toSeq
     val dimNames = meta.dims.map(_.toLowerCase).toSet
-    if (!filters.forall(_.references.forall(a => dimNames.contains(a.name.toLowerCase))))
+    if (!rest.forall(_.references.forall(a => dimNames.contains(a.name.toLowerCase))))
       return None
-    if (filters.exists(!_.deterministic)) return None
+    if (rest.exists(!_.deterministic)) return None
     // map every output column of the aggregate to a view column
     val mapping: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map {
       case a: AttributeReference if dims.exists(_.exprId == a.exprId) =>
@@ -314,7 +354,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val viewPlan =
       if (exact) view.read().queryExecution.analyzed
       else {
-        val preCols = filters.map(c =>
+        val preCols = rest.map(c =>
           org.apache.spark.sql.GraftExpressionBridge.column(c.transform {
             case a: AttributeReference =>
               org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
@@ -333,11 +373,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       val va = viewAttr(viewCol).getOrElse(return None)
       if (va.dataType != orig.dataType) return None
     }
-    if (exact && filters.exists(_.references.exists(a => viewAttr(a.name).isEmpty)))
+    if (exact && rest.exists(_.references.exists(a => viewAttr(a.name).isEmpty)))
       return None
     val refiltered =
       if (!exact) viewPlan // rollup path: filters already below the re-agg
-      else filters.foldLeft(viewPlan) { (acc, cond) =>
+      else rest.foldLeft(viewPlan) { (acc, cond) =>
         Filter(cond.transform {
           case a: AttributeReference if viewAttr(a.name).isDefined => viewAttr(a.name).get
         }, acc)
@@ -349,14 +389,14 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** Extract a maintainable (basePath, dims, aggs) from an analyzed MV
-  * definition query — the SQL `CREATE MATERIALIZED VIEW … AS SELECT`
-  * front half. Deliberately the mirror of [[GraftMvRewrite]]'s matcher:
-  * anything this accepts, the rewrite can serve. */
+/** Extract a maintainable (basePath, dims, aggs, joins, filter) from an
+  * analyzed MV definition query — the SQL `CREATE MATERIALIZED VIEW … AS
+  * SELECT` front half. Deliberately the mirror of [[GraftMvRewrite]]'s
+  * matcher: anything this accepts, the rewrite can serve. */
 private[sql] object GraftMvShape {
 
   def extract(plan: LogicalPlan)
-      : Either[String, (String, Seq[String], Seq[MvAgg], Seq[MvJoin])] =
+      : Either[String, (String, Seq[String], Seq[MvAgg], Seq[MvJoin], Option[String])] =
     plan match {
       case SubqueryAlias(_, c) => extract(c)
       case agg: Aggregate =>
@@ -377,9 +417,25 @@ private[sql] object GraftMvShape {
           return scala.Left("FROM must resolve to a plain graft table snapshot " +
             "or an INNER equi-join star over one (no time travel / incremental / " +
             "change-feed options, ON a = b only, fact table first)"))
-        if (filters.nonEmpty)
-          return scala.Left("WHERE is not supported in a materialized view definition " +
-            "(filter at query time — dim predicates commute into the view)")
+        // a WHERE defines a FILTERED view: σ_pred(F⋈D…) GROUP BY dims —
+        // maintained by filtering each signed delta term, served to
+        // queries whose WHERE implies the predicate. Must be
+        // deterministic and subquery-free (a subquery's value can change
+        // independently of the member tables' versions).
+        filters.foreach { f =>
+          if (!f.deterministic)
+            return scala.Left(s"the WHERE predicate must be deterministic: ${f.sql}")
+          if (f.exists(_.isInstanceOf[SubqueryExpression]))
+            return scala.Left(s"the WHERE predicate must not contain a subquery: ${f.sql}")
+        }
+        // strip qualifiers before rendering: the stored text re-analyzes
+        // against the BASE table at create/refresh, where the definition
+        // query's view alias (`fwhere_v.amt`) means nothing
+        val filterSql =
+          if (filters.isEmpty) None
+          else Some(filters.map(_.transform {
+            case a: AttributeReference => a.withQualifier(Seq.empty)
+          }.sql).mkString(" AND "))
         val dims = agg.groupingExpressions.map {
           case a: AttributeReference => a.name
           case e => return scala.Left(s"grouping keys must be bare columns, got ${e.sql}")
@@ -432,7 +488,7 @@ private[sql] object GraftMvShape {
             "alias every aggregate (e.g. count(1) AS n)")
         }
         if (aggs.isEmpty) scala.Left("the definition needs at least one aggregate")
-        else scala.Right((path, dims, aggs, join))
+        else scala.Right((path, dims, aggs, join, filterSql))
       case _ => scala.Left("the definition must be a single GROUP BY aggregate " +
         "over a graft table")
     }

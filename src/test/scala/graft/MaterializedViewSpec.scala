@@ -372,13 +372,21 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(mv.dimRefreshedVersions ==
       Seq(LakeTable.load(spark, d1p).latestVersion,
         LakeTable.load(spark, d2p).latestVersion))
-    // snowflake definitions are rejected: every join key must be a FACT column
+    // join-key naming contract: a chain whose parent joins AFTER the
+    // child is rejected (snowflake arms must come parent-first) ...
     val err = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, tmp(), ft, Seq("category"),
+        Seq(MvAgg("n", "count", "*")),
+        Seq(MvJoin(d2p, "region", "pdk"), MvJoin(d1p, "fk", "dk")))
+    }
+    assert(err.getMessage.contains("parent-first"), err.getMessage)
+    // ... and a left key resolving in NO joined table names the constraint
+    val err2 = intercept[IllegalArgumentException] {
       MaterializedView.create(spark, tmp(), ft, Seq("region"),
         Seq(MvAgg("n", "count", "*")),
-        Seq(MvJoin(d1p, "fk", "dk"), MvJoin(d2p, "region", "pdk")))
+        Seq(MvJoin(d1p, "no_such_col", "dk")))
     }
-    assert(err.getMessage.contains("fact column"))
+    assert(err2.getMessage.contains("exactly one joined table"), err2.getMessage)
   }
 
   test("group death persists a tombstone; rebirth restarts exactly (incl. min/max)") {
@@ -536,6 +544,161 @@ class MaterializedViewSpec extends AnyFunSuite {
     graft.streaming.CdcStream.ingestWithViews(spark,
       LakeTable.load(spark, bp), s"$land/w1",
       t.read().select("k", "ver", "grp", "amt", "score").schema, ckpt, Some(Seq(mp)))
+    check()
+  }
+
+  test("extremum repair scan is FILE-pruned when dims are clustered stats columns") {
+    val bp = tmp(); val mp = tmp()
+    // files range-clustered on grp with per-file grp stats: each file
+    // covers ~1 group, so the repair's IN(grp, affected) can prune
+    val df = baseRows(800).repartitionByRange(8, col("grp"))
+    val t = LakeTable.create(spark, bp,
+      TableSpec("k", "ver", statsColumns = Seq("grp")), df, bulkInsert = true)
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    val total = t.commits.flatMap(_.add).size
+    assert(total >= 4, s"need clustered files, got $total")
+    // lose the extremum of exactly ONE group → repair touches one group
+    t.delete(col("grp") === "4" && col("score") >= 50)
+    MaterializedView.lastRepairScan = None
+    mv.refresh()
+    checkEq(mv, t)
+    val (live, scanned) = MaterializedView.lastRepairScan.getOrElse(
+      fail("refresh with an extremum loss must run the repair path"))
+    assert(scanned < live,
+      s"repair must prune the snapshot scan (scanned $scanned of $live files)")
+    // pure-addition churn on a min/max view never scans the snapshot
+    MaterializedView.lastRepairScan = None
+    t.upsert(baseRows(40).withColumn("k", col("k") + 50000L))
+    mv.refresh()
+    checkEq(mv, t)
+    assert(MaterializedView.lastRepairScan.isEmpty,
+      "a window with no removal-touched live groups must skip the repair scan")
+  }
+
+  test("auto-prune keeps tombstones bounded under death/rebirth churn") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"),
+      baseRows(50).withColumn("grp", concat(lit("perm"), col("k") % 2)))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("sum_amt", "sum", "amt")))
+    def check(): Unit = assert(
+      rows(MaterializedView.load(spark, mp).read()) ==
+        rows(t.read().groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt"))))
+    // each cycle births 10 fresh groups then kills them — every cycle
+    // leaves 10 tombstones; without the refresh-cadence prune the state
+    // would grow one dead row per EVER-dead group, unbounded
+    val everDead = 30 * 10
+    (0 until 30).foreach { c =>
+      val wave = spark.range(10).select(
+        (col("id") + 100000L + c * 100L).as("k"), lit(0L).as("ver"),
+        concat(lit(s"c${c}_"), col("id")).as("grp"),
+        lit(1.0).cast("decimal(18,2)").as("amt"), lit(1).as("score"))
+      t.upsert(wave)
+      mv.refresh()
+      t.delete(col("grp").startsWith(s"c${c}_"))
+      mv.refresh()
+    }
+    check()
+    // pruneDeadGroups returns the CURRENT tombstone count — far below the
+    // ever-dead total proves the cadence prune fired along the way
+    val leftover = mv.pruneDeadGroups()
+    assert(leftover < everDead / 2,
+      s"auto-prune must have fired: $leftover tombstones left of $everDead ever dead")
+    check()
+  }
+
+  test("filtered view maintains the σ_pred aggregate under churn crossing the predicate") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(400))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("sum_amt", "sum", "amt"),
+        MvAgg("mx", "max", "score")),
+      filter = Some("score >= 50 AND grp <> '6'"))
+    def check(): Unit = {
+      val want = rows(t.read().filter("score >= 50 AND grp <> '6'")
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt"),
+          max(col("score")).as("mx")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want)
+    }
+    check()
+    // updates MOVE rows across the predicate boundary in both directions:
+    // 60→10 leaves the filtered set, 20→95 enters it; plus deletes that
+    // take a filtered group's max (repair must re-aggregate FILTERED)
+    val out = t.read().where(col("score") === 60)
+      .select("k", "ver", "grp", "amt", "score")
+      .withColumn("ver", col("ver") + 1).withColumn("score", lit(10))
+    val in = t.read().where(col("score") === 20)
+      .select("k", "ver", "grp", "amt", "score")
+      .withColumn("ver", col("ver") + 1).withColumn("score", lit(95))
+    t.upsert(out.unionByName(in))
+    mv.refresh()
+    check()
+    t.delete(col("score") >= 90)
+    mv.refresh()
+    check()
+    // non-deterministic and subquery predicates are rejected at create
+    val bad = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, tmp(), t, Seq("grp"),
+        Seq(MvAgg("n", "count", "*")), filter = Some("rand() > 0.5"))
+    }
+    assert(bad.getMessage.contains("deterministic"))
+  }
+
+  test("snowflake chain fact→cust→nation: churn on all three tables, incl. chain-dim deletes") {
+    val fp = tmp(); val cp = tmp(); val np = tmp(); val mp = tmp()
+    val fact0 = spark.range(600L).select(
+      col("id").as("k"), lit(0L).as("ver"), (col("id") % 40).as("ck"),
+      (col("id") * 7 % 100).cast("int").as("score"),
+      (col("id") * 10).cast("decimal(18,2)").as("amt"))
+    val cust0 = spark.range(40L).select(
+      col("id").as("cdk"), lit(0L).as("cver"), (col("id") % 6).as("nk"))
+    val nat0 = spark.range(6L).select(
+      col("id").as("ndk"), lit(0L).as("nver"),
+      concat(lit("nation"), col("id")).as("nname"))
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), fact0)
+    val ct = LakeTable.create(spark, cp, TableSpec("cdk", "cver"), cust0)
+    val nt = LakeTable.create(spark, np, TableSpec("ndk", "nver"), nat0)
+    // join 1 chains off join 0's dim: nk lives on the CUSTOMER table
+    val mv = MaterializedView.create(spark, mp, ft, Seq("nname"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mx", "max", "score")),
+      Seq(MvJoin(cp, "ck", "cdk"), MvJoin(np, "nk", "ndk")))
+    def check(): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, cp).read(), col("ck") === col("cdk"))
+        .join(LakeTable.load(spark, np).read(), col("nk") === col("ndk"))
+        .groupBy("nname").agg(count(lit(1)).as("n"), sum(col("amt")).as("s"),
+          max(col("score")).as("mx")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want,
+        "snowflake mv != recompute")
+    }
+    check()
+    // one refresh absorbs churn on every level of the chain: fact
+    // updates+deletes, customers MOVING between nations (their facts move
+    // groups), a nation rename (whole group re-labels), a nation DELETE
+    // (its customers' facts drop out), a customer delete
+    ft.upsert(fact0.filter(col("k") % 9 === 2).withColumn("ver", lit(1L))
+      .withColumn("amt", col("amt") + lit(0.5).cast("decimal(18,2)")))
+    ft.delete(col("k") % 17 === 0)
+    ct.upsert(cust0.filter(col("cdk") % 7 === 3).withColumn("cver", lit(1L))
+      .withColumn("nk", (col("nk") + 1) % 6))
+    ct.delete(col("cdk") === 11L)
+    nt.upsert(nat0.filter(col("ndk") === 2L).withColumn("nver", lit(1L))
+      .withColumn("nname", lit("renamed2")))
+    nt.delete(col("ndk") === 5L)
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    val m = MaterializedView.load(spark, mp)
+    assert(m.lastRefreshedVersion == LakeTable.load(spark, fp).latestVersion)
+    assert(m.dimRefreshedVersions == Seq(
+      LakeTable.load(spark, cp).latestVersion,
+      LakeTable.load(spark, np).latestVersion),
+      "one refresh must advance all three maintenance cursors")
+    // and a later mid-chain-only churn still maintains incrementally
+    ct.upsert(cust0.filter(col("cdk") === 20L).withColumn("cver", lit(2L))
+      .withColumn("nk", lit(0L)))
+    m.refresh()
     check()
   }
 }

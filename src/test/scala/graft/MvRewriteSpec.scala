@@ -479,4 +479,118 @@ class MvRewriteSpec extends AnyFunSuite {
       }
     } finally GraftMvRewrite.clear()
   }
+
+  test("filtered MV: CREATE … WHERE maintains the slice; only implying queries serve") {
+    val (base, path) = freshBase("fwhere")
+    val mvPath = Files.createTempDirectory("graft_mvrw_fmv").toString + "/mv"
+    spark.read.format("graft").load(path).createOrReplaceTempView("fwhere_v")
+    val defSql = "SELECT grp, count(1) AS n, sum(amt) AS s " +
+      "FROM fwhere_v WHERE amt >= 50 GROUP BY grp"
+    def recompute(): Set[Seq[Any]] = LakeTable.load(spark, path).read()
+      .filter(col("amt") >= 50).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      .collect().map(_.toSeq).toSet
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS $defSql")
+      // the same filtered aggregate serves from state
+      val q = spark.sql(defSql)
+      assert(!hasAggregate(q) && scansMvState(q),
+        s"filtered aggregate must rewrite:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet == recompute())
+      // an extra dim-only predicate on top of the view's filter still serves
+      val q2 = spark.sql(defSql.replace("WHERE amt >= 50",
+        "WHERE amt >= 50 AND grp = 'g1'"))
+      assert(!hasAggregate(q2) && scansMvState(q2))
+      assert(q2.collect().map(_.toSeq).toSet ==
+        recompute().filter(_.head == "g1"))
+      // the UNFILTERED aggregate must NOT be served by a filtered view,
+      // nor a query with a different non-dim predicate
+      assert(hasAggregate(spark.sql(
+        "SELECT grp, count(1) AS n, sum(amt) AS s FROM fwhere_v GROUP BY grp")))
+      assert(hasAggregate(spark.sql(defSql.replace("amt >= 50", "amt >= 60"))))
+      // churn CROSSING the predicate boundary maintains the slice exactly
+      base.upsert((1L to 200L).map(i => (i, 2L, s"g${i % 7}", (i % 100) + 30))
+        .toDF("k", "ver", "grp", "amt"))
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath'")
+      val q3 = spark.sql(defSql)
+      assert(!hasAggregate(q3) && scansMvState(q3))
+      assert(q3.collect().map(_.toSeq).toSet == recompute())
+      // non-deterministic WHERE is rejected with the maintainability error
+      val err = intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW '${mvPath}2' AS SELECT grp, " +
+          "count(1) AS n FROM fwhere_v WHERE rand() > 0.5 GROUP BY grp")
+      }
+      assert(err.getMessage.contains("deterministic"), err.getMessage)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("fwhere_v")
+    }
+  }
+
+  test("snowflake MV over SQL: fact→cust→nation chain creates, serves, and gates") {
+    val fp = Files.createTempDirectory("graft_mvrw_sf").toString
+    val cp = Files.createTempDirectory("graft_mvrw_sc").toString
+    val np = Files.createTempDirectory("graft_mvrw_sn").toString
+    val mvPath = Files.createTempDirectory("graft_mvrw_smv").toString + "/mv"
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 1000L).map(i => (i, 1L, i % 30, i % 100)).toDF("k", "ver", "ck", "amt"))
+    LakeTable.create(spark, cp, TableSpec("cdk", "cver"),
+      (0L until 30L).map(i => (i, 0L, i % 5)).toDF("cdk", "cver", "nk"))
+    val nat = LakeTable.create(spark, np, TableSpec("ndk", "nver"),
+      (0L until 5L).map(i => (i, 0L, s"nation$i")).toDF("ndk", "nver", "nname"))
+    spark.read.format("graft").load(fp).createOrReplaceTempView("sf_fact")
+    spark.read.format("graft").load(cp).createOrReplaceTempView("sf_cust")
+    spark.read.format("graft").load(np).createOrReplaceTempView("sf_nat")
+    val qSql = "SELECT nname, count(1) AS n, sum(amt) AS s FROM sf_fact " +
+      "JOIN sf_cust ON ck = cdk JOIN sf_nat ON nk = ndk GROUP BY nname"
+    def recompute(): Set[Seq[Any]] = LakeTable.load(spark, fp).read()
+      .join(LakeTable.load(spark, cp).read(), col("ck") === col("cdk"))
+      .join(LakeTable.load(spark, np).read(), col("nk") === col("ndk"))
+      .groupBy("nname").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      .collect().map(_.toSeq).toSet
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS $qSql")
+      val q = spark.sql(qSql)
+      assert(!hasAggregate(q) && scansMvState(q),
+        s"snowflake aggregate must rewrite:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet == recompute())
+      // churn on the chain TAIL gates until refreshed
+      nat.upsert(Seq((2L, 1L, "renamed")).toDF("ndk", "nver", "nname"))
+      assert(hasAggregate(spark.sql(qSql)), "nation-stale view must never serve")
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath'")
+      val q2 = spark.sql(qSql)
+      assert(!hasAggregate(q2) && scansMvState(q2))
+      assert(q2.collect().map(_.toSeq).toSet == recompute())
+      // and fact churn still gates
+      fact.upsert(Seq((5000L, 1L, 3L, 7L)).toDF("k", "ver", "ck", "amt"))
+      assert(hasAggregate(spark.sql(qSql)))
+    } finally {
+      GraftMvRewrite.clear()
+      Seq("sf_fact", "sf_cust", "sf_nat").foreach(spark.catalog.dropTempView)
+    }
+  }
+
+  test("mv() TVF reads the finalized state and optional rollups directly") {
+    val (base, path) = freshBase("tvf")
+    val mvPath = Files.createTempDirectory("graft_mvrw_tvf").toString + "/mv"
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    try {
+      val direct = spark.sql(s"SELECT * FROM mv('$mvPath') ORDER BY grp")
+      assert(direct.columns.toSeq == Seq("grp", "n", "s"))
+      assert(direct.collect().map(_.toSeq).toSet ==
+        base.read().groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+          .collect().map(_.toSeq).toSet)
+      // rollup argument: '' = the global aggregate from stored partials
+      val roll = spark.sql(s"SELECT * FROM mv('$mvPath', '')")
+      assert(roll.head().getLong(0) == base.read().count())
+      // composable with surrounding SQL
+      assert(spark.sql(
+        s"SELECT count(1) FROM mv('$mvPath') WHERE n > 0").head().getLong(0) == 7L)
+      val err = intercept[Exception] {
+        spark.sql(s"SELECT * FROM mv('${mvPath}_nope')").collect()
+      }
+      assert(err.getMessage.contains("no materialized view"), err.getMessage)
+    } finally GraftMvRewrite.clear()
+  }
 }
