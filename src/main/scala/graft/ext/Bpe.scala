@@ -211,7 +211,7 @@ object Bpe {
         .limit(mTop).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val proposal =
-        if (top.isEmpty || want <= 1) Seq.empty else simulate(sample, want)
+        if (top.isEmpty || want <= 1) Seq.empty else simulate(sample, want, top)
       if (top.isEmpty) exhausted = true
       else if (proposal.length <= 1) {
         val (l, r, n) = top.head
@@ -365,30 +365,60 @@ object Bpe {
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._2)) < 0)
   }
 
-  /** Sequential BPE over the driver sample: up to `rounds` proposed
-    * merges. Never mutates the sample (mergePair copies). */
+  /** Sequential BPE proposal over the driver sample, ANCHORED to the
+    * exact snapshot: round k's counts are estimated as
+    *
+    *   est_k(p) = exactSnapshot(p) + (sampleCount_k(p) − sampleCount_0(p))
+    *
+    * — the sample predicts only the DELTAS its speculative merges cause,
+    * never absolute counts. Raw sample counts break on corpora where the
+    * top-K words are unrepresentative (near-uniform synthetic
+    * frequencies): every round-1 proposal missed the exact argmax, the
+    * certificate rejected whole batches, and training collapsed to
+    * ~1 merge per round with the failed speculation paid on top. With
+    * the anchor, round 1 IS the snapshot argmax by construction and
+    * later rounds drift only where an unsampled word's delta decides a
+    * tie. Proposals stay uncertified — the certificate decides.
+    * Never mutates the sample (mergePair copies). */
   private def simulate(sample: scala.collection.mutable.ArrayBuffer[(Array[String], Long)],
-      rounds: Int): Seq[(String, String)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var words = sample.toArray
-    var k = 0
-    while (k < rounds) {
-      val counts = new java.util.HashMap[(String, String), Long]()
-      words.foreach { case (syms, f) =>
+      rounds: Int, exact: Array[(String, String, Long)]): Seq[(String, String)] = {
+    def countsOf(ws: Array[(Array[String], Long)]): java.util.HashMap[(String, String), Long] = {
+      val m = new java.util.HashMap[(String, String), Long]()
+      ws.foreach { case (syms, f) =>
         var i = 0
         while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts.merge(p, f, (a, b) => a + b)
+          m.merge((syms(i), syms(i + 1)), f, (a, b) => a + b)
           i += 1
         }
       }
-      if (counts.isEmpty) k = rounds
-      else {
-        var best: (String, String) = null
-        var bestN = Long.MinValue
-        counts.forEach { (p, n) =>
-          if (n > bestN || (n == bestN && pairLess(p, best))) { best = p; bestN = n }
+      m
+    }
+    val exactMap = new java.util.HashMap[(String, String), Long]()
+    exact.foreach { case (l, r, n) => exactMap.put((l, r), n) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var words = sample.toArray
+    val c0 = countsOf(words)
+    var k = 0
+    var stop = false
+    while (k < rounds && !stop) {
+      val ck = countsOf(words)
+      var best: (String, String) = null
+      var bestN = Long.MinValue
+      def offer(p: (String, String)): Unit = {
+        val est = exactMap.getOrDefault(p, 0L) +
+          ck.getOrDefault(p, 0L) - c0.getOrDefault(p, 0L)
+        if (est > 0 &&
+            (est > bestN || (est == bestN && pairLess(p, best)))) {
+          best = p; bestN = est
         }
+      }
+      // candidate union: exactly-known pairs ∪ pairs the sample currently
+      // holds (new merged-symbol pairs live only in ck; vanished pairs'
+      // negative drift is reached through exactMap/c0 keys)
+      exactMap.forEach((p, _) => offer(p))
+      ck.forEach((p, _) => if (!exactMap.containsKey(p)) offer(p))
+      if (best == null) stop = true
+      else {
         out += best
         words = words.map { case (syms, f) =>
           (BpeUtil.mergePair(syms, best._1, best._2), f)

@@ -320,14 +320,18 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         catch { case scala.util.control.NonFatal(_) => f }
     }.sql
     val qConj = scala.collection.mutable.ArrayBuffer(filters.flatMap(conjunctsOf): _*)
-    meta.filter.toSeq.flatMap(f =>
+    // parse failures must never escape an optimizer rule — an unparseable
+    // stored predicate just disables this view's rewrite
+    val viewConj =
+      try meta.filter.toSeq.flatMap(f =>
         conjunctsOf(spark.sessionState.sqlParser.parseExpression(f)))
-      .foreach { vc =>
-        val want = canon(vc)
-        val ix = qConj.indexWhere(c => canon(c) == want)
-        if (ix < 0) return None
-        qConj.remove(ix)
-      }
+      catch { case scala.util.control.NonFatal(_) => return None }
+    viewConj.foreach { vc =>
+      val want = canon(vc)
+      val ix = qConj.indexWhere(c => canon(c) == want)
+      if (ix < 0) return None
+      qConj.remove(ix)
+    }
     // whatever the view's filter did NOT absorb must be dim-only — those
     // predicates commute with GROUP BY and re-apply on the view's dims
     val rest = qConj.toSeq

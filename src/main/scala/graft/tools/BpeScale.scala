@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   * at 30k+ merges on 100 TB: the batched path amortizes scheduler
   * round-trips to ≪1 job per merge while staying certificate-exact.
   *
-  * Usage: runMain graft.tools.BpeScale [merges] [controlMerges]
-  * (SPARK_GRAFT_SF_DIR selects the corpus, like Bench.)
+  * Usage: runMain graft.tools.BpeScale [merges] [controlMerges] [mode]
+  * (SPARK_GRAFT_SF_DIR selects the corpus, like Bench.) mode `words`
+  * trains on the raw text; the synthetic corpus has only 31 distinct
+  * words, so whitespace-word BPE EXHAUSTS at 93 merges — mode `phrases`
+  * (default) trains on word 3-grams ("batch_part_spark"), the same
+  * corpus re-tokenized to a thousands-deep merge supply, so the batched
+  * path can be demonstrated at a real vocabulary scale.
   */
 object BpeScale {
 
@@ -42,7 +47,15 @@ object BpeScale {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("text")
+    val mode = args.lift(2).getOrElse("phrases")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet").select("text")
+    val docs =
+      if (mode == "words") raw
+      else raw.select(expr(
+        """CASE WHEN size(split(text, ' ')) < 3 THEN text ELSE
+          |  concat_ws(' ', transform(sequence(0, size(split(text, ' ')) - 3),
+          |    i -> concat_ws('_', slice(split(text, ' '), i + 1, 3))))
+          |END""".stripMargin).as("text"))
 
     def timedJobs[A](body: => A): (A, Double, Long) = {
       val c = new JobCounter
