@@ -1107,6 +1107,97 @@ object LakeQueries {
         |JOIN nat nt ON c.c_nationkey = nt.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // FILTERED DEPTH-3 SNOWFLAKE materialized view — the two round-7
+    // extensions composed: σ_urgent(orders ⋈ customer ⋈ nation ⋈ region)
+    // GROUP BY region name, where both chain keys (c_nationkey,
+    // n_regionkey) live on dims. One refresh absorbs churn at every
+    // level: fact rows crossing the filter + deletes, customers moving
+    // nations, a nation moving regions, a region rename and a region
+    // DELETE (everything under it leaves the join). Every signed term is
+    // filtered, chain-folded parent-first, and churn-bounded on its Δ
+    // side; the oracle replays all four tables in DuckDB.
+    "q158_filtered_snowflake_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        import graft.lake.MaterializedView.MvJoin
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvd_f_$tag"); val cp = freshDir(s"mvd_c_$tag")
+        val np = freshDir(s"mvd_n_$tag"); val rp = freshDir(s"mvd_r_$tag")
+        val mp = freshDir(s"mvd_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0))
+        val cust = LakeTable.create(s, cp, TableSpec("c_custkey", "cver"),
+          t(s, d, "customer").withColumn("cver", lit(0L)))
+        val nat = LakeTable.create(s, np, TableSpec("n_nationkey", "nver"),
+          t(s, d, "nation").withColumn("nver", lit(0L)))
+        val reg = LakeTable.create(s, rp, TableSpec("r_regionkey", "rver"),
+          t(s, d, "region").withColumn("rver", lit(0L)))
+        MaterializedView.create(s, mp, fact, Seq("r_name"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey"),
+            MvAgg("mx", "max", "o_totalprice")),
+          Seq(MvJoin(cp, "o_custkey", "c_custkey"),
+            MvJoin(np, "c_nationkey", "n_nationkey"),
+            MvJoin(rp, "n_regionkey", "r_regionkey")),
+          filter = Some("o_orderpriority = '1-URGENT'"))
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .unionByName(t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_orderpriority",
+              when(col("o_orderpriority") === "1-URGENT", "3-MEDIUM")
+                .otherwise("1-URGENT"))
+            .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))))
+        fact.delete(col("o_orderkey") % 11 === 0)
+        cust.upsert(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_nationkey", (col("c_nationkey") + 1) % 25)
+          .withColumn("cver", lit(1L)))
+        cust.delete(col("c_custkey") % 17 === 0)
+        nat.upsert(t(s, d, "nation").filter(col("n_nationkey") === 3)
+          .withColumn("n_regionkey", (col("n_regionkey") + 1) % 5)
+          .withColumn("nver", lit(1L)))
+        nat.delete(col("n_nationkey") === 7)
+        reg.upsert(t(s, d, "region").filter(col("r_regionkey") === 1)
+          .withColumn("r_name", lit("RENAMED")).withColumn("rver", lit(1L)))
+        reg.delete(col("r_regionkey") === 4)
+        val mv = MaterializedView.load(s, mp).refresh()
+        require(mv.lastRefreshedVersion == LakeTable.load(s, fp).latestVersion &&
+          mv.dimRefreshedVersions == Seq(cp, np, rp).map(p =>
+            LakeTable.load(s, p).latestVersion),
+          "one refresh must advance all four maintenance cursors")
+        mv.read().orderBy("r_name")
+      },
+      """WITH cand AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate + INTERVAL 1 DAY,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN '3-MEDIUM'
+        |              ELSE '1-URGENT' END
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |fact AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+        |    FROM cand) WHERE rn = 1 AND o_orderkey % 11 <> 0),
+        |cust AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM customer WHERE c_custkey % 17 <> 0),
+        |nat AS (SELECT n_nationkey,
+        |    CASE WHEN n_nationkey = 3 THEN (n_regionkey + 1) % 5
+        |         ELSE n_regionkey END AS n_regionkey
+        |  FROM nation WHERE n_nationkey <> 7),
+        |reg AS (SELECT r_regionkey,
+        |    CASE WHEN r_regionkey = 1 THEN 'RENAMED' ELSE r_name END AS r_name
+        |  FROM region WHERE r_regionkey <> 4)
+        |SELECT rg.r_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(f.o_custkey) AS BIGINT) AS su, MAX(f.o_totalprice) AS mx
+        |FROM fact f
+        |JOIN cust c ON f.o_custkey = c.c_custkey
+        |JOIN nat nt ON c.c_nationkey = nt.n_nationkey
+        |JOIN reg rg ON nt.n_regionkey = rg.r_regionkey
+        |WHERE f.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

@@ -701,4 +701,68 @@ class MaterializedViewSpec extends AnyFunSuite {
     m.refresh()
     check()
   }
+
+  test("FILTERED depth-3 snowflake (fact→cust→nation→region): churn at every level") {
+    val fp = tmp(); val cp = tmp(); val np = tmp(); val rp = tmp(); val mp = tmp()
+    val fact0 = spark.range(500L).select(
+      col("id").as("k"), lit(0L).as("ver"), (col("id") % 30).as("ck"),
+      (col("id") % 4).cast("string").as("cls"),
+      (col("id") * 10).cast("decimal(18,2)").as("amt"))
+    val cust0 = spark.range(30L).select(
+      col("id").as("cdk"), lit(0L).as("cver"), (col("id") % 8).as("nk"))
+    val nat0 = spark.range(8L).select(
+      col("id").as("ndk"), lit(0L).as("nver"), (col("id") % 3).as("rk"))
+    val reg0 = spark.range(3L).select(
+      col("id").as("rdk"), lit(0L).as("rver"),
+      concat(lit("region"), col("id")).as("rname"))
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), fact0)
+    val ct = LakeTable.create(spark, cp, TableSpec("cdk", "cver"), cust0)
+    val nt = LakeTable.create(spark, np, TableSpec("ndk", "nver"), nat0)
+    val rt = LakeTable.create(spark, rp, TableSpec("rdk", "rver"), reg0)
+    // three chained arms AND a fact-column filter: the view maintains
+    // σ_cls∈{1,2}(F⋈C⋈N⋈R) GROUP BY rname
+    val mv = MaterializedView.create(spark, mp, ft, Seq("rname"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mx", "max", "amt")),
+      Seq(MvJoin(cp, "ck", "cdk"), MvJoin(np, "nk", "ndk"),
+        MvJoin(rp, "rk", "rdk")),
+      filter = Some("cls IN ('1', '2')"))
+    def check(): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .filter(col("cls").isin("1", "2"))
+        .join(LakeTable.load(spark, cp).read(), col("ck") === col("cdk"))
+        .join(LakeTable.load(spark, np).read(), col("nk") === col("ndk"))
+        .join(LakeTable.load(spark, rp).read(), col("rk") === col("rdk"))
+        .groupBy("rname").agg(count(lit(1)).as("n"), sum(col("amt")).as("s"),
+          max(col("amt")).as("mx")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want,
+        "filtered deep-snowflake mv != recompute")
+    }
+    check()
+    // churn EVERY level in one refresh: fact rows cross the filter both
+    // ways + deletes; customers move nations; nations move regions; a
+    // region renames and another DIES (everything under it drops out)
+    ft.upsert(fact0.filter(col("k") % 6 === 1).withColumn("ver", lit(1L))
+      .withColumn("cls", concat((col("k") % 3).cast("string"), lit(""))))
+    ft.delete(col("k") % 13 === 0)
+    ct.upsert(cust0.filter(col("cdk") % 7 === 2).withColumn("cver", lit(1L))
+      .withColumn("nk", (col("nk") + 1) % 8))
+    nt.upsert(nat0.filter(col("ndk") === 5L).withColumn("nver", lit(1L))
+      .withColumn("rk", lit(0L)))
+    rt.upsert(reg0.filter(col("rdk") === 1L).withColumn("rver", lit(1L))
+      .withColumn("rname", lit("renamed1")))
+    rt.delete(col("rdk") === 2L)
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    assert(MaterializedView.load(spark, mp).dimRefreshedVersions == Seq(
+      LakeTable.load(spark, cp).latestVersion,
+      LakeTable.load(spark, np).latestVersion,
+      LakeTable.load(spark, rp).latestVersion),
+      "one refresh must advance all four maintenance cursors")
+    // tail-only churn afterwards (the deepest dim alone)
+    rt.upsert(reg0.filter(col("rdk") === 0L).withColumn("rver", lit(2L))
+      .withColumn("rname", lit("renamed0")))
+    MaterializedView.load(spark, mp).refresh()
+    check()
+  }
 }
