@@ -570,6 +570,82 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered view serves a COARSER rollup when the query's WHERE implies its predicate") {
+    val (base, path) = freshBase("froll")
+    val mvPath = Files.createTempDirectory("graft_mvrw_froll").toString + "/mv"
+    // two dims so the query can roll one away; filtered on a non-dim col
+    val rows2 = (1L to 2000L).map(i => (i, 1L, s"g${i % 7}", s"t${i % 3}", i % 100))
+      .toDF("k", "ver", "grp", "tier", "amt")
+    val p2 = Files.createTempDirectory("graft_mvrw_froll_b").toString
+    val b2 = LakeTable.create(spark, p2, TableSpec("k", "ver"), rows2)
+    MaterializedView.create(spark, mvPath, b2, Seq("grp", "tier"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")),
+      filter = Some("amt >= 50"))
+    try {
+      GraftMvRewrite.register(mvPath)
+      // GROUP BY grp only (tier rolled away), WHERE = the view's filter
+      // plus a predicate on the ROLLED-AWAY dim — filter absorbed, dim
+      // predicate pushed below the re-aggregation
+      val q = spark.read.format("graft").load(p2)
+        .filter(col("amt") >= 50 && col("tier") =!= "t2")
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      // the rollup path re-aggregates STATE rows, so an Aggregate node is
+      // expected — what must not appear is any scan of the base table
+      def scansBase(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }.exists(_.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(p2))
+          case _ => false
+        })
+      assert(scansMvState(q) && !scansBase(q),
+        s"rollup must come from the MV state, not the base:\n${q.queryExecution.optimizedPlan}")
+      val expect = b2.read().filter(col("amt") >= 50 && col("tier") =!= "t2")
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet == expect)
+    } finally GraftMvRewrite.clear()
+  }
+
+  test("filtered view over an EMPTY slice: create, churn in, churn out — always exact") {
+    val (base, path) = freshBase("fempty")
+    val mvPath = Files.createTempDirectory("graft_mvrw_fempty").toString + "/mv"
+    // nothing matches at create: amt is always < 100
+    val mv = MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("mx", "max", "amt")),
+      filter = Some("amt >= 1000"))
+    assert(mv.read().count() == 0, "an empty slice must read as empty")
+    // churn rows INTO the slice
+    base.upsert((1L to 50L).map(i => (i + 90000L, 1L, s"g${i % 7}", 2000L + i))
+      .toDF("k", "ver", "grp", "amt"))
+    mv.refresh()
+    val expect = base.read().filter(col("amt") >= 1000).groupBy("grp")
+      .agg(count(lit(1)).as("n"), max("amt").as("mx"))
+      .collect().map(_.toSeq).toSet
+    assert(mv.read().collect().map(_.toSeq).toSet == expect && expect.nonEmpty)
+    // and back OUT again (group death in a filtered view)
+    base.delete(col("amt") >= 1000)
+    mv.refresh()
+    assert(mv.read().count() == 0, "slice emptied again")
+    assert(mv.lastRefreshedVersion == base.latestVersion,
+      "empty-delta refreshes must still advance the cursor")
+  }
+
+  test("mv() TVF resolves through the standalone rule too (extension-less sessions)") {
+    val (base, path) = freshBase("tvfsa")
+    val mvPath = Files.createTempDirectory("graft_mvrw_tvfsa").toString + "/mv"
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*")))
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      s"SELECT grp, n FROM mv('$mvPath') WHERE n > 0 ORDER BY grp")
+    val resolved = graft.sql.ResolveGraftTableChanges(spark)(parsed)
+    val df = org.apache.spark.sql.GraftExpressionBridge.ofRows(spark, resolved)
+    assert(df.collect().map(_.toSeq).toSet ==
+      base.read().groupBy("grp").agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("mv() TVF reads the finalized state and optional rollups directly") {
     val (base, path) = freshBase("tvf")
     val mvPath = Files.createTempDirectory("graft_mvrw_tvf").toString + "/mv"
