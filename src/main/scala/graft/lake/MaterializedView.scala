@@ -204,9 +204,9 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     // keeps its state row count bounded without a caller remembering
     // [[pruneDeadGroups]]. OCC-safe like the manual call (its own commit;
     // a racing refresh pinned pre-prune just retries).
-    val stv = state.latestVersion
+    val st = state
+    val stv = st.latestVersion
     if (stv % AUTO_PRUNE_EVERY == 0 && stv > 0) {
-      val st = state
       val dead = st.read().filter(col(GRP_N) <= 0).count()
       if (dead >= AUTO_PRUNE_MIN_DEAD) st.delete(col(GRP_N) <= 0)
     }

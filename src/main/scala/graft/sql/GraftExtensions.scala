@@ -81,6 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft", GraftMvTvf.NAME),
       args => GraftMvTvf.plan(SparkSession.active, args)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftMvTvf.FRESHNESS_NAME),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft", GraftMvTvf.FRESHNESS_NAME),
+      args => GraftMvTvf.freshnessPlan(SparkSession.active, args)))
     e.injectOptimizerRule(_ => GraftMetadataOnlyCount)
     e.injectOptimizerRule(_ => GraftMvRewrite)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))

@@ -281,6 +281,36 @@ object GraftIndexTvfs {
 object GraftMvTvf {
 
   val NAME = "mv"
+  /** Freshness inspection: one row per member table (fact + each join
+    * dim) with the maintenance cursor the state reflects vs the table's
+    * latest commit — `SELECT * FROM mv_freshness('<dir>')`. `fresh` on
+    * every row ⟺ the rewrite would serve this view right now. Commit-log
+    * metadata only; zero data files opened. */
+  val FRESHNESS_NAME = "mv_freshness"
+
+  def freshnessPlan(session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"mv_freshness(view_path): $why")
+    val path = args match {
+      case Seq(Literal(s: UTF8String, StringType)) => s.toString
+      case _ => fail("takes exactly 1 string-literal argument")
+    }
+    val mv = Try(graft.lake.MaterializedView.load(session, path)).getOrElse(
+      fail(s"no materialized view at '$path'"))
+    val meta = mv.meta
+    val (cf, cds) = mv.refreshedVersions
+    import session.implicits._
+    val rows =
+      (meta.basePath, "fact", cf,
+        graft.lake.LakeTable.load(session, meta.basePath).latestVersion) +:
+      meta.joins.zip(cds).zipWithIndex.map { case ((j, c), i) =>
+        (j.dimPath, s"dim$i", c,
+          graft.lake.LakeTable.load(session, j.dimPath).latestVersion)
+      }
+    rows.map { case (p, role, cur, latest) => (p, role, cur, latest, cur >= latest) }
+      .toDF("table_path", "role", "cursor_version", "latest_version", "fresh")
+      .queryExecution.analyzed
+  }
 
   def plan(session: SparkSession, args: Seq[Expression]): LogicalPlan = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
@@ -347,5 +377,9 @@ case class ResolveGraftTableChanges(session: SparkSession) extends Rule[LogicalP
     case u: UnresolvedTableValuedFunction
         if u.name.length == 1 && u.name.head.equalsIgnoreCase(GraftMvTvf.NAME) =>
       GraftMvTvf.plan(session, u.functionArgs)
+    case u: UnresolvedTableValuedFunction
+        if u.name.length == 1 &&
+          u.name.head.equalsIgnoreCase(GraftMvTvf.FRESHNESS_NAME) =>
+      GraftMvTvf.freshnessPlan(session, u.functionArgs)
   }
 }

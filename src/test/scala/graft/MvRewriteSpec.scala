@@ -646,6 +646,27 @@ class MvRewriteSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("mv_freshness() reports per-table cursors; fresh flips with churn and refresh") {
+    val fp = Files.createTempDirectory("graft_mvrw_frsh_f").toString
+    val dp = Files.createTempDirectory("graft_mvrw_frsh_d").toString
+    val mvPath = Files.createTempDirectory("graft_mvrw_frsh").toString + "/mv"
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 100L).map(i => (i, 1L, i % 5, i % 10)).toDF("k", "ver", "fk", "amt"))
+    val dim = LakeTable.create(spark, dp, TableSpec("dk", "dver"),
+      (0L until 5L).map(i => (i, 0L, s"r$i")).toDF("dk", "dver", "region"))
+    MaterializedView.create(spark, mvPath, fact, Seq("region"),
+      Seq(MvAgg("n", "count", "*")),
+      Seq(MaterializedView.MvJoin(dp, "fk", "dk")))
+    def rowsOf() = spark.sql(s"SELECT * FROM mv_freshness('$mvPath')")
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toMap
+    assert(rowsOf() == Map("fact" -> true, "dim0" -> true))
+    dim.upsert(Seq((2L, 1L, "rX")).toDF("dk", "dver", "region"))
+    assert(rowsOf() == Map("fact" -> true, "dim0" -> false),
+      "dim churn must show as dim staleness only")
+    MaterializedView.load(spark, mvPath).refresh()
+    assert(rowsOf() == Map("fact" -> true, "dim0" -> true))
+  }
+
   test("mv() TVF reads the finalized state and optional rollups directly") {
     val (base, path) = freshBase("tvf")
     val mvPath = Files.createTempDirectory("graft_mvrw_tvf").toString + "/mv"
