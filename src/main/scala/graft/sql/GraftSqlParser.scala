@@ -345,13 +345,15 @@ case class GraftCopyIntoCommand(target: String, sourceDir: String,
 /** Delta `GENERATE symlink_format_manifest FOR TABLE t` analog
   * ([[graft.lake.LakeTable.generateManifest]]): one row per partition
   * manifest written. */
-/** `CREATE MATERIALIZED VIEW '<dir>' AS SELECT …`: analyze the definition,
-  * extract the maintainable (base, dims, aggs) shape ([[GraftMvShape]] —
-  * the mirror of the rewrite matcher, so anything accepted here the
-  * rewrite can serve), build the view with its initial full state, and
-  * register it for automatic query rewrite. The FROM may be any reference
-  * that resolves to a graft snapshot (temp view over `format("graft")`,
-  * DSv2 catalog table). */
+/** `CREATE MATERIALIZED VIEW '<dir>' AS SELECT … [WHERE pred] GROUP BY …`:
+  * analyze the definition, extract the maintainable (base, dims, aggs,
+  * joins, filter) shape ([[GraftMvShape]] — the mirror of the rewrite
+  * matcher, so anything accepted here the rewrite can serve), build the
+  * view with its initial full state, and register it for automatic query
+  * rewrite. The FROM may be any reference that resolves to a graft
+  * snapshot (temp view over `format("graft")`, DSv2 catalog table), a
+  * left-deep inner equi-join star over one, or a snowflake chain
+  * (parent-first); a WHERE defines a FILTERED view. */
 case class GraftCreateMaterializedViewCommand(target: String, query: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
