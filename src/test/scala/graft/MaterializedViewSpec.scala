@@ -764,5 +764,45 @@ class MaterializedViewSpec extends AnyFunSuite {
       .withColumn("rname", lit("renamed0")))
     MaterializedView.load(spark, mp).refresh()
     check()
+    // a second view whose filter references a MID-CHAIN dim column (nk on
+    // the customer table): refs route through sideSplitN to the right
+    // table's projection and the predicate applies to the joined row
+    val mp2 = tmp()
+    val mv2 = MaterializedView.create(spark, mp2, ft, Seq("rname"),
+      Seq(MvAgg("n", "count", "*")),
+      Seq(MvJoin(cp, "ck", "cdk"), MvJoin(np, "nk", "ndk"),
+        MvJoin(rp, "rk", "rdk")),
+      filter = Some("nk >= 2"))
+    ct.upsert(cust0.filter(col("cdk") === 3L).withColumn("cver", lit(3L))
+      .withColumn("nk", lit(1L))) // crosses the dim-column predicate
+    mv2.refresh()
+    val want2 = rows(LakeTable.load(spark, fp).read()
+      .join(LakeTable.load(spark, cp).read(), col("ck") === col("cdk"))
+      .join(LakeTable.load(spark, np).read(), col("nk") === col("ndk"))
+      .join(LakeTable.load(spark, rp).read(), col("rk") === col("rdk"))
+      .filter(col("nk") >= 2)
+      .groupBy("rname").agg(count(lit(1)).as("n")))
+    assert(rows(MaterializedView.load(spark, mp2).read()) == want2,
+      "dim-column-filtered chain mv != recompute")
+  }
+
+  test("schema evolution that makes a join key ambiguous fails refresh with the contract's message") {
+    val fp = tmp(); val dp = tmp(); val mp = tmp()
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      spark.range(100L).select(col("id").as("k"), lit(0L).as("ver"),
+        (col("id") % 10).as("fk"), (col("id") * 2).as("amt")))
+    val dt = LakeTable.create(spark, dp, TableSpec("dk", "dver"),
+      spark.range(10L).select(col("id").as("dk"), lit(0L).as("dver"),
+        concat(lit("g"), col("id") % 3).as("grp")))
+    val mv = MaterializedView.create(spark, mp, ft, Seq("grp"),
+      Seq(MvAgg("n", "count", "*")), Seq(MvJoin(dp, "fk", "dk")))
+    // the fact table EVOLVES to gain a column named like the dim key:
+    // the per-refresh keyHomes revalidation must fail with the join-key
+    // constraint's own message, not an opaque ambiguous-reference error
+    ft.upsert(spark.range(3L).select((col("id") + 500L).as("k"),
+      lit(1L).as("ver"), (col("id") % 10).as("fk"), (col("id") * 2).as("amt"),
+      col("id").as("dk")), mergeSchema = true)
+    val err = intercept[IllegalArgumentException](mv.refresh())
+    assert(err.getMessage.contains("its OWN dim table only"), err.getMessage)
   }
 }
