@@ -786,6 +786,43 @@ class MaterializedViewSpec extends AnyFunSuite {
       "dim-column-filtered chain mv != recompute")
   }
 
+  test("streaming into a chain-TAIL dim auto-discovers and maintains a snowflake view") {
+    val fp = tmp(); val cp = tmp(); val np = tmp(); val mp = tmp()
+    val land = tmp(); val ck = tmp()
+    val fact0 = spark.range(300L).select(
+      col("id").as("k"), lit(0L).as("ver"), (col("id") % 20).as("ck"),
+      (col("id") * 3).as("amt"))
+    val cust0 = spark.range(20L).select(
+      col("id").as("cdk"), lit(0L).as("cver"), (col("id") % 5).as("nk"))
+    val nat0 = spark.range(5L).select(
+      col("id").as("ndk"), lit(0L).as("nver"),
+      concat(lit("n"), col("id")).as("nname"))
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), fact0)
+    LakeTable.create(spark, cp, TableSpec("cdk", "cver"), cust0)
+    val nt = LakeTable.create(spark, np, TableSpec("ndk", "nver"), nat0)
+    MaterializedView.create(spark, mp, ft, Seq("nname"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")),
+      Seq(MvJoin(cp, "ck", "cdk"), MvJoin(np, "nk", "ndk")))
+    graft.sql.GraftMvRewrite.register(mp)
+    try {
+      // stream RENAMES into the deepest dim with NO view list — per-batch
+      // auto-discovery must find the snowflake view through its dimPaths
+      nat0.filter(col("ndk") < 3).withColumn("nver", lit(1L))
+        .withColumn("nname", concat(lit("renamed"), col("ndk")))
+        .repartition(3).write.mode("overwrite").parquet(land)
+      graft.streaming.CdcStream.ingestWithViews(spark, nt, land,
+        nt.read().select("ndk", "nver", "nname").schema, ck)
+      val mv = MaterializedView.load(spark, mp)
+      assert(mv.dimRefreshedVersions(1) == LakeTable.load(spark, np).latestVersion,
+        "the stream must keep the chain-tail cursor current without naming the view")
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, cp).read(), col("ck") === col("cdk"))
+        .join(LakeTable.load(spark, np).read(), col("nk") === col("ndk"))
+        .groupBy("nname").agg(count(lit(1)).as("n"), sum(col("amt")).as("s")))
+      assert(rows(mv.read()) == want)
+    } finally graft.sql.GraftMvRewrite.unregister(mp)
+  }
+
   test("schema evolution that makes a join key ambiguous fails refresh with the contract's message") {
     val fp = tmp(); val dp = tmp(); val mp = tmp()
     val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"),
