@@ -273,7 +273,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
     }.sortBy { case (_, ds) => (if (ds == dimSet) 0 else 1, ds.size) }
-    val mv = candidates.iterator.flatMap { case (p, _) =>
+    val freshCandidates = candidates.iterator.flatMap { case (p, _) =>
       try {
         val m = MaterializedView.load(spark, p)
         val meta = m.meta // fresh read — authoritative over the cache
@@ -293,9 +293,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           Some((m, meta))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
-    }.nextOption().getOrElse(return None)
-    val (view, meta) = mv
-    val exact = meta.dims.map(_.toLowerCase).toSet == dimSet
+    }
     // a FILTERED view serves only queries whose WHERE implies the view's
     // predicate — checked conservatively: each view-filter conjunct must
     // match a query conjunct one-to-one under a canonical rendering
@@ -319,77 +317,86 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         try Literal.create(f.eval(null), f.dataType)
         catch { case scala.util.control.NonFatal(_) => f }
     }.sql
-    val qConj = scala.collection.mutable.ArrayBuffer(filters.flatMap(conjunctsOf): _*)
-    // parse failures must never escape an optimizer rule — an unparseable
-    // stored predicate just disables this view's rewrite
-    val viewConj =
-      try meta.filter.toSeq.flatMap(f =>
-        conjunctsOf(spark.sessionState.sqlParser.parseExpression(f)))
-      catch { case scala.util.control.NonFatal(_) => return None }
-    viewConj.foreach { vc =>
-      val want = canon(vc)
-      val ix = qConj.indexWhere(c => canon(c) == want)
-      if (ix < 0) return None
-      qConj.remove(ix)
-    }
-    // whatever the view's filter did NOT absorb must be dim-only — those
-    // predicates commute with GROUP BY and re-apply on the view's dims
-    val rest = qConj.toSeq
-    val dimNames = meta.dims.map(_.toLowerCase).toSet
-    if (!rest.forall(_.references.forall(a => dimNames.contains(a.name.toLowerCase))))
-      return None
-    if (rest.exists(!_.deterministic)) return None
-    // map every output column of the aggregate to a view column
-    val mapping: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map {
-      case a: AttributeReference if dims.exists(_.exprId == a.exprId) =>
-        (a, meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
-      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-        (al, aggColumn(fn, meta.aggs).getOrElse(return None).name)
-      case al @ Alias(a: AttributeReference, _) if dims.exists(_.exprId == a.exprId) =>
-        (al, meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
-      case _ => return None
-    }
-    // build the replacement: an exact-dim view serves a plain state read
-    // (dim filters re-applied on top); a COARSER query re-aggregates the
-    // state table via readRollup, with the dim predicates pushed BELOW
-    // the re-aggregation (they may reference rolled-away dims). Either
-    // way a Project re-aliases view columns under the ORIGINAL output
-    // exprIds, so everything above the aggregate keeps resolving.
-    val viewPlan =
-      if (exact) view.read().queryExecution.analyzed
-      else {
-        val preCols = rest.map(c =>
-          org.apache.spark.sql.GraftExpressionBridge.column(c.transform {
-            case a: AttributeReference =>
-              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
-          }))
-        val rollDims = dims.map(a =>
-          meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
-        try view.readRollup(rollDims, preCols).queryExecution.analyzed
+    // serve the query with ONE fresh candidate, or report why not (None):
+    // candidates are tried in preference order, so a view whose filter
+    // doesn't match (or whose agg set is short one column) never blocks a
+    // later view that can serve
+    def serveWith(view: MaterializedView,
+        meta: MaterializedView.MvMeta): Option[LogicalPlan] = {
+      val exact = meta.dims.map(_.toLowerCase).toSet == dimSet
+      val qConj = scala.collection.mutable.ArrayBuffer(filters.flatMap(conjunctsOf): _*)
+      // parse failures must never escape an optimizer rule — an
+      // unparseable stored predicate just disables this view's rewrite
+      val viewConj =
+        try meta.filter.toSeq.flatMap(f =>
+          conjunctsOf(spark.sessionState.sqlParser.parseExpression(f)))
         catch { case scala.util.control.NonFatal(_) => return None }
+      viewConj.foreach { vc =>
+        val want = canon(vc)
+        val ix = qConj.indexWhere(c => canon(c) == want)
+        if (ix < 0) return None
+        qConj.remove(ix)
       }
-    def viewAttr(name: String): Option[AttributeReference] =
-      viewPlan.output.collectFirst {
-        case a: AttributeReference if a.name.equalsIgnoreCase(name) => a
+      // whatever the view's filter did NOT absorb must be dim-only —
+      // those predicates commute with GROUP BY and re-apply on the dims
+      val rest = qConj.toSeq
+      val dimNames = meta.dims.map(_.toLowerCase).toSet
+      if (!rest.forall(_.references.forall(a => dimNames.contains(a.name.toLowerCase))))
+        return None
+      if (rest.exists(!_.deterministic)) return None
+      // map every output column of the aggregate to a view column
+      val mapping: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map {
+        case a: AttributeReference if dims.exists(_.exprId == a.exprId) =>
+          (a, meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
+        case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+          (al, aggColumn(fn, meta.aggs).getOrElse(return None).name)
+        case al @ Alias(a: AttributeReference, _) if dims.exists(_.exprId == a.exprId) =>
+          (al, meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
+        case _ => return None
       }
-    // exact result-type match or bail (e.g. decimal avg finalized as double)
-    mapping.foreach { case (orig, viewCol) =>
-      val va = viewAttr(viewCol).getOrElse(return None)
-      if (va.dataType != orig.dataType) return None
+      // build the replacement: an exact-dim view serves a plain state read
+      // (dim filters re-applied on top); a COARSER query re-aggregates the
+      // state table via readRollup, with the dim predicates pushed BELOW
+      // the re-aggregation (they may reference rolled-away dims). Either
+      // way a Project re-aliases view columns under the ORIGINAL output
+      // exprIds, so everything above the aggregate keeps resolving.
+      val viewPlan =
+        if (exact) view.read().queryExecution.analyzed
+        else {
+          val preCols = rest.map(c =>
+            org.apache.spark.sql.GraftExpressionBridge.column(c.transform {
+              case a: AttributeReference =>
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+            }))
+          val rollDims = dims.map(a =>
+            meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
+          try view.readRollup(rollDims, preCols).queryExecution.analyzed
+          catch { case scala.util.control.NonFatal(_) => return None }
+        }
+      def viewAttr(name: String): Option[AttributeReference] =
+        viewPlan.output.collectFirst {
+          case a: AttributeReference if a.name.equalsIgnoreCase(name) => a
+        }
+      // exact result-type match or bail (e.g. decimal avg finalized as double)
+      mapping.foreach { case (orig, viewCol) =>
+        val va = viewAttr(viewCol).getOrElse(return None)
+        if (va.dataType != orig.dataType) return None
+      }
+      if (exact && rest.exists(_.references.exists(a => viewAttr(a.name).isEmpty)))
+        return None
+      val refiltered =
+        if (!exact) viewPlan // rollup path: filters already below the re-agg
+        else rest.foldLeft(viewPlan) { (acc, cond) =>
+          Filter(cond.transform {
+            case a: AttributeReference if viewAttr(a.name).isDefined => viewAttr(a.name).get
+          }, acc)
+        }
+      val out = mapping.map { case (orig, viewCol) =>
+        Alias(viewAttr(viewCol).get, orig.name)(exprId = orig.exprId)
+      }
+      Some(Project(out, refiltered))
     }
-    if (exact && rest.exists(_.references.exists(a => viewAttr(a.name).isEmpty)))
-      return None
-    val refiltered =
-      if (!exact) viewPlan // rollup path: filters already below the re-agg
-      else rest.foldLeft(viewPlan) { (acc, cond) =>
-        Filter(cond.transform {
-          case a: AttributeReference if viewAttr(a.name).isDefined => viewAttr(a.name).get
-        }, acc)
-      }
-    val out = mapping.map { case (orig, viewCol) =>
-      Alias(viewAttr(viewCol).get, orig.name)(exprId = orig.exprId)
-    }
-    Some(Project(out, refiltered))
+    freshCandidates.flatMap { case (v, m) => serveWith(v, m) }.nextOption()
   }
 }
 

@@ -646,6 +646,39 @@ class MvRewriteSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("an unfiltered sibling view never blocks the filtered view a query needs") {
+    val (base, path) = freshBase("sibling")
+    val plainPath = Files.createTempDirectory("graft_mvrw_sib_p").toString + "/mv"
+    val filtPath = Files.createTempDirectory("graft_mvrw_sib_f").toString + "/mv"
+    // same base, same dims, same aggs — one plain, one filtered
+    MaterializedView.create(spark, plainPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    MaterializedView.create(spark, filtPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")),
+      filter = Some("amt >= 50"))
+    try {
+      GraftMvRewrite.register(plainPath)
+      GraftMvRewrite.register(filtPath)
+      // the filtered query must fall through the plain candidate to the
+      // filtered view; the unfiltered query must be served by the plain one
+      val qf = spark.read.format("graft").load(path).filter(col("amt") >= 50)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      assert(!hasAggregate(qf) && scansMvState(qf),
+        s"filtered query must reach the filtered sibling:\n${qf.queryExecution.optimizedPlan}")
+      assert(qf.collect().map(_.toSeq).toSet ==
+        base.read().filter(col("amt") >= 50).groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+          .collect().map(_.toSeq).toSet)
+      val qp = spark.read.format("graft").load(path)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      assert(!hasAggregate(qp) && scansMvState(qp))
+      assert(qp.collect().map(_.toSeq).toSet ==
+        base.read().groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+          .collect().map(_.toSeq).toSet)
+    } finally GraftMvRewrite.clear()
+  }
+
   test("mv_freshness() reports per-table cursors; fresh flips with churn and refresh") {
     val fp = Files.createTempDirectory("graft_mvrw_frsh_f").toString
     val dp = Files.createTempDirectory("graft_mvrw_frsh_d").toString
