@@ -108,8 +108,12 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     * averages over a group whose inputs are all NULL finalize to NULL,
     * matching SQL aggregate semantics (the stored delta is 0-based).
     * Dead groups (every row removed) persist as `GRP_N ≤ 0` tombstone
-    * rows — retained so a refresh is ONE commit — and are filtered here. */
-  def read(): DataFrame = {
+    * rows — retained so a refresh is ONE commit — and are filtered here.
+    * `asOf` time-travels the STATE table: the view exactly as some past
+    * refresh left it (the state is an ordinary versioned lake table, so
+    * every refresh is a pinnable snapshot — "what did the dashboard show
+    * at refresh N" is one read, never a base-table replay). */
+  def read(asOf: Option[Long] = None): DataFrame = {
     val m = meta
     val cols = m.dims.map(col) ++ m.aggs.map {
       case MvAgg(n, "sum", _) => when(col(cntCol(n)) > 0, col(sumCol(n))).as(n)
@@ -121,7 +125,7 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         coalesce(hll_sketch_estimate(col(hllCol(n))), lit(0L)).as(n)
       case MvAgg(n, _, _) => col(n)
     }
-    state.read().filter(col(GRP_N) > 0).select(cols: _*)
+    state.read(asOf).filter(col(GRP_N) > 0).select(cols: _*)
   }
 
   /** Finalized view re-aggregated to a COARSER dim subset — the rollup

@@ -270,6 +270,7 @@ object GraftIndexTvfs {
   * SELECT * FROM mv('/path/to/view')                    -- finalized view
   * SELECT * FROM mv('/path/to/view', 'region')          -- rollup to a dim subset
   * SELECT * FROM mv('/path/to/view', '')                -- global rollup (no dims)
+  * SELECT * FROM mv('/path/to/view', 3)                 -- as of state version 3
   * }}}
   *
   * The plan is the view's finalized state read (tombstones filtered,
@@ -329,11 +330,21 @@ object GraftMvTvf {
       fail("the first argument must be the view path string literal"))
     val mv = Try(graft.lake.MaterializedView.load(session, path)).getOrElse(
       fail(s"no materialized view at '$path'"))
+    def intArg(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+    // second argument by TYPE: an integer time-travels the state table
+    // (the view exactly as refresh/state-version N left it); a string is
+    // the rollup dim list
     val df = rollArg match {
       case None => mv.read()
+      case Some(r) if intArg(r).isDefined => mv.read(intArg(r))
       case Some(r) =>
         val dims = stringArg(r).getOrElse(
-          fail("`rollup_dims` must be a comma-separated string literal"))
+          fail("the second argument must be a state version integer or a " +
+            "comma-separated rollup-dims string literal"))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         mv.readRollup(dims)
     }

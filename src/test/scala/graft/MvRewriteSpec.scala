@@ -717,6 +717,20 @@ class MvRewriteSpec extends AnyFunSuite {
       // composable with surrounding SQL
       assert(spark.sql(
         s"SELECT count(1) FROM mv('$mvPath') WHERE n > 0").head().getLong(0) == 7L)
+      // time travel: an integer second argument pins the state version —
+      // churn + refresh later, the old snapshot still reads the old numbers
+      val v0 = MaterializedView.load(spark, mvPath).state.latestVersion
+      val before = spark.sql(s"SELECT * FROM mv('$mvPath', $v0)")
+        .collect().map(_.toSeq).toSet
+      base.upsert((1L to 30L).map(i => (i + 70000L, 1L, "g1", 5L))
+        .toDF("k", "ver", "grp", "amt"))
+      MaterializedView.load(spark, mvPath).refresh()
+      assert(spark.sql(s"SELECT * FROM mv('$mvPath', $v0)")
+        .collect().map(_.toSeq).toSet == before,
+        "the pinned state version must keep serving the pre-churn view")
+      assert(spark.sql(s"SELECT * FROM mv('$mvPath')")
+        .collect().map(_.toSeq).toSet != before,
+        "the unpinned read must show the post-refresh view")
       val err = intercept[Exception] {
         spark.sql(s"SELECT * FROM mv('${mvPath}_nope')").collect()
       }
