@@ -396,6 +396,15 @@ object Bpe {
     val exactMap = new java.util.HashMap[(String, String), Long]()
     exact.foreach { case (l, r, n) => exactMap.put((l, r), n) }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // pairs already merged this simulation: merging eliminates every
+    // (l, r) adjacency (mergePair merges all occurrences, and merging
+    // never splits a symbol back apart), so a merged pair's true count is
+    // 0 from then on. Its estimate, however, stays ≈ exact(p) whenever
+    // its occurrences live mostly OUTSIDE the sampled words (corpus-scale
+    // anchor, sample-scale drift) — without this exclusion the argmax can
+    // re-propose p forever and the batch degenerates to [p, p, …] that
+    // the certificate rejects one costly round at a time.
+    val mergedSet = new java.util.HashSet[(String, String)]()
     var words = sample.toArray
     val c0 = countsOf(words)
     var k = 0
@@ -405,6 +414,7 @@ object Bpe {
       var best: (String, String) = null
       var bestN = Long.MinValue
       def offer(p: (String, String)): Unit = {
+        if (mergedSet.contains(p)) return
         val est = exactMap.getOrDefault(p, 0L) +
           ck.getOrDefault(p, 0L) - c0.getOrDefault(p, 0L)
         if (est > 0 &&
@@ -420,6 +430,7 @@ object Bpe {
       if (best == null) stop = true
       else {
         out += best
+        mergedSet.add(best)
         words = words.map { case (syms, f) =>
           (BpeUtil.mergePair(syms, best._1, best._2), f)
         }

@@ -698,7 +698,13 @@ object CommitLog {
       else {
         val m = g.getGroup(field, 0)
         val kvField =
-          if (m.getType.containsField("key_value")) "key_value" else "map"
+          if (m.getType.containsField("key_value")) "key_value"
+          else if (m.getType.containsField("map")) "map"
+          else throw new IllegalStateException(
+            s"checkpoint MAP field '$field' uses an unrecognized parquet " +
+              "layout: the repeated group must be named 'key_value' " +
+              "(standard) or 'map' (legacy Spark writeLegacyFormat); got " +
+              m.getType.toString.replaceAll("\\s+", " "))
         (0 until m.getFieldRepetitionCount(kvField)).map { i =>
           val kv = m.getGroup(kvField, i)
           val v = kv.getGroup("value", 0)

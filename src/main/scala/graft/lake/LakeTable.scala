@@ -430,9 +430,23 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * set, which Spark broadcasts), and the dedup shuffle carries just the
     * contested rows. Read cost scales with log size, not table size: at
     * 100 TB that is the difference between a merge and a full re-shuffle. */
-  def realtime(asOf: Option[Long] = None): DataFrame = {
+  def realtime(asOf: Option[Long] = None): DataFrame =
+    realtimePruned(asOf, Nil)
+
+  /** [[realtime]] with BASE-file pruning against `baseFilters`
+    * (stats/bucket/bloom skipping; log files are never pruned — they are
+    * churn-sized and a log row may supersede a pruned base row's key).
+    * Sound for callers that re-apply their predicate on the merged rows:
+    * pruning only drops base files that cannot contain a matching key,
+    * and the latest-wins merge of the remaining files is unchanged for
+    * every surviving key. */
+  private def realtimePruned(asOf: Option[Long],
+      baseFilters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
     val live = liveFiles(asOf)
-    val (logActions, baseActions) = live.partition(_.log)
+    val (logActions, baseActions0) = live.partition(_.log)
+    val baseActions =
+      if (baseFilters.isEmpty) baseActions0
+      else pruneByFilters(baseActions0, baseFilters)
     if (logActions.isEmpty)
       return ordered(readFiles(baseActions, asOf = asOf), asOf)
     val (tombActions, dataLogs) = logActions.partition(_.tombstone)
@@ -1515,11 +1529,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * proportional to window churn, not table size. This is the engine of
     * [[MaterializedView.refresh]]. Both sides read with the `upTo` schema,
     * so mid-window additive evolution surfaces nulls instead of breaking.
-    * CoW only: MoR log rows supersede base rows without removing their
-    * file, which breaks the cancellation (compact first, or keep the MV on
-    * a CoW table). */
+    *
+    * MoR tables route through [[windowDeltaMor]]: log rows supersede base
+    * rows without removing their file, which breaks the file-level
+    * cancellation — the MoR delta instead diffs the two MERGED snapshots
+    * restricted to the window's touched record identities. */
   private[lake] def windowDelta(since: Long, upTo: Long): (DataFrame, DataFrame) = {
-    require(!spec.mor, "windowDelta is defined for CoW tables (compact MoR first)")
+    if (spec.mor) return windowDeltaMor(since, upTo)
     val window = commits.filter(c => c.version > since && c.version <= upTo)
     val liveUp = liveFiles(Some(upTo)).map(_.path).toSet
     val plusActs = window.flatMap(_.add)
@@ -1527,6 +1543,56 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val removedPaths = window.flatMap(_.remove).toSet
     val minusActs = liveFiles(Some(since)).filter(a => removedPaths.contains(a.path))
     (readFiles(plusActs, asOf = Some(upTo)), readFiles(minusActs, asOf = Some(upTo)))
+  }
+
+  /** MoR net row delta over `(since, upTo]`, as (plus, minus) rows of the
+    * MERGED realtime view — so an MV over a streaming MoR ingest table
+    * maintains without compacting first, `_rt`-consistent by construction.
+    *
+    * An identity's merged row can differ between the two snapshots only if
+    * a window commit touched it: rows of window-ADDED files (base adds,
+    * data-log upserts, tombstone keys) or of window-REMOVED files
+    * (CoW-style rewrites on a compacted MoR table drop rows with no log
+    * trace). With K = those identities,
+    * `plus = realtime(upTo) ⋉ K`, `minus = realtime(since) ⋉ K` — every
+    * untouched identity cancels by omission, so the delta is exact for
+    * upserts, deletes (tombstones), re-inserts, and compactions alike.
+    *
+    * Cost ∝ churn, not table size: K comes from reading only the window's
+    * touched files, and both snapshot reads prune their BASE files against
+    * K's (bounded) key set via stats/bloom/bucket skipping — log files are
+    * churn-sized already. A compaction inside the window touches every
+    * key (its rewrite carries all rows), degrading to two full merged
+    * scans whose carried rows cancel — the same cost CoW pays for a
+    * full-rewrite window. */
+  private def windowDeltaMor(since: Long, upTo: Long): (DataFrame, DataFrame) = {
+    val window = commits.filter(c => c.version > since && c.version <= upTo)
+    val addActs = window.flatMap(_.add)
+    val removedPaths = window.flatMap(_.remove).toSet
+    val removedActs = liveFiles(Some(since)).filter(a => removedPaths.contains(a.path))
+    val touchedActs = (addActs ++ removedActs)
+      .groupBy(_.path).map(_._2.head).toSeq
+    if (touchedActs.isEmpty) {
+      val empty = readFiles(Nil, asOf = Some(upTo))
+      return (empty, empty)
+    }
+    // recomputed per side (window files are churn-sized); not cached — a
+    // lazily-consumed delta must not leak a persisted plan
+    val touchedKeys = withJoinIds(readFiles(touchedActs, asOf = Some(upTo)))
+      .select(joinIdCols.map(col): _*).distinct()
+    // bounded key collect (an optimization seam only — the semi-join
+    // below is what bounds the ROWS): within the cap, both snapshot
+    // reads stats/bloom/bucket-skip base files against the key set
+    val sample = touchedKeys.select(col(spec.key)).distinct()
+      .limit(LakeTable.MOR_DELTA_KEY_CAP + 1).collect().map(_.get(0))
+    val baseFilters =
+      if (sample.length > LakeTable.MOR_DELTA_KEY_CAP || sample.contains(null)) Nil
+      else Seq(org.apache.spark.sql.sources.In(spec.key, sample))
+    def side(v: Long): DataFrame =
+      withJoinIds(realtimePruned(Some(v), baseFilters))
+        .join(touchedKeys, joinIdCols, "left_semi")
+        .drop(PID)
+    (side(upTo), side(since))
   }
 
   /** Delta `GENERATE symlink_format_manifest` analog: write text manifests
@@ -3027,6 +3093,13 @@ object LakeTable {
     * writers) draw disjoint `_v=` directories; ids stay monotone in
     * version, which the precombine-tie dedup relies on. */
   private[lake] val WRITE_SLOTS = 1L << 20
+
+  /** [[LakeTable.windowDelta]] MoR path: collect at most this many touched
+    * record keys driver-side to stats/bloom/bucket-prune the two snapshot
+    * reads' base files; past it the reads stay unpruned (the semi-join
+    * still bounds the rows — a window touching this many keys rewrote a
+    * large fraction of the table anyway). */
+  private val MOR_DELTA_KEY_CAP = 8192
   /** Op-level rebase attempts before surfacing ConcurrentModificationException. */
   private[lake] val MAX_COMMIT_RETRIES = 10
   /** Above this many distinct incoming keys, skip bloom probing — churn

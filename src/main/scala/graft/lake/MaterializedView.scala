@@ -22,7 +22,7 @@ case class MvAgg(name: String, kind: String, input: String) {
   require(kind == "count" || input != "*", s"$kind requires a column input")
 }
 
-/** Incrementally-maintained aggregate over a CoW [[LakeTable]] — the
+/** Incrementally-maintained aggregate over a [[LakeTable]] — the
   * materialized-view pattern a 100 TB pipeline needs: the base table takes
   * continuous upserts/deletes, and `refresh()` brings the aggregate up to
   * date at a cost proportional to the CHURN since the last refresh, never
@@ -33,7 +33,11 @@ case class MvAgg(name: String, kind: String, input: String) {
   * rewrites put carried-over rows in both sides, so they cancel under any
   * linear aggregate. One hash-aggregate over `plus ∪ minus` (signed)
   * computes per-group deltas; the deltas merge into the stored state by
-  * key. Groups whose row count reaches zero are deleted.
+  * key. Groups whose row count reaches zero are deleted. MoR base and dim
+  * tables maintain the same way — their windowDelta diffs the two MERGED
+  * (`_rt`-consistent) snapshots restricted to the window's touched keys,
+  * so a view over a streaming MoR ingest table never needs a compaction
+  * to stay fresh.
   *
   *   - count / sum / avg: pure delta merge — never touches the base table.
   *     Use exact input types (integers, DECIMAL) for bit-exact maintenance;
@@ -41,14 +45,15 @@ case class MvAgg(name: String, kind: String, input: String) {
   *   - min / max: delta-merged (`least`/`greatest`) for groups that saw
   *     only additions; a group that LOST rows may have lost its extremum,
   *     so exactly those groups are re-aggregated from the base snapshot.
-  *     The repair scan is FILE-pruned when the view's dims are fact-table
-  *     stats/partition/key columns: the affected groups' dim values (one
-  *     row per removal-touched group — already a bounded set) push into
-  *     the snapshot read as `IN` filters, so commit-log skipping opens
-  *     only those groups' files. When no dim is a prunable fact column
-  *     (e.g. a star view grouped purely on dim-table attributes) the
-  *     repair reads the full snapshot — an honest cliff; prefer count/
-  *     sum/avg-only views on hot paths over unclustered dims.
+  *     The repair scan is FILE-pruned from the affected groups' dim
+  *     values (one row per removal-touched group — already a bounded
+  *     set): fact-resident dims push into the snapshot read as `IN`
+  *     filters directly, and DIM-TABLE-resident dims (a star view grouped
+  *     on `n_name`) chase their values down the join chain to fact join
+  *     keys first — so commit-log stats/bloom/bucket skipping opens only
+  *     the affected groups' files on both shapes. Only when a group's
+  *     derived key set explodes past the cap (it touches most of the
+  *     fact anyway) does the repair fall back to the full snapshot.
   *   - hll (approximate count-distinct): the per-group Datasketches HLL
   *     sketch unions in each window's added values; removal-touched
   *     groups re-sketch via the same recompute path (and the same file
@@ -190,6 +195,7 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     * (filtered by [[read]]) precisely so the whole refresh is ONE
     * commit: a separate delete could interleave with a racer. */
   def refresh(): MaterializedView = {
+    val vBefore = state.latestVersion
     var attempt = 0
     var done = false
     while (!done) {
@@ -207,10 +213,13 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     // threshold — a long-lived streaming view under death/rebirth churn
     // keeps its state row count bounded without a caller remembering
     // [[pruneDeadGroups]]. OCC-safe like the manual call (its own commit;
-    // a racing refresh pinned pre-prune just retries).
+    // a racing refresh pinned pre-prune just retries). Gated on the state
+    // version having ADVANCED during this call (ours or a racer's): a
+    // no-op refresh (streaming caller, no base churn) while the version
+    // sits at a cadence multiple must not re-pay the tombstone count.
     val st = state
     val stv = st.latestVersion
-    if (stv % AUTO_PRUNE_EVERY == 0 && stv > 0) {
+    if (stv > vBefore && stv % AUTO_PRUNE_EVERY == 0 && stv > 0) {
       val dead = st.read().filter(col(GRP_N) <= 0).count()
       if (dead >= AUTO_PRUNE_MIN_DEAD) st.delete(col(GRP_N) <= 0)
     }
@@ -416,13 +425,17 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       // sketched a removed value): re-aggregate exactly those groups from
       // the snapshot. Their dim tuples are collected (bounded: one row per
       // removal-touched group, capped) BOTH to skip the snapshot scan
-      // entirely on pure-addition windows and to derive IN filters on the
-      // fact-resident dims — pushed through [[LakeTable.readWhere]] so
+      // entirely on pure-addition windows and to derive IN filters on
+      // FACT columns — pushed through [[LakeTable.readWhere]] so
       // commit-log stats/partition/bucket skipping opens only the affected
-      // groups' files. Over the cap, or for null dim values, the filter is
-      // dropped (pruning is an optimization; the MVKEY semi-join below is
-      // what bounds the re-aggregate's ROWS).
-      val factDims = dims.filter(base.schema.fieldNames.contains)
+      // groups' files. A fact-resident dim filters directly on itself; a
+      // DIM-TABLE-resident dim (the star/snowflake `GROUP BY n_name`
+      // shape) chases its affected values down the join chain to a
+      // fact-homed join key — each hop a bounded collect over a dim table
+      // restricted to the previous hop's values, so the derived fact-key
+      // IN list stays churn-bounded. Over a cap, or for null values, that
+      // dim's filter is dropped (pruning is an optimization; the MVKEY
+      // semi-join below is what bounds the re-aggregate's ROWS).
       val affected =
         if (nonLin.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else newRows.filter(col(GRP_N) > 0 && col(HASM) > 0)
@@ -436,13 +449,43 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
             case MvAgg(n, "hll", in) => hll_sketch_agg(col(in)).as(reCol(n))
             case MvAgg(n, _, in) => max(col(in)).as(reCol(n))
           }
+          // walk one dim-resident column's affected values down to the
+          // fact: restrict dim t on (colName IN values), project the key
+          // that joins t to its parent, repeat until the parent is the
+          // fact itself. Returns the fact-homed column and its bounded
+          // key set, or None when a hop explodes past the cap (a huge
+          // group — pruning would not help) or surfaces a null key.
+          def chaseToFact(t0: Int, col0: String,
+              vals0: Array[Any]): Option[(String, Array[Any])] = {
+            var curT = t0; var curCol = col0; var curVals = vals0
+            var hops = 0
+            while (hops <= m.joins.size) {
+              hops += 1
+              val probe = org.apache.spark.sql.sources.In(curCol, curVals)
+              val next = dimTables(curT)
+                .readWhere(Seq(probe), Some(dimUpTos(curT)))
+                .filter(col(curCol).isin(curVals: _*))
+                .select(col(m.joins(curT).dimKey)).distinct()
+                .limit(REPAIR_KEY_CAP + 1).collect().map(_.get(0))
+              if (next.length > REPAIR_KEY_CAP || next.contains(null)) return None
+              val keyOnParent = m.joins(curT).factKey
+              if (homes(curT) == -1) return Some((keyOnParent, next))
+              curT = homes(curT); curCol = keyOnParent; curVals = next
+            }
+            None
+          }
+          def dimHome(c: String): Option[Int] =
+            dimTables.indices.find(i => dimTables(i).schema.fieldNames.contains(c))
           val inFilters: Seq[org.apache.spark.sql.sources.Filter] =
             if (affected.length > REPAIR_IN_CAP) Nil
-            else factDims.flatMap { d =>
-              val ix = dims.indexOf(d)
+            else dims.zipWithIndex.flatMap { case (d, ix) =>
               val vs = affected.map(_.get(ix)).distinct
               if (vs.contains(null)) None
-              else Some(org.apache.spark.sql.sources.In(d, vs))
+              else if (base.schema.fieldNames.contains(d))
+                Some(org.apache.spark.sql.sources.In(d, vs))
+              else dimHome(d).flatMap(t => chaseToFact(t, d, vs).map {
+                case (fc, ks) => org.apache.spark.sql.sources.In(fc, ks)
+              })
             }
           val live = base.liveFiles(Some(upTo))
           lastRepairScan = Some((live.size, base.pruneByFilters(live, inFilters).size))
@@ -505,6 +548,14 @@ object MaterializedView {
     * falls back to the unpruned scan (a huge removal wave re-touches most
     * files anyway, and a driver-side IN list must stay bounded). */
   private val REPAIR_IN_CAP = 256
+
+  /** Cap on a fact-key IN list DERIVED from dim-resident view dims (the
+    * chase through the join chain): larger than [[REPAIR_IN_CAP]] because
+    * one dim value legitimately fans out to many fact keys (a nation's
+    * customers), while the list must stay a driver-side filter. Past it,
+    * that dim's filter is dropped — the group touches so much of the fact
+    * that file pruning would not pay for the probe. */
+  private val REPAIR_KEY_CAP = 8192
 
   /** Diagnostic seam for the repair-scan pruning (total live files,
     * files actually scanned by the LAST repair this JVM ran) — read by
@@ -707,7 +758,6 @@ object MaterializedView {
       dims: Seq[String], aggs: Seq[MvAgg],
       joins: Seq[MvJoin] = Seq.empty,
       filter: Option[String] = None): MaterializedView = {
-    require(!base.spec.mor, "materialized views maintain CoW base tables")
     require(dims.nonEmpty, "at least one dim")
     val names = dims ++ aggs.map(_.name)
     require(names.distinct.size == names.size, "dim/agg output names must be unique")
@@ -721,8 +771,6 @@ object MaterializedView {
       if (joins.isEmpty) (base.read(Some(v)), Seq.empty[MvJoin])
       else {
         val dimTables = joins.map(j => LakeTable.load(spark, j.dimPath))
-        dimTables.foreach(d =>
-          require(!d.spec.mor, "join views maintain CoW dim tables"))
         val homes = keyHomes(base.schema, dimTables.map(_.schema), joins)
         val (factCols, dimColsN) =
           sideSplitN(base.schema, dimTables.map(_.schema), need, joins)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructType}
 
 import graft.lake.LakeTable
 
@@ -122,8 +122,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case CREATE_MV_RE(target, query) => claimOr(sqlText, target) {
       GraftCreateMaterializedViewCommand(target.trim, query.trim)
     }
-    case REFRESH_MV_RE(target) => claimOr(sqlText, target) {
-      GraftRefreshMaterializedViewCommand(target.trim)
+    case REFRESH_MV_RE(target, ifStale) => claimOr(sqlText, target) {
+      GraftRefreshMaterializedViewCommand(target.trim, ifStale = ifStale != null)
     }
     case DROP_MV_RE(target) => claimOr(sqlText, target) {
       GraftDropMaterializedViewCommand(target.trim)
@@ -224,7 +224,7 @@ object GraftSqlParser {
   private[sql] val CREATE_MV_RE =
     (s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$TGT\\s+AS\\s+(.+?)\\s*;?\\s*""").r
   private[sql] val REFRESH_MV_RE =
-    (s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$TGT\\s*;?\\s*""").r
+    (s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$TGT(\\s+IF\\s+STALE)?\\s*;?\\s*""").r
   private[sql] val DROP_MV_RE =
     (s"""(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+$TGT\\s*;?\\s*""").r
 
@@ -386,20 +386,43 @@ case class GraftCreateMaterializedViewCommand(target: String, query: String)
   }
 }
 
-/** `REFRESH MATERIALIZED VIEW '<dir>'`: bring the view up to date with the
-  * base table (cost ∝ churn) and re-register it for rewrite. */
-case class GraftRefreshMaterializedViewCommand(target: String)
-    extends LeafRunnableCommand {
+/** `REFRESH MATERIALIZED VIEW '<dir>' [IF STALE]`: bring the view up to
+  * date with the base table (cost ∝ churn) and re-register it for rewrite.
+  * `IF STALE` is the alerting/serving form: it checks the maintenance
+  * cursors against every member table's latest commit first (commit-log
+  * metadata only — same check `mv_freshness()` surfaces per table) and
+  * refreshes only when some member moved, returning `was_stale` so an
+  * operator pipeline can alert on views found stale. One statement thus
+  * takes a stale view back to "the rewrite serves it" with a guaranteed
+  * no-op when nothing changed. */
+case class GraftRefreshMaterializedViewCommand(target: String,
+    ifStale: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
-    Seq(AttributeReference("last_refreshed_version", LongType)())
+    if (ifStale)
+      Seq(AttributeReference("last_refreshed_version", LongType)(),
+        AttributeReference("was_stale", BooleanType)())
+    else Seq(AttributeReference("last_refreshed_version", LongType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val mvPath = GraftSqlParser.rawPath(target).getOrElse(
       throw new IllegalArgumentException(
         "REFRESH MATERIALIZED VIEW target must be a path: '<dir>' or graft.`<dir>`"))
-    val mv = graft.lake.MaterializedView.load(spark, mvPath).refresh()
-    GraftMvRewrite.register(mvPath)
-    Seq(Row(mv.lastRefreshedVersion))
+    val mv0 = graft.lake.MaterializedView.load(spark, mvPath)
+    if (ifStale) {
+      val meta = mv0.meta
+      val (cf, cds) = mv0.refreshedVersions
+      val stale =
+        cf < LakeTable.load(spark, meta.basePath).latestVersion ||
+          meta.joins.zip(cds).exists { case (j, c) =>
+            c < LakeTable.load(spark, j.dimPath).latestVersion }
+      val mv = if (stale) mv0.refresh() else mv0
+      GraftMvRewrite.register(mvPath)
+      Seq(Row(mv.lastRefreshedVersion, stale))
+    } else {
+      val mv = mv0.refresh()
+      GraftMvRewrite.register(mvPath)
+      Seq(Row(mv.lastRefreshedVersion))
+    }
   }
 }
 

@@ -842,4 +842,111 @@ class MaterializedViewSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](mv.refresh())
     assert(err.getMessage.contains("its OWN dim table only"), err.getMessage)
   }
+
+  test("dim-attribute view repair is FILE-pruned through the join chain (GROUP BY nname)") {
+    val fp = tmp(); val cp = tmp(); val np = tmp(); val mp = tmp()
+    // fact key-clustered on the JOIN key ck with per-file ck stats: the
+    // chase nname → ndk → cdk=ck derives IN(ck, …) that commit-log
+    // skipping can act on, even though NO view dim is a fact column
+    val fact0 = spark.range(960L).select(
+      col("id").as("k"), lit(0L).as("ver"), (col("id") % 48).as("ck"),
+      (col("id") * 7 % 100).cast("int").as("score"),
+      (col("id") * 10).cast("decimal(18,2)").as("amt"))
+      .repartitionByRange(8, col("ck"))
+    val cust0 = spark.range(48L).select(
+      col("id").as("cdk"), lit(0L).as("cver"), (col("id") % 12).as("nk"))
+    val nat0 = spark.range(12L).select(
+      col("id").as("ndk"), lit(0L).as("nver"),
+      concat(lit("nation"), col("id")).as("nname"))
+    val ft = LakeTable.create(spark, fp,
+      TableSpec("k", "ver", statsColumns = Seq("ck")), fact0, bulkInsert = true)
+    val ct = LakeTable.create(spark, cp, TableSpec("cdk", "cver"), cust0)
+    val nt = LakeTable.create(spark, np, TableSpec("ndk", "nver"), nat0)
+    val mv = MaterializedView.create(spark, mp, ft, Seq("nname"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("mx", "max", "score")),
+      Seq(MvJoin(cp, "ck", "cdk"), MvJoin(np, "nk", "ndk")))
+    def check(): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(ct.read(), col("ck") === col("cdk"))
+        .join(nt.read(), col("nk") === col("ndk"))
+        .groupBy("nname").agg(count(lit(1)).as("n"), max(col("score")).as("mx")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want,
+        "dim-attribute mv != recompute")
+    }
+    check()
+    val total = ft.commits.flatMap(_.add).size
+    assert(total >= 4, s"need a clustered multi-file fact, got $total")
+    // lose the max of exactly ONE nation: its customers are 4 of 48 ck
+    // values, clustered into a minority of the fact files
+    ft.delete(col("ck") % 12 === 4 && col("score") >= 50)
+    MaterializedView.lastRepairScan = None
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    val (live, scanned) = MaterializedView.lastRepairScan.getOrElse(
+      fail("an extremum loss must run the repair path"))
+    assert(scanned < live,
+      s"chained dim-value repair must prune the fact scan (scanned $scanned of $live files)")
+  }
+
+  test("MoR base and MoR chain dim maintain incrementally under upsert/delete churn") {
+    val fp = tmp(); val cp = tmp(); val mp = tmp()
+    val fact0 = spark.range(400L).select(
+      col("id").as("k"), lit(0L).as("ver"), (col("id") % 20).as("ck"),
+      when(col("id") % 11 === 0, lit(null).cast("int"))
+        .otherwise((col("id") % 100).cast("int")).as("score"),
+      (col("id") * 10).cast("decimal(18,2)").as("amt"))
+    val cust0 = spark.range(20L).select(
+      col("id").as("cdk"), lit(0L).as("cver"),
+      concat(lit("g"), col("id") % 4).as("grp"))
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver", mor = true), fact0)
+    val ct = LakeTable.create(spark, cp, TableSpec("cdk", "cver", mor = true), cust0)
+    val mv = MaterializedView.create(spark, mp, ft, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mn", "min", "score"), MvAgg("mx", "max", "score")),
+      Seq(MvJoin(cp, "ck", "cdk")))
+    def check(): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, cp).read(), col("ck") === col("cdk"))
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("amt")).as("s"),
+          min(col("score")).as("mn"), max(col("score")).as("mx")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want,
+        "MoR mv != _rt recompute")
+    }
+    check()
+    // wave 1: pure-log churn — upserts to existing keys (value + group
+    // moves), brand-new keys, keyed deletes (tombstones). NO compaction:
+    // the delta must fold log rows and tombstones itself.
+    ft.upsert(fact0.filter(col("k") % 7 === 1).withColumn("ver", lit(1L))
+      .withColumn("amt", col("amt") + lit(2.5).cast("decimal(18,2)"))
+      .withColumn("ck", (col("ck") + 3) % 20))
+    ft.upsert(spark.range(60L).select((col("id") + 9000L).as("k"),
+      lit(1L).as("ver"), (col("id") % 20).as("ck"),
+      (col("id") % 100).cast("int").as("score"),
+      lit(7.77).cast("decimal(18,2)").as("amt")))
+    ft.deleteKeys(spark.range(30L).select((col("id") * 13).as("k")))
+    ct.upsert(cust0.filter(col("cdk") % 5 === 2).withColumn("cver", lit(1L))
+      .withColumn("grp", lit("gmoved")))
+    assert(LakeTable.load(spark, fp).liveFiles(None).exists(_.log),
+      "the wave must still be un-compacted logs when the view refreshes")
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    // wave 2: a compaction inside the window (its carried rows must
+    // cancel), then more log churn on top
+    ft.compact()
+    ft.upsert(fact0.filter(col("k") % 10 === 3).withColumn("ver", lit(2L))
+      .withColumn("score", lit(99).cast("int")))
+    ft.deleteKeys(spark.range(5L).select((col("id") + 9000L).as("k")))
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    // wave 3: tombstone then re-insert the same key (higher precombine)
+    ft.deleteKeys(spark.range(1L).select(lit(2L).as("k")))
+    ft.upsert(spark.range(1L).select(lit(2L).as("k"), lit(3L).as("ver"),
+      lit(0L).as("ck"), lit(55).cast("int").as("score"),
+      lit(1.25).cast("decimal(18,2)").as("amt")))
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    // no-op refresh converges and stays consistent
+    MaterializedView.load(spark, mp).refresh()
+    check()
+  }
 }
