@@ -36,10 +36,13 @@ import graft.sources.{GraftCatalogTable, GraftRelation}
   * commute with grouping, so they re-apply against the view's dim
   * columns — below the re-aggregation on the rollup path, so predicates
   * on rolled-away dims work too. A FILTERED view additionally requires
-  * the query's WHERE to imply its predicate (conjunct-matched under a
-  * canonical rendering); the matched conjuncts are absorbed by the view
-  * and only the remainder must be dim-only. Result types must match
-  * exactly or the rewrite bails.
+  * the query's WHERE to imply its predicate: each view conjunct must be
+  * matched by a query conjunct either EXACTLY (canonical rendering —
+  * absorbed by the view) or by interval subsumption for single-attribute
+  * </<=/>/>=/= comparisons (`x > 100` serves a view filtered `x > 50`;
+  * the tighter query conjunct stays in the residual and re-applies, so
+  * its attribute must be a view dim). The remainder must be dim-only.
+  * Result types must match exactly or the rewrite bails.
   *
   * Freshness: the rewrite fires ONLY when `mv.lastRefreshedVersion`
   * equals the base table's latest commit — a stale view silently serving
@@ -103,10 +106,22 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     registered.filter(p => shapeOf(spark, p).exists(s =>
       s.basePath == basePath || s.dimPaths.contains(basePath))).sorted
 
+  /** Test seam: commit-log latest-version resolutions performed by the
+    * freshness gate (cache MISSES only) — pinned by MvRewriteSpec to stay
+    * one per member TABLE per rule invocation, not per candidate view. */
+  @volatile private[graft] var freshnessLookups: Long = 0L
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan
+    // one latest-version resolution per member table per rule INVOCATION:
+    // with many registered views over the same hot base, the freshness
+    // gate would otherwise re-resolve the base's commit log once per
+    // fresh-candidate per Aggregate node. Scoped to this invocation — a
+    // commit landing mid-planning is the same benign race with or
+    // without the memo (the rewrite serves the version it observed).
+    val latestMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     plan.transformUp {
-      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+      case agg: Aggregate => rewrite(agg, latestMemo).getOrElse(agg)
     }
   }
 
@@ -133,9 +148,12 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
 
   /** A two-table inner equi-join scan under alias/projection/filter
     * wrappers: `(leftPath, leftKey, rightPath, rightKey, filters)`, keys
-    * assigned to their own side. Filters are only collected ABOVE the
-    * join (side-local filters would change the joined multiset a view
-    * doesn't model). */
+    * assigned to their own side. Filters are collected BOTH above the
+    * join and from either side's scan: a side-local predicate below an
+    * INNER join commutes with it (`σ_p(F) ⋈ D = σ_p(F ⋈ D)` when `p`
+    * references only F — which a pushed-down predicate does by
+    * construction), so predicate pushdown running before this rule can
+    * never hide a query conjunct from the view-filter match. */
   private[sql] def joinScan(p: LogicalPlan)
       : Option[(String, String, String, String, Seq[Expression])] = p match {
     case SubqueryAlias(_, c) => joinScan(c)
@@ -148,12 +166,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       for {
         (lp, lf) <- baseScan(l)
         (rp, rf) <- baseScan(r)
-        if lf.isEmpty && rf.isEmpty
         (lk, rk) <-
           if (l.outputSet.contains(a) && r.outputSet.contains(b)) Some((a.name, b.name))
           else if (l.outputSet.contains(b) && r.outputSet.contains(a)) Some((b.name, a.name))
           else None
-      } yield (lp, lk, rp, rk, Seq.empty[Expression])
+      } yield (lp, lk, rp, rk, lf ++ rf)
     case _ => None
   }
 
@@ -165,30 +182,38 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * subtree, which is exactly what [[graft.lake.MaterializedView]]'s
     * parent-first join contract maintains. Returns `(factPath, arms,
     * filters)` with arms `(dimPath, leftKey, dimKey)` in join order;
-    * filters only from ABOVE the topmost join. */
+    * filters are collected from ABOVE the topmost join AND from inside
+    * the join tree (directly on a member scan or between joins) — every
+    * such predicate is side/subtree-local by construction, so for inner
+    * joins it commutes back above the tree unchanged; collecting it
+    * keeps the rewrite robust under predicate pushdown, which runs
+    * interleaved with this rule. */
   private[sql] def starScan(p: LogicalPlan)
       : Option[(String, Seq[(String, String, String)], Seq[Expression])] = {
-    def peel(p: LogicalPlan): Option[(String, AttributeSet, Seq[(String, String, String)])] =
+    def peel(p: LogicalPlan): Option[(String, AttributeSet,
+        Seq[(String, String, String)], Seq[Expression])] =
       p match {
         case SubqueryAlias(_, c) => peel(c)
         case v: View => peel(v.child)
         case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => peel(c)
+        case Filter(cond, c) =>
+          peel(c).map { case (fp, out, arms, fs) => (fp, out, arms, fs :+ cond) }
         case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
             Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
           for {
             (rp, rf) <- baseScan(r)
-            if rf.isEmpty
             (lAttr, rAttr) <-
               if (!r.outputSet.contains(a) && r.outputSet.contains(b)) Some((a, b))
               else if (!r.outputSet.contains(b) && r.outputSet.contains(a)) Some((b, a))
               else None
-            (fp, treeOut, arms) <- baseScan(l) match {
-              case Some((lp, lf)) if lf.isEmpty =>
-                Some((lp, l.outputSet, Seq.empty[(String, String, String)]))
+            (fp, treeOut, arms, lf) <- baseScan(l) match {
+              case Some((lp, lf0)) =>
+                Some((lp, l.outputSet, Seq.empty[(String, String, String)], lf0))
               case _ => peel(l)
             }
             if treeOut.contains(lAttr) // the left key resolves in the joined tree
-          } yield (fp, treeOut ++ r.outputSet, arms :+ ((rp, lAttr.name, rAttr.name)))
+          } yield (fp, treeOut ++ r.outputSet,
+            arms :+ ((rp, lAttr.name, rAttr.name)), lf ++ rf)
         case _ => None
       }
     def strip(p: LogicalPlan, fs: Seq[Expression])
@@ -198,7 +223,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c, fs)
       case Filter(cond, c) => strip(c, fs :+ cond)
       case j: Join =>
-        peel(j).collect { case (fp, _, arms) if arms.size >= 2 => (fp, arms, fs) }
+        peel(j).collect { case (fp, _, arms, pf) if arms.size >= 2 => (fp, arms, fs ++ pf) }
       case _ => None
     }
     strip(p, Seq.empty)
@@ -221,9 +246,21 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       aggs.find(a => a.kind == kind && a.input.equalsIgnoreCase(input))
     }
 
-  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+  private def rewrite(agg: Aggregate,
+      latestMemo: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
+      : Option[LogicalPlan] = {
     if (!agg.resolved) return None
     val spark = SparkSession.active
+    def latestOf(p: String): Long = {
+      val hit = latestMemo.get(p)
+      if (hit != null) hit.longValue
+      else {
+        freshnessLookups += 1
+        val v = LakeTable.load(spark, p).latestVersion
+        latestMemo.put(p, v)
+        v
+      }
+    }
     // the scanned shape: a plain base snapshot, a two-table inner
     // equi-join (either join order), or a left-deep 2+-dim star
     val plain = baseScan(agg.child)
@@ -286,9 +323,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           // not the meta mirror; one resolution yields both components.
           {
             val (cf, cds) = m.refreshedVersions
-            cf == LakeTable.load(spark, meta.basePath).latestVersion &&
-            meta.joins.zip(cds).forall { case (j, c) =>
-              c == LakeTable.load(spark, j.dimPath).latestVersion }
+            cf == latestOf(meta.basePath) &&
+            meta.joins.zip(cds).forall { case (j, c) => c == latestOf(j.dimPath) }
           })
           Some((m, meta))
         else None
@@ -307,7 +343,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // literal-only subtrees constant-folded — the optimizer has already
     // folded the QUERY's casts (`CAST(50 AS BIGINT)` → `50L`) by the time
     // this rule runs, so the parsed view filter must fold the same way
-    def canon(e: Expression): String = e.transform {
+    def canonExpr(e: Expression): Expression = e.transform {
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name.toLowerCase)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -316,7 +352,79 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       case f if f.resolved && f.foldable && !f.isInstanceOf[Literal] =>
         try Literal.create(f.eval(null), f.dataType)
         catch { case scala.util.control.NonFatal(_) => f }
-    }.sql
+    }
+    def canon(e: Expression): String = canonExpr(e).sql
+    // `(attr, op, literal)` of a single-attribute comparison conjunct
+    // (post-canon: attrs are lowercased UnresolvedAttributes, foldable
+    // sides are Literals); literal-first forms normalize to attr-first
+    def cmpOf(e: Expression): Option[(String, String, Literal)] = {
+      def nm(x: Expression): Option[String] = x match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          Some(u.name.toLowerCase)
+        case a: AttributeReference => Some(a.name.toLowerCase)
+        case _ => None
+      }
+      e match {
+        case GreaterThan(x, l: Literal) => nm(x).map((_, ">", l))
+        case GreaterThanOrEqual(x, l: Literal) => nm(x).map((_, ">=", l))
+        case LessThan(x, l: Literal) => nm(x).map((_, "<", l))
+        case LessThanOrEqual(x, l: Literal) => nm(x).map((_, "<=", l))
+        case EqualTo(x, l: Literal) => nm(x).map((_, "=", l))
+        case GreaterThan(l: Literal, x) => nm(x).map((_, "<", l))
+        case GreaterThanOrEqual(l: Literal, x) => nm(x).map((_, "<=", l))
+        case LessThan(l: Literal, x) => nm(x).map((_, ">", l))
+        case LessThanOrEqual(l: Literal, x) => nm(x).map((_, ">=", l))
+        case EqualTo(l: Literal, x) => nm(x).map((_, "=", l))
+        case _ => None
+      }
+    }
+    // total order on comparable literal values; None = incomparable
+    // (keeps the implication check conservative, never wrong)
+    def litCmp(x: Literal, y: Literal): Option[Int] = {
+      def num(l: Literal): Option[java.math.BigDecimal] = l.value match {
+        case null => None
+        case n: java.lang.Number if l.dataType.isInstanceOf[
+            org.apache.spark.sql.types.NumericType] =>
+          Some(new java.math.BigDecimal(n.toString))
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+        case _ => None
+      }
+      (num(x), num(y)) match {
+        case (Some(a), Some(b)) => Some(a.compareTo(b))
+        case _ => (x.value, y.value) match {
+          case (a: org.apache.spark.unsafe.types.UTF8String,
+              b: org.apache.spark.unsafe.types.UTF8String)
+              if x.dataType == StringType && y.dataType == StringType =>
+            Some(a.compareTo(b))
+          // same-type integral-backed literals (date = days, timestamp =
+          // micros): ordering on the stored number IS the value ordering
+          case (a: java.lang.Number, b: java.lang.Number)
+              if x.dataType == y.dataType =>
+            Some(new java.math.BigDecimal(a.toString)
+              .compareTo(new java.math.BigDecimal(b.toString)))
+          case _ => None
+        }
+      }
+    }
+    // does the query conjunct `q` IMPLY the view conjunct `v`? Interval
+    // subsumption for single-attribute </<=/>/>=/= comparisons on the
+    // same attribute with comparable literals — `x > 100` serves a view
+    // filtered `x > 50`. Conservative: any non-matching shape is false.
+    def implies(q: Expression, v: Expression): Boolean = (for {
+      (qa, qop, ql) <- cmpOf(canonExpr(q))
+      (va, vop, vl) <- cmpOf(canonExpr(v))
+      if qa == va
+      c <- litCmp(ql, vl) // sign of (q literal − v literal)
+    } yield (vop, qop) match {
+      case (">", ">") => c >= 0
+      case (">", ">=") | (">", "=") => c > 0
+      case (">=", ">") | (">=", ">=") | (">=", "=") => c >= 0
+      case ("<", "<") => c <= 0
+      case ("<", "<=") | ("<", "=") => c < 0
+      case ("<=", "<") | ("<=", "<=") | ("<=", "=") => c <= 0
+      case ("=", "=") => c == 0
+      case _ => false
+    }).getOrElse(false)
     // serve the query with ONE fresh candidate, or report why not (None):
     // candidates are tried in preference order, so a view whose filter
     // doesn't match (or whose agg set is short one column) never blocks a
@@ -334,8 +442,16 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       viewConj.foreach { vc =>
         val want = canon(vc)
         val ix = qConj.indexWhere(c => canon(c) == want)
-        if (ix < 0) return None
-        qConj.remove(ix)
+        if (ix >= 0) qConj.remove(ix)
+        else {
+          // range implication: a strictly-tighter query comparison on the
+          // same attribute also proves the view predicate — but is NOT
+          // absorbed: it stays in the residual and re-applies on the
+          // served rows, which the dim-only check below then requires to
+          // be expressible (the attribute must be a view dim; bail
+          // otherwise — exactly the conservative failure we want)
+          if (!qConj.exists(c => implies(c, vc))) return None
+        }
       }
       // whatever the view's filter did NOT absorb must be dim-only —
       // those predicates commute with GROUP BY and re-apply on the dims

@@ -737,4 +737,151 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(err.getMessage.contains("no materialized view"), err.getMessage)
     } finally GraftMvRewrite.clear()
   }
+
+  test("range implication: a tighter query predicate serves a wider filtered view when its column is a dim") {
+    val (base, path) = freshBase("range")
+    val mvPath = Files.createTempDirectory("graft_mvrw_rng").toString + "/mv"
+    spark.read.format("graft").load(path).createOrReplaceTempView("range_v")
+    // amt is BOTH the filter column and a view dim, so the tighter query
+    // conjunct can re-apply on the served rows
+    spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS SELECT grp, amt, " +
+      "count(1) AS n FROM range_v WHERE amt >= 50 GROUP BY grp, amt")
+    def recompute(where: Long => Boolean): Set[Seq[Any]] =
+      LakeTable.load(spark, path).read().select("grp", "amt")
+        .collect().map(_.toSeq).filter(r => where(r(1).asInstanceOf[Long]))
+        .groupBy(r => (r(0), r(1))).map { case ((g, a), rs) =>
+          Seq(g, a, rs.size.toLong) }.toSet
+    try {
+      // exact-dim serve: amt >= 60 implies amt >= 50; the residual
+      // re-applies on the state rows
+      val q = spark.sql("SELECT grp, amt, count(1) AS n FROM range_v " +
+        "WHERE amt >= 60 GROUP BY grp, amt")
+      assert(!hasAggregate(q) && scansMvState(q),
+        s"tighter >= must serve:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet == recompute(_ >= 60))
+      // strict > of the same bound implies >= of it; rollup path (GROUP BY
+      // grp only) pushes the residual below the re-aggregation
+      val q2 = spark.sql("SELECT grp, count(1) AS n FROM range_v " +
+        "WHERE amt > 50 GROUP BY grp")
+      assert(!hasAggregate(q2) ||
+        !q2.queryExecution.optimizedPlan.toString.contains(path),
+        s"rollup with implied filter must not scan the base:\n${q2.queryExecution.optimizedPlan}")
+      assert(q2.collect().map(_.toSeq).toSet ==
+        recompute(_ > 50).groupBy(_.head).map { case (g, rs) =>
+          Seq(g, rs.toSeq.map(_(2).asInstanceOf[Long]).sum) }.toSet)
+      // negatives: a WIDER query predicate is not implied; an unrelated
+      // range direction is not implied
+      assert(hasAggregate(spark.sql("SELECT grp, amt, count(1) AS n " +
+        "FROM range_v WHERE amt >= 40 GROUP BY grp, amt")),
+        "a wider predicate must NOT be served by the narrower view")
+      assert(hasAggregate(spark.sql("SELECT grp, amt, count(1) AS n " +
+        "FROM range_v WHERE amt <= 80 GROUP BY grp, amt")),
+        "an opposite-direction predicate must NOT serve")
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("range_v")
+    }
+  }
+
+  test("filtered JOIN view still serves after predicate pushdown moves the filter below the join") {
+    // the fact predicate of a filtered star view gets pushed below the
+    // join by the optimizer BEFORE the rewrite rule can run — peel() must
+    // collect side-local filters from inside the join tree, or the
+    // rewrite silently dies for every filtered join view issued via
+    // spark.sql (the rule runs interleaved with pushdown)
+    val fp = Files.createTempDirectory("graft_mvrw_pdf").toString
+    val dp = Files.createTempDirectory("graft_mvrw_pdd").toString
+    val mvPath = Files.createTempDirectory("graft_mvrw_pdm").toString + "/mv"
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 2000L).map(i => (i, 1L, i % 10, i % 100)).toDF("k", "ver", "fk", "amt"))
+    LakeTable.create(spark, dp, TableSpec("dk", "dver"),
+      (0L to 9L).map(i => (i, 1L, s"g${i % 3}")).toDF("dk", "dver", "grp"))
+    spark.read.format("graft").load(fp).createOrReplaceTempView("pd_f")
+    spark.read.format("graft").load(dp).createOrReplaceTempView("pd_d")
+    val defSql = "SELECT grp, count(1) AS n, sum(amt) AS s FROM pd_f " +
+      "JOIN pd_d ON fk = dk WHERE amt >= 50 GROUP BY grp"
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS $defSql")
+      val q = spark.sql(defSql)
+      assert(!hasAggregate(q) && scansMvState(q),
+        s"filtered join view must serve through spark.sql despite pushdown:\n" +
+          s"${q.queryExecution.optimizedPlan}")
+      val want = LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("fk") === col("dk"))
+        .filter(col("amt") >= 50).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet == want)
+      // churn + refresh keeps serving
+      ft.upsert((1L to 100L).map(i => (i + 50000L, 1L, i % 10, 77L))
+        .toDF("k", "ver", "fk", "amt"))
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath'")
+      val q2 = spark.sql(defSql)
+      assert(!hasAggregate(q2) && scansMvState(q2))
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("pd_f")
+      spark.catalog.dropTempView("pd_d")
+    }
+  }
+
+  test("REFRESH … IF STALE: detects staleness, refreshes once, no-ops when fresh") {
+    val (base, path) = freshBase("ifstale")
+    val mvPath = Files.createTempDirectory("graft_mvrw_ifs").toString + "/mv"
+    spark.read.format("graft").load(path).createOrReplaceTempView("ifstale_v")
+    val defSql = "SELECT grp, count(1) AS n FROM ifstale_v GROUP BY grp"
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS $defSql")
+      // fresh: IF STALE must not commit a new state version
+      val v0 = MaterializedView.load(spark, mvPath).state.latestVersion
+      val r0 = spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath' IF STALE").head()
+      assert(!r0.getBoolean(1), "a fresh view must report was_stale = false")
+      assert(MaterializedView.load(spark, mvPath).state.latestVersion == v0,
+        "IF STALE on a fresh view must not write")
+      // churn makes it stale: mv_freshness flags it, the rewrite refuses
+      base.upsert((1L to 50L).map(i => (i + 90000L, 1L, "g2", 9L))
+        .toDF("k", "ver", "grp", "amt"))
+      assert(spark.sql(s"SELECT * FROM mv_freshness('$mvPath')")
+        .collect().exists(!_.getBoolean(4)), "churn must surface as stale")
+      assert(hasAggregate(spark.sql(defSql)), "a stale view must not serve")
+      // ONE statement brings it current and re-enables the rewrite
+      val r1 = spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath' IF STALE").head()
+      assert(r1.getBoolean(1), "a stale view must report was_stale = true")
+      assert(spark.sql(s"SELECT * FROM mv_freshness('$mvPath')")
+        .collect().forall(_.getBoolean(4)))
+      val q = spark.sql(defSql)
+      assert(!hasAggregate(q) && scansMvState(q))
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("ifstale_v")
+    }
+  }
+
+  test("freshness gate resolves each member table once per planning pass, not per candidate") {
+    val (base, path) = freshBase("memo")
+    def mk(tag: String, aggs: Seq[MvAgg]): String = {
+      val p = Files.createTempDirectory(s"graft_mvrw_memo_$tag").toString + "/mv"
+      MaterializedView.create(spark, p, base, Seq("grp"), aggs)
+      GraftMvRewrite.register(p)
+      p
+    }
+    try {
+      // three fresh candidates over ONE base; the first two lack the
+      // queried aggregate, so serveWith rejects them AFTER each passes
+      // the freshness gate — without the per-invocation memo that is one
+      // base commit-log resolution per candidate
+      mk("a", Seq(MvAgg("s", "sum", "amt")))
+      mk("b", Seq(MvAgg("mn", "min", "amt")))
+      mk("c", Seq(MvAgg("n", "count", "*")))
+      GraftMvRewrite.freshnessLookups = 0L
+      val q = spark.read.format("graft").load(path)
+        .groupBy("grp").agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan
+      assert(!plan.exists(_.isInstanceOf[Aggregate]), s"must serve:\n$plan")
+      val lookups = GraftMvRewrite.freshnessLookups
+      assert(lookups <= 2,
+        s"one planning pass over 3 candidate views must resolve the base " +
+          s"once per rule invocation (memoized), got $lookups")
+    } finally GraftMvRewrite.clear()
+  }
 }
