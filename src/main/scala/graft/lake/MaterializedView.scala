@@ -267,9 +267,13 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
 
     val inputs = m.aggs.map(_.input).filter(_ != "*").distinct
     // a filtered view's predicate references must ride every projection so
-    // the filter can apply to the (joined) delta rows
+    // the filter can apply to the (joined) delta rows; an expression dim
+    // rides as its REFERENCES (the expression itself is computed per
+    // contribution row, after the join)
     val filterRefs = m.filter.toSeq.flatMap(f => filterRefNames(spark, f))
-    val need = (dims ++ inputs ++ filterRefs).distinct
+    val exprRefs = m.dimExprs.values.toSeq.flatMap(t => filterRefNames(spark, t))
+    val bareDims = dims.filterNot(m.dimExprs.contains)
+    val need = (bareDims ++ exprRefs ++ inputs ++ filterRefs).distinct
     val split =
       if (m.joins.isEmpty) None
       else Some(sideSplitN(base.schema, dimTables.map(_.schema), need, m.joins))
@@ -341,8 +345,11 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       }
     // a filtered view maintains σ_p(F⋈D…): the predicate commutes with the
     // signed delta (deterministic, row-local), so filtering the joined
-    // contribution rows maintains exactly the filtered aggregate
-    val contribF = m.filter.map(f => contrib.filter(expr(f))).getOrElse(contrib)
+    // contribution rows maintains exactly the filtered aggregate — and an
+    // expression dim commutes identically, computed per contribution row
+    val contribX = m.dimExprs.foldLeft(contrib) { case (df, (n, t)) =>
+      df.withColumn(n, expr(t)) }
+    val contribF = m.filter.map(f => contribX.filter(expr(f))).getOrElse(contribX)
 
     // one signed hash-aggregate computes every per-group delta at once
     val sgn = col(SGN)
@@ -495,7 +502,9 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
             else m.joins.indices.foldLeft(snapBase.select(fProj: _*))(
               (acc, i) => joinDim(acc, i, dAt(i, dimUpTos(i))))
           val snap = m.filter.map(f => snapJoined.filter(expr(f))).getOrElse(snapJoined)
-          val re = snap.withColumn(MVKEY, mvKeyCol(dims))
+          val snapX = m.dimExprs.foldLeft(snap) { case (df, (n, t)) =>
+            df.withColumn(n, expr(t)) }
+          val re = snapX.withColumn(MVKEY, mvKeyCol(dims))
             .join(reKeys, Seq(MVKEY), "left_semi")
             .groupBy(MVKEY).agg(reAggs.head, reAggs.tail: _*)
           val keep = newRows.columns.filterNot(c =>
@@ -674,10 +683,21 @@ object MaterializedView {
     * the joined row) — the view maintains `σ_filter(F ⋈ D…)` GROUP BY
     * dims, the shape real deployments slice on (one tenant, one status,
     * recent partitions). Stored in its ANALYZED rendering so the rewrite
-    * can match query predicates canonically. */
+    * can match query predicates canonically.
+    *
+    * `dimExprs` maps a dim NAME to a deterministic row-local SQL
+    * expression over the joined row (`day → date_trunc('DAY', ts)`) —
+    * an EXPRESSION dim, the `GROUP BY date_trunc(…)` shape every
+    * time-bucketed dashboard uses. A deterministic row-local expression
+    * commutes with the signed delta exactly like the filter does: each
+    * maintenance projection computes it per contribution row, so the
+    * aggregate maintains incrementally unchanged. Dims absent from the
+    * map are bare columns. Stored in analyzed rendering, matched
+    * canonically by the rewrite. */
   case class MvMeta(basePath: String, dims: Seq[String], aggs: Seq[MvAgg],
       lastVersion: Long, joins: Seq[MvJoin] = Seq.empty,
-      filter: Option[String] = None)
+      filter: Option[String] = None,
+      dimExprs: Map[String, String] = Map.empty)
 
   /** Assign each needed output column to the fact or exactly one dim,
     * rejecting names present in more than one table (the view definition
@@ -705,6 +725,10 @@ object MaterializedView {
     }
     root.put("lastVersion", m.lastVersion)
     m.filter.foreach(root.put("filter", _))
+    if (m.dimExprs.nonEmpty) {
+      val de = root.putObject("dimExprs")
+      m.dimExprs.foreach { case (n, t) => de.put(n, t) }
+    }
     if (m.joins.nonEmpty) {
       val ja = root.putArray("joins")
       m.joins.foreach { j =>
@@ -740,9 +764,14 @@ object MaterializedView {
         joins += MvJoin(n.get("dimPath").asText, n.get("factKey").asText,
           n.get("dimKey").asText, n.get("dimVersion").asLong)
       }
+    val dimExprs = scala.collection.mutable.Map.empty[String, String]
+    if (root.hasNonNull("dimExprs"))
+      root.get("dimExprs").fields().forEachRemaining(e =>
+        dimExprs += e.getKey -> e.getValue.asText)
     MvMeta(root.get("basePath").asText, dims.toSeq, aggs.toSeq,
       root.get("lastVersion").asLong, joins.toSeq,
-      if (root.hasNonNull("filter")) Some(root.get("filter").asText) else None)
+      if (root.hasNonNull("filter")) Some(root.get("filter").asText) else None,
+      dimExprs.toMap)
   }
 
   /** Define + fully compute the view at the base table's current version.
@@ -757,20 +786,34 @@ object MaterializedView {
   def create(spark: SparkSession, path: String, base: LakeTable,
       dims: Seq[String], aggs: Seq[MvAgg],
       joins: Seq[MvJoin] = Seq.empty,
-      filter: Option[String] = None): MaterializedView = {
+      filter: Option[String] = None,
+      dimExprs: Map[String, String] = Map.empty): MaterializedView = {
     require(dims.nonEmpty, "at least one dim")
     val names = dims ++ aggs.map(_.name)
     require(names.distinct.size == names.size, "dim/agg output names must be unique")
     aggs.foreach(a => require(a.name.matches("[A-Za-z][A-Za-z0-9_]*"),
       s"agg name ${a.name} must be a plain identifier (internal columns are _-prefixed)"))
+    dimExprs.keys.foreach { n =>
+      require(dims.contains(n), s"dimExprs key $n is not a declared dim")
+      require(n.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"expression-dim name $n must be a plain identifier")
+      require(!base.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"expression-dim name $n collides with a base-table column — pick a fresh name")
+    }
     val conf = spark.sessionState.newHadoopConf()
     val v = base.latestVersion
     val filterRefs = filter.toSeq.flatMap(f => filterRefNames(spark, f))
-    val need = (dims ++ aggs.map(_.input).filter(_ != "*") ++ filterRefs).distinct
+    val exprRefs = dimExprs.values.toSeq.flatMap(t => filterRefNames(spark, t))
+    val bareDims = dims.filterNot(dimExprs.contains)
+    val need = (bareDims ++ exprRefs ++
+      aggs.map(_.input).filter(_ != "*") ++ filterRefs).distinct
     val (snapJoined, pinned) =
       if (joins.isEmpty) (base.read(Some(v)), Seq.empty[MvJoin])
       else {
         val dimTables = joins.map(j => LakeTable.load(spark, j.dimPath))
+        dimExprs.keys.foreach(n => require(
+          !dimTables.exists(_.schema.fieldNames.exists(_.equalsIgnoreCase(n))),
+          s"expression-dim name $n collides with a dim-table column — pick a fresh name"))
         val homes = keyHomes(base.schema, dimTables.map(_.schema), joins)
         val (factCols, dimColsN) =
           sideSplitN(base.schema, dimTables.map(_.schema), need, joins)
@@ -803,15 +846,43 @@ object MaterializedView {
           a.withQualifier(Seq.empty)
       }.sql
     }
+    // validate each expression dim against the joined row and pin its
+    // ANALYZED rendering (same treatment as the filter): deterministic,
+    // subquery-free, aggregate-free — row-local, so it commutes with the
+    // signed delta
+    val storedDimExprs: Map[String, String] = dimExprs.map { case (n, t) =>
+      val e = snapJoined.select(expr(t).as(n)).queryExecution.analyzed.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head match {
+            case al: org.apache.spark.sql.catalyst.expressions.Alias => al.child
+            case other => other
+          }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"cannot analyze expression dim $n: $t"))
+      require(e.deterministic, s"expression dim $n must be deterministic: $t")
+      require(!e.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+        s"expression dim $n must not contain a subquery: $t")
+      require(!e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+          .expressions.aggregate.AggregateExpression]),
+        s"expression dim $n must be row-local (no aggregates): $t")
+      n -> e.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.withQualifier(Seq.empty)
+      }.sql
+    }
     val snap = storedFilter.map(f => snapJoined.filter(expr(f))).getOrElse(snapJoined)
-    val st = fullState(snap, dims, aggs, v)
+    val snapE = storedDimExprs.foldLeft(snap) { case (df, (n, t)) =>
+      df.withColumn(n, expr(t)) }
+    val st = fullState(snapE, dims, aggs, v)
     // every refresh lands ~1 small state file; post-commit auto-compaction
     // folds them so a CONTINUOUSLY maintained view (streaming ingestion,
     // thousands of refreshes) keeps a bounded file count. The cursor
     // survives compaction — txn watermarks are cumulative across commits.
     LakeTable.create(spark, new Path(path, "state").toString,
       TableSpec(MVKEY, MVVER, autoCompactFiles = 16), st)
-    writeMeta(path, MvMeta(base.path, dims, aggs, v, pinned, storedFilter), conf)
+    writeMeta(path, MvMeta(base.path, dims, aggs, v, pinned, storedFilter,
+      storedDimExprs), conf)
     new MaterializedView(spark, path)
   }
 

@@ -1198,6 +1198,101 @@ object LakeQueries {
         |WHERE f.o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // EXPRESSION-DIM materialized view — the time-bucketed dashboard
+    // shape: GROUP BY date_trunc('MONTH', o_orderdate), o_orderstatus. A
+    // deterministic row-local expression commutes with the signed delta
+    // exactly like a filter, so the bucket column maintains incrementally
+    // through upsert/reprice/delete churn (a repriced order that moves
+    // BUCKETS cancels out of the old month and lands in the new one). The
+    // oracle replays the churn and re-buckets from scratch in DuckDB.
+    "q159_expr_dim_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvx_f_$tag"); val mp = freshDir(s"mvx_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0))
+        MaterializedView.create(s, mp, fact, Seq("omonth", "o_orderstatus"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey"),
+            MvAgg("mx", "max", "o_totalprice")),
+          dimExprs = Map("omonth" -> "date_trunc('MONTH', o_orderdate)"))
+        // churn: missing third arrives; every 7th reprices 40 days later
+        // (newer precombine wins AND the row moves months); every 11th
+        // key deleted (its month/status group shrinks or dies)
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .unionByName(t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 40 DAY"))))
+        fact.delete(col("o_orderkey") % 11 === 0)
+        val mv = MaterializedView.load(s, mp).refresh()
+        require(mv.lastRefreshedVersion == LakeTable.load(s, fp).latestVersion,
+          "refresh must reach the base head")
+        mv.read().orderBy("omonth", "o_orderstatus")
+      },
+      """WITH cand AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+        |         o_orderdate + INTERVAL 40 DAY, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |fact AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+        |    FROM cand) WHERE rn = 1 AND o_orderkey % 11 <> 0)
+        |SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS omonth,
+        |       o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS su, MAX(o_totalprice) AS mx
+        |FROM fact GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Materialized view over a MoR BASE table — the streaming-ingest
+    // shape: upserts land as log files, deletes as tombstones, and the
+    // view refreshes WITHOUT a compaction (the MoR windowDelta diffs the
+    // merged `_rt` snapshots restricted to the window's touched keys).
+    // The require pins that logs are still outstanding when the refresh
+    // runs, so the log/tombstone fold is what's exercised.
+    "q160_mor_base_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvm_f_$tag"); val mp = freshDir(s"mvm_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec.copy(mor = true),
+          t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0))
+        MaterializedView.create(s, mp, fact, Seq("o_orderstatus"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey"),
+            MvAgg("mn", "min", "o_totalprice"), MvAgg("mx", "max", "o_totalprice")))
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .unionByName(t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))))
+        fact.deleteKeys(t(s, d, "orders").filter(col("o_orderkey") % 11 === 0)
+          .select("o_orderkey"))
+        require(LakeTable.load(s, fp).liveFiles(None).exists(_.log),
+          "the churn must still be un-compacted MoR logs at refresh time")
+        val mv = MaterializedView.load(s, mp).refresh()
+        require(mv.lastRefreshedVersion == LakeTable.load(s, fp).latestVersion,
+          "refresh must reach the base head")
+        mv.read().orderBy("o_orderstatus")
+      },
+      """WITH cand AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+        |         o_orderdate + INTERVAL 1 DAY, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |fact AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+        |    FROM cand) WHERE rn = 1 AND o_orderkey % 11 <> 0)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS su,
+        |       MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

@@ -368,13 +368,13 @@ case class GraftCreateMaterializedViewCommand(target: String, query: String)
     GraftMvShape.extract(analyzed) match {
       case Left(err) => throw new IllegalArgumentException(
         s"materialized view definition is not incrementally maintainable: $err")
-      case Right((basePath, dims, aggs, join, filterSql)) =>
+      case Right((basePath, dims, aggs, join, filterSql, dimExprs)) =>
         // create() validates the join-key naming contract (every key in
         // exactly one schema, chains parent-first) BEFORE any state write;
         // surface its message under the same banner as extract errors so
         // SQL users get one consistent error path
         try graft.lake.MaterializedView.create(spark, mvPath,
-          LakeTable.load(spark, basePath), dims, aggs, join, filterSql)
+          LakeTable.load(spark, basePath), dims, aggs, join, filterSql, dimExprs)
         catch {
           case e: IllegalArgumentException => throw new IllegalArgumentException(
             s"materialized view definition is not incrementally maintainable: " +

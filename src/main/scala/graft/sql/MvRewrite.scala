@@ -84,7 +84,9 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     if (cached != null) return Some(cached)
     try {
       val meta = MaterializedView.load(spark, p).meta
-      val s = MvShapeKey(meta.basePath, meta.dims.map(_.toLowerCase).toSet,
+      val dimKeys = meta.dims.map(d => dimKeyOf(spark, meta.dimExprs, d))
+      if (dimKeys.exists(_.isEmpty)) return None // unparseable stored expr
+      val s = MvShapeKey(meta.basePath, dimKeys.flatten.toSet,
         meta.joins.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase)))
       shapeCache.put(p, s)
       Some(s)
@@ -110,6 +112,38 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * freshness gate (cache MISSES only) — pinned by MvRewriteSpec to stay
     * one per member TABLE per rule invocation, not per candidate view. */
   @volatile private[graft] var freshnessLookups: Long = 0L
+
+  /** Canonical rendering: attribute names lowercased + unqualified, and
+    * literal-only subtrees constant-folded — the optimizer has already
+    * folded the QUERY's casts (`CAST(50 AS BIGINT)` → `50L`) by the time
+    * this rule runs, so parsed stored texts must fold the same way. */
+  private[sql] def canonExpr(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name.toLowerCase)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(u.name.toLowerCase)
+  }.transformUp {
+    case f if f.resolved && f.foldable && !f.isInstanceOf[Literal] =>
+      try Literal.create(f.eval(null), f.dataType)
+      catch { case scala.util.control.NonFatal(_) => f }
+  }
+  private[sql] def canon(e: Expression): String = canonExpr(e).sql
+
+  /** Canonical text of a stored (expression-dim / filter) SQL string;
+    * None when unparseable — the caller treats that as no-match. */
+  private[sql] def canonText(spark: SparkSession, t: String): Option[String] =
+    try Some(canon(spark.sessionState.sqlParser.parseExpression(t)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The matchable KEY of a view dim: bare column → lowercased name;
+    * expression dim → the canonical text of its stored expression. None
+    * when the stored expression no longer parses (disables the view). */
+  private def dimKeyOf(spark: SparkSession, dimExprs: Map[String, String],
+      d: String): Option[String] =
+    dimExprs.get(d) match {
+      case Some(t) => canonText(spark, t)
+      case None => Some(d.toLowerCase)
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan
@@ -246,10 +280,50 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       aggs.find(a => a.kind == kind && a.input.equalsIgnoreCase(input))
     }
 
-  private def rewrite(agg: Aggregate,
+  /** Inline computed Project definitions directly under the Aggregate:
+    * the analyzer extracts a complex grouping expression into a
+    * `… AS _groupingexpression#N` project entry and groups on the
+    * attribute, so the expression the user wrote is one level down.
+    * Substituting each deterministic alias definition back into the
+    * grouping/aggregate expressions (exprIds of the output aliases are
+    * preserved) lets the matcher see `GROUP BY date_trunc(…)` as written.
+    * Projects with non-deterministic computed entries stay put (the
+    * rewrite then conservatively bails). */
+  private[sql] def inlineProjects(agg0: Aggregate): Aggregate = {
+    var current = agg0
+    var continue = true
+    while (continue) {
+      continue = false
+      current.child match {
+        case Project(pl, c)
+            if pl.exists(!_.isInstanceOf[AttributeReference]) &&
+              pl.forall {
+                case _: AttributeReference => true
+                case al: Alias => al.child.deterministic
+                case _ => false
+              } =>
+          val subst: Map[ExprId, Expression] =
+            pl.collect { case al: Alias => al.exprId -> al.child }.toMap
+          def sub(e: Expression): Expression = e.transformUp {
+            case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+          }
+          current = current.copy(
+            groupingExpressions = current.groupingExpressions.map(sub),
+            aggregateExpressions = current.aggregateExpressions
+              .map(ne => sub(ne).asInstanceOf[NamedExpression]),
+            child = c)
+          continue = true
+        case _ =>
+      }
+    }
+    current
+  }
+
+  private def rewrite(agg0: Aggregate,
       latestMemo: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
       : Option[LogicalPlan] = {
-    if (!agg.resolved) return None
+    if (!agg0.resolved) return None
+    val agg = inlineProjects(agg0)
     val spark = SparkSession.active
     def latestOf(p: String): Long = {
       val hit = latestMemo.get(p)
@@ -293,12 +367,25 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
               triples.toSet
         case _ => false
       }
-    // every grouping key must be a bare column
-    val dims = agg.groupingExpressions.map {
-      case a: AttributeReference => a
+    // every grouping key is either a bare column (key = lowercased name)
+    // or a deterministic row-local expression (key = canonical text) — an
+    // EXPRESSION dim view matches `GROUP BY date_trunc('day', ts)` by
+    // canonical-text equality with its stored expression
+    val dims: Seq[(Expression, String)] = agg.groupingExpressions.map {
+      case a: AttributeReference => (a, a.name.toLowerCase)
+      case e if e.deterministic && !e.exists(_.isInstanceOf[SubqueryExpression]) =>
+        (e, canon(e))
       case _ => return None
     }
-    val dimSet = dims.map(_.name.toLowerCase).toSet
+    val groupAttrIds = dims.collect { case (a: AttributeReference, _) => a.exprId }.toSet
+    val dimSet = dims.map(_._2).toSet
+    // a view's dim-name resolution for this query: metaDimKeys maps every
+    // view dim to its matchable key; None disables the candidate
+    def metaDimKeys(dimNames: Seq[String],
+        dimExprs: Map[String, String]): Option[Seq[(String, String)]] = {
+      val ks = dimNames.map(d => dimKeyOf(spark, dimExprs, d).map(k => (d, k)))
+      if (ks.exists(_.isEmpty)) None else Some(ks.flatten)
+    }
     // cached-shape pre-filter (zero I/O), exact-dim views before rollup
     // candidates (no re-aggregation beats a re-aggregation), smaller
     // state tables first among rollups
@@ -316,7 +403,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         val meta = m.meta // fresh read — authoritative over the cache
         if (joinMatches(meta.basePath,
             meta.joins.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))) &&
-          dimSet.subsetOf(meta.dims.map(_.toLowerCase).toSet) &&
+          metaDimKeys(meta.dims, meta.dimExprs).exists(ks =>
+            dimSet.subsetOf(ks.map(_._2).toSet)) &&
           // freshness gate: a stale view must never serve — for a join
           // view EVERY maintenance cursor must be current. The cursor is
           // read from the state table's commit (atomic with the data),
@@ -339,21 +427,6 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
       case other => Seq(other)
     }
-    // canonical rendering: attribute names lowercased+unqualified, and
-    // literal-only subtrees constant-folded — the optimizer has already
-    // folded the QUERY's casts (`CAST(50 AS BIGINT)` → `50L`) by the time
-    // this rule runs, so the parsed view filter must fold the same way
-    def canonExpr(e: Expression): Expression = e.transform {
-      case a: AttributeReference =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name.toLowerCase)
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(u.name.toLowerCase)
-    }.transformUp {
-      case f if f.resolved && f.foldable && !f.isInstanceOf[Literal] =>
-        try Literal.create(f.eval(null), f.dataType)
-        catch { case scala.util.control.NonFatal(_) => f }
-    }
-    def canon(e: Expression): String = canonExpr(e).sql
     // `(attr, op, literal)` of a single-attribute comparison conjunct
     // (post-canon: attrs are lowercased UnresolvedAttributes, foldable
     // sides are Literals); literal-first forms normalize to attr-first
@@ -431,7 +504,12 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // later view that can serve
     def serveWith(view: MaterializedView,
         meta: MaterializedView.MvMeta): Option[LogicalPlan] = {
-      val exact = meta.dims.map(_.toLowerCase).toSet == dimSet
+      // key → view dim-column name (bare name, or the expression dim's
+      // stored name); an unparseable stored expression disables the view
+      val keyToDim: Map[String, String] =
+        metaDimKeys(meta.dims, meta.dimExprs).getOrElse(return None)
+          .map { case (d, k) => (k, d) }.toMap
+      val exact = keyToDim.keySet == dimSet
       val qConj = scala.collection.mutable.ArrayBuffer(filters.flatMap(conjunctsOf): _*)
       // parse failures must never escape an optimizer rule — an
       // unparseable stored predicate just disables this view's rewrite
@@ -460,14 +538,23 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       if (!rest.forall(_.references.forall(a => dimNames.contains(a.name.toLowerCase))))
         return None
       if (rest.exists(!_.deterministic)) return None
-      // map every output column of the aggregate to a view column
+      // map every output column of the aggregate to a view column: bare
+      // grouping attrs by name, expression grouping keys by semantic
+      // equality with the SELECT item's child (its alias is the output)
+      def viewDimOf(e: Expression): Option[String] = e match {
+        case a: AttributeReference if groupAttrIds.contains(a.exprId) =>
+          keyToDim.get(a.name.toLowerCase)
+        case other =>
+          dims.find { case (g, _) => !g.isInstanceOf[AttributeReference] &&
+            g.semanticEquals(other) }.flatMap(d => keyToDim.get(d._2))
+      }
       val mapping: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map {
-        case a: AttributeReference if dims.exists(_.exprId == a.exprId) =>
-          (a, meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
+        case a: AttributeReference if viewDimOf(a).isDefined =>
+          (a, viewDimOf(a).get)
         case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
           (al, aggColumn(fn, meta.aggs).getOrElse(return None).name)
-        case al @ Alias(a: AttributeReference, _) if dims.exists(_.exprId == a.exprId) =>
-          (al, meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
+        case al @ Alias(child, _) if viewDimOf(child).isDefined =>
+          (al, viewDimOf(child).get)
         case _ => return None
       }
       // build the replacement: an exact-dim view serves a plain state read
@@ -484,8 +571,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
               case a: AttributeReference =>
                 org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
             }))
-          val rollDims = dims.map(a =>
-            meta.dims.find(_.equalsIgnoreCase(a.name)).getOrElse(return None))
+          val rollDims = dims.map { case (_, k) =>
+            keyToDim.getOrElse(k, return None) }
           try view.readRollup(rollDims, preCols).queryExecution.analyzed
           catch { case scala.util.control.NonFatal(_) => return None }
         }
@@ -523,10 +610,14 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
 private[sql] object GraftMvShape {
 
   def extract(plan: LogicalPlan)
-      : Either[String, (String, Seq[String], Seq[MvAgg], Seq[MvJoin], Option[String])] =
+      : Either[String, (String, Seq[String], Seq[MvAgg], Seq[MvJoin],
+        Option[String], Map[String, String])] =
     plan match {
       case SubqueryAlias(_, c) => extract(c)
-      case agg: Aggregate =>
+      case agg0: Aggregate =>
+        // same projection inlining as the rewrite matcher: the analyzer
+        // parks complex grouping expressions in a Project below
+        val agg = GraftMvRewrite.inlineProjects(agg0)
         // plain snapshot, a two-table inner equi-join (the LEFT table
         // becomes the maintenance base — correctness is join-symmetric),
         // or a left-deep multi-dim star (fact first in the FROM)
@@ -563,13 +654,36 @@ private[sql] object GraftMvShape {
           else Some(filters.map(_.transform {
             case a: AttributeReference => a.withQualifier(Seq.empty)
           }.sql).mkString(" AND "))
+        // grouping keys: bare columns, or deterministic row-local
+        // EXPRESSIONS named by an aliased select item (`date_trunc('day',
+        // ts) AS day GROUP BY date_trunc('day', ts)`) — the time-bucketed
+        // dashboard shape; the expression commutes with the signed delta
+        // exactly like a filter, so it maintains incrementally
+        val dimExprs = scala.collection.mutable.LinkedHashMap.empty[String, String]
         val dims = agg.groupingExpressions.map {
           case a: AttributeReference => a.name
-          case e => return scala.Left(s"grouping keys must be bare columns, got ${e.sql}")
+          case e =>
+            if (!e.deterministic)
+              return scala.Left(s"grouping expression must be deterministic: ${e.sql}")
+            if (e.exists(_.isInstanceOf[SubqueryExpression]))
+              return scala.Left(s"grouping expression must not contain a subquery: ${e.sql}")
+            val al = agg.aggregateExpressions.collectFirst {
+              case al: Alias if al.child.semanticEquals(e) => al
+            }.getOrElse(return scala.Left(
+              s"grouping expression ${e.sql} must be aliased in the SELECT " +
+                "list (e.g. date_trunc('DAY', ts) AS day)"))
+            dimExprs += al.name -> e.transform {
+              case a: AttributeReference => a.withQualifier(Seq.empty)
+            }.sql
+            al.name
         }
         val dimSet = dims.map(_.toLowerCase).toSet
         val aggs = agg.aggregateExpressions.flatMap {
           case a: AttributeReference if dimSet.contains(a.name.toLowerCase) => None
+          // the select item NAMING an expression dim is the dim, not an agg
+          case al: Alias if agg.groupingExpressions.exists(g =>
+              !g.isInstanceOf[AttributeReference] &&
+                g.semanticEquals(al.child)) => None
           case al @ Alias(a: AttributeReference, _)
               if dimSet.contains(a.name.toLowerCase) =>
             if (al.name.equalsIgnoreCase(a.name)) None
@@ -615,7 +729,7 @@ private[sql] object GraftMvShape {
             "alias every aggregate (e.g. count(1) AS n)")
         }
         if (aggs.isEmpty) scala.Left("the definition needs at least one aggregate")
-        else scala.Right((path, dims, aggs, join, filterSql))
+        else scala.Right((path, dims, aggs, join, filterSql, dimExprs.toMap))
       case _ => scala.Left("the definition must be a single GROUP BY aggregate " +
         "over a graft table")
     }

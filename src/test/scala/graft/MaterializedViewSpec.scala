@@ -888,6 +888,41 @@ class MaterializedViewSpec extends AnyFunSuite {
       s"chained dim-value repair must prune the fact scan (scanned $scanned of $live files)")
   }
 
+  test("expression dims maintain under churn crossing bucket boundaries; null buckets; extremum repair") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(400))
+    // bucket = score % 10 (NULL for null scores): a row-local expression
+    // over the base row, grouped alongside a bare dim
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp", "bucket"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mx", "max", "score")),
+      dimExprs = Map("bucket" -> "cast(score % 10 as int)"))
+    def check(): Unit = {
+      val want = rows(t.read()
+        .withColumn("bucket", expr("cast(score % 10 as int)"))
+        .groupBy("grp", "bucket").agg(count(lit(1)).as("n"),
+          sum(col("amt")).as("s"), max(col("score")).as("mx")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want,
+        "expr-dim mv != recompute")
+    }
+    check()
+    // churn that MOVES rows between buckets (score changes), adds fresh
+    // rows (new buckets), and deletes extremum rows (repair path)
+    t.upsert(baseRows(400).filter(col("k") % 6 === 1).withColumn("ver", lit(1L))
+      .withColumn("score", (col("score") + 7).cast("int")))
+    t.upsert(baseRows(80).withColumn("k", col("k") + 40000L))
+    t.delete(col("score") >= 90)
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    // expression dims cannot collide with member-table columns
+    val err = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, tmp(), t, Seq("score"),
+        Seq(MvAgg("n", "count", "*")),
+        dimExprs = Map("score" -> "cast(amt % 5 as int)"))
+    }
+    assert(err.getMessage.contains("collides"), err.getMessage)
+  }
+
   test("MoR base and MoR chain dim maintain incrementally under upsert/delete churn") {
     val fp = tmp(); val cp = tmp(); val mp = tmp()
     val fact0 = spark.range(400L).select(

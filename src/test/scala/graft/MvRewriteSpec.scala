@@ -857,6 +857,56 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("expression-dim view: SQL CREATE with date_trunc serves the GROUP BY date_trunc query and its rollup") {
+    val path = Files.createTempDirectory("graft_mvrw_xd").toString
+    val mvPath = Files.createTempDirectory("graft_mvrw_xdm").toString + "/mv"
+    val base = LakeTable.create(spark, path, TableSpec("k", "ver"),
+      (1L to 2000L).map(i => (i, 1L, s"g${i % 5}",
+        java.sql.Timestamp.valueOf(s"2024-0${1 + (i % 6)}-15 00:00:00"), i % 100))
+        .toDF("k", "ver", "grp", "ts", "amt"))
+    spark.read.format("graft").load(path).createOrReplaceTempView("xd_v")
+    val defSql = "SELECT date_trunc('MONTH', ts) AS mon, grp, " +
+      "count(1) AS n, sum(amt) AS s FROM xd_v " +
+      "GROUP BY date_trunc('MONTH', ts), grp"
+    def recompute(): Set[Seq[Any]] = LakeTable.load(spark, path).read()
+      .groupBy(expr("date_trunc('MONTH', ts)").as("mon"), col("grp"))
+      .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      .collect().map(_.toSeq).toSet
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS $defSql")
+      // the exact GROUP BY date_trunc query serves from state
+      val q = spark.sql(defSql)
+      assert(!hasAggregate(q) && scansMvState(q),
+        s"expression-dim query must rewrite:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet == recompute())
+      // rollup to the expression dim ALONE re-aggregates the state
+      val q2 = spark.sql("SELECT date_trunc('MONTH', ts) AS mon, " +
+        "count(1) AS n FROM xd_v GROUP BY date_trunc('MONTH', ts)")
+      assert(!hasAggregate(q2) ||
+        !q2.queryExecution.optimizedPlan.toString.contains(path),
+        s"rollup over the expression dim must not scan the base:\n" +
+          s"${q2.queryExecution.optimizedPlan}")
+      assert(q2.collect().map(_.toSeq).toSet ==
+        recompute().groupBy(_.head).map { case (m, rs) =>
+          Seq(m, rs.toSeq.map(_(2).asInstanceOf[Long]).sum) }.toSet)
+      // a DIFFERENT bucketing expression must not be served
+      assert(hasAggregate(spark.sql("SELECT date_trunc('YEAR', ts) AS y, " +
+        "count(1) AS n FROM xd_v GROUP BY date_trunc('YEAR', ts)")),
+        "a different expression must fall through to the base")
+      // churn + refresh: buckets move months, the view keeps serving
+      base.upsert((1L to 150L).map(i => (i, 2L, s"g${i % 5}",
+        java.sql.Timestamp.valueOf("2024-09-01 00:00:00"), 7L))
+        .toDF("k", "ver", "grp", "ts", "amt"))
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath'")
+      val q3 = spark.sql(defSql)
+      assert(!hasAggregate(q3) && scansMvState(q3))
+      assert(q3.collect().map(_.toSeq).toSet == recompute())
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("xd_v")
+    }
+  }
+
   test("freshness gate resolves each member table once per planning pass, not per candidate") {
     val (base, path) = freshBase("memo")
     def mk(tag: String, aggs: Seq[MvAgg]): String = {
