@@ -231,12 +231,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * files whose commit-log stat ranges (record key, declared
     * `statsColumns`, partition value) cannot satisfy the filters are
     * dropped before the scan is even planned. MoR with outstanding logs
-    * falls back to the full realtime merge — skipping a base file before
-    * the merge would be unsound (a log row may supersede its rows). */
+    * prunes its BASE files the same way and merges them against ALL log
+    * files ([[realtimePruned]]) — log files are churn-sized, and a
+    * pruned base file cannot hold a filter-matching key, so the
+    * latest-wins merge of the survivors is unchanged for every matching
+    * row. Like the CoW path, candidate files contribute non-matching
+    * rows — callers re-apply their predicate. */
   def readWhere(filters: Seq[org.apache.spark.sql.sources.Filter],
       asOf: Option[Long] = None): DataFrame = {
     val live = liveFiles(asOf)
-    if (live.exists(_.log)) read(asOf)
+    if (live.exists(_.log)) realtimePruned(asOf, filters)
     else ordered(readFiles(pruneByFilters(live, filters), asOf = asOf), asOf)
   }
 

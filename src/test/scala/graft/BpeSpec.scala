@@ -108,6 +108,43 @@ class BpeSpec extends AnyFunSuite {
       s"batched training must use >=10x fewer Spark jobs: $jb vs $js")
   }
 
+  test("anchored batching sustains ≤1 job per merge amortized at 256 merges") {
+    // CI-shaped guard for the BASELINE.md BpeScale evidence: a regression
+    // in the anchor/certificate logic (e.g. re-proposing already-merged
+    // pairs) silently degrades batched training to ~1 accepted merge per
+    // full-cost speculative round — invisible to the correctness specs,
+    // only the job count catches it. Synthetic seeded corpus with
+    // Zipf-ish word frequencies: mostly-distinct pair counts, so ties
+    // (the legitimate single-merge backoff) don't mask the regression.
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 4000).map { _ =>
+      val len = 6 + rnd.nextInt(10)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val rows = words.zipWithIndex.map { case (w, i) =>
+      Seq.fill(math.max(1, (40000.0 / (i + 1)).toInt))(w).mkString(" ")
+    }
+    val docs = rows.toDF("text").repartition(4).localCheckpoint(true)
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    val merges =
+      try {
+        val m = Bpe.trainWithStats(docs, numMerges = 256)._1.pairs.size
+        var last = -1
+        while (n.get() != last) { last = n.get(); Thread.sleep(300) }
+        m
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(merges >= 256, s"corpus must sustain 256 merges, got $merges")
+    assert(n.get() <= merges,
+      s"anchored batching must stay ≤1 Spark job per merge amortized " +
+        s"(got ${n.get()} jobs for $merges merges)")
+  }
+
   test("native encode equals a scalar replay of the merge table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
     val m = Bpe.train(docs, numMerges = 15)

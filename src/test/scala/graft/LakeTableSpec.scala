@@ -328,4 +328,32 @@ class LakeTableSpec extends AnyFunSuite {
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
   }
+
+  test("MoR readWhere prunes base files against key stats THROUGH the merge") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    // key-clustered base (tight per-file key ranges), then log churn: the
+    // point lookup must open a minority of base files plus the logs, and
+    // the merged rows must equal the unpruned realtime read's
+    val base0 = spark.range(800L).select(col("id").as("k"),
+      lit(0L).as("ver"), (col("id") % 100).as("v"))
+      .repartitionByRange(8, col("k"))
+    val t = LakeTable.create(spark, path, TableSpec("k", "ver", mor = true),
+      base0, bulkInsert = true)
+    t.upsert(spark.range(10L).select((col("id") * 80).as("k"),
+      lit(1L).as("ver"), lit(999L).as("v")))
+    assert(t.liveFiles(None).exists(_.log), "churn must be outstanding logs")
+    val probe = Seq(org.apache.spark.sql.sources.EqualTo("k", 160L))
+    val pruned = t.readWhere(probe)
+    val fullFiles = t.read().inputFiles.length
+    assert(pruned.inputFiles.length < fullFiles,
+      s"MoR readWhere must open fewer files (${pruned.inputFiles.length} vs $fullFiles)")
+    assert(pruned.filter(col("k") === 160L).select("k", "ver", "v")
+      .collect().map(_.toSeq).toSet ==
+      t.read().filter(col("k") === 160L).select("k", "ver", "v")
+        .collect().map(_.toSeq).toSet,
+      "pruned merge must equal the full realtime merge on the probed key")
+    // a key superseded only in the logs still reads its LATEST row
+    assert(pruned.filter(col("k") === 160L).select("v").head().getLong(0) == 999L)
+  }
 }
