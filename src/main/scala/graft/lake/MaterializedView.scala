@@ -148,6 +148,19 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     require(rollDims.forall(d => m.dims.exists(_.equalsIgnoreCase(d))),
       s"rollup dims [${rollDims.mkString(",")}] must be a subset of view dims " +
         s"[${m.dims.mkString(",")}]")
+    readRollupExprs(rollDims.map(d => (d, col(d))), preFilters)
+  }
+
+  /** [[readRollup]] grouping on arbitrary DIM-DERIVED expressions — the
+    * rewrite's derived-grouping serving path (`GROUP BY date_trunc(
+    * 'MONTH', day)` over a day-grained view, `GROUP BY f(dim)` for any
+    * row-local f): a function of a dim is constant within each stored
+    * group, so re-aggregating the partials under `f(dim)` equals
+    * aggregating the base under `f(dim)` exactly. Callers guarantee each
+    * expression references only state dim columns. */
+  private[graft] def readRollupExprs(roll: Seq[(String, Column)],
+      preFilters: Seq[Column] = Nil): DataFrame = {
+    val m = meta
     val stSchema = state.schema
     val st = preFilters.foldLeft(
       state.read().filter(col(GRP_N) > 0))((acc, c) => acc.filter(c))
@@ -167,7 +180,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         // sketches are mergeable: union the group sketches, then estimate
         coalesce(hll_sketch_estimate(hll_union_agg(col(hllCol(n)))), lit(0L)).as(n)
     }
-    st.groupBy(rollDims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    st.groupBy(roll.map { case (n, c) => c.as(n) }: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** Bring the view up to date with the base table's latest version (and,

@@ -65,7 +65,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * survives the pre-filter, so a stale entry can only MISS a rewrite,
     * never mis-serve one. */
   private case class MvShapeKey(basePath: String, dims: Set[String],
-      joinTriples: Seq[(String, String, String)]) {
+      joinTriples: Seq[(String, String, String)],
+      dimInfo: Seq[DimInfo]) {
     def dimPaths: Seq[String] = joinTriples.map(_._1)
   }
   private val shapeCache =
@@ -84,10 +85,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     if (cached != null) return Some(cached)
     try {
       val meta = MaterializedView.load(spark, p).meta
-      val dimKeys = meta.dims.map(d => dimKeyOf(spark, meta.dimExprs, d))
-      if (dimKeys.exists(_.isEmpty)) return None // unparseable stored expr
-      val s = MvShapeKey(meta.basePath, dimKeys.flatten.toSet,
-        meta.joins.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase)))
+      val infos = dimInfosOf(spark, meta)
+        .getOrElse(return None) // unparseable stored expr
+      val s = MvShapeKey(meta.basePath, infos.map(_.key).toSet,
+        meta.joins.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase)),
+        infos)
       shapeCache.put(p, s)
       Some(s)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -144,6 +146,88 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       case Some(t) => canonText(spark, t)
       case None => Some(d.toLowerCase)
     }
+
+  /** One view dim's matchable identity: `key` (see [[dimKeyOf]]), whether
+    * it is a bare base column, and — for a date/timestamp truncation
+    * expression dim — its hierarchy signature. */
+  private[sql] case class DimInfo(name: String, key: String, bare: Boolean,
+      trunc: Option[TruncSig])
+
+  /** (kind ts|date, granularity rank, canonical source text, format
+    * literal) of a `date_trunc(fmt, ts)` / `trunc(date, fmt)` call. */
+  private[sql] case class TruncSig(kind: String, rank: Int, src: String, fmt: String)
+
+  /** Granularity rank in the ALIGNED truncation chain — every coarser
+    * level's bucket boundaries fall on finer-level boundaries, except
+    * WEEK, which aligns with DAY and finer but not with MONTH+. */
+  private def truncRank(fmt: String): Option[Int] = fmt.toUpperCase match {
+    case "MICROSECOND" => Some(0)
+    case "MILLISECOND" => Some(1)
+    case "SECOND" => Some(2)
+    case "MINUTE" => Some(3)
+    case "HOUR" => Some(4)
+    case "DAY" | "DD" => Some(5)
+    case "WEEK" => Some(6)
+    case "MON" | "MONTH" | "MM" => Some(7)
+    case "QUARTER" => Some(8)
+    case "YEAR" | "YYYY" | "YY" => Some(9)
+    case _ => None
+  }
+
+  /** Truncation signature of an expression — recognizes BOTH the resolved
+    * nodes (query side) and the unresolved function calls (parsed stored
+    * expression-dim text). */
+  private[sql] def truncSigOf(e: Expression): Option[TruncSig] = {
+    def lit(x: Expression): Option[String] = x match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(s.toString)
+      case _ => None
+    }
+    e match {
+      case t: TruncTimestamp =>
+        for { f <- lit(t.format); r <- truncRank(f) }
+          yield TruncSig("ts", r, canon(t.timestamp), f)
+      case t: TruncDate =>
+        for { f <- lit(t.format); r <- truncRank(f) }
+          yield TruncSig("date", r, canon(t.date), f)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.map(_.toLowerCase) == Seq("date_trunc") &&
+            u.arguments.size == 2 =>
+        for { f <- lit(u.arguments.head); r <- truncRank(f) }
+          yield TruncSig("ts", r, canon(u.arguments(1)), f)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.map(_.toLowerCase) == Seq("trunc") &&
+            u.arguments.size == 2 =>
+        for { f <- lit(u.arguments(1)); r <- truncRank(f) }
+          yield TruncSig("date", r, canon(u.arguments.head), f)
+      case _ => None
+    }
+  }
+
+  /** Can a query truncation `q` be computed FROM a view truncation `v`
+    * (same kind + source, strictly coarser, aligned chain)? A WEEK view
+    * serves only WEEK queries (month+ boundaries don't align), and a
+    * WEEK query composes from DAY-or-finer views only — both enforced by
+    * excluding WEEK as the view side. */
+  private def truncComposable(q: TruncSig, v: TruncSig): Boolean =
+    q.kind == v.kind && q.src == v.src && q.rank > v.rank && v.rank != 6
+
+  /** The per-dim identities of a view's meta, or None when a stored
+    * expression no longer parses (disables the view). */
+  private def dimInfosOf(spark: SparkSession,
+      meta: MaterializedView.MvMeta): Option[Seq[DimInfo]] = {
+    val infos = meta.dims.map { d =>
+      meta.dimExprs.get(d) match {
+        case None => Some(DimInfo(d, d.toLowerCase, bare = true, None))
+        case Some(t) =>
+          try {
+            val parsed = spark.sessionState.sqlParser.parseExpression(t)
+            Some(DimInfo(d, canon(parsed), bare = false, truncSigOf(parsed)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+    if (infos.exists(_.isEmpty)) None else Some(infos.flatten)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan
@@ -379,20 +463,32 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     }
     val groupAttrIds = dims.collect { case (a: AttributeReference, _) => a.exprId }.toSet
     val dimSet = dims.map(_._2).toSet
-    // a view's dim-name resolution for this query: metaDimKeys maps every
-    // view dim to its matchable key; None disables the candidate
-    def metaDimKeys(dimNames: Seq[String],
-        dimExprs: Map[String, String]): Option[Seq[(String, String)]] = {
-      val ks = dimNames.map(d => dimKeyOf(spark, dimExprs, d).map(k => (d, k)))
-      if (ks.exists(_.isEmpty)) None else Some(ks.flatten)
+    // per grouping item, everything a dim match needs: the lowercased
+    // names it references, and its truncation signature (if any)
+    case class QItem(e: Expression, key: String, isBare: Boolean,
+        refs: Set[String], trunc: Option[TruncSig])
+    val qItems: Seq[QItem] = dims.map { case (e, k) =>
+      QItem(e, k, e.isInstanceOf[AttributeReference],
+        e.references.map(_.name.toLowerCase).toSet, truncSigOf(e))
     }
+    // a grouping item is servable by a view dim in three ways, in
+    // preference order: (1) EXACT key match; (2) the item is a row-local
+    // expression over exactly ONE bare view dim — f(dim) is constant
+    // within each stored group, so it re-computes from the state dim
+    // column; (3) truncation-hierarchy composition — a coarser
+    // `date_trunc` re-truncates the view's finer bucket column.
+    def itemMatches(q: QItem, infos: Seq[DimInfo]): Boolean =
+      infos.exists(_.key == q.key) ||
+        (!q.isBare && infos.exists(d => d.bare && q.refs == Set(d.key))) ||
+        q.trunc.exists(qt =>
+          infos.exists(_.trunc.exists(vt => truncComposable(qt, vt))))
     // cached-shape pre-filter (zero I/O), exact-dim views before rollup
     // candidates (no re-aggregation beats a re-aggregation), smaller
     // state tables first among rollups
     val candidates = registered.flatMap { p =>
       shapeOf(spark, p) match {
         case Some(s) if joinMatches(s.basePath, s.joinTriples) &&
-            dimSet.subsetOf(s.dims) =>
+            qItems.forall(q => itemMatches(q, s.dimInfo)) =>
           Some((p, s.dims))
         case _ => None
       }
@@ -403,8 +499,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         val meta = m.meta // fresh read — authoritative over the cache
         if (joinMatches(meta.basePath,
             meta.joins.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))) &&
-          metaDimKeys(meta.dims, meta.dimExprs).exists(ks =>
-            dimSet.subsetOf(ks.map(_._2).toSet)) &&
+          dimInfosOf(spark, meta).exists(infos =>
+            qItems.forall(q => itemMatches(q, infos))) &&
           // freshness gate: a stale view must never serve — for a join
           // view EVERY maintenance cursor must be current. The cursor is
           // read from the state table's commit (atomic with the data),
@@ -504,12 +600,41 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // later view that can serve
     def serveWith(view: MaterializedView,
         meta: MaterializedView.MvMeta): Option[LogicalPlan] = {
-      // key → view dim-column name (bare name, or the expression dim's
-      // stored name); an unparseable stored expression disables the view
-      val keyToDim: Map[String, String] =
-        metaDimKeys(meta.dims, meta.dimExprs).getOrElse(return None)
-          .map { case (d, k) => (k, d) }.toMap
-      val exact = keyToDim.keySet == dimSet
+      // per grouping item, its serving: the view dim column to read
+      // directly (exact match) or a state-side DERIVED grouping column
+      // (f-of-bare-dim substitution / coarser truncation) with a
+      // synthetic output name. An unparseable stored expression disables
+      // the view.
+      val infos = dimInfosOf(spark, meta).getOrElse(return None)
+      val serves: Seq[(Expression, String, Option[org.apache.spark.sql.Column])] =
+        qItems.zipWithIndex.map { case (q, i) =>
+          infos.find(_.key == q.key) match {
+            case Some(d) => (q.e, d.name, None)
+            case None =>
+              val byBare = infos
+                .find(d => d.bare && !q.isBare && q.refs == Set(d.key))
+                .map { d =>
+                  org.apache.spark.sql.GraftExpressionBridge.column(q.e.transform {
+                    case a: AttributeReference =>
+                      org.apache.spark.sql.catalyst.analysis
+                        .UnresolvedAttribute.quoted(d.name)
+                  })
+                }
+              def byTrunc = q.trunc.flatMap(qt =>
+                infos.find(_.trunc.exists(vt => truncComposable(qt, vt)))
+                  .map { d =>
+                    if (qt.kind == "ts")
+                      org.apache.spark.sql.functions.date_trunc(
+                        qt.fmt, org.apache.spark.sql.functions.col(d.name))
+                    else
+                      org.apache.spark.sql.functions.trunc(
+                        org.apache.spark.sql.functions.col(d.name), qt.fmt)
+                  })
+              (q.e, s"_roll_$i", Some(byBare.orElse(byTrunc).getOrElse(return None)))
+          }
+        }
+      val exact = serves.forall(_._3.isEmpty) &&
+        infos.map(_.key).toSet == dimSet
       val qConj = scala.collection.mutable.ArrayBuffer(filters.flatMap(conjunctsOf): _*)
       // parse failures must never escape an optimizer rule — an
       // unparseable stored predicate just disables this view's rewrite
@@ -538,16 +663,12 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       if (!rest.forall(_.references.forall(a => dimNames.contains(a.name.toLowerCase))))
         return None
       if (rest.exists(!_.deterministic)) return None
-      // map every output column of the aggregate to a view column: bare
-      // grouping attrs by name, expression grouping keys by semantic
-      // equality with the SELECT item's child (its alias is the output)
-      def viewDimOf(e: Expression): Option[String] = e match {
-        case a: AttributeReference if groupAttrIds.contains(a.exprId) =>
-          keyToDim.get(a.name.toLowerCase)
-        case other =>
-          dims.find { case (g, _) => !g.isInstanceOf[AttributeReference] &&
-            g.semanticEquals(other) }.flatMap(d => keyToDim.get(d._2))
-      }
+      // map every output column of the aggregate to a served column:
+      // grouping items by semantic equality (a bare attr compares by
+      // exprId; an expression select item matches the grouping key it
+      // restates), aggregates by the view's agg registry
+      def viewDimOf(e: Expression): Option[String] =
+        serves.collectFirst { case (g, n, _) if g.semanticEquals(e) => n }
       val mapping: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map {
         case a: AttributeReference if viewDimOf(a).isDefined =>
           (a, viewDimOf(a).get)
@@ -571,9 +692,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
               case a: AttributeReference =>
                 org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
             }))
-          val rollDims = dims.map { case (_, k) =>
-            keyToDim.getOrElse(k, return None) }
-          try view.readRollup(rollDims, preCols).queryExecution.analyzed
+          val roll = serves.map {
+            case (_, n, None) => (n, org.apache.spark.sql.functions.col(n))
+            case (_, n, Some(c)) => (n, c)
+          }
+          try view.readRollupExprs(roll, preCols).queryExecution.analyzed
           catch { case scala.util.control.NonFatal(_) => return None }
         }
       def viewAttr(name: String): Option[AttributeReference] =

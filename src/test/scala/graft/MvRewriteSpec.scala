@@ -907,6 +907,67 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("derived grouping: coarser date_trunc and f(dim) queries re-aggregate the state") {
+    val path = Files.createTempDirectory("graft_mvrw_dg").toString
+    val mvPath = Files.createTempDirectory("graft_mvrw_dgm").toString + "/mv"
+    LakeTable.create(spark, path, TableSpec("k", "ver"),
+      (1L to 3000L).map(i => (i, 1L, s"g${i % 9}",
+        java.sql.Timestamp.valueOf(
+          f"2024-0${1 + (i % 8)}%d-${1 + (i % 27)}%02d 00:00:00"),
+        i % 100)).toDF("k", "ver", "grp", "ts", "amt"))
+    spark.read.format("graft").load(path).createOrReplaceTempView("dg_v")
+    // DAY-grained expression-dim view over (day, grp)
+    spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS " +
+      "SELECT date_trunc('DAY', ts) AS day, grp, count(1) AS n, sum(amt) AS s " +
+      "FROM dg_v GROUP BY date_trunc('DAY', ts), grp")
+    def base = LakeTable.load(spark, path).read()
+    def served(df: DataFrame): Boolean =
+      !hasAggregate(df) ||
+        !df.queryExecution.optimizedPlan.toString.contains(path)
+    try {
+      // a MONTH query re-truncates the view's day buckets (trunc
+      // hierarchy), never touching the base
+      val qm = spark.sql("SELECT date_trunc('MONTH', ts) AS mon, grp, " +
+        "count(1) AS n FROM dg_v GROUP BY date_trunc('MONTH', ts), grp")
+      assert(served(qm), s"month-from-day must serve:\n${qm.queryExecution.optimizedPlan}")
+      assert(qm.collect().map(_.toSeq).toSet ==
+        base.groupBy(expr("date_trunc('MONTH', ts)").as("mon"), col("grp"))
+          .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet)
+      // ...including YEAR, rolled to the time axis alone
+      val qy = spark.sql("SELECT date_trunc('YEAR', ts) AS y, sum(amt) AS s " +
+        "FROM dg_v GROUP BY date_trunc('YEAR', ts)")
+      assert(served(qy), s"year-from-day must serve:\n${qy.queryExecution.optimizedPlan}")
+      assert(qy.collect().map(_.toSeq).toSet ==
+        base.groupBy(expr("date_trunc('YEAR', ts)").as("y"))
+          .agg(sum("amt").as("s")).collect().map(_.toSeq).toSet)
+      // an arbitrary row-local f over a BARE dim serves too: f(grp) is
+      // constant within each stored group
+      val qf = spark.sql("SELECT substr(grp, 2) AS gnum, count(1) AS n " +
+        "FROM dg_v GROUP BY substr(grp, 2)")
+      assert(served(qf), s"f(bare dim) must serve:\n${qf.queryExecution.optimizedPlan}")
+      assert(qf.collect().map(_.toSeq).toSet ==
+        base.groupBy(expr("substr(grp, 2)").as("gnum"))
+          .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet)
+      // negatives: WEEK does not align with month+ boundaries but DOES
+      // compose from a day view; an f over a NON-dim column never serves
+      val qw = spark.sql("SELECT date_trunc('WEEK', ts) AS w, count(1) AS n " +
+        "FROM dg_v GROUP BY date_trunc('WEEK', ts)")
+      assert(served(qw), "week-from-day must serve (week aligns on days)")
+      assert(qw.collect().map(_.toSeq).toSet ==
+        base.groupBy(expr("date_trunc('WEEK', ts)").as("w"))
+          .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet)
+      assert(!served(spark.sql("SELECT date_trunc('HOUR', ts) AS h, count(1) AS n " +
+        "FROM dg_v GROUP BY date_trunc('HOUR', ts)")),
+        "a FINER truncation than the view's must fall through")
+      assert(!served(spark.sql("SELECT amt % 10 AS b, count(1) AS n " +
+        "FROM dg_v GROUP BY amt % 10")),
+        "f over a non-dim column must fall through")
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("dg_v")
+    }
+  }
+
   test("freshness gate resolves each member table once per planning pass, not per candidate") {
     val (base, path) = freshBase("memo")
     def mk(tag: String, aggs: Seq[MvAgg]): String = {
