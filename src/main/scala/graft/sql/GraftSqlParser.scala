@@ -128,6 +128,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DROP_MV_RE(target) => claimOr(sqlText, target) {
       GraftDropMaterializedViewCommand(target.trim)
     }
+    case DESC_MV_RE(target) => claimOr(sqlText, target) {
+      GraftDescribeMaterializedViewCommand(target.trim)
+    }
     case REORG_RE(target) => claimOr(sqlText, target) {
       GraftReorgPurgeCommand(target.trim)
     }
@@ -227,6 +230,8 @@ object GraftSqlParser {
     (s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$TGT(\\s+IF\\s+STALE)?\\s*;?\\s*""").r
   private[sql] val DROP_MV_RE =
     (s"""(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+$TGT\\s*;?\\s*""").r
+  private[sql] val DESC_MV_RE =
+    (s"""(?is)\\s*DESC(?:RIBE)?\\s+MATERIALIZED\\s+VIEW\\s+$TGT\\s*;?\\s*""").r
 
   private[sql] val REORG_RE =
     (s"""(?is)\\s*REORG\\s+TABLE\\s+$TGT\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""").r
@@ -443,6 +448,49 @@ case class GraftDropMaterializedViewCommand(target: String)
     val p = new Path(mvPath)
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     Seq(Row(mvPath))
+  }
+}
+
+/** `DESC[RIBE] MATERIALIZED VIEW '<dir>'`: one (property, value) row per
+  * definition element plus live freshness — the operator-facing summary
+  * (what does this view maintain, over which tables, is it current)
+  * without reading any data file: meta JSON + commit-log metadata only. */
+case class GraftDescribeMaterializedViewCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("property", StringType)(),
+      AttributeReference("value", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mvPath = GraftSqlParser.rawPath(target).getOrElse(
+      throw new IllegalArgumentException(
+        "DESCRIBE MATERIALIZED VIEW target must be a path: '<dir>' or graft.`<dir>`"))
+    val mv = graft.lake.MaterializedView.load(spark, mvPath)
+    val meta = mv.meta
+    val (cf, cds) = mv.refreshedVersions
+    val members =
+      (meta.basePath, "base", cf) +: meta.joins.zip(cds).zipWithIndex.map {
+        case ((j, c), i) => (j.dimPath, s"dim$i", c) }
+    val freshness = members.map { case (p, role, cur) =>
+      (p, role, cur, LakeTable.load(spark, p).latestVersion) }
+    val rows =
+      Seq(Row("path", mvPath), Row("base_path", meta.basePath)) ++
+      meta.joins.map(j =>
+        Row("join", s"'${j.dimPath}' ON ${j.factKey} = ${j.dimKey}")) ++
+      meta.dims.map(d => meta.dimExprs.get(d) match {
+        case Some(t) => Row("dim", s"$d := $t")
+        case None => Row("dim", d)
+      }) ++
+      meta.aggs.map(a => Row("agg", s"${a.name} := ${a.kind}(${a.input})")) ++
+      meta.filter.map(f => Row("filter", f)).toSeq ++
+      freshness.map { case (_, role, cur, latest) =>
+        Row(s"cursor.$role", s"$cur of $latest") } ++
+      Seq(
+        Row("fresh", freshness.forall { case (_, _, c, l) => c >= l }.toString),
+        Row("state_version", mv.state.latestVersion.toString),
+        Row("registered_for_rewrite",
+          GraftMvRewrite.registered.contains(mvPath).toString))
+    rows
   }
 }
 

@@ -968,6 +968,42 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE MATERIALIZED VIEW reports definition + freshness from metadata alone") {
+    val path = Files.createTempDirectory("graft_mvrw_desc").toString
+    val mvPath = Files.createTempDirectory("graft_mvrw_descm").toString + "/mv"
+    val base = LakeTable.create(spark, path, TableSpec("k", "ver"),
+      (1L to 500L).map(i => (i, 1L, s"g${i % 3}",
+        java.sql.Timestamp.valueOf("2024-03-05 00:00:00"), i % 100))
+        .toDF("k", "ver", "grp", "ts", "amt"))
+    spark.read.format("graft").load(path).createOrReplaceTempView("desc_v")
+    spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS " +
+      "SELECT date_trunc('DAY', ts) AS day, grp, count(1) AS n, sum(amt) AS s " +
+      "FROM desc_v WHERE amt >= 10 GROUP BY date_trunc('DAY', ts), grp")
+    def props(): Map[String, Seq[String]] =
+      spark.sql(s"DESCRIBE MATERIALIZED VIEW '$mvPath'").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    try {
+      val p0 = props()
+      assert(p0("base_path") == Seq(path))
+      assert(p0("dim").exists(_.startsWith("day := date_trunc")), p0("dim").toString)
+      assert(p0("dim").contains("grp"))
+      assert(p0("agg").toSet == Set("n := count(*)", "s := sum(amt)"))
+      assert(p0("filter").head.toLowerCase.contains("amt"))
+      assert(p0("fresh") == Seq("true"))
+      assert(p0("registered_for_rewrite") == Seq("true"))
+      base.upsert((1L to 20L).map(i => (i + 8000L, 1L, "g0",
+        java.sql.Timestamp.valueOf("2024-03-06 00:00:00"), 50L))
+        .toDF("k", "ver", "grp", "ts", "amt"))
+      assert(props()("fresh") == Seq("false"), "churn must surface as stale")
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath' IF STALE")
+      assert(props()("fresh") == Seq("true"))
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("desc_v")
+    }
+  }
+
   test("freshness gate resolves each member table once per planning pass, not per candidate") {
     val (base, path) = freshBase("memo")
     def mk(tag: String, aggs: Seq[MvAgg]): String = {
