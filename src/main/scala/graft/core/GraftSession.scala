@@ -24,6 +24,12 @@ object GraftSession {
     // without it) — keep the switch for the ns vintage; readers normalize
     // either type via graft.queries.Tables.tsMicrosOf.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // write timestamps as INT64 micros, not Spark's legacy INT96 default:
+    // INT96 columns carry NO parquet footer min/max statistics, which
+    // silently disables every timestamp statsColumns skip (and the MV
+    // expression-dim repair pruning built on them); INT64 micros is also
+    // what the Delta/Iceberg protocols require of new tables
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   def local(appName: String = "graft", cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = tune(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus).getOrCreate()
@@ -37,6 +43,7 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark
   }
 }

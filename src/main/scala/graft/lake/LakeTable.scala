@@ -238,10 +238,23 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * row. Like the CoW path, candidate files contribute non-matching
     * rows — callers re-apply their predicate. */
   def readWhere(filters: Seq[org.apache.spark.sql.sources.Filter],
+      asOf: Option[Long] = None): DataFrame =
+    readWherePruned(filters, identity, asOf)
+
+  /** [[readWhere]] with an additional caller-supplied file-level pruner,
+    * applied to the base/CoW actions AFTER the stats/bucket/bloom pass
+    * (MoR log files are never pruned). The caller owns the pruner's
+    * soundness: it must only drop files that cannot contribute a row the
+    * caller needs — used by [[MaterializedView]]'s expression-dim repair
+    * (monotonic bucket-transform skipping the built-in filters cannot
+    * express). */
+  private[lake] def readWherePruned(
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      extra: Seq[FileAction] => Seq[FileAction],
       asOf: Option[Long] = None): DataFrame = {
     val live = liveFiles(asOf)
-    if (live.exists(_.log)) realtimePruned(asOf, filters)
-    else ordered(readFiles(pruneByFilters(live, filters), asOf = asOf), asOf)
+    if (live.exists(_.log)) realtimePruned(asOf, filters, extra)
+    else ordered(readFiles(extra(pruneByFilters(live, filters)), asOf = asOf), asOf)
   }
 
   /** [[skipByStats]] + [[bucketSkip]] + [[bloomSkip]] for the DSv2 scan
@@ -356,6 +369,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     live.exists(a => partitionColOf(a) != want)
   }
 
+  /** A file's recorded (min, max) stat strings for `c`: key-range for the
+    * record key, the file's own partition value for its partition-era
+    * column, declared statsColumns otherwise. None = no stats recorded;
+    * sentinel bounds ("" / "￿") pass through — callers must treat them
+    * as unknown, exactly like [[skipByStats]] does. */
+  private[lake] def statRange(a: FileAction, c: String): Option[(String, String)] =
+    if (c.equalsIgnoreCase(spec.key)) Some((a.minKey, a.maxKey))
+    else if (partitionColOf(a).exists(_.equalsIgnoreCase(c))) a.partitionValue.map(p => (p, p))
+    else a.colStats.find(_._1.equalsIgnoreCase(c)).map(_._2)
+
   /** Conservative file-level skipping: top-level AND conjuncts only;
     * unknown filter shapes, missing/sentinel stats, non-numeric non-ASCII
     * comparisons all KEEP the file (never wrong, only less pruning). */
@@ -445,12 +468,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * and the latest-wins merge of the remaining files is unchanged for
     * every surviving key. */
   private def realtimePruned(asOf: Option[Long],
-      baseFilters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+      baseFilters: Seq[org.apache.spark.sql.sources.Filter],
+      extra: Seq[FileAction] => Seq[FileAction] = identity): DataFrame = {
     val live = liveFiles(asOf)
     val (logActions, baseActions0) = live.partition(_.log)
-    val baseActions =
+    val baseActions = extra(
       if (baseFilters.isEmpty) baseActions0
-      else pruneByFilters(baseActions0, baseFilters)
+      else pruneByFilters(baseActions0, baseFilters))
     if (logActions.isEmpty)
       return ordered(readFiles(baseActions, asOf = asOf), asOf)
     val (tombActions, dataLogs) = logActions.partition(_.tombstone)

@@ -51,9 +51,13 @@ case class MvAgg(name: String, kind: String, input: String) {
   *     filters directly, and DIM-TABLE-resident dims (a star view grouped
   *     on `n_name`) chase their values down the join chain to fact join
   *     keys first — so commit-log stats/bloom/bucket skipping opens only
-  *     the affected groups' files on both shapes. Only when a group's
-  *     derived key set explodes past the cap (it touches most of the
-  *     fact anyway) does the repair fall back to the full snapshot.
+  *     the affected groups' files on both shapes. EXPRESSION dims over a
+  *     monotonic fact-column transform (`day := date_trunc('DAY', ts)`)
+  *     prune via the transform itself: a file whose source stat range
+  *     maps under g outside the affected bucket range is skipped. Only
+  *     when a group's derived key set explodes past the cap (it touches
+  *     most of the fact anyway) does the repair fall back to the full
+  *     snapshot.
   *   - hll (approximate count-distinct): the per-group Datasketches HLL
   *     sketch unions in each window's added values; removal-touched
   *     groups re-sketch via the same recompute path (and the same file
@@ -508,9 +512,24 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
                 case (fc, ks) => org.apache.spark.sql.sources.In(fc, ks)
               })
             }
+          // EXPRESSION dims over a monotonic fact-column transform prune
+          // files the same way hidden partitioning does (see
+          // [[monotonicBucketPruner]]); multiple expr dims compose (each
+          // pruner keeps a superset of its dim's affected files)
+          val exprPrune: Seq[FileAction] => Seq[FileAction] =
+            if (affected.length > REPAIR_IN_CAP) identity
+            else dims.zipWithIndex.foldLeft(
+              identity[Seq[FileAction]] _) { case (acc, (d, ix)) =>
+              m.dimExprs.get(d).flatMap(text => monotonicBucketPruner(
+                  spark, base, text, affected.map(_.get(ix)).distinct)) match {
+                case None => acc
+                case Some(f) => acts => f(acc(acts))
+              }
+            }
           val live = base.liveFiles(Some(upTo))
-          lastRepairScan = Some((live.size, base.pruneByFilters(live, inFilters).size))
-          val snapBase = base.readWhere(inFilters, Some(upTo))
+          lastRepairScan = Some((live.size,
+            exprPrune(base.pruneByFilters(live, inFilters)).size))
+          val snapBase = base.readWherePruned(inFilters, exprPrune, Some(upTo))
           val snapJoined =
             if (m.joins.isEmpty) snapBase
             else m.joins.indices.foldLeft(snapBase.select(fProj: _*))(
@@ -584,6 +603,87 @@ object MaterializedView {
     * files actually scanned by the LAST repair this JVM ran) — read by
     * MaterializedViewSpec to pin that clustered dims shrink the repair. */
   @volatile private[graft] var lastRepairScan: Option[(Int, Int)] = None
+
+  /** Expression-dim repair pruning: when an expression dim is a MONOTONIC
+    * transform of a single fact column (`day := date_trunc('DAY', ts)` —
+    * [[GeneratedCols.monotonicSource]], the same gate hidden partitioning
+    * trusts), a file whose `src` stat range maps under g to a bucket
+    * interval DISJOINT from the affected buckets cannot hold an
+    * affected-group row. Returns a file-level pruner, or None when any
+    * piece doesn't hold (non-monotonic, multi-source, unparseable,
+    * non-numeric-backed types) — pruning is an optimization, bailing is
+    * always sound. Fully driver-side: the expression is resolved ONCE
+    * against a one-attribute relation and evaluated per distinct stat
+    * value, no Spark jobs. */
+  private def monotonicBucketPruner(spark: SparkSession, base: LakeTable,
+      text: String, values: Seq[Any]): Option[Seq[FileAction] => Seq[FileAction]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    if (values.isEmpty || values.contains(null)) return None
+    val src = GeneratedCols.monotonicSource(spark, text).getOrElse(return None)
+    val srcField = base.schema.fields
+      .find(_.name.equalsIgnoreCase(src)).getOrElse(return None)
+    val gExpr =
+      try {
+        val parsed = spark.sessionState.sqlParser.parseExpression(text)
+        val attr = AttributeReference(srcField.name, srcField.dataType)()
+        spark.sessionState.executePlan(
+          Project(Seq(Alias(parsed, "g")()), LocalRelation(attr))).analyzed match {
+          case p: Project => p.projectList.head match {
+            case al: Alias => al.child
+            case other => other
+          }
+          case _ => return None
+        }
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    if (!gExpr.deterministic) return None
+    // total order over INTERNAL values — numeric-backed types only
+    // (timestamp = micros Long, date = days Int, plain numerics)
+    def num(v: Any): Option[java.math.BigDecimal] = v match {
+      case null => None
+      case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+      case _ => None
+    }
+    val vNums = values.map(v => num(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(v)))
+    if (vNums.exists(_.isEmpty)) return None
+    val lo = vNums.flatten.min
+    val hi = vNums.flatten.max
+    // typed parse of a stored src stat string (FooterStats renders the
+    // numeric-backed physical values as plain numbers)
+    def statVal(s: String): Option[Any] =
+      if (s.isEmpty || s == "￿") None
+      else srcField.dataType match {
+        case TimestampType | org.apache.spark.sql.types.TimestampNTZType |
+            LongType => s.toLongOption
+        case DateType | IntegerType => s.toIntOption
+        case org.apache.spark.sql.types.ShortType => s.toShortOption
+        case DoubleType => s.toDoubleOption
+        case org.apache.spark.sql.types.FloatType => s.toFloatOption
+        case _ => None
+      }
+    val memo = scala.collection.mutable.HashMap.empty[Any, Option[java.math.BigDecimal]]
+    def gOf(statV: Any): Option[java.math.BigDecimal] =
+      memo.getOrElseUpdate(statV,
+        try num(gExpr.transform {
+          case _: AttributeReference => Literal(statV, srcField.dataType)
+        }.eval(null))
+        catch { case scala.util.control.NonFatal(_) => None })
+    Some(acts => acts.filter { a =>
+      base.statRange(a, src) match {
+        case None => true
+        case Some((mnS, mxS)) =>
+          (for {
+            mnV <- statVal(mnS); mxV <- statVal(mxS)
+            gLo <- gOf(mnV); gHi <- gOf(mxV)
+            // monotone g: the file's buckets lie in [g(min), g(max)] —
+            // skip iff that interval misses the affected bucket range
+          } yield !(gHi.compareTo(lo) < 0 || gLo.compareTo(hi) > 0))
+            .getOrElse(true)
+      }
+    })
+  }
 
   /** Dead-group self-pruning cadence: every 16th state commit checks the
     * tombstone count (one bounded state scan) and prunes once at least 64

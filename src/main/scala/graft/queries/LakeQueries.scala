@@ -1227,7 +1227,11 @@ object LakeQueries {
         val mv = MaterializedView.load(s, mp).refresh()
         require(mv.lastRefreshedVersion == LakeTable.load(s, fp).latestVersion,
           "refresh must reach the base head")
-        mv.read().orderBy("omonth", "o_orderstatus")
+        // epoch-quantized month bucket, the repo-wide oracle convention
+        // for timestamp outputs (parquet INT64-utc vs DuckDB naive)
+        mv.read().select(unix_micros(col("omonth")).as("omonth_us"),
+            col("o_orderstatus"), col("n"), col("su"), col("mx"))
+          .orderBy("omonth_us", "o_orderstatus")
       },
       """WITH cand AS (
         |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
@@ -1241,7 +1245,7 @@ object LakeQueries {
         |    SELECT *, ROW_NUMBER() OVER (
         |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
         |    FROM cand) WHERE rn = 1 AND o_orderkey % 11 <> 0)
-        |SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS omonth,
+        |SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT) AS omonth_us,
         |       o_orderstatus,
         |       CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(o_custkey) AS BIGINT) AS su, MAX(o_totalprice) AS mx

@@ -923,6 +923,42 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(err.getMessage.contains("collides"), err.getMessage)
   }
 
+  test("expression-dim (time-bucket) repair is FILE-pruned via the monotonic transform") {
+    val bp = tmp(); val mp = tmp()
+    // time-clustered fact with per-file ts stats — the streaming-ingest
+    // layout: each file covers a narrow time slice, so an affected
+    // day-bucket's repair should open only that slice's files
+    val facts = spark.range(960L).select(
+      col("id").as("k"), lit(0L).as("ver"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id/2 AS INT),0,0)").as("ts"),
+      (col("id") * 7 % 100).cast("int").as("score"))
+      .repartitionByRange(8, col("ts"))
+    val t = LakeTable.create(spark, bp,
+      TableSpec("k", "ver", statsColumns = Seq("ts")), facts, bulkInsert = true)
+    val mv = MaterializedView.create(spark, mp, t, Seq("day"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("mx", "max", "score")),
+      dimExprs = Map("day" -> "date_trunc('DAY', ts)"))
+    def check(): Unit = {
+      val want = rows(t.read().withColumn("day", expr("date_trunc('DAY', ts)"))
+        .groupBy("day").agg(count(lit(1)).as("n"), max(col("score")).as("mx")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want,
+        "expr-dim mv != recompute")
+    }
+    check()
+    val total = t.commits.flatMap(_.add).size
+    assert(total >= 4, s"need a time-clustered multi-file fact, got $total")
+    // lose the max of exactly the FIRST day (hours 0-23 = ids 0-47):
+    // 960 ids over 2-per-hour = 20 days across 8 files
+    t.delete(col("ts") < expr("timestamp'2024-01-02 00:00:00'") && col("score") >= 50)
+    MaterializedView.lastRepairScan = None
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    val (live, scanned) = MaterializedView.lastRepairScan.getOrElse(
+      fail("an extremum loss must run the repair path"))
+    assert(scanned < live,
+      s"monotonic expr-dim repair must prune the fact scan (scanned $scanned of $live files)")
+  }
+
   test("MoR base and MoR chain dim maintain incrementally under upsert/delete churn") {
     val fp = tmp(); val cp = tmp(); val mp = tmp()
     val fact0 = spark.range(400L).select(
