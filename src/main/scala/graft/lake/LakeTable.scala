@@ -401,8 +401,18 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       d <- GeneratedCols.derive(spark, p, gen, src, cj0)
     } yield d)
     val declared = schema
+    // numeric-comparable stat columns: plain numerics, plus date/timestamp
+    // — their INT64-micros / INT32-days footer stats render as plain
+    // numbers (see FooterStats + the TIMESTAMP_MICROS writer setting), so
+    // time-RANGE filters (the dominant 100 TB scan pattern) file-prune
+    // exactly like numeric ranges. Micros fit a Double exactly (< 2^53
+    // until year ~2255); legacy INT96-written files carry sentinel stats
+    // and fall through to keep, never mis-prune.
     def numericCol(c: String): Boolean =
-      declared.fields.find(_.name.equalsIgnoreCase(c)).exists(_.dataType.isInstanceOf[NumericType])
+      declared.fields.find(_.name.equalsIgnoreCase(c)).exists(_.dataType match {
+        case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      })
     def rangeOf(a: FileAction, c: String): Option[(String, String)] =
       if (c.equalsIgnoreCase(spec.key)) Some((a.minKey, a.maxKey))
       // era-aware: the stored partitionValue belongs to the column this
@@ -411,19 +421,42 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       // and never mis-prune on the current one
       else if (partitionColOf(a).exists(_.equalsIgnoreCase(c))) a.partitionValue.map(p => (p, p))
       else a.colStats.find(_._1.equalsIgnoreCase(c)).map(_._2)
-    def toD(v: Any): Option[Double] = v match {
-      case n: java.lang.Number => Some(n.doubleValue)
-      case _ => None
+    def toD(v: Any): Option[Double] = {
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      v match {
+        case n: java.lang.Number => Some(n.doubleValue)
+        // temporal filter values, in BOTH external forms Spark pushes
+        // (java.sql.* and, under datetime.java8API, java.time.*) —
+        // normalized with Spark's OWN converters to the stats' internal
+        // unit (micros / epoch days), so the compare is exactly the
+        // engine's
+        case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t).toDouble)
+        case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i).toDouble)
+        case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toDouble)
+        case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d).toDouble)
+        case dt: java.time.LocalDateTime =>
+          Some(DateTimeUtils.localDateTimeToMicros(dt).toDouble)
+        case _ => None
+      }
     }
     def ascii(x: String): Boolean = x.forall(_ < 0x80)
-    // compare a stored stat bound against the literal; None = can't decide
+    // compare a stored stat bound against the literal; None = can't decide.
+    // Numeric-comparable columns try the numeric compare first; when the
+    // STAT isn't a plain number (a date/timestamp PARTITION value is its
+    // hive-dir string, and hidden partitioning derives String filter
+    // values for it) both sides fall back to the ASCII string compare —
+    // the pre-temporal behavior for exactly those pairs.
     def cmpStat(c: String, stat: String, v: Any): Option[Int] = {
       if (stat.isEmpty || stat == "￿") return None // sentinel bound
-      if (numericCol(c)) for { s <- scala.util.Try(stat.toDouble).toOption; d <- toD(v) }
-        yield s.compare(d)
-      else v match {
-        case str: String if ascii(stat) && ascii(str) => Some(stat.compareTo(str))
-        case _ => None
+      val statNum =
+        if (numericCol(c)) scala.util.Try(stat.toDouble).toOption else None
+      (statNum, toD(v)) match {
+        case (Some(s), Some(d)) => Some(s.compare(d))
+        case (Some(_), None) => None // numeric stat, unintelligible value
+        case _ => v match {
+          case str: String if ascii(stat) && ascii(str) => Some(stat.compareTo(str))
+          case _ => None
+        }
       }
     }
     def covers(a: FileAction, c: String, v: Any): Boolean =
