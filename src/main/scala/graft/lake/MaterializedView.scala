@@ -641,7 +641,11 @@ object MaterializedView {
     // (timestamp = micros Long, date = days Int, plain numerics)
     def num(v: Any): Option[java.math.BigDecimal] = v match {
       case null => None
-      case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
+      case n: java.lang.Number =>
+        // NaN/Infinity dim values have no BigDecimal form — bail to the
+        // unpruned repair rather than throw NumberFormatException
+        try Some(new java.math.BigDecimal(n.toString))
+        catch { case _: NumberFormatException => None }
       case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
       case _ => None
     }

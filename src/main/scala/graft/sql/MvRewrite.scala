@@ -115,6 +115,18 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * one per member TABLE per rule invocation, not per candidate view. */
   @volatile private[graft] var freshnessLookups: Long = 0L
 
+  /** Test seam: unexpected throws swallowed by the per-Aggregate guard in
+    * [[apply]]. A rule whose bail path is "return None" must never fail a
+    * query — a matcher bug degrades to a missed rewrite — but the miss
+    * must not be SILENT either, or regressions hide: MvRewriteSpec pins
+    * this at zero across its whole serving matrix. */
+  @volatile private[graft] var rewriteErrors: Long = 0L
+
+  /** Fault-injection seam for the guard spec: when set, [[rewrite]] throws
+    * at entry so the spec can prove a matcher failure degrades to a missed
+    * rewrite (query still answers) instead of a failed query. */
+  @volatile private[graft] var injectMatcherFailure: Boolean = false
+
   /** Canonical rendering: attribute names lowercased + unqualified, and
     * literal-only subtrees constant-folded — the optimizer has already
     * folded the QUERY's casts (`CAST(50 AS BIGINT)` → `50L`) by the time
@@ -239,7 +251,16 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // without the memo (the rewrite serves the version it observed).
     val latestMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     plan.transformUp {
-      case agg: Aggregate => rewrite(agg, latestMemo).getOrElse(agg)
+      case agg: Aggregate =>
+        // never let a matcher bug escape the optimizer: any unexpected
+        // throw degrades to a missed rewrite (counted — see rewriteErrors)
+        try rewrite(agg, latestMemo).getOrElse(agg)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            rewriteErrors += 1
+            logDebug(s"mv rewrite skipped (matcher error): $e")
+            agg
+        }
     }
   }
 
@@ -393,8 +414,20 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           }
           current = current.copy(
             groupingExpressions = current.groupingExpressions.map(sub),
-            aggregateExpressions = current.aggregateExpressions
-              .map(ne => sub(ne).asInstanceOf[NamedExpression]),
+            aggregateExpressions = current.aggregateExpressions.map { ne =>
+              // a BARE output attribute whose definition lives in the child
+              // Project (GROUP BY a computed subquery/CTE column — e.g.
+              // `SELECT x, count(*) FROM (SELECT a+1 AS x FROM t) GROUP BY
+              // x`, which CollapseProject keeps because the non-cheap alias
+              // is referenced twice) substitutes to a NON-named expression;
+              // re-wrap it under the original name + exprId so the
+              // Aggregate's output schema — and everything resolving
+              // against it above — is unchanged
+              sub(ne) match {
+                case named: NamedExpression => named
+                case other => Alias(other, ne.name)(exprId = ne.exprId)
+              }
+            },
             child = c)
           continue = true
         case _ =>
@@ -407,6 +440,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       latestMemo: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
       : Option[LogicalPlan] = {
     if (!agg0.resolved) return None
+    if (injectMatcherFailure)
+      throw new IllegalStateException("injected matcher failure (test seam)")
     val agg = inlineProjects(agg0)
     val spark = SparkSession.active
     def latestOf(p: String): Long = {
@@ -461,7 +496,6 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         (e, canon(e))
       case _ => return None
     }
-    val groupAttrIds = dims.collect { case (a: AttributeReference, _) => a.exprId }.toSet
     val dimSet = dims.map(_._2).toSet
     // per grouping item, everything a dim match needs: the lowercased
     // names it references, and its truncation signature (if any)
@@ -550,11 +584,16 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // total order on comparable literal values; None = incomparable
     // (keeps the implication check conservative, never wrong)
     def litCmp(x: Literal, y: Literal): Option[Int] = {
+      // NaN / Infinity doubles have no BigDecimal rendering — treat as
+      // incomparable (conservative no-match) instead of throwing
+      // NumberFormatException out of the rule
+      def big(n: java.lang.Number): Option[java.math.BigDecimal] =
+        try Some(new java.math.BigDecimal(n.toString))
+        catch { case _: NumberFormatException => None }
       def num(l: Literal): Option[java.math.BigDecimal] = l.value match {
         case null => None
         case n: java.lang.Number if l.dataType.isInstanceOf[
-            org.apache.spark.sql.types.NumericType] =>
-          Some(new java.math.BigDecimal(n.toString))
+            org.apache.spark.sql.types.NumericType] => big(n)
         case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
         case _ => None
       }
@@ -569,8 +608,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           // micros): ordering on the stored number IS the value ordering
           case (a: java.lang.Number, b: java.lang.Number)
               if x.dataType == y.dataType =>
-            Some(new java.math.BigDecimal(a.toString)
-              .compareTo(new java.math.BigDecimal(b.toString)))
+            for { ba <- big(a); bb <- big(b) } yield ba.compareTo(bb)
           case _ => None
         }
       }

@@ -1031,4 +1031,123 @@ class MvRewriteSpec extends AnyFunSuite {
           s"once per rule invocation (memoized), got $lookups")
     } finally GraftMvRewrite.clear()
   }
+
+  test("GROUP BY a computed subquery/CTE column never fails a query while a view is registered") {
+    // judge repro (round 8): with >= 1 registered MV, `SELECT x, count(*)
+    // FROM (SELECT a+1 AS x FROM t) GROUP BY x` crashed with
+    // ClassCastException out of inlineProjects — the Aggregate's output
+    // holds a BARE attribute whose definition is the child Project's
+    // computed alias (CollapseProject keeps the Project: the non-cheap
+    // alias is referenced twice), so substitution yields a non-named Add
+    val (base, path) = freshBase("bareattr")
+    val mvPath = Files.createTempDirectory("graft_mvrw_bare").toString + "/mv"
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*")))
+    // the UNRELATED table the judge's repro queries
+    (1L to 100L).map(i => (i, i % 10)).toDF("a", "b")
+      .createOrReplaceTempView("bare_unrel_t")
+    try {
+      GraftMvRewrite.register(mvPath)
+      GraftMvRewrite.rewriteErrors = 0L
+      val expect = (1L to 100L).groupBy(_ + 1).map { case (x, is) =>
+        Seq[Any](x, is.size.toLong) }.toSet
+      val sub = spark.sql(
+        "SELECT x, count(*) AS n FROM (SELECT a+1 AS x FROM bare_unrel_t) GROUP BY x")
+      assert(sub.collect().map(_.toSeq).toSet == expect,
+        "subquery-computed GROUP BY column must answer")
+      val cte = spark.sql(
+        "WITH c AS (SELECT a+1 AS x FROM bare_unrel_t) " +
+          "SELECT x, count(*) AS n FROM c GROUP BY x")
+      assert(cte.collect().map(_.toSeq).toSet == expect,
+        "CTE-computed GROUP BY column must answer")
+      // and the fix must be a real inline, not a swallowed throw
+      assert(GraftMvRewrite.rewriteErrors == 0L,
+        "the bare-attr shape must be handled, not guard-swallowed")
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("bare_unrel_t")
+    }
+  }
+
+  test("the bare-attr subquery shape over the view's OWN base still serves from state") {
+    val (base, path) = freshBase("bareserve")
+    val mvPath = Files.createTempDirectory("graft_mvrw_bsrv").toString + "/mv"
+    spark.read.format("graft").load(path).createOrReplaceTempView("bsrv_v")
+    try {
+      // expression-dim view on amt+1; the query restates it through a
+      // subquery-computed column — after the (fixed) inline, the grouping
+      // key is amt+1 and must match the stored expression dim
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS " +
+        "SELECT amt + 1 AS x, count(1) AS n FROM bsrv_v GROUP BY amt + 1")
+      GraftMvRewrite.rewriteErrors = 0L
+      val q = spark.sql(
+        "SELECT x, count(1) AS n FROM (SELECT amt + 1 AS x FROM bsrv_v) GROUP BY x")
+      assert(!hasAggregate(q) && scansMvState(q),
+        s"bare-attr shape over the base must still serve:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet ==
+        base.read().groupBy(expr("amt + 1").as("x"))
+          .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet)
+      assert(GraftMvRewrite.rewriteErrors == 0L)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("bsrv_v")
+    }
+  }
+
+  test("a matcher failure degrades to a missed rewrite, never a failed query") {
+    val (base, path) = freshBase("guard")
+    val mvPath = Files.createTempDirectory("graft_mvrw_grd").toString + "/mv"
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*")))
+    try {
+      GraftMvRewrite.register(mvPath)
+      // sanity: the shape serves when the matcher is healthy
+      assert(!hasAggregate(query(path).select("grp", "n")))
+      // inject a throw at rewrite() entry: the apply() guard must swallow
+      // it (counted), the query must ANSWER from the base
+      GraftMvRewrite.injectMatcherFailure = true
+      GraftMvRewrite.rewriteErrors = 0L
+      val q = query(path).select("grp", "n")
+      assert(hasAggregate(q), "a failed matcher must miss, not serve")
+      assert(q.collect().map(_.toSeq).toSet ==
+        base.read().groupBy("grp").agg(count(lit(1)).as("n"))
+          .collect().map(_.toSeq).toSet)
+      assert(GraftMvRewrite.rewriteErrors > 0L,
+        "the guard must COUNT the swallowed failure (no silent misses)")
+    } finally {
+      GraftMvRewrite.injectMatcherFailure = false
+      GraftMvRewrite.clear()
+    }
+  }
+
+  test("NaN/Infinity literals in query predicates are incomparable, not a crash") {
+    // ADVICE (round 8): litCmp built BigDecimal(n.toString) unguarded — a
+    // NaN double literal in a query conjunct threw NumberFormatException
+    // out of the rule whenever a filtered view was a candidate
+    val p = Files.createTempDirectory("graft_mvrw_nan").toString
+    val b = LakeTable.create(spark, p, TableSpec("k", "ver"),
+      (1L to 200L).map(i => (i, 1L, s"g${i % 3}", (i % 100).toDouble))
+        .toDF("k", "ver", "grp", "d"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_nanm").toString + "/mv"
+    MaterializedView.create(spark, mvPath, b, Seq("grp"),
+      Seq(MvAgg("n", "count", "*")), filter = Some("d >= cast(50 as double)"))
+    try {
+      GraftMvRewrite.register(mvPath)
+      GraftMvRewrite.rewriteErrors = 0L
+      val q = spark.read.format("graft").load(p)
+        .filter(col("d") > expr("cast('NaN' as double)"))
+        .groupBy("grp").agg(count(lit(1)).as("n"))
+      // NaN implies nothing: the view must not serve, the query must run
+      assert(hasAggregate(q), "NaN conjunct must not be treated as implying")
+      assert(q.collect().isEmpty, "x > NaN selects nothing")
+      assert(GraftMvRewrite.rewriteErrors == 0L,
+        "NaN must be a conservative no-match, not a swallowed throw")
+      // Infinity IS comparable-in-principle but has no BigDecimal form —
+      // same conservative no-crash contract
+      val qi = spark.read.format("graft").load(p)
+        .filter(col("d") > expr("cast('Infinity' as double)"))
+        .groupBy("grp").agg(count(lit(1)).as("n"))
+      assert(qi.collect().isEmpty && GraftMvRewrite.rewriteErrors == 0L)
+    } finally GraftMvRewrite.clear()
+  }
 }
