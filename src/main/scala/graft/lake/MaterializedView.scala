@@ -304,13 +304,14 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     // the F_new side of dim-churn terms): each table carries its resident
     // need columns plus every join key HOMED on it (snowflake chain keys
     // live on a dim, not the fact)
-    def fProj = (m.joins.indices.filter(homes(_) == -1).map(m.joins(_).factKey)
+    def fProj = (m.joins.indices.filter(homes(_) == -1).flatMap(m.joins(_).factKeys)
       ++ split.get._1).distinct.map(col)
-    def dProj(i: Int) = ((m.joins(i).dimKey +:
-      m.joins.indices.filter(homes(_) == i).map(m.joins(_).factKey))
+    def dProj(i: Int) = ((m.joins(i).dimKeys ++
+      m.joins.indices.filter(homes(_) == i).flatMap(m.joins(_).factKeys))
       ++ split.get._2(i)).distinct.map(col)
     def joinDim(acc: DataFrame, i: Int, df: DataFrame): DataFrame =
-      acc.join(df, col(m.joins(i).factKey) === col(m.joins(i).dimKey))
+      acc.join(df, m.joins(i).keyPairs
+        .map { case (fk, dk) => col(fk) === col(dk) }.reduce(_ && _))
     def dAt(i: Int, v: Long) = dimTables(i).read(Some(v)).select(dProj(i): _*)
     // fold order for the ΔD_i term: the chain ancestors of i first (a
     // snowflake key can only be joined once its home table is in the
@@ -475,29 +476,36 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
             case MvAgg(n, _, in) => max(col(in)).as(reCol(n))
           }
           // walk one dim-resident column's affected values down to the
-          // fact: restrict dim t on (colName IN values), project the key
-          // that joins t to its parent, repeat until the parent is the
-          // fact itself. Returns the fact-homed column and its bounded
-          // key set, or None when a hop explodes past the cap (a huge
-          // group — pruning would not help) or surfaces a null key.
+          // fact: restrict dim t on (colName IN values), project the
+          // key(s) that join t to its parent, repeat until the parent is
+          // the fact itself. A COMPOSITE hop emits one filter per key
+          // column — the per-column projection of the matching key
+          // tuples, each individually a SUPERSET of the affected rows,
+          // so conjoining them for file pruning is sound (documented
+          // superset semantics; the MVKEY semi-join bounds the rows).
+          // A branch that explodes past the cap (a huge group — pruning
+          // would not help) or surfaces a null key is dropped.
           def chaseToFact(t0: Int, col0: String,
-              vals0: Array[Any]): Option[(String, Array[Any])] = {
-            var curT = t0; var curCol = col0; var curVals = vals0
-            var hops = 0
-            while (hops <= m.joins.size) {
-              hops += 1
-              val probe = org.apache.spark.sql.sources.In(curCol, curVals)
-              val next = dimTables(curT)
-                .readWhere(Seq(probe), Some(dimUpTos(curT)))
-                .filter(col(curCol).isin(curVals: _*))
-                .select(col(m.joins(curT).dimKey)).distinct()
-                .limit(REPAIR_KEY_CAP + 1).collect().map(_.get(0))
-              if (next.length > REPAIR_KEY_CAP || next.contains(null)) return None
-              val keyOnParent = m.joins(curT).factKey
-              if (homes(curT) == -1) return Some((keyOnParent, next))
-              curT = homes(curT); curCol = keyOnParent; curVals = next
+              vals0: Array[Any]): Seq[(String, Array[Any])] = {
+            def hop(t: Int, c: String, vals: Array[Any],
+                depth: Int): Seq[(String, Array[Any])] = {
+              if (depth > m.joins.size) return Nil
+              val probe = org.apache.spark.sql.sources.In(c, vals)
+              val dks = m.joins(t).dimKeys
+              val tuples = dimTables(t)
+                .readWhere(Seq(probe), Some(dimUpTos(t)))
+                .filter(col(c).isin(vals: _*))
+                .select(dks.map(col): _*).distinct()
+                .limit(REPAIR_KEY_CAP + 1).collect()
+              if (tuples.length > REPAIR_KEY_CAP) return Nil
+              m.joins(t).factKeys.zipWithIndex.flatMap { case (fk, j) =>
+                val next = tuples.map(_.get(j)).distinct
+                if (next.contains(null)) Nil
+                else if (homes(t) == -1) Seq((fk, next))
+                else hop(homes(t), fk, next, depth + 1)
+              }
             }
-            None
+            hop(t0, col0, vals0, 0)
           }
           def dimHome(c: String): Option[Int] =
             dimTables.indices.find(i => dimTables(i).schema.fieldNames.contains(c))
@@ -505,12 +513,12 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
             if (affected.length > REPAIR_IN_CAP) Nil
             else dims.zipWithIndex.flatMap { case (d, ix) =>
               val vs = affected.map(_.get(ix)).distinct
-              if (vs.contains(null)) None
+              if (vs.contains(null)) Nil
               else if (base.schema.fieldNames.contains(d))
-                Some(org.apache.spark.sql.sources.In(d, vs))
-              else dimHome(d).flatMap(t => chaseToFact(t, d, vs).map {
+                Seq(org.apache.spark.sql.sources.In(d, vs))
+              else dimHome(d).map(t => chaseToFact(t, d, vs).map {
                 case (fc, ks) => org.apache.spark.sql.sources.In(fc, ks)
-              })
+              }).getOrElse(Nil)
             }
           // EXPRESSION dims over a monotonic fact-column transform prune
           // files the same way hidden partitioning does (see
@@ -704,33 +712,45 @@ object MaterializedView {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
     }.distinct
 
-  /** Home table of each join's LEFT key: -1 = the fact table, j = dim j.
+  /** Home table of each join's LEFT keys: -1 = the fact table, j = dim j.
     * Validates the bare-name join contract — every join key must live in
     * EXACTLY one of the n+1 schemas (so `col(key)` stays unambiguous
     * under any fold order, and stays so if a table evolves), a dim key
     * only on its own dim, and a left key on the fact or an EARLIER dim
-    * (star arms hang off the fact; snowflake arms chain parent-first). */
+    * (star arms hang off the fact; snowflake arms chain parent-first).
+    * A COMPOSITE join's left keys must all live on the SAME table — one
+    * arm has one parent. */
   private[lake] def keyHomes(factSchema: StructType, dimSchemas: Seq[StructType],
       joins: Seq[MvJoin]): Seq[Int] = {
     val all = factSchema +: dimSchemas
     def owners(c: String): Seq[Int] =
       all.indices.filter(i => all(i).fieldNames.contains(c))
     joins.zipWithIndex.map { case (j, i) =>
-      require(j.factKey != j.dimKey,
-        s"join keys must have distinct names (got ${j.factKey} on both sides) — " +
-          "alias one side so bare-name join columns stay unambiguous")
-      val dk = owners(j.dimKey)
-      require(dk == Seq(i + 1),
-        s"dimKey ${j.dimKey} must be a column of its OWN dim table only " +
-          s"(resolves in ${dk.size} of the joined tables)")
-      val fk = owners(j.factKey)
-      require(fk.size == 1,
-        s"join key ${j.factKey} must resolve in exactly one joined table " +
-          s"(resolves in ${fk.size}) — rename the colliding column(s)")
-      require(fk.head <= i,
-        s"join key ${j.factKey} lives on dim ${fk.head - 1}, which joins AFTER " +
-          s"join $i — order snowflake arms parent-first")
-      fk.head - 1
+      j.keyPairs.foreach { case (fk, dk) =>
+        require(fk != dk,
+          s"join keys must have distinct names (got $fk on both sides) — " +
+            "alias one side so bare-name join columns stay unambiguous")
+      }
+      j.dimKeys.foreach { dkName =>
+        val dk = owners(dkName)
+        require(dk == Seq(i + 1),
+          s"dimKey $dkName must be a column of its OWN dim table only " +
+            s"(resolves in ${dk.size} of the joined tables)")
+      }
+      val fkHomes = j.factKeys.map { fkName =>
+        val fk = owners(fkName)
+        require(fk.size == 1,
+          s"join key $fkName must resolve in exactly one joined table " +
+            s"(resolves in ${fk.size}) — rename the colliding column(s)")
+        require(fk.head <= i,
+          s"join key $fkName lives on dim ${fk.head - 1}, which joins AFTER " +
+            s"join $i — order snowflake arms parent-first")
+        fk.head - 1
+      }
+      require(fkHomes.distinct.size == 1,
+        s"composite join keys ${j.factKeys.mkString(", ")} must all live on " +
+          s"the same table (found homes ${fkHomes.distinct.mkString(", ")})")
+      fkHomes.head
     }
   }
 
@@ -789,13 +809,30 @@ object MaterializedView {
   }
 
   /** One star-join arm of a view: the fact (base) table equi-joins the
-    * dim lake table at `dimPath` on `factKey = dimKey` (star, not
-    * snowflake: every factKey is a FACT column). `dimVersion` is the dim
-    * version the stored state reflects — pinned at create, advanced by
-    * every refresh (an incremental-maintenance cursor, exactly like
-    * `lastVersion` for the fact side). */
-  case class MvJoin(dimPath: String, factKey: String, dimKey: String,
-      dimVersion: Long = 0L)
+    * dim lake table at `dimPath` on `factKeys(i) = dimKeys(i)` for every i
+    * — COMPOSITE equi-join keys model surrogate-less dims joined on a
+    * multi-column natural key (e.g. `(custkey, nationkey)`). All left keys
+    * of one arm must live on the SAME table (the fact, or one earlier dim
+    * for a snowflake chain). `dimVersion` is the dim version the stored
+    * state reflects — pinned at create, advanced by every refresh (an
+    * incremental-maintenance cursor, exactly like `lastVersion` for the
+    * fact side). */
+  case class MvJoin(dimPath: String, factKeys: Seq[String], dimKeys: Seq[String],
+      dimVersion: Long = 0L) {
+    require(factKeys.nonEmpty && factKeys.size == dimKeys.size,
+      s"join on $dimPath needs 1+ key pairs with equal arity " +
+        s"(got ${factKeys.size} left keys, ${dimKeys.size} dim keys)")
+    /** The key pairs in definition order. */
+    def keyPairs: Seq[(String, String)] = factKeys.zip(dimKeys)
+  }
+  object MvJoin {
+    /** Single-column compatibility constructors. */
+    def apply(dimPath: String, factKey: String, dimKey: String): MvJoin =
+      MvJoin(dimPath, Seq(factKey), Seq(dimKey), 0L)
+    def apply(dimPath: String, factKey: String, dimKey: String,
+        dimVersion: Long): MvJoin =
+      MvJoin(dimPath, Seq(factKey), Seq(dimKey), dimVersion)
+  }
 
   /** `filter` is an optional deterministic row predicate (SQL text over
     * the joined row) — the view maintains `σ_filter(F ⋈ D…)` GROUP BY
@@ -851,8 +888,10 @@ object MaterializedView {
       val ja = root.putArray("joins")
       m.joins.foreach { j =>
         val n = ja.addObject()
-        n.put("dimPath", j.dimPath); n.put("factKey", j.factKey)
-        n.put("dimKey", j.dimKey); n.put("dimVersion", j.dimVersion)
+        n.put("dimPath", j.dimPath)
+        val fks = n.putArray("factKeys"); j.factKeys.foreach(fks.add)
+        val dks = n.putArray("dimKeys"); j.dimKeys.foreach(dks.add)
+        n.put("dimVersion", j.dimVersion)
       }
     }
     val target = metaFile(path)
@@ -879,8 +918,17 @@ object MaterializedView {
     val joins = scala.collection.mutable.ArrayBuffer.empty[MvJoin]
     if (root.hasNonNull("joins"))
       root.get("joins").asInstanceOf[ArrayNode].forEach { n =>
-        joins += MvJoin(n.get("dimPath").asText, n.get("factKey").asText,
-          n.get("dimKey").asText, n.get("dimVersion").asLong)
+        joins +=
+          (if (n.hasNonNull("factKeys")) {
+            val fks = scala.collection.mutable.ArrayBuffer.empty[String]
+            n.get("factKeys").asInstanceOf[ArrayNode].forEach(x => fks += x.asText)
+            val dks = scala.collection.mutable.ArrayBuffer.empty[String]
+            n.get("dimKeys").asInstanceOf[ArrayNode].forEach(x => dks += x.asText)
+            MvJoin(n.get("dimPath").asText, fks.toSeq, dks.toSeq,
+              n.get("dimVersion").asLong)
+          } else // pre-composite metas carry singular factKey/dimKey
+            MvJoin(n.get("dimPath").asText, n.get("factKey").asText,
+              n.get("dimKey").asText, n.get("dimVersion").asLong))
       }
     val dimExprs = scala.collection.mutable.Map.empty[String, String]
     if (root.hasNonNull("dimExprs"))
@@ -937,14 +985,15 @@ object MaterializedView {
           sideSplitN(base.schema, dimTables.map(_.schema), need, joins)
         val dvs = dimTables.map(_.latestVersion)
         val start = base.read(Some(v)).select(
-          (joins.indices.filter(homes(_) == -1).map(joins(_).factKey)
+          (joins.indices.filter(homes(_) == -1).flatMap(joins(_).factKeys)
             ++ factCols).distinct.map(col): _*)
         val joined = joins.indices.foldLeft(start) { (acc, i) =>
           acc.join(dimTables(i).read(Some(dvs(i)))
-              .select(((joins(i).dimKey +:
-                joins.indices.filter(homes(_) == i).map(joins(_).factKey))
+              .select(((joins(i).dimKeys ++
+                joins.indices.filter(homes(_) == i).flatMap(joins(_).factKeys))
                 ++ dimColsN(i)).distinct.map(col): _*),
-            col(joins(i).factKey) === col(joins(i).dimKey))
+            joins(i).keyPairs.map { case (fk, dk) => col(fk) === col(dk) }
+              .reduce(_ && _))
         }
         (joined, joins.zip(dvs).map { case (j, dv) => j.copy(dimVersion = dv) })
     }

@@ -1297,6 +1297,82 @@ object LakeQueries {
         |       MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
         |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // COMPOSITE-KEY star materialized view: the dim joins the fact on TWO
+    // columns (o_custkey, o_orderstatus) = (d_custkey, d_status) — the
+    // surrogate-less natural-key dim real star schemas grow. The dim is
+    // deterministically derived (customer × the three order statuses) so
+    // DuckDB can rebuild it. One refresh absorbs fact churn
+    // (arrivals/reprices/deletes) AND dim churn on BOTH key columns'
+    // groups (segment moves, per-status deletes); the max agg routes
+    // removal-touched groups through the repair, whose file pruning
+    // chases the dim-resident d_seg values across the composite join via
+    // per-column fact-key IN lists (a documented superset).
+    "q161_composite_key_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        import graft.lake.MaterializedView.MvJoin
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvck_f_$tag"); val dp = freshDir(s"mvck_d_$tag")
+        val mp = freshDir(s"mvck_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0))
+        def dimRows = t(s, d, "customer")
+          .select(col("c_custkey").as("d_custkey"), col("c_mktsegment").as("d_seg"))
+          .withColumn("d_status", explode(array(lit("O"), lit("F"), lit("P"))))
+          .withColumn("d_id", col("d_custkey") * 4 +
+            when(col("d_status") === "O", 0)
+              .when(col("d_status") === "F", 1).otherwise(2))
+          .withColumn("dver", lit(0L))
+        val dim = LakeTable.create(s, dp, TableSpec("d_id", "dver"), dimRows)
+        MaterializedView.create(s, mp, fact, Seq("d_seg"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey"),
+            MvAgg("mx", "max", "o_totalprice")),
+          Seq(MvJoin(dp, Seq("o_custkey", "o_orderstatus"),
+            Seq("d_custkey", "d_status"), 0L)))
+        // fact churn: missing third arrives, every 7th reprices a day
+        // later (newer precombine wins), every 11th key deleted
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .unionByName(t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))))
+        fact.delete(col("o_orderkey") % 11 === 0)
+        // dim churn touching BOTH key columns' groups: every 5th
+        // customer's 'O' row moves segment, every 17th's 'F' row deleted
+        dim.upsert(dimRows
+          .filter(col("d_custkey") % 5 === 0 && col("d_status") === "O")
+          .withColumn("d_seg", lit("MOVED")).withColumn("dver", lit(1L)))
+        dim.delete(col("d_custkey") % 17 === 0 && col("d_status") === "F")
+        val mv = MaterializedView.load(s, mp).refresh()
+        require(mv.lastRefreshedVersion == LakeTable.load(s, fp).latestVersion &&
+          mv.dimRefreshedVersions == Seq(LakeTable.load(s, dp).latestVersion),
+          "one refresh must advance both maintenance cursors")
+        mv.read().orderBy("d_seg")
+      },
+      """WITH cand AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+        |         o_orderdate + INTERVAL 1 DAY, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |fact AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+        |    FROM cand) WHERE rn = 1 AND o_orderkey % 11 <> 0),
+        |dim AS (
+        |  SELECT c.c_custkey AS d_custkey, st.s AS d_status,
+        |         CASE WHEN c.c_custkey % 5 = 0 AND st.s = 'O' THEN 'MOVED'
+        |              ELSE c.c_mktsegment END AS d_seg
+        |  FROM customer c, (VALUES ('O'), ('F'), ('P')) st(s)
+        |  WHERE NOT (c.c_custkey % 17 = 0 AND st.s = 'F'))
+        |SELECT dm.d_seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(f.o_custkey) AS BIGINT) AS su, MAX(f.o_totalprice) AS mx
+        |FROM fact f
+        |JOIN dim dm ON f.o_custkey = dm.d_custkey
+        |           AND f.o_orderstatus = dm.d_status
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

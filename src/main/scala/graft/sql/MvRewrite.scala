@@ -65,10 +65,16 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * survives the pre-filter, so a stale entry can only MISS a rewrite,
     * never mis-serve one. */
   private case class MvShapeKey(basePath: String, dims: Set[String],
-      joinTriples: Seq[(String, String, String)],
+      joinSig: Seq[(String, Set[(String, String)])],
       dimInfo: Seq[DimInfo]) {
-    def dimPaths: Seq[String] = joinTriples.map(_._1)
+    def dimPaths: Seq[String] = joinSig.map(_._1)
   }
+
+  /** Lowercased (dimPath, {(leftKey, dimKey)}) signature of one join arm —
+    * the key-pair SET, so composite keys match in any written order. */
+  private def lcSig(j: MvJoin): (String, Set[(String, String)]) =
+    (j.dimPath,
+      j.keyPairs.map { case (f, d) => (f.toLowerCase, d.toLowerCase) }.toSet)
   private val shapeCache =
     new java.util.concurrent.ConcurrentHashMap[String, MvShapeKey]()
 
@@ -88,8 +94,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       val infos = dimInfosOf(spark, meta)
         .getOrElse(return None) // unparseable stored expr
       val s = MvShapeKey(meta.basePath, infos.map(_.key).toSet,
-        meta.joins.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase)),
-        infos)
+        meta.joins.map(lcSig), infos)
       shapeCache.put(p, s)
       Some(s)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -285,86 +290,106 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The attr=attr conjuncts of an inner-join condition, each oriented
+    * (leftAttr, rightAttr) against `r`'s output: the RIGHT attr must
+    * resolve in r, the LEFT attr must not. None when any conjunct is not
+    * a two-attribute equality (conservative — not an equi-join we model).
+    * Composite keys are simply 2+ conjuncts. */
+  private def equiPairs(cond: Expression, r: LogicalPlan)
+      : Option[Seq[(AttributeReference, AttributeReference)]] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => split(a) ++ split(b)
+      case o => Seq(o)
+    }
+    val oriented = split(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (!r.outputSet.contains(a) && r.outputSet.contains(b)) Some((a, b))
+        else if (!r.outputSet.contains(b) && r.outputSet.contains(a)) Some((b, a))
+        else None
+      case _ => None
+    }
+    if (oriented.isEmpty || oriented.exists(_.isEmpty)) None
+    else Some(oriented.flatten)
+  }
+
   /** A two-table inner equi-join scan under alias/projection/filter
-    * wrappers: `(leftPath, leftKey, rightPath, rightKey, filters)`, keys
-    * assigned to their own side. Filters are collected BOTH above the
-    * join and from either side's scan: a side-local predicate below an
-    * INNER join commutes with it (`σ_p(F) ⋈ D = σ_p(F ⋈ D)` when `p`
-    * references only F — which a pushed-down predicate does by
-    * construction), so predicate pushdown running before this rule can
-    * never hide a query conjunct from the view-filter match. */
+    * wrappers: `(leftPath, leftKeys, rightPath, rightKeys, filters)`,
+    * keys assigned to their own side (composite keys = 2+ pairs, in
+    * conjunct order). Filters are collected BOTH above the join and from
+    * either side's scan: a side-local predicate below an INNER join
+    * commutes with it (`σ_p(F) ⋈ D = σ_p(F ⋈ D)` when `p` references
+    * only F — which a pushed-down predicate does by construction), so
+    * predicate pushdown running before this rule can never hide a query
+    * conjunct from the view-filter match. */
   private[sql] def joinScan(p: LogicalPlan)
-      : Option[(String, String, String, String, Seq[Expression])] = p match {
+      : Option[(String, Seq[String], String, Seq[String], Seq[Expression])] = p match {
     case SubqueryAlias(_, c) => joinScan(c)
     case v: View => joinScan(v.child)
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => joinScan(c)
     case Filter(cond, c) =>
       joinScan(c).map { case (lp, lk, rp, rk, fs) => (lp, lk, rp, rk, fs :+ cond) }
-    case j @ Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
-        Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+    case j @ Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _) =>
       for {
+        pairs <- equiPairs(cond, r)
+        if pairs.forall { case (a, _) => l.outputSet.contains(a) }
         (lp, lf) <- baseScan(l)
         (rp, rf) <- baseScan(r)
-        (lk, rk) <-
-          if (l.outputSet.contains(a) && r.outputSet.contains(b)) Some((a.name, b.name))
-          else if (l.outputSet.contains(b) && r.outputSet.contains(a)) Some((b.name, a.name))
-          else None
-      } yield (lp, lk, rp, rk, lf ++ rf)
+      } yield (lp, pairs.map(_._1.name), rp, pairs.map(_._2.name), lf ++ rf)
     case _ => None
   }
 
   /** A left-deep join scan of 2+ dims: the fact scan at the bottom-left,
-    * each Join adding one dim scan on the right under an
-    * `EqualTo(leftCol, dimCol)` condition. The left key may come from the
-    * FACT scan (star arm) or from an ALREADY-JOINED dim (snowflake chain
-    * like fact→customer→nation) — either way it resolves in the left
-    * subtree, which is exactly what [[graft.lake.MaterializedView]]'s
-    * parent-first join contract maintains. Returns `(factPath, arms,
-    * filters)` with arms `(dimPath, leftKey, dimKey)` in join order;
-    * filters are collected from ABOVE the topmost join AND from inside
-    * the join tree (directly on a member scan or between joins) — every
-    * such predicate is side/subtree-local by construction, so for inner
-    * joins it commutes back above the tree unchanged; collecting it
-    * keeps the rewrite robust under predicate pushdown, which runs
-    * interleaved with this rule. */
+    * each Join adding one dim scan on the right under an And-of-
+    * `EqualTo(leftCol, dimCol)` condition (composite keys = 2+ pairs).
+    * The left keys may come from the FACT scan (star arm) or from an
+    * ALREADY-JOINED dim (snowflake chain like fact→customer→nation) —
+    * either way they resolve in the left subtree, which is exactly what
+    * [[graft.lake.MaterializedView]]'s parent-first join contract
+    * maintains. Returns `(factPath, arms, filters)` with arms
+    * `(dimPath, leftKeys, dimKeys)` in join order; filters are collected
+    * from ABOVE the topmost join AND from inside the join tree (directly
+    * on a member scan or between joins) — every such predicate is
+    * side/subtree-local by construction, so for inner joins it commutes
+    * back above the tree unchanged; collecting it keeps the rewrite
+    * robust under predicate pushdown, which runs interleaved with this
+    * rule. */
   private[sql] def starScan(p: LogicalPlan)
-      : Option[(String, Seq[(String, String, String)], Seq[Expression])] = {
+      : Option[(String, Seq[(String, Seq[String], Seq[String])], Seq[Expression])] = {
     def peel(p: LogicalPlan): Option[(String, AttributeSet,
-        Seq[(String, String, String)], Seq[Expression])] =
+        Seq[(String, Seq[String], Seq[String])], Seq[Expression])] =
       p match {
         case SubqueryAlias(_, c) => peel(c)
         case v: View => peel(v.child)
         case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => peel(c)
         case Filter(cond, c) =>
           peel(c).map { case (fp, out, arms, fs) => (fp, out, arms, fs :+ cond) }
-        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
-            Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _) =>
           for {
+            pairs <- equiPairs(cond, r)
             (rp, rf) <- baseScan(r)
-            (lAttr, rAttr) <-
-              if (!r.outputSet.contains(a) && r.outputSet.contains(b)) Some((a, b))
-              else if (!r.outputSet.contains(b) && r.outputSet.contains(a)) Some((b, a))
-              else None
             (fp, treeOut, arms, lf) <- baseScan(l) match {
               case Some((lp, lf0)) =>
-                Some((lp, l.outputSet, Seq.empty[(String, String, String)], lf0))
+                Some((lp, l.outputSet,
+                  Seq.empty[(String, Seq[String], Seq[String])], lf0))
               case _ => peel(l)
             }
-            if treeOut.contains(lAttr) // the left key resolves in the joined tree
+            // every left key resolves in the joined tree
+            if pairs.forall { case (la, _) => treeOut.contains(la) }
           } yield (fp, treeOut ++ r.outputSet,
-            arms :+ ((rp, lAttr.name, rAttr.name)), lf ++ rf)
+            arms :+ ((rp, pairs.map(_._1.name), pairs.map(_._2.name))), lf ++ rf)
         case _ => None
       }
     def strip(p: LogicalPlan, fs: Seq[Expression])
-        : Option[(String, Seq[(String, String, String)], Seq[Expression])] = p match {
-      case SubqueryAlias(_, c) => strip(c, fs)
-      case v: View => strip(v.child, fs)
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c, fs)
-      case Filter(cond, c) => strip(c, fs :+ cond)
-      case j: Join =>
-        peel(j).collect { case (fp, _, arms, pf) if arms.size >= 2 => (fp, arms, fs ++ pf) }
-      case _ => None
-    }
+        : Option[(String, Seq[(String, Seq[String], Seq[String])], Seq[Expression])] =
+      p match {
+        case SubqueryAlias(_, c) => strip(c, fs)
+        case v: View => strip(v.child, fs)
+        case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c, fs)
+        case Filter(cond, c) => strip(c, fs :+ cond)
+        case j: Join =>
+          peel(j).collect { case (fp, _, arms, pf) if arms.size >= 2 => (fp, arms, fs ++ pf) }
+        case _ => None
+      }
     strip(p, Seq.empty)
   }
 
@@ -466,24 +491,26 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       .getOrElse(return None)
     // does this view's join set serve the scanned shape? A plain scan
     // needs a JOIN-FREE view (a join view has joined multiplicity); a
-    // join scan needs the single triple in EITHER orientation; a star
-    // scan needs the same triple SET over the same fact (any join order).
+    // join scan needs the single arm's key-pair SET in EITHER
+    // orientation; a star scan needs the same (dimPath, pairSet) arm SET
+    // over the same fact (any join order, any key order within an arm).
     def joinMatches(basePath: String,
-        triples: Seq[(String, String, String)]): Boolean =
+        sig: Seq[(String, Set[(String, String)])]): Boolean =
       (plain, joined, starred) match {
-        case (Some(_), _, _) => triples.isEmpty && basePath == path
-        case (_, Some((lp, lk, rp, rk, _)), _) => triples match {
-          case Seq((jDim, jFk, jDk)) =>
-            (basePath == lp && jDim == rp &&
-              jFk == lk.toLowerCase && jDk == rk.toLowerCase) ||
-            (basePath == rp && jDim == lp &&
-              jFk == rk.toLowerCase && jDk == lk.toLowerCase)
+        case (Some(_), _, _) => sig.isEmpty && basePath == path
+        case (_, Some((lp, lks, rp, rks, _)), _) => sig match {
+          case Seq((jDim, pairs)) =>
+            val fwd = lks.zip(rks)
+              .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet
+            (basePath == lp && jDim == rp && pairs == fwd) ||
+            (basePath == rp && jDim == lp && pairs == fwd.map(_.swap))
           case _ => false
         }
         case (_, _, Some((fp, arms, _))) =>
-          basePath == fp && triples.size == arms.size &&
-            arms.map(a => (a._1, a._2.toLowerCase, a._3.toLowerCase)).toSet ==
-              triples.toSet
+          basePath == fp && sig.size == arms.size &&
+            arms.map(a => (a._1, a._2.zip(a._3)
+              .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet))
+              .toSet == sig.toSet
         case _ => false
       }
     // every grouping key is either a bare column (key = lowercased name)
@@ -521,7 +548,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // state tables first among rollups
     val candidates = registered.flatMap { p =>
       shapeOf(spark, p) match {
-        case Some(s) if joinMatches(s.basePath, s.joinTriples) &&
+        case Some(s) if joinMatches(s.basePath, s.joinSig) &&
             qItems.forall(q => itemMatches(q, s.dimInfo)) =>
           Some((p, s.dims))
         case _ => None
@@ -531,8 +558,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       try {
         val m = MaterializedView.load(spark, p)
         val meta = m.meta // fresh read — authoritative over the cache
-        if (joinMatches(meta.basePath,
-            meta.joins.map(j => (j.dimPath, j.factKey.toLowerCase, j.dimKey.toLowerCase))) &&
+        if (joinMatches(meta.basePath, meta.joins.map(lcSig)) &&
           dimInfosOf(spark, meta).exists(infos =>
             qItems.forall(q => itemMatches(q, infos))) &&
           // freshness gate: a stale view must never serve — for a join
@@ -786,11 +812,11 @@ private[sql] object GraftMvShape {
           GraftMvRewrite.baseScan(agg.child)
             .map { case (p, fs) => (p, fs, Seq.empty[MvJoin]) }
             .orElse(GraftMvRewrite.joinScan(agg.child).map {
-              case (lp, lk, rp, rk, fs) => (lp, fs, Seq(MvJoin(rp, lk, rk)))
+              case (lp, lks, rp, rks, fs) => (lp, fs, Seq(MvJoin(rp, lks, rks, 0L)))
             })
             .orElse(GraftMvRewrite.starScan(agg.child).map {
               case (fp, arms, fs) => (fp, fs,
-                arms.map { case (dp, fk, dk) => MvJoin(dp, fk, dk) })
+                arms.map { case (dp, fks, dks) => MvJoin(dp, fks, dks, 0L) })
             })
             .getOrElse(
           return scala.Left("FROM must resolve to a plain graft table snapshot " +

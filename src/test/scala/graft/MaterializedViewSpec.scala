@@ -888,6 +888,65 @@ class MaterializedViewSpec extends AnyFunSuite {
       s"chained dim-value repair must prune the fact scan (scanned $scanned of $live files)")
   }
 
+  test("composite-key join maintains under churn on both tables; repair chase prunes across the composite hop") {
+    val fp = tmp(); val dp = tmp(); val mp = tmp()
+    // fact clustered on ck with per-file ck stats; the join is on the
+    // COMPOSITE (ck, st) = (cdk, cst) natural key
+    val fact0 = spark.range(960L).select(
+      col("id").as("k"), lit(0L).as("ver"), (col("id") % 48).as("ck"),
+      when(col("id") % 2 === 0, lit("A")).otherwise(lit("B")).as("st"),
+      (col("id") * 7 % 100).cast("int").as("score"),
+      (col("id") * 10).cast("decimal(18,2)").as("amt"))
+      .repartitionByRange(8, col("ck"))
+    // one dim row per (cdk, cst) pair; grp is a function of cdk so an
+    // affected grp chases to a small cdk set
+    def dim0 = spark.range(96L).select(
+      col("id").as("d_id"), lit(0L).as("dver"), (col("id") % 48).as("cdk"),
+      when(col("id") < 48, lit("A")).otherwise(lit("B")).as("cst"),
+      concat(lit("g"), col("id") % 12).as("grp"))
+    val ft = LakeTable.create(spark, fp,
+      TableSpec("k", "ver", statsColumns = Seq("ck")), fact0, bulkInsert = true)
+    val dt = LakeTable.create(spark, dp, TableSpec("d_id", "dver"), dim0)
+    val mv = MaterializedView.create(spark, mp, ft, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mx", "max", "score")),
+      Seq(MvJoin(dp, Seq("ck", "st"), Seq("cdk", "cst"), 0L)))
+    def check(): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(),
+          col("ck") === col("cdk") && col("st") === col("cst"))
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("amt")).as("s"),
+          max(col("score")).as("mx")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want,
+        "composite-key mv != recompute")
+    }
+    check()
+    // dim churn on BOTH key columns' groups: the 'B' half of four cdks
+    // moves group; two (cdk, 'A') rows die
+    dt.upsert(dim0.filter(col("cdk") % 12 === 3 && col("cst") === "B")
+      .withColumn("grp", lit("gMOVED")).withColumn("dver", lit(1L)))
+    dt.delete(col("cdk").isin(5L, 17L) && col("cst") === "A")
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    // fact churn: extremum loss in grp g4's rows only (cdk % 12 == 4) —
+    // the repair must chase gMOVED/g4 values across the composite join to
+    // per-column fact-key IN lists and file-prune the snapshot scan
+    val total = ft.commits.flatMap(_.add).size
+    assert(total >= 4, s"need a clustered multi-file fact, got $total")
+    ft.delete(col("ck") % 12 === 4 && col("score") >= 50)
+    MaterializedView.lastRepairScan = None
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    val (live, scanned) = MaterializedView.lastRepairScan.getOrElse(
+      fail("an extremum loss must run the repair path"))
+    assert(scanned < live,
+      s"composite-key chase must prune the fact scan (scanned $scanned of $live files)")
+    // arity mismatch is rejected at construction
+    val err = intercept[IllegalArgumentException](
+      MvJoin(dp, Seq("ck"), Seq("cdk", "cst"), 0L))
+    assert(err.getMessage.contains("equal arity"), err.getMessage)
+  }
+
   test("expression dims maintain under churn crossing bucket boundaries; null buckets; extremum repair") {
     val bp = tmp(); val mp = tmp()
     val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(400))

@@ -1032,6 +1032,67 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally GraftMvRewrite.clear()
   }
 
+  test("composite-key join view: SQL create + serve in any conjunct/operand order; key SUBSETS never match") {
+    val fp = Files.createTempDirectory("graft_mvrw_ck_f").toString
+    val dp = Files.createTempDirectory("graft_mvrw_ck_d").toString
+    val mvPath = Files.createTempDirectory("graft_mvrw_ck_mv").toString + "/mv"
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 1000L).map(i => (i, 1L, i % 10,
+        if (i % 2 == 0) "x" else "y", i % 100))
+        .toDF("k", "ver", "fk1", "fk2", "amt"))
+    val dim = LakeTable.create(spark, dp, TableSpec("d_id", "dver"),
+      (0L until 20L).map(i => (i, 0L, i % 10, if (i < 10) "x" else "y",
+        s"r${(i % 10 + (if (i < 10) 0 else 1)) % 4}"))
+        .toDF("d_id", "dver", "dk1", "dk2", "region"))
+    spark.read.format("graft").load(fp).createOrReplaceTempView("ck_f")
+    spark.read.format("graft").load(dp).createOrReplaceTempView("ck_d")
+    def hasJoin(df: DataFrame): Boolean = df.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])
+    val qSql = "SELECT region, count(1) AS n, sum(amt) AS s " +
+      "FROM ck_f JOIN ck_d ON fk1 = dk1 AND fk2 = dk2 GROUP BY region"
+    def recompute(): Set[Seq[Any]] = LakeTable.load(spark, fp).read()
+      .join(LakeTable.load(spark, dp).read(),
+        col("fk1") === col("dk1") && col("fk2") === col("dk2"))
+      .groupBy("region").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      .collect().map(_.toSeq).toSet
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS $qSql")
+      val q = spark.sql(qSql)
+      assert(!hasAggregate(q) && !hasJoin(q) && scansMvState(q),
+        s"composite-key join aggregate must rewrite:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet == recompute())
+      // conjuncts swapped AND equality operands flipped: the pair-SET match
+      val q2 = spark.sql("SELECT region, count(1) AS n, sum(amt) AS s " +
+        "FROM ck_f JOIN ck_d ON dk2 = fk2 AND dk1 = fk1 GROUP BY region")
+      assert(!hasAggregate(q2) && !hasJoin(q2) && scansMvState(q2),
+        s"reordered composite condition must serve:\n${q2.queryExecution.optimizedPlan}")
+      // a SUBSET of the composite key is a DIFFERENT join (multiplicity):
+      // single-key and extra-key queries must both fall through
+      assert(hasAggregate(spark.sql("SELECT region, count(1) AS n, sum(amt) AS s " +
+        "FROM ck_f JOIN ck_d ON fk1 = dk1 GROUP BY region")),
+        "a key-subset join must NOT be served by the composite view")
+      assert(hasAggregate(spark.sql("SELECT dk2, count(1) AS n " +
+        "FROM ck_f JOIN ck_d ON fk1 = dk1 AND fk2 = dk2 AND fk1 = d_id " +
+        "GROUP BY dk2")), "an extra-conjunct join must NOT be served")
+      // dim churn gates; refresh re-enables with the new numbers
+      dim.upsert(Seq((3L, 1L, 3L, "x", "rZ")).toDF("d_id", "dver", "dk1", "dk2", "region"))
+      assert(hasAggregate(spark.sql(qSql)), "dim-stale composite view must not serve")
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath'")
+      val q3 = spark.sql(qSql)
+      assert(!hasAggregate(q3) && scansMvState(q3))
+      assert(q3.collect().map(_.toSeq).toSet == recompute())
+      // DESCRIBE renders the full composite condition
+      val join = spark.sql(s"DESCRIBE MATERIALIZED VIEW '$mvPath'")
+        .collect().find(_.getString(0) == "join").map(_.getString(1))
+      assert(join.exists(j => j.contains("fk1 = dk1") && j.contains("fk2 = dk2")
+        && j.contains(" AND ")), join.toString)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("ck_f")
+      spark.catalog.dropTempView("ck_d")
+    }
+  }
+
   test("GROUP BY a computed subquery/CTE column never fails a query while a view is registered") {
     // judge repro (round 8): with >= 1 registered MV, `SELECT x, count(*)
     // FROM (SELECT a+1 AS x FROM t) GROUP BY x` crashed with
