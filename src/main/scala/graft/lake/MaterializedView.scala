@@ -122,7 +122,17 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     * refresh left it (the state is an ordinary versioned lake table, so
     * every refresh is a pinnable snapshot — "what did the dashboard show
     * at refresh N" is one read, never a base-table replay). */
-  def read(asOf: Option[Long] = None): DataFrame = {
+  def read(asOf: Option[Long] = None): DataFrame = readDerived(asOf, Nil)
+
+  /** [[read]] plus DERIVED average columns `out := sum/cnt` computed from
+    * a declared SUM agg's internal state — every sum stores the running
+    * sum AND the non-null input count, so `avg(x)` is servable from a
+    * view that declared only `sum(x)`. Finalizes exactly like a declared
+    * avg (NULL over all-null-input groups, double). Used by the rewrite's
+    * avg-from-sum serving path; `derivedAvgs` maps output name → the sum
+    * agg's name. */
+  private[graft] def readDerived(asOf: Option[Long],
+      derivedAvgs: Seq[(String, String)]): DataFrame = {
     val m = meta
     val cols = m.dims.map(col) ++ m.aggs.map {
       case MvAgg(n, "sum", _) => when(col(cntCol(n)) > 0, col(sumCol(n))).as(n)
@@ -133,6 +143,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         // sketch) finalizes to 0, matching COUNT(DISTINCT) over no values
         coalesce(hll_sketch_estimate(col(hllCol(n))), lit(0L)).as(n)
       case MvAgg(n, _, _) => col(n)
+    } ++ derivedAvgs.map { case (out, s) =>
+      when(col(cntCol(s)) > 0, col(sumCol(s)).cast(DoubleType) / col(cntCol(s))).as(out)
     }
     state.read(asOf).filter(col(GRP_N) > 0).select(cols: _*)
   }
@@ -163,11 +175,17 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     * aggregating the base under `f(dim)` exactly. Callers guarantee each
     * expression references only state dim columns. */
   private[graft] def readRollupExprs(roll: Seq[(String, Column)],
-      preFilters: Seq[Column] = Nil): DataFrame = {
+      preFilters: Seq[Column] = Nil,
+      derivedAvgs: Seq[(String, String)] = Nil): DataFrame = {
     val m = meta
     val stSchema = state.schema
     val st = preFilters.foldLeft(
       state.read().filter(col(GRP_N) > 0))((acc, c) => acc.filter(c))
+    val derivedCols: Seq[Column] = derivedAvgs.map { case (out, s) =>
+      // avg from a sum agg's stored partials, re-aggregated: Σsum / Σcnt
+      when(sum(col(cntCol(s))) > 0,
+        sum(col(sumCol(s))).cast(DoubleType) / sum(col(cntCol(s)))).as(out)
+    }
     val aggCols: Seq[Column] = m.aggs.map {
       case MvAgg(n, "count", _) => coalesce(sum(col(n)), lit(0L)).cast(LongType).as(n)
       case MvAgg(n, "sum", _) =>
@@ -184,8 +202,9 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         // sketches are mergeable: union the group sketches, then estimate
         coalesce(hll_sketch_estimate(hll_union_agg(col(hllCol(n)))), lit(0L)).as(n)
     }
+    val all = aggCols ++ derivedCols
     st.groupBy(roll.map { case (n, c) => c.as(n) }: _*)
-      .agg(aggCols.head, aggCols.tail: _*)
+      .agg(all.head, all.tail: _*)
   }
 
   /** Bring the view up to date with the base table's latest version (and,
@@ -485,28 +504,36 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
           // superset semantics; the MVKEY semi-join bounds the rows).
           // A branch that explodes past the cap (a huge group — pruning
           // would not help) or surfaces a null key is dropped.
-          def chaseToFact(t0: Int, col0: String,
-              vals0: Array[Any]): Seq[(String, Array[Any])] = {
-            def hop(t: Int, c: String, vals: Array[Any],
-                depth: Int): Seq[(String, Array[Any])] = {
-              if (depth > m.joins.size) return Nil
-              val probe = org.apache.spark.sql.sources.In(c, vals)
-              val dks = m.joins(t).dimKeys
-              val tuples = dimTables(t)
-                .readWhere(Seq(probe), Some(dimUpTos(t)))
-                .filter(col(c).isin(vals: _*))
-                .select(dks.map(col): _*).distinct()
-                .limit(REPAIR_KEY_CAP + 1).collect()
-              if (tuples.length > REPAIR_KEY_CAP) return Nil
-              m.joins(t).factKeys.zipWithIndex.flatMap { case (fk, j) =>
-                val next = tuples.map(_.get(j)).distinct
-                if (next.contains(null)) Nil
-                else if (homes(t) == -1) Seq((fk, next))
-                else hop(homes(t), fk, next, depth + 1)
+          // chase a RESTRICTED slice of dim t's rows down to the fact:
+          // project the slice's dim-key tuples, and for each of the arm's
+          // left keys either emit a fact filter (parent = fact) or recurse
+          // into the parent dim restricted to that key column's values.
+          def chaseRows(t: Int, restricted: DataFrame,
+              depth: Int): Seq[(String, Array[Any])] = {
+            if (depth > m.joins.size) return Nil
+            val dks = m.joins(t).dimKeys
+            val tuples = restricted.select(dks.map(col): _*).distinct()
+              .limit(REPAIR_KEY_CAP + 1).collect()
+            if (tuples.length > REPAIR_KEY_CAP) return Nil
+            m.joins(t).factKeys.zipWithIndex.flatMap { case (fk, j) =>
+              val next = tuples.map(_.get(j)).distinct
+              if (next.contains(null)) Nil
+              else if (homes(t) == -1) Seq((fk, next))
+              else {
+                val p = homes(t)
+                chaseRows(p, dimTables(p)
+                  .readWhere(Seq(org.apache.spark.sql.sources.In(fk, next)),
+                    Some(dimUpTos(p)))
+                  .filter(col(fk).isin(next: _*)), depth + 1)
               }
             }
-            hop(t0, col0, vals0, 0)
           }
+          def chaseToFact(t0: Int, col0: String,
+              vals0: Array[Any]): Seq[(String, Array[Any])] =
+            chaseRows(t0, dimTables(t0)
+              .readWhere(Seq(org.apache.spark.sql.sources.In(col0, vals0)),
+                Some(dimUpTos(t0)))
+              .filter(col(col0).isin(vals0: _*)), 0)
           def dimHome(c: String): Option[Int] =
             dimTables.indices.find(i => dimTables(i).schema.fieldNames.contains(c))
           val inFilters: Seq[org.apache.spark.sql.sources.Filter] =
@@ -516,9 +543,32 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
               if (vs.contains(null)) Nil
               else if (base.schema.fieldNames.contains(d))
                 Seq(org.apache.spark.sql.sources.In(d, vs))
-              else dimHome(d).map(t => chaseToFact(t, d, vs).map {
-                case (fc, ks) => org.apache.spark.sql.sources.In(fc, ks)
-              }).getOrElse(Nil)
+              else m.dimExprs.get(d) match {
+                case None => dimHome(d).map(t => chaseToFact(t, d, vs).map {
+                    case (fc, ks) => org.apache.spark.sql.sources.In(fc, ks)
+                  }).getOrElse(Nil)
+                case Some(text) =>
+                  // DIM-side expression dim (`day := date_trunc('DAY',
+                  // c_since)`): invert the affected buckets to dim rows by
+                  // EVALUATING the expression over the dim snapshot (the
+                  // scan itself is file-pruned via the monotonic transform
+                  // when it applies), then chase those rows' keys to the
+                  // fact exactly like a bare dim-resident column.
+                  // Fact-side expression dims are handled by exprPrune.
+                  filterRefNames(spark, text) match {
+                    case Seq(src) if dimHome(src).isDefined =>
+                      val t = dimHome(src).get
+                      val pruner = monotonicBucketPruner(
+                        spark, dimTables(t), text, vs)
+                        .getOrElse(identity[Seq[FileAction]] _)
+                      chaseRows(t, dimTables(t)
+                        .readWherePruned(Nil, pruner, Some(dimUpTos(t)))
+                        .filter(expr(text).isin(vs: _*)), 0).map {
+                        case (fc, ks) => org.apache.spark.sql.sources.In(fc, ks)
+                      }
+                    case _ => Nil
+                  }
+              }
             }
           // EXPRESSION dims over a monotonic fact-column transform prune
           // files the same way hidden partitioning does (see

@@ -399,7 +399,16 @@ case class GraftCreateMaterializedViewCommand(target: String, query: String)
   * refreshes only when some member moved, returning `was_stale` so an
   * operator pipeline can alert on views found stale. One statement thus
   * takes a stale view back to "the rewrite serves it" with a guaranteed
-  * no-op when nothing changed. */
+  * no-op when nothing changed.
+  *
+  * The check-then-act race (a member commit landing between a staleness
+  * probe and the command's return) is closed by a probe-act-RECHECK loop:
+  * a fresh verdict must be CONFIRMED by a second probe, and every refresh
+  * is followed by one, so a mid-command commit is caught by the next
+  * probe instead of silently surviving with `was_stale = false`. The
+  * loop is bounded; under a pathological commit storm the final report
+  * is conservative — `was_stale = true`, view fresh as of its last
+  * refresh. */
 case class GraftRefreshMaterializedViewCommand(target: String,
     ifStale: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -415,20 +424,38 @@ case class GraftRefreshMaterializedViewCommand(target: String,
     val mv0 = graft.lake.MaterializedView.load(spark, mvPath)
     if (ifStale) {
       val meta = mv0.meta
-      val (cf, cds) = mv0.refreshedVersions
-      val stale =
+      def staleNow(): Boolean = {
+        val (cf, cds) = mv0.refreshedVersions
         cf < LakeTable.load(spark, meta.basePath).latestVersion ||
           meta.joins.zip(cds).exists { case (j, c) =>
             c < LakeTable.load(spark, j.dimPath).latestVersion }
-      val mv = if (stale) mv0.refresh() else mv0
+      }
+      var wasStale = false
+      var rounds = 0
+      var done = false
+      while (!done && rounds < 5) {
+        rounds += 1
+        val st = staleNow()
+        if (rounds == 1) GraftRefreshMaterializedViewCommand.afterProbe()
+        if (st) { mv0.refresh(); wasStale = true }
+        else if (rounds > 1) done = true // fresh CONFIRMED by a re-probe
+        else done = !staleNow() // first fresh verdict: confirm once
+      }
       GraftMvRewrite.register(mvPath)
-      Seq(Row(mv.lastRefreshedVersion, stale))
+      Seq(Row(mv0.lastRefreshedVersion, wasStale))
     } else {
       val mv = mv0.refresh()
       GraftMvRewrite.register(mvPath)
       Seq(Row(mv.lastRefreshedVersion))
     }
   }
+}
+
+object GraftRefreshMaterializedViewCommand {
+  /** Test seam: invoked once, right after the FIRST staleness probe of an
+    * `IF STALE` run — lets a spec land a racing commit deterministically
+    * inside the probe→act window the recheck loop exists to close. */
+  @volatile private[graft] var afterProbe: () => Unit = () => ()
 }
 
 /** `DROP MATERIALIZED VIEW '<dir>'`: unregister from the rewrite and

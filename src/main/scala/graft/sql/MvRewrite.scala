@@ -639,10 +639,42 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         }
       }
     }
-    // does the query conjunct `q` IMPLY the view conjunct `v`? Interval
-    // subsumption for single-attribute </<=/>/>=/= comparisons on the
-    // same attribute with comparable literals — `x > 100` serves a view
-    // filtered `x > 50`. Conservative: any non-matching shape is false.
+    // `(attr, canonical literal renderings)` of an IN-list / equality
+    // conjunct over one attribute with all-literal values — the literal
+    // SET a membership implication compares. Post-canon, foldable
+    // operands are Literals; InSet (the optimizer's large-IN form)
+    // re-renders its raw values through typed Literals.
+    def inSetOf(e: Expression): Option[(String, Set[String])] = {
+      // the attribute may sit under a type-coercion Cast (the stored view
+      // text keeps the analyzer's cast; the query side's no-op cast is
+      // optimizer-removed) — peel it. Sound because the folded literal
+      // RENDERINGS carry the comparison type ("50L" vs "50"), so two
+      // sides coerced differently can never pass the subset check.
+      def nm(x: Expression): Option[String] = x match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          Some(u.name.toLowerCase)
+        case a: AttributeReference => Some(a.name.toLowerCase)
+        case c: Cast => nm(c.child)
+        case _ => None
+      }
+      e match {
+        case In(x, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+          nm(x).map((_, vs.map(_.sql).toSet))
+        case s: InSet =>
+          nm(s.child).map((_,
+            s.hset.map(v => Literal(v, s.child.dataType).sql).toSet))
+        case EqualTo(x, l: Literal) => nm(x).map((_, Set(l.sql)))
+        case EqualTo(l: Literal, x) => nm(x).map((_, Set(l.sql)))
+        case _ => None
+      }
+    }
+    // does the query conjunct `q` IMPLY the view conjunct `v`? Two
+    // conservative sufficient conditions on the same attribute: interval
+    // subsumption for single-attribute </<=/>/>=/= comparisons with
+    // comparable literals (`x > 100` serves a view filtered `x > 50`),
+    // and literal-set inclusion for IN/= conjuncts (`x IN (1,2)` or
+    // `x = 2` serves a view filtered `x IN (1,2,3)`). Any non-matching
+    // shape is false.
     def implies(q: Expression, v: Expression): Boolean = (for {
       (qa, qop, ql) <- cmpOf(canonExpr(q))
       (va, vop, vl) <- cmpOf(canonExpr(v))
@@ -657,7 +689,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       case ("<=", "<") | ("<=", "<=") | ("<=", "=") => c <= 0
       case ("=", "=") => c == 0
       case _ => false
-    }).getOrElse(false)
+    }).getOrElse {
+      (for {
+        (qa, qs) <- inSetOf(canonExpr(q))
+        (va, vs) <- inSetOf(canonExpr(v))
+        if qa == va
+      } yield qs.subsetOf(vs)).getOrElse(false)
+    }
     // serve the query with ONE fresh candidate, or report why not (None):
     // candidates are tried in preference order, so a view whose filter
     // doesn't match (or whose agg set is short one column) never blocks a
@@ -733,11 +771,29 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // restates), aggregates by the view's agg registry
       def viewDimOf(e: Expression): Option[String] =
         serves.collectFirst { case (g, n, _) if g.semanticEquals(e) => n }
+      // avg-from-sum: an `avg(x)` the view did not declare is still
+      // servable when the view declared `sum(x)` — every sum stores the
+      // running sum AND the non-null input count, and sum/cnt IS the avg
+      // (same finalization as a declared avg, so bit-identical). Each
+      // such query aggregate maps to a synthetic derived column the state
+      // read computes; the result-type check below still gates (a decimal
+      // avg finalizes as decimal and must bail).
+      val derivedAvgs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def avgFromSum(fn: AggregateFunction): Option[String] = fn match {
+        case Average(a: AttributeReference, _) =>
+          meta.aggs.find(x => x.kind == "sum" && x.input.equalsIgnoreCase(a.name))
+            .map { s =>
+              val out = s"_davg_${derivedAvgs.size}"
+              derivedAvgs += ((out, s.name)); out
+            }
+        case _ => None
+      }
       val mapping: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map {
         case a: AttributeReference if viewDimOf(a).isDefined =>
           (a, viewDimOf(a).get)
         case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-          (al, aggColumn(fn, meta.aggs).getOrElse(return None).name)
+          (al, aggColumn(fn, meta.aggs).map(_.name)
+            .orElse(avgFromSum(fn)).getOrElse(return None))
         case al @ Alias(child, _) if viewDimOf(child).isDefined =>
           (al, viewDimOf(child).get)
         case _ => return None
@@ -749,7 +805,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // way a Project re-aliases view columns under the ORIGINAL output
       // exprIds, so everything above the aggregate keeps resolving.
       val viewPlan =
-        if (exact) view.read().queryExecution.analyzed
+        if (exact)
+          view.readDerived(None, derivedAvgs.toSeq).queryExecution.analyzed
         else {
           val preCols = rest.map(c =>
             org.apache.spark.sql.GraftExpressionBridge.column(c.transform {
@@ -760,7 +817,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             case (_, n, None) => (n, org.apache.spark.sql.functions.col(n))
             case (_, n, Some(c)) => (n, c)
           }
-          try view.readRollupExprs(roll, preCols).queryExecution.analyzed
+          try view.readRollupExprs(roll, preCols, derivedAvgs.toSeq)
+            .queryExecution.analyzed
           catch { case scala.util.control.NonFatal(_) => return None }
         }
       def viewAttr(name: String): Option[AttributeReference] =

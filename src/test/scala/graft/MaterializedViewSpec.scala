@@ -1018,6 +1018,92 @@ class MaterializedViewSpec extends AnyFunSuite {
       s"monotonic expr-dim repair must prune the fact scan (scanned $scanned of $live files)")
   }
 
+  test("a no-op refresh at an auto-prune cadence multiple runs ZERO Spark jobs") {
+    // regression guard for the round-8 gating fix: the tombstone-count
+    // scan must fire only when the state version ADVANCED during the
+    // call — a streaming caller's no-op refresh (no base churn) that
+    // happens to land on a cadence multiple must stay metadata-only. A
+    // future refactor that re-introduces the per-call scan is invisible
+    // to correctness specs; only the job count catches it.
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"), baseRows(100))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    // drive the STATE version onto a cadence multiple (16) with real
+    // refreshes; compaction commits may land too, so loop on the version
+    var i = 0
+    while (mv.state.latestVersion % 16 != 0 || mv.state.latestVersion == 0) {
+      i += 1
+      assert(i < 40, s"state version never hit a cadence multiple")
+      t.upsert(baseRows(100).filter(col("k") % 7 === i % 7)
+        .withColumn("ver", lit(i.toLong)))
+      mv.refresh()
+    }
+    val vAt = mv.state.latestVersion
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      mv.refresh() // nothing to do: cursors already at every member head
+      var last = -1
+      while (n.get() != last) { last = n.get(); Thread.sleep(300) }
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(n.get() == 0,
+      s"a no-op refresh at state version $vAt must run zero jobs, ran ${n.get()}")
+    assert(mv.state.latestVersion == vAt, "a no-op refresh must not commit")
+  }
+
+  test("DIM-side expression-dim (time-bucket) repair chases through the join and prunes the fact scan") {
+    val fp = tmp(); val dp = tmp(); val mp = tmp()
+    // fact clustered on the join key ck with per-file ck stats; the
+    // bucket source c_since lives on the DIM — the shape that falls out
+    // of BOTH fact-side pruners (monotonicBucketPruner needs a base
+    // column, the bare-column chase needs a bare dim)
+    val fact0 = spark.range(960L).select(
+      col("id").as("k"), lit(0L).as("ver"), (col("id") % 48).as("ck"),
+      (col("id") * 7 % 100).cast("int").as("score"),
+      (col("id") * 10).cast("decimal(18,2)").as("amt"))
+      .repartitionByRange(8, col("ck"))
+    // 4 customers per day across 12 days
+    val dim0 = spark.range(48L).select(
+      col("id").as("cdk"), lit(0L).as("dver"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id/4 AS INT),0,0,0)")
+        .as("c_since"))
+    val ft = LakeTable.create(spark, fp,
+      TableSpec("k", "ver", statsColumns = Seq("ck")), fact0, bulkInsert = true)
+    LakeTable.create(spark, dp, TableSpec("cdk", "dver"), dim0)
+    val mv = MaterializedView.create(spark, mp, ft, Seq("sday"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("mx", "max", "score")),
+      Seq(MvJoin(dp, "ck", "cdk")),
+      dimExprs = Map("sday" -> "date_trunc('DAY', c_since)"))
+    def check(): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"))
+        .withColumn("sday", expr("date_trunc('DAY', c_since)"))
+        .groupBy("sday").agg(count(lit(1)).as("n"), max(col("score")).as("mx")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want,
+        "dim-side expr-dim mv != recompute")
+    }
+    check()
+    val total = ft.commits.flatMap(_.add).size
+    assert(total >= 4, s"need a clustered multi-file fact, got $total")
+    // lose the max of exactly the FIRST day's groups (cdk 0-3): the
+    // repair must invert the affected day to those dim rows, chase their
+    // keys to ck, and open only that ck slice of the fact
+    ft.delete(col("ck") < 4 && col("score") >= 50)
+    MaterializedView.lastRepairScan = None
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    val (live, scanned) = MaterializedView.lastRepairScan.getOrElse(
+      fail("an extremum loss must run the repair path"))
+    assert(scanned < live,
+      s"dim-side expr-dim repair must prune the fact scan (scanned $scanned of $live files)")
+  }
+
   test("MoR base and MoR chain dim maintain incrementally under upsert/delete churn") {
     val fp = tmp(); val cp = tmp(); val mp = tmp()
     val fact0 = spark.range(400L).select(
