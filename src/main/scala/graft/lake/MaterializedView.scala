@@ -176,7 +176,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     * expression references only state dim columns. */
   private[graft] def readRollupExprs(roll: Seq[(String, Column)],
       preFilters: Seq[Column] = Nil,
-      derivedAvgs: Seq[(String, String)] = Nil): DataFrame = {
+      derivedAvgs: Seq[(String, String)] = Nil,
+      derivedCountDistincts: Seq[(String, Seq[String])] = Nil): DataFrame = {
     val m = meta
     val stSchema = state.schema
     val st = preFilters.foldLeft(
@@ -185,6 +186,11 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       // avg from a sum agg's stored partials, re-aggregated: Σsum / Σcnt
       when(sum(col(cntCol(s))) > 0,
         sum(col(sumCol(s))).cast(DoubleType) / sum(col(cntCol(s)))).as(out)
+    } ++ derivedCountDistincts.map { case (out, cs) =>
+      // count(DISTINCT dim…) from the state's live group rows — exact,
+      // the state holds one row per dim tuple; Count's any-NULL-skips
+      // semantics match the query's by construction
+      count_distinct(col(cs.head), cs.tail.map(col): _*).as(out)
     }
     val aggCols: Seq[Column] = m.aggs.map {
       case MvAgg(n, "count", _) => coalesce(sum(col(n)), lit(0L)).cast(LongType).as(n)

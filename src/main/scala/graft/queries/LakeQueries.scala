@@ -1373,6 +1373,59 @@ object LakeQueries {
         |           AND f.o_orderstatus = dm.d_status
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // DERIVED-serving MV rewrite: the query asks for aggregates the view
+    // never declared, and the rewrite derives every one from the stored
+    // state — avg(x) from a sum's internal sum+count pair, arithmetic
+    // over aggregates (sum/count ratio, max−min spread) rebuilt over the
+    // served columns, and count(DISTINCT dim) as a distinct count of the
+    // state's live group rows — all on the ROLLUP path (the query groups
+    // on one of the view's two dims). The require pins that the served
+    // plan reads ONLY the state table; DuckDB recomputes everything from
+    // the raw rows.
+    "q162_mv_rewrite_derived" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val path = freshDir(s"mvdrv_$tag"); val mvPath = freshDir(s"mvdrv_mv_$tag")
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        MaterializedView.create(s, mvPath, tbl,
+          Seq("o_orderstatus", "o_orderpriority"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey"),
+            MvAgg("mn", "min", "o_totalprice"), MvAgg("mx", "max", "o_totalprice")))
+        tbl.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1))
+        MaterializedView.load(s, mvPath).refresh()
+        graft.sql.GraftMvRewrite.register(mvPath)
+        try {
+          val q = s.read.format("graft").load(path).groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              avg("o_custkey").as("a"),
+              (sum("o_custkey") / count(lit(1))).as("ratio"),
+              (max("o_totalprice") - min("o_totalprice")).as("spread"),
+              countDistinct("o_orderpriority").as("dp"))
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          val readsBase = rewritten.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case g: graft.sources.GraftRelation => g.path.contains(path)
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(path))
+            case _ => false
+          })
+          require(!readsBase,
+            s"derived serving must read only the MV state:\n$rewritten")
+          org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+            .orderBy("o_orderstatus")
+        } finally graft.sql.GraftMvRewrite.unregister(mvPath)
+      },
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_custkey) AS DOUBLE) / COUNT(o_custkey) AS a,
+        |       CAST(SUM(o_custkey) AS DOUBLE) / COUNT(*) AS ratio,
+        |       MAX(o_totalprice) - MIN(o_totalprice) AS spread,
+        |       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS dp
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

@@ -644,57 +644,82 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // SET a membership implication compares. Post-canon, foldable
     // operands are Literals; InSet (the optimizer's large-IN form)
     // re-renders its raw values through typed Literals.
-    def inSetOf(e: Expression): Option[(String, Set[String])] = {
-      // the attribute may sit under a type-coercion Cast (the stored view
-      // text keeps the analyzer's cast; the query side's no-op cast is
-      // optimizer-removed) — peel it. Sound because the folded literal
-      // RENDERINGS carry the comparison type ("50L" vs "50"), so two
-      // sides coerced differently can never pass the subset check.
-      def nm(x: Expression): Option[String] = x match {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          Some(u.name.toLowerCase)
-        case a: AttributeReference => Some(a.name.toLowerCase)
-        case c: Cast => nm(c.child)
-        case _ => None
-      }
-      e match {
-        case In(x, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-          nm(x).map((_, vs.map(_.sql).toSet))
-        case s: InSet =>
-          nm(s.child).map((_,
-            s.hset.map(v => Literal(v, s.child.dataType).sql).toSet))
-        case EqualTo(x, l: Literal) => nm(x).map((_, Set(l.sql)))
-        case EqualTo(l: Literal, x) => nm(x).map((_, Set(l.sql)))
-        case _ => None
-      }
+    // the attribute of a membership conjunct may sit under a
+    // type-coercion Cast (the stored view text keeps the analyzer's cast;
+    // the query side's no-op cast is optimizer-removed) — peel it. Sound
+    // for the set checks because the folded literal RENDERINGS carry the
+    // comparison type ("50L" vs "50"), so two sides coerced differently
+    // can never pass a subset check; sound for the range check because
+    // litCmp compares typed VALUES (coercion casts only widen).
+    def inNm(x: Expression): Option[String] = x match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(u.name.toLowerCase)
+      case a: AttributeReference => Some(a.name.toLowerCase)
+      case c: Cast => inNm(c.child)
+      case _ => None
     }
-    // does the query conjunct `q` IMPLY the view conjunct `v`? Two
+    // `(attr, literals)` of an IN-list / equality conjunct over one
+    // attribute with all-literal values; InSet (the optimizer's large-IN
+    // form) re-renders its raw values through typed Literals
+    def inLitsOf(e: Expression): Option[(String, Seq[Literal])] = e match {
+      case In(x, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        inNm(x).map((_, vs.map(_.asInstanceOf[Literal])))
+      case s: InSet =>
+        inNm(s.child).map((_,
+          s.hset.toSeq.map(v => Literal(v, s.child.dataType))))
+      case EqualTo(x, l: Literal) => inNm(x).map((_, Seq(l)))
+      case EqualTo(l: Literal, x) => inNm(x).map((_, Seq(l)))
+      case _ => None
+    }
+    def inSetOf(e: Expression): Option[(String, Set[String])] =
+      inLitsOf(e).map { case (a, ls) => (a, ls.map(_.sql).toSet) }
+    // does one literal satisfy a </<=/>/>=/= comparison against another?
+    def litSat(ql: Literal, vop: String, vl: Literal): Boolean =
+      litCmp(ql, vl).exists(c => vop match {
+        case ">" => c > 0
+        case ">=" => c >= 0
+        case "<" => c < 0
+        case "<=" => c <= 0
+        case "=" => c == 0
+        case _ => false
+      })
+    // does the query conjunct `q` IMPLY the view conjunct `v`? Three
     // conservative sufficient conditions on the same attribute: interval
     // subsumption for single-attribute </<=/>/>=/= comparisons with
-    // comparable literals (`x > 100` serves a view filtered `x > 50`),
-    // and literal-set inclusion for IN/= conjuncts (`x IN (1,2)` or
-    // `x = 2` serves a view filtered `x IN (1,2,3)`). Any non-matching
-    // shape is false.
-    def implies(q: Expression, v: Expression): Boolean = (for {
-      (qa, qop, ql) <- cmpOf(canonExpr(q))
-      (va, vop, vl) <- cmpOf(canonExpr(v))
-      if qa == va
-      c <- litCmp(ql, vl) // sign of (q literal − v literal)
-    } yield (vop, qop) match {
-      case (">", ">") => c >= 0
-      case (">", ">=") | (">", "=") => c > 0
-      case (">=", ">") | (">=", ">=") | (">=", "=") => c >= 0
-      case ("<", "<") => c <= 0
-      case ("<", "<=") | ("<", "=") => c < 0
-      case ("<=", "<") | ("<=", "<=") | ("<=", "=") => c <= 0
-      case ("=", "=") => c == 0
-      case _ => false
-    }).getOrElse {
-      (for {
-        (qa, qs) <- inSetOf(canonExpr(q))
-        (va, vs) <- inSetOf(canonExpr(v))
+    // comparable literals (`x > 100` serves a view filtered `x > 50`);
+    // literal-set inclusion for IN/= conjuncts (`x IN (1,2)` or `x = 2`
+    // serves a view filtered `x IN (1,2,3)`); and IN-into-range (`x IN
+    // (60, 70)` serves a view filtered `x >= 50` — every member
+    // satisfies the comparison). Any non-matching shape is false.
+    def implies(q: Expression, v: Expression): Boolean = {
+      val qc = canonExpr(q)
+      val vc = canonExpr(v)
+      val range = for {
+        (qa, qop, ql) <- cmpOf(qc)
+        (va, vop, vl) <- cmpOf(vc)
         if qa == va
-      } yield qs.subsetOf(vs)).getOrElse(false)
+        c <- litCmp(ql, vl) // sign of (q literal − v literal)
+      } yield (vop, qop) match {
+        case (">", ">") => c >= 0
+        case (">", ">=") | (">", "=") => c > 0
+        case (">=", ">") | (">=", ">=") | (">=", "=") => c >= 0
+        case ("<", "<") => c <= 0
+        case ("<", "<=") | ("<", "=") => c < 0
+        case ("<=", "<") | ("<=", "<=") | ("<=", "=") => c <= 0
+        case ("=", "=") => c == 0
+        case _ => false
+      }
+      def setSub = for {
+        (qa, qs) <- inSetOf(qc)
+        (va, vs) <- inSetOf(vc)
+        if qa == va
+      } yield qs.subsetOf(vs)
+      def inRange = for {
+        (qa, qls) <- inLitsOf(qc)
+        (va, vop, vl) <- cmpOf(vc)
+        if qa == va
+      } yield qls.forall(ql => litSat(ql, vop, vl))
+      range.orElse(setSub).orElse(inRange).getOrElse(false)
     }
     // serve the query with ONE fresh candidate, or report why not (None):
     // candidates are tried in preference order, so a view whose filter
@@ -779,6 +804,21 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // read computes; the result-type check below still gates (a decimal
       // avg finalizes as decimal and must bail).
       val derivedAvgs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      // count(DISTINCT dim…) query aggregates, served as distinct counts
+      // over the state's group rows on the rollup path: (output column,
+      // the serving dim columns to count)
+      val derivedCountDistincts =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+      // the state column serving a count-DISTINCT child: a bare view dim
+      // by name, or an expression dim by canonical-text restatement
+      def cdDimCol(e: Expression): Option[String] = e match {
+        case a: AttributeReference =>
+          infos.find(d => d.bare && d.key == a.name.toLowerCase).map(_.name)
+        case e2 if e2.deterministic &&
+            !e2.exists(_.isInstanceOf[SubqueryExpression]) =>
+          infos.find(_.key == canon(e2)).map(_.name)
+        case _ => None
+      }
       def avgFromSum(fn: AggregateFunction): Option[String] = fn match {
         case Average(a: AttributeReference, _) =>
           meta.aggs.find(x => x.kind == "sum" && x.input.equalsIgnoreCase(a.name))
@@ -788,16 +828,79 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             }
         case _ => None
       }
-      val mapping: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map {
-        case a: AttributeReference if viewDimOf(a).isDefined =>
-          (a, viewDimOf(a).get)
-        case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-          (al, aggColumn(fn, meta.aggs).map(_.name)
-            .orElse(avgFromSum(fn)).getOrElse(return None))
-        case al @ Alias(child, _) if viewDimOf(child).isDefined =>
-          (al, viewDimOf(child).get)
-        case _ => return None
+      // EXPRESSION-over-aggregates serving (`sum(x)/count(*)`,
+      // `max(x) - min(x)`, …): every aggregate CALL inside the output
+      // expression maps to a view column and every remaining attribute to
+      // a served dim; the surrounding row-local arithmetic then recomputes
+      // identically over the state read. The template carries each
+      // substitution's expected type so the result-type gate below can
+      // verify per-node (the rebuilt expression's type then equals the
+      // original's by construction). Markers are UnresolvedAttributes —
+      // safe, the analyzed child contains none of its own.
+      case class Tmpl(expr: Expression,
+          needs: Seq[(String, org.apache.spark.sql.types.DataType)])
+      def templateOf(child: Expression): Option[Tmpl] = {
+        if (!child.deterministic ||
+          child.exists(_.isInstanceOf[SubqueryExpression])) return None
+        val needs = scala.collection.mutable
+          .ArrayBuffer.empty[(String, org.apache.spark.sql.types.DataType)]
+        var ok = true
+        def mark(n: String, dt: org.apache.spark.sql.types.DataType): Expression = {
+          needs += ((n, dt))
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(n)
+        }
+        // aggregate calls first (top-down), so their INPUT attributes are
+        // never visited by the dim pass below
+        val t = child.transformDown {
+          case ae @ AggregateExpression(fn, Complete, false, None, _) =>
+            aggColumn(fn, meta.aggs).map(_.name).orElse(avgFromSum(fn)) match {
+              case Some(n) => mark(n, ae.dataType)
+              case None => ok = false; ae
+            }
+          case ae: AggregateExpression => ok = false; ae
+        }
+        if (!ok) return None
+        // then whole served-dim subtrees (a bare dim attr, or an
+        // expression-dim restatement inside larger arithmetic) — any
+        // attribute still standing afterwards is unservable
+        // `e.resolved` also skips any subtree containing a pass-1 marker
+        // (semanticEquals on unresolved nodes throws)
+        val t2 = t.transformDown {
+          case e if e.resolved && viewDimOf(e).isDefined =>
+            mark(viewDimOf(e).get, e.dataType)
+        }
+        if (ok && !t2.exists(_.isInstanceOf[AttributeReference]))
+          Some(Tmpl(t2, needs.toSeq))
+        else None
       }
+      val mapping: Seq[(NamedExpression, Either[String, Tmpl])] =
+        agg.aggregateExpressions.map {
+          case a: AttributeReference if viewDimOf(a).isDefined =>
+            (a, scala.Left(viewDimOf(a).get))
+          case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+            (al, scala.Left(aggColumn(fn, meta.aggs).map(_.name)
+              .orElse(avgFromSum(fn)).getOrElse(return None)))
+          case al @ Alias(child, _) if viewDimOf(child).isDefined =>
+            (al, scala.Left(viewDimOf(child).get))
+          // count(DISTINCT dims…): served on the ROLLUP path as a distinct
+          // count over the state's live group rows — exact, because the
+          // state holds exactly one row per dim tuple (NULL semantics
+          // match: Count skips rows with any NULL child on both sides).
+          // Each child must be a VIEW dim — grouped by the query or not —
+          // matched by name (bare) or canonical text (expression dim).
+          case al @ Alias(AggregateExpression(Count(children), Complete, true, None, _), _)
+              if !exact && children.nonEmpty &&
+                children.forall(c => cdDimCol(c).isDefined) =>
+            val cols = children.map(c => cdDimCol(c).get)
+            val out = s"_dcd_${derivedCountDistincts.size}"
+            derivedCountDistincts += ((out, cols))
+            (al, scala.Left(out))
+          // anything else aliased: rebuild as row-local arithmetic over
+          // served aggregates and dims, or bail conservatively
+          case al @ Alias(child, _) =>
+            (al, scala.Right(templateOf(child).getOrElse(return None)))
+          case _ => return None
+        }
       // build the replacement: an exact-dim view serves a plain state read
       // (dim filters re-applied on top); a COARSER query re-aggregates the
       // state table via readRollup, with the dim predicates pushed BELOW
@@ -817,7 +920,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             case (_, n, None) => (n, org.apache.spark.sql.functions.col(n))
             case (_, n, Some(c)) => (n, c)
           }
-          try view.readRollupExprs(roll, preCols, derivedAvgs.toSeq)
+          try view.readRollupExprs(roll, preCols, derivedAvgs.toSeq,
+              derivedCountDistincts.toSeq)
             .queryExecution.analyzed
           catch { case scala.util.control.NonFatal(_) => return None }
         }
@@ -825,10 +929,18 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         viewPlan.output.collectFirst {
           case a: AttributeReference if a.name.equalsIgnoreCase(name) => a
         }
-      // exact result-type match or bail (e.g. decimal avg finalized as double)
-      mapping.foreach { case (orig, viewCol) =>
-        val va = viewAttr(viewCol).getOrElse(return None)
-        if (va.dataType != orig.dataType) return None
+      // exact result-type match or bail (e.g. decimal avg finalized as
+      // double); templates gate each substituted node's type, so the
+      // rebuilt expression's type equals the original's by construction
+      mapping.foreach {
+        case (orig, scala.Left(viewCol)) =>
+          val va = viewAttr(viewCol).getOrElse(return None)
+          if (va.dataType != orig.dataType) return None
+        case (_, scala.Right(t)) =>
+          t.needs.foreach { case (n, dt) =>
+            val va = viewAttr(n).getOrElse(return None)
+            if (va.dataType != dt) return None
+          }
       }
       if (exact && rest.exists(_.references.exists(a => viewAttr(a.name).isEmpty)))
         return None
@@ -839,8 +951,15 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             case a: AttributeReference if viewAttr(a.name).isDefined => viewAttr(a.name).get
           }, acc)
         }
-      val out = mapping.map { case (orig, viewCol) =>
-        Alias(viewAttr(viewCol).get, orig.name)(exprId = orig.exprId)
+      val out = mapping.map {
+        case (orig, scala.Left(viewCol)) =>
+          Alias(viewAttr(viewCol).get, orig.name)(exprId = orig.exprId)
+        case (orig, scala.Right(t)) =>
+          val e = t.expr.transformDown {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              viewAttr(u.name).get // present: gated via t.needs above
+          }
+          Alias(e, orig.name)(exprId = orig.exprId)
       }
       Some(Project(out, refiltered))
     }

@@ -1163,6 +1163,119 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally GraftMvRewrite.clear()
   }
 
+  test("expressions over aggregates are served: sum/count ratios, extrema spreads, agg-dim arithmetic") {
+    val (base, path) = freshBase("exagg")
+    val mvPath = Files.createTempDirectory("graft_mvrw_exagg").toString + "/mv"
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mn", "min", "amt"), MvAgg("mx", "max", "amt")))
+    spark.read.format("graft").load(path).createOrReplaceTempView("exagg_v")
+    try {
+      GraftMvRewrite.register(mvPath)
+      // manual-avg ratio + extrema spread, exact-dim path
+      val q = spark.sql("SELECT grp, sum(amt)/count(1) AS ratio, " +
+        "max(amt) - min(amt) AS spread FROM exagg_v GROUP BY grp")
+      assert(!hasAggregate(q) && scansMvState(q),
+        s"aggregate arithmetic must serve:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet ==
+        base.read().groupBy("grp")
+          .agg((sum("amt") / count(lit(1))).as("ratio"),
+            (max("amt") - min("amt")).as("spread"))
+          .collect().map(_.toSeq).toSet)
+      // rollup path: the global ratio re-aggregates state partials
+      val g = spark.sql("SELECT sum(amt)/count(1) AS ratio FROM exagg_v")
+      assert(scansMvState(g) && !scansPath(g, path),
+        s"global ratio must come from state:\n${g.queryExecution.optimizedPlan}")
+      assert(g.collect().map(_.toSeq).toSet ==
+        base.read().agg((sum("amt") / count(lit(1))).as("ratio"))
+          .collect().map(_.toSeq).toSet)
+      // arithmetic mixing an aggregate with a DIM serves too (dim is
+      // constant within the group)
+      val qd = spark.sql("SELECT grp, concat(grp, '!') AS tag, " +
+        "min(amt) + 1 AS mn1 FROM exagg_v GROUP BY grp")
+      assert(!hasAggregate(qd) && scansMvState(qd),
+        s"agg+dim arithmetic must serve:\n${qd.queryExecution.optimizedPlan}")
+      assert(qd.collect().map(_.toSeq).toSet ==
+        base.read().groupBy("grp")
+          .agg(concat(col("grp"), lit("!")).as("tag"), (min("amt") + 1).as("mn1"))
+          .select("grp", "tag", "mn1").collect().map(_.toSeq).toSet)
+      // an expression over an UNDECLARED aggregate falls through, answers
+      val miss = spark.sql("SELECT grp, sum(k)/count(1) AS r FROM exagg_v GROUP BY grp")
+      assert(hasAggregate(miss), "undeclared aggregate input must not serve")
+      assert(miss.collect().nonEmpty)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("exagg_v")
+    }
+  }
+
+  test("count(DISTINCT dim) is served from the state's group rows on the rollup path") {
+    val p = Files.createTempDirectory("graft_mvrw_cd").toString
+    val rows = (1L to 3000L).map(i => (i, 1L, s"g${i % 5}", s"s${i % 13}", i % 97))
+      .toDF("k", "ver", "grp", "sub", "amt")
+    val b = LakeTable.create(spark, p, TableSpec("k", "ver"), rows)
+    val mvPath = Files.createTempDirectory("graft_mvrw_cdm").toString + "/mv"
+    MaterializedView.create(spark, mvPath, b, Seq("grp", "sub"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    spark.read.format("graft").load(p).createOrReplaceTempView("cd_v")
+    try {
+      GraftMvRewrite.register(mvPath)
+      // distinct subs per grp = distinct live state rows per grp — exact
+      val q = spark.sql("SELECT grp, count(DISTINCT sub) AS du, " +
+        "count(1) AS n FROM cd_v GROUP BY grp")
+      assert(scansMvState(q) && !scansPath(q, p),
+        s"count-distinct-dim must come from state:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet ==
+        b.read().groupBy("grp")
+          .agg(countDistinct("sub").as("du"), count(lit(1)).as("n"))
+          .collect().map(_.toSeq).toSet)
+      // the global distinct-dim count
+      val g = spark.sql("SELECT count(DISTINCT grp) AS dg FROM cd_v")
+      assert(scansMvState(g) && !scansPath(g, p))
+      assert(g.head().getLong(0) == 5L)
+      // count(DISTINCT non-dim) must fall through (state lost amt values)
+      assert(hasAggregate(spark.sql(
+        "SELECT grp, count(DISTINCT amt) AS da FROM cd_v GROUP BY grp")),
+        "count-distinct over a non-dim must not serve")
+      // churn + staleness gating applies as everywhere
+      b.upsert(Seq((90001L, 1L, "g9", "s9", 1L)).toDF("k", "ver", "grp", "sub", "amt"))
+      assert(scansPath(spark.sql(
+        "SELECT count(DISTINCT grp) AS dg FROM cd_v"), p),
+        "stale view must not serve count-distinct")
+      MaterializedView.load(spark, mvPath).refresh()
+      assert(spark.sql("SELECT count(DISTINCT grp) AS dg FROM cd_v")
+        .head().getLong(0) == 6L)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("cd_v")
+    }
+  }
+
+  test("IN-into-range implication: x IN (60,70) serves a view filtered x >= 50") {
+    val (base, path) = freshBase("inrange")
+    val mvPath = Files.createTempDirectory("graft_mvrw_inr").toString + "/mv"
+    spark.read.format("graft").load(path).createOrReplaceTempView("inrange_v")
+    spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS SELECT grp, amt, " +
+      "count(1) AS n FROM inrange_v WHERE amt >= 50 GROUP BY grp, amt")
+    try {
+      val q = spark.sql("SELECT grp, amt, count(1) AS n FROM inrange_v " +
+        "WHERE amt IN (60, 70) GROUP BY grp, amt")
+      assert(!hasAggregate(q) && scansMvState(q),
+        s"IN inside the range must serve:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.toSeq).toSet ==
+        LakeTable.load(spark, path).read()
+          .filter(col("amt").isin(60L, 70L)).groupBy("grp", "amt")
+          .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet)
+      // one member below the bound → not implied → falls through
+      assert(hasAggregate(spark.sql("SELECT grp, amt, count(1) AS n " +
+        "FROM inrange_v WHERE amt IN (40, 60) GROUP BY grp, amt")),
+        "an IN straddling the range must NOT serve")
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("inrange_v")
+    }
+  }
+
   test("composite-key join view: SQL create + serve in any conjunct/operand order; key SUBSETS never match") {
     val fp = Files.createTempDirectory("graft_mvrw_ck_f").toString
     val dp = Files.createTempDirectory("graft_mvrw_ck_d").toString
