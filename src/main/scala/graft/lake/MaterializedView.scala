@@ -334,9 +334,14 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     def dProj(i: Int) = ((m.joins(i).dimKeys ++
       m.joins.indices.filter(homes(_) == i).flatMap(m.joins(_).factKeys))
       ++ split.get._2(i)).distinct.map(col)
-    def joinDim(acc: DataFrame, i: Int, df: DataFrame): DataFrame =
+    // an arm joins with its declared type; `forceInner` is the ΔD term of
+    // an OUTER arm, whose JOINED-content change is inner-join linear (the
+    // null-extension change is the separate transition term below)
+    def joinDim(acc: DataFrame, i: Int, df: DataFrame,
+        forceInner: Boolean = false): DataFrame =
       acc.join(df, m.joins(i).keyPairs
-        .map { case (fk, dk) => col(fk) === col(dk) }.reduce(_ && _))
+          .map { case (fk, dk) => col(fk) === col(dk) }.reduce(_ && _),
+        if (m.joins(i).outer && !forceInner) "left_outer" else "inner")
     def dAt(i: Int, v: Long) = dimTables(i).read(Some(v)).select(dProj(i): _*)
     // fold order for the ΔD_i term: the chain ancestors of i first (a
     // snowflake key can only be joined once its home table is in the
@@ -381,7 +386,50 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
             terms += foldOrder(i).foldLeft(fNew) { (acc, jx) =>
               joinDim(acc, jx,
                 if (jx == i) dDelta
-                else dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx)))
+                else dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx)),
+                forceInner = jx == i)
+            }
+            if (m.joins(i).outer) {
+              // NULL-EXTENSION transition term: left-join content is the
+              // inner join PLUS null-extended rows for fact keys with NO
+              // dim match, and null-extension is not linear in D — a key
+              // whose match count crosses 0 flips its fact rows between
+              // the two forms. Exactly the window's TOUCHED key tuples
+              // can flip: keys that gained their first row retract their
+              // null-extended rows (sign −1), keys that lost their last
+              // row grow them (sign +1). Touched keys ∝ dim churn; the
+              // old/new existence probes are key-restricted dim scans.
+              val dks = m.joins(i).dimKeys.map(col)
+              val touched = plusD.select(dks: _*)
+                .unionByName(minusD.select(dks: _*)).distinct()
+              def existing(v: Long) = dAt(i, v).select(dks: _*).distinct()
+                .join(touched, m.joins(i).dimKeys, "left_semi")
+              val oldKeys = existing(dimVs(i))
+              val newKeys = existing(dimUpTos(i))
+              val gained = newKeys.exceptAll(oldKeys) // 0→1: nulls retract
+              val lost = oldKeys.exceptAll(newKeys) // 1→0: nulls appear
+              val dimSchema = dimTables(i).schema
+              def nullExt(keys: DataFrame, sign: Long): DataFrame = {
+                // fold the arm's ancestors first (a snowflake left key
+                // lives on a parent dim), restrict the flow to the
+                // flipping key tuples, fold every OTHER arm, and stand in
+                // NULLs for this dim's carried columns
+                val anc = foldOrder(i).takeWhile(_ != i)
+                val pre = anc.foldLeft(fNew)((acc, jx) => joinDim(acc, jx,
+                  dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx))))
+                val restricted = pre.join(keys, m.joins(i).keyPairs
+                  .map { case (fk, dk) => col(fk) === col(dk) }.reduce(_ && _),
+                  "left_semi")
+                val folded = foldOrder(i).filterNot(anc.contains)
+                  .filterNot(_ == i)
+                  .foldLeft(restricted)((acc, jx) => joinDim(acc, jx,
+                    dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx))))
+                split.get._2(i).foldLeft(folded)((acc, c) =>
+                  acc.withColumn(c, lit(null).cast(dimSchema(c).dataType)))
+                  .withColumn(SGN, lit(sign))
+              }
+              terms += nullExt(gained, -1L)
+              terms += nullExt(lost, 1L)
             }
           }
         }
@@ -806,6 +854,9 @@ object MaterializedView {
       require(fkHomes.distinct.size == 1,
         s"composite join keys ${j.factKeys.mkString(", ")} must all live on " +
           s"the same table (found homes ${fkHomes.distinct.mkString(", ")})")
+      require(fkHomes.head < 0 || !joins(fkHomes.head).outer,
+        s"join $i keys off LEFT-join arm ${fkHomes.head} — outer arms must " +
+          "be leaves (an inner child would drop its null-extended rows)")
       fkHomes.head
     }
   }
@@ -869,12 +920,16 @@ object MaterializedView {
     * — COMPOSITE equi-join keys model surrogate-less dims joined on a
     * multi-column natural key (e.g. `(custkey, nationkey)`). All left keys
     * of one arm must live on the SAME table (the fact, or one earlier dim
-    * for a snowflake chain). `dimVersion` is the dim version the stored
-    * state reflects — pinned at create, advanced by every refresh (an
-    * incremental-maintenance cursor, exactly like `lastVersion` for the
-    * fact side). */
+    * for a snowflake chain). `outer` makes the arm a LEFT OUTER join —
+    * fact rows without a dim match stay, null-extended (the optional-dim
+    * shape); an outer arm must be a LEAF (no later arm may key off its
+    * columns — an inner child would drop exactly the null-extended rows,
+    * and the signed algebra would no longer telescope per arm).
+    * `dimVersion` is the dim version the stored state reflects — pinned
+    * at create, advanced by every refresh (an incremental-maintenance
+    * cursor, exactly like `lastVersion` for the fact side). */
   case class MvJoin(dimPath: String, factKeys: Seq[String], dimKeys: Seq[String],
-      dimVersion: Long = 0L) {
+      dimVersion: Long = 0L, outer: Boolean = false) {
     require(factKeys.nonEmpty && factKeys.size == dimKeys.size,
       s"join on $dimPath needs 1+ key pairs with equal arity " +
         s"(got ${factKeys.size} left keys, ${dimKeys.size} dim keys)")
@@ -948,6 +1003,7 @@ object MaterializedView {
         val fks = n.putArray("factKeys"); j.factKeys.foreach(fks.add)
         val dks = n.putArray("dimKeys"); j.dimKeys.foreach(dks.add)
         n.put("dimVersion", j.dimVersion)
+        if (j.outer) n.put("outer", true)
       }
     }
     val target = metaFile(path)
@@ -981,7 +1037,8 @@ object MaterializedView {
             val dks = scala.collection.mutable.ArrayBuffer.empty[String]
             n.get("dimKeys").asInstanceOf[ArrayNode].forEach(x => dks += x.asText)
             MvJoin(n.get("dimPath").asText, fks.toSeq, dks.toSeq,
-              n.get("dimVersion").asLong)
+              n.get("dimVersion").asLong,
+              n.hasNonNull("outer") && n.get("outer").asBoolean)
           } else // pre-composite metas carry singular factKey/dimKey
             MvJoin(n.get("dimPath").asText, n.get("factKey").asText,
               n.get("dimKey").asText, n.get("dimVersion").asLong))
@@ -1049,7 +1106,8 @@ object MaterializedView {
                 joins.indices.filter(homes(_) == i).flatMap(joins(_).factKeys))
                 ++ dimColsN(i)).distinct.map(col): _*),
             joins(i).keyPairs.map { case (fk, dk) => col(fk) === col(dk) }
-              .reduce(_ && _))
+              .reduce(_ && _),
+            if (joins(i).outer) "left_outer" else "inner")
         }
         (joined, joins.zip(dvs).map { case (j, dv) => j.copy(dimVersion = dv) })
     }

@@ -1373,6 +1373,80 @@ object LakeQueries {
         |           AND f.o_orderstatus = dm.d_status
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // LEFT-OUTER-join materialized view — the optional-dim shape: fact
+    // rows without a dim match stay, null-extended into a NULL group, and
+    // null-extension is NOT linear in the dim, so the maintenance adds a
+    // transition term: exactly the churn window's touched join keys can
+    // flip between joined and null-extended form (first row gained →
+    // null rows retract; last row lost → null rows appear). The dim is
+    // customers missing a deterministic quarter; churn births keys
+    // (their orders leave the NULL group), kills keys (orders re-enter
+    // it), moves segments, and churns the fact — the DuckDB oracle
+    // replays everything over a final LEFT JOIN.
+    "q163_left_join_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        import graft.lake.MaterializedView.MvJoin
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvlj_f_$tag"); val dp = freshDir(s"mvlj_d_$tag")
+        val mp = freshDir(s"mvlj_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0))
+        def dimRows = t(s, d, "customer")
+          .select(col("c_custkey").as("dck"), col("c_mktsegment").as("d_seg"))
+          .withColumn("dver", lit(0L))
+        val dim = LakeTable.create(s, dp, TableSpec("dck", "dver"),
+          dimRows.filter(col("dck") % 4 =!= 0))
+        MaterializedView.create(s, mp, fact, Seq("d_seg"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey"),
+            MvAgg("mx", "max", "o_totalprice")),
+          Seq(MvJoin(dp, Seq("o_custkey"), Seq("dck"), 0L, outer = true)))
+        // fact churn: missing third arrives, every 7th reprices, every
+        // 11th key deleted
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .unionByName(t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))))
+        fact.delete(col("o_orderkey") % 11 === 0)
+        // dim churn: segment moves on surviving initial keys, key BIRTHS
+        // (every 8th custkey — a subset of the missing quarter), key
+        // DEATHS (every 9th)
+        dim.upsert(dimRows
+          .filter(col("dck") % 4 =!= 0 && col("dck") % 5 === 0)
+          .withColumn("d_seg", lit("MOVED")).withColumn("dver", lit(1L)))
+        dim.upsert(dimRows.filter(col("dck") % 8 === 0))
+        dim.delete(col("dck") % 9 === 0)
+        val mv = MaterializedView.load(s, mp).refresh()
+        require(mv.lastRefreshedVersion == LakeTable.load(s, fp).latestVersion &&
+          mv.dimRefreshedVersions == Seq(LakeTable.load(s, dp).latestVersion),
+          "one refresh must advance both maintenance cursors")
+        mv.read().orderBy(col("d_seg").asc_nulls_first)
+      },
+      """WITH cand AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+        |         o_orderdate + INTERVAL 1 DAY, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |fact AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+        |    FROM cand) WHERE rn = 1 AND o_orderkey % 11 <> 0),
+        |dim AS (
+        |  SELECT c_custkey AS dck,
+        |         CASE WHEN c_custkey % 4 <> 0 AND c_custkey % 5 = 0
+        |              THEN 'MOVED' ELSE c_mktsegment END AS d_seg
+        |  FROM customer
+        |  WHERE (c_custkey % 4 <> 0 OR c_custkey % 8 = 0)
+        |    AND c_custkey % 9 <> 0)
+        |SELECT dm.d_seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(f.o_custkey) AS BIGINT) AS su, MAX(f.o_totalprice) AS mx
+        |FROM fact f
+        |LEFT JOIN dim dm ON f.o_custkey = dm.dck
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
     // DERIVED-serving MV rewrite: the query asks for aggregates the view
     // never declared, and the rewrite derives every one from the stored
     // state — avg(x) from a sum's internal sum+count pair, arithmetic

@@ -503,7 +503,8 @@ case class GraftDescribeMaterializedViewCommand(target: String)
     val rows =
       Seq(Row("path", mvPath), Row("base_path", meta.basePath)) ++
       meta.joins.map(j =>
-        Row("join", s"'${j.dimPath}' ON " + j.keyPairs
+        Row("join", s"'${j.dimPath}'" + (if (j.outer) " LEFT" else "") +
+          " ON " + j.keyPairs
           .map { case (fk, dk) => s"$fk = $dk" }.mkString(" AND "))) ++
       meta.dims.map(d => meta.dimExprs.get(d) match {
         case Some(t) => Row("dim", s"$d := $t")

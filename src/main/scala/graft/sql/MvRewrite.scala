@@ -65,16 +65,18 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * survives the pre-filter, so a stale entry can only MISS a rewrite,
     * never mis-serve one. */
   private case class MvShapeKey(basePath: String, dims: Set[String],
-      joinSig: Seq[(String, Set[(String, String)])],
+      joinSig: Seq[(String, Set[(String, String)], Boolean)],
       dimInfo: Seq[DimInfo]) {
     def dimPaths: Seq[String] = joinSig.map(_._1)
   }
 
-  /** Lowercased (dimPath, {(leftKey, dimKey)}) signature of one join arm —
-    * the key-pair SET, so composite keys match in any written order. */
-  private def lcSig(j: MvJoin): (String, Set[(String, String)]) =
+  /** Lowercased (dimPath, {(leftKey, dimKey)}, outer) signature of one
+    * join arm — the key-pair SET, so composite keys match in any written
+    * order; the flag keeps inner and LEFT arms from serving each other. */
+  private def lcSig(j: MvJoin): (String, Set[(String, String)], Boolean) =
     (j.dimPath,
-      j.keyPairs.map { case (f, d) => (f.toLowerCase, d.toLowerCase) }.toSet)
+      j.keyPairs.map { case (f, d) => (f.toLowerCase, d.toLowerCase) }.toSet,
+      j.outer)
   private val shapeCache =
     new java.util.concurrent.ConcurrentHashMap[String, MvShapeKey]()
 
@@ -312,31 +314,39 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     else Some(oriented.flatten)
   }
 
-  /** A two-table inner equi-join scan under alias/projection/filter
-    * wrappers: `(leftPath, leftKeys, rightPath, rightKeys, filters)`,
-    * keys assigned to their own side (composite keys = 2+ pairs, in
-    * conjunct order). Filters are collected BOTH above the join and from
-    * either side's scan: a side-local predicate below an INNER join
-    * commutes with it (`σ_p(F) ⋈ D = σ_p(F ⋈ D)` when `p` references
-    * only F — which a pushed-down predicate does by construction), so
-    * predicate pushdown running before this rule can never hide a query
-    * conjunct from the view-filter match. */
+  /** A two-table inner / left-outer equi-join scan under alias/
+    * projection/filter wrappers: `(leftPath, leftKeys, rightPath,
+    * rightKeys, outer, filters)`, keys assigned to their own side
+    * (composite keys = 2+ pairs, in conjunct order). Filters are
+    * collected BOTH above the join and from either side's scan: a
+    * side-local predicate below an INNER join commutes with it
+    * (`σ_p(F) ⋈ D = σ_p(F ⋈ D)` when `p` references only F — which a
+    * pushed-down predicate does by construction), so predicate pushdown
+    * running before this rule can never hide a query conjunct from the
+    * view-filter match. A LEFT join's RIGHT-side filter does NOT commute
+    * (it changes the null-extension), so an outer arm with dim-side
+    * filters conservatively fails the match. */
   private[sql] def joinScan(p: LogicalPlan)
-      : Option[(String, Seq[String], String, Seq[String], Seq[Expression])] = p match {
-    case SubqueryAlias(_, c) => joinScan(c)
-    case v: View => joinScan(v.child)
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => joinScan(c)
-    case Filter(cond, c) =>
-      joinScan(c).map { case (lp, lk, rp, rk, fs) => (lp, lk, rp, rk, fs :+ cond) }
-    case j @ Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _) =>
-      for {
-        pairs <- equiPairs(cond, r)
-        if pairs.forall { case (a, _) => l.outputSet.contains(a) }
-        (lp, lf) <- baseScan(l)
-        (rp, rf) <- baseScan(r)
-      } yield (lp, pairs.map(_._1.name), rp, pairs.map(_._2.name), lf ++ rf)
-    case _ => None
-  }
+      : Option[(String, Seq[String], String, Seq[String], Boolean, Seq[Expression])] =
+    p match {
+      case SubqueryAlias(_, c) => joinScan(c)
+      case v: View => joinScan(v.child)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => joinScan(c)
+      case Filter(cond, c) =>
+        joinScan(c).map { case (lp, lk, rp, rk, o, fs) => (lp, lk, rp, rk, o, fs :+ cond) }
+      case j @ Join(l, r, jt, Some(cond), _)
+          if jt == org.apache.spark.sql.catalyst.plans.Inner ||
+            jt == org.apache.spark.sql.catalyst.plans.LeftOuter =>
+        val outer = jt == org.apache.spark.sql.catalyst.plans.LeftOuter
+        for {
+          pairs <- equiPairs(cond, r)
+          if pairs.forall { case (a, _) => l.outputSet.contains(a) }
+          (lp, lf) <- baseScan(l)
+          (rp, rf) <- baseScan(r)
+          if !(outer && rf.nonEmpty)
+        } yield (lp, pairs.map(_._1.name), rp, pairs.map(_._2.name), outer, lf ++ rf)
+      case _ => None
+    }
 
   /** A left-deep join scan of 2+ dims: the fact scan at the bottom-left,
     * each Join adding one dim scan on the right under an And-of-
@@ -354,33 +364,42 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * robust under predicate pushdown, which runs interleaved with this
     * rule. */
   private[sql] def starScan(p: LogicalPlan)
-      : Option[(String, Seq[(String, Seq[String], Seq[String])], Seq[Expression])] = {
+      : Option[(String, Seq[(String, Seq[String], Seq[String], Boolean)],
+        Seq[Expression])] = {
     def peel(p: LogicalPlan): Option[(String, AttributeSet,
-        Seq[(String, Seq[String], Seq[String])], Seq[Expression])] =
+        Seq[(String, Seq[String], Seq[String], Boolean)], Seq[Expression])] =
       p match {
         case SubqueryAlias(_, c) => peel(c)
         case v: View => peel(v.child)
         case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => peel(c)
         case Filter(cond, c) =>
           peel(c).map { case (fp, out, arms, fs) => (fp, out, arms, fs :+ cond) }
-        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _) =>
+        case Join(l, r, jt, Some(cond), _)
+            if jt == org.apache.spark.sql.catalyst.plans.Inner ||
+              jt == org.apache.spark.sql.catalyst.plans.LeftOuter =>
+          val outer = jt == org.apache.spark.sql.catalyst.plans.LeftOuter
           for {
             pairs <- equiPairs(cond, r)
             (rp, rf) <- baseScan(r)
+            // a LEFT arm's dim-side filter changes the null-extension and
+            // does not commute above the join — conservative no-match
+            if !(outer && rf.nonEmpty)
             (fp, treeOut, arms, lf) <- baseScan(l) match {
               case Some((lp, lf0)) =>
                 Some((lp, l.outputSet,
-                  Seq.empty[(String, Seq[String], Seq[String])], lf0))
+                  Seq.empty[(String, Seq[String], Seq[String], Boolean)], lf0))
               case _ => peel(l)
             }
             // every left key resolves in the joined tree
             if pairs.forall { case (la, _) => treeOut.contains(la) }
           } yield (fp, treeOut ++ r.outputSet,
-            arms :+ ((rp, pairs.map(_._1.name), pairs.map(_._2.name))), lf ++ rf)
+            arms :+ ((rp, pairs.map(_._1.name), pairs.map(_._2.name), outer)),
+            lf ++ rf)
         case _ => None
       }
     def strip(p: LogicalPlan, fs: Seq[Expression])
-        : Option[(String, Seq[(String, Seq[String], Seq[String])], Seq[Expression])] =
+        : Option[(String, Seq[(String, Seq[String], Seq[String], Boolean)],
+          Seq[Expression])] =
       p match {
         case SubqueryAlias(_, c) => strip(c, fs)
         case v: View => strip(v.child, fs)
@@ -486,30 +505,32 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val starred =
       if (plain.isDefined || joined.isDefined) None else starScan(agg.child)
     val (path, filters) = plain
-      .orElse(joined.map { case (lp, _, _, _, fs) => (lp, fs) })
+      .orElse(joined.map { case (lp, _, _, _, _, fs) => (lp, fs) })
       .orElse(starred.map { case (fp, _, fs) => (fp, fs) })
       .getOrElse(return None)
     // does this view's join set serve the scanned shape? A plain scan
     // needs a JOIN-FREE view (a join view has joined multiplicity); a
-    // join scan needs the single arm's key-pair SET in EITHER
-    // orientation; a star scan needs the same (dimPath, pairSet) arm SET
-    // over the same fact (any join order, any key order within an arm).
+    // join scan needs the single arm's key-pair SET — in EITHER
+    // orientation for inner (⋈ commutes), fact-first only for LEFT; a
+    // star scan needs the same (dimPath, pairSet, outer) arm SET over the
+    // same fact (any join order, any key order within an arm).
     def joinMatches(basePath: String,
-        sig: Seq[(String, Set[(String, String)])]): Boolean =
+        sig: Seq[(String, Set[(String, String)], Boolean)]): Boolean =
       (plain, joined, starred) match {
         case (Some(_), _, _) => sig.isEmpty && basePath == path
-        case (_, Some((lp, lks, rp, rks, _)), _) => sig match {
-          case Seq((jDim, pairs)) =>
+        case (_, Some((lp, lks, rp, rks, qOuter, _)), _) => sig match {
+          case Seq((jDim, pairs, vOuter)) =>
             val fwd = lks.zip(rks)
               .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet
-            (basePath == lp && jDim == rp && pairs == fwd) ||
-            (basePath == rp && jDim == lp && pairs == fwd.map(_.swap))
+            vOuter == qOuter &&
+            ((basePath == lp && jDim == rp && pairs == fwd) ||
+              (!qOuter && basePath == rp && jDim == lp && pairs == fwd.map(_.swap)))
           case _ => false
         }
         case (_, _, Some((fp, arms, _))) =>
           basePath == fp && sig.size == arms.size &&
             arms.map(a => (a._1, a._2.zip(a._3)
-              .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet))
+              .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet, a._4))
               .toSet == sig.toSet
         case _ => false
       }
@@ -989,11 +1010,13 @@ private[sql] object GraftMvShape {
           GraftMvRewrite.baseScan(agg.child)
             .map { case (p, fs) => (p, fs, Seq.empty[MvJoin]) }
             .orElse(GraftMvRewrite.joinScan(agg.child).map {
-              case (lp, lks, rp, rks, fs) => (lp, fs, Seq(MvJoin(rp, lks, rks, 0L)))
+              case (lp, lks, rp, rks, outer, fs) =>
+                (lp, fs, Seq(MvJoin(rp, lks, rks, 0L, outer)))
             })
             .orElse(GraftMvRewrite.starScan(agg.child).map {
               case (fp, arms, fs) => (fp, fs,
-                arms.map { case (dp, fks, dks) => MvJoin(dp, fks, dks, 0L) })
+                arms.map { case (dp, fks, dks, outer) =>
+                  MvJoin(dp, fks, dks, 0L, outer) })
             })
             .getOrElse(
           return scala.Left("FROM must resolve to a plain graft table snapshot " +

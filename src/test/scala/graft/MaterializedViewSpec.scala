@@ -1018,6 +1018,72 @@ class MaterializedViewSpec extends AnyFunSuite {
       s"monotonic expr-dim repair must prune the fact scan (scanned $scanned of $live files)")
   }
 
+  test("LEFT-join view: null-extension maintained under key birth/death, group moves, fact churn") {
+    val fp = tmp(); val dp = tmp(); val mp = tmp()
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      spark.range(600L).select(
+        col("id").as("k"), lit(0L).as("ver"), (col("id") % 30).as("ck"),
+        (col("id") * 7 % 100).cast("int").as("score"),
+        (col("id") * 10).cast("decimal(18,2)").as("amt")))
+    // a third of the join keys have NO dim row: their fact rows
+    // null-extend into the NULL group
+    def dimRows = spark.range(30L).select(
+      col("id").as("cdk"), lit(0L).as("dver"),
+      concat(lit("g"), col("id") % 4).as("grp"))
+    val dt = LakeTable.create(spark, dp, TableSpec("cdk", "dver"),
+      dimRows.filter(col("cdk") % 3 =!= 0))
+    val mv = MaterializedView.create(spark, mp, ft, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mx", "max", "score")),
+      Seq(MvJoin(dp, Seq("ck"), Seq("cdk"), 0L, outer = true)))
+    def check(tag: String): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"), "left_outer")
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("amt")).as("s"),
+          max(col("score")).as("mx")))
+      val got = rows(MaterializedView.load(spark, mp).read())
+      assert(got == want, s"left-join mv != recompute after $tag")
+    }
+    check("create")
+    assert(mv.read().filter(col("grp").isNull).count() == 1,
+      "the null-extension group must exist")
+    // key BIRTH: first dim rows appear → their null-extended fact rows
+    // must move from the NULL group into real groups
+    dt.upsert(dimRows.filter(col("cdk") % 6 === 0))
+    MaterializedView.load(spark, mp).refresh()
+    check("key birth")
+    // key DEATH: dim rows vanish → their fact rows re-enter the NULL group
+    dt.delete(col("cdk") % 5 === 0)
+    MaterializedView.load(spark, mp).refresh()
+    check("key death")
+    // plain group move (no existence flip) rides the inner-delta term
+    dt.upsert(dimRows.filter(col("cdk") % 7 === 1 && col("cdk") % 3 =!= 0
+      && col("cdk") % 5 =!= 0)
+      .withColumn("grp", lit("gM")).withColumn("dver", lit(1L)))
+    MaterializedView.load(spark, mp).refresh()
+    check("group move")
+    // fact churn incl. an extremum loss in the NULL group (repair path
+    // with a NULL dim value: pruning backs off, correctness holds)
+    ft.upsert(spark.range(80L).select((col("id") + 9000L).as("k"), lit(1L).as("ver"),
+      (col("id") % 30).as("ck"), lit(55).cast("int").as("score"),
+      lit(7).cast("decimal(18,2)").as("amt")))
+    ft.delete(col("score") >= 90)
+    MaterializedView.load(spark, mp).refresh()
+    check("fact churn + null-group extremum loss")
+    // outer arms must be leaves: a snowflake child keyed off a LEFT arm
+    // is rejected with the constraint's message
+    val np = tmp()
+    LakeTable.create(spark, np, TableSpec("ndk", "nver"),
+      Seq((0L, 0L, "n0")).toDF("ndk", "nver", "nname"))
+    val err = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, tmp(), ft, Seq("nname"),
+        Seq(MvAgg("n", "count", "*")),
+        Seq(MvJoin(dp, Seq("ck"), Seq("cdk"), 0L, outer = true),
+          MvJoin(np, Seq("grp"), Seq("nname"), 0L)))
+    }
+    assert(err.getMessage.contains("leaves"), err.getMessage)
+  }
+
   test("a no-op refresh at an auto-prune cadence multiple runs ZERO Spark jobs") {
     // regression guard for the round-8 gating fix: the tombstone-count
     // scan must fire only when the state version ADVANCED during the
