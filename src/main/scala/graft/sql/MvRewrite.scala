@@ -1020,8 +1020,9 @@ private[sql] object GraftMvShape {
             })
             .getOrElse(
           return scala.Left("FROM must resolve to a plain graft table snapshot " +
-            "or an INNER equi-join star over one (no time travel / incremental / " +
-            "change-feed options, ON a = b only, fact table first)"))
+            "or an INNER / LEFT equi-join star over one (no time travel / " +
+            "incremental / change-feed options, ON conjunctions of a = b only, " +
+            "fact table first)"))
         // a WHERE defines a FILTERED view: σ_pred(F⋈D…) GROUP BY dims —
         // maintained by filtering each signed delta term, served to
         // queries whose WHERE implies the predicate. Must be

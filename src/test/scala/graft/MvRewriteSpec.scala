@@ -1209,6 +1209,34 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("HAVING over derived aggregate arithmetic still serves") {
+    val (base, path) = freshBase("havd")
+    val mvPath = Files.createTempDirectory("graft_mvrw_havd").toString + "/mv"
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    spark.read.format("graft").load(path).createOrReplaceTempView("havd_v")
+    try {
+      GraftMvRewrite.register(mvPath)
+      // the analyzer parks the HAVING condition's arithmetic as an extra
+      // aliased output column — the template path must map it like any
+      // other derived expression, and the Filter above re-applies
+      val q = spark.sql(
+        """SELECT grp, sum(amt)/count(1) AS r FROM havd_v
+          |GROUP BY grp HAVING sum(amt)/count(1) > 49 ORDER BY r DESC, grp""".stripMargin)
+      assert(!hasAggregate(q),
+        s"derived HAVING must serve:\n${q.queryExecution.optimizedPlan}")
+      val expect = base.read().groupBy("grp")
+        .agg((sum("amt") / count(lit(1))).as("r"))
+        .filter(col("r") > 49).orderBy(col("r").desc, col("grp"))
+        .collect().map(_.toSeq).toSeq
+      val got = q.collect().map(_.toSeq).toSeq
+      assert(got == expect && got.nonEmpty)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("havd_v")
+    }
+  }
+
   test("count(DISTINCT dim) is served from the state's group rows on the rollup path") {
     val p = Files.createTempDirectory("graft_mvrw_cd").toString
     val rows = (1L to 3000L).map(i => (i, 1L, s"g${i % 5}", s"s${i % 13}", i % 97))
