@@ -415,7 +415,42 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
                 // flipping key tuples, fold every OTHER arm, and stand in
                 // NULLs for this dim's carried columns
                 val anc = foldOrder(i).takeWhile(_ != i)
-                val pre = anc.foldLeft(fNew)((acc, jx) => joinDim(acc, jx,
+                // bounded-key pushdown: when the arm keys live on the
+                // FACT, the flipping tuples (≤ cap — usually a handful of
+                // key births/deaths, often ZERO) become per-column IN
+                // file filters on the fact read, so the term opens only
+                // the flipped keys' files — and no files at all on the
+                // common no-flip refresh — instead of scanning the
+                // snapshot. The tuple semi-join below keeps exactness
+                // (the INs are per-column supersets).
+                val source =
+                  if (anc.nonEmpty) fNew
+                  else {
+                    val tuples = keys.limit(REPAIR_KEY_CAP + 1).collect()
+                    if (tuples.length > REPAIR_KEY_CAP) fNew
+                    else if (tuples.isEmpty) {
+                      // nothing flipped (the common refresh): the term is
+                      // provably empty — no fact files at all
+                      lastNullExtScan = Some((base.liveFiles(Some(upTo)).size,
+                        lastNullExtScan.map(_._2).getOrElse(0)))
+                      fNew.where(lit(false))
+                    } else {
+                      val filters = m.joins(i).factKeys.zipWithIndex.flatMap {
+                        case (fk, j) =>
+                          val vs = tuples.map(_.get(j)).distinct
+                          if (vs.contains(null)) None
+                          else Some(org.apache.spark.sql.sources.In(fk, vs))
+                      }
+                      val live = base.liveFiles(Some(upTo))
+                      // the seam keeps the WIDER of the two sides since
+                      // its last reset (gained and lost both record)
+                      lastNullExtScan = Some((live.size,
+                        math.max(base.pruneByFilters(live, filters).size,
+                          lastNullExtScan.map(_._2).getOrElse(0))))
+                      base.readWhere(filters, Some(upTo)).select(fProj: _*)
+                    }
+                  }
+                val pre = anc.foldLeft(source)((acc, jx) => joinDim(acc, jx,
                   dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx))))
                 val restricted = pre.join(keys, m.joins(i).keyPairs
                   .map { case (fk, dk) => col(fk) === col(dk) }.reduce(_ && _),
@@ -715,6 +750,12 @@ object MaterializedView {
     * files actually scanned by the LAST repair this JVM ran) — read by
     * MaterializedViewSpec to pin that clustered dims shrink the repair. */
   @volatile private[graft] var lastRepairScan: Option[(Int, Int)] = None
+
+  /** Same seam for the LEFT-join null-extension transition term: (total
+    * live fact files, files the LAST key-pushed transition read opened) —
+    * pins that key births/deaths open only the flipped keys' files, and
+    * ZERO files when nothing flipped. */
+  @volatile private[graft] var lastNullExtScan: Option[(Int, Int)] = None
 
   /** Expression-dim repair pruning: when an expression dim is a MONOTONIC
     * transform of a single fact column (`day := date_trunc('DAY', ts)` —

@@ -1084,6 +1084,53 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(err.getMessage.contains("leaves"), err.getMessage)
   }
 
+  test("LEFT-join transition term opens only the flipped keys' fact files — and zero when none flip") {
+    val fp = tmp(); val dp = tmp(); val mp = tmp()
+    val ft = LakeTable.create(spark, fp,
+      TableSpec("k", "ver", statsColumns = Seq("ck")),
+      spark.range(960L).select(
+        col("id").as("k"), lit(0L).as("ver"), (col("id") % 48).as("ck"),
+        (col("id") * 10).cast("decimal(18,2)").as("amt"))
+        .repartitionByRange(8, col("ck")), bulkInsert = true)
+    def dim0 = spark.range(48L).select(
+      col("id").as("cdk"), lit(0L).as("dver"),
+      concat(lit("g"), col("id") % 6).as("grp"))
+    val dt = LakeTable.create(spark, dp, TableSpec("cdk", "dver"),
+      dim0.filter(col("cdk") % 3 =!= 0))
+    MaterializedView.create(spark, mp, ft, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")),
+      Seq(MvJoin(dp, Seq("ck"), Seq("cdk"), 0L, outer = true)))
+    def check(): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"), "left_outer")
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("amt")).as("s")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want)
+    }
+    check()
+    val total = ft.commits.flatMap(_.add).size
+    assert(total >= 4, s"need a clustered multi-file fact, got $total")
+    // pure group-move churn: NO key flips existence → the transition
+    // term must open ZERO fact files
+    dt.upsert(dim0.filter(col("cdk") === 7L)
+      .withColumn("grp", lit("gM")).withColumn("dver", lit(1L)))
+    MaterializedView.lastNullExtScan = None
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    val (live0, scanned0) = MaterializedView.lastNullExtScan.getOrElse(
+      fail("outer-arm dim churn must run the transition term"))
+    assert(scanned0 == 0,
+      s"no-flip churn must open zero transition files (opened $scanned0 of $live0)")
+    // birth of ONE key: only its ck slice of the clustered fact opens
+    dt.upsert(dim0.filter(col("cdk") === 3L))
+    MaterializedView.lastNullExtScan = None
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    val (live1, scanned1) = MaterializedView.lastNullExtScan.getOrElse(
+      fail("a key birth must run the transition term"))
+    assert(scanned1 > 0 && scanned1 < live1,
+      s"one key's birth must open a minority of fact files (opened $scanned1 of $live1)")
+  }
+
   test("a no-op refresh at an auto-prune cadence multiple runs ZERO Spark jobs") {
     // regression guard for the round-8 gating fix: the tombstone-count
     // scan must fire only when the state version ADVANCED during the
