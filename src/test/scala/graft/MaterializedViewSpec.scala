@@ -1084,6 +1084,54 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(err.getMessage.contains("leaves"), err.getMessage)
   }
 
+  test("FILTERED LEFT-join view over a MoR dim: slice + null-extension maintained under log churn") {
+    // the round-9 features composed with the existing matrix: a filtered
+    // view over an outer arm whose dim is MoR (births/deaths land as
+    // un-compacted log files; the existence probes and the delta diff
+    // must read THROUGH the merge)
+    val fp = tmp(); val dp = tmp(); val mp = tmp()
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      spark.range(600L).select(
+        col("id").as("k"), lit(0L).as("ver"), (col("id") % 30).as("ck"),
+        (col("id") % 97).cast("int").as("score"),
+        (col("id") * 10).cast("decimal(18,2)").as("amt")))
+    def dim0 = spark.range(30L).select(
+      col("id").as("cdk"), lit(0L).as("dver"),
+      concat(lit("g"), col("id") % 4).as("grp"))
+    val dt = LakeTable.create(spark, dp, TableSpec("cdk", "dver", mor = true),
+      dim0.filter(col("cdk") % 3 =!= 0))
+    MaterializedView.create(spark, mp, ft, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mx", "max", "score")),
+      Seq(MvJoin(dp, Seq("ck"), Seq("cdk"), 0L, outer = true)),
+      filter = Some("score >= 20"))
+    def check(tag: String): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"), "left_outer")
+        .filter(col("score") >= 20)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("amt")).as("s"),
+          max(col("score")).as("mx")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want,
+        s"filtered outer MoR-dim mv != recompute after $tag")
+    }
+    check("create")
+    // key births + deaths land as MoR LOGS (no compaction before refresh)
+    dt.upsert(dim0.filter(col("cdk") % 6 === 0))
+    dt.deleteKeys(dim0.filter(col("cdk") % 5 === 0).select("cdk"))
+    assert(LakeTable.load(spark, dp).liveFiles(None).exists(_.log),
+      "the dim churn must still be un-compacted MoR logs at refresh time")
+    MaterializedView.load(spark, mp).refresh()
+    check("MoR key births + deaths")
+    // fact churn crossing the filter boundary + extremum loss
+    ft.upsert(spark.range(100L).select((col("id") + 7000L).as("k"),
+      lit(1L).as("ver"), (col("id") % 30).as("ck"),
+      (col("id") % 19).cast("int").as("score"),
+      lit(5).cast("decimal(18,2)").as("amt")))
+    ft.delete(col("score") >= 90)
+    MaterializedView.load(spark, mp).refresh()
+    check("fact churn across the filter boundary")
+  }
+
   test("LEFT-join transition term opens only the flipped keys' fact files — and zero when none flip") {
     val fp = tmp(); val dp = tmp(); val mp = tmp()
     val ft = LakeTable.create(spark, fp,
