@@ -1447,6 +1447,95 @@ object LakeQueries {
         |LEFT JOIN dim dm ON f.o_custkey = dm.dck
         |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
 
+    // The round-9 MV features COMPOSED, driven purely through the SQL
+    // lifecycle: a FILTERED view over a COMPOSITE-key LEFT join —
+    // σ_urgent(orders ⟕ dim ON (custkey, status) = (dck, dst)) GROUP BY
+    // d_seg — created via CREATE MATERIALIZED VIEW (the command's
+    // matchers must peel the outer composite condition), churned on both
+    // tables with key births/deaths on the two-column key, refreshed via
+    // REFRESH ... IF STALE. DuckDB replays the final LEFT JOIN slice
+    // incl. the NULL group.
+    "q164_filtered_outer_composite_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.MaterializedView
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvfoc_f_$tag"); val dp = freshDir(s"mvfoc_d_$tag")
+        val mp = freshDir(s"mvfoc_mv_$tag") + "/mv"
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0))
+        def dimRows = t(s, d, "customer")
+          .select(col("c_custkey").as("dck"), col("c_mktsegment").as("d_seg"))
+          .withColumn("dst", explode(array(lit("O"), lit("F"), lit("P"))))
+          .withColumn("d_id", col("dck") * 4 +
+            when(col("dst") === "O", 0).when(col("dst") === "F", 1).otherwise(2))
+          .withColumn("dver", lit(0L))
+        val dim = LakeTable.create(s, dp, TableSpec("d_id", "dver"),
+          dimRows.filter(col("dck") % 4 =!= 0))
+        s.read.format("graft").load(fp).createOrReplaceTempView("mvfoc_f")
+        s.read.format("graft").load(dp).createOrReplaceTempView("mvfoc_d")
+        graft.sql.GraftCreateMaterializedViewCommand(s"'$mp'",
+          """SELECT d_seg, count(1) AS n, sum(o_custkey) AS su,
+            |       max(o_totalprice) AS mx
+            |FROM mvfoc_f LEFT JOIN mvfoc_d
+            |  ON o_custkey = dck AND o_orderstatus = dst
+            |WHERE o_orderpriority = '1-URGENT'
+            |GROUP BY d_seg""".stripMargin).run(s)
+        try {
+          // fact churn: arrivals, priority flips across the filter, deletes
+          fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+            .unionByName(t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+              .withColumn("o_orderpriority",
+                when(col("o_orderpriority") === "1-URGENT", "3-MEDIUM")
+                  .otherwise("1-URGENT"))
+              .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))))
+          fact.delete(col("o_orderkey") % 11 === 0)
+          // dim churn on the composite key: births (every 8th custkey's
+          // three rows), deaths (every 9th's 'F' row only — a PARTIAL
+          // death that must NOT null-extend the other statuses), moves
+          dim.upsert(dimRows.filter(col("dck") % 8 === 0))
+          dim.delete(col("dck") % 9 === 0 && col("dst") === "F")
+          dim.upsert(dimRows
+            .filter(col("dck") % 4 =!= 0 && col("dck") % 5 === 0 && col("dst") === "O")
+            .withColumn("d_seg", lit("MOVED")).withColumn("dver", lit(1L)))
+          val r = graft.sql.GraftRefreshMaterializedViewCommand(s"'$mp'",
+            ifStale = true).run(s).head
+          require(r.getBoolean(1), "the churned view must report was_stale")
+          val mv = MaterializedView.load(s, mp)
+          require(mv.lastRefreshedVersion == LakeTable.load(s, fp).latestVersion &&
+            mv.dimRefreshedVersions == Seq(LakeTable.load(s, dp).latestVersion),
+            "IF STALE must advance both maintenance cursors")
+          mv.read().orderBy(col("d_seg").asc_nulls_first)
+        } finally graft.sql.GraftMvRewrite.unregister(mp)
+      },
+      """WITH cand AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate + INTERVAL 1 DAY,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN '3-MEDIUM'
+        |              ELSE '1-URGENT' END
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |fact AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+        |    FROM cand) WHERE rn = 1 AND o_orderkey % 11 <> 0),
+        |dim AS (
+        |  SELECT c.c_custkey AS dck, st.s AS dst,
+        |         CASE WHEN c.c_custkey % 4 <> 0 AND c.c_custkey % 5 = 0
+        |                   AND st.s = 'O'
+        |              THEN 'MOVED' ELSE c.c_mktsegment END AS d_seg
+        |  FROM customer c, (VALUES ('O'), ('F'), ('P')) st(s)
+        |  WHERE (c.c_custkey % 4 <> 0 OR c.c_custkey % 8 = 0)
+        |    AND NOT (c.c_custkey % 9 = 0 AND st.s = 'F'))
+        |SELECT dm.d_seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(f.o_custkey) AS BIGINT) AS su, MAX(f.o_totalprice) AS mx
+        |FROM fact f
+        |LEFT JOIN dim dm ON f.o_custkey = dm.dck AND f.o_orderstatus = dm.dst
+        |WHERE f.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
     // DERIVED-serving MV rewrite: the query asks for aggregates the view
     // never declared, and the rewrite derives every one from the stored
     // state — avg(x) from a sum's internal sum+count pair, arithmetic
