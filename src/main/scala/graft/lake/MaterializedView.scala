@@ -9,7 +9,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** One aggregate of a materialized view: `kind` ∈ count | sum | avg | min |
-  * max | hll over `input` (a base-table column; `"*"` only for count).
+  * max | hll over `input` — a base/dim-table column, `"*"` (count only),
+  * or a deterministic ROW-LOCAL SQL expression over the joined row
+  * (`l_extendedprice * (1 - l_discount)`, the TPC-H revenue shape): a
+  * row-local input commutes with the signed delta exactly like a filter
+  * or an expression dim, so the aggregate maintains incrementally
+  * unchanged — each maintenance projection carries the expression's
+  * REFERENCES and evaluates it per contribution row.
   * `name` is the output column. `hll` is an incrementally-maintained
   * APPROXIMATE COUNT(DISTINCT input): the state stores a mergeable
   * Datasketches HLL sketch per group (additions union in; removals ride
@@ -308,7 +314,11 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     val stSchema = st.schema
     def stType(c: String): DataType = stSchema(c).dataType
 
-    val inputs = m.aggs.map(_.input).filter(_ != "*").distinct
+    // an EXPRESSION agg input rides as its references, like the filter
+    val inputs = m.aggs.flatMap(a =>
+      if (a.input == "*") Nil
+      else if (isBareInput(a.input)) Seq(a.input)
+      else filterRefNames(spark, a.input)).distinct
     // a filtered view's predicate references must ride every projection so
     // the filter can apply to the (joined) delta rows; an expression dim
     // rides as its REFERENCES (the expression itself is computed per
@@ -354,6 +364,36 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       while (h >= 0) { anc += h; h = homes(h) }
       val first = anc.sorted.toSeq :+ i
       first ++ m.joins.indices.filterNot(first.contains)
+    }
+    // chase a RESTRICTED slice of dim t's rows down to the fact: project
+    // the slice's dim-key tuples, and for each of the arm's left keys
+    // either emit a fact filter (parent = fact) or recurse into the parent
+    // dim restricted to that key column's values. Every emitted
+    // `(factColumn, values)` is a per-column SUPERSET of the affected
+    // rows' keys — sound for file pruning; the caller's exact semi-join
+    // bounds the ROWS. A branch that explodes past the cap (a huge slice —
+    // pruning would not pay) or surfaces a null key is dropped (Nil).
+    // Shared by the min/max/hll repair AND the LEFT-outer transition term
+    // (both need dim-resident values walked to fact-homed join keys).
+    def chaseRows(t: Int, restricted: DataFrame,
+        depth: Int): Seq[(String, Array[Any])] = {
+      if (depth > m.joins.size) return Nil
+      val dks = m.joins(t).dimKeys
+      val tuples = restricted.select(dks.map(col): _*).distinct()
+        .limit(REPAIR_KEY_CAP + 1).collect()
+      if (tuples.length > REPAIR_KEY_CAP) return Nil
+      m.joins(t).factKeys.zipWithIndex.flatMap { case (fk, j) =>
+        val next = tuples.map(_.get(j)).distinct
+        if (next.contains(null)) Nil
+        else if (homes(t) == -1) Seq((fk, next))
+        else {
+          val p = homes(t)
+          chaseRows(p, dimTables(p)
+            .readWhere(Seq(org.apache.spark.sql.sources.In(fk, next)),
+              Some(dimUpTos(p)))
+            .filter(col(fk).isin(next: _*)), depth + 1)
+        }
+      }
     }
     val contrib: DataFrame =
       if (m.joins.isEmpty) {
@@ -402,8 +442,31 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
               val dks = m.joins(i).dimKeys.map(col)
               val touched = plusD.select(dks: _*)
                 .unionByName(minusD.select(dks: _*)).distinct()
-              def existing(v: Long) = dAt(i, v).select(dks: _*).distinct()
-                .join(touched, m.joins(i).dimKeys, "left_semi")
+              // the existence probes need the dim AT both versions
+              // restricted to the touched keys — the touched tuples are
+              // churn-bounded, so collect them (capped) and push them as
+              // per-column IN file filters through readWhere: each probe
+              // opens only the touched keys' dim files instead of the full
+              // snapshot (the semi-join keeps tuple exactness — the INs
+              // are per-column supersets). Over the cap the probes fall
+              // back to full key-restricted scans, as everywhere.
+              val touchedTuples = touched.limit(REPAIR_KEY_CAP + 1).collect()
+              val touchedFilters: Seq[org.apache.spark.sql.sources.Filter] =
+                if (touchedTuples.length > REPAIR_KEY_CAP) Nil
+                else m.joins(i).dimKeys.zipWithIndex.flatMap { case (dk, j) =>
+                  val vs = touchedTuples.map(_.get(j)).distinct
+                  if (vs.contains(null)) None
+                  else Some(org.apache.spark.sql.sources.In(dk, vs))
+                }
+              def existing(v: Long) = {
+                val liveD = dimTables(i).liveFiles(Some(v))
+                lastNullExtDimScan = Some((liveD.size,
+                  math.max(dimTables(i).pruneByFilters(liveD, touchedFilters).size,
+                    lastNullExtDimScan.map(_._2).getOrElse(0))))
+                dimTables(i).readWhere(touchedFilters, Some(v))
+                  .select(dks: _*).distinct()
+                  .join(touched, m.joins(i).dimKeys, "left_semi")
+              }
               val oldKeys = existing(dimVs(i))
               val newKeys = existing(dimUpTos(i))
               val gained = newKeys.exceptAll(oldKeys) // 0→1: nulls retract
@@ -415,39 +478,63 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
                 // flipping key tuples, fold every OTHER arm, and stand in
                 // NULLs for this dim's carried columns
                 val anc = foldOrder(i).takeWhile(_ != i)
-                // bounded-key pushdown: when the arm keys live on the
-                // FACT, the flipping tuples (≤ cap — usually a handful of
-                // key births/deaths, often ZERO) become per-column IN
-                // file filters on the fact read, so the term opens only
-                // the flipped keys' files — and no files at all on the
-                // common no-flip refresh — instead of scanning the
-                // snapshot. The tuple semi-join below keeps exactness
-                // (the INs are per-column supersets).
+                // bounded-key pushdown: the flipping tuples (≤ cap —
+                // usually a handful of key births/deaths, often ZERO)
+                // become per-column IN file filters on the fact read, so
+                // the term opens only the flipped keys' files — and no
+                // files at all on the common no-flip refresh — instead of
+                // scanning the snapshot. Arm keys homed on the FACT push
+                // directly; keys homed on a PARENT dim (snowflake-
+                // ancestored outer arm — an optional chain-tail dim) first
+                // restrict the parent to the flipped values and chase its
+                // rows UP the chain to fact-homed keys via [[chaseRows]] —
+                // each hop a bounded probe, so the derived fact INs stay
+                // churn-bounded. The tuple semi-join below keeps exactness
+                // (the INs are per-column supersets). Over a cap (or a
+                // null-key chained hop) the term falls back to the full
+                // snapshot, as everywhere.
+                def record(liveN: Int, openedN: Int): Unit =
+                  // the seam keeps the WIDER of the sides since its last
+                  // reset (gained and lost both record)
+                  lastNullExtScan = Some((liveN,
+                    math.max(openedN, lastNullExtScan.map(_._2).getOrElse(0))))
+                val tuples = keys.limit(REPAIR_KEY_CAP + 1).collect()
                 val source =
-                  if (anc.nonEmpty) fNew
-                  else {
-                    val tuples = keys.limit(REPAIR_KEY_CAP + 1).collect()
-                    if (tuples.length > REPAIR_KEY_CAP) fNew
-                    else if (tuples.isEmpty) {
-                      // nothing flipped (the common refresh): the term is
-                      // provably empty — no fact files at all
-                      lastNullExtScan = Some((base.liveFiles(Some(upTo)).size,
-                        lastNullExtScan.map(_._2).getOrElse(0)))
-                      fNew.where(lit(false))
-                    } else {
-                      val filters = m.joins(i).factKeys.zipWithIndex.flatMap {
-                        case (fk, j) =>
-                          val vs = tuples.map(_.get(j)).distinct
-                          if (vs.contains(null)) None
-                          else Some(org.apache.spark.sql.sources.In(fk, vs))
+                  if (tuples.length > REPAIR_KEY_CAP) fNew
+                  else if (tuples.isEmpty) {
+                    // nothing flipped (the common refresh): the term is
+                    // provably empty — no fact files at all
+                    record(base.liveFiles(Some(upTo)).size, 0)
+                    fNew.where(lit(false))
+                  } else {
+                    // per-column value projections of the flipped tuples
+                    // (a null key value drops that column's filter)
+                    val perCol = m.joins(i).factKeys.zipWithIndex.flatMap {
+                      case (fk, j) =>
+                        val vs = tuples.map(_.get(j)).distinct
+                        if (vs.contains(null)) None else Some((fk, vs))
+                    }
+                    val factFilters: Seq[org.apache.spark.sql.sources.Filter] =
+                      if (anc.isEmpty)
+                        perCol.map { case (fk, vs) =>
+                          org.apache.spark.sql.sources.In(fk, vs) }
+                      else {
+                        val p = homes(i)
+                        val restricted = perCol.foldLeft(
+                          dimTables(p).readWhere(perCol.map { case (fk, vs) =>
+                            org.apache.spark.sql.sources.In(fk, vs) },
+                            Some(dimUpTos(p)))) {
+                          case (df, (fk, vs)) => df.filter(col(fk).isin(vs: _*))
+                        }
+                        chaseRows(p, restricted, 0).map {
+                          case (fc, ks) => org.apache.spark.sql.sources.In(fc, ks)
+                        }
                       }
+                    if (anc.nonEmpty && factFilters.isEmpty) fNew // chase capped out
+                    else {
                       val live = base.liveFiles(Some(upTo))
-                      // the seam keeps the WIDER of the two sides since
-                      // its last reset (gained and lost both record)
-                      lastNullExtScan = Some((live.size,
-                        math.max(base.pruneByFilters(live, filters).size,
-                          lastNullExtScan.map(_._2).getOrElse(0))))
-                      base.readWhere(filters, Some(upTo)).select(fProj: _*)
+                      record(live.size, base.pruneByFilters(live, factFilters).size)
+                      base.readWhere(factFilters, Some(upTo)).select(fProj: _*)
                     }
                   }
                 val pre = anc.foldLeft(source)((acc, jx) => joinDim(acc, jx,
@@ -478,26 +565,29 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       df.withColumn(n, expr(t)) }
     val contribF = m.filter.map(f => contribX.filter(expr(f))).getOrElse(contribX)
 
-    // one signed hash-aggregate computes every per-group delta at once
+    // one signed hash-aggregate computes every per-group delta at once.
+    // `expr(in)` resolves a bare column name to the same attribute
+    // `col(in)` would, and evaluates an expression input per
+    // contribution row (its references ride every projection above)
     val sgn = col(SGN)
     val deltaAggs: Seq[Column] =
       Seq(sum(sgn).as(DN), max(when(sgn === -1, 1).otherwise(0)).as(HASM)) ++
         m.aggs.flatMap {
           case MvAgg(n, "count", in) =>
-            val c = if (in == "*") sum(sgn) else sum(when(col(in).isNotNull, sgn).otherwise(0L))
+            val c = if (in == "*") sum(sgn) else sum(when(expr(in).isNotNull, sgn).otherwise(0L))
             Seq(c.as(dCol(n)))
           case MvAgg(n, "sum", in) => Seq(
-            sum(when(sgn === 1, col(in)).otherwise(-col(in))).as(dCol(sumCol(n))),
-            sum(when(col(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
+            sum(when(sgn === 1, expr(in)).otherwise(-expr(in))).as(dCol(sumCol(n))),
+            sum(when(expr(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
           case MvAgg(n, "avg", in) => Seq(
-            sum(when(sgn === 1, col(in)).otherwise(-col(in))).as(dCol(sumCol(n))),
-            sum(when(col(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
-          case MvAgg(n, "min", in) => Seq(min(when(sgn === 1, col(in))).as(pCol(n)))
-          case MvAgg(n, "max", in) => Seq(max(when(sgn === 1, col(in))).as(pCol(n)))
+            sum(when(sgn === 1, expr(in)).otherwise(-expr(in))).as(dCol(sumCol(n))),
+            sum(when(expr(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
+          case MvAgg(n, "min", in) => Seq(min(when(sgn === 1, expr(in))).as(pCol(n)))
+          case MvAgg(n, "max", in) => Seq(max(when(sgn === 1, expr(in))).as(pCol(n)))
           case MvAgg(n, "hll", in) =>
             // sketch of the window's ADDED values only — removals route the
             // group through the recompute path below (sketches can't retract)
-            Seq(hll_sketch_agg(when(sgn === 1, col(in))).as(pCol(n)))
+            Seq(hll_sketch_agg(when(sgn === 1, expr(in))).as(pCol(n)))
         }
     val delta = contribF.groupBy(dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
@@ -579,9 +669,9 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         else {
           val reKeys = newRows.filter(col(GRP_N) > 0 && col(HASM) > 0).select(MVKEY)
           val reAggs = nonLin.map {
-            case MvAgg(n, "min", in) => min(col(in)).as(reCol(n))
-            case MvAgg(n, "hll", in) => hll_sketch_agg(col(in)).as(reCol(n))
-            case MvAgg(n, _, in) => max(col(in)).as(reCol(n))
+            case MvAgg(n, "min", in) => min(expr(in)).as(reCol(n))
+            case MvAgg(n, "hll", in) => hll_sketch_agg(expr(in)).as(reCol(n))
+            case MvAgg(n, _, in) => max(expr(in)).as(reCol(n))
           }
           // walk one dim-resident column's affected values down to the
           // fact: restrict dim t on (colName IN values), project the
@@ -592,31 +682,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
           // so conjoining them for file pruning is sound (documented
           // superset semantics; the MVKEY semi-join bounds the rows).
           // A branch that explodes past the cap (a huge group — pruning
-          // would not help) or surfaces a null key is dropped.
-          // chase a RESTRICTED slice of dim t's rows down to the fact:
-          // project the slice's dim-key tuples, and for each of the arm's
-          // left keys either emit a fact filter (parent = fact) or recurse
-          // into the parent dim restricted to that key column's values.
-          def chaseRows(t: Int, restricted: DataFrame,
-              depth: Int): Seq[(String, Array[Any])] = {
-            if (depth > m.joins.size) return Nil
-            val dks = m.joins(t).dimKeys
-            val tuples = restricted.select(dks.map(col): _*).distinct()
-              .limit(REPAIR_KEY_CAP + 1).collect()
-            if (tuples.length > REPAIR_KEY_CAP) return Nil
-            m.joins(t).factKeys.zipWithIndex.flatMap { case (fk, j) =>
-              val next = tuples.map(_.get(j)).distinct
-              if (next.contains(null)) Nil
-              else if (homes(t) == -1) Seq((fk, next))
-              else {
-                val p = homes(t)
-                chaseRows(p, dimTables(p)
-                  .readWhere(Seq(org.apache.spark.sql.sources.In(fk, next)),
-                    Some(dimUpTos(p)))
-                  .filter(col(fk).isin(next: _*)), depth + 1)
-              }
-            }
-          }
+          // would not help) or surfaces a null key is dropped (see
+          // [[chaseRows]] above, shared with the transition term).
           def chaseToFact(t0: Int, col0: String,
               vals0: Array[Any]): Seq[(String, Array[Any])] =
             chaseRows(t0, dimTables(t0)
@@ -757,6 +824,13 @@ object MaterializedView {
     * ZERO files when nothing flipped. */
   @volatile private[graft] var lastNullExtScan: Option[(Int, Int)] = None
 
+  /** Seam for the null-extension EXISTENCE PROBES (the outer dim read at
+    * its old and new versions): (total live dim files, files the widest
+    * touched-key-pushed probe opened since the last reset) — pins that a
+    * churned outer arm's probes open only the touched keys' dim files,
+    * never the full dim snapshot. */
+  @volatile private[graft] var lastNullExtDimScan: Option[(Int, Int)] = None
+
   /** Expression-dim repair pruning: when an expression dim is a MONOTONIC
     * transform of a single fact column (`day := date_trunc('DAY', ts)` —
     * [[GeneratedCols.monotonicSource]], the same gate hidden partitioning
@@ -850,6 +924,13 @@ object MaterializedView {
   private val AUTO_PRUNE_EVERY = 16L
   private val AUTO_PRUNE_MIN_DEAD = 64L
 
+  /** Is an agg input a BARE column reference (or `*`), as opposed to a
+    * row-local SQL expression? Plain identifiers are columns; anything
+    * with operators/calls/quoting is an expression, validated at create
+    * and stored in its analyzed rendering (the `dimExprs` treatment). */
+  private[lake] def isBareInput(in: String): Boolean =
+    in == "*" || in.matches("[A-Za-z_][A-Za-z0-9_]*")
+
   /** Unresolved attribute names a view-filter predicate references —
     * these must ride every maintenance projection. */
   private[lake] def filterRefNames(spark: SparkSession, f: String): Seq[String] =
@@ -942,14 +1023,14 @@ object MaterializedView {
       version: Long): DataFrame = {
     val exprs: Seq[Column] = count(lit(1)).as(GRP_N) +: aggs.flatMap {
       case MvAgg(n, "count", in) =>
-        Seq((if (in == "*") count(lit(1)) else count(col(in))).as(n))
+        Seq((if (in == "*") count(lit(1)) else count(expr(in))).as(n))
       case MvAgg(n, "sum", in) =>
-        Seq(coalesce(sum(col(in)), lit(0)).as(sumCol(n)), count(col(in)).as(cntCol(n)))
+        Seq(coalesce(sum(expr(in)), lit(0)).as(sumCol(n)), count(expr(in)).as(cntCol(n)))
       case MvAgg(n, "avg", in) =>
-        Seq(coalesce(sum(col(in)), lit(0)).as(sumCol(n)), count(col(in)).as(cntCol(n)))
-      case MvAgg(n, "min", in) => Seq(min(col(in)).as(n))
-      case MvAgg(n, "max", in) => Seq(max(col(in)).as(n))
-      case MvAgg(n, "hll", in) => Seq(hll_sketch_agg(col(in)).as(hllCol(n)))
+        Seq(coalesce(sum(expr(in)), lit(0)).as(sumCol(n)), count(expr(in)).as(cntCol(n)))
+      case MvAgg(n, "min", in) => Seq(min(expr(in)).as(n))
+      case MvAgg(n, "max", in) => Seq(max(expr(in)).as(n))
+      case MvAgg(n, "hll", in) => Seq(hll_sketch_agg(expr(in)).as(hllCol(n)))
     }
     base.groupBy(dims.map(col): _*).agg(exprs.head, exprs.tail: _*)
       .withColumn(MVKEY, mvKeyCol(dims))
@@ -1126,7 +1207,10 @@ object MaterializedView {
     val exprRefs = dimExprs.values.toSeq.flatMap(t => filterRefNames(spark, t))
     val bareDims = dims.filterNot(dimExprs.contains)
     val need = (bareDims ++ exprRefs ++
-      aggs.map(_.input).filter(_ != "*") ++ filterRefs).distinct
+      aggs.flatMap(a =>
+        if (a.input == "*") Nil
+        else if (isBareInput(a.input)) Seq(a.input)
+        else filterRefNames(spark, a.input)) ++ filterRefs).distinct
     val (snapJoined, pinned) =
       if (joins.isEmpty) (base.read(Some(v)), Seq.empty[MvJoin])
       else {
@@ -1168,42 +1252,58 @@ object MaterializedView {
           a.withQualifier(Seq.empty)
       }.sql
     }
-    // validate each expression dim against the joined row and pin its
-    // ANALYZED rendering (same treatment as the filter): deterministic,
-    // subquery-free, aggregate-free — row-local, so it commutes with the
-    // signed delta
-    val storedDimExprs: Map[String, String] = dimExprs.map { case (n, t) =>
-      val e = snapJoined.select(expr(t).as(n)).queryExecution.analyzed.collectFirst {
+    // validate a row-local expression (an expression dim or an expression
+    // agg input) against the joined row and pin its ANALYZED rendering
+    // (same treatment as the filter): deterministic, subquery-free,
+    // aggregate-free — row-local, so it commutes with the signed delta
+    def analyzedRowLocal(what: String, t: String): String = {
+      // match the analyzed ROOT only: a row-local select analyzes to a
+      // Project; an aggregate input analyzes to an Aggregate root (which
+      // a descend-into-children collect would mistake for one of the
+      // join's own projections below it)
+      val e = snapJoined.select(expr(t).as("_x")).queryExecution.analyzed match {
         case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
           p.projectList.head match {
             case al: org.apache.spark.sql.catalyst.expressions.Alias => al.child
             case other => other
           }
-      }.getOrElse(throw new IllegalArgumentException(
-        s"cannot analyze expression dim $n: $t"))
-      require(e.deterministic, s"expression dim $n must be deterministic: $t")
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          throw new IllegalArgumentException(
+            s"$what must be row-local (no aggregates): $t")
+        case _ => throw new IllegalArgumentException(
+          s"cannot analyze $what: $t")
+      }
+      require(e.deterministic, s"$what must be deterministic: $t")
       require(!e.exists(_.isInstanceOf[
           org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
-        s"expression dim $n must not contain a subquery: $t")
+        s"$what must not contain a subquery: $t")
       require(!e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
           .expressions.aggregate.AggregateExpression]),
-        s"expression dim $n must be row-local (no aggregates): $t")
-      n -> e.transform {
+        s"$what must be row-local (no aggregates): $t")
+      e.transform {
         case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
           a.withQualifier(Seq.empty)
       }.sql
     }
+    val storedDimExprs: Map[String, String] = dimExprs.map { case (n, t) =>
+      n -> analyzedRowLocal(s"expression dim $n", t)
+    }
+    // EXPRESSION agg inputs get the same pinning (bare columns unchanged)
+    val storedAggs: Seq[MvAgg] = aggs.map { a =>
+      if (isBareInput(a.input)) a
+      else a.copy(input = analyzedRowLocal(s"aggregate input of ${a.name}", a.input))
+    }
     val snap = storedFilter.map(f => snapJoined.filter(expr(f))).getOrElse(snapJoined)
     val snapE = storedDimExprs.foldLeft(snap) { case (df, (n, t)) =>
       df.withColumn(n, expr(t)) }
-    val st = fullState(snapE, dims, aggs, v)
+    val st = fullState(snapE, dims, storedAggs, v)
     // every refresh lands ~1 small state file; post-commit auto-compaction
     // folds them so a CONTINUOUSLY maintained view (streaming ingestion,
     // thousands of refreshes) keeps a bounded file count. The cursor
     // survives compaction — txn watermarks are cumulative across commits.
     LakeTable.create(spark, new Path(path, "state").toString,
       TableSpec(MVKEY, MVVER, autoCompactFiles = 16), st)
-    writeMeta(path, MvMeta(base.path, dims, aggs, v, pinned, storedFilter,
+    writeMeta(path, MvMeta(base.path, dims, storedAggs, v, pinned, storedFilter,
       storedDimExprs), conf)
     new MaterializedView(spark, path)
   }

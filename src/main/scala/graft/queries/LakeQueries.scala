@@ -1536,6 +1536,92 @@ object LakeQueries {
         |WHERE f.o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
 
+    // SNOWFLAKE-ANCESTORED LEFT-outer MV — the optional chain-tail dim:
+    // orders ⋈ customer (inner) LEFT nation, the nation key homed on the
+    // CUSTOMER dim. The transition term must chase flipped nation keys
+    // through the customer chain to fact keys (round-10 pruning path);
+    // churn covers nation births/deaths/renames, customer nation-moves +
+    // deletes, and fact arrivals/reprices/deletes — all absorbed by one
+    // refresh. DuckDB replays the final three-table chain incl. the NULL
+    // group.
+    "q165_chained_outer_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        import graft.lake.MaterializedView.MvJoin
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvco_f_$tag"); val cp = freshDir(s"mvco_c_$tag")
+        val np = freshDir(s"mvco_n_$tag"); val mp = freshDir(s"mvco_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0))
+        def custRows = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey")).withColumn("cver", lit(0L))
+        val cust = LakeTable.create(s, cp, TableSpec("c_custkey", "cver"), custRows)
+        def natRows = t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name")).withColumn("nver", lit(0L))
+        // every 4th nation missing: its customers' orders null-extend
+        val nat = LakeTable.create(s, np, TableSpec("n_nationkey", "nver"),
+          natRows.filter(col("n_nationkey") % 4 =!= 0))
+        MaterializedView.create(s, mp, fact, Seq("n_name"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey"),
+            MvAgg("mx", "max", "o_totalprice")),
+          Seq(MvJoin(cp, Seq("o_custkey"), Seq("c_custkey"), 0L),
+            MvJoin(np, Seq("c_nationkey"), Seq("n_nationkey"), 0L, outer = true)))
+        // fact churn: missing third arrives, every 7th reprices, every
+        // 11th key deleted
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .unionByName(t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))))
+        fact.delete(col("o_orderkey") % 11 === 0)
+        // parent-dim churn: every 5th customer moves nation (chain change
+        // without a flip), every 13th deleted
+        cust.upsert(custRows.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_nationkey", (col("c_nationkey") + 1) % 25)
+          .withColumn("cver", lit(1L)))
+        cust.delete(col("c_custkey") % 13 === 0)
+        // chain-tail churn: key BIRTHS (every 8th — a subset of the
+        // missing quarter), a DEATH, a no-flip rename
+        nat.upsert(natRows.filter(col("n_nationkey") % 8 === 0))
+        nat.delete(col("n_nationkey") === 9)
+        nat.upsert(natRows.filter(col("n_nationkey") === 10)
+          .withColumn("n_name", lit("RENAMED")).withColumn("nver", lit(1L)))
+        val mv = MaterializedView.load(s, mp).refresh()
+        require(mv.lastRefreshedVersion == LakeTable.load(s, fp).latestVersion &&
+          mv.dimRefreshedVersions == Seq(LakeTable.load(s, cp).latestVersion,
+            LakeTable.load(s, np).latestVersion),
+          "one refresh must advance all three maintenance cursors")
+        mv.read().orderBy(col("n_name").asc_nulls_first)
+      },
+      """WITH cand AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+        |         o_orderdate + INTERVAL 1 DAY, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |fact AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+        |    FROM cand) WHERE rn = 1 AND o_orderkey % 11 <> 0),
+        |cust AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS c_nationkey
+        |  FROM customer WHERE c_custkey % 13 <> 0),
+        |nat AS (
+        |  SELECT n_nationkey,
+        |         CASE WHEN n_nationkey = 10 THEN 'RENAMED' ELSE n_name END AS n_name
+        |  FROM nation
+        |  WHERE (n_nationkey % 4 <> 0 OR n_nationkey % 8 = 0)
+        |    AND n_nationkey <> 9)
+        |SELECT nt.n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(f.o_custkey) AS BIGINT) AS su, MAX(f.o_totalprice) AS mx
+        |FROM fact f
+        |JOIN cust c ON f.o_custkey = c.c_custkey
+        |LEFT JOIN nat nt ON c.c_nationkey = nt.n_nationkey
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
     // DERIVED-serving MV rewrite: the query asks for aggregates the view
     // never declared, and the rewrite derives every one from the stored
     // state — avg(x) from a sum's internal sum+count pair, arithmetic

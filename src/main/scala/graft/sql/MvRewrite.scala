@@ -668,16 +668,33 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // the attribute of a membership conjunct may sit under a
     // type-coercion Cast (the stored view text keeps the analyzer's cast;
     // the query side's no-op cast is optimizer-removed) — peel it. Sound
-    // for the set checks because the folded literal RENDERINGS carry the
+    // ONLY for lossless upcasts: [[implies]] pre-checks the RESOLVED
+    // query conjunct (before canon erases child types) and bails on any
+    // narrowing attribute cast, so by the time inNm runs here every
+    // query-side cast is a provable upcast. A peeled upcast is sound for
+    // the set checks because the folded literal RENDERINGS carry the
     // comparison type ("50L" vs "50"), so two sides coerced differently
     // can never pass a subset check; sound for the range check because
-    // litCmp compares typed VALUES (coercion casts only widen).
+    // litCmp compares typed VALUES and an upcast preserves them. The
+    // VIEW side (parsed stored text, child types unknowable) only ever
+    // reaches the rendering-protected set checks — cmpOf never peels —
+    // so an exotic narrowing cast in a stored filter cannot mis-serve.
     def inNm(x: Expression): Option[String] = x match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         Some(u.name.toLowerCase)
       case a: AttributeReference => Some(a.name.toLowerCase)
       case c: Cast => inNm(c.child)
       case _ => None
+    }
+    // does the RESOLVED expression contain a cast over an attribute that
+    // can lose/wrap values (e.g. CAST(bigint_col AS INT))? Such a cast
+    // maps overflow-wrapped values into a membership set, so comparing
+    // its post-cast literals against a view filter on the bare column
+    // would serve rows the view does not contain.
+    def hasNarrowingAttrCast(e: Expression): Boolean = e.exists {
+      case c: Cast => c.child.resolved &&
+        !Cast.canUpCast(c.child.dataType, c.dataType)
+      case _ => false
     }
     // `(attr, literals)` of an IN-list / equality conjunct over one
     // attribute with all-literal values; InSet (the optimizer's large-IN
@@ -713,6 +730,9 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // (60, 70)` serves a view filtered `x >= 50` — every member
     // satisfies the comparison). Any non-matching shape is false.
     def implies(q: Expression, v: Expression): Boolean = {
+      // conservative bail BEFORE canon (canon unresolves attributes, so
+      // the child types a soundness check needs exist only here)
+      if (hasNarrowingAttrCast(q)) return false
       val qc = canonExpr(q)
       val vc = canonExpr(v)
       val range = for {

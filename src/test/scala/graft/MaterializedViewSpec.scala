@@ -1326,4 +1326,221 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedView.load(spark, mp).refresh()
     check()
   }
+
+  test("EXPRESSION-input aggregates maintain under churn; non-row-local inputs rejected at create") {
+    // the TPC-H revenue shape: sum/avg/count/max over a row-local
+    // expression of the joined row — including a cross-table expression
+    // (fact amt × dim weight). Exact types (decimal × int) keep the
+    // signed-delta maintenance bit-exact.
+    val fp = tmp(); val dp = tmp(); val mp = tmp()
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      spark.range(400L).select(
+        col("id").as("k"), lit(0L).as("ver"), (col("id") % 20).as("ck"),
+        (col("id") % 7).cast("string").as("grp"),
+        (col("id") * 3).cast("decimal(18,2)").as("amt"),
+        when(col("id") % 5 === 0, lit(null).cast("int"))
+          .otherwise((col("id") % 9).cast("int")).as("qty")))
+    def dimRows = spark.range(20L).select(
+      col("id").as("cdk"), lit(0L).as("dver"),
+      (col("id") % 4 + 1).cast("int").as("w"))
+    val dt = LakeTable.create(spark, dp, TableSpec("cdk", "dver"), dimRows)
+    MaterializedView.create(spark, mp, ft, Seq("grp"),
+      Seq(MvAgg("rev", "sum", "amt * (qty + 1)"),
+        MvAgg("cx", "count", "qty * 2"),
+        MvAgg("mxe", "max", "amt * (qty + 1)"),
+        MvAgg("ave", "avg", "qty * 10"),
+        MvAgg("xw", "sum", "amt * w")),
+      Seq(MvJoin(dp, Seq("ck"), Seq("cdk"), 0L)))
+    def check(tag: String): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"))
+        .groupBy("grp").agg(
+          sum(expr("amt * (qty + 1)")).as("rev"),
+          count(expr("qty * 2")).as("cx"),
+          max(expr("amt * (qty + 1)")).as("mxe"),
+          (sum(expr("qty * 10")).cast("double") /
+            count(expr("qty * 10"))).as("ave"),
+          sum(expr("amt * w")).as("xw")))
+      val got = rows(MaterializedView.load(spark, mp).read())
+      assert(got == want, s"expression-agg mv != recompute after $tag\n got $got\nwant $want")
+    }
+    check("create")
+    // fact churn: updates (newer precombine), inserts with NULL qty,
+    // deletes taking an expression extremum (repair path over expr(in))
+    ft.upsert(spark.range(60L).select((col("id") + 7000L).as("k"),
+      lit(1L).as("ver"), (col("id") % 20).as("ck"),
+      (col("id") % 7).cast("string").as("grp"),
+      lit(2.50).cast("decimal(18,2)").as("amt"),
+      when(col("id") % 3 === 0, lit(null).cast("int"))
+        .otherwise(lit(4).cast("int")).as("qty")))
+    ft.delete(expr("amt * (qty + 1)") >= 2000)
+    MaterializedView.load(spark, mp).refresh()
+    check("fact churn + expression extremum loss")
+    // dim churn: weight changes ride the ΔD term through the expression
+    dt.upsert(dimRows.filter(col("cdk") % 3 === 0)
+      .withColumn("w", lit(9).cast("int")).withColumn("dver", lit(1L)))
+    MaterializedView.load(spark, mp).refresh()
+    check("dim weight churn")
+    // a group dies and is reborn — expression deltas cancel exactly
+    ft.delete(col("grp") === "3")
+    MaterializedView.load(spark, mp).refresh()
+    ft.upsert(spark.range(10L).select((col("id") + 8000L).as("k"),
+      lit(2L).as("ver"), (col("id") % 20).as("ck"), lit("3").as("grp"),
+      lit(1.25).cast("decimal(18,2)").as("amt"), lit(2).cast("int").as("qty")))
+    MaterializedView.load(spark, mp).refresh()
+    check("group death + rebirth")
+    // non-row-local input rejected with the constraint's message
+    val err = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, tmp(), ft, Seq("grp"),
+        Seq(MvAgg("bad", "sum", "max(amt)")),
+        Seq(MvJoin(dp, Seq("ck"), Seq("cdk"), 0L)))
+    }
+    assert(err.getMessage.contains("row-local"), err.getMessage)
+  }
+
+  test("snowflake-ancestored LEFT-outer arm (optional chain-tail dim) maintains under births/deaths/moves") {
+    // fact ⋈ customer (inner) LEFT nation, the nation key homed on the
+    // CUSTOMER dim — the normalized-catalog shape where the chain-tail
+    // dim is optional. The transition term must stay correct under
+    // nation key births (null rows retract), deaths (null rows appear),
+    // renames (no flip — inner delta only), customer moves ACROSS
+    // nations (chain change without an existence flip), and fact churn
+    // incl. an extremum loss (repair path under a chained outer arm).
+    val fp = tmp(); val cp = tmp(); val np = tmp(); val mp = tmp()
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      spark.range(600L).select(
+        col("id").as("k"), lit(0L).as("ver"), (col("id") % 30).as("ck"),
+        (col("id") * 7 % 100).cast("int").as("score"),
+        (col("id") * 10).cast("decimal(18,2)").as("amt")))
+    def custRows = spark.range(30L).select(
+      col("id").as("cdk"), lit(0L).as("cver"), (col("id") % 10).as("nk"))
+    val ct = LakeTable.create(spark, cp, TableSpec("cdk", "cver"), custRows)
+    def natRows = spark.range(10L).select(
+      col("id").as("ndk"), lit(0L).as("nver"),
+      concat(lit("nat"), col("id")).as("nname"))
+    // nations 0,3,6,9 missing: their customers' fact rows null-extend
+    val nt = LakeTable.create(spark, np, TableSpec("ndk", "nver"),
+      natRows.filter(col("ndk") % 3 =!= 0))
+    MaterializedView.create(spark, mp, ft, Seq("nname"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mx", "max", "score")),
+      Seq(MvJoin(cp, Seq("ck"), Seq("cdk"), 0L),
+        MvJoin(np, Seq("nk"), Seq("ndk"), 0L, outer = true)))
+    def check(tag: String): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, cp).read(), col("ck") === col("cdk"))
+        .join(LakeTable.load(spark, np).read(), col("nk") === col("ndk"), "left_outer")
+        .groupBy("nname").agg(count(lit(1)).as("n"), sum(col("amt")).as("s"),
+          max(col("score")).as("mx")))
+      val got = rows(MaterializedView.load(spark, mp).read())
+      assert(got == want, s"chained-outer mv != recompute after $tag")
+    }
+    check("create")
+    assert(MaterializedView.load(spark, mp).read()
+      .filter(col("nname").isNull).count() == 1,
+      "the null-extension group must exist")
+    // nation key BIRTHS (0 and 6 appear): their customers' fact rows
+    // leave the NULL group
+    nt.upsert(natRows.filter(col("ndk") % 6 === 0))
+    MaterializedView.load(spark, mp).refresh()
+    check("chained key birth")
+    // nation key DEATH (5 vanishes): its fact rows re-enter the NULL group
+    nt.delete(col("ndk") === 5L)
+    MaterializedView.load(spark, mp).refresh()
+    check("chained key death")
+    // rename without a flip rides the inner ΔD term
+    nt.upsert(natRows.filter(col("ndk") === 7L)
+      .withColumn("nname", lit("renamed")).withColumn("nver", lit(1L)))
+    MaterializedView.load(spark, mp).refresh()
+    check("no-flip rename")
+    // CUSTOMER churn: a customer moves to a dead nation (its rows join
+    // the NULL group through the chain) and another is deleted
+    ct.upsert(custRows.filter(col("cdk") === 4L)
+      .withColumn("nk", lit(3L)).withColumn("cver", lit(1L)))
+    ct.delete(col("cdk") === 11L)
+    MaterializedView.load(spark, mp).refresh()
+    check("parent-dim churn")
+    // fact churn + extremum loss in a null-extended group
+    ft.upsert(spark.range(50L).select((col("id") + 9000L).as("k"),
+      lit(1L).as("ver"), (col("id") % 30).as("ck"),
+      lit(55).cast("int").as("score"), lit(7).cast("decimal(18,2)").as("amt")))
+    ft.delete(col("score") >= 90)
+    MaterializedView.load(spark, mp).refresh()
+    check("fact churn + extremum loss")
+    // simultaneous churn on all three tables in one refresh window
+    nt.upsert(natRows.filter(col("ndk") === 9L))
+    ct.upsert(custRows.filter(col("cdk") === 13L)
+      .withColumn("nk", lit(9L)).withColumn("cver", lit(2L)))
+    ft.delete(col("k") % 17 === 0)
+    MaterializedView.load(spark, mp).refresh()
+    check("three-table window")
+  }
+
+  test("chained-outer transition term chases flipped keys to fact files; probes open only touched dim files") {
+    val fp = tmp(); val cp = tmp(); val np = tmp(); val mp = tmp()
+    // ck-clustered fact: each file covers a narrow ck range, so a chased
+    // flipped-key IN should open only the affected slice
+    val ft = LakeTable.create(spark, fp,
+      TableSpec("k", "ver", statsColumns = Seq("ck")),
+      spark.range(960L).select(
+        col("id").as("k"), lit(0L).as("ver"), (col("id") % 48).as("ck"),
+        (col("id") * 10).cast("decimal(18,2)").as("amt"))
+        .repartitionByRange(8, col("ck")), bulkInsert = true)
+    // each nation owns a CONTIGUOUS ck slice (cdk/8), so one nation's
+    // flip chases to a narrow fact-key range
+    def custRows = spark.range(48L).select(
+      col("id").as("cdk"), lit(0L).as("cver"), (col("id") / 8).as("nk"))
+    LakeTable.create(spark, cp, TableSpec("cdk", "cver"), custRows)
+    def natRows = spark.range(6L).select(
+      col("id").as("ndk"), lit(0L).as("nver"),
+      concat(lit("nat"), col("id")).as("nname"))
+    // ndk-clustered nation dim with ≥4 files: the existence probes
+    // should open only the touched key's file(s)
+    val nt = LakeTable.create(spark, np,
+      TableSpec("ndk", "nver", statsColumns = Seq("ndk")),
+      natRows.filter(col("ndk") =!= 3L).repartitionByRange(4, col("ndk")),
+      bulkInsert = true)
+    MaterializedView.create(spark, mp, ft, Seq("nname"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")),
+      Seq(MvJoin(cp, Seq("ck"), Seq("cdk"), 0L),
+        MvJoin(np, Seq("nk"), Seq("ndk"), 0L, outer = true)))
+    def check(): Unit = {
+      val want = rows(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, cp).read(), col("ck") === col("cdk"))
+        .join(LakeTable.load(spark, np).read(), col("nk") === col("ndk"), "left_outer")
+        .groupBy("nname").agg(count(lit(1)).as("n"), sum(col("amt")).as("s")))
+      assert(rows(MaterializedView.load(spark, mp).read()) == want)
+    }
+    check()
+    val totalFact = ft.commits.flatMap(_.add).size
+    assert(totalFact >= 4, s"need a clustered multi-file fact, got $totalFact")
+    val totalNat = nt.commits.flatMap(_.add).size
+    assert(totalNat >= 3, s"need a clustered multi-file nation dim, got $totalNat")
+    // pure rename: NO existence flip → zero transition fact files, and
+    // the probes open only the touched key's dim files
+    nt.upsert(natRows.filter(col("ndk") === 1L)
+      .withColumn("nname", lit("gM")).withColumn("nver", lit(1L)))
+    MaterializedView.lastNullExtScan = None
+    MaterializedView.lastNullExtDimScan = None
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    val (live0, scanned0) = MaterializedView.lastNullExtScan.getOrElse(
+      fail("outer-arm dim churn must run the transition term"))
+    assert(scanned0 == 0,
+      s"no-flip churn must open zero transition fact files (opened $scanned0 of $live0)")
+    val (dLive0, dScanned0) = MaterializedView.lastNullExtDimScan.getOrElse(
+      fail("outer-arm dim churn must run the existence probes"))
+    assert(dScanned0 < dLive0,
+      s"probes must open only touched dim files (opened $dScanned0 of $dLive0)")
+    // birth of the missing nation: the chase walks ndk=3 → cdk 24-31 →
+    // In(ck, 24..31) — only that slice of the clustered fact opens
+    nt.upsert(natRows.filter(col("ndk") === 3L))
+    MaterializedView.lastNullExtScan = None
+    MaterializedView.load(spark, mp).refresh()
+    check()
+    val (live1, scanned1) = MaterializedView.lastNullExtScan.getOrElse(
+      fail("a chained key birth must run the transition term"))
+    assert(scanned1 > 0 && scanned1 < live1,
+      s"a chained key birth must open a minority of fact files (opened $scanned1 of $live1)")
+  }
 }

@@ -1304,6 +1304,44 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("membership-cast peel: only lossless upcasts peel — a narrowing cast bails") {
+    // a user-written NARROWING cast maps overflow-wrapped values into the
+    // IN set (CAST(2^32+60 AS INT) = 60), so peeling it and comparing the
+    // post-cast literals against a view-filter range on the bare BIGINT
+    // column would serve rows the view does not contain — the conjunct
+    // must stay unmatched and the query fall through
+    val (base, path) = freshBase("castpeel") // amt is BIGINT
+    val mvPath = Files.createTempDirectory("graft_mvrw_cp").toString + "/mv"
+    spark.read.format("graft").load(path).createOrReplaceTempView("castpeel_v")
+    spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS SELECT grp, amt, " +
+      "count(1) AS n FROM castpeel_v WHERE amt >= 50 GROUP BY grp, amt")
+    try {
+      val narrowed = spark.sql("SELECT grp, amt, count(1) AS n FROM castpeel_v " +
+        "WHERE CAST(amt AS INT) IN (60, 70) GROUP BY grp, amt")
+      assert(hasAggregate(narrowed),
+        s"a narrowing cast must not peel into the range implication:\n" +
+          s"${narrowed.queryExecution.optimizedPlan}")
+      assert(narrowed.collect().map(_.toSeq).toSet ==
+        base.read().filter(expr("CAST(amt AS INT) IN (60, 70)"))
+          .groupBy("grp", "amt").agg(count(lit(1)).as("n"))
+          .collect().map(_.toSeq).toSet)
+      // the coercion UPCAST the analyzer inserts (BIGINT literal forces
+      // Cast(amt-as-declared → comparison type)) still peels and serves
+      val widened = spark.sql("SELECT grp, amt, count(1) AS n FROM castpeel_v " +
+        "WHERE amt IN (60, 70, 9000000000) GROUP BY grp, amt")
+      assert(!hasAggregate(widened) && scansMvState(widened),
+        s"an upcast membership conjunct inside the range must serve:\n" +
+          s"${widened.queryExecution.optimizedPlan}")
+      assert(widened.collect().map(_.toSeq).toSet ==
+        base.read().filter(col("amt").isin(60L, 70L, 9000000000L))
+          .groupBy("grp", "amt").agg(count(lit(1)).as("n"))
+          .collect().map(_.toSeq).toSet)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("castpeel_v")
+    }
+  }
+
   test("composite-key join view: SQL create + serve in any conjunct/operand order; key SUBSETS never match") {
     val fp = Files.createTempDirectory("graft_mvrw_ck_f").toString
     val dp = Files.createTempDirectory("graft_mvrw_ck_d").toString
