@@ -436,6 +436,40 @@ object Bench {
         .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("du"))
     }
 
+    // B15: LEFT-OUTER MV refresh — dim churn WITH key flips on a
+    // custkey-CLUSTERED fact (the q163 shape). The null-extension
+    // transition term must never scan the fact snapshot: flipped keys
+    // (births from the missing quarter, deaths) push as IN file filters
+    // into the clustered fact, no-flip segment moves ride the inner ΔD
+    // term, and the existence probes open only the touched keys' dim
+    // files. A pruning regression here (the round-10 transition/probe
+    // pushdowns) shows up directly as this entry's time.
+    results("b15_outer_mv_refresh") = {
+      val fDir = freshDir("b15_f"); val dDir = freshDir("b15_d")
+      val fact = LakeTable.create(spark, fDir,
+        TableSpec("o_orderkey", "o_orderdate",
+          statsColumns = Seq("o_custkey"), writeSortColumns = Seq("o_custkey")),
+        tbl("orders"), bulkInsert = true)
+      // a quarter of the customers missing: their orders null-extend
+      val dim = LakeTable.create(spark, dDir, TableSpec("c_custkey", "cver"),
+        tbl("customer").filter(col("c_custkey") % 4 =!= 0)
+          .withColumn("cver", lit(0L)))
+      val mvDir = freshDir("b15_mv")
+      graft.lake.MaterializedView.create(spark, mvDir, fact, Seq("c_mktsegment"),
+        Seq(graft.lake.MvAgg("n", "count", "*"),
+          graft.lake.MvAgg("s", "sum", "o_custkey")),
+        Seq(graft.lake.MaterializedView.MvJoin(dDir, Seq("o_custkey"),
+          Seq("c_custkey"), 0L, outer = true)))
+      // ~0.5% no-flip segment moves + a few dozen key births and deaths
+      dim.upsert(tbl("customer").filter(col("c_custkey") % 4 =!= 0 &&
+          col("c_custkey") % 200 === 2)
+        .withColumn("c_mktsegment", lit("MOVED")).withColumn("cver", lit(1L)))
+      dim.upsert(tbl("customer").filter(col("c_custkey") % 400 === 0)
+        .withColumn("cver", lit(0L)))
+      dim.delete(col("c_custkey") % 300 === 7)
+      time { graft.lake.MaterializedView.load(spark, mvDir).refresh() }
+    }
+
     // R1: TPC-H Q1 shape from the relational set.
     results("r1_pricing_summary") = median(
       graft.queries.Relational.defs("q01_pricing_summary")._1(spark, sfDir))

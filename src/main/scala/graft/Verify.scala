@@ -21,6 +21,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // GRAFT_DECOY_MV=1 turns the whole oracle corpus into a fuzz harness
+    // for the MV-rewrite rule: one decoy view over an UNRELATED table is
+    // registered and the rule injected into THIS session's optimizer, so
+    // every Aggregate of every query plans through the matcher while the
+    // decoy can never legitimately serve any of them. Done = the sweep
+    // stays oracle-green (checked by tools/check_oracle.py as usual) AND
+    // the rule swallowed zero matcher errors — the r8 inlineProjects
+    // crash class can no longer hide from the 166 oracles.
+    val decoy = sys.env.get("GRAFT_DECOY_MV").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    if (decoy) {
+      import org.apache.spark.sql.functions._
+      val dir = Files.createTempDirectory("graft_decoy_mv").toString
+      val tbl = graft.lake.LakeTable.create(spark, s"$dir/base",
+        graft.lake.TableSpec("k", "ver"),
+        spark.range(100L).select(col("id").as("k"), lit(0L).as("ver"),
+          (col("id") % 5).cast("string").as("grp"), (col("id") % 7).as("amt")))
+      graft.lake.MaterializedView.create(spark, s"$dir/mv", tbl, Seq("grp"),
+        Seq(graft.lake.MvAgg("n", "count", "*"),
+          graft.lake.MvAgg("s", "sum", "amt")))
+      graft.sql.GraftMvRewrite.register(s"$dir/mv")
+      graft.sql.GraftMvRewrite.rewriteErrors = 0L
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.sql.GraftMvRewrite
+      System.err.println(s"[verify] decoy MV at $dir/mv; rewrite rule injected")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,6 +71,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    if (decoy) {
+      val errs = graft.sql.GraftMvRewrite.rewriteErrors
+      graft.sql.GraftMvRewrite.clear()
+      System.err.println(s"[verify] decoy sweep done; rewriteErrors=$errs")
+      if (errs != 0L) {
+        System.err.println("[verify] FAIL: the rewrite rule swallowed " +
+          s"$errs matcher error(s) during the decoy sweep")
+        spark.stop()
+        sys.exit(1)
       }
     }
     spark.stop()

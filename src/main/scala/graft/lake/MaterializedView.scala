@@ -130,15 +130,16 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     * at refresh N" is one read, never a base-table replay). */
   def read(asOf: Option[Long] = None): DataFrame = readDerived(asOf, Nil)
 
-  /** [[read]] plus DERIVED average columns `out := sum/cnt` computed from
-    * a declared SUM agg's internal state — every sum stores the running
-    * sum AND the non-null input count, so `avg(x)` is servable from a
-    * view that declared only `sum(x)`. Finalizes exactly like a declared
-    * avg (NULL over all-null-input groups, double). Used by the rewrite's
-    * avg-from-sum serving path; `derivedAvgs` maps output name → the sum
-    * agg's name. */
+  /** [[read]] plus DERIVED columns computed from the declared aggs'
+    * internal state — every sum/avg stores the running sum AND the
+    * non-null input count, so a view that declared only `sum(x)` serves
+    * `avg(x)` (sum ÷ cnt, finalized exactly like a declared avg) and
+    * `count(x)` (the cnt), a view that declared only `avg(x)` serves
+    * `sum(x)` (the stored sum), and EVERY view serves `count(*)` from
+    * [[GRP_N]]. Used by the rewrite's derived serving
+    * ([[MaterializedView.MvDerived]]). */
   private[graft] def readDerived(asOf: Option[Long],
-      derivedAvgs: Seq[(String, String)]): DataFrame = {
+      derived: Seq[MvDerived]): DataFrame = {
     val m = meta
     val cols = m.dims.map(col) ++ m.aggs.map {
       case MvAgg(n, "sum", _) => when(col(cntCol(n)) > 0, col(sumCol(n))).as(n)
@@ -149,8 +150,13 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         // sketch) finalizes to 0, matching COUNT(DISTINCT) over no values
         coalesce(hll_sketch_estimate(col(hllCol(n))), lit(0L)).as(n)
       case MvAgg(n, _, _) => col(n)
-    } ++ derivedAvgs.map { case (out, s) =>
-      when(col(cntCol(s)) > 0, col(sumCol(s)).cast(DoubleType) / col(cntCol(s))).as(out)
+    } ++ derived.map {
+      case MvDerived(out, "avg", s) =>
+        when(col(cntCol(s)) > 0, col(sumCol(s)).cast(DoubleType) / col(cntCol(s))).as(out)
+      case MvDerived(out, "sum", s) =>
+        when(col(cntCol(s)) > 0, col(sumCol(s))).as(out)
+      case MvDerived(out, "cnt", s) => col(cntCol(s)).cast(LongType).as(out)
+      case MvDerived(out, _, _) => col(GRP_N).cast(LongType).as(out) // star
     }
     state.read(asOf).filter(col(GRP_N) > 0).select(cols: _*)
   }
@@ -182,16 +188,24 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     * expression references only state dim columns. */
   private[graft] def readRollupExprs(roll: Seq[(String, Column)],
       preFilters: Seq[Column] = Nil,
-      derivedAvgs: Seq[(String, String)] = Nil,
+      derived: Seq[MvDerived] = Nil,
       derivedCountDistincts: Seq[(String, Seq[String])] = Nil): DataFrame = {
     val m = meta
     val stSchema = state.schema
     val st = preFilters.foldLeft(
       state.read().filter(col(GRP_N) > 0))((acc, c) => acc.filter(c))
-    val derivedCols: Seq[Column] = derivedAvgs.map { case (out, s) =>
-      // avg from a sum agg's stored partials, re-aggregated: Σsum / Σcnt
-      when(sum(col(cntCol(s))) > 0,
-        sum(col(sumCol(s))).cast(DoubleType) / sum(col(cntCol(s)))).as(out)
+    val derivedCols: Seq[Column] = derived.map {
+      // from a sum/avg agg's stored partials, re-aggregated
+      case MvDerived(out, "avg", s) => // Σsum / Σcnt
+        when(sum(col(cntCol(s))) > 0,
+          sum(col(sumCol(s))).cast(DoubleType) / sum(col(cntCol(s)))).as(out)
+      case MvDerived(out, "sum", s) => // Σsum, in the stored sum's type
+        when(sum(col(cntCol(s))) > 0,
+          sum(col(sumCol(s))).cast(stSchema(sumCol(s)).dataType)).as(out)
+      case MvDerived(out, "cnt", s) => // Σcnt = count of non-null inputs
+        coalesce(sum(col(cntCol(s))), lit(0L)).cast(LongType).as(out)
+      case MvDerived(out, _, _) => // star: Σ GRP_N = count(*)
+        coalesce(sum(col(GRP_N)), lit(0L)).cast(LongType).as(out)
     } ++ derivedCountDistincts.map { case (out, cs) =>
       // count(DISTINCT dim…) from the state's live group rows — exact,
       // the state holds one row per dim tuple; Count's any-NULL-skips
@@ -442,6 +456,12 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
               val dks = m.joins(i).dimKeys.map(col)
               val touched = plusD.select(dks: _*)
                 .unionByName(minusD.select(dks: _*)).distinct()
+              val keySchema = touched.schema
+              def localDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+                val list = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+                rows.foreach(r => { list.add(r); () })
+                spark.createDataFrame(list, keySchema)
+              }
               // the existence probes need the dim AT both versions
               // restricted to the touched keys — the touched tuples are
               // churn-bounded, so collect them (capped) and push them as
@@ -451,95 +471,41 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
               // are per-column supersets). Over the cap the probes fall
               // back to full key-restricted scans, as everywhere.
               val touchedTuples = touched.limit(REPAIR_KEY_CAP + 1).collect()
+              val capped = touchedTuples.length > REPAIR_KEY_CAP
               val touchedFilters: Seq[org.apache.spark.sql.sources.Filter] =
-                if (touchedTuples.length > REPAIR_KEY_CAP) Nil
+                if (capped) Nil
                 else m.joins(i).dimKeys.zipWithIndex.flatMap { case (dk, j) =>
                   val vs = touchedTuples.map(_.get(j)).distinct
                   if (vs.contains(null)) None
                   else Some(org.apache.spark.sql.sources.In(dk, vs))
                 }
-              def existing(v: Long) = {
+              def probe(v: Long) = {
                 val liveD = dimTables(i).liveFiles(Some(v))
                 lastNullExtDimScan = Some((liveD.size,
                   math.max(dimTables(i).pruneByFilters(liveD, touchedFilters).size,
                     lastNullExtDimScan.map(_._2).getOrElse(0))))
                 dimTables(i).readWhere(touchedFilters, Some(v))
                   .select(dks: _*).distinct()
-                  .join(touched, m.joins(i).dimKeys, "left_semi")
+                  .join(if (capped) touched else localDf(touchedTuples.toSeq),
+                    m.joins(i).dimKeys, "left_semi")
               }
-              val oldKeys = existing(dimVs(i))
-              val newKeys = existing(dimUpTos(i))
-              val gained = newKeys.exceptAll(oldKeys) // 0→1: nulls retract
-              val lost = oldKeys.exceptAll(newKeys) // 1→0: nulls appear
               val dimSchema = dimTables(i).schema
-              def nullExt(keys: DataFrame, sign: Long): DataFrame = {
-                // fold the arm's ancestors first (a snowflake left key
-                // lives on a parent dim), restrict the flow to the
-                // flipping key tuples, fold every OTHER arm, and stand in
-                // NULLs for this dim's carried columns
-                val anc = foldOrder(i).takeWhile(_ != i)
-                // bounded-key pushdown: the flipping tuples (≤ cap —
-                // usually a handful of key births/deaths, often ZERO)
-                // become per-column IN file filters on the fact read, so
-                // the term opens only the flipped keys' files — and no
-                // files at all on the common no-flip refresh — instead of
-                // scanning the snapshot. Arm keys homed on the FACT push
-                // directly; keys homed on a PARENT dim (snowflake-
-                // ancestored outer arm — an optional chain-tail dim) first
-                // restrict the parent to the flipped values and chase its
-                // rows UP the chain to fact-homed keys via [[chaseRows]] —
-                // each hop a bounded probe, so the derived fact INs stay
-                // churn-bounded. The tuple semi-join below keeps exactness
-                // (the INs are per-column supersets). Over a cap (or a
-                // null-key chained hop) the term falls back to the full
-                // snapshot, as everywhere.
-                def record(liveN: Int, openedN: Int): Unit =
-                  // the seam keeps the WIDER of the sides since its last
-                  // reset (gained and lost both record)
-                  lastNullExtScan = Some((liveN,
-                    math.max(openedN, lastNullExtScan.map(_._2).getOrElse(0))))
-                val tuples = keys.limit(REPAIR_KEY_CAP + 1).collect()
-                val source =
-                  if (tuples.length > REPAIR_KEY_CAP) fNew
-                  else if (tuples.isEmpty) {
-                    // nothing flipped (the common refresh): the term is
-                    // provably empty — no fact files at all
-                    record(base.liveFiles(Some(upTo)).size, 0)
-                    fNew.where(lit(false))
-                  } else {
-                    // per-column value projections of the flipped tuples
-                    // (a null key value drops that column's filter)
-                    val perCol = m.joins(i).factKeys.zipWithIndex.flatMap {
-                      case (fk, j) =>
-                        val vs = tuples.map(_.get(j)).distinct
-                        if (vs.contains(null)) None else Some((fk, vs))
-                    }
-                    val factFilters: Seq[org.apache.spark.sql.sources.Filter] =
-                      if (anc.isEmpty)
-                        perCol.map { case (fk, vs) =>
-                          org.apache.spark.sql.sources.In(fk, vs) }
-                      else {
-                        val p = homes(i)
-                        val restricted = perCol.foldLeft(
-                          dimTables(p).readWhere(perCol.map { case (fk, vs) =>
-                            org.apache.spark.sql.sources.In(fk, vs) },
-                            Some(dimUpTos(p)))) {
-                          case (df, (fk, vs)) => df.filter(col(fk).isin(vs: _*))
-                        }
-                        chaseRows(p, restricted, 0).map {
-                          case (fc, ks) => org.apache.spark.sql.sources.In(fc, ks)
-                        }
-                      }
-                    if (anc.nonEmpty && factFilters.isEmpty) fNew // chase capped out
-                    else {
-                      val live = base.liveFiles(Some(upTo))
-                      record(live.size, base.pruneByFilters(live, factFilters).size)
-                      base.readWhere(factFilters, Some(upTo)).select(fProj: _*)
-                    }
-                  }
+              val anc = foldOrder(i).takeWhile(_ != i)
+              def record(liveN: Int, openedN: Int): Unit =
+                // the seam keeps the WIDER of the sides since its last
+                // reset (gained and lost both record)
+                lastNullExtScan = Some((liveN,
+                  math.max(openedN, lastNullExtScan.map(_._2).getOrElse(0))))
+              // one transition term: the fact slice `source` folds the
+              // arm's ancestors first (a snowflake left key lives on a
+              // parent dim), restricts the flow to the flipping key
+              // tuples, folds every OTHER arm, and stands in NULLs for
+              // this dim's carried columns
+              def nullExtTerm(source: DataFrame, keysRef: DataFrame,
+                  sign: Long): DataFrame = {
                 val pre = anc.foldLeft(source)((acc, jx) => joinDim(acc, jx,
                   dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx))))
-                val restricted = pre.join(keys, m.joins(i).keyPairs
+                val restricted = pre.join(keysRef, m.joins(i).keyPairs
                   .map { case (fk, dk) => col(fk) === col(dk) }.reduce(_ && _),
                   "left_semi")
                 val folded = foldOrder(i).filterNot(anc.contains)
@@ -550,8 +516,81 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
                   acc.withColumn(c, lit(null).cast(dimSchema(c).dataType)))
                   .withColumn(SGN, lit(sign))
               }
-              terms += nullExt(gained, -1L)
-              terms += nullExt(lost, 1L)
+              if (!capped) {
+                // the flip sets are computed DRIVER-side from the two
+                // bounded probes — the transition terms then semi-join
+                // LOCAL relations (broadcast-sized by construction), so
+                // the main maintenance job never re-runs the probes or
+                // their diff. Bounded-key pushdown: the flipping tuples
+                // (≤ cap — usually a handful of key births/deaths, often
+                // ZERO) become per-column IN file filters on the fact
+                // read, so the term opens only the flipped keys' files —
+                // and no files at all on the common no-flip refresh —
+                // instead of scanning the snapshot. Arm keys homed on the
+                // FACT push directly; keys homed on a PARENT dim
+                // (snowflake-ancestored outer arm — an optional
+                // chain-tail dim) first restrict the parent to the
+                // flipped values and chase its rows UP the chain to
+                // fact-homed keys via [[chaseRows]] — each hop a bounded
+                // probe, so the derived fact INs stay churn-bounded. The
+                // tuple semi-join keeps exactness (the INs are per-column
+                // supersets). A null-key chained hop or a blown chase cap
+                // falls back to the full snapshot, as everywhere.
+                val oldT = probe(dimVs(i)).collect().map(_.toSeq).toSet
+                val newT = probe(dimUpTos(i)).collect().map(_.toSeq).toSet
+                def term(flips: Set[Seq[Any]], sign: Long): DataFrame = {
+                  val tuples = flips.toSeq.map(org.apache.spark.sql.Row.fromSeq)
+                  val source =
+                    if (tuples.isEmpty) {
+                      // nothing flipped (the common refresh): the term is
+                      // provably empty — no fact files at all
+                      record(base.liveFiles(Some(upTo)).size, 0)
+                      fNew.where(lit(false))
+                    } else {
+                      // per-column value projections of the flipped tuples
+                      // (a null key value drops that column's filter)
+                      val perCol: Seq[(String, Array[Any])] =
+                        m.joins(i).factKeys.zipWithIndex.flatMap { case (fk, j) =>
+                          val vs = tuples.map(_.get(j)).distinct.toArray
+                          if (vs.contains(null)) None else Some((fk, vs))
+                        }
+                      val factFilters: Seq[org.apache.spark.sql.sources.Filter] =
+                        if (anc.isEmpty)
+                          perCol.map { case (fk, vs) =>
+                            org.apache.spark.sql.sources.In(fk, vs) }
+                        else {
+                          val p = homes(i)
+                          val restricted = perCol.foldLeft(
+                            dimTables(p).readWhere(perCol.map { case (fk, vs) =>
+                              org.apache.spark.sql.sources.In(fk, vs) },
+                              Some(dimUpTos(p)))) {
+                            case (df, (fk, vs)) => df.filter(col(fk).isin(vs: _*))
+                          }
+                          chaseRows(p, restricted, 0).map {
+                            case (fc, ks) => org.apache.spark.sql.sources.In(fc, ks)
+                          }
+                        }
+                      if (anc.nonEmpty && factFilters.isEmpty) fNew // chase capped out
+                      else {
+                        val live = base.liveFiles(Some(upTo))
+                        record(live.size, base.pruneByFilters(live, factFilters).size)
+                        base.readWhere(factFilters, Some(upTo)).select(fProj: _*)
+                      }
+                    }
+                  nullExtTerm(source, localDf(tuples), sign)
+                }
+                terms += term(newT -- oldT, -1L) // 0→1: nulls retract
+                terms += term(oldT -- newT, 1L) // 1→0: nulls appear
+              } else {
+                // over the cap: unpruned probes, the diff as an exceptAll
+                // on the live plans, and a full-snapshot term — a churn
+                // wave touching more keys than the cap re-touches most
+                // fact files anyway
+                val oldKeys = probe(dimVs(i))
+                val newKeys = probe(dimUpTos(i))
+                terms += nullExtTerm(fNew, newKeys.exceptAll(oldKeys), -1L)
+                terms += nullExtTerm(fNew, oldKeys.exceptAll(newKeys), 1L)
+              }
             }
           }
         }
@@ -924,6 +963,16 @@ object MaterializedView {
   private val AUTO_PRUNE_EVERY = 16L
   private val AUTO_PRUNE_MIN_DEAD = 64L
 
+  /** One DERIVED column of a state read — serving an aggregate the view
+    * never declared from what the state already stores: `kind` ∈
+    *   avg  — src sum/avg agg's  sum ÷ cnt
+    *   sum  — src avg agg's stored running sum
+    *   cnt  — src sum/avg agg's non-null input count
+    *   star — the group's live row count [[GRP_N]] (= count(*); src unused)
+    * Built by the rewrite ([[graft.sql.GraftMvRewrite]]); `out` is the
+    * synthetic output column name. */
+  private[graft] case class MvDerived(out: String, kind: String, src: String)
+
   /** Is an agg input a BARE column reference (or `*`), as opposed to a
     * row-local SQL expression? Plain identifiers are columns; anything
     * with operators/calls/quoting is an expression, validated at create
@@ -978,7 +1027,12 @@ object MaterializedView {
           s"the same table (found homes ${fkHomes.distinct.mkString(", ")})")
       require(fkHomes.head < 0 || !joins(fkHomes.head).outer,
         s"join $i keys off LEFT-join arm ${fkHomes.head} — outer arms must " +
-          "be leaves (an inner child would drop its null-extended rows)")
+          "be leaves (a child arm would have to join the parent's " +
+          "null-extended rows, and the per-arm signed transition algebra " +
+          "no longer telescopes). Workaround for an all-optional chain " +
+          "(fact LEFT a LEFT b): denormalize — pre-join b's columns onto " +
+          "a (one LEFT arm carrying both tables' attributes), or declare " +
+          "b's attributes as columns of a")
       fkHomes.head
     }
   }

@@ -1649,6 +1649,7 @@ object LakeQueries {
           val q = s.read.format("graft").load(path).groupBy("o_orderstatus")
             .agg(count(lit(1)).as("n"),
               avg("o_custkey").as("a"),
+              count(col("o_custkey")).as("co"), // derived from su's cnt (r10)
               (sum("o_custkey") / count(lit(1))).as("ratio"),
               (max("o_totalprice") - min("o_totalprice")).as("spread"),
               countDistinct("o_orderpriority").as("dp"))
@@ -1669,10 +1670,64 @@ object LakeQueries {
       },
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(o_custkey) AS DOUBLE) / COUNT(o_custkey) AS a,
+        |       CAST(COUNT(o_custkey) AS BIGINT) AS co,
         |       CAST(SUM(o_custkey) AS DOUBLE) / COUNT(*) AS ratio,
         |       MAX(o_totalprice) - MIN(o_totalprice) AS spread,
         |       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS dp
         |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
+    // EXPRESSION-INPUT aggregate MV — the TPC-H revenue shape: the view
+    // declares ONE aggregate over a row-local expression of the row
+    // (sum(o_custkey * (o_orderkey % 5 + 1)), integer-exact so the
+    // signed-delta maintenance is bit-exact), takes churn, and then the
+    // rewrite serves sum/avg/count of the SAME expression plus count(*)
+    // from the state alone — avg and count derive from the sum's internal
+    // sum+count pair, count(*) from the state's group row counts. The
+    // require pins that the served plan never reads the base.
+    "q166_mv_expr_agg" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val path = freshDir(s"mvexp_$tag"); val mvPath = freshDir(s"mvexp_mv_$tag")
+        val tbl = LakeTable.create(s, path, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        MaterializedView.create(s, mvPath, tbl,
+          Seq("o_orderstatus", "o_orderpriority"),
+          Seq(MvAgg("rev", "sum", "o_custkey * (o_orderkey % 5 + 1)")))
+        tbl.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1))
+        tbl.delete(col("o_orderkey") % 13 === 0)
+        MaterializedView.load(s, mvPath).refresh()
+        graft.sql.GraftMvRewrite.register(mvPath)
+        try {
+          val e = expr("o_custkey * (o_orderkey % 5 + 1)")
+          val q = s.read.format("graft").load(path).groupBy("o_orderstatus")
+            .agg(sum(e).as("rev"), avg(e).as("av"), count(e).as("cx"),
+              count(lit(1)).as("n"))
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          val readsBase = rewritten.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case g: graft.sources.GraftRelation => g.path.contains(path)
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(path))
+            case _ => false
+          })
+          require(!readsBase,
+            s"expression-agg serving must read only the MV state:\n$rewritten")
+          org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+            .orderBy("o_orderstatus")
+        } finally graft.sql.GraftMvRewrite.unregister(mvPath)
+      },
+      """WITH fact AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT o_orderstatus,
+        |       CAST(SUM(o_custkey * (o_orderkey % 5 + 1)) AS BIGINT) AS rev,
+        |       CAST(SUM(o_custkey * (o_orderkey % 5 + 1)) AS DOUBLE)
+        |         / COUNT(o_custkey * (o_orderkey % 5 + 1)) AS av,
+        |       CAST(COUNT(o_custkey * (o_orderkey % 5 + 1)) AS BIGINT) AS cx,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM fact GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)),
 
     // Streaming ingestion + continuous MV maintenance: the odd half of

@@ -412,21 +412,51 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     strip(p, Seq.empty)
   }
 
-  /** (kind, input) of an aggregate call in MV terms, if maintainable. */
-  private[sql] def aggSpec(fn: AggregateFunction): Option[(String, String)] = fn match {
-    case Count(Seq(Literal(1, _))) => Some(("count", "*"))
-    case Count(Seq(a: AttributeReference)) => Some(("count", a.name))
-    case Sum(a: AttributeReference, _) => Some(("sum", a.name))
-    case Average(a: AttributeReference, _) => Some(("avg", a.name))
-    case Min(a: AttributeReference) => Some(("min", a.name))
-    case Max(a: AttributeReference) => Some(("max", a.name))
+  /** The MV input text of an aggregate call's child: a bare column name,
+    * or the unqualified SQL rendering of a deterministic ROW-LOCAL
+    * expression (the TPC-H revenue shape `l_extendedprice *
+    * (1 - l_discount)`) — what [[graft.lake.MaterializedView.create]]
+    * validates and pins; the rewrite matches it canonically. */
+  private[sql] def aggInputOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case e2 if e2.deterministic &&
+        !e2.exists(_.isInstanceOf[SubqueryExpression]) &&
+        !e2.exists(_.isInstanceOf[AggregateExpression]) =>
+      Some(e2.transform {
+        case a: AttributeReference => a.withQualifier(Seq.empty)
+      }.sql)
     case _ => None
   }
 
+  /** (kind, input) of an aggregate call in MV terms, if maintainable. */
+  private[sql] def aggSpec(fn: AggregateFunction): Option[(String, String)] = fn match {
+    case Count(Seq(Literal(1, _))) => Some(("count", "*"))
+    case Count(Seq(e)) => aggInputOf(e).map(("count", _))
+    case Sum(e, _) => aggInputOf(e).map(("sum", _))
+    case Average(e, _) => aggInputOf(e).map(("avg", _))
+    case Min(e) => aggInputOf(e).map(("min", _))
+    case Max(e) => aggInputOf(e).map(("max", _))
+    case _ => None
+  }
+
+  /** Does a view agg input answer a query-side input? Bare names match
+    * case-insensitively; expression inputs by canonical text (attribute
+    * names lowercased/unqualified, literal subtrees folded — so the
+    * stored analyzed rendering and the query's analyzed expression meet
+    * at the same text). */
+  private def inputMatches(spark: SparkSession, viewIn: String, qIn: String): Boolean =
+    if (viewIn == "*" || qIn == "*") viewIn == qIn
+    else if (viewIn.equalsIgnoreCase(qIn)) true
+    else (canonText(spark, viewIn), canonText(spark, qIn)) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => false
+    }
+
   /** Which view column answers this aggregate call, if any. */
-  private def aggColumn(fn: AggregateFunction, aggs: Seq[MvAgg]): Option[MvAgg] =
+  private def aggColumn(spark: SparkSession, fn: AggregateFunction,
+      aggs: Seq[MvAgg]): Option[MvAgg] =
     aggSpec(fn).flatMap { case (kind, input) =>
-      aggs.find(a => a.kind == kind && a.input.equalsIgnoreCase(input))
+      aggs.find(a => a.kind == kind && inputMatches(spark, a.input, input))
     }
 
   /** Inline computed Project definitions directly under the Aggregate:
@@ -837,14 +867,21 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // restates), aggregates by the view's agg registry
       def viewDimOf(e: Expression): Option[String] =
         serves.collectFirst { case (g, n, _) if g.semanticEquals(e) => n }
-      // avg-from-sum: an `avg(x)` the view did not declare is still
-      // servable when the view declared `sum(x)` — every sum stores the
-      // running sum AND the non-null input count, and sum/cnt IS the avg
-      // (same finalization as a declared avg, so bit-identical). Each
-      // such query aggregate maps to a synthetic derived column the state
-      // read computes; the result-type check below still gates (a decimal
-      // avg finalizes as decimal and must bail).
-      val derivedAvgs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      // DERIVED serving: aggregates the view never declared but whose
+      // stored state determines exactly. Every sum AND avg stores the
+      // running sum plus the non-null input count, so:
+      //   avg(x)   ← a declared sum(x)/avg(x): sum ÷ cnt (bit-identical
+      //              to a declared avg's finalization)
+      //   sum(x)   ← a declared avg(x): its stored running sum
+      //   count(x) ← a declared sum(x)/avg(x): its stored cnt (count
+      //              counts exactly the non-null inputs)
+      //   count(*) ← the state's live row count GRP_N — EVERY view
+      //              maintains it, so any served query gets count(*) free
+      // Each maps to a synthetic derived column the state read computes;
+      // the result-type check below still gates every one (a decimal avg
+      // finalizes as decimal and must bail).
+      val derived =
+        scala.collection.mutable.ArrayBuffer.empty[MaterializedView.MvDerived]
       // count(DISTINCT dim…) query aggregates, served as distinct counts
       // over the state's group rows on the rollup path: (output column,
       // the serving dim columns to count)
@@ -860,14 +897,23 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           infos.find(_.key == canon(e2)).map(_.name)
         case _ => None
       }
-      def avgFromSum(fn: AggregateFunction): Option[String] = fn match {
-        case Average(a: AttributeReference, _) =>
-          meta.aggs.find(x => x.kind == "sum" && x.input.equalsIgnoreCase(a.name))
-            .map { s =>
-              val out = s"_davg_${derivedAvgs.size}"
-              derivedAvgs += ((out, s.name)); out
-            }
-        case _ => None
+      def deriveAgg(fn: AggregateFunction): Option[String] = {
+        def add(kind: String, src: String): String = {
+          val out = s"_drv_${derived.size}"
+          derived += MaterializedView.MvDerived(out, kind, src)
+          out
+        }
+        // a declared sum/avg over the same input stores sum+cnt
+        def srcAgg(e: Expression): Option[MvAgg] = aggInputOf(e).flatMap(q =>
+          meta.aggs.find(a => (a.kind == "sum" || a.kind == "avg") &&
+            inputMatches(spark, a.input, q)))
+        fn match {
+          case Count(Seq(Literal(1, _))) => Some(add("star", ""))
+          case Average(e, _) => srcAgg(e).map(s => add("avg", s.name))
+          case Sum(e, _) => srcAgg(e).map(s => add("sum", s.name))
+          case Count(Seq(e)) => srcAgg(e).map(s => add("cnt", s.name))
+          case _ => None
+        }
       }
       // EXPRESSION-over-aggregates serving (`sum(x)/count(*)`,
       // `max(x) - min(x)`, …): every aggregate CALL inside the output
@@ -894,7 +940,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         // never visited by the dim pass below
         val t = child.transformDown {
           case ae @ AggregateExpression(fn, Complete, false, None, _) =>
-            aggColumn(fn, meta.aggs).map(_.name).orElse(avgFromSum(fn)) match {
+            aggColumn(spark, fn, meta.aggs).map(_.name).orElse(deriveAgg(fn)) match {
               case Some(n) => mark(n, ae.dataType)
               case None => ok = false; ae
             }
@@ -919,18 +965,21 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           case a: AttributeReference if viewDimOf(a).isDefined =>
             (a, scala.Left(viewDimOf(a).get))
           case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-            (al, scala.Left(aggColumn(fn, meta.aggs).map(_.name)
-              .orElse(avgFromSum(fn)).getOrElse(return None)))
+            (al, scala.Left(aggColumn(spark, fn, meta.aggs).map(_.name)
+              .orElse(deriveAgg(fn)).getOrElse(return None)))
           case al @ Alias(child, _) if viewDimOf(child).isDefined =>
             (al, scala.Left(viewDimOf(child).get))
-          // count(DISTINCT dims…): served on the ROLLUP path as a distinct
-          // count over the state's live group rows — exact, because the
-          // state holds exactly one row per dim tuple (NULL semantics
-          // match: Count skips rows with any NULL child on both sides).
-          // Each child must be a VIEW dim — grouped by the query or not —
-          // matched by name (bare) or canonical text (expression dim).
+          // count(DISTINCT dims…): served as a distinct count over the
+          // state's live group rows — exact, because the state holds
+          // exactly one row per dim tuple (NULL semantics match: Count
+          // skips rows with any NULL child on both sides). Each child
+          // must be a VIEW dim — grouped by the query or not — matched by
+          // name (bare) or canonical text (expression dim). A query whose
+          // dims match the view exactly routes through the rollup path
+          // too (identity re-aggregation — each state row its own group),
+          // so the same serving covers the exact shape.
           case al @ Alias(AggregateExpression(Count(children), Complete, true, None, _), _)
-              if !exact && children.nonEmpty &&
+              if children.nonEmpty &&
                 children.forall(c => cdDimCol(c).isDefined) =>
             val cols = children.map(c => cdDimCol(c).get)
             val out = s"_dcd_${derivedCountDistincts.size}"
@@ -948,9 +997,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // the re-aggregation (they may reference rolled-away dims). Either
       // way a Project re-aliases view columns under the ORIGINAL output
       // exprIds, so everything above the aggregate keeps resolving.
+      // count(DISTINCT) forces the rollup path even on exact dims: the
+      // distinct count is computed by re-aggregating the state's group
+      // rows (identity roll — each state row is its own group)
+      val exactServe = exact && derivedCountDistincts.isEmpty
       val viewPlan =
-        if (exact)
-          view.readDerived(None, derivedAvgs.toSeq).queryExecution.analyzed
+        if (exactServe)
+          view.readDerived(None, derived.toSeq).queryExecution.analyzed
         else {
           val preCols = rest.map(c =>
             org.apache.spark.sql.GraftExpressionBridge.column(c.transform {
@@ -961,7 +1014,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             case (_, n, None) => (n, org.apache.spark.sql.functions.col(n))
             case (_, n, Some(c)) => (n, c)
           }
-          try view.readRollupExprs(roll, preCols, derivedAvgs.toSeq,
+          try view.readRollupExprs(roll, preCols, derived.toSeq,
               derivedCountDistincts.toSeq)
             .queryExecution.analyzed
           catch { case scala.util.control.NonFatal(_) => return None }
@@ -983,10 +1036,10 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             if (va.dataType != dt) return None
           }
       }
-      if (exact && rest.exists(_.references.exists(a => viewAttr(a.name).isEmpty)))
+      if (exactServe && rest.exists(_.references.exists(a => viewAttr(a.name).isEmpty)))
         return None
       val refiltered =
-        if (!exact) viewPlan // rollup path: filters already below the re-agg
+        if (!exactServe) viewPlan // rollup path: filters already below the re-agg
         else rest.foldLeft(viewPlan) { (acc, cond) =>
           Filter(cond.transform {
             case a: AttributeReference if viewAttr(a.name).isDefined => viewAttr(a.name).get
@@ -1130,8 +1183,9 @@ private[sql] object GraftMvShape {
             spec match {
               case Some((kind, input)) => Some(MvAgg(al.name, kind, input))
               case None => return scala.Left(
-                s"unsupported aggregate ${al.sql} — count/sum/avg/min/max/" +
-                  "approx_count_distinct over a bare column (no DISTINCT, no FILTER)")
+                s"unsupported aggregate ${al.sql} — count/sum/avg/min/max over " +
+                  "a column or row-local expression, approx_count_distinct over " +
+                  "a column (no DISTINCT, no FILTER)")
             }
           case e => return scala.Left(s"unsupported select item ${e.sql} — " +
             "alias every aggregate (e.g. count(1) AS n)")

@@ -1342,6 +1342,164 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("all-optional chain (outer arm as interior node) is a clean contract error through SQL CREATE") {
+    // fact LEFT a LEFT b with b keyed off a — the normalized-catalog
+    // shape — is deliberately NOT maintainable (a child arm would join
+    // the parent's null-extended rows and the per-arm transition algebra
+    // stops telescoping); the contract is a clean create-time error
+    // naming the denormalization workaround, never a wrong view
+    val fp = Files.createTempDirectory("graft_mvrw_oc_f").toString
+    val ap = Files.createTempDirectory("graft_mvrw_oc_a").toString
+    val bp = Files.createTempDirectory("graft_mvrw_oc_b").toString
+    LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 100L).map(i => (i, 1L, i % 10, i % 50)).toDF("k", "ver", "ck", "amt"))
+    LakeTable.create(spark, ap, TableSpec("adk", "aver"),
+      (0L until 8L).map(i => (i, 0L, i % 3)).toDF("adk", "aver", "bk"))
+    LakeTable.create(spark, bp, TableSpec("bdk", "bver"),
+      (0L until 3L).map(i => (i, 0L, s"b$i")).toDF("bdk", "bver", "bname"))
+    spark.read.format("graft").load(fp).createOrReplaceTempView("oc_f")
+    spark.read.format("graft").load(ap).createOrReplaceTempView("oc_a")
+    spark.read.format("graft").load(bp).createOrReplaceTempView("oc_b")
+    val mvPath = Files.createTempDirectory("graft_mvrw_oc_mv").toString + "/mv"
+    try {
+      val err = intercept[IllegalArgumentException] {
+        spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS " +
+          "SELECT bname, count(1) AS n, sum(amt) AS s FROM oc_f " +
+          "LEFT JOIN oc_a ON ck = adk LEFT JOIN oc_b ON bk = bdk " +
+          "GROUP BY bname")
+      }
+      assert(err.getMessage.contains("leaves") &&
+        err.getMessage.contains("denormalize"), err.getMessage)
+      assert(!GraftMvRewrite.registered.exists(_.contains(mvPath)),
+        "a failed create must not leave a registered view behind")
+    } finally {
+      GraftMvRewrite.clear()
+      Seq("oc_f", "oc_a", "oc_b").foreach(spark.catalog.dropTempView(_))
+    }
+  }
+
+  test("derivation matrix: count/avg from sum state, sum/count from avg state, count(*) from GRP_N, exact-path count(DISTINCT)") {
+    val path = Files.createTempDirectory("graft_mvrw_drv").toString
+    // amt NULL every 7th row, so count(amt) ≠ count(*) and the cnt
+    // derivation is actually exercised
+    val rows = (1L to 3000L).map(i => (i, 1L, s"g${i % 5}", s"s${i % 3}",
+      if (i % 7 == 0) None else Some(i % 97))).toDF("k", "ver", "grp", "sub", "amt")
+    val base = LakeTable.create(spark, path, TableSpec("k", "ver"), rows)
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    // view 1 declares ONLY sum(amt): avg/count(amt)/count(*) all derive
+    val mvSum = Files.createTempDirectory("graft_mvrw_drv_s").toString
+    MaterializedView.create(spark, mvSum, base, Seq("grp", "sub"),
+      Seq(MvAgg("su", "sum", "amt")))
+    try {
+      GraftMvRewrite.register(mvSum)
+      // rollup path (GROUP BY grp ⊂ view dims)
+      val roll = spark.read.format("graft").load(path).groupBy("grp")
+        .agg(sum("amt").as("su"), avg("amt").as("av"), count(col("amt")).as("ca"),
+          count(lit(1)).as("n"), countDistinct("sub").as("ds"))
+      assert(scansMvState(roll) && !scansPath(roll, path),
+        s"all five aggregates must derive from the sum-only state:\n" +
+          s"${roll.queryExecution.optimizedPlan}")
+      assert(expect(roll) == expect(base.read().groupBy("grp")
+        .agg(sum("amt").as("su"), avg("amt").as("av"), count(col("amt")).as("ca"),
+          count(lit(1)).as("n"), countDistinct("sub").as("ds"))))
+      // EXACT dims + count(DISTINCT dim): routes through the identity
+      // rollup and serves (the round-9 gap)
+      val ex = spark.read.format("graft").load(path).groupBy("grp", "sub")
+        .agg(countDistinct("sub").as("ds"), count(lit(1)).as("n"))
+      assert(scansMvState(ex) && !scansPath(ex, path),
+        s"exact-dim count(DISTINCT dim) must serve:\n${ex.queryExecution.optimizedPlan}")
+      assert(expect(ex) == expect(base.read().groupBy("grp", "sub")
+        .agg(countDistinct("sub").as("ds"), count(lit(1)).as("n"))))
+      // negatives: a distinct count over a NON-dim and aggregates with no
+      // matching state fall through to the base
+      assert(scansPath(spark.read.format("graft").load(path).groupBy("grp")
+        .agg(countDistinct("amt").as("da")), path),
+        "count(DISTINCT non-dim) must not serve")
+      assert(scansPath(spark.read.format("graft").load(path).groupBy("grp")
+        .agg(min("amt").as("mn")), path),
+        "min over a sum-only view must not serve")
+      assert(scansPath(spark.read.format("graft").load(path).groupBy("grp")
+        .agg(count(col("sub")).as("cs")), path),
+        "count(col) with no sum/avg state over that column must not serve")
+    } finally GraftMvRewrite.clear()
+    // view 2 declares ONLY avg(amt): sum/count(amt) derive from its state
+    val mvAvg = Files.createTempDirectory("graft_mvrw_drv_a").toString
+    MaterializedView.create(spark, mvAvg, base, Seq("grp"),
+      Seq(MvAgg("av", "avg", "amt")))
+    try {
+      GraftMvRewrite.register(mvAvg)
+      val q = spark.read.format("graft").load(path).groupBy("grp")
+        .agg(sum("amt").as("su"), count(col("amt")).as("ca"), avg("amt").as("av"),
+          count(lit(1)).as("n"))
+      assert(scansMvState(q) && !scansPath(q, path),
+        s"sum/count must derive from the avg-only state:\n${q.queryExecution.optimizedPlan}")
+      assert(expect(q) == expect(base.read().groupBy("grp")
+        .agg(sum("amt").as("su"), count(col("amt")).as("ca"), avg("amt").as("av"),
+          count(lit(1)).as("n"))))
+      // staleness still gates derived serving
+      base.upsert(Seq((90001L, 2L, "g1", "s1", Some(5L))).toDF("k", "ver", "grp", "sub", "amt"))
+      assert(scansPath(spark.read.format("graft").load(path).groupBy("grp")
+        .agg(sum("amt").as("su")), path), "stale view must not derive-serve")
+      MaterializedView.load(spark, mvAvg).refresh()
+      val q2 = spark.read.format("graft").load(path).groupBy("grp")
+        .agg(sum("amt").as("su"), count(lit(1)).as("n"))
+      assert(scansMvState(q2) && !scansPath(q2, path))
+      assert(expect(q2) == expect(base.read().groupBy("grp")
+        .agg(sum("amt").as("su"), count(lit(1)).as("n"))))
+    } finally GraftMvRewrite.clear()
+  }
+
+  test("expression-input aggregates serve: the revenue shape matches canonically and derives avg/count") {
+    val path = Files.createTempDirectory("graft_mvrw_expr").toString
+    val rows = (1L to 2000L).map(i => (i, 1L, s"g${i % 5}", i % 50, (i % 9).toInt))
+      .toDF("k", "ver", "grp", "amt", "qty")
+    val base = LakeTable.create(spark, path, TableSpec("k", "ver"), rows)
+    val mvPath = Files.createTempDirectory("graft_mvrw_expr_mv").toString
+    // the revenue shape: one declared expression sum
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("rev", "sum", "amt * (qty + 1)")))
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    val e = expr("amt * (qty + 1)")
+    try {
+      GraftMvRewrite.register(mvPath)
+      val q = spark.read.format("graft").load(path).groupBy("grp")
+        .agg(sum(e).as("rev"), avg(e).as("av"), count(e).as("cx"),
+          count(lit(1)).as("n"))
+      assert(scansMvState(q) && !scansPath(q, path),
+        s"the expression aggregate and its derivations must serve:\n" +
+          s"${q.queryExecution.optimizedPlan}")
+      assert(expect(q) == expect(base.read().groupBy("grp")
+        .agg(sum(e).as("rev"), avg(e).as("av"), count(e).as("cx"),
+          count(lit(1)).as("n"))))
+      // a DIFFERENT expression must not match the stored one
+      assert(scansPath(spark.read.format("graft").load(path).groupBy("grp")
+        .agg(sum(expr("amt * (qty + 2)")).as("rev2")), path),
+        "a different expression must fall through")
+      // churn → stale gate → refresh re-enables, values track
+      base.upsert(Seq((95001L, 2L, "g2", 40L, 3)).toDF("k", "ver", "grp", "amt", "qty"))
+      assert(scansPath(spark.read.format("graft").load(path).groupBy("grp")
+        .agg(sum(e).as("rev")), path), "stale expression view must not serve")
+      MaterializedView.load(spark, mvPath).refresh()
+      val q2 = spark.read.format("graft").load(path).groupBy("grp")
+        .agg(sum(e).as("rev"))
+      assert(scansMvState(q2) && !scansPath(q2, path))
+      assert(expect(q2) == expect(base.read().groupBy("grp").agg(sum(e).as("rev"))))
+      // SQL lifecycle: CREATE with the expression aggregate serves the
+      // same SQL shape
+      spark.read.format("graft").load(path).createOrReplaceTempView("rev_v")
+      val mvSql = Files.createTempDirectory("graft_mvrw_expr_sql").toString + "/mv"
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvSql' AS SELECT grp, " +
+        "sum(amt * (qty + 1)) AS rev FROM rev_v GROUP BY grp")
+      try {
+        val qs = spark.sql("SELECT grp, sum(amt * (qty + 1)) AS rev " +
+          "FROM rev_v GROUP BY grp")
+        assert(scansMvState(qs) && !scansPath(qs, path),
+          s"SQL-created expression view must serve:\n${qs.queryExecution.optimizedPlan}")
+        assert(expect(qs) == expect(base.read().groupBy("grp").agg(sum(e).as("rev"))))
+      } finally spark.catalog.dropTempView("rev_v")
+    } finally GraftMvRewrite.clear()
+  }
+
   test("composite-key join view: SQL create + serve in any conjunct/operand order; key SUBSETS never match") {
     val fp = Files.createTempDirectory("graft_mvrw_ck_f").toString
     val dp = Files.createTempDirectory("graft_mvrw_ck_d").toString
