@@ -189,11 +189,19 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
   private[graft] def readRollupExprs(roll: Seq[(String, Column)],
       preFilters: Seq[Column] = Nil,
       derived: Seq[MvDerived] = Nil,
-      derivedCountDistincts: Seq[(String, Seq[String])] = Nil): DataFrame = {
+      derivedCountDistincts: Seq[(String, Seq[String])] = Nil,
+      joinBack: DataFrame => DataFrame = identity): DataFrame = {
+    // `joinBack` re-joins the live state rows to dim tables BEFORE the
+    // re-aggregation (the rewrite's drill-across serving): re-aggregation
+    // is a homomorphism and the join multiplies each state row exactly as
+    // it multiplies that group's base rows, so every aggregate below —
+    // including the derived ones and DISTINCT counts — reproduces the
+    // joined query exactly. preFilters apply after it (= above the join,
+    // where the query's own residual predicates sat).
     val m = meta
     val stSchema = state.schema
     val st = preFilters.foldLeft(
-      state.read().filter(col(GRP_N) > 0))((acc, c) => acc.filter(c))
+      joinBack(state.read().filter(col(GRP_N) > 0)))((acc, c) => acc.filter(c))
     val derivedCols: Seq[Column] = derived.map {
       // from a sum/avg agg's stored partials, re-aggregated
       case MvDerived(out, "avg", s) => // Σsum / Σcnt

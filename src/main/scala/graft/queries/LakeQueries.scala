@@ -1730,6 +1730,74 @@ object LakeQueries {
         |FROM fact GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)),
 
+    // JOIN-BACK (drill-across) MV serving: the view is JOIN-FREE, grouped
+    // on the join key (one partial row per customer) with a single
+    // decimal-exact expression sum; the query joins orders to the
+    // customer dim and groups by a CUSTOMER attribute the view never
+    // held. The rewrite re-joins the state's partials to the dim read
+    // LIVE and re-aggregates — count(*) derives from the group row
+    // counts, the revenue sum re-sums the partials, and count(DISTINCT
+    // custkey) is duplication-insensitive — so a post-refresh DIM churn
+    // (segment moves) needs NO view refresh to serve fresh numbers. The
+    // require pins that the served plan never reads the fact.
+    "q167_mv_joinback" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvjb_f_$tag"); val cp = freshDir(s"mvjb_c_$tag")
+        val mp = freshDir(s"mvjb_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        val cust = LakeTable.create(s, cp, TableSpec("c_custkey", "cver"),
+          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+            .withColumn("cver", lit(0L)))
+        MaterializedView.create(s, mp, fact, Seq("o_custkey"),
+          Seq(MvAgg("rev", "sum", "CAST(o_totalprice AS DECIMAL(18,2))")))
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1))
+        fact.delete(col("o_orderkey") % 13 === 0)
+        MaterializedView.load(s, mp).refresh()
+        // dim churn AFTER the refresh: join-back reads the dim live, so
+        // the rewrite must keep serving and reflect the moves
+        cust.upsert(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("c_mktsegment", lit("MOVED")).withColumn("cver", lit(1L)))
+        graft.sql.GraftMvRewrite.register(mp)
+        try {
+          val e = expr("CAST(o_totalprice AS DECIMAL(18,2))")
+          val q = s.read.format("graft").load(fp)
+            .join(s.read.format("graft").load(cp),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n"), sum(e).cast("double").as("rev"),
+              countDistinct("o_custkey").as("dk"))
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          val readsFact = rewritten.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case g: graft.sources.GraftRelation => g.path.contains(fp)
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(fp))
+            case _ => false
+          })
+          require(!readsFact,
+            s"join-back serving must read only the MV state and the dim:\n$rewritten")
+          org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+            .orderBy("c_mktsegment")
+        } finally graft.sql.GraftMvRewrite.unregister(mp)
+      },
+      """WITH fact AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 13 <> 0),
+        |cust AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+        |              ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |       CAST(COUNT(DISTINCT f.o_custkey) AS BIGINT) AS dk
+        |FROM fact f JOIN cust c ON f.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

@@ -797,13 +797,71 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // doesn't match (or whose agg set is short one column) never blocks a
     // later view that can serve
     def serveWith(view: MaterializedView,
-        meta: MaterializedView.MvMeta): Option[LogicalPlan] = {
+        meta: MaterializedView.MvMeta,
+        joinBack: Option[Seq[(String, Seq[String], Seq[String], Boolean)]] = None)
+        : Option[LogicalPlan] = {
       // per grouping item, its serving: the view dim column to read
       // directly (exact match) or a state-side DERIVED grouping column
       // (f-of-bare-dim substitution / coarser truncation) with a
       // synthetic output name. An unparseable stored expression disables
       // the view.
       val infos = dimInfosOf(spark, meta).getOrElse(return None)
+      // JOIN-BACK serving (the drill-across rewrite): the query joins the
+      // view's base to dim tables and groups on a dim ATTRIBUTE the view
+      // does not hold. When every join arm's left keys are bare view dims
+      // (or columns of an earlier arm — snowflake chains), the state's
+      // partials re-join the DIM TABLES READ LIVE and re-aggregate: the
+      // re-aggregation is a homomorphism and the join multiplies each
+      // state row exactly as it multiplies that key's fact rows, so
+      // sums/counts/min/max/avg-pairs/sketches and DISTINCT counts all
+      // reproduce the query bit-exactly (LEFT arms null-extend the
+      // unmatched partials into the same NULL groups). Freshness needs
+      // only the FACT cursor: the served plan scans the dims at the same
+      // live snapshot the query itself would. `joinBack` carries the
+      // query's arms (dimPath, leftKeys, dimKeys, outer) in join order.
+      lazy val stateNames: Set[String] =
+        try view.state.schema.fieldNames.map(_.toLowerCase).toSet
+        catch { case scala.util.control.NonFatal(_) => return None }
+      val jbCtx: Option[(Seq[(String, Seq[String], Seq[String], Boolean)],
+          Seq[Seq[String]])] = joinBack match {
+        case None => None
+        case Some(_) if meta.joins.nonEmpty => return None
+        case Some(arms) =>
+          val schemas =
+            try arms.map(a => LakeTable.load(spark, a._1).schema.fieldNames.toSeq)
+            catch { case scala.util.control.NonFatal(_) => return None }
+          val bare = infos.filter(_.bare).map(_.key).toSet
+          val lcSchemas = schemas.map(_.map(_.toLowerCase).toSet)
+          arms.zipWithIndex.foreach { case ((_, lks, dks, _), ix) =>
+            lks.zip(dks).foreach { case (lk, dk) =>
+              if (lk.equalsIgnoreCase(dk)) return None // bare-name join contract
+              val lkl = lk.toLowerCase
+              val earlier = lcSchemas.take(ix).count(_.contains(lkl))
+              // each left key homes on the fact (a bare view dim) or
+              // exactly one EARLIER arm's dim — ambiguity bails
+              if (bare.contains(lkl)) { if (earlier != 0) return None }
+              else if (earlier != 1) return None
+              // a projected dim column must collide with neither the
+              // state's columns nor another arm's
+              if (stateNames.contains(dk.toLowerCase) ||
+                lcSchemas.zipWithIndex.count { case (s, j) =>
+                  j != ix && s.contains(dk.toLowerCase) } > 0) return None
+            }
+          }
+          Some((arms, schemas))
+      }
+      // a bare attribute resolving in exactly ONE join-back dim (and
+      // nowhere on the state side): served as the dim's own column after
+      // the join-back
+      def jbAttrCol(name: String): Option[String] = jbCtx.flatMap {
+        case (_, schemas) =>
+          val nm = name.toLowerCase
+          if (infos.exists(_.key == nm) || stateNames.contains(nm)) None
+          else {
+            val hits = schemas.flatMap(_.filter(_.equalsIgnoreCase(nm)))
+            if (hits.size == 1) Some(hits.head) else None
+          }
+      }
       val serves: Seq[(Expression, String, Option[org.apache.spark.sql.Column])] =
         qItems.zipWithIndex.map { case (q, i) =>
           infos.find(_.key == q.key) match {
@@ -828,7 +886,14 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
                       org.apache.spark.sql.functions.trunc(
                         org.apache.spark.sql.functions.col(d.name), qt.fmt)
                   })
-              (q.e, s"_roll_$i", Some(byBare.orElse(byTrunc).getOrElse(return None)))
+              // a dim-table attribute keeps its own name as the output
+              def byJb = q.e match {
+                case a: AttributeReference => jbAttrCol(a.name).map(n =>
+                  (q.e, n, Some(org.apache.spark.sql.functions.col(n))))
+                case _ => None
+              }
+              byJb.getOrElse(
+                (q.e, s"_roll_$i", Some(byBare.orElse(byTrunc).getOrElse(return None))))
           }
         }
       val exact = serves.forall(_._3.isEmpty) &&
@@ -856,9 +921,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       }
       // whatever the view's filter did NOT absorb must be dim-only —
       // those predicates commute with GROUP BY and re-apply on the dims
+      // (or, under join-back, on a joined dim table's own columns: the
+      // residual applies after the join-back, exactly where the query's
+      // own filter sat)
       val rest = qConj.toSeq
       val dimNames = meta.dims.map(_.toLowerCase).toSet
-      if (!rest.forall(_.references.forall(a => dimNames.contains(a.name.toLowerCase))))
+      if (!rest.forall(_.references.forall(a =>
+          dimNames.contains(a.name.toLowerCase) || jbAttrCol(a.name).isDefined)))
         return None
       if (rest.exists(!_.deterministic)) return None
       // map every output column of the aggregate to a served column:
@@ -888,10 +957,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       val derivedCountDistincts =
         scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
       // the state column serving a count-DISTINCT child: a bare view dim
-      // by name, or an expression dim by canonical-text restatement
+      // by name, an expression dim by canonical-text restatement, or —
+      // under join-back — a joined dim table's own column (DISTINCT is
+      // duplication-insensitive, so the join's multiplicity is harmless)
       def cdDimCol(e: Expression): Option[String] = e match {
         case a: AttributeReference =>
           infos.find(d => d.bare && d.key == a.name.toLowerCase).map(_.name)
+            .orElse(jbAttrCol(a.name))
         case e2 if e2.deterministic &&
             !e2.exists(_.isInstanceOf[SubqueryExpression]) =>
           infos.find(_.key == canon(e2)).map(_.name)
@@ -997,10 +1069,10 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // the re-aggregation (they may reference rolled-away dims). Either
       // way a Project re-aliases view columns under the ORIGINAL output
       // exprIds, so everything above the aggregate keeps resolving.
-      // count(DISTINCT) forces the rollup path even on exact dims: the
-      // distinct count is computed by re-aggregating the state's group
-      // rows (identity roll — each state row is its own group)
-      val exactServe = exact && derivedCountDistincts.isEmpty
+      // count(DISTINCT) and join-back force the rollup path even on exact
+      // dims: the distinct count / joined grouping is computed by
+      // re-aggregating the state's group rows
+      val exactServe = exact && derivedCountDistincts.isEmpty && jbCtx.isEmpty
       val viewPlan =
         if (exactServe)
           view.readDerived(None, derived.toSeq).queryExecution.analyzed
@@ -1014,8 +1086,37 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             case (_, n, None) => (n, org.apache.spark.sql.functions.col(n))
             case (_, n, Some(c)) => (n, c)
           }
+          // the join-back transform applied to the state read before
+          // re-aggregation: each arm's dim is scanned LIVE via the same
+          // graft snapshot source the query uses, projected to its join
+          // keys plus the columns the serving actually references
+          val joinBackFn: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.DataFrame = jbCtx match {
+            case None => identity
+            case Some((arms, schemas)) =>
+              val wantedNames: Seq[String] =
+                (serves.collect { case (_, n, Some(_)) => n } ++
+                  derivedCountDistincts.flatMap(_._2) ++
+                  rest.flatMap(_.references.map(_.name)) ++
+                  arms.flatMap(_._2)).distinct
+                  .filterNot(w => stateNames.contains(w.toLowerCase))
+              st => arms.zipWithIndex.foldLeft(st) {
+                case (acc, ((dp, lks, dks, outer), ix)) =>
+                  val mine = schemas(ix)
+                  val need = (dks ++ wantedNames.filter(w =>
+                    mine.exists(_.equalsIgnoreCase(w)))).distinct
+                  val dimDf = spark.read.format("graft").load(dp)
+                    .select(need.map(org.apache.spark.sql.functions.col): _*)
+                  acc.join(dimDf,
+                    lks.zip(dks).map { case (l, d) =>
+                      org.apache.spark.sql.functions.col(l) ===
+                        org.apache.spark.sql.functions.col(d)
+                    }.reduce(_ && _),
+                    if (outer) "left_outer" else "inner")
+              }
+          }
           try view.readRollupExprs(roll, preCols, derived.toSeq,
-              derivedCountDistincts.toSeq)
+              derivedCountDistincts.toSeq, joinBackFn)
             .queryExecution.analyzed
           catch { case scala.util.control.NonFatal(_) => return None }
         }
@@ -1057,7 +1158,40 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       }
       Some(Project(out, refiltered))
     }
-    freshCandidates.flatMap { case (v, m) => serveWith(v, m) }.nextOption()
+    val direct = freshCandidates.flatMap { case (v, m) => serveWith(v, m) }.nextOption()
+    if (direct.isDefined) return direct
+    // JOIN-BACK candidates — the drill-across rewrite: a join/star query
+    // whose fact a join-FREE view covers can serve by re-joining the
+    // state's partials to the dim tables read live (see serveWith's
+    // jbCtx). Tried only after every direct candidate missed; freshness
+    // needs the FACT cursor alone — the dims are scanned at the same
+    // live snapshot the query itself would read.
+    val jbArms = joined.map { case (_, lks, rp, rks, o, _) => Seq((rp, lks, rks, o)) }
+      .orElse(starred.map(_._2))
+    jbArms match {
+      case None => None
+      case Some(arms) =>
+        val jbCandidates = registered.flatMap { p =>
+          shapeOf(spark, p) match {
+            case Some(s) if s.joinSig.isEmpty && s.basePath == path &&
+                qItems.forall(q => itemMatches(q, s.dimInfo) ||
+                  q.e.isInstanceOf[AttributeReference]) =>
+              Some((p, s.dims))
+            case _ => None
+          }
+        }.sortBy { case (_, ds) => ds.size }
+        val jbFresh = jbCandidates.iterator.flatMap { case (p, _) =>
+          try {
+            val m = MaterializedView.load(spark, p)
+            val meta = m.meta // fresh read — authoritative over the cache
+            if (meta.joins.isEmpty && meta.basePath == path &&
+              m.lastRefreshedVersion == latestOf(meta.basePath))
+              Some((m, meta))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        jbFresh.flatMap { case (v, m) => serveWith(v, m, Some(arms)) }.nextOption()
+    }
   }
 }
 

@@ -1342,6 +1342,101 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("join-back serving: GROUP BY a dim attribute serves from a join-free view's partials") {
+    val fp = Files.createTempDirectory("graft_mvrw_jb_f").toString
+    val dp = Files.createTempDirectory("graft_mvrw_jb_d").toString
+    val rp = Files.createTempDirectory("graft_mvrw_jb_r").toString
+    // amt NULL every 7th row so the derived count path is non-trivial
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 2000L).map(i => (i, 1L, i % 40,
+        if (i % 7 == 0) None else Some(i % 100))).toDF("k", "ver", "ck", "amt"))
+    // dim with DUPLICATE join keys (cdk 0-19 carry two rows — the join
+    // multiplies those partials, which re-aggregation must reproduce) and
+    // MISSING keys (cdk % 5 = 0 absent — inner drops, LEFT null-extends)
+    def dimRows = (0L until 60L).map { d =>
+      val cdk = d % 40
+      (d, 0L, cdk, s"n${(d % 6)}", s"r${cdk % 3}", (cdk % 4).toInt, cdk % 3)
+    }.toDF("d_id", "dver", "cdk", "n_name", "region", "dw", "rk")
+    val dim2 = LakeTable.create(spark, dp, TableSpec("d_id", "dver"),
+      dimRows.filter(col("cdk") % 5 =!= 0))
+    // chain tail: region table keyed off the dim's rk column
+    LakeTable.create(spark, rp, TableSpec("rgk", "rver"),
+      (0L until 3L).map(i => (i, 0L, s"reg$i")).toDF("rgk", "rver", "rname"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_jb_mv").toString
+    // join-FREE view grouped on the join key: sum+min declared; count(*),
+    // avg, count(amt), count(DISTINCT ck) all derive
+    MaterializedView.create(spark, mvPath, fact, Seq("ck"),
+      Seq(MvAgg("s", "sum", "amt"), MvAgg("mn", "min", "amt")))
+    def f = spark.read.format("graft").load(fp)
+    def d = spark.read.format("graft").load(dp)
+    def r = spark.read.format("graft").load(rp)
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    def recompute(join: String): DataFrame =
+      LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"), join)
+        .groupBy("n_name").agg(count(lit(1)).as("n"), sum("amt").as("s"),
+          avg("amt").as("a"), min("amt").as("mn"), countDistinct("ck").as("dk"))
+    try {
+      GraftMvRewrite.register(mvPath)
+      def q(join: String): DataFrame = f.join(d, col("ck") === col("cdk"), join)
+        .groupBy("n_name").agg(count(lit(1)).as("n"), sum("amt").as("s"),
+          avg("amt").as("a"), min("amt").as("mn"), countDistinct("ck").as("dk"))
+      val inner = q("inner")
+      assert(scansMvState(inner) && !scansPath(inner, fp),
+        s"inner join-back must serve from partials:\n${inner.queryExecution.optimizedPlan}")
+      assert(expect(inner) == expect(recompute("inner")))
+      val left = q("left_outer")
+      assert(scansMvState(left) && !scansPath(left, fp),
+        s"LEFT join-back must serve:\n${left.queryExecution.optimizedPlan}")
+      assert(expect(left) == expect(recompute("left_outer")))
+      assert(expect(left).exists(_.head == null), "the NULL group must exist")
+      // residual predicate on a dim attribute re-applies after the join-back
+      val filtered = f.join(d, col("ck") === col("cdk"))
+        .filter(col("region") === "r1")
+        .groupBy("n_name").agg(sum("amt").as("s"))
+      assert(scansMvState(filtered) && !scansPath(filtered, fp),
+        s"dim-attr residual must serve:\n${filtered.queryExecution.optimizedPlan}")
+      assert(expect(filtered) == expect(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"))
+        .filter(col("region") === "r1")
+        .groupBy("n_name").agg(sum("amt").as("s"))))
+      // snowflake chain-tail: group on the region name two hops out (the
+      // second arm's left key `rk` lives on the FIRST dim, not the fact)
+      val chainQ = f.join(d, col("ck") === col("cdk"))
+        .join(r, col("rk") === col("rgk"))
+        .groupBy("rname").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      assert(scansMvState(chainQ) && !scansPath(chainQ, fp),
+        s"chain-tail join-back must serve:\n${chainQ.queryExecution.optimizedPlan}")
+      assert(expect(chainQ) == expect(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"))
+        .join(LakeTable.load(spark, rp).read(), col("rk") === col("rgk"))
+        .groupBy("rname").agg(count(lit(1)).as("n"), sum("amt").as("s"))))
+      // DIM churn needs NO refresh: the dims are read live by the served
+      // plan — the rewrite keeps serving and the numbers track the move
+      dim2.upsert(dimRows.filter(col("cdk") === 1L)
+        .withColumn("n_name", lit("moved")).withColumn("dver", lit(2L)))
+      val afterDim = q("inner")
+      assert(scansMvState(afterDim) && !scansPath(afterDim, fp),
+        "dim churn must not gate join-back serving (dims are read live)")
+      assert(expect(afterDim) == expect(recompute("inner")))
+      // FACT churn gates until refresh, as everywhere
+      fact.upsert(Seq((99001L, 2L, 1L, Some(50L))).toDF("k", "ver", "ck", "amt"))
+      assert(scansPath(q("inner"), fp), "a stale fact must not serve join-back")
+      MaterializedView.load(spark, mvPath).refresh()
+      val fresh = q("inner")
+      assert(scansMvState(fresh) && !scansPath(fresh, fp))
+      assert(expect(fresh) == expect(recompute("inner")))
+      // negatives: an aggregate over a DIM column has no partials; a
+      // grouping attribute in neither the view nor a dim falls through
+      assert(scansPath(f.join(d, col("ck") === col("cdk"))
+        .groupBy("n_name").agg(sum("dw").as("sw")), fp),
+        "a dim-column aggregate must not serve")
+      assert(scansPath(f.join(d, col("ck") === col("cdk"))
+        .groupBy("amt").agg(count(lit(1)).as("n")), fp),
+        "grouping on a non-dim fact column must not serve")
+    } finally GraftMvRewrite.clear()
+  }
+
   test("all-optional chain (outer arm as interior node) is a clean contract error through SQL CREATE") {
     // fact LEFT a LEFT b with b keyed off a — the normalized-catalog
     // shape — is deliberately NOT maintainable (a child arm would join
