@@ -1798,6 +1798,90 @@ object LakeQueries {
         |FROM fact f JOIN cust c ON f.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // PARTIAL-STAR join-back — the summary-table + dimension-drill shape:
+    // the view covers orders ⋈ customer grouped on the customer's NATION
+    // key; the query adds a nation arm and groups by nation NAME. The
+    // view's arm is a sub-multiset of the query's, so the rewrite serves
+    // by joining the state's partials to the nation table read LIVE —
+    // the served plan reads NEITHER the fact NOR the customer dim (both
+    // folded into the state), and a post-refresh nation rename needs no
+    // view refresh. avg derives from the sum's internal pair on the way.
+    "q168_mv_partial_star" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        import graft.lake.MaterializedView.MvJoin
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvps_f_$tag"); val cp = freshDir(s"mvps_c_$tag")
+        val np = freshDir(s"mvps_n_$tag"); val mp = freshDir(s"mvps_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        val cust = LakeTable.create(s, cp, TableSpec("c_custkey", "cver"),
+          t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+            .withColumn("cver", lit(0L)))
+        val nat = LakeTable.create(s, np, TableSpec("n_nationkey", "nver"),
+          t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+            .withColumn("nver", lit(0L)))
+        MaterializedView.create(s, mp, fact, Seq("c_nationkey"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey")),
+          Seq(MvJoin(cp, Seq("o_custkey"), Seq("c_custkey"), 0L)))
+        // fact + member-dim churn, absorbed by one refresh
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1))
+        fact.delete(col("o_orderkey") % 13 === 0)
+        cust.upsert(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), col("c_nationkey"))
+          .withColumn("c_nationkey", (col("c_nationkey") + 1) % 25)
+          .withColumn("cver", lit(1L)))
+        MaterializedView.load(s, mp).refresh()
+        // EXTRA-arm churn after the refresh: the drill dim is read live
+        nat.upsert(t(s, d, "nation").filter(col("n_nationkey") === 10)
+          .select(col("n_nationkey"), col("n_name"))
+          .withColumn("n_name", lit("RENAMED")).withColumn("nver", lit(1L)))
+        graft.sql.GraftMvRewrite.register(mp)
+        try {
+          val q = s.read.format("graft").load(fp)
+            .join(s.read.format("graft").load(cp),
+              col("o_custkey") === col("c_custkey"))
+            .join(s.read.format("graft").load(np),
+              col("c_nationkey") === col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(count(lit(1)).as("n"), sum("o_custkey").as("su"),
+              avg("o_custkey").as("av"))
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          val readsFolded = rewritten.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case g: graft.sources.GraftRelation =>
+              g.path.contains(fp) || g.path.contains(cp)
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(p =>
+                p.toString.contains(fp) || p.toString.contains(cp))
+            case _ => false
+          })
+          require(!readsFolded,
+            s"partial-star serving must read only the state and the drill dim:\n$rewritten")
+          org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+            .orderBy("n_name")
+        } finally graft.sql.GraftMvRewrite.unregister(mp)
+      },
+      """WITH fact AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 13 <> 0),
+        |cust AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS c_nationkey
+        |  FROM customer),
+        |nat AS (
+        |  SELECT n_nationkey,
+        |         CASE WHEN n_nationkey = 10 THEN 'RENAMED' ELSE n_name END AS n_name
+        |  FROM nation)
+        |SELECT nt.n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(f.o_custkey) AS BIGINT) AS su,
+        |       CAST(SUM(f.o_custkey) AS DOUBLE) / COUNT(f.o_custkey) AS av
+        |FROM fact f
+        |JOIN cust c ON f.o_custkey = c.c_custkey
+        |JOIN nat nt ON c.c_nationkey = nt.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

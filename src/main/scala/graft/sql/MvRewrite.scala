@@ -816,16 +816,21 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // sums/counts/min/max/avg-pairs/sketches and DISTINCT counts all
       // reproduce the query bit-exactly (LEFT arms null-extend the
       // unmatched partials into the same NULL groups). Freshness needs
-      // only the FACT cursor: the served plan scans the dims at the same
-      // live snapshot the query itself would. `joinBack` carries the
-      // query's arms (dimPath, leftKeys, dimKeys, outer) in join order.
+      // only the view's OWN cursors: the served plan scans the joined-back
+      // dims at the same live snapshot the query itself would. `joinBack`
+      // carries the query arms (dimPath, leftKeys, dimKeys, outer) the
+      // view does NOT cover, in join order — for a PARTIAL-STAR match
+      // (the view has its own arms, a sub-multiset of the query's — the
+      // summary-table + dimension-drill shape) the view arms' content is
+      // already folded into the state, and an extra arm's left key must
+      // be a carried view dim (or an earlier EXTRA arm's column), exactly
+      // like the join-free case.
       lazy val stateNames: Set[String] =
         try view.state.schema.fieldNames.map(_.toLowerCase).toSet
         catch { case scala.util.control.NonFatal(_) => return None }
       val jbCtx: Option[(Seq[(String, Seq[String], Seq[String], Boolean)],
           Seq[Seq[String]])] = joinBack match {
         case None => None
-        case Some(_) if meta.joins.nonEmpty => return None
         case Some(arms) =>
           val schemas =
             try arms.map(a => LakeTable.load(spark, a._1).schema.fieldNames.toSeq)
@@ -1161,19 +1166,38 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val direct = freshCandidates.flatMap { case (v, m) => serveWith(v, m) }.nextOption()
     if (direct.isDefined) return direct
     // JOIN-BACK candidates — the drill-across rewrite: a join/star query
-    // whose fact a join-FREE view covers can serve by re-joining the
-    // state's partials to the dim tables read live (see serveWith's
-    // jbCtx). Tried only after every direct candidate missed; freshness
-    // needs the FACT cursor alone — the dims are scanned at the same
-    // live snapshot the query itself would read.
+    // whose fact a view covers, where the view's OWN arms (possibly none)
+    // are a SUBSET of the query's, serves by re-joining the state's
+    // partials to the remaining arms' dim tables read live (see
+    // serveWith's jbCtx) — the classic summary-table + dimension drill.
+    // Tried only after every direct candidate missed; freshness gates on
+    // the view's own cursors (fact + its member dims) — the EXTRA dims
+    // are scanned at the same live snapshot the query itself would read.
     val jbArms = joined.map { case (_, lks, rp, rks, o, _) => Seq((rp, lks, rks, o)) }
       .orElse(starred.map(_._2))
+    // the query arms NOT consumed by the view's own join signature (one
+    // query arm per sig arm, matched as (path, pair-set, outer)); None
+    // when the sig is not a sub-multiset of the query's arms
+    def extraArmsOf(sig: Seq[(String, Set[(String, String)], Boolean)],
+        arms: Seq[(String, Seq[String], Seq[String], Boolean)])
+        : Option[Seq[(String, Seq[String], Seq[String], Boolean)]] = {
+      val remaining = scala.collection.mutable.ArrayBuffer(arms: _*)
+      sig.foreach { sv =>
+        val ix = remaining.indexWhere(a => lcSig(MvJoin(a._1, a._2, a._3,
+          0L, a._4)) == sv)
+        if (ix < 0) return None
+        remaining.remove(ix)
+        ()
+      }
+      Some(remaining.toSeq)
+    }
     jbArms match {
       case None => None
       case Some(arms) =>
         val jbCandidates = registered.flatMap { p =>
           shapeOf(spark, p) match {
-            case Some(s) if s.joinSig.isEmpty && s.basePath == path &&
+            case Some(s) if s.basePath == path &&
+                extraArmsOf(s.joinSig, arms).exists(_.nonEmpty) &&
                 qItems.forall(q => itemMatches(q, s.dimInfo) ||
                   q.e.isInstanceOf[AttributeReference]) =>
               Some((p, s.dims))
@@ -1184,13 +1208,18 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           try {
             val m = MaterializedView.load(spark, p)
             val meta = m.meta // fresh read — authoritative over the cache
-            if (meta.joins.isEmpty && meta.basePath == path &&
-              m.lastRefreshedVersion == latestOf(meta.basePath))
-              Some((m, meta))
+            val extra = extraArmsOf(meta.joins.map(lcSig), arms)
+            if (meta.basePath == path && extra.exists(_.nonEmpty) && {
+              val (cf, cds) = m.refreshedVersions
+              cf == latestOf(meta.basePath) &&
+              meta.joins.zip(cds).forall { case (j, c) => c == latestOf(j.dimPath) }
+            })
+              Some((m, meta, extra.get))
             else None
           } catch { case scala.util.control.NonFatal(_) => None }
         }
-        jbFresh.flatMap { case (v, m) => serveWith(v, m, Some(arms)) }.nextOption()
+        jbFresh.flatMap { case (v, m, extra) =>
+          serveWith(v, m, Some(extra)) }.nextOption()
     }
   }
 }

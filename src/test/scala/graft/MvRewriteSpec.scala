@@ -1437,6 +1437,67 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally GraftMvRewrite.clear()
   }
 
+  test("partial-star join-back: a join view serves a query with an extra drill arm") {
+    // the summary-table + dimension-drill shape: the view covers
+    // fact ⋈ customer grouped on the customer's nation key; the query
+    // adds a nation arm and groups by nation NAME. The view's arm is a
+    // sub-multiset of the query's; the extra arm joins back onto the
+    // carried cnk dim — the served plan reads NEITHER the fact NOR the
+    // customer dim (both folded into the state), only state ⋈ nation.
+    val fp = Files.createTempDirectory("graft_mvrw_ps_f").toString
+    val cp = Files.createTempDirectory("graft_mvrw_ps_c").toString
+    val np = Files.createTempDirectory("graft_mvrw_ps_n").toString
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 2000L).map(i => (i, 1L, i % 30, i % 100)).toDF("k", "ver", "ck", "amt"))
+    val cust = LakeTable.create(spark, cp, TableSpec("cdk", "cver"),
+      (0L until 30L).map(c => (c, 0L, c % 5, s"c$c")).toDF("cdk", "cver", "cnk", "cname"))
+    val nat = LakeTable.create(spark, np, TableSpec("ndk", "nver"),
+      (0L until 5L).map(n => (n, 0L, s"nat$n")).toDF("ndk", "nver", "nname"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_ps_mv").toString
+    MaterializedView.create(spark, mvPath, fact, Seq("cnk"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")),
+      Seq(graft.lake.MaterializedView.MvJoin(cp, Seq("ck"), Seq("cdk"), 0L)))
+    def f = spark.read.format("graft").load(fp)
+    def c = spark.read.format("graft").load(cp)
+    def nt = spark.read.format("graft").load(np)
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    def q(): DataFrame = f.join(c, col("ck") === col("cdk"))
+      .join(nt, col("cnk") === col("ndk"))
+      .groupBy("nname").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+    def recompute(): DataFrame = LakeTable.load(spark, fp).read()
+      .join(LakeTable.load(spark, cp).read(), col("ck") === col("cdk"))
+      .join(LakeTable.load(spark, np).read(), col("cnk") === col("ndk"))
+      .groupBy("nname").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+    try {
+      GraftMvRewrite.register(mvPath)
+      val served = q()
+      assert(scansMvState(served) && !scansPath(served, fp) && !scansPath(served, cp),
+        s"partial-star drill must read only state ⋈ nation:\n" +
+          s"${served.queryExecution.optimizedPlan}")
+      assert(expect(served) == expect(recompute()))
+      // EXTRA-arm churn needs no refresh: nation is read live
+      nat.upsert(Seq((2L, 1L, "renamed")).toDF("ndk", "nver", "nname"))
+      val after = q()
+      assert(scansMvState(after) && !scansPath(after, fp),
+        "extra-arm churn must not gate partial-star serving")
+      assert(expect(after) == expect(recompute()))
+      // MEMBER-dim churn gates until refresh, as for direct serving
+      cust.upsert(Seq((3L, 1L, 4L, "moved")).toDF("cdk", "cver", "cnk", "cname"))
+      assert(scansPath(q(), fp), "a stale member dim must not serve")
+      MaterializedView.load(spark, mvPath).refresh()
+      val fresh = q()
+      assert(scansMvState(fresh) && !scansPath(fresh, fp) && !scansPath(fresh, cp))
+      assert(expect(fresh) == expect(recompute()))
+      // negative: the extra arm keyed off a customer column the view does
+      // not carry falls through (no partials for it)
+      val bad = f.join(c, col("ck") === col("cdk"))
+        .join(nt, col("cname") === col("nname"))
+        .groupBy("nname").agg(count(lit(1)).as("n"))
+      assert(scansPath(bad, fp),
+        "an extra arm keyed off a non-carried column must not serve")
+    } finally GraftMvRewrite.clear()
+  }
+
   test("all-optional chain (outer arm as interior node) is a clean contract error through SQL CREATE") {
     // fact LEFT a LEFT b with b keyed off a — the normalized-catalog
     // shape — is deliberately NOT maintainable (a child arm would join
