@@ -897,8 +897,28 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
                   (q.e, n, Some(org.apache.spark.sql.functions.col(n))))
                 case _ => None
               }
+              // a row-local expression whose refs are all served columns
+              // (bare view dims and/or joined dim attrs, at least one of
+              // the latter — pure-dim expressions take byBare) recomputes
+              // post-join: f is constant within each joined partial row
+              def resolveRef(r: String): Option[String] =
+                infos.find(d => d.bare && d.key == r).map(_.name)
+                  .orElse(jbAttrCol(r))
+              def byJbExpr = jbCtx.flatMap { _ =>
+                if (q.isBare || q.refs.isEmpty ||
+                  !q.refs.forall(r => resolveRef(r).isDefined) ||
+                  !q.refs.exists(r => jbAttrCol(r).isDefined)) None
+                else Some(org.apache.spark.sql.GraftExpressionBridge.column(
+                  q.e.transform {
+                    case a: AttributeReference =>
+                      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                        .quoted(resolveRef(a.name.toLowerCase).get)
+                  }))
+              }
               byJb.getOrElse(
-                (q.e, s"_roll_$i", Some(byBare.orElse(byTrunc).getOrElse(return None))))
+                (q.e, s"_roll_$i",
+                  Some(byBare.orElse(byTrunc).orElse(byJbExpr)
+                    .getOrElse(return None))))
           }
         }
       val exact = serves.forall(_._3.isEmpty) &&
@@ -1101,6 +1121,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             case Some((arms, schemas)) =>
               val wantedNames: Seq[String] =
                 (serves.collect { case (_, n, Some(_)) => n } ++
+                  qItems.flatMap(_.refs) ++ // refs of expression servings
                   derivedCountDistincts.flatMap(_._2) ++
                   rest.flatMap(_.references.map(_.name)) ++
                   arms.flatMap(_._2)).distinct
@@ -1194,12 +1215,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     jbArms match {
       case None => None
       case Some(arms) =>
+        // no per-item pre-filter here: a grouping item may be a dim-table
+        // attribute or an expression over them, undecidable without the
+        // dim schemas — serve-time resolution gates instead
         val jbCandidates = registered.flatMap { p =>
           shapeOf(spark, p) match {
             case Some(s) if s.basePath == path &&
-                extraArmsOf(s.joinSig, arms).exists(_.nonEmpty) &&
-                qItems.forall(q => itemMatches(q, s.dimInfo) ||
-                  q.e.isInstanceOf[AttributeReference]) =>
+                extraArmsOf(s.joinSig, arms).exists(_.nonEmpty) =>
               Some((p, s.dims))
             case _ => None
           }

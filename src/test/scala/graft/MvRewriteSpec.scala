@@ -1426,6 +1426,23 @@ class MvRewriteSpec extends AnyFunSuite {
       val fresh = q("inner")
       assert(scansMvState(fresh) && !scansPath(fresh, fp))
       assert(expect(fresh) == expect(recompute("inner")))
+      // grouping on an EXPRESSION over dim attrs (two refs, two columns)
+      // recomputes post-join
+      f.createOrReplaceTempView("jb_f"); d.createOrReplaceTempView("jb_d")
+      try {
+        val eq = spark.sql("SELECT concat(n_name, '_', region) AS g, " +
+          "sum(amt) AS s FROM jb_f JOIN jb_d ON ck = cdk " +
+          "GROUP BY concat(n_name, '_', region)")
+        assert(scansMvState(eq) && !scansPath(eq, fp),
+          s"dim-attr expression grouping must serve:\n${eq.queryExecution.optimizedPlan}")
+        assert(expect(eq) == expect(LakeTable.load(spark, fp).read()
+          .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"))
+          .groupBy(concat(col("n_name"), lit("_"), col("region")).as("g"))
+          .agg(sum("amt").as("s"))))
+      } finally {
+        spark.catalog.dropTempView("jb_f"); spark.catalog.dropTempView("jb_d")
+        ()
+      }
       // negatives: an aggregate over a DIM column has no partials; a
       // grouping attribute in neither the view nor a dim falls through
       assert(scansPath(f.join(d, col("ck") === col("cdk"))
