@@ -42,10 +42,35 @@ object Verify {
         Seq(graft.lake.MvAgg("n", "count", "*"),
           graft.lake.MvAgg("s", "sum", "amt")))
       graft.sql.GraftMvRewrite.register(s"$dir/mv")
+      // second decoy: a JOIN view (fact ⋈ dim over unrelated tables) —
+      // its nonempty join signature exercises extraArmsOf's sub-multiset
+      // matching, and the dry-run seam below runs the full JOIN-BACK
+      // matcher (extraArmsOf, jbCtx provenance validation, serve-plan
+      // building) for every registered view against every join/star
+      // query in the corpus, discarding the result — so the matcher
+      // surface the base-path candidate pre-filter would otherwise hide
+      // from a fixed decoy is fuzzed by the whole oracle population.
+      val dimT = graft.lake.LakeTable.create(spark, s"$dir/dim",
+        graft.lake.TableSpec("dk", "dver"),
+        spark.range(20L).select(col("id").as("dk"), lit(0L).as("dver"),
+          concat(lit("d"), col("id") % 3).as("dname")))
+      val factT = graft.lake.LakeTable.create(spark, s"$dir/fact",
+        graft.lake.TableSpec("fk", "fver"),
+        spark.range(100L).select(col("id").as("fk"), lit(0L).as("fver"),
+          (col("id") % 20).as("fdk"), (col("id") % 9).as("famt")))
+      graft.lake.MaterializedView.create(spark, s"$dir/mv2", factT,
+        Seq("dname"),
+        Seq(graft.lake.MvAgg("n2", "count", "*"),
+          graft.lake.MvAgg("s2", "sum", "famt")),
+        Seq(graft.lake.MaterializedView.MvJoin(
+          s"$dir/dim", Seq("fdk"), Seq("dk"), dimT.latestVersion)))
+      graft.sql.GraftMvRewrite.register(s"$dir/mv2")
+      graft.sql.GraftMvRewrite.fuzzJoinBackDryRun = true
       graft.sql.GraftMvRewrite.rewriteErrors = 0L
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.sql.GraftMvRewrite
-      System.err.println(s"[verify] decoy MV at $dir/mv; rewrite rule injected")
+      System.err.println(s"[verify] decoy MVs at $dir/mv and $dir/mv2 " +
+        "(join decoy + join-back dry-run fuzz); rewrite rule injected")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -75,6 +100,7 @@ object Verify {
     }
     if (decoy) {
       val errs = graft.sql.GraftMvRewrite.rewriteErrors
+      graft.sql.GraftMvRewrite.fuzzJoinBackDryRun = false
       graft.sql.GraftMvRewrite.clear()
       System.err.println(s"[verify] decoy sweep done; rewriteErrors=$errs")
       if (errs != 0L) {

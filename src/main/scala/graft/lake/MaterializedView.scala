@@ -189,7 +189,7 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
   private[graft] def readRollupExprs(roll: Seq[(String, Column)],
       preFilters: Seq[Column] = Nil,
       derived: Seq[MvDerived] = Nil,
-      derivedCountDistincts: Seq[(String, Seq[String])] = Nil,
+      derivedAggExprs: Seq[(String, Column)] = Nil,
       joinBack: DataFrame => DataFrame = identity): DataFrame = {
     // `joinBack` re-joins the live state rows to dim tables BEFORE the
     // re-aggregation (the rewrite's drill-across serving): re-aggregation
@@ -214,11 +214,14 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         coalesce(sum(col(cntCol(s))), lit(0L)).cast(LongType).as(out)
       case MvDerived(out, _, _) => // star: Σ GRP_N = count(*)
         coalesce(sum(col(GRP_N)), lit(0L)).cast(LongType).as(out)
-    } ++ derivedCountDistincts.map { case (out, cs) =>
-      // count(DISTINCT dim…) from the state's live group rows — exact,
-      // the state holds one row per dim tuple; Count's any-NULL-skips
-      // semantics match the query's by construction
-      count_distinct(col(cs.head), cs.tail.map(col): _*).as(out)
+    } ++ derivedAggExprs.map { case (out, c) =>
+      // duplication-insensitive aggregates computed over the state's live
+      // group rows (post join-back): count(DISTINCT …) — exact, the state
+      // holds one row per dim tuple — and min/max over joined-back dim
+      // attributes (the join multiplies rows, which extrema ignore).
+      // NULL semantics match the query's: Count skips any-NULL tuples,
+      // extrema skip NULLs, on both sides. Built by the rewrite.
+      c.as(out)
     }
     val aggCols: Seq[Column] = m.aggs.map {
       case MvAgg(n, "count", _) => coalesce(sum(col(n)), lit(0L)).cast(LongType).as(n)
@@ -336,10 +339,25 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     val stSchema = st.schema
     def stType(c: String): DataType = stSchema(c).dataType
 
+    // SCHEMA-EVOLUTION pre-flight (see [[brokenReferences]]): a member
+    // table that renamed/dropped a referenced column fails refresh HERE,
+    // with the broken references named — never an opaque AnalysisException
+    // from deep inside the maintenance plan. Additive evolution passes.
+    val broken = brokenReferences(spark, m, base.schema, dimTables.map(_.schema))
+    if (broken.nonEmpty) throw new IllegalStateException(
+      s"materialized view at $path: broken column reference(s) after member " +
+        s"schema evolution — ${broken.mkString("; ")}. Restore the column(s) " +
+        "(rename back / addColumns) or drop and recreate the view; DESCRIBE " +
+        "MATERIALIZED VIEW shows the same broken_reference rows")
+    // schema-aware bare-input classification (see [[inCol]]): a known
+    // member column name is bare even when not a plain identifier
+    val memberCols: Set[String] =
+      (base.schema.fieldNames ++ dimTables.flatMap(_.schema.fieldNames)).toSet
+    def inE(in: String): Column = inCol(in, memberCols)
     // an EXPRESSION agg input rides as its references, like the filter
     val inputs = m.aggs.flatMap(a =>
       if (a.input == "*") Nil
-      else if (isBareInput(a.input)) Seq(a.input)
+      else if (isBareInput(a.input) || memberCols.contains(a.input)) Seq(a.input)
       else filterRefNames(spark, a.input)).distinct
     // a filtered view's predicate references must ride every projection so
     // the filter can apply to the (joined) delta rows; an expression dim
@@ -349,6 +367,32 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     val exprRefs = m.dimExprs.values.toSeq.flatMap(t => filterRefNames(spark, t))
     val bareDims = dims.filterNot(m.dimExprs.contains)
     val need = (bareDims ++ exprRefs ++ inputs ++ filterRefs).distinct
+    // PHYSICAL-IDENTITY continuity (the other half of the contract): a
+    // referenced column that was DROPPED AND RE-ADDED — or renamed away
+    // and replaced by a new column of the same name — passes the name
+    // check above but carries a FRESH column-mapping physical id, and its
+    // pre-cursor values are gone for good (re-added columns read as
+    // NULL). The stored state still reflects the old values, so no
+    // incremental window can reconcile them; refuse cleanly instead of
+    // silently diverging from recompute. A pure rename-away-and-back
+    // keeps its physical id and passes.
+    locally {
+      val keyCols = m.joins.flatMap(j => j.factKeys ++ j.dimKeys)
+      val contCols = (need ++ keyCols).distinct
+      val discontinuous = (base +: dimTables).zip(lastV +: dimVs).flatMap {
+        case (tb, cv) => contCols.filter { c =>
+          tb.schema.fieldNames.contains(c) &&
+          tb.schemaAt(Some(cv)).fieldNames.contains(c) &&
+          tb.specAt(Some(cv)).physical(c) != tb.specAt(None).physical(c)
+        }
+      }.distinct
+      if (discontinuous.nonEmpty) throw new IllegalStateException(
+        s"materialized view at $path: referenced column(s) " +
+          s"${discontinuous.mkString(", ")} were dropped (or renamed away) " +
+          "and re-created since the last refresh — the pre-existing values " +
+          "are unrecoverable, so the incremental state cannot be maintained " +
+          "across the gap; drop and recreate the view")
+    }
     val split =
       if (m.joins.isEmpty) None
       else Some(sideSplitN(base.schema, dimTables.map(_.schema), need, m.joins))
@@ -544,10 +588,30 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
                 // tuple semi-join keeps exactness (the INs are per-column
                 // supersets). A null-key chained hop or a blown chase cap
                 // falls back to the full snapshot, as everywhere.
-                val oldT = probe(dimVs(i)).collect().map(_.toSeq).toSet
-                val newT = probe(dimUpTos(i)).collect().map(_.toSeq).toSet
-                def term(flips: Set[Seq[Any]], sign: Long): DataFrame = {
-                  val tuples = flips.toSeq.map(org.apache.spark.sql.Row.fromSeq)
+                // key tuples diff by VALUE: binary (Array[Byte]) and other
+                // array-typed key columns compare by reference in a raw
+                // Row.toSeq set, which would treat every touched key as
+                // both gained and lost — correct (the opposite-sign terms
+                // cancel) but it forces the full min/max/hll recompute
+                // path on every refresh with binary keys. Wrap arrays in
+                // ArraySeq for the diff; the original Rows are kept for
+                // the local-relation build (createDataFrame needs raw
+                // Array[Byte] back for BinaryType columns).
+                def normV(v: Any): Any = v match {
+                  case b: Array[Byte] =>
+                    scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+                  case a: Array[_] => scala.collection.immutable.ArraySeq
+                    .unsafeWrapArray(a.map(normV))
+                  case o => o
+                }
+                def keyed(rows: Array[org.apache.spark.sql.Row])
+                    : Map[Seq[Any], org.apache.spark.sql.Row] =
+                  rows.map(r => r.toSeq.map(normV) -> r).toMap
+                val oldT = keyed(probe(dimVs(i)).collect())
+                val newT = keyed(probe(dimUpTos(i)).collect())
+                def term(flips: Iterable[org.apache.spark.sql.Row],
+                    sign: Long): DataFrame = {
+                  val tuples = flips.toSeq
                   val source =
                     if (tuples.isEmpty) {
                       // nothing flipped (the common refresh): the term is
@@ -587,8 +651,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
                     }
                   nullExtTerm(source, localDf(tuples), sign)
                 }
-                terms += term(newT -- oldT, -1L) // 0→1: nulls retract
-                terms += term(oldT -- newT, 1L) // 1→0: nulls appear
+                terms += term((newT -- oldT.keySet).values, -1L) // 0→1: nulls retract
+                terms += term((oldT -- newT.keySet).values, 1L) // 1→0: nulls appear
               } else {
                 // over the cap: unpruned probes, the diff as an exceptAll
                 // on the live plans, and a full-snapshot term — a churn
@@ -621,20 +685,20 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       Seq(sum(sgn).as(DN), max(when(sgn === -1, 1).otherwise(0)).as(HASM)) ++
         m.aggs.flatMap {
           case MvAgg(n, "count", in) =>
-            val c = if (in == "*") sum(sgn) else sum(when(expr(in).isNotNull, sgn).otherwise(0L))
+            val c = if (in == "*") sum(sgn) else sum(when(inE(in).isNotNull, sgn).otherwise(0L))
             Seq(c.as(dCol(n)))
           case MvAgg(n, "sum", in) => Seq(
-            sum(when(sgn === 1, expr(in)).otherwise(-expr(in))).as(dCol(sumCol(n))),
-            sum(when(expr(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
+            sum(when(sgn === 1, inE(in)).otherwise(-inE(in))).as(dCol(sumCol(n))),
+            sum(when(inE(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
           case MvAgg(n, "avg", in) => Seq(
-            sum(when(sgn === 1, expr(in)).otherwise(-expr(in))).as(dCol(sumCol(n))),
-            sum(when(expr(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
-          case MvAgg(n, "min", in) => Seq(min(when(sgn === 1, expr(in))).as(pCol(n)))
-          case MvAgg(n, "max", in) => Seq(max(when(sgn === 1, expr(in))).as(pCol(n)))
+            sum(when(sgn === 1, inE(in)).otherwise(-inE(in))).as(dCol(sumCol(n))),
+            sum(when(inE(in).isNotNull, sgn).otherwise(0L)).as(dCol(cntCol(n))))
+          case MvAgg(n, "min", in) => Seq(min(when(sgn === 1, inE(in))).as(pCol(n)))
+          case MvAgg(n, "max", in) => Seq(max(when(sgn === 1, inE(in))).as(pCol(n)))
           case MvAgg(n, "hll", in) =>
             // sketch of the window's ADDED values only — removals route the
             // group through the recompute path below (sketches can't retract)
-            Seq(hll_sketch_agg(when(sgn === 1, expr(in))).as(pCol(n)))
+            Seq(hll_sketch_agg(when(sgn === 1, inE(in))).as(pCol(n)))
         }
     val delta = contribF.groupBy(dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
@@ -716,9 +780,9 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         else {
           val reKeys = newRows.filter(col(GRP_N) > 0 && col(HASM) > 0).select(MVKEY)
           val reAggs = nonLin.map {
-            case MvAgg(n, "min", in) => min(expr(in)).as(reCol(n))
-            case MvAgg(n, "hll", in) => hll_sketch_agg(expr(in)).as(reCol(n))
-            case MvAgg(n, _, in) => max(expr(in)).as(reCol(n))
+            case MvAgg(n, "min", in) => min(inE(in)).as(reCol(n))
+            case MvAgg(n, "hll", in) => hll_sketch_agg(inE(in)).as(reCol(n))
+            case MvAgg(n, _, in) => max(inE(in)).as(reCol(n))
           }
           // walk one dim-resident column's affected values down to the
           // fact: restrict dim t on (colName IN values), project the
@@ -984,9 +1048,23 @@ object MaterializedView {
   /** Is an agg input a BARE column reference (or `*`), as opposed to a
     * row-local SQL expression? Plain identifiers are columns; anything
     * with operators/calls/quoting is an expression, validated at create
-    * and stored in its analyzed rendering (the `dimExprs` treatment). */
+    * and stored in its analyzed rendering (the `dimExprs` treatment).
+    * Schema-aware call sites should ALSO treat a known column name as
+    * bare even when it is not a plain identifier (see [[inCol]]) — a
+    * legacy view over a column literally named `a-b` must never have its
+    * input parsed as subtraction. */
   private[lake] def isBareInput(in: String): Boolean =
     in == "*" || in.matches("[A-Za-z_][A-Za-z0-9_]*")
+
+  /** The Column evaluating an agg input (never `*`) against a plan whose
+    * resolvable column names `known` answers: bare inputs — including a
+    * bare input whose name is NOT a plain identifier (hyphens, spaces),
+    * which `expr` would silently mis-parse as arithmetic — resolve as a
+    * backtick-quoted attribute; everything else parses as the stored
+    * row-local expression. */
+  private def inCol(in: String, known: String => Boolean): Column =
+    if (isBareInput(in) || known(in)) col("`" + in.replace("`", "``") + "`")
+    else expr(in)
 
   /** Unresolved attribute names a view-filter predicate references —
     * these must ride every maintenance projection. */
@@ -994,6 +1072,51 @@ object MaterializedView {
     spark.sessionState.sqlParser.parseExpression(f).collect {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
     }.distinct
+
+  /** Definition references that no longer resolve in the member schemas —
+    * the MV SCHEMA-EVOLUTION CONTRACT surface. Additive evolution (a base
+    * or dim GAINING a column) is harmless and never listed: the view
+    * simply doesn't reference it. RENAMING or DROPPING a column a dim /
+    * agg input / filter / join key references BREAKS the view:
+    * [[MaterializedView.refresh]] fails with these references named (a
+    * clean contract error, not an opaque mid-plan AnalysisException) and
+    * `DESCRIBE MATERIALIZED VIEW` surfaces them as `broken_reference`
+    * rows. The rewrite stays safe for free — any schema change commits a
+    * new member version, so a broken view is also STALE and never
+    * serves; restoring the column (rename back / addColumns) or
+    * recreating the view repairs it. */
+  private[graft] def brokenReferences(spark: SparkSession, m: MvMeta,
+      factSchema: StructType, dimSchemas: Seq[StructType]): Seq[String] = {
+    val all = factSchema +: dimSchemas
+    def missing(c: String): Boolean = !all.exists(_.fieldNames.contains(c))
+    def exprRefs(t: String): Seq[String] =
+      try filterRefNames(spark, t)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    val b = Seq.newBuilder[String]
+    m.dims.foreach { d =>
+      m.dimExprs.get(d) match {
+        case None => if (missing(d)) b += s"dim $d"
+        case Some(t) => exprRefs(t).filter(missing)
+          .foreach(c => b += s"dim $d references $c")
+      }
+    }
+    m.aggs.foreach { a =>
+      val in = a.input
+      if (in != "*") {
+        if (!missing(in)) () // resolves as a (possibly non-identifier) column
+        else if (isBareInput(in)) b += s"agg ${a.name} input $in"
+        else exprRefs(in).filter(missing)
+          .foreach(c => b += s"agg ${a.name} references $c")
+      }
+    }
+    m.filter.foreach(f => exprRefs(f).filter(missing)
+      .foreach(c => b += s"filter references $c"))
+    m.joins.zipWithIndex.foreach { case (j, i) =>
+      (j.factKeys ++ j.dimKeys).filter(missing)
+        .foreach(c => b += s"join $i key $c")
+    }
+    b.result().distinct
+  }
 
   /** Home table of each join's LEFT keys: -1 = the fact table, j = dim j.
     * Validates the bare-name join contract — every join key must live in
@@ -1083,16 +1206,18 @@ object MaterializedView {
 
   private def fullState(base: DataFrame, dims: Seq[String], aggs: Seq[MvAgg],
       version: Long): DataFrame = {
+    val known = base.columns.toSet
+    def inE(in: String): Column = inCol(in, known)
     val exprs: Seq[Column] = count(lit(1)).as(GRP_N) +: aggs.flatMap {
       case MvAgg(n, "count", in) =>
-        Seq((if (in == "*") count(lit(1)) else count(expr(in))).as(n))
+        Seq((if (in == "*") count(lit(1)) else count(inE(in))).as(n))
       case MvAgg(n, "sum", in) =>
-        Seq(coalesce(sum(expr(in)), lit(0)).as(sumCol(n)), count(expr(in)).as(cntCol(n)))
+        Seq(coalesce(sum(inE(in)), lit(0)).as(sumCol(n)), count(inE(in)).as(cntCol(n)))
       case MvAgg(n, "avg", in) =>
-        Seq(coalesce(sum(expr(in)), lit(0)).as(sumCol(n)), count(expr(in)).as(cntCol(n)))
-      case MvAgg(n, "min", in) => Seq(min(expr(in)).as(n))
-      case MvAgg(n, "max", in) => Seq(max(expr(in)).as(n))
-      case MvAgg(n, "hll", in) => Seq(hll_sketch_agg(expr(in)).as(hllCol(n)))
+        Seq(coalesce(sum(inE(in)), lit(0)).as(sumCol(n)), count(inE(in)).as(cntCol(n)))
+      case MvAgg(n, "min", in) => Seq(min(inE(in)).as(n))
+      case MvAgg(n, "max", in) => Seq(max(inE(in)).as(n))
+      case MvAgg(n, "hll", in) => Seq(hll_sketch_agg(inE(in)).as(hllCol(n)))
     }
     base.groupBy(dims.map(col): _*).agg(exprs.head, exprs.tail: _*)
       .withColumn(MVKEY, mvKeyCol(dims))
@@ -1268,15 +1393,19 @@ object MaterializedView {
     val filterRefs = filter.toSeq.flatMap(f => filterRefNames(spark, f))
     val exprRefs = dimExprs.values.toSeq.flatMap(t => filterRefNames(spark, t))
     val bareDims = dims.filterNot(dimExprs.contains)
+    val dimTables = joins.map(j => LakeTable.load(spark, j.dimPath))
+    // schema-aware bare-input classification (see [[inCol]]): a member
+    // column name is a bare input even when not a plain identifier
+    val memberCols: Set[String] =
+      (base.schema.fieldNames ++ dimTables.flatMap(_.schema.fieldNames)).toSet
     val need = (bareDims ++ exprRefs ++
       aggs.flatMap(a =>
         if (a.input == "*") Nil
-        else if (isBareInput(a.input)) Seq(a.input)
+        else if (isBareInput(a.input) || memberCols.contains(a.input)) Seq(a.input)
         else filterRefNames(spark, a.input)) ++ filterRefs).distinct
     val (snapJoined, pinned) =
       if (joins.isEmpty) (base.read(Some(v)), Seq.empty[MvJoin])
       else {
-        val dimTables = joins.map(j => LakeTable.load(spark, j.dimPath))
         dimExprs.keys.foreach(n => require(
           !dimTables.exists(_.schema.fieldNames.exists(_.equalsIgnoreCase(n))),
           s"expression-dim name $n collides with a dim-table column — pick a fresh name"))
@@ -1352,7 +1481,7 @@ object MaterializedView {
     }
     // EXPRESSION agg inputs get the same pinning (bare columns unchanged)
     val storedAggs: Seq[MvAgg] = aggs.map { a =>
-      if (isBareInput(a.input)) a
+      if (isBareInput(a.input) || memberCols.contains(a.input)) a
       else a.copy(input = analyzedRowLocal(s"aggregate input of ${a.name}", a.input))
     }
     val snap = storedFilter.map(f => snapJoined.filter(expr(f))).getOrElse(snapJoined)

@@ -1819,8 +1819,8 @@ object LakeQueries {
           t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
             .withColumn("cver", lit(0L)))
         val nat = LakeTable.create(s, np, TableSpec("n_nationkey", "nver"),
-          t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
-            .withColumn("nver", lit(0L)))
+          t(s, d, "nation").select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey")).withColumn("nver", lit(0L)))
         MaterializedView.create(s, mp, fact, Seq("c_nationkey"),
           Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey")),
           Seq(MvJoin(cp, Seq("o_custkey"), Seq("c_custkey"), 0L)))
@@ -1834,10 +1834,14 @@ object LakeQueries {
         MaterializedView.load(s, mp).refresh()
         // EXTRA-arm churn after the refresh: the drill dim is read live
         nat.upsert(t(s, d, "nation").filter(col("n_nationkey") === 10)
-          .select(col("n_nationkey"), col("n_name"))
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           .withColumn("n_name", lit("RENAMED")).withColumn("nver", lit(1L)))
         graft.sql.GraftMvRewrite.register(mp)
         try {
+          // dk: count(DISTINCT view-dim) under join-back; de: count
+          // (DISTINCT expr-over-drill-attrs); mr: drill-attr extremum —
+          // all duplication-insensitive, re-derived over the state's
+          // group rows post join-back
           val q = s.read.format("graft").load(fp)
             .join(s.read.format("graft").load(cp),
               col("o_custkey") === col("c_custkey"))
@@ -1845,7 +1849,10 @@ object LakeQueries {
               col("c_nationkey") === col("n_nationkey"))
             .groupBy("n_name")
             .agg(count(lit(1)).as("n"), sum("o_custkey").as("su"),
-              avg("o_custkey").as("av"))
+              avg("o_custkey").as("av"),
+              countDistinct(col("c_nationkey")).as("dk"),
+              countDistinct(concat(col("n_name"), col("n_regionkey"))).as("de"),
+              min(col("n_regionkey")).as("mr"))
           val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
           val readsFolded = rewritten.collect {
             case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
@@ -1871,16 +1878,202 @@ object LakeQueries {
         |              ELSE c_nationkey END AS c_nationkey
         |  FROM customer),
         |nat AS (
-        |  SELECT n_nationkey,
+        |  SELECT n_nationkey, n_regionkey,
         |         CASE WHEN n_nationkey = 10 THEN 'RENAMED' ELSE n_name END AS n_name
         |  FROM nation)
         |SELECT nt.n_name, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(f.o_custkey) AS BIGINT) AS su,
-        |       CAST(SUM(f.o_custkey) AS DOUBLE) / COUNT(f.o_custkey) AS av
+        |       CAST(SUM(f.o_custkey) AS DOUBLE) / COUNT(f.o_custkey) AS av,
+        |       CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) AS dk,
+        |       CAST(COUNT(DISTINCT CONCAT(nt.n_name, nt.n_regionkey)) AS BIGINT) AS de,
+        |       CAST(MIN(nt.n_regionkey) AS BIGINT) AS mr
         |FROM fact f
         |JOIN cust c ON f.o_custkey = c.c_custkey
         |JOIN nat nt ON c.c_nationkey = nt.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The REAL TPC-H revenue MV, end-to-end through SQL: CREATE
+    // MATERIALIZED VIEW with the decimal expression aggregate
+    // sum(px * (1 - disc)) plus a decimal avg, churn (upsert + delete),
+    // REFRESH … IF STALE through the SQL command, and the q01-shaped
+    // query SERVED from state — the require pins that the served plan
+    // never reads the lineitem base, and an in-process require compares
+    // the served DECIMALS bit-exactly against direct recompute (the
+    // oracle cross-checks the double renderings against DuckDB). avg is
+    // expressed as sum/count arithmetic (a decimal avg's finalized type
+    // can never match the state's double finalization — the rewrite
+    // correctly bails on it — while the sum and count DERIVE from the
+    // declared avg's internal pair).
+    "q169_mv_revenue_sql" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val path = freshDir(s"mvrev_$tag"); val mvPath = freshDir(s"mvrev_mv_$tag")
+        // (l_orderkey, l_linenumber) is NOT unique in the corpus — key
+        // each row by a per-order row_number (≤ 13 lines/order) so the
+        // upsert lifecycle never dedups real rows; the window is
+        // per-order, so the evens/odds churn batches can never collide
+        def li(pred: org.apache.spark.sql.Column) = t(s, d, "lineitem")
+          .filter(pred).select(
+            col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+            dec2(col("l_quantity")).as("qty"),
+            dec2(col("l_extendedprice")).as("px"),
+            dec2(col("l_discount")).as("disc"))
+          .withColumn("lk", col("l_orderkey") * 100 +
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("l_orderkey")
+              .orderBy("l_returnflag", "l_linestatus", "qty", "px", "disc")))
+          .withColumn("ver", lit(0L))
+        val tbl = LakeTable.create(s, path, TableSpec("lk", "ver"),
+          li(col("l_orderkey") % 2 === 0))
+        val view = s"liv_rev_$tag".replace(".", "_")
+        s.read.format("graft").load(path).createOrReplaceTempView(view)
+        graft.sql.GraftCreateMaterializedViewCommand(s"'$mvPath'",
+          s"""SELECT l_returnflag, l_linestatus,
+             |       sum(qty) AS sum_qty,
+             |       sum(px * (1 - disc)) AS revenue,
+             |       avg(disc) AS avg_disc,
+             |       count(1) AS n
+             |FROM $view GROUP BY l_returnflag, l_linestatus""".stripMargin).run(s)
+        try {
+          tbl.upsert(li(col("l_orderkey") % 2 === 1))
+          tbl.delete(col("l_orderkey") % 13 === 0)
+          graft.sql.GraftRefreshMaterializedViewCommand(s"'$mvPath'",
+            ifStale = true).run(s)
+          def agged(df: DataFrame): DataFrame = df
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(sum(col("qty")).as("sum_qty"),
+              sum(expr("px * (1 - disc)")).as("revenue"),
+              (sum(col("disc")).cast("double") / count(col("disc")))
+                .as("avg_disc"),
+              count(lit(1)).as("n"))
+          val q = agged(s.read.format("graft").load(path))
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          val readsBase = rewritten.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case g: graft.sources.GraftRelation => g.path.contains(path)
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(path))
+            case _ => false
+          })
+          require(!readsBase,
+            s"the revenue query must serve from the MV state:\n$rewritten")
+          val served = org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+          // bit-exact DECIMAL equality vs direct recompute of the churned
+          // table — the maintained decimal state IS the recomputation
+          val direct = agged(LakeTable.load(s, path).read())
+          require(served.collect().map(_.toSeq).toSet ==
+            direct.collect().map(_.toSeq).toSet,
+            "served decimal revenue must equal direct recompute bit-exactly")
+          served.select(col("l_returnflag"), col("l_linestatus"),
+            col("sum_qty").cast("double").as("sum_qty"),
+            col("revenue").cast("double").as("revenue"),
+            col("avg_disc"), col("n"))
+            .orderBy("l_returnflag", "l_linestatus")
+        } finally {
+          graft.sql.GraftMvRewrite.unregister(mvPath)
+          s.catalog.dropTempView(view)
+          ()
+        }
+      },
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS px,
+        |         CAST(l_discount AS DECIMAL(18,2)) AS disc
+        |  FROM lineitem WHERE l_orderkey % 13 <> 0)
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(px * (1 - disc)) AS DOUBLE) AS revenue,
+        |       CAST(SUM(disc) AS DOUBLE) / COUNT(disc) AS avg_disc,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Join-back NAME-SHADOWING oracle: fact and dim deliberately share
+    // the column name `seg` (the fact's is o_orderpriority, the dim's is
+    // c_mktsegment). One query groups on the DIM's seg — provenance
+    // resolution serves it from the view's partials joined back to the
+    // live dim (require: no fact scan); the sibling groups on the FACT's
+    // seg — NOT a view dim, and the same-named drill column must NOT
+    // capture it (require: the fact IS scanned). Both halves must be
+    // value-correct either way.
+    "q170_mv_shadow_joinback" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvsh_f_$tag"); val cp = freshDir(s"mvsh_c_$tag")
+        val mp = freshDir(s"mvsh_mv_$tag")
+        def ords(pred: org.apache.spark.sql.Column) = t(s, d, "orders").filter(pred)
+          .withColumn("seg", col("o_orderpriority"))
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          ords(col("o_orderkey") % 2 === 0))
+        val cust = LakeTable.create(s, cp, TableSpec("c_custkey", "cver"),
+          t(s, d, "customer").select(col("c_custkey"),
+            col("c_mktsegment").as("seg")).withColumn("cver", lit(0L)))
+        MaterializedView.create(s, mp, fact, Seq("o_custkey"),
+          Seq(MvAgg("rev", "sum", "CAST(o_totalprice AS DECIMAL(18,2))"),
+            MvAgg("n", "count", "*")))
+        fact.upsert(ords(col("o_orderkey") % 2 === 1))
+        fact.delete(col("o_orderkey") % 13 === 0)
+        MaterializedView.load(s, mp).refresh()
+        // dim churn after the refresh: join-back reads the dim live
+        cust.upsert(t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("MOVED").as("seg"))
+          .withColumn("cver", lit(1L)))
+        graft.sql.GraftMvRewrite.register(mp)
+        try {
+          val f = s.read.format("graft").load(fp)
+          val c = s.read.format("graft").load(cp)
+          def readsFact(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+              : Boolean = p.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case g: graft.sources.GraftRelation => g.path.contains(fp)
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(fp))
+            case _ => false
+          })
+          def half(grp: org.apache.spark.sql.Column): DataFrame = f
+            .join(c, f("o_custkey") === c("c_custkey"))
+            .groupBy(grp)
+            .agg(count(lit(1)).as("n"),
+              sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+                .cast("double").as("rev"))
+          val rwDim = graft.sql.GraftMvRewrite(
+            half(c("seg")).queryExecution.analyzed)
+          require(!readsFact(rwDim),
+            s"the DIM's seg must serve from state + live dim:\n$rwDim")
+          val rwFact = graft.sql.GraftMvRewrite(
+            half(f("seg")).queryExecution.analyzed)
+          require(readsFact(rwFact),
+            s"the FACT's seg must NOT be captured by the drill dim:\n$rwFact")
+          val dimHalf = org.apache.spark.sql.GraftExpressionBridge
+            .ofRows(s, rwDim).withColumn("src", lit("dim"))
+          val factHalf = org.apache.spark.sql.GraftExpressionBridge
+            .ofRows(s, rwFact).withColumn("src", lit("fact"))
+          dimHalf.unionByName(factHalf)
+            .select(col("src"), col("seg"), col("n"), col("rev"))
+            .orderBy("src", "seg")
+        } finally graft.sql.GraftMvRewrite.unregister(mp)
+      },
+      """WITH f AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS rev0,
+        |         o_orderpriority AS seg
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        |c AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'dim' AS src, c.seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(f.rev0) AS DOUBLE) AS rev
+        |  FROM f JOIN c ON f.o_custkey = c.c_custkey GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'fact' AS src, f.seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(f.rev0) AS DOUBLE) AS rev
+        |  FROM f JOIN c ON f.o_custkey = c.c_custkey GROUP BY 2)
+        |ORDER BY src, seg""".stripMargin)),
 
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting

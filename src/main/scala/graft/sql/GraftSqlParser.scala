@@ -498,8 +498,14 @@ case class GraftDescribeMaterializedViewCommand(target: String)
     val members =
       (meta.basePath, "base", cf) +: meta.joins.zip(cds).zipWithIndex.map {
         case ((j, c), i) => (j.dimPath, s"dim$i", c) }
-    val freshness = members.map { case (p, role, cur) =>
-      (p, role, cur, LakeTable.load(spark, p).latestVersion) }
+    val memberTables = members.map { case (p, role, cur) =>
+      (p, role, cur, LakeTable.load(spark, p)) }
+    val freshness = memberTables.map { case (p, role, cur, t) =>
+      (p, role, cur, t.latestVersion) }
+    // the schema-evolution contract surface: definition references a
+    // member rename/drop broke (refresh fails with the same list)
+    val broken = graft.lake.MaterializedView.brokenReferences(spark, meta,
+      memberTables.head._4.schema, memberTables.tail.map(_._4.schema))
     val rows =
       Seq(Row("path", mvPath), Row("base_path", meta.basePath)) ++
       meta.joins.map(j =>
@@ -514,6 +520,7 @@ case class GraftDescribeMaterializedViewCommand(target: String)
       meta.filter.map(f => Row("filter", f)).toSeq ++
       freshness.map { case (_, role, cur, latest) =>
         Row(s"cursor.$role", s"$cur of $latest") } ++
+      broken.map(x => Row("broken_reference", x)) ++
       Seq(
         Row("fresh", freshness.forall { case (_, _, c, l) => c >= l }.toString),
         Row("state_version", mv.state.latestVersion.toString),

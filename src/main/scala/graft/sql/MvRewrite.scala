@@ -134,6 +134,17 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * rewrite (query still answers) instead of a failed query. */
   @volatile private[graft] var injectMatcherFailure: Boolean = false
 
+  /** Fuzz seam (set only by the decoy oracle sweep and DecoySweepSpec):
+    * every join/star query additionally DRY-RUNS the join-back matcher
+    * against every registered view, ignoring the base-path candidate
+    * pre-filter, and discards the result. The pre-filter means a fixed
+    * decoy view can never reach [[extraArmsOf]]/`jbCtx` validation
+    * against a corpus of per-query temp tables — this seam puts the
+    * matcher surface under the full query population anyway; a throw
+    * escapes to the per-Aggregate guard and fails the sweep via
+    * [[rewriteErrors]]. Never serves: the dry-run result is discarded. */
+  @volatile private[graft] var fuzzJoinBackDryRun: Boolean = false
+
   /** Canonical rendering: attribute names lowercased + unqualified, and
     * literal-only subtrees constant-folded — the optimizer has already
     * folded the QUERY's casts (`CAST(50 AS BIGINT)` → `50L`) by the time
@@ -292,6 +303,22 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** One matched join arm of the QUERY plan: the dim scan's path, the
+    * oriented key-attribute pairs (left, dim), the join type, and the dim
+    * scan's output attribute set. `out` is the arm's PROVENANCE — the
+    * join-back resolver serves a query attribute from this arm only when
+    * the attribute's exprId is in `out` (the arm's LEAF SCAN output —
+    * pre-projection, so filter refs projected away above still home
+    * here), so a fact or covered-arm column
+    * that merely SHARES a name with an arm column can never be silently
+    * served as the arm's (the r10 name-only resolution hole). */
+  private[sql] case class ArmScan(path: String,
+      pairs: Seq[(AttributeReference, AttributeReference)],
+      outer: Boolean, out: AttributeSet) {
+    def lks: Seq[String] = pairs.map(_._1.name)
+    def dks: Seq[String] = pairs.map(_._2.name)
+  }
+
   /** The attr=attr conjuncts of an inner-join condition, each oriented
     * (leftAttr, rightAttr) against `r`'s output: the RIGHT attr must
     * resolve in r, the LEFT attr must not. None when any conjunct is not
@@ -327,13 +354,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * (it changes the null-extension), so an outer arm with dim-side
     * filters conservatively fails the match. */
   private[sql] def joinScan(p: LogicalPlan)
-      : Option[(String, Seq[String], String, Seq[String], Boolean, Seq[Expression])] =
+      : Option[(String, ArmScan, Seq[Expression])] =
     p match {
       case SubqueryAlias(_, c) => joinScan(c)
       case v: View => joinScan(v.child)
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => joinScan(c)
       case Filter(cond, c) =>
-        joinScan(c).map { case (lp, lk, rp, rk, o, fs) => (lp, lk, rp, rk, o, fs :+ cond) }
+        joinScan(c).map { case (lp, arm, fs) => (lp, arm, fs :+ cond) }
       case j @ Join(l, r, jt, Some(cond), _)
           if jt == org.apache.spark.sql.catalyst.plans.Inner ||
             jt == org.apache.spark.sql.catalyst.plans.LeftOuter =>
@@ -344,7 +371,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           (lp, lf) <- baseScan(l)
           (rp, rf) <- baseScan(r)
           if !(outer && rf.nonEmpty)
-        } yield (lp, pairs.map(_._1.name), rp, pairs.map(_._2.name), outer, lf ++ rf)
+        } yield (lp, ArmScan(rp, pairs, outer,
+          AttributeSet(r.collectLeaves().flatMap(_.output))), lf ++ rf)
       case _ => None
     }
 
@@ -364,10 +392,9 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * robust under predicate pushdown, which runs interleaved with this
     * rule. */
   private[sql] def starScan(p: LogicalPlan)
-      : Option[(String, Seq[(String, Seq[String], Seq[String], Boolean)],
-        Seq[Expression])] = {
+      : Option[(String, Seq[ArmScan], Seq[Expression])] = {
     def peel(p: LogicalPlan): Option[(String, AttributeSet,
-        Seq[(String, Seq[String], Seq[String], Boolean)], Seq[Expression])] =
+        Seq[ArmScan], Seq[Expression])] =
       p match {
         case SubqueryAlias(_, c) => peel(c)
         case v: View => peel(v.child)
@@ -386,20 +413,19 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             if !(outer && rf.nonEmpty)
             (fp, treeOut, arms, lf) <- baseScan(l) match {
               case Some((lp, lf0)) =>
-                Some((lp, l.outputSet,
-                  Seq.empty[(String, Seq[String], Seq[String], Boolean)], lf0))
+                Some((lp, l.outputSet, Seq.empty[ArmScan], lf0))
               case _ => peel(l)
             }
             // every left key resolves in the joined tree
             if pairs.forall { case (la, _) => treeOut.contains(la) }
           } yield (fp, treeOut ++ r.outputSet,
-            arms :+ ((rp, pairs.map(_._1.name), pairs.map(_._2.name), outer)),
+            arms :+ ArmScan(rp, pairs, outer,
+              AttributeSet(r.collectLeaves().flatMap(_.output))),
             lf ++ rf)
         case _ => None
       }
     def strip(p: LogicalPlan, fs: Seq[Expression])
-        : Option[(String, Seq[(String, Seq[String], Seq[String], Boolean)],
-          Seq[Expression])] =
+        : Option[(String, Seq[ArmScan], Seq[Expression])] =
       p match {
         case SubqueryAlias(_, c) => strip(c, fs)
         case v: View => strip(v.child, fs)
@@ -439,14 +465,21 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Does a view agg input answer a query-side input? Bare names match
-    * case-insensitively; expression inputs by canonical text (attribute
-    * names lowercased/unqualified, literal subtrees folded — so the
-    * stored analyzed rendering and the query's analyzed expression meet
-    * at the same text). */
+  /** Does a view agg input answer a query-side input? BARE column names
+    * (plain identifiers on both sides) match case-insensitively —
+    * attribute resolution is case-insensitive, so `AMT` and `amt` name
+    * the same column. Anything else compares by canonical text
+    * (attribute names lowercased/unqualified, literal subtrees folded —
+    * so the stored analyzed rendering and the query's analyzed
+    * expression meet at the same text). The case-insensitive shortcut is
+    * deliberately NOT applied to expression texts: `CASE WHEN flag='Y'`
+    * and `CASE WHEN flag='y'` differ only in a string LITERAL's case and
+    * are different aggregates — canon preserves literal case, so only
+    * the canonical path may compare them. */
+  private def bareIdent(s: String): Boolean = s.matches("[A-Za-z_][A-Za-z0-9_]*")
   private def inputMatches(spark: SparkSession, viewIn: String, qIn: String): Boolean =
     if (viewIn == "*" || qIn == "*") viewIn == qIn
-    else if (viewIn.equalsIgnoreCase(qIn)) true
+    else if (bareIdent(viewIn) && bareIdent(qIn)) viewIn.equalsIgnoreCase(qIn)
     else (canonText(spark, viewIn), canonText(spark, qIn)) match {
       case (Some(a), Some(b)) => a == b
       case _ => false
@@ -535,7 +568,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val starred =
       if (plain.isDefined || joined.isDefined) None else starScan(agg.child)
     val (path, filters) = plain
-      .orElse(joined.map { case (lp, _, _, _, _, fs) => (lp, fs) })
+      .orElse(joined.map { case (lp, _, fs) => (lp, fs) })
       .orElse(starred.map { case (fp, _, fs) => (fp, fs) })
       .getOrElse(return None)
     // does this view's join set serve the scanned shape? A plain scan
@@ -548,19 +581,20 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         sig: Seq[(String, Set[(String, String)], Boolean)]): Boolean =
       (plain, joined, starred) match {
         case (Some(_), _, _) => sig.isEmpty && basePath == path
-        case (_, Some((lp, lks, rp, rks, qOuter, _)), _) => sig match {
+        case (_, Some((lp, arm, _)), _) => sig match {
           case Seq((jDim, pairs, vOuter)) =>
-            val fwd = lks.zip(rks)
+            val fwd = arm.lks.zip(arm.dks)
               .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet
-            vOuter == qOuter &&
-            ((basePath == lp && jDim == rp && pairs == fwd) ||
-              (!qOuter && basePath == rp && jDim == lp && pairs == fwd.map(_.swap)))
+            vOuter == arm.outer &&
+            ((basePath == lp && jDim == arm.path && pairs == fwd) ||
+              (!arm.outer && basePath == arm.path && jDim == lp &&
+                pairs == fwd.map(_.swap)))
           case _ => false
         }
         case (_, _, Some((fp, arms, _))) =>
           basePath == fp && sig.size == arms.size &&
-            arms.map(a => (a._1, a._2.zip(a._3)
-              .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet, a._4))
+            arms.map(a => (a.path, a.lks.zip(a.dks)
+              .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet, a.outer))
               .toSet == sig.toSet
         case _ => false
       }
@@ -798,7 +832,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // later view that can serve
     def serveWith(view: MaterializedView,
         meta: MaterializedView.MvMeta,
-        joinBack: Option[Seq[(String, Seq[String], Seq[String], Boolean)]] = None)
+        joinBack: Option[Seq[ArmScan]] = None)
         : Option[LogicalPlan] = {
       // per grouping item, its serving: the view dim column to read
       // directly (exact match) or a state-side DERIVED grouping column
@@ -825,27 +859,50 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // already folded into the state, and an extra arm's left key must
       // be a carried view dim (or an earlier EXTRA arm's column), exactly
       // like the join-free case.
-      lazy val stateNames: Set[String] =
-        try view.state.schema.fieldNames.map(_.toLowerCase).toSet
+      // hoisted (not a lazy val — a non-local return inside a lazy body
+      // is a deferred-evaluation landmine): the state schema is read
+      // only when join-back is in play, which is the only consumer
+      val stateNames: Set[String] =
+        if (joinBack.isEmpty) Set.empty
+        else try view.state.schema.fieldNames.map(_.toLowerCase).toSet
         catch { case scala.util.control.NonFatal(_) => return None }
-      val jbCtx: Option[(Seq[(String, Seq[String], Seq[String], Boolean)],
-          Seq[Seq[String]])] = joinBack match {
+      val jbCtx: Option[(Seq[ArmScan], Seq[Seq[String]])] = joinBack match {
         case None => None
         case Some(arms) =>
           val schemas =
-            try arms.map(a => LakeTable.load(spark, a._1).schema.fieldNames.toSeq)
+            try arms.map(a => LakeTable.load(spark, a.path).schema.fieldNames.toSeq)
             catch { case scala.util.control.NonFatal(_) => return None }
           val bare = infos.filter(_.bare).map(_.key).toSet
           val lcSchemas = schemas.map(_.map(_.toLowerCase).toSet)
-          arms.zipWithIndex.foreach { case ((_, lks, dks, _), ix) =>
-            lks.zip(dks).foreach { case (lk, dk) =>
+          arms.zipWithIndex.foreach { case (arm, ix) =>
+            arm.pairs.foreach { case (lAttr, dAttr) =>
+              val lk = lAttr.name; val dk = dAttr.name
               if (lk.equalsIgnoreCase(dk)) return None // bare-name join contract
               val lkl = lk.toLowerCase
-              val earlier = lcSchemas.take(ix).count(_.contains(lkl))
-              // each left key homes on the fact (a bare view dim) or
-              // exactly one EARLIER arm's dim — ambiguity bails
-              if (bare.contains(lkl)) { if (earlier != 0) return None }
-              else if (earlier != 1) return None
+              // PROVENANCE homing of the left key: the arm whose scan
+              // output holds the attribute (by exprId). Not on any extra
+              // arm → a fact/covered-arm column, servable only as a
+              // carried bare view dim; on an EARLIER extra arm →
+              // snowflake chain off that arm; anything else bails.
+              val prov = arms.indexWhere(_.out.contains(lAttr))
+              if (prov == -1) {
+                if (!bare.contains(lkl)) return None
+                // the state serves col(lk): the name must not ALSO live
+                // on an earlier arm (the served join would bind the
+                // wrong side)
+                if (lcSchemas.take(ix).exists(_.contains(lkl))) return None
+              } else {
+                if (prov >= ix) return None
+                // chained: in the SERVED plan col(lk) must bind to
+                // exactly the provenance arm — a state column of the
+                // same name would capture it silently (the wanted-name
+                // projection suppresses state-colliding names), and a
+                // second earlier arm carrying it would be ambiguous
+                if (stateNames.contains(lkl)) return None
+                if (lcSchemas.zipWithIndex.count { case (s, j) =>
+                  j < ix && s.contains(lkl) } != 1) return None
+                if (!lcSchemas(prov).contains(lkl)) return None
+              }
               // a projected dim column must collide with neither the
               // state's columns nor another arm's
               if (stateNames.contains(dk.toLowerCase) ||
@@ -855,21 +912,63 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           }
           Some((arms, schemas))
       }
-      // a bare attribute resolving in exactly ONE join-back dim (and
-      // nowhere on the state side): served as the dim's own column after
-      // the join-back
-      def jbAttrCol(name: String): Option[String] = jbCtx.flatMap {
-        case (_, schemas) =>
-          val nm = name.toLowerCase
-          if (infos.exists(_.key == nm) || stateNames.contains(nm)) None
+      // the extra arm whose scan output holds this attribute — exprId
+      // provenance, never name matching: a fact (or covered-arm) column
+      // sharing a name with a drill-dim column must not be served as the
+      // dim's, nor the other way around
+      def jbArmOf(a: Attribute): Option[Int] = jbCtx.flatMap {
+        case (arms, _) =>
+          val ix = arms.indexWhere(_.out.contains(a))
+          if (ix < 0) None else Some(ix)
+      }
+      // an extra-arm attribute served as the dim's own column after the
+      // join-back: requires provenance AND an unambiguous name in the
+      // SERVED plan (not a view dim, not a state column, on no other arm)
+      def jbAttrCol(a: Attribute): Option[String] = jbCtx.flatMap {
+        case (arms, schemas) =>
+          val ix = arms.indexWhere(_.out.contains(a))
+          if (ix < 0) None
           else {
-            val hits = schemas.flatMap(_.filter(_.equalsIgnoreCase(nm)))
-            if (hits.size == 1) Some(hits.head) else None
+            val nm = a.name.toLowerCase
+            if (infos.exists(_.key == nm) || stateNames.contains(nm)) None
+            else if (schemas.map(_.map(_.toLowerCase)).zipWithIndex.exists {
+              case (s, j) => j != ix && s.contains(nm) }) None
+            else schemas(ix).find(_.equalsIgnoreCase(a.name))
           }
       }
+      // a query attribute's serving name: an extra-arm attr via
+      // [[jbAttrCol]]; anything else (fact / covered-arm resident) via a
+      // carried bare view dim of the same name
+      def resolveAttr(a: Attribute): Option[String] =
+        if (jbArmOf(a).isDefined) jbAttrCol(a)
+        else infos.find(d => d.bare && d.key == a.name.toLowerCase).map(_.name)
       val serves: Seq[(Expression, String, Option[org.apache.spark.sql.Column])] =
         qItems.zipWithIndex.map { case (q, i) =>
-          infos.find(_.key == q.key) match {
+          // PROVENANCE dispatch: any grouping item referencing an
+          // extra-arm attribute must be served through the join-back —
+          // even when its name or canonical text collides with a view
+          // dim, the state cannot hold the arm's values
+          val armRefs = q.e.references.exists(a => jbArmOf(a).isDefined)
+          if (armRefs) q.e match {
+            // a dim-table attribute keeps its own name as the output
+            case a: AttributeReference =>
+              val n = jbAttrCol(a).getOrElse(return None)
+              (q.e, n, Some(org.apache.spark.sql.functions.col(n)))
+            // a row-local expression whose refs are all served columns
+            // (bare view dims and/or joined dim attrs) recomputes
+            // post-join: f is constant within each joined partial row
+            case _ =>
+              val attrs = q.e.collect { case a: AttributeReference => a }
+              if (!attrs.forall(a => resolveAttr(a).isDefined)) return None
+              (q.e, s"_roll_$i",
+                Some(org.apache.spark.sql.GraftExpressionBridge.column(
+                  q.e.transform {
+                    case a: AttributeReference =>
+                      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                        .quoted(resolveAttr(a).get)
+                  })))
+          }
+          else infos.find(_.key == q.key) match {
             case Some(d) => (q.e, d.name, None)
             case None =>
               val byBare = infos
@@ -891,34 +990,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
                       org.apache.spark.sql.functions.trunc(
                         org.apache.spark.sql.functions.col(d.name), qt.fmt)
                   })
-              // a dim-table attribute keeps its own name as the output
-              def byJb = q.e match {
-                case a: AttributeReference => jbAttrCol(a.name).map(n =>
-                  (q.e, n, Some(org.apache.spark.sql.functions.col(n))))
-                case _ => None
-              }
-              // a row-local expression whose refs are all served columns
-              // (bare view dims and/or joined dim attrs, at least one of
-              // the latter — pure-dim expressions take byBare) recomputes
-              // post-join: f is constant within each joined partial row
-              def resolveRef(r: String): Option[String] =
-                infos.find(d => d.bare && d.key == r).map(_.name)
-                  .orElse(jbAttrCol(r))
-              def byJbExpr = jbCtx.flatMap { _ =>
-                if (q.isBare || q.refs.isEmpty ||
-                  !q.refs.forall(r => resolveRef(r).isDefined) ||
-                  !q.refs.exists(r => jbAttrCol(r).isDefined)) None
-                else Some(org.apache.spark.sql.GraftExpressionBridge.column(
-                  q.e.transform {
-                    case a: AttributeReference =>
-                      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-                        .quoted(resolveRef(a.name.toLowerCase).get)
-                  }))
-              }
-              byJb.getOrElse(
-                (q.e, s"_roll_$i",
-                  Some(byBare.orElse(byTrunc).orElse(byJbExpr)
-                    .getOrElse(return None))))
+              (q.e, s"_roll_$i",
+                Some(byBare.orElse(byTrunc).getOrElse(return None)))
           }
         }
       val exact = serves.forall(_._3.isEmpty) &&
@@ -951,8 +1024,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // own filter sat)
       val rest = qConj.toSeq
       val dimNames = meta.dims.map(_.toLowerCase).toSet
+      // provenance-split, like the grouping items: an extra-arm attr must
+      // resolve through the join-back; anything else must be a view dim
       if (!rest.forall(_.references.forall(a =>
-          dimNames.contains(a.name.toLowerCase) || jbAttrCol(a.name).isDefined)))
+          if (jbArmOf(a).isDefined) jbAttrCol(a).isDefined
+          else dimNames.contains(a.name.toLowerCase))))
         return None
       if (rest.exists(!_.deterministic)) return None
       // map every output column of the aggregate to a served column:
@@ -976,24 +1052,66 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // finalizes as decimal and must bail).
       val derived =
         scala.collection.mutable.ArrayBuffer.empty[MaterializedView.MvDerived]
-      // count(DISTINCT dim…) query aggregates, served as distinct counts
-      // over the state's group rows on the rollup path: (output column,
-      // the serving dim columns to count)
-      val derivedCountDistincts =
-        scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
-      // the state column serving a count-DISTINCT child: a bare view dim
-      // by name, an expression dim by canonical-text restatement, or —
-      // under join-back — a joined dim table's own column (DISTINCT is
-      // duplication-insensitive, so the join's multiplicity is harmless)
-      def cdDimCol(e: Expression): Option[String] = e match {
-        case a: AttributeReference =>
-          infos.find(d => d.bare && d.key == a.name.toLowerCase).map(_.name)
-            .orElse(jbAttrCol(a.name))
-        case e2 if e2.deterministic &&
-            !e2.exists(_.isInstanceOf[SubqueryExpression]) =>
-          infos.find(_.key == canon(e2)).map(_.name)
-        case _ => None
+      // duplication-insensitive query aggregates served over the state's
+      // group rows on the rollup path — count(DISTINCT …) and, under
+      // join-back, min/max over drill attributes: (output column, the
+      // full aggregate Column to compute)
+      val derivedJoined = scala.collection.mutable
+        .ArrayBuffer.empty[(String, org.apache.spark.sql.Column)]
+      // extra-arm column names those servings need projected through the
+      // join-back
+      val jbRefNames = scala.collection.mutable.ArrayBuffer.empty[String]
+      // a row-local expression rebuilt against the served plan: every
+      // attribute resolves per [[resolveAttr]] (provenance-dispatched)
+      def rebuiltCol(e2: Expression): Option[org.apache.spark.sql.Column] = {
+        if (!e2.deterministic || e2.exists(_.isInstanceOf[SubqueryExpression]))
+          return None
+        val attrs = e2.collect { case a: AttributeReference => a }
+        if (attrs.isEmpty || !attrs.forall(a => resolveAttr(a).isDefined)) None
+        else {
+          attrs.foreach(a =>
+            if (jbArmOf(a).isDefined) jbRefNames += jbAttrCol(a).get)
+          Some(org.apache.spark.sql.GraftExpressionBridge.column(e2.transform {
+            case a: AttributeReference =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                .quoted(resolveAttr(a).get)
+          }))
+        }
       }
+      // the serving of a count-DISTINCT child: a bare view dim by name,
+      // an expression dim by canonical-text restatement, a row-local
+      // expression over bare view dims (f is constant per state row, and
+      // the state holds one row per dim tuple, so DISTINCT f(dims) over
+      // state rows equals DISTINCT f(dims) over base rows), or — under
+      // join-back — a joined dim table's own column or an expression
+      // over served refs (DISTINCT is duplication-insensitive, so the
+      // join's multiplicity is harmless). Provenance-dispatched like the
+      // grouping items: an extra-arm attr never serves from the state.
+      def cdServe(e: Expression): Option[org.apache.spark.sql.Column] =
+        e match {
+          case a: AttributeReference =>
+            if (jbArmOf(a).isDefined)
+              jbAttrCol(a).map { n =>
+                jbRefNames += n; org.apache.spark.sql.functions.col(n) }
+            else infos.find(d => d.bare && d.key == a.name.toLowerCase)
+              .map(d => org.apache.spark.sql.functions.col(d.name))
+          case e2 if e2.deterministic &&
+              !e2.exists(_.isInstanceOf[SubqueryExpression]) =>
+            if (e2.references.exists(a => jbArmOf(a).isDefined)) rebuiltCol(e2)
+            else infos.find(_.key == canon(e2))
+              .map(d => org.apache.spark.sql.functions.col(d.name))
+              .orElse(rebuiltCol(e2))
+          case _ => None
+        }
+      // does this (non-DISTINCT) aggregate call read only fact/covered
+      // columns? An extra-arm attribute inside an agg INPUT means the
+      // state cannot hold its partials — min/max re-derive below
+      // (duplication-insensitive); everything else bails the view. This
+      // closes the name-collision hole on the AGG side: a view agg over
+      // fact `x` must never answer `sum(d.x)` just because the names
+      // match.
+      def aggArmFree(fn: AggregateFunction): Boolean =
+        !fn.references.exists(a => jbArmOf(a).isDefined)
       def deriveAgg(fn: AggregateFunction): Option[String] = {
         def add(kind: String, src: String): String = {
           val out = s"_drv_${derived.size}"
@@ -1037,7 +1155,10 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         // never visited by the dim pass below
         val t = child.transformDown {
           case ae @ AggregateExpression(fn, Complete, false, None, _) =>
-            aggColumn(spark, fn, meta.aggs).map(_.name).orElse(deriveAgg(fn)) match {
+            // an extra-arm attribute inside an agg input: no partials in
+            // the state (see aggArmFree) — conservative template bail
+            if (!aggArmFree(fn)) { ok = false; ae }
+            else aggColumn(spark, fn, meta.aggs).map(_.name).orElse(deriveAgg(fn)) match {
               case Some(n) => mark(n, ae.dataType)
               case None => ok = false; ae
             }
@@ -1062,8 +1183,24 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           case a: AttributeReference if viewDimOf(a).isDefined =>
             (a, scala.Left(viewDimOf(a).get))
           case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-            (al, scala.Left(aggColumn(spark, fn, meta.aggs).map(_.name)
-              .orElse(deriveAgg(fn)).getOrElse(return None)))
+            if (aggArmFree(fn))
+              (al, scala.Left(aggColumn(spark, fn, meta.aggs).map(_.name)
+                .orElse(deriveAgg(fn)).getOrElse(return None)))
+            else fn match {
+              // extrema over drill attributes are duplication-insensitive:
+              // recompute post-join over the state's group rows
+              case Min(e) =>
+                val c = rebuiltCol(e).getOrElse(return None)
+                val out = s"_djm_${derivedJoined.size}"
+                derivedJoined += ((out, org.apache.spark.sql.functions.min(c)))
+                (al, scala.Left(out))
+              case Max(e) =>
+                val c = rebuiltCol(e).getOrElse(return None)
+                val out = s"_djm_${derivedJoined.size}"
+                derivedJoined += ((out, org.apache.spark.sql.functions.max(c)))
+                (al, scala.Left(out))
+              case _ => return None
+            }
           case al @ Alias(child, _) if viewDimOf(child).isDefined =>
             (al, scala.Left(viewDimOf(child).get))
           // count(DISTINCT dims…): served as a distinct count over the
@@ -1076,11 +1213,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           // too (identity re-aggregation — each state row its own group),
           // so the same serving covers the exact shape.
           case al @ Alias(AggregateExpression(Count(children), Complete, true, None, _), _)
-              if children.nonEmpty &&
-                children.forall(c => cdDimCol(c).isDefined) =>
-            val cols = children.map(c => cdDimCol(c).get)
-            val out = s"_dcd_${derivedCountDistincts.size}"
-            derivedCountDistincts += ((out, cols))
+              if children.nonEmpty =>
+            // every child must serve, or the whole view bails (the
+            // catch-all below would bail on the DISTINCT call anyway)
+            val cols = children.map(c => cdServe(c).getOrElse(return None))
+            val out = s"_dcd_${derivedJoined.size}"
+            derivedJoined += ((out,
+              org.apache.spark.sql.functions.count_distinct(cols.head, cols.tail: _*)))
             (al, scala.Left(out))
           // anything else aliased: rebuild as row-local arithmetic over
           // served aggregates and dims, or bail conservatively
@@ -1094,10 +1233,10 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // the re-aggregation (they may reference rolled-away dims). Either
       // way a Project re-aliases view columns under the ORIGINAL output
       // exprIds, so everything above the aggregate keeps resolving.
-      // count(DISTINCT) and join-back force the rollup path even on exact
-      // dims: the distinct count / joined grouping is computed by
-      // re-aggregating the state's group rows
-      val exactServe = exact && derivedCountDistincts.isEmpty && jbCtx.isEmpty
+      // count(DISTINCT)/joined-agg and join-back force the rollup path
+      // even on exact dims: the distinct count / joined grouping is
+      // computed by re-aggregating the state's group rows
+      val exactServe = exact && derivedJoined.isEmpty && jbCtx.isEmpty
       val viewPlan =
         if (exactServe)
           view.readDerived(None, derived.toSeq).queryExecution.analyzed
@@ -1122,27 +1261,27 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
               val wantedNames: Seq[String] =
                 (serves.collect { case (_, n, Some(_)) => n } ++
                   qItems.flatMap(_.refs) ++ // refs of expression servings
-                  derivedCountDistincts.flatMap(_._2) ++
+                  jbRefNames ++
                   rest.flatMap(_.references.map(_.name)) ++
-                  arms.flatMap(_._2)).distinct
+                  arms.flatMap(_.lks)).distinct
                   .filterNot(w => stateNames.contains(w.toLowerCase))
               st => arms.zipWithIndex.foldLeft(st) {
-                case (acc, ((dp, lks, dks, outer), ix)) =>
+                case (acc, (arm, ix)) =>
                   val mine = schemas(ix)
-                  val need = (dks ++ wantedNames.filter(w =>
+                  val need = (arm.dks ++ wantedNames.filter(w =>
                     mine.exists(_.equalsIgnoreCase(w)))).distinct
-                  val dimDf = spark.read.format("graft").load(dp)
+                  val dimDf = spark.read.format("graft").load(arm.path)
                     .select(need.map(org.apache.spark.sql.functions.col): _*)
                   acc.join(dimDf,
-                    lks.zip(dks).map { case (l, d) =>
+                    arm.lks.zip(arm.dks).map { case (l, d) =>
                       org.apache.spark.sql.functions.col(l) ===
                         org.apache.spark.sql.functions.col(d)
                     }.reduce(_ && _),
-                    if (outer) "left_outer" else "inner")
+                    if (arm.outer) "left_outer" else "inner")
               }
           }
           try view.readRollupExprs(roll, preCols, derived.toSeq,
-              derivedCountDistincts.toSeq, joinBackFn)
+              derivedJoined.toSeq, joinBackFn)
             .queryExecution.analyzed
           catch { case scala.util.control.NonFatal(_) => return None }
         }
@@ -1194,18 +1333,17 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // Tried only after every direct candidate missed; freshness gates on
     // the view's own cursors (fact + its member dims) — the EXTRA dims
     // are scanned at the same live snapshot the query itself would read.
-    val jbArms = joined.map { case (_, lks, rp, rks, o, _) => Seq((rp, lks, rks, o)) }
+    val jbArms = joined.map { case (_, arm, _) => Seq(arm) }
       .orElse(starred.map(_._2))
     // the query arms NOT consumed by the view's own join signature (one
     // query arm per sig arm, matched as (path, pair-set, outer)); None
     // when the sig is not a sub-multiset of the query's arms
     def extraArmsOf(sig: Seq[(String, Set[(String, String)], Boolean)],
-        arms: Seq[(String, Seq[String], Seq[String], Boolean)])
-        : Option[Seq[(String, Seq[String], Seq[String], Boolean)]] = {
+        arms: Seq[ArmScan]): Option[Seq[ArmScan]] = {
       val remaining = scala.collection.mutable.ArrayBuffer(arms: _*)
       sig.foreach { sv =>
-        val ix = remaining.indexWhere(a => lcSig(MvJoin(a._1, a._2, a._3,
-          0L, a._4)) == sv)
+        val ix = remaining.indexWhere(a => lcSig(MvJoin(a.path, a.lks, a.dks,
+          0L, a.outer)) == sv)
         if (ix < 0) return None
         remaining.remove(ix)
         ()
@@ -1215,6 +1353,16 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     jbArms match {
       case None => None
       case Some(arms) =>
+        // fuzz dry-run (see [[fuzzJoinBackDryRun]]): the matcher runs for
+        // every registered view against this query's arms; results are
+        // discarded, throws count via the per-Aggregate guard
+        if (fuzzJoinBackDryRun) registered.foreach { p =>
+          val m = MaterializedView.load(spark, p)
+          val meta = m.meta
+          extraArmsOf(meta.joins.map(lcSig), arms).foreach { extra =>
+            if (extra.nonEmpty) { serveWith(m, meta, Some(extra)); () }
+          }
+        }
         // no per-item pre-filter here: a grouping item may be a dim-table
         // attribute or an expression over them, undecidable without the
         // dim schemas — serve-time resolution gates instead
@@ -1268,13 +1416,12 @@ private[sql] object GraftMvShape {
           GraftMvRewrite.baseScan(agg.child)
             .map { case (p, fs) => (p, fs, Seq.empty[MvJoin]) }
             .orElse(GraftMvRewrite.joinScan(agg.child).map {
-              case (lp, lks, rp, rks, outer, fs) =>
-                (lp, fs, Seq(MvJoin(rp, lks, rks, 0L, outer)))
+              case (lp, arm, fs) =>
+                (lp, fs, Seq(MvJoin(arm.path, arm.lks, arm.dks, 0L, arm.outer)))
             })
             .orElse(GraftMvRewrite.starScan(agg.child).map {
               case (fp, arms, fs) => (fp, fs,
-                arms.map { case (dp, fks, dks, outer) =>
-                  MvJoin(dp, fks, dks, 0L, outer) })
+                arms.map(a => MvJoin(a.path, a.lks, a.dks, 0L, a.outer)))
             })
             .getOrElse(
           return scala.Left("FROM must resolve to a plain graft table snapshot " +

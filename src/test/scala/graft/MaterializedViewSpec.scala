@@ -1543,4 +1543,151 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(scanned1 > 0 && scanned1 < live1,
       s"a chained key birth must open a minority of fact files (opened $scanned1 of $live1)")
   }
+
+  test("schema-evolution contract: additive is harmless; rename/drop of a referenced column is a clean error; drop+re-add can never silently diverge") {
+    val p = tmp(); val mvp = tmp()
+    val t0 = LakeTable.create(spark, p, TableSpec("k", "ver"), baseRows(300))
+    val mv = MaterializedView.create(spark, mvp, t0, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    def expectNow(): Set[Seq[Any]] = LakeTable.load(spark, p).read()
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      .collect().map(_.toSeq).toSet
+    def served(): Set[Seq[Any]] =
+      mv.read().select("grp", "n", "s").collect().map(_.toSeq).toSet
+    // ADDITIVE evolution: a new base column is harmless — churn + refresh
+    // stay exact, the view simply never references it
+    LakeTable.load(spark, p).addColumns(Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))
+    LakeTable.load(spark, p).upsert(spark.range(300L, 340L).select(
+      col("id").as("k"), lit(1L).as("ver"),
+      (col("id") % 7).cast("string").as("grp"),
+      (col("id") * 10).cast("decimal(18,2)").as("amt"),
+      lit(3).as("score"), col("id").as("extra")))
+    mv.refresh()
+    assert(served() == expectNow(), "additive evolution must stay exact")
+    // RENAME of the referenced agg input: refresh fails with the broken
+    // reference NAMED (contract error, not a mid-plan AnalysisException)
+    LakeTable.load(spark, p).renameColumn("amt", "amount")
+    val ex = intercept[IllegalStateException](mv.refresh())
+    assert(ex.getMessage.contains("broken column reference") &&
+      ex.getMessage.contains("amt"), s"got: ${ex.getMessage}")
+    // DESCRIBE MATERIALIZED VIEW surfaces the same broken state
+    val rows = graft.sql.GraftDescribeMaterializedViewCommand(s"'$mvp'").run(spark)
+    val broken = rows.filter(_.getString(0) == "broken_reference").map(_.getString(1))
+    assert(broken.exists(_.contains("amt")),
+      s"DESCRIBE must surface the broken reference (got $broken)")
+    // the rewrite never serves a broken view: the rename commit advanced
+    // the base, so the view is stale by construction
+    graft.sql.GraftMvRewrite.register(mvp)
+    try {
+      val q = spark.read.format("graft").load(p)
+        .groupBy("grp").agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        "a broken (stale) view must never serve")
+    } finally graft.sql.GraftMvRewrite.clear()
+    // renaming BACK repairs: the physical column id is unchanged, so the
+    // incremental state is still exact
+    LakeTable.load(spark, p).renameColumn("amount", "amt")
+    mv.refresh()
+    assert(served() == expectNow(), "rename-back must repair exactly")
+    // DROP + RE-ADD can never silently diverge: the re-added column has a
+    // FRESH physical id (old values read as NULL) while the stored state
+    // still reflects the old values — refresh must refuse cleanly, both
+    // immediately after the drop (broken reference) and after the re-add
+    // (physical-identity discontinuity)
+    LakeTable.load(spark, p).dropColumn("amt")
+    val exDrop = intercept[IllegalStateException](mv.refresh())
+    assert(exDrop.getMessage.contains("broken column reference"))
+    LakeTable.load(spark, p).addColumns(Seq(
+      org.apache.spark.sql.types.StructField("amt",
+        org.apache.spark.sql.types.DecimalType(18, 2))))
+    val exReadd = intercept[IllegalStateException](mv.refresh())
+    assert(exReadd.getMessage.contains("dropped (or renamed away) and re-created"),
+      s"got: ${exReadd.getMessage}")
+    // DESCRIBE still names the view usable-as-of its own state; the
+    // broken_reference list is EMPTY now (the name resolves again) — the
+    // discontinuity is a refresh-time guard, and the view stays stale so
+    // it can never serve
+    val rows2 = graft.sql.GraftDescribeMaterializedViewCommand(s"'$mvp'").run(spark)
+    assert(rows2.exists(r => r.getString(0) == "fresh" && r.getString(1) == "false"))
+  }
+
+  test("binary outer-arm join keys: flip diffing goes by VALUE, so no-flip churn opens zero transition fact files") {
+    // ADVICE (round 10): Row.toSeq set-diffing compared Array[Byte] keys
+    // by REFERENCE, so every touched binary key looked gained-AND-lost —
+    // correct (the terms cancel) but it forced fact reads on every
+    // refresh. Pin: an UPDATE-only churn wave on a binary-keyed LEFT dim
+    // computes EMPTY flip sets (zero fact files opened); a real death
+    // still flips and stays exact.
+    val fp = tmp(); val dp = tmp(); val mvp = tmp()
+    def bin(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("binary")
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      spark.range(400L).select(col("id").as("k"), lit(0L).as("ver"),
+        bin(col("id") % 20).as("bk"), (col("id") % 100).as("amt")))
+    val dim = LakeTable.create(spark, dp, TableSpec("d_id", "dver"),
+      spark.range(15L).select(col("id").as("d_id"), lit(0L).as("dver"),
+        bin(col("id")).as("dbk"), concat(lit("n"), col("id") % 4).as("dname")))
+    MaterializedView.create(spark, mvp, fact, Seq("dname"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")),
+      Seq(MvJoin(dp, Seq("bk"), Seq("dbk"), 0L, outer = true)))
+    def check(): Unit = {
+      val expect = LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(),
+          col("bk") === col("dbk"), "left_outer")
+        .groupBy("dname").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+        .collect().map(_.toSeq).toSet
+      assert(MaterializedView.load(spark, mvp).read()
+        .select("dname", "n", "s").collect().map(_.toSeq).toSet == expect)
+    }
+    check()
+    // UPDATE-only dim churn (no key births/deaths): with value-based
+    // diffing both flip sets are empty — the transition terms must open
+    // ZERO fact files
+    dim.upsert(spark.range(5L).select(col("id").as("d_id"), lit(1L).as("dver"),
+      bin(col("id")).as("dbk"), concat(lit("m"), col("id") % 4).as("dname")))
+    MaterializedView.lastNullExtScan = None
+    MaterializedView.load(spark, mvp).refresh()
+    check()
+    val (live0, scanned0) = MaterializedView.lastNullExtScan.getOrElse(
+      fail("outer-arm dim churn must run the transition term"))
+    assert(scanned0 == 0,
+      s"no-flip binary churn must open zero transition fact files (opened $scanned0 of $live0)")
+    // a real DEATH of a binary key flips 1→0: null-extensions appear and
+    // the result stays exact end-to-end (binary IN pushdown included)
+    dim.delete(col("d_id") === 3L)
+    MaterializedView.load(spark, mvp).refresh()
+    check()
+  }
+
+  test("legacy non-identifier bare input: a column literally named a-b maintains as a COLUMN, never parses as subtraction") {
+    // ADVICE (round 10): isBareInput classified `a-b` as an expression;
+    // expr("a-b") parses as subtraction — silent wrong state (or an
+    // opaque create error). Schema-aware classification treats any known
+    // member column name as bare.
+    val p = tmp(); val mvp = tmp()
+    val t = LakeTable.create(spark, p, TableSpec("k", "ver"),
+      spark.range(200L).select(col("id").as("k"), lit(0L).as("ver"),
+        (col("id") % 5).cast("string").as("grp"),
+        (col("id") % 50).as("a-b")))
+    MaterializedView.create(spark, mvp, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "a-b"),
+        MvAgg("mx", "max", "a-b")))
+    def check(): Unit = {
+      val expect = LakeTable.load(spark, p).read().groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("`a-b`")).as("s"),
+          max(col("`a-b`")).as("mx"))
+        .collect().map(_.toSeq).toSet
+      assert(MaterializedView.load(spark, mvp).read()
+        .select("grp", "n", "s", "mx").collect().map(_.toSeq).toSet == expect)
+    }
+    check()
+    t.upsert(spark.range(200L, 260L).select(col("id").as("k"), lit(1L).as("ver"),
+      (col("id") % 5).cast("string").as("grp"), (col("id") % 37).as("a-b")))
+    t.delete(col("k") % 11 === 0)
+    MaterializedView.load(spark, mvp).refresh()
+    check()
+  }
 }

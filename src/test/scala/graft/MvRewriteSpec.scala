@@ -1908,4 +1908,140 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(qi.collect().isEmpty && GraftMvRewrite.rewriteErrors == 0L)
     } finally GraftMvRewrite.clear()
   }
+
+  test("join-back provenance: name-shadowed columns never mis-serve; drill extrema and DISTINCT expressions serve") {
+    // fact and drill dim deliberately SHARE column names (`region`,
+    // `amt`, and the view dim `ck` itself): every resolution must go by
+    // attribute PROVENANCE (exprId against the arm's scan output), never
+    // by bare name — a fact column shadowing a drill-dim column must not
+    // be silently served as the dim's, and a view agg over fact `amt`
+    // must never answer `sum(d.amt)`.
+    val fp = Files.createTempDirectory("graft_mvrw_shadow_f").toString
+    val dp = Files.createTempDirectory("graft_mvrw_shadow_d").toString
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 1200L).map(i => (i, 1L, i % 20, i % 100, s"fr${i % 4}"))
+        .toDF("k", "ver", "ck", "amt", "region"))
+    LakeTable.create(spark, dp, TableSpec("d_id", "dver"),
+      (0L until 20L).map(d => (d, 0L, d, s"n${d % 5}", s"dr${d % 3}", d * 10, d % 7))
+        .toDF("d_id", "dver", "cdk", "n_name", "region", "amt", "ck"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_shadow_mv").toString
+    MaterializedView.create(spark, mvPath, fact, Seq("ck"),
+      Seq(MvAgg("s", "sum", "amt"), MvAgg("n", "count", "*")))
+    def fdf = spark.read.format("graft").load(fp)
+    def ddf = spark.read.format("graft").load(dp)
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    try {
+      GraftMvRewrite.register(mvPath)
+      val f0 = fdf; val d0 = ddf
+      def joined = f0.join(d0, f0("ck") === d0("cdk"))
+      // POSITIVE: group on the DIM's region (fact has one too) — the
+      // arm-provenance attr serves as the dim's own column post join-back
+      val gDim = joined.groupBy(d0("region")).agg(sum(f0("amt")).as("s"))
+      assert(scansMvState(gDim) && !scansPath(gDim, fp),
+        s"dim-provenance region must serve:\n${gDim.queryExecution.optimizedPlan}")
+      assert(expect(gDim) == expect(LakeTable.load(spark, fp).read().as("f")
+        .join(LakeTable.load(spark, dp).read().as("d"),
+          col("f.ck") === col("d.cdk"))
+        .groupBy(col("d.region")).agg(sum(col("f.amt")).as("s"))))
+      // NEGATIVE: group on the FACT's region — not a view dim; the
+      // same-named drill column must NOT capture it
+      val gFact = joined.groupBy(f0("region")).agg(sum(f0("amt")).as("s"))
+      assert(scansPath(gFact, fp),
+        "a fact column shadowing a drill-dim column must not serve")
+      assert(expect(gFact) == expect(LakeTable.load(spark, fp).read().as("f")
+        .join(LakeTable.load(spark, dp).read().as("d"),
+          col("f.ck") === col("d.cdk"))
+        .groupBy(col("f.region")).agg(sum(col("f.amt")).as("s"))))
+      // NEGATIVE: sum over the DIM's amt — the view's sum(amt) partials
+      // are the FACT's; a name match must not serve them
+      val sDim = joined.groupBy(d0("n_name")).agg(sum(d0("amt")).as("s"))
+      assert(scansPath(sDim, fp),
+        "a view agg over fact amt must not answer sum(d.amt)")
+      assert(expect(sDim) == expect(LakeTable.load(spark, fp).read().as("f")
+        .join(LakeTable.load(spark, dp).read().as("d"),
+          col("f.ck") === col("d.cdk"))
+        .groupBy(col("d.n_name")).agg(sum(col("d.amt")).as("s"))))
+      // NEGATIVE: group on the DIM's ck (shadowing the view dim) — the
+      // state's ck column must not capture it
+      val gDimCk = joined.groupBy(d0("ck")).agg(count(lit(1)).as("n"))
+      assert(scansPath(gDimCk, fp),
+        "a drill column shadowing a view dim must not serve from state")
+      assert(expect(gDimCk) == expect(LakeTable.load(spark, fp).read().as("f")
+        .join(LakeTable.load(spark, dp).read().as("d"),
+          col("f.ck") === col("d.cdk"))
+        .groupBy(col("d.ck")).agg(count(lit(1)).as("n"))))
+      // POSITIVE: group on the FACT's ck (the view dim, dim-shadowed):
+      // provenance says fact-resident → state serves; the drill arm must
+      // not project its own same-named column into ambiguity
+      val gFactCk = joined.filter(d0("region") === "dr1")
+        .groupBy(f0("ck")).agg(sum(f0("amt")).as("s"))
+      assert(scansMvState(gFactCk) && !scansPath(gFactCk, fp),
+        s"the dim-shadowed view dim must still serve:\n${gFactCk.queryExecution.optimizedPlan}")
+      assert(expect(gFactCk) == expect(LakeTable.load(spark, fp).read().as("f")
+        .join(LakeTable.load(spark, dp).read().as("d"),
+          col("f.ck") === col("d.cdk"))
+        .filter(col("d.region") === "dr1")
+        .groupBy(col("f.ck")).agg(sum(col("f.amt")).as("s"))))
+      // POSITIVE: min/max over a drill attribute — duplication-
+      // insensitive, recomputed post join-back over the state's rows
+      val ext = joined.groupBy(d0("n_name"))
+        .agg(min(d0("amt")).as("mn"), max(d0("amt")).as("mx"),
+          sum(f0("amt")).as("s"))
+      assert(scansMvState(ext) && !scansPath(ext, fp),
+        s"drill extrema must serve:\n${ext.queryExecution.optimizedPlan}")
+      assert(expect(ext) == expect(LakeTable.load(spark, fp).read().as("f")
+        .join(LakeTable.load(spark, dp).read().as("d"),
+          col("f.ck") === col("d.cdk"))
+        .groupBy(col("d.n_name")).agg(min(col("d.amt")).as("mn"),
+          max(col("d.amt")).as("mx"), sum(col("f.amt")).as("s"))))
+      // POSITIVE: count(DISTINCT expr-over-drill-attr)
+      val cd = joined.groupBy(d0("region"))
+        .agg(countDistinct(upper(d0("n_name"))).as("dn"),
+          count(lit(1)).as("n"))
+      assert(scansMvState(cd) && !scansPath(cd, fp),
+        s"DISTINCT over a drill expression must serve:\n${cd.queryExecution.optimizedPlan}")
+      assert(expect(cd) == expect(LakeTable.load(spark, fp).read().as("f")
+        .join(LakeTable.load(spark, dp).read().as("d"),
+          col("f.ck") === col("d.cdk"))
+        .groupBy(col("d.region"))
+        .agg(countDistinct(upper(col("d.n_name"))).as("dn"),
+          count(lit(1)).as("n"))))
+    } finally GraftMvRewrite.clear()
+  }
+
+  test("expression agg inputs match by canonical text only: string-literal CASE differences never serve") {
+    // ADVICE (round 10): inputMatches applied equalsIgnoreCase to full
+    // expression texts — CASE WHEN grp='G1' vs grp='g1' differ only in a
+    // string LITERAL's case and are DIFFERENT aggregates; serving one
+    // for the other returns wrong results. Bare identifiers still match
+    // case-insensitively (attribute resolution is case-insensitive).
+    val (base, path) = freshBase("litcase")
+    val mvPath = Files.createTempDirectory("graft_mvrw_lc").toString
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("s", "sum", "CASE WHEN grp = 'g1' THEN amt ELSE 0 END"),
+        MvAgg("n", "count", "*")))
+    try {
+      GraftMvRewrite.register(mvPath)
+      // exact literal: serves
+      val hit = spark.read.format("graft").load(path).groupBy("grp")
+        .agg(sum(expr("CASE WHEN grp = 'g1' THEN amt ELSE 0 END")).as("s"))
+      assert(!hasAggregate(hit) && scansMvState(hit),
+        s"the exact-literal expression input must serve:\n${hit.queryExecution.optimizedPlan}")
+      // literal case differs: a DIFFERENT aggregate — must not serve,
+      // and must stay correct
+      val miss = spark.read.format("graft").load(path).groupBy("grp")
+        .agg(sum(expr("CASE WHEN grp = 'G1' THEN amt ELSE 0 END")).as("s"))
+      assert(hasAggregate(miss),
+        "a literal-case-different expression input must NOT serve")
+      assert(miss.collect().map(_.toSeq).toSet ==
+        base.read().groupBy("grp")
+          .agg(sum(expr("CASE WHEN grp = 'G1' THEN amt ELSE 0 END")).as("s"))
+          .collect().map(_.toSeq).toSet)
+      // bare inputs keep case-insensitive matching: SUM(AMT) serves the
+      // view's sum over amt
+      val bare = spark.read.format("graft").load(path).groupBy("grp")
+        .agg(count(lit(1)).as("n"))
+      assert(!hasAggregate(bare))
+    } finally GraftMvRewrite.clear()
+  }
 }
