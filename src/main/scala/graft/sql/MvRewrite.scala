@@ -1155,9 +1155,28 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         // never visited by the dim pass below
         val t = child.transformDown {
           case ae @ AggregateExpression(fn, Complete, false, None, _) =>
-            // an extra-arm attribute inside an agg input: no partials in
-            // the state (see aggArmFree) — conservative template bail
-            if (!aggArmFree(fn)) { ok = false; ae }
+            // an extra-arm attribute inside an agg input: the state has
+            // no partials for it (see aggArmFree) — but extrema are
+            // duplication-insensitive, so min/max over drill attributes
+            // re-derive post join-back even INSIDE arithmetic
+            // (`max(d.x) - min(d.x)`); anything else bails the template
+            if (!aggArmFree(fn)) fn match {
+              case Min(e) => rebuiltCol(e) match {
+                case Some(c) =>
+                  val out = s"_djm_${derivedJoined.size}"
+                  derivedJoined += ((out, org.apache.spark.sql.functions.min(c)))
+                  mark(out, ae.dataType)
+                case None => ok = false; ae
+              }
+              case Max(e) => rebuiltCol(e) match {
+                case Some(c) =>
+                  val out = s"_djm_${derivedJoined.size}"
+                  derivedJoined += ((out, org.apache.spark.sql.functions.max(c)))
+                  mark(out, ae.dataType)
+                case None => ok = false; ae
+              }
+              case _ => ok = false; ae
+            }
             else aggColumn(spark, fn, meta.aggs).map(_.name).orElse(deriveAgg(fn)) match {
               case Some(n) => mark(n, ae.dataType)
               case None => ok = false; ae

@@ -1986,14 +1986,16 @@ class MvRewriteSpec extends AnyFunSuite {
       // insensitive, recomputed post join-back over the state's rows
       val ext = joined.groupBy(d0("n_name"))
         .agg(min(d0("amt")).as("mn"), max(d0("amt")).as("mx"),
-          sum(f0("amt")).as("s"))
+          sum(f0("amt")).as("s"),
+          (max(d0("amt")) - min(d0("amt"))).as("spread"))
       assert(scansMvState(ext) && !scansPath(ext, fp),
         s"drill extrema must serve:\n${ext.queryExecution.optimizedPlan}")
       assert(expect(ext) == expect(LakeTable.load(spark, fp).read().as("f")
         .join(LakeTable.load(spark, dp).read().as("d"),
           col("f.ck") === col("d.cdk"))
         .groupBy(col("d.n_name")).agg(min(col("d.amt")).as("mn"),
-          max(col("d.amt")).as("mx"), sum(col("f.amt")).as("s"))))
+          max(col("d.amt")).as("mx"), sum(col("f.amt")).as("s"),
+          (max(col("d.amt")) - min(col("d.amt"))).as("spread"))))
       // POSITIVE: count(DISTINCT expr-over-drill-attr)
       val cd = joined.groupBy(d0("region"))
         .agg(countDistinct(upper(d0("n_name"))).as("dn"),
