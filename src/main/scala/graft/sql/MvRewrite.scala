@@ -354,13 +354,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * (it changes the null-extension), so an outer arm with dim-side
     * filters conservatively fails the match. */
   private[sql] def joinScan(p: LogicalPlan)
-      : Option[(String, ArmScan, Seq[Expression])] =
+      : Option[(String, AttributeSet, ArmScan, Seq[Expression])] =
     p match {
       case SubqueryAlias(_, c) => joinScan(c)
       case v: View => joinScan(v.child)
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => joinScan(c)
       case Filter(cond, c) =>
-        joinScan(c).map { case (lp, arm, fs) => (lp, arm, fs :+ cond) }
+        joinScan(c).map { case (lp, lo, arm, fs) => (lp, lo, arm, fs :+ cond) }
       case j @ Join(l, r, jt, Some(cond), _)
           if jt == org.apache.spark.sql.catalyst.plans.Inner ||
             jt == org.apache.spark.sql.catalyst.plans.LeftOuter =>
@@ -371,8 +371,9 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           (lp, lf) <- baseScan(l)
           (rp, rf) <- baseScan(r)
           if !(outer && rf.nonEmpty)
-        } yield (lp, ArmScan(rp, pairs, outer,
-          AttributeSet(r.collectLeaves().flatMap(_.output))), lf ++ rf)
+        } yield (lp, AttributeSet(l.collectLeaves().flatMap(_.output)),
+          ArmScan(rp, pairs, outer,
+            AttributeSet(r.collectLeaves().flatMap(_.output))), lf ++ rf)
       case _ => None
     }
 
@@ -568,7 +569,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val starred =
       if (plain.isDefined || joined.isDefined) None else starScan(agg.child)
     val (path, filters) = plain
-      .orElse(joined.map { case (lp, _, fs) => (lp, fs) })
+      .orElse(joined.map { case (lp, _, _, fs) => (lp, fs) })
       .orElse(starred.map { case (fp, _, fs) => (fp, fs) })
       .getOrElse(return None)
     // does this view's join set serve the scanned shape? A plain scan
@@ -581,7 +582,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         sig: Seq[(String, Set[(String, String)], Boolean)]): Boolean =
       (plain, joined, starred) match {
         case (Some(_), _, _) => sig.isEmpty && basePath == path
-        case (_, Some((lp, arm, _)), _) => sig match {
+        case (_, Some((lp, _, arm, _)), _) => sig match {
           case Seq((jDim, pairs, vOuter)) =>
             val fwd = arm.lks.zip(arm.dks)
               .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet
@@ -1352,8 +1353,20 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // Tried only after every direct candidate missed; freshness gates on
     // the view's own cursors (fact + its member dims) — the EXTRA dims
     // are scanned at the same live snapshot the query itself would read.
-    val jbArms = joined.map { case (_, arm, _) => Seq(arm) }
-      .orElse(starred.map(_._2))
+    // (factPath, query arms) join-back orientations: the parsed one,
+    // plus — for a two-table INNER join — the COMMUTED one (the user may
+    // write dim ⋈ fact; inner ⋈ commutes, so the view's base can sit on
+    // either side). The reversed arm's provenance is the LEFT subtree's
+    // leaf-scan output; a LEFT-outer join does not commute and keeps
+    // only the parsed orientation.
+    val jbOrients: Seq[(String, Seq[ArmScan])] =
+      joined.toSeq.flatMap { case (lp, lOut, arm, _) =>
+        val fwd = (lp, Seq(arm))
+        if (arm.outer) Seq(fwd)
+        else Seq(fwd, (arm.path,
+          Seq(ArmScan(lp, arm.pairs.map(_.swap), outer = false, lOut))))
+      } ++ starred.toSeq.map { case (fp, arms, _) => (fp, arms) }
+    if (jbOrients.isEmpty) return None
     // the query arms NOT consumed by the view's own join signature (one
     // query arm per sig arm, matched as (path, pair-set, outer)); None
     // when the sig is not a sub-multiset of the query's arms
@@ -1369,47 +1382,49 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       }
       Some(remaining.toSeq)
     }
-    jbArms match {
-      case None => None
-      case Some(arms) =>
-        // fuzz dry-run (see [[fuzzJoinBackDryRun]]): the matcher runs for
-        // every registered view against this query's arms; results are
-        // discarded, throws count via the per-Aggregate guard
-        if (fuzzJoinBackDryRun) registered.foreach { p =>
-          val m = MaterializedView.load(spark, p)
-          val meta = m.meta
-          extraArmsOf(meta.joins.map(lcSig), arms).foreach { extra =>
-            if (extra.nonEmpty) { serveWith(m, meta, Some(extra)); () }
-          }
+    // fuzz dry-run (see [[fuzzJoinBackDryRun]]): the matcher runs for
+    // every registered view against every orientation's arms; results
+    // are discarded, throws count via the per-Aggregate guard
+    if (fuzzJoinBackDryRun) jbOrients.foreach { case (_, arms) =>
+      registered.foreach { p =>
+        val m = MaterializedView.load(spark, p)
+        val meta = m.meta
+        extraArmsOf(meta.joins.map(lcSig), arms).foreach { extra =>
+          if (extra.nonEmpty) { serveWith(m, meta, Some(extra)); () }
         }
-        // no per-item pre-filter here: a grouping item may be a dim-table
-        // attribute or an expression over them, undecidable without the
-        // dim schemas — serve-time resolution gates instead
-        val jbCandidates = registered.flatMap { p =>
-          shapeOf(spark, p) match {
-            case Some(s) if s.basePath == path &&
-                extraArmsOf(s.joinSig, arms).exists(_.nonEmpty) =>
-              Some((p, s.dims))
-            case _ => None
-          }
-        }.sortBy { case (_, ds) => ds.size }
-        val jbFresh = jbCandidates.iterator.flatMap { case (p, _) =>
-          try {
-            val m = MaterializedView.load(spark, p)
-            val meta = m.meta // fresh read — authoritative over the cache
-            val extra = extraArmsOf(meta.joins.map(lcSig), arms)
-            if (meta.basePath == path && extra.exists(_.nonEmpty) && {
-              val (cf, cds) = m.refreshedVersions
-              cf == latestOf(meta.basePath) &&
-              meta.joins.zip(cds).forall { case (j, c) => c == latestOf(j.dimPath) }
-            })
-              Some((m, meta, extra.get))
-            else None
-          } catch { case scala.util.control.NonFatal(_) => None }
-        }
-        jbFresh.flatMap { case (v, m, extra) =>
-          serveWith(v, m, Some(extra)) }.nextOption()
+      }
     }
+    // no per-item pre-filter here: a grouping item may be a dim-table
+    // attribute or an expression over them, undecidable without the
+    // dim schemas — serve-time resolution gates instead
+    def jbTry(fp: String, arms: Seq[ArmScan]): Option[LogicalPlan] = {
+      val jbCandidates = registered.flatMap { p =>
+        shapeOf(spark, p) match {
+          case Some(s) if s.basePath == fp &&
+              extraArmsOf(s.joinSig, arms).exists(_.nonEmpty) =>
+            Some((p, s.dims))
+          case _ => None
+        }
+      }.sortBy { case (_, ds) => ds.size }
+      val jbFresh = jbCandidates.iterator.flatMap { case (p, _) =>
+        try {
+          val m = MaterializedView.load(spark, p)
+          val meta = m.meta // fresh read — authoritative over the cache
+          val extra = extraArmsOf(meta.joins.map(lcSig), arms)
+          if (meta.basePath == fp && extra.exists(_.nonEmpty) && {
+            val (cf, cds) = m.refreshedVersions
+            cf == latestOf(meta.basePath) &&
+            meta.joins.zip(cds).forall { case (j, c) => c == latestOf(j.dimPath) }
+          })
+            Some((m, meta, extra.get))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+      jbFresh.flatMap { case (v, m, extra) =>
+        serveWith(v, m, Some(extra)) }.nextOption()
+    }
+    jbOrients.iterator.flatMap { case (fp, arms) => jbTry(fp, arms) }
+      .nextOption()
   }
 }
 
@@ -1435,7 +1450,7 @@ private[sql] object GraftMvShape {
           GraftMvRewrite.baseScan(agg.child)
             .map { case (p, fs) => (p, fs, Seq.empty[MvJoin]) }
             .orElse(GraftMvRewrite.joinScan(agg.child).map {
-              case (lp, arm, fs) =>
+              case (lp, _, arm, fs) =>
                 (lp, fs, Seq(MvJoin(arm.path, arm.lks, arm.dks, 0L, arm.outer)))
             })
             .orElse(GraftMvRewrite.starScan(agg.child).map {

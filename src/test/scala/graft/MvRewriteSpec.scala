@@ -2046,4 +2046,42 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(!hasAggregate(bare))
     } finally GraftMvRewrite.clear()
   }
+
+  test("commuted join-back: dim JOIN fact (view base on the RIGHT) serves; an outer join never commutes") {
+    // inner ⋈ commutes, so a user writing `dim.join(fact, …)` must hit
+    // the same join-back serving as `fact.join(dim, …)`; a LEFT join
+    // does not commute (the reversed shape would be a RIGHT outer of the
+    // fact) and must fall through.
+    val fp = Files.createTempDirectory("graft_mvrw_rev_f").toString
+    val dp = Files.createTempDirectory("graft_mvrw_rev_d").toString
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 1500L).map(i => (i, 1L, i % 25, i % 100)).toDF("k", "ver", "ck", "amt"))
+    LakeTable.create(spark, dp, TableSpec("d_id", "dver"),
+      (0L until 25L).map(d => (d, 0L, d, s"n${d % 6}"))
+        .toDF("d_id", "dver", "cdk", "n_name"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_rev_mv").toString
+    MaterializedView.create(spark, mvPath, fact, Seq("ck"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    def f = spark.read.format("graft").load(fp)
+    def d = spark.read.format("graft").load(dp)
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    try {
+      GraftMvRewrite.register(mvPath)
+      // dim on the LEFT, fact on the RIGHT — the commuted orientation
+      val rev = d.join(f, col("cdk") === col("ck"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      assert(scansMvState(rev) && !scansPath(rev, fp),
+        s"commuted inner join-back must serve:\n${rev.queryExecution.optimizedPlan}")
+      assert(expect(rev) == expect(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"), sum("amt").as("s"))))
+      // dim LEFT JOIN fact: not commutable — no serve, values correct
+      val lo = d.join(f, col("cdk") === col("ck"), "left_outer")
+        .groupBy("n_name").agg(count(col("amt")).as("n"), sum("amt").as("s"))
+      assert(scansPath(lo, fp), "a reversed OUTER join must not serve")
+      assert(expect(lo) == expect(LakeTable.load(spark, dp).read()
+        .join(LakeTable.load(spark, fp).read(), col("cdk") === col("ck"), "left_outer")
+        .groupBy("n_name").agg(count(col("amt")).as("n"), sum("amt").as("s"))))
+    } finally GraftMvRewrite.clear()
+  }
 }
