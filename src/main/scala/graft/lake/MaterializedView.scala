@@ -908,7 +908,7 @@ object MaterializedView {
 
   private[lake] val MVKEY = "_mv_key"
   private[lake] val MVVER = "_mv_ver"
-  private[lake] val GRP_N = "_grp_n"
+  private[graft] val GRP_N = "_grp_n"
 
   /** Extremum/sketch repair pushes at most this many affected-group dim
     * tuples into the snapshot scan as IN filters; beyond it the repair

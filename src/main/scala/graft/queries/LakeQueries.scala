@@ -1852,7 +1852,9 @@ object LakeQueries {
               avg("o_custkey").as("av"),
               countDistinct(col("c_nationkey")).as("dk"),
               countDistinct(concat(col("n_name"), col("n_regionkey"))).as("de"),
-              min(col("n_regionkey")).as("mr"))
+              min(col("n_regionkey")).as("mr"),
+              // weighted drill sum: Σ n_regionkey·GRP_N over the state
+              sum(col("n_regionkey")).as("sr"))
           val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
           val readsFolded = rewritten.collect {
             case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
@@ -1886,7 +1888,8 @@ object LakeQueries {
         |       CAST(SUM(f.o_custkey) AS DOUBLE) / COUNT(f.o_custkey) AS av,
         |       CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) AS dk,
         |       CAST(COUNT(DISTINCT CONCAT(nt.n_name, nt.n_regionkey)) AS BIGINT) AS de,
-        |       CAST(MIN(nt.n_regionkey) AS BIGINT) AS mr
+        |       CAST(MIN(nt.n_regionkey) AS BIGINT) AS mr,
+        |       CAST(SUM(nt.n_regionkey) AS BIGINT) AS sr
         |FROM fact f
         |JOIN cust c ON f.o_custkey = c.c_custkey
         |JOIN nat nt ON c.c_nationkey = nt.n_nationkey

@@ -1113,6 +1113,52 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // match.
       def aggArmFree(fn: AggregateFunction): Boolean =
         !fn.references.exists(a => jbArmOf(a).isDefined)
+      // the live group-row weight: every state row stands for GRP_N fact
+      // rows of its group (the weighted-drill-aggregate servings below)
+      def grpN = org.apache.spark.sql.functions.col(MaterializedView.GRP_N)
+      // Σ e·GRP_N serving a query sum over a drill expression; only for
+      // integral (modular-exact) and float/double (the query's own
+      // partition-order rounding envelope) inputs — decimal bails
+      def weightedCol(e: Expression,
+          rt: org.apache.spark.sql.types.DataType): Option[(String, Unit)] = {
+        val f = org.apache.spark.sql.functions
+        val castTo = e.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | LongType => Some("long")
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => Some("double")
+          case _ => None
+        }
+        castTo.flatMap { t =>
+          rebuiltCol(e).map { c =>
+            val out = s"_djw_${derivedJoined.size}"
+            derivedJoined += ((out, f.sum(c.cast(t) * grpN)))
+            (out, ())
+          }
+        }
+      }
+      // weighted average: Σ e·GRP_N ÷ Σ GRP_N over non-null e, null on
+      // an all-null group like the query's avg
+      def weightedAvg(e: Expression): Option[String] = {
+        val f = org.apache.spark.sql.functions
+        val ok = e.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | LongType => true
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => true
+          case _ => false
+        }
+        if (!ok) None
+        else rebuiltCol(e).map { c =>
+          val s = f.sum(c.cast("double") * grpN)
+          val n = f.sum(f.when(c.isNotNull, grpN).otherwise(f.lit(0L)))
+          val out = s"_djw_${derivedJoined.size}"
+          derivedJoined += ((out, f.when(n > 0, s / n)))
+          out
+        }
+      }
       def deriveAgg(fn: AggregateFunction): Option[String] = {
         def add(kind: String, src: String): String = {
           val out = s"_drv_${derived.size}"
@@ -1202,7 +1248,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         agg.aggregateExpressions.map {
           case a: AttributeReference if viewDimOf(a).isDefined =>
             (a, scala.Left(viewDimOf(a).get))
-          case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+          case al @ Alias(ae @ AggregateExpression(fn, Complete, false, None, _), _) =>
             if (aggArmFree(fn))
               (al, scala.Left(aggColumn(spark, fn, meta.aggs).map(_.name)
                 .orElse(deriveAgg(fn)).getOrElse(return None)))
@@ -1219,6 +1265,35 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
                 val out = s"_djm_${derivedJoined.size}"
                 derivedJoined += ((out, org.apache.spark.sql.functions.max(c)))
                 (al, scala.Left(out))
+              // WEIGHTED drill aggregates: each state row stands for
+              // GRP_N fact rows of its group, and the join-back
+              // multiplies state rows exactly as it multiplies that
+              // group's fact rows (every arm's left key chains back to
+              // view dims, so all of a group's rows share it) —
+              //   sum_query(e)   = Σ_served e·GRP_N
+              //   count_query(e) = Σ_served GRP_N over non-null e
+              //   avg_query(e)   = the ratio
+              // Integral sums are modular-exact; double sums land within
+              // the query's own partition-order rounding envelope.
+              // DECIMAL bails: the widened intermediate precision could
+              // mask an overflow-to-null the narrower query sum produces.
+              case Sum(e, _) => weightedCol(e, ae.dataType) match {
+                case Some((out, _)) => (al, scala.Left(out))
+                case None => return None
+              }
+              case Count(children) if children.nonEmpty =>
+                val cs = children.map(c => rebuiltCol(c).getOrElse(return None))
+                val nn = cs.map(_.isNotNull).reduce(_ && _)
+                val out = s"_djw_${derivedJoined.size}"
+                derivedJoined += ((out,
+                  org.apache.spark.sql.functions.coalesce(
+                    org.apache.spark.sql.functions.sum(
+                      org.apache.spark.sql.functions.when(nn, grpN)
+                        .otherwise(org.apache.spark.sql.functions.lit(0L))),
+                    org.apache.spark.sql.functions.lit(0L))))
+                (al, scala.Left(out))
+              case Average(e, _) => weightedAvg(e).map(out =>
+                (al, scala.Left(out))).getOrElse(return None)
               case _ => return None
             }
           case al @ Alias(child, _) if viewDimOf(child).isDefined =>

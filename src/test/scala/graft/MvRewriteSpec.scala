@@ -1443,11 +1443,17 @@ class MvRewriteSpec extends AnyFunSuite {
         spark.catalog.dropTempView("jb_f"); spark.catalog.dropTempView("jb_d")
         ()
       }
-      // negatives: an aggregate over a DIM column has no partials; a
-      // grouping attribute in neither the view nor a dim falls through
-      assert(scansPath(f.join(d, col("ck") === col("cdk"))
-        .groupBy("n_name").agg(sum("dw").as("sw")), fp),
-        "a dim-column aggregate must not serve")
+      // an aggregate over a DIM column has no partials — the WEIGHTED
+      // serving (Σ e·GRP_N) reconstructs it exactly, duplicate dim keys
+      // and all; a grouping attribute in neither the view nor a dim
+      // still falls through
+      val wsum = f.join(d, col("ck") === col("cdk"))
+        .groupBy("n_name").agg(sum("dw").as("sw"))
+      assert(scansMvState(wsum) && !scansPath(wsum, fp),
+        s"a dim-column aggregate must serve weighted:\n${wsum.queryExecution.optimizedPlan}")
+      assert(expect(wsum) == expect(LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"))
+        .groupBy("n_name").agg(sum("dw").as("sw"))))
       assert(scansPath(f.join(d, col("ck") === col("cdk"))
         .groupBy("amt").agg(count(lit(1)).as("n")), fp),
         "grouping on a non-dim fact column must not serve")
@@ -1923,7 +1929,8 @@ class MvRewriteSpec extends AnyFunSuite {
         .toDF("k", "ver", "ck", "amt", "region"))
     LakeTable.create(spark, dp, TableSpec("d_id", "dver"),
       (0L until 20L).map(d => (d, 0L, d, s"n${d % 5}", s"dr${d % 3}", d * 10, d % 7))
-        .toDF("d_id", "dver", "cdk", "n_name", "region", "amt", "ck"))
+        .toDF("d_id", "dver", "cdk", "n_name", "region", "amt", "ck")
+        .withColumn("dprice", (col("amt") * 2).cast("decimal(18,2)")))
     val mvPath = Files.createTempDirectory("graft_mvrw_shadow_mv").toString
     MaterializedView.create(spark, mvPath, fact, Seq("ck"),
       Seq(MvAgg("s", "sum", "amt"), MvAgg("n", "count", "*")))
@@ -1952,15 +1959,29 @@ class MvRewriteSpec extends AnyFunSuite {
         .join(LakeTable.load(spark, dp).read().as("d"),
           col("f.ck") === col("d.cdk"))
         .groupBy(col("f.region")).agg(sum(col("f.amt")).as("s"))))
-      // NEGATIVE: sum over the DIM's amt — the view's sum(amt) partials
-      // are the FACT's; a name match must not serve them
-      val sDim = joined.groupBy(d0("n_name")).agg(sum(d0("amt")).as("s"))
-      assert(scansPath(sDim, fp),
-        "a view agg over fact amt must not answer sum(d.amt)")
+      // the DIM's amt shares a name with the view's sum input: the
+      // fact's partials must NOT answer it — instead the WEIGHTED
+      // serving (Σ e·GRP_N) computes the drill sum exactly, alongside
+      // weighted count and avg
+      val sDim = joined.groupBy(d0("n_name"))
+        .agg(sum(d0("amt")).as("s"), count(d0("amt")).as("c"),
+          avg(d0("amt")).as("a"))
+      assert(scansMvState(sDim) && !scansPath(sDim, fp),
+        s"weighted drill sum/count/avg must serve:\n${sDim.queryExecution.optimizedPlan}")
       assert(expect(sDim) == expect(LakeTable.load(spark, fp).read().as("f")
         .join(LakeTable.load(spark, dp).read().as("d"),
           col("f.ck") === col("d.cdk"))
-        .groupBy(col("d.n_name")).agg(sum(col("d.amt")).as("s"))))
+        .groupBy(col("d.n_name")).agg(sum(col("d.amt")).as("s"),
+          count(col("d.amt")).as("c"), avg(col("d.amt")).as("a"))))
+      // NEGATIVE: a DECIMAL drill sum bails (the widened intermediate
+      // precision could mask an overflow-to-null the query produces) —
+      // no serve, values correct
+      val sDec = joined.groupBy(d0("n_name")).agg(sum(d0("dprice")).as("s"))
+      assert(scansPath(sDec, fp), "a decimal drill sum must not serve")
+      assert(expect(sDec) == expect(LakeTable.load(spark, fp).read().as("f")
+        .join(LakeTable.load(spark, dp).read().as("d"),
+          col("f.ck") === col("d.cdk"))
+        .groupBy(col("d.n_name")).agg(sum(col("d.dprice")).as("s"))))
       // NEGATIVE: group on the DIM's ck (shadowing the view dim) — the
       // state's ck column must not capture it
       val gDimCk = joined.groupBy(d0("ck")).agg(count(lit(1)).as("n"))
