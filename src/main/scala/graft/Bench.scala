@@ -35,6 +35,36 @@ object Bench {
   private def noop(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Plan-shape evidence for the perennially-debated write/refresh
+    * entries (e17, b12, b13, b15): Spark job counts observed DURING the
+    * timed block, emitted as `meta` fields in the output JSON so a
+    * wall-time elevation can be attributed (same jobs → host noise;
+    * more jobs → a real plan regression) without re-litigating. The
+    * listener bus drain happens after `time` returns — it never
+    * inflates the measured wall time.
+    */
+  private final class JobCounter extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onJobStart(
+        s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+  }
+
+  private val meta = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+  private def timedWithJobs(spark: SparkSession, name: String)(body: => Unit): Double = {
+    val c = new JobCounter
+    spark.sparkContext.addSparkListener(c)
+    val t = time(body)
+    // async listener bus: wait for the count to go quiet before reading
+    var last = -1L
+    while (c.jobs.get() != last) { last = c.jobs.get(); Thread.sleep(200) }
+    spark.sparkContext.removeSparkListener(c)
+    meta(s"${name}_jobs") = last
+    t
+  }
+
   /** Median of `n` timed materializations after one warm-up. */
   private def median(df: => DataFrame, n: Int = 3): Double = {
     noop(df)
@@ -358,7 +388,12 @@ object Bench {
     // word-frequency aggregate).
     results("e17_bpe_train") = {
       val docs = tbl("documents").filter(col("doc_id") < 1000)
-      time { graft.ext.Bpe.trainWithStats(docs, numMerges = 32) }
+      var st: (graft.ext.Bpe.Merges, Seq[graft.ext.Bpe.RoundStat]) = null
+      val t = timedWithJobs(spark, "e17") {
+        st = graft.ext.Bpe.trainWithStats(docs, numMerges = 32)
+      }
+      meta("e17_merges") = st._1.pairs.size.toLong
+      t
     }
 
     // B11: automatic MV rewrite — the aggregate is answered from the MV
@@ -406,7 +441,9 @@ object Bench {
         .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY")))
       dim.upsert(tbl("customer").filter(col("c_custkey") % 200 === 0)
         .withColumn("c_mktsegment", lit("MOVED")).withColumn("cver", lit(1L)))
-      time { graft.lake.MaterializedView.load(spark, mvDir).refresh() }
+      timedWithJobs(spark, "b12") {
+        graft.lake.MaterializedView.load(spark, mvDir).refresh()
+      }
     }
 
     // B13/B14: incremental distinct-count maintenance vs recompute. B13
@@ -429,7 +466,9 @@ object Bench {
       base.upsert(tbl("orders").filter(col("o_orderkey") % 100 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
         .withColumn("o_custkey", col("o_custkey") + 10000000L))
-      time { graft.lake.MaterializedView.load(spark, mvDir).refresh() }
+      timedWithJobs(spark, "b13") {
+        graft.lake.MaterializedView.load(spark, mvDir).refresh()
+      }
     }
     results("b14_distinct_recompute") = median {
       spark.read.format("graft").load(b13Dir).groupBy("o_orderstatus")
@@ -467,7 +506,9 @@ object Bench {
       dim.upsert(tbl("customer").filter(col("c_custkey") % 400 === 0)
         .withColumn("cver", lit(0L)))
       dim.delete(col("c_custkey") % 300 === 7)
-      time { graft.lake.MaterializedView.load(spark, mvDir).refresh() }
+      timedWithJobs(spark, "b15") {
+        graft.lake.MaterializedView.load(spark, mvDir).refresh()
+      }
     }
 
     // R1: TPC-H Q1 shape from the relational set.
@@ -480,8 +521,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val ms = meta.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"meta":$ms,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
