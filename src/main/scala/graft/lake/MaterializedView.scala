@@ -327,17 +327,17 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
   private def refreshOnce(): Boolean = {
     val m = meta
     val st = state
-    val vState = st.latestVersion
-    val (lastV, dimVs) = cursorOf(st, m, vState)
     val base = LakeTable.load(spark, m.basePath)
     val upTo = base.latestVersion
     val dimTables = m.joins.map(j => LakeTable.load(spark, j.dimPath))
     val dimUpTos = dimTables.map(_.latestVersion)
-    if (upTo <= lastV &&
-        dimUpTos.zip(dimVs).forall { case (u, v) => u <= v }) return true
+    locally {
+      val v0 = st.latestVersion
+      val (l0, dv0) = cursorOf(st, m, v0)
+      if (upTo <= l0 && dimUpTos.zip(dv0).forall { case (u, v) => u <= v })
+        return true
+    }
     val dims = m.dims
-    val stSchema = st.schema
-    def stType(c: String): DataType = stSchema(c).dataType
 
     // SCHEMA-EVOLUTION pre-flight (see [[brokenReferences]]): a member
     // table that renamed/dropped a referenced column fails refresh HERE,
@@ -349,6 +349,31 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         s"schema evolution — ${broken.mkString("; ")}. Restore the column(s) " +
         "(rename back / addColumns) or drop and recreate the view; DESCRIBE " +
         "MATERIALIZED VIEW shows the same broken_reference rows")
+
+    // TYPE-WIDENING pre-flight (the contract's other half — see
+    // [[stateTypeChanges]]): a member column widened under a dim / sum /
+    // avg / min / max keeps its name, so [[brokenReferences]] cannot see
+    // it, but the state column stays too narrow and the maintenance
+    // arithmetic below casts deltas to the STORED type — a silent
+    // wraparound, not an error. Lossless widenings are applied to the
+    // state IN PLACE (a metadata-only [[LakeTable.widenColumn]] commit,
+    // the same contract the table layer gives its own readers); anything
+    // else fails with the change named. Runs BEFORE the vState pin so
+    // the widen commits never self-conflict this refresh's OCC claim.
+    stateTypeChanges(spark, m, st.schema, base.schema, dimTables.map(_.schema))
+      .foreach { case (c, have, want) =>
+        if (LakeTable.widens(have, want)) { st.widenColumn(c, want); () }
+        else throw new IllegalStateException(
+          s"materialized view at $path: state column $c of type " +
+            s"${have.simpleString} cannot follow a member type change to " +
+            s"${want.simpleString} (not a lossless widening); drop and " +
+            "recreate the view")
+      }
+
+    val vState = st.latestVersion
+    val (lastV, dimVs) = cursorOf(st, m, vState)
+    val stSchema = st.schema
+    def stType(c: String): DataType = stSchema(c).dataType
     // schema-aware bare-input classification (see [[inCol]]): a known
     // member column name is bare even when not a plain identifier
     val memberCols: Set[String] =
@@ -1118,6 +1143,66 @@ object MaterializedView {
     b.result().distinct
   }
 
+  /** Expected-vs-stored STATE column types under the CURRENT member
+    * schemas — the TYPE-WIDENING half of the schema-evolution contract.
+    * A member column widened in place ([[LakeTable.widenColumn]]:
+    * int→bigint, float→double, decimal growth) under a dim / sum / avg /
+    * min / max keeps its name, so [[brokenReferences]] cannot see the
+    * change — but the state column's narrower type can no longer hold
+    * new values, and the maintenance arithmetic casts every delta to the
+    * STORED type (a silent wraparound under non-ANSI, not an error).
+    * Each returned entry is `(state column, stored type, expected
+    * type)`, where the expected type is what a full recompute under the
+    * current member schemas would produce — resolved schema-only against
+    * an empty relation, no Spark job. `refresh` applies lossless
+    * widenings to the state in place and refuses anything else with the
+    * change named; `DESCRIBE MATERIALIZED VIEW` surfaces pending entries
+    * as `type_widening` rows. count / hll / the internal counters are
+    * input-type-free (long / binary sketch) and never appear. A widened
+    * hll INPUT needs no state change either: integral sketch updates
+    * hash through the long path, so a value sketched as int and the same
+    * value as bigint land identically. */
+  private[graft] def stateTypeChanges(spark: SparkSession, m: MvMeta,
+      stateSchema: StructType, factSchema: StructType,
+      dimSchemas: Seq[StructType]): Seq[(String, DataType, DataType)] = {
+    val joinedFields = (factSchema.fields ++ dimSchemas.flatMap(_.fields))
+      .foldLeft(Vector.empty[StructField])((acc, f) =>
+        if (acc.exists(_.name == f.name)) acc else acc :+ f)
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(joinedFields))
+    val memberCols = joinedFields.map(_.name).toSet
+    def inE(in: String): Column = inCol(in, memberCols)
+    def rowType(c: Column): Option[DataType] =
+      try Some(probe.select(c).schema.head.dataType)
+      catch { case scala.util.control.NonFatal(_) => None }
+    def aggType(c: Column): Option[DataType] =
+      try Some(probe.agg(c).schema.head.dataType)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val want = Seq.newBuilder[(String, Option[DataType])]
+    m.dims.foreach { d =>
+      m.dimExprs.get(d) match {
+        case None =>
+          want += ((d, joinedFields.find(_.name.equalsIgnoreCase(d)).map(_.dataType)))
+        case Some(t) => want += ((d, rowType(expr(t))))
+      }
+    }
+    m.aggs.foreach {
+      case MvAgg(n, "sum" | "avg", in) =>
+        // mirror of [[fullState]]'s stored running sum
+        want += ((sumCol(n), aggType(coalesce(sum(inE(in)), lit(0)))))
+      case MvAgg(n, "min", in) => want += ((n, aggType(min(inE(in)))))
+      case MvAgg(n, "max", in) => want += ((n, aggType(max(inE(in)))))
+      case _ => () // count → long, hll → binary: input-type-free
+    }
+    want.result().flatMap {
+      case (name, Some(w)) if stateSchema.fieldNames.contains(name) &&
+          stateSchema(name).dataType != w =>
+        Some((name, stateSchema(name).dataType, w))
+      case _ => None
+    }
+  }
+
   /** Home table of each join's LEFT keys: -1 = the fact table, j = dim j.
     * Validates the bare-name join contract — every join key must live in
     * EXACTLY one of the n+1 schemas (so `col(key)` stays unambiguous
@@ -1377,6 +1462,23 @@ object MaterializedView {
       filter: Option[String] = None,
       dimExprs: Map[String, String] = Map.empty): MaterializedView = {
     require(dims.nonEmpty, "at least one dim")
+    // VIEW-OVER-VIEW is refused at create, cleanly: a materialized view's
+    // STATE table is recognizable by its internal _mv_key column. Its
+    // rows are group PARTIALS — sum/cnt pairs, sketches, dead-group
+    // tombstones (GRP_N ≤ 0) that a plain scan must filter — and its
+    // commits move on every parent refresh, so a child view's cursors
+    // would track maintenance traffic, not data. The composition a user
+    // wants (coarser dims over the same base) is already served: define
+    // the view over the SAME base with the coarser dims, or just query
+    // the base — rollup serving answers from the finer view's state.
+    def refuseState(t: LakeTable, role: String): Unit =
+      require(!t.schema.fieldNames.contains(MVKEY),
+        s"$role table at ${t.path} is a materialized view's state table " +
+          "(it carries the internal _mv_key column); views over views are " +
+          "not supported — define the view over the parent's BASE table " +
+          "instead (a coarser-dim query is served from the parent's state " +
+          "by the rollup rewrite automatically)")
+    refuseState(base, "base")
     val names = dims ++ aggs.map(_.name)
     require(names.distinct.size == names.size, "dim/agg output names must be unique")
     aggs.foreach(a => require(a.name.matches("[A-Za-z][A-Za-z0-9_]*"),
@@ -1394,6 +1496,7 @@ object MaterializedView {
     val exprRefs = dimExprs.values.toSeq.flatMap(t => filterRefNames(spark, t))
     val bareDims = dims.filterNot(dimExprs.contains)
     val dimTables = joins.map(j => LakeTable.load(spark, j.dimPath))
+    dimTables.foreach(refuseState(_, "dim"))
     // schema-aware bare-input classification (see [[inCol]]): a member
     // column name is a bare input even when not a plain identifier
     val memberCols: Set[String] =

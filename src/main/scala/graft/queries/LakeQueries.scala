@@ -2078,6 +2078,242 @@ object LakeQueries {
         |  FROM f JOIN c ON f.o_custkey = c.c_custkey GROUP BY 2)
         |ORDER BY src, seg""".stripMargin)),
 
+    // Join-back through the SQL LIFECYCLE, with shadowing: the view is
+    // composed via CREATE MATERIALIZED VIEW … FROM fact JOIN cust (a SQL
+    // join view carrying the dim attribute c_nationkey as a view dim),
+    // churned on both members, refreshed via REFRESH … IF STALE, and
+    // then a drill-across query joins a THIRD table (nation) whose `seg`
+    // column deliberately shadows a fact column of the same name.
+    // Grouping on NATION's seg must serve via the extra-arm join-back
+    // (require: neither the fact nor the covered cust arm is scanned —
+    // state partials ⋈ live nation only); grouping on the FACT's seg
+    // must NOT be captured by the drill dim (require: the fact IS
+    // scanned). Proves the provenance contract round-trips
+    // parser → MvMeta → rewrite, not just the API-created views of
+    // q167/q168/q170.
+    "q171_mv_sql_joinback" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvsj_f_$tag"); val cp = freshDir(s"mvsj_c_$tag")
+        val np = freshDir(s"mvsj_n_$tag")
+        val mp = freshDir(s"mvsj_mv_$tag") + "/mv"
+        def ords(pred: org.apache.spark.sql.Column) = t(s, d, "orders")
+          .filter(pred).withColumn("seg", col("o_orderpriority"))
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          ords(col("o_orderkey") % 2 === 0))
+        val cust = LakeTable.create(s, cp, TableSpec("c_custkey", "cver"),
+          t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+            .withColumn("cver", lit(0L)))
+        val nat = LakeTable.create(s, np, TableSpec("n_nationkey", "nver"),
+          t(s, d, "nation").select(col("n_nationkey"),
+            col("n_name").as("seg")).withColumn("nver", lit(0L)))
+        val fv = s"mvsj_f_v_$tag".replace(".", "_")
+        val cv = s"mvsj_c_v_$tag".replace(".", "_")
+        s.read.format("graft").load(fp).createOrReplaceTempView(fv)
+        s.read.format("graft").load(cp).createOrReplaceTempView(cv)
+        graft.sql.GraftCreateMaterializedViewCommand(s"'$mp'",
+          s"""SELECT c_nationkey, count(1) AS n, sum(o_custkey) AS su
+             |FROM $fv JOIN $cv ON o_custkey = c_custkey
+             |GROUP BY c_nationkey""".stripMargin).run(s)
+        try {
+          fact.upsert(ords(col("o_orderkey") % 2 === 1))
+          fact.delete(col("o_orderkey") % 13 === 0)
+          cust.upsert(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+            .select(col("c_custkey"),
+              ((col("c_nationkey") + 1) % 25).as("c_nationkey"))
+            .withColumn("cver", lit(1L)))
+          graft.sql.GraftRefreshMaterializedViewCommand(s"'$mp'",
+            ifStale = true).run(s)
+          // drill-dim churn AFTER the refresh: join-back reads it live
+          nat.upsert(t(s, d, "nation").filter(col("n_nationkey") === 10)
+            .select(col("n_nationkey"), lit("RENAMED").as("seg"))
+            .withColumn("nver", lit(1L)))
+          val f = s.read.format("graft").load(fp)
+          val c = s.read.format("graft").load(cp)
+          val n = s.read.format("graft").load(np)
+          def readsAny(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+              paths: Seq[String]): Boolean = p.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case g: graft.sources.GraftRelation =>
+              paths.exists(g.path.contains)
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(rp =>
+                paths.exists(rp.toString.contains))
+            case _ => false
+          })
+          def half(grp: org.apache.spark.sql.Column): DataFrame = f
+            .join(c, f("o_custkey") === c("c_custkey"))
+            .join(n, c("c_nationkey") === n("n_nationkey"))
+            .groupBy(grp)
+            .agg(count(lit(1)).as("n"), sum("o_custkey").as("su"))
+          val rwDim = graft.sql.GraftMvRewrite(
+            half(n("seg")).queryExecution.analyzed)
+          require(!readsAny(rwDim, Seq(fp, cp)),
+            s"the drill on NATION's seg must serve from state + live nation:\n$rwDim")
+          val rwFact = graft.sql.GraftMvRewrite(
+            half(f("seg")).queryExecution.analyzed)
+          require(readsAny(rwFact, Seq(fp)),
+            s"the FACT's seg must NOT be captured by the drill dim:\n$rwFact")
+          val dimHalf = org.apache.spark.sql.GraftExpressionBridge
+            .ofRows(s, rwDim).withColumn("src", lit("dim"))
+          val factHalf = org.apache.spark.sql.GraftExpressionBridge
+            .ofRows(s, rwFact).withColumn("src", lit("fact"))
+          dimHalf.unionByName(factHalf)
+            .select(col("src"), col("seg"), col("n"), col("su"))
+            .orderBy("src", "seg")
+        } finally {
+          graft.sql.GraftMvRewrite.unregister(mp)
+          s.catalog.dropTempView(fv); s.catalog.dropTempView(cv)
+          ()
+        }
+      },
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderpriority AS seg
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        |c AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS c_nationkey
+        |  FROM customer),
+        |nt AS (
+        |  SELECT n_nationkey,
+        |         CASE WHEN n_nationkey = 10 THEN 'RENAMED' ELSE n_name END AS seg
+        |  FROM nation)
+        |SELECT * FROM (
+        |  SELECT 'dim' AS src, nt.seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(f.o_custkey) AS BIGINT) AS su
+        |  FROM f JOIN c ON f.o_custkey = c.c_custkey
+        |         JOIN nt ON c.c_nationkey = nt.n_nationkey
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'fact' AS src, f.seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(f.o_custkey) AS BIGINT) AS su
+        |  FROM f JOIN c ON f.o_custkey = c.c_custkey
+        |         JOIN nt ON c.c_nationkey = nt.n_nationkey
+        |  GROUP BY 2)
+        |ORDER BY src, seg""".stripMargin)),
+
+    // TYPE-WIDENING through the MV lifecycle: the base's `amt` column is
+    // created INT under sum/min/max/avg state, widened in place to
+    // BIGINT (the table layer's metadata-only ALTER), then churned with
+    // values only the wide type can hold (> Int.MaxValue). The refresh's
+    // type pre-flight widens the min/max state columns to match (the
+    // running sum is long already), so the extrema absorb the wide
+    // values instead of silently wrapping through the old cast-to-state
+    // arithmetic — and the rewrite still serves the q-shape afterwards
+    // (require: no base scan), hash-checked against DuckDB.
+    "q172_mv_widen_refresh" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvwd_f_$tag"); val mp = freshDir(s"mvwd_mv_$tag")
+        def ords = t(s, d, "orders")
+        val tbl = LakeTable.create(s, fp, ordersSpec,
+          ords.withColumn("amt", col("o_custkey").cast("int")))
+        MaterializedView.create(s, mp, tbl, Seq("o_orderstatus"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+            MvAgg("mn", "min", "amt"), MvAgg("mx", "max", "amt"),
+            MvAgg("av", "avg", "amt")))
+        tbl.widenColumn("amt", org.apache.spark.sql.types.LongType)
+        tbl.upsert(ords
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("amt", col("o_custkey") + 3000000000L))
+        MaterializedView.load(s, mp).refresh()
+        graft.sql.GraftMvRewrite.register(mp)
+        try {
+          val q = s.read.format("graft").load(fp).groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), sum("amt").as("s"),
+              min("amt").as("mn"), max("amt").as("mx"), avg("amt").as("av"))
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          require(!rewritten.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+            s"the widened view must still serve from state:\n$rewritten")
+          org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+            .orderBy("o_orderstatus")
+        } finally graft.sql.GraftMvRewrite.unregister(mp)
+      },
+      """WITH t AS (
+        |  SELECT o_orderstatus, CAST(o_custkey AS BIGINT) AS amt FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey + 3000000000 AS amt FROM orders)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(amt) AS BIGINT) AS s,
+        |       CAST(MIN(amt) AS BIGINT) AS mn,
+        |       CAST(MAX(amt) AS BIGINT) AS mx,
+        |       CAST(SUM(amt) AS DOUBLE) / COUNT(amt) AS av
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // NO-AGGREGATE grouping served from MV state: `GROUP BY dims` with
+    // no aggregate calls (the SELECT DISTINCT shape after the optimizer's
+    // Distinct→Aggregate replacement) is a free projection of the state's
+    // live group rows. The EXACT half (both view dims) must serve with no
+    // re-aggregation at all; the ROLLUP half (a dim subset) re-distincts
+    // the state's group rows — both require: the base is never scanned.
+    // Dead groups (all rows deleted) must drop out like the query's own
+    // DISTINCT would — the churn deletes every row of one status.
+    "q173_mv_noagg_grouping" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvng_f_$tag"); val mp = freshDir(s"mvng_mv_$tag")
+        val tbl = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        MaterializedView.create(s, mp, tbl,
+          Seq("o_orderstatus", "o_orderpriority"),
+          Seq(MvAgg("n", "count", "*")))
+        tbl.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1))
+        tbl.delete(col("o_orderstatus") === "P") // a whole status dies
+        MaterializedView.load(s, mp).refresh()
+        graft.sql.GraftMvRewrite.register(mp)
+        val v = s"mvng_v_$tag".replace(".", "_")
+        s.read.format("graft").load(fp).createOrReplaceTempView(v)
+        try {
+          def readsBase(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+              : Boolean = p.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case g: graft.sources.GraftRelation => g.path.contains(fp)
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(fp))
+            case _ => false
+          })
+          val exact = graft.sql.GraftMvRewrite(s.sql(
+            s"SELECT o_orderstatus, o_orderpriority FROM $v " +
+              "GROUP BY o_orderstatus, o_orderpriority")
+            .queryExecution.analyzed)
+          require(!readsBase(exact) && !exact.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+            s"exact no-agg grouping must serve the state's dim rows directly:\n$exact")
+          val roll = graft.sql.GraftMvRewrite(s.sql(
+            s"SELECT o_orderstatus FROM $v GROUP BY o_orderstatus")
+            .queryExecution.analyzed)
+          require(!readsBase(roll),
+            s"rollup no-agg grouping must re-distinct the state, not the base:\n$roll")
+          val exactDf = org.apache.spark.sql.GraftExpressionBridge.ofRows(s, exact)
+            .withColumn("src", lit("exact"))
+          val rollDf = org.apache.spark.sql.GraftExpressionBridge.ofRows(s, roll)
+            .withColumn("o_orderpriority", lit(null).cast("string"))
+            .withColumn("src", lit("roll"))
+          exactDf.unionByName(rollDf)
+            .select(col("src"), col("o_orderstatus"), col("o_orderpriority"))
+            .orderBy("src", "o_orderstatus", "o_orderpriority")
+        } finally {
+          graft.sql.GraftMvRewrite.unregister(mp)
+          s.catalog.dropTempView(v)
+          ()
+        }
+      },
+      """WITH live AS (SELECT * FROM orders WHERE o_orderstatus <> 'P')
+        |SELECT * FROM (
+        |  SELECT 'exact' AS src, o_orderstatus, o_orderpriority
+        |  FROM live GROUP BY o_orderstatus, o_orderpriority
+        |  UNION ALL
+        |  SELECT 'roll' AS src, o_orderstatus, CAST(NULL AS VARCHAR)
+        |    AS o_orderpriority
+        |  FROM live GROUP BY o_orderstatus)
+        |ORDER BY 1, 2, 3""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

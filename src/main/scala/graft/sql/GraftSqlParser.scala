@@ -506,6 +506,11 @@ case class GraftDescribeMaterializedViewCommand(target: String)
     // member rename/drop broke (refresh fails with the same list)
     val broken = graft.lake.MaterializedView.brokenReferences(spark, meta,
       memberTables.head._4.schema, memberTables.tail.map(_._4.schema))
+    // the type-widening half of the same contract: state columns the next
+    // refresh will widen in place to follow a member column's widening
+    val widenings = graft.lake.MaterializedView.stateTypeChanges(spark, meta,
+      mv.state.schema, memberTables.head._4.schema,
+      memberTables.tail.map(_._4.schema))
     val rows =
       Seq(Row("path", mvPath), Row("base_path", meta.basePath)) ++
       meta.joins.map(j =>
@@ -521,6 +526,10 @@ case class GraftDescribeMaterializedViewCommand(target: String)
       freshness.map { case (_, role, cur, latest) =>
         Row(s"cursor.$role", s"$cur of $latest") } ++
       broken.map(x => Row("broken_reference", x)) ++
+      widenings.map { case (c, have, want) =>
+        Row("type_widening",
+          s"state column $c ${have.simpleString} -> ${want.simpleString} " +
+            "on next refresh") } ++
       Seq(
         Row("fresh", freshness.forall { case (_, _, c, l) => c >= l }.toString),
         Row("state_version", mv.state.latestVersion.toString),

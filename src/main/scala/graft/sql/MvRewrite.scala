@@ -478,19 +478,39 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * are different aggregates — canon preserves literal case, so only
     * the canonical path may compare them. */
   private def bareIdent(s: String): Boolean = s.matches("[A-Za-z_][A-Za-z0-9_]*")
-  private def inputMatches(spark: SparkSession, viewIn: String, qIn: String): Boolean =
+  private def inputMatches(spark: SparkSession, memberCols: => Option[Set[String]],
+      viewIn: String, qIn: String): Boolean =
     if (viewIn == "*" || qIn == "*") viewIn == qIn
     else if (bareIdent(viewIn) && bareIdent(qIn)) viewIn.equalsIgnoreCase(qIn)
-    else (canonText(spark, viewIn), canonText(spark, qIn)) match {
-      case (Some(a), Some(b)) => a == b
-      case _ => false
+    else {
+      // a NON-identifier string may be a legacy member COLUMN NAME
+      // (`a-b`, stored raw — the maintenance inCol contract) rather than
+      // expression text, and canonText would mis-parse it as arithmetic
+      // — both mis-serving sum(a - b) from a view over the column `a-b`
+      // and missing sum(`a-b`) the view really maintains. Classify both
+      // sides against the member schemas first (lazy, zero I/O on the
+      // all-identifier common path): a column side matches only the SAME
+      // raw name on the other side; mixed column/expression never
+      // matches. Unknown schemas (load failure) conservatively refuse
+      // any non-identifier comparison.
+      memberCols match {
+        case None => false
+        case Some(cols) =>
+          val vCol = !bareIdent(viewIn) && cols.contains(viewIn.toLowerCase)
+          val qCol = !bareIdent(qIn) && cols.contains(qIn.toLowerCase)
+          if (vCol || qCol) vCol && qCol && viewIn.equalsIgnoreCase(qIn)
+          else (canonText(spark, viewIn), canonText(spark, qIn)) match {
+            case (Some(a), Some(b)) => a == b
+            case _ => false
+          }
+      }
     }
 
   /** Which view column answers this aggregate call, if any. */
-  private def aggColumn(spark: SparkSession, fn: AggregateFunction,
-      aggs: Seq[MvAgg]): Option[MvAgg] =
+  private def aggColumn(spark: SparkSession, memberCols: => Option[Set[String]],
+      fn: AggregateFunction, aggs: Seq[MvAgg]): Option[MvAgg] =
     aggSpec(fn).flatMap { case (kind, input) =>
-      aggs.find(a => a.kind == kind && inputMatches(spark, a.input, input))
+      aggs.find(a => a.kind == kind && inputMatches(spark, memberCols, a.input, input))
     }
 
   /** Inline computed Project definitions directly under the Aggregate:
@@ -841,6 +861,16 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // synthetic output name. An unparseable stored expression disables
       // the view.
       val infos = dimInfosOf(spark, meta).getOrElse(return None)
+      // member column names (lowercased) for the schema-aware input match
+      // — forced only when an input comparison involves a non-identifier
+      // string (see [[inputMatches]]); a load failure refuses those
+      // comparisons conservatively via None
+      lazy val memberColsLc: Option[Set[String]] =
+        try Some((LakeTable.load(spark, meta.basePath).schema.fieldNames ++
+            meta.joins.flatMap(j =>
+              LakeTable.load(spark, j.dimPath).schema.fieldNames))
+          .map(_.toLowerCase).toSet)
+        catch { case scala.util.control.NonFatal(_) => None }
       // JOIN-BACK serving (the drill-across rewrite): the query joins the
       // view's base to dim tables and groups on a dim ATTRIBUTE the view
       // does not hold. When every join arm's left keys are bare view dims
@@ -1116,41 +1146,42 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       // the live group-row weight: every state row stands for GRP_N fact
       // rows of its group (the weighted-drill-aggregate servings below)
       def grpN = org.apache.spark.sql.functions.col(MaterializedView.GRP_N)
-      // Σ e·GRP_N serving a query sum over a drill expression; only for
-      // integral (modular-exact) and float/double (the query's own
-      // partition-order rounding envelope) inputs — decimal bails
-      def weightedCol(e: Expression,
-          rt: org.apache.spark.sql.types.DataType): Option[(String, Unit)] = {
+      // is this drill-expression type one the weighted servings accept?
+      // INTEGRAL only: long sums are modular-exact, so the serving equals
+      // the unrewritten query bit-for-bit. float/double are deliberately
+      // excluded — Σ e·GRP_N introduces products the query never
+      // computes, so enabling the rewrite could flip low-order result
+      // bits, unlike every other serving (all bit-exact); decimal is
+      // excluded because the widened intermediate could mask an
+      // overflow-to-null the narrower query sum produces.
+      def weightedOk(e: Expression): Boolean = e.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | LongType => true
+        case _ => false
+      }
+      // Σ e·GRP_N serving a query sum over a drill expression. Under ANSI
+      // the per-row e·GRP_N long product can overflow AND THROW where the
+      // original query's running sum never peaks that high, so the
+      // serving is gated off there (non-ANSI wrap-around is identical on
+      // both sides — the default mode stays exact).
+      def weightedCol(e: Expression): Option[String] = {
         val f = org.apache.spark.sql.functions
-        val castTo = e.dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType | LongType => Some("long")
-          case org.apache.spark.sql.types.DoubleType |
-               org.apache.spark.sql.types.FloatType => Some("double")
-          case _ => None
-        }
-        castTo.flatMap { t =>
-          rebuiltCol(e).map { c =>
-            val out = s"_djw_${derivedJoined.size}"
-            derivedJoined += ((out, f.sum(c.cast(t) * grpN)))
-            (out, ())
-          }
+        if (!weightedOk(e) || spark.sessionState.conf.ansiEnabled) None
+        else rebuiltCol(e).map { c =>
+          val out = s"_djw_${derivedJoined.size}"
+          derivedJoined += ((out, f.sum(c.cast("long") * grpN)))
+          out
         }
       }
       // weighted average: Σ e·GRP_N ÷ Σ GRP_N over non-null e, null on
-      // an all-null group like the query's avg
+      // an all-null group like the query's avg. Average over an integral
+      // input accumulates in DOUBLE on both sides, so within the 2^53
+      // envelope the serving is exact like the query; products are double
+      // (never throw), so no ANSI gate is needed.
       def weightedAvg(e: Expression): Option[String] = {
         val f = org.apache.spark.sql.functions
-        val ok = e.dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType | LongType => true
-          case org.apache.spark.sql.types.DoubleType |
-               org.apache.spark.sql.types.FloatType => true
-          case _ => false
-        }
-        if (!ok) None
+        if (!weightedOk(e)) None
         else rebuiltCol(e).map { c =>
           val s = f.sum(c.cast("double") * grpN)
           val n = f.sum(f.when(c.isNotNull, grpN).otherwise(f.lit(0L)))
@@ -1168,7 +1199,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         // a declared sum/avg over the same input stores sum+cnt
         def srcAgg(e: Expression): Option[MvAgg] = aggInputOf(e).flatMap(q =>
           meta.aggs.find(a => (a.kind == "sum" || a.kind == "avg") &&
-            inputMatches(spark, a.input, q)))
+            inputMatches(spark, memberColsLc, a.input, q)))
         fn match {
           case Count(Seq(Literal(1, _))) => Some(add("star", ""))
           case Average(e, _) => srcAgg(e).map(s => add("avg", s.name))
@@ -1224,7 +1255,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
               }
               case _ => ok = false; ae
             }
-            else aggColumn(spark, fn, meta.aggs).map(_.name).orElse(deriveAgg(fn)) match {
+            else aggColumn(spark, memberColsLc, fn, meta.aggs).map(_.name).orElse(deriveAgg(fn)) match {
               case Some(n) => mark(n, ae.dataType)
               case None => ok = false; ae
             }
@@ -1250,7 +1281,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             (a, scala.Left(viewDimOf(a).get))
           case al @ Alias(ae @ AggregateExpression(fn, Complete, false, None, _), _) =>
             if (aggArmFree(fn))
-              (al, scala.Left(aggColumn(spark, fn, meta.aggs).map(_.name)
+              (al, scala.Left(aggColumn(spark, memberColsLc, fn, meta.aggs).map(_.name)
                 .orElse(deriveAgg(fn)).getOrElse(return None)))
             else fn match {
               // extrema over drill attributes are duplication-insensitive:
@@ -1273,12 +1304,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
               //   sum_query(e)   = Σ_served e·GRP_N
               //   count_query(e) = Σ_served GRP_N over non-null e
               //   avg_query(e)   = the ratio
-              // Integral sums are modular-exact; double sums land within
-              // the query's own partition-order rounding envelope.
-              // DECIMAL bails: the widened intermediate precision could
-              // mask an overflow-to-null the narrower query sum produces.
-              case Sum(e, _) => weightedCol(e, ae.dataType) match {
-                case Some((out, _)) => (al, scala.Left(out))
+              // INTEGRAL inputs only (see weightedOk): long sums are
+              // modular-exact, float/double and decimal bail so every
+              // serving the rewrite produces stays bit-exact.
+              case Sum(e, _) => weightedCol(e) match {
+                case Some(out) => (al, scala.Left(out))
                 case None => return None
               }
               case Count(children) if children.nonEmpty =>
@@ -1418,22 +1448,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       }
       Some(Project(out, refiltered))
     }
-    val direct = freshCandidates.flatMap { case (v, m) => serveWith(v, m) }.nextOption()
-    if (direct.isDefined) return direct
-    // JOIN-BACK candidates — the drill-across rewrite: a join/star query
-    // whose fact a view covers, where the view's OWN arms (possibly none)
-    // are a SUBSET of the query's, serves by re-joining the state's
-    // partials to the remaining arms' dim tables read live (see
-    // serveWith's jbCtx) — the classic summary-table + dimension drill.
-    // Tried only after every direct candidate missed; freshness gates on
-    // the view's own cursors (fact + its member dims) — the EXTRA dims
-    // are scanned at the same live snapshot the query itself would read.
     // (factPath, query arms) join-back orientations: the parsed one,
     // plus — for a two-table INNER join — the COMMUTED one (the user may
     // write dim ⋈ fact; inner ⋈ commutes, so the view's base can sit on
     // either side). The reversed arm's provenance is the LEFT subtree's
     // leaf-scan output; a LEFT-outer join does not commute and keeps
-    // only the parsed orientation.
+    // only the parsed orientation. Built before the direct-serve return
+    // below so the fuzz seam covers directly-served queries too.
     val jbOrients: Seq[(String, Seq[ArmScan])] =
       joined.toSeq.flatMap { case (lp, lOut, arm, _) =>
         val fwd = (lp, Seq(arm))
@@ -1441,7 +1462,6 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         else Seq(fwd, (arm.path,
           Seq(ArmScan(lp, arm.pairs.map(_.swap), outer = false, lOut))))
       } ++ starred.toSeq.map { case (fp, arms, _) => (fp, arms) }
-    if (jbOrients.isEmpty) return None
     // the query arms NOT consumed by the view's own join signature (one
     // query arm per sig arm, matched as (path, pair-set, outer)); None
     // when the sig is not a sub-multiset of the query's arms
@@ -1459,7 +1479,10 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     }
     // fuzz dry-run (see [[fuzzJoinBackDryRun]]): the matcher runs for
     // every registered view against every orientation's arms; results
-    // are discarded, throws count via the per-Aggregate guard
+    // are discarded, throws count via the per-Aggregate guard. Runs
+    // BEFORE the direct-serve early return — a join/star query that
+    // serves directly must still exercise the join-back matcher, or the
+    // fuzz surface silently shrinks to the queries no view covers.
     if (fuzzJoinBackDryRun) jbOrients.foreach { case (_, arms) =>
       registered.foreach { p =>
         val m = MaterializedView.load(spark, p)
@@ -1469,6 +1492,17 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         }
       }
     }
+    val direct = freshCandidates.flatMap { case (v, m) => serveWith(v, m) }.nextOption()
+    if (direct.isDefined) return direct
+    // JOIN-BACK candidates — the drill-across rewrite: a join/star query
+    // whose fact a view covers, where the view's OWN arms (possibly none)
+    // are a SUBSET of the query's, serves by re-joining the state's
+    // partials to the remaining arms' dim tables read live (see
+    // serveWith's jbCtx) — the classic summary-table + dimension drill.
+    // Tried only after every direct candidate missed; freshness gates on
+    // the view's own cursors (fact + its member dims) — the EXTRA dims
+    // are scanned at the same live snapshot the query itself would read.
+    if (jbOrients.isEmpty) return None
     // no per-item pre-filter here: a grouping item may be a dim-table
     // attribute or an expression over them, undecidable without the
     // dim schemas — serve-time resolution gates instead

@@ -1690,4 +1690,127 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedView.load(spark, mvp).refresh()
     check()
   }
+
+  test("type-widening contract: member int→bigint under sum/min/max/avg/hll widens the state in place; DESCRIBE surfaces it pending") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val p = tmp(); val mvp = tmp()
+    val t0 = LakeTable.create(spark, p, TableSpec("k", "ver"),
+      spark.range(300L).select(col("id").as("k"), lit(0L).as("ver"),
+        (col("id") % 5).cast("string").as("grp"),
+        (col("id") % 40).cast("int").as("v")))
+    val mv = MaterializedView.create(spark, mvp, t0, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "v"),
+        MvAgg("mn", "min", "v"), MvAgg("mx", "max", "v"),
+        MvAgg("av", "avg", "v"), MvAgg("du", "hll", "v")))
+    assert(mv.state.schema("mn").dataType == IntegerType)
+    LakeTable.load(spark, p).widenColumn("v", LongType)
+    // DESCRIBE surfaces the PENDING state widenings before any refresh:
+    // the extrema columns follow the member; the running sum is long
+    // already and never appears
+    val pend = graft.sql.GraftDescribeMaterializedViewCommand(s"'$mvp'")
+      .run(spark).filter(_.getString(0) == "type_widening").map(_.getString(1))
+    assert(pend.exists(x => x.contains("mn") && x.contains("int") &&
+      x.contains("bigint")), s"got $pend")
+    assert(pend.exists(_.contains("mx")), s"got $pend")
+    assert(!pend.exists(_.contains("s__sum")),
+      s"the running long sum needs no widening: $pend")
+    // churn with values only the WIDE type can hold, plus RE-OCCURRING
+    // small values — the latter pin that a value sketched as int and the
+    // same value arriving as bigint land in the same hll buckets
+    LakeTable.load(spark, p).upsert(spark.range(300L, 360L).select(
+      col("id").as("k"), lit(1L).as("ver"),
+      (col("id") % 5).cast("string").as("grp"),
+      when(col("id") % 2 === 0, (col("id") % 40).cast("long"))
+        .otherwise(col("id") % 3 + 3000000000L).as("v")))
+    mv.refresh()
+    val st1 = mv.state.schema
+    assert(st1("mn").dataType == LongType && st1("mx").dataType == LongType,
+      s"state extrema must widen in place: ${st1.simpleString}")
+    assert(graft.sql.GraftDescribeMaterializedViewCommand(s"'$mvp'")
+      .run(spark).forall(_.getString(0) != "type_widening"),
+      "nothing pending after the refresh applied the widening")
+    // exact vs recompute — the extrema hold the wide values (a narrow
+    // state would have wrapped them through the cast-to-state arithmetic)
+    // and the hll estimate equals the exact distinct count (≤ 11 values
+    // per group, far below the sketch's exact regime)
+    val got = mv.read().select("grp", "n", "s", "mn", "mx", "av", "du")
+      .collect().map(_.toSeq).toSet
+    val want = LakeTable.load(spark, p).read().groupBy("grp").agg(
+      count(lit(1)).as("n"), sum("v").as("s"), min("v").as("mn"),
+      max("v").as("mx"),
+      (sum("v").cast("double") / count(col("v"))).as("av"),
+      countDistinct(col("v")).as("du"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"\n got: $got\nwant: $want")
+  }
+
+  test("type-widening contract: a widened dim column and a widened join key maintain exactly") {
+    import org.apache.spark.sql.types.LongType
+    val fp = tmp(); val dp = tmp(); val mvp = tmp()
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      spark.range(300L).select(col("id").as("k"), lit(0L).as("ver"),
+        (col("id") % 20).cast("int").as("fk"),
+        (col("id") % 9).cast("int").as("b")))
+    val dim = LakeTable.create(spark, dp, TableSpec("dk", "dver"),
+      spark.range(20L).select(col("id").cast("int").as("dk"),
+        lit(0L).as("dver"), concat(lit("s"), col("id") % 4).as("seg")))
+    val mv = MaterializedView.create(spark, mvp, fact, Seq("seg", "b"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "k")),
+      Seq(MaterializedView.MvJoin(dp, "fk", "dk")))
+    def check(): Unit = {
+      val want = LakeTable.load(spark, fp).read()
+        .join(LakeTable.load(spark, dp).read(), col("fk") === col("dk"))
+        .groupBy("seg", "b")
+        .agg(count(lit(1)).as("n"), sum("k").as("s"))
+        .collect().map(_.toSeq).toSet
+      assert(MaterializedView.load(spark, mvp).read()
+        .select("seg", "b", "n", "s").collect().map(_.toSeq).toSet == want)
+    }
+    check()
+    // widen the fact-resident DIM COLUMN; wide group values arrive — the
+    // state's b column must follow (else the new groups' b would wrap)
+    fact.widenColumn("b", LongType)
+    fact.upsert(spark.range(300L, 340L).select(col("id").as("k"),
+      lit(1L).as("ver"), (col("id") % 20).cast("int").as("fk"),
+      (col("id") % 2 + 4000000000L).as("b")))
+    MaterializedView.load(spark, mvp).refresh()
+    assert(MaterializedView.load(spark, mvp).state.schema("b").dataType == LongType)
+    check()
+    // widen BOTH sides of the join key (no state column changes — the
+    // join coerces), then churn across it: new wide-keyed dim rows and
+    // fact rows must join up, and a dim segment move must still repair
+    fact.widenColumn("fk", LongType)
+    dim.widenColumn("dk", LongType)
+    dim.upsert(spark.range(20L, 23L).select((col("id") % 3 + 5000000000L).as("dk"),
+      lit(1L).as("dver"), lit("wide").as("seg")))
+    fact.upsert(spark.range(340L, 360L).select(col("id").as("k"),
+      lit(2L).as("ver"), (col("id") % 3 + 5000000000L).as("fk"),
+      (col("id") % 9).cast("long").as("b")))
+    dim.upsert(spark.range(2L, 4L).select(col("id").cast("long").as("dk"),
+      lit(2L).as("dver"), lit("moved").as("seg")))
+    MaterializedView.load(spark, mvp).refresh()
+    check()
+  }
+
+  test("views over views refuse cleanly at create, as base and as dim") {
+    val p = tmp(); val mvp = tmp(); val mvp2 = tmp()
+    val t = LakeTable.create(spark, p, TableSpec("k", "ver"),
+      spark.range(50L).select(col("id").as("k"), lit(0L).as("ver"),
+        (col("id") % 5).cast("string").as("grp")))
+    val mv = MaterializedView.create(spark, mvp, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*")))
+    val exBase = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, mvp2, mv.state, Seq("grp"),
+        Seq(MvAgg("n2", "count", "*")))
+    }
+    assert(exBase.getMessage.contains("views over views"),
+      s"got: ${exBase.getMessage}")
+    val exDim = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, mvp2, t, Seq("grp"),
+        Seq(MvAgg("n2", "count", "*")),
+        Seq(MaterializedView.MvJoin(mv.state.path, "k", "_mv_key")))
+    }
+    assert(exDim.getMessage.contains("views over views"),
+      s"got: ${exDim.getMessage}")
+  }
 }

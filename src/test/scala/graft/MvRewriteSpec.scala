@@ -2105,4 +2105,95 @@ class MvRewriteSpec extends AnyFunSuite {
         .groupBy("n_name").agg(count(col("amt")).as("n"), sum("amt").as("s"))))
     } finally GraftMvRewrite.clear()
   }
+
+  test("non-identifier member columns match as COLUMNS: the column a-b and the arithmetic a - b never serve each other") {
+    // ADVICE (round 11): inputMatches canon-parsed a stored raw column
+    // name like `a-b` as subtraction, so a view over the COLUMN could
+    // false-serve sum(a - b) (and a view over the ARITHMETIC could
+    // false-serve sum of the column). Schema-aware classification pins:
+    // column side matches only the same raw name; mixed never matches.
+    val path = Files.createTempDirectory("graft_mvrw_hyph").toString
+    // the hyphen COLUMN's values deliberately differ from a - b, so any
+    // mis-serve is a VALUE error, not just a plan shape
+    val t = LakeTable.create(spark, path, TableSpec("k", "ver"),
+      (1L to 900L).map(i => (i, 1L, s"g${i % 5}", i % 50, i % 9, i % 31))
+        .toDF("k", "ver", "grp", "a", "b", "a-b"))
+    val mvCol = Files.createTempDirectory("graft_mvrw_hyph_c").toString
+    val mvExpr = Files.createTempDirectory("graft_mvrw_hyph_e").toString
+    MaterializedView.create(spark, mvCol, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "a-b")))
+    MaterializedView.create(spark, mvExpr, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "a - b")))
+    def base = spark.read.format("graft").load(path)
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    try {
+      GraftMvRewrite.register(mvCol)
+      GraftMvRewrite.register(mvExpr)
+      val qCol = base.groupBy("grp").agg(sum(col("`a-b`")).as("s"))
+      assert(scansMvState(qCol) && !scansPath(qCol, path),
+        s"sum of the COLUMN must serve:\n${qCol.queryExecution.optimizedPlan}")
+      assert(expect(qCol) == expect(LakeTable.load(spark, path).read()
+        .groupBy("grp").agg(sum(col("`a-b`")).as("s"))))
+      val qArith = base.groupBy("grp").agg((sum(col("a") - col("b"))).as("s"))
+      assert(scansMvState(qArith) && !scansPath(qArith, path),
+        s"sum of the ARITHMETIC must serve (from the expression view):\n" +
+          s"${qArith.queryExecution.optimizedPlan}")
+      assert(expect(qArith) == expect(LakeTable.load(spark, path).read()
+        .groupBy("grp").agg(sum(col("a") - col("b")).as("s"))))
+      // the cross pairings must NOT serve: only the column view is
+      // registered → the arithmetic query recomputes; and vice versa
+      GraftMvRewrite.clear(); GraftMvRewrite.register(mvCol)
+      val qArithColOnly = base.groupBy("grp").agg(sum(col("a") - col("b")).as("s"))
+      assert(scansPath(qArithColOnly, path),
+        "the COLUMN view must never serve the arithmetic")
+      assert(expect(qArithColOnly) == expect(qArith))
+      GraftMvRewrite.clear(); GraftMvRewrite.register(mvExpr)
+      val qColExprOnly = base.groupBy("grp").agg(sum(col("`a-b`")).as("s"))
+      assert(scansPath(qColExprOnly, path),
+        "the EXPRESSION view must never serve the column")
+      assert(expect(qColExprOnly) == expect(qCol))
+    } finally GraftMvRewrite.clear()
+  }
+
+  test("no-aggregate grouping (GROUP BY with no agg calls / SELECT DISTINCT) serves from the state's dim rows") {
+    val (t, path) = freshBase("noagg")
+    val mvPath = Files.createTempDirectory("graft_mvrw_noagg_mv").toString
+    MaterializedView.create(spark, mvPath, t, Seq("grp", "amt"),
+      Seq(MvAgg("n", "count", "*")))
+    def base = spark.read.format("graft").load(path)
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    try {
+      GraftMvRewrite.register(mvPath)
+      // EXACT dims, no aggregate calls: a pure projection of the state's
+      // live dim rows — no Aggregate remains at all
+      base.createOrReplaceTempView("mvrw_noagg_v")
+      val exact = spark.sql(
+        "SELECT grp, amt FROM mvrw_noagg_v GROUP BY grp, amt")
+      assert(scansMvState(exact) && !scansPath(exact, path) &&
+        !exact.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]),
+        s"exact no-agg grouping must serve without re-aggregation:\n" +
+          s"${exact.queryExecution.optimizedPlan}")
+      assert(expect(exact) == expect(
+        LakeTable.load(spark, path).read().select("grp", "amt").distinct()))
+      // DISTINCT over a dim SUBSET: the optimizer's Distinct→Aggregate
+      // shape re-distincts the state's group rows (rollup), base unscanned
+      val dist = base.select("grp").distinct()
+      assert(scansMvState(dist) && !scansPath(dist, path),
+        s"DISTINCT dim must serve from state:\n${dist.queryExecution.optimizedPlan}")
+      assert(expect(dist) == expect(
+        LakeTable.load(spark, path).read().select("grp").distinct()))
+      // a dead group must drop out exactly like the query's own DISTINCT
+      t.delete(col("grp") === "g3")
+      MaterializedView.load(spark, mvPath).refresh()
+      val dist2 = base.select("grp").distinct()
+      assert(scansMvState(dist2) && !scansPath(dist2, path))
+      assert(expect(dist2) == expect(
+        LakeTable.load(spark, path).read().select("grp").distinct()))
+      assert(!expect(dist2).contains(Seq("g3")))
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("mvrw_noagg_v")
+      ()
+    }
+  }
 }
