@@ -1792,6 +1792,29 @@ class MaterializedViewSpec extends AnyFunSuite {
     check()
   }
 
+  test("type-widening contract: an EXPRESSION dim follows its widened source column") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val p = tmp(); val mvp = tmp()
+    val t = LakeTable.create(spark, p, TableSpec("k", "ver"),
+      spark.range(200L).select(col("id").as("k"), lit(0L).as("ver"),
+        (col("id") % 30).cast("int").as("v")))
+    val mv = MaterializedView.create(spark, mvp, t, Seq("dv"),
+      Seq(MvAgg("n", "count", "*")), dimExprs = Map("dv" -> "v * 1"))
+    assert(mv.state.schema("dv").dataType == IntegerType)
+    t.widenColumn("v", LongType)
+    t.upsert(spark.range(200L, 230L).select(col("id").as("k"),
+      lit(1L).as("ver"), (col("id") % 2 + 5000000000L).as("v")))
+    mv.refresh()
+    assert(MaterializedView.load(spark, mvp).state.schema("dv").dataType == LongType,
+      "the expression dim's state column must follow the widened source type")
+    val got = MaterializedView.load(spark, mvp).read()
+      .select("dv", "n").collect().map(_.toSeq).toSet
+    val want = LakeTable.load(spark, p).read()
+      .groupBy((col("v") * 1).as("dv")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"\n got: $got\nwant: $want")
+  }
+
   test("views over views refuse cleanly at create, as base and as dim") {
     val p = tmp(); val mvp = tmp(); val mvp2 = tmp()
     val t = LakeTable.create(spark, p, TableSpec("k", "ver"),
