@@ -1160,17 +1160,26 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
              org.apache.spark.sql.types.IntegerType | LongType => true
         case _ => false
       }
-      // Σ e·GRP_N serving a query sum over a drill expression. Under ANSI
-      // the per-row e·GRP_N long product can overflow AND THROW where the
-      // original query's running sum never peaks that high, so the
-      // serving is gated off there (non-ANSI wrap-around is identical on
-      // both sides — the default mode stays exact).
+      // Σ e·GRP_N serving a query sum over a drill expression. Non-ANSI
+      // uses plain long arithmetic — modular wrap-around is identical on
+      // both sides, so the serving is exact bit-for-bit including the
+      // overflow corner. Under ANSI the per-row e·GRP_N long product
+      // could overflow AND THROW where the original query's running sum
+      // never peaks that high, so the products accumulate in
+      // DECIMAL(38,0) instead (no long×long product can overflow 38
+      // digits) and only the FINAL cast back to long throws — i.e.
+      // exactly when the true total is outside long range, which is when
+      // the query's own ANSI sum cannot succeed either.
       def weightedCol(e: Expression): Option[String] = {
         val f = org.apache.spark.sql.functions
-        if (!weightedOk(e) || spark.sessionState.conf.ansiEnabled) None
+        if (!weightedOk(e)) None
         else rebuiltCol(e).map { c =>
           val out = s"_djw_${derivedJoined.size}"
-          derivedJoined += ((out, f.sum(c.cast("long") * grpN)))
+          val sum =
+            if (spark.sessionState.conf.ansiEnabled)
+              f.sum(c.cast("decimal(38,0)") * grpN).cast("long")
+            else f.sum(c.cast("long") * grpN)
+          derivedJoined += ((out, sum))
           out
         }
       }
