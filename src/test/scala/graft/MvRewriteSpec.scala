@@ -2106,6 +2106,42 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally GraftMvRewrite.clear()
   }
 
+  test("weighted drill sum serves under BOTH ANSI modes: decimal accumulation (ansi) and modular long (non-ansi)") {
+    val fp = Files.createTempDirectory("graft_mvrw_wans_f").toString
+    val dp = Files.createTempDirectory("graft_mvrw_wans_d").toString
+    LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 1200L).map(i => (i, 1L, i % 25, i % 100)).toDF("k", "ver", "ck", "amt"))
+    LakeTable.create(spark, dp, TableSpec("d_id", "dver"),
+      (0L until 25L).map(x => (x, 0L, x, s"n${x % 6}", (x * 13 % 90).toInt))
+        .toDF("d_id", "dver", "cdk", "n_name", "dval"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_wans_mv").toString
+    MaterializedView.create(spark, mvPath,
+      LakeTable.load(spark, fp), Seq("ck"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    def f = spark.read.format("graft").load(fp)
+    def d = spark.read.format("graft").load(dp)
+    val ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      GraftMvRewrite.register(mvPath)
+      for (mode <- Seq("true", "false")) {
+        spark.conf.set("spark.sql.ansi.enabled", mode)
+        val q = f.join(d, col("ck") === col("cdk"))
+          .groupBy("n_name").agg(sum(col("dval")).as("sd"))
+        assert(scansMvState(q) && !scansPath(q, fp),
+          s"weighted drill sum must serve with ansi=$mode:\n" +
+            s"${q.queryExecution.optimizedPlan}")
+        val want = LakeTable.load(spark, fp).read()
+          .join(LakeTable.load(spark, dp).read(), col("ck") === col("cdk"))
+          .groupBy("n_name").agg(sum(col("dval")).as("sd"))
+          .collect().map(_.toSeq).toSet
+        assert(q.collect().map(_.toSeq).toSet == want, s"ansi=$mode values")
+      }
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", ansi0)
+      GraftMvRewrite.clear()
+    }
+  }
+
   test("non-identifier member columns match as COLUMNS: the column a-b and the arithmetic a - b never serve each other") {
     // ADVICE (round 11): inputMatches canon-parsed a stored raw column
     // name like `a-b` as subtraction, so a view over the COLUMN could
