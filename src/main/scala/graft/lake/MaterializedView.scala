@@ -362,8 +362,16 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
     // the widen commits never self-conflict this refresh's OCC claim.
     stateTypeChanges(spark, m, st.schema, base.schema, dimTables.map(_.schema))
       .foreach { case (c, have, want) =>
-        if (LakeTable.widens(have, want)) { st.widenColumn(c, want); () }
-        else throw new IllegalStateException(
+        if (LakeTable.widens(have, want)) {
+          // a RACING refresh may have applied the same widening between
+          // our schema read and this call — widenColumn refuses a no-op
+          // (widens(t, t) = false), so swallow exactly that case
+          try { st.widenColumn(c, want); () }
+          catch {
+            case _: IllegalArgumentException
+                if st.schema(c).dataType == want => ()
+          }
+        } else throw new IllegalStateException(
           s"materialized view at $path: state column $c of type " +
             s"${have.simpleString} cannot follow a member type change to " +
             s"${want.simpleString} (not a lossless widening); drop and " +

@@ -1792,6 +1792,32 @@ class MaterializedViewSpec extends AnyFunSuite {
     check()
   }
 
+  test("type-widening contract: decimal precision growth under a sum follows into the state") {
+    import org.apache.spark.sql.types.DecimalType
+    val p = tmp(); val mvp = tmp()
+    val t = LakeTable.create(spark, p, TableSpec("k", "ver"),
+      spark.range(200L).select(col("id").as("k"), lit(0L).as("ver"),
+        (col("id") % 5).cast("string").as("grp"),
+        (col("id") % 37).cast("decimal(10,2)").as("amt")))
+    val mv = MaterializedView.create(spark, mvp, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    val sumType0 = mv.state.schema("s__sum").dataType
+    assert(sumType0 == DecimalType(20, 2), s"got $sumType0")
+    t.widenColumn("amt", DecimalType(14, 2))
+    t.upsert(spark.range(200L, 230L).select(col("id").as("k"),
+      lit(1L).as("ver"), (col("id") % 5).cast("string").as("grp"),
+      (col("id") + 100000000000L).cast("decimal(14,2)").as("amt")))
+    mv.refresh()
+    assert(MaterializedView.load(spark, mvp).state.schema("s__sum").dataType ==
+      DecimalType(24, 2), "the stored running sum must follow the widened input")
+    val got = MaterializedView.load(spark, mvp).read()
+      .select("grp", "n", "s").collect().map(_.toSeq).toSet
+    val want = LakeTable.load(spark, p).read().groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"\n got: $got\nwant: $want")
+  }
+
   test("type-widening contract: an EXPRESSION dim follows its widened source column") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val p = tmp(); val mvp = tmp()
