@@ -1275,8 +1275,11 @@ object MaterializedView {
   private def dCol(n: String) = s"_d_$n"
   private def pCol(n: String) = s"_p_$n"
   private def reCol(n: String) = s"_re_$n"
-  private def sumCol(n: String) = s"${n}__sum"
-  private def cntCol(n: String) = s"${n}__cnt"
+  // the stored-partial naming scheme — private[graft]: the grouping-sets
+  // rewrite ([[graft.sql.GraftMvRewrite]]) re-aggregates raw partials
+  // through the query's own Expand, so it addresses them by name
+  private[graft] def sumCol(n: String) = s"${n}__sum"
+  private[graft] def cntCol(n: String) = s"${n}__cnt"
   private def hllCol(n: String) = s"${n}__hll"
 
   /** Null-safe, collision-free dim-tuple key: each dim base64-encoded (no

@@ -2314,6 +2314,69 @@ object LakeQueries {
         |  FROM live GROUP BY o_orderstatus)
         |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // GROUPING-SETS serving: GROUP BY CUBE over the churned viewed base
+    // re-executes the query's own Expand over the state's group rows —
+    // count/sum/min re-derive from stored partials, avg from the
+    // sum+count pair, grouping() flags ride the reused spark_grouping_id
+    // — with the require pinning that the base is never scanned. At scale
+    // this is the Expand multiplication moved from |fact|·|sets| rows to
+    // |groups|·|sets|.
+    "q174_mv_grouping_sets" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvgs_f_$tag"); val mp = freshDir(s"mvgs_mv_$tag")
+        val tbl = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        MaterializedView.create(s, mp, tbl,
+          Seq("o_orderstatus", "o_orderpriority"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "o_custkey"),
+            MvAgg("mn", "min", "o_custkey"), MvAgg("av", "avg", "o_custkey")))
+        tbl.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1))
+        tbl.delete(col("o_orderkey") % 13 === 0)
+        MaterializedView.load(s, mp).refresh()
+        graft.sql.GraftMvRewrite.register(mp)
+        val v = s"mvgs_v_$tag".replace(".", "_")
+        s.read.format("graft").load(fp).createOrReplaceTempView(v)
+        try {
+          val q = s.sql(
+            s"""SELECT o_orderstatus AS st, o_orderpriority AS pri,
+               |       CAST(grouping(o_orderstatus) AS INT) AS gs,
+               |       CAST(grouping(o_orderpriority) AS INT) AS gp,
+               |       count(1) AS n, sum(o_custkey) AS s,
+               |       min(o_custkey) AS mn, avg(o_custkey) AS av
+               |FROM $v
+               |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          val readsBase = rewritten.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case g: graft.sources.GraftRelation => g.path.contains(fp)
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(fp))
+            case _ => false
+          })
+          require(!readsBase,
+            s"the CUBE must serve from the state's group rows:\n$rewritten")
+          org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+            .orderBy("gs", "gp", "st", "pri")
+        } finally {
+          graft.sql.GraftMvRewrite.unregister(mp)
+          s.catalog.dropTempView(v)
+          ()
+        }
+      },
+      """WITH t AS (SELECT * FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT o_orderstatus AS st, o_orderpriority AS pri,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS gs,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS gp,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS s,
+        |       CAST(MIN(o_custkey) AS BIGINT) AS mn,
+        |       CAST(SUM(o_custkey) AS DOUBLE) / COUNT(o_custkey) AS av
+        |FROM t GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gs, gp, st, pri""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

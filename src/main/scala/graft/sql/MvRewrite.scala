@@ -564,6 +564,463 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     current
   }
 
+  // a FILTERED view serves only queries whose WHERE implies the view's
+  // predicate — checked conservatively: each view-filter conjunct must
+  // match a query conjunct one-to-one under a canonical rendering
+  // (attribute names lowercased, analyzed sql text). A miss only loses
+  // the rewrite, never correctness.
+  private[sql] def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+  // `(attr, op, literal)` of a single-attribute comparison conjunct
+  // (post-canon: attrs are lowercased UnresolvedAttributes, foldable
+  // sides are Literals); literal-first forms normalize to attr-first
+  private def cmpOf(e: Expression): Option[(String, String, Literal)] = {
+    def nm(x: Expression): Option[String] = x match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(u.name.toLowerCase)
+      case a: AttributeReference => Some(a.name.toLowerCase)
+      case _ => None
+    }
+    e match {
+      case GreaterThan(x, l: Literal) => nm(x).map((_, ">", l))
+      case GreaterThanOrEqual(x, l: Literal) => nm(x).map((_, ">=", l))
+      case LessThan(x, l: Literal) => nm(x).map((_, "<", l))
+      case LessThanOrEqual(x, l: Literal) => nm(x).map((_, "<=", l))
+      case EqualTo(x, l: Literal) => nm(x).map((_, "=", l))
+      case GreaterThan(l: Literal, x) => nm(x).map((_, "<", l))
+      case GreaterThanOrEqual(l: Literal, x) => nm(x).map((_, "<=", l))
+      case LessThan(l: Literal, x) => nm(x).map((_, ">", l))
+      case LessThanOrEqual(l: Literal, x) => nm(x).map((_, ">=", l))
+      case EqualTo(l: Literal, x) => nm(x).map((_, "=", l))
+      case _ => None
+    }
+  }
+  // total order on comparable literal values; None = incomparable
+  // (keeps the implication check conservative, never wrong)
+  private def litCmp(x: Literal, y: Literal): Option[Int] = {
+    // NaN / Infinity doubles have no BigDecimal rendering — treat as
+    // incomparable (conservative no-match) instead of throwing
+    // NumberFormatException out of the rule
+    def big(n: java.lang.Number): Option[java.math.BigDecimal] =
+      try Some(new java.math.BigDecimal(n.toString))
+      catch { case _: NumberFormatException => None }
+    def num(l: Literal): Option[java.math.BigDecimal] = l.value match {
+      case null => None
+      case n: java.lang.Number if l.dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType] => big(n)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+      case _ => None
+    }
+    (num(x), num(y)) match {
+      case (Some(a), Some(b)) => Some(a.compareTo(b))
+      case _ => (x.value, y.value) match {
+        case (a: org.apache.spark.unsafe.types.UTF8String,
+            b: org.apache.spark.unsafe.types.UTF8String)
+            if x.dataType == StringType && y.dataType == StringType =>
+          Some(a.compareTo(b))
+        // same-type integral-backed literals (date = days, timestamp =
+        // micros): ordering on the stored number IS the value ordering
+        case (a: java.lang.Number, b: java.lang.Number)
+            if x.dataType == y.dataType =>
+          for { ba <- big(a); bb <- big(b) } yield ba.compareTo(bb)
+        case _ => None
+      }
+    }
+  }
+  // `(attr, canonical literal renderings)` of an IN-list / equality
+  // conjunct over one attribute with all-literal values — the literal
+  // SET a membership implication compares. Post-canon, foldable
+  // operands are Literals; InSet (the optimizer's large-IN form)
+  // re-renders its raw values through typed Literals.
+  // the attribute of a membership conjunct may sit under a
+  // type-coercion Cast (the stored view text keeps the analyzer's cast;
+  // the query side's no-op cast is optimizer-removed) — peel it. Sound
+  // ONLY for lossless upcasts: [[implies]] pre-checks the RESOLVED
+  // query conjunct (before canon erases child types) and bails on any
+  // narrowing attribute cast, so by the time inNm runs here every
+  // query-side cast is a provable upcast. A peeled upcast is sound for
+  // the set checks because the folded literal RENDERINGS carry the
+  // comparison type ("50L" vs "50"), so two sides coerced differently
+  // can never pass a subset check; sound for the range check because
+  // litCmp compares typed VALUES and an upcast preserves them. The
+  // VIEW side (parsed stored text, child types unknowable) only ever
+  // reaches the rendering-protected set checks — cmpOf never peels —
+  // so an exotic narrowing cast in a stored filter cannot mis-serve.
+  private def inNm(x: Expression): Option[String] = x match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(u.name.toLowerCase)
+    case a: AttributeReference => Some(a.name.toLowerCase)
+    case c: Cast => inNm(c.child)
+    case _ => None
+  }
+  // does the RESOLVED expression contain a cast over an attribute that
+  // can lose/wrap values (e.g. CAST(bigint_col AS INT))? Such a cast
+  // maps overflow-wrapped values into a membership set, so comparing
+  // its post-cast literals against a view filter on the bare column
+  // would serve rows the view does not contain.
+  private def hasNarrowingAttrCast(e: Expression): Boolean = e.exists {
+    case c: Cast => c.child.resolved &&
+      !Cast.canUpCast(c.child.dataType, c.dataType)
+    case _ => false
+  }
+  // `(attr, literals)` of an IN-list / equality conjunct over one
+  // attribute with all-literal values; InSet (the optimizer's large-IN
+  // form) re-renders its raw values through typed Literals
+  private def inLitsOf(e: Expression): Option[(String, Seq[Literal])] = e match {
+    case In(x, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      inNm(x).map((_, vs.map(_.asInstanceOf[Literal])))
+    case s: InSet =>
+      inNm(s.child).map((_,
+        s.hset.toSeq.map(v => Literal(v, s.child.dataType))))
+    case EqualTo(x, l: Literal) => inNm(x).map((_, Seq(l)))
+    case EqualTo(l: Literal, x) => inNm(x).map((_, Seq(l)))
+    case _ => None
+  }
+  private def inSetOf(e: Expression): Option[(String, Set[String])] =
+    inLitsOf(e).map { case (a, ls) => (a, ls.map(_.sql).toSet) }
+  // does one literal satisfy a </<=/>/>=/= comparison against another?
+  private def litSat(ql: Literal, vop: String, vl: Literal): Boolean =
+    litCmp(ql, vl).exists(c => vop match {
+      case ">" => c > 0
+      case ">=" => c >= 0
+      case "<" => c < 0
+      case "<=" => c <= 0
+      case "=" => c == 0
+      case _ => false
+    })
+  // does the query conjunct `q` IMPLY the view conjunct `v`? Three
+  // conservative sufficient conditions on the same attribute: interval
+  // subsumption for single-attribute </<=/>/>=/= comparisons with
+  // comparable literals (`x > 100` serves a view filtered `x > 50`);
+  // literal-set inclusion for IN/= conjuncts (`x IN (1,2)` or `x = 2`
+  // serves a view filtered `x IN (1,2,3)`); and IN-into-range (`x IN
+  // (60, 70)` serves a view filtered `x >= 50` — every member
+  // satisfies the comparison). Any non-matching shape is false.
+  private[sql] def implies(q: Expression, v: Expression): Boolean = {
+    // conservative bail BEFORE canon (canon unresolves attributes, so
+    // the child types a soundness check needs exist only here)
+    if (hasNarrowingAttrCast(q)) return false
+    val qc = canonExpr(q)
+    val vc = canonExpr(v)
+    val range = for {
+      (qa, qop, ql) <- cmpOf(qc)
+      (va, vop, vl) <- cmpOf(vc)
+      if qa == va
+      c <- litCmp(ql, vl) // sign of (q literal − v literal)
+    } yield (vop, qop) match {
+      case (">", ">") => c >= 0
+      case (">", ">=") | (">", "=") => c > 0
+      case (">=", ">") | (">=", ">=") | (">=", "=") => c >= 0
+      case ("<", "<") => c <= 0
+      case ("<", "<=") | ("<", "=") => c < 0
+      case ("<=", "<") | ("<=", "<=") | ("<=", "=") => c <= 0
+      case ("=", "=") => c == 0
+      case _ => false
+    }
+    def setSub = for {
+      (qa, qs) <- inSetOf(qc)
+      (va, vs) <- inSetOf(vc)
+      if qa == va
+    } yield qs.subsetOf(vs)
+    def inRange = for {
+      (qa, qls) <- inLitsOf(qc)
+      (va, vop, vl) <- cmpOf(vc)
+      if qa == va
+    } yield qls.forall(ql => litSat(ql, vop, vl))
+    range.orElse(setSub).orElse(inRange).getOrElse(false)
+  }
+
+  /** GROUPING-SETS serving — `GROUP BY ROLLUP / CUBE / GROUPING SETS`
+    * over a viewed base, the classic summary-table dashboard shape. The
+    * analyzer's plan is
+    *
+    *   `Aggregate [g1…gk, spark_grouping_id] ← Expand [one projection per
+    *   set] ← Project [grouping aliases] ← [Filter] base`
+    *
+    * Each grouping attribute is defined by ONE expression over the base
+    * (nulled per set, with `spark_grouping_id` encoding the set); the
+    * aggregate calls read base columns passed through the Expand. When
+    * every grouping expression is servable from a fresh JOIN-FREE view's
+    * dims and every aggregate call re-derives from the stored partials,
+    * the SAME Aggregate/Expand pair re-executes over the state's live
+    * group rows: the Expand replicates each state row per set exactly as
+    * it replicates that group's base rows, and the re-aggregations are
+    * the rollup homomorphisms (Σ GRP_N for count(*), Σ stored counts/
+    * sums, min/max of extrema, Σsum ÷ Σcnt for avg — the same
+    * finalizations [[graft.lake.MaterializedView.readRollupExprs]] uses,
+    * so the two serving paths agree bit-for-bit). The null-vs-nulled dim
+    * distinction is preserved identically: a NULL dim VALUE flows through
+    * the non-nulled projection element while set-nulled positions take
+    * the literal, and `spark_grouping_id` disambiguates on both sides.
+    * Output identity: the grouping attributes and gid are REUSED and
+    * every rewritten aggregate is re-aliased under its original exprId,
+    * so everything above the Aggregate keeps resolving.
+    *
+    * Conservative bails (a miss, never wrong results): join/star scans
+    * under the Expand, DISTINCT / FILTER clauses, expression-over-
+    * aggregate outputs, non-servable grouping expressions or agg inputs,
+    * any result-type mismatch. At 100 TB the win is the usual one at
+    * Expand-multiplied scale: the query's Expand replicates EVERY fact
+    * row per grouping set before the shuffle, while the served plan
+    * replicates only |groups| state rows. */
+  private def rewriteGroupingSets(agg: Aggregate, ex: Expand,
+      latestOf: String => Long): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{DataType, DoubleType}
+    val GID = "spark_grouping_id"
+    val gAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val gid = gAttrs.find(_.name == GID).getOrElse(return None)
+    val groupAttrs = gAttrs.filterNot(_.exprId == gid.exprId)
+    val pos: Map[ExprId, Int] =
+      ex.output.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    val gidIx = pos.getOrElse(gid.exprId, return None)
+    val grpIxs = groupAttrs.map(a => pos.getOrElse(a.exprId, return None))
+    val projs = ex.projections
+    if (projs.isEmpty || projs.exists(_.size != ex.output.size)) return None
+    val gidLits: Seq[Literal] = projs.map(_(gidIx) match {
+      case l: Literal => l
+      case _ => return None
+    })
+    // per grouping attr: the one defining expression (consistent across
+    // sets) and the per-set null mask
+    val gDefs: Seq[Expression] = groupAttrs.zip(grpIxs).map { case (_, ix) =>
+      val defs = projs.map(_(ix)).filter {
+        case Literal(null, _) => false
+        case _ => true
+      }
+      if (defs.isEmpty || !defs.forall(_.semanticEquals(defs.head))) return None
+      defs.head
+    }
+    val nullMask: Seq[Seq[Boolean]] = projs.map(p => grpIxs.map(ix =>
+      p(ix) match { case Literal(null, _) => true; case _ => false }))
+    // resolve the grouping expressions over the SCAN output: peel the
+    // analyzer's alias Project(s) below the Expand (inlineProjects mirror)
+    var below: LogicalPlan = ex.child
+    var gOverScan: Seq[Expression] = gDefs
+    var continuePeel = true
+    while (continuePeel) below match {
+      case SubqueryAlias(_, c) => below = c
+      case v: View => below = v.child
+      case Project(pl, c) if pl.forall {
+            case _: AttributeReference => true
+            case al: Alias => al.child.deterministic
+            case _ => false
+          } && pl.exists(!_.isInstanceOf[AttributeReference]) =>
+        val subst = pl.collect { case al: Alias => al.exprId -> al.child }.toMap
+        gOverScan = gOverScan.map(_.transformUp {
+          case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+        })
+        below = c
+      case _ => continuePeel = false
+    }
+    val (path, filters) = baseScan(below).getOrElse(return None)
+
+    def tryServe(view: MaterializedView,
+        meta: MaterializedView.MvMeta): Option[LogicalPlan] = {
+      val infos = dimInfosOf(spark, meta).getOrElse(return None)
+      lazy val memberColsLc: Option[Set[String]] =
+        try Some(LakeTable.load(spark, meta.basePath).schema
+          .fieldNames.map(_.toLowerCase).toSet)
+        catch { case scala.util.control.NonFatal(_) => None }
+      val f = org.apache.spark.sql.functions
+      // view-filter absorption + dim-only residual, as in serveWith
+      val qConj = scala.collection.mutable.ArrayBuffer(
+        filters.flatMap(conjunctsOf): _*)
+      val viewConj =
+        try meta.filter.toSeq.flatMap(x =>
+          conjunctsOf(spark.sessionState.sqlParser.parseExpression(x)))
+        catch { case scala.util.control.NonFatal(_) => return None }
+      viewConj.foreach { vc =>
+        val want = canon(vc)
+        val ix = qConj.indexWhere(c => canon(c) == want)
+        if (ix >= 0) { qConj.remove(ix); () }
+        else if (!qConj.exists(c => implies(c, vc))) return None
+      }
+      val rest = qConj.toSeq
+      if (rest.exists(!_.deterministic)) return None
+      def bareDimName(a: Attribute): Option[String] =
+        infos.find(d => d.bare && d.key == a.name.toLowerCase).map(_.name)
+      if (!rest.forall(_.references.forall(a => bareDimName(a).isDefined)))
+        return None
+      val restCols = rest.map(c =>
+        org.apache.spark.sql.GraftExpressionBridge.column(c.transform {
+          case a: AttributeReference =>
+            UnresolvedAttribute.quoted(bareDimName(a).get)
+        }))
+      // a grouping / duplication-insensitive input's serving Column over
+      // the state read: a bare view dim, an expression dim restated
+      // canonically, or a row-local expression over bare view dims
+      def dimServe(ge: Expression): Option[org.apache.spark.sql.Column] =
+        ge match {
+          case a: AttributeReference => bareDimName(a).map(f.col)
+          case e2 if e2.deterministic &&
+              !e2.exists(_.isInstanceOf[SubqueryExpression]) &&
+              !e2.exists(_.isInstanceOf[AggregateExpression]) =>
+            infos.find(_.key == canon(e2)).map(d => f.col(d.name)).orElse {
+              val attrs = e2.collect { case a: AttributeReference => a }
+              if (attrs.nonEmpty && attrs.forall(a => bareDimName(a).isDefined))
+                Some(org.apache.spark.sql.GraftExpressionBridge.column(
+                  e2.transform {
+                    case a: AttributeReference =>
+                      UnresolvedAttribute.quoted(bareDimName(a).get)
+                  }))
+              else None
+            }
+          case _ => None
+        }
+      val gCols: Seq[(String, org.apache.spark.sql.Column)] =
+        gOverScan.zipWithIndex.map { case (ge, j) =>
+          (s"_gs_$j", dimServe(ge).getOrElse(return None))
+        }
+      // extra state-side columns the aggregate rewrites need (count/min/
+      // max over dim expressions)
+      val extraCols = scala.collection.mutable
+        .ArrayBuffer.empty[(String, org.apache.spark.sql.Column)]
+      val GRPN = MaterializedView.GRP_N
+      type AttrOf = String => Option[Attribute]
+      def aggE(fn2: AggregateFunction): Expression =
+        AggregateExpression(fn2, Complete, isDistinct = false)
+      def longSum(a: Attribute): Expression =
+        Coalesce(Seq(Cast(aggE(Sum(a)), LongType), Literal(0L)))
+      def findAgg(in: String, kinds: Set[String]): Option[MvAgg] =
+        meta.aggs.find(a2 => kinds.contains(a2.kind) &&
+          inputMatches(spark, memberColsLc, a2.input, in))
+      // phase 1: per output, a recipe producing the rewritten expression
+      // against the analyzed state plan's attributes (phase 2)
+      val recipes: Seq[AttrOf => Option[NamedExpression]] =
+        agg.aggregateExpressions.map {
+          case ne if !ne.exists(_.isInstanceOf[AggregateExpression]) =>
+            // a grouping output or grouping()/grouping_id() arithmetic —
+            // must reference only the REUSED grouping attrs + gid
+            if (ne.references.subsetOf(AttributeSet(groupAttrs :+ gid)))
+              (_: AttrOf) => Some(ne)
+            else return None
+          case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+            def realias(e: Expression): NamedExpression =
+              Alias(e, al.name)(exprId = al.exprId)
+            fn match {
+              case Count(Seq(Literal(1, _))) =>
+                (at: AttrOf) => at(GRPN).map(g => realias(longSum(g)))
+              case Count(Seq(e)) =>
+                aggInputOf(e).flatMap { in =>
+                  findAgg(in, Set("count")).map(a2 =>
+                    (at: AttrOf) => at(a2.name).map(c => realias(longSum(c))))
+                    .orElse(findAgg(in, Set("sum", "avg")).map(a2 =>
+                      (at: AttrOf) =>
+                        at(MaterializedView.cntCol(a2.name))
+                          .map(c => realias(longSum(c)))))
+                }.orElse(dimServe(e).map { sc =>
+                  // count over a servable dim expression: Σ GRP_N over
+                  // the rows whose serving value is non-null
+                  val nm = s"_gw_${extraCols.size}"
+                  extraCols += ((nm,
+                    f.when(sc.isNotNull, f.col(GRPN)).otherwise(f.lit(0L))))
+                  (at: AttrOf) => at(nm).map(c => realias(longSum(c)))
+                }).getOrElse(return None)
+              case Sum(e, _) =>
+                aggInputOf(e).flatMap(in => findAgg(in, Set("sum", "avg")))
+                  .map { a2 =>
+                    (at: AttrOf) => for {
+                      sc <- at(MaterializedView.sumCol(a2.name))
+                      cc <- at(MaterializedView.cntCol(a2.name))
+                    } yield realias(CaseWhen(Seq((
+                      GreaterThan(aggE(Sum(cc)), Literal(0L)),
+                      Cast(aggE(Sum(sc)), sc.dataType))), None))
+                  }.getOrElse(return None)
+              case Average(e, _) =>
+                aggInputOf(e).flatMap(in => findAgg(in, Set("sum", "avg")))
+                  .map { a2 =>
+                    (at: AttrOf) => for {
+                      sc <- at(MaterializedView.sumCol(a2.name))
+                      cc <- at(MaterializedView.cntCol(a2.name))
+                    } yield realias(CaseWhen(Seq((
+                      GreaterThan(aggE(Sum(cc)), Literal(0L)),
+                      Divide(Cast(aggE(Sum(sc)), DoubleType),
+                        Cast(aggE(Sum(cc)), DoubleType)))), None))
+                  }.getOrElse(return None)
+              case Min(e) =>
+                aggInputOf(e).flatMap(in => findAgg(in, Set("min")))
+                  .map(a2 => (at: AttrOf) => at(a2.name).map(c =>
+                    realias(aggE(Min(c)))))
+                  .orElse(dimServe(e).map { sc =>
+                    val nm = s"_gm_${extraCols.size}"
+                    extraCols += ((nm, sc))
+                    (at: AttrOf) => at(nm).map(c => realias(aggE(Min(c))))
+                  }).getOrElse(return None)
+              case Max(e) =>
+                aggInputOf(e).flatMap(in => findAgg(in, Set("max")))
+                  .map(a2 => (at: AttrOf) => at(a2.name).map(c =>
+                    realias(aggE(Max(c)))))
+                  .orElse(dimServe(e).map { sc =>
+                    val nm = s"_gm_${extraCols.size}"
+                    extraCols += ((nm, sc))
+                    (at: AttrOf) => at(nm).map(c => realias(aggE(Max(c))))
+                  }).getOrElse(return None)
+              case _ => return None
+            }
+          case _ => return None
+        }
+      // phase 2: the state child plan with servings + extras selected
+      val stDf0 = view.state.read().filter(f.col(GRPN) > 0)
+      val stF = restCols.foldLeft(stDf0)((acc, c) => acc.filter(c))
+      val allExtra = (gCols ++ extraCols.toSeq).map { case (n, c) => c.as(n) }
+      val child =
+        try stF.select((f.col("*") +: allExtra): _*).queryExecution.analyzed
+        catch { case scala.util.control.NonFatal(_) => return None }
+      def at(name: String): Option[Attribute] = child.output.find(_.name == name)
+      val gServeAttrs: Seq[Attribute] = groupAttrs.indices.map { j =>
+        val a = at(s"_gs_$j").getOrElse(return None)
+        if (a.dataType != groupAttrs(j).dataType) return None
+        a
+      }
+      val newAggs: Seq[NamedExpression] = recipes.map(r =>
+        r(at).getOrElse(return None))
+      // exact result-type gate, per output
+      agg.aggregateExpressions.zip(newAggs).foreach { case (o, n) =>
+        if (o.dataType != n.dataType) return None
+      }
+      val keepSet = AttributeSet(groupAttrs :+ gid)
+      val passAttrs: Seq[Attribute] = AttributeSet(newAggs.flatMap(_.references))
+        .toSeq.filterNot(keepSet.contains).filter(child.outputSet.contains)
+      val newProjections: Seq[Seq[Expression]] = projs.indices.map { si =>
+        passAttrs.map(a => a: Expression) ++
+          gServeAttrs.zipWithIndex.map { case (a, j) =>
+            if (nullMask(si)(j)) Literal(null, groupAttrs(j).dataType)
+            else a: Expression
+          } :+ gidLits(si)
+      }
+      val newOut: Seq[Attribute] = (passAttrs ++ groupAttrs) :+ gid
+      Some(Aggregate(agg.groupingExpressions, newAggs,
+        Expand(newProjections, newOut, child)))
+    }
+
+    // JOIN-FREE fresh candidates over the scanned base, smallest state
+    // first — same preference and freshness gate as the direct path
+    val cands = registered.flatMap { p =>
+      shapeOf(spark, p) match {
+        case Some(s) if s.joinSig.isEmpty && s.basePath == path =>
+          Some((p, s.dims))
+        case _ => None
+      }
+    }.sortBy(_._2.size)
+    cands.iterator.flatMap { case (p, _) =>
+      try {
+        val m = MaterializedView.load(spark, p)
+        val meta = m.meta // fresh read — authoritative over the cache
+        if (meta.joins.isEmpty && meta.basePath == path &&
+            m.refreshedVersions._1 == latestOf(meta.basePath))
+          tryServe(m, meta)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.nextOption()
+  }
+
   private def rewrite(agg0: Aggregate,
       latestMemo: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
       : Option[LogicalPlan] = {
@@ -581,6 +1038,12 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         latestMemo.put(p, v)
         v
       }
+    }
+    // GROUPING SETS (ROLLUP / CUBE) re-execute their own Expand over the
+    // state's group rows — a separate matcher (see rewriteGroupingSets)
+    agg.child match {
+      case ex: Expand => return rewriteGroupingSets(agg, ex, latestOf)
+      case _ =>
     }
     // the scanned shape: a plain base snapshot, a two-table inner
     // equi-join (either join order), or a left-deep 2+-dim star
@@ -679,173 +1142,6 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           Some((m, meta))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
-    }
-    // a FILTERED view serves only queries whose WHERE implies the view's
-    // predicate — checked conservatively: each view-filter conjunct must
-    // match a query conjunct one-to-one under a canonical rendering
-    // (attribute names lowercased, analyzed sql text). A miss only loses
-    // the rewrite, never correctness.
-    def conjunctsOf(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
-      case other => Seq(other)
-    }
-    // `(attr, op, literal)` of a single-attribute comparison conjunct
-    // (post-canon: attrs are lowercased UnresolvedAttributes, foldable
-    // sides are Literals); literal-first forms normalize to attr-first
-    def cmpOf(e: Expression): Option[(String, String, Literal)] = {
-      def nm(x: Expression): Option[String] = x match {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          Some(u.name.toLowerCase)
-        case a: AttributeReference => Some(a.name.toLowerCase)
-        case _ => None
-      }
-      e match {
-        case GreaterThan(x, l: Literal) => nm(x).map((_, ">", l))
-        case GreaterThanOrEqual(x, l: Literal) => nm(x).map((_, ">=", l))
-        case LessThan(x, l: Literal) => nm(x).map((_, "<", l))
-        case LessThanOrEqual(x, l: Literal) => nm(x).map((_, "<=", l))
-        case EqualTo(x, l: Literal) => nm(x).map((_, "=", l))
-        case GreaterThan(l: Literal, x) => nm(x).map((_, "<", l))
-        case GreaterThanOrEqual(l: Literal, x) => nm(x).map((_, "<=", l))
-        case LessThan(l: Literal, x) => nm(x).map((_, ">", l))
-        case LessThanOrEqual(l: Literal, x) => nm(x).map((_, ">=", l))
-        case EqualTo(l: Literal, x) => nm(x).map((_, "=", l))
-        case _ => None
-      }
-    }
-    // total order on comparable literal values; None = incomparable
-    // (keeps the implication check conservative, never wrong)
-    def litCmp(x: Literal, y: Literal): Option[Int] = {
-      // NaN / Infinity doubles have no BigDecimal rendering — treat as
-      // incomparable (conservative no-match) instead of throwing
-      // NumberFormatException out of the rule
-      def big(n: java.lang.Number): Option[java.math.BigDecimal] =
-        try Some(new java.math.BigDecimal(n.toString))
-        catch { case _: NumberFormatException => None }
-      def num(l: Literal): Option[java.math.BigDecimal] = l.value match {
-        case null => None
-        case n: java.lang.Number if l.dataType.isInstanceOf[
-            org.apache.spark.sql.types.NumericType] => big(n)
-        case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
-        case _ => None
-      }
-      (num(x), num(y)) match {
-        case (Some(a), Some(b)) => Some(a.compareTo(b))
-        case _ => (x.value, y.value) match {
-          case (a: org.apache.spark.unsafe.types.UTF8String,
-              b: org.apache.spark.unsafe.types.UTF8String)
-              if x.dataType == StringType && y.dataType == StringType =>
-            Some(a.compareTo(b))
-          // same-type integral-backed literals (date = days, timestamp =
-          // micros): ordering on the stored number IS the value ordering
-          case (a: java.lang.Number, b: java.lang.Number)
-              if x.dataType == y.dataType =>
-            for { ba <- big(a); bb <- big(b) } yield ba.compareTo(bb)
-          case _ => None
-        }
-      }
-    }
-    // `(attr, canonical literal renderings)` of an IN-list / equality
-    // conjunct over one attribute with all-literal values — the literal
-    // SET a membership implication compares. Post-canon, foldable
-    // operands are Literals; InSet (the optimizer's large-IN form)
-    // re-renders its raw values through typed Literals.
-    // the attribute of a membership conjunct may sit under a
-    // type-coercion Cast (the stored view text keeps the analyzer's cast;
-    // the query side's no-op cast is optimizer-removed) — peel it. Sound
-    // ONLY for lossless upcasts: [[implies]] pre-checks the RESOLVED
-    // query conjunct (before canon erases child types) and bails on any
-    // narrowing attribute cast, so by the time inNm runs here every
-    // query-side cast is a provable upcast. A peeled upcast is sound for
-    // the set checks because the folded literal RENDERINGS carry the
-    // comparison type ("50L" vs "50"), so two sides coerced differently
-    // can never pass a subset check; sound for the range check because
-    // litCmp compares typed VALUES and an upcast preserves them. The
-    // VIEW side (parsed stored text, child types unknowable) only ever
-    // reaches the rendering-protected set checks — cmpOf never peels —
-    // so an exotic narrowing cast in a stored filter cannot mis-serve.
-    def inNm(x: Expression): Option[String] = x match {
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        Some(u.name.toLowerCase)
-      case a: AttributeReference => Some(a.name.toLowerCase)
-      case c: Cast => inNm(c.child)
-      case _ => None
-    }
-    // does the RESOLVED expression contain a cast over an attribute that
-    // can lose/wrap values (e.g. CAST(bigint_col AS INT))? Such a cast
-    // maps overflow-wrapped values into a membership set, so comparing
-    // its post-cast literals against a view filter on the bare column
-    // would serve rows the view does not contain.
-    def hasNarrowingAttrCast(e: Expression): Boolean = e.exists {
-      case c: Cast => c.child.resolved &&
-        !Cast.canUpCast(c.child.dataType, c.dataType)
-      case _ => false
-    }
-    // `(attr, literals)` of an IN-list / equality conjunct over one
-    // attribute with all-literal values; InSet (the optimizer's large-IN
-    // form) re-renders its raw values through typed Literals
-    def inLitsOf(e: Expression): Option[(String, Seq[Literal])] = e match {
-      case In(x, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        inNm(x).map((_, vs.map(_.asInstanceOf[Literal])))
-      case s: InSet =>
-        inNm(s.child).map((_,
-          s.hset.toSeq.map(v => Literal(v, s.child.dataType))))
-      case EqualTo(x, l: Literal) => inNm(x).map((_, Seq(l)))
-      case EqualTo(l: Literal, x) => inNm(x).map((_, Seq(l)))
-      case _ => None
-    }
-    def inSetOf(e: Expression): Option[(String, Set[String])] =
-      inLitsOf(e).map { case (a, ls) => (a, ls.map(_.sql).toSet) }
-    // does one literal satisfy a </<=/>/>=/= comparison against another?
-    def litSat(ql: Literal, vop: String, vl: Literal): Boolean =
-      litCmp(ql, vl).exists(c => vop match {
-        case ">" => c > 0
-        case ">=" => c >= 0
-        case "<" => c < 0
-        case "<=" => c <= 0
-        case "=" => c == 0
-        case _ => false
-      })
-    // does the query conjunct `q` IMPLY the view conjunct `v`? Three
-    // conservative sufficient conditions on the same attribute: interval
-    // subsumption for single-attribute </<=/>/>=/= comparisons with
-    // comparable literals (`x > 100` serves a view filtered `x > 50`);
-    // literal-set inclusion for IN/= conjuncts (`x IN (1,2)` or `x = 2`
-    // serves a view filtered `x IN (1,2,3)`); and IN-into-range (`x IN
-    // (60, 70)` serves a view filtered `x >= 50` — every member
-    // satisfies the comparison). Any non-matching shape is false.
-    def implies(q: Expression, v: Expression): Boolean = {
-      // conservative bail BEFORE canon (canon unresolves attributes, so
-      // the child types a soundness check needs exist only here)
-      if (hasNarrowingAttrCast(q)) return false
-      val qc = canonExpr(q)
-      val vc = canonExpr(v)
-      val range = for {
-        (qa, qop, ql) <- cmpOf(qc)
-        (va, vop, vl) <- cmpOf(vc)
-        if qa == va
-        c <- litCmp(ql, vl) // sign of (q literal − v literal)
-      } yield (vop, qop) match {
-        case (">", ">") => c >= 0
-        case (">", ">=") | (">", "=") => c > 0
-        case (">=", ">") | (">=", ">=") | (">=", "=") => c >= 0
-        case ("<", "<") => c <= 0
-        case ("<", "<=") | ("<", "=") => c < 0
-        case ("<=", "<") | ("<=", "<=") | ("<=", "=") => c <= 0
-        case ("=", "=") => c == 0
-        case _ => false
-      }
-      def setSub = for {
-        (qa, qs) <- inSetOf(qc)
-        (va, vs) <- inSetOf(vc)
-        if qa == va
-      } yield qs.subsetOf(vs)
-      def inRange = for {
-        (qa, qls) <- inLitsOf(qc)
-        (va, vop, vl) <- cmpOf(vc)
-        if qa == va
-      } yield qls.forall(ql => litSat(ql, vop, vl))
-      range.orElse(setSub).orElse(inRange).getOrElse(false)
     }
     // serve the query with ONE fresh candidate, or report why not (None):
     // candidates are tried in preference order, so a view whose filter

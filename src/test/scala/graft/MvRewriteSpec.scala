@@ -2191,6 +2191,82 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally GraftMvRewrite.clear()
   }
 
+  test("GROUPING SETS serving: ROLLUP/CUBE/SETS re-execute their Expand over the state's group rows") {
+    val path = Files.createTempDirectory("graft_mvrw_gs").toString
+    // null dim values AND null agg inputs: the null-vs-set-nulled
+    // distinction (spark_grouping_id) and the sum/avg/count null
+    // semantics must all survive the rewrite
+    val t = LakeTable.create(spark, path, TableSpec("k", "ver"),
+      (1L to 2000L).map { i =>
+        (i, 1L, if (i % 7 == 0) null else s"g${i % 3}", i % 4,
+          if (i % 5 == 0) None else Some(i % 100))
+      }.toDF("k", "ver", "a", "b", "amt"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_gs_mv").toString
+    MaterializedView.create(spark, mvPath, t, Seq("a", "b"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mn", "min", "amt"), MvAgg("mx", "max", "amt"),
+        MvAgg("av", "avg", "amt"), MvAgg("ca", "count", "amt")))
+    spark.read.format("graft").load(path).createOrReplaceTempView("mvrw_gs_v")
+    val queries = Seq(
+      // the full agg matrix under ROLLUP
+      """SELECT a, b, count(1) AS n, sum(amt) AS s, avg(amt) AS av,
+        |       min(amt) AS mn, max(amt) AS mx, count(amt) AS ca
+        |FROM mvrw_gs_v GROUP BY ROLLUP(a, b)""".stripMargin,
+      // CUBE with grouping()/grouping_id() outputs
+      """SELECT a, b, grouping(a) AS ga, grouping_id() AS gi,
+        |       count(1) AS n, sum(amt) AS s
+        |FROM mvrw_gs_v GROUP BY CUBE(a, b)""".stripMargin,
+      // explicit GROUPING SETS + a dim-only WHERE (applies to whole
+      // state groups) + count/min over DIM columns
+      """SELECT a, count(1) AS n, count(a) AS cda, min(b) AS mnb
+        |FROM mvrw_gs_v WHERE b = 1
+        |GROUP BY GROUPING SETS ((a), ())""".stripMargin,
+      // ROLLUP over an EXPRESSION of a dim
+      """SELECT b % 2 AS b2, count(1) AS n, max(amt) AS mx
+        |FROM mvrw_gs_v GROUP BY ROLLUP(b % 2)""".stripMargin)
+    def results(q: String): Set[Seq[Any]] =
+      spark.sql(q).collect().map(_.toSeq).toSet
+    try {
+      // controls first (no registered view)
+      GraftMvRewrite.clear()
+      val want = queries.map(results)
+      GraftMvRewrite.register(mvPath)
+      queries.zip(want).foreach { case (q, w) =>
+        val df = spark.sql(q)
+        assert(scansMvState(df) && !scansPath(df, path),
+          s"grouping-sets query must serve from state:\n$q\n" +
+            s"${df.queryExecution.optimizedPlan}")
+        assert(results(q) == w, s"values must equal the unrewritten run:\n$q")
+      }
+      // a stale view must never serve
+      t.upsert(Seq((9001L, 2L, "g9", 9L, Some(5L)))
+        .toDF("k", "ver", "a", "b", "amt"))
+      val stale = spark.sql(queries.head)
+      assert(scansPath(stale, path), "stale view must not serve grouping sets")
+      MaterializedView.load(spark, mvPath).refresh()
+      val fresh = spark.sql(queries.head)
+      assert(scansMvState(fresh) && !scansPath(fresh, path),
+        "refresh must re-enable the grouping-sets serving")
+      GraftMvRewrite.clear()
+      assert(results(queries.head) ==
+        fresh.collect().map(_.toSeq).toSet, "post-refresh values")
+      // unservable shapes fall through with correct values: a DISTINCT
+      // aggregate under ROLLUP
+      GraftMvRewrite.register(mvPath)
+      val dq =
+        "SELECT a, count(DISTINCT b) AS db FROM mvrw_gs_v GROUP BY ROLLUP(a)"
+      assert(scansPath(spark.sql(dq), path),
+        "DISTINCT under grouping sets must miss conservatively")
+      val gotD = results(dq)
+      GraftMvRewrite.clear()
+      assert(gotD == results(dq))
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("mvrw_gs_v")
+      ()
+    }
+  }
+
   test("no-aggregate grouping (GROUP BY with no agg calls / SELECT DISTINCT) serves from the state's dim rows") {
     val (t, path) = freshBase("noagg")
     val mvPath = Files.createTempDirectory("graft_mvrw_noagg_mv").toString
