@@ -819,7 +819,41 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         below = c
       case _ => continuePeel = false
     }
-    val (path, filters) = baseScan(below).getOrElse(return None)
+    // the scanned shape BELOW the Expand: a plain base snapshot, a
+    // two-table equi-join (either inner orientation), or a left-deep
+    // star — served by a view whose OWN join signature matches (the
+    // joined content is folded into the state; grouping attrs resolve on
+    // the joined row exactly as the direct path's dims do). No join-back
+    // here: an extra query arm bails.
+    val plainB = baseScan(below)
+    val joinedB = if (plainB.isDefined) None else joinScan(below)
+    val starB =
+      if (plainB.isDefined || joinedB.isDefined) None else starScan(below)
+    val (path, filters) = plainB
+      .orElse(joinedB.map { case (lp, _, _, fs) => (lp, fs) })
+      .orElse(starB.map { case (fp, _, fs) => (fp, fs) })
+      .getOrElse(return None)
+    def sigMatches(basePath: String,
+        sig: Seq[(String, Set[(String, String)], Boolean)]): Boolean =
+      (plainB, joinedB, starB) match {
+        case (Some(_), _, _) => sig.isEmpty && basePath == path
+        case (_, Some((lp, _, arm, _)), _) => sig match {
+          case Seq((jDim, pairs, vOuter)) =>
+            val fwd = arm.lks.zip(arm.dks)
+              .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet
+            vOuter == arm.outer &&
+            ((basePath == lp && jDim == arm.path && pairs == fwd) ||
+              (!arm.outer && basePath == arm.path && jDim == lp &&
+                pairs == fwd.map(_.swap)))
+          case _ => false
+        }
+        case (_, _, Some((fp, arms, _))) =>
+          basePath == fp && sig.size == arms.size &&
+            arms.map(a => (a.path, a.lks.zip(a.dks)
+              .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet,
+              a.outer)).toSet == sig.toSet
+        case _ => false
+      }
 
     def tryServe(view: MaterializedView,
         meta: MaterializedView.MvMeta): Option[LogicalPlan] = {
@@ -901,6 +935,29 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             if (ne.references.subsetOf(AttributeSet(groupAttrs :+ gid)))
               (_: AttrOf) => Some(ne)
             else return None
+          // count(DISTINCT dims…) per grouping set: duplication-
+          // insensitive, so the per-set distinct over the replicated
+          // state rows equals the base computation exactly (the state
+          // holds one row per FULL dim tuple; a subset-dim distinct
+          // collapses them just like the base rows would)
+          case al @ Alias(
+              AggregateExpression(Count(children), Complete, true, None, _), _)
+              if children.nonEmpty =>
+            val names = children.map { c =>
+              dimServe(c) match {
+                case Some(sc) =>
+                  val nm = s"_gd_${extraCols.size}"
+                  extraCols += ((nm, sc)); nm
+                case None => return None
+              }
+            }
+            (at: AttrOf) => {
+              val resolved = names.map(at)
+              if (resolved.exists(_.isEmpty)) None
+              else Some(Alias(AggregateExpression(
+                Count(resolved.map(_.get)), Complete, isDistinct = true),
+                al.name)(exprId = al.exprId))
+            }
           case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
             def realias(e: Expression): NamedExpression =
               Alias(e, al.name)(exprId = al.exprId)
@@ -1000,11 +1057,12 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         Expand(newProjections, newOut, child)))
     }
 
-    // JOIN-FREE fresh candidates over the scanned base, smallest state
-    // first — same preference and freshness gate as the direct path
+    // fresh candidates whose join signature matches the scanned shape,
+    // smallest state first — same preference and freshness gates as the
+    // direct path (every member cursor current for a join view)
     val cands = registered.flatMap { p =>
       shapeOf(spark, p) match {
-        case Some(s) if s.joinSig.isEmpty && s.basePath == path =>
+        case Some(s) if sigMatches(s.basePath, s.joinSig) =>
           Some((p, s.dims))
         case _ => None
       }
@@ -1013,9 +1071,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       try {
         val m = MaterializedView.load(spark, p)
         val meta = m.meta // fresh read — authoritative over the cache
-        if (meta.joins.isEmpty && meta.basePath == path &&
-            m.refreshedVersions._1 == latestOf(meta.basePath))
-          tryServe(m, meta)
+        if (sigMatches(meta.basePath, meta.joins.map(lcSig)) && {
+          val (cf, cds) = m.refreshedVersions
+          cf == latestOf(meta.basePath) &&
+          meta.joins.zip(cds).forall { case (j, c) => c == latestOf(j.dimPath) }
+        }) tryServe(m, meta)
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
     }.nextOption()

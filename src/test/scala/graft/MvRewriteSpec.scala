@@ -2223,7 +2223,11 @@ class MvRewriteSpec extends AnyFunSuite {
         |GROUP BY GROUPING SETS ((a), ())""".stripMargin,
       // ROLLUP over an EXPRESSION of a dim
       """SELECT b % 2 AS b2, count(1) AS n, max(amt) AS mx
-        |FROM mvrw_gs_v GROUP BY ROLLUP(b % 2)""".stripMargin)
+        |FROM mvrw_gs_v GROUP BY ROLLUP(b % 2)""".stripMargin,
+      // count(DISTINCT dim) per set — duplication-insensitive over the
+      // replicated state rows
+      """SELECT a, count(DISTINCT b) AS db, count(1) AS n
+        |FROM mvrw_gs_v GROUP BY ROLLUP(a)""".stripMargin)
     def results(q: String): Set[Seq[Any]] =
       spark.sql(q).collect().map(_.toSeq).toSet
     try {
@@ -2250,19 +2254,61 @@ class MvRewriteSpec extends AnyFunSuite {
       GraftMvRewrite.clear()
       assert(results(queries.head) ==
         fresh.collect().map(_.toSeq).toSet, "post-refresh values")
-      // unservable shapes fall through with correct values: a DISTINCT
-      // aggregate under ROLLUP
+      // unservable shapes fall through with correct values: sum(DISTINCT)
+      // under ROLLUP (only count is distinct-servable)
       GraftMvRewrite.register(mvPath)
       val dq =
-        "SELECT a, count(DISTINCT b) AS db FROM mvrw_gs_v GROUP BY ROLLUP(a)"
+        "SELECT a, sum(DISTINCT b) AS db FROM mvrw_gs_v GROUP BY ROLLUP(a)"
       assert(scansPath(spark.sql(dq), path),
-        "DISTINCT under grouping sets must miss conservatively")
+        "sum(DISTINCT) under grouping sets must miss conservatively")
       val gotD = results(dq)
       GraftMvRewrite.clear()
       assert(gotD == results(dq))
     } finally {
       GraftMvRewrite.clear()
       spark.catalog.dropTempView("mvrw_gs_v")
+      ()
+    }
+  }
+
+  test("GROUPING SETS serving over a JOIN view: CUBE on star dims folds into the joined state") {
+    val fp = Files.createTempDirectory("graft_mvrw_gsj_f").toString
+    val dp = Files.createTempDirectory("graft_mvrw_gsj_d").toString
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 1500L).map(i => (i, 1L, i % 25, i % 100))
+        .toDF("k", "ver", "ck", "amt"))
+    val dim = LakeTable.create(spark, dp, TableSpec("d_id", "dver"),
+      (0L until 25L).map(x => (x, 0L, x, s"n${x % 6}", s"r${x % 2}"))
+        .toDF("d_id", "dver", "cdk", "n_name", "rg"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_gsj_mv").toString
+    MaterializedView.create(spark, mvPath, fact, Seq("n_name", "rg"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")),
+      Seq(MaterializedView.MvJoin(dp, "ck", "cdk")))
+    // churn both members, then refresh — the CUBE must absorb it
+    fact.upsert((1501L to 1600L).map(i => (i, 1L, i % 25, i % 100))
+      .toDF("k", "ver", "ck", "amt"))
+    dim.upsert(Seq((3L, 1L, 3L, "MOVED", "r1"))
+      .toDF("d_id", "dver", "cdk", "n_name", "rg"))
+    MaterializedView.load(spark, mvPath).refresh()
+    def q() = spark.read.format("graft").load(fp)
+      .join(spark.read.format("graft").load(dp), col("ck") === col("cdk"))
+      .createOrReplaceTempView("mvrw_gsj_v")
+    q()
+    val sql =
+      """SELECT n_name, rg, count(1) AS n, sum(amt) AS s
+        |FROM mvrw_gsj_v GROUP BY CUBE(n_name, rg)""".stripMargin
+    try {
+      GraftMvRewrite.clear()
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      GraftMvRewrite.register(mvPath)
+      val df = spark.sql(sql)
+      assert(scansMvState(df) && !scansPath(df, fp) && !scansPath(df, dp),
+        s"CUBE over the star must serve from the joined state:\n" +
+          s"${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.toSeq).toSet == want)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("mvrw_gsj_v")
       ()
     }
   }
