@@ -2344,7 +2344,8 @@ object LakeQueries {
                |       CAST(grouping(o_orderstatus) AS INT) AS gs,
                |       CAST(grouping(o_orderpriority) AS INT) AS gp,
                |       count(1) AS n, sum(o_custkey) AS s,
-               |       min(o_custkey) AS mn, avg(o_custkey) AS av
+               |       min(o_custkey) AS mn, avg(o_custkey) AS av,
+               |       sum(o_custkey) / count(1) AS ratio
                |FROM $v
                |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)
           val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
@@ -2373,7 +2374,8 @@ object LakeQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(o_custkey) AS BIGINT) AS s,
         |       CAST(MIN(o_custkey) AS BIGINT) AS mn,
-        |       CAST(SUM(o_custkey) AS DOUBLE) / COUNT(o_custkey) AS av
+        |       CAST(SUM(o_custkey) AS DOUBLE) / COUNT(o_custkey) AS av,
+        |       CAST(SUM(o_custkey) AS DOUBLE) / COUNT(*) AS ratio
         |FROM t GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gs, gp, st, pri""".stripMargin)),
 

@@ -925,6 +925,71 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       def findAgg(in: String, kinds: Set[String]): Option[MvAgg] =
         meta.aggs.find(a2 => kinds.contains(a2.kind) &&
           inputMatches(spark, memberColsLc, a2.input, in))
+      // one aggregate CALL's rewrite recipe (shared by bare-aliased
+      // outputs and expression-over-aggregate templates): phase 1
+      // validates servability and registers any extra state-side
+      // columns; the returned closure materializes the expression
+      // against the analyzed state plan (phase 2)
+      def fnRecipe(fn: AggregateFunction)
+          : Option[AttrOf => Option[Expression]] = fn match {
+        case Count(Seq(Literal(1, _))) =>
+          Some((at: AttrOf) => at(GRPN).map(longSum))
+        case Count(Seq(e)) =>
+          aggInputOf(e).flatMap { in =>
+            findAgg(in, Set("count")).map(a2 =>
+              (at: AttrOf) => at(a2.name).map(longSum))
+              .orElse(findAgg(in, Set("sum", "avg")).map(a2 =>
+                (at: AttrOf) =>
+                  at(MaterializedView.cntCol(a2.name)).map(longSum)))
+          }.orElse(dimServe(e).map { sc =>
+            // count over a servable dim expression: Σ GRP_N over the
+            // rows whose serving value is non-null
+            val nm = s"_gw_${extraCols.size}"
+            extraCols += ((nm,
+              f.when(sc.isNotNull, f.col(GRPN)).otherwise(f.lit(0L))))
+            (at: AttrOf) => at(nm).map(longSum)
+          })
+        case Sum(e, _) =>
+          aggInputOf(e).flatMap(in => findAgg(in, Set("sum", "avg")))
+            .map { a2 =>
+              (at: AttrOf) => for {
+                sc <- at(MaterializedView.sumCol(a2.name))
+                cc <- at(MaterializedView.cntCol(a2.name))
+              } yield CaseWhen(Seq((
+                GreaterThan(aggE(Sum(cc)), Literal(0L)),
+                Cast(aggE(Sum(sc)), sc.dataType))), None): Expression
+            }
+        case Average(e, _) =>
+          aggInputOf(e).flatMap(in => findAgg(in, Set("sum", "avg")))
+            .map { a2 =>
+              (at: AttrOf) => for {
+                sc <- at(MaterializedView.sumCol(a2.name))
+                cc <- at(MaterializedView.cntCol(a2.name))
+              } yield CaseWhen(Seq((
+                GreaterThan(aggE(Sum(cc)), Literal(0L)),
+                Divide(Cast(aggE(Sum(sc)), DoubleType),
+                  Cast(aggE(Sum(cc)), DoubleType)))), None): Expression
+            }
+        case Min(e) =>
+          aggInputOf(e).flatMap(in => findAgg(in, Set("min")))
+            .map(a2 => (at: AttrOf) => at(a2.name).map(c =>
+              aggE(Min(c))))
+            .orElse(dimServe(e).map { sc =>
+              val nm = s"_gm_${extraCols.size}"
+              extraCols += ((nm, sc))
+              (at: AttrOf) => at(nm).map(c => aggE(Min(c)))
+            })
+        case Max(e) =>
+          aggInputOf(e).flatMap(in => findAgg(in, Set("max")))
+            .map(a2 => (at: AttrOf) => at(a2.name).map(c =>
+              aggE(Max(c))))
+            .orElse(dimServe(e).map { sc =>
+              val nm = s"_gm_${extraCols.size}"
+              extraCols += ((nm, sc))
+              (at: AttrOf) => at(nm).map(c => aggE(Max(c)))
+            })
+        case _ => None
+      }
       // phase 1: per output, a recipe producing the rewritten expression
       // against the analyzed state plan's attributes (phase 2)
       val recipes: Seq[AttrOf => Option[NamedExpression]] =
@@ -959,67 +1024,51 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
                 al.name)(exprId = al.exprId))
             }
           case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-            def realias(e: Expression): NamedExpression =
-              Alias(e, al.name)(exprId = al.exprId)
-            fn match {
-              case Count(Seq(Literal(1, _))) =>
-                (at: AttrOf) => at(GRPN).map(g => realias(longSum(g)))
-              case Count(Seq(e)) =>
-                aggInputOf(e).flatMap { in =>
-                  findAgg(in, Set("count")).map(a2 =>
-                    (at: AttrOf) => at(a2.name).map(c => realias(longSum(c))))
-                    .orElse(findAgg(in, Set("sum", "avg")).map(a2 =>
-                      (at: AttrOf) =>
-                        at(MaterializedView.cntCol(a2.name))
-                          .map(c => realias(longSum(c)))))
-                }.orElse(dimServe(e).map { sc =>
-                  // count over a servable dim expression: Σ GRP_N over
-                  // the rows whose serving value is non-null
-                  val nm = s"_gw_${extraCols.size}"
-                  extraCols += ((nm,
-                    f.when(sc.isNotNull, f.col(GRPN)).otherwise(f.lit(0L))))
-                  (at: AttrOf) => at(nm).map(c => realias(longSum(c)))
-                }).getOrElse(return None)
-              case Sum(e, _) =>
-                aggInputOf(e).flatMap(in => findAgg(in, Set("sum", "avg")))
-                  .map { a2 =>
-                    (at: AttrOf) => for {
-                      sc <- at(MaterializedView.sumCol(a2.name))
-                      cc <- at(MaterializedView.cntCol(a2.name))
-                    } yield realias(CaseWhen(Seq((
-                      GreaterThan(aggE(Sum(cc)), Literal(0L)),
-                      Cast(aggE(Sum(sc)), sc.dataType))), None))
-                  }.getOrElse(return None)
-              case Average(e, _) =>
-                aggInputOf(e).flatMap(in => findAgg(in, Set("sum", "avg")))
-                  .map { a2 =>
-                    (at: AttrOf) => for {
-                      sc <- at(MaterializedView.sumCol(a2.name))
-                      cc <- at(MaterializedView.cntCol(a2.name))
-                    } yield realias(CaseWhen(Seq((
-                      GreaterThan(aggE(Sum(cc)), Literal(0L)),
-                      Divide(Cast(aggE(Sum(sc)), DoubleType),
-                        Cast(aggE(Sum(cc)), DoubleType)))), None))
-                  }.getOrElse(return None)
-              case Min(e) =>
-                aggInputOf(e).flatMap(in => findAgg(in, Set("min")))
-                  .map(a2 => (at: AttrOf) => at(a2.name).map(c =>
-                    realias(aggE(Min(c)))))
-                  .orElse(dimServe(e).map { sc =>
-                    val nm = s"_gm_${extraCols.size}"
-                    extraCols += ((nm, sc))
-                    (at: AttrOf) => at(nm).map(c => realias(aggE(Min(c))))
-                  }).getOrElse(return None)
-              case Max(e) =>
-                aggInputOf(e).flatMap(in => findAgg(in, Set("max")))
-                  .map(a2 => (at: AttrOf) => at(a2.name).map(c =>
-                    realias(aggE(Max(c)))))
-                  .orElse(dimServe(e).map { sc =>
-                    val nm = s"_gm_${extraCols.size}"
-                    extraCols += ((nm, sc))
-                    (at: AttrOf) => at(nm).map(c => realias(aggE(Max(c))))
-                  }).getOrElse(return None)
-              case _ => return None
+            val r = fnRecipe(fn).getOrElse(return None)
+            (at: AttrOf) =>
+              r(at).map(e => Alias(e, al.name)(exprId = al.exprId))
+          // EXPRESSION over aggregates (`sum(x)/count(1)`,
+          // `max(x) - min(x)` per CUBE cell): every call rewrites in
+          // place through fnRecipe; the surrounding row-local arithmetic
+          // recomputes identically. Each substitution is type-gated
+          // (a changed call type would silently re-type the arithmetic),
+          // and the non-aggregate references must be grouping attrs/gid.
+          case al @ Alias(child, _)
+              if child.deterministic &&
+                child.exists(_.isInstanceOf[AggregateExpression]) &&
+                !child.exists(_.isInstanceOf[SubqueryExpression]) =>
+            val subs = scala.collection.mutable.Buffer
+              .empty[(AggregateExpression, AttrOf => Option[Expression])]
+            child.foreach {
+              case ae @ AggregateExpression(fn, Complete, false, None, _) =>
+                fnRecipe(fn) match {
+                  case Some(r) => subs += ((ae, r))
+                  case None => return None
+                }
+              case _: AggregateExpression => return None
+              case _ =>
+            }
+            val stripped = child.transform {
+              case ae: AggregateExpression => Literal(null, ae.dataType)
+            }
+            if (!stripped.references.subsetOf(AttributeSet(groupAttrs :+ gid)))
+              return None
+            (at: AttrOf) => {
+              var failed = false
+              // transformUp: bottom-up visits only the ORIGINAL nodes, so
+              // the aggregate calls INSIDE a replacement are never
+              // re-matched (transformDown would recurse into them)
+              val rebuilt = child.transformUp {
+                case ae @ AggregateExpression(_, Complete, false, None, _) =>
+                  subs.find(_._1 eq ae)
+                    .orElse(subs.find(_._1.semanticEquals(ae)))
+                    .flatMap(_._2(at)) match {
+                    case Some(e) if e.dataType == ae.dataType => e
+                    case _ => failed = true; ae
+                  }
+              }
+              if (failed) None
+              else Some(Alias(rebuilt, al.name)(exprId = al.exprId))
             }
           case _ => return None
         }

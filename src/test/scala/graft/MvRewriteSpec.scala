@@ -2227,7 +2227,11 @@ class MvRewriteSpec extends AnyFunSuite {
       // count(DISTINCT dim) per set — duplication-insensitive over the
       // replicated state rows
       """SELECT a, count(DISTINCT b) AS db, count(1) AS n
-        |FROM mvrw_gs_v GROUP BY ROLLUP(a)""".stripMargin)
+        |FROM mvrw_gs_v GROUP BY ROLLUP(a)""".stripMargin,
+      // expression-over-aggregates per CUBE cell
+      """SELECT a, b, sum(amt) / count(1) AS ratio,
+        |       max(amt) - min(amt) AS rng
+        |FROM mvrw_gs_v GROUP BY CUBE(a, b)""".stripMargin)
     def results(q: String): Set[Seq[Any]] =
       spark.sql(q).collect().map(_.toSeq).toSet
     try {
