@@ -2231,7 +2231,11 @@ class MvRewriteSpec extends AnyFunSuite {
       // expression-over-aggregates per CUBE cell
       """SELECT a, b, sum(amt) / count(1) AS ratio,
         |       max(amt) - min(amt) AS rng
-        |FROM mvrw_gs_v GROUP BY CUBE(a, b)""".stripMargin)
+        |FROM mvrw_gs_v GROUP BY CUBE(a, b)""".stripMargin,
+      // HAVING above the served Aggregate: the Filter re-resolves
+      // against the preserved output exprIds
+      """SELECT a, b, count(1) AS n FROM mvrw_gs_v
+        |GROUP BY ROLLUP(a, b) HAVING count(1) > 50""".stripMargin)
     def results(q: String): Set[Seq[Any]] =
       spark.sql(q).collect().map(_.toSeq).toSet
     try {
@@ -2315,6 +2319,50 @@ class MvRewriteSpec extends AnyFunSuite {
       spark.catalog.dropTempView("mvrw_gsj_v")
       ()
     }
+  }
+
+  test("a member evolving a COLLIDING column name breaks refresh cleanly, and the stale view never serves again") {
+    // the safety net the direct and grouping-sets JOIN servings both rely
+    // on: view dims are matched by NAME on the joined row, which is sound
+    // because create requires member-unambiguous names AND any
+    // post-create evolution that introduces a collision (a) bumps the
+    // member version (view stale, serving disabled) and (b) makes every
+    // subsequent refresh fail sideSplitN's ambiguity require — so the
+    // view can never become fresh over the colliding schemas
+    val fp = Files.createTempDirectory("graft_mvrw_amb_f").toString
+    val dp = Files.createTempDirectory("graft_mvrw_amb_d").toString
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 500L).map(i => (i, 1L, i % 25, i % 100))
+        .toDF("k", "ver", "ck", "amt"))
+    LakeTable.create(spark, dp, TableSpec("d_id", "dver"),
+      (0L until 25L).map(x => (x, 0L, x, s"s${x % 4}"))
+        .toDF("d_id", "dver", "cdk", "seg"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_amb_mv").toString
+    MaterializedView.create(spark, mvPath, fact, Seq("seg"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")),
+      Seq(MaterializedView.MvJoin(dp, "ck", "cdk")))
+    // the fact gains a column named like the DIM-resident view dim
+    fact.addColumns(Seq(org.apache.spark.sql.types.StructField("seg",
+      org.apache.spark.sql.types.StringType)))
+    val ex = intercept[IllegalArgumentException] {
+      MaterializedView.load(spark, mvPath).refresh()
+    }
+    assert(ex.getMessage.contains("ambiguous"), s"got: ${ex.getMessage}")
+    try {
+      GraftMvRewrite.register(mvPath)
+      // direct join query and a CUBE over it: both must scan the base
+      // (the view is stale since the addColumns commit and can never be
+      // refreshed over the colliding schemas)
+      val j = spark.read.format("graft").load(fp).as("f")
+        .join(spark.read.format("graft").load(dp).as("d"),
+          col("ck") === col("cdk"))
+      val direct = j.groupBy(col("d.seg"))
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      assert(scansPath(direct, fp), "a stale ambiguous view must not serve")
+      val cube = j.cube(col("d.seg")).agg(count(lit(1)).as("n"))
+      assert(scansPath(cube, fp),
+        "grouping sets over the stale ambiguous view must not serve")
+    } finally GraftMvRewrite.clear()
   }
 
   test("no-aggregate grouping (GROUP BY with no agg calls / SELECT DISTINCT) serves from the state's dim rows") {
