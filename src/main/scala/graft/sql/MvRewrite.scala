@@ -741,8 +741,12 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     *
     * Each grouping attribute is defined by ONE expression over the base
     * (nulled per set, with `spark_grouping_id` encoding the set); the
-    * aggregate calls read base columns passed through the Expand. When
-    * every grouping expression is servable from a fresh JOIN-FREE view's
+    * aggregate calls read base columns passed through the Expand. The
+    * scan under the Expand may be a plain base snapshot, a two-table
+    * equi-join, or a left-deep star — served by a FRESH view whose OWN
+    * join signature matches exactly (the joined content is folded into
+    * the state; there is no join-back on this path — an extra query arm
+    * bails). When every grouping expression is servable from the view's
     * dims and every aggregate call re-derives from the stored partials,
     * the SAME Aggregate/Expand pair re-executes over the state's live
     * group rows: the Expand replicates each state row per set exactly as
@@ -858,9 +862,15 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     def tryServe(view: MaterializedView,
         meta: MaterializedView.MvMeta): Option[LogicalPlan] = {
       val infos = dimInfosOf(spark, meta).getOrElse(return None)
+      // member column names (lowercased) — base AND join-dim schemas,
+      // identical to serveWith's version: this path serves join/star
+      // views too, so a non-identifier DIM column (e.g. `a-b`) must be
+      // recognized as a column, not canon-matched as arithmetic
       lazy val memberColsLc: Option[Set[String]] =
-        try Some(LakeTable.load(spark, meta.basePath).schema
-          .fieldNames.map(_.toLowerCase).toSet)
+        try Some((LakeTable.load(spark, meta.basePath).schema.fieldNames ++
+            meta.joins.flatMap(j =>
+              LakeTable.load(spark, j.dimPath).schema.fieldNames))
+          .map(_.toLowerCase).toSet)
         catch { case scala.util.control.NonFatal(_) => None }
       val f = org.apache.spark.sql.functions
       // view-filter absorption + dim-only residual, as in serveWith
@@ -1079,7 +1089,19 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       val child =
         try stF.select((f.col("*") +: allExtra): _*).queryExecution.analyzed
         catch { case scala.util.control.NonFatal(_) => return None }
-      def at(name: String): Option[Attribute] = child.output.find(_.name == name)
+      // the select is star-then-extras, so the synthetic serving columns
+      // are POSITIONALLY the last allExtra.size outputs — resolve them by
+      // position, never by name: a state dim literally named `_gs_0`
+      // would otherwise shadow the synthetic and (types coinciding)
+      // substitute the wrong column into the served plan. State-column
+      // lookups search only the star prefix for the same reason.
+      if (child.output.size < allExtra.size) return None
+      val (stateOut, extraOut) =
+        child.output.splitAt(child.output.size - allExtra.size)
+      val extraAt: Map[String, Attribute] =
+        (gCols ++ extraCols.toSeq).map(_._1).zip(extraOut).toMap
+      def at(name: String): Option[Attribute] =
+        extraAt.get(name).orElse(stateOut.find(_.name == name))
       val gServeAttrs: Seq[Attribute] = groupAttrs.indices.map { j =>
         val a = at(s"_gs_$j").getOrElse(return None)
         if (a.dataType != groupAttrs(j).dataType) return None

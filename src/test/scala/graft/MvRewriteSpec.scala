@@ -2406,4 +2406,94 @@ class MvRewriteSpec extends AnyFunSuite {
       ()
     }
   }
+
+  test("GROUPING SETS over a JOIN view: a non-identifier DIM column is a column, never arithmetic") {
+    // ADVICE (round 12): rewriteGroupingSets built memberColsLc from the
+    // BASE schema only, so a dim-table column literally named `a-b` was
+    // canon-parsed as subtraction and a ROLLUP computing sum(a - b) over
+    // fact arithmetic could serve WRONG VALUES from the view over the
+    // dim COLUMN. memberColsLc now includes join-dim schemas, same as
+    // serveWith — this pins both directions.
+    val fp = Files.createTempDirectory("graft_mvrw_gshy_f").toString
+    val dp = Files.createTempDirectory("graft_mvrw_gshy_d").toString
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 1200L).map(i => (i, 1L, i % 20, i % 50, i % 9))
+        .toDF("k", "ver", "ck", "a", "b"))
+    // the dim's `a-b` values deliberately differ from the fact's a - b
+    val dim = LakeTable.create(spark, dp, TableSpec("d_id", "dver"),
+      (0L until 20L).map(x => (x, 0L, x, s"n${x % 4}", x * 1000L + 7L))
+        .toDF("d_id", "dver", "cdk", "n_name", "a-b"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_gshy_mv").toString
+    MaterializedView.create(spark, mvPath, fact, Seq("n_name"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "a-b")),
+      Seq(MaterializedView.MvJoin(dp, "ck", "cdk")))
+    spark.read.format("graft").load(fp)
+      .join(spark.read.format("graft").load(dp), col("ck") === col("cdk"))
+      .createOrReplaceTempView("mvrw_gshy_v")
+    def run(sql: String): (DataFrame, Set[Seq[Any]]) = {
+      GraftMvRewrite.clear()
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      GraftMvRewrite.register(mvPath)
+      (spark.sql(sql), want)
+    }
+    try {
+      // the raw COLUMN serves from the state
+      val (qCol, wantCol) = run(
+        """SELECT n_name, count(1) AS n, sum(`a-b`) AS s
+          |FROM mvrw_gshy_v GROUP BY ROLLUP(n_name)""".stripMargin)
+      assert(scansMvState(qCol) && !scansPath(qCol, fp) && !scansPath(qCol, dp),
+        s"ROLLUP sum of the dim COLUMN must serve:\n" +
+          s"${qCol.queryExecution.optimizedPlan}")
+      assert(qCol.collect().map(_.toSeq).toSet == wantCol)
+      // the ARITHMETIC a - b must NOT serve from the column view — and
+      // the values must be the recomputed ones
+      val (qArith, wantArith) = run(
+        """SELECT n_name, count(1) AS n, sum(a - b) AS s
+          |FROM mvrw_gshy_v GROUP BY ROLLUP(n_name)""".stripMargin)
+      assert(scansPath(qArith, fp),
+        s"the COLUMN view must never serve the arithmetic:\n" +
+          s"${qArith.queryExecution.optimizedPlan}")
+      assert(qArith.collect().map(_.toSeq).toSet == wantArith)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("mvrw_gshy_v")
+      ()
+    }
+  }
+
+  test("grouping-sets serving: a state dim named like a synthetic (_gs_0) never shadows the serving columns") {
+    // ADVICE (round 12): at(name) resolved synthetic serving columns by
+    // NAME against child.output where state columns come first, so a dim
+    // literally named `_gs_0` shadowed the synthetic upper(seg) serving
+    // column (same string type) and substituted the wrong column. The
+    // extras now resolve POSITIONALLY.
+    val path = Files.createTempDirectory("graft_mvrw_gssyn").toString
+    // `_gs_0` values (z*) differ from upper(seg) values (G*) — a shadow
+    // mis-serve is a value error, not just a plan shape
+    val t = LakeTable.create(spark, path, TableSpec("k", "ver"),
+      (1L to 1200L).map(i => (i, 1L, s"g${i % 5}", s"z${i % 3}", i % 100))
+        .toDF("k", "ver", "seg", "_gs_0", "amt"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_gssyn_mv").toString
+    MaterializedView.create(spark, mvPath, t, Seq("seg", "_gs_0"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    spark.read.format("graft").load(path)
+      .createOrReplaceTempView("mvrw_gssyn_v")
+    val sql =
+      """SELECT upper(seg) AS u, `_gs_0` AS z, count(1) AS n, sum(amt) AS s
+        |FROM mvrw_gssyn_v GROUP BY ROLLUP(upper(seg), `_gs_0`)""".stripMargin
+    try {
+      GraftMvRewrite.clear()
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      GraftMvRewrite.register(mvPath)
+      val df = spark.sql(sql)
+      assert(scansMvState(df) && !scansPath(df, path),
+        s"ROLLUP over (expr, shadow-named dim) must serve:\n" +
+          s"${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.toSeq).toSet == want)
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("mvrw_gssyn_v")
+      ()
+    }
+  }
 }
