@@ -252,9 +252,23 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       filters: Seq[org.apache.spark.sql.sources.Filter],
       extra: Seq[FileAction] => Seq[FileAction],
       asOf: Option[Long] = None): DataFrame = {
-    val live = liveFiles(asOf)
+    def dbgT[A](tag: String)(body: => A): A =
+      if (!sys.env.contains("GRAFT_MV_PHASES")) body
+      else {
+        val t0 = System.nanoTime(); val r = body
+        println(f"LTPHASE $tag ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+      }
+    val live = dbgT("rwp-liveFiles")(liveFiles(asOf))
     if (live.exists(_.log)) realtimePruned(asOf, filters, extra)
-    else ordered(readFiles(extra(pruneByFilters(live, filters)), asOf = asOf), asOf)
+    else {
+      val fsz = filters.map {
+        case org.apache.spark.sql.sources.In(c, vs) => s"In($c,${vs.length})"
+        case f => f.getClass.getSimpleName
+      }.mkString(",")
+      val pruned = dbgT(s"rwp-prune-n=${live.size}-f=$fsz")(extra(pruneByFilters(live, filters)))
+      val rf = dbgT(s"rwp-readFiles-n=${pruned.size}")(readFiles(pruned, asOf = asOf))
+      dbgT("rwp-ordered")(ordered(rf, asOf))
+    }
   }
 
   /** [[skipByStats]] + [[bucketSkip]] + [[bloomSkip]] for the DSv2 scan
@@ -401,6 +415,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       d <- GeneratedCols.derive(spark, p, gen, src, cj0)
     } yield d)
     val declared = schema
+    // `spec` is a def (latest-commit read behind a log-dir LISTING) —
+    // hoist the key name once: rangeOf runs per (file x filter-value)
+    // and a filesystem call inside that loop is a driver-side scale bug
+    // (measured: a 3.4k-value IN over 6 files cost 5s; see round-13
+    // BASELINE.md scale block)
+    val keyName = spec.key
     // numeric-comparable stat columns: plain numerics, plus date/timestamp
     // — their INT64-micros / INT32-days footer stats render as plain
     // numbers (see FooterStats + the TIMESTAMP_MICROS writer setting), so
@@ -414,7 +434,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         case _ => false
       })
     def rangeOf(a: FileAction, c: String): Option[(String, String)] =
-      if (c.equalsIgnoreCase(spec.key)) Some((a.minKey, a.maxKey))
+      if (c.equalsIgnoreCase(keyName)) Some((a.minKey, a.maxKey))
       // era-aware: the stored partitionValue belongs to the column this
       // FILE was partitioned under (which, after changePartition, may not
       // be the spec's) — so old-era files keep pruning on their own column
@@ -463,8 +483,43 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       rangeOf(a, c).forall { case (mn, mx) =>
         cmpStat(c, mn, v).forall(_ <= 0) && cmpStat(c, mx, v).forall(_ >= 0)
       }
+    // IN-list pruning precompute: for a numeric-comparable column whose
+    // values ALL convert, sort the values once and decide each file by a
+    // binary range probe — O(F·logV) instead of O(F·V) per-value compares
+    // (REPAIR/transition-derived IN lists legitimately carry thousands of
+    // keys; the per-value loop over many files was the other half of the
+    // measured driver stall)
+    val sortedIn: Map[Filter, Array[Double]] = cj.flatMap {
+      case f @ In(c, vs) if vs != null && vs.nonEmpty && numericCol(c) =>
+        val ds = vs.flatMap(v => toD(v))
+        if (ds.length == vs.length) Some((f: Filter) -> ds.sorted.toArray)
+        else None
+      case _ => None
+    }.toMap
+    def parseStat(stat: String): Option[Double] =
+      if (stat == null || stat.isEmpty || stat == "￿") None
+      else scala.util.Try(stat.toDouble).toOption
     def keep(a: FileAction, f: Filter): Boolean = f match {
       case EqualTo(c, v) => covers(a, c, v)
+      case In(c, vs) if sortedIn.contains(f) =>
+        // any value within [mn, mx]? binary search for the first value
+        // >= mn; undecidable bounds keep the file, like cmpStat
+        rangeOf(a, c).forall { case (mnS, mxS) =>
+          (parseStat(mnS), parseStat(mxS)) match {
+            case (Some(mn), Some(mx)) =>
+              val ds = sortedIn(f)
+              val ix = {
+                var lo = 0; var hi = ds.length
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (ds(mid) < mn) lo = mid + 1 else hi = mid
+                }
+                lo
+              }
+              ix < ds.length && ds(ix) <= mx
+            case _ => true
+          }
+        }
       case In(c, vs) => vs.isEmpty || vs.exists(v => covers(a, c, v))
       case GreaterThan(c, v) =>
         rangeOf(a, c).forall { case (_, mx) => cmpStat(c, mx, v).forall(_ > 0) }

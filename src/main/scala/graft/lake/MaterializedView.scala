@@ -324,6 +324,15 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
   /** One optimistic refresh attempt: true = up to date (applied here or
     * nothing to do); throws [[CommitConflictException]] when a racer
     * committed to the state table after this attempt's snapshot read. */
+  // debug-only phase timer (GRAFT_MV_PHASES=1): prints wall time of the
+  // refresh's coarse phases — the tool that localizes a scale regression
+  private def dbgT[A](tag: String)(body: => A): A =
+    if (!sys.env.contains("GRAFT_MV_PHASES")) body
+    else {
+      val t0 = System.nanoTime(); val r = body
+      println(f"MVPHASE $tag ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+
   private def refreshOnce(): Boolean = {
     val m = meta
     val st = state
@@ -494,7 +503,7 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         }
       }
     }
-    val contrib: DataFrame =
+    val contrib: DataFrame = dbgT("contrib-build") {
       if (m.joins.isEmpty) {
         val (plus, minus) = base.windowDelta(lastV, upTo)
         val proj = need.map(col)
@@ -519,14 +528,17 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         lazy val fNew = base.read(Some(upTo)).select(fProj: _*)
         m.joins.indices.foreach { i =>
           if (dimUpTos(i) > dimVs(i)) {
-            val (plusD, minusD) = dimTables(i).windowDelta(dimVs(i), dimUpTos(i))
+            val (plusD, minusD) = dbgT(s"dim-$i-windowDelta") {
+              dimTables(i).windowDelta(dimVs(i), dimUpTos(i)) }
             val dDelta = plusD.select(dProj(i): _*).withColumn(SGN, lit(1L))
               .unionByName(minusD.select(dProj(i): _*).withColumn(SGN, lit(-1L)))
-            terms += foldOrder(i).foldLeft(fNew) { (acc, jx) =>
-              joinDim(acc, jx,
-                if (jx == i) dDelta
-                else dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx)),
-                forceInner = jx == i)
+            dbgT(s"dim-$i-delta-term") {
+              terms += foldOrder(i).foldLeft(fNew) { (acc, jx) =>
+                joinDim(acc, jx,
+                  if (jx == i) dDelta
+                  else dAt(jx, if (jx < i) dimUpTos(jx) else dimVs(jx)),
+                  forceInner = jx == i)
+              }
             }
             if (m.joins(i).outer) {
               // NULL-EXTENSION transition term: left-join content is the
@@ -555,7 +567,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
               // snapshot (the semi-join keeps tuple exactness — the INs
               // are per-column supersets). Over the cap the probes fall
               // back to full key-restricted scans, as everywhere.
-              val touchedTuples = touched.limit(REPAIR_KEY_CAP + 1).collect()
+              val touchedTuples = dbgT("outer-touched-collect") {
+                touched.limit(REPAIR_KEY_CAP + 1).collect() }
               val capped = touchedTuples.length > REPAIR_KEY_CAP
               val touchedFilters: Seq[org.apache.spark.sql.sources.Filter] =
                 if (capped) Nil
@@ -565,14 +578,16 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
                   else Some(org.apache.spark.sql.sources.In(dk, vs))
                 }
               def probe(v: Long) = {
-                val liveD = dimTables(i).liveFiles(Some(v))
+                val liveD = dbgT(s"probe-$v-liveFiles") { dimTables(i).liveFiles(Some(v)) }
                 lastNullExtDimScan = Some((liveD.size,
                   math.max(dimTables(i).pruneByFilters(liveD, touchedFilters).size,
                     lastNullExtDimScan.map(_._2).getOrElse(0))))
-                dimTables(i).readWhere(touchedFilters, Some(v))
-                  .select(dks: _*).distinct()
-                  .join(if (capped) touched else localDf(touchedTuples.toSeq),
-                    m.joins(i).dimKeys, "left_semi")
+                val rw = dbgT(s"probe-$v-readWhere") { dimTables(i).readWhere(touchedFilters, Some(v)) }
+                dbgT(s"probe-$v-join-build") {
+                  rw.select(dks: _*).distinct()
+                    .join(if (capped) touched else localDf(touchedTuples.toSeq),
+                      m.joins(i).dimKeys, "left_semi")
+                }
               }
               val dimSchema = dimTables(i).schema
               val anc = foldOrder(i).takeWhile(_ != i)
@@ -640,8 +655,12 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
                 def keyed(rows: Array[org.apache.spark.sql.Row])
                     : Map[Seq[Any], org.apache.spark.sql.Row] =
                   rows.map(r => r.toSeq.map(normV) -> r).toMap
-                val oldT = keyed(probe(dimVs(i)).collect())
-                val newT = keyed(probe(dimUpTos(i)).collect())
+                val oldT = dbgT("outer-probe-old") {
+                  val pr = probe(dimVs(i))
+                  dbgT("outer-probe-old-collect") { keyed(pr.collect()) } }
+                val newT = dbgT("outer-probe-new") {
+                  val pr = probe(dimUpTos(i))
+                  dbgT("outer-probe-new-collect") { keyed(pr.collect()) } }
                 def term(flips: Iterable[org.apache.spark.sql.Row],
                     sign: Long): DataFrame = {
                   val tuples = flips.toSeq
@@ -684,8 +703,10 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
                     }
                   nullExtTerm(source, localDf(tuples), sign)
                 }
-                terms += term((newT -- oldT.keySet).values, -1L) // 0→1: nulls retract
-                terms += term((oldT -- newT.keySet).values, 1L) // 1→0: nulls appear
+                dbgT("outer-term-gained") {
+                  terms += term((newT -- oldT.keySet).values, -1L) } // 0→1: nulls retract
+                dbgT("outer-term-lost") {
+                  terms += term((oldT -- newT.keySet).values, 1L) } // 1→0: nulls appear
               } else {
                 // over the cap: unpruned probes, the diff as an exceptAll
                 // on the live plans, and a full-snapshot term — a churn
@@ -701,6 +722,7 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         }
         terms.map(_.select(outCols: _*)).reduce(_ unionByName _)
       }
+    }
     // a filtered view maintains σ_p(F⋈D…): the predicate commutes with the
     // signed delta (deterministic, row-local), so filtering the joined
     // contribution rows maintains exactly the filtered aggregate — and an
@@ -804,10 +826,14 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       // IN list stays churn-bounded. Over a cap, or for null values, that
       // dim's filter is dropped (pruning is an optimization; the MVKEY
       // semi-join below is what bounds the re-aggregate's ROWS).
+      if (sys.env.contains("GRAFT_MV_PHASES"))
+        dbgT("newrows-plan") { newRows.queryExecution.executedPlan; () }
       val affected =
         if (nonLin.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else newRows.filter(col(GRP_N) > 0 && col(HASM) > 0)
+        else dbgT("affected-collect") {
+          newRows.filter(col(GRP_N) > 0 && col(HASM) > 0)
           .select(dims.map(col): _*).distinct().limit(REPAIR_IN_CAP + 1).collect()
+        }
       val patched =
         if (nonLin.isEmpty || affected.isEmpty) newRows.drop(HASM)
         else {
@@ -911,9 +937,11 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
       // components in the commit's txn map — data and cursor can never
       // disagree, and the commit no-ops only when a racer already
       // covered EVERY component
-      st.upsertPinned(patched.withColumn(MVVER, lit(upTo)), vState,
-        txnMany = Map(CURSOR_APP -> upTo) ++
-          m.joins.indices.map(i => dimCursorApp(i) -> dimUpTos(i)))
+      dbgT("publish") {
+        st.upsertPinned(patched.withColumn(MVVER, lit(upTo)), vState,
+          txnMany = Map(CURSOR_APP -> upTo) ++
+            m.joins.indices.map(i => dimCursorApp(i) -> dimUpTos(i)))
+      }
     } finally {
       newRows.unpersist(blocking = false)
       ()
