@@ -2379,6 +2379,92 @@ object LakeQueries {
         |FROM t GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gs, gp, st, pri""".stripMargin)),
 
+    // GROUPING SETS x JOIN-BACK (round 13): the ROLLUP groups on a DIM
+    // attribute the view does not hold — the view covers only the fact,
+    // so the drill arm joins the state's live group rows against the
+    // customer table read live, then the query's own Expand re-executes
+    // over the joined rows. Serves: stored-partial aggs (count*/sum/min
+    // over fact columns), GRP_N-weighted count over an arm column,
+    // arm-column extremum, and count(DISTINCT arm column). The require
+    // pins that the FACT is never scanned while the dim is read live
+    // (post-refresh dim churn must surface in the answer).
+    "q175_mv_gs_joinback" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.lake.{MaterializedView, MvAgg}
+        val tag = d.replaceAll("[^a-z0-9.]", "_")
+        val fp = freshDir(s"mvgsj_f_$tag"); val cp = freshDir(s"mvgsj_c_$tag")
+        val mp = freshDir(s"mvgsj_mv_$tag")
+        val fact = LakeTable.create(s, fp, ordersSpec,
+          t(s, d, "orders").filter(col("o_orderkey") % 2 === 0))
+        val cust = LakeTable.create(s, cp, TableSpec("c_custkey", "cver"),
+          t(s, d, "customer").withColumn("cver", lit(0L)))
+        MaterializedView.create(s, mp, fact,
+          Seq("o_orderstatus", "o_custkey"),
+          Seq(MvAgg("n", "count", "*"), MvAgg("su", "sum", "o_custkey"),
+            MvAgg("mn", "min", "o_custkey")))
+        fact.upsert(t(s, d, "orders").filter(col("o_orderkey") % 2 === 1))
+        fact.delete(col("o_orderkey") % 13 === 0)
+        MaterializedView.load(s, mp).refresh()
+        // dim churn AFTER the refresh: the view has no cust cursor — the
+        // drill reads the dim live, so the moves must appear
+        cust.upsert(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_mktsegment", lit("MOVED"))
+          .withColumn("cver", lit(1L)))
+        graft.sql.GraftMvRewrite.register(mp)
+        val fv = s"mvgsj_f_v_$tag".replace(".", "_")
+        val cv = s"mvgsj_c_v_$tag".replace(".", "_")
+        s.read.format("graft").load(fp).createOrReplaceTempView(fv)
+        s.read.format("graft").load(cp).createOrReplaceTempView(cv)
+        try {
+          val q = s.sql(
+            s"""SELECT c_mktsegment AS seg, o_orderstatus AS st,
+               |       CAST(grouping(c_mktsegment) AS INT) AS gseg,
+               |       CAST(grouping(o_orderstatus) AS INT) AS gst,
+               |       count(1) AS n, sum(o_custkey) AS su,
+               |       min(o_custkey) AS mn, count(c_name) AS cn,
+               |       max(c_name) AS mxn,
+               |       count(DISTINCT c_nationkey) AS dn
+               |FROM $fv JOIN $cv ON o_custkey = c_custkey
+               |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""".stripMargin)
+          val rewritten = graft.sql.GraftMvRewrite(q.queryExecution.analyzed)
+          def reads(path: String): Boolean = rewritten.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.exists(_.relation match {
+            case g: graft.sources.GraftRelation => g.path.contains(path)
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(path))
+            case _ => false
+          })
+          require(!reads(fp),
+            s"the drill-across ROLLUP must never scan the fact:\n$rewritten")
+          require(reads(cp),
+            s"the drill dim must be read LIVE through the join-back:\n$rewritten")
+          org.apache.spark.sql.GraftExpressionBridge.ofRows(s, rewritten)
+            .orderBy("gseg", "gst", "seg", "st")
+        } finally {
+          graft.sql.GraftMvRewrite.unregister(mp)
+          s.catalog.dropTempView(fv)
+          s.catalog.dropTempView(cv)
+          ()
+        }
+      },
+      """WITH f AS (SELECT * FROM orders WHERE o_orderkey % 13 <> 0),
+        |     c AS (SELECT c_custkey, c_name, c_nationkey,
+        |                  CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+        |                       ELSE c_mktsegment END AS c_mktsegment
+        |           FROM customer)
+        |SELECT c_mktsegment AS seg, o_orderstatus AS st,
+        |       CAST(GROUPING(c_mktsegment) AS INT) AS gseg,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS gst,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS su,
+        |       CAST(MIN(o_custkey) AS BIGINT) AS mn,
+        |       CAST(COUNT(c_name) AS BIGINT) AS cn, MAX(c_name) AS mxn,
+        |       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS dn
+        |FROM f JOIN c ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+        |ORDER BY gseg, gst, seg, st""".stripMargin)),
+
     // Streaming ingestion + continuous MV maintenance: the odd half of
     // orders streams in via foreachBatch micro-batches, each upserting
     // the base and refresh()ing the view — so the aggregate tracks the

@@ -319,6 +319,23 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     def dks: Seq[String] = pairs.map(_._2.name)
   }
 
+  /** The query arms NOT consumed by the view's own join signature (one
+    * query arm per sig arm, matched as (path, pair-set, outer)); None
+    * when the sig is not a sub-multiset of the query's arms. Shared by
+    * the direct partial-star join-back and the grouping-sets drill. */
+  private def extraArmsOf(sig: Seq[(String, Set[(String, String)], Boolean)],
+      arms: Seq[ArmScan]): Option[Seq[ArmScan]] = {
+    val remaining = scala.collection.mutable.ArrayBuffer(arms: _*)
+    sig.foreach { sv =>
+      val ix = remaining.indexWhere(a => lcSig(MvJoin(a.path, a.lks, a.dks,
+        0L, a.outer)) == sv)
+      if (ix < 0) return None
+      remaining.remove(ix)
+      ()
+    }
+    Some(remaining.toSeq)
+  }
+
   /** The attr=attr conjuncts of an inner-join condition, each oriented
     * (leftAttr, rightAttr) against `r`'s output: the RIGHT attr must
     * resolve in r, the LEFT attr must not. None when any conjunct is not
@@ -744,10 +761,16 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * aggregate calls read base columns passed through the Expand. The
     * scan under the Expand may be a plain base snapshot, a two-table
     * equi-join, or a left-deep star — served by a FRESH view whose OWN
-    * join signature matches exactly (the joined content is folded into
-    * the state; there is no join-back on this path — an extra query arm
-    * bails). When every grouping expression is servable from the view's
-    * dims and every aggregate call re-derives from the stored partials,
+    * join signature matches exactly (joined content folded into the
+    * state) or is a strict sub-multiset of the query's arms (DRILL-
+    * ACROSS: the leftover arms join back against the state's live group
+    * rows, provenance-checked like the flat join-back; arm-touching
+    * aggregates serve only duplication-insensitively — min/max, GRP_N-
+    * weighted counts, DISTINCT counts — while weighted sum/avg drills
+    * bail, keeping every serving bit-exact). When every grouping
+    * expression is servable from the view's dims (or joined-back arm
+    * columns) and every aggregate call re-derives from the stored
+    * partials,
     * the SAME Aggregate/Expand pair re-executes over the state's live
     * group rows: the Expand replicates each state row per set exactly as
     * it replicates that group's base rows, and the re-aggregations are
@@ -860,7 +883,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       }
 
     def tryServe(view: MaterializedView,
-        meta: MaterializedView.MvMeta): Option[LogicalPlan] = {
+        meta: MaterializedView.MvMeta,
+        extraArms: Option[Seq[ArmScan]]): Option[LogicalPlan] = {
       val infos = dimInfosOf(spark, meta).getOrElse(return None)
       // member column names (lowercased) — base AND join-dim schemas,
       // identical to serveWith's version: this path serves join/star
@@ -873,6 +897,88 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           .map(_.toLowerCase).toSet)
         catch { case scala.util.control.NonFatal(_) => None }
       val f = org.apache.spark.sql.functions
+      // ---- join-back context (DRILL-ACROSS grouping sets): the query's
+      // star carries arms the view does NOT cover, and the grouping /
+      // duplication-insensitive servings may read those arms' columns.
+      // Mirror of serveWith's jbCtx contract: every extra arm's left key
+      // is a carried bare view dim (or an earlier extra arm's column —
+      // snowflake chains), every name the served plan binds is
+      // unambiguous (state vs arm vs arm), and the arms are scanned LIVE
+      // at the same snapshot the query itself would read, so freshness
+      // still needs only the view's own cursors. The re-aggregation
+      // algebra is the flat join-back's: the join multiplies each state
+      // row exactly as it multiplies that group's fact rows, and the
+      // Expand replication composes row-locally on top. Aggregates whose
+      // INPUT touches an arm attribute serve only duplication-
+      // insensitively (min/max, count via GRP_N weighting, DISTINCT
+      // counts); weighted sum/avg drills bail on this path — every
+      // serving stays bit-exact.
+      val stateNamesLc: Set[String] = extraArms match {
+        case None => Set.empty
+        case Some(_) =>
+          try view.state.schema.fieldNames.map(_.toLowerCase).toSet
+          catch { case scala.util.control.NonFatal(_) => return None }
+      }
+      val jbCtx: Option[(Seq[ArmScan], Seq[Seq[String]])] = extraArms match {
+        case None => None
+        case Some(arms) =>
+          val schemas =
+            try arms.map(a => LakeTable.load(spark, a.path).schema.fieldNames.toSeq)
+            catch { case scala.util.control.NonFatal(_) => return None }
+          val bare = infos.filter(_.bare).map(_.key).toSet
+          val lcSchemas = schemas.map(_.map(_.toLowerCase).toSet)
+          arms.zipWithIndex.foreach { case (arm, ix) =>
+            arm.pairs.foreach { case (lAttr, dAttr) =>
+              val lk = lAttr.name; val dk = dAttr.name
+              if (lk.equalsIgnoreCase(dk)) return None // bare-name join contract
+              val lkl = lk.toLowerCase
+              // provenance homing of the left key, as in serveWith
+              val prov = arms.indexWhere(_.out.contains(lAttr))
+              if (prov == -1) {
+                if (!bare.contains(lkl)) return None
+                if (lcSchemas.take(ix).exists(_.contains(lkl))) return None
+              } else {
+                if (prov >= ix) return None
+                if (stateNamesLc.contains(lkl)) return None
+                if (lcSchemas.zipWithIndex.count { case (sch, j) =>
+                  j < ix && sch.contains(lkl) } != 1) return None
+                if (!lcSchemas(prov).contains(lkl)) return None
+              }
+              if (stateNamesLc.contains(dk.toLowerCase) ||
+                lcSchemas.zipWithIndex.count { case (sch, j) =>
+                  j != ix && sch.contains(dk.toLowerCase) } > 0) return None
+            }
+          }
+          Some((arms, schemas))
+      }
+      // the extra arm whose scan output holds this attribute — exprId
+      // provenance, never name matching (a fact column sharing a name
+      // with a drill-dim column must not serve as the dim's, nor the
+      // other way around)
+      def jbArmOf(a: Attribute): Option[Int] = jbCtx.flatMap {
+        case (arms, _) =>
+          val ix = arms.indexWhere(_.out.contains(a))
+          if (ix < 0) None else Some(ix)
+      }
+      // an extra-arm attribute served as the joined dim's own column:
+      // provenance AND an unambiguous name in the served plan
+      def jbAttrCol(a: Attribute): Option[String] = jbCtx.flatMap {
+        case (arms, schemas) =>
+          val ix = arms.indexWhere(_.out.contains(a))
+          if (ix < 0) None
+          else {
+            val nm = a.name.toLowerCase
+            if (infos.exists(_.key == nm) || stateNamesLc.contains(nm)) None
+            else if (schemas.map(_.map(_.toLowerCase)).zipWithIndex.exists {
+              case (sch, j) => j != ix && sch.contains(nm) }) None
+            else schemas(ix).find(_.equalsIgnoreCase(a.name))
+          }
+      }
+      // arm column names the serving references — projected through the
+      // live arm scans when the served child is built
+      val jbNeeded = scala.collection.mutable.ArrayBuffer.empty[String]
+      def armRefs(e: Expression): Boolean =
+        e.references.exists(a => jbArmOf(a).isDefined)
       // view-filter absorption + dim-only residual, as in serveWith
       val qConj = scala.collection.mutable.ArrayBuffer(
         filters.flatMap(conjunctsOf): _*)
@@ -889,33 +995,47 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       val rest = qConj.toSeq
       if (rest.exists(!_.deterministic)) return None
       def bareDimName(a: Attribute): Option[String] =
-        infos.find(d => d.bare && d.key == a.name.toLowerCase).map(_.name)
-      if (!rest.forall(_.references.forall(a => bareDimName(a).isDefined)))
+        // provenance first: an extra-arm attribute never serves from the
+        // state, whatever its name
+        if (jbArmOf(a).isDefined) None
+        else infos.find(d => d.bare && d.key == a.name.toLowerCase).map(_.name)
+      // a reference's serving name, provenance-dispatched (records arm
+      // names for the join-back projection)
+      def resolveRef(a: Attribute): Option[String] =
+        if (jbArmOf(a).isDefined)
+          jbAttrCol(a).map { n => jbNeeded += n; n }
+        else bareDimName(a)
+      if (!rest.forall(_.references.forall(a => resolveRef(a).isDefined)))
         return None
       val restCols = rest.map(c =>
         org.apache.spark.sql.GraftExpressionBridge.column(c.transform {
           case a: AttributeReference =>
-            UnresolvedAttribute.quoted(bareDimName(a).get)
+            UnresolvedAttribute.quoted(resolveRef(a).get)
         }))
       // a grouping / duplication-insensitive input's serving Column over
       // the state read: a bare view dim, an expression dim restated
       // canonically, or a row-local expression over bare view dims
       def dimServe(ge: Expression): Option[org.apache.spark.sql.Column] =
         ge match {
-          case a: AttributeReference => bareDimName(a).map(f.col)
+          case a: AttributeReference => resolveRef(a).map(f.col)
           case e2 if e2.deterministic &&
               !e2.exists(_.isInstanceOf[SubqueryExpression]) &&
               !e2.exists(_.isInstanceOf[AggregateExpression]) =>
-            infos.find(_.key == canon(e2)).map(d => f.col(d.name)).orElse {
-              val attrs = e2.collect { case a: AttributeReference => a }
-              if (attrs.nonEmpty && attrs.forall(a => bareDimName(a).isDefined))
-                Some(org.apache.spark.sql.GraftExpressionBridge.column(
-                  e2.transform {
-                    case a: AttributeReference =>
-                      UnresolvedAttribute.quoted(bareDimName(a).get)
-                  }))
-              else None
-            }
+            // provenance: an expression touching an extra-arm attr must
+            // rebuild through the join-back — never canon-match a stored
+            // expression dim of colliding text
+            (if (armRefs(e2)) None
+             else infos.find(_.key == canon(e2)).map(d => f.col(d.name)))
+              .orElse {
+                val attrs = e2.collect { case a: AttributeReference => a }
+                if (attrs.nonEmpty && attrs.forall(a => resolveRef(a).isDefined))
+                  Some(org.apache.spark.sql.GraftExpressionBridge.column(
+                    e2.transform {
+                      case a: AttributeReference =>
+                        UnresolvedAttribute.quoted(resolveRef(a).get)
+                    }))
+                else None
+              }
           case _ => None
         }
       val gCols: Seq[(String, org.apache.spark.sql.Column)] =
@@ -945,13 +1065,18 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         case Count(Seq(Literal(1, _))) =>
           Some((at: AttrOf) => at(GRPN).map(longSum))
         case Count(Seq(e)) =>
-          aggInputOf(e).flatMap { in =>
+          // provenance: an arm-touching input has no stored partials —
+          // skip the state-agg match (a name/canon collision with a
+          // stored input must not serve) and go straight to the
+          // GRP_N-weighted dim serving, which dimServe provenance-checks
+          (if (armRefs(e)) None
+           else aggInputOf(e).flatMap { in =>
             findAgg(in, Set("count")).map(a2 =>
               (at: AttrOf) => at(a2.name).map(longSum))
               .orElse(findAgg(in, Set("sum", "avg")).map(a2 =>
                 (at: AttrOf) =>
                   at(MaterializedView.cntCol(a2.name)).map(longSum)))
-          }.orElse(dimServe(e).map { sc =>
+          }).orElse(dimServe(e).map { sc =>
             // count over a servable dim expression: Σ GRP_N over the
             // rows whose serving value is non-null
             val nm = s"_gw_${extraCols.size}"
@@ -960,7 +1085,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             (at: AttrOf) => at(nm).map(longSum)
           })
         case Sum(e, _) =>
-          aggInputOf(e).flatMap(in => findAgg(in, Set("sum", "avg")))
+          // an arm-touching sum is the WEIGHTED drill shape — served on
+          // the flat path only; here it bails (never through findAgg:
+          // a stored input whose text collides must not answer it)
+          if (armRefs(e)) None
+          else aggInputOf(e).flatMap(in => findAgg(in, Set("sum", "avg")))
             .map { a2 =>
               (at: AttrOf) => for {
                 sc <- at(MaterializedView.sumCol(a2.name))
@@ -970,7 +1099,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
                 Cast(aggE(Sum(sc)), sc.dataType))), None): Expression
             }
         case Average(e, _) =>
-          aggInputOf(e).flatMap(in => findAgg(in, Set("sum", "avg")))
+          if (armRefs(e)) None
+          else aggInputOf(e).flatMap(in => findAgg(in, Set("sum", "avg")))
             .map { a2 =>
               (at: AttrOf) => for {
                 sc <- at(MaterializedView.sumCol(a2.name))
@@ -981,18 +1111,23 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
                   Cast(aggE(Sum(cc)), DoubleType)))), None): Expression
             }
         case Min(e) =>
-          aggInputOf(e).flatMap(in => findAgg(in, Set("min")))
+          // extrema are duplication-insensitive: an arm-touching input
+          // re-derives through dimServe (provenance-checked); the stored
+          // agg is consulted only for arm-free inputs
+          (if (armRefs(e)) None
+           else aggInputOf(e).flatMap(in => findAgg(in, Set("min")))
             .map(a2 => (at: AttrOf) => at(a2.name).map(c =>
-              aggE(Min(c))))
+              aggE(Min(c)))))
             .orElse(dimServe(e).map { sc =>
               val nm = s"_gm_${extraCols.size}"
               extraCols += ((nm, sc))
               (at: AttrOf) => at(nm).map(c => aggE(Min(c)))
             })
         case Max(e) =>
-          aggInputOf(e).flatMap(in => findAgg(in, Set("max")))
+          (if (armRefs(e)) None
+           else aggInputOf(e).flatMap(in => findAgg(in, Set("max")))
             .map(a2 => (at: AttrOf) => at(a2.name).map(c =>
-              aggE(Max(c))))
+              aggE(Max(c)))))
             .orElse(dimServe(e).map { sc =>
               val nm = s"_gm_${extraCols.size}"
               extraCols += ((nm, sc))
@@ -1082,9 +1217,34 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             }
           case _ => return None
         }
-      // phase 2: the state child plan with servings + extras selected
+      // phase 2: the state child plan with servings + extras selected.
+      // Under join-back the live group rows first join every extra arm
+      // (scanned live, projected to join keys + referenced columns);
+      // residual filters apply post-join — state-dim predicates commute
+      // (left-side columns are unchanged per joined row) and arm-column
+      // predicates sit exactly where the query's own filter sat.
       val stDf0 = view.state.read().filter(f.col(GRPN) > 0)
-      val stF = restCols.foldLeft(stDf0)((acc, c) => acc.filter(c))
+      val stJoined = jbCtx match {
+        case None => stDf0
+        case Some((arms, schemas)) =>
+          // referenced columns PLUS every arm's left keys (a chained
+          // arm's key lives on an earlier arm and must ride its
+          // projection); names the state itself serves must NOT be
+          // re-projected from an arm (ambiguity)
+          val wanted = (jbNeeded ++ arms.flatMap(_.lks)).distinct
+            .filterNot(w => stateNamesLc.contains(w.toLowerCase))
+          arms.zipWithIndex.foldLeft(stDf0) { case (acc, (arm, ix)) =>
+            val mine = schemas(ix)
+            val need = (arm.dks ++ wanted.filter(w =>
+              mine.exists(_.equalsIgnoreCase(w)))).distinct
+            val dimDf = spark.read.format("graft").load(arm.path)
+              .select(need.map(f.col): _*)
+            acc.join(dimDf, arm.lks.zip(arm.dks).map { case (l, d) =>
+              f.col(l) === f.col(d) }.reduce(_ && _),
+              if (arm.outer) "left_outer" else "inner")
+          }
+      }
+      val stF = restCols.foldLeft(stJoined)((acc, c) => acc.filter(c))
       val allExtra = (gCols ++ extraCols.toSeq).map { case (n, c) => c.as(n) }
       val child =
         try stF.select((f.col("*") +: allExtra): _*).queryExecution.analyzed
@@ -1128,13 +1288,26 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         Expand(newProjections, newOut, child)))
     }
 
-    // fresh candidates whose join signature matches the scanned shape,
-    // smallest state first — same preference and freshness gates as the
-    // direct path (every member cursor current for a join view)
+    // join-back orientations of the query's scanned arms (the parsed
+    // one, plus the commuted one for a two-table INNER join — a LEFT
+    // join never commutes), exactly as the direct path builds them
+    val jbOrients: Seq[(String, Seq[ArmScan])] =
+      joinedB.toSeq.flatMap { case (lp, lOut, arm, _) =>
+        val fwd = (lp, Seq(arm))
+        if (arm.outer) Seq(fwd)
+        else Seq(fwd, (arm.path,
+          Seq(ArmScan(lp, arm.pairs.map(_.swap), outer = false, lOut))))
+      } ++ starB.toSeq.map { case (fp, arms, _) => (fp, arms) }
+    // fresh candidates, smallest state first — a view serves either
+    // EXACTLY (its join signature == the scanned shape) or by DRILLING
+    // (its signature is a strict sub-multiset of one orientation's arms
+    // over the same base; the leftover arms join back live)
     val cands = registered.flatMap { p =>
       shapeOf(spark, p) match {
-        case Some(s) if sigMatches(s.basePath, s.joinSig) =>
-          Some((p, s.dims))
+        case Some(sh) if sigMatches(sh.basePath, sh.joinSig) ||
+            jbOrients.exists { case (fp, arms) => fp == sh.basePath &&
+              extraArmsOf(sh.joinSig, arms).exists(_.nonEmpty) } =>
+          Some((p, sh.dims))
         case _ => None
       }
     }.sortBy(_._2.size)
@@ -1142,12 +1315,20 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       try {
         val m = MaterializedView.load(spark, p)
         val meta = m.meta // fresh read — authoritative over the cache
-        if (sigMatches(meta.basePath, meta.joins.map(lcSig)) && {
+        val freshNow = {
           val (cf, cds) = m.refreshedVersions
           cf == latestOf(meta.basePath) &&
           meta.joins.zip(cds).forall { case (j, c) => c == latestOf(j.dimPath) }
-        }) tryServe(m, meta)
-        else None
+        }
+        if (!freshNow) None
+        else if (sigMatches(meta.basePath, meta.joins.map(lcSig)))
+          tryServe(m, meta, None)
+        else jbOrients.iterator.flatMap { case (fp, arms) =>
+          if (fp != meta.basePath) None
+          else extraArmsOf(meta.joins.map(lcSig), arms)
+            .filter(_.nonEmpty)
+            .flatMap(extra => tryServe(m, meta, Some(extra)))
+        }.nextOption()
       } catch { case scala.util.control.NonFatal(_) => None }
     }.nextOption()
   }
@@ -1898,21 +2079,6 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         else Seq(fwd, (arm.path,
           Seq(ArmScan(lp, arm.pairs.map(_.swap), outer = false, lOut))))
       } ++ starred.toSeq.map { case (fp, arms, _) => (fp, arms) }
-    // the query arms NOT consumed by the view's own join signature (one
-    // query arm per sig arm, matched as (path, pair-set, outer)); None
-    // when the sig is not a sub-multiset of the query's arms
-    def extraArmsOf(sig: Seq[(String, Set[(String, String)], Boolean)],
-        arms: Seq[ArmScan]): Option[Seq[ArmScan]] = {
-      val remaining = scala.collection.mutable.ArrayBuffer(arms: _*)
-      sig.foreach { sv =>
-        val ix = remaining.indexWhere(a => lcSig(MvJoin(a.path, a.lks, a.dks,
-          0L, a.outer)) == sv)
-        if (ix < 0) return None
-        remaining.remove(ix)
-        ()
-      }
-      Some(remaining.toSeq)
-    }
     // fuzz dry-run (see [[fuzzJoinBackDryRun]]): the matcher runs for
     // every registered view against every orientation's arms; results
     // are discarded, throws count via the per-Aggregate guard. Runs
@@ -1985,6 +2151,16 @@ private[sql] object GraftMvShape {
     plan match {
       case SubqueryAlias(_, c) => extract(c)
       case agg0: Aggregate =>
+        // ROLLUP/CUBE/GROUPING SETS definitions refuse BY NAME: the state
+        // table holds one row per full dim tuple, and the rewrite serves
+        // grouping-sets QUERIES from a plain-GROUP-BY view — materializing
+        // the Expand itself would store redundant subtotal rows the
+        // maintenance algebra does not model
+        if (agg0.child.exists(_.isInstanceOf[Expand]))
+          return scala.Left("ROLLUP/CUBE/GROUPING SETS cannot be " +
+            "materialized — define the view over the plain GROUP BY dims; " +
+            "grouping-sets queries are then SERVED from it by the " +
+            "automatic rewrite")
         // same projection inlining as the rewrite matcher: the analyzer
         // parks complex grouping expressions in a Project below
         val agg = GraftMvRewrite.inlineProjects(agg0)
@@ -2103,6 +2279,21 @@ private[sql] object GraftMvShape {
         }
         if (aggs.isEmpty) scala.Left("the definition needs at least one aggregate")
         else scala.Right((path, dims, aggs, join, filterSql, dimExprs.toMap))
+      // SELECT DISTINCT analyzes as Distinct(Project): refuse by name,
+      // pointing at the maintainable equivalent (the no-agg grouping
+      // SERVING means DISTINCT queries still ride a plain GROUP BY view)
+      case _: Distinct =>
+        scala.Left("SELECT DISTINCT is not a maintainable definition — " +
+          "define the columns as GROUP BY dims with at least one aggregate " +
+          "(count(1) AS n); DISTINCT queries over the base are then served " +
+          "from the view's dim rows by the automatic rewrite")
+      // HAVING resolves to a Filter above the Aggregate: refuse by name
+      // (the filter reads aggregated values, which the signed-delta
+      // maintenance cannot re-derive per group without the full state)
+      case f: Filter if f.child.exists(_.isInstanceOf[Aggregate]) =>
+        scala.Left("HAVING is not maintainable in a materialized view " +
+          "definition — materialize the plain aggregate; HAVING queries " +
+          "over it are served by the automatic rewrite")
       case _ => scala.Left("the definition must be a single GROUP BY aggregate " +
         "over a graft table")
     }

@@ -2496,4 +2496,320 @@ class MvRewriteSpec extends AnyFunSuite {
       ()
     }
   }
+
+  test("GROUPING SETS join-back: drill-across ROLLUP/CUBE serves from state + live arms; weighted sums bail") {
+    val fp = Files.createTempDirectory("graft_mvrw_gsjb_f").toString
+    val cp = Files.createTempDirectory("graft_mvrw_gsjb_c").toString
+    val np = Files.createTempDirectory("graft_mvrw_gsjb_n").toString
+    val fact = LakeTable.create(spark, fp, TableSpec("k", "ver"),
+      (1L to 2000L).map(i => (i, 1L, i % 40, i % 100, s"s${i % 4}"))
+        .toDF("k", "ver", "ck", "amt", "st"))
+    val cust = LakeTable.create(spark, cp, TableSpec("cdk", "cver"),
+      (0L until 40L).map(x => (x, 0L, x % 7, s"n${x % 5}", x * 3))
+        .toDF("cdk", "cver", "nk", "cname", "weight"))
+    val nat = LakeTable.create(spark, np, TableSpec("nid", "nver"),
+      (0L until 7L).map(x => (x, 0L, s"r${x % 2}")).toDF("nid", "nver", "rg"))
+    // join-FREE view over the fact; ck carried as a bare dim
+    val mvPath = Files.createTempDirectory("graft_mvrw_gsjb_mv").toString
+    MaterializedView.create(spark, mvPath, fact, Seq("st", "ck"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mn", "min", "amt")))
+    // PARTIAL-STAR view: covers the cust arm, drills through nation
+    val mvStarPath = Files.createTempDirectory("graft_mvrw_gsjb_mv2").toString
+    MaterializedView.create(spark, mvStarPath, fact, Seq("st", "cname", "nk"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")),
+      Seq(MaterializedView.MvJoin(cp, "ck", "cdk")))
+    spark.read.format("graft").load(fp).createOrReplaceTempView("gsjb_f")
+    spark.read.format("graft").load(cp).createOrReplaceTempView("gsjb_c")
+    spark.read.format("graft").load(np).createOrReplaceTempView("gsjb_n")
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    def run(sql: String): (DataFrame, Set[Seq[Any]]) = {
+      GraftMvRewrite.clear()
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      GraftMvRewrite.register(mvPath)
+      GraftMvRewrite.register(mvStarPath)
+      (spark.sql(sql), want)
+    }
+    try {
+      // drill ROLLUP on an arm attribute: stored partials + GRP_N-
+      // weighted count + arm extremum + DISTINCT arm count all serve;
+      // the fact is never scanned, the dim is read live
+      val (q1, w1) = run(
+        """SELECT cname, st, count(1) AS n, sum(amt) AS s, min(amt) AS mn,
+          |       count(weight) AS cw, max(cname) AS mx,
+          |       count(DISTINCT nk) AS dn
+          |FROM gsjb_f JOIN gsjb_c ON ck = cdk
+          |GROUP BY ROLLUP(cname, st)""".stripMargin)
+      assert(scansMvState(q1) && !scansPath(q1, fp) && scansPath(q1, cp),
+        s"drill ROLLUP must serve from state + live dim:\n" +
+          s"${q1.queryExecution.optimizedPlan}")
+      assert(expect(q1) == w1)
+      // dim churn with NO refresh: the arm is read live, so the move
+      // must surface immediately
+      cust.upsert(Seq((3L, 1L, 3L % 7, "MOVED", 9L))
+        .toDF("cdk", "cver", "nk", "cname", "weight"))
+      val q1b = spark.sql(
+        """SELECT cname, st, count(1) AS n, sum(amt) AS s, min(amt) AS mn,
+          |       count(weight) AS cw, max(cname) AS mx,
+          |       count(DISTINCT nk) AS dn
+          |FROM gsjb_f JOIN gsjb_c ON ck = cdk
+          |GROUP BY ROLLUP(cname, st)""".stripMargin)
+      assert(scansMvState(q1b) && !scansPath(q1b, fp))
+      GraftMvRewrite.clear()
+      assert(expect(spark.sql(
+        """SELECT cname, st, count(1) AS n, sum(amt) AS s, min(amt) AS mn,
+          |       count(weight) AS cw, max(cname) AS mx,
+          |       count(DISTINCT nk) AS dn
+          |FROM gsjb_f JOIN gsjb_c ON ck = cdk
+          |GROUP BY ROLLUP(cname, st)""".stripMargin)) == expect(q1b))
+      // a weighted drill SUM (arm-touching input) bails — recomputed
+      val (q2, w2) = run(
+        """SELECT cname, sum(weight) AS sw
+          |FROM gsjb_f JOIN gsjb_c ON ck = cdk
+          |GROUP BY ROLLUP(cname)""".stripMargin)
+      assert(scansPath(q2, fp),
+        s"an arm-touching SUM must bail to the base:\n" +
+          s"${q2.queryExecution.optimizedPlan}")
+      assert(expect(q2) == w2)
+      // PARTIAL-STAR drill: with both views registered the smaller
+      // join-free view wins and drills BOTH arms live (correct); with
+      // only the star view its covered cust arm FOLDS and only nation
+      // joins back
+      val (q3, w3) = run(
+        """SELECT rg, st, count(1) AS n, sum(amt) AS s
+          |FROM gsjb_f JOIN gsjb_c ON ck = cdk JOIN gsjb_n ON nk = nid
+          |GROUP BY CUBE(rg, st)""".stripMargin)
+      assert(scansMvState(q3) && !scansPath(q3, fp) && scansPath(q3, np),
+        s"partial-star CUBE must serve with the fact unscanned:\n" +
+          s"${q3.queryExecution.optimizedPlan}")
+      assert(expect(q3) == w3)
+      GraftMvRewrite.clear(); GraftMvRewrite.register(mvStarPath)
+      // the cust churn above STALED the star view (cust is a covered
+      // member there, unlike the join-free view) — refresh first
+      MaterializedView.load(spark, mvStarPath).refresh()
+      val q3s = spark.sql(
+        """SELECT rg, st, count(1) AS n, sum(amt) AS s
+          |FROM gsjb_f JOIN gsjb_c ON ck = cdk JOIN gsjb_n ON nk = nid
+          |GROUP BY CUBE(rg, st)""".stripMargin)
+      assert(scansMvState(q3s) && !scansPath(q3s, fp) && !scansPath(q3s, cp) &&
+        scansPath(q3s, np),
+        s"the star view must FOLD its covered arm and join back nation:\n" +
+          s"${q3s.queryExecution.optimizedPlan}")
+      assert(expect(q3s) == w3)
+      GraftMvRewrite.register(mvPath)
+      // staleness still gates: fact churn disables until refresh
+      fact.upsert(Seq((2001L, 1L, 5L, 7L, "s1")).toDF("k", "ver", "ck", "amt", "st"))
+      val q4 = spark.sql(
+        """SELECT cname, count(1) AS n
+          |FROM gsjb_f JOIN gsjb_c ON ck = cdk
+          |GROUP BY ROLLUP(cname)""".stripMargin)
+      assert(scansPath(q4, fp), "a stale view must never serve the drill")
+      MaterializedView.load(spark, mvPath).refresh()
+      MaterializedView.load(spark, mvStarPath).refresh()
+      val q5 = spark.sql(
+        """SELECT cname, count(1) AS n
+          |FROM gsjb_f JOIN gsjb_c ON ck = cdk
+          |GROUP BY ROLLUP(cname)""".stripMargin)
+      assert(scansMvState(q5) && !scansPath(q5, fp))
+      GraftMvRewrite.clear()
+      assert(expect(spark.sql(
+        """SELECT cname, count(1) AS n
+          |FROM gsjb_f JOIN gsjb_c ON ck = cdk
+          |GROUP BY ROLLUP(cname)""".stripMargin)) == expect(q5))
+    } finally {
+      GraftMvRewrite.clear()
+      Seq("gsjb_f", "gsjb_c", "gsjb_n").foreach(spark.catalog.dropTempView)
+      ()
+    }
+  }
+
+  test("CREATE MATERIALIZED VIEW refuses non-maintainable definition shapes with named errors") {
+    // verdict (round 12): ROLLUP/CUBE/GROUPING SETS, HAVING, DISTINCT
+    // aggregates, SELECT DISTINCT, and window functions in the view
+    // DEFINITION must refuse cleanly (never a wrong view, never a
+    // stranded registration) — the SERVING side of each shape is the
+    // rewrite's job over a plain-GROUP-BY view
+    val (_, path) = freshBase("defshape")
+    spark.read.format("graft").load(path).createOrReplaceTempView("defshape_v")
+    val mvPath = Files.createTempDirectory("graft_mvrw_defshape").toString + "/mv"
+    def refuse(sql: String, wants: String*): Unit = {
+      val err = intercept[IllegalArgumentException] {
+        spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS $sql")
+      }
+      wants.foreach(w => assert(err.getMessage.toLowerCase.contains(w.toLowerCase),
+        s"expected '$w' in: ${err.getMessage}"))
+      assert(!GraftMvRewrite.registered.exists(_.contains(mvPath)),
+        "a refused create must not leave a registered view behind")
+    }
+    try {
+      refuse("SELECT grp, count(1) AS n FROM defshape_v GROUP BY ROLLUP(grp)",
+        "ROLLUP/CUBE/GROUPING SETS", "served")
+      refuse("SELECT grp, amt, count(1) AS n FROM defshape_v GROUP BY CUBE(grp, amt)",
+        "ROLLUP/CUBE/GROUPING SETS")
+      refuse("SELECT grp, count(1) AS n FROM defshape_v " +
+        "GROUP BY GROUPING SETS ((grp), ())", "ROLLUP/CUBE/GROUPING SETS")
+      refuse("SELECT grp, count(1) AS n FROM defshape_v GROUP BY grp " +
+        "HAVING count(1) > 10", "HAVING")
+      refuse("SELECT grp, count(DISTINCT amt) AS d FROM defshape_v GROUP BY grp",
+        "unsupported")
+      refuse("SELECT DISTINCT grp FROM defshape_v", "SELECT DISTINCT",
+        "served")
+      refuse("SELECT grp, count(1) AS n, " +
+        "rank() OVER (ORDER BY count(1)) AS r FROM defshape_v GROUP BY grp",
+        "")
+      // the POSITIVE control: the plain form of the same aggregate
+      // creates fine and the ROLLUP/HAVING QUERIES are served from it
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mvPath' AS " +
+        "SELECT grp, count(1) AS n, sum(amt) AS s FROM defshape_v GROUP BY grp")
+      val roll = spark.sql(
+        "SELECT grp, count(1) AS n FROM defshape_v GROUP BY ROLLUP(grp)")
+      assert(scansMvState(roll) && !scansPath(roll, path),
+        s"the ROLLUP query must serve from the plain view:\n" +
+          s"${roll.queryExecution.optimizedPlan}")
+      val having = spark.sql(
+        "SELECT grp, count(1) AS n FROM defshape_v GROUP BY grp HAVING count(1) > 10")
+      assert(scansMvState(having) && !scansPath(having, path))
+    } finally {
+      GraftMvRewrite.clear()
+      spark.catalog.dropTempView("defshape_v")
+      ()
+    }
+  }
+
+  test("state-table maintenance lifecycle: compact/vacuum/checkpoint of the STATE preserve cursors, serving, and refresh") {
+    // verdict (round 12): the state is itself a LakeTable — its own
+    // maintenance (physical-only churn) must never move the refresh
+    // cursors (they ride the CUMULATIVE commit txn map), never break the
+    // rewrite serving, and never confuse a later refresh; a refresh
+    // RACING a state compaction resolves via OCC retry on either side.
+    val (t, path) = freshBase("stmaint")
+    val mvPath = Files.createTempDirectory("graft_mvrw_stmaint_mv").toString
+    MaterializedView.create(spark, mvPath, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mn", "min", "amt")))
+    def base = spark.read.format("graft").load(path)
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    def oracle(): Set[Seq[Any]] = expect(LakeTable.load(spark, path).read()
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"),
+        min("amt").as("mn")))
+    def served(): DataFrame = base.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("amt").as("s"), min("amt").as("mn"))
+    try {
+      GraftMvRewrite.register(mvPath)
+      val mv = MaterializedView.load(spark, mvPath)
+      // 12 churn+refresh cycles cross the state's CHECKPOINT_INTERVAL
+      // (10): the cursor must survive checkpointed commit-log resolution
+      (1 to 12).foreach { i =>
+        t.upsert(Seq((i.toLong, 2L, s"g${i % 7}", i.toLong * 3))
+          .toDF("k", "ver", "grp", "amt"))
+        MaterializedView.load(spark, mvPath).refresh()
+      }
+      val cursors0 = mv.refreshedVersions
+      assert(mv.state.latestVersion >= 12, "the loop must cross a checkpoint")
+      // COMPACT the state: physical-only churn — cursor identical,
+      // serving green and hash-equal
+      mv.state.compact(clusterByKey = true)
+      assert(MaterializedView.load(spark, mvPath).refreshedVersions == cursors0,
+        "state compaction must not move the refresh cursors")
+      val q1 = served()
+      assert(scansMvState(q1) && !scansPath(q1, path),
+        s"serving must survive state compaction:\n${q1.queryExecution.optimizedPlan}")
+      assert(expect(q1) == oracle())
+      // VACUUM the state aggressively: pre-compaction files go away;
+      // the live snapshot (what serving lists) is untouched
+      mv.state.vacuum(retainVersions = 1, retainHours = Some(0.0),
+        orphanGraceHours = 0.0)
+      val q2 = served()
+      assert(scansMvState(q2) && !scansPath(q2, path))
+      assert(expect(q2) == oracle())
+      // a refresh AFTER the maintenance chain still absorbs churn
+      t.delete(col("grp") === "g3")
+      MaterializedView.load(spark, mvPath).refresh()
+      val q3 = served()
+      assert(scansMvState(q3) && !scansPath(q3, path))
+      assert(expect(q3) == oracle())
+      // DESCRIBE stays coherent after the whole chain
+      val desc = graft.sql.GraftDescribeMaterializedViewCommand(s"'$mvPath'")
+        .run(spark)
+      assert(desc.nonEmpty)
+      // refresh RACING state compaction, several rounds: OCC retry on
+      // both sides — every round must land both effects
+      (1 to 4).foreach { i =>
+        t.upsert(Seq((1000L + i, 3L, s"g${i % 7}", 5L))
+          .toDF("k", "ver", "grp", "amt"))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val fRef = pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = { MaterializedView.load(spark, mvPath).refresh(); () }
+          })
+          val fCmp = pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = { mv.state.compact(); () }
+          })
+          fRef.get(); fCmp.get()
+        } finally pool.shutdown()
+        assert(MaterializedView.load(spark, mvPath).lastRefreshedVersion ==
+          LakeTable.load(spark, path).latestVersion,
+          s"race round $i: the refresh must have landed")
+      }
+      val q4 = served()
+      assert(scansMvState(q4) && !scansPath(q4, path))
+      assert(expect(q4) == oracle())
+    } finally GraftMvRewrite.clear()
+  }
+
+  test("partition evolution under a registered MV: the base re-partitions, churns, and the view keeps maintaining and serving") {
+    // verdict (round 12): a viewed base whose PARTITIONING evolves (the
+    // q124 changePartition machinery) then churns — windowDelta, file
+    // pruning, and the rewrite must stay exact across the era boundary
+    // (old-era files prune on their own partition column, new writes on
+    // the new one)
+    val pth = Files.createTempDirectory("graft_mvrw_pevo").toString
+    val t = LakeTable.create(spark, pth,
+      TableSpec("k", "ver", partition = Some("seg")),
+      (1L to 1200L).map(i => (i, 1L, s"p${i % 4}", s"g${i % 7}", i % 100))
+        .toDF("k", "ver", "seg", "grp", "amt"))
+    val mvPath = Files.createTempDirectory("graft_mvrw_pevo_mv").toString
+    MaterializedView.create(spark, mvPath, t, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt"),
+        MvAgg("mn", "min", "amt")))
+    def base = spark.read.format("graft").load(pth)
+    def expect(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    def oracle(): Set[Seq[Any]] = expect(LakeTable.load(spark, pth).read()
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("amt").as("s"),
+        min("amt").as("mn")))
+    def served(): DataFrame = base.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("amt").as("s"), min("amt").as("mn"))
+    try {
+      GraftMvRewrite.register(mvPath)
+      // evolve the partitioning: seg → grp (metadata-only for old files)
+      LakeTable.load(spark, pth).changePartition(Some("grp"))
+      // the evolution bumped the base version — the view is stale and
+      // must refuse to serve until refreshed
+      assert(scansPath(served(), pth), "a stale view must not serve")
+      MaterializedView.load(spark, mvPath).refresh()
+      val q1 = served()
+      assert(scansMvState(q1) && !scansPath(q1, pth))
+      assert(expect(q1) == oracle())
+      // churn across the era boundary: updates to old-era rows, new-era
+      // inserts, a delete that kills an extremum, then refresh
+      val tt = LakeTable.load(spark, pth)
+      tt.upsert((1L to 100L).map(i => (i, 2L, s"p${i % 4}", s"g${i % 7}", i % 11))
+        .toDF("k", "ver", "seg", "grp", "amt"))
+      tt.upsert((2000L to 2050L).map(i => (i, 1L, s"p9", s"g${i % 7}", i % 100))
+        .toDF("k", "ver", "seg", "grp", "amt"))
+      tt.delete(col("amt") > 90)
+      MaterializedView.load(spark, mvPath).refresh()
+      val q2 = served()
+      assert(scansMvState(q2) && !scansPath(q2, pth))
+      assert(expect(q2) == oracle())
+      // evolve AGAIN (back to flat) + churn: the view keeps tracking
+      LakeTable.load(spark, pth).changePartition(None)
+      LakeTable.load(spark, pth).upsert(
+        Seq((3000L, 1L, "p1", "g0", 7L)).toDF("k", "ver", "seg", "grp", "amt"))
+      MaterializedView.load(spark, mvPath).refresh()
+      val q3 = served()
+      assert(scansMvState(q3) && !scansPath(q3, pth))
+      assert(expect(q3) == oracle())
+    } finally GraftMvRewrite.clear()
+  }
 }
