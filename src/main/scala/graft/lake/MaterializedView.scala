@@ -551,8 +551,20 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
               // row grow them (sign +1). Touched keys ∝ dim churn; the
               // old/new existence probes are key-restricted dim scans.
               val dks = m.joins(i).dimKeys.map(col)
-              val touched = plusD.select(dks: _*)
-                .unionByName(minusD.select(dks: _*)).distinct()
+              // NETTED touched keys. windowDelta is gross-per-rewritten-
+              // file (plus = window-added files' rows ⊆ snapshot(upTo),
+              // minus = window-removed files' rows ⊆ snapshot(since)), so
+              // a key appearing on BOTH sides verifiably existed at both
+              // versions — its existence cannot have flipped and it needs
+              // no probe. Netting shrinks touched from "every row of every
+              // rewritten file" (which at production file sizes trips the
+              // key cap on ANY churn and falls back to full probes) to the
+              // true key churn; a move-only window nets to EMPTY and the
+              // transition skips the probes entirely (round-13 scale
+              // harness finding — b15's exponent at 10x corpus).
+              val pKeys = plusD.select(dks: _*)
+              val mKeys = minusD.select(dks: _*)
+              val touched = pKeys.except(mKeys).unionByName(mKeys.except(pKeys))
               val keySchema = touched.schema
               def localDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
                 val list = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
@@ -616,7 +628,15 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
                   acc.withColumn(c, lit(null).cast(dimSchema(c).dataType)))
                   .withColumn(SGN, lit(sign))
               }
-              if (!capped) {
+              if (touchedTuples.isEmpty) {
+                // the netting proved no key's existence can flip: the
+                // common physical-churn/segment-move refresh — no probes,
+                // no transition terms, zero files on either side
+                record(base.liveFiles(Some(upTo)).size, 0)
+                lastNullExtDimScan = Some((
+                  dimTables(i).liveFiles(Some(dimUpTos(i))).size,
+                  lastNullExtDimScan.map(_._2).getOrElse(0)))
+              } else if (!capped) {
                 // the flip sets are computed DRIVER-side from the two
                 // bounded probes — the transition terms then semi-join
                 // LOCAL relations (broadcast-sized by construction), so

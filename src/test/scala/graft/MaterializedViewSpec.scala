@@ -1162,12 +1162,21 @@ class MaterializedViewSpec extends AnyFunSuite {
     dt.upsert(dim0.filter(col("cdk") === 7L)
       .withColumn("grp", lit("gM")).withColumn("dver", lit(1L)))
     MaterializedView.lastNullExtScan = None
+    MaterializedView.lastNullExtDimScan = None
     MaterializedView.load(spark, mp).refresh()
     check()
     val (live0, scanned0) = MaterializedView.lastNullExtScan.getOrElse(
       fail("outer-arm dim churn must run the transition term"))
     assert(scanned0 == 0,
       s"no-flip churn must open zero transition files (opened $scanned0 of $live0)")
+    // round 13: the touched keys NET (a rewritten key on both window
+    // sides existed at both versions) — a move-only window nets to
+    // empty, so the existence probes are skipped outright: zero dim
+    // files opened, not just zero fact files
+    val (dLive0, dOpened0) = MaterializedView.lastNullExtDimScan.getOrElse(
+      fail("the transition must still record the dim-probe seam"))
+    assert(dOpened0 == 0,
+      s"move-only churn must skip the existence probes (opened $dOpened0 of $dLive0)")
     // birth of ONE key: only its ck slice of the clustered fact opens
     dt.upsert(dim0.filter(col("cdk") === 3L))
     MaterializedView.lastNullExtScan = None
