@@ -1650,7 +1650,41 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * rows without removing their file, which breaks the file-level
     * cancellation — the MoR delta instead diffs the two MERGED snapshots
     * restricted to the window's touched record identities. */
+  /** Metadata-only: did any commit in `(since, upTo]` remove files (a
+    * rewrite/delete/compaction)? Pure-addition windows return false —
+    * [[MaterializedView]] skips its delta netting for them. */
+  private[lake] def windowHadRemovals(since: Long, upTo: Long): Boolean =
+    commits.exists(c => c.version > since && c.version <= upTo &&
+      c.remove.nonEmpty)
+
+  /** Metadata-only: is every commit in `(since, upTo]` a physical
+    * reorganization (compact / optimize / zorder) — a rewrite that carries
+    * rows unchanged? Such a window's true row delta is EMPTY by
+    * construction, so [[windowDelta]] answers it without reading a single
+    * data file: at a production compaction cadence, registered views must
+    * not pay even a netting shuffle for windows that moved only bytes. */
+  private[lake] def windowPhysicalOnly(since: Long, upTo: Long): Boolean = {
+    val w = commits.filter(c => c.version > since && c.version <= upTo)
+    w.nonEmpty && w.forall(c => LakeTable.physicalOps.contains(c.operation))
+  }
+
+  /** Pure metadata commit: advance idempotent-transaction watermarks
+    * (`txnMany`) without touching a single data file. [[MaterializedView]]
+    * publishes its refresh cursor this way when every member's pending
+    * window is [[windowPhysicalOnly]] — the delta is empty by metadata
+    * proof, so the refresh costs zero Spark jobs and zero file reads.
+    * OCC-pinned like any state publish; the multi-watermark no-op rule in
+    * [[writeCommit]] applies unchanged. */
+  private[lake] def bumpTxn(expectedVersion: Long,
+      txnMany: Map[String, Long]): LakeTable =
+    writeCommit("cursor_bump", expectedVersion = Some(expectedVersion),
+      txnMany = txnMany) { (_, _) => Seq.empty }
+
   private[lake] def windowDelta(since: Long, upTo: Long): (DataFrame, DataFrame) = {
+    if (windowPhysicalOnly(since, upTo)) {
+      val empty = readFiles(Nil, asOf = Some(upTo))
+      return (empty, empty)
+    }
     if (spec.mor) return windowDeltaMor(since, upTo)
     val window = commits.filter(c => c.version > since && c.version <= upTo)
     val liveUp = liveFiles(Some(upTo)).map(_.path).toSet
@@ -3151,6 +3185,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 object LakeTable {
   private[lake] val WRITE_ID = "_v"
   private[lake] val RANK = "_graft_rank"
+
+  /** Commit operations that rewrite files while carrying every row
+    * unchanged — the merged table content before and after is identical.
+    * Kept deliberately narrow: `restore`/`fsck`/`reorg` also remove files
+    * but CHANGE visible content, so they must never appear here. The
+    * second set is ops that touch no data file at all (pure table
+    * metadata); both leave a window's true row delta empty. */
+  private val physicalOps =
+    Set("compact", "optimize", "zorder", "zorder_incremental",
+      "analyze", "savepoint", "release_savepoint", "setProperties")
 
   /** Value-preserving type widenings ([[LakeTable.widenColumn]]): every
     * value of `from` maps to exactly itself in `to`. */

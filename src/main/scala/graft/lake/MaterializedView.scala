@@ -112,6 +112,29 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
 
   def lastRefreshedVersion: Long = refreshedVersions._1
 
+  /** The rewrite's freshness predicate: the state serves exactly when
+    * every member cursor is at the member's latest version — or behind it
+    * by only PHYSICAL-ONLY commits (compaction / zorder / optimize / pure
+    * metadata), whose row delta is empty by metadata proof
+    * ([[LakeTable.windowPhysicalOnly]]). A view must keep serving through
+    * its members' maintenance cadence without waiting for a refresh: at
+    * production scale, reorganization is continuous and a gate on exact
+    * version equality would blind every registered view most of the time.
+    * `latestOf` is the caller's memoized latest-version resolver (the
+    * rewrite resolves each member once per invocation). Cost on the miss
+    * path: one commit-log read of the cursor-to-latest window. */
+  private[graft] def servableFresh(m: MvMeta,
+      latestOf: String => Long): Boolean = {
+    val (cf, cds) = refreshedVersions
+    def ok(p: String, c: Long): Boolean = {
+      val l = latestOf(p)
+      c == l ||
+        (c < l && LakeTable.load(spark, p).windowPhysicalOnly(c, l))
+    }
+    ok(m.basePath, cf) &&
+      m.joins.zip(cds).forall { case (j, c) => ok(j.dimPath, c) }
+  }
+
   /** For a star-join view: the dim versions the state reflects, one per
     * join in definition order. */
   def dimRefreshedVersions: Seq[Long] = refreshedVersions._2
@@ -435,6 +458,29 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
           "are unrecoverable, so the incremental state cannot be maintained " +
           "across the gap; drop and recreate the view")
     }
+    // PHYSICAL-ONLY pending windows (the production reorg cadence): every
+    // stale member's window carried rows unchanged — compaction, zorder,
+    // optimize, pure table metadata — so the delta is empty by METADATA
+    // PROOF (LakeTable.windowPhysicalOnly). Publish a pure cursor bump (a
+    // zero-action state commit advancing the txn watermarks) and skip plan
+    // construction entirely: a registered view must cost zero jobs and
+    // zero file reads to ride out its members' maintenance. Runs AFTER the
+    // pre-flights above so schema contract violations still refuse here.
+    if ((upTo <= lastV || base.windowPhysicalOnly(lastV, upTo)) &&
+        m.joins.indices.forall(i => dimUpTos(i) <= dimVs(i) ||
+          dimTables(i).windowPhysicalOnly(dimVs(i), dimUpTos(i)))) {
+      st.bumpTxn(vState, Map(CURSOR_APP -> upTo) ++
+        m.joins.indices.map(i => dimCursorApp(i) -> dimUpTos(i)))
+      val stNow = state
+      val (cf, cds) = cursorOf(stNow, m, stNow.latestVersion)
+      val covered = cf >= upTo &&
+        cds.zip(dimUpTos).forall { case (c, u) => c >= u }
+      if (covered) writeMeta(path, m.copy(lastVersion = cf,
+        joins = m.joins.zip(cds).map { case (j, c) => j.copy(dimVersion = c) }),
+        conf)
+      return covered
+    }
+
     val split =
       if (m.joins.isEmpty) None
       else Some(sideSplitN(base.schema, dimTables.map(_.schema), need, m.joins))
@@ -503,12 +549,35 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         }
       }
     }
+    // NETTED projected deltas (round 13). windowDelta is gross per
+    // rewritten file: a CoW rewrite carries every surviving row into
+    // both sides, and those rows — IDENTICAL on the view's projected
+    // columns — contribute exactly cancelling ±1 pairs to the signed
+    // aggregate. exceptAll removes equal-multiset pairs BEFORE the join
+    // fan-out, so the contribution the delta aggregate processes tracks
+    // TRUE row churn, not rewritten bytes — and a group whose only
+    // minus rows were cancelling pairs no longer raises HASM, so a
+    // physical rewrite never triggers the extremum/sketch repair scan.
+    // Soundness: equality on the projected columns implies identical
+    // contributions (everything downstream is computed FROM them).
+    // Guarded by a metadata-only removals check: a pure-addition window
+    // (the streaming/b13 hot path) skips the exceptAll shuffles
+    // entirely.
+    def nettedDelta(t: LakeTable, since: Long, upTo2: Long,
+        proj: Seq[Column], plus: DataFrame, minus: DataFrame)
+        : (DataFrame, DataFrame) = {
+      val pP = plus.select(proj: _*)
+      val mP = minus.select(proj: _*)
+      if (!t.windowHadRemovals(since, upTo2)) (pP, mP)
+      else (pP.exceptAll(mP), mP.exceptAll(pP))
+    }
     val contrib: DataFrame = dbgT("contrib-build") {
       if (m.joins.isEmpty) {
-        val (plus, minus) = base.windowDelta(lastV, upTo)
-        val proj = need.map(col)
-        plus.select(proj: _*).withColumn(SGN, lit(1L))
-          .unionByName(minus.select(proj: _*).withColumn(SGN, lit(-1L)))
+        val (plus0, minus0) = base.windowDelta(lastV, upTo)
+        val (plus, minus) =
+          nettedDelta(base, lastV, upTo, need.map(col), plus0, minus0)
+        plus.withColumn(SGN, lit(1L))
+          .unionByName(minus.withColumn(SGN, lit(-1L)))
       } else {
         // telescoping signed sum over the join tree (star or snowflake —
         // the identity is topology-independent for inner equi-joins):
@@ -519,19 +588,26 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         val outCols = (need :+ SGN).map(col)
         val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         if (upTo > lastV) {
-          val (plusF, minusF) = base.windowDelta(lastV, upTo)
-          val fDelta = plusF.select(fProj: _*).withColumn(SGN, lit(1L))
-            .unionByName(minusF.select(fProj: _*).withColumn(SGN, lit(-1L)))
+          val (plusF0, minusF0) = base.windowDelta(lastV, upTo)
+          val (plusF, minusF) =
+            nettedDelta(base, lastV, upTo, fProj, plusF0, minusF0)
+          val fDelta = plusF.withColumn(SGN, lit(1L))
+            .unionByName(minusF.withColumn(SGN, lit(-1L)))
           terms += m.joins.indices.foldLeft(fDelta)(
             (acc, i) => joinDim(acc, i, dAt(i, dimVs(i))))
         }
         lazy val fNew = base.read(Some(upTo)).select(fProj: _*)
         m.joins.indices.foreach { i =>
           if (dimUpTos(i) > dimVs(i)) {
-            val (plusD, minusD) = dbgT(s"dim-$i-windowDelta") {
+            val (plusD0, minusD0) = dbgT(s"dim-$i-windowDelta") {
               dimTables(i).windowDelta(dimVs(i), dimUpTos(i)) }
-            val dDelta = plusD.select(dProj(i): _*).withColumn(SGN, lit(1L))
-              .unionByName(minusD.select(dProj(i): _*).withColumn(SGN, lit(-1L)))
+            // netted on the PROJECTED columns (the transition block's
+            // touched keys then see the netted sides too — consistent,
+            // and its own key-level netting still removes moved keys)
+            val (plusD, minusD) = nettedDelta(dimTables(i), dimVs(i),
+              dimUpTos(i), dProj(i), plusD0, minusD0)
+            val dDelta = plusD.withColumn(SGN, lit(1L))
+              .unionByName(minusD.withColumn(SGN, lit(-1L)))
             dbgT(s"dim-$i-delta-term") {
               terms += foldOrder(i).foldLeft(fNew) { (acc, jx) =>
                 joinDim(acc, jx,
@@ -1472,7 +1548,24 @@ object MaterializedView {
 
   private def readMeta(path: String, conf: Configuration): MvMeta = {
     val p = metaFile(path)
-    val in = p.getFileSystem(conf).open(p)
+    val fs = p.getFileSystem(conf)
+    // writeMeta publishes via delete-then-rename (rename alone cannot
+    // overwrite here, and a FileContext-atomic rename would orphan the
+    // ChecksumFileSystem's .crc sidecar), so a concurrent reader can land
+    // in the sub-ms gap where the meta is absent. Bounded retry: the gap
+    // is two local renames, never a deletion of the view — a meta still
+    // missing after the retries is a genuinely dropped view.
+    var in: org.apache.hadoop.fs.FSDataInputStream = null
+    var tries = 0
+    while (in == null) {
+      try in = fs.open(p)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          tries += 1
+          if (tries > 50) throw e
+          Thread.sleep(10)
+      }
+    }
     val root = try mapper.readTree(in) finally in.close()
     val dims = scala.collection.mutable.ArrayBuffer.empty[String]
     root.get("dims").asInstanceOf[ArrayNode].forEach(x => dims += x.asText)

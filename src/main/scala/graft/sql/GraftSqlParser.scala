@@ -532,6 +532,13 @@ case class GraftDescribeMaterializedViewCommand(target: String)
             "on next refresh") } ++
       Seq(
         Row("fresh", freshness.forall { case (_, _, c, l) => c >= l }.toString),
+        // `fresh` is honest CURSOR currency; `servable` is the rewrite's
+        // actual gate — a cursor behind by only physical-only commits
+        // (compaction/zorder/metadata) still serves by metadata proof
+        Row("servable", {
+          val latest = freshness.map(f => f._1 -> f._4).toMap
+          mv.servableFresh(meta, latest).toString
+        }),
         Row("state_version", mv.state.latestVersion.toString),
         Row("registered_for_rewrite",
           GraftMvRewrite.registered.contains(mvPath).toString))

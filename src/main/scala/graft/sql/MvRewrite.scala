@@ -1315,11 +1315,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       try {
         val m = MaterializedView.load(spark, p)
         val meta = m.meta // fresh read — authoritative over the cache
-        val freshNow = {
-          val (cf, cds) = m.refreshedVersions
-          cf == latestOf(meta.basePath) &&
-          meta.joins.zip(cds).forall { case (j, c) => c == latestOf(j.dimPath) }
-        }
+        val freshNow = m.servableFresh(meta, latestOf)
         if (!freshNow) None
         else if (sigMatches(meta.basePath, meta.joins.map(lcSig)))
           tryServe(m, meta, None)
@@ -1443,14 +1439,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           dimInfosOf(spark, meta).exists(infos =>
             qItems.forall(q => itemMatches(q, infos))) &&
           // freshness gate: a stale view must never serve — for a join
-          // view EVERY maintenance cursor must be current. The cursor is
+          // view EVERY maintenance cursor must be current (or behind by
+          // physical-only commits — see servableFresh). The cursor is
           // read from the state table's commit (atomic with the data),
           // not the meta mirror; one resolution yields both components.
-          {
-            val (cf, cds) = m.refreshedVersions
-            cf == latestOf(meta.basePath) &&
-            meta.joins.zip(cds).forall { case (j, c) => c == latestOf(j.dimPath) }
-          })
+          m.servableFresh(meta, latestOf))
           Some((m, meta))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -2122,11 +2115,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           val m = MaterializedView.load(spark, p)
           val meta = m.meta // fresh read — authoritative over the cache
           val extra = extraArmsOf(meta.joins.map(lcSig), arms)
-          if (meta.basePath == fp && extra.exists(_.nonEmpty) && {
-            val (cf, cds) = m.refreshedVersions
-            cf == latestOf(meta.basePath) &&
-            meta.joins.zip(cds).forall { case (j, c) => c == latestOf(j.dimPath) }
-          })
+          if (meta.basePath == fp && extra.exists(_.nonEmpty) &&
+            m.servableFresh(meta, latestOf))
             Some((m, meta, extra.get))
           else None
         } catch { case scala.util.control.NonFatal(_) => None }

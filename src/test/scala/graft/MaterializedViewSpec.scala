@@ -575,6 +575,94 @@ class MaterializedViewSpec extends AnyFunSuite {
       "a window with no removal-touched live groups must skip the repair scan")
   }
 
+  test("physical-only rewrites NET to an empty delta: base/dim compaction runs no repair, state stays exact") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"),
+      baseRows(400).repartition(6))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    checkEq(mv, t)
+    // a compaction rewrites every file: the GROSS windowDelta is the whole
+    // table on both sides, identical on the projected columns. The netted
+    // delta cancels it row-for-row, so the refresh contributes nothing and
+    // min/max never raise HASM — a production compaction cadence must not
+    // re-aggregate every group of every registered view
+    t.compact()
+    MaterializedView.lastRepairScan = None
+    mv.refresh()
+    checkEq(mv, t)
+    assert(MaterializedView.lastRepairScan.isEmpty,
+      "a physical-only base rewrite must not trigger the extremum repair scan")
+    // positive control over the SAME compacted table: losing a real
+    // extremum still detects and repairs
+    t.delete(col("grp") === "3" && col("score") >= 50)
+    MaterializedView.lastRepairScan = None
+    mv.refresh()
+    checkEq(mv, t)
+    assert(MaterializedView.lastRepairScan.nonEmpty,
+      "a true extremum loss must still run the repair path")
+    // DIM side: compacting a dim under a star view nets the dim delta to
+    // empty — no repair, no group moves, exact state
+    val fp = tmp(); val dp = tmp(); val mp2 = tmp()
+    val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), factRows(400))
+    val dt = LakeTable.create(spark, dp, TableSpec("dk", "dver"), dimRows)
+    MaterializedView.create(spark, mp2, ft, Seq("region"), joinAggs,
+      Seq(MvJoin(dp, "fk", "dk")))
+    dt.compact()
+    MaterializedView.lastRepairScan = None
+    MaterializedView.load(spark, mp2).refresh()
+    checkJoinEq(mp2, ft, dt)
+    assert(MaterializedView.lastRepairScan.isEmpty,
+      "a physical-only dim rewrite must net away, not re-aggregate")
+    // and a REAL dim move after the compaction still maintains exactly
+    dt.upsert(dimRows.filter(col("dk") === 3L).withColumn("dver", lit(1L))
+      .withColumn("region", lit("r9")))
+    MaterializedView.load(spark, mp2).refresh()
+    checkJoinEq(mp2, ft, dt)
+    // MIXED window (the exceptAll netting path, not the metadata
+    // shortcut): logical churn AND a compaction inside one refresh window
+    // on BOTH tables — the carried rows cancel, the churn survives
+    ft.upsert(factRows(430).filter(col("k") >= 400).withColumn("ver", lit(3L)))
+    ft.compact()
+    dt.upsert(dimRows.filter(col("dk") === 7L).withColumn("dver", lit(2L))
+      .withColumn("region", lit("r9")))
+    dt.compact()
+    MaterializedView.load(spark, mp2).refresh()
+    checkJoinEq(mp2, ft, dt)
+  }
+
+  test("a physical-only window refresh is a metadata-only cursor bump: ZERO Spark jobs") {
+    val bp = tmp(); val mp = tmp()
+    val t = LakeTable.create(spark, bp, TableSpec("k", "ver"),
+      baseRows(200).repartition(4))
+    val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
+    // the member's maintenance cadence between refreshes: every commit in
+    // the pending window is content-preserving, so the refresh must prove
+    // the delta empty from COMMIT METADATA alone — no plan, no job, no
+    // data file opened — and publish a pure cursor-bump state commit
+    t.compact()
+    t.analyze()
+    val stV0 = mv.state.latestVersion
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      mv.refresh()
+      var last = -1
+      while (n.get() != last) { last = n.get(); Thread.sleep(300) }
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(n.get() == 0,
+      s"a physical-only window refresh must run zero jobs, ran ${n.get()}")
+    assert(mv.lastRefreshedVersion == t.latestVersion,
+      "the cursor bump must advance the cursor to the member head")
+    assert(mv.state.latestVersion == stV0 + 1,
+      "exactly one metadata-only state commit expected")
+    checkEq(mv, t)
+  }
+
   test("auto-prune keeps tombstones bounded under death/rebirth churn") {
     val bp = tmp(); val mp = tmp()
     val t = LakeTable.create(spark, bp, TableSpec("k", "ver"),

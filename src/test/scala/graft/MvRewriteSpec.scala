@@ -1031,10 +1031,25 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(p0("filter").head.toLowerCase.contains("amt"))
       assert(p0("fresh") == Seq("true"))
       assert(p0("registered_for_rewrite") == Seq("true"))
+      assert(p0("servable") == Seq("true"))
+      // a physical-only commit: cursor lag is reported HONESTLY while the
+      // serving gate stays open by metadata proof
+      base.compact()
+      locally {
+        val p = props()
+        assert(p("fresh") == Seq("false"), "cursor lag must be reported")
+        assert(p("servable") == Seq("true"),
+          "physical-only lag must stay servable")
+      }
       base.upsert((1L to 20L).map(i => (i + 8000L, 1L, "g0",
         java.sql.Timestamp.valueOf("2024-03-06 00:00:00"), 50L))
         .toDF("k", "ver", "grp", "ts", "amt"))
-      assert(props()("fresh") == Seq("false"), "churn must surface as stale")
+      locally {
+        val p = props()
+        assert(p("fresh") == Seq("false"), "churn must surface as stale")
+        assert(p("servable") == Seq("false"),
+          "logical churn must close the serving gate")
+      }
       spark.sql(s"REFRESH MATERIALIZED VIEW '$mvPath' IF STALE")
       assert(props()("fresh") == Seq("true"))
     } finally {
@@ -2810,6 +2825,43 @@ class MvRewriteSpec extends AnyFunSuite {
       val q3 = served()
       assert(scansMvState(q3) && !scansPath(q3, pth))
       assert(expect(q3) == oracle())
+    } finally GraftMvRewrite.clear()
+  }
+
+  test("physical-only member commits never gate serving: compaction/zorder/analyze serve with NO refresh; logical churn still gates") {
+    val (base, path) = freshBase("phys")
+    val mvPath = Files.createTempDirectory("graft_mvrw_phys").toString
+    MaterializedView.create(spark, mvPath, base, Seq("grp"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("s", "sum", "amt")))
+    try {
+      GraftMvRewrite.register(mvPath)
+      def q() = spark.read.format("graft").load(path).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      def oracle() = base.read().groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+        .collect().map(_.toSeq).toSet
+      assert(!hasAggregate(q()), "fresh view must serve")
+      // the members' maintenance cadence: compaction, zorder, stats — the
+      // cursor is now BEHIND latest, but every pending commit carried rows
+      // unchanged. The metadata proof must keep the view serving: at
+      // production scale reorganization is continuous, and a gate on exact
+      // version equality would blind every view most of the time.
+      base.compact()
+      base.analyze()
+      base.zorder(Seq("k", "amt"))
+      val srv = q()
+      assert(!hasAggregate(srv) && scansMvState(srv) && !scansPath(srv, path),
+        "view must keep serving through physical-only commits without a refresh")
+      assert(srv.collect().map(_.toSeq).toSet == oracle(),
+        "served values must equal live recompute after the reorganization")
+      // a LOGICAL write gates immediately — the proof must not leak past it
+      base.upsert(Seq((9001L, 1L, "g0", 5L)).toDF("k", "ver", "grp", "amt"))
+      assert(hasAggregate(q()), "logical churn must still gate the rewrite")
+      // refresh over the mixed window re-enables, exactly
+      MaterializedView.load(spark, mvPath).refresh()
+      val back = q()
+      assert(!hasAggregate(back) && scansMvState(back))
+      assert(back.collect().map(_.toSeq).toSet == oracle())
     } finally GraftMvRewrite.clear()
   }
 }
