@@ -1513,6 +1513,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * consumption at scale. */
   def incremental(sinceVersion: Long, asOf: Option[Long] = None): DataFrame = {
     val upTo = asOf.getOrElse(latestVersion)
+    // PHYSICAL-ONLY window (a compaction/zorder landing as its own
+    // streaming micro-batch): every added file carries only pre-existing
+    // rows, so the post-image set is empty by metadata proof. Without
+    // this, a tailing stream READS the whole rewritten table per
+    // compaction and then filters every row back out by commit time —
+    // cost ∝ table size, exactly what the churn-bounded contract above
+    // forbids at 100 TB. Mixed windows (catch-up spans) keep the
+    // commit-time filter path: their genuine post-images may live only
+    // inside the rewrite's files.
+    if (windowPhysicalOnly(sinceVersion, upTo))
+      return ordered(readFiles(Nil, asOf = Some(upTo)), Some(upTo))
     val cs = commits // one log read for the window files + sinceTime
     val added = cs
       .filter(c => c.version > sinceVersion && c.version <= upTo)
@@ -1570,6 +1581,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def changes(since: Long, asOf: Option[Long] = None,
       includePreimages: Boolean = false): DataFrame = {
     val upTo = asOf.getOrElse(latestVersion)
+    // physical-only window: no inserts, no updates, no deletes — empty
+    // by metadata proof, skipping the rewritten/now key scans entirely
+    // (see [[incremental]]; a compaction otherwise costs two full reads
+    // here: the removed files AND the added files, to prove no change)
+    if (windowPhysicalOnly(since, upTo)) {
+      val empty = incremental(since, Some(upTo))
+      return empty.withColumn("_change_type", lit(""))
+        .filter(lit(false))
+    }
     val post = incremental(since, Some(upTo))
     val cs = commits // one log read for window + sinceTime
     val window = cs.filter(c => c.version > since && c.version <= upTo)
@@ -1650,13 +1670,6 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * rows without removing their file, which breaks the file-level
     * cancellation — the MoR delta instead diffs the two MERGED snapshots
     * restricted to the window's touched record identities. */
-  /** Metadata-only: did any commit in `(since, upTo]` remove files (a
-    * rewrite/delete/compaction)? Pure-addition windows return false —
-    * [[MaterializedView]] skips its delta netting for them. */
-  private[lake] def windowHadRemovals(since: Long, upTo: Long): Boolean =
-    commits.exists(c => c.version > since && c.version <= upTo &&
-      c.remove.nonEmpty)
-
   /** Metadata-only: is every commit in `(since, upTo]` a physical
     * reorganization (compact / optimize / zorder) — a rewrite that carries
     * rows unchanged? Such a window's true row delta is EMPTY by

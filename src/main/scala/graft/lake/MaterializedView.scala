@@ -549,35 +549,24 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         }
       }
     }
-    // NETTED projected deltas (round 13). windowDelta is gross per
-    // rewritten file: a CoW rewrite carries every surviving row into
-    // both sides, and those rows — IDENTICAL on the view's projected
-    // columns — contribute exactly cancelling ±1 pairs to the signed
-    // aggregate. exceptAll removes equal-multiset pairs BEFORE the join
-    // fan-out, so the contribution the delta aggregate processes tracks
-    // TRUE row churn, not rewritten bytes — and a group whose only
-    // minus rows were cancelling pairs no longer raises HASM, so a
-    // physical rewrite never triggers the extremum/sketch repair scan.
-    // Soundness: equality on the projected columns implies identical
-    // contributions (everything downstream is computed FROM them).
-    // Guarded by a metadata-only removals check: a pure-addition window
-    // (the streaming/b13 hot path) skips the exceptAll shuffles
-    // entirely.
-    def nettedDelta(t: LakeTable, since: Long, upTo2: Long,
-        proj: Seq[Column], plus: DataFrame, minus: DataFrame)
-        : (DataFrame, DataFrame) = {
-      val pP = plus.select(proj: _*)
-      val mP = minus.select(proj: _*)
-      if (!t.windowHadRemovals(since, upTo2)) (pP, mP)
-      else (pP.exceptAll(mP), mP.exceptAll(pP))
-    }
+    // Deltas stay GROSS per rewritten file: carried rows contribute
+    // cancelling ±1 pairs that the single signed aggregate absorbs in
+    // one pass. Round 13 tried row-level netting here (exceptAll both
+    // ways on the projected columns, guarded by a removals check) — the
+    // interleaved control measured it a LOSS: b12 1.39× slower at sf0.1
+    // and a WORSE 10× exponent (1.47×/0.17 vs 1.27×/0.11), because the
+    // netting shuffles are themselves corpus-proportional on
+    // rewrite-heavy windows while the signed aggregate already cancels
+    // carried pairs for free. The case netting was really for — windows
+    // that moved ONLY bytes — is handled upstream by metadata proof
+    // (LakeTable.windowPhysicalOnly: empty delta, cursor-bump refresh,
+    // no repair), which costs nothing at any scale.
     val contrib: DataFrame = dbgT("contrib-build") {
       if (m.joins.isEmpty) {
-        val (plus0, minus0) = base.windowDelta(lastV, upTo)
-        val (plus, minus) =
-          nettedDelta(base, lastV, upTo, need.map(col), plus0, minus0)
-        plus.withColumn(SGN, lit(1L))
-          .unionByName(minus.withColumn(SGN, lit(-1L)))
+        val (plus, minus) = base.windowDelta(lastV, upTo)
+        val proj = need.map(col)
+        plus.select(proj: _*).withColumn(SGN, lit(1L))
+          .unionByName(minus.select(proj: _*).withColumn(SGN, lit(-1L)))
       } else {
         // telescoping signed sum over the join tree (star or snowflake —
         // the identity is topology-independent for inner equi-joins):
@@ -588,11 +577,9 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
         val outCols = (need :+ SGN).map(col)
         val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         if (upTo > lastV) {
-          val (plusF0, minusF0) = base.windowDelta(lastV, upTo)
-          val (plusF, minusF) =
-            nettedDelta(base, lastV, upTo, fProj, plusF0, minusF0)
-          val fDelta = plusF.withColumn(SGN, lit(1L))
-            .unionByName(minusF.withColumn(SGN, lit(-1L)))
+          val (plusF, minusF) = base.windowDelta(lastV, upTo)
+          val fDelta = plusF.select(fProj: _*).withColumn(SGN, lit(1L))
+            .unionByName(minusF.select(fProj: _*).withColumn(SGN, lit(-1L)))
           terms += m.joins.indices.foldLeft(fDelta)(
             (acc, i) => joinDim(acc, i, dAt(i, dimVs(i))))
         }
@@ -601,11 +588,8 @@ class MaterializedView private (val spark: SparkSession, val path: String) {
           if (dimUpTos(i) > dimVs(i)) {
             val (plusD0, minusD0) = dbgT(s"dim-$i-windowDelta") {
               dimTables(i).windowDelta(dimVs(i), dimUpTos(i)) }
-            // netted on the PROJECTED columns (the transition block's
-            // touched keys then see the netted sides too — consistent,
-            // and its own key-level netting still removes moved keys)
-            val (plusD, minusD) = nettedDelta(dimTables(i), dimVs(i),
-              dimUpTos(i), dProj(i), plusD0, minusD0)
+            val plusD = plusD0.select(dProj(i): _*)
+            val minusD = minusD0.select(dProj(i): _*)
             val dDelta = plusD.withColumn(SGN, lit(1L))
               .unionByName(minusD.withColumn(SGN, lit(-1L)))
             dbgT(s"dim-$i-delta-term") {

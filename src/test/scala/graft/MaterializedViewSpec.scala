@@ -575,16 +575,16 @@ class MaterializedViewSpec extends AnyFunSuite {
       "a window with no removal-touched live groups must skip the repair scan")
   }
 
-  test("physical-only rewrites NET to an empty delta: base/dim compaction runs no repair, state stays exact") {
+  test("physical-only rewrites are an EMPTY delta by metadata proof: base/dim compaction runs no repair, state stays exact") {
     val bp = tmp(); val mp = tmp()
     val t = LakeTable.create(spark, bp, TableSpec("k", "ver"),
       baseRows(400).repartition(6))
     val mv = MaterializedView.create(spark, mp, t, Seq("grp"), aggs)
     checkEq(mv, t)
-    // a compaction rewrites every file: the GROSS windowDelta is the whole
-    // table on both sides, identical on the projected columns. The netted
-    // delta cancels it row-for-row, so the refresh contributes nothing and
-    // min/max never raise HASM — a production compaction cadence must not
+    // a compaction rewrites every file: the gross windowDelta would be the
+    // whole table on both sides. The physical-only metadata proof answers
+    // it EMPTY instead, so the refresh contributes nothing and min/max
+    // never raise HASM — a production compaction cadence must not
     // re-aggregate every group of every registered view
     t.compact()
     MaterializedView.lastRepairScan = None
@@ -600,8 +600,8 @@ class MaterializedViewSpec extends AnyFunSuite {
     checkEq(mv, t)
     assert(MaterializedView.lastRepairScan.nonEmpty,
       "a true extremum loss must still run the repair path")
-    // DIM side: compacting a dim under a star view nets the dim delta to
-    // empty — no repair, no group moves, exact state
+    // DIM side: compacting a dim under a star view is an empty dim delta
+    // by the same proof — no repair, no group moves, exact state
     val fp = tmp(); val dp = tmp(); val mp2 = tmp()
     val ft = LakeTable.create(spark, fp, TableSpec("k", "ver"), factRows(400))
     val dt = LakeTable.create(spark, dp, TableSpec("dk", "dver"), dimRows)
@@ -618,9 +618,10 @@ class MaterializedViewSpec extends AnyFunSuite {
       .withColumn("region", lit("r9")))
     MaterializedView.load(spark, mp2).refresh()
     checkJoinEq(mp2, ft, dt)
-    // MIXED window (the exceptAll netting path, not the metadata
-    // shortcut): logical churn AND a compaction inside one refresh window
-    // on BOTH tables — the carried rows cancel, the churn survives
+    // MIXED window (the gross-delta path, not the metadata shortcut):
+    // logical churn AND a compaction inside one refresh window on BOTH
+    // tables — the carried rows cancel inside the signed aggregate, the
+    // churn survives
     ft.upsert(factRows(430).filter(col("k") >= 400).withColumn("ver", lit(3L)))
     ft.compact()
     dt.upsert(dimRows.filter(col("dk") === 7L).withColumn("dver", lit(2L))

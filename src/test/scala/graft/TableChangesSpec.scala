@@ -213,4 +213,37 @@ class TableChangesSpec extends AnyFunSuite {
     val err = intercept[Exception](spark.sql(s"SELECT * FROM text_search('$tixPath')"))
     assert(err.getMessage.contains("text_search"))
   }
+
+  test("a physical-only window is EMPTY for incremental/changes without opening a data file") {
+    import spark.implicits._
+    val (path, tbl) = mkTable("phys")
+    tbl.upsert(Seq((2, 21, 200L), (9, 90, 200L)).toDF("id", "v", "ts")) // v1
+    val v1 = tbl.latestVersion
+    // a tailing stream sees a compaction as its own micro-batch: every
+    // added file carries only pre-existing rows, so the batch must be
+    // empty BY METADATA — without this the stream reads the whole
+    // rewritten table per compaction and filters every row back out
+    tbl.compact() // v2
+    tbl.analyze() // v3 — pure metadata, same proof
+    val inc = tbl.incremental(v1)
+    assert(inc.isEmpty, "physical-only window must have no post-images")
+    assert(inc.inputFiles.isEmpty,
+      "the empty proof must come from commit METADATA, not a filtered scan")
+    val ch = tbl.changes(v1)
+    assert(ch.isEmpty && ch.inputFiles.isEmpty,
+      "changes over a physical-only window must be metadata-only empty")
+    assert(spark.sql(s"SELECT * FROM table_changes('$path', $v1)").isEmpty)
+    // MIXED window from the same since: the churn before the compaction
+    // still surfaces exactly once, with the compaction's carried rows
+    // filtered out — and a post-compaction upsert is visible too
+    tbl.upsert(Seq((1, 11, 300L)).toDF("id", "v", "ts")) // v4
+    val mixed = tbl.incremental(0L)
+    assert(mixed.select("id", "v").collect().map(r => (r.getInt(0), r.getInt(1)))
+      .toSet == Set((2, 21), (9, 90), (1, 11)),
+      "mixed window must carry the true churn exactly once")
+    val chMixed = tbl.changes(v1).select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(chMixed == Set((1, "update_postimage")),
+      s"post-compaction churn must tag correctly, got $chMixed")
+  }
 }
