@@ -248,16 +248,19 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * caller needs — used by [[MaterializedView]]'s expression-dim repair
     * (monotonic bucket-transform skipping the built-in filters cannot
     * express). */
+  /** Debug-only phase timer (GRAFT_MV_PHASES=1), shared by the pruned-read
+    * and write paths — zero overhead when the env is absent. */
+  private def dbgT[A](tag: String)(body: => A): A =
+    if (!sys.env.contains("GRAFT_MV_PHASES")) body
+    else {
+      val t0 = System.nanoTime(); val r = body
+      println(f"LTPHASE $tag ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+
   private[lake] def readWherePruned(
       filters: Seq[org.apache.spark.sql.sources.Filter],
       extra: Seq[FileAction] => Seq[FileAction],
       asOf: Option[Long] = None): DataFrame = {
-    def dbgT[A](tag: String)(body: => A): A =
-      if (!sys.env.contains("GRAFT_MV_PHASES")) body
-      else {
-        val t0 = System.nanoTime(); val r = body
-        println(f"LTPHASE $tag ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
-      }
     val live = dbgT("rwp-liveFiles")(liveFiles(asOf))
     if (live.exists(_.log)) realtimePruned(asOf, filters, extra)
     else {
@@ -960,8 +963,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       idHighs: Map[String, Long] = Map.empty,
       expectedVersion: Option[Long] = None,
       txnMany: Map[String, Long] = Map.empty): LakeTable = {
-    val live = liveFiles(None)
-    val candidates = pruneCandidates(live, incoming)
+    val live = dbgT("cow-liveFiles")(liveFiles(None))
+    val candidates = dbgT(s"cow-pruneCandidates-n=${live.size}")(pruneCandidates(live, incoming))
     writeCommit("upsert", newSchema = evolved, txn = txn,
       copyFiles = copyFiles, identityHigh = idHighs,
       expectedVersion = expectedVersion, txnMany = txnMany) { (writeId, commitTime) =>
@@ -972,10 +975,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         if (candidates.isEmpty) (Seq.empty[String], inStamped)
         else {
           val cand = withJoinIds(readFiles(candidates, keepWriteId = true, relFile = true))
-          val touched = cand
+          val touched = dbgT(s"cow-touchedDetect-n=${candidates.size}")(cand
             .join(withJoinIds(incoming).select(joinIdCols.map(col): _*).distinct(),
               joinIdCols, "left_semi")
-            .select(REL_FILE).distinct().collect().map(_.getString(0)).toSeq
+            .select(REL_FILE).distinct().collect().map(_.getString(0)).toSeq)
           if (touched.isEmpty) (touched, inStamped)
           else {
             // re-scan ONLY the touched files (the detection scan above is
@@ -3055,9 +3058,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           .sortWithinPartitions(sc.map(col): _*)
     }
     val writer = shuffled.write.mode("errorifexists")
-    spec.partition match {
-      case Some(p) => writer.partitionBy(p).parquet(target)
-      case None => writer.parquet(target)
+    dbgT(s"wf-write-id=$writeId") {
+      spec.partition match {
+        case Some(p) => writer.partitionBy(p).parquet(target)
+        case None => writer.parquet(target)
+      }
     }
     val keyType = schema(spec.key).dataType
     val numericKey = keyType match {
@@ -3077,7 +3082,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     if (files.isEmpty) return WriteResult(Seq.empty, Seq.empty)
     // per-file stats from parquet FOOTERS — driver-side metadata reads, no
     // executor job, instead of re-scanning everything just written
-    val adds = files.map { case (f, len) =>
+    val adds = dbgT(s"wf-footerStats-n=${files.size}")(files.map { case (f, len) =>
       // LAST occurrence — see vacuum(); keeps rel paths consistent with
       // the executor-side substring_index detection
       val rel = f.toString.split("/data/").last
@@ -3092,7 +3097,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val (mn, mx) = stats(spec.key)
       FileAction(rel, log, rows, mn, mx, numericKey, partVal, tombstone = tombstone,
         colStats = stats - spec.key, bytes = len)
-    }
+    })
     // a fully-empty batch still emits one 0-row part file — don't log it
     val kept0 = adds.filter(_.rows > 0)
     val kept =
