@@ -130,18 +130,28 @@ object Bench {
         .select("event_id", "user_id", "event_type", "value", "ts_us")
     }
 
-    // lineitem with a synthetic unique record key for lakehouse benches
+    // lineitem with a synthetic record key for lakehouse benches. NOTE
+    // (round-13 audit): the synthetic lineitem has duplicate
+    // (l_orderkey, l_linenumber) pairs (sf0.1: 456,861 distinct lkeys in
+    // 600,000 rows), so lkey is NOT unique — bulkInsert preserves the
+    // duplicates (Hudi INSERT semantics) and keyed upserts resolve the
+    // contested keys latest-wins, which is the semantics being measured.
     def li = tbl("lineitem")
       .withColumn("lkey", col("l_orderkey") * 10 + col("l_linenumber"))
     val liSpec = TableSpec("lkey", "l_shipdate")
 
-    // CDC-style source: bump 10% of rows (newer precombine) + 2% new keys
+    // CDC-style source: bump 10% of rows (newer precombine) + 2% new keys.
+    // The churn keys on the ORDERKEY half of lkey (`lkey DIV 10`):
+    // l_linenumber is 1..7, so `lkey % 10` is never 0 — the original
+    // `lkey % 10 === 0` / `% 50 === 0` predicates selected ZERO rows and
+    // b2/b3 timed an EMPTY upsert through round 12 (measurement bug found
+    // in the round-13 audit; pre-fix numbers kept in OPTIMIZATION_r13.md).
     def liSource = {
       val base = li
-      base.filter(col("lkey") % 10 === 0)
+      base.filter(expr("(lkey DIV 10) % 10 = 0"))
         .withColumn("l_extendedprice", col("l_extendedprice") + 1.0)
         .withColumn("l_shipdate", col("l_shipdate") + expr("INTERVAL 1 DAY"))
-        .unionByName(base.filter(col("lkey") % 50 === 0)
+        .unionByName(base.filter(expr("(lkey DIV 10) % 50 = 0"))
           .withColumn("lkey", col("lkey") + 100000000L))
     }
 

@@ -179,13 +179,17 @@ object BenchScale {
     meta("doc_rows") = docs.count()
 
     val liSpec = TableSpec("lkey", "l_shipdate")
-    // the replica-0 band churn — the IDENTICAL logical change at every R
+    // the replica-0 band churn — the IDENTICAL logical change at every R.
+    // Keys on `lkey DIV 10` (the orderkey half): l_linenumber is 1..7, so
+    // the original `lkey % 10 === 0` selected ZERO rows — the round-13
+    // pre-fix b2 scale point measured an empty upsert (see Bench.liSource
+    // and OPTIMIZATION_r13.md; re-measured after the fix).
     def liSource = {
       val band0 = li.filter(col("lkey") < BAND_LKEY)
-      band0.filter(col("lkey") % 10 === 0)
+      band0.filter(expr("(lkey DIV 10) % 10 = 0"))
         .withColumn("l_extendedprice", col("l_extendedprice") + 1.0)
         .withColumn("l_shipdate", col("l_shipdate") + expr("INTERVAL 1 DAY"))
-        .unionByName(band0.filter(col("lkey") % 50 === 0)
+        .unionByName(band0.filter(expr("(lkey DIV 10) % 50 = 0"))
           .withColumn("lkey", col("lkey") + 100000000L))
     }
 

@@ -3047,6 +3047,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // tight and non-overlapping without any later OPTIMIZE pass
     val sortCols = spec.writeSortColumns.map(spec.physical)
       .filter(c => batch.columns.exists(_.equalsIgnoreCase(c)))
+    // NOTE (round-13 optimization audit): a write fan-out was tried here —
+    // repartition small batches (optimizer size estimate ≤ 512 MB) to
+    // ceil(bytes / 1 MB) tasks so narrow-input writes fill the cores. It
+    // measured a LOSS on the interleaved A/B (b1 1.42× slower): the
+    // narrow-input case is input-SPLIT-bound (parquet row groups), so the
+    // fused scan→encode pipeline already overlaps decode with encode,
+    // while the added exchange pays a full shuffle of the wide rows; every
+    // other write arrives pre-shuffled from its join/aggregate and needs
+    // no help. Kept fused — OPTIMIZATION_r13.md "write fan-out".
     val shuffled = (spec.partition, sortCols) match {
       case (Some(p), Nil) => batch.repartition(col(p))
       case (Some(p), sc) =>
