@@ -241,20 +241,36 @@ object Bpe {
         val aff = chained.filter(col(s"_s$b") =!= col("_s0"))
           .coalesce(par).localCheckpoint(true)
         retired += aff
-        // per-round affected-word counts, one row
-        val affRow = aff.select((1 to b).map(k =>
-          sum(when(col(s"_s$k") =!= col(s"_s${k - 1}"), 1L).otherwise(0L))
-            .as(s"a$k")): _*).head()
-        // exact per-round count deltas from only the touched words
-        val deltas = (1 to b).map { k =>
-          val ch = aff.filter(col(s"_s$k") =!= col(s"_s${k - 1}"))
-          pairsOf(ch.select(col(s"_s$k").as("syms"), col("freq")), "syms")
-            .withColumn("d", col("freq"))
-            .unionByName(
-              pairsOf(ch.select(col(s"_s${k - 1}").as("syms"), col("freq")), "syms")
-                .withColumn("d", -col("freq")))
-            .select(lit(k).as("round"), col("l"), col("r"), col("d"))
-        }.reduce(_ unionByName _)
+        // per-round work set + exact count deltas from ONE compact plan:
+        // the chained columns pack into an array, one explode emits
+        // (round, cur, prev) for the rounds that changed a word, a second
+        // emits signed adjacent pairs. Replaces a 2B-branch filter+union
+        // plan (B per-round frames × ±pairsOf each) whose ANALYSIS, not
+        // execution, dominated batch wall time — the round-13 job profile
+        // showed 1-2 s driver gaps between sub-second jobs at every
+        // batch, growing with B. Algebra unchanged: same signed adjacent
+        // pairs, same groupBy(round, l, r) sums.
+        val rounds = aff
+          .withColumn("_chain", array((0 to b).map(k => col(s"_s$k")): _*))
+          .select(col("freq"), explode(expr(
+            s"transform(sequence(1, $b), k -> " +
+              "struct(k AS round, _chain[k] AS cur, _chain[k-1] AS prev))")).as("r"))
+          .filter(col("r.cur") =!= col("r.prev"))
+          .select(col("r.round").as("round"), col("r.cur").as("cur"),
+            col("r.prev").as("prev"), col("freq"))
+        // per-round affected-word counts (rounds absent from the map
+        // touched zero words)
+        val affCount: Map[Int, Long] = rounds.groupBy("round")
+          .agg(count(lit(1)).as("a")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        def pairD(s: String, sign: String): String =
+          s"CASE WHEN size($s) < 2 THEN array() ELSE " +
+            s"transform(sequence(0, size($s) - 2), " +
+            s"i -> struct($s[i] AS l, $s[i+1] AS r, ${sign}freq AS d)) END"
+        val deltas = rounds
+          .select(col("round"),
+            explode(concat(expr(pairD("cur", "")), expr(pairD("prev", "-")))).as("p"))
+          .select(col("round"), col("p.l"), col("p.r"), col("p.d"))
           .groupBy("round", "l", "r").agg(sum("d").as("d"))
           .filter(col("d") =!= 0)
           .collect()
@@ -282,7 +298,7 @@ object Bpe {
           for (k <- 1 to t) {
             val (l, r) = proposal(k - 1)
             merges += ((l, r))
-            stats += RoundStat(l, r, roundNs(k - 1), affRow.getLong(k - 1))
+            stats += RoundStat(l, r, roundNs(k - 1), affCount.getOrElse(k, 0L))
           }
           // count-table update: the accepted rounds' deltas, summed by
           // pair (driver-built — the delta set is bounded by pairs
